@@ -1,0 +1,108 @@
+package graft.mr
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+/** Spark-native re-expression of the reference's only executor,
+  * `startMapReduceJob(client, inputVec, outputVec, multiThreadLevel)`
+  * (SURVEY.md §3.1).
+  *
+  * The reference's four physical phases map onto one declarative Spark
+  * plan; every piece of its hand-built machinery is replaced by a Spark
+  * built-in that scales past one process:
+  *
+  *  - MAP (morsel-stealing worker threads)  → `Dataset.flatMap` tasks
+  *  - SORT (per-thread `std::sort` by K2)   → Spark's sort-based shuffle
+  *  - BARRIER (pthread barrier)             → the stage boundary at the
+  *    shuffle `Exchange`
+  *  - SHUFFLE (single thread 0 merging all runs — the reference's
+  *    scalability bottleneck) → fully parallel hash-partitioned exchange;
+  *    deliberately NOT reproduced single-threaded
+  *  - REDUCE (semaphore-fed workers)        → `flatMapGroups` tasks
+  *
+  * Grouping semantics: the reference groups K2 by *ordering equivalence*
+  * (`!(a<b) && !(b<a)`, SURVEY.md §1.2). We require an `Ordering[K2]` and
+  * group by encoder equality; for any lawful Ordering (consistent with
+  * equals) these coincide, and requiring the Ordering keeps the contract
+  * explicit in the signature, like the reference's `operator<` mandate.
+  *
+  * Output is an unordered bag, exactly like the reference's
+  * mutex-appended `OutputVec` (order nondeterministic, multiset
+  * semantics).
+  */
+object MapReduce {
+
+  /** Run a MapReduce job and return the output dataset (lazy — attach an
+    * action to execute, like the reference's `waitForJob`).
+    *
+    * @param parallelism the reference's `multiThreadLevel`. 0 (default)
+    *   keeps the input's partitioning and the session's
+    *   `spark.sql.shuffle.partitions` — the right choice on a real
+    *   cluster. A positive value forces that many partitions on both the
+    *   map input and the shuffle, for strict parity runs.
+    */
+  def run[K1, V1, K2, V2, K3, V3](
+      input: Dataset[(K1, V1)],
+      client: MapReduceClient[K1, V1, K2, V2, K3, V3],
+      parallelism: Int = 0)(implicit
+      ord: Ordering[K2],
+      e2: Encoder[(K2, V2)],
+      ek2: Encoder[K2],
+      e3: Encoder[(K3, V3)]): Dataset[(K3, V3)] = {
+    // parallelism pins the map-side width the way multiThreadLevel pins
+    // worker count. The reduce-side width belongs to
+    // spark.sql.shuffle.partitions + AQE (which coalesces small shuffles
+    // at low SF and re-plans skew at high SF) — the harness pins it to
+    // the CPU count, and at 100 TB AQE's choice beats any hardcoded one.
+    val sized = if (parallelism > 0) input.repartition(parallelism) else input
+    sized
+      .flatMap { case (k1, v1) => client.map(k1, v1) }
+      .groupByKey(_._1)
+      .flatMapGroups { (k2, pairs) =>
+        client.reduce(k2, pairs.map(_._2)).iterator
+      }
+  }
+
+  /** Async launch — parity with `startMapReduceJob` returning an opaque
+    * handle immediately while threads run (SURVEY.md §3.1/§3.3). The
+    * returned [[JobHandle]] supports `getJobState` (via a registered
+    * [[JobProgress]] listener), `waitForJob`, and `close`. */
+  def startJob[K1, V1, K2, V2, K3, V3](
+      spark: SparkSession,
+      input: Dataset[(K1, V1)],
+      client: MapReduceClient[K1, V1, K2, V2, K3, V3],
+      parallelism: Int = 0)(implicit
+      ord: Ordering[K2],
+      e2: Encoder[(K2, V2)],
+      ek2: Encoder[K2],
+      e3: Encoder[(K3, V3)]): JobHandle[(K3, V3)] = {
+    val progress = new JobProgress
+    spark.sparkContext.addSparkListener(progress)
+    val ds = run(input, client, parallelism)
+    val fut = Future(ds.collect().toSeq)(ExecutionContext.global)
+    new JobHandle(spark, progress, fut)
+  }
+}
+
+/** Parity facade for the reference's `JobHandle` + `getJobState` +
+  * `waitForJob` + `closeJobHandle` (SURVEY.md §2.1 R8–R11). */
+final class JobHandle[OUT] private[mr] (
+    spark: SparkSession,
+    progress: JobProgress,
+    result: Future[Seq[OUT]]) {
+
+  /** `getJobState` — stage + percentage from the listener. */
+  def getJobState: JobState = progress.state
+
+  /** `waitForJob` — blocks until done; idempotent like the reference's
+    * single-join guard. */
+  def waitForJob(): Seq[OUT] = Await.result(result, Duration.Inf)
+
+  /** `closeJobHandle` — wait, then detach the listener. */
+  def close(): Unit = {
+    waitForJob()
+    spark.sparkContext.removeSparkListener(progress)
+  }
+}

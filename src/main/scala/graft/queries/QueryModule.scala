@@ -1,0 +1,20 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named capability group of the engine. `SparkEntry` unions all
+  * modules; every key in `queries` should appear in `oracles` unless the
+  * operator is genuinely not expressible in ANSI SQL (approx sketches,
+  * LSH candidates, ...), in which case the driver records a rows-only
+  * check (SparkEntry contract).
+  */
+trait QueryModule {
+  /** name -> (spark, sfDir) -> result. Results must be deterministic:
+    * small, fully sorted on a unique key, doubles derived via exact
+    * decimal sums (SURVEY.md §7.4 oracle-parity notes). */
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+
+  /** name -> equivalent DuckDB SQL over views named like the parquet
+    * tables, same ORDER BY, same column aliases. */
+  def oracles: Map[String, String]
+}

@@ -1,0 +1,125 @@
+package graft.mr
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Kernel ≡ collections model, as multisets (SURVEY.md §5.2): for any
+  * input and client, MapReduce.run == input.flatMap(map).groupBy(key)
+  * .flatMap(reduce), ignoring order (the reference's output order is
+  * nondeterministic by design — §2.1 R7).
+  *
+  * Uses raw ScalaCheck generators with fixed seeds (scalatestplus bridge
+  * is not among the resolvable deps).
+  */
+class MapReduceKernelSpec extends SparkSpec {
+
+  private def model[K1, V1, K2, V2, K3, V3](
+      input: Seq[(K1, V1)],
+      client: MapReduceClient[K1, V1, K2, V2, K3, V3]): Seq[(K3, V3)] =
+    input
+      .flatMap { case (k, v) => client.map(k, v) }
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (k, kvs) => client.reduce(k, kvs.map(_._2).iterator) }
+
+  private def asMultiset[A](xs: Seq[A]): Map[A, Int] =
+    xs.groupBy(identity).view.mapValues(_.size).toMap
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("wordcount client: kernel matches collections model on generated docs") {
+    import spark.implicits._
+    val word = Gen.oneOf("spark", "join", "merge", "scan", "agg", "x", "")
+    val doc = Gen.listOf(word).map(_.mkString(" "))
+    val docsGen = Gen.listOf(Gen.zip(Gen.choose(0L, 50L), doc))
+    samples(docsGen, 8).foreach { docs =>
+      val got = MapReduce.run(docs.toDS(), WordCountClient).collect().toSeq
+      assert(asMultiset(got) == asMultiset(model(docs, WordCountClient)))
+    }
+  }
+
+  test("flat semantics: map and reduce may emit 0..N pairs") {
+    import spark.implicits._
+    // map emits key twice for even values, nothing for odd; reduce emits
+    // one pair per distinct value seen plus a total — both flat, neither
+    // 1:1. This is the shape reduceByKey could NOT express.
+    val client = new MapReduceClient[Long, Long, Long, Long, String, Long] {
+      def map(k: Long, v: Long) =
+        if (v % 2 == 0) Seq((v % 5, v), (v % 5, v)) else Nil
+      def reduce(k: Long, vs: Iterator[Long]) = {
+        val seq = vs.toSeq
+        seq.distinct.sorted.map(v => (s"$k:$v", v)) :+ ((s"$k:total", seq.sum))
+      }
+    }
+    val inputGen = Gen.listOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 30L)))
+    samples(inputGen, 8).foreach { input =>
+      val got = MapReduce.run(input.toDS(), client).collect().toSeq
+      assert(asMultiset(got) == asMultiset(model(input, client)))
+    }
+  }
+
+  test("reduce sees all values of one key at once") {
+    import spark.implicits._
+    // Reduce output depends on the WHOLE group (median), so partial
+    // aggregation would change the answer — verifies full-group delivery.
+    val client = new MapReduceClient[Long, Long, Long, Long, Long, Long] {
+      def map(k: Long, v: Long) = Seq((k % 3, v))
+      def reduce(k: Long, vs: Iterator[Long]) = {
+        val sorted = vs.toSeq.sorted
+        Seq((k, sorted(sorted.size / 2)))
+      }
+    }
+    val input = (1L to 100L).map(i => (i, i * 7 % 31))
+    val got = MapReduce.run(input.toDS(), client).collect().toSeq
+    assert(asMultiset(got) == asMultiset(model(input, client)))
+  }
+
+  test("parallelism pins map-side width like multiThreadLevel") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Repartition
+    val input = (1L to 64L).map(i => (i, s"w$i"))
+    val ds = MapReduce.run(
+      input.toDS(),
+      new MapReduceClient[Long, String, Long, String, Long, Long] {
+        def map(k: Long, v: String) = Seq((k % 8, v))
+        def reduce(k: Long, vs: Iterator[String]) = Seq((k, vs.size.toLong))
+      },
+      parallelism = 3)
+    val pinned = ds.queryExecution.analyzed.collect {
+      case r: Repartition if r.numPartitions == 3 => r
+    }
+    assert(pinned.nonEmpty)
+    assert(ds.collect().map(_._2).sum == 64)
+  }
+
+  test("flagship wordcount over sf0.001 documents matches a local recount") {
+    import org.apache.spark.sql.functions._
+    val got = graft.SparkEntry.queries("mr_wordcount")(spark, sf0001)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val expected = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").count()
+      .withColumnRenamed("count", "cnt")
+      .orderBy("word")
+    assert(got.collect().toSeq == expected.collect().toSeq)
+  }
+
+  test("job handle reports progress stages and completes") {
+    import spark.implicits._
+    val input = (1L to 1000L).map(i => (i, s"word${i % 97}"))
+    val handle = MapReduce.startJob(
+      spark, input.toDS(),
+      new MapReduceClient[Long, String, String, Long, String, Long] {
+        def map(k: Long, v: String) = Seq((v, 1L))
+        def reduce(k: String, vs: Iterator[Long]) = Seq((k, vs.sum))
+      })
+    val out = handle.waitForJob()
+    val st = handle.getJobState
+    assert(out.map(_._2).sum == 1000L)
+    assert(st.stage == Stage.Reduce && st.percentage == 100f)
+    handle.close()
+  }
+}
