@@ -40,8 +40,9 @@ object MapReduce {
     * @param parallelism the reference's `multiThreadLevel`. 0 (default)
     *   keeps the input's partitioning and the session's
     *   `spark.sql.shuffle.partitions` — the right choice on a real
-    *   cluster. A positive value forces that many partitions on both the
-    *   map input and the shuffle, for strict parity runs.
+    *   cluster. A positive value pins the map-side width only (like
+    *   `multiThreadLevel` pins worker count); reduce-side width still
+    *   comes from `spark.sql.shuffle.partitions` / AQE.
     */
   def run[K1, V1, K2, V2, K3, V3](
       input: Dataset[(K1, V1)],
@@ -78,10 +79,20 @@ object MapReduce {
       e2: Encoder[(K2, V2)],
       ek2: Encoder[K2],
       e3: Encoder[(K3, V3)]): JobHandle[(K3, V3)] = {
-    val progress = new JobProgress
+    // Job-group scoping: the listener bus is context-wide, so the
+    // progress listener filters to this group id — concurrent jobs on
+    // the same session no longer interleave into one Snap.
+    val groupId = s"graft-mr-${java.util.UUID.randomUUID()}"
+    val progress = new JobProgress(groupId)
     spark.sparkContext.addSparkListener(progress)
     val ds = run(input, client, parallelism)
-    val fut = Future(ds.collect().toSeq)(ExecutionContext.global)
+    val fut = Future {
+      // Job groups are thread-local; set it on the thread that runs the
+      // action so every physical job (incl. AQE sub-jobs) carries it.
+      spark.sparkContext.setJobGroup(groupId, "graft MapReduce job")
+      try ds.collect().toSeq
+      finally spark.sparkContext.clearJobGroup()
+    }(ExecutionContext.global)
     new JobHandle(spark, progress, fut)
   }
 }
@@ -97,8 +108,14 @@ final class JobHandle[OUT] private[mr] (
   def getJobState: JobState = progress.state
 
   /** `waitForJob` — blocks until done; idempotent like the reference's
-    * single-join guard. */
-  def waitForJob(): Seq[OUT] = Await.result(result, Duration.Inf)
+    * single-join guard. Forces the terminal listener state: bus delivery
+    * is async, so without this a `getJobState` immediately after could
+    * still see a mid-run snapshot. */
+  def waitForJob(): Seq[OUT] = {
+    val out = Await.result(result, Duration.Inf)
+    progress.finish()
+    out
+  }
 
   /** `closeJobHandle` — wait, then detach the listener. */
   def close(): Unit = {

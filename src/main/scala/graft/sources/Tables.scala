@@ -37,10 +37,15 @@ object Tables {
     * sub-microsecond precision.
     *
     * Adds `ts_utc` (timestamp from the nano ts) next to the raw columns.
+    *
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (set at construction by Verify/Bench/SparkSpec — see
+    * [[GraftSession.configure]]); without it the parquet read fails with
+    * PARQUET_TYPE_ILLEGAL. Deliberately NOT set here: toggling shared
+    * session state inside a per-table reader changes behavior of every
+    * subsequent parquet read (ADVICE r01).
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
-  }
 }

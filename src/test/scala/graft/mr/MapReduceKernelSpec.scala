@@ -117,9 +117,56 @@ class MapReduceKernelSpec extends SparkSpec {
         def reduce(k: String, vs: Iterator[Long]) = Seq((k, vs.sum))
       })
     val out = handle.waitForJob()
+    // waitForJob forces the terminal snapshot (listener-bus delivery is
+    // async), so this read is race-free by construction.
     val st = handle.getJobState
     assert(out.map(_._2).sum == 1000L)
     assert(st.stage == Stage.Reduce && st.percentage == 100f)
     handle.close()
+  }
+
+  test("MAP phase is observed mid-run under default AQE (ADVICE r01)") {
+    import spark.implicits._
+    // Slow map (2ms/element over 256 elements across 4 partitions) keeps
+    // the shuffle-map stage alive long enough for the polling thread to
+    // observe stage=MAP — the state the old max-stage-id heuristic never
+    // reported under AQE.
+    val input = (1L to 256L).map(i => (i, i))
+    val handle = MapReduce.startJob(
+      spark, input.toDS().repartition(4),
+      new MapReduceClient[Long, Long, Long, Long, Long, Long] {
+        def map(k: Long, v: Long) = { Thread.sleep(2); Seq((v % 16, v)) }
+        def reduce(k: Long, vs: Iterator[Long]) = Seq((k, vs.sum))
+      })
+    val observed = scala.collection.mutable.Set[Stage]()
+    @volatile var stop = false
+    val poller = new Thread(() => {
+      while (!stop) {
+        observed.synchronized { observed += handle.getJobState.stage }
+        Thread.sleep(1)
+      }
+    })
+    poller.start()
+    handle.waitForJob()
+    stop = true; poller.join(1000)
+    handle.close()
+    assert(observed.synchronized(observed.contains(Stage.Map)),
+      s"MAP never observed; saw $observed")
+  }
+
+  test("concurrent jobs do not corrupt each other's progress (job-group scoping)") {
+    import spark.implicits._
+    val client = new MapReduceClient[Long, Long, Long, Long, Long, Long] {
+      def map(k: Long, v: Long) = { Thread.sleep(1); Seq((v % 8, v)) }
+      def reduce(k: Long, vs: Iterator[Long]) = Seq((k, vs.sum))
+    }
+    val in = (1L to 200L).map(i => (i, i))
+    val h1 = MapReduce.startJob(spark, in.toDS().repartition(4), client)
+    val h2 = MapReduce.startJob(spark, in.toDS().repartition(4), client)
+    val o1 = h1.waitForJob(); val o2 = h2.waitForJob()
+    assert(o1.map(_._2).sum == o2.map(_._2).sum)
+    assert(h1.getJobState.stage == Stage.Reduce && h1.getJobState.percentage == 100f)
+    assert(h2.getJobState.stage == Stage.Reduce && h2.getJobState.percentage == 100f)
+    h1.close(); h2.close()
   }
 }
