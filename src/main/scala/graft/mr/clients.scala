@@ -16,6 +16,27 @@ object WordCountClient
     Iterator.single((word, counts.sum))
 }
 
+/** Reduce-side join — the ONLY join the reference can express
+  * (SURVEY.md §2.2): concatenate tagged inputs into one InputVec, group
+  * by the join key, and let `reduce` see both sides of each key at
+  * once. Values are strings tagged "C:" (customer name) / "O:" (order
+  * total in cents — kept integral so the in-group sum is exact and
+  * order-independent, like the decimal policy in the relational layer).
+  */
+object CustomerOrderJoinClient
+    extends MapReduceClient[Long, String, Long, String, Long, (String, Long, Double)] {
+  override def map(custkey: Long, tagged: String): IterableOnce[(Long, String)] =
+    Iterator.single((custkey, tagged))
+  override def reduce(custkey: Long, vs: Iterator[String]): IterableOnce[(Long, (String, Long, Double))] = {
+    var name = ""; var nOrders = 0L; var cents = 0L
+    vs.foreach { v =>
+      if (v.startsWith("C:")) name = v.substring(2)
+      else { nOrders += 1; cents += v.substring(2).toLong }
+    }
+    Iterator.single((custkey, (name, nOrders, cents / 100.0)))
+  }
+}
+
 /** Character frequency — the literal course sample client shape. */
 object CharCountClient
     extends MapReduceClient[Long, String, String, Long, String, Long] {

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.mr.{CharCountClient, MapReduce, WordCountClient}
+import graft.mr.{CharCountClient, CustomerOrderJoinClient, MapReduce, WordCountClient}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -28,6 +28,25 @@ object KernelQueries extends QueryModule {
       MapReduce.run(docs(s, dir), CharCountClient)
         .toDF("ch", "cnt")
         .orderBy("ch")
+    }),
+    // The reference's reduce-side join idiom: customer ⋈ orders through
+    // the kernel (tagged union → groupByKey → whole-group reduce).
+    "mr_join" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables.customer(s, dir)
+        .select($"c_custkey", concat(lit("C:"), $"c_name"))
+        .as[(Long, String)]
+      val ords = Tables.orders(s, dir)
+        .select($"o_custkey",
+          concat(lit("O:"), round($"o_totalprice" * 100, 0).cast("long")))
+        .as[(Long, String)]
+      MapReduce.run(cust.union(ords), CustomerOrderJoinClient)
+        .select(
+          $"_1".as("c_custkey"),
+          $"_2._1".as("c_name"),
+          $"_2._2".as("n_orders"),
+          $"_2._3".as("total_spend"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -43,6 +62,12 @@ object KernelQueries extends QueryModule {
         |FROM (SELECT unnest(string_split(replace(text, ' ', ''), '')) AS c
         |      FROM documents)
         |GROUP BY c
-        |ORDER BY ch""".stripMargin
+        |ORDER BY ch""".stripMargin,
+    "mr_join" ->
+      """SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders,
+        |  CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey, c.c_name
+        |ORDER BY c.c_custkey""".stripMargin
   )
 }

@@ -1,0 +1,363 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational surface (SURVEY.md §2.2): everything the reference can
+  * only express "via kernel" — projection/filter, joins of every
+  * flavor, aggregation with partial/final split, windows, rollup, set
+  * ops, subqueries — declared through the DataFrame API so Catalyst
+  * gets pushdown, pruning, broadcast selection and AQE for free.
+  *
+  * Oracle-parity policy (SURVEY.md §7.4): money stays `double` in the
+  * fixtures but every SUM goes through `decimal` so the aggregate is
+  * exact and order-independent (double summation order differs between
+  * Spark and DuckDB); the final value is cast back to double, which is
+  * deterministic on both sides. All outputs are fully sorted on a
+  * unique key.
+  */
+object RelationalQueries extends QueryModule {
+
+  /** Exact money arithmetic: double (2dp in fixtures) → decimal. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: the canonical partial+final aggregation. The
+    // reference has NO combiner (SURVEY.md §2.1 R6); Spark's hash agg
+    // does map-side partials — the strict upgrade, visible in explain()
+    // as HashAggregate(partial) → Exchange → HashAggregate(final).
+    "rel_q1_agg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp_ntz"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+          sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+          // High-scale decimal sums are exact, but casting a scale-10
+          // decimal straight to double double-rounds in DuckDB (unscaled
+          // value > 2^53 → observed 1-ulp divergence at sf0.01). Round
+          // to scale 2 in the decimal domain first, then cast: one
+          // rounding step, identical on both sides.
+          round(sum($"l_extendedprice".cast("decimal(12,2)")
+              * (lit(1) - $"l_discount".cast("decimal(6,4)"))), 2)
+            .cast("decimal(18,2)").cast("double").as("sum_disc_price"),
+          round(sum($"l_extendedprice".cast("decimal(12,2)")
+              * (lit(1) - $"l_discount".cast("decimal(6,4)"))
+              * (lit(1) + $"l_tax".cast("decimal(6,4)"))), 2)
+            .cast("decimal(18,2)").cast("double").as("sum_charge"),
+          (sum(dec($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec($"l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Filter + projection: predicates and the 4-column read schema reach
+    // the parquet scan (PushedFilters / ReadSchema in explain).
+    "rel_filter_topn" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp_ntz") &&
+          $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    }),
+
+    // 3-way equi-join up the star schema; nation/region/customer are
+    // broadcast by Catalyst (well under the 10 MB threshold), so the
+    // only shuffle is the final aggregation.
+    "rel_join_revenue" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec($"o_totalprice")).cast("double").as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Left-semi join: customers that have at least one order.
+    "rel_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Left-anti join: customers with no order in 2001 (a window narrow
+    // enough that the result is non-empty at every SF).
+    "rel_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val o2001 = Tables.orders(s, dir).filter(year($"o_orderdate") === 2001)
+      Tables.customer(s, dir)
+        .join(o2001, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_inactive"))
+        .orderBy("c_nationkey")
+    }),
+
+    // Global top-k: TakeOrderedAndProject — no full sort, no full
+    // shuffle; each partition keeps k rows, driver merges.
+    "rel_topk" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+    }),
+
+    // Per-group top-k via row_number — the scalable form of "top N per
+    // key" (single shuffle on the partition key, no global sort).
+    "rel_window_topk" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")
+    }),
+
+    // Running sum per customer (exact via decimal, cast back to double).
+    "rel_window_running" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .filter($"o_custkey" < 50)
+        .withColumn("running_spend", sum(dec($"o_totalprice")).over(w).cast("double"))
+        .select("o_custkey", "o_orderdate", "o_orderkey", "running_spend")
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    // Grouping sets: rollup with NULL totals folded to 'ALL' so the
+    // oracle compare never depends on engine NULL-ordering defaults.
+    "rel_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(dec($"l_quantity")).cast("double").as("sum_qty"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"n", $"sum_qty")
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    "rel_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Set operations over the same shape: intersect / except / union.
+    "rel_setops" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      def custsIn(y: Int) =
+        o.filter(year($"o_orderdate") === y).select($"o_custkey").distinct()
+      val c97 = custsIn(1997); val c98 = custsIn(1998)
+      def counted(tag: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(tag).as("op"), $"n")
+      counted("both", c97.intersect(c98))
+        .unionAll(counted("only_1997", c97.except(c98)))
+        .unionAll(counted("either", c97.union(c98).distinct()))
+        .orderBy("op")
+    }),
+
+    // Exact distinct aggregation (expand + two-phase agg under the hood).
+    "rel_count_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          countDistinct($"o_custkey").as("n_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // HLL sketch — the 100 TB way to count distincts. Sketch values are
+    // engine-specific, so no SQL oracle (driver records rows-only).
+    "rel_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
+    // Scalar subquery through the SQL surface: orders above the global
+    // average price (average derived from an exact decimal sum so the
+    // threshold is bit-identical across engines).
+    "rel_subquery" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM orders
+          |WHERE o_totalprice > (
+          |  SELECT cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) / count(*)
+          |  FROM orders)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // Time-bucketed aggregation over the date dimension.
+    "rel_month_agg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+        .agg(count(lit(1)).as("n"), sum(dec($"o_totalprice")).cast("double").as("revenue"))
+        .orderBy("month")
+    }),
+
+    // Scalar string/numeric functions evaluated in whole-stage codegen.
+    "rel_string_funcs" -> ((s, dir) => {
+      import s.implicits._
+      Tables.part(s, dir)
+        .groupBy($"p_type", upper(substring($"p_type", 1, 3)).as("code"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec($"p_retailprice")).cast("double").as("sum_price"),
+          min($"p_name").as("first_name"),
+          max($"p_size").as("max_size"))
+        .orderBy("p_type")
+    }),
+
+    // Cartesian product (tiny dims only — the one shape that must never
+    // run on big inputs; kept to 5x5 on purpose).
+    "rel_crossjoin" -> ((s, dir) => {
+      import s.implicits._
+      val r1 = Tables.region(s, dir).select($"r_name".as("r1"))
+      val r2 = Tables.region(s, dir).select($"r_name".as("r2"))
+      r1.crossJoin(r2).orderBy("r1", "r2")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "rel_q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_filter_topn" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+    "rel_join_revenue" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "rel_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "rel_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_inactive
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "rel_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "rel_window_topk" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+    "rel_window_running" ->
+      """SELECT o_custkey, o_orderdate, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "rel_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "rel_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_setops" ->
+      """WITH c97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+        |     c98 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+        |SELECT 'both' AS op, count(*) AS n FROM (SELECT * FROM c97 INTERSECT SELECT * FROM c98)
+        |UNION ALL
+        |SELECT 'either' AS op, count(*) AS n FROM (SELECT * FROM c97 UNION SELECT * FROM c98)
+        |UNION ALL
+        |SELECT 'only_1997' AS op, count(*) AS n FROM (SELECT * FROM c97 EXCEPT SELECT * FROM c98)
+        |ORDER BY op""".stripMargin,
+    "rel_count_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "rel_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM orders)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "rel_month_agg" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin,
+    "rel_string_funcs" ->
+      """SELECT p_type, upper(substr(p_type, 1, 3)) AS code, count(*) AS n,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  min(p_name) AS first_name, max(p_size) AS max_size
+        |FROM part
+        |GROUP BY p_type
+        |ORDER BY p_type""".stripMargin,
+    "rel_crossjoin" ->
+      """SELECT a.r_name AS r1, b.r_name AS r2
+        |FROM region a CROSS JOIN region b
+        |ORDER BY r1, r2""".stripMargin
+  )
+}
