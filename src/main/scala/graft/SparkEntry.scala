@@ -12,7 +12,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     KernelQueries,
-    RelationalQueries
+    RelationalQueries,
+    EventsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

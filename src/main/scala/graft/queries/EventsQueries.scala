@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table (epoch-nanosecond
+  * `ts`, JSON `props` — FIXTURES.md): tumbling/sliding/session windows,
+  * sessionization via window functions, and JSON extraction.
+  *
+  * The reference has no streaming at all (SURVEY.md §2.2); these run as
+  * batch plans, and the same transformations are exposed over
+  * `readStream` in [[graft.streaming]]. Timestamps are compared at
+  * microsecond precision on both sides: Spark truncates the nano long
+  * with `ts div 1000`, DuckDB's nanos→micros parquet read truncates the
+  * same way.
+  */
+object EventsQueries extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling 1-hour windows per event type. window() keeps the whole
+    // agg in one shuffle; at scale the windows align with parquet
+    // partition pruning on a date-partitioned layout.
+    "ev_hourly" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts_utc", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select($"w.start".as("hour_start"), $"event_type", $"n", $"total_value")
+        .orderBy("hour_start", "event_type")
+    }),
+
+    // Sliding windows: 2-hour length, 1-hour slide — each event lands in
+    // exactly two windows (the oracle unions the two shifted buckets).
+    "ev_sliding" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts_utc", "2 hours", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"w.start".as("win_start"), $"event_type", $"n")
+        .orderBy("win_start", "event_type")
+    }),
+
+    // Sessionization with window functions: a session break is a gap
+    // > 30 min between consecutive events of one user. Gap math on the
+    // microsecond long (exact integers, no timestamp arithmetic).
+    "ev_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(byUser))
+        .withColumn("is_break", when($"gap_us" > 1800L * 1000 * 1000, 1L).otherwise(0L))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          (sum($"is_break") + 1).as("n_sessions"))
+        .orderBy("user_id")
+    }),
+
+    // Native session windows (30-minute gap), listing each session.
+    "ev_session_window" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id", session_window($"ts_utc", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"w.start".as("session_start"), $"n_events")
+        .orderBy("user_id", "session_start")
+    }),
+
+    // JSON property extraction (codegen'd path, no UDF).
+    "ev_json" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // Daily × event-type pivot (explicit value list so the output schema
+    // is static; nulls from empty cells folded to 0).
+    "ev_daily_pivot" -> ((s, dir) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Tables.events(s, dir)
+        .groupBy(date_trunc("day", $"ts_utc").cast("timestamp_ntz").as("day"))
+        .pivot("event_type", types)
+        .count()
+      types.foldLeft(pivoted)((df, t) =>
+          df.withColumn(t, coalesce(col(t), lit(0L))))
+        .orderBy("day")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "ev_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
+    "ev_sliding" ->
+      """SELECT win_start, event_type, count(*) AS n FROM (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type FROM events
+        |  UNION ALL
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR, event_type FROM events)
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+    "ev_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) + 1 AS n_sessions
+        |FROM g
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "ev_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start, count(*) AS n_events
+        |FROM s
+        |GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
+    "ev_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "ev_daily_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin
+  )
+}

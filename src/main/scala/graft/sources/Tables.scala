@@ -47,5 +47,9 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      // ntz: written results then read back as naive timestamps (same as
+      // the fixture date columns), keeping oracle comparisons tz-free.
+      // Under the UTC session this is the UTC wall clock of the instant.
+      .withColumn("ts_utc",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
 }
