@@ -13,7 +13,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     KernelQueries,
     RelationalQueries,
-    EventsQueries
+    EventsQueries,
+    TextQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface for LLM-data pipelines (driver mandate,
+  * SURVEY.md §7.3 M3): tokenization, term/document frequency, quality
+  * scoring, language-ID heuristic, and document fingerprinting — all
+  * with built-in / higher-order functions, no UDFs, so every plan stays
+  * in whole-stage codegen and scales by partitioning alone.
+  *
+  * Determinism policy: ratio-style metrics are integer parts-per-million
+  * (`x * 1000000 div n`) instead of doubles — integer arithmetic is
+  * bit-identical across engines, so the oracle hash never depends on
+  * float rounding.
+  */
+object TextQueries extends QueryModule {
+
+  /** Non-empty whitespace tokens (SQL lambda — codegen'd, no UDF). */
+  private val tokens = "filter(split(text, ' '), w -> w != '')"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-document token/char counts + the n_chars consistency check.
+    "txt_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir).selectExpr(
+          "doc_id",
+          s"size($tokens) AS n_tokens",
+          "length(text) AS text_len",
+          "n_chars",
+          "n_chars = length(text) AS chars_ok")
+        .orderBy("doc_id")
+    }),
+
+    // Corpus term frequency + document frequency, top 20.
+    "txt_termfreq" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .selectExpr("doc_id", s"explode($tokens) AS word")
+        .groupBy($"word")
+        .agg(count(lit(1)).as("cnt"), countDistinct($"doc_id").as("df"))
+        .orderBy($"cnt".desc, $"word")
+        .limit(20)
+    }),
+
+    // Quality scoring: length bounds + stopword saturation (ppm).
+    "txt_quality" -> ((s, dir) => {
+      Tables.documents(s, dir).selectExpr(
+          "doc_id",
+          s"size($tokens) AS n_tokens",
+          s"aggregate($tokens, 0L, (s, w) -> s + length(w)) AS sum_word_len",
+          s"size(filter($tokens, w -> w IN ('a', 'the'))) AS stop_cnt")
+        .selectExpr(
+          "doc_id", "n_tokens",
+          "sum_word_len * 1000000L div n_tokens AS avg_word_len_ppm",
+          "stop_cnt * 1000000L div n_tokens AS stop_ppm",
+          "n_tokens BETWEEN 10 AND 1000 AND (stop_cnt * 1000000L div n_tokens) < 300000 AS is_quality")
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID: marker-word scoring (the n-gram-profile pattern with
+    // a fixed, deterministic profile; argmax with a fixed tie order).
+    // The fixture vocabulary is language-independent, so the prediction
+    // quality is noise by construction — the operator shape is the point.
+    "txt_langid" -> ((s, dir) => {
+      Tables.documents(s, dir).selectExpr(
+          "doc_id", "lang",
+          s"size(filter($tokens, w -> w IN ('the', 'a'))) * 2 AS s_en",
+          s"size(filter($tokens, w -> w IN ('window', 'order'))) * 2 AS s_de",
+          s"size(filter($tokens, w -> w IN ('data', 'row'))) * 2 AS s_es",
+          s"size(filter($tokens, w -> w IN ('table', 'line'))) * 2 AS s_fr",
+          s"size(filter($tokens, w -> w IN ('hash', 'key'))) * 2 AS s_zh")
+        .selectExpr("doc_id", "lang",
+          """CASE
+            | WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+            | WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+            | WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+            | WHEN s_fr >= s_zh THEN 'fr'
+            | ELSE 'zh' END AS predicted""".stripMargin,
+          "lang = (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en' WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de' WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es' WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END) AS hit")
+        .orderBy("doc_id")
+    }),
+
+    // Fingerprints: cryptographic (md5) + rolling polynomial hash over
+    // the characters (h*31 + ascii, mod 1e9+7 — modulus keeps every
+    // intermediate far from long overflow, ANSI-mode safe).
+    "txt_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).selectExpr(
+          "doc_id",
+          "md5(text) AS md5_hex",
+          "aggregate(split(text, ''), 0L, (h, c) -> (h * 31 + ascii(c)) % 1000000007) AS rolling_hash")
+        .orderBy("doc_id")
+    }),
+
+    // Character bigram profile of the corpus (n-gram extraction shape),
+    // top 15 by frequency.
+    "txt_char_bigrams" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .selectExpr("explode(transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))) AS bg")
+        .groupBy($"bg")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"bg")
+        .limit(15)
+    })
+  )
+
+  private val duckTokens = "list_filter(string_split(text, ' '), w -> w != '')"
+
+  override def oracles: Map[String, String] = Map(
+    "txt_tokens" ->
+      s"""SELECT doc_id, len($duckTokens) AS n_tokens, length(text) AS text_len,
+         |  n_chars, n_chars = length(text) AS chars_ok
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "txt_termfreq" ->
+      s"""SELECT word, count(*) AS cnt, count(DISTINCT doc_id) AS df
+         |FROM (SELECT doc_id, unnest($duckTokens) AS word FROM documents)
+         |GROUP BY word
+         |ORDER BY cnt DESC, word
+         |LIMIT 20""".stripMargin,
+    "txt_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len($duckTokens) AS n_tokens,
+         |    list_sum(list_transform($duckTokens, w -> length(w))) AS sum_word_len,
+         |    len(list_filter($duckTokens, w -> w IN ('a', 'the'))) AS stop_cnt
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  (sum_word_len * 1000000) // n_tokens AS avg_word_len_ppm,
+         |  (stop_cnt * 1000000) // n_tokens AS stop_ppm,
+         |  n_tokens BETWEEN 10 AND 1000 AND ((stop_cnt * 1000000) // n_tokens) < 300000 AS is_quality
+         |FROM t
+         |ORDER BY doc_id""".stripMargin,
+    "txt_langid" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter($duckTokens, w -> w IN ('the', 'a'))) * 2 AS s_en,
+         |    len(list_filter($duckTokens, w -> w IN ('window', 'order'))) * 2 AS s_de,
+         |    len(list_filter($duckTokens, w -> w IN ('data', 'row'))) * 2 AS s_es,
+         |    len(list_filter($duckTokens, w -> w IN ('table', 'line'))) * 2 AS s_fr,
+         |    len(list_filter($duckTokens, w -> w IN ('hash', 'key'))) * 2 AS s_zh
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE
+         |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |    WHEN s_fr >= s_zh THEN 'fr'
+         |    ELSE 'zh' END AS predicted,
+         |  lang = (CASE
+         |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |    WHEN s_fr >= s_zh THEN 'fr'
+         |    ELSE 'zh' END) AS hit
+         |FROM t
+         |ORDER BY doc_id""".stripMargin,
+    "txt_fingerprint" ->
+      """SELECT doc_id, md5(text) AS md5_hex,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS rolling_hash
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "txt_char_bigrams" ->
+      """SELECT bg, count(*) AS cnt
+        |FROM (SELECT unnest([substr(text, i, 2) FOR i IN range(1, length(text))]) AS bg
+        |      FROM documents)
+        |GROUP BY bg
+        |ORDER BY cnt DESC, bg
+        |LIMIT 15""".stripMargin
+  )
+}
