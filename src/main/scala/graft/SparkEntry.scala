@@ -14,7 +14,8 @@ object SparkEntry {
     KernelQueries,
     RelationalQueries,
     EventsQueries,
-    TextQueries
+    TextQueries,
+    DedupQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
