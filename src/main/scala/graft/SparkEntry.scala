@@ -15,7 +15,8 @@ object SparkEntry {
     RelationalQueries,
     EventsQueries,
     TextQueries,
-    DedupQueries
+    DedupQueries,
+    EmbeddingQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.functions.ElementwiseSum
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings.embedding` (`array<float>`,
+  * dim 64 — FIXTURES.md): norms, brute-force cosine top-k (the exact
+  * baseline), an all-pairs threshold join, fixed-point centroids, and a
+  * random-hyperplane LSH path (the scale route: bucket first, score
+  * inside buckets only).
+  *
+  * Float policy: element values are widened float→double (exact), all
+  * scoring runs in doubles through the codegen'd
+  * [[graft.functions.CosineSimilarity]] expression, and reported scores
+  * are `floor(x·10⁶)` integers — identical doubles on both engines give
+  * identical integers, so oracle hashes never ride on float formatting.
+  */
+object EmbeddingQueries extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-vector squared-norm (sequential double fold = DuckDB's
+    // list_sum order) + per-label integer rollup.
+    "emb_norms" -> ((s, dir) => {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .selectExpr("label", "size(embedding) AS dim",
+          "CAST(floor(aggregate(cast(embedding AS array<double>), 0D, (acc, x) -> acc + x * x) * 1000000) AS BIGINT) AS norm2_e6")
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"), max($"dim").as("dim"),
+          sum($"norm2_e6").as("sum_norm2_e6"))
+        .orderBy("label")
+    }),
+
+    // Exact k-NN for 10 probe vectors: the 10-row probe side is
+    // broadcast, so the scan side streams once with no shuffle — the
+    // brute-force baseline every ANN variant is measured against.
+    "emb_knn" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val probes = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+      emb.join(broadcast(probes), $"vec_id" =!= $"qid")
+        .withColumn("sim", call_function("cosine_sim", $"qe", $"embedding"))
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= 5)
+        .selectExpr("qid", "rank", "vec_id AS nid",
+          "CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6")
+        .orderBy("qid", "rank")
+    }),
+
+    // All-pairs cosine ≥ 0.38 (fixture max is 0.513). Quadratic by
+    // definition — correct at verify scale; the linear-ish route at
+    // 100 TB is emb_ann_topk below.
+    "emb_cosine_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val a = Tables.embeddings(s, dir).select($"vec_id".as("v1"), $"embedding".as("e1"))
+      val b = Tables.embeddings(s, dir).select($"vec_id".as("v2"), $"embedding".as("e2"))
+      a.join(b, $"v1" < $"v2")
+        .withColumn("sim", call_function("cosine_sim", $"e1", $"e2"))
+        .where($"sim" >= 0.38)
+        .selectExpr("v1", "v2", "CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6")
+        .orderBy("v1", "v2")
+    }),
+
+    // Per-label centroids in fixed point: elements quantized to ints
+    // (floor(x·10⁶)), summed element-wise by the custom Aggregator —
+    // exact, order-independent, and only 64-long arrays cross the
+    // shuffle. Output is (label, dim, sum) long form.
+    "emb_centroid" -> ((s, dir) => {
+      import s.implicits._
+      val e6 = Tables.embeddings(s, dir).selectExpr("label",
+        "transform(cast(embedding AS array<double>), x -> CAST(floor(x * 1000000) AS BIGINT)) AS e6")
+      val sumAgg = udaf(new ElementwiseSum(64))
+      e6.groupBy($"label").agg(count(lit(1)).as("n"), sumAgg($"e6").as("sums"))
+        .selectExpr("label", "n", "posexplode(sums) AS (pos, sum_e6)")
+        .selectExpr("label", "n", "pos + 1 AS dim", "sum_e6")
+        .orderBy("label", "dim")
+    }),
+
+    // ANN via random-hyperplane LSH (sign sketch): 16 planes from a
+    // deterministic ±1 hash pattern, banded 4×4 bits; candidates must
+    // share a band with the probe, then exact cosine + top-3 inside the
+    // candidate set only. Hash-dependent → rows-only; the spec measures
+    // recall against emb_knn.
+    "emb_ann_topk" -> ((s, dir) => {
+      import s.implicits._
+      // bit j of the sketch = sign(Σ_d emb[d] · h(j,d)), h ∈ {±1}
+      val sketched = Tables.embeddings(s, dir).selectExpr("vec_id", "embedding",
+        """transform(sequence(0, 15), j -> CASE WHEN
+          |  aggregate(sequence(1, 64), 0D, (acc, d) ->
+          |    acc + element_at(cast(embedding AS array<double>), d)
+          |        * (CAST(pmod(xxhash64(j * 64 + d), 2) AS DOUBLE) * 2 - 1)) > 0
+          |  THEN 1 ELSE 0 END) AS bits""".stripMargin)
+        .selectExpr("vec_id", "embedding",
+          """posexplode(transform(sequence(0, 3), b ->
+            |  element_at(bits, b * 4 + 1) * 8 + element_at(bits, b * 4 + 2) * 4
+            |  + element_at(bits, b * 4 + 3) * 2 + element_at(bits, b * 4 + 4)))
+            |  AS (band, key)""".stripMargin)
+      val probes = sketched.where($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"band", $"key")
+      val cands = sketched.join(broadcast(probes), Seq("band", "key"))
+        .where($"vec_id" =!= $"qid")
+        .select($"qid", $"qe", $"vec_id", $"embedding")
+        .distinct()
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+      cands
+        .withColumn("sim", call_function("cosine_sim", $"qe", $"embedding"))
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= 3)
+        .selectExpr("qid", "rank", "vec_id AS nid",
+          "CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6")
+        .orderBy("qid", "rank")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "emb_norms" ->
+      """SELECT label, count(*) AS n, max(len(embedding)) AS dim,
+        |  sum(CAST(floor(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) * 1000000) AS BIGINT)) AS sum_norm2_e6
+        |FROM embeddings
+        |GROUP BY label
+        |ORDER BY label""".stripMargin,
+    "emb_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qv, e.v) AS sim
+        |      FROM q JOIN e ON e.vec_id != qid),
+        |r AS (SELECT qid, nid, sim,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |      FROM s)
+        |SELECT qid, rank, nid, CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6
+        |FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "emb_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000) AS BIGINT) AS sim_e6
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.38
+        |ORDER BY v1, v2""".stripMargin,
+    "emb_centroid" ->
+      """WITH q AS (SELECT label,
+        |    [CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT) FOR i IN range(1, len(embedding) + 1)] AS e6
+        |  FROM embeddings),
+        |n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+        |SELECT q.label AS label, n.n, d.i AS dim, sum(e6[d.i]) AS sum_e6
+        |FROM q JOIN n ON q.label = n.label, range(1, 65) d(i)
+        |GROUP BY q.label, n.n, d.i
+        |ORDER BY q.label, dim""".stripMargin
+  )
+}

@@ -1,0 +1,30 @@
+package graft.queries
+
+import graft.SparkSpec
+
+class EmbeddingSpec extends SparkSpec {
+
+  test("ANN top-k is drawn from real candidates and overlaps the exact top-k") {
+    val exact = graft.SparkEntry.queries("emb_knn")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = graft.SparkEntry.queries("emb_ann_topk")(spark, sf001).collect()
+    assert(ann.nonEmpty)
+    // rank<=3 per probe, so every ANN hit that is truly top-5 must be in
+    // the exact set; measure overlap (recall of the sketch).
+    val annPairs = ann.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = annPairs.count(exact.contains)
+    info(s"ANN/exact overlap: $overlap/${annPairs.size}")
+    // Sign-sketch LSH on near-orthogonal random vectors is weak by
+    // nature; just require it found *some* true neighbors.
+    assert(overlap > 0)
+  }
+
+  test("cosine pairs are symmetric-free (v1 < v2) and above threshold") {
+    val rows = graft.SparkEntry.queries("emb_cosine_pairs")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 379999L) // floor(0.38e6) boundary
+    }
+  }
+}
