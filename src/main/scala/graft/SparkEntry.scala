@@ -16,7 +16,8 @@ object SparkEntry {
     EventsQueries,
     TextQueries,
     DedupQueries,
-    EmbeddingQueries
+    EmbeddingQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

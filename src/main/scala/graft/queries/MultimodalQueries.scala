@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.multimodal.{MediaCodec, MediaFile}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column surface: opaque binary payloads + typed metadata,
+  * decode / feature-extract / frame-sample as typed Dataset transforms
+  * over a clearly-marked deterministic STUB codec
+  * ([[graft.multimodal.MediaCodec]]).
+  *
+  * Fixture media is synthesized from `documents.text` (`cast(text AS
+  * binary)` — ASCII, so byte length == char length), with the modality
+  * assigned round-robin from `doc_id`. Because the stub codec is pure
+  * integer arithmetic on the byte length, every query here is fully
+  * oracle-backed — the plumbing is verified end-to-end even though the
+  * codec is fake.
+  */
+object MultimodalQueries extends QueryModule {
+
+  /** The typed media source: Dataset[MediaFile] over a binary column. */
+  private def media(s: SparkSession, dir: String): Dataset[MediaFile] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .selectExpr(
+        "doc_id AS docId",
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mediaType",
+        "cast(text AS binary) AS payload")
+      .as[MediaFile]
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Typed decode: Dataset[MediaFile] → Dataset[MediaMeta]. One narrow
+    // map stage, no shuffle; at 100 TB this is the embarrassingly
+    // parallel stage where the real codec burns CPU.
+    "mm_metadata" -> ((s, dir) => {
+      import s.implicits._
+      media(s, dir).map(MediaCodec.decode)
+        .toDF()
+        .select($"docId".as("doc_id"), $"mediaType".as("media_type"),
+          $"byteLen".as("byte_len"), $"width", $"height", $"channels",
+          $"durationMs".as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
+    // Feature extraction stub: 8-bucket byte histogram per payload
+    // (declarative HOF form — stays in codegen, no typed boundary).
+    "mm_features" -> ((s, dir) => {
+      val buckets = (0 to 7).map(b =>
+        s"size(filter(split(text, ''), c -> ascii(c) % 8 = $b)) AS f$b")
+      Tables.documents(s, dir)
+        .selectExpr("doc_id" +: buckets: _*)
+        .orderBy("doc_id")
+    }),
+
+    // Frame sampling: videos only, up to 5 evenly spaced byte offsets.
+    "mm_frames" -> ((s, dir) => {
+      import s.implicits._
+      media(s, dir)
+        .filter(_.mediaType == "video")
+        .map(MediaCodec.decode)
+        .flatMap(MediaCodec.sampleFrames)
+        .toDF("doc_id", "frame_idx", "byte_offset")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Batched processing shape: KeyValueGroupedDataset.mapGroups over an
+    // explicit integer bucket — the pattern a batch-decode API (GPU
+    // inference, micro-batched codec calls) hangs off.
+    "mm_batch_stats" -> ((s, dir) => {
+      import s.implicits._
+      media(s, dir)
+        .groupByKey(_.docId % 4)
+        .mapGroups { (bucket, it) =>
+          var n = 0L; var sum = 0L
+          var minLen = Long.MaxValue; var maxLen = Long.MinValue
+          it.foreach { m =>
+            val len = m.payload.length.toLong
+            n += 1; sum += len
+            if (len < minLen) minLen = len
+            if (len > maxLen) maxLen = len
+          }
+          (bucket, n, sum, minLen, maxLen)
+        }
+        .toDF("bucket", "n", "sum_bytes", "min_bytes", "max_bytes")
+        .orderBy("bucket")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "mm_metadata" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    octet_length(encode(text)) AS byte_len
+        |  FROM documents)
+        |SELECT doc_id, media_type, byte_len,
+        |  CAST(64 + byte_len % 577 AS INT) AS width,
+        |  CAST(64 + (byte_len * 31) % 449 AS INT) AS height,
+        |  3 AS channels,
+        |  CASE WHEN media_type = 'image' THEN 0 ELSE byte_len * 8 END AS duration_ms
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
+    "mm_features" ->
+      ("""SELECT doc_id, """ +
+        (0 to 7).map(b =>
+          s"len(list_filter(string_split(text, ''), c -> ascii(c) % 8 = $b)) AS f$b")
+          .mkString(", ") +
+        """ FROM documents ORDER BY doc_id"""),
+    "mm_frames" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS blen
+        |           FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+        |f AS (SELECT doc_id, blen, least(5, blen // 100 + 1) AS nf FROM m)
+        |SELECT doc_id, i.i AS frame_idx, i.i * (blen // nf) AS byte_offset
+        |FROM f, range(0, 5) i(i)
+        |WHERE i.i < nf
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_batch_stats" ->
+      """SELECT doc_id % 4 AS bucket, count(*) AS n,
+        |  sum(octet_length(encode(text))) AS sum_bytes,
+        |  min(octet_length(encode(text))) AS min_bytes,
+        |  max(octet_length(encode(text))) AS max_bytes
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin
+  )
+}
