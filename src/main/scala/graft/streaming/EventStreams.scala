@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** One event row in the typed streaming API. */
+final case class Ev(userId: Long, tsUs: Long, eventType: String)
+
+/** Running per-user session snapshot emitted by [[EventStreams.sessionize]]. */
+final case class UserSessions(userId: Long, nSessions: Long, nEvents: Long)
+
+private final case class SessState(lastUs: Long, nSessions: Long, nEvents: Long)
+
+/** Structured Streaming surface (SURVEY.md §2.2 — the reference is
+  * strictly batch; this is the extension mandate's stream path). The
+  * same transformations as [[graft.queries.EventsQueries]], expressed
+  * over unbounded input: `readStream → transform → writeStream`.
+  *
+  * All entry points take/return DataFrames or Datasets so they bind to
+  * any source — `MemoryStream` in tests, a parquet directory via
+  * [[fromParquetDir]], Kafka on a real deployment.
+  */
+object EventStreams {
+
+  /** The events schema as the streaming file source needs it declared
+    * up front (nanos `ts` read as long — same convention as the batch
+    * reader, FIXTURES.md). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Unbounded scan over a parquet directory (new files = new data).
+    * `ts_utc` stays TimestampType (not ntz): Spark 4 watermarks require
+    * it ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]); under the UTC session
+    * the wall clock matches the batch reader's ntz column. */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling hourly counts per event type, watermarked so state for
+    * windows older than 2 h is dropped — the property that bounds state
+    * size on an unbounded stream. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_utc", "2 hours")
+      .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"))
+
+  /** Stateful sessionization with explicit per-key state
+    * (`mapGroupsWithState`): a >30 min gap starts a new session. Emits a
+    * running (nSessions, nEvents) snapshot per user on every trigger —
+    * the custom-state shape the built-in `session_window` can't express
+    * (e.g. when session identity must feed another system). */
+  def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState[SessState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          rows.toSeq.sortBy(e => (e.tsUs, e.userId)).foreach { e =>
+            val newSession = st.nSessions == 0 || e.tsUs - st.lastUs > gapUs
+            st = SessState(
+              lastUs = math.max(st.lastUs, e.tsUs),
+              nSessions = st.nSessions + (if (newSession) 1 else 0),
+              nEvents = st.nEvents + 1)
+          }
+          state.update(st)
+          UserSessions(userId, st.nSessions, st.nEvents)
+      }
+  }
+
+  /** Convenience writer used by examples/tests: in-memory sink. */
+  def toMemory(df: DataFrame, name: String, mode: OutputMode) =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+
+  private def us(h: Int, m: Int): Long = // 2024-01-01 h:m UTC in micros
+    (1704067200L + h * 3600L + m * 60L) * 1000000L
+
+  test("streaming hourly counts match the batch computation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val events = in.toDF()
+      .select(timestamp_micros($"_1").as("ts_utc"), $"_2".as("event_type"))
+    val q = EventStreams.toMemory(
+      EventStreams.hourlyCounts(events), "hc", OutputMode.Complete())
+    try {
+      in.addData((us(0, 10), "click"), (us(0, 50), "click"), (us(0, 20), "view"),
+        (us(1, 5), "click"), (us(2, 0), "view"))
+      q.processAllAvailable()
+      val got = spark.table("hc")
+        .select($"hour_start".cast("string"), $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(got == Set(
+        ("2024-01-01 00:00:00", "click", 2L),
+        ("2024-01-01 00:00:00", "view", 1L),
+        ("2024-01-01 01:00:00", "click", 1L),
+        ("2024-01-01 02:00:00", "view", 1L)))
+      // Late-ish second batch still lands in its window (complete mode).
+      in.addData((us(1, 30), "view"))
+      q.processAllAvailable()
+      val n2 = spark.table("hc")
+        .filter($"event_type" === "view").agg(sum($"n")).as[Long].head()
+      assert(n2 == 3L)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization splits on >30min gaps across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessionize(in.toDS())
+      .toDF("user_id", "n_sessions", "n_events")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: user 1 has two events 10 min apart -> one session
+      in.addData(Ev(1L, us(0, 0), "click"), Ev(1L, us(0, 10), "view"))
+      q.processAllAvailable()
+      val s1 = spark.table("sess").orderBy($"user_id")
+        .as[(Long, Long, Long)].collect().last
+      assert(s1 == ((1L, 1L, 2L)))
+      // batch 2: 40 min after the last event -> state carries over and
+      // a second session opens
+      in.addData(Ev(1L, us(0, 50), "click"))
+      q.processAllAvailable()
+      val s2 = spark.table("sess").orderBy($"user_id", $"n_events")
+        .as[(Long, Long, Long)].collect().last
+      assert(s2 == ((1L, 2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("parquet dir streams with the declared schema (one trigger of real fixture data)") {
+    import spark.implicits._
+    val stream = EventStreams.fromParquetDir(spark, sf0001)
+    assert(stream.isStreaming)
+    val q = EventStreams.toMemory(
+      EventStreams.hourlyCounts(stream), "hc_pq", OutputMode.Complete())
+    try {
+      q.processAllAvailable()
+      val total = spark.table("hc_pq").agg(sum($"n")).as[Long].head()
+      assert(total == 1000L) // all sf0.001 events counted exactly once
+    } finally q.stop()
+  }
+}
