@@ -37,10 +37,13 @@ object DedupQueries extends QueryModule {
         "explode(array_distinct(transform(sequence(1, size(t) - 2), " +
           "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))) AS shingle")
 
-  /** Exact Jaccard ≥ 0.5 pairs via prefix filtering + verification. */
+  /** Exact Jaccard ≥ 0.5 pairs via prefix filtering + verification.
+    * The shingle set feeds three joins; persist it once (at cluster
+    * scale this is the classic materialize-the-token-index step —
+    * MEMORY_AND_DISK so it spills instead of recomputing). */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir)
+    val sh = shingles(s, dir).persist()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
     // Prefix index: the ⌊sz/2⌋+1 rarest shingles of each doc (τ = 0.5).
@@ -95,7 +98,8 @@ object DedupQueries extends QueryModule {
     // exact query. Signature hashes are engine-local (xxhash64).
     "dedup_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      val sh = shingles(s, dir)
+      val shAll = shingles(s, dir).persist()
+      val sh = shAll
         // 64 permutation hashes per shingle; base hash folded to 31 bits
         // so every a*h+b stays far from long overflow (ANSI-safe).
         .selectExpr("doc_id",
@@ -103,7 +107,8 @@ object DedupQueries extends QueryModule {
             |  i -> pmod((2 * i + 1) * pmod(xxhash64(shingle), 2147483647) + i * 40503, 2147483647))
             |  AS hs""".stripMargin)
       val minAgg = udaf(new ElementwiseMin(64))
-      val sig = sh.groupBy($"doc_id").agg(minAgg($"hs").as("sig"))
+      // sig feeds banding + both sides of the estimate join → persist.
+      val sig = sh.groupBy($"doc_id").agg(minAgg($"hs").as("sig")).persist()
       val bands = sig.selectExpr("doc_id",
         """posexplode(transform(sequence(0, 15),
           |  b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4)))))
@@ -117,9 +122,10 @@ object DedupQueries extends QueryModule {
         .join(sig.as("g2"), $"d2" === $"g2.doc_id")
         .selectExpr("d1", "d2",
           "size(filter(zip_with(g1.sig, g2.sig, (x, y) -> x = y), m -> m)) * 1000000 div 64 AS est_ppm")
-      // Exact verification of candidates only.
-      val sizes = shingles(s, dir).groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-      val shv = shingles(s, dir)
+      // Exact verification of candidates only (reuses the persisted
+      // shingle index).
+      val sizes = shAll.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val shv = shAll
       est
         .join(shv.as("s1"), $"d1" === $"s1.doc_id")
         .join(shv.as("s2"), $"d2" === $"s2.doc_id" && $"s1.shingle" === $"s2.shingle")

@@ -101,6 +101,9 @@ object EmbeddingQueries extends QueryModule {
             |  element_at(bits, b * 4 + 1) * 8 + element_at(bits, b * 4 + 2) * 4
             |  + element_at(bits, b * 4 + 3) * 2 + element_at(bits, b * 4 + 4)))
             |  AS (band, key)""".stripMargin)
+        // the sketch feeds both the probe and candidate sides → persist
+        // instead of recomputing the 16 hyperplane folds per use.
+        .persist()
       val probes = sketched.where($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qe"), $"band", $"key")
       val cands = sketched.join(broadcast(probes), Seq("band", "key"))
