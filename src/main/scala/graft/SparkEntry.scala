@@ -17,7 +17,8 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     EmbeddingQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    AdvancedQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

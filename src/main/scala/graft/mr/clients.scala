@@ -37,6 +37,21 @@ object CustomerOrderJoinClient
   }
 }
 
+/** Grouped aggregation via the kernel — the TPC-H Q1 shape expressed
+  * the only way the reference can: map emits (group-key, measures),
+  * reduce folds the whole group. Measures are integral (unit counts and
+  * cents) so in-group summation order cannot change the result. */
+object GroupedAggClient
+    extends MapReduceClient[String, (Long, Long), String, (Long, Long), String, (Long, Long)] {
+  override def map(k: String, v: (Long, Long)): IterableOnce[(String, (Long, Long))] =
+    Iterator.single((k, v))
+  override def reduce(k: String, vs: Iterator[(Long, Long)]): IterableOnce[(String, (Long, Long))] = {
+    var qty = 0L; var cents = 0L
+    vs.foreach { case (q, c) => qty += q; cents += c }
+    Iterator.single((k, (qty, cents)))
+  }
+}
+
 /** Character frequency — the literal course sample client shape. */
 object CharCountClient
     extends MapReduceClient[Long, String, String, Long, String, Long] {

@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join/reshape shapes beyond plain equi-joins (SURVEY.md §2.2 row
+  * "Joins … range/as-of"): as-of (backward) join, banded range join,
+  * and unpivot.
+  */
+object AdvancedQueries extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // AS-OF JOIN, backward: each purchase matched to the same user's
+    // most recent earlier view. Implemented as union + one window pass
+    // (single shuffle on user_id) instead of an inequality join — the
+    // form that scales: an inequality join is O(n·m) per user, the
+    // window pass is O(n log n) total and AQE-friendly.
+    "rel_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .where($"event_type".isin("view", "purchase"))
+        .selectExpr("user_id", "event_id", "ts div 1000 AS ts_us", "event_type",
+          "CASE WHEN event_type = 'view' THEN ts div 1000 END AS view_ts")
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("prior_view_ts", last($"view_ts", ignoreNulls = true).over(w))
+        .where($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts_us", $"prior_view_ts")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // RANGE (theta) JOIN: events banded by value against a tiny inline
+    // dimension. The band side broadcasts (BNLJ); at 100 TB you'd
+    // precompute the band with a CASE/width_bucket instead — the join
+    // form is here to cover the operator.
+    "rel_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("p00_050", 0.0, 50.0), ("p05_100", 50.0, 100.0),
+        ("p10_200", 100.0, 200.0), ("p20_500", 200.0, 500.0)
+      ).toDF("band", "lo", "hi")
+      Tables.events(s, dir)
+        .join(broadcast(bands), $"value" >= $"lo" && $"value" < $"hi")
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("band")
+    }),
+
+    // UNPIVOT (wide→long): part metrics melted to (key, metric, value).
+    "rel_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.part(s, dir)
+        .where($"p_partkey" < 50)
+        .select($"p_partkey",
+          $"p_size".cast("double").as("size"),
+          $"p_retailprice".as("retailprice"))
+        .unpivot(Array($"p_partkey"), Array($"size", $"retailprice"),
+          "metric", "value")
+        .orderBy("p_partkey", "metric")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "rel_asof_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |    CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_ts
+        |  FROM events
+        |  WHERE event_type IN ('view', 'purchase'))
+        |SELECT user_id, event_id, ts_us, prior_view_ts FROM (
+        |  SELECT user_id, event_id, ts_us, event_type,
+        |    last_value(view_ts IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_ts
+        |  FROM ev)
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
+    "rel_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('p00_050', 0.0, 50.0), ('p05_100', 50.0, 100.0),
+        |  ('p10_200', 100.0, 200.0), ('p20_500', 200.0, 500.0))
+        |SELECT band, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band
+        |ORDER BY band""".stripMargin,
+    "rel_unpivot" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+        |  FROM part WHERE p_partkey < 50
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+        |  FROM part WHERE p_partkey < 50)
+        |ORDER BY p_partkey, metric""".stripMargin
+  )
+}

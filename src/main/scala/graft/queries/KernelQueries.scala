@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.mr.{CharCountClient, CustomerOrderJoinClient, MapReduce, WordCountClient}
+import graft.mr.{CharCountClient, CustomerOrderJoinClient, GroupedAggClient, MapReduce, WordCountClient}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -47,6 +47,25 @@ object KernelQueries extends QueryModule {
           $"_2._2".as("n_orders"),
           $"_2._3".as("total_spend"))
         .orderBy("c_custkey")
+    }),
+    // Grouped aggregation through the kernel (TPC-H Q1 shape): the
+    // reference's reduce sees the whole group; integral measures (unit
+    // counts / cents) keep in-group order irrelevant.
+    "mr_grouped_agg" -> ((s, dir) => {
+      import s.implicits._
+      val in = Tables.lineitem(s, dir)
+        .selectExpr(
+          "concat(l_returnflag, '|', l_linestatus) AS _1",
+          "named_struct('_1', CAST(l_quantity AS BIGINT), " +
+            "'_2', CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS _2")
+        .as[(String, (Long, Long))]
+      MapReduce.run(in, GroupedAggClient)
+        .select(
+          split($"_1", "\\|").getItem(0).as("l_returnflag"),
+          split($"_1", "\\|").getItem(1).as("l_linestatus"),
+          $"_2._1".as("sum_qty"),
+          ($"_2._2" / 100.0).as("sum_base_price"))
+        .orderBy("l_returnflag", "l_linestatus")
     })
   )
 
@@ -68,6 +87,13 @@ object KernelQueries extends QueryModule {
         |  CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
         |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY c.c_custkey, c.c_name
-        |ORDER BY c.c_custkey""".stripMargin
+        |ORDER BY c.c_custkey""".stripMargin,
+    "mr_grouped_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   )
 }
