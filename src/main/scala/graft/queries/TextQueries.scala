@@ -93,6 +93,33 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF ranking: top-3 terms per document (doc_id < 50) by
+    // tf · ln(N/df). The log rides on doubles; scores are floored to
+    // millis (identical doubles → identical ints) and ties break on the
+    // word, so the ranking is deterministic.
+    "txt_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      val terms = Tables.documents(s, dir)
+        .selectExpr("doc_id", s"explode($tokens) AS word")
+      val tf = terms.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      val df_ = terms.select($"doc_id", $"word").distinct()
+        .groupBy($"word").agg(count(lit(1)).as("df"))
+      // corpus size as a broadcast scalar (no driver-side action)
+      val nDf = Tables.documents(s, dir)
+        .agg(count(lit(1)).cast("double").as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"score_e3".desc, $"word")
+      tf.join(df_, "word")
+        .where($"doc_id" < 50)
+        .crossJoin(broadcast(nDf))
+        .withColumn("score_e3",
+          floor($"tf" * log($"n_docs" / $"df") * 1000).cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= 3)
+        .select($"doc_id", $"rank", $"word", $"tf", $"df", $"score_e3")
+        .orderBy("doc_id", "rank")
+    }),
+
     // Character bigram profile of the corpus (n-gram extraction shape),
     // top 15 by frequency.
     "txt_char_bigrams" -> ((s, dir) => {
@@ -164,6 +191,20 @@ object TextQueries extends QueryModule {
         |    (h, c) -> (h * 31 + c) % 1000000007) AS rolling_hash
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "txt_tfidf" ->
+      s"""WITH terms AS (SELECT doc_id, unnest($duckTokens) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY doc_id, word),
+         |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM terms GROUP BY word),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT doc_id, word, tf, df,
+         |         CAST(floor(tf * ln(n::DOUBLE / df) * 1000) AS BIGINT) AS score_e3
+         |       FROM tf JOIN df USING (word), n
+         |       WHERE doc_id < 50),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_e3 DESC, word) AS rank
+         |      FROM sc)
+         |SELECT doc_id, rank, word, tf, df, score_e3
+         |FROM r WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
     "txt_char_bigrams" ->
       """SELECT bg, count(*) AS cnt
         |FROM (SELECT unnest([substr(text, i, 2) FOR i IN range(1, length(text))]) AS bg
