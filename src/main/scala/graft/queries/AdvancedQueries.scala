@@ -50,6 +50,21 @@ object AdvancedQueries extends QueryModule {
         .orderBy("band")
     }),
 
+    // Exact percentiles (interpolating): per event type, p50/p90/p99 of
+    // value, floored to micros — Spark `percentile` and DuckDB
+    // `quantile_cont` share the (n-1)·p interpolation definition.
+    "rel_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          floor(expr("percentile(value, 0.5)") * 1000000).cast("long").as("p50_e6"),
+          floor(expr("percentile(value, 0.9)") * 1000000).cast("long").as("p90_e6"),
+          floor(expr("percentile(value, 0.99)") * 1000000).cast("long").as("p99_e6"))
+        .orderBy("event_type")
+    }),
+
     // UNPIVOT (wide→long): part metrics melted to (key, metric, value).
     "rel_unpivot" -> ((s, dir) => {
       import s.implicits._
@@ -88,6 +103,14 @@ object AdvancedQueries extends QueryModule {
         |FROM events JOIN bands ON value >= lo AND value < hi
         |GROUP BY band
         |ORDER BY band""".stripMargin,
+    "rel_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(floor(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_e6,
+        |  CAST(floor(quantile_cont(value, 0.9) * 1000000) AS BIGINT) AS p90_e6,
+        |  CAST(floor(quantile_cont(value, 0.99) * 1000000) AS BIGINT) AS p99_e6
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "rel_unpivot" ->
       """SELECT p_partkey, metric, value FROM (
         |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value

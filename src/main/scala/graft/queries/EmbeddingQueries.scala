@@ -82,6 +82,43 @@ object EmbeddingQueries extends QueryModule {
         .orderBy("label", "dim")
     }),
 
+    // ANN via IVF (inverted file): the label centroids act as the
+    // coarse codebook (deterministic k-means stand-in), every vector is
+    // assigned to its nearest cell, probes search their nprobe=3
+    // nearest cells only — the classic linear-scan→cell-scan trade. At
+    // 100 TB the assignment is a write-time partitioning column and a
+    // probe touches 3/k of the data. Rows-only (ranking rides on
+    // derived centroids); the spec measures recall vs emb_knn.
+    "emb_ivf_topk" -> ((s, dir) => {
+      import s.implicits._
+      val sumAgg = udaf(new ElementwiseSum(64))
+      val cent = Tables.embeddings(s, dir)
+        .selectExpr("label",
+          "transform(cast(embedding AS array<double>), x -> CAST(floor(x * 1000000) AS BIGINT)) AS e6")
+        .groupBy($"label").agg(count(lit(1)).as("n"), sumAgg($"e6").as("sums"))
+        .selectExpr("label AS cell",
+          "transform(sums, x -> x / (n * 1000000.0)) AS cvec")
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val wCell = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
+      val assigned = emb.crossJoin(broadcast(cent))
+        .withColumn("csim", call_function("cosine_sim", $"embedding", $"cvec"))
+        .withColumn("crk", row_number().over(wCell))
+        .persist()
+      val cells = assigned.where($"crk" === 1)
+        .select($"vec_id", $"cell", $"embedding")
+      val probeCells = assigned.where($"vec_id" < 10 && $"crk" <= 3)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cell")
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+      cells.join(broadcast(probeCells), Seq("cell"))
+        .where($"vec_id" =!= $"qid")
+        .withColumn("sim", call_function("cosine_sim", $"qe", $"embedding"))
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= 3)
+        .selectExpr("qid", "rank", "vec_id AS nid", "cell",
+          "CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6")
+        .orderBy("qid", "rank")
+    }),
+
     // ANN via random-hyperplane LSH (sign sketch): 16 planes from a
     // deterministic ±1 hash pattern, banded 4×4 bits; candidates must
     // share a band with the probe, then exact cosine + top-3 inside the

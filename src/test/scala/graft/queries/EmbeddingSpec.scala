@@ -19,6 +19,20 @@ class EmbeddingSpec extends SparkSpec {
     assert(overlap > 0)
   }
 
+  test("IVF top-k recall against exact kNN") {
+    val exact = graft.SparkEntry.queries("emb_knn")(spark, sf001)
+      .filter("rank <= 3").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = graft.SparkEntry.queries("emb_ivf_topk")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = ivf.count(exact.contains)
+    info(s"IVF/exact top-3 overlap: $overlap/${exact.size}")
+    // 10 cells, nprobe=3: ~30% of the corpus scanned; near-orthogonal
+    // random vectors make cells weakly informative — require better
+    // than trivial but don't over-promise.
+    assert(overlap >= exact.size / 4, s"IVF recall too low: $overlap/${exact.size}")
+  }
+
   test("cosine pairs are symmetric-free (v1 < v2) and above threshold") {
     val rows = graft.SparkEntry.queries("emb_cosine_pairs")(spark, sf001).collect()
     assert(rows.nonEmpty)
