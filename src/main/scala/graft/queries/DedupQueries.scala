@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{ElementwiseMin, ElementwiseSum}
+import graft.functions.{MinHashAgg, SimHashAgg}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -99,16 +99,12 @@ object DedupQueries extends QueryModule {
     "dedup_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
       val shAll = shingles(s, dir).persist()
-      val sh = shAll
-        // 64 permutation hashes per shingle; base hash folded to 31 bits
-        // so every a*h+b stays far from long overflow (ANSI-safe).
-        .selectExpr("doc_id",
-          """transform(sequence(0, 63),
-            |  i -> pmod((2 * i + 1) * pmod(xxhash64(shingle), 2147483647) + i * 40503, 2147483647))
-            |  AS hs""".stripMargin)
-      val minAgg = udaf(new ElementwiseMin(64))
+      // One long per row enters the aggregator; the 64 permutations run
+      // inside its JVM loop (MinHashAgg) — no per-row 64-element array.
+      val sh = shAll.selectExpr("doc_id", "xxhash64(shingle) AS h")
+      val minAgg = udaf(new MinHashAgg(64))
       // sig feeds banding + both sides of the estimate join → persist.
-      val sig = sh.groupBy($"doc_id").agg(minAgg($"hs").as("sig")).persist()
+      val sig = sh.groupBy($"doc_id").agg(minAgg($"h").as("sig")).persist()
       val bands = sig.selectExpr("doc_id",
         """posexplode(transform(sequence(0, 15),
           |  b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4)))))
@@ -146,12 +142,11 @@ object DedupQueries extends QueryModule {
       val termWeights = Tables.documents(s, dir)
         .selectExpr("doc_id", s"explode($TOKENS) AS w")
         .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
-        .selectExpr("doc_id",
-          """transform(sequence(0, 63),
-            |  j -> CASE WHEN (shiftright(xxhash64(w), j) & 1) = 1 THEN cnt ELSE -cnt END)
-            |  AS bitw""".stripMargin)
-      val sumAgg = udaf(new ElementwiseSum(64))
-      val sums = termWeights.groupBy($"doc_id").agg(sumAgg($"bitw").as("sums"))
+        .selectExpr("doc_id", "xxhash64(w) AS h", "cnt")
+      // 64-bit test-and-accumulate runs inside the aggregator loop.
+      val sumAgg = udaf(new SimHashAgg)
+      val sums = termWeights.groupBy($"doc_id")
+        .agg(sumAgg($"h", $"cnt").as("sums"))
       val sig = sums.selectExpr("doc_id",
         """aggregate(sequence(0, 63), 0L,
           |  (acc, j) -> CASE WHEN element_at(sums, j + 1) > 0
