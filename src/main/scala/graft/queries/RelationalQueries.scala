@@ -156,6 +156,20 @@ object RelationalQueries extends QueryModule {
         .orderBy("returnflag", "linestatus")
     }),
 
+    // Full cube over both grouping dims (rollup's superset: all 2^k
+    // grouping sets), NULL totals folded to 'ALL' as in rel_rollup.
+    "rel_cube" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"n")
+        .orderBy("returnflag", "linestatus")
+    }),
+
     "rel_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .select("l_returnflag", "l_linestatus")
@@ -316,6 +330,13 @@ object RelationalQueries extends QueryModule {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "rel_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
     "rel_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus
