@@ -192,6 +192,22 @@ object RelationalQueries extends QueryModule {
         .orderBy("op")
     }),
 
+    // Bag-semantics set ops: like rel_setops but multiplicities count
+    // (intersectAll / exceptAll / unionAll).
+    "rel_setops_all" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      def custBag(y: Int) =
+        o.filter(year($"o_orderdate") === y).select($"o_custkey")
+      val c97 = custBag(1997); val c98 = custBag(1998)
+      def counted(tag: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(tag).as("op"), $"n")
+      counted("intersect_all", c97.intersectAll(c98))
+        .unionAll(counted("except_all", c97.exceptAll(c98)))
+        .unionAll(counted("union_all", c97.unionAll(c98)))
+        .orderBy("op")
+    }),
+
     // Exact distinct aggregation (expand + two-phase agg under the hood).
     "rel_count_distinct" -> ((s, dir) => {
       import s.implicits._
@@ -350,6 +366,15 @@ object RelationalQueries extends QueryModule {
         |SELECT 'either' AS op, count(*) AS n FROM (SELECT * FROM c97 UNION SELECT * FROM c98)
         |UNION ALL
         |SELECT 'only_1997' AS op, count(*) AS n FROM (SELECT * FROM c97 EXCEPT SELECT * FROM c98)
+        |ORDER BY op""".stripMargin,
+    "rel_setops_all" ->
+      """WITH c97 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+        |     c98 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+        |SELECT 'except_all' AS op, count(*) AS n FROM (SELECT * FROM c97 EXCEPT ALL SELECT * FROM c98)
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, count(*) AS n FROM (SELECT * FROM c97 INTERSECT ALL SELECT * FROM c98)
+        |UNION ALL
+        |SELECT 'union_all' AS op, count(*) AS n FROM (SELECT * FROM c97 UNION ALL SELECT * FROM c98)
         |ORDER BY op""".stripMargin,
     "rel_count_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders

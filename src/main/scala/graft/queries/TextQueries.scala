@@ -120,6 +120,22 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id", "rank")
     }),
 
+    // String similarity: vocabulary word pairs within edit distance 2.
+    // The vocab is extracted then self-joined — at any corpus size the
+    // distinct-term side is small, so this broadcasts (never an
+    // all-docs cross join).
+    "txt_levenshtein" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = Tables.documents(s, dir)
+        .selectExpr(s"explode($tokens) AS w").distinct()
+      val a = vocab.select($"w".as("w1"))
+      val b = vocab.select($"w".as("w2"))
+      a.join(broadcast(b), $"w1" < $"w2")
+        .withColumn("dist", levenshtein($"w1", $"w2"))
+        .where($"dist" <= 2)
+        .orderBy("w1", "w2")
+    }),
+
     // Character bigram profile of the corpus (n-gram extraction shape),
     // top 15 by frequency.
     "txt_char_bigrams" -> ((s, dir) => {
@@ -205,6 +221,12 @@ object TextQueries extends QueryModule {
          |SELECT doc_id, rank, word, tf, df, score_e3
          |FROM r WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
+    "txt_levenshtein" ->
+      s"""WITH v AS (SELECT DISTINCT unnest($duckTokens) AS w FROM documents)
+         |SELECT a.w AS w1, b.w AS w2, levenshtein(a.w, b.w) AS dist
+         |FROM v a JOIN v b ON a.w < b.w
+         |WHERE levenshtein(a.w, b.w) <= 2
+         |ORDER BY w1, w2""".stripMargin,
     "txt_char_bigrams" ->
       """SELECT bg, count(*) AS cnt
         |FROM (SELECT unnest([substr(text, i, 2) FOR i IN range(1, length(text))]) AS bg

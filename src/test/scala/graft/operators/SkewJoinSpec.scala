@@ -18,6 +18,25 @@ class SkewJoinSpec extends SparkSpec {
       plain.select(key.map(col): _*).orderBy(key.map(col): _*).collect().toSeq)
   }
 
+  test("property: salted join ≡ plain join on generated skewed data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val bigGen = Gen.listOf(Gen.zip(Gen.oneOf(1L, 1L, 1L, 2L, 3L), Gen.choose(0, 999)))
+    val smallGen = Gen.listOf(Gen.zip(Gen.choose(1L, 4L), Gen.alphaStr.map(_.take(3))))
+    (1 to 5).foreach { i =>
+      val big = bigGen.pureApply(Gen.Parameters.default, Seed(7L + i)).toDF("k", "v")
+      val small = smallGen.pureApply(Gen.Parameters.default, Seed(77L + i))
+        .distinct.toDF("k", "tag")
+      val salts = 1 + i
+      val plain = big.join(small, "k").collect().toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val salted = SkewJoin.saltedInnerJoin(big, small, "k", salts).collect().toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(salted == plain, s"mismatch at salts=$salts")
+    }
+  }
+
   test("salting actually spreads a hot key over multiple partitions") {
     import spark.implicits._
     // one pathological key: 10k rows of key=1 + a tiny dim
