@@ -70,6 +70,51 @@ object EventsQueries extends QueryModule {
         .orderBy("user_id", "session_start")
     }),
 
+    // Per-user value deltas (lag): the time-series diff shape. Deltas
+    // are single subtractions of identical doubles — bit-exact, no
+    // accumulation.
+    "ev_value_delta" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("delta", $"value" - lag($"value", 1).over(w))
+        .where($"delta".isNotNull && $"user_id" < 30)
+        .select($"user_id", $"event_id", $"value", $"delta")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Funnel: signups converted to a purchase within 7 days, counted by
+    // signup day. Forward as-of via a reversed-order window (first
+    // following purchase ts), not an inequality join.
+    "ev_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .where($"event_type".isin("signup", "purchase"))
+        .selectExpr("user_id", "event_id", "ts div 1000 AS ts_us", "event_type",
+          "ts_utc",
+          "CASE WHEN event_type = 'purchase' THEN ts div 1000 END AS purch_ts")
+      val wFwd = Window.partitionBy($"user_id")
+        .orderBy($"ts_us".desc, $"event_id".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("next_purch_ts", last($"purch_ts", ignoreNulls = true).over(wFwd))
+        .where($"event_type" === "signup")
+        .groupBy(date_trunc("day", $"ts_utc").cast("timestamp_ntz").as("day"))
+        .agg(count(lit(1)).as("signups"),
+          count(when($"next_purch_ts" - $"ts_us" <= 7L * 86400 * 1000000, 1)).as("converted_7d"))
+        .orderBy("day")
+    }),
+
+    // Fixed-width histogram of event values (10 × 50-unit buckets).
+    "ev_histogram" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .withColumn("bucket", floor($"value" / 50).cast("long"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
     // JSON property extraction (codegen'd path, no UDF).
     "ev_json" -> ((s, dir) => {
       import s.implicits._
@@ -137,6 +182,36 @@ object EventsQueries extends QueryModule {
         |FROM s
         |GROUP BY user_id, sess
         |ORDER BY user_id, session_start""".stripMargin,
+    "ev_value_delta" ->
+      """SELECT user_id, event_id, value, delta FROM (
+        |  SELECT user_id, event_id, value,
+        |    value - lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta
+        |  FROM events)
+        |WHERE delta IS NOT NULL AND user_id < 30
+        |ORDER BY user_id, event_id""".stripMargin,
+    "ev_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, ts,
+        |    CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS purch_ts
+        |  FROM events WHERE event_type IN ('signup', 'purchase')),
+        |f AS (
+        |  SELECT user_id, ts_us, event_type, ts,
+        |    last_value(purch_ts IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_purch_ts
+        |  FROM ev)
+        |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  count(*) AS signups,
+        |  count(CASE WHEN next_purch_ts - ts_us <= 604800000000 THEN 1 END) AS converted_7d
+        |FROM f
+        |WHERE event_type = 'signup'
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin,
+    "ev_histogram" ->
+      """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
     "ev_json" ->
       """SELECT event_type, count(*) AS n,
         |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,

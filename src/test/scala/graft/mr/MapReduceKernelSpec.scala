@@ -107,6 +107,22 @@ class MapReduceKernelSpec extends SparkSpec {
     assert(got.collect().toSeq == expected.collect().toSeq)
   }
 
+  test("emit-style client (reference API shape) matches the iterator-style client") {
+    import spark.implicits._
+    // charcount written the way the course API reads: emit2/emit3 calls
+    val emitStyle = new EmitClient[Long, String, String, Long, String, Long] {
+      def map(id: Long, text: String, emit2: (String, Long) => Unit): Unit =
+        text.foreach(c => if (c != ' ') emit2(c.toString, 1L))
+      def reduce(ch: String, vs: Iterator[Long], emit3: (String, Long) => Unit): Unit =
+        emit3(ch, vs.sum)
+    }
+    val docs = Seq((1L, "a b ab"), (2L, "ba b"))
+    val viaEmit = MapReduce.run(docs.toDS(), EmitClient.adapt(emitStyle)).collect().toSeq
+    val direct = MapReduce.run(docs.toDS(), CharCountClient).collect().toSeq
+    assert(asMultiset(viaEmit) == asMultiset(direct))
+    assert(asMultiset(viaEmit) == Map(("a", 3L) -> 1, ("b", 4L) -> 1))
+  }
+
   test("job handle reports progress stages and completes") {
     import spark.implicits._
     val input = (1L to 1000L).map(i => (i, s"word${i % 97}"))
