@@ -134,6 +134,29 @@ object DedupQueries extends QueryModule {
         .orderBy("d1", "d2")
     }),
 
+    // The composed cleaning pipeline every piece above exists for:
+    // quality-gate → exact-dedup (keep lowest doc_id per digest) →
+    // per-language corpus stats. One declarative plan; Catalyst fuses
+    // the filter into the scan and the dedup is one shuffle on the
+    // digest.
+    "pipe_clean_corpus" -> ((s, dir) => {
+      import s.implicits._
+      val toks = "filter(split(text, ' '), w -> w != '')"
+      val quality = Tables.documents(s, dir)
+        .selectExpr("doc_id", "lang", "text", s"size($toks) AS n_tokens",
+          s"size(filter($toks, w -> w IN ('a', 'the'))) AS stop_cnt")
+        .where("n_tokens BETWEEN 10 AND 1000 AND stop_cnt * 1000000 div n_tokens < 300000")
+      val deduped = quality
+        .withColumn("digest", md5($"text"))
+        .groupBy($"digest")
+        .agg(min($"doc_id").as("keep_id"))
+        .join(quality.withColumn("digest", md5($"text")), "digest")
+        .where($"doc_id" === $"keep_id")
+      deduped.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+        .orderBy("lang")
+    }),
+
     // SimHash (64-bit, term-frequency-weighted) per doc + neighbor count
     // within Hamming ≤ 3 via exact 4-chunk blocking. Rows-only (the
     // signature depends on xxhash64).
@@ -183,6 +206,20 @@ object DedupQueries extends QueryModule {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    "pipe_clean_corpus" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(string_split(text, ' '), w -> w != '')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) AS stop_cnt
+        |  FROM documents),
+        |f AS (SELECT * FROM q
+        |      WHERE n_tokens BETWEEN 10 AND 1000
+        |        AND (stop_cnt * 1000000) // n_tokens < 300000),
+        |d AS (SELECT md5(text) AS digest, min(doc_id) AS keep_id FROM f GROUP BY 1)
+        |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+        |FROM f JOIN d ON md5(f.text) = d.digest AND f.doc_id = d.keep_id
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""$duckShingles,
          |p AS (SELECT a.doc_id d1, b.doc_id d2, len(a.s) sa, len(b.s) sb,
