@@ -18,7 +18,8 @@ object SparkEntry {
     DedupQueries,
     EmbeddingQueries,
     MultimodalQueries,
-    AdvancedQueries
+    AdvancedQueries,
+    TpchQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
