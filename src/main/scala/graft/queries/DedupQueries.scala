@@ -146,12 +146,13 @@ object DedupQueries extends QueryModule {
         .selectExpr("doc_id", "lang", "text", s"size($toks) AS n_tokens",
           s"size(filter($toks, w -> w IN ('a', 'the'))) AS stop_cnt")
         .where("n_tokens BETWEEN 10 AND 1000 AND stop_cnt * 1000000 div n_tokens < 300000")
+      // keep-lowest-doc_id per digest as one window pass (a groupBy +
+      // join-back would recompute the quality subplan a second time).
+      val wDigest = Window.partitionBy($"digest").orderBy($"doc_id")
       val deduped = quality
         .withColumn("digest", md5($"text"))
-        .groupBy($"digest")
-        .agg(min($"doc_id").as("keep_id"))
-        .join(quality.withColumn("digest", md5($"text")), "digest")
-        .where($"doc_id" === $"keep_id")
+        .withColumn("rn", row_number().over(wDigest))
+        .where($"rn" === 1)
       deduped.groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
         .orderBy("lang")

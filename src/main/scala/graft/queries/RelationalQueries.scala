@@ -129,6 +129,34 @@ object RelationalQueries extends QueryModule {
         .orderBy("o_custkey", "rk")
     }),
 
+    // Remaining window-function family: lead, ntile, percent_rank,
+    // dense_rank over one pass (percent_rank is (rank-1)/(n-1) — a
+    // single integer division, bit-exact across engines).
+    "rel_window_misc" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, dir)
+        .where($"o_custkey" < 20)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          lead($"o_orderkey", 1).over(w).as("next_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          dense_rank().over(w).as("drank"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // GROUP BY on a nullable derived key: NULLs form one group in both
+    // engines (lag yields NULL on each user's first event).
+    "rel_groupby_null" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy(expr("ts div 1000"), $"event_id")
+      Tables.events(s, dir)
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .groupBy(coalesce($"prev_type", lit("<none>")).as("prev_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type")
+    }),
+
     // Running sum per customer (exact via decimal, cast back to double).
     "rel_window_running" -> ((s, dir) => {
       import s.implicits._
@@ -331,6 +359,24 @@ object RelationalQueries extends QueryModule {
         |  FROM orders)
         |WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,
+    "rel_window_misc" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lead(o_orderkey) OVER w AS next_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  dense_rank() OVER w AS drank
+        |FROM orders
+        |WHERE o_custkey < 20
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "rel_groupby_null" ->
+      """SELECT coalesce(prev_type, '<none>') AS prev_type, count(*) AS n
+        |FROM (
+        |  SELECT lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events)
+        |GROUP BY 1
+        |ORDER BY prev_type""".stripMargin,
     "rel_window_running" ->
       """SELECT o_custkey, o_orderdate, o_orderkey,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
