@@ -51,6 +51,10 @@ object TextQueries extends QueryModule {
           s"size($tokens) AS n_tokens",
           s"aggregate($tokens, 0L, (s, w) -> s + length(w)) AS sum_word_len",
           s"size(filter($tokens, w -> w IN ('a', 'the'))) AS stop_cnt")
+        // ANSI mode: a zero-token doc would make the div throw; exclude
+        // (no such doc in the fixtures, but the guard keeps the query
+        // total on any corpus — mirrored in the oracle).
+        .where("n_tokens > 0")
         .selectExpr(
           "doc_id", "n_tokens",
           "sum_word_len * 1000000L div n_tokens AS avg_word_len_ppm",
@@ -174,6 +178,7 @@ object TextQueries extends QueryModule {
          |  (stop_cnt * 1000000) // n_tokens AS stop_ppm,
          |  n_tokens BETWEEN 10 AND 1000 AND ((stop_cnt * 1000000) // n_tokens) < 300000 AS is_quality
          |FROM t
+         |WHERE n_tokens > 0
          |ORDER BY doc_id""".stripMargin,
     "txt_langid" ->
       s"""WITH t AS (

@@ -20,6 +20,27 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(viaSql.toSeq == got)
   }
 
+  test("doGenCode compiles and computes (no silent interpreted fallback)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val a = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    val b = BoundReference(1, ArrayType(DoubleType), nullable = true)
+    // generate() compiles the Java emitted by doGenCode — a codegen bug
+    // fails HERE instead of silently falling back to interpreted eval.
+    val proj = GenerateUnsafeProjection.generate(Seq(CosineSimilarity(a, b)))
+    val row = InternalRow(
+      ArrayData.toArrayData(Array(3.0, 4.0)),
+      ArrayData.toArrayData(Array(3.0, 4.0)))
+    assert(math.abs(proj(row).getDouble(0) - 1.0) < 1e-15)
+    val orth = InternalRow(
+      ArrayData.toArrayData(Array(1.0, 0.0)),
+      ArrayData.toArrayData(Array(0.0, 1.0)))
+    assert(proj(orth).getDouble(0) == 0.0)
+  }
+
   test("cosine_sim widens array<float> inputs and agrees with the HOF formula") {
     import spark.implicits._
     val emb = graft.sources.Tables.embeddings(spark, sf0001).limit(50)
