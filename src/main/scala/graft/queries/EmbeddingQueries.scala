@@ -126,20 +126,35 @@ object EmbeddingQueries extends QueryModule {
     // recall against emb_knn.
     "emb_ann_topk" -> ((s, dir) => {
       import s.implicits._
-      // bit j of the sketch = sign(Σ_d emb[d] · h(j,d)), h ∈ {±1}
-      val sketched = Tables.embeddings(s, dir).selectExpr("vec_id", "embedding",
-        """transform(sequence(0, 15), j -> CASE WHEN
-          |  aggregate(sequence(1, 64), 0D, (acc, d) ->
-          |    acc + element_at(cast(embedding AS array<double>), d)
-          |        * (CAST(pmod(xxhash64(j * 64 + d), 2) AS DOUBLE) * 2 - 1)) > 0
-          |  THEN 1 ELSE 0 END) AS bits""".stripMargin)
-        .selectExpr("vec_id", "embedding",
-          """posexplode(transform(sequence(0, 3), b ->
-            |  element_at(bits, b * 4 + 1) * 8 + element_at(bits, b * 4 + 2) * 4
-            |  + element_at(bits, b * 4 + 3) * 2 + element_at(bits, b * 4 + 4)))
-            |  AS (band, key)""".stripMargin)
+      // 16 fixed ±1 hyperplanes, derived once on the driver from a
+      // splitmix-style generator and shipped in the task closure —
+      // the sketch is then a tight typed-map loop per vector (the HOF
+      // form re-derived the plane signs per vector: 1024 hash calls
+      // × every row).
+      val planes: Array[Array[Double]] = Array.tabulate(16, 64) { (j, d) =>
+        var z = (j * 64 + d + 1).toLong * 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        if (((z ^ (z >>> 31)) & 1L) == 0L) -1.0 else 1.0
+      }
+      val sketched = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        .flatMap { case (id, emb) =>
+          var bits = 0
+          var j = 0
+          while (j < 16) {
+            val p = planes(j)
+            var acc = 0.0; var d = 0
+            while (d < emb.length && d < 64) { acc += emb(d) * p(d); d += 1 }
+            if (acc > 0) bits |= (1 << j)
+            j += 1
+          }
+          // 4 bands × 4 bits each: (vec_id, band, key, embedding)
+          (0 until 4).map(b => (id, b, (bits >>> (b * 4)) & 0xF, emb))
+        }
+        .toDF("vec_id", "band", "key", "embedding")
         // the sketch feeds both the probe and candidate sides → persist
-        // instead of recomputing the 16 hyperplane folds per use.
+        // instead of recomputing the folds per use.
         .persist()
       val probes = sketched.where($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qe"), $"band", $"key")
