@@ -76,7 +76,10 @@ final class JobProgress(groupId: String) extends SparkListener {
     }
 
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-    if (ourStages.contains(e.stageId)) {
+    // Only successful attempts count — a failed/killed attempt also
+    // fires TaskEnd and its retry would otherwise be double-counted,
+    // overstating the reference's finished/total percentage.
+    if (ourStages.contains(e.stageId) && e.reason == org.apache.spark.Success) {
       snap.updateAndGet(s => s.copy(done = math.min(s.done + 1, s.total)))
       ()
     }

@@ -117,9 +117,11 @@ final class JobHandle[OUT] private[mr] (
     out
   }
 
-  /** `closeJobHandle` — wait, then detach the listener. */
-  def close(): Unit = {
-    waitForJob()
-    spark.sparkContext.removeSparkListener(progress)
-  }
+  /** `closeJobHandle` — wait, then detach the listener. The listener is
+    * detached even when the job failed (waitForJob rethrows the job's
+    * exception), otherwise every failed startJob would leak a listener
+    * on the context bus for the life of the session. */
+  def close(): Unit =
+    try waitForJob()
+    finally spark.sparkContext.removeSparkListener(progress)
 }

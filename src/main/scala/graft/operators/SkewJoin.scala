@@ -20,9 +20,13 @@ object SkewJoin {
   def saltedInnerJoin(
       big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "__salt is reserved by saltedInnerJoin; rename the input column")
     val bigCols = big.columns
     // Deterministic routing: hash of the full row (vs rand(): keeps the
     // plan deterministic and re-executable, e.g. under task retries).
+    // Note hash() rejects MapType columns at analysis; pre-project such
+    // inputs to hashable columns.
     val salted = big.withColumn("__salt",
       pmod(hash(bigCols.map(col): _*), lit(salts)))
     val replicated = small.withColumn("__salt",

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries extends QueryModule {
 
-  private val TOKENS = "filter(split(text, ' '), w -> w != '')"
+  private val TOKENS = QueryModule.Tokens
 
   /** Distinct word-3-gram shingles per doc: (doc_id, shingle). */
   private def shingles(s: SparkSession, dir: String): DataFrame =
@@ -76,7 +76,6 @@ object DedupQueries extends QueryModule {
       .select($"d1", $"d2", $"z1.sz".as("sa"), $"z2.sz".as("sb"),
         size(array_intersect($"z1.ss", $"z2.ss")).cast("long").as("c"))
       .where($"c" * 2 >= $"sa" + $"sb" - $"c")
-      .withColumn("jac_ppm", $"c" * 1000000L / ($"sa" + $"sb" - $"c") cast "long")
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -148,10 +147,9 @@ object DedupQueries extends QueryModule {
     // digest.
     "pipe_clean_corpus" -> ((s, dir) => {
       import s.implicits._
-      val toks = "filter(split(text, ' '), w -> w != '')"
       val quality = Tables.documents(s, dir)
-        .selectExpr("doc_id", "lang", "text", s"size($toks) AS n_tokens",
-          s"size(filter($toks, w -> w IN ('a', 'the'))) AS stop_cnt")
+        .selectExpr("doc_id", "lang", "text", s"size($TOKENS) AS n_tokens",
+          s"size(filter($TOKENS, w -> w IN ('a', 'the'))) AS stop_cnt")
         .where("n_tokens BETWEEN 10 AND 1000 AND stop_cnt * 1000000 div n_tokens < 300000")
       // keep-lowest-doc_id per digest as one window pass (a groupBy +
       // join-back would recompute the quality subplan a second time).

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object TextQueries extends QueryModule {
 
   /** Non-empty whitespace tokens (SQL lambda — codegen'd, no UDF). */
-  private val tokens = "filter(split(text, ' '), w -> w != '')"
+  private val tokens = QueryModule.Tokens
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -153,7 +153,7 @@ object TextQueries extends QueryModule {
     })
   )
 
-  private val duckTokens = "list_filter(string_split(text, ' '), w -> w != '')"
+  private val duckTokens = QueryModule.DuckTokens
 
   override def oracles: Map[String, String] = Map(
     "txt_tokens" ->

@@ -39,7 +39,12 @@ def compare(name, spark_rows, oracle_rows, cols_s, cols_o):
         return False, f"row count: spark={len(spark_rows)} oracle={len(oracle_rows)}"
     order = sorted(range(len(cols_s)), key=lambda i: cols_s[i])
     order_o = sorted(range(len(cols_o)), key=lambda i: cols_o[i])
+    # Collect ALL float mismatches (so the max-absdiff in the failure
+    # message reflects how near/far the divergence is) but fail fast on
+    # the first non-float mismatch.
     max_float_diff = 0.0
+    first_bad = None
+    n_bad = 0
     for ri, (rs, ro) in enumerate(zip(spark_rows, oracle_rows)):
         for ci_s, ci_o in zip(order, order_o):
             a, b = norm_cell(rs[ci_s]), norm_cell(ro[ci_o])
@@ -49,13 +54,15 @@ def compare(name, spark_rows, oracle_rows, cols_s, cols_o):
                 if math.isnan(a) and math.isnan(b):
                     continue
                 max_float_diff = max(max_float_diff, abs(a - b))
-                if a != b:
-                    return False, (f"row {ri} col {cols_s[ci_s]}: spark={a!r} "
-                                   f"oracle={b!r} (absdiff={abs(a-b):.3e})")
+                n_bad += 1
+                if first_bad is None:
+                    first_bad = f"row {ri} col {cols_s[ci_s]}: spark={a!r} oracle={b!r}"
             else:
                 return False, f"row {ri} col {cols_s[ci_s]}: spark={a!r} oracle={b!r}"
-    note = f" (max float absdiff {max_float_diff:.1e})" if max_float_diff else ""
-    return True, "ok" + note
+    if first_bad is not None:
+        return False, (f"{n_bad} float cell(s) differ, max absdiff "
+                       f"{max_float_diff:.3e}; first: {first_bad}")
+    return True, "ok"
 
 
 def main(sf_dir, out_dir):
