@@ -32,12 +32,20 @@ object EventStreams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Unbounded scan over a parquet directory (new files = new data).
-    * `ts_utc` stays TimestampType (not ntz): Spark 4 watermarks require
-    * it ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]); under the UTC session
-    * the wall clock matches the batch reader's ntz column. */
+  /** Unbounded scan over the events parquet (new files = new data).
+    * Takes the fixture ROOT and scopes to `events.parquet` — a bare
+    * directory scan would also ingest every other table in the dir as
+    * all-NULL rows under the declared schema (observed: 8890 phantom
+    * rows at sf0.001). `ts_utc` stays TimestampType (not ntz): Spark 4
+    * watermarks require it ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]);
+    * under the UTC session the wall clock matches the batch reader's
+    * ntz column. */
   def fromParquetDir(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+    spark.readStream.schema(schema)
+      // Glob form: the streaming file source insists its base path is a
+      // directory, and the fixture's events table is a single file — a
+      // glob keeps the base at `dir` while matching only that file.
+      .parquet(s"$dir/{events.parquet}")
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling hourly counts per event type, watermarked so state for
@@ -74,6 +82,15 @@ object EventStreams {
           UserSessions(userId, st.nSessions, st.nEvents)
       }
   }
+
+  /** Streaming exactly-once dedup: drop re-deliveries of the same
+    * `event_id` within the watermark horizon (the streaming face of the
+    * batch dedup operators — state for ids older than the watermark is
+    * dropped, so memory stays bounded on an unbounded stream). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_utc", "1 hour")
+      .dropDuplicates("event_id", "ts_utc")
 
   /** Convenience writer used by examples/tests: in-memory sink. */
   def toMemory(df: DataFrame, name: String, mode: OutputMode) =

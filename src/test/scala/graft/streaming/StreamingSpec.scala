@@ -64,6 +64,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-batch re-deliveries within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (event_id, ts_us)
+    val events = in.toDF()
+      .select($"_1".as("event_id"), timestamp_micros($"_2").as("ts_utc"))
+    val q = EventStreams.dedupEvents(events)
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, us(0, 0)), (2L, us(0, 1)), (1L, us(0, 0))) // dup in-batch
+      q.processAllAvailable()
+      in.addData((1L, us(0, 0)), (3L, us(0, 2))) // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select($"event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("parquet dir streams with the declared schema (one trigger of real fixture data)") {
     import spark.implicits._
     val stream = EventStreams.fromParquetDir(spark, sf0001)
