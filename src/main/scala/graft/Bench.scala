@@ -23,16 +23,22 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
         }
+      // Elapsed captured BEFORE cache teardown so unpersist cost isn't
+      // billed to the query being timed.
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // Queries persist intermediates (shingle indexes, LSH sketches);
       // drop them so later queries aren't timed against a polluted
       // block manager.
       spark.catalog.clearCache()
       // A failed query reports -1 so it can't masquerade as a speedup.
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Failures are excluded from the headline total (a -1 would shrink
+    // it, reporting a regression as a speedup); their per-query marker
+    // plus the stderr line carry the signal.
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

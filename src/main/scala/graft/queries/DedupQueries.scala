@@ -150,7 +150,11 @@ object DedupQueries extends QueryModule {
       val quality = Tables.documents(s, dir)
         .selectExpr("doc_id", "lang", "text", s"size($TOKENS) AS n_tokens",
           s"size(filter($TOKENS, w -> w IN ('a', 'the'))) AS stop_cnt")
-        .where("n_tokens BETWEEN 10 AND 1000 AND stop_cnt * 1000000 div n_tokens < 300000")
+        // greatest(n_tokens, 1) keeps the ANSI division total even if
+        // the optimizer reorders conjuncts ahead of the length check;
+        // bigint cast avoids int overflow on stopword-heavy docs.
+        .where("n_tokens BETWEEN 10 AND 1000 AND " +
+          "CAST(stop_cnt AS BIGINT) * 1000000 div greatest(n_tokens, 1) < 300000")
       // keep-lowest-doc_id per digest as one window pass (a groupBy +
       // join-back would recompute the quality subplan a second time).
       val wDigest = Window.partitionBy($"digest").orderBy($"doc_id")
@@ -198,8 +202,10 @@ object DedupQueries extends QueryModule {
     })
   )
 
+  private val duckTokens = QueryModule.DuckTokens
+
   private val duckShingles =
-    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+    s"""WITH w AS (SELECT doc_id, $duckTokens AS t
       |           FROM documents),
       |sh AS (SELECT doc_id,
       |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
@@ -213,14 +219,14 @@ object DedupQueries extends QueryModule {
         |GROUP BY source
         |ORDER BY source""".stripMargin,
     "pipe_clean_corpus" ->
-      """WITH q AS (
+      s"""WITH q AS (
         |  SELECT doc_id, lang, text,
-        |    len(list_filter(string_split(text, ' '), w -> w != '')) AS n_tokens,
-        |    len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) AS stop_cnt
+        |    len($duckTokens) AS n_tokens,
+        |    len(list_filter($duckTokens, w -> w IN ('a', 'the'))) AS stop_cnt
         |  FROM documents),
         |f AS (SELECT * FROM q
         |      WHERE n_tokens BETWEEN 10 AND 1000
-        |        AND (stop_cnt * 1000000) // n_tokens < 300000),
+        |        AND (stop_cnt * 1000000) // greatest(n_tokens, 1) < 300000),
         |d AS (SELECT md5(text) AS digest, min(doc_id) AS keep_id FROM f GROUP BY 1)
         |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS n_tokens
         |FROM f JOIN d ON md5(f.text) = d.digest AND f.doc_id = d.keep_id

@@ -106,9 +106,14 @@ object EventsQueries extends QueryModule {
     }),
 
     // Fixed-width histogram of event values (10 × 50-unit buckets).
+    // NULL values excluded on both sides: a NULL bucket would sort
+    // NULLS FIRST in Spark but NULLS LAST in DuckDB, misaligning the
+    // compare (latent on the fixtures — no NULL values — but kept total
+    // for any corpus).
     "ev_histogram" -> ((s, dir) => {
       import s.implicits._
       Tables.events(s, dir)
+        .where($"value".isNotNull)
         .withColumn("bucket", floor($"value" / 50).cast("long"))
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n"))
@@ -210,6 +215,7 @@ object EventsQueries extends QueryModule {
     "ev_histogram" ->
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
         |FROM events
+        |WHERE value IS NOT NULL
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
     "ev_json" ->

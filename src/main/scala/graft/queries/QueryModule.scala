@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** One named capability group of the engine. `SparkEntry` unions all
   * modules; every key in `queries` should appear in `oracles` unless the
@@ -17,6 +18,19 @@ object QueryModule {
   val Tokens = "filter(split(text, ' '), w -> w != '')"
   /** DuckDB rendering of [[Tokens]] for oracle SQL. */
   val DuckTokens = "list_filter(string_split(text, ' '), w -> w != '')"
+
+  /** Exact discounted revenue Σ price·(1−disc): tight decimal scales
+    * (12,2 × 7,4 stays inside precision 38), rounded to scale 2 in the
+    * decimal domain before the double cast (single rounding on both
+    * engines — the module-wide oracle-parity policy). ONE definition:
+    * copies of this precision-critical formula must not drift. */
+  def revenue(ext: Column, disc: Column): Column =
+    round(sum(ext.cast("decimal(12,2)") * (lit(1) - disc.cast("decimal(6,4)"))), 2)
+      .cast("decimal(18,2)").cast("double")
+
+  /** DuckDB rendering of [[revenue]] over lineitem columns. */
+  val DuckRevenue: String =
+    "CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE)"
 }
 
 trait QueryModule {

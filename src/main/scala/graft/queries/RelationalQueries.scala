@@ -41,10 +41,9 @@ object RelationalQueries extends QueryModule {
           // decimal straight to double double-rounds in DuckDB (unscaled
           // value > 2^53 → observed 1-ulp divergence at sf0.01). Round
           // to scale 2 in the decimal domain first, then cast: one
-          // rounding step, identical on both sides.
-          round(sum($"l_extendedprice".cast("decimal(12,2)")
-              * (lit(1) - $"l_discount".cast("decimal(6,4)"))), 2)
-            .cast("decimal(18,2)").cast("double").as("sum_disc_price"),
+          // rounding step, identical on both sides (QueryModule.revenue
+          // is the shared definition).
+          QueryModule.revenue($"l_extendedprice", $"l_discount").as("sum_disc_price"),
           round(sum($"l_extendedprice".cast("decimal(12,2)")
               * (lit(1) - $"l_discount".cast("decimal(6,4)"))
               * (lit(1) + $"l_tax".cast("decimal(6,4)"))), 2)
@@ -306,10 +305,10 @@ object RelationalQueries extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "rel_q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_disc_price,
+        |  ${QueryModule.DuckRevenue} AS sum_disc_price,
         |  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_charge,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,

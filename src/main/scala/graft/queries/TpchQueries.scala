@@ -12,13 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object TpchQueries extends QueryModule {
 
-  /** revenue = Σ extendedprice·(1−discount), exact then double. */
   private def revenue(ext: Column, disc: Column): Column =
-    round(sum(ext.cast("decimal(12,2)") * (lit(1) - disc.cast("decimal(6,4)"))), 2)
-      .cast("decimal(18,2)").cast("double")
+    QueryModule.revenue(ext, disc)
 
-  private val duckRevenue =
-    "CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE)"
+  private val duckRevenue = QueryModule.DuckRevenue
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -86,11 +86,14 @@ object EventStreams {
   /** Streaming exactly-once dedup: drop re-deliveries of the same
     * `event_id` within the watermark horizon (the streaming face of the
     * batch dedup operators — state for ids older than the watermark is
-    * dropped, so memory stays bounded on an unbounded stream). */
+    * dropped, so memory stays bounded on an unbounded stream).
+    * `dropDuplicatesWithinWatermark` keys on the id alone, so a retry
+    * whose timestamp was re-stamped at ingestion is still dropped
+    * (plain dropDuplicates(id, ts) would pass it through). */
   def dedupEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts_utc", "1 hour")
-      .dropDuplicates("event_id", "ts_utc")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Convenience writer used by examples/tests: in-memory sink. */
   def toMemory(df: DataFrame, name: String, mode: OutputMode) =
