@@ -36,10 +36,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Failures are excluded from the headline total (a -1 would shrink
-    // it, reporting a regression as a speedup); their per-query marker
-    // plus the stderr line carry the signal.
+    // it, reporting a regression as a speedup); the explicit top-level
+    // errors count keeps a round-over-round total comparison from
+    // reading a breakage as a speedup.
+    val errors = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

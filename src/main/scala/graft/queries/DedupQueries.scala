@@ -228,7 +228,7 @@ object DedupQueries extends QueryModule {
         |      WHERE n_tokens BETWEEN 10 AND 1000
         |        AND (stop_cnt * 1000000) // greatest(n_tokens, 1) < 300000),
         |d AS (SELECT md5(text) AS digest, min(doc_id) AS keep_id FROM f GROUP BY 1)
-        |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM f JOIN d ON md5(f.text) = d.digest AND f.doc_id = d.keep_id
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,

@@ -176,7 +176,7 @@ object EmbeddingQueries extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "emb_norms" ->
       """SELECT label, count(*) AS n, max(len(embedding)) AS dim,
-        |  sum(CAST(floor(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) * 1000000) AS BIGINT)) AS sum_norm2_e6
+        |  CAST(sum(CAST(floor(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) * 1000000) AS BIGINT)) AS BIGINT) AS sum_norm2_e6
         |FROM embeddings
         |GROUP BY label
         |ORDER BY label""".stripMargin,
@@ -203,7 +203,7 @@ object EmbeddingQueries extends QueryModule {
         |    [CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT) FOR i IN range(1, len(embedding) + 1)] AS e6
         |  FROM embeddings),
         |n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
-        |SELECT q.label AS label, n.n, d.i AS dim, sum(e6[d.i]) AS sum_e6
+        |SELECT q.label AS label, n.n, d.i AS dim, CAST(sum(e6[d.i]) AS BIGINT) AS sum_e6
         |FROM q JOIN n ON q.label = n.label, range(1, 65) d(i)
         |GROUP BY q.label, n.n, d.i
         |ORDER BY q.label, dim""".stripMargin

@@ -167,7 +167,7 @@ object EventsQueries extends QueryModule {
         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
         |  FROM events)
         |SELECT user_id, count(*) AS n_events,
-        |  sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) + 1 AS n_sessions
+        |  CAST(sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions
         |FROM g
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
@@ -175,7 +175,7 @@ object EventsQueries extends QueryModule {
       """WITH g AS (
         |  SELECT user_id, ts,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) >= 1800000000
         |      THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |s AS (
@@ -220,7 +220,7 @@ object EventsQueries extends QueryModule {
         |ORDER BY bucket""".stripMargin,
     "ev_json" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
         |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
         |FROM events

@@ -90,7 +90,7 @@ object KernelQueries extends QueryModule {
         |ORDER BY c.c_custkey""".stripMargin,
     "mr_grouped_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus

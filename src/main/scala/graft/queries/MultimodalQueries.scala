@@ -118,7 +118,7 @@ object MultimodalQueries extends QueryModule {
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_batch_stats" ->
       """SELECT doc_id % 4 AS bucket, count(*) AS n,
-        |  sum(octet_length(encode(text))) AS sum_bytes,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
         |  min(octet_length(encode(text))) AS min_bytes,
         |  max(octet_length(encode(text))) AS max_bytes
         |FROM documents

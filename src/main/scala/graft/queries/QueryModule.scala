@@ -40,6 +40,14 @@ trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
 
   /** name -> equivalent DuckDB SQL over views named like the parquet
-    * tables, same ORDER BY, same column aliases. */
+    * tables, same ORDER BY, same column aliases.
+    *
+    * Type-parity rule (learned the hard way in round 2): every DuckDB
+    * `sum()` over integer columns returns HUGEINT (int128) — the driver
+    * hashes serialized values, so rows can match while the hash fails.
+    * Wrap EVERY integer aggregate (and any arithmetic derived from
+    * `list_sum`) in `CAST(... AS BIGINT)`; `tools/check_oracle.py` now
+    * flags any column whose DuckDB type diverges from the Spark parquet
+    * type. */
   def oracles: Map[String, String]
 }

@@ -145,6 +145,10 @@ object TextQueries extends QueryModule {
     "txt_char_bigrams" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
+        // length >= 2 guard (mirrored in the oracle): Spark's
+        // sequence(1, 0) yields a DESCENDING [1, 0] — a 0/1-char doc
+        // would emit phantom bigrams where DuckDB's range() is empty.
+        .where("length(text) >= 2")
         .selectExpr("explode(transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))) AS bg")
         .groupBy($"bg")
         .agg(count(lit(1)).as("cnt"))
@@ -174,7 +178,7 @@ object TextQueries extends QueryModule {
          |    len(list_filter($duckTokens, w -> w IN ('a', 'the'))) AS stop_cnt
          |  FROM documents)
          |SELECT doc_id, n_tokens,
-         |  (sum_word_len * 1000000) // n_tokens AS avg_word_len_ppm,
+         |  CAST((sum_word_len * 1000000) // n_tokens AS BIGINT) AS avg_word_len_ppm,
          |  (stop_cnt * 1000000) // n_tokens AS stop_ppm,
          |  n_tokens BETWEEN 10 AND 1000 AND ((stop_cnt * 1000000) // n_tokens) < 300000 AS is_quality
          |FROM t
@@ -235,7 +239,7 @@ object TextQueries extends QueryModule {
     "txt_char_bigrams" ->
       """SELECT bg, count(*) AS cnt
         |FROM (SELECT unnest([substr(text, i, 2) FOR i IN range(1, length(text))]) AS bg
-        |      FROM documents)
+        |      FROM documents WHERE length(text) >= 2)
         |GROUP BY bg
         |ORDER BY cnt DESC, bg
         |LIMIT 15""".stripMargin

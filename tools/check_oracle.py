@@ -32,9 +32,34 @@ def norm_cell(v):
     return v
 
 
-def compare(name, spark_rows, oracle_rows, cols_s, cols_o):
+def compare(name, spark_rows, oracle_rows, cols_s, cols_o, types_s=None, types_o=None):
     if sorted(cols_s) != sorted(cols_o):
         return False, f"schema mismatch: spark={sorted(cols_s)} oracle={sorted(cols_o)}"
+    # Type divergence check: the driver hashes *serialized* values, so a
+    # DuckDB HUGEINT (int128 — what sum() over integers returns) against a
+    # Spark BIGINT hash-mismatches even when every Python int compares
+    # equal (the round-2 lesson: 8 queries rows-green, hash-red). Compare
+    # the DuckDB-visible type of each column, but normalize int widths up
+    # to 64-bit into one family — Spark's row_number()/length() emit INT32
+    # where DuckDB emits BIGINT and the driver provably hashes those equal
+    # (all such queries were hash-green in round 2). Anything crossing
+    # families (HUGEINT, DECIMAL vs DOUBLE, VARCHAR vs int) is driver-red
+    # no matter what the cells say.
+    if types_s is not None and types_o is not None:
+        int_family = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                      "UTINYINT", "USMALLINT", "UINTEGER"}
+
+        def fam(t):
+            t = str(t)
+            return "INT<=64" if t in int_family else t
+
+        ts = dict(zip(cols_s, (fam(t) for t in types_s)))
+        to = dict(zip(cols_o, (fam(t) for t in types_o)))
+        diverged = [f"{c}: spark={ts[c]} oracle={to[c]}"
+                    for c in sorted(ts) if ts[c] != to[c]]
+        if diverged:
+            return False, ("type divergence (driver hash would differ): "
+                           + "; ".join(diverged))
     if len(spark_rows) != len(oracle_rows):
         return False, f"row count: spark={len(spark_rows)} oracle={len(oracle_rows)}"
     order = sorted(range(len(cols_s)), key=lambda i: cols_s[i])
@@ -86,8 +111,9 @@ def main(sf_dir, out_dir):
                     failures += 1
                 continue
             orel = con.sql(oracle_sql[name])
+            stypes, otypes = srel.types, orel.types
             ocols, orows = [d[0] for d in orel.description], orel.fetchall()
-            ok, msg = compare(name, srows, orows, scols, ocols)
+            ok, msg = compare(name, srows, orows, scols, ocols, stypes, otypes)
             print(f"  [{'PASS' if ok else 'FAIL'}] {name}: {msg} ({len(srows)} rows)")
             if not ok:
                 failures += 1
