@@ -12,8 +12,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // One throwaway action so JVM/codegen warmup isn't billed to
     // whichever query happens to run first (timings then compare
-    // across rounds query-by-query).
-    spark.range(1000000L).selectExpr("sum(id)").collect()
+    // across rounds query-by-query). The shape matters: a bare
+    // range-sum leaves the shuffle/join/window/codegen machinery cold
+    // and bills its JIT to the first few queries alphabetically (the
+    // dedup family), so touch each path once.
+    val warm = spark.range(200000L)
+      .selectExpr("id", "id % 97 AS k", "md5(CAST(id AS STRING)) AS s")
+    warm.groupBy("k")
+      .agg(org.apache.spark.sql.functions.countDistinct("s").as("d"))
+      .join(warm.select("k", "id").limit(1000), "k")
+      .selectExpr("k", "d", "row_number() OVER (PARTITION BY k ORDER BY id) AS rn")
+      .count()
     // Stable (sorted) execution order for the same reason.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -28,48 +28,65 @@ object DedupQueries extends QueryModule {
 
   private val TOKENS = QueryModule.Tokens
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, shingle). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  /** Distinct word-3-gram shingle SET per doc, in array form:
+    * (doc_id, ss: array<string>, sz). This is THE shared unit both
+    * near-dup queries persist: the exploded inverted-index rows and the
+    * verification sets are cheap projections of it, so tokenization +
+    * shingling runs once and neither a `sizes` groupBy nor a
+    * `collect_list` re-aggregation shuffle ever happens. */
+  private def shingleArrays(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .selectExpr("doc_id", s"$TOKENS AS t")
       .where("size(t) >= 3")
       .selectExpr("doc_id",
-        "explode(array_distinct(transform(sequence(1, size(t) - 2), " +
-          "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))) AS shingle")
+        "array_distinct(transform(sequence(1, size(t) - 2), " +
+          "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))) AS ss")
+      .selectExpr("doc_id", "ss", "CAST(size(ss) AS BIGINT) AS sz")
 
-  /** Per-doc distinct shingle SET as an array (bounded by doc length),
-    * the unit the verification step intersects. */
-  private def shingleSets(sh: DataFrame): DataFrame = {
-    import sh.sparkSession.implicits._
-    sh.groupBy($"doc_id")
-      .agg(collect_list($"shingle").as("ss"), count(lit(1)).as("sz"))
-  }
-
-  /** Exact Jaccard ≥ 0.5 pairs, AllPairs-style:
+  /** Exact Jaccard ≥ 0.5 pairs, PPJoin-style:
     *  - prefix filter: each doc indexes only its ⌊sz/2⌋+1 globally
-    *    rarest shingles; any pair with J ≥ τ shares a prefix shingle;
-    *  - length filter: J ≥ 0.5 forces max(sz) ≤ 2·min(sz), applied in
-    *    the candidate join (cuts candidates from size-mismatched docs);
+    *    rarest shingles (canonical order = rising document frequency,
+    *    so hot shingles land OUTSIDE prefixes — the property that keeps
+    *    the inverted-index join from going quadratic on stopword-like
+    *    shingles at 100 TB); any pair with J ≥ τ shares a prefix
+    *    shingle;
+    *  - positional filter (PPJoin): a match at canonical ranks
+    *    (rk_a, rk_b) bounds the total overlap by
+    *    1 + min(sz_a − rk_a, sz_b − rk_b); pairs whose bound can't
+    *    reach the τ=0.5 minimum overlap ⌈(sa+sb)/3⌉ are pruned inside
+    *    the join, before the distinct. Sound: the FIRST common prefix
+    *    shingle has the minimal ranks, hence the largest bound — if
+    *    J ≥ τ that row always survives;
+    *  - length filter: J ≥ 0.5 forces max(sz) ≤ 2·min(sz);
+    *  - the candidate join keys on xxhash64(shingle), so only
+    *    fixed-width (doc_id, hash, sz, rk) rows cross the shuffle —
+    *    a hash collision can only ADD a candidate, and every candidate
+    *    is verified exactly against the string shingle sets;
     *  - verification: one `array_intersect` per surviving pair against
     *    the collected per-doc sets — one row per candidate instead of a
-    *    candidates×shingles double join (profiled 5.4 s → sub-second at
-    *    sf0.1). */
+    *    candidates×shingles double join. */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir).persist()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val sets = shingleArrays(s, dir).persist()
+    val sh = sets.selectExpr("doc_id", "sz", "explode(ss) AS shingle")
     val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-    val prefix = sh.join(dfreq, "shingle").join(sizes, "doc_id")
+    // Both sides of the candidate self-join read this — persist so the
+    // dfreq join + rank window run once, not twice.
+    val prefix = sh.join(dfreq, "shingle")
       .withColumn("rk", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"df", $"shingle")))
       .where($"rk" <= ($"sz" / 2).cast("long") + 1)
-      .select($"doc_id", $"shingle", $"sz")
+      .selectExpr("doc_id", "xxhash64(shingle) AS sh_h", "sz", "rk")
+      .persist()
+    // ⌈(sa+sb)/3⌉ in exact integer math (sa+sb ≤ a few hundred, so the
+    // double division is exact and the cast truncates = floors).
+    val minOverlap = (($"a.sz" + $"b.sz" + lit(2)) / lit(3)).cast("long")
     val cand = prefix.as("a").join(prefix.as("b"),
-        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id" &&
-          $"a.sz" <= $"b.sz" * 2 && $"b.sz" <= $"a.sz" * 2)
+        $"a.sh_h" === $"b.sh_h" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.sz" <= $"b.sz" * 2 && $"b.sz" <= $"a.sz" * 2 &&
+          least($"a.sz" - $"a.rk", $"b.sz" - $"b.rk") + 1 >= minOverlap)
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .distinct()
-    val sets = shingleSets(sh)
     cand
       .join(sets.as("z1"), $"d1" === $"z1.doc_id")
       .join(sets.as("z2"), $"d2" === $"z2.doc_id")
@@ -105,10 +122,11 @@ object DedupQueries extends QueryModule {
     // exact query. Signature hashes are engine-local (xxhash64).
     "dedup_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      val shAll = shingles(s, dir).persist()
+      val sets = shingleArrays(s, dir).persist()
       // One long per row enters the aggregator; the 64 permutations run
       // inside its JVM loop (MinHashAgg) — no per-row 64-element array.
-      val sh = shAll.selectExpr("doc_id", "xxhash64(shingle) AS h")
+      val sh = sets.selectExpr("doc_id", "explode(ss) AS shingle")
+        .selectExpr("doc_id", "xxhash64(shingle) AS h")
       val minAgg = udaf(new MinHashAgg(64))
       // sig feeds banding + both sides of the estimate join → persist.
       val sig = sh.groupBy($"doc_id").agg(minAgg($"h").as("sig")).persist()
@@ -126,9 +144,8 @@ object DedupQueries extends QueryModule {
         .selectExpr("d1", "d2",
           "size(filter(zip_with(g1.sig, g2.sig, (x, y) -> x = y), m -> m)) * 1000000 div 64 AS est_ppm")
       // Exact verification of candidates only: one array_intersect per
-      // candidate against the collected sets (same pattern as the exact
-      // join — reuses the persisted shingle index).
-      val sets = shingleSets(shAll)
+      // candidate against the persisted per-doc shingle arrays (same
+      // unit the exact join verifies against — no re-aggregation).
       est
         .join(sets.as("z1"), $"d1" === $"z1.doc_id")
         .join(sets.as("z2"), $"d2" === $"z2.doc_id")
