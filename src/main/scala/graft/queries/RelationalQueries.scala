@@ -105,6 +105,25 @@ object RelationalQueries extends QueryModule {
         .orderBy("c_nationkey")
     }),
 
+    // Full-outer join: high-balance customers vs frequent-orderer
+    // aggregate — both sides contribute unmatched rows (nulls appear on
+    // each side), the one join flavor the other named queries don't
+    // exercise.
+    "rel_outer_join" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables.customer(s, dir)
+        .where($"c_acctbal" > 8000)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+      val ords = Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .where($"n_orders" >= 14)
+      cust.join(ords, $"c_custkey" === $"o_custkey", "full_outer")
+        .selectExpr("coalesce(c_custkey, o_custkey) AS custkey",
+          "c_name", "c_acctbal", "n_orders")
+        .orderBy("custkey")
+    }),
+
     // Global top-k: TakeOrderedAndProject — no full sort, no full
     // shuffle; each partition keeps k rows, driver merges.
     "rel_topk" -> ((s, dir) => {
@@ -333,6 +352,15 @@ object RelationalQueries extends QueryModule {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+    "rel_outer_join" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+        |           WHERE c_acctbal > 8000),
+        |o AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |      FROM orders GROUP BY o_custkey HAVING count(*) >= 14)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  c_name, c_acctbal, n_orders
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
     "rel_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer

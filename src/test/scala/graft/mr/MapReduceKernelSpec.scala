@@ -170,6 +170,41 @@ class MapReduceKernelSpec extends SparkSpec {
       s"MAP never observed; saw $observed")
   }
 
+  test("SHUFFLE phase surfaces between map completion and reduce submission") {
+    import org.apache.spark.scheduler.{GraftTestEvents, SparkListenerStageCompleted, SparkListenerStageSubmitted}
+    import GraftTestEvents._
+    // Why synthetic events: the LIVE SHUFFLE window under AQE is the
+    // driver's replanning gap between the shuffle-map job finishing and
+    // the reduce stage submitting — typically sub-millisecond on
+    // local[*], so a polling thread cannot observe it reliably (the MAP
+    // test above stretches its window with slow tasks; nothing can
+    // stretch a driver-side replan). Driving the listener with the
+    // exact event sequence the scheduler emits asserts the transition
+    // deterministically instead of flakily.
+    val jp = new JobProgress("g1")
+    val mapStage = stageInfo(0, 4, shuffleDepId = Some(7))
+    val reduceStage = stageInfo(1, 2, shuffleDepId = None)
+    jp.onJobStart(jobStart("g1", Seq(mapStage, reduceStage)))
+    assert(jp.state == JobState(Stage.Undefined, 0f))
+    jp.onStageSubmitted(SparkListenerStageSubmitted(mapStage))
+    assert(jp.state == JobState(Stage.Map, 0f))
+    (1 to 2).foreach(_ => jp.onTaskEnd(successfulTaskEnd(0)))
+    assert(jp.state == JobState(Stage.Map, 50f))
+    (1 to 2).foreach(_ => jp.onTaskEnd(successfulTaskEnd(0)))
+    jp.onStageCompleted(SparkListenerStageCompleted(mapStage))
+    assert(jp.state.stage == Stage.Shuffle,
+      s"SHUFFLE not reported after map-stage completion; got ${jp.state}")
+    jp.onStageSubmitted(SparkListenerStageSubmitted(reduceStage))
+    assert(jp.state == JobState(Stage.Reduce, 0f))
+    (1 to 2).foreach(_ => jp.onTaskEnd(successfulTaskEnd(1)))
+    assert(jp.state == JobState(Stage.Reduce, 100f))
+    // Events from a foreign job group must not perturb the state.
+    val foreign = stageInfo(9, 8, Some(1))
+    jp.onJobStart(jobStart("other-group", Seq(foreign)))
+    jp.onStageSubmitted(SparkListenerStageSubmitted(foreign))
+    assert(jp.state == JobState(Stage.Reduce, 100f))
+  }
+
   test("concurrent jobs do not corrupt each other's progress (job-group scoping)") {
     import spark.implicits._
     val client = new MapReduceClient[Long, Long, Long, Long, Long, Long] {

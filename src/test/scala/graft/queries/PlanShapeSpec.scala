@@ -42,4 +42,47 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("emb_knn")
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("jaccard candidate join is an equi-join on the shingle hash, not all-pairs") {
+    val p = plan("dedup_ngram_jaccard")
+    // The candidate self-join must stay keyed (hash/sort-merge on the
+    // shingle hash); a BroadcastNestedLoopJoin or CartesianProduct here
+    // means an "optimization" regressed the prefix index to all-pairs.
+    assert(!p.contains("BroadcastNestedLoopJoin"), "candidate join degenerated to BNLJ")
+    assert(!p.contains("CartesianProduct"), "candidate join degenerated to a cross join")
+    assert(p.contains("sh_h"), "candidate join lost its shingle-hash key")
+  }
+
+  test("only fixed-width columns cross the jaccard candidate shuffle") {
+    val df = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sf001)
+    // Inspect every Exchange in the candidate subplan: the prefix index
+    // rows that shuffle into the self-join must carry only fixed-width
+    // types (doc_id, xxhash64(shingle), sz, rk) — the moment a string
+    // shingle or the ss array rides a candidate-side exchange, shuffle
+    // bytes scale with document text again.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    // AQE wraps the real plan; collect inside it.
+    val physical = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = physical.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty, "expected shuffles in the candidate plan")
+    val candidateExchanges = exchanges.filter(_.output.exists(_.name == "sh_h"))
+    assert(candidateExchanges.nonEmpty, "no exchange carries the prefix index")
+    candidateExchanges.foreach { e =>
+      val varWidth = e.output.filterNot(a =>
+        a.dataType == org.apache.spark.sql.types.LongType ||
+          a.dataType == org.apache.spark.sql.types.IntegerType)
+      assert(varWidth.isEmpty,
+        s"variable-width columns cross the candidate shuffle: ${varWidth.map(_.name)}")
+    }
+  }
+
+  test("simhash candidate join is an equi-join on the 16-bit chunks") {
+    val p = plan("dedup_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "simhash blocking degenerated to all-pairs")
+  }
 }
