@@ -95,6 +95,34 @@ object EventStreams {
       .withWatermark("ts_utc", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream join: attribute each purchase to the same user's
+    * click in the preceding hour. BOTH sides carry watermarks and the
+    * join condition time-bounds `purch_ts` to
+    * [click_ts, click_ts + 1 h] — together these let Spark evict join
+    * state once the watermark passes the bound; without them the state
+    * store grows forever on an unbounded stream (and Spark rejects
+    * outer stream-stream joins outright).
+    *
+    * `joinType` admits "inner" and "left_outer": left-outer
+    * additionally emits never-converted clicks (null purchase columns)
+    * once the watermark proves no matching purchase can still arrive —
+    * the streaming face of the batch funnel query (`ev_funnel`). */
+  def attributePurchases(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      joinType: String = "inner"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("click_user"), col("ts_utc").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("purch_user"), col("ts_utc").as("purch_ts"))
+      .withWatermark("purch_ts", "1 hour")
+    c.join(p,
+      expr("click_user = purch_user AND " +
+        "purch_ts BETWEEN click_ts AND click_ts + INTERVAL 1 HOUR"),
+      joinType)
+  }
+
   /** Convenience writer used by examples/tests: in-memory sink. */
   def toMemory(df: DataFrame, name: String, mode: OutputMode) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

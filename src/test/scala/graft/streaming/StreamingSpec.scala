@@ -84,6 +84,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join attributes purchases to clicks within the hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long)]    // (user_id, ts_us)
+    val purchases = MemoryStream[(Long, Long)]
+    def df(m: MemoryStream[(Long, Long)]) =
+      m.toDF().select($"_1".as("user_id"), timestamp_micros($"_2").as("ts_utc"))
+    val q = EventStreams.attributePurchases(df(clicks), df(purchases))
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, us(0, 0)), (2L, us(0, 5)))
+      purchases.addData(
+        (1L, us(0, 30)),  // joins: same user, 30 min after the click
+        (1L, us(2, 0)),   // outside the 1 h window -> no join
+        (3L, us(0, 30)))  // no click for this user -> no join
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .select($"click_user", $"purch_ts".cast("string"))
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "2024-01-01 00:30:00")), s"got $got")
+    } finally q.stop()
+  }
+
+  test("left-outer stream-stream join emits unmatched clicks after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long)]
+    val purchases = MemoryStream[(Long, Long)]
+    def df(m: MemoryStream[(Long, Long)]) =
+      m.toDF().select($"_1".as("user_id"), timestamp_micros($"_2").as("ts_utc"))
+    val q = EventStreams
+      .attributePurchases(df(clicks), df(purchases), "left_outer")
+      .writeStream.format("memory").queryName("attr_lo")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, us(0, 0)), (2L, us(0, 5))) // user 2 never converts
+      purchases.addData((1L, us(0, 10)))
+      q.processAllAvailable()
+      // The null-extended row for user 2 may only be emitted once the
+      // watermark (min across both streams) passes click_ts + 1 h; feed
+      // both streams far-future rows across two batches (the watermark
+      // a batch USES was computed at the END of the previous batch).
+      clicks.addData((9L, us(4, 0))); purchases.addData((9L, us(4, 0)))
+      q.processAllAvailable()
+      clicks.addData((9L, us(5, 0))); purchases.addData((9L, us(5, 0)))
+      q.processAllAvailable()
+      val got = spark.table("attr_lo")
+        .filter($"click_user" < 9L)
+        .select($"click_user", $"purch_user")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(got == Set((1L, Some(1L)), (2L, None)), s"got $got")
+    } finally q.stop()
+  }
+
   test("parquet dir streams with the declared schema (one trigger of real fixture data)") {
     import spark.implicits._
     val stream = EventStreams.fromParquetDir(spark, sf0001)
