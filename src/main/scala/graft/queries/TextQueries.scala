@@ -33,6 +33,19 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // BPE-style pre-tokenizer count next to the whitespace count (the
+    // GPT-2 pre-tokenizer shape: letter runs stay one token, digits
+    // split per character, punctuation per character). Pure regex →
+    // codegen'd, and the alternation is leftmost-first in both Java
+    // and DuckDB's RE2, so the counts are engine-portable.
+    "txt_bpe_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir).selectExpr(
+          "doc_id",
+          s"size($tokens) AS n_ws_tokens",
+          "size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]', 0)) AS n_bpe_tokens")
+        .orderBy("doc_id")
+    }),
+
     // Corpus term frequency + document frequency, top 20.
     "txt_termfreq" -> ((s, dir) => {
       import s.implicits._
@@ -163,6 +176,12 @@ object TextQueries extends QueryModule {
     "txt_tokens" ->
       s"""SELECT doc_id, len($duckTokens) AS n_tokens, length(text) AS text_len,
          |  n_chars, n_chars = length(text) AS chars_ok
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "txt_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  len($duckTokens) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS n_bpe_tokens
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
     "txt_termfreq" ->
