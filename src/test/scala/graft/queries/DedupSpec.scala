@@ -24,6 +24,50 @@ class DedupSpec extends SparkSpec {
     assert(near % 2 == 0, "pair endpoints must come in twos")
   }
 
+  test("PPJoin prefix+positional filtering stays exact vs brute force on a hostile corpus") {
+    import spark.implicits._
+    // Tiny vocabulary → every shingle is hot (high document frequency),
+    // the worst case for prefix filtering and the case where an unsound
+    // positional filter would silently drop true pairs. Brute force is
+    // the ground truth.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val rnd = new scala.util.Random(7L)
+    def doc(len: Int): String =
+      Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 40).map(i => (i.toLong, doc(8 + rnd.nextInt(30))))
+    // planted near-dups: one-word mutations of existing docs
+    val mutated = base.take(15).map { case (id, text) =>
+      val words = text.split(" ").toVector
+      val w2 = words.updated(rnd.nextInt(words.size), vocab(rnd.nextInt(vocab.size)))
+      (id + 1000L, w2.mkString(" "))
+    }
+    // short docs that must be excluded by the size(t) >= 3 guard
+    val tiny = Seq((2000L, "alpha beta"), (2001L, ""))
+    val docs = base ++ mutated ++ tiny
+    val dir = java.nio.file.Files.createTempDirectory("ppjoin").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    def shingleSet(text: String): Set[String] = {
+      val t = text.split(" ").filter(_.nonEmpty)
+      if (t.length < 3) Set.empty
+      else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+    }
+    val sets = docs.map { case (id, tx) => id -> shingleSet(tx) }.filter(_._2.nonEmpty)
+    val expected = (for {
+      (d1, s1) <- sets
+      (d2, s2) <- sets
+      if d1 < d2
+      c = (s1 & s2).size
+      if 2 * c >= s1.size + s2.size - c
+    } yield (d1, d2)).toSet
+
+    val got = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "degenerate corpus: no near-dup pairs to check")
+    assert(got == expected,
+      s"missed: ${expected -- got}; spurious: ${got -- expected}")
+  }
+
   test("exact jaccard pairs all meet the 0.5 threshold in ppm") {
     val rows = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sf001).collect()
     assert(rows.nonEmpty)
