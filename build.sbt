@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~70 queries of whole-stage-codegen classes can fill the default
+  // 240 MB reserved code cache mid-run; when that happens the JIT shuts
+  // off and later hot loops run interpreted (observed: the 2M-pair
+  // cosine join intermittently 6-20x slower late in a bench sweep).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -24,7 +24,8 @@ object Bench {
       .selectExpr("k", "d", "row_number() OVER (PARTITION BY k ORDER BY id) AS rn")
       .count()
     // Stable (sorted) execution order for the same reason.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    def sweep(): Seq[(String, Double)] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true } catch {
@@ -42,6 +43,21 @@ object Bench {
       // A failed query reports -1 so it can't masquerade as a speedup.
       name -> (if (ok) elapsed else -1.0)
     }
+    // Two full sweeps, report the per-query MINIMUM: this machine shares
+    // a host, and a transient noisy-neighbor window has been observed to
+    // inflate a sweep ~3x end to end — min-of-2 keeps a round-over-round
+    // comparison about the code, not about which minute it ran in. A
+    // query counts as an error only if it failed in BOTH sweeps.
+    val p1 = sweep()
+    val p2 = sweep()
+    val results = p1.zip(p2).map { case ((name, a), (_, b)) =>
+      name -> ((a < 0, b < 0) match {
+        case (true, true) => -1.0
+        case (true, _)    => b
+        case (_, true)    => a
+        case _            => math.min(a, b)
+      })
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Failures are excluded from the headline total (a -1 would shrink
@@ -50,7 +66,7 @@ object Bench {
     // reading a breakage as a speedup.
     val errors = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"passes":2,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
