@@ -16,13 +16,20 @@ object Bench {
     // range-sum leaves the shuffle/join/window/codegen machinery cold
     // and bills its JIT to the first few queries alphabetically (the
     // dedup family), so touch each path once.
-    val warm = spark.range(200000L)
-      .selectExpr("id", "id % 97 AS k", "md5(CAST(id AS STRING)) AS s")
-    warm.groupBy("k")
-      .agg(org.apache.spark.sql.functions.countDistinct("s").as("d"))
-      .join(warm.select("k", "id").limit(1000), "k")
-      .selectExpr("k", "d", "row_number() OVER (PARTITION BY k ORDER BY id) AS rn")
-      .count()
+    // Throwaway work: a warmup failure must not abort the whole bench
+    // (the per-query error accounting below is the failure channel).
+    try {
+      val warm = spark.range(200000L)
+        .selectExpr("id", "id % 97 AS k", "md5(CAST(id AS STRING)) AS s")
+      warm.groupBy("k")
+        .agg(org.apache.spark.sql.functions.countDistinct("s").as("d"))
+        .join(warm.select("k", "id").limit(1000), "k")
+        .selectExpr("k", "d", "row_number() OVER (PARTITION BY k ORDER BY id) AS rn")
+        .count()
+      ()
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] warmup FAILED: ${e.getMessage}")
+    }
     // Stable (sorted) execution order for the same reason.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     def sweep(): Seq[(String, Double)] = names.map { case (name, fn) =>

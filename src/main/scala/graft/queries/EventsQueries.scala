@@ -171,11 +171,16 @@ object EventsQueries extends QueryModule {
         |FROM g
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // Boundary semantics pinned empirically on Spark 4.1.2: two events
+    // EXACTLY 30 min apart merge into ONE session (session_window's
+    // merge test is ts <= window end, producing [00:00, 01:00) for
+    // events at 00:00/00:30), so the oracle's break is strictly
+    // gap > 30 min — same as ev_sessions. Do not change to >=.
     "ev_session_window" ->
       """WITH g AS (
         |  SELECT user_id, ts,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) >= 1800000000
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
         |      THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |s AS (
