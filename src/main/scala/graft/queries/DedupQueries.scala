@@ -184,6 +184,58 @@ object DedupQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // Deterministic train/val/test split (80/10/10): bucket by an
+    // md5-derived hash of doc_id, so the split is reproducible across
+    // runs, engines, and cluster sizes — at 100 TB this is a pure
+    // narrow map (no shuffle, no sampling state), the only split
+    // mechanism that re-derives identically when the corpus is re-read.
+    "pipe_train_split" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .selectExpr("lang",
+          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10 AS bucket")
+        .selectExpr("lang",
+          "CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split")
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")
+    }),
+
+    // Near-dup CLUSTER resolution: connected components over the exact
+    // Jaccard ≥ 0.5 pair graph, by min-label propagation to fixpoint
+    // (each iteration: union own labels with neighbors' labels, keep
+    // the min per node — the alternating-star join pattern). Real
+    // pipelines dedup per cluster (keep one canonical doc), not per
+    // pair. Iteration count is bounded by component diameter — shallow
+    // for near-dup graphs — and each iteration is ONE shuffle, so the
+    // loop is log-ish and fully distributed; the driver only compares
+    // an aggregated convergence scalar per round.
+    "dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val edges = jaccardPairs(s, dir).select($"d1", $"d2")
+      val sym = edges
+        .unionAll(edges.select($"d2".as("d1"), $"d1".as("d2")))
+        .persist()
+      var labels = sym.select($"d1".as("node")).distinct()
+        .withColumn("label", $"node").persist()
+      // Labels only ever decrease, so sum(label) is a strictly
+      // decreasing convergence measure: equal sums ⇔ fixpoint.
+      var prevSum = labels.agg(sum($"label")).as[Long].head()
+      var converged = false
+      while (!converged) {
+        val prop = sym.join(labels, $"d1" === $"node")
+          .select($"d2".as("node"), $"label")
+        val next = labels.unionAll(prop)
+          .groupBy($"node").agg(min($"label").as("label")).persist()
+        val s2 = next.agg(sum($"label")).as[Long].head()
+        if (s2 == prevSum) { next.unpersist(); converged = true }
+        else { labels.unpersist(); labels = next; prevSum = s2 }
+      }
+      labels.groupBy($"label".as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("cluster_id")
+    }),
+
     // SimHash (64-bit, term-frequency-weighted) per doc + neighbor count
     // within Hamming ≤ 3 via exact 4-chunk blocking. Rows-only (the
     // signature depends on xxhash64).
@@ -257,6 +309,34 @@ object DedupQueries extends QueryModule {
          |SELECT d1, d2, sa, sb, c, (c * 1000000) // (sa + sb - c) AS jac_ppm
          |FROM p
          |WHERE 2 * c >= sa + sb - c
-         |ORDER BY d1, d2""".stripMargin
+         |ORDER BY d1, d2""".stripMargin,
+    "pipe_train_split" ->
+      """SELECT lang,
+        |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM (SELECT lang,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS b
+        |      FROM documents)
+        |GROUP BY 1, 2
+        |ORDER BY lang, split""".stripMargin,
+    // Recursive min-label reachability: label(n) = every node that can
+    // reach n through the symmetrized near-dup edges; min per node is
+    // the component's smallest doc_id (same canonical id as the engine).
+    "dedup_clusters" ->
+      s"""${duckShingles.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |p AS (SELECT a.doc_id d1, b.doc_id d2
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE 2 * len(list_intersect(a.s, b.s))
+         |            >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+         |sym(a, b) AS (SELECT d1, d2 FROM p UNION SELECT d2, d1 FROM p),
+         |comp(node, label) AS (
+         |  SELECT a, a FROM sym
+         |  UNION
+         |  SELECT s.b, c.label FROM comp c JOIN sym s ON s.a = c.node),
+         |lab AS (SELECT node, min(label) AS cluster_id FROM comp GROUP BY node)
+         |SELECT cluster_id, count(*) AS n_docs
+         |FROM lab
+         |GROUP BY cluster_id
+         |ORDER BY cluster_id""".stripMargin
   )
 }

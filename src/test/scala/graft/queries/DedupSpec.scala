@@ -66,6 +66,24 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty, "degenerate corpus: no near-dup pairs to check")
     assert(got == expected,
       s"missed: ${expected -- got}; spurious: ${got -- expected}")
+
+    // Same corpus, cluster resolution: label propagation must agree
+    // with a collections-level union-find over the expected pair graph.
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    expected.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expectedClusters = parent.keys.toSeq.map(n => find(n) -> n)
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val gotClusters = graft.SparkEntry.queries("dedup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotClusters == expectedClusters,
+      s"cluster mismatch: got $gotClusters expected $expectedClusters")
   }
 
   test("exact jaccard pairs all meet the 0.5 threshold in ppm") {
