@@ -184,6 +184,29 @@ object DedupQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // Benchmark decontamination: flag corpus docs sharing ANY word-3-
+    // gram with the eval set (stand-in: doc_id < 10 — in production the
+    // benchmark suite). The eval side's distinct shingles are tiny by
+    // definition, so they BROADCAST and the corpus scan streams once
+    // with no shuffle — the only formulation that survives 100 TB.
+    "pipe_decontam" -> ((s, dir) => {
+      import s.implicits._
+      val sh = shingleArrays(s, dir)
+        .selectExpr("doc_id", "explode(ss) AS shingle")
+      val evalShingles = sh.where($"doc_id" < 10)
+        .select($"shingle").distinct()
+      val flagged = sh.where($"doc_id" >= 10)
+        .join(broadcast(evalShingles), "shingle")
+        .select($"doc_id").distinct()
+        .withColumn("flag", lit(1L))
+      Tables.documents(s, dir).where($"doc_id" >= 10)
+        .join(flagged, Seq("doc_id"), "left")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce($"flag", lit(0L))).as("n_flagged"))
+        .orderBy("lang")
+    }),
+
     // Deterministic train/val/test split (80/10/10): bucket by an
     // md5-derived hash of doc_id, so the split is reproducible across
     // runs, engines, and cluster sizes — at 100 TB this is a pure
@@ -310,6 +333,18 @@ object DedupQueries extends QueryModule {
          |FROM p
          |WHERE 2 * c >= sa + sb - c
          |ORDER BY d1, d2""".stripMargin,
+    "pipe_decontam" ->
+      s"""$duckShingles,
+         |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 10),
+         |fl AS (SELECT DISTINCT doc_id
+         |       FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 10)
+         |       WHERE g IN (SELECT g FROM ev))
+         |SELECT d.lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         |FROM documents d LEFT JOIN fl ON d.doc_id = fl.doc_id
+         |WHERE d.doc_id >= 10
+         |GROUP BY d.lang
+         |ORDER BY lang""".stripMargin,
     "pipe_train_split" ->
       """SELECT lang,
         |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,

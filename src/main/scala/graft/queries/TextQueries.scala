@@ -33,6 +33,22 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Internal-repetition filter (C4/Gopher-style quality rule): the
+    // fraction of repeated word-3-grams WITHIN a doc, as ppm. A high
+    // ratio marks boilerplate/template text. Narrow map — no shuffle.
+    "txt_repetition" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .selectExpr("doc_id", s"$tokens AS t")
+        .where("size(t) >= 3")
+        .selectExpr("doc_id",
+          "CAST(size(t) - 2 AS BIGINT) AS n_grams",
+          "CAST(size(array_distinct(transform(sequence(1, size(t) - 2), " +
+            "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))) AS BIGINT) AS distinct_grams")
+        .selectExpr("doc_id", "n_grams", "distinct_grams",
+          "(n_grams - distinct_grams) * 1000000L div n_grams AS dup_ppm")
+        .orderBy("doc_id")
+    }),
+
     // BPE-style pre-tokenizer count next to the whitespace count (the
     // GPT-2 pre-tokenizer shape: letter runs stay one token, digits
     // split per character, punctuation per character). Pure regex →
@@ -177,6 +193,17 @@ object TextQueries extends QueryModule {
       s"""SELECT doc_id, len($duckTokens) AS n_tokens, length(text) AS text_len,
          |  n_chars, n_chars = length(text) AS chars_ok
          |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "txt_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $duckTokens AS t FROM documents),
+         |g AS (SELECT doc_id,
+         |        CAST(len(t) - 2 AS BIGINT) AS n_grams,
+         |        CAST(len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |                                FOR i IN range(1, len(t) - 1)])) AS BIGINT) AS distinct_grams
+         |      FROM w WHERE len(t) >= 3)
+         |SELECT doc_id, n_grams, distinct_grams,
+         |  ((n_grams - distinct_grams) * 1000000) // n_grams AS dup_ppm
+         |FROM g
          |ORDER BY doc_id""".stripMargin,
     "txt_bpe_tokens" ->
       s"""SELECT doc_id,
