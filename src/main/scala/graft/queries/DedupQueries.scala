@@ -242,15 +242,19 @@ object DedupQueries extends QueryModule {
       var labels = sym.select($"d1".as("node")).distinct()
         .withColumn("label", $"node").persist()
       // Labels only ever decrease, so sum(label) is a strictly
-      // decreasing convergence measure: equal sums ⇔ fixpoint.
-      var prevSum = labels.agg(sum($"label")).as[Long].head()
+      // decreasing convergence measure: equal sums ⇔ fixpoint. The
+      // coalesce covers a pair-free corpus (sum over zero rows is NULL,
+      // not 0) — the loop then converges immediately on empty output.
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum($"label"), lit(0L))).as[Long].head()
+      var prevSum = labelSum(labels)
       var converged = false
       while (!converged) {
         val prop = sym.join(labels, $"d1" === $"node")
           .select($"d2".as("node"), $"label")
         val next = labels.unionAll(prop)
           .groupBy($"node").agg(min($"label").as("label")).persist()
-        val s2 = next.agg(sum($"label")).as[Long].head()
+        val s2 = labelSum(next)
         if (s2 == prevSum) { next.unpersist(); converged = true }
         else { labels.unpersist(); labels = next; prevSum = s2 }
       }
