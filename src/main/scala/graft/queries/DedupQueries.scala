@@ -39,8 +39,7 @@ object DedupQueries extends QueryModule {
       .selectExpr("doc_id", s"$TOKENS AS t")
       .where("size(t) >= 3")
       .selectExpr("doc_id",
-        "array_distinct(transform(sequence(1, size(t) - 2), " +
-          "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))) AS ss")
+        s"array_distinct(${QueryModule.grams3("t")}) AS ss")
       .selectExpr("doc_id", "ss", "CAST(size(ss) AS BIGINT) AS sz")
 
   /** Exact Jaccard ≥ 0.5 pairs, PPJoin-style:
@@ -186,9 +185,12 @@ object DedupQueries extends QueryModule {
 
     // Benchmark decontamination: flag corpus docs sharing ANY word-3-
     // gram with the eval set (stand-in: doc_id < 10 — in production the
-    // benchmark suite). The eval side's distinct shingles are tiny by
-    // definition, so they BROADCAST and the corpus scan streams once
-    // with no shuffle — the only formulation that survives 100 TB.
+    // benchmark suite). Scale stance: the eval side's distinct shingles
+    // are tiny by definition, so the contamination join BROADCASTS them
+    // against the streaming corpus-shingle branch — no shuffle carries
+    // corpus text. The remaining exchanges (flagged-id distinct, final
+    // per-lang rollup) move only doc_id/lang-sized rows, and the base
+    // count re-scans documents with just (doc_id, lang) pruned.
     "pipe_decontam" -> ((s, dir) => {
       import s.implicits._
       val sh = shingleArrays(s, dir)
@@ -241,22 +243,21 @@ object DedupQueries extends QueryModule {
         .persist()
       var labels = sym.select($"d1".as("node")).distinct()
         .withColumn("label", $"node").persist()
-      // Labels only ever decrease, so sum(label) is a strictly
-      // decreasing convergence measure: equal sums ⇔ fixpoint. The
-      // coalesce covers a pair-free corpus (sum over zero rows is NULL,
-      // not 0) — the loop then converges immediately on empty output.
-      def labelSum(df: DataFrame): Long =
-        df.agg(coalesce(sum($"label"), lit(0L))).as[Long].head()
-      var prevSum = labelSum(labels)
+      // Labels only ever DECREASE, so the fixpoint test is "no node's
+      // label got smaller this round" — an anti-join count, not a
+      // sum-of-labels scalar (which could overflow int64 on billions of
+      // large doc_ids and silently terminate early on a wrapped tie).
       var converged = false
       while (!converged) {
         val prop = sym.join(labels, $"d1" === $"node")
           .select($"d2".as("node"), $"label")
         val next = labels.unionAll(prop)
           .groupBy($"node").agg(min($"label").as("label")).persist()
-        val s2 = labelSum(next)
-        if (s2 == prevSum) { next.unpersist(); converged = true }
-        else { labels.unpersist(); labels = next; prevSum = s2 }
+        val shrunk = next.withColumnRenamed("label", "nl")
+          .join(labels.withColumnRenamed("label", "ol"), "node")
+          .where($"nl" < $"ol")
+        if (shrunk.isEmpty) { next.unpersist(); converged = true }
+        else { labels.unpersist(); labels = next }
       }
       labels.groupBy($"label".as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"))
@@ -304,7 +305,7 @@ object DedupQueries extends QueryModule {
     s"""WITH w AS (SELECT doc_id, $duckTokens AS t
       |           FROM documents),
       |sh AS (SELECT doc_id,
-      |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
+      |         list_distinct(${QueryModule.duckGrams3("t")}) AS s
       |       FROM w WHERE len(t) >= 3)""".stripMargin
 
   override def oracles: Map[String, String] = Map(

@@ -19,6 +19,18 @@ object QueryModule {
   /** DuckDB rendering of [[Tokens]] for oracle SQL. */
   val DuckTokens = "list_filter(string_split(text, ' '), w -> w != '')"
 
+  /** Word-3-gram expression over a token-array column named `arr` —
+    * the shingling unit shared by the dedup family, decontamination,
+    * and the repetition filter. Same byte-identity policy as [[Tokens]]:
+    * ONE definition, or the near-dup semantics silently fork. */
+  def grams3(arr: String): String =
+    s"transform(sequence(1, size($arr) - 2), i -> concat_ws(' ', " +
+      s"element_at($arr, i), element_at($arr, i + 1), element_at($arr, i + 2)))"
+
+  /** DuckDB rendering of [[grams3]]. */
+  def duckGrams3(arr: String): String =
+    s"[$arr[i] || ' ' || $arr[i+1] || ' ' || $arr[i+2] FOR i IN range(1, len($arr) - 1)]"
+
   /** Exact discounted revenue Σ price·(1−disc): tight decimal scales
     * (12,2 × 7,4 stays inside precision 38), rounded to scale 2 in the
     * decimal domain before the double cast (single rounding on both
@@ -36,7 +48,15 @@ object QueryModule {
 trait QueryModule {
   /** name -> (spark, sfDir) -> result. Results must be deterministic:
     * small, fully sorted on a unique key, doubles derived via exact
-    * decimal sums (SURVEY.md §7.4 oracle-parity notes). */
+    * decimal sums (SURVEY.md §7.4 oracle-parity notes).
+    *
+    * Caching contract: queries MAY `persist()` intermediates that feed
+    * multiple branches of their own plan (shingle indexes, LSH
+    * sketches, label tables) and do NOT unpersist them — the returned
+    * DataFrame is lazy, so the cache must outlive the call for the
+    * caller's action to benefit. Callers are expected to run
+    * `spark.catalog.clearCache()` between queries, as Verify, Bench,
+    * and the specs all do. */
   def queries: Map[String, (SparkSession, String) => DataFrame]
 
   /** name -> equivalent DuckDB SQL over views named like the parquet

@@ -42,8 +42,7 @@ object TextQueries extends QueryModule {
         .where("size(t) >= 3")
         .selectExpr("doc_id",
           "CAST(size(t) - 2 AS BIGINT) AS n_grams",
-          "CAST(size(array_distinct(transform(sequence(1, size(t) - 2), " +
-            "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))) AS BIGINT) AS distinct_grams")
+          s"CAST(size(array_distinct(${QueryModule.grams3("t")})) AS BIGINT) AS distinct_grams")
         .selectExpr("doc_id", "n_grams", "distinct_grams",
           "(n_grams - distinct_grams) * 1000000L div n_grams AS dup_ppm")
         .orderBy("doc_id")
@@ -198,8 +197,7 @@ object TextQueries extends QueryModule {
       s"""WITH w AS (SELECT doc_id, $duckTokens AS t FROM documents),
          |g AS (SELECT doc_id,
          |        CAST(len(t) - 2 AS BIGINT) AS n_grams,
-         |        CAST(len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-         |                                FOR i IN range(1, len(t) - 1)])) AS BIGINT) AS distinct_grams
+         |        CAST(len(list_distinct(${QueryModule.duckGrams3("t")})) AS BIGINT) AS distinct_grams
          |      FROM w WHERE len(t) >= 3)
          |SELECT doc_id, n_grams, distinct_grams,
          |  ((n_grams - distinct_grams) * 1000000) // n_grams AS dup_ppm
