@@ -243,21 +243,27 @@ object DedupQueries extends QueryModule {
         .persist()
       var labels = sym.select($"d1".as("node")).distinct()
         .withColumn("label", $"node").persist()
-      // Labels only ever DECREASE, so the fixpoint test is "no node's
-      // label got smaller this round" — an anti-join count, not a
-      // sum-of-labels scalar (which could overflow int64 on billions of
-      // large doc_ids and silently terminate early on a wrapped tie).
+      // Labels only ever decrease, so sum(label) is a strictly
+      // decreasing convergence measure: equal sums ⇔ fixpoint. Summed
+      // in decimal(38,0) — an int64 sum could overflow on billions of
+      // large doc_ids and either throw (ANSI) or wrap into a spurious
+      // tie that ends the loop early with wrong clusters. The coalesce
+      // covers a pair-free corpus (sum over zero rows is NULL): the
+      // loop then converges immediately on empty output.
+      def labelSum(df: DataFrame): String =
+        df.agg(coalesce(sum($"label".cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).cast("string"))
+          .as[String].head()
+      var prevSum = labelSum(labels)
       var converged = false
       while (!converged) {
         val prop = sym.join(labels, $"d1" === $"node")
           .select($"d2".as("node"), $"label")
         val next = labels.unionAll(prop)
           .groupBy($"node").agg(min($"label").as("label")).persist()
-        val shrunk = next.withColumnRenamed("label", "nl")
-          .join(labels.withColumnRenamed("label", "ol"), "node")
-          .where($"nl" < $"ol")
-        if (shrunk.isEmpty) { next.unpersist(); converged = true }
-        else { labels.unpersist(); labels = next }
+        val s2 = labelSum(next)
+        if (s2 == prevSum) { next.unpersist(); converged = true }
+        else { labels.unpersist(); labels = next; prevSum = s2 }
       }
       labels.groupBy($"label".as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"))
