@@ -39,4 +39,13 @@ object MediaCodec {
     val nf = math.min(5L, meta.byteLen / 100 + 1)
     (0L until nf).map(i => (meta.docId, i, i * (meta.byteLen / nf)))
   }
+
+  /** Resize-to-fit stub: target dimensions preserving aspect ratio
+    * inside a `box`×`box` square, floor-rounded (a real implementation
+    * calls the codec's scaler — the dimension math and the Spark
+    * plumbing around it are the tested artifact). */
+  def resizeFit(meta: MediaMeta, box: Int): (Int, Int) = {
+    val m = math.max(meta.width, meta.height).toLong
+    ((meta.width.toLong * box / m).toInt, (meta.height.toLong * box / m).toInt)
+  }
 }

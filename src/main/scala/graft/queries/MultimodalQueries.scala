@@ -66,6 +66,22 @@ object MultimodalQueries extends QueryModule {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // Resize: images only, fit into a 256x256 box preserving aspect
+    // ratio (floor-rounded integer math on the stub's dimensions — a
+    // narrow map, like decode; the real scaler slots into resizeFit).
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      media(s, dir)
+        .filter(_.mediaType == "image")
+        .map { m =>
+          val meta = MediaCodec.decode(m)
+          val (ow, oh) = MediaCodec.resizeFit(meta, 256)
+          (meta.docId, meta.width, meta.height, ow, oh)
+        }
+        .toDF("doc_id", "width", "height", "out_w", "out_h")
+        .orderBy("doc_id")
+    }),
+
     // Batched processing shape: KeyValueGroupedDataset.mapGroups over an
     // explicit integer bucket — the pattern a batch-decode API (GPU
     // inference, micro-batched codec calls) hangs off.
@@ -116,6 +132,18 @@ object MultimodalQueries extends QueryModule {
         |FROM f, range(0, 5) i(i)
         |WHERE i.i < nf
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS blen
+        |           FROM documents WHERE CAST(doc_id % 3 AS INT) = 0),
+        |d AS (SELECT doc_id,
+        |        CAST(64 + blen % 577 AS INT) AS width,
+        |        CAST(64 + (blen * 31) % 449 AS INT) AS height
+        |      FROM m)
+        |SELECT doc_id, width, height,
+        |  CAST(width * 256 // greatest(width, height) AS INT) AS out_w,
+        |  CAST(height * 256 // greatest(width, height) AS INT) AS out_h
+        |FROM d
+        |ORDER BY doc_id""".stripMargin,
     "mm_batch_stats" ->
       """SELECT doc_id % 4 AS bucket, count(*) AS n,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
