@@ -241,8 +241,15 @@ object DedupQueries extends QueryModule {
       val sym = edges
         .unionAll(edges.select($"d2".as("d1"), $"d1".as("d2")))
         .persist()
-      var labels = sym.select($"d1".as("node")).distinct()
-        .withColumn("label", $"node").persist()
+      // Initialization IS the first propagation round: sym is
+      // symmetric, so every node appears as d2, and min(node, min
+      // incoming d1) equals what iteration 1 would produce from
+      // all-self labels — one groupBy instead of a distinct plus a
+      // full join round.
+      var labels = sym.groupBy($"d2".as("node"))
+        .agg(min($"d1").as("mn"))
+        .select($"node", least($"node", $"mn").as("label"))
+        .persist()
       // Labels only ever decrease, so sum(label) is a strictly
       // decreasing convergence measure: equal sums ⇔ fixpoint. Summed
       // in decimal(38,0) — an int64 sum could overflow on billions of
