@@ -139,6 +139,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events against a batch dimension per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (user_id, ts_us)
+    val events = in.toDF()
+      .select($"_1".as("user_id"), timestamp_micros($"_2").as("ts_utc"))
+    val users = Seq((1L, "pro"), (2L, "free")).toDF("user_id", "segment")
+    val q = EventStreams.enrichWithUsers(events, users)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, us(0, 0)), (2L, us(0, 1)), (7L, us(0, 2))) // 7 unknown
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select($"user_id", $"segment")
+        .as[(Long, Option[String])].collect().toSet
+      assert(got == Set((1L, Some("pro")), (2L, Some("free")), (7L, None)), s"got $got")
+    } finally q.stop()
+  }
+
   test("parquet dir streams with the declared schema (one trigger of real fixture data)") {
     import spark.implicits._
     val stream = EventStreams.fromParquetDir(spark, sf0001)
