@@ -45,7 +45,9 @@ object MediaCodec {
     * calls the codec's scaler — the dimension math and the Spark
     * plumbing around it are the tested artifact). */
   def resizeFit(meta: MediaMeta, box: Int): (Int, Int) = {
-    val m = math.max(meta.width, meta.height).toLong
+    // max(_, 1): a real decoder may report 0x0 for a corrupt payload —
+    // degrade to 0x0 output rather than divide by zero.
+    val m = math.max(math.max(meta.width, meta.height), 1).toLong
     ((meta.width.toLong * box / m).toInt, (meta.height.toLong * box / m).toInt)
   }
 }

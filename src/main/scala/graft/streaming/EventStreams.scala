@@ -125,12 +125,14 @@ object EventStreams {
 
   /** Stream-static join: enrich a live event stream against a static
     * dimension table (user → segment). The static side is planned per
-    * micro-batch as an ordinary batch relation — small dims broadcast,
-    * no state store is involved, and the stream side never shuffles on
-    * the join key when the dim broadcasts. This is the third cell of
-    * the join matrix next to batch-batch and stream-stream. */
+    * micro-batch as an ordinary batch relation, no state store
+    * involved; deliberately UNHINTED so Catalyst auto-broadcasts a dim
+    * under the broadcast threshold (stream side then never shuffles)
+    * but still degrades to a shuffle join for a dim too big to ship —
+    * a hard-coded broadcast would OOM there. Third cell of the join
+    * matrix next to batch-batch and stream-stream. */
   def enrichWithUsers(events: DataFrame, users: DataFrame): DataFrame =
-    events.join(broadcast(users), Seq("user_id"), "left")
+    events.join(users, Seq("user_id"), "left")
 
   /** Convenience writer used by examples/tests: in-memory sink. */
   def toMemory(df: DataFrame, name: String, mode: OutputMode) =
