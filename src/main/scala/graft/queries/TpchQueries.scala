@@ -67,6 +67,72 @@ object TpchQueries extends QueryModule {
         .limit(20)
     }),
 
+    // Q4 shape: order-priority checking — EXISTS correlated subquery
+    // lowering to a left-semi join (fixture has no l_commitdate/
+    // l_receiptdate, so the "late line" predicate is adapted to
+    // l_shipdate > o_orderdate; the semi-join shape is the point).
+    "tpch_q4" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .where($"o_orderdate".between(
+          lit("1997-01-01").cast("timestamp_ntz"),
+          lit("1997-12-31").cast("timestamp_ntz")))
+      val lateLines = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_shipdate")
+      o.join(lateLines,
+          $"o_orderkey" === $"l_orderkey" && $"l_shipdate" > $"o_orderdate",
+          "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Q14 shape: promotion revenue share — conditional aggregation over
+    // a fact⋈dim join, one ratio row out. Ratio in ppm via the decimal
+    // revenue pair (engine-exact integers, no float division drift).
+    "tpch_q14" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .where(year($"l_shipdate") === 1997)
+        .join(Tables.part(s, dir), $"l_partkey" === $"p_partkey")
+        .agg(
+          revenue($"l_extendedprice", $"l_discount").as("total_revenue"),
+          revenue(
+            when($"p_type" === "PROMO", $"l_extendedprice").otherwise(lit(0.0)),
+            $"l_discount").as("promo_revenue"))
+        .selectExpr("promo_revenue", "total_revenue",
+          "CAST(floor(promo_revenue * 1000000 / total_revenue) AS BIGINT) AS promo_ppm")
+    }),
+
+    // Q21 shape: suppliers-who-kept-orders-waiting — the EXISTS +
+    // NOT EXISTS double self-join on the fact table (semi-join then
+    // anti-join on the same key), the hardest join-planning shape in
+    // TPC-H. Adapted semantics on fixture columns: a supplier's 'R'
+    // line on a multi-supplier order where NO other supplier's line on
+    // that order is 'R'.
+    "tpch_q21" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_returnflag")
+      val l1 = li.where($"l_returnflag" === "R")
+      val withOther = l1.as("l1").join(li.as("l2"),
+        $"l1.l_orderkey" === $"l2.l_orderkey" &&
+          $"l1.l_suppkey" =!= $"l2.l_suppkey",
+        "left_semi")
+      val soleFault = withOther.as("l1").join(
+        li.where($"l_returnflag" === "R").as("l3"),
+        $"l1.l_orderkey" === $"l3.l_orderkey" &&
+          $"l1.l_suppkey" =!= $"l3.l_suppkey",
+        "left_anti")
+      soleFault
+        .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"s_name", $"n_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(25)
+    }),
+
     // Q18 shape: large-volume orders (whole-group predicate feeding a
     // join — the aggregate-then-join pattern).
     "tpch_q18" -> ((s, dir) => {
@@ -118,6 +184,45 @@ object TpchQueries extends QueryModule {
          |GROUP BY c_custkey, c_name, n_name
          |ORDER BY revenue DESC, c_custkey
          |LIMIT 20""".stripMargin,
+    "tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "tpch_q14" ->
+      s"""WITH j AS (
+         |  SELECT l_extendedprice, l_discount, p_type
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE year(l_shipdate) = 1997),
+         |r AS (
+         |  SELECT $duckRevenue AS total_revenue,
+         |    CAST(CAST(round(sum(
+         |      CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice ELSE 0 END AS DECIMAL(12,2))
+         |      * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS promo_revenue
+         |  FROM j)
+         |SELECT promo_revenue, total_revenue,
+         |  CAST(floor(promo_revenue * 1000000 / total_revenue) AS BIGINT) AS promo_ppm
+         |FROM r""".stripMargin,
+    "tpch_q21" ->
+      """WITH l1 AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+        |f AS (SELECT * FROM l1
+        |      WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |                    WHERE l2.l_orderkey = l1.l_orderkey
+        |                      AND l2.l_suppkey <> l1.l_suppkey)
+        |        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                        WHERE l3.l_orderkey = l1.l_orderkey
+        |                          AND l3.l_suppkey <> l1.l_suppkey
+        |                          AND l3.l_returnflag = 'R'))
+        |SELECT s_name, n_name, count(*) AS numwait
+        |FROM f
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY s_name, n_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 25""".stripMargin,
     "tpch_q18" ->
       """WITH big AS (
         |  SELECT l_orderkey,

@@ -80,6 +80,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q4 EXISTS lowers to a semi-join; q21 keeps the semi+anti self-join pair") {
+    val p4 = plan("tpch_q4")
+    assert(p4.contains("LeftSemi"), "q4 EXISTS did not lower to a semi-join")
+    val p21 = plan("tpch_q21")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      "q21 lost its EXISTS/NOT-EXISTS join pair")
+  }
+
   test("simhash candidate join is an equi-join on the 16-bit chunks") {
     val p = plan("dedup_simhash")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
