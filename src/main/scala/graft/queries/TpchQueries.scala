@@ -100,8 +100,11 @@ object TpchQueries extends QueryModule {
           revenue(
             when($"p_type" === "PROMO", $"l_extendedprice").otherwise(lit(0.0)),
             $"l_discount").as("promo_revenue"))
+        // nullif: an empty year would make total_revenue 0.0, the double
+        // division Infinity, and CAST(inf AS BIGINT) throws under ANSI —
+        // degrade to NULL instead (mirrored in the oracle).
         .selectExpr("promo_revenue", "total_revenue",
-          "CAST(floor(promo_revenue * 1000000 / total_revenue) AS BIGINT) AS promo_ppm")
+          "CAST(floor(promo_revenue * 1000000 / nullif(total_revenue, 0.0D)) AS BIGINT) AS promo_ppm")
     }),
 
     // Q21 shape: suppliers-who-kept-orders-waiting — the EXISTS +
@@ -204,7 +207,7 @@ object TpchQueries extends QueryModule {
          |      * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS promo_revenue
          |  FROM j)
          |SELECT promo_revenue, total_revenue,
-         |  CAST(floor(promo_revenue * 1000000 / total_revenue) AS BIGINT) AS promo_ppm
+         |  CAST(floor(promo_revenue * 1000000 / nullif(total_revenue, 0.0)) AS BIGINT) AS promo_ppm
          |FROM r""".stripMargin,
     "tpch_q21" ->
       """WITH l1 AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
