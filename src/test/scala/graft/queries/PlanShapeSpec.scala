@@ -88,6 +88,32 @@ class PlanShapeSpec extends SparkSpec {
       "q21 lost its EXISTS/NOT-EXISTS join pair")
   }
 
+  test("q13 keeps the outer join (filter stays in the join condition)") {
+    // Q13's point is the left-outer join with the priority predicate in
+    // the ON clause — if a rewrite pushes it to a WHERE, zero-order
+    // customers vanish and the join may degrade to inner.
+    val p = plan("tpch_q13")
+    assert(p.contains("LeftOuter"), "q13 outer join degraded to inner")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "q13 lost one of its two aggregation levels")
+  }
+
+  test("q2 min-cost-per-part is a window, not a rejoined subquery") {
+    val p = plan("tpch_q2")
+    assert(p.contains("Window"), "q2 lost its partitioned-min window")
+    assert(!p.contains("CartesianProduct"), "q2 grew a cross join")
+    assert(p.contains("BroadcastHashJoin"), "q2 stopped broadcasting the dims")
+  }
+
+  test("q19's disjunctive predicate still extracts the equi-join key") {
+    // The three OR'd conjunct groups mix part and lineitem columns;
+    // Catalyst must still see l_partkey = p_partkey as the join key —
+    // a BNLJ here reads the whole lineitem per part partition.
+    val p = plan("tpch_q19")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "q19 degenerated to a non-equi join")
+  }
+
   test("simhash candidate join is an equi-join on the 16-bit chunks") {
     val p = plan("dedup_simhash")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
