@@ -65,6 +65,25 @@ object AdvancedQueries extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // Approximate quantiles: the mergeable-sketch counterpart of
+    // rel_percentiles. Rows-only by contract (the sketch result depends
+    // on partition merge order), cross-checked against the exact
+    // percentiles in SketchSpec. At 100 TB this is the form you run:
+    // fixed-size partial sketches merge associatively (map-side
+    // combine), where exact percentile needs every group's values
+    // gathered and sorted.
+    "rel_approx_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          floor(expr("approx_percentile(value, 0.5, 10000)") * 1000000).cast("long").as("p50_e6"),
+          floor(expr("approx_percentile(value, 0.9, 10000)") * 1000000).cast("long").as("p90_e6"),
+          floor(expr("approx_percentile(value, 0.99, 10000)") * 1000000).cast("long").as("p99_e6"))
+        .orderBy("event_type")
+    }),
+
     // UNPIVOT (wide→long): part metrics melted to (key, metric, value).
     "rel_unpivot" -> ((s, dir) => {
       import s.implicits._

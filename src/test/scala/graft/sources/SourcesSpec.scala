@@ -30,6 +30,21 @@ class SourcesSpec extends SparkSpec {
       region.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("orc round-trip preserves supplier exactly (native columnar alt)") {
+    val supplier = Tables.supplier(spark, sf001)
+    val dir = tmp("orc")
+    supplier.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == supplier.schema)
+    assert(back.orderBy("s_suppkey").collect().toSeq ==
+      supplier.orderBy("s_suppkey").collect().toSeq)
+    // ORC scans support predicate pushdown like parquet — keep it
+    // visible so a format switch doesn't silently lose the pushdown.
+    val p = back.filter(col("s_suppkey") === 1L).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(s_suppkey)"),
+      s"orc scan lost filter pushdown:\n$p")
+  }
+
   test("partitioned parquet sink prunes partitions at read") {
     val docs = Tables.documents(spark, sf001).select("doc_id", "lang", "n_chars")
     val dir = tmp("part")
