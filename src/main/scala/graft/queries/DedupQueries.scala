@@ -226,6 +226,27 @@ object DedupQueries extends QueryModule {
         .orderBy("lang", "split")
     }),
 
+    // Domain-mixture sampling: draw a fixed-budget corpus whose
+    // language mix follows configured weights (40% en, 15% each of
+    // de/es/fr/zh of a 400-doc budget), deterministically — each group
+    // keeps its K_g smallest md5(doc_id) values, so the sample is
+    // reproducible across runs and engines, and a group short of quota
+    // just contributes everything it has. One window pass (a single
+    // shuffle on the domain column); at 100 TB the same shape runs with
+    // lang swapped for any source/domain column and K_g from config —
+    // no collect, no per-row randomness, re-runs are idempotent.
+    "pipe_domain_mix" -> ((s, dir) => {
+      import s.implicits._
+      val quota = when($"lang" === "en", 160).otherwise(60)
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang", md5($"doc_id".cast("string")).as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"lang").orderBy($"h", $"doc_id")))
+        .where($"rn" <= quota)
+        .select($"doc_id", $"lang")
+        .orderBy("lang", "doc_id")
+    }),
+
     // Near-dup CLUSTER resolution: connected components over the exact
     // Jaccard ≥ 0.5 pair graph, by min-label propagation to fixpoint
     // (each iteration: union own labels with neighbors' labels, keep
@@ -372,6 +393,14 @@ object DedupQueries extends QueryModule {
         |      FROM documents)
         |GROUP BY 1, 2
         |ORDER BY lang, split""".stripMargin,
+    "pipe_domain_mix" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= CASE WHEN lang = 'en' THEN 160 ELSE 60 END
+        |ORDER BY lang, doc_id""".stripMargin,
     // Recursive min-label reachability: label(n) = every node that can
     // reach n through the symmetrized near-dup edges; min per node is
     // the component's smallest doc_id (same canonical id as the engine).
