@@ -31,18 +31,32 @@ object QueryModule {
   def duckGrams3(arr: String): String =
     s"[$arr[i] || ' ' || $arr[i+1] || ' ' || $arr[i+2] FOR i IN range(1, len($arr) - 1)]"
 
-  /** Exact discounted revenue Σ price·(1−disc): tight decimal scales
-    * (12,2 × 7,4 stays inside precision 38), rounded to scale 2 in the
-    * decimal domain before the double cast (single rounding on both
-    * engines — the module-wide oracle-parity policy). ONE definition:
-    * copies of this precision-critical formula must not drift. */
-  def revenue(ext: Column, disc: Column): Column =
+  /** Exact discounted revenue Σ price·(1−disc) kept in the DECIMAL
+    * domain: tight scales (12,2 × 7,4 stays inside precision 38),
+    * rounded to scale 2 before any reuse — for queries that compare or
+    * join on the rounded sum (Q11's threshold, Q15's max) before the
+    * output cast. ONE definition: copies of this precision-critical
+    * formula must not drift. */
+  def revenueDec(ext: Column, disc: Column): Column =
     round(sum(ext.cast("decimal(12,2)") * (lit(1) - disc.cast("decimal(6,4)"))), 2)
-      .cast("decimal(18,2)").cast("double")
+      .cast("decimal(18,2)")
 
-  /** DuckDB rendering of [[revenue]] over lineitem columns. */
-  val DuckRevenue: String =
-    "CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE)"
+  /** [[revenueDec]] cast to double — the output form (single rounding
+    * in the decimal domain on both engines, the module-wide
+    * oracle-parity policy). */
+  def revenue(ext: Column, disc: Column): Column =
+    revenueDec(ext, disc).cast("double")
+
+  /** DuckDB rendering of [[revenueDec]] over a named price column. */
+  def duckRevenueDec(ext: String, disc: String = "l_discount"): String =
+    s"CAST(round(sum(CAST($ext AS DECIMAL(12,2)) * (1 - CAST($disc AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2))"
+
+  /** DuckDB rendering of [[revenue]]. */
+  def duckRevenue(ext: String = "l_extendedprice", disc: String = "l_discount"): String =
+    s"CAST(${duckRevenueDec(ext, disc)} AS DOUBLE)"
+
+  /** [[duckRevenue]] over the standard lineitem columns. */
+  val DuckRevenue: String = duckRevenue()
 }
 
 trait QueryModule {

@@ -25,6 +25,9 @@ object TpchQueries extends QueryModule {
   private def revenue(ext: Column, disc: Column): Column =
     QueryModule.revenue(ext, disc)
 
+  private def revenueDec(ext: Column, disc: Column): Column =
+    QueryModule.revenueDec(ext, disc)
+
   private val duckRevenue = QueryModule.DuckRevenue
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -293,8 +296,7 @@ object TpchQueries extends QueryModule {
       val perPart = Tables.lineitem(s, dir)
         .join(eu, $"l_suppkey" === $"s_suppkey", "left_semi")
         .groupBy($"l_partkey")
-        .agg(round(sum($"l_extendedprice".cast("decimal(12,2)") *
-          (lit(1) - $"l_discount".cast("decimal(6,4)"))), 2).cast("decimal(18,2)").as("value"))
+        .agg(revenueDec($"l_extendedprice", $"l_discount").as("value"))
       val totals = perPart.agg(sum($"value").as("tot"), count(lit(1)).as("nparts"))
       perPart.crossJoin(broadcast(totals))
         .where($"value" * $"nparts" > $"tot" * lit(1.2).cast("decimal(2,1)"))
@@ -343,8 +345,7 @@ object TpchQueries extends QueryModule {
       val rev = Tables.lineitem(s, dir)
         .where(year($"l_shipdate") === 1997)
         .groupBy($"l_suppkey")
-        .agg(round(sum($"l_extendedprice".cast("decimal(12,2)") *
-          (lit(1) - $"l_discount".cast("decimal(6,4)"))), 2).cast("decimal(18,2)").as("total_rev"))
+        .agg(revenueDec($"l_extendedprice", $"l_discount").as("total_rev"))
       val top = rev.agg(max($"total_rev").as("max_rev"))
       Tables.supplier(s, dir)
         .join(rev, $"s_suppkey" === $"l_suppkey")
@@ -599,8 +600,7 @@ object TpchQueries extends QueryModule {
          |    AND year(o_orderdate) IN (1996, 1997)),
          |r AS (
          |  SELECT o_year,
-         |    CAST(CAST(round(sum(CAST(asia_ext AS DECIMAL(12,2))
-         |      * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS asia_revenue,
+         |    ${QueryModule.duckRevenue("asia_ext")} AS asia_revenue,
          |    $duckRevenue AS total_revenue
          |  FROM j GROUP BY o_year)
          |SELECT o_year, asia_revenue, total_revenue,
@@ -623,10 +623,9 @@ object TpchQueries extends QueryModule {
         |GROUP BY 1, 2
         |ORDER BY n_name, o_year DESC""".stripMargin,
     "tpch_q11" ->
-      """WITH perpart AS (
+      s"""WITH perpart AS (
         |  SELECT l_partkey,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        |      * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS value
+        |    ${QueryModule.duckRevenueDec("l_extendedprice")} AS value
         |  FROM lineitem
         |  WHERE l_suppkey IN (
         |    SELECT s_suppkey FROM supplier
@@ -659,10 +658,9 @@ object TpchQueries extends QueryModule {
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "tpch_q15" ->
-      """WITH rev AS (
+      s"""WITH rev AS (
         |  SELECT l_suppkey,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        |      * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS total_rev
+        |    ${QueryModule.duckRevenueDec("l_extendedprice")} AS total_rev
         |  FROM lineitem
         |  WHERE year(l_shipdate) = 1997
         |  GROUP BY l_suppkey)
