@@ -20,6 +20,24 @@ object EventsQueries extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Cohort retention: users bucketed by first-seen date, counted when
+    // they return exactly 0/1/7 days later. Cohort assignment is a
+    // window min over (user_id, day)-deduped rows — ONE shuffle on
+    // user_id, no self-join of the raw events — and after the dedup a
+    // (user, cohort, offset) row is unique, so the final count is a
+    // plain count, not a count-distinct shuffle.
+    "ev_retention" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"user_id", to_date($"ts_utc").as("d")).distinct()
+        .withColumn("cohort_d", min($"d").over(Window.partitionBy($"user_id")))
+        .withColumn("day_offset", datediff($"d", $"cohort_d"))
+        .where($"day_offset".isin(0, 1, 7))
+        .groupBy($"cohort_d", $"day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_d", "day_offset")
+    }),
+
     // Tumbling 1-hour windows per event type. window() keeps the whole
     // agg in one shuffle; at scale the windows align with parquet
     // partition pruning on a date-partitioned layout.
@@ -147,6 +165,17 @@ object EventsQueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "ev_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, d,
+        |        min(d) OVER (PARTITION BY user_id) AS cohort_d
+        |      FROM ev)
+        |SELECT cohort_d, date_diff('day', cohort_d, d) AS day_offset,
+        |  count(*) AS n_users
+        |FROM c
+        |WHERE date_diff('day', cohort_d, d) IN (0, 1, 7)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "ev_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         |  count(*) AS n,

@@ -216,6 +216,26 @@ object RelationalQueries extends QueryModule {
         .orderBy("returnflag", "linestatus")
     }),
 
+    // Irregular GROUPING SETS (neither a rollup prefix chain nor the
+    // full cube): per-priority totals, per-year totals, and the grand
+    // total in ONE pass over orders — one shuffle computes what three
+    // separate groupBys would re-scan for. NULL indicators folded to
+    // 'ALL' as in rel_rollup.
+    "rel_grouping_sets" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select($"o_orderpriority", year($"o_orderdate").as("yr"), $"o_totalprice")
+        .groupingSets(Seq(Seq($"o_orderpriority"), Seq($"yr"), Seq()),
+          $"o_orderpriority", $"yr")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .select(
+          coalesce($"o_orderpriority", lit("ALL")).as("pri"),
+          coalesce($"yr".cast("string"), lit("ALL")).as("yr"),
+          $"n", $"sum_price")
+        .orderBy("pri", "yr")
+    }),
+
     "rel_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .select("l_returnflag", "l_linestatus")
@@ -412,6 +432,16 @@ object RelationalQueries extends QueryModule {
         |FROM orders
         |WHERE o_custkey < 50
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "rel_grouping_sets" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+        |  coalesce(CAST(yr AS VARCHAR), 'ALL') AS yr,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM (SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |        o_totalprice
+        |      FROM orders)
+        |GROUP BY GROUPING SETS ((o_orderpriority), (yr), ())
+        |ORDER BY pri, yr""".stripMargin,
     "rel_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
