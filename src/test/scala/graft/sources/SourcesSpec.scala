@@ -45,6 +45,47 @@ class SourcesSpec extends SparkSpec {
       s"orc scan lost filter pushdown:\n$p")
   }
 
+  test("dynamic partition overwrite replaces only the rewritten partition") {
+    // The idempotent-backfill pattern: re-running one day/domain of a
+    // 100 TB partitioned table must replace exactly that partition —
+    // static overwrite mode would drop every sibling.
+    val docs = Tables.documents(spark, sf001).select("doc_id", "lang", "n_chars")
+    val dir = tmp("dynover")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val total = docs.count()
+    val de = docs.filter(col("lang") === "de")
+    val deSum = de.agg(sum("n_chars")).head.getLong(0)
+    val deCount = de.count()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try de.withColumn("n_chars", col("n_chars") + lit(1))
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val after = spark.read.parquet(dir)
+    assert(after.count() == total, "dynamic overwrite dropped sibling partitions")
+    assert(after.filter(col("lang") === "de").agg(sum("n_chars")).head.getLong(0)
+      == deSum + deCount, "rewritten partition does not hold the new rows")
+  }
+
+  test("maxRecordsPerFile splits one task's output (small-file control)") {
+    // At scale, output file sizing is managed, not accidental: a single
+    // task must be able to roll files at a bound instead of emitting
+    // one giant file per partition.
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+    val n = docs.count()
+    val dir = tmp("files")
+    docs.coalesce(1).write.mode("overwrite")
+      .option("maxRecordsPerFile", 100).parquet(dir)
+    val files = new java.io.File(dir).listFiles
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.length >= (n / 100).toInt,
+      s"expected >= ${n / 100} rolled files from one task, got ${files.length}")
+    assert(spark.read.parquet(dir).count() == n)
+  }
+
   test("partitioned parquet sink prunes partitions at read") {
     val docs = Tables.documents(spark, sf001).select("doc_id", "lang", "n_chars")
     val dir = tmp("part")

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 class StreamingSpec extends SparkSpec {
 
@@ -199,6 +199,25 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val total = spark.table("hc_pq").agg(sum($"n")).as[Long].head()
       assert(total == 1000L) // all sf0.001 events counted exactly once
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains the source then self-terminates") {
+    // The batch-over-stream pattern: a scheduled (e.g. nightly) run of
+    // the same streaming pipeline processes everything available and
+    // exits — with a checkpoint this is incremental ingestion without a
+    // resident cluster.
+    import spark.implicits._
+    val stream = EventStreams.fromParquetDir(spark, sf0001)
+    val q = EventStreams.hourlyCounts(stream).writeStream
+      .format("memory").queryName("hc_an")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+      val total = spark.table("hc_an").agg(sum($"n")).as[Long].head()
+      assert(total == 1000L)
     } finally q.stop()
   }
 }
