@@ -499,9 +499,7 @@ object TpchQueries extends QueryModule {
          |  WHERE year(l_shipdate) = 1997),
          |r AS (
          |  SELECT $duckRevenue AS total_revenue,
-         |    CAST(CAST(round(sum(
-         |      CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice ELSE 0 END AS DECIMAL(12,2))
-         |      * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS promo_revenue
+         |    ${QueryModule.duckRevenue("CASE WHEN p_type = 'PROMO' THEN l_extendedprice ELSE 0 END")} AS promo_revenue
          |  FROM j)
          |SELECT promo_revenue, total_revenue,
          |  CAST(floor(promo_revenue * 1000000 / nullif(total_revenue, 0.0)) AS BIGINT) AS promo_ppm
