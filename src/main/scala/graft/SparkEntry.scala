@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private val modules: Seq[QueryModule] = Seq(
+  private[graft] val modules: Seq[QueryModule] = Seq(
     KernelQueries,
     RelationalQueries,
     EventsQueries,
