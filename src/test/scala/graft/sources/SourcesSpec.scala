@@ -45,6 +45,24 @@ class SourcesSpec extends SparkSpec {
       s"orc scan lost filter pushdown:\n$p")
   }
 
+  test("zstd parquet round-trips (the cold-data codec choice is a config, not code)") {
+    val part = Tables.part(spark, sf001)
+    val dir = tmp("zstd")
+    part.write.mode("overwrite").option("compression", "zstd").parquet(dir)
+    val files = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".zstd.parquet"))
+    assert(files.nonEmpty, "no zstd-suffixed parquet files written")
+    assert(spark.read.parquet(dir).count() == part.count())
+  }
+
+  test("text source reads raw lines (one record per line ingestion)") {
+    val docs = Tables.documents(spark, sf001).select("text")
+    val dir = tmp("text")
+    docs.write.mode("overwrite").text(dir)
+    val back = spark.read.text(dir)
+    assert(back.count() == docs.count())
+  }
+
   test("dynamic partition overwrite replaces only the rewritten partition") {
     // The idempotent-backfill pattern: re-running one day/domain of a
     // 100 TB partitioned table must replace exactly that partition —
