@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally goes through sbt's logger, which prefixes
+// every line with "[info] " — that both breaks parsing the one-line
+// JSON bench report and wastes 7 chars of the harness's 2000-char
+// stdout tail window. Inherit stdout instead.
+run / outputStrategy := Some(StdoutOutput)
+// The bench/verify harness surfaces only the tail of stdout; sbt's
+// closing "[success] Total time: ..." line would displace the tail end
+// of the one-line JSON report, so suppress it.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

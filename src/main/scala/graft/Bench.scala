@@ -54,7 +54,9 @@ object Bench {
     // a host, and a transient noisy-neighbor window has been observed to
     // inflate a sweep ~3x end to end — min-of-2 keeps a round-over-round
     // comparison about the code, not about which minute it ran in. A
-    // query counts as an error only if it failed in BOTH sweeps.
+    // query counts as an error only if it failed in BOTH sweeps; a
+    // query that failed in exactly one sweep is listed in "flaky" so
+    // intermittent breakage is visible in the JSON, not just stderr.
     val p1 = sweep()
     val p2 = sweep()
     val results = p1.zip(p2).map { case ((name, a), (_, b)) =>
@@ -65,15 +67,59 @@ object Bench {
         case _            => math.min(a, b)
       })
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val flaky = p1.zip(p2).collect {
+      case ((name, a), (_, b)) if (a < 0) != (b < 0) => name
+    }
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    // The harness only surfaces the LAST ~2000 characters of stdout, so
+    // the single JSON line is laid out back-loaded: the per-query map
+    // comes first sorted ASCENDING by time (the cheap queries are the
+    // ones a front-truncation can afford to lose), and the headline
+    // total/errors/flaky land at the very end of the line. Values are
+    // 2-decimal precision so the whole line fits inside the window
+    // (full nanosecond-precision timings go to BENCH_LOCAL.json below).
     // Failures are excluded from the headline total (a -1 would shrink
     // it, reporting a regression as a speedup); the explicit top-level
     // errors count keeps a round-over-round total comparison from
     // reading a breakage as a speedup.
     val errors = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"passes":2,"queries":$qs,"sf":"$sfDir"}""")
+    val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val ascending = results.sortBy(_._2)
+    def render(skipFastest: Int): String = {
+      val (folded, kept) = ascending.splitAt(skipFastest)
+      val keptJson = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val foldJson =
+        if (folded.isEmpty) ""
+        else {
+          val fsum = folded.map(_._2).filter(_ >= 0).sum
+          s""""fast_other":{"n":${folded.size},"sum":${fmt(fsum)}},"""
+        }
+      s"""{${foldJson}"queries":$keptJson,"sf":"$sfDir","passes":2,"flaky":$flakyJson,"errors":$errors,"metric":"total","unit":"sec","value":${fmt(total)}}"""
+    }
+    // If the line would overflow the ~2000-char tail window anyway,
+    // fold just enough of the CHEAPEST queries into one "fast_other"
+    // rollup that the line stays a single valid JSON object inside the
+    // tail (their individual timings are in BENCH_LOCAL.json).
+    var skip = 0
+    while (render(skip).length > 1990 && skip < ascending.size) skip += 1
+    val line = render(skip)
+    // Durable full-precision record (both sweeps, not just the min) —
+    // stdout only carries the one-line summary above.
+    try {
+      val full = new StringBuilder
+      full ++= s"""{"sf":"$sfDir","total":$total,"errors":$errors,"flaky":$flakyJson,"""
+      def sweepJson(p: Seq[(String, Double)]): String =
+        p.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      full ++= s""""min":${sweepJson(results)},"sweep1":${sweepJson(p1)},"sweep2":${sweepJson(p2)}}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        full.toString.getBytes("UTF-8"))
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] local dump failed: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -209,6 +209,64 @@ object DedupQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // Embedding-cosine near-dup (SemDeDup shape): pair up vectors
+    // INSIDE a coarse cluster only (the fixture's label column stands in
+    // for the IVF/k-means cell every production semantic-dedup pass
+    // assigns first — see emb_ivf_topk for that assignment as a query),
+    // score exact cosine within the cell, and mark any vector that has
+    // a smaller-id neighbor at sim ≥ 0.4 as a duplicate of its smallest
+    // such neighbor. The cell equi-join keeps the pair generation at
+    // Σ|cell|² instead of n² — the only shape that survives 100 TB —
+    // and the within-cell pairing shuffles on the cell key, not on
+    // pairs. Same float policy as EmbeddingQueries: doubles through the
+    // codegen'd cosine_sim, e6-floor integers out.
+    "dedup_embedding" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label", $"embedding")
+      val a = e.select($"vec_id".as("v1"), $"label", $"embedding".as("e1"))
+      val b = e.select($"vec_id".as("v2"), $"label", $"embedding".as("e2"))
+      a.join(b, Seq("label"))
+        .where($"v1" < $"v2")
+        .withColumn("sim", call_function("cosine_sim", $"e1", $"e2"))
+        .where($"sim" >= 0.4)
+        .groupBy($"v2".as("dup_id"))
+        .agg(min($"v1").as("canon_id"), count(lit(1)).as("n_near"))
+        .orderBy("dup_id")
+    }),
+
+    // PII scrubbing: redact email addresses and phone-shaped tokens
+    // before a corpus ships to training. The fixture text is synthetic
+    // word salad, so the PII is injected deterministically from doc_id
+    // first (same expression on both engines) — the query under test is
+    // the scrub itself: regexp_replace with patterns kept inside the
+    // Java-regex ∩ RE2 common subset (character classes, bounded
+    // repetition — no lookaround, no backrefs), so the identical pattern
+    // text means the identical match set on both engines. Pure narrow
+    // map: no shuffle at any scale.
+    "pipe_pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      val emailRe = PiiEmailRe
+      val phoneRe = PiiPhoneRe
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+            lit("@mail"), ($"doc_id" % 7).cast("string"),
+            lit(".example.com or tel 555-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+            lit(" today")).as("synth"))
+        .select($"doc_id",
+          regexp_count($"synth", lit(emailRe)).as("n_emails"),
+          regexp_count($"synth", lit(phoneRe)).as("n_phones"),
+          regexp_replace(
+            regexp_replace($"synth", emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]").as("scrubbed"))
+        .select($"doc_id", $"n_emails", $"n_phones",
+          md5($"scrubbed").as("scrub_md5"),
+          length($"scrubbed").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic train/val/test split (80/10/10): bucket by an
     // md5-derived hash of doc_id, so the split is reproducible across
     // runs, engines, and cluster sizes — at 100 TB this is a pure
@@ -284,11 +342,21 @@ object DedupQueries extends QueryModule {
           .as[String].head()
       var prevSum = labelSum(labels)
       var converged = false
+      var round = 0
       while (!converged) {
+        round += 1
         val prop = sym.join(labels, $"d1" === $"node")
           .select($"d2".as("node"), $"label")
-        val next = labels.unionAll(prop)
-          .groupBy($"node").agg(min($"label").as("label")).persist()
+        val grouped = labels.unionAll(prop)
+          .groupBy($"node").agg(min($"label").as("label"))
+        // persist() caches the DATA but each round's logical plan still
+        // builds on the whole prior lineage, so analyzer/optimizer time
+        // grows with iteration depth. Every few rounds localCheckpoint
+        // (eager, already forced by labelSum anyway) restarts the plan
+        // from the materialized blocks, keeping per-round driver cost
+        // flat on deep-diameter components.
+        val next =
+          if (round % 3 == 0) grouped.localCheckpoint() else grouped.persist()
         val s2 = labelSum(next)
         if (s2 == prevSum) { next.unpersist(); converged = true }
         else { labels.unpersist(); labels = next; prevSum = s2 }
@@ -332,6 +400,11 @@ object DedupQueries extends QueryModule {
         .orderBy("doc_id")
     })
   )
+
+  /** PII patterns, shared verbatim by the Spark query and the DuckDB
+    * oracle (Java-regex ∩ RE2 subset — see pipe_pii_scrub). */
+  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiPhoneRe = "555-[0-9]{4}"
 
   private val duckTokens = QueryModule.DuckTokens
 
@@ -384,6 +457,33 @@ object DedupQueries extends QueryModule {
          |WHERE d.doc_id >= 10
          |GROUP BY d.lang
          |ORDER BY lang""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+        |SELECT v2 AS dup_id, min(v1) AS canon_id, count(*) AS n_near
+        |FROM p
+        |GROUP BY v2
+        |ORDER BY dup_id""".stripMargin,
+    "pipe_pii_scrub" ->
+      s"""WITH s AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.example.com or tel 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' today' AS synth
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(synth, '$PiiEmailRe')) AS n_emails,
+        |  len(regexp_extract_all(synth, '$PiiPhoneRe')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(synth, '$PiiEmailRe', '[EMAIL]', 'g'),
+        |      '$PiiPhoneRe', '[PHONE]', 'g')) AS scrub_md5,
+        |  length(regexp_replace(regexp_replace(synth, '$PiiEmailRe', '[EMAIL]', 'g'),
+        |      '$PiiPhoneRe', '[PHONE]', 'g')) AS n_chars
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
     "pipe_train_split" ->
       """SELECT lang,
         |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,

@@ -83,6 +83,33 @@ object RelationalQueries extends QueryModule {
         .orderBy("r_name", "n_name")
     }),
 
+    // Skew-mitigated (salted) equi-join: at 100 TB a hot join key (one
+    // customer with millions of orders) lands an entire shuffle
+    // partition on one task. Salting splits the fact side's key space
+    // deterministically into S sub-keys and replicates the build side
+    // S×, so a hot key spreads across S tasks — the portable form of
+    // what AQE's skew-join does for sort-merge joins at runtime. The
+    // result is provably identical to the unsalted join, and the oracle
+    // IS the plain join, so correctness of the rewrite is driver-
+    // checked. shuffle_hash hint: at fixture scale Catalyst would
+    // broadcast the dim and skip the very shuffle the salt exists to
+    // spread; the hint keeps the exercised path the at-scale one.
+    "rel_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val fact = Tables.orders(s, dir)
+        .select($"o_custkey".as("custkey"), $"o_totalprice")
+      val dim = Tables.customer(s, dir)
+        .select($"c_custkey".as("custkey"), $"c_nationkey")
+      graft.operators.SkewJoin
+        .saltedInnerJoin(fact, dim.hint("shuffle_hash"), "custkey", salts = 8)
+        .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec($"o_totalprice")).cast("double").as("revenue"))
+        .orderBy("n_name")
+    }),
+
     // Left-semi join: customers that have at least one order.
     "rel_semi_join" -> ((s, dir) => {
       import s.implicits._
@@ -372,6 +399,16 @@ object RelationalQueries extends QueryModule {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+    // The plain (unsalted) join — identical results prove the salted
+    // rewrite is semantics-preserving.
+    "rel_salted_join" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
     "rel_outer_join" ->
       """WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer
         |           WHERE c_acctbal > 8000),

@@ -86,10 +86,12 @@ object TpchQueries extends QueryModule {
     // l_shipdate > o_orderdate; the semi-join shape is the point).
     "tpch_q4" -> ((s, dir) => {
       import s.implicits._
+      // year(...) rather than a BETWEEN on casted midnight bounds: the
+      // upper bound '1997-12-31' casts to 00:00:00, which would drop a
+      // Dec 31 order carrying a time-of-day — and it matches the
+      // filter convention the rest of the suite uses.
       val o = Tables.orders(s, dir)
-        .where($"o_orderdate".between(
-          lit("1997-01-01").cast("timestamp_ntz"),
-          lit("1997-12-31").cast("timestamp_ntz")))
+        .where(year($"o_orderdate") === 1997)
       val lateLines = Tables.lineitem(s, dir)
         .select($"l_orderkey", $"l_shipdate")
       o.join(lateLines,
@@ -487,7 +489,7 @@ object TpchQueries extends QueryModule {
     "tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
-        |WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+        |WHERE year(o_orderdate) = 1997
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority

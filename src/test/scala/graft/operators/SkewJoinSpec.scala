@@ -37,6 +37,19 @@ class SkewJoinSpec extends SparkSpec {
     }
   }
 
+  test("rel_salted_join (query form) equals the plain unsalted rollup") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("rel_salted_join")(spark, sf0001)
+    val plain = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001), $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(spark, sf0001), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("n_name")
+    assert(got.collect().toSeq == plain.collect().toSeq)
+  }
+
   test("salting actually spreads a hot key over multiple partitions") {
     import spark.implicits._
     // one pathological key: 10k rows of key=1 + a tiny dim

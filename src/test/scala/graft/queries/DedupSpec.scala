@@ -95,4 +95,27 @@ class DedupSpec extends SparkSpec {
       assert(ppm == c * 1000000L / (sa + sb - c))
     }
   }
+
+  test("pii scrub finds exactly the injected email+phone in every doc") {
+    // The fixture text is PII-free word salad, so the deterministic
+    // injection is the only match: one email and one phone per doc —
+    // a zero count would mean the regex stopped matching, >1 would mean
+    // the corpus (or a replacement artifact) leaked a new match.
+    val rows = graft.SparkEntry.queries("pipe_pii_scrub")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) == 1, s"doc ${r.getLong(0)}: n_emails=${r.getInt(1)}")
+      assert(r.getInt(2) == 1, s"doc ${r.getLong(0)}: n_phones=${r.getInt(2)}")
+    }
+  }
+
+  test("embedding dedup: every dup has a smaller-id canon in the same cell") {
+    val byId = graft.SparkEntry.queries("dedup_embedding")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(byId.nonEmpty)
+    byId.foreach { case (dup, canon, n) =>
+      assert(canon < dup, s"canon_id $canon !< dup_id $dup")
+      assert(n >= 1)
+    }
+  }
 }

@@ -114,6 +114,21 @@ class PlanShapeSpec extends SparkSpec {
       "q19 degenerated to a non-equi join")
   }
 
+  test("salted join runs the shuffle path it exists to spread") {
+    // At fixture scale Catalyst would broadcast the dim side and the
+    // salt would route nothing; the shuffle_hash hint pins the at-scale
+    // path so the salted shuffle is what the plan actually exercises.
+    val p = plan("rel_salted_join")
+    assert(p.contains("ShuffledHashJoin"),
+      "salted fact⋈dim join is not a shuffled hash join")
+  }
+
+  test("embedding dedup pairs only inside a coarse cell (equi-join on label)") {
+    val p = plan("dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "embedding dedup degenerated to all-pairs across cells")
+  }
+
   test("simhash candidate join is an equi-join on the 16-bit chunks") {
     val p = plan("dedup_simhash")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
