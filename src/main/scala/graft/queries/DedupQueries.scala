@@ -348,7 +348,17 @@ object DedupQueries extends QueryModule {
         val prop = sym.join(labels, $"d1" === $"node")
           .select($"d2".as("node"), $"label")
         val grouped = labels.unionAll(prop)
-          .groupBy($"node").agg(min($"label").as("label"))
+          .groupBy($"node").agg(min($"label").as("label")).persist()
+        // Pointer-halving (the union-find path-compression idea, as a
+        // join): label ← label(label). Every label value is itself a
+        // node id (labels are mins over node ids), so the self-join
+        // collapses a propagation chain of length d in O(log d) rounds
+        // where plain neighbor propagation needs O(d) — the difference
+        // between 30 and 5 shuffle rounds on a long path component at
+        // 100 TB. Left join: a root's label is itself, jl == label.
+        val jump = grouped.select($"node".as("jn"), $"label".as("jl"))
+        val halved = grouped.join(jump, $"label" === $"jn", "left")
+          .select($"node", coalesce($"jl", $"label").as("label"))
         // persist() caches the DATA but each round's logical plan still
         // builds on the whole prior lineage, so analyzer/optimizer time
         // grows with iteration depth. Every few rounds localCheckpoint
@@ -356,8 +366,9 @@ object DedupQueries extends QueryModule {
         // from the materialized blocks, keeping per-round driver cost
         // flat on deep-diameter components.
         val next =
-          if (round % 3 == 0) grouped.localCheckpoint() else grouped.persist()
+          if (round % 3 == 0) halved.localCheckpoint() else halved.persist()
         val s2 = labelSum(next)
+        grouped.unpersist()
         if (s2 == prevSum) { next.unpersist(); converged = true }
         else { labels.unpersist(); labels = next; prevSum = s2 }
       }

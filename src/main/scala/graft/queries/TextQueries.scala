@@ -182,6 +182,37 @@ object TextQueries extends QueryModule {
         .agg(count(lit(1)).as("cnt"))
         .orderBy($"cnt".desc, $"bg")
         .limit(15)
+    }),
+
+    // Heavy hitters via a count-min sketch expressed as RELATIONAL
+    // dataflow — the third mergeable sketch next to HLL
+    // (rel_approx_distinct) and KLL-ish quantiles (rel_approx_quantiles).
+    // The sketch IS a (depth × width) count table: depth=4 salted-hash
+    // rows built by one partial+final aggregation (4·W rows total, fixed
+    // memory at ANY corpus size — the whole point at 100 TB: the token
+    // stream never re-shuffles, only the tiny table does). Estimates
+    // join candidates back against the broadcast-sized table and take
+    // the min over depth rows (CMS never underestimates). Top-20 by
+    // estimated count. Hash-dependent buckets → rows-only; SketchSpec
+    // proves the ≥-exact property and top-k recall vs txt_termfreq's
+    // exact counts.
+    "txt_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val W = 1024L
+      val toks = Tables.documents(s, dir).selectExpr(s"explode($tokens) AS w")
+      val salted = toks
+        .select($"w", explode(sequence(lit(0), lit(3))).as("d"))
+        .select($"d", pmod(xxhash64(concat($"w", lit("#"), $"d")), lit(W)).as("b"))
+      val cms = salted.groupBy($"d", $"b").agg(count(lit(1)).as("c"))
+      val cand = toks.distinct()
+        .select($"w", explode(sequence(lit(0), lit(3))).as("d"))
+        .select($"w", $"d",
+          pmod(xxhash64(concat($"w", lit("#"), $"d")), lit(W)).as("b"))
+      cand.join(broadcast(cms), Seq("d", "b"))
+        .groupBy($"w")
+        .agg(min($"c").as("est_count"))
+        .orderBy($"est_count".desc, $"w")
+        .limit(20)
     })
   )
 

@@ -14,7 +14,8 @@ class EntryContractSpec extends AnyFunSuite {
   private val RowsOnly = Set(
     "dedup_minhash_lsh", "dedup_simhash",
     "emb_ann_topk", "emb_ivf_topk",
-    "rel_approx_distinct", "rel_approx_quantiles")
+    "rel_approx_distinct", "rel_approx_quantiles",
+    "txt_heavy_hitters")
 
   test("every oracle key names an existing query") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)

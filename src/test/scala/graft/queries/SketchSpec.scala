@@ -27,6 +27,27 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("txt_heavy_hitters CMS estimates never undercount and find the true top tokens") {
+    import org.apache.spark.sql.functions._
+    val est = graft.SparkEntry.queries("txt_heavy_hitters")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables.documents(spark, sf001)
+      .selectExpr(s"explode(${QueryModule.Tokens}) AS w")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // CMS property: a bucket count is a sum over every colliding token,
+    // so min-over-depth can only OVER-estimate.
+    est.foreach { case (w, e) =>
+      assert(e >= exact(w), s"'$w': CMS estimate $e undercounts exact ${exact(w)}")
+    }
+    // Recall: the exact top-5 must all surface in the estimated top-20
+    // (4×1024 buckets vs a ~1k-word vocab keeps collisions rare).
+    val top5 = exact.toSeq.sortBy { case (w, c) => (-c, w) }.take(5).map(_._1)
+    top5.foreach { w =>
+      assert(est.contains(w), s"true heavy hitter '$w' missing from CMS top-20")
+    }
+  }
+
   test("rel_approx_quantiles tracks the exact interpolating percentiles") {
     def byType(name: String): Map[String, Seq[Long]] =
       graft.SparkEntry.queries(name)(spark, sf001)

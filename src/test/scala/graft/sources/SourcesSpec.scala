@@ -63,6 +63,29 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == docs.count())
   }
 
+  test("binaryFile source ingests opaque media blobs with path metadata") {
+    // The multimodal ingestion path (SURVEY: image/audio/video as
+    // opaque binary columns): raw files → (path, modificationTime,
+    // length, content) rows, filterable by glob, no decode on read.
+    val dir = tmp("binfiles")
+    val payloads = Map("a.fakejpg" -> "fake-jpeg-bytes-0",
+      "b.fakejpg" -> "fake-jpeg-bytes-001", "c.txt" -> "not-an-image")
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, name), bytes.getBytes("UTF-8"))
+    }
+    val imgs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.fakejpg").load(dir)
+    assert(imgs.count() == 2, "glob filter did not select exactly the image files")
+    val byName = imgs.collect().map { r =>
+      val path = r.getAs[String]("path")
+      path.substring(path.lastIndexOf('/') + 1) ->
+        (r.getAs[Long]("length"), new String(r.getAs[Array[Byte]]("content"), "UTF-8"))
+    }.toMap
+    assert(byName("a.fakejpg") == (17L, "fake-jpeg-bytes-0"))
+    assert(byName("b.fakejpg") == (19L, "fake-jpeg-bytes-001"))
+  }
+
   test("dynamic partition overwrite replaces only the rewritten partition") {
     // The idempotent-backfill pattern: re-running one day/domain of a
     // 100 TB partitioned table must replace exactly that partition —
