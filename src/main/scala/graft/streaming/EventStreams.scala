@@ -13,6 +13,14 @@ final case class UserSessions(userId: Long, nSessions: Long, nEvents: Long)
 
 private final case class SessState(lastUs: Long, nSessions: Long, nEvents: Long)
 
+/** One COMPLETED session emitted by [[EventStreams.closedSessions]]. */
+final case class ClosedSession(userId: Long, startUs: Long, endUs: Long, nEvents: Long)
+
+private final case class EvT(
+    userId: Long, tsUs: Long, eventType: String, evTs: java.sql.Timestamp)
+
+private final case class OpenSession(startUs: Long, lastUs: Long, nEvents: Long)
+
 /** Structured Streaming surface (SURVEY.md §2.2 — the reference is
   * strictly batch; this is the extension mandate's stream path). The
   * same transformations as [[graft.queries.EventsQueries]], expressed
@@ -80,6 +88,65 @@ object EventStreams {
           }
           state.update(st)
           UserSessions(userId, st.nSessions, st.nEvents)
+      }
+  }
+
+  /** Sessionization in its production shape: emit each session ONCE,
+    * when it CLOSES (`flatMapGroupsWithState` + event-time timeout),
+    * instead of a running snapshot every trigger. A session closes two
+    * ways: a later event from the same user arrives past the 30 min gap
+    * (closed inline), or the event-time watermark passes
+    * `lastEvent + gap` with no successor — the timeout path, which is
+    * the only way the LAST session of an idle user ever flushes. State
+    * per user is one open session (three longs): bounded regardless of
+    * stream length, and removed entirely on timeout. Append-mode
+    * output — each closed session is immutable, so downstream sinks
+    * (parquet, Kafka) need no retraction handling. */
+  def closedSessions(events: Dataset[Ev]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+    val gapMs = gapUs / 1000
+    events
+      .select(col("userId"), col("tsUs"), col("eventType"),
+        timestamp_micros(col("tsUs")).as("evTs"))
+      // The watermark drives the timeout clock; 10 min of lateness
+      // tolerance before a session is considered closeable.
+      .withWatermark("evTs", "10 minutes")
+      .as[EvT]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EvT], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed lastUs + gap: no in-order event can
+            // extend this session any more.
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.startUs, s.lastUs, s.nEvents))
+          } else {
+            val closed = List.newBuilder[ClosedSession]
+            var open = state.getOption
+            rows.toSeq.sortBy(_.tsUs).foreach { e =>
+              open match {
+                case Some(s) if e.tsUs - s.lastUs <= gapUs =>
+                  open = Some(s.copy(lastUs = e.tsUs, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += ClosedSession(userId, s.startUs, s.lastUs, s.nEvents)
+                  open = Some(OpenSession(e.tsUs, e.tsUs, 1L))
+                case None =>
+                  open = Some(OpenSession(e.tsUs, e.tsUs, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // Fire once the watermark clears the gap after the last
+              // event; clamp above the current watermark (setting a
+              // timeout at-or-before it is rejected by Spark).
+              state.setTimeoutTimestamp(
+                math.max(s.lastUs / 1000 + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
       }
   }
 

@@ -64,6 +64,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("closed sessions emit once: inline on a gap, by timeout for the idle tail") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.closedSessions(in.toDS())
+      .toDF("user_id", "start_us", "end_us", "n_events")
+      .writeStream.format("memory").queryName("closed")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 2's second event is 60 min after the first: the first
+      // session closes INLINE. user 1's session (last event 0:10,
+      // closeable from 0:40) is flushed by the event-time TIMEOUT:
+      // this batch moves the watermark to 1:00 − 10 min = 0:50, and
+      // processAllAvailable runs the follow-up no-data micro-batch in
+      // which the timeout fires — no further user 1 events needed.
+      in.addData(
+        Ev(1L, us(0, 0), "click"), Ev(1L, us(0, 10), "view"),
+        Ev(2L, us(0, 0), "click"), Ev(2L, us(1, 0), "click"))
+      q.processAllAvailable()
+      val b1 = spark.table("closed")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(b1 == Set(
+        (2L, us(0, 0), us(0, 0), 1L),
+        (1L, us(0, 0), us(0, 10), 2L)),
+        s"expected user 2 inline-closed + user 1 timeout-closed, got $b1")
+      // A later event from an unrelated user advances the watermark to
+      // 1:50, past user 2's open session (last 1:00, closeable 1:30) —
+      // it flushes by timeout; user 1's brand-new session stays open.
+      in.addData(Ev(1L, us(2, 0), "click"))
+      q.processAllAvailable()
+      val b2 = spark.table("closed")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(b2 == b1 + ((2L, us(1, 0), us(1, 0), 1L)),
+        s"watermark advance did not flush user 2's idle session: $b2")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops cross-batch re-deliveries within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
