@@ -30,5 +30,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val cast = children.map(c => Cast(c, ArrayType(DoubleType)))
         CosineSimilarity(cast.head, cast(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(
+        classOf[SortedIntersectCount].getName,
+        null,
+        "sorted_intersect_count",
+        "sorted_intersect_count(a, b) - set-intersection size of two SORTED string arrays",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "sorted_intersect_count takes exactly 2 arguments")
+        SortedIntersectCount(children.head, children(1))
+      }))
   }
 }

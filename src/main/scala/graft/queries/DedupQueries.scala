@@ -38,8 +38,13 @@ object DedupQueries extends QueryModule {
     Tables.documents(s, dir)
       .selectExpr("doc_id", s"$TOKENS AS t")
       .where("size(t) >= 3")
+      // Sorted at build (once, persisted) so candidate verification can
+      // run the two-pointer `sorted_intersect_count` merge instead of a
+      // per-pair array_intersect hash set — element ORDER of a shingle
+      // SET is meaningless, so every consumer (explode paths, minhash
+      // folds) is unaffected.
       .selectExpr("doc_id",
-        s"array_distinct(${QueryModule.grams3("t")}) AS ss")
+        s"array_sort(array_distinct(${QueryModule.grams3("t")})) AS ss")
       .selectExpr("doc_id", "ss", "CAST(size(ss) AS BIGINT) AS sz")
 
   /** Exact Jaccard ≥ 0.5 pairs, PPJoin-style:
@@ -90,7 +95,7 @@ object DedupQueries extends QueryModule {
       .join(sets.as("z1"), $"d1" === $"z1.doc_id")
       .join(sets.as("z2"), $"d2" === $"z2.doc_id")
       .select($"d1", $"d2", $"z1.sz".as("sa"), $"z2.sz".as("sb"),
-        size(array_intersect($"z1.ss", $"z2.ss")).cast("long").as("c"))
+        call_function("sorted_intersect_count", $"z1.ss", $"z2.ss").as("c"))
       .where($"c" * 2 >= $"sa" + $"sb" - $"c")
   }
 
@@ -142,14 +147,15 @@ object DedupQueries extends QueryModule {
         .join(sig.as("g2"), $"d2" === $"g2.doc_id")
         .selectExpr("d1", "d2",
           "size(filter(zip_with(g1.sig, g2.sig, (x, y) -> x = y), m -> m)) * 1000000 div 64 AS est_ppm")
-      // Exact verification of candidates only: one array_intersect per
-      // candidate against the persisted per-doc shingle arrays (same
-      // unit the exact join verifies against — no re-aggregation).
+      // Exact verification of candidates only: one sorted-merge count
+      // per candidate against the persisted (sorted) per-doc shingle
+      // arrays (same unit the exact join verifies against — no
+      // re-aggregation, no per-pair hash set).
       est
         .join(sets.as("z1"), $"d1" === $"z1.doc_id")
         .join(sets.as("z2"), $"d2" === $"z2.doc_id")
         .select($"d1", $"d2", $"est_ppm", $"z1.sz".as("sa"), $"z2.sz".as("sb"),
-          size(array_intersect($"z1.ss", $"z2.ss")).cast("long").as("c"))
+          call_function("sorted_intersect_count", $"z1.ss", $"z2.ss").as("c"))
         .selectExpr("d1", "d2", "est_ppm",
           "c * 1000000 div (sa + sb - c) AS jac_ppm")
         .where($"jac_ppm" >= 500000L)
