@@ -175,16 +175,27 @@ object TpchQueries extends QueryModule {
     // shuffle beyond the partitioning the window needs anyway).
     "tpch_q2" -> ((s, dir) => {
       import s.implicits._
-      val ps = Tables.lineitem(s, dir)
-        .groupBy($"l_partkey", $"l_suppkey")
-        .agg(min($"l_extendedprice".cast("decimal(12,2)")).as("supplycost"))
       val eu = Tables.supplier(s, dir)
         .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
         .where($"r_name" === "EUROPE")
+      val parts = Tables.part(s, dir)
+        .where($"p_type" === "LARGE" && $"p_size" <= 25)
+      // Selective dim filters pushed BELOW the fact aggregation as
+      // broadcast semi-joins on the keys alone: only Europe suppliers ×
+      // qualifying parts reach the (part, supplier) shuffle, instead of
+      // aggregating every pair and discarding most afterwards. Both
+      // dims join on their primary key, so prefiltering cannot change
+      // any group's row set — the min per surviving pair is identical.
+      val ps = Tables.lineitem(s, dir)
+        .join(broadcast(eu.select($"s_suppkey")),
+          $"l_suppkey" === $"s_suppkey", "left_semi")
+        .join(broadcast(parts.select($"p_partkey")),
+          $"l_partkey" === $"p_partkey", "left_semi")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min($"l_extendedprice".cast("decimal(12,2)")).as("supplycost"))
       ps.join(eu, $"l_suppkey" === $"s_suppkey")
-        .join(Tables.part(s, dir).where($"p_type" === "LARGE" && $"p_size" <= 25),
-          $"l_partkey" === $"p_partkey")
+        .join(parts, $"l_partkey" === $"p_partkey")
         .withColumn("min_cost", min($"supplycost").over(Window.partitionBy($"p_partkey")))
         .where($"supplycost" === $"min_cost")
         .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_brand",
