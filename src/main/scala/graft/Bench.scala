@@ -70,7 +70,10 @@ object Bench {
     val flaky = p1.zip(p2).collect {
       case ((name, a), (_, b)) if (a < 0) != (b < 0) => name
     }
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma decimal separator would corrupt the JSON line.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     // The harness only surfaces the LAST ~2000 characters of stdout, so
     // the single JSON line is laid out back-loaded: the per-query map
     // comes first sorted ASCENDING by time (the cheap queries are the
@@ -85,7 +88,10 @@ object Bench {
     val errors = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val ascending = results.sortBy(_._2)
+    // Failures (-1) sort as +∞: they land at the visible END of the map
+    // and can never be folded away — an errors>0 line must always name
+    // its broken queries.
+    val ascending = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
     def render(skipFastest: Int): String = {
       val (folded, kept) = ascending.splitAt(skipFastest)
       val keptJson = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -93,7 +99,7 @@ object Bench {
       val foldJson =
         if (folded.isEmpty) ""
         else {
-          val fsum = folded.map(_._2).filter(_ >= 0).sum
+          val fsum = folded.map(_._2).sum // all ≥ 0: failures sort last, never fold
           s""""fast_other":{"n":${folded.size},"sum":${fmt(fsum)}},"""
         }
       s"""{${foldJson}"queries":$keptJson,"sf":"$sfDir","passes":2,"flaky":$flakyJson,"errors":$errors,"metric":"total","unit":"sec","value":${fmt(total)}}"""

@@ -19,13 +19,15 @@ import org.apache.spark.sql.types._
   * merge: no allocation, no hashing, each array read once, early exit at
   * either end, and the loop stays inside WholeStageCodegen.
   *
-  * Semantics: equal to `size(array_intersect(a, b))` whenever both
-  * inputs are sorted ascending (duplicates tolerated — equal runs count
-  * once, matching array_intersect's set semantics). PRECONDITIONS the
-  * producer must uphold: elements sorted (byte order = `array_sort`'s
-  * UTF8String order) and non-null. Unsorted input gives an undercount —
-  * this expression is deliberately not registered for ad-hoc SQL use
-  * outside the dedup pipeline's sorted arrays.
+  * Semantics: equal to `size(array_intersect(a, b))` over the NON-NULL
+  * elements whenever both inputs are sorted ascending (duplicates
+  * tolerated — equal runs count once, matching array_intersect's set
+  * semantics; null elements are skipped, where array_intersect would
+  * count a null present on both sides). PRECONDITION the producer must
+  * uphold: elements sorted in `array_sort`'s UTF8String binary order.
+  * The function IS registered session-wide (GraftExtensions), so the
+  * docs are the contract: unsorted input silently undercounts — sort
+  * with `array_sort` first.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -53,15 +55,19 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var c = 0L
     while (i < nx && j < ny) {
-      val xv = x.getUTF8String(i)
-      val cmp = xv.compareTo(y.getUTF8String(j))
-      if (cmp < 0) i += 1
-      else if (cmp > 0) j += 1
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
       else {
-        c += 1
-        // skip equal runs on both sides: set semantics under duplicates
-        do i += 1 while (i < nx && x.getUTF8String(i).equals(xv))
-        do j += 1 while (j < ny && y.getUTF8String(j).equals(xv))
+        val xv = x.getUTF8String(i)
+        val cmp = xv.compareTo(y.getUTF8String(j))
+        if (cmp < 0) i += 1
+        else if (cmp > 0) j += 1
+        else {
+          c += 1
+          // skip equal runs on both sides: set semantics under duplicates
+          do i += 1 while (i < nx && !x.isNullAt(i) && x.getUTF8String(i).equals(xv))
+          do j += 1 while (j < ny && !y.isNullAt(j) && y.getUTF8String(j).equals(xv))
+        }
       }
     }
     c
@@ -81,14 +87,18 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |final int $ny = $y.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;
          |while ($i < $nx && $j < $ny) {
-         |  final org.apache.spark.unsafe.types.UTF8String $xv = $x.getUTF8String($i);
-         |  final int $cmp = $xv.compareTo($y.getUTF8String($j));
-         |  if ($cmp < 0) { $i++; }
-         |  else if ($cmp > 0) { $j++; }
+         |  if ($x.isNullAt($i)) { $i++; }
+         |  else if ($y.isNullAt($j)) { $j++; }
          |  else {
-         |    $c++;
-         |    do { $i++; } while ($i < $nx && $x.getUTF8String($i).equals($xv));
-         |    do { $j++; } while ($j < $ny && $y.getUTF8String($j).equals($xv));
+         |    final org.apache.spark.unsafe.types.UTF8String $xv = $x.getUTF8String($i);
+         |    final int $cmp = $xv.compareTo($y.getUTF8String($j));
+         |    if ($cmp < 0) { $i++; }
+         |    else if ($cmp > 0) { $j++; }
+         |    else {
+         |      $c++;
+         |      do { $i++; } while ($i < $nx && !$x.isNullAt($i) && $x.getUTF8String($i).equals($xv));
+         |      do { $j++; } while ($j < $ny && !$y.isNullAt($j) && $y.getUTF8String($j).equals($xv));
+         |    }
          |  }
          |}
          |${ev.value} = $c;

@@ -367,12 +367,18 @@ object DedupQueries extends QueryModule {
           .select($"node", coalesce($"jl", $"label").as("label"))
         // persist() caches the DATA but each round's logical plan still
         // builds on the whole prior lineage, so analyzer/optimizer time
-        // grows with iteration depth. Every few rounds localCheckpoint
-        // (eager, already forced by labelSum anyway) restarts the plan
-        // from the materialized blocks, keeping per-round driver cost
-        // flat on deep-diameter components.
-        val next =
-          if (round % 3 == 0) halved.localCheckpoint() else halved.persist()
+        // grows with iteration depth. Every few rounds the plan is cut
+        // at an RDD boundary (createDataFrame over the same rows): the
+        // analyzer then sees a leaf, keeping per-round driver cost flat
+        // on deep-diameter components. Chosen over localCheckpoint
+        // because these blocks stay under the normal persist/unpersist
+        // discipline — localCheckpoint blocks are invisible to
+        // Dataset.unpersist AND catalog.clearCache, lingering until a
+        // driver GC happens to trigger the ContextCleaner.
+        val cut =
+          if (round % 3 == 0) s.createDataFrame(halved.rdd, halved.schema)
+          else halved
+        val next = cut.persist()
         val s2 = labelSum(next)
         grouped.unpersist()
         if (s2 == prevSum) { next.unpersist(); converged = true }

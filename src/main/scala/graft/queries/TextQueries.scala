@@ -199,7 +199,10 @@ object TextQueries extends QueryModule {
     "txt_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
       val W = 1024L
+      // feeds both the sketch build and the candidate side — persist so
+      // the scan + tokenize runs once, not twice.
       val toks = Tables.documents(s, dir).selectExpr(s"explode($tokens) AS w")
+        .persist()
       val salted = toks
         .select($"w", explode(sequence(lit(0), lit(3))).as("d"))
         .select($"d", pmod(xxhash64(concat($"w", lit("#"), $"d")), lit(W)).as("b"))

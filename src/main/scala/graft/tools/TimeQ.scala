@@ -5,7 +5,16 @@ import org.apache.spark.sql.SparkSession
   * `sbt "runMain graft.tools.TimeQ <name> [sfDir] [reps]"`. */
 object TimeQ {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: graft.tools.TimeQ <queryName> [sfDir] [reps]")
+      sys.exit(2)
+    }
     val name = args(0)
+    if (!graft.SparkEntry.queries.contains(name)) {
+      System.err.println(s"unknown query '$name'; valid: " +
+        graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = graft.sources.GraftSession.configure(SparkSession.builder()

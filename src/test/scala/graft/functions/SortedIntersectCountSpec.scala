@@ -23,6 +23,20 @@ class SortedIntersectCountSpec extends SparkSpec {
     assert(got == expected && got == Seq(2L, 0L, 0L, 0L, 2L, 1L))
   }
 
+  test("null elements are skipped, not NPE'd (divergence from array_intersect pinned)") {
+    import spark.implicits._
+    val df = Seq(
+      (Array("a", null), Array("a")),       // null on one side
+      (Array[String](null), Array[String](null)), // null-only arrays
+      (Array("a", null), Array(null, "a"))  // null present on both sides
+    ).toDF("a", "b")
+    val got = df.selectExpr("sorted_intersect_count(a, b) AS c")
+      .as[Long].collect().toSeq
+    // array_intersect would count the shared null in rows 2 and 3; this
+    // function counts non-null matches only (documented contract).
+    assert(got == Seq(1L, 0L, 1L))
+  }
+
   test("property: equals array_intersect on random sorted shingle-like sets") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
