@@ -138,6 +138,30 @@ object EventsQueries extends QueryModule {
         .orderBy("bucket")
     }),
 
+    // Anomaly flagging: events above their type's p99 — the
+    // aggregate-then-join-back shape (thresholds are a per-type scalar
+    // table, broadcast back against the stream; at 100 TB the fact side
+    // shuffles once for the percentile and once never — the flag join is
+    // map-side). Threshold and values compared as e6-floored integers so
+    // the boundary row lands identically on both engines (the exact
+    // percentile parity is established by rel_percentiles).
+    "ev_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .where($"value".isNotNull)
+        .select($"event_type", floor($"value" * 1000000).cast("long").as("v_e6"))
+      val thresholds = ev.groupBy($"event_type")
+        .agg(floor(expr("percentile(v_e6, 0.99)")).cast("long").as("p99_e6"))
+      ev.join(broadcast(thresholds), Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when($"v_e6" > $"p99_e6", 1L).otherwise(0L)).as("n_outliers"),
+          max($"p99_e6").as("p99_e6"),
+          max($"v_e6").as("max_e6"))
+        .orderBy("event_type")
+    }),
+
     // JSON property extraction (codegen'd path, no UDF).
     "ev_json" -> ((s, dir) => {
       import s.implicits._
@@ -246,6 +270,20 @@ object EventsQueries extends QueryModule {
         |WHERE event_type = 'signup'
         |GROUP BY 1
         |ORDER BY day""".stripMargin,
+    "ev_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v_e6
+        |  FROM events WHERE value IS NOT NULL),
+        |th AS (
+        |  SELECT event_type,
+        |    CAST(floor(quantile_cont(v_e6, 0.99)) AS BIGINT) AS p99_e6
+        |  FROM ev GROUP BY event_type)
+        |SELECT ev.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN v_e6 > p99_e6 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  max(p99_e6) AS p99_e6, max(v_e6) AS max_e6
+        |FROM ev JOIN th ON ev.event_type = th.event_type
+        |GROUP BY ev.event_type
+        |ORDER BY ev.event_type""".stripMargin,
     "ev_histogram" ->
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
         |FROM events
