@@ -129,6 +129,19 @@ class PlanShapeSpec extends SparkSpec {
       "embedding dedup degenerated to all-pairs across cells")
   }
 
+  test("CMS estimate join broadcasts the sketch table; build is partial+final") {
+    val p = plan("txt_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 4×1024 CMS table should broadcast against the candidates")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "CMS build lost its map-side partial aggregation")
+  }
+
+  test("outlier flagging broadcasts the per-type threshold table") {
+    assert(plan("ev_outliers").contains("BroadcastHashJoin"),
+      "threshold join-back should broadcast, not shuffle the fact side")
+  }
+
   test("simhash candidate join is an equi-join on the 16-bit chunks") {
     val p = plan("dedup_simhash")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
