@@ -70,7 +70,10 @@ object EventStreams {
     * (`mapGroupsWithState`): a >30 min gap starts a new session. Emits a
     * running (nSessions, nEvents) snapshot per user on every trigger —
     * the custom-state shape the built-in `session_window` can't express
-    * (e.g. when session identity must feed another system). */
+    * (e.g. when session identity must feed another system). NoTimeout
+    * means per-user state lives for the life of the query — fine for a
+    * bounded user population; for unbounded keys use [[closedSessions]],
+    * whose event-time timeout also REMOVES state as sessions close. */
   def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     val gapUs = 30L * 60 * 1000 * 1000
