@@ -147,9 +147,12 @@ object EventsQueries extends QueryModule {
     // percentile parity is established by rel_percentiles).
     "ev_outliers" -> ((s, dir) => {
       import s.implicits._
+      // feeds the threshold aggregation AND the flag join-back — persist
+      // the two-column projection so the source scans once.
       val ev = Tables.events(s, dir)
         .where($"value".isNotNull)
         .select($"event_type", floor($"value" * 1000000).cast("long").as("v_e6"))
+        .persist()
       val thresholds = ev.groupBy($"event_type")
         .agg(floor(expr("percentile(v_e6, 0.99)")).cast("long").as("p99_e6"))
       ev.join(broadcast(thresholds), Seq("event_type"))
