@@ -165,6 +165,62 @@ object EventsQueries extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // Trailing 1-hour moving aggregate per event: a RANGE frame over
+    // event-time seconds (every other window in the suite is a ROWS
+    // frame or a bucketed groupBy — a value-range frame is its own
+    // executor path, WindowExec's range frame bound). Peers at the same
+    // second share one frame by definition, so ties can't reorder the
+    // result. All values ride as e6-floored integers: the frame sum is
+    // exact and order-free on both engines. At 100 TB the frame is
+    // bounded (1 h), so the partition key gains a coarse day bucket
+    // with a 1-hour overlap replication at bucket edges — the standard
+    // bounded-frame scale-out; the per-type partition here is the
+    // fixture-size rendering of that.
+    "ev_moving_agg" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"sec")
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, dir)
+        .where($"value".isNotNull)
+        .select($"event_id", $"event_type",
+          expr("ts div 1000000000").as("sec"),
+          floor($"value" * 1000000).cast("long").as("v_e6"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_e6_1h", sum($"v_e6").over(w))
+        .select($"event_id", $"event_type", $"sec", $"n_1h", $"sum_e6_1h")
+        .orderBy("event_id")
+    }),
+
+    // Hourly resample + forward fill: aggregate to an epoch-hour grid,
+    // join against the full (type × hour) spine so silent hours exist
+    // as rows (n = 0), and carry the last observed hourly sum forward
+    // with an IGNORE NULLS window. Gap-filling is the canonical
+    // pre-step for time-series training data; the spine is generated
+    // (sequence + explode), never collected, and the fill is one ROWS
+    // window per type — the hourly table this runs on is already tiny
+    // relative to the raw stream at any scale. Hours before a type's
+    // first observation stay NULL on both engines.
+    "ev_gap_fill" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_type", expr("ts div 3600000000000").as("hr"),
+          floor($"value" * 1000000).cast("long").as("v_e6"))
+      val hourly = ev.groupBy($"event_type", $"hr")
+        .agg(count(lit(1)).as("n"), sum($"v_e6").as("sum_e6"))
+      val bounds = ev.agg(min($"hr").as("mn"), max($"hr").as("mx"))
+      val spine = ev.select($"event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select($"event_type", explode(expr("sequence(mn, mx)")).as("hr"))
+      val wFill = Window.partitionBy($"event_type").orderBy($"hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("event_type", "hr"), "left")
+        .withColumn("filled_sum_e6",
+          last($"sum_e6", ignoreNulls = true).over(wFill))
+        .select($"event_type", $"hr", coalesce($"n", lit(0L)).as("n"),
+          $"filled_sum_e6")
+        .orderBy("event_type", "hr")
+    }),
+
     // JSON property extraction (codegen'd path, no UDF).
     "ev_json" -> ((s, dir) => {
       import s.implicits._
@@ -293,6 +349,38 @@ object EventsQueries extends QueryModule {
         |WHERE value IS NOT NULL
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+    "ev_moving_agg" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, epoch_us(ts) // 1000000 AS sec,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v_e6
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_id, event_type, sec,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(v_e6) OVER w AS BIGINT) AS sum_e6_1h
+        |FROM ev
+        |WINDOW w AS (PARTITION BY event_type ORDER BY sec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "ev_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v_e6
+        |  FROM events),
+        |hourly AS (
+        |  SELECT event_type, hr, count(*) AS n, CAST(sum(v_e6) AS BIGINT) AS sum_e6
+        |  FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM ev),
+        |spine AS (
+        |  SELECT t.event_type, g.hr
+        |  FROM (SELECT DISTINCT event_type FROM ev) t,
+        |       (SELECT unnest(generate_series(mn, mx)) AS hr FROM b) g)
+        |SELECT s.event_type, s.hr, coalesce(h.n, 0) AS n,
+        |  last_value(h.sum_e6 IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum_e6
+        |FROM spine s LEFT JOIN hourly h
+        |  ON s.event_type = h.event_type AND s.hr = h.hr
+        |ORDER BY s.event_type, s.hr""".stripMargin,
     "ev_json" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
