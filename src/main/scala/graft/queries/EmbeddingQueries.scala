@@ -119,6 +119,99 @@ object EmbeddingQueries extends QueryModule {
         .orderBy("qid", "rank")
     }),
 
+    // ANN via product quantization (the third ANN family next to IVF
+    // and LSH: compressed-domain search). 64 dims split into 8
+    // subspaces of 8; the per-label centroids restricted to each
+    // subspace act as the trained sub-codebooks (the deterministic
+    // k-means stand-in, same convention as emb_ivf_topk). Every vector
+    // is encoded as 8 small code ids — at 100 TB the scored stream
+    // carries (id, 8 bytes) instead of (id, 256 bytes of floats), the
+    // entire point of PQ — probes score candidates against
+    // reconstructed centroids (asymmetric distance), the top-30 by
+    // approximate cosine are reranked exactly, and the final top-3 per
+    // probe ships. The codebook itself is K×64 doubles — collected and
+    // closed over, as codebook training is the tiny offline step of
+    // every PQ deployment. Hash/centroid-dependent ranking → rows-only;
+    // EmbeddingSpec measures recall against emb_knn.
+    "emb_pq_topk" -> ((s, dir) => {
+      import s.implicits._
+      val M = 8; val SUB = 8
+      val sumAgg = udaf(new ElementwiseSum(64))
+      val codes: Array[Array[Double]] = Tables.embeddings(s, dir)
+        .selectExpr("label",
+          "transform(cast(embedding AS array<double>), x -> CAST(floor(x * 1000000) AS BIGINT)) AS e6")
+        .groupBy($"label").agg(count(lit(1)).as("n"), sumAgg($"e6").as("sums"))
+        .selectExpr("label", "transform(sums, x -> x / (n * 1e6)) AS cvec")
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2)
+      val K = codes.length
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      // Encode: per subspace, nearest sub-codebook entry by L2 (ties →
+      // smaller code id); carry the reconstruction's squared norm so
+      // scoring never touches the original floats.
+      val enc = emb.as[(Long, Array[Float])].map { case (id, e) =>
+        val cs = new Array[Int](M)
+        var norm2 = 0.0
+        var m = 0
+        while (m < M) {
+          var best = 0; var bestD = Double.MaxValue; var k = 0
+          while (k < K) {
+            var d = 0.0; var i = m * SUB
+            while (i < (m + 1) * SUB) {
+              val diff = e(i) - codes(k)(i); d += diff * diff; i += 1
+            }
+            if (d < bestD) { bestD = d; best = k }
+            k += 1
+          }
+          cs(m) = best
+          var i = m * SUB
+          while (i < (m + 1) * SUB) {
+            norm2 += codes(best)(i) * codes(best)(i); i += 1
+          }
+          m += 1
+        }
+        (id, cs, norm2)
+      }.toDF("vec_id", "codes", "cnorm2")
+      val probes = emb.where($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      // Asymmetric distance computation: dot(q, reconstruction(x)) per
+      // (probe, code row) in one typed pass over the broadcast join.
+      val scored = enc.join(broadcast(probes), $"vec_id" =!= $"qid")
+        .select($"qid", $"qe", $"vec_id", $"codes", $"cnorm2")
+        .as[(Long, Array[Float], Long, Array[Int], Double)]
+        .map { case (qid, qe, vid, cs, cnorm2) =>
+          var dot = 0.0; var qn2 = 0.0
+          var i = 0
+          while (i < qe.length) { qn2 += qe(i).toDouble * qe(i); i += 1 }
+          var m = 0
+          while (m < M) {
+            val c = codes(cs(m))
+            var j = m * SUB
+            while (j < (m + 1) * SUB) { dot += qe(j) * c(j); j += 1 }
+            m += 1
+          }
+          val denom = math.sqrt(qn2) * math.sqrt(cnorm2)
+          val approx = if (denom > 0) dot / denom else -1.0
+          (qid, vid, math.floor(approx * 1000000).toLong)
+        }.toDF("qid", "nid", "approx_e6")
+      val wCand = Window.partitionBy($"qid").orderBy($"approx_e6".desc, $"nid")
+      val cand = scored
+        .withColumn("crk", row_number().over(wCand))
+        .where($"crk" <= 30)
+        .select($"qid", $"nid")
+      // Exact rerank of the shortlist only.
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+      cand
+        .join(emb.select($"vec_id".as("nid"), $"embedding"), "nid")
+        .join(broadcast(probes), "qid")
+        .withColumn("sim", call_function("cosine_sim", $"qe", $"embedding"))
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= 3)
+        .selectExpr("qid", "rank", "nid",
+          "CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6")
+        .orderBy("qid", "rank")
+    }),
+
     // ANN via random-hyperplane LSH (sign sketch): 16 planes from a
     // deterministic ±1 hash pattern, banded 4×4 bits; candidates must
     // share a band with the probe, then exact cosine + top-3 inside the

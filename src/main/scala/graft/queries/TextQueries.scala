@@ -170,6 +170,42 @@ object TextQueries extends QueryModule {
 
     // Character bigram profile of the corpus (n-gram extraction shape),
     // top 15 by frequency.
+    // Collocation mining: top-20 adjacent word pairs by pointwise
+    // mutual information (min support 5) — the statistical phrase
+    // detector (word2vec-phrases / NLTK shape) that turns a token
+    // stream into a phrase vocabulary before training. Counts are
+    // exact integers from two aggregations (bigrams keep positional
+    // duplicates — this is occurrence statistics, not shingle sets);
+    // the corpus totals ride along as broadcast scalars, the unigram
+    // join is a broadcast of the (small-by-Zipf) vocabulary, and the
+    // PMI argument is one double division of exact int64 products (at
+    // petabyte token counts the products would move to log space; the
+    // fixture magnitudes fit int64 with ~2^17 headroom). ln + e3 floor
+    // follows the txt_tfidf parity precedent.
+    "txt_collocations" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir).selectExpr(s"$tokens AS t")
+      val uni = toks.selectExpr("explode(t) AS w")
+      val ucnt = uni.groupBy($"w").agg(count(lit(1)).as("c"))
+      val nUni = uni.agg(count(lit(1)).as("nu"))
+      val bi = toks.where("size(t) >= 2").selectExpr(
+        "explode(transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))) AS b")
+        .select($"b.w1", $"b.w2")
+      val bcnt = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_ab"))
+      val nBi = bi.agg(count(lit(1)).as("nb"))
+      bcnt.where($"c_ab" >= 5)
+        .join(broadcast(ucnt.select($"w".as("w1"), $"c".as("c_a"))), "w1")
+        .join(broadcast(ucnt.select($"w".as("w2"), $"c".as("c_b"))), "w2")
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+        .withColumn("pmi_e3",
+          floor(log(($"c_ab".cast("double") * $"nu" * $"nu") /
+            ($"c_a".cast("double") * $"c_b" * $"nb")) * 1000).cast("long"))
+        .select($"w1", $"w2", $"c_ab", $"c_a", $"c_b", $"pmi_e3")
+        .orderBy($"pmi_e3".desc, $"w1", $"w2")
+        .limit(20)
+    }),
+
     "txt_char_bigrams" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
@@ -314,6 +350,25 @@ object TextQueries extends QueryModule {
          |FROM v a JOIN v b ON a.w < b.w
          |WHERE levenshtein(a.w, b.w) <= 2
          |ORDER BY w1, w2""".stripMargin,
+    "txt_collocations" ->
+      s"""WITH w AS (SELECT $duckTokens AS t FROM documents),
+         |uni AS (SELECT unnest(t) AS w FROM w),
+         |ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+         |nu AS (SELECT count(*) AS nu FROM uni),
+         |bi AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+         |       FROM (SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+         |             FROM w WHERE len(t) >= 2)),
+         |bcnt AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY w1, w2),
+         |nb AS (SELECT count(*) AS nb FROM bi)
+         |SELECT w1, w2, c_ab, c_a, c_b,
+         |  CAST(floor(ln((c_ab::DOUBLE * nu * nu) / (c_a::DOUBLE * c_b * nb)) * 1000) AS BIGINT) AS pmi_e3
+         |FROM bcnt
+         |JOIN (SELECT w AS w1, c AS c_a FROM ucnt) u1 USING (w1)
+         |JOIN (SELECT w AS w2, c AS c_b FROM ucnt) u2 USING (w2)
+         |CROSS JOIN nu CROSS JOIN nb
+         |WHERE c_ab >= 5
+         |ORDER BY pmi_e3 DESC, w1, w2
+         |LIMIT 20""".stripMargin,
     "txt_char_bigrams" ->
       """SELECT bg, count(*) AS cnt
         |FROM (SELECT unnest([substr(text, i, 2) FOR i IN range(1, length(text))]) AS bg

@@ -33,6 +33,22 @@ class EmbeddingSpec extends SparkSpec {
     assert(overlap >= exact.size / 4, s"IVF recall too low: $overlap/${exact.size}")
   }
 
+  test("PQ top-k recall against exact kNN") {
+    val exact = graft.SparkEntry.queries("emb_knn")(spark, sf001)
+      .filter("rank <= 3").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = graft.SparkEntry.queries("emb_pq_topk")(spark, sf001)
+      .collect()
+    assert(pq.length == 30, s"expected 10 probes x top-3, got ${pq.length}")
+    val pqPairs = pq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = pqPairs.count(exact.contains)
+    info(s"PQ/exact top-3 overlap: $overlap/${exact.size}")
+    // 5-entry sub-codebooks on near-orthogonal random vectors are a
+    // coarse quantizer; the exact rerank of the top-30 shortlist is
+    // what recall rides on. Require better than trivial.
+    assert(overlap >= exact.size / 4, s"PQ recall too low: $overlap/${exact.size}")
+  }
+
   test("cosine pairs are symmetric-free (v1 < v2) and above threshold") {
     val rows = graft.SparkEntry.queries("emb_cosine_pairs")(spark, sf001).collect()
     assert(rows.nonEmpty)
