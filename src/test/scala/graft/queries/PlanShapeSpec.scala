@@ -142,6 +142,33 @@ class PlanShapeSpec extends SparkSpec {
       "threshold join-back should broadcast, not shuffle the fact side")
   }
 
+  test("moving aggregate runs one window pass with a range frame") {
+    val p = plan("ev_moving_agg")
+    assert(p.contains("RangeFrame"), "moving aggregate lost its range frame")
+    assert("\\+- Window ".r.findAllIn(p).size == 1,
+      "both frame aggregates must share one Window pass")
+  }
+
+  test("gap-fill spine joins broadcast (bounds scalar + hourly table)") {
+    val p = plan("ev_gap_fill")
+    assert(!p.contains("CartesianProduct"),
+      "spine × bounds should broadcast, not cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "gap-fill lost its broadcast joins")
+  }
+
+  test("PQ scoring broadcasts the probes; rerank joins stay keyed") {
+    val p = plan("emb_pq_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "PQ probe side should broadcast")
+    assert(!p.contains("CartesianProduct"), "PQ scoring degenerated to cartesian")
+  }
+
+  test("collocation unigram joins broadcast the vocabulary") {
+    assert(plan("txt_collocations").contains("BroadcastHashJoin"),
+      "PMI unigram joins should broadcast the vocab side")
+  }
+
   test("simhash candidate join is an equi-join on the 16-bit chunks") {
     val p = plan("dedup_simhash")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
