@@ -311,6 +311,39 @@ object DedupQueries extends QueryModule {
         .orderBy("lang", "doc_id")
     }),
 
+    // Sequence packing (concat-and-chunk): lay every doc's tokens out
+    // on one global tape in doc_id order and map each doc to its
+    // 2048-token context windows — the packing step of every
+    // pretraining data pipeline. The global offset is a two-level
+    // prefix sum: per-bucket totals (one small aggregate) get a
+    // running-sum window over the TINY bucket table, then a within-
+    // bucket cumsum adds the broadcast bucket base — no single-
+    // partition window over the corpus ever exists, which is the only
+    // way a global ordered cumsum survives 100 TB. All integers.
+    "pipe_pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      val C = 2048L
+      val d = Tables.documents(s, dir)
+        .selectExpr("doc_id", s"CAST(size($TOKENS) AS BIGINT) AS n_tok",
+          "doc_id div 100 AS pid")
+      val bucketBase = d.groupBy($"pid").agg(sum($"n_tok").as("bsum"))
+        .withColumn("base",
+          coalesce(sum($"bsum").over(Window.orderBy($"pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"pid", $"base")
+      val wLocal = Window.partitionBy($"pid").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.join(broadcast(bucketBase), "pid")
+        .withColumn("start_tok",
+          $"base" + coalesce(sum($"n_tok").over(wLocal), lit(0L)))
+        .selectExpr("doc_id", "n_tok", "start_tok",
+          "start_tok + n_tok AS end_tok",
+          s"start_tok div $C AS chunk_first",
+          s"(start_tok + n_tok - 1) div $C AS chunk_last")
+        .where($"n_tok" > 0)
+        .orderBy("doc_id")
+    }),
+
     // Near-dup CLUSTER resolution: connected components over the exact
     // Jaccard ≥ 0.5 pair graph, by min-label propagation to fixpoint
     // (each iteration: union own labels with neighbors' labels, keep
@@ -524,6 +557,20 @@ object DedupQueries extends QueryModule {
         |  FROM documents)
         |WHERE rn <= CASE WHEN lang = 'en' THEN 160 ELSE 60 END
         |ORDER BY lang, doc_id""".stripMargin,
+    "pipe_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |o AS (SELECT doc_id, n_tok,
+         |        coalesce(CAST(sum(n_tok) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_tok
+         |      FROM d)
+         |SELECT doc_id, n_tok, start_tok, start_tok + n_tok AS end_tok,
+         |  start_tok // 2048 AS chunk_first,
+         |  (start_tok + n_tok - 1) // 2048 AS chunk_last
+         |FROM o
+         |WHERE n_tok > 0
+         |ORDER BY doc_id""".stripMargin,
+
     // Recursive min-label reachability: label(n) = every node that can
     // reach n through the symmetrized near-dup edges; min per node is
     // the component's smallest doc_id (same canonical id as the engine).
