@@ -35,7 +35,9 @@ object DedupQueries extends QueryModule {
     * shingling runs once and neither a `sizes` groupBy nor a
     * `collect_list` re-aggregation shuffle ever happens. */
   private def shingleArrays(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    // spread: shingling is the CPU-heavy narrow stage; the fixture file
+    // is one split (see QueryModule.spread — no-op once splits ≥ cores).
+    QueryModule.spread(Tables.documents(s, dir).select("doc_id", "text"))
       .selectExpr("doc_id", s"$TOKENS AS t")
       .where("size(t) >= 3")
       // Sorted at build (once, persisted) so candidate verification can
@@ -427,7 +429,8 @@ object DedupQueries extends QueryModule {
     // signature depends on xxhash64).
     "dedup_simhash" -> ((s, dir) => {
       import s.implicits._
-      val termWeights = Tables.documents(s, dir)
+      val termWeights = QueryModule.spread(
+          Tables.documents(s, dir).select("doc_id", "text"))
         .selectExpr("doc_id", s"explode($TOKENS) AS w")
         .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
         .selectExpr("doc_id", "xxhash64(w) AS h", "cnt")

@@ -58,7 +58,11 @@ object EmbeddingQueries extends QueryModule {
     // 100 TB is emb_ann_topk below.
     "emb_cosine_pairs" -> ((s, dir) => {
       import s.implicits._
-      val a = Tables.embeddings(s, dir).select($"vec_id".as("v1"), $"embedding".as("e1"))
+      // spread: the 2M-pair scoring loop parallelizes over STREAM-side
+      // splits, and the fixture file is a single split — one task would
+      // run the whole quadratic loop (QueryModule.spread; no-op at scale).
+      val a = QueryModule.spread(
+        Tables.embeddings(s, dir).select($"vec_id".as("v1"), $"embedding".as("e1")))
       val b = Tables.embeddings(s, dir).select($"vec_id".as("v2"), $"embedding".as("e2"))
       a.join(b, $"v1" < $"v2")
         .withColumn("sim", call_function("cosine_sim", $"e1", $"e2"))

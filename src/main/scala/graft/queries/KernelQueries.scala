@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object KernelQueries extends QueryModule {
 
+  /** The reference's `multiThreadLevel` for these jobs: every core.
+    * The fixture files are one split, so leaving parallelism unset
+    * (natural splits) would run the whole map phase on ONE task —
+    * the sample client's thread-count choice, made the Spark way. */
+  private def mtl(s: SparkSession): Int = s.sparkContext.defaultParallelism
+
   private def docs(s: SparkSession, dir: String) = {
     import s.implicits._
     Tables.documents(s, dir).select("doc_id", "text").as[(Long, String)]
@@ -19,13 +25,13 @@ object KernelQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mr_wordcount" -> ((s, dir) => {
       import s.implicits._
-      MapReduce.run(docs(s, dir), WordCountClient)
+      MapReduce.run(docs(s, dir), WordCountClient, mtl(s))
         .toDF("word", "cnt")
         .orderBy("word")
     }),
     "mr_charcount" -> ((s, dir) => {
       import s.implicits._
-      MapReduce.run(docs(s, dir), CharCountClient)
+      MapReduce.run(docs(s, dir), CharCountClient, mtl(s))
         .toDF("ch", "cnt")
         .orderBy("ch")
     }),
@@ -40,7 +46,7 @@ object KernelQueries extends QueryModule {
         .select($"o_custkey",
           concat(lit("O:"), round($"o_totalprice" * 100, 0).cast("long")))
         .as[(Long, String)]
-      MapReduce.run(cust.union(ords), CustomerOrderJoinClient)
+      MapReduce.run(cust.union(ords), CustomerOrderJoinClient, mtl(s))
         .select(
           $"_1".as("c_custkey"),
           $"_2._1".as("c_name"),
@@ -59,7 +65,7 @@ object KernelQueries extends QueryModule {
           "named_struct('_1', CAST(l_quantity AS BIGINT), " +
             "'_2', CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS _2")
         .as[(String, (Long, Long))]
-      MapReduce.run(in, GroupedAggClient)
+      MapReduce.run(in, GroupedAggClient, mtl(s))
         .select(
           split($"_1", "\\|").getItem(0).as("l_returnflag"),
           split($"_1", "\\|").getItem(1).as("l_linestatus"),

@@ -31,6 +31,20 @@ object QueryModule {
   def duckGrams3(arr: String): String =
     s"[$arr[i] || ' ' || $arr[i+1] || ' ' || $arr[i+2] FOR i IN range(1, len($arr) - 1)]"
 
+  /** Restore task parallelism for a CPU-heavy narrow stage when the
+    * scan yields fewer splits than cores. The fixture tables are tiny
+    * single-row-group parquet files — one split, so a tokenize/shingle/
+    * pair-scoring stage that follows the scan runs on ONE task no
+    * matter how many cores the session has. At production scale the
+    * same table is thousands of splits (> defaultParallelism) and this
+    * helper is a planning-time no-op branch; it only ever injects the
+    * round-robin exchange when the source is too small for it to
+    * matter as shuffle volume. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact discounted revenue Σ price·(1−disc) kept in the DECIMAL
     * domain: tight scales (12,2 × 7,4 stays inside precision 38),
     * rounded to scale 2 before any reuse — for queries that compare or

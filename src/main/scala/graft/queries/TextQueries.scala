@@ -184,7 +184,8 @@ object TextQueries extends QueryModule {
     // follows the txt_tfidf parity precedent.
     "txt_collocations" -> ((s, dir) => {
       import s.implicits._
-      val toks = Tables.documents(s, dir).selectExpr(s"$tokens AS t")
+      val toks = QueryModule.spread(Tables.documents(s, dir).select("text"))
+        .selectExpr(s"$tokens AS t")
       val uni = toks.selectExpr("explode(t) AS w")
       val ucnt = uni.groupBy($"w").agg(count(lit(1)).as("c"))
       val nUni = uni.agg(count(lit(1)).as("nu"))
@@ -208,7 +209,7 @@ object TextQueries extends QueryModule {
 
     "txt_char_bigrams" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
+      QueryModule.spread(Tables.documents(s, dir).select("text"))
         // length >= 2 guard (mirrored in the oracle): Spark's
         // sequence(1, 0) yields a DESCENDING [1, 0] — a 0/1-char doc
         // would emit phantom bigrams where DuckDB's range() is empty.
