@@ -66,6 +66,24 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("n"))
 
+  /** Hourly → daily two-level windowed aggregation: two STATEFUL
+    * operators chained in one streaming query (multiple stateful ops in
+    * append mode — the downsample-then-rollup topology of every metrics
+    * pipeline). The second `window()` takes the first aggregate's
+    * window STRUCT column directly, so the daily rollup re-windows the
+    * hourly results without a round-trip through a sink, and the
+    * watermark propagates through both states: hourly state drops after
+    * 2 h, daily state when its day closes. At scale this replaces a
+    * second job + intermediate table. */
+  def hourlyThenDaily(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_utc", "2 hours")
+      .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(col("w"), "1 day").as("d"), col("event_type"))
+      .agg(sum(col("n")).as("n"))
+      .select(col("d.start").as("day"), col("event_type"), col("n"))
+
   /** Stateful sessionization with explicit per-key state
     * (`mapGroupsWithState`): a >30 min gap starts a new session. Emits a
     * running (nSessions, nEvents) snapshot per user on every trigger —

@@ -39,6 +39,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained hourly->daily stateful aggregation emits closed days (append)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val events = in.toDF()
+      .select(timestamp_micros($"_1").as("ts_utc"), $"_2".as("event_type"))
+    val q = EventStreams.toMemory(
+      EventStreams.hourlyThenDaily(events), "hd", OutputMode.Append())
+    try {
+      in.addData((us(0, 10), "click"), (us(1, 5), "click"), (us(3, 0), "view"))
+      q.processAllAvailable()
+      // Day 2024-01-01 is still open: nothing may have emitted.
+      assert(spark.table("hd").isEmpty, "open day leaked out of the chained agg")
+      // 2024-01-02 02:30 drives the watermark to 00:30 past the day
+      // boundary, closing day 1 through BOTH stateful operators.
+      in.addData((us(26, 30), "click"))
+      q.processAllAvailable()
+      val got = spark.table("hd")
+        .select($"day".cast("string"), $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(got == Set(
+        ("2024-01-01 00:00:00", "click", 2L),
+        ("2024-01-01 00:00:00", "view", 1L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization splits on >30min gaps across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
