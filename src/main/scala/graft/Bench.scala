@@ -107,9 +107,11 @@ object Bench {
     // If the line would overflow the ~2000-char tail window anyway,
     // fold just enough of the CHEAPEST queries into one "fast_other"
     // rollup that the line stays a single valid JSON object inside the
-    // tail (their individual timings are in BENCH_LOCAL.json).
+    // tail (their individual timings are in BENCH_LOCAL.json). Budget
+    // 1800 — not 2000 — so one stray shutdown WARN line after the
+    // report can't push the line's head out of the window.
     var skip = 0
-    while (render(skip).length > 1990 && skip < ascending.size) skip += 1
+    while (render(skip).length > 1800 && skip < ascending.size) skip += 1
     val line = render(skip)
     // Durable full-precision record (both sweeps, not just the min) —
     // stdout only carries the one-line summary above.
@@ -125,7 +127,12 @@ object Bench {
     } catch {
       case e: Throwable => System.err.println(s"[bench] local dump failed: ${e.getMessage}")
     }
-    println(line)
+    // Stop BEFORE printing: the JSON line must be the last bytes of
+    // output (the harness surfaces only the stdout tail), and
+    // SparkContext shutdown can log warnings that would otherwise land
+    // after it. Post-main JVM shutdown hooks log at INFO, which the
+    // WARN log level above already silences.
     spark.stop()
+    println(line)
   }
 }

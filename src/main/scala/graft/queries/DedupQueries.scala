@@ -346,6 +346,69 @@ object DedupQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Size-balanced shard assignment: spread docs over 16 output shards
+    // so token totals even out (the writer-side step before exporting
+    // training shards). Serpentine placement over the global
+    // by-size rank (largest first; shard order reverses every block of
+    // 16) is the classic greedy bin-balancer in closed form — no
+    // driver-side loop. The global rank itself never builds a
+    // single-partition window: docs group by exact n_tok (the
+    // ordering key's coarse prefix), per-value bases come from a
+    // running sum over the TINY distinct-size table (broadcast back),
+    // and only the within-size row_number partitions by n_tok — the
+    // same two-level prefix-sum shape as pipe_pack_sequences, so the
+    // plan survives a corpus that no longer fits one sort partition.
+    "pipe_shard_assign" -> ((s, dir) => {
+      import s.implicits._
+      val K = 16
+      val d = Tables.documents(s, dir)
+        .selectExpr("doc_id", s"CAST(size($TOKENS) AS BIGINT) AS n_tok")
+      val sizeBase = d.groupBy($"n_tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("base",
+          coalesce(sum($"cnt").over(Window.orderBy($"n_tok".desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"n_tok", $"base")
+      val wIn = Window.partitionBy($"n_tok").orderBy($"doc_id")
+      d.join(broadcast(sizeBase), "n_tok")
+        .withColumn("rank", $"base" + row_number().over(wIn))
+        .selectExpr("doc_id", "n_tok",
+          s"CASE WHEN ((rank - 1) div $K) % 2 = 0 THEN (rank - 1) % $K " +
+            s"ELSE ${K - 1} - ((rank - 1) % $K) END AS shard")
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tok"))
+        .orderBy("shard")
+    }),
+
+    // Mixture oversampling to parity: every language is repeated up to
+    // the size of the largest one (epoch-style upsampling, the
+    // counterpart of pipe_domain_mix's downsampling). Docs get
+    // ⌊target/n_g⌋ full epochs plus one partial epoch for the
+    // `target mod n_g` docs with smallest md5 — deterministic across
+    // runs/engines, exact to the row. The group sizes and the target
+    // scalar are two tiny broadcast joins; the explode is the only
+    // row-multiplying step and it writes straight into the final
+    // aggregate, so at 100 TB the blow-up never materializes wider
+    // than one map stage.
+    "pipe_oversample" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", md5($"doc_id".cast("string")).as("h"))
+      val sizes = d.groupBy($"lang").agg(count(lit(1)).as("n_g"))
+      val target = sizes.agg(max($"n_g").as("target"))
+      d.join(broadcast(sizes), "lang")
+        .crossJoin(broadcast(target))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"lang").orderBy($"h", $"doc_id")))
+        .withColumn("n_epochs",
+          expr("target div n_g") +
+            when($"rn" <= expr("target % n_g"), 1L).otherwise(0L))
+        .where($"n_epochs" > 0)
+        .withColumn("epoch", explode(sequence(lit(1L), $"n_epochs")))
+        .groupBy($"lang", $"epoch")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "epoch")
+    }),
+
     // Near-dup CLUSTER resolution: connected components over the exact
     // Jaccard ≥ 0.5 pair graph, by min-label propagation to fixpoint
     // (each iteration: union own labels with neighbors' labels, keep
@@ -573,6 +636,40 @@ object DedupQueries extends QueryModule {
          |FROM o
          |WHERE n_tok > 0
          |ORDER BY doc_id""".stripMargin,
+    // Single flat row_number (fine at oracle scale); the engine side
+    // computes the identical rank via the two-level prefix sum.
+    "pipe_shard_assign" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |r AS (SELECT doc_id, n_tok,
+         |        row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rank
+         |      FROM d)
+         |SELECT CAST(CASE WHEN ((rank - 1) // 16) % 2 = 0 THEN (rank - 1) % 16
+         |            ELSE 15 - ((rank - 1) % 16) END AS BIGINT) AS shard,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok
+         |FROM r
+         |GROUP BY 1
+         |ORDER BY shard""".stripMargin,
+    "pipe_oversample" ->
+      """WITH d AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+        |           FROM documents),
+        |s AS (SELECT lang, count(*) AS n_g FROM d GROUP BY 1),
+        |t AS (SELECT max(n_g) AS target FROM s),
+        |r AS (SELECT d.lang,
+        |        row_number() OVER (PARTITION BY d.lang ORDER BY h, doc_id) AS rn,
+        |        s.n_g, t.target
+        |      FROM d JOIN s USING (lang) CROSS JOIN t),
+        |e AS (SELECT lang,
+        |        CAST(target // n_g
+        |          + CASE WHEN rn <= target % n_g THEN 1 ELSE 0 END AS BIGINT)
+        |          AS n_epochs
+        |      FROM r),
+        |u AS (SELECT lang, unnest(generate_series(1, n_epochs)) AS epoch
+        |      FROM e WHERE n_epochs > 0)
+        |SELECT lang, CAST(epoch AS BIGINT) AS epoch, count(*) AS n_docs
+        |FROM u
+        |GROUP BY 1, 2
+        |ORDER BY lang, epoch""".stripMargin,
 
     // Recursive min-label reachability: label(n) = every node that can
     // reach n through the symmetrized near-dup edges; min per node is

@@ -244,6 +244,28 @@ object EventsQueries extends QueryModule {
       types.foldLeft(pivoted)((df, t) =>
           df.withColumn(t, coalesce(col(t), lit(0L))))
         .orderBy("day")
+    }),
+
+    // CDC-style compaction: collapse an event log to the latest record
+    // per (user, type) — the upsert/"keep newest version" shape every
+    // changelog-to-snapshot pipeline needs. ONE shuffle as a plain
+    // aggregate: max over struct(ts_us, event_id, value) picks the
+    // newest row (event_id is unique, so `value` trails the comparison
+    // and just rides along), and because it is an ordinary `max` it
+    // gets map-side partial aggregation — at 100 TB the pre-shuffle
+    // combine reduces each partition to one row per live key, which a
+    // window row_number=1 formulation (sort the whole log) cannot do.
+    "ev_compact_latest" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          max(struct($"ts_us", $"event_id", $"value")).as("m"))
+        .select($"user_id", $"event_type",
+          $"m.event_id".as("last_event_id"), $"m.ts_us".as("last_ts_us"),
+          $"m.value".as("last_value"), $"n_events")
+        .orderBy("user_id", "event_type")
     })
   )
 
@@ -398,6 +420,21 @@ object EventsQueries extends QueryModule {
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events
         |GROUP BY 1
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+    // Window formulation (clearer in SQL); the engine side uses the
+    // partial-aggregable max-over-struct — same rows by construction
+    // because event_id is unique within a (user, type) group.
+    "ev_compact_latest" ->
+      """SELECT user_id, event_type, last_event_id, last_ts_us, last_value,
+        |  n_events
+        |FROM (
+        |  SELECT user_id, event_type, event_id AS last_event_id,
+        |    epoch_us(ts) AS last_ts_us, value AS last_value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, event_type) AS n_events
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin
   )
 }

@@ -61,6 +61,29 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Word-distribution Shannon entropy per doc — the repetitiveness
+    // signal quality filters threshold on (a boilerplate page scores
+    // low, natural prose high). Shape: explode → per-(doc, word) count
+    // → one partial-aggregated groupBy; entropy in closed form
+    // H = log2(n) − (Σ c·log2 c)/n. Reported in ppm: the ONLY float
+    // step is the final log2/divide, whose error (~1e-12) sits eight
+    // orders below the 1e-6 quantum, so the round is engine-stable —
+    // and degenerate docs (all-equal or all-distinct tokens) hit exact
+    // integers on both engines by construction.
+    "txt_entropy" -> ((s, dir) => {
+      import s.implicits._
+      QueryModule.spread(Tables.documents(s, dir).select("doc_id", "text"))
+        .selectExpr("doc_id", s"explode($tokens) AS w")
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n"), count(lit(1)).as("n_unique"),
+          sum($"c" * log2($"c")).as("clog"))
+        .selectExpr("doc_id", "n AS n_tok", "n_unique",
+          "CAST(round((log2(CAST(n AS DOUBLE)) - clog / CAST(n AS DOUBLE)) " +
+            "* 1000000) AS BIGINT) AS entropy_ppm")
+        .orderBy("doc_id")
+    }),
+
     // Corpus term frequency + document frequency, top 20.
     "txt_termfreq" -> ((s, dir) => {
       import s.implicits._
@@ -286,6 +309,20 @@ object TextQueries extends QueryModule {
          |GROUP BY word
          |ORDER BY cnt DESC, word
          |LIMIT 20""".stripMargin,
+    "txt_entropy" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, w, count(*) AS c
+         |  FROM (SELECT doc_id, unnest($duckTokens) AS w FROM documents)
+         |  GROUP BY 1, 2),
+         |e AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         |    count(*) AS n_unique, sum(c * log2(c)) AS clog
+         |  FROM c GROUP BY 1)
+         |SELECT doc_id, n_tok, n_unique,
+         |  CAST(round((log2(CAST(n_tok AS DOUBLE)) - clog / n_tok) * 1000000)
+         |    AS BIGINT) AS entropy_ppm
+         |FROM e
+         |ORDER BY doc_id""".stripMargin,
     "txt_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id, len($duckTokens) AS n_tokens,

@@ -174,4 +174,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "simhash blocking degenerated to all-pairs")
   }
+
+  test("CDC compaction is a pure partial+final aggregate, not a window sort") {
+    val p = plan("ev_compact_latest")
+    // The max-over-struct formulation exists to get map-side combine; a
+    // rewrite to row_number()=1 would reintroduce a full per-key sort.
+    assert("HashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+      "expected partial and final aggregate")
+    assert(!p.contains("Window"), "compaction regressed to a window sort")
+  }
+
+  test("shard assignment broadcasts the size-base table; rank never " +
+      "collapses the corpus to one partition") {
+    val p = plan("pipe_shard_assign")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-size base offsets should broadcast back onto the docs")
+    // The within-size row_number must keep its partition spec: a Window
+    // whose partitionBy vanished is the single-partition global sort
+    // this query is shaped to avoid.
+    assert("Window \\[row_number\\(\\)[^\\]]*\\], \\[n_tok".r
+        .findFirstIn(p).isDefined,
+      "within-size row_number lost its n_tok partitioning")
+  }
+
+  test("oversampling broadcasts group sizes and the target scalar") {
+    val p = plan("pipe_oversample")
+    assert(p.contains("BroadcastHashJoin"), "group-size join should broadcast")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row target scalar should broadcast (never a shuffled cross join)")
+  }
+
+  test("entropy is two partial+final aggregates (explode feeds map-side combine)") {
+    val p = plan("txt_entropy")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expected partial+final pairs for both the (doc,word) count and the doc rollup")
+  }
 }
