@@ -409,6 +409,29 @@ object DedupQueries extends QueryModule {
         .orderBy("lang", "epoch")
     }),
 
+    // Dataset card: the corpus composition report published next to a
+    // training set — docs, tokens, and exact-dup rate per (lang,
+    // source) cell plus per-lang and grand-total rollup rows. One
+    // ROLLUP aggregate; the dup rate rides on count(DISTINCT md5):
+    // digest-only like dedup_exact, so no text crosses the shuffle,
+    // and the ppm ratio stays in integer arithmetic. NULL rollup keys
+    // fold to 'ALL' so the sort never depends on engine NULL ordering.
+    "pipe_dataset_card" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .selectExpr("lang", "source",
+          s"CAST(size($TOKENS) AS BIGINT) AS n_tok", "md5(text) AS h")
+        .rollup($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+          countDistinct($"h").as("n_unique"))
+        .select(
+          coalesce($"lang", lit("ALL")).as("lang"),
+          coalesce($"source", lit("ALL")).as("source"),
+          $"n_docs", $"n_tokens", $"n_unique",
+          expr("(n_docs - n_unique) * 1000000L div n_docs AS dup_ppm"))
+        .orderBy("lang", "source")
+    }),
+
     // Near-dup CLUSTER resolution: connected components over the exact
     // Jaccard ≥ 0.5 pair graph, by min-label propagation to fixpoint
     // (each iteration: union own labels with neighbors' labels, keep
@@ -670,6 +693,19 @@ object DedupQueries extends QueryModule {
         |FROM u
         |GROUP BY 1, 2
         |ORDER BY lang, epoch""".stripMargin,
+    "pipe_dataset_card" ->
+      s"""WITH d AS (SELECT lang, source,
+         |    CAST(len($duckTokens) AS BIGINT) AS n_tok, md5(text) AS h
+         |  FROM documents)
+         |SELECT coalesce(lang, 'ALL') AS lang,
+         |  coalesce(source, 'ALL') AS source,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT h) AS n_unique,
+         |  CAST((count(*) - count(DISTINCT h)) * 1000000 // count(*) AS BIGINT)
+         |    AS dup_ppm
+         |FROM d
+         |GROUP BY ROLLUP (lang, source)
+         |ORDER BY lang, source""".stripMargin,
 
     // Recursive min-label reachability: label(n) = every node that can
     // reach n through the symmetrized near-dup edges; min per node is

@@ -86,6 +86,30 @@ object EmbeddingQueries extends QueryModule {
         .orderBy("label", "dim")
     }),
 
+    // Int8 quantization calibration: per-dimension min/max and the
+    // derived (range/255) scale — the parameter table an embedding
+    // store needs before packing float vectors into int8 codes (PQ's
+    // cheaper cousin, and the emb_pq_topk storage companion). All
+    // fixed-point: values floor to 1e-6 ticks, the scale is reported in
+    // 1e-9 ticks via integer division — no float leaves the plan.
+    // Shape note: posexplode emits narrow (dim, long) rows and min/max
+    // partial-aggregate collapses every map partition to ≤64 rows
+    // before the shuffle, so the 64× row blow-up never crosses the
+    // wire; 64 groups → one tiny final stage at any corpus size.
+    "emb_int8_quant" -> ((s, dir) => {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .selectExpr("posexplode(cast(embedding AS array<double>)) AS (pos, v)")
+        .selectExpr("pos + 1 AS dim",
+          "CAST(floor(v * 1000000) AS BIGINT) AS v6")
+        .groupBy($"dim")
+        .agg(count(lit(1)).as("n"),
+          min($"v6").as("vmin_e6"), max($"v6").as("vmax_e6"))
+        .selectExpr("dim", "n", "vmin_e6", "vmax_e6",
+          "(vmax_e6 - vmin_e6) * 1000 div 255 AS scale_e9")
+        .orderBy("dim")
+    }),
+
     // ANN via IVF (inverted file): the label centroids act as the
     // coarse codebook (deterministic k-means stand-in), every vector is
     // assigned to its nearest cell, probes search their nprobe=3
@@ -303,6 +327,16 @@ object EmbeddingQueries extends QueryModule {
         |SELECT q.label AS label, n.n, d.i AS dim, CAST(sum(e6[d.i]) AS BIGINT) AS sum_e6
         |FROM q JOIN n ON q.label = n.label, range(1, 65) d(i)
         |GROUP BY q.label, n.n, d.i
-        |ORDER BY q.label, dim""".stripMargin
+        |ORDER BY q.label, dim""".stripMargin,
+    "emb_int8_quant" ->
+      """WITH u AS (
+        |  SELECT d.i AS dim,
+        |    CAST(floor(embedding[d.i]::DOUBLE * 1000000) AS BIGINT) AS v6
+        |  FROM embeddings, range(1, 65) d(i))
+        |SELECT dim, count(*) AS n, min(v6) AS vmin_e6, max(v6) AS vmax_e6,
+        |  CAST((max(v6) - min(v6)) * 1000 // 255 AS BIGINT) AS scale_e9
+        |FROM u
+        |GROUP BY 1
+        |ORDER BY dim""".stripMargin
   )
 }

@@ -209,4 +209,11 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       "expected partial+final pairs for both the (doc,word) count and the doc rollup")
   }
+
+  test("int8 calibration partial-aggregates the posexplode before the shuffle") {
+    val p = plan("emb_int8_quant")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial and final aggregate around the 64-group shuffle")
+    assert(!p.contains("Window"), "calibration must not sort — min/max only")
+  }
 }
