@@ -21,6 +21,16 @@ private final case class EvT(
 
 private final case class OpenSession(startUs: Long, lastUs: Long, nEvents: Long)
 
+/** One full event record for [[EventStreams.latestState]]. */
+final case class EvRec(
+    userId: Long, eventId: Long, tsUs: Long, eventType: String, value: Double)
+
+/** Compacted latest-record snapshot per (user, type) key. */
+final case class LatestRecord(userId: Long, eventType: String,
+    lastEventId: Long, lastTsUs: Long, lastValue: Double, nEvents: Long)
+
+private final case class LatestSt(tsUs: Long, eventId: Long, value: Double, n: Long)
+
 /** Structured Streaming surface (SURVEY.md §2.2 — the reference is
   * strictly batch; this is the extension mandate's stream path). The
   * same transformations as [[graft.queries.EventsQueries]], expressed
@@ -168,6 +178,38 @@ object EventStreams {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** Streaming CDC compaction — the streaming face of the batch
+    * `ev_compact_latest` query: maintain the newest record per
+    * (user, type) key and re-emit that key's refreshed snapshot each
+    * trigger it changes (update-mode shape, the changelog a compacted
+    * table view consumes). Newness ties break on eventId, matching the
+    * batch max-over-struct exactly, so arrival order never matters:
+    * an out-of-order delivery can bump nEvents but can't roll the
+    * snapshot back. State is four fixed-width fields per LIVE key —
+    * the same bound as the compacted table itself — and NoTimeout is
+    * deliberate: a compaction snapshot must never forget a key that
+    * stopped changing (contrast [[closedSessions]], where state is
+    * transient and event-time timeout evicts it). */
+  def latestState(events: Dataset[EvRec]): Dataset[LatestRecord] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.userId, e.eventType))
+      .mapGroupsWithState[LatestSt, LatestRecord](GroupStateTimeout.NoTimeout) {
+        case ((userId, eventType), rows, state) =>
+          var st = state.getOption
+            .getOrElse(LatestSt(Long.MinValue, Long.MinValue, 0.0, 0L))
+          rows.foreach { e =>
+            val newer = e.tsUs > st.tsUs ||
+              (e.tsUs == st.tsUs && e.eventId > st.eventId)
+            st =
+              if (newer) LatestSt(e.tsUs, e.eventId, e.value, st.n + 1)
+              else st.copy(n = st.n + 1)
+          }
+          state.update(st)
+          LatestRecord(userId, eventType, st.eventId, st.tsUs, st.value, st.n)
       }
   }
 

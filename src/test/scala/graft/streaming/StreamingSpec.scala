@@ -90,6 +90,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC compaction keeps the newest record per key across triggers " +
+      "and never rolls back on out-of-order delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EvRec]
+    val q = EventStreams.latestState(in.toDS())
+      .toDF("user_id", "event_type", "last_event_id", "last_ts_us",
+        "last_value", "n_events")
+      .writeStream.format("memory").queryName("compact")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(
+        EvRec(1L, 10L, us(0, 0), "click", 1.0),
+        EvRec(1L, 11L, us(0, 30), "click", 2.0),
+        EvRec(2L, 12L, us(0, 5), "view", 5.0))
+      q.processAllAvailable()
+      def latest(user: Long, typ: String) =
+        spark.table("compact")
+          .filter($"user_id" === user && $"event_type" === typ)
+          .orderBy($"n_events".desc)
+          .select($"last_event_id", $"last_value", $"n_events")
+          .as[(Long, Double, Long)].collect().head
+      assert(latest(1L, "click") == ((11L, 2.0, 2L)))
+      // Batch 2: a LATE event (older ts) for user 1 must bump the count
+      // but NOT displace the newer snapshot; user 2 advances normally.
+      in.addData(
+        EvRec(1L, 9L, us(0, 10), "click", 9.9),
+        EvRec(2L, 13L, us(1, 0), "view", 7.0))
+      q.processAllAvailable()
+      assert(latest(1L, "click") == ((11L, 2.0, 3L)))
+      assert(latest(2L, "view") == ((13L, 7.0, 2L)))
+    } finally q.stop()
+  }
+
   test("closed sessions emit once: inline on a gap, by timeout for the idle tail") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
