@@ -131,8 +131,11 @@ object Bench {
     // output (the harness surfaces only the stdout tail), and
     // SparkContext shutdown can log warnings that would otherwise land
     // after it. Post-main JVM shutdown hooks log at INFO, which the
-    // WARN log level above already silences.
-    spark.stop()
+    // WARN log level above already silences. A stop() failure must not
+    // cost the report — both sweeps already completed.
+    try spark.stop() catch {
+      case e: Throwable => System.err.println(s"[bench] stop failed: ${e.getMessage}")
+    }
     println(line)
   }
 }

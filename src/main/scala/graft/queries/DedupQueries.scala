@@ -385,12 +385,17 @@ object DedupQueries extends QueryModule {
     // ⌊target/n_g⌋ full epochs plus one partial epoch for the
     // `target mod n_g` docs with smallest md5 — deterministic across
     // runs/engines, exact to the row. The group sizes and the target
-    // scalar are two tiny broadcast joins; the explode is the only
-    // row-multiplying step and it writes straight into the final
-    // aggregate, so at 100 TB the blow-up never materializes wider
-    // than one map stage.
+    // scalar are two tiny broadcast joins. The row-multiplying explode
+    // is TWO-LEVEL (chunks of 4096, then epochs within the chunk):
+    // sequence() materializes its array before exploding, so a single
+    // flat sequence(1, n_epochs) would build an n_epochs-element array
+    // per row — an OOM (or the array-size cap) when the mixture is
+    // badly imbalanced at scale. Chunking bounds every array at 4096
+    // and the blow-up streams through one map stage into the final
+    // partial aggregate.
     "pipe_oversample" -> ((s, dir) => {
       import s.implicits._
+      val C = 4096L
       val d = Tables.documents(s, dir)
         .select($"doc_id", $"lang", md5($"doc_id".cast("string")).as("h"))
       val sizes = d.groupBy($"lang").agg(count(lit(1)).as("n_g"))
@@ -403,7 +408,11 @@ object DedupQueries extends QueryModule {
           expr("target div n_g") +
             when($"rn" <= expr("target % n_g"), 1L).otherwise(0L))
         .where($"n_epochs" > 0)
-        .withColumn("epoch", explode(sequence(lit(1L), $"n_epochs")))
+        .withColumn("chunk",
+          explode(sequence(lit(0L), expr(s"(n_epochs - 1) div $C"))))
+        .withColumn("epoch",
+          explode(sequence(expr(s"chunk * $C + 1"),
+            expr(s"least(n_epochs, (chunk + 1) * $C)"))))
         .groupBy($"lang", $"epoch")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "epoch")
@@ -414,19 +423,25 @@ object DedupQueries extends QueryModule {
     // source) cell plus per-lang and grand-total rollup rows. One
     // ROLLUP aggregate; the dup rate rides on count(DISTINCT md5):
     // digest-only like dedup_exact, so no text crosses the shuffle,
-    // and the ppm ratio stays in integer arithmetic. NULL rollup keys
-    // fold to 'ALL' so the sort never depends on engine NULL ordering.
+    // and the ppm ratio stays in integer arithmetic. Rollup subtotal
+    // rows label as 'ALL' via grouping() — NOT a bare coalesce, which
+    // would conflate them with a genuine NULL key (a real "language
+    // unknown" group renders '(none)') and leave the sort at the mercy
+    // of engine NULL ordering.
     "pipe_dataset_card" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
         .selectExpr("lang", "source",
           s"CAST(size($TOKENS) AS BIGINT) AS n_tok", "md5(text) AS h")
         .rollup($"lang", $"source")
-        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        .agg(grouping($"lang").as("gl"), grouping($"source").as("gs"),
+          count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
           countDistinct($"h").as("n_unique"))
         .select(
-          coalesce($"lang", lit("ALL")).as("lang"),
-          coalesce($"source", lit("ALL")).as("source"),
+          when($"gl" === 1, "ALL")
+            .otherwise(coalesce($"lang", lit("(none)"))).as("lang"),
+          when($"gs" === 1, "ALL")
+            .otherwise(coalesce($"source", lit("(none)"))).as("source"),
           $"n_docs", $"n_tokens", $"n_unique",
           expr("(n_docs - n_unique) * 1000000L div n_docs AS dup_ppm"))
         .orderBy("lang", "source")
@@ -697,8 +712,10 @@ object DedupQueries extends QueryModule {
       s"""WITH d AS (SELECT lang, source,
          |    CAST(len($duckTokens) AS BIGINT) AS n_tok, md5(text) AS h
          |  FROM documents)
-         |SELECT coalesce(lang, 'ALL') AS lang,
-         |  coalesce(source, 'ALL') AS source,
+         |SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL'
+         |            ELSE coalesce(lang, '(none)') END AS lang,
+         |  CASE WHEN GROUPING(source) = 1 THEN 'ALL'
+         |       ELSE coalesce(source, '(none)') END AS source,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          |  count(DISTINCT h) AS n_unique,
          |  CAST((count(*) - count(DISTINCT h)) * 1000000 // count(*) AS BIGINT)
