@@ -124,6 +124,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC compaction over randomized batched delivery matches the batch " +
+      "max-over-struct on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Seeded generator: ts collisions (mod 5 hours) force the eventId
+    // tie-break; random batch boundaries exercise cross-trigger state.
+    val rnd = new scala.util.Random(42)
+    val evs = (1L to 60L).map { id =>
+      EvRec(userId = rnd.nextInt(3) + 1L, eventId = id,
+        tsUs = us(rnd.nextInt(5), rnd.nextInt(3) * 10),
+        eventType = if (rnd.nextBoolean()) "click" else "view",
+        value = rnd.nextInt(100).toDouble)
+    }
+    val batches = {
+      val (a, rest) = rnd.shuffle(evs).splitAt(20)
+      val (b, c) = rest.splitAt(20)
+      Seq(a, b, c)
+    }
+    val in = MemoryStream[EvRec]
+    val q = EventStreams.latestState(in.toDS())
+      .toDF("user_id", "event_type", "last_event_id", "last_ts_us",
+        "last_value", "n_events")
+      .writeStream.format("memory").queryName("compact_rand")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      // n_events grows monotonically, so the max-n row per key is the
+      // final snapshot among the per-trigger re-emissions.
+      val got = spark.table("compact_rand")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id", $"event_type").orderBy($"n_events".desc)))
+        .where($"rk" === 1).drop("rk")
+        .as[(Long, String, Long, Long, Double, Long)].collect().toSet
+      val want = evs.toDS()
+        .groupBy($"userId", $"eventType")
+        .agg(count(lit(1)).as("n"),
+          max(struct($"tsUs", $"eventId", $"value")).as("m"))
+        .select($"userId", $"eventType", $"m.eventId", $"m.tsUs",
+          $"m.value", $"n")
+        .as[(Long, String, Long, Long, Double, Long)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("closed sessions emit once: inline on a gap, by timeout for the idle tail") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
