@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -95,6 +95,35 @@ object AdvancedQueries extends QueryModule {
         .unpivot(Array($"p_partkey"), Array($"size", $"retailprice"),
           "metric", "value")
         .orderBy("p_partkey", "metric")
+    }),
+
+    // Z-ORDER write layout: interleave the low 16 bits of two join/scan
+    // dimensions (part, supplier) into one Morton key — the multi-
+    // column clustering trick behind data-skipping layouts. At 100 TB
+    // the write path is `repartitionByRange($"z") .sortWithinPartitions
+    // ($"z") .write`, after which parquet min/max page stats are
+    // selective on BOTH dimensions at once (a sort on partkey alone
+    // leaves suppkey scans full-table). This query materializes the
+    // verifiable part: the per-z-bucket profile, whose tight
+    // distinct-part/supp counts per bucket ARE the locality the layout
+    // exists to create. All integer shift/mask arithmetic (the classic
+    // bit-spreading ladder), identical on both engines.
+    "pipe_zorder_layout" -> ((s, dir) => {
+      import s.implicits._
+      def spread(x: Column): Column =
+        Seq((8, 16711935L), (4, 252645135L), (2, 858993459L), (1, 1431655765L))
+          .foldLeft(x.bitwiseAND(lit(65535L))) { case (c, (sh, mask)) =>
+            c.bitwiseOR(shiftleft(c, sh)).bitwiseAND(lit(mask))
+          }
+      Tables.lineitem(s, dir)
+        .select($"l_partkey", $"l_suppkey",
+          spread($"l_partkey").bitwiseOR(shiftleft(spread($"l_suppkey"), 1))
+            .as("z"))
+        .groupBy(expr("z div 65536").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"))
+        .orderBy("zbucket")
     })
   )
 
@@ -137,6 +166,25 @@ object AdvancedQueries extends QueryModule {
         |  UNION ALL
         |  SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
         |  FROM part WHERE p_partkey < 50)
-        |ORDER BY p_partkey, metric""".stripMargin
+        |ORDER BY p_partkey, metric""".stripMargin,
+    // Same bit-spreading ladder, stepwise through CTEs (identical
+    // constants as the Spark fold).
+    "pipe_zorder_layout" ->
+      """WITH b AS (SELECT l_partkey, l_suppkey,
+        |    l_partkey & 65535 AS a0, l_suppkey & 65535 AS b0 FROM lineitem),
+        |s1 AS (SELECT *, (a0 | (a0 << 8)) & 16711935 AS a1,
+        |               (b0 | (b0 << 8)) & 16711935 AS b1 FROM b),
+        |s2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
+        |               (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+        |s3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,
+        |               (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+        |s4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4,
+        |               (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3)
+        |SELECT (a4 | (b4 << 1)) // 65536 AS zbucket, count(*) AS n,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM s4
+        |GROUP BY 1
+        |ORDER BY zbucket""".stripMargin
   )
 }
