@@ -337,6 +337,31 @@ object RelationalQueries extends QueryModule {
           |ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // Bloom-prefiltered join: build a bloom sketch over the SELECTIVE
+    // side's join keys (urgent orders) and drop fact rows that cannot
+    // match BEFORE they reach the join — the runtime-filter shape that
+    // decides shuffle volume at 100 TB (AQE's InjectRuntimeFilter
+    // plants exactly these expressions; here the shape is explicit so
+    // it applies regardless of AQE thresholds). False positives pass
+    // the bloom but die in the real join, so the result is EXACTLY the
+    // plain join — which is what the oracle runs. Scalar-subquery form
+    // because might_contain requires a constant/subquery bloom side.
+    "rel_bloom_prefilter" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(
+        s"""SELECT date_trunc('month', o_orderdate) AS month,
+           |  count(*) AS n, ${QueryModule.DuckRevenue} AS revenue
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE o_orderpriority = '1-URGENT'
+           |  AND might_contain(
+           |    (SELECT bloom_filter_agg(o_orderkey, 50000, 400000)
+           |     FROM orders WHERE o_orderpriority = '1-URGENT'),
+           |    l_orderkey)
+           |GROUP BY 1
+           |ORDER BY month""".stripMargin)
+    }),
+
     // Time-bucketed aggregation over the date dimension.
     "rel_month_agg" -> ((s, dir) => {
       import s.implicits._
@@ -534,6 +559,16 @@ object RelationalQueries extends QueryModule {
         |FROM orders
         |GROUP BY 1
         |ORDER BY month""".stripMargin,
+    // The bloom prefilter is semantically transparent (no false
+    // negatives; false positives die in the join), so the oracle is
+    // the plain join.
+    "rel_bloom_prefilter" ->
+      s"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         |  count(*) AS n, ${QueryModule.DuckRevenue} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY 1
+         |ORDER BY month""".stripMargin,
     "rel_string_funcs" ->
       """SELECT p_type, upper(substr(p_type, 1, 3)) AS code, count(*) AS n,
         |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

@@ -216,4 +216,15 @@ class PlanShapeSpec extends SparkSpec {
       "expected partial and final aggregate around the 64-group shuffle")
     assert(!p.contains("Window"), "calibration must not sort — min/max only")
   }
+
+  test("bloom prefilter survives planning on the fact side of the join") {
+    val p = plan("rel_bloom_prefilter")
+    // The whole point is dropping fact rows BEFORE the join; if the
+    // optimizer rewrote the predicate away the query silently degrades
+    // to the plain join it is supposed to beat at scale.
+    assert(p.contains("might_contain"),
+      "bloom membership predicate missing from the physical plan")
+    assert(p.contains("Subquery") || p.contains("bloom_filter_agg"),
+      "bloom build subquery missing from the physical plan")
+  }
 }
