@@ -52,6 +52,20 @@ object GroupedAggClient
   }
 }
 
+/** Count-of-counts (word-frequency histogram): consumes the OUTPUT of
+  * [[WordCountClient]] as its input — the reference's multi-job
+  * pattern, where a second `startMapReduceJob` runs over the previous
+  * job's OutputVec. In Spark the two jobs compose as one lazy plan
+  * (two shuffles), so the intermediate word counts never land on the
+  * driver the way the reference's shared OutputVec does. */
+object CountOfCountsClient
+    extends MapReduceClient[String, Long, Long, Long, Long, Long] {
+  override def map(word: String, cnt: Long): IterableOnce[(Long, Long)] =
+    Iterator.single((cnt, 1L))
+  override def reduce(cnt: Long, ones: Iterator[Long]): IterableOnce[(Long, Long)] =
+    Iterator.single((cnt, ones.sum))
+}
+
 /** Character frequency — the literal course sample client shape. */
 object CharCountClient
     extends MapReduceClient[Long, String, String, Long, String, Long] {

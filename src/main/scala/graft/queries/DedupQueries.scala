@@ -122,6 +122,43 @@ object DedupQueries extends QueryModule {
           "c * 1000000 div (sa + sb - c) AS jac_ppm")
         .orderBy("d1", "d2")),
 
+    // CONTAINMENT near-dup (asymmetric Jaccard ≥ 0.8): ≥80% of the
+    // smaller doc's shingles appear in the larger — the doc-inside-doc
+    // case (quoted article, boilerplate wrapper) that symmetric Jaccard
+    // misses because the size imbalance dilutes the union. Prefix
+    // filtering adapts to the asymmetry: only the CONTAINED candidate
+    // needs a prefix (its ⌊(1−τ)·sz⌋+1 rarest shingles — missing all
+    // of them would already break τ), joined against the container
+    // side's full inverted index. Candidate volume is Σ df over those
+    // RAREST-by-construction shingles, so hot shingles never drive the
+    // fanout; verification reuses the sorted two-pointer intersect.
+    "dedup_containment" -> ((s, dir) => {
+      import s.implicits._
+      val sets = shingleArrays(s, dir).persist()
+      val sh = sets.selectExpr("doc_id", "sz", "explode(ss) AS shingle")
+      val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      val probe = sh.join(dfreq, "shingle")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"df", $"shingle")))
+        .where($"rk" <= ($"sz" / 5).cast("long") + 1)
+        .selectExpr("doc_id", "xxhash64(shingle) AS sh_h", "sz")
+      val index = sh.selectExpr("doc_id", "xxhash64(shingle) AS sh_h", "sz")
+      val cand = probe.as("a").join(index.as("b"),
+          $"a.sh_h" === $"b.sh_h" &&
+            ($"a.sz" < $"b.sz" ||
+              ($"a.sz" === $"b.sz" && $"a.doc_id" < $"b.doc_id")))
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .distinct()
+      cand.join(sets.as("z1"), $"d1" === $"z1.doc_id")
+        .join(sets.as("z2"), $"d2" === $"z2.doc_id")
+        .select($"d1", $"d2", $"z1.sz".as("sa"), $"z2.sz".as("sb"),
+          call_function("sorted_intersect_count", $"z1.ss", $"z2.ss").as("c"))
+        .where($"c" * 5 >= $"sa" * 4)
+        .selectExpr("d1", "d2", "sa", "sb", "c",
+          "c * 1000000 div sa AS cont_ppm")
+        .orderBy("d1", "d2")
+    }),
+
     // MinHash (64 perms) + LSH (16 bands × 4 rows) candidates, then
     // exact verification of the candidates. Probabilistic recall → no
     // SQL oracle (rows-only); the spec cross-checks it against the
@@ -604,6 +641,17 @@ object DedupQueries extends QueryModule {
          |SELECT d1, d2, sa, sb, c, (c * 1000000) // (sa + sb - c) AS jac_ppm
          |FROM p
          |WHERE 2 * c >= sa + sb - c
+         |ORDER BY d1, d2""".stripMargin,
+    "dedup_containment" ->
+      s"""$duckShingles,
+         |p AS (SELECT a.doc_id d1, b.doc_id d2, len(a.s) sa, len(b.s) sb,
+         |        len(list_intersect(a.s, b.s)) c
+         |      FROM sh a JOIN sh b
+         |        ON (len(a.s) < len(b.s)
+         |            OR (len(a.s) = len(b.s) AND a.doc_id < b.doc_id)))
+         |SELECT d1, d2, sa, sb, c, (c * 1000000) // sa AS cont_ppm
+         |FROM p
+         |WHERE c * 5 >= sa * 4
          |ORDER BY d1, d2""".stripMargin,
     "pipe_decontam" ->
       s"""$duckShingles,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.mr.{CharCountClient, CustomerOrderJoinClient, GroupedAggClient, MapReduce, WordCountClient}
+import graft.mr.{CharCountClient, CountOfCountsClient, CustomerOrderJoinClient, GroupedAggClient, MapReduce, WordCountClient}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -54,6 +54,19 @@ object KernelQueries extends QueryModule {
           $"_2._3".as("total_spend"))
         .orderBy("c_custkey")
     }),
+    // Multi-job chaining — the reference's composition pattern (run a
+    // second startMapReduceJob over the first job's OutputVec): word
+    // count → frequency histogram. The two kernel jobs fuse into ONE
+    // lazy plan with two shuffles; the intermediate never lands on the
+    // driver (the upgrade over the reference's shared output vector).
+    "mr_count_of_counts" -> ((s, dir) => {
+      import s.implicits._
+      val words = MapReduce.run(docs(s, dir), WordCountClient, mtl(s))
+      MapReduce.run(words, CountOfCountsClient, mtl(s))
+        .toDF("cnt", "n_words")
+        .orderBy("cnt")
+    }),
+
     // Grouped aggregation through the kernel (TPC-H Q1 shape): the
     // reference's reduce sees the whole group; integral measures (unit
     // counts / cents) keep in-group order irrelevant.
@@ -94,6 +107,14 @@ object KernelQueries extends QueryModule {
         |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY c.c_custkey, c.c_name
         |ORDER BY c.c_custkey""".stripMargin,
+    "mr_count_of_counts" ->
+      """SELECT cnt, count(*) AS n_words FROM (
+        |  SELECT w, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''
+        |  GROUP BY w)
+        |GROUP BY cnt
+        |ORDER BY cnt""".stripMargin,
     "mr_grouped_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

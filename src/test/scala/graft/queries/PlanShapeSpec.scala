@@ -217,6 +217,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), "calibration must not sort — min/max only")
   }
 
+  test("containment candidate join stays keyed on the shingle hash") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct"),
+      "containment join degenerated to a cross join")
+    assert(p.contains("sh_h"), "candidate join lost its shingle-hash key")
+  }
+
   test("bloom prefilter survives planning on the fact side of the join") {
     val p = plan("rel_bloom_prefilter")
     // The whole point is dropping fact rows BEFORE the join; if the
