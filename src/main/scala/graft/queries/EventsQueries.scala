@@ -51,6 +51,41 @@ object EventsQueries extends QueryModule {
         .orderBy("hour_start", "event_type")
     }),
 
+    // Streaming face of ev_hourly, surfaced to the driver's correctness
+    // gate: the same watermarked windowed aggregation that StreamingSpec
+    // proves batch-equivalent, here drained end-to-end with
+    // Trigger.AvailableNow (readStream over the events parquet → 2-hour
+    // watermark → tumbling hourly agg → parquet files sink in APPEND
+    // mode) and the sink read back as the result. Append mode emits a
+    // window only once the watermark proves it final, so the result is
+    // every window the final watermark (max event time − 2 h) passes —
+    // the trailing windows it cannot yet finalize are exactly what a
+    // resumed run would emit next, and the oracle encodes that horizon.
+    // At scale this is the incremental-ingestion shape: a checkpointed
+    // AvailableNow job processes new files and exits, no resident
+    // cluster.
+    "ev_stream_hourly" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ev_stream_")
+      val q = graft.streaming.EventStreams
+        .hourlyCounts(graft.streaming.EventStreams.fromParquetDir(s, dir))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // hour_start leaves the watermark path as TIMESTAMP (watermarks
+      // require it); cast back to ntz so the sink parquet's type matches
+      // the batch reader's convention (UTC session ⇒ same wall clock).
+      s.read.parquet(s"$tmp/out")
+        .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
+          col("event_type"), col("n"))
+        .orderBy("hour_start", "event_type")
+    }),
+
     // Sliding windows: 2-hour length, 1-hour slide — each event lands in
     // exactly two windows (the oracle unions the two shifted buckets).
     "ev_sliding" -> ((s, dir) => {
@@ -286,6 +321,18 @@ object EventsQueries extends QueryModule {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
+    // Append-mode emission horizon: a window is in the result iff the
+    // final watermark (max event time, truncated to ms, minus the 2 h
+    // delay) has passed its end. Spark tracks event time in
+    // milliseconds, so the horizon compares at ms precision.
+    "ev_stream_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        |  count(*) AS n
+        |FROM events
+        |WHERE epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+        |      <= (SELECT epoch_ms(max(ts)) - 7200000 FROM events)
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin,
     "ev_sliding" ->
