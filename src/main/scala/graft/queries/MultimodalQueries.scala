@@ -7,22 +7,30 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column surface: opaque binary payloads + typed metadata,
   * decode / feature-extract / frame-sample as typed Dataset transforms
-  * over a clearly-marked deterministic STUB codec
-  * ([[graft.multimodal.MediaCodec]]).
+  * over [[graft.multimodal.MediaCodec]]. The IMAGE path runs a real
+  * `javax.imageio` PNG decode and a real Graphics2D resize; audio/video
+  * remain a clearly-marked deterministic stub (no codecs in the
+  * container).
   *
   * Fixture media is synthesized from `documents.text` (`cast(text AS
   * binary)` — ASCII, so byte length == char length), with the modality
-  * assigned round-robin from `doc_id`. Because the stub codec is pure
-  * integer arithmetic on the byte length, every query here is fully
-  * oracle-backed — the plumbing is verified end-to-end even though the
-  * codec is fake.
+  * assigned round-robin from `doc_id`. The image transcode is
+  * deterministic (dimensions/pixels are functions of the payload), so
+  * every query here is fully oracle-backed: the oracle predicts the
+  * generator, and the Spark side round-trips those values through an
+  * actual decoder.
   */
 object MultimodalQueries extends QueryModule {
 
-  /** The typed media source: Dataset[MediaFile] over a binary column. */
+  /** The typed media source: Dataset[MediaFile] over a binary column.
+    * spread: the PNG transcode+decode downstream is the CPU-heavy
+    * narrow stage, and the fixture file is one split — without the
+    * round-robin exchange every decode lands on ONE task (measured:
+    * the whole image batch single-threaded). At production scale the
+    * table is thousands of splits and spread is a planning no-op. */
   private def media(s: SparkSession, dir: String): Dataset[MediaFile] = {
     import s.implicits._
-    Tables.documents(s, dir)
+    QueryModule.spread(Tables.documents(s, dir))
       .selectExpr(
         "doc_id AS docId",
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mediaType",
@@ -67,15 +75,16 @@ object MultimodalQueries extends QueryModule {
     }),
 
     // Resize: images only, fit into a 256x256 box preserving aspect
-    // ratio (floor-rounded integer math on the stub's dimensions — a
-    // narrow map, like decode; the real scaler slots into resizeFit).
+    // ratio. REAL path: PNG decode + Graphics2D raster scale per row
+    // (MediaCodec.resizeImage); out_w/out_h are read back from the
+    // scaled raster. A narrow map stage, like decode — at 100 TB this
+    // is pure per-partition CPU, no shuffle.
     "mm_resize" -> ((s, dir) => {
       import s.implicits._
       media(s, dir)
         .filter(_.mediaType == "image")
         .map { m =>
-          val meta = MediaCodec.decode(m)
-          val (ow, oh) = MediaCodec.resizeFit(meta, 256)
+          val (meta, ow, oh) = MediaCodec.resizeImage(m, 256)
           (meta.docId, meta.width, meta.height, ow, oh)
         }
         .toDF("doc_id", "width", "height", "out_w", "out_h")
@@ -106,6 +115,11 @@ object MultimodalQueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Image rows come from a REAL PNG decode of a deterministically
+    // generated image, so the oracle predicts the generator: the same
+    // width/height formulas (now PNG-header round-tripped on the Spark
+    // side) and 1 channel (grayscale color model) for images vs the
+    // 3-channel audio/video stub.
     "mm_metadata" ->
       """WITH m AS (SELECT doc_id,
         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -114,7 +128,7 @@ object MultimodalQueries extends QueryModule {
         |SELECT doc_id, media_type, byte_len,
         |  CAST(64 + byte_len % 577 AS INT) AS width,
         |  CAST(64 + (byte_len * 31) % 449 AS INT) AS height,
-        |  3 AS channels,
+        |  CASE WHEN media_type = 'image' THEN 1 ELSE 3 END AS channels,
         |  CASE WHEN media_type = 'image' THEN 0 ELSE byte_len * 8 END AS duration_ms
         |FROM m
         |ORDER BY doc_id""".stripMargin,
