@@ -495,10 +495,15 @@ object DedupQueries extends QueryModule {
     // an aggregated convergence scalar per round.
     "dedup_clusters" -> ((s, dir) => {
       import s.implicits._
-      val edges = jaccardPairs(s, dir).select($"d1", $"d2")
+      // Persist the PAIR list, not the symmetrized view: a persisted
+      // union would embed the whole jaccard pipeline in BOTH branches,
+      // and exchange reuse only dedups up to the last shuffle — the
+      // post-shuffle verify work (per-candidate set joins + intersect
+      // counts) would run twice. Cached pairs make `sym` a cheap
+      // two-scan projection every consumer (init + each round) reuses.
+      val edges = jaccardPairs(s, dir).select($"d1", $"d2").persist()
       val sym = edges
         .unionAll(edges.select($"d2".as("d1"), $"d1".as("d2")))
-        .persist()
       // Initialization IS the first propagation round: sym is
       // symmetric, so every node appears as d2, and min(node, min
       // incoming d1) equals what iteration 1 would produce from
@@ -526,36 +531,47 @@ object DedupQueries extends QueryModule {
           .select($"d2".as("node"), $"label")
         val grouped = labels.unionAll(prop)
           .groupBy($"node").agg(min($"label").as("label")).persist()
-        // Pointer-halving (the union-find path-compression idea, as a
-        // join): label ← label(label). Every label value is itself a
-        // node id (labels are mins over node ids), so the self-join
-        // collapses a propagation chain of length d in O(log d) rounds
-        // where plain neighbor propagation needs O(d) — the difference
-        // between 30 and 5 shuffle rounds on a long path component at
-        // 100 TB. Left join: a root's label is itself, jl == label.
-        val jump = grouped.select($"node".as("jn"), $"label".as("jl"))
-        val halved = grouped.join(jump, $"label" === $"jn", "left")
-          .select($"node", coalesce($"jl", $"label").as("label"))
-        // persist() caches the DATA but each round's logical plan still
-        // builds on the whole prior lineage, so analyzer/optimizer time
-        // grows with iteration depth. EVERY round the plan is cut at an
-        // RDD boundary (createDataFrame over the same rows): the
-        // analyzer then sees a leaf, per-round driver cost stays flat
-        // on deep-diameter components, and — measured at sf0.1 — the
-        // round itself runs ~2x faster than building on the fused
-        // lineage (every round's plan is then shape-identical, so AQE
-        // replanning and whole-stage codegen are paid once, not
-        // re-derived against an ever-deeper tree). Chosen over
-        // localCheckpoint because these blocks stay under the normal
-        // persist/unpersist discipline — localCheckpoint blocks are
-        // invisible to Dataset.unpersist AND catalog.clearCache,
-        // lingering until a driver GC happens to trigger the
-        // ContextCleaner.
-        val next = s.createDataFrame(halved.rdd, halved.schema).persist()
-        val s2 = labelSum(next)
-        grouped.unpersist()
-        if (s2 == prevSum) { next.unpersist(); converged = true }
-        else { labels.unpersist(); labels = next; prevSum = s2 }
+        // Convergence is checked on the propagate+min output, BEFORE
+        // the halving join below: at a fixpoint halving is the identity
+        // (every label is already a root), so stopping here is sound —
+        // and the terminal round, which every run pays exactly once,
+        // skips the halving join, the lineage cut and a persist cycle.
+        // On a clique-heavy near-dup graph the init round IS the
+        // fixpoint and the whole loop is this one cheap confirmation.
+        val sGrouped = labelSum(grouped)
+        if (sGrouped == prevSum) { grouped.unpersist(); converged = true }
+        else {
+          // Pointer-halving (the union-find path-compression idea, as a
+          // join): label ← label(label). Every label value is itself a
+          // node id (labels are mins over node ids), so the self-join
+          // collapses a propagation chain of length d in O(log d)
+          // rounds where plain neighbor propagation needs O(d) — the
+          // difference between 30 and 5 shuffle rounds on a long path
+          // component at 100 TB. Left join: a root's label is itself,
+          // jl == label.
+          val jump = grouped.select($"node".as("jn"), $"label".as("jl"))
+          val halved = grouped.join(jump, $"label" === $"jn", "left")
+            .select($"node", coalesce($"jl", $"label").as("label"))
+          // persist() caches the DATA but each round's logical plan
+          // still builds on the whole prior lineage, so
+          // analyzer/optimizer time grows with iteration depth. EVERY
+          // continuing round the plan is cut at an RDD boundary
+          // (createDataFrame over the same rows): the analyzer then
+          // sees a leaf, per-round driver cost stays flat on
+          // deep-diameter components, and — measured at sf0.1 — the
+          // round itself runs ~2x faster than building on the fused
+          // lineage (every round's plan is then shape-identical, so
+          // AQE replanning and whole-stage codegen are paid once, not
+          // re-derived against an ever-deeper tree). Chosen over
+          // localCheckpoint because these blocks stay under the normal
+          // persist/unpersist discipline — localCheckpoint blocks are
+          // invisible to Dataset.unpersist AND catalog.clearCache,
+          // lingering until a driver GC happens to trigger the
+          // ContextCleaner.
+          val next = s.createDataFrame(halved.rdd, halved.schema).persist()
+          prevSum = labelSum(next)
+          grouped.unpersist(); labels.unpersist(); labels = next
+        }
       }
       labels.groupBy($"label".as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"))
