@@ -31,8 +31,11 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] warmup FAILED: ${e.getMessage}")
     }
     // Stable (sorted) execution order for the same reason.
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    def sweep(): Seq[(String, Double)] = names.map { case (name, fn) =>
+    val allNames = SparkEntry.queries.toSeq.sortBy(_._1)
+    def sweep(only: Set[String] = Set.empty): Seq[(String, Double)] = {
+      val names = if (only.isEmpty) allNames
+        else allNames.filter(n => only.contains(n._1))
+      names.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true } catch {
@@ -49,6 +52,7 @@ object Bench {
       spark.catalog.clearCache()
       // A failed query reports -1 so it can't masquerade as a speedup.
       name -> (if (ok) elapsed else -1.0)
+      }
     }
     // Two full sweeps, report the per-query MINIMUM: this machine shares
     // a host, and a transient noisy-neighbor window has been observed to
@@ -59,17 +63,31 @@ object Bench {
     // intermittent breakage is visible in the JSON, not just stderr.
     val p1 = sweep()
     val p2 = sweep()
+    // Tie-break pass: when a query's two timings disagree by more than
+    // 3x (r4 observed 25.7 s vs 5.7 s on identical code), one of them
+    // was a noise window — a third run of JUST those queries keeps the
+    // reported minimum from being hostage to which sweep got hit. The
+    // names get listed under "tiebreak" so the JSON shows which minima
+    // rest on three samples instead of two.
+    val divergent = p1.zip(p2).collect {
+      case ((name, a), (_, b))
+          if a > 0 && b > 0 && math.max(a, b) > 3 * math.min(a, b) => name
+    }.toSet
+    val p3 = if (divergent.nonEmpty) sweep(divergent).toMap
+             else Map.empty[String, Double]
     val results = p1.zip(p2).map { case ((name, a), (_, b)) =>
-      name -> ((a < 0, b < 0) match {
+      val c = p3.getOrElse(name, -1.0)
+      val two = (a < 0, b < 0) match {
         case (true, true) => -1.0
         case (true, _)    => b
         case (_, true)    => a
         case _            => math.min(a, b)
-      })
+      }
+      name -> (if (c >= 0 && two >= 0) math.min(two, c) else two)
     }
-    val flaky = p1.zip(p2).collect {
+    val flaky = (p1.zip(p2).collect {
       case ((name, a), (_, b)) if (a < 0) != (b < 0) => name
-    }
+    } ++ p3.collect { case (name, c) if c < 0 => name }).distinct
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma decimal separator would corrupt the JSON line.
     def fmt(v: Double): String =
@@ -88,6 +106,7 @@ object Bench {
     val errors = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val tiebreakJson = divergent.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Failures (-1) sort as +∞: they land at the visible END of the map
     // and can never be folded away — an errors>0 line must always name
     // its broken queries.
@@ -102,7 +121,7 @@ object Bench {
           val fsum = folded.map(_._2).sum // all ≥ 0: failures sort last, never fold
           s""""fast_other":{"n":${folded.size},"sum":${fmt(fsum)}},"""
         }
-      s"""{${foldJson}"queries":$keptJson,"sf":"$sfDir","passes":2,"flaky":$flakyJson,"errors":$errors,"metric":"total","unit":"sec","value":${fmt(total)}}"""
+      s"""{${foldJson}"queries":$keptJson,"sf":"$sfDir","passes":2,"tiebreak":$tiebreakJson,"flaky":$flakyJson,"errors":$errors,"metric":"total","unit":"sec","value":${fmt(total)}}"""
     }
     // If the line would overflow the ~2000-char tail window anyway,
     // fold just enough of the CHEAPEST queries into one "fast_other"
@@ -120,7 +139,7 @@ object Bench {
       full ++= s"""{"sf":"$sfDir","total":$total,"errors":$errors,"flaky":$flakyJson,"""
       def sweepJson(p: Seq[(String, Double)]): String =
         p.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      full ++= s""""min":${sweepJson(results)},"sweep1":${sweepJson(p1)},"sweep2":${sweepJson(p2)}}"""
+      full ++= s""""min":${sweepJson(results)},"sweep1":${sweepJson(p1)},"sweep2":${sweepJson(p2)},"sweep3":${sweepJson(p3.toSeq.sortBy(_._1))}}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         full.toString.getBytes("UTF-8"))

@@ -347,15 +347,28 @@ object RelationalQueries extends QueryModule {
     // plain join — which is what the oracle runs. Scalar-subquery form
     // because might_contain requires a constant/subquery bloom side.
     "rel_bloom_prefilter" -> ((s, dir) => {
+      import s.implicits._
       Tables.orders(s, dir).createOrReplaceTempView("orders")
       Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      // Size the bloom from the ACTUAL build-side cardinality — one
+      // cheap pushed-predicate count — instead of a fixture-scale
+      // constant: a hardcoded estimate saturates toward fpp≈1 once the
+      // build side outgrows it at larger SFs, silently degrading the
+      // prefilter to pure overhead (ADVICE r4). ~8 bits/key ≈ 2% fpp
+      // at the optimal hash count, so the filter stays selective at
+      // any scale for the price of a metadata-cheap pre-scan — the
+      // same cardinality-then-build sequence AQE's InjectRuntimeFilter
+      // derives from stats.
+      val nUrgent = math.max(
+        s.table("orders").where($"o_orderpriority" === "1-URGENT").count(), 1L)
+      val numBits = math.max(nUrgent * 8L, 64L)
       s.sql(
         s"""SELECT date_trunc('month', o_orderdate) AS month,
            |  count(*) AS n, ${QueryModule.DuckRevenue} AS revenue
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |WHERE o_orderpriority = '1-URGENT'
            |  AND might_contain(
-           |    (SELECT bloom_filter_agg(o_orderkey, 50000, 400000)
+           |    (SELECT bloom_filter_agg(o_orderkey, $nUrgent, $numBits)
            |     FROM orders WHERE o_orderpriority = '1-URGENT'),
            |    l_orderkey)
            |GROUP BY 1

@@ -69,7 +69,14 @@ object TextQueries extends QueryModule {
     // step is the final log2/divide, whose error (~1e-12) sits eight
     // orders below the 1e-6 quantum, so the round is engine-stable —
     // and degenerate docs (all-equal or all-distinct tokens) hit exact
-    // integers on both engines by construction.
+    // integers on both engines by construction. Known tolerance
+    // (ADVICE r4): clog is an order-dependent double sum and JVM vs
+    // DuckDB log2 can differ by ulps, so a value landing within ~1e-9
+    // of a .5-ppm rounding boundary could round apart — a risk that
+    // grows with corpus size but stays astronomically small per doc.
+    // If this query ever flakes by exactly ±1 ppm on isolated rows,
+    // that boundary — not data corruption — is the cause, and the fix
+    // is a coarser quantum, not a code change.
     "txt_entropy" -> ((s, dir) => {
       import s.implicits._
       QueryModule.spread(Tables.documents(s, dir).select("doc_id", "text"))

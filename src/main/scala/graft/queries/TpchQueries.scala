@@ -32,6 +32,12 @@ object TpchQueries extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Q1 proper: the canonical pricing-summary aggregate has lived in
+    // this engine as rel_q1_agg since round 1 (SURVEY §2.3, plan-shape
+    // asserted there); this alias makes the 22/22 TPC-H inventory
+    // self-evident under its own name. Same plan, same oracle.
+    "tpch_q1" -> ((s, dir) => RelationalQueries.queries("rel_q1_agg")(s, dir)),
+
     // Q3 shape: shipping-priority — segment filter on the dim, date
     // split between orders and lineitem, top-10 revenue orders.
     "tpch_q3" -> ((s, dir) => {
@@ -465,6 +471,9 @@ object TpchQueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Q1 = rel_q1_agg (aliased above): same oracle, resolved at the
+    // module boundary so the two can never drift.
+    "tpch_q1" -> RelationalQueries.oracles("rel_q1_agg"),
     "tpch_q3" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $duckRevenue AS revenue
          |FROM customer

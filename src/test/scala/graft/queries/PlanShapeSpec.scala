@@ -191,10 +191,32 @@ class PlanShapeSpec extends SparkSpec {
       "per-size base offsets should broadcast back onto the docs")
     // The within-size row_number must keep its partition spec: a Window
     // whose partitionBy vanished is the single-partition global sort
-    // this query is shaped to avoid.
-    assert("Window \\[row_number\\(\\)[^\\]]*\\], \\[n_tok".r
+    // this query is shaped to avoid. Matched on the windowspecdefinition
+    // expression (partition col first, then the order col), not the
+    // whole Window node's pretty-print layout — the node layout shifts
+    // across Spark versions (ADVICE r4), the expression render is far
+    // more stable.
+    assert(p.contains("row_number()"), "within-size row_number vanished")
+    assert("windowspecdefinition\\(n_tok#\\d+L?, doc_id#".r
         .findFirstIn(p).isDefined,
       "within-size row_number lost its n_tok partitioning")
+  }
+
+  test("sequence packing: only the bucket table hits the global window") {
+    val p = plan("pipe_pack_sequences")
+    // The per-bucket base offsets must broadcast back onto the docs...
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket-base offsets should broadcast back onto the docs")
+    // ...and the corpus-wide running sum must partition by pid — its
+    // windowspecdefinition renders (partition col, then order col) as
+    // (pid, doc_id). The only unpartitioned window allowed in this plan
+    // is the running sum over the tiny per-bucket aggregate (that's the
+    // two-level prefix-sum design); the corpus cumsum losing its pid
+    // partitioning would be the single-partition global sort this query
+    // exists to avoid.
+    assert("windowspecdefinition\\(pid#\\d+L?, doc_id#".r
+        .findFirstIn(p).isDefined,
+      "corpus cumsum window lost its pid partitioning")
   }
 
   test("oversampling broadcasts group sizes and the target scalar") {
