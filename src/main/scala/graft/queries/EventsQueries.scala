@@ -301,6 +301,48 @@ object EventsQueries extends QueryModule {
           $"m.event_id".as("last_event_id"), $"m.ts_us".as("last_ts_us"),
           $"m.value".as("last_value"), $"n_events")
         .orderBy("user_id", "event_type")
+    }),
+
+    // Streaming face of ev_compact_latest, surfaced to the driver: the
+    // mapGroupsWithState CDC snapshot (EventStreams.latestState) drained
+    // with Trigger.AvailableNow. Update-mode output can't go straight to
+    // a files sink, so the query uses the production pattern for
+    // changelog-to-files: foreachBatch appends each micro-batch's
+    // refreshed snapshots to parquet, and the read-back compacts the
+    // changelog to its final row per key. nEvents strictly grows across
+    // a key's emissions (a key only re-emits when new events arrived),
+    // so max-over-struct(nEvents, ...) picks each key's newest snapshot
+    // regardless of how the source was micro-batched — the result is
+    // batch-identical by construction, and the oracle is the SAME SQL
+    // as ev_compact_latest.
+    "ev_stream_compact" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ev_cdc_")
+      val evs = graft.streaming.EventStreams.fromParquetDir(s, dir)
+        .selectExpr("user_id AS userId", "event_id AS eventId",
+          "ts div 1000 AS tsUs", "event_type AS eventType", "value")
+        .as[graft.streaming.EvRec]
+      val q = graft.streaming.EventStreams.latestState(evs)
+        .writeStream
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[graft.streaming.LatestRecord],
+           _: Long) =>
+          batch.write.mode("append").parquet(s"$tmp/out"); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .groupBy($"userId", $"eventType")
+        .agg(max(struct($"nEvents", $"lastTsUs", $"lastEventId", $"lastValue"))
+          .as("m"))
+        .select($"userId".as("user_id"), $"eventType".as("event_type"),
+          $"m.lastEventId".as("last_event_id"), $"m.lastTsUs".as("last_ts_us"),
+          $"m.lastValue".as("last_value"), $"m.nEvents".as("n_events"))
+        .orderBy("user_id", "event_type")
     })
   )
 
@@ -472,6 +514,21 @@ object EventsQueries extends QueryModule {
     // partial-aggregable max-over-struct — same rows by construction
     // because event_id is unique within a (user, type) group.
     "ev_compact_latest" ->
+      """SELECT user_id, event_type, last_event_id, last_ts_us, last_value,
+        |  n_events
+        |FROM (
+        |  SELECT user_id, event_type, event_id AS last_event_id,
+        |    epoch_us(ts) AS last_ts_us, value AS last_value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, event_type) AS n_events
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    // The streaming drain is batch-identical by construction (the
+    // changelog's final snapshot per key IS the compacted table), so
+    // the oracle is the same window formulation.
+    "ev_stream_compact" ->
       """SELECT user_id, event_type, last_event_id, last_ts_us, last_value,
         |  n_events
         |FROM (
