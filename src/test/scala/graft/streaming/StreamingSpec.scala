@@ -344,6 +344,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driver-facing streaming queries are batch-equivalent (ev_stream_hourly horizon, ev_stream_compact exact)") {
+    import spark.implicits._
+    // ev_stream_hourly must equal the batch hourly aggregate RESTRICTED
+    // to the append-mode emission horizon: windows whose end the final
+    // watermark (max event time at ms precision − 2 h) has passed.
+    val streamed = graft.SparkEntry.queries("ev_stream_hourly")(spark, sf0001)
+      .select($"hour_start".cast("string"), $"event_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    val maxMs = graft.sources.Tables.events(spark, sf0001)
+      .selectExpr("max(ts div 1000000)").as[Long].head()
+    val batch = graft.sources.Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", $"ts_utc").as("h"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .where(unix_millis($"h".cast("timestamp")) + 3600000L <= maxMs - 7200000L)
+      .select($"h".cast("string"), $"event_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch,
+      s"horizon mismatch: stream-only=${streamed.diff(batch).take(3)} " +
+        s"batch-only=${batch.diff(streamed).take(3)}")
+    assert(streamed.nonEmpty, "empty streaming result")
+
+    // ev_stream_compact must equal the batch compaction EXACTLY.
+    def rows(name: String) =
+      graft.SparkEntry.queries(name)(spark, sf0001)
+        .selectExpr("user_id", "event_type", "last_event_id", "last_ts_us",
+          "n_events")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+    val cdc = rows("ev_stream_compact")
+    assert(cdc == rows("ev_compact_latest") && cdc.nonEmpty,
+      "streaming CDC drain diverged from the batch compaction")
+  }
+
   test("Trigger.AvailableNow drains the source then self-terminates") {
     // The batch-over-stream pattern: a scheduled (e.g. nightly) run of
     // the same streaming pipeline processes everything available and
