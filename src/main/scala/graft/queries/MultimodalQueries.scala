@@ -30,7 +30,9 @@ object MultimodalQueries extends QueryModule {
     * table is thousands of splits and spread is a planning no-op. */
   private def media(s: SparkSession, dir: String): Dataset[MediaFile] = {
     import s.implicits._
-    QueryModule.spread(Tables.documents(s, dir))
+    // Project BEFORE the spread exchange so only (doc_id, text) crosses
+    // the round-robin shuffle, not the whole documents row.
+    QueryModule.spread(Tables.documents(s, dir).select("doc_id", "text"))
       .selectExpr(
         "doc_id AS docId",
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mediaType",
