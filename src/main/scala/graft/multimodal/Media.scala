@@ -15,21 +15,24 @@ final case class MediaMeta(
     docId: Long, mediaType: String, byteLen: Long,
     width: Int, height: Int, channels: Int, durationMs: Long)
 
-/** Codec facade. The IMAGE path is REAL: payloads are transcoded into a
-  * deterministic in-memory PNG (dimensions and pixels are functions of
-  * the payload bytes) and then decoded through `javax.imageio` — width,
-  * height and channel count in the output come from an actual PNG
-  * decoder reading actual PNG bytes, and resize runs a real Graphics2D
-  * raster scale. The transcode step exists because the fixture payloads
-  * are text bytes, not image files; a real deployment replaces
-  * [[pngFor]] with the payload itself and keeps everything else.
+/** Codec facade. The IMAGE and AUDIO paths are REAL: payloads are
+  * transcoded into a deterministic in-memory container (PNG / WAV whose
+  * dimensions, pixels and samples are functions of the payload bytes)
+  * and then decoded through the JRE's actual parsers — `javax.imageio`
+  * for PNG (width/height/channels from the decoded header and color
+  * model, resize through a real Graphics2D raster scale) and
+  * `javax.sound.sampled` for WAV (channels/duration from the parsed
+  * RIFF format and frame length). The transcode step exists because the
+  * fixture payloads are text bytes, not media files; a real deployment
+  * replaces [[pngFor]]/[[wavFor]] with the payload itself and keeps
+  * everything else.
   *
-  * ===== AUDIO/VIDEO: STUB =====
-  * The container ships no audio/video codecs, so those two modalities
-  * remain a DETERMINISTIC FAKE (dimensions/duration are integer
-  * functions of the byte length). Swapping in e.g. ffmpeg bindings
-  * changes only this object; every query plan, schema, Encoder and
-  * shuffle around it stays unchanged.
+  * ===== VIDEO: STUB =====
+  * The JRE ships no video codec, so that modality remains a
+  * DETERMINISTIC FAKE (dimensions/duration are integer functions of the
+  * byte length). Swapping in e.g. ffmpeg bindings changes only this
+  * object; every query plan, schema, Encoder and shuffle around it
+  * stays unchanged.
   */
 object MediaCodec {
 
@@ -73,24 +76,63 @@ object MediaCodec {
     img
   }
 
+  /** Transcode an opaque payload into a WAV container: 16-bit PCM,
+    * mono, 8 kHz — the payload bytes ARE the little-endian sample
+    * stream (an odd trailing byte is dropped, as PCM16 frames are
+    * 2 bytes). Pure RIFF framing, no compression, so the real parser
+    * below reads real audio. */
+  private def wavFor(payload: Array[Byte]): Array[Byte] = {
+    val n = payload.length & ~1
+    val bos = new ByteArrayOutputStream(44 + n)
+    def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    ascii("RIFF"); le32(36 + n); ascii("WAVE")
+    ascii("fmt "); le32(16)
+    le16(1) /* PCM */; le16(1) /* mono */
+    le32(8000) /* sample rate */; le32(16000) /* byte rate */
+    le16(2) /* frame size */; le16(16) /* bits per sample */
+    ascii("data"); le32(n)
+    bos.write(payload, 0, n)
+    bos.toByteArray
+  }
+
   def decode(m: MediaFile): MediaMeta = {
     val len = m.payload.length.toLong
-    if (m.mediaType == "image") {
-      // Real decoder: dimensions/channels are whatever ImageIO read out
-      // of the PNG header and color model, not arithmetic on `len`.
-      val img = decodeImage(m)
-      MediaMeta(
-        docId = m.docId, mediaType = m.mediaType, byteLen = len,
-        width = img.getWidth, height = img.getHeight,
-        channels = img.getColorModel.getNumComponents,
-        durationMs = 0L)
-    } else {
-      MediaMeta(
-        docId = m.docId, mediaType = m.mediaType, byteLen = len,
-        width = (64 + len % 577).toInt,
-        height = (64 + (len * 31) % 449).toInt,
-        channels = 3,
-        durationMs = len * 8)
+    m.mediaType match {
+      case "image" =>
+        // Real decoder: dimensions/channels are whatever ImageIO read
+        // out of the PNG header and color model, not arithmetic on len.
+        val img = decodeImage(m)
+        MediaMeta(
+          docId = m.docId, mediaType = m.mediaType, byteLen = len,
+          width = img.getWidth, height = img.getHeight,
+          channels = img.getColorModel.getNumComponents,
+          durationMs = 0L)
+      case "audio" =>
+        // Real parser: channels and frame count come from
+        // javax.sound.sampled reading the RIFF/fmt chunks, duration is
+        // frames over the parsed sample rate. No video dimensions.
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(wavFor(m.payload)))
+        try {
+          val fmt = ais.getFormat
+          MediaMeta(
+            docId = m.docId, mediaType = m.mediaType, byteLen = len,
+            width = 0, height = 0,
+            channels = fmt.getChannels,
+            durationMs = ais.getFrameLength * 1000L / fmt.getSampleRate.toLong)
+        } finally ais.close()
+      case _ =>
+        MediaMeta(
+          docId = m.docId, mediaType = m.mediaType, byteLen = len,
+          width = (64 + len % 577).toInt,
+          height = (64 + (len * 31) % 449).toInt,
+          channels = 3,
+          durationMs = len * 8)
     }
   }
 

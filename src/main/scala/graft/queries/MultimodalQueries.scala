@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column surface: opaque binary payloads + typed metadata,
   * decode / feature-extract / frame-sample as typed Dataset transforms
   * over [[graft.multimodal.MediaCodec]]. The IMAGE path runs a real
-  * `javax.imageio` PNG decode and a real Graphics2D resize; audio/video
-  * remain a clearly-marked deterministic stub (no codecs in the
-  * container).
+  * `javax.imageio` PNG decode and a real Graphics2D resize; the AUDIO
+  * path a real `javax.sound.sampled` WAV parse; only VIDEO remains a
+  * clearly-marked deterministic stub (no video codec in the JRE).
   *
   * Fixture media is synthesized from `documents.text` (`cast(text AS
   * binary)` — ASCII, so byte length == char length), with the modality
@@ -117,21 +117,26 @@ object MultimodalQueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
-    // Image rows come from a REAL PNG decode of a deterministically
-    // generated image, so the oracle predicts the generator: the same
-    // width/height formulas (now PNG-header round-tripped on the Spark
-    // side) and 1 channel (grayscale color model) for images vs the
-    // 3-channel audio/video stub.
+    // Image and audio rows come from REAL decoders over deterministic
+    // transcodes, so the oracle predicts the generators: images keep
+    // the width/height formulas (PNG-header round-tripped on the Spark
+    // side) with 1 grayscale channel; audio is mono PCM16 @ 8 kHz
+    // (frames = byte_len div 2, duration = frames/8 ms, no
+    // dimensions); video is the 3-channel stub arithmetic.
     "mm_metadata" ->
       """WITH m AS (SELECT doc_id,
         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         |    octet_length(encode(text)) AS byte_len
         |  FROM documents)
         |SELECT doc_id, media_type, byte_len,
-        |  CAST(64 + byte_len % 577 AS INT) AS width,
-        |  CAST(64 + (byte_len * 31) % 449 AS INT) AS height,
-        |  CASE WHEN media_type = 'image' THEN 1 ELSE 3 END AS channels,
-        |  CASE WHEN media_type = 'image' THEN 0 ELSE byte_len * 8 END AS duration_ms
+        |  CASE media_type WHEN 'audio' THEN 0
+        |    ELSE CAST(64 + byte_len % 577 AS INT) END AS width,
+        |  CASE media_type WHEN 'audio' THEN 0
+        |    ELSE CAST(64 + (byte_len * 31) % 449 AS INT) END AS height,
+        |  CASE media_type WHEN 'video' THEN 3 ELSE 1 END AS channels,
+        |  CASE media_type WHEN 'image' THEN 0
+        |    WHEN 'audio' THEN (byte_len // 2) * 1000 // 8000
+        |    ELSE byte_len * 8 END AS duration_ms
         |FROM m
         |ORDER BY doc_id""".stripMargin,
     "mm_features" ->
