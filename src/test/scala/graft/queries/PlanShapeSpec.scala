@@ -246,6 +246,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("sh_h"), "candidate join lost its shingle-hash key")
   }
 
+  test("multimodal decode scan prunes to (doc_id, text)") {
+    val p = plan("mm_metadata")
+    // The typed map(decode) boundary is opaque to Catalyst, so pruning
+    // must happen in the explicit projection BEFORE it — if the scan
+    // ever reads the full documents row, the decode stage ships
+    // lang/source/n_chars through the spread exchange for nothing.
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "documents scan reads more than the decode stage consumes")
+  }
+
   test("bloom prefilter survives planning on the fact side of the join") {
     val p = plan("rel_bloom_prefilter")
     // The whole point is dropping fact rows BEFORE the join; if the
