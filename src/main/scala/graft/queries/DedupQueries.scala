@@ -74,15 +74,28 @@ object DedupQueries extends QueryModule {
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sets = shingleArrays(s, dir).persist()
+    // Hash BEFORE any shuffle: document frequency and prefix ranking
+    // run entirely on the 8-byte xxhash64, so shingle STRINGS never
+    // cross an exchange anywhere in the pipeline (they exist only in
+    // the persisted per-doc arrays the verify step reads) — at 100 TB
+    // the dfreq groupBy is the full shingle corpus, and 8-byte keys cut
+    // that shuffle ~4x vs raw 3-gram strings. Sound: a hash collision
+    // only MERGES shingles, which can only raise a pair's Jaccard on
+    // the hashed universe (intersection grows, union shrinks), so the
+    // prefix-filter candidate set stays a superset of every true pair
+    // and the exact string verification below discards the rest. The
+    // canonical prefix order becomes (df, sh_h) — any global total
+    // order works, it just has to be the same for every doc.
     val sh = sets.selectExpr("doc_id", "sz", "explode(ss) AS shingle")
-    val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .selectExpr("doc_id", "sz", "xxhash64(shingle) AS sh_h")
+    val dfreq = sh.groupBy($"sh_h").agg(count(lit(1)).as("df"))
     // Both sides of the candidate self-join read this — persist so the
     // dfreq join + rank window run once, not twice.
-    val prefix = sh.join(dfreq, "shingle")
+    val prefix = sh.join(dfreq, "sh_h")
       .withColumn("rk", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"df", $"shingle")))
+        Window.partitionBy($"doc_id").orderBy($"df", $"sh_h")))
       .where($"rk" <= ($"sz" / 2).cast("long") + 1)
-      .selectExpr("doc_id", "xxhash64(shingle) AS sh_h", "sz", "rk")
+      .select($"doc_id", $"sh_h", $"sz", $"rk")
       .persist()
     // ⌈(sa+sb)/3⌉ in exact integer math (sa+sb ≤ a few hundred, so the
     // double division is exact and the cast truncates = floors).
@@ -135,14 +148,19 @@ object DedupQueries extends QueryModule {
     "dedup_containment" -> ((s, dir) => {
       import s.implicits._
       val sets = shingleArrays(s, dir).persist()
+      // Hash-first like jaccardPairs: dfreq and the prefix rank run on
+      // the 8-byte hash, strings never cross a shuffle (collisions only
+      // merge shingles → containment on the hashed universe can only
+      // rise → candidates stay a superset; verification is exact).
       val sh = sets.selectExpr("doc_id", "sz", "explode(ss) AS shingle")
-      val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-      val probe = sh.join(dfreq, "shingle")
+        .selectExpr("doc_id", "sz", "xxhash64(shingle) AS sh_h")
+      val dfreq = sh.groupBy($"sh_h").agg(count(lit(1)).as("df"))
+      val probe = sh.join(dfreq, "sh_h")
         .withColumn("rk", row_number().over(
-          Window.partitionBy($"doc_id").orderBy($"df", $"shingle")))
+          Window.partitionBy($"doc_id").orderBy($"df", $"sh_h")))
         .where($"rk" <= ($"sz" / 5).cast("long") + 1)
-        .selectExpr("doc_id", "xxhash64(shingle) AS sh_h", "sz")
-      val index = sh.selectExpr("doc_id", "xxhash64(shingle) AS sh_h", "sz")
+        .select($"doc_id", $"sh_h", $"sz")
+      val index = sh.select($"doc_id", $"sh_h", $"sz")
       val cand = probe.as("a").join(index.as("b"),
           $"a.sh_h" === $"b.sh_h" &&
             ($"a.sz" < $"b.sz" ||
