@@ -30,6 +30,28 @@ object Bench {
     } catch {
       case e: Throwable => System.err.println(s"[bench] warmup FAILED: ${e.getMessage}")
     }
+    // The streaming path loads its own machinery (micro-batch planner,
+    // state store provider, checkpoint IO) on first use — touch it once
+    // so that one-time cost isn't billed to whichever ev_stream_* query
+    // runs first alphabetically.
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.{count => cnt, lit, window}
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val ms = MemoryStream[Long]
+      ms.addData(1L to 100L: _*)
+      val q = ms.toDF()
+        .select(org.apache.spark.sql.functions.timestamp_micros($"value").as("t"))
+        .withWatermark("t", "1 second")
+        .groupBy(window($"t", "1 minute")).agg(cnt(lit(1)))
+        .writeStream.format("memory").queryName("bench_warm_stream")
+        .outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      ()
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] stream warmup FAILED: ${e.getMessage}")
+    }
     // Stable (sorted) execution order for the same reason.
     val allNames = SparkEntry.queries.toSeq.sortBy(_._1)
     def sweep(only: Set[String] = Set.empty): Seq[(String, Double)] = {
