@@ -303,6 +303,40 @@ object EventsQueries extends QueryModule {
         .orderBy("user_id", "event_type")
     }),
 
+    // Third driver-checked streaming row: closed-session emission via
+    // flatMapGroupsWithState + EVENT-TIME TIMEOUT (the custom-state API
+    // at its trickiest), drained with AvailableNow to a parquet sink.
+    // A session row is emitted exactly once — inline when a later event
+    // from the same user arrives past the 30 min gap, or by timeout
+    // when the final watermark (max event time − 10 min lateness, ms
+    // precision) passes lastEvent + gap. The oracle reproduces both
+    // rules on top of a batch gap-sessionization: every non-final
+    // session per user, plus the final one iff its timeout timestamp is
+    // strictly below the final watermark (Spark fires event-time
+    // timeouts on timeoutTs < watermark).
+    "ev_stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ev_sess_")
+      val evs = graft.streaming.EventStreams.fromParquetDir(s, dir)
+        .selectExpr("user_id AS userId", "ts div 1000 AS tsUs",
+          "event_type AS eventType")
+        .as[graft.streaming.Ev]
+      val q = graft.streaming.EventStreams.closedSessions(evs)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select($"userId".as("user_id"), $"startUs".as("start_us"),
+          $"endUs".as("end_us"), $"nEvents".as("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // Streaming face of ev_compact_latest, surfaced to the driver: the
     // mapGroupsWithState CDC snapshot (EventStreams.latestState) drained
     // with Trigger.AvailableNow. Update-mode output can't go straight to
@@ -525,6 +559,30 @@ object EventsQueries extends QueryModule {
         |  FROM events)
         |WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+    // Batch gap-sessionization + the two append-emission rules: every
+    // non-final session per user closed inline; the final session only
+    // if its timeout (end_ms + 30 min gap) lies strictly below the
+    // final watermark (max event ms − 10 min). Session end/timeout
+    // compare at ms precision, matching Spark's watermark clock.
+    "ev_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |s AS (SELECT user_id, t,
+        |        CASE WHEN lag(t) OVER w IS NULL
+        |               OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |g AS (SELECT user_id, t,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM s),
+        |sess AS (SELECT user_id, sid, min(t) AS start_us, max(t) AS end_us,
+        |           count(*) AS n_events
+        |         FROM g GROUP BY 1, 2)
+        |SELECT user_id, start_us, end_us, n_events
+        |FROM sess
+        |WHERE sid < (SELECT max(sid) FROM sess s2 WHERE s2.user_id = sess.user_id)
+        |   OR end_us // 1000 + 1800000
+        |      < (SELECT epoch_ms(max(ts)) - 600000 FROM events)
+        |ORDER BY user_id, start_us""".stripMargin,
     // The streaming drain is batch-identical by construction (the
     // changelog's final snapshot per key IS the compacted table), so
     // the oracle is the same window formulation.
