@@ -14,6 +14,20 @@ import org.apache.spark.sql.SparkSession
   *    Catalyst functions (e.g. `cosine_sim`).
   */
 object GraftSession {
+  /** Deliberately NOT set here (cluster-deployment notes):
+    *  - `spark.sql.shuffle.partitions`: the harness mains set it to the
+    *    core count (local mode); on a cluster size it to ~2-3x total
+    *    executor cores, or leave AQE coalescing (on by default in
+    *    Spark 4) to shrink small shuffles at runtime.
+    *  - `spark.sql.files.maxPartitionBytes` (default 128 MB): at 100 TB
+    *    the default yields ~800k scan tasks — right order for 1000
+    *    executors; raise toward 256-512 MB only if task overhead
+    *    dominates and executor memory allows the bigger columnar
+    *    batches.
+    *  - AQE skew-join splitting (`spark.sql.adaptive.skewJoin.*`) stays
+    *    at defaults: the engine's own skew paths (salting, broadcast,
+    *    bucketed layouts) handle the planned cases, AQE catches the
+    *    unplanned ones. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")
