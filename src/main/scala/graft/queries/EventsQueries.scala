@@ -303,6 +303,39 @@ object EventsQueries extends QueryModule {
         .orderBy("user_id", "event_type")
     }),
 
+    // Fourth driver-checked streaming row: STREAM-STREAM self-join.
+    // Clicks and purchases are two filters of the same unbounded events
+    // scan; the inner join is time-bounded (purchase within 1 h of the
+    // click) and both sides watermarked, so join state is evictable —
+    // the only shape a stream-stream join survives at scale. Every
+    // matched pair emits as soon as both sides are present, so the
+    // AvailableNow drain's output is exactly the batch join; the result
+    // aggregates to attributed-purchase counts per user and the oracle
+    // is the equivalent batch self-join at MICROSECOND precision (the
+    // streaming clock is `ts div 1000`).
+    "ev_stream_attrib" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ev_attrib_")
+      val ev = graft.streaming.EventStreams.fromParquetDir(s, dir)
+      val joined = graft.streaming.EventStreams.attributePurchases(
+        ev.where($"event_type" === "click"),
+        ev.where($"event_type" === "purchase"))
+      val q = joined
+        .writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .groupBy($"click_user".as("user_id"))
+        .agg(count(lit(1)).as("n_attributed"))
+        .orderBy("user_id")
+    }),
+
     // Third driver-checked streaming row: closed-session emission via
     // flatMapGroupsWithState + EVENT-TIME TIMEOUT (the custom-state API
     // at its trickiest), drained with AvailableNow to a parquet sink.
@@ -559,6 +592,17 @@ object EventsQueries extends QueryModule {
         |  FROM events)
         |WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+    // Batch self-join at µs precision (epoch_us truncates the nanos
+    // exactly like the streaming side's `ts div 1000`).
+    "ev_stream_attrib" ->
+      """SELECT c.user_id AS user_id, count(*) AS n_attributed
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) BETWEEN epoch_us(c.ts)
+        |                         AND epoch_us(c.ts) + 3600000000
+        |GROUP BY c.user_id
+        |ORDER BY user_id""".stripMargin,
     // Batch gap-sessionization + the two append-emission rules: every
     // non-final session per user closed inline; the final session only
     // if its timeout (end_ms + 30 min gap) lies strictly below the
