@@ -303,6 +303,34 @@ object EventsQueries extends QueryModule {
         .orderBy("user_id", "event_type")
     }),
 
+    // Fifth driver-checked streaming row: the CHAINED two-level
+    // stateful topology (hourly window agg re-windowed into a daily
+    // rollup inside ONE streaming query — multiple stateful operators
+    // in append mode). Emission semantics compose: a day emits once the
+    // watermark (max event time − 2 h, ms precision) passes its end,
+    // and by then every hour of that day has already flowed through the
+    // first stage, so an emitted day always carries its full count —
+    // the oracle is the batch daily aggregate restricted to fully
+    // watermark-closed days.
+    "ev_stream_daily" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ev_daily_")
+      val q = graft.streaming.EventStreams
+        .hourlyThenDaily(graft.streaming.EventStreams.fromParquetDir(s, dir))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("day").cast("timestamp_ntz").as("day"),
+          col("event_type"), col("n"))
+        .orderBy("day", "event_type")
+    }),
+
     // Fourth driver-checked streaming row: STREAM-STREAM self-join.
     // Clicks and purchases are two filters of the same unbounded events
     // scan; the inner join is time-bounded (purchase within 1 h of the
@@ -592,6 +620,17 @@ object EventsQueries extends QueryModule {
         |  FROM events)
         |WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+    // Daily rollup over only the days the 2 h watermark has fully
+    // closed (ms precision, <= — same emission rule as ev_stream_hourly
+    // composed through the chained stages).
+    "ev_stream_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |  count(*) AS n
+        |FROM events
+        |WHERE epoch_ms(date_trunc('day', ts) + INTERVAL 1 DAY)
+        |      <= (SELECT epoch_ms(max(ts)) - 7200000 FROM events)
+        |GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
     // Batch self-join at µs precision (epoch_us truncates the nanos
     // exactly like the streaming side's `ts div 1000`).
     "ev_stream_attrib" ->
