@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Multi-executor smoke test (dev tool, like [[TimeQ]]): runs a
+  * representative query slice on `local-cluster` mode — REAL separate
+  * executor JVMs, so closure serialization, executor-side classloading
+  * (MediaCodec's ImageIO init, typed-kernel lambdas) and codegen'd
+  * custom expressions are exercised across process boundaries, which
+  * `local[N]` can never do. This is the closest an offline container
+  * gets to "would it run on a 1000-executor cluster".
+  *
+  * Launch (both env vars are required — the executor launcher needs a
+  * full Spark layout and its Scala version, normally provided by
+  * `load-spark-env.sh`):
+  * {{{
+  * SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+  *   sbt "runMain graft.tools.ClusterSmoke"
+  * }}}
+  * Verified green (2 workers x 4 cores, Spark 4.1.2) on: the typed
+  * kernel, multimodal decode, cosine-kNN, the jaccard pipeline, and a
+  * streaming drain.
+  */
+object ClusterSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.sources.GraftSession.configure(SparkSession.builder()
+      .master("local-cluster[2,4,2048]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.executor.memory", "2g")
+      // Ship the sbt-compiled classes to the executor JVMs (sbt runs
+      // from classes, not a jar, so nothing is shipped automatically).
+      .config("spark.executor.extraClassPath",
+        "/root/repo/target/scala-2.13/classes")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val slice = Seq("mr_wordcount", "mm_metadata", "emb_knn",
+      "dedup_ngram_jaccard", "ev_stream_hourly")
+    var failures = 0
+    slice.foreach { q =>
+      try {
+        val n = graft.SparkEntry.queries(q)(spark, sf).count()
+        println(s"[cluster] $q OK ($n rows)")
+      } catch { case e: Throwable =>
+        failures += 1
+        println(s"[cluster] $q FAILED: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(300))
+      }
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}
