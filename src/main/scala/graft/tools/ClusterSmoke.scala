@@ -34,9 +34,14 @@ object ClusterSmoke {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val slice = Seq("mr_wordcount", "mm_metadata", "emb_knn",
-      "dedup_ngram_jaccard", "ev_stream_hourly")
+    val sf = args.headOption.filterNot(_ == "--all")
+      .getOrElse("/root/testdata/sf0.001")
+    // Default: a representative slice. `--all` runs the full query
+    // surface distributed — the heavyweight pre-round check.
+    val slice =
+      if (args.contains("--all")) graft.SparkEntry.queries.keys.toSeq.sorted
+      else Seq("mr_wordcount", "mm_metadata", "emb_knn",
+        "dedup_ngram_jaccard", "ev_stream_hourly")
     var failures = 0
     slice.foreach { q =>
       try {
