@@ -14,11 +14,19 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length == 3) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.sources.GraftSession.configure(SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Dev override (driver never sets it): SPARK_GRAFT_MASTER, e.g.
+    // "local-cluster[2,4,2048]" to run the whole correctness gate on
+    // real multi-executor JVMs (see tools/ClusterSmoke for the required
+    // SPARK_HOME / SPARK_SCALA_VERSION / extraClassPath setup).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
+      .config("spark.ui.enabled", "false")
+    if (master.startsWith("local-cluster"))
+      b.config("spark.executor.extraClassPath",
+        "/root/repo/target/scala-2.13/classes")
+    val spark = graft.sources.GraftSession.configure(b).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
