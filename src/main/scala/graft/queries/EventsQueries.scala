@@ -65,22 +65,13 @@ object EventsQueries extends QueryModule {
     // AvailableNow job processes new files and exits, no resident
     // cluster.
     "ev_stream_hourly" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ev_stream_")
-      val q = graft.streaming.EventStreams
-        .hourlyCounts(graft.streaming.EventStreams.fromParquetDir(s, dir))
-        .writeStream
-        .format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode(OutputMode.Append)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
       // hour_start leaves the watermark path as TIMESTAMP (watermarks
       // require it); cast back to ntz so the sink parquet's type matches
       // the batch reader's convention (UTC session ⇒ same wall clock).
-      s.read.parquet(s"$tmp/out")
+      graft.streaming.EventStreams.drainAppend(
+          graft.streaming.EventStreams.hourlyCounts(
+            graft.streaming.EventStreams.fromParquetDir(s, dir)),
+          "graft_ev_stream_")
         .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
           col("event_type"), col("n"))
         .orderBy("hour_start", "event_type")
@@ -313,19 +304,10 @@ object EventsQueries extends QueryModule {
     // the oracle is the batch daily aggregate restricted to fully
     // watermark-closed days.
     "ev_stream_daily" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ev_daily_")
-      val q = graft.streaming.EventStreams
-        .hourlyThenDaily(graft.streaming.EventStreams.fromParquetDir(s, dir))
-        .writeStream
-        .format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode(OutputMode.Append)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$tmp/out")
+      graft.streaming.EventStreams.drainAppend(
+          graft.streaming.EventStreams.hourlyThenDaily(
+            graft.streaming.EventStreams.fromParquetDir(s, dir)),
+          "graft_ev_daily_")
         .select(col("day").cast("timestamp_ntz").as("day"),
           col("event_type"), col("n"))
         .orderBy("day", "event_type")
@@ -343,22 +325,12 @@ object EventsQueries extends QueryModule {
     // streaming clock is `ts div 1000`).
     "ev_stream_attrib" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ev_attrib_")
       val ev = graft.streaming.EventStreams.fromParquetDir(s, dir)
-      val joined = graft.streaming.EventStreams.attributePurchases(
-        ev.where($"event_type" === "click"),
-        ev.where($"event_type" === "purchase"))
-      val q = joined
-        .writeStream
-        .format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode(OutputMode.Append)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$tmp/out")
+      graft.streaming.EventStreams.drainAppend(
+          graft.streaming.EventStreams.attributePurchases(
+            ev.where($"event_type" === "click"),
+            ev.where($"event_type" === "purchase")),
+          "graft_ev_attrib_")
         .groupBy($"click_user".as("user_id"))
         .agg(count(lit(1)).as("n_attributed"))
         .orderBy("user_id")
@@ -377,22 +349,13 @@ object EventsQueries extends QueryModule {
     // timeouts on timeoutTs < watermark).
     "ev_stream_sessions" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ev_sess_")
       val evs = graft.streaming.EventStreams.fromParquetDir(s, dir)
         .selectExpr("user_id AS userId", "ts div 1000 AS tsUs",
           "event_type AS eventType")
         .as[graft.streaming.Ev]
-      val q = graft.streaming.EventStreams.closedSessions(evs)
-        .writeStream
-        .format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode(OutputMode.Append)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$tmp/out")
+      graft.streaming.EventStreams.drainAppend(
+          graft.streaming.EventStreams.closedSessions(evs).toDF(),
+          "graft_ev_sess_")
         .select($"userId".as("user_id"), $"startUs".as("start_us"),
           $"endUs".as("end_us"), $"nEvents".as("n_events"))
         .orderBy("user_id", "start_us")

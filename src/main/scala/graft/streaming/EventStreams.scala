@@ -267,4 +267,25 @@ object EventStreams {
   /** Convenience writer used by examples/tests: in-memory sink. */
   def toMemory(df: DataFrame, name: String, mode: OutputMode) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  /** Batch-over-stream drain: process everything available through an
+    * append-mode parquet files sink (`Trigger.AvailableNow`), block
+    * until the query self-terminates, and return the sink's contents.
+    * This is the scheduled-ingestion shape — with a persistent
+    * checkpoint dir it becomes incremental; the fresh temp dir here
+    * makes each call a full drain. Used by the driver-facing
+    * `ev_stream_*` queries. */
+  def drainAppend(df: DataFrame, tag: String): DataFrame = {
+    val spark = df.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory(tag)
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$tmp/out")
+  }
 }
