@@ -22,17 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries extends QueryModule {
 
+  /** The fixture's modality assignment, used so per-modality queries
+    * can filter as a COLUMN predicate before the spread exchange and
+    * the typed boundary (a typed `.filter(_.mediaType == ...)` runs
+    * after deserialization and ships every modality's payload through
+    * the shuffle first — 3x the exchange volume for nothing). */
+  private val modalityOf = Map("image" -> 0, "audio" -> 1, "video" -> 2)
+
   /** The typed media source: Dataset[MediaFile] over a binary column.
     * spread: the PNG transcode+decode downstream is the CPU-heavy
     * narrow stage, and the fixture file is one split — without the
     * round-robin exchange every decode lands on ONE task (measured:
     * the whole image batch single-threaded). At production scale the
     * table is thousands of splits and spread is a planning no-op. */
-  private def media(s: SparkSession, dir: String): Dataset[MediaFile] = {
+  private def media(s: SparkSession, dir: String,
+      modality: Option[String] = None): Dataset[MediaFile] = {
     import s.implicits._
     // Project BEFORE the spread exchange so only (doc_id, text) crosses
     // the round-robin shuffle, not the whole documents row.
-    QueryModule.spread(Tables.documents(s, dir).select("doc_id", "text"))
+    val base = Tables.documents(s, dir).select("doc_id", "text")
+    val scoped = modality.fold(base)(m =>
+      base.where(s"doc_id % 3 = ${modalityOf(m)}"))
+    QueryModule.spread(scoped)
       .selectExpr(
         "doc_id AS docId",
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mediaType",
@@ -68,8 +79,7 @@ object MultimodalQueries extends QueryModule {
     // Frame sampling: videos only, up to 5 evenly spaced byte offsets.
     "mm_frames" -> ((s, dir) => {
       import s.implicits._
-      media(s, dir)
-        .filter(_.mediaType == "video")
+      media(s, dir, Some("video"))
         .map(MediaCodec.decode)
         .flatMap(MediaCodec.sampleFrames)
         .toDF("doc_id", "frame_idx", "byte_offset")
@@ -83,8 +93,7 @@ object MultimodalQueries extends QueryModule {
     // is pure per-partition CPU, no shuffle.
     "mm_resize" -> ((s, dir) => {
       import s.implicits._
-      media(s, dir)
-        .filter(_.mediaType == "image")
+      media(s, dir, Some("image"))
         .map { m =>
           val (meta, ow, oh) = MediaCodec.resizeImage(m, 256)
           (meta.docId, meta.width, meta.height, ow, oh)
