@@ -392,7 +392,8 @@ object EventsQueries extends QueryModule {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      // Same hang cap as EventStreams.drainAppend.
+      if (!q.awaitTermination(600000L)) q.stop()
       s.read.parquet(s"$tmp/out")
         .groupBy($"userId", $"eventType")
         .agg(max(struct($"nEvents", $"lastTsUs", $"lastEventId", $"lastValue"))

@@ -285,7 +285,12 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    // AvailableNow self-terminates in seconds here; the cap only exists
+    // so a wedged state store can never hang the caller's whole
+    // correctness run — on expiry the query is stopped and whatever the
+    // sink holds is returned (a partial result fails the oracle compare
+    // loudly instead of blocking it silently).
+    if (!q.awaitTermination(600000L)) q.stop()
     spark.read.parquet(s"$tmp/out")
   }
 }
