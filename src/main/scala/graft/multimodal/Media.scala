@@ -15,24 +15,23 @@ final case class MediaMeta(
     docId: Long, mediaType: String, byteLen: Long,
     width: Int, height: Int, channels: Int, durationMs: Long)
 
-/** Codec facade. The IMAGE and AUDIO paths are REAL: payloads are
-  * transcoded into a deterministic in-memory container (PNG / WAV whose
-  * dimensions, pixels and samples are functions of the payload bytes)
-  * and then decoded through the JRE's actual parsers — `javax.imageio`
-  * for PNG (width/height/channels from the decoded header and color
-  * model, resize through a real Graphics2D raster scale) and
-  * `javax.sound.sampled` for WAV (channels/duration from the parsed
-  * RIFF format and frame length). The transcode step exists because the
-  * fixture payloads are text bytes, not media files; a real deployment
-  * replaces [[pngFor]]/[[wavFor]] with the payload itself and keeps
-  * everything else.
-  *
-  * ===== VIDEO: STUB =====
-  * The JRE ships no video codec, so that modality remains a
-  * DETERMINISTIC FAKE (dimensions/duration are integer functions of the
-  * byte length). Swapping in e.g. ffmpeg bindings changes only this
-  * object; every query plan, schema, Encoder and shuffle around it
-  * stays unchanged.
+/** Codec facade. ALL THREE modality paths are REAL: payloads are
+  * transcoded into a deterministic in-memory container (PNG / WAV /
+  * animated GIF whose dimensions, pixels, samples and frame timing are
+  * functions of the payload bytes) and then decoded through the JRE's
+  * actual parsers — `javax.imageio` for PNG (width/height/channels from
+  * the decoded header and color model, resize through a real Graphics2D
+  * raster scale), `javax.sound.sampled` for WAV (channels/duration from
+  * the parsed RIFF format and frame length), and `javax.imageio`'s GIF
+  * plugin for the VIDEO modality (the JRE ships no MP4 codec, but GIF
+  * is a true multi-frame container it can both write and read: frame
+  * count via `ImageReader.getNumImages(true)`, per-frame dimensions and
+  * pixels via `read(i)`, per-frame timing via each frame's
+  * GraphicControlExtension delay). The transcode step exists because
+  * the fixture payloads are text bytes, not media files; a real
+  * deployment replaces [[pngFor]]/[[wavFor]]/[[gifFor]] with the
+  * payload itself (or an ffmpeg binding for real MP4s) and keeps every
+  * query plan, schema, Encoder and shuffle unchanged.
   */
 object MediaCodec {
 
@@ -100,6 +99,93 @@ object MediaCodec {
     bos.toByteArray
   }
 
+  /** Deterministic video-container parameters: frame count and the
+    * per-frame delay (GIF GraphicControlExtension units: centiseconds).
+    * Like [[genDims]] these are integer functions of the byte length the
+    * oracle can predict — but they parameterize a real encoder, and the
+    * decode side reads them back out of the parsed container. */
+  private def gifParams(len: Long): (Int, Int) =
+    (math.min(5L, len / 100 + 1).toInt, (len % 100 + 1).toInt)
+
+  /** Per-frame GIF metadata carrying the frame delay (the piece the
+    * default metadata omits; without a GraphicControlExtension a frame
+    * has no timing and the container carries no duration). */
+  private def gifFrameMeta(wr: javax.imageio.ImageWriter, img: BufferedImage,
+      delayCs: Int): javax.imageio.metadata.IIOMetadata = {
+    val md = wr.getDefaultImageMetadata(
+      new javax.imageio.ImageTypeSpecifier(img), null)
+    val fmt = md.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+    val root = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+    gce.setAttribute("disposalMethod", "none")
+    gce.setAttribute("userInputFlag", "FALSE")
+    gce.setAttribute("transparentColorFlag", "FALSE")
+    gce.setAttribute("delayTime", delayCs.toString)
+    gce.setAttribute("transparentColorIndex", "0")
+    root.appendChild(gce)
+    md.setFromTree(fmt, root)
+    md
+  }
+
+  /** Transcode an opaque payload into a multi-frame animated GIF: frame
+    * 0 is the full `w`×`h` logical screen, frames 1..n−1 are `w`×1
+    * strips (GIF frames may be smaller than the screen — and this keeps
+    * the per-row pixel volume O(w·h + nf·w) instead of O(nf·w·h)). Each
+    * frame's first row carries the payload bytes rotated by the frame
+    * index, so frame content is payload-dependent and distinct per
+    * frame; each frame carries the same GCE delay. */
+  private def gifFor(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val (nf, delayCs) = gifParams(payload.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    val wr = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      wr.prepareWriteSequence(null)
+      var i = 0
+      while (i < nf) {
+        val img = new BufferedImage(w, if (i == 0) h else 1,
+          BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var x = 0
+        while (x < w && x < payload.length) {
+          raster.setSample(x, 0, 0, payload((x + i) % payload.length) & 0xff)
+          x += 1
+        }
+        wr.writeToSequence(
+          new javax.imageio.IIOImage(img, null, gifFrameMeta(wr, img, delayCs)),
+          null)
+        i += 1
+      }
+      wr.endWriteSequence()
+    } finally { ios.close(); wr.dispose() }
+    bos.toByteArray
+  }
+
+  /** A positioned GIF reader over the transcoded payload (caller must
+    * `dispose()`). `getNumImages(true)` / `read(i)` /
+    * `getImageMetadata(i)` then come from the JRE's actual GIF parser. */
+  private def gifReader(payload: Array[Byte]): javax.imageio.ImageReader = {
+    val (w, h) = genDims(payload.length.toLong)
+    val rd = ImageIO.getImageReadersByFormatName("gif").next()
+    rd.setInput(ImageIO.createImageInputStream(
+      new ByteArrayInputStream(gifFor(payload, w, h))))
+    rd
+  }
+
+  /** The frame delay parsed back out of frame `i`'s
+    * GraphicControlExtension (centiseconds; 0 if the frame carries no
+    * GCE — a legal GIF, not an error). */
+  private def frameDelayCs(rd: javax.imageio.ImageReader, i: Int): Int = {
+    val md = rd.getImageMetadata(i)
+    val root = md.getAsTree(md.getNativeMetadataFormatName)
+      .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    val gces = root.getElementsByTagName("GraphicControlExtension")
+    if (gces.getLength == 0) 0
+    else gces.item(0).asInstanceOf[org.w3c.dom.Element]
+      .getAttribute("delayTime").toInt
+  }
+
   def decode(m: MediaFile): MediaMeta = {
     val len = m.payload.length.toLong
     m.mediaType match {
@@ -127,20 +213,43 @@ object MediaCodec {
             durationMs = ais.getFrameLength * 1000L / fmt.getSampleRate.toLong)
         } finally ais.close()
       case _ =>
-        MediaMeta(
-          docId = m.docId, mediaType = m.mediaType, byteLen = len,
-          width = (64 + len % 577).toInt,
-          height = (64 + (len * 31) % 449).toInt,
-          channels = 3,
-          durationMs = len * 8)
+        // Real container parse: frame count from getNumImages(true)
+        // (the reader walks every image descriptor), screen dimensions
+        // and channels from the decoded first frame and its palette
+        // color model, duration by summing each frame's parsed GCE
+        // delay — none of it arithmetic on len.
+        val rd = gifReader(m.payload)
+        try {
+          val nf = rd.getNumImages(true)
+          val f0 = rd.read(0)
+          var durCs = 0L
+          var i = 0
+          while (i < nf) { durCs += frameDelayCs(rd, i); i += 1 }
+          MediaMeta(
+            docId = m.docId, mediaType = m.mediaType, byteLen = len,
+            width = f0.getWidth, height = f0.getHeight,
+            channels = f0.getColorModel.getNumComponents,
+            durationMs = durCs * 10L)
+        } finally rd.dispose()
     }
   }
 
-  /** Frame-sampling stub for video payloads: up to 5 evenly spaced byte
-    * offsets (a real sampler would seek keyframes). */
-  def sampleFrames(meta: MediaMeta): Seq[(Long, Long, Long)] = {
-    val nf = math.min(5L, meta.byteLen / 100 + 1)
-    (0L until nf).map(i => (meta.docId, i, i * (meta.byteLen / nf)))
+  /** REAL frame sampling for video payloads: decode every frame of the
+    * GIF container and report what the parser read — per-frame
+    * dimensions (frame 0 is the full screen, later frames are strips),
+    * the GCE delay, and the first pixel's gray value (which round-trips
+    * `payload(idx % len)` through the encoder's palette). A real
+    * deployment seeking keyframes in an MP4 changes only this method's
+    * body. */
+  def sampleFrames(m: MediaFile): Seq[(Long, Long, Int, Int, Int, Int)] = {
+    val rd = gifReader(m.payload)
+    try {
+      (0 until rd.getNumImages(true)).map { i =>
+        val f = rd.read(i)
+        (m.docId, i.toLong, f.getWidth, f.getHeight,
+          frameDelayCs(rd, i), f.getRGB(0, 0) & 0xff)
+      }
+    } finally rd.dispose()
   }
 
   /** Fit-into-box target dimensions preserving aspect ratio,

@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column surface: opaque binary payloads + typed metadata,
   * decode / feature-extract / frame-sample as typed Dataset transforms
-  * over [[graft.multimodal.MediaCodec]]. The IMAGE path runs a real
-  * `javax.imageio` PNG decode and a real Graphics2D resize; the AUDIO
-  * path a real `javax.sound.sampled` WAV parse; only VIDEO remains a
-  * clearly-marked deterministic stub (no video codec in the JRE).
+  * over [[graft.multimodal.MediaCodec]]. All three modality paths run
+  * REAL JRE parsers: `javax.imageio` PNG decode + Graphics2D resize for
+  * images, `javax.sound.sampled` RIFF/WAV parse for audio, and
+  * multi-frame animated GIF through `javax.imageio` for video (frame
+  * count, per-frame dims/pixels and GCE frame timing all read back out
+  * of the container).
   *
   * Fixture media is synthesized from `documents.text` (`cast(text AS
   * binary)` — ASCII, so byte length == char length), with the modality
@@ -76,13 +78,16 @@ object MultimodalQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // Frame sampling: videos only, up to 5 evenly spaced byte offsets.
+    // Frame sampling: videos only, every frame ACTUALLY DECODED from
+    // the multi-frame GIF container — per-frame dims, GCE delay, and
+    // the first pixel's round-tripped gray value all come out of the
+    // JRE's GIF parser, not arithmetic. Same narrow no-shuffle shape as
+    // mm_metadata.
     "mm_frames" -> ((s, dir) => {
       import s.implicits._
       media(s, dir, Some("video"))
-        .map(MediaCodec.decode)
         .flatMap(MediaCodec.sampleFrames)
-        .toDF("doc_id", "frame_idx", "byte_offset")
+        .toDF("doc_id", "frame_idx", "frame_w", "frame_h", "delay_cs", "px0")
         .orderBy("doc_id", "frame_idx")
     }),
 
@@ -126,12 +131,15 @@ object MultimodalQueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
-    // Image and audio rows come from REAL decoders over deterministic
-    // transcodes, so the oracle predicts the generators: images keep
-    // the width/height formulas (PNG-header round-tripped on the Spark
+    // ALL rows come from REAL decoders over deterministic transcodes,
+    // so the oracle predicts the generators: images keep the
+    // width/height formulas (PNG-header round-tripped on the Spark
     // side) with 1 grayscale channel; audio is mono PCM16 @ 8 kHz
     // (frames = byte_len div 2, duration = frames/8 ms, no
-    // dimensions); video is the 3-channel stub arithmetic.
+    // dimensions); video round-trips an animated GIF — same dims
+    // formulas (logical screen), 3 channels (the decoded palette color
+    // model), duration = frames × per-frame GCE delay
+    // (min(5, len/100+1) frames of (len%100+1) cs each).
     "mm_metadata" ->
       """WITH m AS (SELECT doc_id,
         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -145,7 +153,8 @@ object MultimodalQueries extends QueryModule {
         |  CASE media_type WHEN 'video' THEN 3 ELSE 1 END AS channels,
         |  CASE media_type WHEN 'image' THEN 0
         |    WHEN 'audio' THEN (byte_len // 2) * 1000 // 8000
-        |    ELSE byte_len * 8 END AS duration_ms
+        |    ELSE least(5, byte_len // 100 + 1) * ((byte_len % 100) + 1) * 10
+        |    END AS duration_ms
         |FROM m
         |ORDER BY doc_id""".stripMargin,
     "mm_features" ->
@@ -154,11 +163,23 @@ object MultimodalQueries extends QueryModule {
           s"len(list_filter(string_split(text, ''), c -> ascii(c) % 8 = $b)) AS f$b")
           .mkString(", ") +
         """ FROM documents ORDER BY doc_id"""),
+    // Predicts the GIF generator frame by frame: frame 0 is the full
+    // logical screen, later frames are 1-px strips; every frame carries
+    // the same (blen%100)+1 cs delay; the first pixel of frame i is the
+    // payload byte at offset i (the row is the payload rotated by i),
+    // which for the ASCII fixture is ascii(substr(text, i+1, 1)).
     "mm_frames" ->
-      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS blen
+      """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS blen
         |           FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
-        |f AS (SELECT doc_id, blen, least(5, blen // 100 + 1) AS nf FROM m)
-        |SELECT doc_id, i.i AS frame_idx, i.i * (blen // nf) AS byte_offset
+        |f AS (SELECT doc_id, text, blen, least(5, blen // 100 + 1) AS nf,
+        |        CAST(64 + blen % 577 AS INT) AS w,
+        |        CAST(64 + (blen * 31) % 449 AS INT) AS h,
+        |        CAST((blen % 100) + 1 AS INT) AS delay_cs
+        |      FROM m)
+        |SELECT doc_id, i.i AS frame_idx, w AS frame_w,
+        |  CASE WHEN i.i = 0 THEN h ELSE 1 END AS frame_h,
+        |  delay_cs,
+        |  ascii(substr(text, CAST(i.i % blen AS INT) + 1, 1)) AS px0
         |FROM f, range(0, 5) i(i)
         |WHERE i.i < nf
         |ORDER BY doc_id, frame_idx""".stripMargin,

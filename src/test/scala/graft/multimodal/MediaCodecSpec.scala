@@ -37,10 +37,31 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("video stays the documented stub (deterministic arithmetic)") {
-    val m = MediaCodec.decode(MediaFile(9L, "video", bytes(500)))
-    assert(m.width == 64 + 500 % 577 && m.channels == 3 && m.durationMs == 4000L)
-    val frames = MediaCodec.sampleFrames(m)
+  test("video decode round-trips frame count, dims and timing through a real GIF parse") {
+    for (n <- Seq(47, 250, 500, 1234)) {
+      val m = MediaCodec.decode(MediaFile(9L, "video", bytes(n)))
+      val nf = math.min(5, n / 100 + 1)
+      assert(m.width == 64 + n % 577 && m.height == 64 + (n * 31) % 449,
+        s"len=$n decoded ${m.width}x${m.height}")
+      // 3 components: the decoded GIF palette's RGB color model.
+      assert(m.channels == 3)
+      // duration = frames x per-frame GCE delay, read back from metadata.
+      assert(m.durationMs == nf.toLong * (n % 100 + 1) * 10, s"len=$n -> ${m.durationMs}")
+    }
+  }
+
+  test("frame sampling decodes every GIF frame: dims, delay, and payload pixel") {
+    val n = 500
+    val p = bytes(n)
+    val frames = MediaCodec.sampleFrames(MediaFile(9L, "video", p))
     assert(frames.size == 5 && frames.map(_._2) == (0L until 5L))
+    frames.foreach { case (docId, idx, fw, fh, delayCs, px0) =>
+      assert(docId == 9L && fw == 64 + n % 577)
+      assert(fh == (if (idx == 0L) 64 + (n * 31) % 449 else 1))
+      assert(delayCs == n % 100 + 1)
+      // First pixel of frame i carries payload byte i (row rotated by i),
+      // round-tripped through the encoder's gray palette.
+      assert(px0 == (p(idx.toInt % n) & 0xff))
+    }
   }
 }
