@@ -143,7 +143,7 @@ object Bench {
           val fsum = folded.map(_._2).sum // all ≥ 0: failures sort last, never fold
           s""""fast_other":{"n":${folded.size},"sum":${fmt(fsum)}},"""
         }
-      s"""{${foldJson}"queries":$keptJson,"sf":"$sfDir","passes":2,"tiebreak":$tiebreakJson,"flaky":$flakyJson,"errors":$errors,"metric":"total","unit":"sec","value":${fmt(total)}}"""
+      s"""{${foldJson}"queries":$keptJson,"sf":"$sfDir","passes":${if (divergent.nonEmpty) 3 else 2},"tiebreak":$tiebreakJson,"flaky":$flakyJson,"errors":$errors,"metric":"total","unit":"sec","value":${fmt(total)}}"""
     }
     // If the line would overflow the ~2000-char tail window anyway,
     // fold just enough of the CHEAPEST queries into one "fast_other"

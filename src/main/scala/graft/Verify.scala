@@ -25,7 +25,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
     if (master.startsWith("local-cluster"))
       b.config("spark.executor.extraClassPath",
-        "/root/repo/target/scala-2.13/classes")
+        graft.sources.GraftSession.classesDir)
     val spark = graft.sources.GraftSession.configure(b).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -381,20 +381,27 @@ object EventsQueries extends QueryModule {
         .selectExpr("user_id AS userId", "event_id AS eventId",
           "ts div 1000 AS tsUs", "event_type AS eventType", "value")
         .as[graft.streaming.EvRec]
-      val q = graft.streaming.EventStreams.latestState(evs)
-        .writeStream
-        .outputMode(OutputMode.Update)
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[graft.streaming.LatestRecord],
-           _: Long) =>
-          batch.write.mode("append").parquet(s"$tmp/out"); ()
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      // Same hang cap as EventStreams.drainAppend.
-      if (!q.awaitTermination(600000L)) q.stop()
-      s.read.parquet(s"$tmp/out")
+      // Same reduced state-partition override + capped wait + temp-dir
+      // cleanup as EventStreams.drainAppend (this drain is hand-rolled
+      // only because update-mode output needs foreachBatch).
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.EventStreams.latestState(evs)
+          .writeStream
+          .outputMode(OutputMode.Update)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[graft.streaming.LatestRecord],
+             _: Long) =>
+            batch.write.mode("append").parquet(s"$tmp/out"); ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(600000L)) q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.streaming.EventStreams.loadAndClean(s, tmp,
+          org.apache.spark.sql.Encoders.product[graft.streaming.LatestRecord].schema)
         .groupBy($"userId", $"eventType")
         .agg(max(struct($"nEvents", $"lastTsUs", $"lastEventId", $"lastValue"))
           .as("m"))

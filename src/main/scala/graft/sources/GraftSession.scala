@@ -38,4 +38,12 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+
+  /** Where this build's graft classes live (sbt runs from a classes
+    * directory, not a jar, so local-cluster dev smoke runs must ship it
+    * to executor JVMs explicitly). Derived from the loaded class's own
+    * code source so the path tracks wherever the repo is checked out;
+    * `SPARK_GRAFT_CLASSPATH` overrides for exotic layouts. */
+  def classesDir: String = sys.env.getOrElse("SPARK_GRAFT_CLASSPATH",
+    GraftSession.getClass.getProtectionDomain.getCodeSource.getLocation.getPath)
 }

@@ -274,23 +274,71 @@ object EventStreams {
     * This is the scheduled-ingestion shape — with a persistent
     * checkpoint dir it becomes incremental; the fresh temp dir here
     * makes each call a full drain. Used by the driver-facing
-    * `ev_stream_*` queries. */
-  def drainAppend(df: DataFrame, tag: String): DataFrame = {
+    * `ev_stream_*` queries.
+    *
+    * The drain runs with a reduced shuffle-partition count (default 8):
+    * every stateful operator commits one state-store delta per
+    * partition per micro-batch, so at fixture scale 32 partitions is
+    * 4x the commit overhead for zero parallelism gain (the state is
+    * tiny). On a real cluster pass the session's own setting — state
+    * parallelism should match executor cores there. The override is
+    * restored after the drain; a checkpoint pins its partition count in
+    * its own metadata, so resuming is unaffected by the restore. */
+  def drainAppend(df: DataFrame, tag: String, statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val tmp = java.nio.file.Files.createTempDirectory(tag)
-    val q = df.writeStream
-      .format("parquet")
-      .option("path", s"$tmp/out")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode(OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    // AvailableNow self-terminates in seconds here; the cap only exists
-    // so a wedged state store can never hang the caller's whole
-    // correctness run — on expiry the query is stopped and whatever the
-    // sink holds is returned (a partial result fails the oracle compare
-    // loudly instead of blocking it silently).
-    if (!q.awaitTermination(600000L)) q.stop()
-    spark.read.parquet(s"$tmp/out")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = df.writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // AvailableNow self-terminates in seconds here; the cap only
+      // exists so a wedged state store can never hang the caller's
+      // whole correctness run — on expiry the query is stopped and
+      // whatever the sink holds is returned (a partial result fails the
+      // oracle compare loudly instead of blocking it silently).
+      if (!q.awaitTermination(600000L)) q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    loadAndClean(spark, tmp, df.schema)
+  }
+
+  /** Shared post-drain read-back: load the sink into a LOCAL relation
+    * (drain results are harness read-backs bounded by the sink's size —
+    * a production deployment's consumers read the sink files in place),
+    * then delete the temp sink+checkpoint tree so repeated Verify/Bench
+    * runs leave no `graft_ev_*` residue behind. An absent sink dir (a
+    * source that produced no batch at all) degrades to an empty result
+    * of the query's schema instead of a PATH_NOT_FOUND. */
+  private[graft] def loadAndClean(
+      spark: SparkSession, tmp: java.nio.file.Path,
+      schema: StructType): DataFrame = {
+    val outDir = tmp.resolve("out")
+    val out =
+      if (!java.nio.file.Files.isDirectory(outDir))
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else {
+        val raw = spark.read.parquet(outDir.toString)
+        spark.createDataFrame(
+          java.util.Arrays.asList(raw.collect(): _*), raw.schema)
+      }
+    deleteTree(tmp)
+    out
+  }
+
+  /** Recursive delete, deepest-first; missing paths are a no-op. */
+  private[graft] def deleteTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
   }
 }

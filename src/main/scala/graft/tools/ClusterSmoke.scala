@@ -30,7 +30,7 @@ object ClusterSmoke {
       // Ship the sbt-compiled classes to the executor JVMs (sbt runs
       // from classes, not a jar, so nothing is shipped automatically).
       .config("spark.executor.extraClassPath",
-        "/root/repo/target/scala-2.13/classes")
+        graft.sources.GraftSession.classesDir)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
