@@ -409,6 +409,85 @@ object EventsQueries extends QueryModule {
           $"m.lastEventId".as("last_event_id"), $"m.lastTsUs".as("last_ts_us"),
           $"m.lastValue".as("last_value"), $"m.nEvents".as("n_events"))
         .orderBy("user_id", "event_type")
+    }),
+
+    // Streaming exactly-once dedup, driver-checked: the events scan is
+    // DOUBLED (a union of two streaming scans of the same file — the
+    // at-least-once re-delivery every ingestion pipeline must tolerate)
+    // and dropDuplicatesWithinWatermark collapses it back. State is the
+    // id set within the 1 h watermark horizon, evicted as the watermark
+    // passes — bounded on an unbounded stream where a plain
+    // dropDuplicates' state would grow forever. All re-deliveries here
+    // land inside one drain, so the result is exactly the original
+    // table: the oracle is the raw projection.
+    "ev_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def scan = graft.streaming.EventStreams.fromParquetDir(s, dir)
+      graft.streaming.EventStreams.drainAppend(
+          graft.streaming.EventStreams.dedupEvents(scan.unionAll(scan)),
+          "graft_ev_dedup_")
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .orderBy("event_id")
+    }),
+
+    // Stream-static join, driver-checked (the third cell of the join
+    // matrix next to batch-batch and stream-stream): live events
+    // enriched against a STATIC customer-segment dim, planned per
+    // micro-batch as an ordinary batch relation — no state store, and
+    // under the broadcast threshold the stream side never shuffles. The
+    // dim keeps only every third customer so the left join's
+    // null-extension is actually exercised; the post-drain rollup
+    // counts events and distinct users per segment, unmatched bucketed
+    // as '(unmatched)' (explicit label: a NULL group would sort
+    // NULLS FIRST in Spark but NULLS LAST in DuckDB).
+    "ev_stream_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Tables.customer(s, dir)
+        .where($"c_custkey" % 3 === 0)
+        .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
+      graft.streaming.EventStreams.drainAppend(
+          graft.streaming.EventStreams.enrichWithUsers(
+            graft.streaming.EventStreams.fromParquetDir(s, dir), dim),
+          "graft_ev_enrich_")
+        .groupBy(coalesce($"segment", lit("(unmatched)")).as("segment"))
+        .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+        .orderBy("segment")
+    }),
+
+    // Checkpoint-resume made driver-visible: two AvailableNow drains of
+    // one file-source query against a single persistent checkpoint, a
+    // new source file dropped in between. The helper hard-asserts (via
+    // the streaming progress counters) that the second drain ingested
+    // ONLY the new file — the incremental-ingestion property itself,
+    // not just its output — and returns the union of both drains, which
+    // must equal the batch table. See EventStreams.incrementalDrain.
+    "ev_stream_incr" -> ((s, dir) => {
+      graft.streaming.EventStreams.incrementalDrain(s, dir)
+        .orderBy("event_id")
+    }),
+
+    // LEFT-OUTER stream-stream join, driver-checked: same time-bounded
+    // click→purchase attribution as ev_stream_attrib, but never-
+    // converted clicks ALSO emit (null purchase columns) once the
+    // watermark proves no matching purchase can still arrive. A click
+    // expires when the global watermark W (min over both sides of
+    // max-event-ms − 1 h) passes the end of its match window
+    // (click_ts + 1 h) — only then is the null row emitted, so the
+    // oracle restricts the unmatched side to watermark-expired clicks.
+    // Per user the rollup counts attributed pairs vs expired clicks.
+    "ev_stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.streaming.EventStreams.fromParquetDir(s, dir)
+      graft.streaming.EventStreams.drainAppend(
+          graft.streaming.EventStreams.attributePurchases(
+            ev.where($"event_type" === "click"),
+            ev.where($"event_type" === "purchase"),
+            "left_outer"),
+          "graft_ev_funnel_")
+        .groupBy($"click_user".as("user_id"))
+        .agg(count($"purch_user").as("n_attributed"),
+          sum(when($"purch_user".isNull, 1L).otherwise(0L)).as("n_expired"))
+        .orderBy("user_id")
     })
   )
 
@@ -651,6 +730,49 @@ object EventsQueries extends QueryModule {
         |    count(*) OVER (PARTITION BY user_id, event_type) AS n_events
         |  FROM events)
         |WHERE rn = 1
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+    // The doubled stream deduped within the watermark IS the original
+    // table (event_id is unique in the fixture and both re-deliveries
+    // land inside one drain).
+    "ev_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin,
+    "ev_stream_enrich" ->
+      """SELECT coalesce(c.c_mktsegment, '(unmatched)') AS segment,
+        |  count(*) AS n, count(DISTINCT e.user_id) AS n_users
+        |FROM events e
+        |LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+        |           WHERE c_custkey % 3 = 0) c
+        |  ON e.user_id = c.c_custkey
+        |GROUP BY 1
+        |ORDER BY segment""".stripMargin,
+    // Both incremental drains together cover the full table exactly
+    // once (the incrementality itself is hard-asserted engine-side from
+    // the progress counters — see EventStreams.incrementalDrain).
+    "ev_stream_incr" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
+    // Matched pairs emit immediately; an unmatched click emits its null
+    // row only once the global watermark W (min over both sides of
+    // max event ms − 1 h) passes the end of its 1 h match window.
+    "ev_stream_funnel" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS cus FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS pus FROM events
+        |      WHERE event_type = 'purchase'),
+        |w AS (SELECT least((SELECT max(cus) FROM c) // 1000,
+        |                   (SELECT max(pus) FROM p) // 1000)
+        |             - 3600000 AS wm),
+        |j AS (SELECT c.user_id, c.cus, p.pus
+        |      FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |        AND p.pus BETWEEN c.cus AND c.cus + 3600000000)
+        |SELECT user_id, count(pus) AS n_attributed,
+        |  CAST(sum(CASE WHEN pus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_expired
+        |FROM j
+        |WHERE pus IS NOT NULL
+        |   OR cus // 1000 + 3600000 < (SELECT wm FROM w)
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
   )
 }

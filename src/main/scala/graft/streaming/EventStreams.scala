@@ -264,6 +264,69 @@ object EventStreams {
   def enrichWithUsers(events: DataFrame, users: DataFrame): DataFrame =
     events.join(users, Seq("user_id"), "left")
 
+  /** Incremental ingestion made driver-visible: TWO AvailableNow drains
+    * of the same file-source query against ONE persistent checkpoint.
+    * The events table is split in half by `event_id % 2`; drain 1 sees
+    * only the even file, then the odd file is dropped into the source
+    * dir and drain 2 resumes from the SAME checkpoint. The file source
+    * records processed files in the checkpoint, so drain 2 must ingest
+    * ONLY the new file — asserted hard against the streaming progress
+    * counters (`numInputRows` summed over each run's micro-batches), so
+    * a checkpoint regression fails the correctness row loudly instead
+    * of silently reprocessing everything (exactly-once would still make
+    * the OUTPUT look right; the counters are the only witness that the
+    * second run was incremental). The union of both drains is the full
+    * table — the batch oracle.
+    *
+    * This is the scheduled-ingestion deployment shape: a nightly
+    * AvailableNow job over a landing directory with a durable
+    * checkpoint processes each day's new files only, at the cost of a
+    * listing + the new data — never a growing rescan. */
+  def incrementalDrain(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_ev_incr_")
+    try {
+      val src = Files.createDirectories(tmp.resolve("src"))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      // Stage each half through a one-file batch write, then move the
+      // part file into the flat source dir the stream lists.
+      def addSourceFile(half: DataFrame, name: String): Long = {
+        val stage = tmp.resolve(s"stage_$name")
+        half.coalesce(1).write.parquet(stage.toString)
+        val listing = Files.list(stage)
+        val part =
+          try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+          finally listing.close()
+        Files.move(part, src.resolve(s"$name.parquet"))
+        deleteTree(stage)
+        half.count()
+      }
+      val stream = spark.readStream.schema(schema).parquet(src.toString)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      def drain(): Long = {
+        val q = stream.writeStream
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode(OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(600000L)) q.stop()
+        q.recentProgress.map(_.numInputRows).sum
+      }
+      val nEven = addSourceFile(raw.where(col("event_id") % 2 === 0), "even")
+      val got1 = drain()
+      val nOdd = addSourceFile(raw.where(col("event_id") % 2 === 1), "odd")
+      val got2 = drain()
+      if (got1 != nEven || got2 != nOdd)
+        throw new IllegalStateException(
+          s"incremental drain not incremental: run1 read $got1 rows " +
+            s"(expected $nEven), run2 read $got2 rows (expected $nOdd — " +
+            "only the file added between the drains)")
+      loadAndClean(spark, tmp, stream.schema)
+    } catch { case e: Throwable => deleteTree(tmp); throw e }
+  }
+
   /** Convenience writer used by examples/tests: in-memory sink. */
   def toMemory(df: DataFrame, name: String, mode: OutputMode) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

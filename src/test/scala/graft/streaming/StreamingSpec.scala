@@ -376,6 +376,46 @@ class StreamingSpec extends SparkSpec {
       "streaming CDC drain diverged from the batch compaction")
   }
 
+  test("incremental drain resumes from the checkpoint and covers the table exactly") {
+    import spark.implicits._
+    // incrementalDrain hard-asserts internally (from the progress
+    // counters) that drain 2 ingested ONLY the file added between the
+    // drains — reaching the comparison below proves incrementality held.
+    val got = EventStreams.incrementalDrain(spark, sf0001)
+      .as[(Long, Long, String)].collect().toSet
+    val want = graft.sources.Tables.events(spark, sf0001)
+      .selectExpr("event_id", "user_id", "event_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == want, "two incremental drains did not reassemble the batch table")
+    assert(got.size == 1000)
+  }
+
+  test("driver-facing left-outer funnel matches batch attribution + watermark-expired clicks") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("ev_stream_funnel")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSet
+    // Batch reference: matched pairs always emit; an unmatched click
+    // emits iff the global watermark W = min(max click ms, max purch ms)
+    // − 1 h passed the end of its 1 h match window.
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "event_type", "ts div 1000 AS us")
+    val clicks = ev.where($"event_type" === "click").select($"user_id", $"us".as("cus"))
+    val purch = ev.where($"event_type" === "purchase").select($"user_id".as("pu"), $"us".as("pus"))
+    val wm = math.min(
+      clicks.agg(max($"cus" / 1000).cast("long")).as[Long].head(),
+      purch.agg(max($"pus" / 1000).cast("long")).as[Long].head()) - 3600000L
+    val j = clicks.join(purch,
+      $"user_id" === $"pu" && $"pus".between($"cus", $"cus" + 3600000000L), "left")
+    val want = j.where($"pus".isNotNull || ($"cus" / 1000).cast("long") + 3600000L < wm)
+      .groupBy($"user_id")
+      .agg(count($"pus").as("n_attributed"),
+        sum(when($"pus".isNull, 1L).otherwise(0L)).as("n_expired"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"stream-only=${got.diff(want).take(3)} batch-only=${want.diff(got).take(3)}")
+    assert(got.exists(_._3 > 0), "no watermark-expired clicks exercised the outer emission")
+  }
+
   test("Trigger.AvailableNow drains the source then self-terminates") {
     // The batch-over-stream pattern: a scheduled (e.g. nightly) run of
     // the same streaming pipeline processes everything available and
