@@ -7,7 +7,8 @@ import javax.imageio.ImageIO
 /** Multimodal column model (driver mandate): media is an opaque
   * `binary` payload column plus typed metadata, processed through typed
   * Datasets (case-class Encoders) so schema, batching and partitioning
-  * are real Spark plumbing even where the codec itself is stubbed.
+  * are real Spark plumbing — and so are all three codec paths (see
+  * [[MediaCodec]]).
   */
 final case class MediaFile(docId: Long, mediaType: String, payload: Array[Byte])
 

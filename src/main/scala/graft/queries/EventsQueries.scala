@@ -325,6 +325,11 @@ object EventsQueries extends QueryModule {
     // streaming clock is `ts div 1000`).
     "ev_stream_attrib" -> ((s, dir) => {
       import s.implicits._
+      // One logical source, but the physical plan necessarily carries
+      // TWO streaming scans of the file: each join side needs its own
+      // watermark node, and a watermark is a property of a scan's
+      // lineage — inherent to any stream-stream self-join, not a
+      // missed reuse.
       val ev = graft.streaming.EventStreams.fromParquetDir(s, dir)
       graft.streaming.EventStreams.drainAppend(
           graft.streaming.EventStreams.attributePurchases(

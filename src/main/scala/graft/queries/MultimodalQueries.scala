@@ -68,8 +68,10 @@ object MultimodalQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // Feature extraction stub: 8-bucket byte histogram per payload
-    // (declarative HOF form — stays in codegen, no typed boundary).
+    // Feature extraction: an 8-bucket byte histogram per payload — a
+    // deliberately simple deterministic featurizer computed on the real
+    // bytes (declarative HOF form — stays in codegen, no typed
+    // boundary; an embedding model would slot in at this same shape).
     "mm_features" -> ((s, dir) => {
       val buckets = (0 to 7).map(b =>
         s"size(filter(split(text, ''), c -> ascii(c) % 8 = $b)) AS f$b")
