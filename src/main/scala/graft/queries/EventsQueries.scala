@@ -380,33 +380,13 @@ object EventsQueries extends QueryModule {
     // as ev_compact_latest.
     "ev_stream_compact" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ev_cdc_")
       val evs = graft.streaming.EventStreams.fromParquetDir(s, dir)
         .selectExpr("user_id AS userId", "event_id AS eventId",
           "ts div 1000 AS tsUs", "event_type AS eventType", "value")
         .as[graft.streaming.EvRec]
-      // Same reduced state-partition override + capped wait + temp-dir
-      // cleanup as EventStreams.drainAppend (this drain is hand-rolled
-      // only because update-mode output needs foreachBatch).
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      try {
-        val q = graft.streaming.EventStreams.latestState(evs)
-          .writeStream
-          .outputMode(OutputMode.Update)
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .foreachBatch {
-            (batch: org.apache.spark.sql.Dataset[graft.streaming.LatestRecord],
-             _: Long) =>
-            batch.write.mode("append").parquet(s"$tmp/out"); ()
-          }
-          .trigger(Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(600000L)) q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      graft.streaming.EventStreams.loadAndClean(s, tmp,
-          org.apache.spark.sql.Encoders.product[graft.streaming.LatestRecord].schema)
+      graft.streaming.EventStreams.drainUpdate(
+          graft.streaming.EventStreams.latestState(evs).toDF(),
+          "graft_ev_cdc_")
         .groupBy($"userId", $"eventType")
         .agg(max(struct($"nEvents", $"lastTsUs", $"lastEventId", $"lastValue"))
           .as("m"))
@@ -496,6 +476,47 @@ object EventsQueries extends QueryModule {
         .groupBy($"click_user".as("user_id"))
         .agg(count($"purch_user").as("n_attributed"),
           sum(when($"purch_user".isNull, 1L).otherwise(0L)).as("n_expired"))
+        .orderBy("user_id")
+    }),
+
+    // STATEFUL checkpoint-resume, driver-checked: ev_stream_incr proves
+    // the file source resumes incrementally; this row proves OPERATOR
+    // STATE survives the restart. Two AvailableNow drains of the
+    // watermarked hourly aggregation against one checkpoint, the events
+    // split at a mid-hour EVENT-TIME cut in between — the cut hour's
+    // window gets rows from both drains, so its count is only right if
+    // drain 2 restored drain 1's open-window state (and the watermark)
+    // from the checkpoint. Result = the same append-emission horizon as
+    // the single-drain ev_stream_hourly; same oracle.
+    "ev_stream_incr_agg" -> ((s, dir) => {
+      graft.streaming.EventStreams.incrementalAggDrain(s, dir)
+        .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
+          col("event_type"), col("n"))
+        .orderBy("hour_start", "event_type")
+    }),
+
+    // Running-snapshot sessionization (mapGroupsWithState, NoTimeout —
+    // the custom-state API's simplest shape, vs closedSessions' timeout
+    // emission) drained through the update-mode changelog: per-user
+    // (nSessions, nEvents) snapshots appended per trigger, compacted to
+    // each user's final snapshot on read-back (nEvents grows
+    // monotonically, so max-over-struct picks it). The single-file
+    // AvailableNow drain arrives time-ordered per user, so the final
+    // snapshot equals the batch gap-sessionization — same oracle family
+    // as ev_sessions.
+    "ev_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val evs = graft.streaming.EventStreams.fromParquetDir(s, dir)
+        .selectExpr("user_id AS userId", "ts div 1000 AS tsUs",
+          "event_type AS eventType")
+        .as[graft.streaming.Ev]
+      graft.streaming.EventStreams.drainUpdate(
+          graft.streaming.EventStreams.sessionize(evs).toDF(),
+          "graft_ev_sessz_")
+        .groupBy($"userId")
+        .agg(max(struct($"nEvents", $"nSessions")).as("m"))
+        .select($"userId".as("user_id"), $"m.nEvents".as("n_events"),
+          $"m.nSessions".as("n_sessions"))
         .orderBy("user_id")
     })
   )
@@ -781,6 +802,29 @@ object EventsQueries extends QueryModule {
         |FROM j
         |WHERE pus IS NOT NULL
         |   OR cus // 1000 + 3600000 < (SELECT wm FROM w)
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    // Identical horizon to ev_stream_hourly: the second drain restores
+    // the first's watermark and window state, so the two-run result
+    // must equal the single-run emission set.
+    "ev_stream_incr_agg" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        |  count(*) AS n
+        |FROM events
+        |WHERE epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+        |      <= (SELECT epoch_ms(max(ts)) - 7200000 FROM events)
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
+    // Same gap-sessionization as the batch ev_sessions: the compacted
+    // final snapshot per user must equal the batch aggregate.
+    "ev_stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions
+        |FROM g
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin
   )

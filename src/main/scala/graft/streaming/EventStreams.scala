@@ -283,49 +283,108 @@ object EventStreams {
     * checkpoint processes each day's new files only, at the cost of a
     * listing + the new data — never a growing rescan. */
   def incrementalDrain(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.Files
-    val tmp = Files.createTempDirectory("graft_ev_incr_")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ev_incr_")
     try {
-      val src = Files.createDirectories(tmp.resolve("src"))
+      val src = java.nio.file.Files.createDirectories(tmp.resolve("src"))
       val raw = spark.read.parquet(s"$dir/events.parquet")
-      // Stage each half through a one-file batch write, then move the
-      // part file into the flat source dir the stream lists.
-      def addSourceFile(half: DataFrame, name: String): Long = {
-        val stage = tmp.resolve(s"stage_$name")
-        half.coalesce(1).write.parquet(stage.toString)
-        val listing = Files.list(stage)
-        val part =
-          try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
-          finally listing.close()
-        Files.move(part, src.resolve(s"$name.parquet"))
-        deleteTree(stage)
-        half.count()
-      }
       val stream = spark.readStream.schema(schema).parquet(src.toString)
         .select(col("event_id"), col("user_id"), col("event_type"))
-      def drain(): Long = {
-        val q = stream.writeStream
-          .format("parquet")
-          .option("path", s"$tmp/out")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .outputMode(OutputMode.Append)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(600000L)) q.stop()
-        q.recentProgress.map(_.numInputRows).sum
-      }
-      val nEven = addSourceFile(raw.where(col("event_id") % 2 === 0), "even")
+      def drain(): Long = checkpointedDrain(spark, stream, tmp)
+      val nEven = stageSourceFile(tmp, src,
+        raw.where(col("event_id") % 2 === 0), "even")
       val got1 = drain()
-      val nOdd = addSourceFile(raw.where(col("event_id") % 2 === 1), "odd")
+      val nOdd = stageSourceFile(tmp, src,
+        raw.where(col("event_id") % 2 === 1), "odd")
       val got2 = drain()
-      if (got1 != nEven || got2 != nOdd)
-        throw new IllegalStateException(
-          s"incremental drain not incremental: run1 read $got1 rows " +
-            s"(expected $nEven), run2 read $got2 rows (expected $nOdd — " +
-            "only the file added between the drains)")
+      assertIncremental(got1, nEven, got2, nOdd)
       loadAndClean(spark, tmp, stream.schema)
     } catch { case e: Throwable => deleteTree(tmp); throw e }
   }
+
+  /** Stateful incrementality: the same two-drain checkpoint-resume
+    * shape as [[incrementalDrain]], but through the WATERMARKED HOURLY
+    * AGGREGATION — so what the checkpoint carries between runs is not
+    * just file offsets but operator STATE (the open windows) and the
+    * watermark itself. The events table is split at a mid-hour cut in
+    * EVENT TIME (~60% into the range); drain 1 emits the windows its
+    * watermark closes, drain 2 restores the open-window state and
+    * finishes the rest. The window straddling the cut receives rows
+    * from BOTH drains (the fixture is dense per hour), so its final
+    * count equaling the batch count proves the restored state — a
+    * fresh run over file 2 alone would under-count it. Progress
+    * counters again hard-assert drain 2 read ONLY the new file, and
+    * the result must equal the single-drain `ev_stream_hourly` horizon
+    * (same final watermark, same emitted windows). */
+  def incrementalAggDrain(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ev_incragg_")
+    try {
+      val src = java.nio.file.Files.createDirectories(tmp.resolve("src"))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val b = raw.agg(min(col("ts")), max(col("ts"))).head()
+      val (tmin, tmax) = (b.getLong(0), b.getLong(1))
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      // Cut on a half-hour boundary so the cut hour's window spans both
+      // drains; all of file 2's event times sit at/above the cut, hence
+      // above drain 1's watermark — nothing arrives late by design.
+      val cut = ((tmin + (tmax - tmin) * 3 / 5) / hourNs) * hourNs + hourNs / 2
+      val stream = spark.readStream.schema(schema).parquet(src.toString)
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      val agg = hourlyCounts(stream)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val (got1, n1, got2, n2) =
+        try {
+          val n1 = stageSourceFile(tmp, src, raw.where(col("ts") < cut), "t0")
+          val got1 = checkpointedDrain(spark, agg, tmp)
+          val n2 = stageSourceFile(tmp, src, raw.where(col("ts") >= cut), "t1")
+          val got2 = checkpointedDrain(spark, agg, tmp)
+          (got1, n1, got2, n2)
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      assertIncremental(got1, n1, got2, n2)
+      loadAndClean(spark, tmp, agg.schema)
+    } catch { case e: Throwable => deleteTree(tmp); throw e }
+  }
+
+  /** Stage a batch half through a one-file write, then move the part
+    * file into the flat source dir the stream lists; returns its row
+    * count. */
+  private def stageSourceFile(tmp: java.nio.file.Path, src: java.nio.file.Path,
+      half: DataFrame, name: String): Long = {
+    import java.nio.file.Files
+    val stage = tmp.resolve(s"stage_$name")
+    half.coalesce(1).write.parquet(stage.toString)
+    val listing = Files.list(stage)
+    val part =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
+    Files.move(part, src.resolve(s"$name.parquet"))
+    deleteTree(stage)
+    half.count()
+  }
+
+  /** One AvailableNow run of `df` into `$tmp/out` against the PERSISTENT
+    * checkpoint `$tmp/ckpt` (shared across calls — that is the point);
+    * returns the run's total input-row count from the progress API. */
+  private def checkpointedDrain(spark: SparkSession, df: DataFrame,
+      tmp: java.nio.file.Path): Long = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(600000L)) q.stop()
+    q.recentProgress.map(_.numInputRows).sum
+  }
+
+  private def assertIncremental(
+      got1: Long, want1: Long, got2: Long, want2: Long): Unit =
+    if (got1 != want1 || got2 != want2)
+      throw new IllegalStateException(
+        s"incremental drain not incremental: run1 read $got1 rows " +
+          s"(expected $want1), run2 read $got2 rows (expected $want2 — " +
+          "only the file added between the drains)")
 
   /** Convenience writer used by examples/tests: in-memory sink. */
   def toMemory(df: DataFrame, name: String, mode: OutputMode) =
@@ -368,6 +427,33 @@ object EventStreams {
       // whole correctness run — on expiry the query is stopped and
       // whatever the sink holds is returned (a partial result fails the
       // oracle compare loudly instead of blocking it silently).
+      if (!q.awaitTermination(600000L)) q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    loadAndClean(spark, tmp, df.schema)
+  }
+
+  /** Update-mode counterpart of [[drainAppend]]: a files sink can't
+    * take update-mode output directly, so each micro-batch's refreshed
+    * rows are APPENDED to parquet via foreachBatch — the production
+    * changelog-to-files pattern — and the caller compacts the read-back
+    * changelog to its final row per key (each key's emissions carry a
+    * monotonically growing counter, so max-over-struct picks the
+    * newest). Same reduced state-partition override, capped wait and
+    * temp-tree cleanup as drainAppend. */
+  def drainUpdate(df: DataFrame, tag: String, statePartitions: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory(tag)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = df.writeStream
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(s"$tmp/out"); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
       if (!q.awaitTermination(600000L)) q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     loadAndClean(spark, tmp, df.schema)

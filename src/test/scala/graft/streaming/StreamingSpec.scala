@@ -390,6 +390,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == 1000)
   }
 
+  test("stateful incremental drain equals the single-drain hourly horizon (state restored)") {
+    import spark.implicits._
+    // Two checkpoint-resumed drains split at a mid-hour event-time cut
+    // must emit EXACTLY the windows one uninterrupted drain emits, with
+    // identical counts — the cut hour's window only counts right if
+    // drain 2 restored drain 1's open-window state and watermark.
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"hour_start".cast("string"), $"event_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    val twoRun = rows(EventStreams.incrementalAggDrain(spark, sf0001)
+      .select($"hour_start".cast("timestamp_ntz").as("hour_start"), $"event_type", $"n"))
+    val oneRun = rows(graft.SparkEntry.queries("ev_stream_hourly")(spark, sf0001))
+    assert(twoRun == oneRun,
+      s"two-only=${twoRun.diff(oneRun).take(3)} one-only=${oneRun.diff(twoRun).take(3)}")
+    assert(twoRun.nonEmpty)
+  }
+
   test("driver-facing left-outer funnel matches batch attribution + watermark-expired clicks") {
     import spark.implicits._
     val got = graft.SparkEntry.queries("ev_stream_funnel")(spark, sf0001)
