@@ -401,6 +401,27 @@ object DedupQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Overlapping document chunking: slice each doc into 256-char
+    // windows on a 192-char stride (64 overlap), the context-window
+    // chunking step of RAG indexing and long-doc pretraining prep —
+    // the per-DOC dual of pipe_pack_sequences' global tape. Pure
+    // generate→explode inside one projection: NO shuffle, NO window —
+    // embarrassingly parallel at any corpus size, output bounded at
+    // size/stride ≈ 1.33x the input text. An empty doc still yields
+    // its one (empty) chunk, keeping the op total.
+    "pipe_chunk_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val (size, stride) = (256, 192)
+      Tables.documents(s, dir)
+        .select($"doc_id", posexplode(expr(
+          s"""transform(sequence(0L, CAST(greatest(length(text) - 1, 0) AS LONG), ${stride}L),
+             |          st -> substring(text, CAST(st + 1 AS INT), $size))""".stripMargin)))
+        .select($"doc_id", $"pos".cast("long").as("chunk_idx"),
+          ($"pos" * stride).cast("long").as("chunk_start"),
+          length($"col").cast("long").as("chunk_len"), $"col".as("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Size-balanced shard assignment: spread docs over 16 output shards
     // so token totals even out (the writer-side step before exporting
     // training shards). Serpentine placement over the global
@@ -756,6 +777,14 @@ object DedupQueries extends QueryModule {
          |FROM o
          |WHERE n_tok > 0
          |ORDER BY doc_id""".stripMargin,
+    "pipe_chunk_overlap" ->
+      """SELECT doc_id, st // 192 AS chunk_idx, st AS chunk_start,
+        |  length(substr(text, CAST(st + 1 AS INT), 256)) AS chunk_len,
+        |  substr(text, CAST(st + 1 AS INT), 256) AS chunk
+        |FROM documents,
+        |  LATERAL unnest(generate_series(0, greatest(length(text) - 1, 0), 192))
+        |    AS t(st)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     // Single flat row_number (fine at oracle scale); the engine side
     // computes the identical rank via the two-level prefix sum.
     "pipe_shard_assign" ->

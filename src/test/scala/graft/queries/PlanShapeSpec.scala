@@ -219,6 +219,19 @@ class PlanShapeSpec extends SparkSpec {
       "corpus cumsum window lost its pid partitioning")
   }
 
+  test("overlap chunking shuffles nothing before its output sort") {
+    // The op's scale story: scan → generate → project is embarrassingly
+    // parallel. The ONLY exchange allowed is the rangepartitioning for
+    // the final presentation ORDER BY — a groupBy/window/join sneaking
+    // in would shuffle the full chunk text at corpus scale.
+    val p = plan("pipe_chunk_overlap")
+    assert(p.contains("Generate explode") || p.contains("Generate posexplode"),
+      "chunking lost its generate/explode form")
+    val exchanges = "Exchange \\w+".r.findAllIn(p).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"non-sort exchange in the chunking plan: $exchanges")
+  }
+
   test("oversampling broadcasts group sizes and the target scalar") {
     val p = plan("pipe_oversample")
     assert(p.contains("BroadcastHashJoin"), "group-size join should broadcast")
