@@ -129,6 +129,14 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val tiebreakJson = divergent.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Streaming subtotal, reported separately: each ev_stream_* drain
+    // carries ~1.5-2 s of inherent micro-batch + checkpoint + state-
+    // commit machinery, so as the streaming surface grows the headline
+    // total moves for reasons unrelated to the batch engine — this key
+    // lets a round-over-round compare split the two.
+    val streamingQs = results.filter { case (n, v) => n.startsWith("ev_stream") && v >= 0 }
+    val streamingJson =
+      s"""{"n":${streamingQs.size},"sum":${fmt(streamingQs.map(_._2).sum)}}"""
     // Failures (-1) sort as +∞: they land at the visible END of the map
     // and can never be folded away — an errors>0 line must always name
     // its broken queries.
@@ -143,7 +151,7 @@ object Bench {
           val fsum = folded.map(_._2).sum // all ≥ 0: failures sort last, never fold
           s""""fast_other":{"n":${folded.size},"sum":${fmt(fsum)}},"""
         }
-      s"""{${foldJson}"queries":$keptJson,"sf":"$sfDir","passes":${if (divergent.nonEmpty) 3 else 2},"tiebreak":$tiebreakJson,"flaky":$flakyJson,"errors":$errors,"metric":"total","unit":"sec","value":${fmt(total)}}"""
+      s"""{${foldJson}"queries":$keptJson,"sf":"$sfDir","passes":${if (divergent.nonEmpty) 3 else 2},"tiebreak":$tiebreakJson,"flaky":$flakyJson,"errors":$errors,"streaming":$streamingJson,"metric":"total","unit":"sec","value":${fmt(total)}}"""
     }
     // If the line would overflow the ~2000-char tail window anyway,
     // fold just enough of the CHEAPEST queries into one "fast_other"
