@@ -71,6 +71,99 @@ object EmbeddingQueries extends QueryModule {
         .orderBy("v1", "v2")
     }),
 
+    // The SCALE-SAFE exact sibling of emb_cosine_pairs: the same
+    // threshold join (cosine ≥ 0.38, PROVABLY the same output — the
+    // oracle is literally the same SQL), but block-structured instead
+    // of all-pairs. Vectors are assigned to their nearest centroid cell
+    // (one narrow typed pass; the K×64-double centroid table is the
+    // same tiny collected offline step as the PQ codebook), each cell
+    // records its angular radius r = max angle(member, center), and a
+    // cell PAIR survives only if the spherical triangle inequality
+    // allows a qualifying pair across it:
+    //   angle(u,v) ≥ angle(ca,cb) − r_a − r_b   for u∈a, v∈b
+    // so (a,b) is pruned when angle(ca,cb) − r_a − r_b > acos(τ) —
+    // no qualifying pair can be lost, for ANY cell assignment (ties in
+    // the argmax don't matter for correctness, only for pruning
+    // quality). Exact cosine then verifies inside surviving pairs only,
+    // keyed by pair id — equi-joins end to end, no cartesian (plan-
+    // guarded). On this fixture's near-uniform embeddings the loose
+    // τ=0.38 keeps most cell pairs (the honest cost of EXACT results on
+    // unclustered data); on real clustered embeddings the same plan
+    // prunes most of the K² pairs, and compute drops from n²/2 to
+    // Σ_kept |a|·|b| — the blocked-join scale route.
+    "emb_blocked_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val tau = 0.38
+      val sumAgg = udaf(new ElementwiseSum(64))
+      // Offline step 1: per-label mean vectors as cell centers
+      // (deterministic k-means stand-in, same convention as emb_ivf).
+      val centers: Array[Array[Double]] = Tables.embeddings(s, dir)
+        .selectExpr("label",
+          "transform(cast(embedding AS array<double>), x -> CAST(floor(x * 1000000) AS BIGINT)) AS e6")
+        .groupBy($"label").agg(count(lit(1)).as("n"), sumAgg($"e6").as("sums"))
+        .selectExpr("label", "transform(sums, x -> x / (n * 1e6)) AS cvec")
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2)
+      val K = centers.length
+      def cosFD(e: Array[Float], c: Array[Double]): Double = {
+        var dot = 0.0; var n1 = 0.0; var n2 = 0.0; var i = 0
+        while (i < e.length && i < c.length) {
+          dot += e(i) * c(i); n1 += e(i).toDouble * e(i); n2 += c(i) * c(i); i += 1
+        }
+        val d = math.sqrt(n1) * math.sqrt(n2)
+        if (d > 0) dot / d else -1.0
+      }
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      // Assignment: one narrow typed pass, centers ride the closure.
+      val assigned = QueryModule.spread(emb).as[(Long, Array[Float])]
+        .map { case (id, e) =>
+          var best = 0; var bestCos = -2.0; var k = 0
+          while (k < K) {
+            val cc = cosFD(e, centers(k))
+            if (cc > bestCos) { bestCos = cc; best = k }
+            k += 1
+          }
+          (id, best, bestCos, e)
+        }
+        .toDF("vec_id", "cell", "ccos", "embedding")
+        .persist()
+      // Offline step 2: per-cell angular radius — K tiny rows.
+      def ang(c: Double): Double = math.acos(math.max(-1.0, math.min(1.0, c)))
+      val radius: Map[Int, Double] = assigned.groupBy($"cell")
+        .agg(min($"ccos").as("mn")).collect()
+        .map(r => r.getInt(0) -> ang(r.getDouble(1))).toMap
+      // Offline step 3: surviving cell pairs under the triangle bound
+      // (1e-9 slack absorbs acos rounding; correctness never rides on
+      // the boundary — the exact verify inside does the real filtering).
+      val thetaTau = ang(tau)
+      val kept = for {
+        a <- 0 until K if radius.contains(a)
+        b <- a until K if radius.contains(b)
+        if ang(cosFD(centers(a).map(_.toFloat), centers(b))) -
+          radius(a) - radius(b) <= thetaTau + 1e-9
+      } yield (a.toLong * K + b, a, b)
+      val pairs = kept.toDF("pid", "pa", "pb")
+      // Candidate generation: both sides fan out over the (broadcast)
+      // pair list on THEIR cell column, then meet in an equi-join on
+      // the pair id — K² distinct keys, so the verify stage spreads
+      // over pairs, not over the (few) cells.
+      val left = assigned.select($"vec_id".as("v1"), $"cell", $"embedding".as("e1"))
+        .join(broadcast(pairs), $"cell" === $"pa")
+        .select($"pid", $"pa", $"pb", $"v1", $"e1")
+      val right = assigned.select($"vec_id".as("v2"), $"cell", $"embedding".as("e2"))
+        .join(broadcast(pairs), $"cell" === $"pb").select($"pid".as("pid2"), $"v2", $"e2")
+      left.join(right, $"pid" === $"pid2")
+        // A same-cell pair would otherwise appear mirrored (both sides
+        // fan the cell out); order by id there. A cross-cell pair
+        // appears in exactly one (pa,pb) arrangement already.
+        .where($"pa" =!= $"pb" || $"v1" < $"v2")
+        .withColumn("sim", call_function("cosine_sim", $"e1", $"e2"))
+        .where($"sim" >= tau)
+        .selectExpr("least(v1, v2) AS v1", "greatest(v1, v2) AS v2",
+          "CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6")
+        .orderBy("v1", "v2")
+    }),
+
     // Per-label centroids in fixed point: elements quantized to ints
     // (floor(x·10⁶)), summed element-wise by the custom Aggregator —
     // exact, order-independent, and only 64-long arrays cross the
@@ -294,7 +387,20 @@ object EmbeddingQueries extends QueryModule {
     })
   )
 
+  /** ONE oracle text for both the all-pairs baseline and its blocked
+    * sibling: identical SQL means the driver independently proves
+    * output equality — the blocked plan must reproduce the brute-force
+    * result bit for bit. */
+  private val CosinePairsSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |  CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000) AS BIGINT) AS sim_e6
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.38
+      |ORDER BY v1, v2""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    "emb_blocked_pairs" -> CosinePairsSql,
     "emb_norms" ->
       """SELECT label, count(*) AS n, max(len(embedding)) AS dim,
         |  CAST(sum(CAST(floor(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) * 1000000) AS BIGINT)) AS BIGINT) AS sum_norm2_e6
@@ -312,13 +418,7 @@ object EmbeddingQueries extends QueryModule {
         |SELECT qid, rank, nid, CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6
         |FROM r WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
-    "emb_cosine_pairs" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        |SELECT a.vec_id AS v1, b.vec_id AS v2,
-        |  CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000) AS BIGINT) AS sim_e6
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.38
-        |ORDER BY v1, v2""".stripMargin,
+    "emb_cosine_pairs" -> CosinePairsSql,
     "emb_centroid" ->
       """WITH q AS (SELECT label,
         |    [CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT) FOR i IN range(1, len(embedding) + 1)] AS e6

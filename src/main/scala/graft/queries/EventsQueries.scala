@@ -63,18 +63,25 @@ object EventsQueries extends QueryModule {
     // resumed run would emit next, and the oracle encodes that horizon.
     // At scale this is the incremental-ingestion shape: a checkpointed
     // AvailableNow job processes new files and exits, no resident
-    // cluster.
+    // cluster. The source is staged as 3 event-time slices consumed one
+    // micro-batch each (maxFilesPerTrigger=1, hard-asserted), so the
+    // watermark ADVANCES between batches, closing and emitting each
+    // slice's finalized windows incrementally and evicting their state
+    // — not one catch-all batch. The final watermark (and so the
+    // emitted-window set, and the oracle) is identical to a single
+    // drain: the horizon depends only on the global max event time.
     "ev_stream_hourly" -> ((s, dir) => {
       // hour_start leaves the watermark path as TIMESTAMP (watermarks
       // require it); cast back to ntz so the sink parquet's type matches
       // the batch reader's convention (UTC session ⇒ same wall clock).
-      graft.streaming.EventStreams.drainAppend(
-          graft.streaming.EventStreams.hourlyCounts(
-            graft.streaming.EventStreams.fromParquetDir(s, dir)),
-          "graft_ev_stream_")
-        .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
-          col("event_type"), col("n"))
-        .orderBy("hour_start", "event_type")
+      graft.streaming.EventStreams.withSplitEvents(s, dir, 3) { (src, nf) =>
+        graft.streaming.EventStreams.drainAppend(
+            graft.streaming.EventStreams.hourlyCounts(src),
+            "graft_ev_stream_", minBatches = nf)
+          .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
+            col("event_type"), col("n"))
+          .orderBy("hour_start", "event_type")
+      }
     }),
 
     // Sliding windows: 2-hour length, 1-hour slide — each event lands in
@@ -304,13 +311,17 @@ object EventsQueries extends QueryModule {
     // the oracle is the batch daily aggregate restricted to fully
     // watermark-closed days.
     "ev_stream_daily" -> ((s, dir) => {
-      graft.streaming.EventStreams.drainAppend(
-          graft.streaming.EventStreams.hourlyThenDaily(
-            graft.streaming.EventStreams.fromParquetDir(s, dir)),
-          "graft_ev_daily_")
-        .select(col("day").cast("timestamp_ntz").as("day"),
-          col("event_type"), col("n"))
-        .orderBy("day", "event_type")
+      // Split source (see ev_stream_hourly): the two chained stateful
+      // operators both see the watermark advance batch-by-batch — the
+      // hourly stage's emissions feed the daily stage incrementally.
+      graft.streaming.EventStreams.withSplitEvents(s, dir, 3) { (src, nf) =>
+        graft.streaming.EventStreams.drainAppend(
+            graft.streaming.EventStreams.hourlyThenDaily(src),
+            "graft_ev_daily_", minBatches = nf)
+          .select(col("day").cast("timestamp_ntz").as("day"),
+            col("event_type"), col("n"))
+          .orderBy("day", "event_type")
+      }
     }),
 
     // Fourth driver-checked streaming row: STREAM-STREAM self-join.
@@ -326,19 +337,28 @@ object EventsQueries extends QueryModule {
     "ev_stream_attrib" -> ((s, dir) => {
       import s.implicits._
       // One logical source, but the physical plan necessarily carries
-      // TWO streaming scans of the file: each join side needs its own
-      // watermark node, and a watermark is a property of a scan's
-      // lineage — inherent to any stream-stream self-join, not a
-      // missed reuse.
-      val ev = graft.streaming.EventStreams.fromParquetDir(s, dir)
-      graft.streaming.EventStreams.drainAppend(
-          graft.streaming.EventStreams.attributePurchases(
-            ev.where($"event_type" === "click"),
-            ev.where($"event_type" === "purchase")),
-          "graft_ev_attrib_")
-        .groupBy($"click_user".as("user_id"))
-        .agg(count(lit(1)).as("n_attributed"))
-        .orderBy("user_id")
+      // TWO streaming scans of the staged files: each join side needs
+      // its own watermark node, and a watermark is a property of a
+      // scan's lineage — inherent to any stream-stream self-join, not a
+      // missed reuse. Both scans list the same staged slices in the
+      // same order, so batch k holds slice k on both sides; a click
+      // whose purchase lands in a LATER slice matches cross-batch out
+      // of join state (never late: slices are time-contiguous, and the
+      // click can't have been evicted while a within-the-hour purchase
+      // is still possible — eviction needs watermark > click + 1 h,
+      // which implies any remaining match would be late itself). State
+      // for pairs the advancing watermark has passed evicts batch by
+      // batch instead of all at the end.
+      graft.streaming.EventStreams.withSplitEvents(s, dir, 3) { (ev, nf) =>
+        graft.streaming.EventStreams.drainAppend(
+            graft.streaming.EventStreams.attributePurchases(
+              ev.where($"event_type" === "click"),
+              ev.where($"event_type" === "purchase")),
+            "graft_ev_attrib_", minBatches = nf)
+          .groupBy($"click_user".as("user_id"))
+          .agg(count(lit(1)).as("n_attributed"))
+          .orderBy("user_id")
+      }
     }),
 
     // Third driver-checked streaming row: closed-session emission via
@@ -352,18 +372,29 @@ object EventsQueries extends QueryModule {
     // session per user, plus the final one iff its timeout timestamp is
     // strictly below the final watermark (Spark fires event-time
     // timeouts on timeoutTs < watermark).
+    // Split source: sessions now open in one micro-batch and extend or
+    // time out in LATER ones. A mid-run timeout can never split a
+    // session the batch oracle would join: the timeout fires only when
+    // the watermark (maxts of earlier slices − 10 min) passes
+    // lastEvent + 30 min, and every future slice's events sit at/above
+    // that maxts — so their gap to lastEvent provably exceeds 30 min
+    // and they'd start a new session anyway. The emitted set therefore
+    // equals the single-batch run's; what changes is that the
+    // timeout/eviction machinery actually runs between batches.
     "ev_stream_sessions" -> ((s, dir) => {
       import s.implicits._
-      val evs = graft.streaming.EventStreams.fromParquetDir(s, dir)
-        .selectExpr("user_id AS userId", "ts div 1000 AS tsUs",
-          "event_type AS eventType")
-        .as[graft.streaming.Ev]
-      graft.streaming.EventStreams.drainAppend(
-          graft.streaming.EventStreams.closedSessions(evs).toDF(),
-          "graft_ev_sess_")
-        .select($"userId".as("user_id"), $"startUs".as("start_us"),
-          $"endUs".as("end_us"), $"nEvents".as("n_events"))
-        .orderBy("user_id", "start_us")
+      graft.streaming.EventStreams.withSplitEvents(s, dir, 3) { (src, nf) =>
+        val evs = src
+          .selectExpr("user_id AS userId", "ts div 1000 AS tsUs",
+            "event_type AS eventType")
+          .as[graft.streaming.Ev]
+        graft.streaming.EventStreams.drainAppend(
+            graft.streaming.EventStreams.closedSessions(evs).toDF(),
+            "graft_ev_sess_", minBatches = nf)
+          .select($"userId".as("user_id"), $"startUs".as("start_us"),
+            $"endUs".as("end_us"), $"nEvents".as("n_events"))
+          .orderBy("user_id", "start_us")
+      }
     }),
 
     // Streaming face of ev_compact_latest, surfaced to the driver: the
@@ -378,15 +409,20 @@ object EventsQueries extends QueryModule {
     // regardless of how the source was micro-batched — the result is
     // batch-identical by construction, and the oracle is the SAME SQL
     // as ev_compact_latest.
+    // Split source: keys re-emit refreshed snapshots across SEVERAL
+    // micro-batches (the changelog now carries multiple generations
+    // per key), and the max-over-struct compaction is what proves the
+    // newest wins regardless of which batch emitted it.
     "ev_stream_compact" -> ((s, dir) => {
       import s.implicits._
-      val evs = graft.streaming.EventStreams.fromParquetDir(s, dir)
+      graft.streaming.EventStreams.withSplitEvents(s, dir, 3) { (src, nf) =>
+      val evs = src
         .selectExpr("user_id AS userId", "event_id AS eventId",
           "ts div 1000 AS tsUs", "event_type AS eventType", "value")
         .as[graft.streaming.EvRec]
       graft.streaming.EventStreams.drainUpdate(
           graft.streaming.EventStreams.latestState(evs).toDF(),
-          "graft_ev_cdc_")
+          "graft_ev_cdc_", minBatches = nf)
         .groupBy($"userId", $"eventType")
         .agg(max(struct($"nEvents", $"lastTsUs", $"lastEventId", $"lastValue"))
           .as("m"))
@@ -394,29 +430,36 @@ object EventsQueries extends QueryModule {
           $"m.lastEventId".as("last_event_id"), $"m.lastTsUs".as("last_ts_us"),
           $"m.lastValue".as("last_value"), $"m.nEvents".as("n_events"))
         .orderBy("user_id", "event_type")
+      }
     }),
 
-    // Streaming exactly-once dedup, driver-checked: the events scan is
-    // DOUBLED (a union of two streaming scans of the same file — the
-    // at-least-once re-delivery every ingestion pipeline must tolerate)
-    // and dropDuplicatesWithinWatermark collapses it back. State is the
-    // id set within the 1 h watermark horizon, evicted as the watermark
-    // passes — bounded on an unbounded stream where a plain
-    // dropDuplicates' state would grow forever. All re-deliveries here
-    // land inside one drain, so the result is exactly the original
-    // table: the oracle is the raw projection.
+    // Streaming exactly-once dedup, driver-checked: every source slice
+    // is staged TWICE (a byte-identical copy one file later — the
+    // at-least-once re-delivery every ingestion pipeline must
+    // tolerate), so with maxFilesPerTrigger=1 each row's re-delivery
+    // arrives in a LATER micro-batch and is dropped CROSS-BATCH: out of
+    // dedup state if its id is still inside the 1 h watermark horizon,
+    // or by the watermark's late filter if the horizon has already
+    // passed it (the re-delivered slice spans hours, so both paths
+    // run). State is the id set within the horizon, evicted as the
+    // watermark advances between batches — bounded on an unbounded
+    // stream where a plain dropDuplicates' state would grow forever.
+    // Either drop path removes exactly the duplicates, so the result is
+    // the original table: the oracle is the raw projection.
     "ev_stream_dedup" -> ((s, dir) => {
       import s.implicits._
-      def scan = graft.streaming.EventStreams.fromParquetDir(s, dir)
       // statePartitions=8, not the drain default 2: dedup state is one
       // row PER EVENT ID in the watermark horizon (~10^5 at sf0.1 — by
       // far the largest state in the suite), so its commit cost is
       // per-row, not per-partition-constant, and parallelism wins.
-      graft.streaming.EventStreams.drainAppend(
-          graft.streaming.EventStreams.dedupEvents(scan.unionAll(scan)),
-          "graft_ev_dedup_", statePartitions = 8)
-        .select($"event_id", $"user_id", $"event_type", $"value")
-        .orderBy("event_id")
+      graft.streaming.EventStreams.withSplitEvents(s, dir, 3,
+          redeliver = true) { (src, nf) =>
+        graft.streaming.EventStreams.drainAppend(
+            graft.streaming.EventStreams.dedupEvents(src),
+            "graft_ev_dedup_", statePartitions = 8, minBatches = nf)
+          .select($"event_id", $"user_id", $"event_type", $"value")
+          .orderBy("event_id")
+      }
     }),
 
     // Stream-static join, driver-checked (the third cell of the join
@@ -434,13 +477,17 @@ object EventsQueries extends QueryModule {
       val dim = Tables.customer(s, dir)
         .where($"c_custkey" % 3 === 0)
         .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
-      graft.streaming.EventStreams.drainAppend(
-          graft.streaming.EventStreams.enrichWithUsers(
-            graft.streaming.EventStreams.fromParquetDir(s, dir), dim),
-          "graft_ev_enrich_")
-        .groupBy(coalesce($"segment", lit("(unmatched)")).as("segment"))
-        .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
-        .orderBy("segment")
+      // Split source: the static dim is re-planned (and re-broadcast)
+      // against EACH micro-batch — the per-batch planning that defines
+      // a stream-static join, visible only with >1 batch.
+      graft.streaming.EventStreams.withSplitEvents(s, dir, 3) { (src, nf) =>
+        graft.streaming.EventStreams.drainAppend(
+            graft.streaming.EventStreams.enrichWithUsers(src, dim),
+            "graft_ev_enrich_", minBatches = nf)
+          .groupBy(coalesce($"segment", lit("(unmatched)")).as("segment"))
+          .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+          .orderBy("segment")
+      }
     }),
 
     // Checkpoint-resume made driver-visible: two AvailableNow drains of
@@ -466,17 +513,25 @@ object EventsQueries extends QueryModule {
     // Per user the rollup counts attributed pairs vs expired clicks.
     "ev_stream_funnel" -> ((s, dir) => {
       import s.implicits._
-      val ev = graft.streaming.EventStreams.fromParquetDir(s, dir)
-      graft.streaming.EventStreams.drainAppend(
-          graft.streaming.EventStreams.attributePurchases(
-            ev.where($"event_type" === "click"),
-            ev.where($"event_type" === "purchase"),
-            "left_outer"),
-          "graft_ev_funnel_")
-        .groupBy($"click_user".as("user_id"))
-        .agg(count($"purch_user").as("n_attributed"),
-          sum(when($"purch_user".isNull, 1L).otherwise(0L)).as("n_expired"))
-        .orderBy("user_id")
+      // Split source: expired-click null rows now emit INCREMENTALLY as
+      // the watermark passes each click's match window between batches
+      // (a single batch emits them all at the end). The emitted set is
+      // unchanged — expiry depends only on the final watermark — so the
+      // oracle is identical; what multi-batch adds is the actual
+      // interleaving of match-state insertion, cross-batch matching and
+      // watermark-driven eviction.
+      graft.streaming.EventStreams.withSplitEvents(s, dir, 3) { (ev, nf) =>
+        graft.streaming.EventStreams.drainAppend(
+            graft.streaming.EventStreams.attributePurchases(
+              ev.where($"event_type" === "click"),
+              ev.where($"event_type" === "purchase"),
+              "left_outer"),
+            "graft_ev_funnel_", minBatches = nf)
+          .groupBy($"click_user".as("user_id"))
+          .agg(count($"purch_user").as("n_attributed"),
+            sum(when($"purch_user".isNull, 1L).otherwise(0L)).as("n_expired"))
+          .orderBy("user_id")
+      }
     }),
 
     // STATEFUL checkpoint-resume, driver-checked: ev_stream_incr proves
@@ -500,24 +555,29 @@ object EventsQueries extends QueryModule {
     // emission) drained through the update-mode changelog: per-user
     // (nSessions, nEvents) snapshots appended per trigger, compacted to
     // each user's final snapshot on read-back (nEvents grows
-    // monotonically, so max-over-struct picks it). The single-file
-    // AvailableNow drain arrives time-ordered per user, so the final
-    // snapshot equals the batch gap-sessionization — same oracle family
-    // as ev_sessions.
+    // monotonically, so max-over-struct picks it). The state fold needs
+    // per-user time order ACROSS batches; the split source guarantees
+    // it by construction (slices partition the stream by event time, so
+    // each batch's rows all follow the previous batch's) — a designed
+    // invariant, not a single-batch arrival-order accident. Within a
+    // batch the fold sorts. Final snapshot therefore equals the batch
+    // gap-sessionization — same oracle family as ev_sessions.
     "ev_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
-      val evs = graft.streaming.EventStreams.fromParquetDir(s, dir)
-        .selectExpr("user_id AS userId", "ts div 1000 AS tsUs",
-          "event_type AS eventType")
-        .as[graft.streaming.Ev]
-      graft.streaming.EventStreams.drainUpdate(
-          graft.streaming.EventStreams.sessionize(evs).toDF(),
-          "graft_ev_sessz_")
-        .groupBy($"userId")
-        .agg(max(struct($"nEvents", $"nSessions")).as("m"))
-        .select($"userId".as("user_id"), $"m.nEvents".as("n_events"),
-          $"m.nSessions".as("n_sessions"))
-        .orderBy("user_id")
+      graft.streaming.EventStreams.withSplitEvents(s, dir, 3) { (src, nf) =>
+        val evs = src
+          .selectExpr("user_id AS userId", "ts div 1000 AS tsUs",
+            "event_type AS eventType")
+          .as[graft.streaming.Ev]
+        graft.streaming.EventStreams.drainUpdate(
+            graft.streaming.EventStreams.sessionize(evs).toDF(),
+            "graft_ev_sessz_", minBatches = nf)
+          .groupBy($"userId")
+          .agg(max(struct($"nEvents", $"nSessions")).as("m"))
+          .select($"userId".as("user_id"), $"m.nEvents".as("n_events"),
+            $"m.nSessions".as("n_sessions"))
+          .orderBy("user_id")
+      }
     })
   )
 
@@ -761,9 +821,14 @@ object EventsQueries extends QueryModule {
         |  FROM events)
         |WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
-    // The doubled stream deduped within the watermark IS the original
-    // table (event_id is unique in the fixture and both re-deliveries
-    // land inside one drain).
+    // The re-delivered stream deduped within the watermark IS the
+    // original table: event_id is unique in the fixture, each
+    // re-delivery arrives ONE MICRO-BATCH after its original (staged as
+    // a copied source file), and every duplicate is dropped on one of
+    // the two within-watermark paths — by dedup state if its id is
+    // still inside the 1 h horizon, or by the watermark's late-row
+    // filter if the horizon already passed it. Originals are never
+    // late (slices are time-contiguous), so nothing else is dropped.
     "ev_stream_dedup" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
@@ -785,6 +850,14 @@ object EventsQueries extends QueryModule {
     // Matched pairs emit immediately; an unmatched click emits its null
     // row only once the global watermark W (min over both sides of
     // max event ms − 1 h) passes the end of its 1 h match window.
+    // BOUNDARY ASSUMPTION (documented deliberately): the `< wm` cutoff
+    // below is STRICT, matching Spark's eviction rule today (state is
+    // evicted, and the null row emitted, only when the window end is
+    // strictly below the watermark). If a future fixture ever lands a
+    // click whose match-window end EQUALS the global watermark exactly,
+    // a strict-vs-inclusive divergence would flip that one row — if
+    // this query starts failing at a new scale factor, check this edge
+    // first.
     "ev_stream_funnel" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS cus FROM events
         |           WHERE event_type = 'click'),

@@ -397,6 +397,27 @@ object RelationalQueries extends QueryModule {
         .orderBy("p_type")
     }),
 
+    // Bucketed CO-LOCATED join, driver-checked: both sides written
+    // bucketed-by-custkey into a temp warehouse, then merge-joined with
+    // ZERO shuffle exchanges below the join (the bucket layout supplies
+    // the distribution; PlanShapeSpec asserts no Exchange in the join
+    // subtree). The write is the one-time layout cost a real deployment
+    // pays at ingest; the (tiny) aggregate result is materialized to a
+    // local relation before the temp tables are dropped, so the
+    // returned plan owns no external state. See operators.BucketedJoin.
+    "rel_bucketed_join" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_bkt_")
+      try {
+        graft.operators.BucketedJoin.writeBucketed(s, dir, wh.toString)
+        val agg = graft.operators.BucketedJoin.plan(s)
+        val rows = agg.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      } finally {
+        graft.operators.BucketedJoin.dropTables(s)
+        graft.streaming.EventStreams.deleteTree(wh)
+      }
+    }),
+
     // Cartesian product (tiny dims only — the one shape that must never
     // run on big inputs; kept to 5x5 on purpose).
     "rel_crossjoin" -> ((s, dir) => {
@@ -437,6 +458,16 @@ object RelationalQueries extends QueryModule {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+    // The plain join — identical results prove the bucketed layout
+    // round-trip (write bucketed, join co-located) is semantics-
+    // preserving; the no-shuffle property itself is asserted in
+    // PlanShapeSpec, not here.
+    "rel_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     // The plain (unsalted) join — identical results prove the salted
     // rewrite is semantics-preserving.
     "rel_salted_join" ->

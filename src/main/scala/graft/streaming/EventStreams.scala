@@ -66,6 +66,92 @@ object EventStreams {
       .parquet(s"$dir/{events.parquet}")
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
 
+  /** Multi-micro-batch form of [[fromParquetDir]]: stage the events
+    * table as `n` EVENT-TIME-CONTIGUOUS files under `tmp/src` (file k
+    * holds the k-th slice of the `ts` range, named and
+    * modification-stamped in slice order so the file source lists them
+    * deterministically oldest-first) and return a
+    * `maxFilesPerTrigger=1` streaming scan — an AvailableNow drain then
+    * runs ONE MICRO-BATCH PER FILE, so watermark advancement, state
+    * eviction and append-mode emission are exercised ACROSS batches,
+    * not inside a single catch-all batch. Because the slices partition
+    * the stream by event time, every batch's rows follow all of the
+    * previous batch's in event time: nothing ever arrives late relative
+    * to the watermark (maxts(earlier files) − delay), and cross-batch
+    * per-key arrival order is guaranteed by construction — the property
+    * stateful folds (sessionization) need, now a designed invariant of
+    * the source rather than an accident of single-batch delivery.
+    *
+    * `redeliver=true` additionally stages a byte-identical COPY of each
+    * slice file one position later (A0, A0', A1, A1', …): the file
+    * source dedups on path, not content, so every row is re-delivered
+    * in a LATER micro-batch — the at-least-once retry shape that makes
+    * a cross-batch exactly-once dedup test honest. A re-delivered row
+    * lands when the watermark is maxts(its own slice) − delay, so rows
+    * from the slice's last `delay` are dropped by dedup STATE (still in
+    * the horizon) and older ones by the watermark's late filter —
+    * either way dropped, which is exactly the within-watermark
+    * guarantee.
+    *
+    * Returns the scan plus the number of staged files (= the data-batch
+    * count a drain must observe; a slice that happens to be empty is
+    * not staged). */
+  def splitEventsSource(spark: SparkSession, dir: String,
+      tmp: java.nio.file.Path, n: Int,
+      redeliver: Boolean = false): (DataFrame, Int) = {
+    import java.nio.file.Files
+    val src = Files.createDirectories(tmp.resolve("src"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val b = raw.agg(min(col("ts")), max(col("ts"))).head()
+    val (tmin, tmax) = (b.getLong(0), b.getLong(1))
+    val span = math.max(tmax - tmin + 1, n.toLong)
+    var staged = 0
+    var k = 0
+    while (k < n) {
+      val lo = tmin + span * k / n
+      val hi = tmin + span * (k + 1) / n
+      val slice = raw.where(col("ts") >= lo && col("ts") < hi)
+      val name = f"part-${staged}%03d.parquet"
+      if (stageSourceFile(tmp, src, slice, name) > 0) {
+        stampOrder(src.resolve(name), staged)
+        staged += 1
+        if (redeliver) {
+          val dup = f"part-${staged}%03d.parquet"
+          Files.copy(src.resolve(name), src.resolve(dup))
+          stampOrder(src.resolve(dup), staged)
+          staged += 1
+        }
+      } else Files.deleteIfExists(src.resolve(name))
+      k += 1
+    }
+    val scan = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    (scan, staged)
+  }
+
+  /** Scoped [[splitEventsSource]]: stage under a fresh temp dir, hand
+    * `(scan, nFiles)` to `f`, and delete the staging tree afterwards —
+    * safe because every drain materializes its result to a LOCAL
+    * relation before returning (loadAndClean). */
+  def withSplitEvents[T](spark: SparkSession, dir: String, n: Int,
+      redeliver: Boolean = false)(f: (DataFrame, Int) => T): T = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ev_split_")
+    try {
+      val (scan, staged) = splitEventsSource(spark, dir, tmp, n, redeliver)
+      f(scan, staged)
+    } finally deleteTree(tmp)
+  }
+
+  /** The file source processes oldest-modification-time first: stamp
+    * each staged file with a distinct, strictly increasing mtime so the
+    * micro-batch order IS the slice order on any filesystem (write
+    * order alone could tie within mtime granularity). */
+  private def stampOrder(p: java.nio.file.Path, seq: Int): Unit =
+    java.nio.file.Files.setLastModifiedTime(
+      p, java.nio.file.attribute.FileTime.fromMillis(1000000000L + seq * 1000L))
+
   /** Tumbling hourly counts per event type, watermarked so state for
     * windows older than 2 h is dropped — the property that bounds state
     * size on an unbounded stream. */
@@ -291,10 +377,10 @@ object EventStreams {
         .select(col("event_id"), col("user_id"), col("event_type"))
       def drain(): Long = checkpointedDrain(spark, stream, tmp)
       val nEven = stageSourceFile(tmp, src,
-        raw.where(col("event_id") % 2 === 0), "even")
+        raw.where(col("event_id") % 2 === 0), "even.parquet")
       val got1 = drain()
       val nOdd = stageSourceFile(tmp, src,
-        raw.where(col("event_id") % 2 === 1), "odd")
+        raw.where(col("event_id") % 2 === 1), "odd.parquet")
       val got2 = drain()
       assertIncremental(got1, nEven, got2, nOdd)
       loadAndClean(spark, tmp, stream.schema)
@@ -334,9 +420,9 @@ object EventStreams {
       spark.conf.set("spark.sql.shuffle.partitions", "2")
       val (got1, n1, got2, n2) =
         try {
-          val n1 = stageSourceFile(tmp, src, raw.where(col("ts") < cut), "t0")
+          val n1 = stageSourceFile(tmp, src, raw.where(col("ts") < cut), "t0.parquet")
           val got1 = checkpointedDrain(spark, agg, tmp)
-          val n2 = stageSourceFile(tmp, src, raw.where(col("ts") >= cut), "t1")
+          val n2 = stageSourceFile(tmp, src, raw.where(col("ts") >= cut), "t1.parquet")
           val got2 = checkpointedDrain(spark, agg, tmp)
           (got1, n1, got2, n2)
         } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -345,38 +431,98 @@ object EventStreams {
     } catch { case e: Throwable => deleteTree(tmp); throw e }
   }
 
-  /** Stage a batch half through a one-file write, then move the part
-    * file into the flat source dir the stream lists; returns its row
-    * count. */
+  /** Stage a batch slice through a one-file write, then move the part
+    * file into the flat source dir the stream lists as `fileName`;
+    * returns its row count. */
   private def stageSourceFile(tmp: java.nio.file.Path, src: java.nio.file.Path,
-      half: DataFrame, name: String): Long = {
+      half: DataFrame, fileName: String): Long = {
     import java.nio.file.Files
-    val stage = tmp.resolve(s"stage_$name")
+    val stage = tmp.resolve(s"stage_$fileName")
     half.coalesce(1).write.parquet(stage.toString)
     val listing = Files.list(stage)
     val part =
       try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
       finally listing.close()
-    Files.move(part, src.resolve(s"$name.parquet"))
+    Files.move(part, src.resolve(fileName))
     deleteTree(stage)
     half.count()
   }
 
   /** One AvailableNow run of `df` into `$tmp/out` against the PERSISTENT
     * checkpoint `$tmp/ckpt` (shared across calls — that is the point);
-    * returns the run's total input-row count from the progress API. */
+    * returns the run's total input-row count. */
   private def checkpointedDrain(spark: SparkSession, df: DataFrame,
-      tmp: java.nio.file.Path): Long = {
-    val q = df.writeStream
-      .format("parquet")
-      .option("path", s"$tmp/out")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode(OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(600000L)) q.stop()
-    q.recentProgress.map(_.numInputRows).sum
+      tmp: java.nio.file.Path): Long =
+    awaitCounted(spark,
+      df.writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())._1
+
+  /** Per-run progress accumulator. Counting via a listener — NOT
+    * `q.recentProgress` — because the retained progress array is capped
+    * by `spark.sql.streaming.numRecentProgressUpdates` (default 100): a
+    * drain exceeding 100 micro-batches would silently undercount its
+    * input rows there and fail the incrementality asserts spuriously.
+    * Keyed by runId so concurrent queries on the session can't
+    * cross-contaminate counts. */
+  private final class DrainCounter
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val rows = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    val dataBatches = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Integer]()
+    val terminated = java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val n = e.progress.numInputRows
+      rows.merge(e.progress.runId, java.lang.Long.valueOf(n), (a, b) =>
+        java.lang.Long.valueOf(a.longValue + b.longValue))
+      if (n > 0)
+        dataBatches.merge(e.progress.runId, java.lang.Integer.valueOf(1), (a, b) =>
+          java.lang.Integer.valueOf(a.intValue + b.intValue))
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+      terminated.add(e.runId); ()
+    }
   }
+
+  /** Block until the (AvailableNow) query self-terminates and return
+    * `(totalInputRows, dataBatches)` — micro-batches that actually read
+    * rows, i.e. excluding the trailing no-data batch the engine runs to
+    * emit what the final watermark closed. Listener events are async:
+    * after `awaitTermination` the method waits for the run's terminated
+    * event so every progress update has been delivered before the
+    * counts are read. */
+  private def awaitCounted(spark: SparkSession,
+      start: => org.apache.spark.sql.streaming.StreamingQuery): (Long, Int) = {
+    val counter = new DrainCounter
+    spark.streams.addListener(counter)
+    try {
+      val q = start
+      if (!q.awaitTermination(600000L)) q.stop()
+      val run = q.runId
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!counter.terminated.contains(run) && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      (Option(counter.rows.get(run)).map(_.longValue).getOrElse(0L),
+        Option(counter.dataBatches.get(run)).map(_.intValue).getOrElse(0))
+    } finally spark.streams.removeListener(counter)
+  }
+
+  /** Hard multi-batch witness: a drain whose source was staged as N
+    * files with `maxFilesPerTrigger=1` MUST have read them in N
+    * separate micro-batches — if it didn't, the cross-batch claims
+    * (watermark advancement, state eviction, checkpoint resume) were
+    * not actually exercised, and the row must fail loudly rather than
+    * pass on single-batch luck. */
+  private def assertBatches(got: Int, want: Int): Unit =
+    if (want > 0 && got < want)
+      throw new IllegalStateException(
+        s"drain ran $got data micro-batch(es), expected >= $want — " +
+          "the split source was not consumed incrementally")
 
   private def assertIncremental(
       got1: Long, want1: Long, got2: Long, want2: Long): Unit =
@@ -408,27 +554,41 @@ object EventStreams {
     * on a real cluster pass the session's own setting — state
     * parallelism should match executor cores there. The override is
     * restored after the drain; a checkpoint pins its partition count in
-    * its own metadata, so resuming is unaffected by the restore. */
-  def drainAppend(df: DataFrame, tag: String, statePartitions: Int = 2): DataFrame = {
+    * its own metadata, so resuming is unaffected by the restore.
+    *
+    * SEQUENTIAL-ONLY assumption: the shuffle-partition override is a
+    * session-global conf — any query PLANNED on the same SparkSession
+    * while a drain is in flight would silently plan with the reduced
+    * count. Verify and Bench run queries strictly one at a time, which
+    * is what makes this safe; a caller that parallelizes queries must
+    * give each drain its own SparkSession (`spark.newSession()` shares
+    * the context but isolates the conf) or drop the override.
+    *
+    * `minBatches > 0` hard-asserts the drain consumed at least that
+    * many DATA micro-batches (pair with [[splitEventsSource]]'s staged
+    * file count) — the witness that cross-batch semantics were really
+    * exercised. The AvailableNow wait cap only exists so a wedged state
+    * store can never hang the caller's whole correctness run — on
+    * expiry the query is stopped and whatever the sink holds is
+    * returned (a partial result fails the oracle compare loudly instead
+    * of blocking it silently). */
+  def drainAppend(df: DataFrame, tag: String, statePartitions: Int = 2,
+      minBatches: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val tmp = java.nio.file.Files.createTempDirectory(tag)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
-      val q = df.writeStream
-        .format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode(OutputMode.Append)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      // AvailableNow self-terminates in seconds here; the cap only
-      // exists so a wedged state store can never hang the caller's
-      // whole correctness run — on expiry the query is stopped and
-      // whatever the sink holds is returned (a partial result fails the
-      // oracle compare loudly instead of blocking it silently).
-      if (!q.awaitTermination(600000L)) q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val batches =
+      try awaitCounted(spark,
+        df.writeStream
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode(OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())._2
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assertBatches(batches, minBatches)
     loadAndClean(spark, tmp, df.schema)
   }
 
@@ -438,24 +598,27 @@ object EventStreams {
     * changelog-to-files pattern — and the caller compacts the read-back
     * changelog to its final row per key (each key's emissions carry a
     * monotonically growing counter, so max-over-struct picks the
-    * newest). Same reduced state-partition override, capped wait and
-    * temp-tree cleanup as drainAppend. */
-  def drainUpdate(df: DataFrame, tag: String, statePartitions: Int = 2): DataFrame = {
+    * newest). Same reduced state-partition override (and the same
+    * SEQUENTIAL-ONLY assumption — see drainAppend), capped wait,
+    * `minBatches` witness and temp-tree cleanup as drainAppend. */
+  def drainUpdate(df: DataFrame, tag: String, statePartitions: Int = 2,
+      minBatches: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val tmp = java.nio.file.Files.createTempDirectory(tag)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
-      val q = df.writeStream
-        .outputMode(OutputMode.Update)
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.write.mode("append").parquet(s"$tmp/out"); ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      if (!q.awaitTermination(600000L)) q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val batches =
+      try awaitCounted(spark,
+        df.writeStream
+          .outputMode(OutputMode.Update)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("append").parquet(s"$tmp/out"); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())._2
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assertBatches(batches, minBatches)
     loadAndClean(spark, tmp, df.schema)
   }
 

@@ -80,6 +80,49 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("blocked cosine pair join is equi-keyed end to end — no cartesian") {
+    val p = plan("emb_blocked_pairs")
+    // The whole point vs emb_cosine_pairs: candidate generation rides
+    // broadcast-hash fan-outs and the verify stage an equi-join on the
+    // cell-pair id — a CartesianProduct or BNLJ here means the blocked
+    // structure regressed to all-pairs.
+    assert(!p.contains("CartesianProduct"), "blocked join degenerated to a cross join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "blocked join degenerated to BNLJ")
+    assert(p.contains("pid"), "verify join lost its pair-id key")
+  }
+
+  test("bucketed join runs with zero shuffle exchanges below the join") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val wh = java.nio.file.Files.createTempDirectory("graft_bkt_spec_")
+    try {
+      graft.operators.BucketedJoin.writeBucketed(spark, sf001, wh.toString)
+      val df = graft.operators.BucketedJoin.plan(spark)
+      val physical = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val smjs = physical.collect { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, s"expected a SortMergeJoin:\n$physical")
+      // The co-location claim: NO exchange anywhere under the join —
+      // both bucketed scans feed it directly. (The rollup above the
+      // join still shuffles on its own key, which is fine.)
+      smjs.foreach { j =>
+        val shuffles = j.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.isEmpty,
+          s"bucketed join still shuffles below the join:\n$j")
+      }
+      // And the layout is semantics-preserving: same rowcount as the
+      // plain join.
+      assert(df.collect().map(_.getLong(1)).sum ==
+        graft.sources.Tables.orders(spark, sf001).count())
+    } finally {
+      graft.operators.BucketedJoin.dropTables(spark)
+      graft.streaming.EventStreams.deleteTree(wh)
+    }
+  }
+
   test("q4 EXISTS lowers to a semi-join; q21 keeps the semi+anti self-join pair") {
     val p4 = plan("tpch_q4")
     assert(p4.contains("LeftSemi"), "q4 EXISTS did not lower to a semi-join")
