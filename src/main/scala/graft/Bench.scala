@@ -127,6 +127,55 @@ object Bench {
     // reading a breakage as a speedup.
     val errors = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Mechanical noise separation: BENCH_LOCAL.json carries a per-query
+    // MIN-EVER floor (the best timing any past run of this code family
+    // recorded on this host). Queries running >1.5x their floor this
+    // round are reported under "floor_delta" — so a reader can tell a
+    // noisy-host window (many queries above floor, floors unchanged)
+    // from a real regression (one query's floor itself moved up after a
+    // code change) without cross-round narrative. Floors only ratchet
+    // DOWN; delete BENCH_LOCAL.json to reset after an intentional
+    // slowdown (e.g. a query made strictly heavier on purpose).
+    val prevFloor: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper
+          val root = om.readTree(java.nio.file.Files.readAllBytes(p))
+          val node = if (root.has("floor")) root.get("floor") else root.get("min")
+          // Floors are per scale factor: a record from a different SF
+          // (a dev run at sf0.01, say) must not seed the sf0.1 floors.
+          if (node == null ||
+              (root.has("sf") && root.get("sf").asText() != sfDir)) Map.empty
+          else {
+            val b = Map.newBuilder[String, Double]
+            val it = node.properties().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+            }
+            b.result()
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] floor load failed: ${e.getMessage}")
+          Map.empty
+      }
+    val floor: Map[String, Double] = results.collect {
+      case (name, v) if v >= 0 =>
+        name -> prevFloor.get(name).fold(v)(math.min(_, v))
+    }.toMap
+    // >1.5x floor and above 50 ms absolute — sub-50 ms timings are
+    // scheduler jitter, not signal.
+    val floorDelta = results.collect {
+      case (name, v)
+          if v >= 0 && floor.get(name).exists(f => f > 0.05 && v > 1.5 * f) =>
+        name -> v / floor(name)
+    }.sortBy(-_._2)
+    val floorDeltaJson = floorDelta
+      .map { case (k, r) => "\"" + k + "\":" + fmt(r) }.mkString("{", ",", "}")
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val tiebreakJson = divergent.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Streaming subtotal, reported separately: each ev_stream_* drain
@@ -151,7 +200,7 @@ object Bench {
           val fsum = folded.map(_._2).sum // all ≥ 0: failures sort last, never fold
           s""""fast_other":{"n":${folded.size},"sum":${fmt(fsum)}},"""
         }
-      s"""{${foldJson}"queries":$keptJson,"sf":"$sfDir","passes":${if (divergent.nonEmpty) 3 else 2},"tiebreak":$tiebreakJson,"flaky":$flakyJson,"errors":$errors,"streaming":$streamingJson,"metric":"total","unit":"sec","value":${fmt(total)}}"""
+      s"""{${foldJson}"queries":$keptJson,"sf":"$sfDir","passes":${if (divergent.nonEmpty) 3 else 2},"tiebreak":$tiebreakJson,"flaky":$flakyJson,"floor_delta":$floorDeltaJson,"errors":$errors,"streaming":$streamingJson,"metric":"total","unit":"sec","value":${fmt(total)}}"""
     }
     // If the line would overflow the ~2000-char tail window anyway,
     // fold just enough of the CHEAPEST queries into one "fast_other"
@@ -169,7 +218,7 @@ object Bench {
       full ++= s"""{"sf":"$sfDir","total":$total,"errors":$errors,"flaky":$flakyJson,"""
       def sweepJson(p: Seq[(String, Double)]): String =
         p.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      full ++= s""""min":${sweepJson(results)},"sweep1":${sweepJson(p1)},"sweep2":${sweepJson(p2)},"sweep3":${sweepJson(p3.toSeq.sortBy(_._1))}}"""
+      full ++= s""""min":${sweepJson(results)},"floor":${sweepJson(floor.toSeq.sortBy(_._1))},"floor_delta":$floorDeltaJson,"sweep1":${sweepJson(p1)},"sweep2":${sweepJson(p2)},"sweep3":${sweepJson(p3.toSeq.sortBy(_._1))}}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         full.toString.getBytes("UTF-8"))

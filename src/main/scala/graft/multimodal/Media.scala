@@ -187,6 +187,67 @@ object MediaCodec {
       .getAttribute("delayTime").toInt
   }
 
+  /** The transcoded container BYTES for a payload — what a real
+    * deployment would already have on disk. Exposed so the ingest
+    * fixture (mm_ingest) can write actual .png/.wav/.gif FILES and
+    * close the loop: file → binaryFile scan → [[parseContainer]], with
+    * no transcode anywhere on the read path. */
+  def containerFor(m: MediaFile): Array[Byte] = {
+    val (w, h) = genDims(m.payload.length.toLong)
+    m.mediaType match {
+      case "image" => pngFor(m.payload, w, h)
+      case "audio" => wavFor(m.payload)
+      case _       => gifFor(m.payload, w, h)
+    }
+  }
+
+  /** Canonical file extension per modality. */
+  def extensionFor(mediaType: String): String = mediaType match {
+    case "image" => "png"
+    case "audio" => "wav"
+    case _       => "gif"
+  }
+
+  /** Parse REAL container bytes (e.g. read from disk through Spark's
+    * `binaryFile` source) with format sniffed from the magic number —
+    * no payload, no transcode, no generator arithmetic anywhere on this
+    * path; every returned value comes out of the JRE parser. Returns
+    * (containerMagic, width, height, channels, nFrames, durationMs);
+    * audio reports its PCM frame count as nFrames and no dimensions.
+    * Unknown magic throws — a real ingest routes that to quarantine. */
+  def parseContainer(bytes: Array[Byte]): (String, Int, Int, Int, Long, Long) = {
+    def magicIs(s: String, off: Int): Boolean =
+      bytes.length >= off + s.length &&
+        s.indices.forall(i => (bytes(off + i) & 0xff) == s.charAt(i).toInt)
+    if (magicIs("PNG", 1)) {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, "undecodable PNG")
+      ("PNG", img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents, 1L, 0L)
+    } else if (magicIs("RIFF", 0)) {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        ("RIFF", 0, 0, fmt.getChannels, ais.getFrameLength,
+          ais.getFrameLength * 1000L / fmt.getSampleRate.toLong)
+      } finally ais.close()
+    } else if (magicIs("GIF8", 0)) {
+      val rd = ImageIO.getImageReadersByFormatName("gif").next()
+      rd.setInput(ImageIO.createImageInputStream(new ByteArrayInputStream(bytes)))
+      try {
+        val nf = rd.getNumImages(true)
+        val f0 = rd.read(0)
+        var durCs = 0L
+        var i = 0
+        while (i < nf) { durCs += frameDelayCs(rd, i); i += 1 }
+        ("GIF8", f0.getWidth, f0.getHeight,
+          f0.getColorModel.getNumComponents, nf.toLong, durCs * 10L)
+      } finally rd.dispose()
+    } else throw new IllegalArgumentException(
+      s"unknown container magic: ${bytes.take(4).map(b => f"${b & 0xff}%02x").mkString}")
+  }
+
   def decode(m: MediaFile): MediaMeta = {
     val len = m.payload.length.toLong
     m.mediaType match {

@@ -109,6 +109,57 @@ object MultimodalQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // END-TO-END file ingestion: the decode inputs here are ACTUAL
+    // .png/.wav/.gif FILES on disk, read back through Spark's
+    // `binaryFile` source and parsed by magic number — no transcode
+    // anywhere on the read path, closing the "payloads are synthesized
+    // in memory" caveat of the other mm queries. The fixture-prep step
+    // (writing 60 real container files to a temp dir) is the harness
+    // stand-in for the object store a production corpus already lives
+    // in; it is driver-side and bounded by design. The QUERY path —
+    // distributed binaryFile scan, filename→key extraction, per-row
+    // magic-sniffed JRE parse — is exactly the production shape. Every
+    // reported value (dims, channels, frame counts, duration) comes
+    // out of the real parser over real file bytes; the oracle predicts
+    // them from the generators.
+    "mm_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mm_ingest_")
+      try {
+        Tables.documents(s, dir).select($"doc_id", $"text")
+          .where($"doc_id" < 60).collect().foreach { r =>
+            val id = r.getLong(0)
+            val mt = (id % 3) match {
+              case 0 => "image"; case 1 => "audio"; case _ => "video"
+            }
+            val payload = r.getString(1).getBytes("UTF-8")
+            java.nio.file.Files.write(
+              tmp.resolve(s"doc$id.${MediaCodec.extensionFor(mt)}"),
+              MediaCodec.containerFor(MediaFile(id, mt, payload)))
+          }
+        val parsed = s.read.format("binaryFile").load(tmp.toString)
+          .select(
+            regexp_extract($"path", "doc(\\d+)\\.", 1).cast("long").as("doc_id"),
+            regexp_extract($"path", "\\.([a-z]+)$", 1).as("ext"),
+            $"content")
+          .as[(Long, String, Array[Byte])]
+          .map { case (id, ext, bytes) =>
+            val mt = ext match {
+              case "png" => "image"; case "wav" => "audio"; case _ => "video"
+            }
+            val (magic, w, h, ch, nf, durMs) = MediaCodec.parseContainer(bytes)
+            (id, mt, magic, w, h, ch, nf, durMs)
+          }
+          .toDF("doc_id", "media_type", "container", "width", "height",
+            "channels", "n_frames", "duration_ms")
+          .orderBy("doc_id")
+        // Materialize before the temp files vanish: the returned plan
+        // must own no on-disk state (Verify/Bench re-run it freely).
+        val rows = parsed.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), parsed.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // Batched processing shape: KeyValueGroupedDataset.mapGroups over an
     // explicit integer bucket — the pattern a batch-decode API (GPU
     // inference, micro-batched codec calls) hangs off.
@@ -170,6 +221,10 @@ object MultimodalQueries extends QueryModule {
     // the same (blen%100)+1 cs delay; the first pixel of frame i is the
     // payload byte at offset i (the row is the payload rotated by i),
     // which for the ASCII fixture is ascii(substr(text, i+1, 1)).
+    // Empty-doc guard (greatest(blen,1) + coalesce): an empty payload
+    // encodes as one all-zero frame (the raster loop never writes), so
+    // px0 must degrade to 0 — NOT to the NULL a bare `i % 0` yields in
+    // DuckDB — if the fixture ever gains an empty video doc.
     "mm_frames" ->
       """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS blen
         |           FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
@@ -181,7 +236,7 @@ object MultimodalQueries extends QueryModule {
         |SELECT doc_id, i.i AS frame_idx, w AS frame_w,
         |  CASE WHEN i.i = 0 THEN h ELSE 1 END AS frame_h,
         |  delay_cs,
-        |  ascii(substr(text, CAST(i.i % blen AS INT) + 1, 1)) AS px0
+        |  coalesce(ascii(substr(text, CAST(i.i % greatest(blen, 1) AS INT) + 1, 1)), 0) AS px0
         |FROM f, range(0, 5) i(i)
         |WHERE i.i < nf
         |ORDER BY doc_id, frame_idx""".stripMargin,
@@ -196,6 +251,33 @@ object MultimodalQueries extends QueryModule {
         |  CAST(width * 256 // greatest(width, height) AS INT) AS out_w,
         |  CAST(height * 256 // greatest(width, height) AS INT) AS out_h
         |FROM d
+        |ORDER BY doc_id""".stripMargin,
+    // Predicts what the real parsers read back out of the real files:
+    // container magic per modality, the generator dims (PNG logical
+    // size / GIF logical screen), PCM frame count = blen div 2 (odd
+    // trailing byte dropped by the WAV transcode), GIF frame count and
+    // GCE timing. n_frames promotes to BIGINT (the audio branch is a
+    // division) — the Spark side emits long to match.
+    "mm_ingest" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    octet_length(encode(text)) AS blen
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT doc_id, media_type,
+        |  CASE media_type WHEN 'image' THEN 'PNG' WHEN 'audio' THEN 'RIFF' ELSE 'GIF8' END AS container,
+        |  CASE media_type WHEN 'audio' THEN 0
+        |    ELSE CAST(64 + blen % 577 AS INT) END AS width,
+        |  CASE media_type WHEN 'audio' THEN 0
+        |    ELSE CAST(64 + (blen * 31) % 449 AS INT) END AS height,
+        |  CASE media_type WHEN 'video' THEN 3 ELSE 1 END AS channels,
+        |  CASE media_type WHEN 'image' THEN 1
+        |    WHEN 'audio' THEN blen // 2
+        |    ELSE least(5, blen // 100 + 1) END AS n_frames,
+        |  CASE media_type WHEN 'image' THEN 0
+        |    WHEN 'audio' THEN (blen // 2) * 1000 // 8000
+        |    ELSE least(5, blen // 100 + 1) * ((blen % 100) + 1) * 10
+        |    END AS duration_ms
+        |FROM m
         |ORDER BY doc_id""".stripMargin,
     "mm_batch_stats" ->
       """SELECT doc_id % 4 AS bucket, count(*) AS n,

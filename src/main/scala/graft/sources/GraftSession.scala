@@ -43,7 +43,17 @@ object GraftSession {
     * directory, not a jar, so local-cluster dev smoke runs must ship it
     * to executor JVMs explicitly). Derived from the loaded class's own
     * code source so the path tracks wherever the repo is checked out;
-    * `SPARK_GRAFT_CLASSPATH` overrides for exotic layouts. */
-  def classesDir: String = sys.env.getOrElse("SPARK_GRAFT_CLASSPATH",
-    GraftSession.getClass.getProtectionDomain.getCodeSource.getLocation.getPath)
+    * `SPARK_GRAFT_CLASSPATH` overrides for exotic layouts — and is
+    * REQUIRED under a classloader that reports no code source (some
+    * app-container loaders return null there). Resolution goes through
+    * `toURI`/`Paths.get`, not `URL.getPath`, so a checkout path with
+    * spaces (percent-encoded in the URL) still yields a usable
+    * filesystem path. */
+  def classesDir: String = sys.env.get("SPARK_GRAFT_CLASSPATH")
+    .orElse(
+      Option(GraftSession.getClass.getProtectionDomain.getCodeSource)
+        .map(cs => java.nio.file.Paths.get(cs.getLocation.toURI).toString))
+    .getOrElse(throw new IllegalStateException(
+      "cannot locate the graft classes directory: the classloader " +
+        "reports no code source — set SPARK_GRAFT_CLASSPATH explicitly"))
 }

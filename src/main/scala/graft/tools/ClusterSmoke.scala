@@ -34,12 +34,20 @@ object ClusterSmoke {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sf = args.headOption.filterNot(_ == "--all")
+    val sf = args.headOption.filterNot(a => a == "--all" || a == "--batches")
       .getOrElse("/root/testdata/sf0.001")
     // Default: a representative slice. `--all` runs the full query
     // surface distributed — the heavyweight pre-round check.
+    // `--batches` runs the whole streaming matrix: every drain is
+    // multi-micro-batch (split source, maxFilesPerTrigger=1) with a
+    // hard data-batch-count assert, so this slice proves cross-batch
+    // watermark/state semantics hold when the micro-batches execute on
+    // SEPARATE executor JVMs (state store, checkpoint IO and the
+    // listener-counted progress all crossing process boundaries).
     val slice =
       if (args.contains("--all")) graft.SparkEntry.queries.keys.toSeq.sorted
+      else if (args.contains("--batches"))
+        graft.SparkEntry.queries.keys.filter(_.startsWith("ev_stream")).toSeq.sorted
       else Seq("mr_wordcount", "mm_metadata", "emb_knn",
         "dedup_ngram_jaccard", "ev_stream_hourly")
     var failures = 0
