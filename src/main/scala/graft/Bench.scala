@@ -134,8 +134,16 @@ object Bench {
     // noisy-host window (many queries above floor, floors unchanged)
     // from a real regression (one query's floor itself moved up after a
     // code change) without cross-round narrative. Floors only ratchet
-    // DOWN; delete BENCH_LOCAL.json to reset after an intentional
-    // slowdown (e.g. a query made strictly heavier on purpose).
+    // DOWN — with one policy exception: when a query's MACHINERY is
+    // redesigned (e.g. a drain made multi-batch on purpose), its old
+    // floor measures a different computation and must be RESET, or
+    // floor_delta cries wolf on that query forever. Reset is explicit:
+    // SPARK_GRAFT_FLOOR_RESET=name1,name2 (or "all") drops those
+    // queries' recorded floors before this round's merge, so they
+    // re-seed from this round's honest timings. Policy: reset exactly
+    // the queries whose round diff deliberately changed what they
+    // compute or how much work the harness makes them do — never to
+    // hide an unintentional regression.
     val prevFloor: Map[String, Double] =
       try {
         val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
@@ -163,15 +171,24 @@ object Bench {
           System.err.println(s"[bench] floor load failed: ${e.getMessage}")
           Map.empty
       }
-    val floor: Map[String, Double] = results.collect {
+    val resetSpec = sys.env.getOrElse("SPARK_GRAFT_FLOOR_RESET", "")
+    val seedFloor: Map[String, Double] =
+      if (resetSpec.trim == "all") Map.empty
+      else prevFloor -- resetSpec.split(',').map(_.trim).filter(_.nonEmpty)
+    // MERGE into the carried floors, never replace: a query that errors
+    // this round (or a run over a subset) must not silently lose its
+    // historical min-ever — only an explicit reset may drop a floor.
+    val floor: Map[String, Double] = seedFloor ++ results.collect {
       case (name, v) if v >= 0 =>
-        name -> prevFloor.get(name).fold(v)(math.min(_, v))
-    }.toMap
-    // >1.5x floor and above 50 ms absolute — sub-50 ms timings are
-    // scheduler jitter, not signal.
+        name -> seedFloor.get(name).fold(v)(math.min(_, v))
+    }
+    // >1.5x floor, and BOTH the floor and the current value above the
+    // 50/75 ms jitter bars — sub-50 ms timings are scheduler jitter,
+    // not signal, but a formerly-fast query regressing to hundreds of
+    // ms must still surface (hence the check on v, not just f).
     val floorDelta = results.collect {
       case (name, v)
-          if v >= 0 && floor.get(name).exists(f => f > 0.05 && v > 1.5 * f) =>
+          if v >= 0.075 && floor.get(name).exists(f => f > 0.05 && v > 1.5 * f) =>
         name -> v / floor(name)
     }.sortBy(-_._2)
     val floorDeltaJson = floorDelta

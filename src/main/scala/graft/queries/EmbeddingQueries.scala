@@ -113,6 +113,18 @@ object EmbeddingQueries extends QueryModule {
         val d = math.sqrt(n1) * math.sqrt(n2)
         if (d > 0) dot / d else -1.0
       }
+      // Pure-double cosine for the center-center pruning bound: routing
+      // one center through cosFD would truncate it to Float, perturbing
+      // the cosine by ~1e-7 — amplified by acos near ±1, which exceeds a
+      // 1e-9 slack and could (flakily) lose a boundary cell pair.
+      def cosDD(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var n1 = 0.0; var n2 = 0.0; var i = 0
+        while (i < a.length && i < b.length) {
+          dot += a(i) * b(i); n1 += a(i) * a(i); n2 += b(i) * b(i); i += 1
+        }
+        val d = math.sqrt(n1) * math.sqrt(n2)
+        if (d > 0) dot / d else -1.0
+      }
       val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
       // Assignment: one narrow typed pass, centers ride the closure.
       val assigned = QueryModule.spread(emb).as[(Long, Array[Float])]
@@ -132,15 +144,18 @@ object EmbeddingQueries extends QueryModule {
       val radius: Map[Int, Double] = assigned.groupBy($"cell")
         .agg(min($"ccos").as("mn")).collect()
         .map(r => r.getInt(0) -> ang(r.getDouble(1))).toMap
-      // Offline step 3: surviving cell pairs under the triangle bound
-      // (1e-9 slack absorbs acos rounding; correctness never rides on
-      // the boundary — the exact verify inside does the real filtering).
+      // Offline step 3: surviving cell pairs under the triangle bound.
+      // Center-center angle computed in pure double (cosDD); the 1e-6
+      // slack absorbs acos rounding with margin — pruning slack only
+      // KEEPS extra pairs, so widening is always safe, and correctness
+      // never rides on the boundary: the exact verify inside does the
+      // real filtering.
       val thetaTau = ang(tau)
       val kept = for {
         a <- 0 until K if radius.contains(a)
         b <- a until K if radius.contains(b)
-        if ang(cosFD(centers(a).map(_.toFloat), centers(b))) -
-          radius(a) - radius(b) <= thetaTau + 1e-9
+        if ang(cosDD(centers(a), centers(b))) -
+          radius(a) - radius(b) <= thetaTau + 1e-6
       } yield (a.toLong * K + b, a, b)
       val pairs = kept.toDF("pid", "pa", "pb")
       // Candidate generation: both sides fan out over the (broadcast)

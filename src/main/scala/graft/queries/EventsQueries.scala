@@ -452,11 +452,18 @@ object EventsQueries extends QueryModule {
       // row PER EVENT ID in the watermark horizon (~10^5 at sf0.1 — by
       // far the largest state in the suite), so its commit cost is
       // per-row, not per-partition-constant, and parallelism wins.
+      // rocksdb=true for the same reason: this is the suite's one
+      // DATA-SIZED state row — exactly the shape that outgrows the
+      // default heap-backed store first at 100 TB — so it runs on the
+      // at-scale provider (off-heap RocksDB state, changelog-style
+      // commits) and the driver's oracle proves the provider swap is
+      // semantics-preserving.
       graft.streaming.EventStreams.withSplitEvents(s, dir, 3,
           redeliver = true) { (src, nf) =>
         graft.streaming.EventStreams.drainAppend(
             graft.streaming.EventStreams.dedupEvents(src),
-            "graft_ev_dedup_", statePartitions = 8, minBatches = nf)
+            "graft_ev_dedup_", statePartitions = 8, minBatches = nf,
+            rocksdb = true)
           .select($"event_id", $"user_id", $"event_type", $"value")
           .orderBy("event_id")
       }

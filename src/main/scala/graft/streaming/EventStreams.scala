@@ -137,7 +137,7 @@ object EventStreams {
     * relation before returning (loadAndClean). */
   def withSplitEvents[T](spark: SparkSession, dir: String, n: Int,
       redeliver: Boolean = false)(f: (DataFrame, Int) => T): T = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ev_split_")
+    val tmp = tempDir("graft_ev_split_")
     try {
       val (scan, staged) = splitEventsSource(spark, dir, tmp, n, redeliver)
       f(scan, staged)
@@ -369,7 +369,7 @@ object EventStreams {
     * checkpoint processes each day's new files only, at the cost of a
     * listing + the new data — never a growing rescan. */
   def incrementalDrain(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ev_incr_")
+    val tmp = tempDir("graft_ev_incr_")
     try {
       val src = java.nio.file.Files.createDirectories(tmp.resolve("src"))
       val raw = spark.read.parquet(s"$dir/events.parquet")
@@ -402,7 +402,7 @@ object EventStreams {
     * the result must equal the single-drain `ev_stream_hourly` horizon
     * (same final watermark, same emitted windows). */
   def incrementalAggDrain(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ev_incragg_")
+    val tmp = tempDir("graft_ev_incragg_")
     try {
       val src = java.nio.file.Files.createDirectories(tmp.resolve("src"))
       val raw = spark.read.parquet(s"$dir/events.parquet")
@@ -573,24 +573,58 @@ object EventStreams {
     * returned (a partial result fails the oracle compare loudly instead
     * of blocking it silently). */
   def drainAppend(df: DataFrame, tag: String, statePartitions: Int = 2,
-      minBatches: Int = 0): DataFrame = {
+      minBatches: Int = 0, rocksdb: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val tmp = java.nio.file.Files.createTempDirectory(tag)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val batches =
-      try awaitCounted(spark,
-        df.writeStream
-          .format("parquet")
-          .option("path", s"$tmp/out")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .outputMode(OutputMode.Append)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start())._2
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    assertBatches(batches, minBatches)
+    val tmp = tempDir(tag)
+    // Any failure from here on (drain error OR a failed batch-count
+    // assert) must not leak the checkpoint/out tree — loadAndClean is
+    // otherwise the only cleanup path.
+    try {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      val batches =
+        try withStateProvider(spark, rocksdb) {
+          awaitCounted(spark,
+            df.writeStream
+              .format("parquet")
+              .option("path", s"$tmp/out")
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .outputMode(OutputMode.Append)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start())._2
+        }
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      assertBatches(batches, minBatches)
+    } catch { case e: Throwable => deleteTree(tmp); throw e }
     loadAndClean(spark, tmp, df.schema)
   }
+
+  /** Run `body` with the session's state-store provider switched to
+    * RocksDB, restoring the previous setting after (same
+    * SEQUENTIAL-ONLY caveat as the shuffle-partition override — the
+    * conf is session-global and read at query START, then pinned in
+    * the checkpoint's own metadata for the query's lifetime).
+    *
+    * RocksDB is the at-100-TB state store choice: state lives off the
+    * executor HEAP in native memory + local SST files instead of as a
+    * JVM object map (HDFSBackedStateStore), so data-sized state (e.g.
+    * one entry per event id in a dedup horizon) neither bloats GC nor
+    * caps at executor memory, and commits upload changelogs rather
+    * than full snapshots. Pure configuration — no query change. */
+  private def withStateProvider[T](spark: SparkSession, rocksdb: Boolean)(
+      body: => T): T =
+    if (!rocksdb) body
+    else {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
 
   /** Update-mode counterpart of [[drainAppend]]: a files sink can't
     * take update-mode output directly, so each micro-batch's refreshed
@@ -602,23 +636,27 @@ object EventStreams {
     * SEQUENTIAL-ONLY assumption — see drainAppend), capped wait,
     * `minBatches` witness and temp-tree cleanup as drainAppend. */
   def drainUpdate(df: DataFrame, tag: String, statePartitions: Int = 2,
-      minBatches: Int = 0): DataFrame = {
+      minBatches: Int = 0, rocksdb: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val tmp = java.nio.file.Files.createTempDirectory(tag)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val batches =
-      try awaitCounted(spark,
-        df.writeStream
-          .outputMode(OutputMode.Update)
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-            batch.write.mode("append").parquet(s"$tmp/out"); ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start())._2
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    assertBatches(batches, minBatches)
+    val tmp = tempDir(tag)
+    try {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      val batches =
+        try withStateProvider(spark, rocksdb) {
+          awaitCounted(spark,
+            df.writeStream
+              .outputMode(OutputMode.Update)
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+                batch.write.mode("append").parquet(s"$tmp/out"); ()
+              }
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start())._2
+        }
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      assertBatches(batches, minBatches)
+    } catch { case e: Throwable => deleteTree(tmp); throw e }
     loadAndClean(spark, tmp, df.schema)
   }
 
@@ -638,12 +676,55 @@ object EventStreams {
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
       else {
+        // Harness-scale contract: the read-back collects the WHOLE sink
+        // through the driver, so it is only valid while drained sinks
+        // stay fixture-sized (the largest today is ev_stream_dedup's
+        // full events table, ~3 MB parquet at sf0.1). The byte ceiling
+        // turns a silent future driver OOM (someone points a drain at a
+        // big source) into a diagnosable assert at the boundary where
+        // the contract is broken — checked on-disk, before any read.
+        val bytes = {
+          val walk = java.nio.file.Files.walk(outDir)
+          try walk.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally walk.close()
+        }
+        val ceiling = 256L * 1024 * 1024
+        if (bytes > ceiling) {
+          deleteTree(tmp)
+          throw new IllegalStateException(
+            s"drained sink is $bytes bytes on disk (> $ceiling): too big " +
+              "for the harness's driver-side read-back — a production " +
+              "consumer reads the sink files in place instead")
+        }
         val raw = spark.read.parquet(outDir.toString)
         spark.createDataFrame(
           java.util.Arrays.asList(raw.collect(): _*), raw.schema)
       }
     deleteTree(tmp)
     out
+  }
+
+  /** Scratch root for a drain's staged-source/checkpoint/sink tree.
+    * Prefers tmpfs (`/dev/shm`) when present and writable: the
+    * HDFS-backed state store fsyncs a delta file per partition per
+    * micro-batch and the files sink commits a manifest per batch — on
+    * a disk-backed `/tmp` that per-batch IO constant dominates a
+    * multi-batch drain's cost (DrainProfile r6/r8). The placement is a
+    * HARNESS-LOCAL lever only: these trees are ephemeral by contract
+    * (deleted in the same call, results materialized to local
+    * relations first), so durability buys nothing here — a real
+    * deployment puts checkpoints on HDFS/S3/DBFS, where durability is
+    * the point, and pays the IO constant as the price of exactly-once
+    * recovery. Falls back to `java.io.tmpdir` off-host;
+    * `SPARK_GRAFT_SCRATCH=<dir>` overrides (A/B lever). */
+  private[graft] def tempDir(tag: String): java.nio.file.Path = {
+    val root = sys.env.get("SPARK_GRAFT_SCRATCH")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get("/dev/shm"))
+    if (java.nio.file.Files.isDirectory(root) && java.nio.file.Files.isWritable(root))
+      java.nio.file.Files.createTempDirectory(root, tag)
+    else java.nio.file.Files.createTempDirectory(tag)
   }
 
   /** Recursive delete, deepest-first; missing paths are a no-op. */

@@ -43,11 +43,21 @@ object DrainProfile {
       graft.streaming.EventStreams.deleteTree(tmp)
     }
     val ev = graft.streaming.EventStreams.fromParquetDir(spark, sfDir)
-    profile("hourly", graft.streaming.EventStreams.hourlyCounts(ev))
+    profile("hourly/1batch", graft.streaming.EventStreams.hourlyCounts(ev))
     val ev2 = graft.streaming.EventStreams.fromParquetDir(spark, sfDir)
-    profile("funnel", graft.streaming.EventStreams.attributePurchases(
+    profile("funnel/1batch", graft.streaming.EventStreams.attributePurchases(
       ev2.where($"event_type" === "click"),
       ev2.where($"event_type" === "purchase"), "left_outer"))
+    // The shapes the driver-facing queries actually run since r7:
+    // 3 event-time-contiguous staged files, one micro-batch per file.
+    graft.streaming.EventStreams.withSplitEvents(spark, sfDir, 3) { (src, _) =>
+      profile("hourly/split3", graft.streaming.EventStreams.hourlyCounts(src))
+    }
+    graft.streaming.EventStreams.withSplitEvents(spark, sfDir, 3) { (src, _) =>
+      profile("funnel/split3", graft.streaming.EventStreams.attributePurchases(
+        src.where($"event_type" === "click"),
+        src.where($"event_type" === "purchase"), "left_outer"))
+    }
     spark.stop()
   }
 }
