@@ -182,13 +182,14 @@ object Bench {
       case (name, v) if v >= 0 =>
         name -> seedFloor.get(name).fold(v)(math.min(_, v))
     }
-    // >1.5x floor, and BOTH the floor and the current value above the
-    // 50/75 ms jitter bars — sub-50 ms timings are scheduler jitter,
-    // not signal, but a formerly-fast query regressing to hundreds of
-    // ms must still surface (hence the check on v, not just f).
+    // >1.5x floor and the CURRENT value above a 75 ms jitter bar. The
+    // bar is on v only, deliberately: sub-75 ms timings are scheduler
+    // jitter either way, but a formerly-fast query (tiny floor)
+    // regressing to hundreds of ms must surface — a floor-side gate
+    // would hide exactly that class (ADVICE r8).
     val floorDelta = results.collect {
       case (name, v)
-          if v >= 0.075 && floor.get(name).exists(f => f > 0.05 && v > 1.5 * f) =>
+          if v >= 0.075 && floor.get(name).exists(f => f > 0 && v > 1.5 * f) =>
         name -> v / floor(name)
     }.sortBy(-_._2)
     val floorDeltaJson = floorDelta
@@ -203,6 +204,20 @@ object Bench {
     val streamingQs = results.filter { case (n, v) => n.startsWith("ev_stream") && v >= 0 }
     val streamingJson =
       s"""{"n":${streamingQs.size},"sum":${fmt(streamingQs.map(_._2).sum)}}"""
+    // Drain placement/provider observability (r8 verdict: the bench
+    // JSON recorded neither, so a broad floor_delta elevation could not
+    // be attributed between host noise and the scratch lever not
+    // engaging). scratch_root is the root EventStreams.tempDir resolves
+    // RIGHT NOW (same env, post-sweep — the drains above used it);
+    // drain_rocksdb lists the drains that RAN on the RocksDB provider
+    // this process (all others ran the default HDFS-backed store).
+    val scratchRoot = graft.streaming.EventStreams.scratchRoot.toString
+    val rocksDrains = {
+      import scala.jdk.CollectionConverters._
+      graft.streaming.EventStreams.drainProviders.asScala.toSeq
+        .collect { case (tag, "rocksdb") => tag }.sorted
+    }
+    val rocksJson = rocksDrains.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Failures (-1) sort as +∞: they land at the visible END of the map
     // and can never be folded away — an errors>0 line must always name
     // its broken queries.
@@ -217,7 +232,7 @@ object Bench {
           val fsum = folded.map(_._2).sum // all ≥ 0: failures sort last, never fold
           s""""fast_other":{"n":${folded.size},"sum":${fmt(fsum)}},"""
         }
-      s"""{${foldJson}"queries":$keptJson,"sf":"$sfDir","passes":${if (divergent.nonEmpty) 3 else 2},"tiebreak":$tiebreakJson,"flaky":$flakyJson,"floor_delta":$floorDeltaJson,"errors":$errors,"streaming":$streamingJson,"metric":"total","unit":"sec","value":${fmt(total)}}"""
+      s"""{${foldJson}"queries":$keptJson,"sf":"$sfDir","passes":${if (divergent.nonEmpty) 3 else 2},"tiebreak":$tiebreakJson,"flaky":$flakyJson,"floor_delta":$floorDeltaJson,"scratch_root":"$scratchRoot","drain_rocksdb":$rocksJson,"errors":$errors,"streaming":$streamingJson,"metric":"total","unit":"sec","value":${fmt(total)}}"""
     }
     // If the line would overflow the ~2000-char tail window anyway,
     // fold just enough of the CHEAPEST queries into one "fast_other"
@@ -232,7 +247,7 @@ object Bench {
     // stdout only carries the one-line summary above.
     try {
       val full = new StringBuilder
-      full ++= s"""{"sf":"$sfDir","total":$total,"errors":$errors,"flaky":$flakyJson,"""
+      full ++= s"""{"sf":"$sfDir","total":$total,"errors":$errors,"flaky":$flakyJson,"scratch_root":"$scratchRoot","drain_rocksdb":$rocksJson,"""
       def sweepJson(p: Seq[(String, Double)]): String =
         p.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       full ++= s""""min":${sweepJson(results)},"floor":${sweepJson(floor.toSeq.sortBy(_._1))},"floor_delta":$floorDeltaJson,"sweep1":${sweepJson(p1)},"sweep2":${sweepJson(p2)},"sweep3":${sweepJson(p3.toSeq.sortBy(_._1))}}"""

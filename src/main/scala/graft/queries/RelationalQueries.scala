@@ -110,6 +110,43 @@ object RelationalQueries extends QueryModule {
         .orderBy("n_name")
     }),
 
+    // AQE runtime skew-join split, driver-checked — the UNPLANNED-skew
+    // complement of rel_salted_join's plan-level salting: a third of
+    // lineitem collapses onto supplier key 1 (CASE on l_orderkey % 3),
+    // the join is written with NO mitigation, and Spark's adaptive
+    // re-plan detects the oversized shuffle partition at runtime and
+    // splits it (SkewJoin.aqeSkewJoinDemo hard-asserts the split fired
+    // — isSkewJoin=true in the executed plan — with detection
+    // thresholds scaled to fixture size; the rule is size-relative, so
+    // the 100 TB defaults fire identically on a real hot key). The
+    // oracle is the plain join: the driver proves the runtime rewrite
+    // is semantics-preserving, same pattern as the salted row.
+    "rel_skew_aqe_join" -> ((s, dir) => {
+      import s.implicits._
+      // repartition(16): AQE splits a skewed reduce partition by
+      // contiguous MAPPER ranges, so a one-file fixture scan (a single
+      // map task) is unsplittable no matter how skewed — at 100 TB the
+      // fact side has thousands of mappers and this is a no-op shape;
+      // here it recreates that multi-mapper geometry at fixture scale.
+      val fact = Tables.lineitem(s, dir).select(
+        when($"l_orderkey" % 3 === 0, lit(1L)).otherwise($"l_suppkey")
+          .as("skey"),
+        dec($"l_extendedprice").as("price"))
+        .repartition(16)
+      val dim = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey".as("skey"), $"n_name")
+      graft.operators.SkewJoin.aqeSkewJoinDemo(s) {
+        fact.hint("merge").join(dim, "skey")
+          .groupBy($"n_name")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum($"price").cast("double").as("revenue"))
+          .orderBy("n_name")
+      }
+    }),
+
     // Left-semi join: customers that have at least one order.
     "rel_semi_join" -> ((s, dir) => {
       import s.implicits._
@@ -476,6 +513,18 @@ object RelationalQueries extends QueryModule {
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    // The plain join with the same skewed key derivation — identical
+    // results prove AQE's runtime skew split is semantics-preserving.
+    "rel_skew_aqe_join" ->
+      """SELECT n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END AS skey,
+        |             l_extendedprice
+        |      FROM lineitem) f
+        |JOIN supplier ON f.skey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
     "rel_outer_join" ->

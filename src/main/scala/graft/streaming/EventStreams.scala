@@ -575,6 +575,7 @@ object EventStreams {
   def drainAppend(df: DataFrame, tag: String, statePartitions: Int = 2,
       minBatches: Int = 0, rocksdb: Boolean = false): DataFrame = {
     val spark = df.sparkSession
+    drainProviders.put(tag.stripSuffix("_"), if (rocksdb) "rocksdb" else "hdfs")
     val tmp = tempDir(tag)
     // Any failure from here on (drain error OR a failed batch-count
     // assert) must not leak the checkpoint/out tree — loadAndClean is
@@ -638,6 +639,7 @@ object EventStreams {
   def drainUpdate(df: DataFrame, tag: String, statePartitions: Int = 2,
       minBatches: Int = 0, rocksdb: Boolean = false): DataFrame = {
     val spark = df.sparkSession
+    drainProviders.put(tag.stripSuffix("_"), if (rocksdb) "rocksdb" else "hdfs")
     val tmp = tempDir(tag)
     try {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -706,7 +708,11 @@ object EventStreams {
   }
 
   /** Scratch root for a drain's staged-source/checkpoint/sink tree.
-    * Prefers tmpfs (`/dev/shm`) when present and writable: the
+    * Prefers tmpfs (`/dev/shm`) when present, writable, AND with at
+    * least [[MinScratchBytes]] usable (a container-default 64 MB shm
+    * would otherwise take every drain down with ENOSPC mid-drain —
+    * and because the sink-size ceiling in loadAndClean is checked only
+    * after the drain, an undersized tmpfs would fill RAM first): the
     * HDFS-backed state store fsyncs a delta file per partition per
     * micro-batch and the files sink commits a manifest per batch — on
     * a disk-backed `/tmp` that per-batch IO constant dominates a
@@ -716,16 +722,30 @@ object EventStreams {
     * relations first), so durability buys nothing here — a real
     * deployment puts checkpoints on HDFS/S3/DBFS, where durability is
     * the point, and pays the IO constant as the price of exactly-once
-    * recovery. Falls back to `java.io.tmpdir` off-host;
-    * `SPARK_GRAFT_SCRATCH=<dir>` overrides (A/B lever). */
-  private[graft] def tempDir(tag: String): java.nio.file.Path = {
-    val root = sys.env.get("SPARK_GRAFT_SCRATCH")
-      .map(java.nio.file.Paths.get(_))
-      .getOrElse(java.nio.file.Paths.get("/dev/shm"))
-    if (java.nio.file.Files.isDirectory(root) && java.nio.file.Files.isWritable(root))
-      java.nio.file.Files.createTempDirectory(root, tag)
-    else java.nio.file.Files.createTempDirectory(tag)
+    * recovery. Falls back to `java.io.tmpdir` otherwise;
+    * `SPARK_GRAFT_SCRATCH=<dir>` overrides unconditionally (it is the
+    * deliberate A/B lever — no capacity second-guessing). */
+  private val MinScratchBytes = 512L * 1024 * 1024
+  private[graft] def scratchRoot: java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    def writable(p: java.nio.file.Path) =
+      Files.isDirectory(p) && Files.isWritable(p)
+    def roomy(p: java.nio.file.Path) =
+      try Files.getFileStore(p).getUsableSpace >= MinScratchBytes
+      catch { case _: Exception => false }
+    sys.env.get("SPARK_GRAFT_SCRATCH").map(Paths.get(_)).filter(writable)
+      .orElse(Some(Paths.get("/dev/shm")).filter(p => writable(p) && roomy(p)))
+      .getOrElse(Paths.get(sys.props("java.io.tmpdir")))
   }
+  private[graft] def tempDir(tag: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(scratchRoot, tag)
+
+  /** Runtime record of each drain's state-store provider, keyed by the
+    * drain tag (bench observability: the r8 driver bench couldn't
+    * attribute floor_delta between host noise and scratch/provider
+    * placement because neither was in the JSON — now both are). */
+  private[graft] val drainProviders =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Recursive delete, deepest-first; missing paths are a no-op. */
   private[graft] def deleteTree(p: java.nio.file.Path): Unit = {

@@ -22,7 +22,12 @@ object DrainProfile {
       graft.streaming.EventStreams.hourlyCounts(warmEv), "warm_", parts).count()
 
     def profile(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("prof_")
+      // Same scratch resolution as the harness drains (ADVICE r8: a
+      // profiler placing its sink/ckpt on disk-backed java.io.tmpdir
+      // while the harness runs tmpfs measures a constant the harness
+      // doesn't pay). SPARK_GRAFT_SCRATCH stays the disk-vs-tmpfs A/B
+      // lever for both.
+      val tmp = graft.streaming.EventStreams.tempDir("prof_")
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       val t0 = System.nanoTime()
@@ -57,6 +62,25 @@ object DrainProfile {
       profile("funnel/split3", graft.streaming.EventStreams.attributePurchases(
         src.where($"event_type" === "click"),
         src.where($"event_type" === "purchase"), "left_outer"))
+    }
+    // Heap vs RocksDB A/B on the EXACT ev_stream_dedup drain shape (the
+    // suite's one data-sized state: one id per event in the watermark
+    // horizon, redelivered source, statePartitions=8). Three reps each,
+    // interleaved, report all + min — the number GraftSession's
+    // provider-choice comment must cite.
+    (1 to 3).foreach { rep =>
+      Seq(false, true).foreach { rocks =>
+        graft.streaming.EventStreams.withSplitEvents(spark, sfDir, 3,
+            redeliver = true) { (src, nf) =>
+          val t0 = System.nanoTime()
+          graft.streaming.EventStreams.drainAppend(
+            graft.streaming.EventStreams.dedupEvents(src),
+            "prof_dedup_", statePartitions = 8, minBatches = nf,
+            rocksdb = rocks).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          println(f"[prof] dedup/${if (rocks) "rocksdb" else "heap"}/rep$rep total=$t%.2f s")
+        }
+      }
     }
     spark.stop()
   }
