@@ -66,6 +66,25 @@ object MediaCodec {
     bos.toByteArray
   }
 
+  /** Transcode an opaque payload into JPEG bytes — same deterministic
+    * grayscale image as [[pngFor]], through ImageIO's native JPEG
+    * writer. JPEG is lossy, so PIXELS don't round-trip (only the PNG
+    * path makes pixel-level promises); the container HEADER — exact
+    * dimensions and the one-component grayscale color model — does,
+    * which is what the ingest oracle predicts. */
+  private def jpegFor(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w && i < payload.length) {
+      raster.setSample(i, 0, 0, payload(i) & 0xff)
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
   /** Decode an image payload end-to-end: transcode to PNG, then let
     * `javax.imageio` parse the PNG back. Throws on a corrupt PNG (a
     * real ingest pipeline would route that to a quarantine sink). */
@@ -196,14 +215,17 @@ object MediaCodec {
     val (w, h) = genDims(m.payload.length.toLong)
     m.mediaType match {
       case "image" => pngFor(m.payload, w, h)
+      case "jpeg"  => jpegFor(m.payload, w, h)
       case "audio" => wavFor(m.payload)
       case _       => gifFor(m.payload, w, h)
     }
   }
 
-  /** Canonical file extension per modality. */
+  /** Canonical file extension per modality (`"jpeg"` is the image
+    * modality in its second container format — mm_ingest writes both). */
   def extensionFor(mediaType: String): String = mediaType match {
     case "image" => "png"
+    case "jpeg"  => "jpg"
     case "audio" => "wav"
     case _       => "gif"
   }
@@ -223,6 +245,14 @@ object MediaCodec {
       val img = ImageIO.read(new ByteArrayInputStream(bytes))
       require(img != null, "undecodable PNG")
       ("PNG", img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents, 1L, 0L)
+    } else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) {
+      // JPEG: SOI marker FF D8 followed by a segment marker FF xx (no
+      // ASCII magic — binary markers, unlike the other containers).
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, "undecodable JPEG")
+      ("JPEG", img.getWidth, img.getHeight,
         img.getColorModel.getNumComponents, 1L, 0L)
     } else if (magicIs("RIFF", 0)) {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(

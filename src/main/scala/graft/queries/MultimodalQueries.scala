@@ -110,18 +110,24 @@ object MultimodalQueries extends QueryModule {
     }),
 
     // END-TO-END file ingestion: the decode inputs here are ACTUAL
-    // .png/.wav/.gif FILES on disk, read back through Spark's
+    // .png/.jpg/.wav/.gif FILES on disk, read back through Spark's
     // `binaryFile` source and parsed by magic number — no transcode
     // anywhere on the read path, closing the "payloads are synthesized
     // in memory" caveat of the other mm queries. The fixture-prep step
     // (writing 60 real container files to a temp dir) is the harness
     // stand-in for the object store a production corpus already lives
-    // in; it is driver-side and bounded by design. The QUERY path —
-    // distributed binaryFile scan, filename→key extraction, per-row
-    // magic-sniffed JRE parse — is exactly the production shape. Every
-    // reported value (dims, channels, frame counts, duration) comes
-    // out of the real parser over real file bytes; the oracle predicts
-    // them from the generators.
+    // in; it is driver-side and bounded by design. DEPLOYMENT
+    // CONSTRAINT: the temp dir is DRIVER-LOCAL, so the binaryFile scan
+    // only finds it when executors share the driver's filesystem —
+    // true in local[N] and same-host local-cluster (ClusterSmoke
+    // --all), false on any multi-node cluster, where the fixture-prep
+    // step must stage to shared storage (HDFS/S3) instead; the query
+    // path is unchanged either way. The QUERY path — distributed
+    // binaryFile scan, filename→key extraction, per-row magic-sniffed
+    // JRE parse — is exactly the production shape. Every reported
+    // value (dims, channels, frame counts, duration) comes out of the
+    // real parser over real file bytes; the oracle predicts them from
+    // the generators.
     "mm_ingest" -> ((s, dir) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft_mm_ingest_")
@@ -129,8 +135,12 @@ object MultimodalQueries extends QueryModule {
         Tables.documents(s, dir).select($"doc_id", $"text")
           .where($"doc_id" < 60).collect().foreach { r =>
             val id = r.getLong(0)
+            // Image docs alternate containers: doc_id % 6 == 0 → PNG,
+            // == 3 → JPEG (the ubiquitous lossy format — header dims
+            // and grayscale color model round-trip; pixels needn't).
             val mt = (id % 3) match {
-              case 0 => "image"; case 1 => "audio"; case _ => "video"
+              case 0 => if (id % 6 == 0) "image" else "jpeg"
+              case 1 => "audio"; case _ => "video"
             }
             val payload = r.getString(1).getBytes("UTF-8")
             java.nio.file.Files.write(
@@ -145,7 +155,9 @@ object MultimodalQueries extends QueryModule {
           .as[(Long, String, Array[Byte])]
           .map { case (id, ext, bytes) =>
             val mt = ext match {
-              case "png" => "image"; case "wav" => "audio"; case _ => "video"
+              case "png" | "jpg" => "image"
+              case "wav"         => "audio"
+              case _             => "video"
             }
             val (magic, w, h, ch, nf, durMs) = MediaCodec.parseContainer(bytes)
             (id, mt, magic, w, h, ch, nf, durMs)
@@ -253,10 +265,13 @@ object MultimodalQueries extends QueryModule {
         |FROM d
         |ORDER BY doc_id""".stripMargin,
     // Predicts what the real parsers read back out of the real files:
-    // container magic per modality, the generator dims (PNG logical
-    // size / GIF logical screen), PCM frame count = blen div 2 (odd
-    // trailing byte dropped by the WAV transcode), GIF frame count and
-    // GCE timing. n_frames promotes to BIGINT (the audio branch is a
+    // container magic per modality (image docs alternate PNG and JPEG
+    // by doc_id % 6 — JPEG is lossy so only its HEADER values are
+    // predicted: exact dims and the 1-component grayscale model, which
+    // the generator fixes), the generator dims (PNG/JPEG logical size /
+    // GIF logical screen), PCM frame count = blen div 2 (odd trailing
+    // byte dropped by the WAV transcode), GIF frame count and GCE
+    // timing. n_frames promotes to BIGINT (the audio branch is a
     // division) — the Spark side emits long to match.
     "mm_ingest" ->
       """WITH m AS (SELECT doc_id,
@@ -264,7 +279,9 @@ object MultimodalQueries extends QueryModule {
         |    octet_length(encode(text)) AS blen
         |  FROM documents WHERE doc_id < 60)
         |SELECT doc_id, media_type,
-        |  CASE media_type WHEN 'image' THEN 'PNG' WHEN 'audio' THEN 'RIFF' ELSE 'GIF8' END AS container,
+        |  CASE media_type
+        |    WHEN 'image' THEN (CASE WHEN doc_id % 6 = 0 THEN 'PNG' ELSE 'JPEG' END)
+        |    WHEN 'audio' THEN 'RIFF' ELSE 'GIF8' END AS container,
         |  CASE media_type WHEN 'audio' THEN 0
         |    ELSE CAST(64 + blen % 577 AS INT) END AS width,
         |  CASE media_type WHEN 'audio' THEN 0

@@ -37,6 +37,21 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG container round-trips header dims and grayscale model through a real parse") {
+    for (n <- Seq(1, 17, 100, 577, 1234)) {
+      val jpg = MediaCodec.containerFor(MediaFile(n.toLong, "jpeg", bytes(n)))
+      // SOI + segment marker: FF D8 FF — the binary magic the ingest
+      // sniffer dispatches on.
+      assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8 &&
+        (jpg(2) & 0xff) == 0xff)
+      val (magic, w, h, ch, nf, dur) = MediaCodec.parseContainer(jpg)
+      // Lossy format: only HEADER promises — exact dims, 1-component
+      // grayscale, single frame. (Pixel round-trips are PNG-only.)
+      assert(magic == "JPEG" && w == 64 + n % 577 && h == 64 + (n * 31) % 449)
+      assert(ch == 1 && nf == 1L && dur == 0L)
+    }
+  }
+
   test("video decode round-trips frame count, dims and timing through a real GIF parse") {
     for (n <- Seq(47, 250, 500, 1234)) {
       val m = MediaCodec.decode(MediaFile(9L, "video", bytes(n)))
