@@ -20,6 +20,16 @@ import org.apache.spark.sql.SparkSession
   * Verified green (2 workers x 4 cores, Spark 4.1.2) on: the typed
   * kernel, multimodal decode, cosine-kNN, the jaccard pipeline, and a
   * streaming drain.
+  *
+  * `--all` caveat: `mm_ingest` and `rel_bucketed_join` stage fixture
+  * state (temp media files / a warehouse dir) on the DRIVER's
+  * filesystem and scan it from executors. That works here only because
+  * `local-cluster` executors share the driver's host; on a real
+  * multi-node cluster those fixture-prep steps must stage to shared
+  * storage (HDFS/S3) — the query plans themselves are unchanged. The
+  * drains' scratch trees (sink + checkpoint) have the same share-a-
+  * filesystem assumption in this harness; production checkpoints go to
+  * HDFS/S3 by construction.
   */
 object ClusterSmoke {
   def main(args: Array[String]): Unit = {
