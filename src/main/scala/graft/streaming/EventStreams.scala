@@ -99,6 +99,14 @@ object EventStreams {
   def splitEventsSource(spark: SparkSession, dir: String,
       tmp: java.nio.file.Path, n: Int,
       redeliver: Boolean = false): (DataFrame, Int) = {
+    val staged = stageSplit(spark, dir, tmp, n, redeliver)
+    (scanStaged(spark, tmp.resolve("src")), staged)
+  }
+
+  /** The staging half of [[splitEventsSource]]: write the slice files
+    * under `tmp/src`, return the staged file count. */
+  private def stageSplit(spark: SparkSession, dir: String,
+      tmp: java.nio.file.Path, n: Int, redeliver: Boolean): Int = {
     import java.nio.file.Files
     val src = Files.createDirectories(tmp.resolve("src"))
     val raw = spark.read.parquet(s"$dir/events.parquet")
@@ -124,24 +132,52 @@ object EventStreams {
       } else Files.deleteIfExists(src.resolve(name))
       k += 1
     }
-    val scan = spark.readStream.schema(schema)
+    staged
+  }
+
+  /** The scan half of [[splitEventsSource]]: a one-file-per-micro-batch
+    * streaming read over an already-staged slice directory. */
+  private def scanStaged(spark: SparkSession,
+      src: java.nio.file.Path): DataFrame =
+    spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(src.toString)
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
-    (scan, staged)
-  }
 
-  /** Scoped [[splitEventsSource]]: stage under a fresh temp dir, hand
-    * `(scan, nFiles)` to `f`, and delete the staging tree afterwards —
-    * safe because every drain materializes its result to a LOCAL
-    * relation before returning (loadAndClean). */
+  /** Scoped [[splitEventsSource]] with a PROCESS-LIFETIME cache of the
+    * staged tree, keyed by `(dir, n, redeliver)`: nine drain queries
+    * stage byte-identical splits of the same events table, and the
+    * staging (a min/max agg + n filtered writes) is harness FIXTURE
+    * PREP, not part of the streaming semantics under test — in
+    * production the source files already sit in the source directory.
+    * Reuse is safe because the staged files are read-only inputs
+    * (deterministic slicing; the file source only lists and reads) and
+    * every drain still runs its own checkpoint/state/sink lifecycle
+    * from scratch — the `minBatches` assert still counts real data
+    * micro-batches per drain. The cached trees are deleted by a JVM
+    * shutdown hook (replacing the old per-call delete), so repeated
+    * Verify/Bench runs still leave no residue; a FAILED staging is
+    * deleted eagerly and never cached. Keys are few by construction
+    * (every caller uses n=3, redeliver ∈ {t,f}, one sfDir per run). */
   def withSplitEvents[T](spark: SparkSession, dir: String, n: Int,
       redeliver: Boolean = false)(f: (DataFrame, Int) => T): T = {
-    val tmp = tempDir("graft_ev_split_")
-    try {
-      val (scan, staged) = splitEventsSource(spark, dir, tmp, n, redeliver)
-      f(scan, staged)
-    } finally deleteTree(tmp)
+    val staged = splitCache.computeIfAbsent((dir, n, redeliver), _ => {
+      val tmp = tempDir("graft_ev_split_")
+      try {
+        val cnt = stageSplit(spark, dir, tmp, n, redeliver)
+        tmp -> cnt
+      } catch { case e: Throwable => deleteTree(tmp); throw e }
+    })
+    f(scanStaged(spark, staged._1.resolve("src")), staged._2)
+  }
+
+  private val splitCache = {
+    val m = new java.util.concurrent.ConcurrentHashMap[
+      (String, Int, Boolean), (java.nio.file.Path, Int)]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      m.values.forEach(v =>
+        try deleteTree(v._1) catch { case _: Throwable => () })))
+    m
   }
 
   /** The file source processes oldest-modification-time first: stamp
