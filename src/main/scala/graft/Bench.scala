@@ -54,6 +54,22 @@ object Bench {
     }
     // Stable (sorted) execution order for the same reason.
     val allNames = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Noise attribution (r9): a broad floor_delta elevation has two
+    // remaining suspects once scratch/provider are recorded — host
+    // contention (other processes in this shared-host window) and
+    // in-JVM pressure accumulated over a 130-query sweep (GC, code
+    // cache, async ContextCleaner lag; observed as sweep2 uniformly
+    // slower than sweep1). Record both per sweep boundary so a reader
+    // can attribute an elevated round from the JSON alone: gc_sec is
+    // the JVM-cumulative collection time at that boundary, load the
+    // 1-min system load average (-1 where the JVM can't provide it).
+    def gcSec: Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.toDouble).sum / 1000.0
+    }
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     def sweep(only: Set[String] = Set.empty): Seq[(String, Double)] = {
       val names = if (only.isEmpty) allNames
         else allNames.filter(n => only.contains(n._1))
@@ -83,8 +99,11 @@ object Bench {
     // query counts as an error only if it failed in BOTH sweeps; a
     // query that failed in exactly one sweep is listed in "flaky" so
     // intermittent breakage is visible in the JSON, not just stderr.
+    val noise0 = (gcSec, loadAvg)
     val p1 = sweep()
+    val noise1 = (gcSec, loadAvg)
     val p2 = sweep()
+    val noise2 = (gcSec, loadAvg)
     // Tie-break pass: when a query's two timings disagree by more than
     // 3x (r4 observed 25.7 s vs 5.7 s on identical code), one of them
     // was a noise window — a third run of JUST those queries keeps the
@@ -218,6 +237,12 @@ object Bench {
         .collect { case (tag, "rocksdb") => tag }.sorted
     }
     val rocksJson = rocksDrains.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // gc1/gc2 = collection seconds SPENT DURING sweep1/sweep2 (deltas
+    // of the cumulative counter); load_* = 1-min system load average
+    // sampled at the three sweep boundaries.
+    val noiseJson =
+      s"""{"gc1":${fmt(noise1._1 - noise0._1)},"gc2":${fmt(noise2._1 - noise1._1)},""" +
+      s""""load_start":${fmt(noise0._2)},"load_mid":${fmt(noise1._2)},"load_end":${fmt(noise2._2)}}"""
     // Failures (-1) sort as +∞: they land at the visible END of the map
     // and can never be folded away — an errors>0 line must always name
     // its broken queries.
@@ -232,7 +257,7 @@ object Bench {
           val fsum = folded.map(_._2).sum // all ≥ 0: failures sort last, never fold
           s""""fast_other":{"n":${folded.size},"sum":${fmt(fsum)}},"""
         }
-      s"""{${foldJson}"queries":$keptJson,"sf":"$sfDir","passes":${if (divergent.nonEmpty) 3 else 2},"tiebreak":$tiebreakJson,"flaky":$flakyJson,"floor_delta":$floorDeltaJson,"scratch_root":"$scratchRoot","drain_rocksdb":$rocksJson,"errors":$errors,"streaming":$streamingJson,"metric":"total","unit":"sec","value":${fmt(total)}}"""
+      s"""{${foldJson}"queries":$keptJson,"sf":"$sfDir","passes":${if (divergent.nonEmpty) 3 else 2},"tiebreak":$tiebreakJson,"flaky":$flakyJson,"floor_delta":$floorDeltaJson,"scratch_root":"$scratchRoot","drain_rocksdb":$rocksJson,"noise":$noiseJson,"errors":$errors,"streaming":$streamingJson,"metric":"total","unit":"sec","value":${fmt(total)}}"""
     }
     // If the line would overflow the ~2000-char tail window anyway,
     // fold just enough of the CHEAPEST queries into one "fast_other"
@@ -247,7 +272,7 @@ object Bench {
     // stdout only carries the one-line summary above.
     try {
       val full = new StringBuilder
-      full ++= s"""{"sf":"$sfDir","total":$total,"errors":$errors,"flaky":$flakyJson,"scratch_root":"$scratchRoot","drain_rocksdb":$rocksJson,"""
+      full ++= s"""{"sf":"$sfDir","total":$total,"errors":$errors,"flaky":$flakyJson,"scratch_root":"$scratchRoot","drain_rocksdb":$rocksJson,"noise":$noiseJson,"""
       def sweepJson(p: Seq[(String, Double)]): String =
         p.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       full ++= s""""min":${sweepJson(results)},"floor":${sweepJson(floor.toSeq.sortBy(_._1))},"floor_delta":$floorDeltaJson,"sweep1":${sweepJson(p1)},"sweep2":${sweepJson(p2)},"sweep3":${sweepJson(p3.toSeq.sortBy(_._1))}}"""
