@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{MinHashAgg, SimHashAgg}
+import graft.functions.{MinHashAgg, SimHashAgg, TopKOrderedAgg}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -134,6 +134,58 @@ object DedupQueries extends QueryModule {
         .selectExpr("d1", "d2", "sa", "sb", "c",
           "c * 1000000 div (sa + sb - c) AS jac_ppm")
         .orderBy("d1", "d2")),
+
+    // Exact duplicated-SPAN detection — the exact-substring complement
+    // of the set-similarity family: every maximal run of word-8-grams
+    // that already appeared earlier in the corpus (corpus order =
+    // (doc_id, pos)), runs merged while consecutive duplicated starts
+    // sit ≤ 8 apart (their token coverage overlaps or touches). This
+    // is the span-level train-data-dedup shape: it localizes verbatim
+    // boilerplate/quotation inside otherwise-distinct documents, which
+    // doc-level Jaccard/MinHash can only score, not locate.
+    //  - The first-occurrence ranking partitions on a 128-bit gram
+    //    fingerprint (two independently-salted xxhash64s), NOT the
+    //    8-token string: fixed 16-byte keys cross the ranking shuffle.
+    //    Production substring dedup accepts the same fingerprint trade
+    //    (a collision mis-marks one occurrence); at any tested SF a
+    //    collision is astronomically unlikely, so the string-keyed
+    //    DuckDB oracle sees identical spans.
+    //  - Islands form via lag + running-sum-of-breaks over only the
+    //    DUPLICATED occurrences — tiny vs the corpus — partitioned by
+    //    doc; the corpus-wide stages are the narrow gram explode and
+    //    one fingerprint-keyed ranking. No global window anywhere.
+    "dedup_spans" -> ((s, dir) => {
+      import s.implicits._
+      val N = 8
+      val grams = QueryModule.spread(
+          Tables.documents(s, dir).select("doc_id", "text"))
+        .selectExpr("doc_id", s"$TOKENS AS t")
+        .where(s"size(t) >= $N")
+        .selectExpr("doc_id",
+          s"explode(transform(sequence(1, size(t) - ${N - 1}), " +
+            s"i -> struct(CAST(i AS BIGINT) AS pos, " +
+            s"concat_ws(' ', slice(t, i, $N)) AS gram))) AS g")
+        .selectExpr("doc_id", "g.pos AS pos",
+          "xxhash64(g.gram) AS h1", "xxhash64('graft', g.gram) AS h2")
+      val dup = grams
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"h1", $"h2").orderBy($"doc_id", $"pos")))
+        .where($"rk" > 1)
+        .select($"doc_id", $"pos")
+      dup
+        .withColumn("brk", when(
+          $"pos" - lag($"pos", 1).over(
+            Window.partitionBy($"doc_id").orderBy($"pos")) <= N, 0)
+          .otherwise(1))
+        .withColumn("grp", sum($"brk").over(
+          Window.partitionBy($"doc_id").orderBy($"pos")))
+        .groupBy($"doc_id", $"grp")
+        .agg(min($"pos").as("span_start"),
+          (max($"pos") + lit(N - 1)).as("span_end"))
+        .selectExpr("doc_id", "span_start", "span_end",
+          "span_end - span_start + 1 AS n_tokens")
+        .orderBy("doc_id", "span_start")
+    }),
 
     // CONTAINMENT near-dup (asymmetric Jaccard ≥ 0.8): ≥80% of the
     // smaller doc's shingles appear in the larger — the doc-inside-doc
@@ -366,6 +418,28 @@ object DedupQueries extends QueryModule {
         .where($"rn" <= quota)
         .select($"doc_id", $"lang")
         .orderBy("lang", "doc_id")
+    }),
+
+    // Exact stratified sample, k=20 per language — the BOUNDED-
+    // AGGREGATOR sibling of pipe_domain_mix's window formulation:
+    // same deterministic md5(doc_id) ordering, but selection runs in
+    // a partial-combining Aggregator whose buffers cap at k, so each
+    // map partition ships ≤ k rows per stratum. The window plan
+    // shuffles the WHOLE table into one partition per stratum — and
+    // strata are few by nature (5 languages here), so at 100 TB that
+    // is maximal skew by construction; this shape never moves more
+    // than k × partitions rows total. rk re-derives from selection
+    // order, making the sample audit-reproducible with no RNG state.
+    "pipe_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      val topk = udaf(new TopKOrderedAgg(20))
+      Tables.documents(s, dir)
+        .select($"lang", md5($"doc_id".cast("string")).as("h"), $"doc_id")
+        .groupBy($"lang")
+        .agg(topk($"h", $"doc_id").as("ids"))
+        .selectExpr("lang", "posexplode(ids) AS (rk0, doc_id)")
+        .selectExpr("lang", "CAST(rk0 + 1 AS BIGINT) AS rk", "doc_id")
+        .orderBy("lang", "rk")
     }),
 
     // Sequence packing (concat-and-chunk): lay every doc's tokens out
@@ -697,6 +771,41 @@ object DedupQueries extends QueryModule {
          |FROM p
          |WHERE 2 * c >= sa + sb - c
          |ORDER BY d1, d2""".stripMargin,
+    "dedup_spans" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${QueryModule.DuckTokens} AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, len(gl) + 1)) AS pos,
+         |    unnest(gl) AS gram
+         |  FROM (SELECT doc_id,
+         |          [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)] AS gl
+         |        FROM tok WHERE len(t) >= 8)),
+         |d AS (
+         |  SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+         |  FROM g),
+         |dd AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM d WHERE rk > 1),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM dd)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+         |       max(pos) + 7 - min(pos) + 1 AS n_tokens
+         |FROM isl GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin,
+    "pipe_stratified_sample" ->
+      """SELECT lang, rk, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin,
     "dedup_containment" ->
       s"""$duckShingles,
          |p AS (SELECT a.doc_id d1, b.doc_id d2, len(a.s) sa, len(b.s) sb,

@@ -118,4 +118,80 @@ class DedupSpec extends SparkSpec {
       assert(n >= 1)
     }
   }
+
+  /** Single-threaded reference for dedup_spans: all-but-first 8-gram
+    * occurrences in (doc_id, pos) corpus order, merged into islands
+    * while consecutive duplicated starts are ≤ 8 apart. */
+  private def bruteSpans(docs: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] = {
+    val occ = for {
+      (id, tx) <- docs.sortBy(_._1)
+      t = tx.split(" ").filter(_.nonEmpty)
+      if t.length >= 8
+      i <- 0 to t.length - 8
+    } yield (id, (i + 1).toLong, t.slice(i, i + 8).mkString(" "))
+    val seen = scala.collection.mutable.HashSet[String]()
+    val dups = occ.filter { case (_, _, g) => !seen.add(g) }
+    dups.groupBy(_._1).flatMap { case (id, ps) =>
+      val islands = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      for (p <- ps.map(_._2).sorted) {
+        if (islands.nonEmpty && p - islands.last._2 <= 8)
+          islands(islands.size - 1) = (islands.last._1, p)
+        else islands += ((p, p))
+      }
+      islands.map { case (a, b) => (id, a, b + 7, b + 7 - a + 1) }
+    }.toSet
+  }
+
+  test("dedup_spans matches brute force on the fixture corpus") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = bruteSpans(docs)
+    val got = graft.SparkEntry.queries("dedup_spans")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.nonEmpty, "fixture has no duplicated spans to check")
+    assert(got == expected,
+      s"missed: ${expected -- got}; spurious: ${got -- expected}")
+  }
+
+  test("dedup_spans island semantics: near spans merge, far spans stay split") {
+    import spark.implicits._
+    // w0..w59: globally unique tokens, so only PLANTED repeats dup.
+    val w = (0 until 60).map(i => s"w$i")
+    val a = w.take(30).mkString(" ")                    // source doc
+    // b: copy of a's tokens 1-10 (dup starts 1,2,3 → ONE island
+    // [1,10]), then 9 unique tokens (gap > 8), then copy of a's
+    // tokens 21-28 (dup start 20 → its own island [20,27]).
+    val b = (w.take(10) ++ w.slice(40, 49) ++ w.slice(20, 28)).mkString(" ")
+    // c: exact duplicate of a → island spanning the whole doc.
+    val docs = Seq((1L, a), (2L, b), (3L, a), (4L, w.slice(49, 60).mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("spans").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("dedup_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = bruteSpans(docs)
+    assert(got == expected,
+      s"missed: ${expected -- got}; spurious: ${got -- expected}")
+    // pin the shape the corpus was built to produce
+    assert(got.contains((2L, 1L, 10L, 10L)), s"merged island missing: $got")
+    assert(got.contains((2L, 20L, 27L, 8L)), s"split island missing: $got")
+    assert(got.contains((3L, 1L, 30L, 30L)), s"whole-doc island missing: $got")
+  }
+
+  test("stratified sample: exact k per stratum in deterministic md5 order") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.groupBy(_._1).flatMap { case (lang, ds) =>
+      ds.map { case (_, id) => (md5hex(id.toString), id) }.sorted.take(20)
+        .zipWithIndex.map { case ((_, id), i) => (lang, (i + 1).toLong, id) }
+    }.toSet
+    val got = graft.SparkEntry.queries("pipe_stratified_sample")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"missed: ${expected -- got}; spurious: ${got -- expected}")
+    assert(got.size == 100)
+  }
 }
