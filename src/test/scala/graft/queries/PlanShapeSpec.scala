@@ -80,6 +80,39 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("span dedup: gram strings never cross an exchange (fingerprints do)") {
+    val df = graft.SparkEntry.queries("dedup_spans")(spark, sf001)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val physical = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // The first-occurrence ranking partitions on the 128-bit (h1, h2)
+    // fingerprint; the moment an exchange carries the 8-token gram
+    // STRING, shuffle bytes scale with text again — the exact failure
+    // mode the fingerprint exists to prevent at 100 TB.
+    val exchanges = physical.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty, "expected a ranking shuffle in the span plan")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "gram"),
+        s"gram string crosses an exchange: ${e.output.map(_.name)}")
+    }
+    assert(exchanges.exists(_.output.exists(_.name == "h1")),
+      "no exchange carries the gram fingerprint — ranking key changed")
+  }
+
+  test("stratified sample aggregates bounded buffers — no window, partial+final") {
+    val p = plan("pipe_stratified_sample")
+    // The entire point vs the pipe_domain_mix window formulation: a
+    // Window node here means the plan regressed to shuffling the whole
+    // table into one partition per stratum.
+    assert(!p.contains("Window"), "stratified sample regressed to a window plan")
+    // Typed-Aggregator aggregation with a partial (map-side) phase.
+    assert(p.contains("ObjectHashAggregate"), "TopKOrderedAgg agg node missing")
+    assert(p.contains("partial"), "aggregation lost its map-side partial phase")
+  }
+
   test("blocked cosine pair join is equi-keyed end to end — no cartesian") {
     val p = plan("emb_blocked_pairs")
     // The whole point vs emb_cosine_pairs: candidate generation rides
