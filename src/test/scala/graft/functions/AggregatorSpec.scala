@@ -29,6 +29,29 @@ class AggregatorSpec extends SparkSpec {
     }
   }
 
+  test("property: TopKOrderedAgg equals global sorted-take-k under any partitioning") {
+    // The partial-aggregation soundness claim: merging capped partial
+    // buffers (in any split, any order) must equal top-k of the whole
+    // group — bounded top-k is a selection semilattice, but an
+    // off-by-one in the cap or a non-total tie order would break it
+    // exactly here, so exercise duplicate sort keys and tied ids.
+    val k = 5
+    val agg = new TopKOrderedAgg(k)
+    val gen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("a", "b", "c", "d"), Gen.choose(0L, 20L)))
+    (1 to 8).foreach { i =>
+      val rows = gen.pureApply(Gen.Parameters.default, Seed(41L + i))
+      val expect = rows.sorted.take(k).map(_._2)
+      // split into random-size chunks, reduce each, then fold merges
+      val rnd = new scala.util.Random(i)
+      val chunks = rows.grouped(1 + rnd.nextInt(4)).toSeq
+      val partials = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(partials).foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == expect,
+        s"merge order changed the sample: ${agg.finish(merged)} vs $expect")
+    }
+  }
+
   test("property: SimHashAgg sums equal the collections-model bit weights") {
     import spark.implicits._
     val agg = udaf(new SimHashAgg)
