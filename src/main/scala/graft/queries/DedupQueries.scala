@@ -420,6 +420,39 @@ object DedupQueries extends QueryModule {
         .orderBy("lang", "doc_id")
     }),
 
+    // Corpus snapshot diff — the dataset-RELEASE audit step: classify
+    // every doc across two corpus versions as added / removed /
+    // modified / unchanged and roll the counts up per language. v2 is
+    // derived deterministically from the fixture (drop doc_id%23,
+    // revise %17, append %29 under shifted ids) so the diff exercises
+    // all four classes with no second table. At 100 TB the shape is
+    // ONE full-outer join on the primary key comparing 16-byte
+    // digests: md5 computes scan-side, so only (doc_id, lang, digest)
+    // ever crosses the shuffle — text never moves, the same
+    // digest-only stance as dedup_exact — and the per-lang rollup
+    // aggregates partial before its (tiny) final exchange.
+    "pipe_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.selectExpr(
+        "doc_id", "lang AS lang1", "md5(text) AS h1")
+      val v2 = docs.where("doc_id % 23 != 0")
+        .selectExpr("doc_id", "lang AS lang2",
+          "md5(CASE WHEN doc_id % 17 = 0 THEN concat(text, ' rev2') ELSE text END) AS h2")
+        .unionAll(docs.where("doc_id % 29 = 0")
+          .selectExpr("doc_id + 1000000 AS doc_id", "lang AS lang2",
+            "md5(concat(text, ' new')) AS h2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .selectExpr("coalesce(lang2, lang1) AS lang",
+          """CASE WHEN h1 IS NULL THEN 'added'
+            |     WHEN h2 IS NULL THEN 'removed'
+            |     WHEN h1 = h2 THEN 'unchanged'
+            |     ELSE 'modified' END AS change_type""".stripMargin)
+        .groupBy($"lang", $"change_type")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "change_type")
+    }),
+
     // Exact stratified sample, k=20 per language — the BOUNDED-
     // AGGREGATOR sibling of pipe_domain_mix's window formulation:
     // same deterministic md5(doc_id) ordering, but selection runs in
@@ -798,6 +831,25 @@ object DedupQueries extends QueryModule {
          |       max(pos) + 7 - min(pos) + 1 AS n_tokens
          |FROM isl GROUP BY doc_id, grp
          |ORDER BY doc_id, span_start""".stripMargin,
+    "pipe_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, lang AS lang1, md5(text) AS h1 FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, lang AS lang2,
+        |    md5(CASE WHEN doc_id % 17 = 0 THEN text || ' rev2' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 23 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, md5(text || ' new')
+        |  FROM documents WHERE doc_id % 29 = 0)
+        |SELECT coalesce(lang2, lang1) AS lang,
+        |  CASE WHEN h1 IS NULL THEN 'added'
+        |       WHEN h2 IS NULL THEN 'removed'
+        |       WHEN h1 = h2 THEN 'unchanged'
+        |       ELSE 'modified' END AS change_type,
+        |  count(*) AS n_docs
+        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        |GROUP BY 1, 2
+        |ORDER BY lang, change_type""".stripMargin,
     "pipe_stratified_sample" ->
       """SELECT lang, rk, doc_id FROM (
         |  SELECT lang, doc_id,

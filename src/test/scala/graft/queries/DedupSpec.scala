@@ -178,6 +178,28 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((3L, 1L, 30L, 30L)), s"whole-doc island missing: $got")
   }
 
+  test("snapshot diff classifies every doc exactly once, classes add up") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = graft.SparkEntry.queries("pipe_snapshot_diff")(spark, sf001)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // recompute the expected class of every doc from the derivation rules
+    val expected = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    docs.foreach { case (id, lang) =>
+      val cls = if (id % 23 == 0) "removed"
+        else if (id % 17 == 0) "modified"
+        else "unchanged"
+      expected((lang, cls)) += 1
+      if (id % 29 == 0) expected((lang, "added")) += 1
+    }
+    assert(got == expected.toMap,
+      s"missed: ${expected.toMap.toSet -- got.toSet}; spurious: ${got.toSet -- expected.toMap.toSet}")
+    // partition property: removed+modified+unchanged covers v1 exactly
+    assert(got.collect { case ((_, c), n) if c != "added" => n }.sum == docs.size)
+  }
+
   test("stratified sample: exact k per stratum in deterministic md5 order") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
       .select("lang", "doc_id").collect()
