@@ -36,6 +36,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 16g A/B'd (r9): sweep GC seconds halve but bench totals don't
+  // move (116.4 s vs 117.8 s, busier window) — the bench JSON's noise
+  // markers show host contention dominates, so 8g stands.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // ~70 queries of whole-stage-codegen classes can fill the default
   // 240 MB reserved code cache mid-run; when that happens the JIT shuts
