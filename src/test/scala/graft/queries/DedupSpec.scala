@@ -178,6 +178,29 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((3L, 1L, 30L, 30L)), s"whole-doc island missing: $got")
   }
 
+  test("property: dedup_spans equals brute force on random small-vocab corpora") {
+    import spark.implicits._
+    // A 6-word vocabulary makes duplicated 8-grams dense and island
+    // boundaries adversarial (overlap chains, exact ties, whole-doc
+    // repeats) — the regime where an off-by-one in the ≤8 merge rule
+    // or a first-occurrence tie-break slip would show.
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(100L + seed)
+      val docs = (0 until 25).map { i =>
+        val len = 6 + rnd.nextInt(25)
+        (i.toLong, Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"spanprop$seed").toString
+      docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      val got = graft.SparkEntry.queries("dedup_spans")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val expected = bruteSpans(docs)
+      assert(got == expected,
+        s"seed $seed: missed ${expected -- got}; spurious ${got -- expected}")
+    }
+  }
+
   test("snapshot diff classifies every doc exactly once, classes add up") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
       .select("doc_id", "lang").collect()

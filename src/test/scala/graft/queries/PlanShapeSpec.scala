@@ -113,6 +113,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial"), "aggregation lost its map-side partial phase")
   }
 
+  test("snapshot diff: text never crosses an exchange (digests do)") {
+    val df = graft.SparkEntry.queries("pipe_snapshot_diff")(spark, sf001)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val physical = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // The diff's at-scale contract: md5 computes scan-side, so the
+    // full-outer join shuffles (doc_id, lang, digest) — a `text`
+    // column in any exchange means snapshot diffing started moving
+    // corpus bytes again.
+    val exchanges = physical.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty, "expected join shuffles in the diff plan")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"text crosses an exchange: ${e.output.map(_.name)}")
+    }
+  }
+
   test("blocked cosine pair join is equi-keyed end to end — no cartesian") {
     val p = plan("emb_blocked_pairs")
     // The whole point vs emb_cosine_pairs: candidate generation rides
