@@ -116,6 +116,11 @@ object Bench {
     }.toSet
     val p3 = if (divergent.nonEmpty) sweep(divergent).toMap
              else Map.empty[String, Double]
+    // Tie-break boundary too (ADVICE r9): without it an elevated
+    // third-pass value couldn't be attributed from the JSON — the gap
+    // the sweep markers were added to close. gc3/load_final are ~zero
+    // deltas when no tie-break ran.
+    val noise3 = (gcSec, loadAvg)
     val results = p1.zip(p2).map { case ((name, a), (_, b)) =>
       val c = p3.getOrElse(name, -1.0)
       val two = (a < 0, b < 0) match {
@@ -234,15 +239,17 @@ object Bench {
     val rocksDrains = {
       import scala.jdk.CollectionConverters._
       graft.streaming.EventStreams.drainProviders.asScala.toSeq
-        .collect { case (tag, "rocksdb") => tag }.sorted
+        .collect { case (tag, ps) if ps.contains("rocksdb") => tag }.sorted
     }
     val rocksJson = rocksDrains.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // gc1/gc2 = collection seconds SPENT DURING sweep1/sweep2 (deltas
-    // of the cumulative counter); load_* = 1-min system load average
-    // sampled at the three sweep boundaries.
+    // gc1/gc2/gc3 = collection seconds SPENT DURING sweep1/sweep2/the
+    // tie-break pass (deltas of the cumulative counter); load_* = 1-min
+    // system load average sampled at the four pass boundaries.
     val noiseJson =
       s"""{"gc1":${fmt(noise1._1 - noise0._1)},"gc2":${fmt(noise2._1 - noise1._1)},""" +
-      s""""load_start":${fmt(noise0._2)},"load_mid":${fmt(noise1._2)},"load_end":${fmt(noise2._2)}}"""
+      s""""gc3":${fmt(noise3._1 - noise2._1)},""" +
+      s""""load_start":${fmt(noise0._2)},"load_mid":${fmt(noise1._2)},""" +
+      s""""load_end":${fmt(noise2._2)},"load_final":${fmt(noise3._2)}}"""
     // Failures (-1) sort as +∞: they land at the visible END of the map
     // and can never be folded away — an errors>0 line must always name
     // its broken queries.

@@ -27,6 +27,12 @@ import org.apache.spark.sql.expressions.Aggregator
 final class TopKOrderedAgg(k: Int)
     extends Aggregator[(String, Long), Seq[(String, Long)], Seq[Long]] {
 
+  // k = 0 would make reduce's full-buffer fast path (buf.length == k)
+  // evaluate buf.last on the empty initial buffer and throw mid-task;
+  // a zero-row sample is a degenerate ask anyway — reject at
+  // construction (ADVICE r9).
+  require(k > 0, s"TopKOrderedAgg needs k > 0, got $k")
+
   private val ord: Ordering[(String, Long)] =
     Ordering.Tuple2(Ordering.String, Ordering.Long)
 

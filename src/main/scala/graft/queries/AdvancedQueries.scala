@@ -74,7 +74,7 @@ object AdvancedQueries extends QueryModule {
     // gathered and sorted.
     "rel_approx_quantiles" -> ((s, dir) => {
       import s.implicits._
-      Tables.events(s, dir)
+      val out = Tables.events(s, dir)
         .groupBy($"event_type")
         .agg(
           count(lit(1)).as("n"),
@@ -82,6 +82,33 @@ object AdvancedQueries extends QueryModule {
           floor(expr("approx_percentile(value, 0.9, 10000)") * 1000000).cast("long").as("p90_e6"),
           floor(expr("approx_percentile(value, 0.99, 10000)") * 1000000).cast("long").as("p99_e6"))
         .orderBy("event_type")
+      // In-path gate (SketchSpec's bound): each sketch percentile must
+      // track the exact interpolating percentile within 5% relative
+      // (values are e6 fixed-point; absolute floor 1e6 ≈ one unit of
+      // value covers sparse tails where neighbor spacing dominates).
+      // Ground truth is one exact-percentile pass over the same groups.
+      QueryModule.gated(out) { rows =>
+        val exact = Tables.events(s, dir)
+          .groupBy($"event_type")
+          .agg(
+            floor(expr("percentile(value, 0.5)") * 1000000).cast("long").as("p50"),
+            floor(expr("percentile(value, 0.9)") * 1000000).cast("long").as("p90"),
+            floor(expr("percentile(value, 0.99)") * 1000000).cast("long").as("p99"))
+          .collect()
+          .map(r => r.getString(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toMap
+        require(rows.map(_.getString(0)).toSet == exact.keySet,
+          "rel_approx_quantiles gate: group sets diverge from exact")
+        rows.foreach { r =>
+          val k = r.getString(0)
+          Seq(r.getLong(2), r.getLong(3), r.getLong(4)).zip(exact(k))
+            .zipWithIndex.foreach { case ((a, e), i) =>
+              require(math.abs(a - e) <= math.max((0.05 * math.abs(e)).toLong, 1000000L),
+                s"rel_approx_quantiles gate: $k p${Seq(50, 90, 99)(i)} " +
+                  s"approx $a vs exact $e drifts past the sketch bound")
+            }
+        }
+      }
     }),
 
     // UNPIVOT (wide→long): part metrics melted to (key, metric, value).

@@ -260,7 +260,7 @@ object DedupQueries extends QueryModule {
       // per candidate against the persisted (sorted) per-doc shingle
       // arrays (same unit the exact join verifies against — no
       // re-aggregation, no per-pair hash set).
-      est
+      val out = est
         .join(sets.as("z1"), $"d1" === $"z1.doc_id")
         .join(sets.as("z2"), $"d2" === $"z2.doc_id")
         .select($"d1", $"d2", $"est_ppm", $"z1.sz".as("sa"), $"z2.sz".as("sb"),
@@ -269,6 +269,25 @@ object DedupQueries extends QueryModule {
           "c * 1000000 div (sa + sb - c) AS jac_ppm")
         .where($"jac_ppm" >= 500000L)
         .orderBy("d1", "d2")
+      // In-path recall gate (DedupSpec's bounds, enforced every run):
+      // the exact prefix-filtered Jaccard join is the ground truth —
+      // candidates are already exact-verified so LSH output must be a
+      // SUBSET of it, and 16×4 banding on the fixture's strong planted
+      // near-dups (J ≈ 0.98) must recover ≥ 9/10 of the exact pairs.
+      // Cost: one extra run of the (prefix-filtered, scale-safe) exact
+      // pair join — the audit every production LSH deployment samples.
+      QueryModule.gated(out) { rows =>
+        val exact = jaccardPairs(s, dir).select($"d1", $"d2")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val lsh = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+        require(lsh.subsetOf(exact),
+          s"dedup_minhash_lsh gate: verified LSH pairs must be a subset " +
+            s"of the exact Jaccard pairs; extras: ${lsh -- exact}")
+        require(lsh.nonEmpty, "dedup_minhash_lsh gate: no candidates found")
+        require(lsh.size * 10 >= exact.size * 9,
+          s"dedup_minhash_lsh gate: recall ${lsh.size}/${exact.size} " +
+            "below the 9/10 floor")
+      }
     }),
 
     // The composed cleaning pipeline every piece above exists for:
@@ -424,7 +443,11 @@ object DedupQueries extends QueryModule {
     // every doc across two corpus versions as added / removed /
     // modified / unchanged and roll the counts up per language. v2 is
     // derived deterministically from the fixture (drop doc_id%23,
-    // revise %17, append %29 under shifted ids) so the diff exercises
+    // revise %17, append %29 under high-bit-shifted ids: +2⁴⁰ is
+    // SF-independent — no fixture's doc_id space reaches 2⁴⁰, so a
+    // synthetic "added" id can never collide with a real v1 id the way
+    // a +1e6 offset eventually would; both engines shift identically)
+    // so the diff exercises
     // all four classes with no second table. At 100 TB the shape is
     // ONE full-outer join on the primary key comparing 16-byte
     // digests: md5 computes scan-side, so only (doc_id, lang, digest)
@@ -440,7 +463,7 @@ object DedupQueries extends QueryModule {
         .selectExpr("doc_id", "lang AS lang2",
           "md5(CASE WHEN doc_id % 17 = 0 THEN concat(text, ' rev2') ELSE text END) AS h2")
         .unionAll(docs.where("doc_id % 29 = 0")
-          .selectExpr("doc_id + 1000000 AS doc_id", "lang AS lang2",
+          .selectExpr("doc_id + 1099511627776 AS doc_id", "lang AS lang2",
             "md5(concat(text, ' new')) AS h2"))
       v1.join(v2, Seq("doc_id"), "full_outer")
         .selectExpr("coalesce(lang2, lang1) AS lang",
@@ -754,9 +777,22 @@ object DedupQueries extends QueryModule {
       val nearCounts = pairs.select($"d1".as("doc_id"))
         .unionAll(pairs.select($"d2".as("doc_id")))
         .groupBy($"doc_id").agg(count(lit(1)).as("n_near"))
-      sig.join(nearCounts, Seq("doc_id"), "left")
+      val out = sig.join(nearCounts, Seq("doc_id"), "left")
         .select($"doc_id", $"simhash", coalesce($"n_near", lit(0L)).as("n_near"))
         .orderBy("doc_id")
+      // In-path gate (DedupSpec's invariant): n_near counts PAIR
+      // endpoints, so their total must be even — an odd sum means the
+      // chunk-blocked pair join double- or half-counted an endpoint.
+      // (Hamming ≤ 3 ⇒ a shared 16-bit chunk is the pigeonhole
+      // guarantee that blocking lost nothing; it needs no runtime
+      // check.) One row per signature must come back.
+      QueryModule.gated(out) { rows =>
+        require(rows.nonEmpty, "dedup_simhash gate: no signatures produced")
+        val near = rows.map(_.getLong(2)).sum
+        require(near % 2 == 0,
+          s"dedup_simhash gate: sum(n_near)=$near is odd — pair " +
+            "endpoints must come in twos")
+      }
     })
   )
 
@@ -839,7 +875,7 @@ object DedupQueries extends QueryModule {
         |    md5(CASE WHEN doc_id % 17 = 0 THEN text || ' rev2' ELSE text END) AS h2
         |  FROM documents WHERE doc_id % 23 != 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, lang, md5(text || ' new')
+        |  SELECT doc_id + 1099511627776, lang, md5(text || ' new')
         |  FROM documents WHERE doc_id % 29 = 0)
         |SELECT coalesce(lang2, lang1) AS lang,
         |  CASE WHEN h1 IS NULL THEN 'added'

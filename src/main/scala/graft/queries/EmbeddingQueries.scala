@@ -20,6 +20,42 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingQueries extends QueryModule {
 
+  /** Brute-force cosine top-k for the 10 standard probe vectors —
+    * shared by the oracle-backed `emb_knn` query (k=5) and the in-path
+    * recall gates of the three ANN routes (k=3 ground truth). ONE
+    * definition so the ground truth can never drift from the query the
+    * driver hash-checks. */
+  private def knnPlan(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val probes = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+    emb.join(broadcast(probes), $"vec_id" =!= $"qid")
+      .withColumn("sim", call_function("cosine_sim", $"qe", $"embedding"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .selectExpr("qid", "rank", "vec_id AS nid",
+        "CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6")
+      .orderBy("qid", "rank")
+  }
+
+  /** Exact top-3 (qid, nid) ground-truth pairs for the ANN recall
+    * gates. Cost: one broadcast-probe corpus scan — the same order as
+    * the ANN query it audits, and the production shape anyway: ANN
+    * recall is ALWAYS measured by brute-forcing a small fixed probe
+    * set, so the gate is exactly the sampled audit a 100 TB deployment
+    * runs beside its index build. Output is bounded at 3×|probes|. */
+  private def exactTop3(s: SparkSession, dir: String): Set[(Long, Long)] =
+    knnPlan(s, dir, 3).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+
+  /** Hard ceiling for the deliberately-quadratic exactness yardstick
+    * below: 10k vectors ≈ 5·10⁷ scored pairs, a few seconds on one
+    * node — the most an O(n²) plan should ever silently run. Above it
+    * the query REFUSES to build (the scale route is emb_blocked_pairs /
+    * emb_ann_topk), instead of quietly burning a cluster. */
+  private[queries] val CosinePairsYardstickMax = 10000L
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Per-vector squared-norm (sequential double fold = DuckDB's
@@ -38,26 +74,22 @@ object EmbeddingQueries extends QueryModule {
     // Exact k-NN for 10 probe vectors: the 10-row probe side is
     // broadcast, so the scan side streams once with no shuffle — the
     // brute-force baseline every ANN variant is measured against.
-    "emb_knn" -> ((s, dir) => {
-      import s.implicits._
-      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      val probes = emb.filter($"vec_id" < 10)
-        .select($"vec_id".as("qid"), $"embedding".as("qe"))
-      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
-      emb.join(broadcast(probes), $"vec_id" =!= $"qid")
-        .withColumn("sim", call_function("cosine_sim", $"qe", $"embedding"))
-        .withColumn("rank", row_number().over(w))
-        .where($"rank" <= 5)
-        .selectExpr("qid", "rank", "vec_id AS nid",
-          "CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6")
-        .orderBy("qid", "rank")
-    }),
+    "emb_knn" -> ((s, dir) => knnPlan(s, dir, 5)),
 
     // All-pairs cosine ≥ 0.38 (fixture max is 0.513). Quadratic by
     // definition — correct at verify scale; the linear-ish route at
     // 100 TB is emb_ann_topk below.
     "emb_cosine_pairs" -> ((s, dir) => {
       import s.implicits._
+      // Loud size guard: the quadratic yardstick must never silently
+      // run at scale — a cheap metadata-backed count() vetoes the plan
+      // before any pair is built (emb_blocked_pairs carries the SAME
+      // oracle SQL and is the plan to run past this ceiling).
+      val n = Tables.embeddings(s, dir).count()
+      require(n <= CosinePairsYardstickMax,
+        s"emb_cosine_pairs is the O(n²) exactness yardstick, capped at " +
+          s"$CosinePairsYardstickMax vectors; got $n — run emb_blocked_pairs " +
+          "(same oracle, block-pruned) at this scale instead")
       // spread: the 2M-pair scoring loop parallelizes over STREAM-side
       // splits, and the fixture file is a single split — one task would
       // run the whole quadratic loop (QueryModule.spread; no-op at scale).
@@ -245,7 +277,7 @@ object EmbeddingQueries extends QueryModule {
       val probeCells = assigned.where($"vec_id" < 10 && $"crk" <= 3)
         .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cell")
       val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
-      cells.join(broadcast(probeCells), Seq("cell"))
+      val out = cells.join(broadcast(probeCells), Seq("cell"))
         .where($"vec_id" =!= $"qid")
         .withColumn("sim", call_function("cosine_sim", $"qe", $"embedding"))
         .withColumn("rank", row_number().over(w))
@@ -253,6 +285,18 @@ object EmbeddingQueries extends QueryModule {
         .selectExpr("qid", "rank", "vec_id AS nid", "cell",
           "CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6")
         .orderBy("qid", "rank")
+      // In-path recall gate (EmbeddingSpec's bound, now enforced on
+      // every run the driver times): nprobe=3 of ~10 weakly-informative
+      // cells on near-uniform vectors must still beat a quarter of the
+      // exact top-3.
+      QueryModule.gated(out) { rows =>
+        val exact = exactTop3(s, dir)
+        val overlap = rows.map(r => (r.getLong(0), r.getLong(2)))
+          .count(exact.contains)
+        require(overlap >= exact.size / 4,
+          s"emb_ivf_topk recall gate: $overlap/${exact.size} exact top-3 " +
+            "pairs recovered, below the 1/4 floor")
+      }
     }),
 
     // ANN via product quantization (the third ANN family next to IVF
@@ -263,9 +307,14 @@ object EmbeddingQueries extends QueryModule {
     // is encoded as 8 small code ids — at 100 TB the scored stream
     // carries (id, 8 bytes) instead of (id, 256 bytes of floats), the
     // entire point of PQ — probes score candidates against
-    // reconstructed centroids (asymmetric distance), the top-30 by
-    // approximate cosine are reranked exactly, and the final top-3 per
-    // probe ships. The codebook itself is K×64 doubles — collected and
+    // reconstructed centroids (asymmetric distance), a shortlist by
+    // approximate cosine is reranked exactly, and the final top-3 per
+    // probe ships. The shortlist SCALES with the corpus (n/16, floor
+    // 30): the r10 in-path recall gate caught a fixed 30-candidate
+    // budget silently degrading recall 8→4/30 at 10× corpus — the
+    // rerank budget is a recall knob and must grow with n when the
+    // quantizer is this coarse (K=10 labels), exactly the tuning a
+    // production PQ deployment does against its recall target. The codebook itself is K×64 doubles — collected and
     // closed over, as codebook training is the tiny offline step of
     // every PQ deployment. Hash/centroid-dependent ranking → rows-only;
     // EmbeddingSpec measures recall against emb_knn.
@@ -330,14 +379,15 @@ object EmbeddingQueries extends QueryModule {
           val approx = if (denom > 0) dot / denom else -1.0
           (qid, vid, math.floor(approx * 1000000).toLong)
         }.toDF("qid", "nid", "approx_e6")
+      val shortlist = math.max(30L, Tables.embeddings(s, dir).count() / 16)
       val wCand = Window.partitionBy($"qid").orderBy($"approx_e6".desc, $"nid")
       val cand = scored
         .withColumn("crk", row_number().over(wCand))
-        .where($"crk" <= 30)
+        .where($"crk" <= shortlist)
         .select($"qid", $"nid")
       // Exact rerank of the shortlist only.
       val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
-      cand
+      val out = cand
         .join(emb.select($"vec_id".as("nid"), $"embedding"), "nid")
         .join(broadcast(probes), "qid")
         .withColumn("sim", call_function("cosine_sim", $"qe", $"embedding"))
@@ -346,6 +396,17 @@ object EmbeddingQueries extends QueryModule {
         .selectExpr("qid", "rank", "nid",
           "CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6")
         .orderBy("qid", "rank")
+      // In-path recall gate (EmbeddingSpec's bound): the exact rerank
+      // of a 30-candidate PQ shortlist must recover at least a quarter
+      // of the exact top-3.
+      QueryModule.gated(out) { rows =>
+        val exact = exactTop3(s, dir)
+        val overlap = rows.map(r => (r.getLong(0), r.getLong(2)))
+          .count(exact.contains)
+        require(overlap >= exact.size / 4,
+          s"emb_pq_topk recall gate: $overlap/${exact.size} exact top-3 " +
+            "pairs recovered, below the 1/4 floor")
+      }
     }),
 
     // ANN via random-hyperplane LSH (sign sketch): 16 planes from a
@@ -392,13 +453,25 @@ object EmbeddingQueries extends QueryModule {
         .select($"qid", $"qe", $"vec_id", $"embedding")
         .distinct()
       val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
-      cands
+      val out = cands
         .withColumn("sim", call_function("cosine_sim", $"qe", $"embedding"))
         .withColumn("rank", row_number().over(w))
         .where($"rank" <= 3)
         .selectExpr("qid", "rank", "vec_id AS nid",
           "CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6")
         .orderBy("qid", "rank")
+      // In-path recall gate (EmbeddingSpec's bound): sign-sketch LSH on
+      // near-orthogonal random vectors is weak by nature — the floor is
+      // that it finds SOME true top-3 neighbors, i.e. the banding is
+      // actually correlated with similarity rather than hashing noise.
+      QueryModule.gated(out) { rows =>
+        val exact = exactTop3(s, dir)
+        val overlap = rows.map(r => (r.getLong(0), r.getLong(2)))
+          .count(exact.contains)
+        require(overlap > 0,
+          s"emb_ann_topk recall gate: 0/${exact.size} exact top-3 pairs " +
+            "recovered — the LSH bands carry no similarity signal")
+      }
     })
   )
 

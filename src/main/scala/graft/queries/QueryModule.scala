@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One named capability group of the engine. `SparkEntry` unions all
@@ -71,6 +71,23 @@ object QueryModule {
 
   /** [[duckRevenue]] over the standard lineitem columns. */
   val DuckRevenue: String = duckRevenue()
+
+  /** Self-asserting harness for the rows-only queries (the ones the
+    * driver checks only for non-emptiness because their output depends
+    * on engine-local hashing/merge order): execute the plan eagerly,
+    * run `check` — which recomputes the recall/error bound the query's
+    * ScalaTest spec proves and `require`s it — and return the
+    * materialized rows as a local relation, the same execute-assert-
+    * return shape as `SkewJoin.aqeSkewJoinDemo`. A rows-only row in
+    * CORRECTNESS then witnesses that the bound HELD in the executed
+    * path, not merely that rows came back. The collect is safe by
+    * contract: every gated query's output is bounded (top-k per fixed
+    * probe set, per-group sketch rows, candidate pairs post-verify). */
+  def gated(df: DataFrame)(check: Array[Row] => Unit): DataFrame = {
+    val rows = df.collect()
+    check(rows)
+    df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
 }
 
 trait QueryModule {

@@ -353,10 +353,31 @@ object RelationalQueries extends QueryModule {
     // engine-specific, so no SQL oracle (driver records rows-only).
     "rel_approx_distinct" -> ((s, dir) => {
       import s.implicits._
-      Tables.events(s, dir)
+      val out = Tables.events(s, dir)
         .groupBy($"event_type")
         .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"))
         .orderBy("event_type")
+      // In-path gate (SketchSpec's bound): every group's HLL++ estimate
+      // must sit within 4σ of the exact distinct count (rsd=0.01 is a
+      // standard deviation, not a hard bound; absolute floor of 4 for
+      // tiny groups). Ground truth is one exact count-distinct pass —
+      // the audit a production sketch rollout samples per partition.
+      QueryModule.gated(out) { rows =>
+        val approx = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+        val exact = Tables.events(s, dir)
+          .groupBy($"event_type")
+          .agg(countDistinct($"user_id").as("users"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(approx.keySet == exact.keySet,
+          s"rel_approx_distinct gate: group sets diverge " +
+            s"(${approx.keySet} vs ${exact.keySet})")
+        exact.foreach { case (k, e) =>
+          val a = approx(k)
+          require(math.abs(a - e) <= math.max(4L, (0.04 * e).toLong),
+            s"rel_approx_distinct gate: $k approx $a vs exact $e drifts " +
+              "past the 4σ HLL bound")
+        }
+      }
     }),
 
     // Scalar subquery through the SQL surface: orders above the global

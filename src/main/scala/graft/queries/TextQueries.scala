@@ -278,11 +278,40 @@ object TextQueries extends QueryModule {
         .select($"w", explode(sequence(lit(0), lit(3))).as("d"))
         .select($"w", $"d",
           pmod(xxhash64(concat($"w", lit("#"), $"d")), lit(W)).as("b"))
-      cand.join(broadcast(cms), Seq("d", "b"))
+      val out = cand.join(broadcast(cms), Seq("d", "b"))
         .groupBy($"w")
         .agg(min($"c").as("est_count"))
         .orderBy($"est_count".desc, $"w")
         .limit(20)
+      // In-path gate (SketchSpec's bounds): (1) a CMS bucket sums every
+      // colliding token, so min-over-depth can only OVER-estimate —
+      // each reported estimate must be ≥ the exact count of its token;
+      // (2) the exact top-5 tokens must all surface in the estimated
+      // top-20 (4×1024 buckets vs a ~1k-token vocab keeps collisions
+      // rare). Both ground truths reuse the persisted token scan; the
+      // exact counts are one extra aggregate over it — the audit pass a
+      // production CMS deployment samples.
+      QueryModule.gated(out) { rows =>
+        val words = rows.map(_.getString(0))
+        val exact = toks.where($"w".isin(words: _*))
+          .groupBy($"w").agg(count(lit(1)).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        rows.foreach { r =>
+          val (w, e) = (r.getString(0), r.getLong(1))
+          require(e >= exact.getOrElse(w, Long.MaxValue),
+            s"txt_heavy_hitters gate: CMS estimate $e undercounts exact " +
+              s"${exact.get(w)} for '$w'")
+        }
+        val top5 = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"w").limit(5)
+          .collect().map(_.getString(0))
+        val reported = words.toSet
+        top5.foreach { w =>
+          require(reported.contains(w),
+            s"txt_heavy_hitters gate: true heavy hitter '$w' missing " +
+              "from the CMS top-20")
+        }
+      }
     })
   )
 

@@ -611,7 +611,7 @@ object EventStreams {
   def drainAppend(df: DataFrame, tag: String, statePartitions: Int = 2,
       minBatches: Int = 0, rocksdb: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    drainProviders.put(tag.stripSuffix("_"), if (rocksdb) "rocksdb" else "hdfs")
+    recordProvider(tag, rocksdb)
     val tmp = tempDir(tag)
     // Any failure from here on (drain error OR a failed batch-count
     // assert) must not leak the checkpoint/out tree — loadAndClean is
@@ -675,7 +675,7 @@ object EventStreams {
   def drainUpdate(df: DataFrame, tag: String, statePartitions: Int = 2,
       minBatches: Int = 0, rocksdb: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    drainProviders.put(tag.stripSuffix("_"), if (rocksdb) "rocksdb" else "hdfs")
+    recordProvider(tag, rocksdb)
     val tmp = tempDir(tag)
     try {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -759,8 +759,11 @@ object EventStreams {
     * deployment puts checkpoints on HDFS/S3/DBFS, where durability is
     * the point, and pays the IO constant as the price of exactly-once
     * recovery. Falls back to `java.io.tmpdir` otherwise;
-    * `SPARK_GRAFT_SCRATCH=<dir>` overrides unconditionally (it is the
-    * deliberate A/B lever — no capacity second-guessing). */
+    * `SPARK_GRAFT_SCRATCH=<dir>` is the deliberate A/B lever and is
+    * honored unconditionally: created if missing, and FAILING LOUDLY
+    * if unusable — a typo'd override silently falling back to tmpfs
+    * would invert the disk-vs-tmpfs A/B it exists for (ADVICE r9). No
+    * capacity second-guessing on the explicit override. */
   private val MinScratchBytes = 512L * 1024 * 1024
   private[graft] def scratchRoot: java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
@@ -769,19 +772,40 @@ object EventStreams {
     def roomy(p: java.nio.file.Path) =
       try Files.getFileStore(p).getUsableSpace >= MinScratchBytes
       catch { case _: Exception => false }
-    sys.env.get("SPARK_GRAFT_SCRATCH").map(Paths.get(_)).filter(writable)
-      .orElse(Some(Paths.get("/dev/shm")).filter(p => writable(p) && roomy(p)))
-      .getOrElse(Paths.get(sys.props("java.io.tmpdir")))
+    sys.env.get("SPARK_GRAFT_SCRATCH") match {
+      case Some(dir) =>
+        val p = Paths.get(dir)
+        try Files.createDirectories(p)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_SCRATCH=$dir cannot be created: ${e.getMessage}", e)
+        }
+        if (!writable(p)) throw new IllegalArgumentException(
+          s"SPARK_GRAFT_SCRATCH=$dir exists but is not a writable directory")
+        p
+      case None =>
+        Some(Paths.get("/dev/shm")).filter(p => writable(p) && roomy(p))
+          .getOrElse(Paths.get(sys.props("java.io.tmpdir")))
+    }
   }
   private[graft] def tempDir(tag: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(scratchRoot, tag)
 
-  /** Runtime record of each drain's state-store provider, keyed by the
-    * drain tag (bench observability: the r8 driver bench couldn't
-    * attribute floor_delta between host noise and scratch/provider
-    * placement because neither was in the JSON — now both are). */
+  /** Runtime record of each drain tag's state-store providerS — a SET
+    * per tag, not last-write-wins: a tag that drains under both
+    * providers in one process (DrainProfile's heap/rocksdb A/B) must
+    * report both, or the bench JSON misattributes the rep that
+    * actually ran (ADVICE r9). Bench observability: the r8 driver
+    * bench couldn't attribute floor_delta between host noise and
+    * scratch/provider placement because neither was in the JSON. */
   private[graft] val drainProviders =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]()
+
+  private[graft] def recordProvider(tag: String, rocksdb: Boolean): Unit =
+    drainProviders
+      .computeIfAbsent(tag.stripSuffix("_"),
+        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+      .add(if (rocksdb) "rocksdb" else "hdfs")
 
   /** Recursive delete, deepest-first; missing paths are a no-op. */
   private[graft] def deleteTree(p: java.nio.file.Path): Unit = {

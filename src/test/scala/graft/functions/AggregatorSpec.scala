@@ -52,6 +52,13 @@ class AggregatorSpec extends SparkSpec {
     }
   }
 
+  test("TopKOrderedAgg rejects k = 0 at construction") {
+    // k = 0 used to defer the failure to the first reduce call's
+    // buf.last on an empty buffer — mid-task, inside an executor.
+    val e = intercept[IllegalArgumentException] { new TopKOrderedAgg(0) }
+    assert(e.getMessage.contains("k > 0"))
+  }
+
   test("property: SimHashAgg sums equal the collections-model bit weights") {
     import spark.implicits._
     val agg = udaf(new SimHashAgg)

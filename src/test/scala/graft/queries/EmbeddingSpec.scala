@@ -49,6 +49,23 @@ class EmbeddingSpec extends SparkSpec {
     assert(overlap >= exact.size / 4, s"PQ recall too low: $overlap/${exact.size}")
   }
 
+  test("emb_cosine_pairs refuses to build above the O(n²) yardstick ceiling") {
+    import spark.implicits._
+    // 10001 vectors: one past the cap. The guard's count() runs before
+    // any pair is built, so the oversized embedding payload can be
+    // trivial — the veto must fire at plan-build time, not mid-join.
+    val dir = java.nio.file.Files.createTempDirectory("yardstick").toString
+    (0L until 10001L).map(i => (i, (i % 10).toInt, Array(1.0f)))
+      .toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.SparkEntry.queries("emb_cosine_pairs")(spark, dir)
+    }
+    assert(e.getMessage.contains("yardstick"))
+    assert(e.getMessage.contains("emb_blocked_pairs"),
+      "the refusal must point at the scale-safe route")
+  }
+
   test("cosine pairs are symmetric-free (v1 < v2) and above threshold") {
     val rows = graft.SparkEntry.queries("emb_cosine_pairs")(spark, sf001).collect()
     assert(rows.nonEmpty)
