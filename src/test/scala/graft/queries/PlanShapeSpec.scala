@@ -375,4 +375,59 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Subquery") || p.contains("bloom_filter_agg"),
       "bloom build subquery missing from the physical plan")
   }
+
+  test("z-order layout skips row groups on a 2-D box predicate (scan metrics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // The pipe_zorder_layout query profiles the clustering; THIS test
+    // proves the layout's entire point — that a parquet read-back with
+    // a box predicate on BOTH dimensions actually prunes row groups.
+    // Same Morton ladder as the query.
+    def spreadBits(x: Column): Column =
+      Seq((8, 16711935L), (4, 252645135L), (2, 858993459L), (1, 1431655765L))
+        .foldLeft(x.bitwiseAND(lit(65535L))) { case (c, (sh, mask)) =>
+          c.bitwiseOR(shiftleft(c, sh)).bitwiseAND(lit(mask))
+        }
+    val li = graft.sources.Tables.lineitem(spark, sf001)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    // The production write path from the query's doc: range-partition
+    // by z, sort within, one row group per file at this size.
+    li.withColumn("z",
+        spreadBits($"l_partkey").bitwiseOR(shiftleft(spreadBits($"l_suppkey"), 1)))
+      .repartitionByRange(16, $"z").sortWithinPartitions($"z").drop("z")
+      .write.parquet(s"$base/zordered")
+    // Control: identical rows, insertion-order layout (round-robin) —
+    // every file spans the full key space, so min/max stats prune
+    // nothing.
+    li.repartition(16).write.parquet(s"$base/plain")
+    def scanned(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path)
+        .where($"l_partkey".between(1, 500) && $"l_suppkey".between(1, 25))
+      // collect() on THIS df so the inspected plan is the one that ran
+      // (count() would execute a separate query, leaving these metrics
+      // at zero).
+      val n = df.collect().length.toLong
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: FileSourceScanExec => f }
+        .getOrElse(fail("no FileSourceScanExec in the read-back plan"))
+      (scan.metrics("numOutputRows").value, n)
+    }
+    val (zRows, zResult) = scanned(s"$base/zordered")
+    val (pRows, pResult) = scanned(s"$base/plain")
+    info(s"scan rows: z-ordered $zRows vs unclustered $pRows (result $zResult)")
+    assert(zResult == pResult, "layouts must return identical results")
+    assert(pRows > 0 && zRows > 0)
+    // The unclustered control reads everything (observed: all 60k
+    // rows); the Morton layout must read less than half (observed:
+    // ~31% — files whose (partkey, suppkey) min/max box misses the
+    // predicate box are skipped whole. partkey, owning the even/high
+    // Morton bits, drives most of the pruning at 16 files; suppkey
+    // stats tighten further only at finer splits — the classic z-order
+    // asymmetry when one dimension's range dwarfs the other's).
+    assert(zRows * 2 <= pRows,
+      s"z-order layout scanned $zRows rows vs $pRows unclustered — no row-group skipping")
+  }
 }
