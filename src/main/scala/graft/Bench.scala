@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // after setLogLevel (it resets the root level); two windows are
+    // unpartitioned by design — see GraftSession.quietWindowExecWarning.
+    graft.sources.GraftSession.quietWindowExecWarning()
     // One throwaway action so JVM/codegen warmup isn't billed to
     // whichever query happens to run first (timings then compare
     // across rounds query-by-query). The shape matters: a bare

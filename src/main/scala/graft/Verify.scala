@@ -28,6 +28,10 @@ object Verify {
         graft.sources.GraftSession.classesDir)
     val spark = graft.sources.GraftSession.configure(b).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // after setLogLevel: that call resets the root level, this pins one
+    // logger below it (two windows are unpartitioned by design — see
+    // GraftSession.quietWindowExecWarning).
+    graft.sources.GraftSession.quietWindowExecWarning()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

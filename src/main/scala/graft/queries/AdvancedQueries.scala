@@ -22,8 +22,9 @@ object AdvancedQueries extends QueryModule {
       import s.implicits._
       val ev = Tables.events(s, dir)
         .where($"event_type".isin("view", "purchase"))
-        .selectExpr("user_id", "event_id", "ts div 1000 AS ts_us", "event_type",
-          "CASE WHEN event_type = 'view' THEN ts div 1000 END AS view_ts")
+        .selectExpr("user_id", "event_id", s"${QueryModule.TsUs} AS ts_us",
+          "event_type",
+          s"CASE WHEN event_type = 'view' THEN ${QueryModule.TsUs} END AS view_ts")
       val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       ev.withColumn("prior_view_ts", last($"view_ts", ignoreNulls = true).over(w))
@@ -87,7 +88,7 @@ object AdvancedQueries extends QueryModule {
       // (values are e6 fixed-point; absolute floor 1e6 ≈ one unit of
       // value covers sparse tails where neighbor spacing dominates).
       // Ground truth is one exact-percentile pass over the same groups.
-      QueryModule.gated(out) { rows =>
+      QueryModule.gated("rel_approx_quantiles", out) { rows =>
         val exact = Tables.events(s, dir)
           .groupBy($"event_type")
           .agg(

@@ -289,7 +289,7 @@ object EmbeddingQueries extends QueryModule {
       // every run the driver times): nprobe=3 of ~10 weakly-informative
       // cells on near-uniform vectors must still beat a quarter of the
       // exact top-3.
-      QueryModule.gated(out) { rows =>
+      QueryModule.gated("emb_ivf_topk", out) { rows =>
         val exact = exactTop3(s, dir)
         val overlap = rows.map(r => (r.getLong(0), r.getLong(2)))
           .count(exact.contains)
@@ -399,7 +399,7 @@ object EmbeddingQueries extends QueryModule {
       // In-path recall gate (EmbeddingSpec's bound): the exact rerank
       // of a 30-candidate PQ shortlist must recover at least a quarter
       // of the exact top-3.
-      QueryModule.gated(out) { rows =>
+      QueryModule.gated("emb_pq_topk", out) { rows =>
         val exact = exactTop3(s, dir)
         val overlap = rows.map(r => (r.getLong(0), r.getLong(2)))
           .count(exact.contains)
@@ -464,7 +464,7 @@ object EmbeddingQueries extends QueryModule {
       // near-orthogonal random vectors is weak by nature — the floor is
       // that it finds SOME true top-3 neighbors, i.e. the banding is
       // actually correlated with similarity rather than hashing noise.
-      QueryModule.gated(out) { rows =>
+      QueryModule.gated("emb_ann_topk", out) { rows =>
         val exact = exactTop3(s, dir)
         val overlap = rows.map(r => (r.getLong(0), r.getLong(2)))
           .count(exact.contains)

@@ -5,18 +5,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Event-stream analytics over the `events` table (epoch-nanosecond
-  * `ts`, JSON `props` — FIXTURES.md): tumbling/sliding/session windows,
-  * sessionization via window functions, and JSON extraction.
+/** Event-stream analytics over the `events` table (TIMESTAMP(MICROS)
+  * ntz `ts`, JSON `props` — FIXTURES.md): tumbling/sliding/session
+  * windows, sessionization via window functions, and JSON extraction.
   *
   * The reference has no streaming at all (SURVEY.md §2.2); these run as
   * batch plans, and the same transformations are exposed over
-  * `readStream` in [[graft.streaming]]. Timestamps are compared at
-  * microsecond precision on both sides: Spark truncates the nano long
-  * with `ts div 1000`, DuckDB's nanos→micros parquet read truncates the
-  * same way.
+  * `readStream` in [[graft.streaming]]. Integer event-time math runs on
+  * epoch micros on both sides: Spark via [[QueryModule.TsUs]], DuckDB
+  * via `epoch_us(ts)` — identical longs, both read from the same
+  * microsecond parquet column.
   */
 object EventsQueries extends QueryModule {
+
+  /** [[QueryModule.TsUs]], locally named for selectExpr interpolation. */
+  private val TS_US = QueryModule.TsUs
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -84,6 +87,26 @@ object EventsQueries extends QueryModule {
       }
     }),
 
+    // ev_stream_hourly's topology under a Trigger.ProcessingTime clock
+    // (r10 — the one trigger path no AvailableNow drain can exercise):
+    // a STANDING query whose micro-batches fire on wall-clock ticks,
+    // with no-data batches advancing the watermark between ticks, and
+    // the harness deciding quiescence + stopping the query — the
+    // resident-cluster deployment shape. Emission horizon, and so the
+    // oracle, is identical to ev_stream_hourly: the append horizon
+    // depends only on the final watermark, not on which clock scheduled
+    // the batches — the driver row proves exactly that equivalence.
+    "ev_stream_ptime" -> ((s, dir) => {
+      graft.streaming.EventStreams.withSplitEvents(s, dir, 3) { (src, nf) =>
+        graft.streaming.EventStreams.drainProcessingTime(
+            graft.streaming.EventStreams.hourlyCounts(src),
+            "graft_ev_ptime_", minBatches = nf)
+          .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
+            col("event_type"), col("n"))
+          .orderBy("hour_start", "event_type")
+      }
+    }),
+
     // Sliding windows: 2-hour length, 1-hour slide — each event lands in
     // exactly two windows (the oracle unions the two shifted buckets).
     "ev_sliding" -> ((s, dir) => {
@@ -102,7 +125,7 @@ object EventsQueries extends QueryModule {
       import s.implicits._
       val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
       Tables.events(s, dir)
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", expr(TS_US))
         .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(byUser))
         .withColumn("is_break", when($"gap_us" > 1800L * 1000 * 1000, 1L).otherwise(0L))
         .groupBy($"user_id")
@@ -128,7 +151,7 @@ object EventsQueries extends QueryModule {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
       Tables.events(s, dir)
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", expr(TS_US))
         .withColumn("delta", $"value" - lag($"value", 1).over(w))
         .where($"delta".isNotNull && $"user_id" < 30)
         .select($"user_id", $"event_id", $"value", $"delta")
@@ -142,9 +165,9 @@ object EventsQueries extends QueryModule {
       import s.implicits._
       val ev = Tables.events(s, dir)
         .where($"event_type".isin("signup", "purchase"))
-        .selectExpr("user_id", "event_id", "ts div 1000 AS ts_us", "event_type",
+        .selectExpr("user_id", "event_id", s"$TS_US AS ts_us", "event_type",
           "ts_utc",
-          "CASE WHEN event_type = 'purchase' THEN ts div 1000 END AS purch_ts")
+          s"CASE WHEN event_type = 'purchase' THEN $TS_US END AS purch_ts")
       val wFwd = Window.partitionBy($"user_id")
         .orderBy($"ts_us".desc, $"event_id".desc)
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -216,7 +239,7 @@ object EventsQueries extends QueryModule {
       Tables.events(s, dir)
         .where($"value".isNotNull)
         .select($"event_id", $"event_type",
-          expr("ts div 1000000000").as("sec"),
+          expr(s"$TS_US div 1000000").as("sec"),
           floor($"value" * 1000000).cast("long").as("v_e6"))
         .withColumn("n_1h", count(lit(1)).over(w))
         .withColumn("sum_e6_1h", sum($"v_e6").over(w))
@@ -236,7 +259,7 @@ object EventsQueries extends QueryModule {
     "ev_gap_fill" -> ((s, dir) => {
       import s.implicits._
       val ev = Tables.events(s, dir)
-        .select($"event_type", expr("ts div 3600000000000").as("hr"),
+        .select($"event_type", expr(s"$TS_US div 3600000000").as("hr"),
           floor($"value" * 1000000).cast("long").as("v_e6"))
       val hourly = ev.groupBy($"event_type", $"hr")
         .agg(count(lit(1)).as("n"), sum($"v_e6").as("sum_e6"))
@@ -291,7 +314,7 @@ object EventsQueries extends QueryModule {
     "ev_compact_latest" -> ((s, dir) => {
       import s.implicits._
       Tables.events(s, dir)
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", expr(TS_US))
         .groupBy($"user_id", $"event_type")
         .agg(count(lit(1)).as("n_events"),
           max(struct($"ts_us", $"event_id", $"value")).as("m"))
@@ -333,7 +356,7 @@ object EventsQueries extends QueryModule {
     // AvailableNow drain's output is exactly the batch join; the result
     // aggregates to attributed-purchase counts per user and the oracle
     // is the equivalent batch self-join at MICROSECOND precision (the
-    // streaming clock is `ts div 1000`).
+    // streaming clock is the µs `ts` itself).
     "ev_stream_attrib" -> ((s, dir) => {
       import s.implicits._
       // One logical source, but the physical plan necessarily carries
@@ -385,7 +408,7 @@ object EventsQueries extends QueryModule {
       import s.implicits._
       graft.streaming.EventStreams.withSplitEvents(s, dir, 3) { (src, nf) =>
         val evs = src
-          .selectExpr("user_id AS userId", "ts div 1000 AS tsUs",
+          .selectExpr("user_id AS userId", s"$TS_US AS tsUs",
             "event_type AS eventType")
           .as[graft.streaming.Ev]
         graft.streaming.EventStreams.drainAppend(
@@ -418,7 +441,7 @@ object EventsQueries extends QueryModule {
       graft.streaming.EventStreams.withSplitEvents(s, dir, 3) { (src, nf) =>
       val evs = src
         .selectExpr("user_id AS userId", "event_id AS eventId",
-          "ts div 1000 AS tsUs", "event_type AS eventType", "value")
+          s"$TS_US AS tsUs", "event_type AS eventType", "value")
         .as[graft.streaming.EvRec]
       graft.streaming.EventStreams.drainUpdate(
           graft.streaming.EventStreams.latestState(evs).toDF(),
@@ -573,7 +596,7 @@ object EventsQueries extends QueryModule {
       import s.implicits._
       graft.streaming.EventStreams.withSplitEvents(s, dir, 3) { (src, nf) =>
         val evs = src
-          .selectExpr("user_id AS userId", "ts div 1000 AS tsUs",
+          .selectExpr("user_id AS userId", s"$TS_US AS tsUs",
             "event_type AS eventType")
           .as[graft.streaming.Ev]
         graft.streaming.EventStreams.drainUpdate(
@@ -612,6 +635,16 @@ object EventsQueries extends QueryModule {
     // delay) has passed its end. Spark tracks event time in
     // milliseconds, so the horizon compares at ms precision.
     "ev_stream_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        |  count(*) AS n
+        |FROM events
+        |WHERE epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+        |      <= (SELECT epoch_ms(max(ts)) - 7200000 FROM events)
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
+    // Same horizon as ev_stream_hourly BY DESIGN: the processing-time
+    // clock must not change what the watermark emits.
+    "ev_stream_ptime" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         |  count(*) AS n
         |FROM events
@@ -778,8 +811,8 @@ object EventsQueries extends QueryModule {
         |      <= (SELECT epoch_ms(max(ts)) - 7200000 FROM events)
         |GROUP BY 1, 2
         |ORDER BY day, event_type""".stripMargin,
-    // Batch self-join at µs precision (epoch_us truncates the nanos
-    // exactly like the streaming side's `ts div 1000`).
+    // Batch self-join at µs precision (epoch_us reads the same
+    // microsecond clock the streaming side's tsUs carries).
     "ev_stream_attrib" ->
       """SELECT c.user_id AS user_id, count(*) AS n_attributed
         |FROM events c JOIN events p

@@ -72,6 +72,16 @@ object QueryModule {
   /** [[duckRevenue]] over the standard lineitem columns. */
   val DuckRevenue: String = duckRevenue()
 
+  /** Epoch-microseconds of the events table's ntz `ts` — the integer
+    * event-time clock every gap/as-of/session computation runs on
+    * (exact long arithmetic; timestamp intervals would round-trip
+    * through intervals/doubles). The ntz→timestamp cast is wall-clock-
+    * preserving under the UTC session GraftSession pins; the DuckDB
+    * rendering is `epoch_us(ts)` (identical values — both engines read
+    * the same TIMESTAMP(MICROS) parquet since the r10 fixture refresh).
+    * Same byte-identity policy as [[Tokens]]. */
+  val TsUs = "unix_micros(CAST(ts AS TIMESTAMP))"
+
   /** Self-asserting harness for the rows-only queries (the ones the
     * driver checks only for non-emptiness because their output depends
     * on engine-local hashing/merge order): execute the plan eagerly,
@@ -82,12 +92,22 @@ object QueryModule {
     * CORRECTNESS then witnesses that the bound HELD in the executed
     * path, not merely that rows came back. The collect is safe by
     * contract: every gated query's output is bounded (top-k per fixed
-    * probe set, per-group sketch rows, candidate pairs post-verify). */
-  def gated(df: DataFrame)(check: Array[Row] => Unit): DataFrame = {
+    * probe set, per-group sketch rows, candidate pairs post-verify).
+    *
+    * The INNER (pre-gate) DataFrame is recorded in [[gatedPlans]] under
+    * `name`: the returned local relation hides the real physical plan,
+    * and the plan-shape guards (PlanShapeSpec) must keep asserting on
+    * the plan that actually executed, not on a LocalTableScan. */
+  def gated(name: String, df: DataFrame)(check: Array[Row] => Unit): DataFrame = {
+    gatedPlans.put(name, df)
     val rows = df.collect()
     check(rows)
     df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
+
+  /** Last inner plan per gated query name (test/diagnostic hook). */
+  val gatedPlans =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 }
 
 trait QueryModule {

@@ -231,7 +231,8 @@ object RelationalQueries extends QueryModule {
     // engines (lag yields NULL on each user's first event).
     "rel_groupby_null" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy(expr("ts div 1000"), $"event_id")
+      val w = Window.partitionBy($"user_id")
+        .orderBy(expr(QueryModule.TsUs), $"event_id")
       Tables.events(s, dir)
         .withColumn("prev_type", lag($"event_type", 1).over(w))
         .groupBy(coalesce($"prev_type", lit("<none>")).as("prev_type"))
@@ -362,7 +363,7 @@ object RelationalQueries extends QueryModule {
       // standard deviation, not a hard bound; absolute floor of 4 for
       // tiny groups). Ground truth is one exact count-distinct pass —
       // the audit a production sketch rollout samples per partition.
-      QueryModule.gated(out) { rows =>
+      QueryModule.gated("rel_approx_distinct", out) { rows =>
         val approx = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
         val exact = Tables.events(s, dir)
           .groupBy($"event_type")

@@ -291,7 +291,7 @@ object TextQueries extends QueryModule {
       // rare). Both ground truths reuse the persisted token scan; the
       // exact counts are one extra aggregate over it — the audit pass a
       // production CMS deployment samples.
-      QueryModule.gated(out) { rows =>
+      QueryModule.gated("txt_heavy_hitters", out) { rows =>
         val words = rows.map(_.getString(0))
         val exact = toks.where($"w".isin(words: _*))
           .groupBy($"w").agg(count(lit(1)).as("cnt"))

@@ -7,9 +7,10 @@ import org.apache.spark.sql.SparkSession
   * Central so that fixture-driven settings are visible at construction
   * time instead of mutated mid-session by readers (ADVICE r01):
   *
-  *  - `nanosAsLong`: `events.ts` is INT64 TIMESTAMP(NANOS) parquet,
-  *    which Spark 4 refuses to read as a timestamp (FIXTURES.md).
-  *  - UTC session timezone: oracle parity (DuckDB runs in UTC).
+  *  - UTC session timezone: oracle parity (DuckDB runs in UTC), and it
+  *    makes TIMESTAMP_NTZ↔TIMESTAMP casts wall-clock-preserving
+  *    (`events.ts` is TIMESTAMP(MICROS) ntz parquet since the r10
+  *    fixture refresh — FIXTURES.md).
   *  - [[graft.functions.GraftExtensions]]: registers the engine's native
   *    Catalyst functions (e.g. `cosine_sim`).
   */
@@ -46,9 +47,26 @@ object GraftSession {
     *    the checkpoint location — size local disks for state, not just
     *    shuffle. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+
+  /** Silence WindowExec's "No Partition Defined" warning — HARNESS
+    * MAINS ONLY (Verify/Bench call this; the library itself never
+    * does, so consumers keep the canary). The suite contains exactly
+    * two deliberately unpartitioned windows: the two-level prefix sums
+    * of `pipe_pack_sequences` / `pipe_shard_assign` run their GLOBAL
+    * pass over tiny per-bucket/per-size aggregate tables — bounded
+    * cardinality by design, a single partition is the point — and the
+    * warning fires once per run of each, alarming every future reader
+    * of the bench tail (r9 verdict). A constant partitionBy(lit(0))
+    * does not survive Catalyst constant folding (verified r10), so the
+    * honest fix is at the logger. The real regression guard is
+    * PlanShapeSpec, which pins the corpus-side windows' partition keys
+    * — losing one fails CI regardless of log level. */
+  def quietWindowExecWarning(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
   /** Where this build's graft classes live (sbt runs from a classes
     * directory, not a jar, so local-cluster dev smoke runs must ship it

@@ -29,27 +29,19 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events.ts` is INT64 epoch-*nanoseconds* (TIMESTAMP(NANOS)-annotated
-    * parquet). Spark 4 refuses to read that as a timestamp — it must be
-    * read as a long (`nanosAsLong`) and converted explicitly
-    * (FIXTURES.md; verified failure mode). Conversion uses integer
-    * division: a double intermediate at ~1.7e18 ns would lose
-    * sub-microsecond precision.
+  /** `events.ts` is TIMESTAMP(MICROS) parquet, not adjusted to UTC, so
+    * Spark reads it natively as TIMESTAMP_NTZ (r10 fixture refresh; the
+    * pre-r10 fixtures stored INT64 epoch-nanos, which needed the
+    * `nanosAsLong` legacy read plus explicit conversion — both retired).
     *
-    * Adds `ts_utc` (timestamp from the nano ts) next to the raw columns.
-    *
-    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session
-    * (set at construction by Verify/Bench/SparkSpec — see
-    * [[GraftSession.configure]]); without it the parquet read fails with
-    * PARQUET_TYPE_ILLEGAL. Deliberately NOT set here: toggling shared
-    * session state inside a per-table reader changes behavior of every
-    * subsequent parquet read (ADVICE r01).
+    * Adds `ts_utc` next to the raw columns: the same wall clock kept as
+    * ntz, the type every written-then-read-back result and every oracle
+    * comparison uses (tz-free, matching the fixture date columns).
+    * Queries needing integer event-time math derive epoch micros with
+    * `unix_micros(CAST(ts AS TIMESTAMP))` — wall-clock-preserving under
+    * the UTC session [[GraftSession.configure]] pins.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-      // ntz: written results then read back as naive timestamps (same as
-      // the fixture date columns), keeping oracle comparisons tz-free.
-      // Under the UTC session this is the UTC wall clock of the instant.
-      .withColumn("ts_utc",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      .withColumn("ts_utc", col("ts"))
 }

@@ -43,10 +43,10 @@ private final case class LatestSt(tsUs: Long, eventId: Long, value: Double, n: L
 object EventStreams {
 
   /** The events schema as the streaming file source needs it declared
-    * up front (nanos `ts` read as long — same convention as the batch
-    * reader, FIXTURES.md). */
+    * up front (`ts` is TIMESTAMP(MICROS) ntz parquet — same convention
+    * as the batch reader, FIXTURES.md). */
   val schema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -64,7 +64,7 @@ object EventStreams {
       // directory, and the fixture's events table is a single file — a
       // glob keeps the base at `dir` while matching only that file.
       .parquet(s"$dir/{events.parquet}")
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", col("ts").cast("timestamp"))
 
   /** Multi-micro-batch form of [[fromParquetDir]]: stage the events
     * table as `n` EVENT-TIME-CONTIGUOUS files under `tmp/src` (file k
@@ -109,8 +109,11 @@ object EventStreams {
       tmp: java.nio.file.Path, n: Int, redeliver: Boolean): Int = {
     import java.nio.file.Files
     val src = Files.createDirectories(tmp.resolve("src"))
+    // Slice arithmetic runs on epoch-micros longs (exact integers); the
+    // ntz→timestamp cast is wall-clock-preserving under the UTC session.
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val b = raw.agg(min(col("ts")), max(col("ts"))).head()
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    val b = raw.agg(min(col("ts_us")), max(col("ts_us"))).head()
     val (tmin, tmax) = (b.getLong(0), b.getLong(1))
     val span = math.max(tmax - tmin + 1, n.toLong)
     var staged = 0
@@ -118,7 +121,7 @@ object EventStreams {
     while (k < n) {
       val lo = tmin + span * k / n
       val hi = tmin + span * (k + 1) / n
-      val slice = raw.where(col("ts") >= lo && col("ts") < hi)
+      val slice = raw.where(col("ts_us") >= lo && col("ts_us") < hi).drop("ts_us")
       val name = f"part-${staged}%03d.parquet"
       if (stageSourceFile(tmp, src, slice, name) > 0) {
         stampOrder(src.resolve(name), staged)
@@ -142,7 +145,7 @@ object EventStreams {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(src.toString)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", col("ts").cast("timestamp"))
 
   /** Scoped [[splitEventsSource]] with a PROCESS-LIFETIME cache of the
     * staged tree, keyed by `(dir, n, redeliver)`: nine drain queries
@@ -442,23 +445,26 @@ object EventStreams {
     try {
       val src = java.nio.file.Files.createDirectories(tmp.resolve("src"))
       val raw = spark.read.parquet(s"$dir/events.parquet")
-      val b = raw.agg(min(col("ts")), max(col("ts"))).head()
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val b = raw.agg(min(col("ts_us")), max(col("ts_us"))).head()
       val (tmin, tmax) = (b.getLong(0), b.getLong(1))
-      val hourNs = 3600L * 1000 * 1000 * 1000
+      val hourUs = 3600L * 1000 * 1000
       // Cut on a half-hour boundary so the cut hour's window spans both
       // drains; all of file 2's event times sit at/above the cut, hence
       // above drain 1's watermark — nothing arrives late by design.
-      val cut = ((tmin + (tmax - tmin) * 3 / 5) / hourNs) * hourNs + hourNs / 2
+      val cut = ((tmin + (tmax - tmin) * 3 / 5) / hourUs) * hourUs + hourUs / 2
       val stream = spark.readStream.schema(schema).parquet(src.toString)
-        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts_utc", col("ts").cast("timestamp"))
       val agg = hourlyCounts(stream)
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "2")
       val (got1, n1, got2, n2) =
         try {
-          val n1 = stageSourceFile(tmp, src, raw.where(col("ts") < cut), "t0.parquet")
+          val n1 = stageSourceFile(tmp, src,
+            raw.where(col("ts_us") < cut).drop("ts_us"), "t0.parquet")
           val got1 = checkpointedDrain(spark, agg, tmp)
-          val n2 = stageSourceFile(tmp, src, raw.where(col("ts") >= cut), "t1.parquet")
+          val n2 = stageSourceFile(tmp, src,
+            raw.where(col("ts_us") >= cut).drop("ts_us"), "t1.parquet")
           val got2 = checkpointedDrain(spark, agg, tmp)
           (got1, n1, got2, n2)
         } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -510,15 +516,16 @@ object EventStreams {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     val rows = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
     val dataBatches = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Integer]()
+    val emptyBatches = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Integer]()
     val terminated = java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
       val n = e.progress.numInputRows
       rows.merge(e.progress.runId, java.lang.Long.valueOf(n), (a, b) =>
         java.lang.Long.valueOf(a.longValue + b.longValue))
-      if (n > 0)
-        dataBatches.merge(e.progress.runId, java.lang.Integer.valueOf(1), (a, b) =>
-          java.lang.Integer.valueOf(a.intValue + b.intValue))
+      val tgt = if (n > 0) dataBatches else emptyBatches
+      tgt.merge(e.progress.runId, java.lang.Integer.valueOf(1), (a, b) =>
+        java.lang.Integer.valueOf(a.intValue + b.intValue))
     }
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
       terminated.add(e.runId); ()
@@ -545,6 +552,42 @@ object EventStreams {
         Thread.sleep(10)
       (Option(counter.rows.get(run)).map(_.longValue).getOrElse(0L),
         Option(counter.dataBatches.get(run)).map(_.intValue).getOrElse(0))
+    } finally spark.streams.removeListener(counter)
+  }
+
+  /** Processing-time-trigger counterpart of [[awaitCounted]]: a
+    * `Trigger.ProcessingTime` query NEVER self-terminates — the trigger
+    * clock keeps firing micro-batches forever — so the drain must
+    * decide quiescence itself and `stop()` the query. Quiescence here
+    * is two-phase: (1) every available source row has been ingested
+    * (`processAllAvailable`, which waits on OFFSETS, not on emission);
+    * (2) at least `emptiesWanted` further NO-DATA micro-batches have
+    * committed — the first empty batch after the last data batch is the
+    * one that advances the watermark past the final slice and emits the
+    * windows it closes (`noDataMicroBatches`, on by default); waiting
+    * for a second proves the first completed. Only then is an
+    * append-mode sink equivalent to what an AvailableNow run leaves
+    * behind — stopping right after phase 1 would race the final
+    * emission and lose the last closed windows nondeterministically.
+    * Returns the data-batch count; capped wait so a wedged clock can't
+    * hang the correctness run (same philosophy as awaitCounted). */
+  private def awaitQuiescent(spark: SparkSession,
+      start: => org.apache.spark.sql.streaming.StreamingQuery,
+      emptiesWanted: Int = 2): Int = {
+    val counter = new DrainCounter
+    spark.streams.addListener(counter)
+    try {
+      val q = start
+      val run = q.runId
+      try {
+        q.processAllAvailable()
+        val base = Option(counter.emptyBatches.get(run)).map(_.intValue).getOrElse(0)
+        def empties = Option(counter.emptyBatches.get(run)).map(_.intValue).getOrElse(0)
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (empties < base + emptiesWanted && System.nanoTime() < deadline)
+          Thread.sleep(25)
+      } finally q.stop()
+      Option(counter.dataBatches.get(run)).map(_.intValue).getOrElse(0)
     } finally spark.streams.removeListener(counter)
   }
 
@@ -630,6 +673,45 @@ object EventStreams {
               .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
               .start())._2
         }
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      assertBatches(batches, minBatches)
+    } catch { case e: Throwable => deleteTree(tmp); throw e }
+    loadAndClean(spark, tmp, df.schema)
+  }
+
+  /** [[drainAppend]] under a `Trigger.ProcessingTime` clock — the
+    * resident-cluster shape (a standing query whose micro-batches fire
+    * on wall-clock ticks) as opposed to AvailableNow's scheduled-job
+    * shape. Everything the AvailableNow drains prove about PLAN
+    * semantics carries over unchanged — same source, same watermarked
+    * topology, same sink — what this exercises that they cannot is the
+    * trigger CLOCK path: batches scheduled by timer rather than by the
+    * drain-and-exit loop, no-data batches firing between ticks, and the
+    * harness (not the engine) deciding quiescence and stopping the
+    * query ([[awaitQuiescent]]). The short interval only sets tick
+    * granularity at fixture scale; a production deployment picks the
+    * latency/cost point (seconds to minutes), the semantics are
+    * interval-independent. Same shuffle-partition override, minBatches
+    * witness and temp-tree hygiene as drainAppend. */
+  def drainProcessingTime(df: DataFrame, tag: String,
+      statePartitions: Int = 2, minBatches: Int = 0,
+      intervalMs: Long = 100): DataFrame = {
+    val spark = df.sparkSession
+    recordProvider(tag, rocksdb = false)
+    val tmp = tempDir(tag)
+    try {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      val batches =
+        try awaitQuiescent(spark,
+          df.writeStream
+            .format("parquet")
+            .option("path", s"$tmp/out")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode(OutputMode.Append)
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .ProcessingTime(intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+            .start())
         finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       assertBatches(batches, minBatches)
     } catch { case e: Throwable => deleteTree(tmp); throw e }

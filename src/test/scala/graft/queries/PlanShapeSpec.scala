@@ -11,6 +11,14 @@ class PlanShapeSpec extends SparkSpec {
     graft.SparkEntry.queries(name)(spark, sf001)
       .queryExecution.executedPlan.toString
 
+  /** Plan of a GATED (rows-only) query: `gated()` returns a local
+    * relation of the checked rows, so the real physical plan must be
+    * read from the inner-plan registry it populates. */
+  private def gatedPlan(name: String): String = {
+    graft.SparkEntry.queries(name)(spark, sf001)
+    QueryModule.gatedPlans.get(name).queryExecution.executedPlan.toString
+  }
+
   test("filter+project reaches the parquet scan (pushdown + pruning)") {
     val p = plan("rel_filter_topn")
     assert(p.contains("PushedFilters: [IsNotNull"), "no pushed filters in scan")
@@ -226,7 +234,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("CMS estimate join broadcasts the sketch table; build is partial+final") {
-    val p = plan("txt_heavy_hitters")
+    val p = gatedPlan("txt_heavy_hitters")
     assert(p.contains("BroadcastHashJoin"),
       "the 4×1024 CMS table should broadcast against the candidates")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
@@ -254,7 +262,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("PQ scoring broadcasts the probes; rerank joins stay keyed") {
-    val p = plan("emb_pq_topk")
+    val p = gatedPlan("emb_pq_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "PQ probe side should broadcast")
     assert(!p.contains("CartesianProduct"), "PQ scoring degenerated to cartesian")

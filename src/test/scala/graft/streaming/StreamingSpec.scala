@@ -353,7 +353,8 @@ class StreamingSpec extends SparkSpec {
       .select($"hour_start".cast("string"), $"event_type", $"n")
       .as[(String, String, Long)].collect().toSet
     val maxMs = graft.sources.Tables.events(spark, sf0001)
-      .selectExpr("max(ts div 1000000)").as[Long].head()
+      .selectExpr(s"max(${graft.queries.QueryModule.TsUs} div 1000)")
+      .as[Long].head()
     val batch = graft.sources.Tables.events(spark, sf0001)
       .groupBy(date_trunc("hour", $"ts_utc").as("h"), $"event_type")
       .agg(count(lit(1)).as("n"))
@@ -374,6 +375,21 @@ class StreamingSpec extends SparkSpec {
     val cdc = rows("ev_stream_compact")
     assert(cdc == rows("ev_compact_latest") && cdc.nonEmpty,
       "streaming CDC drain diverged from the batch compaction")
+  }
+
+  test("processing-time drain emits the same horizon as the AvailableNow drain") {
+    import spark.implicits._
+    // Same topology, same source, different trigger CLOCK: the standing
+    // ProcessingTime query (harness-stopped after quiescence) must emit
+    // exactly the windows the drain-and-exit AvailableNow run emits —
+    // the append horizon depends only on the final watermark.
+    def rows(name: String) = graft.SparkEntry.queries(name)(spark, sf0001)
+      .select($"hour_start".cast("string"), $"event_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    val pt = rows("ev_stream_ptime")
+    assert(pt == rows("ev_stream_hourly"),
+      "trigger clock changed the emitted horizon")
+    assert(pt.nonEmpty)
   }
 
   test("incremental drain resumes from the checkpoint and covers the table exactly") {
@@ -415,7 +431,8 @@ class StreamingSpec extends SparkSpec {
     // emits iff the global watermark W = min(max click ms, max purch ms)
     // − 1 h passed the end of its 1 h match window.
     val ev = graft.sources.Tables.events(spark, sf0001)
-      .selectExpr("user_id", "event_type", "ts div 1000 AS us")
+      .selectExpr("user_id", "event_type",
+        s"${graft.queries.QueryModule.TsUs} AS us")
     val clicks = ev.where($"event_type" === "click").select($"user_id", $"us".as("cus"))
     val purch = ev.where($"event_type" === "purchase").select($"user_id".as("pu"), $"us".as("pus"))
     val wm = math.min(
