@@ -713,9 +713,22 @@ object DedupQueries extends QueryModule {
       // pair-free corpus labels is empty, the frontier is empty, and
       // the loop is skipped outright.
       var frontier = labels.where($"label" < $"node").persist()
-      var converged = frontier.isEmpty
+      var frontierRows = frontier.count()
+      var converged = frontierRows == 0L
+      // The loop KNOWS each round's exact delta cardinality (the
+      // convergence count) — so the broadcast-vs-shuffle choice for the
+      // delta joins is made explicitly from it rather than left to
+      // AQE's runtime conversion (the RDD-cut tables carry no stats, so
+      // static planning would pick sort-merge and pay the big sides'
+      // shuffle writes first). Round 1's frontier can be a large
+      // fraction of the graph — never forced; once the delta fits the
+      // bound (2 longs/row, ~30 MB at the cap), every remaining round
+      // is scan + broadcast-hash-join, shuffle-free on the big sides.
+      val broadcastFrontierMax = 1000000L
       while (!converged) {
-        val f = frontier.select($"node".as("fn"), $"label".as("fl"))
+        val fRaw = frontier.select($"node".as("fn"), $"label".as("fl"))
+        val f = if (frontierRows <= broadcastFrontierMax) broadcast(fRaw)
+                else fRaw
         // (a) offer each frontier node's new label to its neighbors;
         // (b) hop: relabel nodes whose stored label just changed.
         val viaEdges = sym.join(f, $"d1" === $"fn")
@@ -750,17 +763,20 @@ object DedupQueries extends QueryModule {
         // joins against a frontier that produces nothing — near-free,
         // where the pre-r10 loop's terminal confirmation re-aggregated
         // the full label table.
-        if (nextFrontier.count() == 0L) {
+        val deltaRows = nextFrontier.count()
+        if (deltaRows == 0L) {
           nextFrontier.unpersist(); converged = true
         } else {
-          val upd = nextFrontier.select($"node".as("un"), $"label".as("ul"))
+          val updRaw = nextFrontier.select($"node".as("un"), $"label".as("ul"))
+          val upd = if (deltaRows <= broadcastFrontierMax) broadcast(updRaw)
+                    else updRaw
           val patched = labels.join(upd, $"node" === $"un", "left")
             .select($"node", coalesce($"ul", $"label").as("label"))
           val next =
             s.createDataFrame(patched.rdd, patched.schema).persist()
           next.count() // force the cache before dropping its inputs
           labels.unpersist(); frontier.unpersist()
-          labels = next; frontier = nextFrontier
+          labels = next; frontier = nextFrontier; frontierRows = deltaRows
         }
       }
       labels.groupBy($"label".as("cluster_id"))

@@ -560,20 +560,26 @@ object EventStreams {
     * clock keeps firing micro-batches forever — so the drain must
     * decide quiescence itself and `stop()` the query. Quiescence here
     * is two-phase: (1) every available source row has been ingested
-    * (`processAllAvailable`, which waits on OFFSETS, not on emission);
-    * (2) at least `emptiesWanted` further NO-DATA micro-batches have
-    * committed — the first empty batch after the last data batch is the
-    * one that advances the watermark past the final slice and emits the
-    * windows it closes (`noDataMicroBatches`, on by default); waiting
-    * for a second proves the first completed. Only then is an
-    * append-mode sink equivalent to what an AvailableNow run leaves
-    * behind — stopping right after phase 1 would race the final
-    * emission and lose the last closed windows nondeterministically.
-    * Returns the data-batch count; capped wait so a wedged clock can't
-    * hang the correctness run (same philosophy as awaitCounted). */
+    * (`processAllAvailable`, which waits on OFFSETS — so every DATA
+    * batch has committed — not on emission); (2) at least ONE NO-DATA
+    * micro-batch has committed IN TOTAL: the first empty batch after
+    * the last data batch is the one that runs with the final slice's
+    * watermark and emits the windows it closes (`noDataMicroBatches`,
+    * on by default). The count is ABSOLUTE, not
+    * relative-to-a-post-phase-1 snapshot: empty batches cannot occur
+    * between data batches (a tick with files pending reads one — it is
+    * a data batch), so any counted empty IS a final-watermark batch;
+    * and once the watermark stops advancing the engine runs NO further
+    * empty batches, so waiting for a second one relative to a snapshot
+    * that might already include the first would just burn the whole
+    * deadline (observed: 62 s for a 2 s drain). Stopping right after
+    * phase 1 would race the final emission and lose the last closed
+    * windows nondeterministically. Returns the data-batch count; capped
+    * wait so a wedged clock can't hang the correctness run (same
+    * philosophy as awaitCounted — a missing emission fails the oracle
+    * compare loudly). */
   private def awaitQuiescent(spark: SparkSession,
-      start: => org.apache.spark.sql.streaming.StreamingQuery,
-      emptiesWanted: Int = 2): Int = {
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Int = {
     val counter = new DrainCounter
     spark.streams.addListener(counter)
     try {
@@ -581,10 +587,9 @@ object EventStreams {
       val run = q.runId
       try {
         q.processAllAvailable()
-        val base = Option(counter.emptyBatches.get(run)).map(_.intValue).getOrElse(0)
         def empties = Option(counter.emptyBatches.get(run)).map(_.intValue).getOrElse(0)
-        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        while (empties < base + emptiesWanted && System.nanoTime() < deadline)
+        val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+        while (empties < 1 && System.nanoTime() < deadline)
           Thread.sleep(25)
       } finally q.stop()
       Option(counter.dataBatches.get(run)).map(_.intValue).getOrElse(0)
