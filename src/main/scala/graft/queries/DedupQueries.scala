@@ -71,6 +71,118 @@ object DedupQueries extends QueryModule {
     *  - verification: one `array_intersect` per surviving pair against
     *    the collected per-doc sets — one row per candidate instead of a
     *    candidates×shingles double join. */
+  /** Connected components by FRONTIER min-label propagation (r10).
+    *
+    * `edges` must have two long columns `d1`, `d2` (one row per
+    * undirected edge; self-loops and duplicates are harmless). Returns
+    * `(node, label)` with label = the minimum node id reachable from
+    * `node` — only nodes that appear in some edge are returned. The
+    * caller should persist `edges` when it is expensive to recompute
+    * (this function scans it once per round).
+    *
+    * Labels only ever decrease, and a node's min-over-neighbors can
+    * only change when a NEIGHBOR's label changed — so each round ships
+    * only the labels that changed last round (the frontier), through
+    * two delta joins: (a) frontier labels offered along edges, (b) a
+    * pointer-hop for nodes whose STORED label is a frontier node
+    * (label ← label(label), the union-find path-compression idea
+    * restricted to changed pointees). Converged regions stop shipping
+    * rows entirely: on a 100 TB near-dup graph most components converge
+    * in round 1 (cliques), so after it the frontier collapses to the
+    * few deep components. The loop KNOWS each round's exact delta
+    * cardinality (the convergence count), so the broadcast-vs-shuffle
+    * choice for the delta joins is made explicitly from it rather than
+    * left to AQE's runtime conversion (the RDD-cut tables carry no
+    * stats; static planning would pick sort-merge and pay the big
+    * sides' shuffle writes first). Round 1's frontier can be a large
+    * fraction of the graph — never forced; once the delta fits the
+    * bound (2 longs/row, ~30 MB at the cap), every remaining round is
+    * scan + broadcast-hash-join, shuffle-free on the big sides.
+    *
+    * Correctness: every label value is offered to all neighbors exactly
+    * once — self ids by the init groupBy, every later value in the
+    * round after it entered the frontier — so an empty frontier
+    * certifies min(self, neighbors' labels) holds everywhere: the
+    * global fixpoint, labels = component minima. Cross-checked against
+    * a Scala union-find on random graphs (DedupSpec property test) and
+    * against DuckDB's recursive-CTE components via `dedup_clusters`. */
+  private[graft] def connectedComponents(
+      s: SparkSession, edges: DataFrame): DataFrame = {
+    import s.implicits._
+    val sym = edges.select($"d1", $"d2")
+      .unionAll(edges.select($"d2".as("d1"), $"d1".as("d2")))
+    // Initialization IS the first propagation round: sym is symmetric,
+    // so every node appears as d2, and min(node, min incoming d1)
+    // equals what iteration 1 would produce from all-self labels — one
+    // groupBy instead of a distinct plus a full join round.
+    var labels = sym.groupBy($"d2".as("node"))
+      .agg(min($"d1").as("mn"))
+      .select($"node", least($"node", $"mn").as("label"))
+      .persist()
+    // Frontier after init: every node the init round relabeled. On an
+    // edge-free input labels is empty, the frontier is empty, and the
+    // loop is skipped outright.
+    var frontier = labels.where($"label" < $"node").persist()
+    var frontierRows = frontier.count()
+    var converged = frontierRows == 0L
+    val broadcastFrontierMax = 1000000L
+    while (!converged) {
+      val fRaw = frontier.select($"node".as("fn"), $"label".as("fl"))
+      val f = if (frontierRows <= broadcastFrontierMax) broadcast(fRaw)
+              else fRaw
+      // (a) offer each frontier node's new label to its neighbors;
+      // (b) hop: relabel nodes whose stored label just changed.
+      val viaEdges = sym.join(f, $"d1" === $"fn")
+        .select($"d2".as("node"), $"fl".as("cand"))
+      val viaHop = labels.join(f, $"label" === $"fn")
+        .select($"node", $"fl".as("cand"))
+      val changed = viaEdges.unionAll(viaHop)
+        .groupBy($"node").agg(min($"cand").as("cand"))
+        .join(labels, "node").where($"cand" < $"label")
+        .select($"node", $"cand".as("label"))
+      // persist() caches the DATA but each round's logical plan still
+      // builds on the whole prior lineage, so analyzer/optimizer time
+      // grows with iteration depth. EVERY round both carried tables
+      // are cut at an RDD boundary (createDataFrame over the same
+      // rows): the analyzer then sees a leaf, per-round driver cost
+      // stays flat on deep-diameter components, and every round's plan
+      // is shape-identical, so AQE replanning and whole-stage codegen
+      // are paid once, not re-derived against an ever-deeper tree.
+      // Chosen over localCheckpoint because these blocks stay under
+      // the normal persist/unpersist discipline — localCheckpoint
+      // blocks are invisible to Dataset.unpersist AND
+      // catalog.clearCache, lingering until a driver GC happens to
+      // trigger the ContextCleaner.
+      val nextFrontier =
+        s.createDataFrame(changed.rdd, changed.schema).persist()
+      // Convergence = empty delta, decided on a count() that also
+      // FORCES the persist: the upcoming unpersists invalidate the
+      // delta's own inputs, so it must be fully cached first (persist
+      // is lazy; a partially-materialized block would recompute its
+      // missing partitions through an unpersisted lineage). The
+      // terminal round, which every run pays exactly once, is two
+      // joins against a frontier that produces nothing — near-free,
+      // where the pre-r10 full-propagation loop's terminal
+      // confirmation re-aggregated the full label table.
+      val deltaRows = nextFrontier.count()
+      if (deltaRows == 0L) {
+        nextFrontier.unpersist(); converged = true
+      } else {
+        val updRaw = nextFrontier.select($"node".as("un"), $"label".as("ul"))
+        val upd = if (deltaRows <= broadcastFrontierMax) broadcast(updRaw)
+                  else updRaw
+        val patched = labels.join(upd, $"node" === $"un", "left")
+          .select($"node", coalesce($"ul", $"label").as("label"))
+        val next =
+          s.createDataFrame(patched.rdd, patched.schema).persist()
+        next.count() // force the cache before dropping its inputs
+        labels.unpersist(); frontier.unpersist()
+        labels = next; frontier = nextFrontier; frontierRows = deltaRows
+      }
+    }
+    labels
+  }
+
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sets = shingleArrays(s, dir).persist()
@@ -664,31 +776,10 @@ object DedupQueries extends QueryModule {
     }),
 
     // Near-dup CLUSTER resolution: connected components over the exact
-    // Jaccard ≥ 0.5 pair graph, by min-label propagation to fixpoint.
-    // Real pipelines dedup per cluster (keep one canonical doc), not
-    // per pair. Iteration count is bounded by component diameter —
-    // shallow for near-dup graphs.
-    //
-    // r10: FRONTIER propagation. Labels only ever decrease, and a
-    // node's min-over-neighbors can only change when a NEIGHBOR's label
-    // changed — so each round ships only the labels that changed last
-    // round (the frontier), through two delta joins: (a) frontier
-    // labels offered along edges, (b) a pointer-hop for nodes whose
-    // STORED label is a frontier node (label ← label(label), the
-    // union-find path-compression idea restricted to changed pointees).
-    // Converged regions stop shipping rows entirely: on a 100 TB
-    // near-dup graph most components converge in round 1 (cliques), so
-    // after it the frontier collapses to the few deep components and
-    // every per-round join has a tiny build side (AQE converts them to
-    // broadcast joins at runtime — the delta side's size is only known
-    // then, the full sides never reshuffle). The previous formulation
-    // re-grouped ALL labels with ALL edges every round — work
-    // proportional to the whole graph per round instead of to what
-    // changed. Correctness: every label value is offered to all
-    // neighbors exactly once — self ids by the init groupBy, every
-    // later value in the round after it entered the frontier — so an
-    // empty frontier certifies min(self, neighbors' labels) holds
-    // everywhere: the global fixpoint, labels = component minima.
+    // Jaccard ≥ 0.5 pair graph, via [[connectedComponents]] (r10:
+    // frontier min-label propagation — see its doc for the delta-join
+    // design and the correctness argument). Real pipelines dedup per
+    // cluster (keep one canonical doc), not per pair.
     "dedup_clusters" -> ((s, dir) => {
       import s.implicits._
       // Persist the PAIR list, not the symmetrized view: a persisted
@@ -698,88 +789,8 @@ object DedupQueries extends QueryModule {
       // counts) would run twice. Cached pairs make `sym` a cheap
       // two-scan projection every consumer (init + each round) reuses.
       val edges = jaccardPairs(s, dir).select($"d1", $"d2").persist()
-      val sym = edges
-        .unionAll(edges.select($"d2".as("d1"), $"d1".as("d2")))
-      // Initialization IS the first propagation round: sym is
-      // symmetric, so every node appears as d2, and min(node, min
-      // incoming d1) equals what iteration 1 would produce from
-      // all-self labels — one groupBy instead of a distinct plus a
-      // full join round.
-      var labels = sym.groupBy($"d2".as("node"))
-        .agg(min($"d1").as("mn"))
-        .select($"node", least($"node", $"mn").as("label"))
-        .persist()
-      // Frontier after init: every node the init round relabeled. On a
-      // pair-free corpus labels is empty, the frontier is empty, and
-      // the loop is skipped outright.
-      var frontier = labels.where($"label" < $"node").persist()
-      var frontierRows = frontier.count()
-      var converged = frontierRows == 0L
-      // The loop KNOWS each round's exact delta cardinality (the
-      // convergence count) — so the broadcast-vs-shuffle choice for the
-      // delta joins is made explicitly from it rather than left to
-      // AQE's runtime conversion (the RDD-cut tables carry no stats, so
-      // static planning would pick sort-merge and pay the big sides'
-      // shuffle writes first). Round 1's frontier can be a large
-      // fraction of the graph — never forced; once the delta fits the
-      // bound (2 longs/row, ~30 MB at the cap), every remaining round
-      // is scan + broadcast-hash-join, shuffle-free on the big sides.
-      val broadcastFrontierMax = 1000000L
-      while (!converged) {
-        val fRaw = frontier.select($"node".as("fn"), $"label".as("fl"))
-        val f = if (frontierRows <= broadcastFrontierMax) broadcast(fRaw)
-                else fRaw
-        // (a) offer each frontier node's new label to its neighbors;
-        // (b) hop: relabel nodes whose stored label just changed.
-        val viaEdges = sym.join(f, $"d1" === $"fn")
-          .select($"d2".as("node"), $"fl".as("cand"))
-        val viaHop = labels.join(f, $"label" === $"fn")
-          .select($"node", $"fl".as("cand"))
-        val changed = viaEdges.unionAll(viaHop)
-          .groupBy($"node").agg(min($"cand").as("cand"))
-          .join(labels, "node").where($"cand" < $"label")
-          .select($"node", $"cand".as("label"))
-        // persist() caches the DATA but each round's logical plan
-        // still builds on the whole prior lineage, so analyzer/
-        // optimizer time grows with iteration depth. EVERY round both
-        // carried tables are cut at an RDD boundary (createDataFrame
-        // over the same rows): the analyzer then sees a leaf, per-round
-        // driver cost stays flat on deep-diameter components, and every
-        // round's plan is shape-identical, so AQE replanning and
-        // whole-stage codegen are paid once, not re-derived against an
-        // ever-deeper tree. Chosen over localCheckpoint because these
-        // blocks stay under the normal persist/unpersist discipline —
-        // localCheckpoint blocks are invisible to Dataset.unpersist AND
-        // catalog.clearCache, lingering until a driver GC happens to
-        // trigger the ContextCleaner.
-        val nextFrontier =
-          s.createDataFrame(changed.rdd, changed.schema).persist()
-        // Convergence = empty delta, decided on a count() that also
-        // FORCES the persist: the upcoming unpersists invalidate the
-        // delta's own inputs, so it must be fully cached first (persist
-        // is lazy; a partially-materialized block would recompute its
-        // missing partitions through an unpersisted lineage). The
-        // terminal round, which every run pays exactly once, is two
-        // joins against a frontier that produces nothing — near-free,
-        // where the pre-r10 loop's terminal confirmation re-aggregated
-        // the full label table.
-        val deltaRows = nextFrontier.count()
-        if (deltaRows == 0L) {
-          nextFrontier.unpersist(); converged = true
-        } else {
-          val updRaw = nextFrontier.select($"node".as("un"), $"label".as("ul"))
-          val upd = if (deltaRows <= broadcastFrontierMax) broadcast(updRaw)
-                    else updRaw
-          val patched = labels.join(upd, $"node" === $"un", "left")
-            .select($"node", coalesce($"ul", $"label").as("label"))
-          val next =
-            s.createDataFrame(patched.rdd, patched.schema).persist()
-          next.count() // force the cache before dropping its inputs
-          labels.unpersist(); frontier.unpersist()
-          labels = next; frontier = nextFrontier; frontierRows = deltaRows
-        }
-      }
-      labels.groupBy($"label".as("cluster_id"))
+      connectedComponents(s, edges)
+        .groupBy($"label".as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("cluster_id")
     }),

@@ -86,6 +86,50 @@ class DedupSpec extends SparkSpec {
       s"cluster mismatch: got $gotClusters expected $expectedClusters")
   }
 
+  test("frontier connected-components equals union-find on random and adversarial graphs") {
+    import spark.implicits._
+    // The r10 frontier rewrite's independent correctness witness beyond
+    // the fixture corpus: random graphs plus the shapes that stress its
+    // two delta paths — a long PATH (deep diameter: converges only if
+    // the pointer-hop keeps doubling reach, ~log n rounds), disjoint
+    // CLIQUES (init round IS the fixpoint), self-loops/duplicate edges
+    // (must be harmless), and an empty edge set (loop skipped).
+    val rnd = new scala.util.Random(42)
+    def randomGraph(n: Int, m: Int): Seq[(Long, Long)] =
+      Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val path = (0L until 32L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val cliques = (for {
+      base <- Seq(0L, 100L, 200L)
+      a <- 0L until 5L; b <- 0L until 5L if a < b
+    } yield (base + a, base + b))
+    val graphs: Seq[Seq[(Long, Long)]] = Seq(
+      path,
+      cliques,
+      Seq((7L, 7L), (3L, 9L), (3L, 9L), (9L, 3L)), // loops + dup edges
+      Seq.empty,
+      randomGraph(40, 30),
+      randomGraph(60, 90),
+      randomGraph(50, 25))
+    graphs.zipWithIndex.foreach { case (es, gi) =>
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.toSeq.map(n => n -> find(n)).toMap
+      val edges = es.toDF("d1", "d2")
+      val got = DedupQueries.connectedComponents(spark, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.catalog.clearCache()
+      assert(got == expected,
+        s"graph $gi: got $got expected $expected")
+    }
+  }
+
   test("exact jaccard pairs all meet the 0.5 threshold in ppm") {
     val rows = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sf001).collect()
     assert(rows.nonEmpty)
