@@ -775,6 +775,55 @@ object DedupQueries extends QueryModule {
         .orderBy("lang", "source")
     }),
 
+    // Dataset PROFILE (r10): the schema-validation report every ingest
+    // runs before training — per column: row count, null count + ppm,
+    // exact distinct count, and canonical min/max renderings. ONE scan,
+    // one aggregate row, stacked to long format AFTER aggregation (the
+    // stack explodes 1 wide row into 6 — no shuffle repetition, no
+    // per-column scans, no join; plan-guarded). Renderings are
+    // engine-canonical on purpose: longs/strings cast directly, the
+    // double as an e2-floored integer, the timestamp via an explicit
+    // format — so the oracle compares bytes, not float/temporal
+    // printers. The multi-column exact countDistinct plans as one
+    // Expand (rows replicated once per distinct column) — fine at
+    // profile cadence; at 100 TB swap approx_count_distinct in for a
+    // single-pass sketch profile (the HLL route rel_approx_distinct
+    // already proves).
+    "pipe_profile" -> ((s, dir) => {
+      import s.implicits._
+      def nulls(c: String) =
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
+      def nd(c: String) = countDistinct(col(c)).as(s"${c}_nd")
+      def mmStr(c: String) = Seq(
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+      def mmE2(c: String) = Seq(
+        floor(min(col(c)) * 100).cast("long").cast("string").as(s"${c}_min"),
+        floor(max(col(c)) * 100).cast("long").cast("string").as(s"${c}_max"))
+      def mmTs(c: String) = Seq(
+        date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_min"),
+        date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_max"))
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val mm: Map[String, Seq[org.apache.spark.sql.Column]] = Map(
+        "o_totalprice" -> mmE2("o_totalprice"),
+        "o_orderdate" -> mmTs("o_orderdate")
+      ).withDefault(mmStr)
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(nulls(c), nd(c)) ++ mm(c))
+      val stackArgs = cols.map(c =>
+        s"'$c', ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
+      Tables.orders(s, dir)
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n_rows",
+          s"stack(${cols.size}, $stackArgs) AS " +
+            "(col_name, n_null, n_distinct, min_str, max_str)")
+        .selectExpr("col_name", "n_rows", "n_null",
+          "n_null * 1000000L div n_rows AS null_ppm",
+          "n_distinct", "min_str", "max_str")
+        .orderBy("col_name")
+    }),
+
     // Near-dup CLUSTER resolution: connected components over the exact
     // Jaccard ≥ 0.5 pair graph, via [[connectedComponents]] (r10:
     // frontier min-label propagation — see its doc for the delta-join
@@ -1079,6 +1128,43 @@ object DedupQueries extends QueryModule {
          |FROM d
          |GROUP BY ROLLUP (lang, source)
          |ORDER BY lang, source""".stripMargin,
+
+    // One aggregate row, unioned to long format; every integer
+    // aggregate CAST AS BIGINT (hugeint rule), min/max rendered with
+    // the same canonical formats as the engine (e2-floored integer for
+    // the double, strftime for the timestamp).
+    "pipe_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      def mm(c: String): (String, String) = c match {
+        case "o_totalprice" =>
+          (s"CAST(CAST(floor(min($c) * 100) AS BIGINT) AS VARCHAR)",
+            s"CAST(CAST(floor(max($c) * 100) AS BIGINT) AS VARCHAR)")
+        case "o_orderdate" =>
+          (s"strftime(min($c), '%Y-%m-%d %H:%M:%S')",
+            s"strftime(max($c), '%Y-%m-%d %H:%M:%S')")
+        case _ =>
+          (s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+      }
+      val aggSel = cols.map { c =>
+        val (lo, hi) = mm(c)
+        s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS ${c}_nd,
+           |  $lo AS ${c}_min, $hi AS ${c}_max""".stripMargin
+      }.mkString(",\n  ")
+      val unions = cols.map { c =>
+        s"""SELECT '$c' AS col_name, n_rows, ${c}_nulls AS n_null,
+           |  CAST(${c}_nulls * 1000000 // n_rows AS BIGINT) AS null_ppm,
+           |  ${c}_nd AS n_distinct, ${c}_min AS min_str, ${c}_max AS max_str
+           |FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  $aggSel
+         |  FROM orders)
+         |$unions
+         |ORDER BY col_name""".stripMargin
+    },
 
     // Recursive min-label reachability: label(n) = every node that can
     // reach n through the symmetrized near-dup edges; min per node is

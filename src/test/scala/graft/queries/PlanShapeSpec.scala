@@ -323,6 +323,21 @@ class PlanShapeSpec extends SparkSpec {
       "corpus cumsum window lost its pid partitioning")
   }
 
+  test("profile runs one scan: aggregate then stack, no join, no rescan") {
+    // The profiling shape at 100 TB: ONE pass computes every column's
+    // stats in a single (expanded) aggregate; the long format comes
+    // from stacking the 1-row aggregate output. A per-column union of
+    // scans or a self-join here would multiply the corpus read.
+    val p = plan("pipe_profile")
+    assert(!p.contains("Join"), "profile must not join")
+    assert("FileScan|Scan parquet".r.findAllIn(p).size <= 1,
+      "profile re-scans the table per column")
+    assert(p.contains("Generate stack"), "long format lost its stack")
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r
+        .findAllIn(p).size >= 2,
+      "profile aggregate lost its partial/final split")
+  }
+
   test("overlap chunking shuffles nothing before its output sort") {
     // The op's scale story: scan → generate → project is embarrassingly
     // parallel. The ONLY exchange allowed is the rangepartitioning for
