@@ -813,7 +813,12 @@ object DedupQueries extends QueryModule {
         cols.flatMap(c => Seq(nulls(c), nd(c)) ++ mm(c))
       val stackArgs = cols.map(c =>
         s"'$c', ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
-      Tables.orders(s, dir)
+      // spread: the fixture table is one parquet split, so the
+      // Expand×7 partial aggregate would run on a single task (~3.1 s
+      // → ~2.2 s warm at sf0.1 once spread across cores; the remaining
+      // cost is the 6-way exact multi-distinct itself). At production
+      // split counts this is a planning no-op (QueryModule.spread doc).
+      QueryModule.spread(Tables.orders(s, dir))
         .agg(aggs.head, aggs.tail: _*)
         .selectExpr("n_rows",
           s"stack(${cols.size}, $stackArgs) AS " +
