@@ -775,6 +775,44 @@ object DedupQueries extends QueryModule {
         .orderBy("lang", "source")
     }),
 
+    // CDC APPLY / MERGE (r10): apply a keyed change batch (insert /
+    // update / delete op codes) to a base snapshot — MERGE INTO
+    // semantics as one FULL-OUTER join on the primary key, the shape
+    // every open-table-format merge lowers to. Complements
+    // ev_compact_latest (which compacts a changelog to latest-per-key):
+    // this APPLIES a resolved delta to an existing snapshot. One
+    // shuffle on the key; only narrow columns move (no text). The
+    // change batch derives deterministically from the fixture (same
+    // policy as pipe_snapshot_diff): doc_id%7==0 → D, %7==1 → U
+    // (n_chars rewritten), %7==2 → I under a +2^40 key (collision-free
+    // at any SF). Unmatched D ops are dropped silently — idempotent
+    // re-apply, the at-least-once delivery posture.
+    "pipe_cdc_apply" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"n_chars")
+      val changes = Tables.documents(s, dir)
+        .where($"doc_id" % 7 < 3)
+        .selectExpr(
+          "CASE WHEN doc_id % 7 = 2 THEN doc_id + 1099511627776L " +
+            "ELSE doc_id END AS doc_id",
+          "CASE doc_id % 7 WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op",
+          "lang",
+          "CASE doc_id % 7 WHEN 1 THEN n_chars + 1000L ELSE n_chars END " +
+            "AS n_chars")
+      base.join(changes.withColumnsRenamed(
+          Map("lang" -> "c_lang", "n_chars" -> "c_n_chars")),
+          Seq("doc_id"), "full_outer")
+        .where(coalesce($"op", lit("")) =!= "D")
+        .select($"doc_id",
+          coalesce($"c_lang", $"lang").as("lang"),
+          coalesce($"c_n_chars", $"n_chars").as("n_chars"),
+          when($"op".isNull, "base")
+            .when($"op" === "U", "updated")
+            .otherwise("inserted").as("origin"))
+        .orderBy("doc_id")
+    }),
+
     // Dataset PROFILE (r10): the schema-validation report every ingest
     // runs before training — per column: row count, null count + ppm,
     // exact distinct count, and canonical min/max renderings. ONE scan,
@@ -1133,6 +1171,27 @@ object DedupQueries extends QueryModule {
          |FROM d
          |GROUP BY ROLLUP (lang, source)
          |ORDER BY lang, source""".stripMargin,
+
+    // Same derivation of the change batch, same single full-outer
+    // MERGE; the USING-join's coalesced key renders as an explicit
+    // coalesce here.
+    "pipe_cdc_apply" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        |c AS (SELECT
+        |  CASE WHEN doc_id % 7 = 2 THEN doc_id + 1099511627776 ELSE doc_id END AS doc_id,
+        |  CASE doc_id % 7 WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op,
+        |  lang AS c_lang,
+        |  CASE doc_id % 7 WHEN 1 THEN n_chars + 1000 ELSE n_chars END AS c_n_chars
+        |  FROM documents WHERE doc_id % 7 < 3)
+        |SELECT CAST(coalesce(b.doc_id, c.doc_id) AS BIGINT) AS doc_id,
+        |  coalesce(c.c_lang, b.lang) AS lang,
+        |  CAST(coalesce(c.c_n_chars, b.n_chars) AS BIGINT) AS n_chars,
+        |  CASE WHEN c.op IS NULL THEN 'base'
+        |       WHEN c.op = 'U' THEN 'updated'
+        |       ELSE 'inserted' END AS origin
+        |FROM base b FULL OUTER JOIN c ON b.doc_id = c.doc_id
+        |WHERE coalesce(c.op, '') <> 'D'
+        |ORDER BY doc_id""".stripMargin,
 
     // One aggregate row, unioned to long format; every integer
     // aggregate CAST AS BIGINT (hugeint rule), min/max rendered with

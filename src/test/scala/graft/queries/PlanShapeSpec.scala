@@ -323,6 +323,18 @@ class PlanShapeSpec extends SparkSpec {
       "corpus cumsum window lost its pid partitioning")
   }
 
+  test("cdc apply is one keyed full-outer merge, no extra joins") {
+    // MERGE INTO lowered by hand: the whole apply must be ONE
+    // full-outer join on the primary key (what table-format merges
+    // compile to) — a second join or a window sneaking in would
+    // re-shuffle the snapshot.
+    val p = plan("pipe_cdc_apply")
+    assert(p.contains("FullOuter"), "merge lost its full-outer form")
+    assert("Join".r.findAllIn(p).size == 1,
+      s"expected exactly one join in the merge plan")
+    assert(!p.contains("Window"), "unexpected window in the merge plan")
+  }
+
   test("profile runs one scan: aggregate then stack, no join, no rescan") {
     // The profiling shape at 100 TB: ONE pass computes every column's
     // stats in a single (expanded) aggregate; the long format comes
