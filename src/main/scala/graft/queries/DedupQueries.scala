@@ -842,7 +842,7 @@ object DedupQueries extends QueryModule {
         date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_min"),
         date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_max"))
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderdate", "o_orderpriority")
+        "o_totalprice", "o_orderdate", "o_orderpriority", "o_status_sparse")
       val mm: Map[String, Seq[org.apache.spark.sql.Column]] = Map(
         "o_totalprice" -> mmE2("o_totalprice"),
         "o_orderdate" -> mmTs("o_orderdate")
@@ -852,11 +852,19 @@ object DedupQueries extends QueryModule {
       val stackArgs = cols.map(c =>
         s"'$c', ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
       // spread: the fixture table is one parquet split, so the
-      // Expand×7 partial aggregate would run on a single task (~3.1 s
+      // Expand×8 partial aggregate would run on a single task (~3.1 s
       // → ~2.2 s warm at sf0.1 once spread across cores; the remaining
-      // cost is the 6-way exact multi-distinct itself). At production
+      // cost is the exact multi-distinct itself). At production
       // split counts this is a planning no-op (QueryModule.spread doc).
-      QueryModule.spread(Tables.orders(s, dir))
+      // o_status_sparse: the fixture carries no NULLs, so a profile of
+      // raw columns would never exercise the null-count/null-ppm path —
+      // the op's core claim. A deterministically null-sparse derived
+      // column (every third key NULLed) keeps that path load-bearing
+      // on both engines.
+      QueryModule.spread(Tables.orders(s, dir)
+          .withColumn("o_status_sparse",
+            when($"o_orderkey" % 3 === 0, lit(null).cast("string"))
+              .otherwise($"o_orderstatus")))
         .agg(aggs.head, aggs.tail: _*)
         .selectExpr("n_rows",
           s"stack(${cols.size}, $stackArgs) AS " +
@@ -1199,7 +1207,7 @@ object DedupQueries extends QueryModule {
     // the double, strftime for the timestamp).
     "pipe_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderdate", "o_orderpriority")
+        "o_totalprice", "o_orderdate", "o_orderpriority", "o_status_sparse")
       def mm(c: String): (String, String) = c match {
         case "o_totalprice" =>
           (s"CAST(CAST(floor(min($c) * 100) AS BIGINT) AS VARCHAR)",
@@ -1222,10 +1230,14 @@ object DedupQueries extends QueryModule {
            |  ${c}_nd AS n_distinct, ${c}_min AS min_str, ${c}_max AS max_str
            |FROM a""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH a AS (
+      s"""WITH o AS (
+         |  SELECT *, CASE WHEN o_orderkey % 3 = 0 THEN NULL
+         |            ELSE o_orderstatus END AS o_status_sparse
+         |  FROM orders),
+         |a AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
          |  $aggSel
-         |  FROM orders)
+         |  FROM o)
          |$unions
          |ORDER BY col_name""".stripMargin
     },
