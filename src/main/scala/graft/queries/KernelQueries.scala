@@ -67,6 +67,41 @@ object KernelQueries extends QueryModule {
         .orderBy("cnt")
     }),
 
+    // SECONDARY SORT (r10) — the classic MapReduce pattern the plain
+    // kernel cannot express: the reference's R3 sort orders by K2
+    // ONLY, so reduce sees its values in arbitrary order and every
+    // order-sensitive reduce (sequence reconstruction, sessionization,
+    // time-series folds) must buffer + sort per group in user code —
+    // O(group) memory, the thing that dies on a hot key. Spark's
+    // `flatMapSortedGroups` IS the secondary-sort primitive: the sort
+    // keys ride the SHUFFLE's own sort machinery, so the group
+    // iterator arrives ordered and the reduce streams in O(1) memory
+    // per group. Workload: per-user event-sequence digest — count +
+    // md5 of the comma-joined event types in (ts_us, event_id) order
+    // (a total order, so the digest is deterministic on both engines).
+    "mr_secondary_sort" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .selectExpr("user_id", s"${QueryModule.TsUs} AS ts_us",
+          "event_id", "event_type")
+        .as[(Long, Long, Long, String)]
+      ev.groupByKey(_._1)
+        .flatMapSortedGroups($"ts_us", $"event_id") { (uid, it) =>
+          var n = 0L
+          val sb = new StringBuilder
+          it.foreach { r =>
+            n += 1
+            if (sb.nonEmpty) sb.append(',')
+            sb.append(r._4)
+          }
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(sb.toString.getBytes("UTF-8"))
+          Iterator((uid, n, d.map("%02x".format(_)).mkString))
+        }
+        .toDF("user_id", "n_events", "seq_md5")
+        .orderBy("user_id")
+    }),
+
     // Grouped aggregation through the kernel (TPC-H Q1 shape): the
     // reference's reduce sees the whole group; integral measures (unit
     // counts / cents) keep in-group order irrelevant.
@@ -115,6 +150,13 @@ object KernelQueries extends QueryModule {
         |  GROUP BY w)
         |GROUP BY cnt
         |ORDER BY cnt""".stripMargin,
+    "mr_secondary_sort" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  md5(string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id))
+        |    AS seq_md5
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "mr_grouped_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

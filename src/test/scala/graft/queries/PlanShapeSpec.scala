@@ -323,6 +323,18 @@ class PlanShapeSpec extends SparkSpec {
       "corpus cumsum window lost its pid partitioning")
   }
 
+  test("secondary sort rides the group shuffle's own sort") {
+    // flatMapSortedGroups must plan as ONE hash exchange + a
+    // partition-local sort carrying the secondary keys — the whole
+    // point over buffering+sorting inside the reduce (O(group) memory
+    // on a hot key).
+    val p = plan("mr_secondary_sort")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "expected exactly one group shuffle")
+    assert("Sort \\[[^\\]]*ts_us".r.findFirstIn(p).isDefined,
+      "secondary sort keys did not reach the shuffle-side sort")
+  }
+
   test("cdc apply is one keyed full-outer merge, no extra joins") {
     // MERGE INTO lowered by hand: the whole apply must be ONE
     // full-outer join on the primary key (what table-format merges
