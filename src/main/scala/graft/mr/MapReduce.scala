@@ -66,6 +66,46 @@ object MapReduce {
       }
   }
 
+  /** [[run]] with SECONDARY SORT: reduce sees each group's values in
+    * ascending V2 order, streamed in O(1) memory per group — the
+    * classic MapReduce pattern the reference's kernel cannot express
+    * (its R3 sort orders by K2 only, so an order-sensitive reduce —
+    * sequence reconstruction, sessionization, time-series folds — must
+    * buffer + sort the whole group in user code: O(group) memory, the
+    * thing that dies on a hot key). Here the value order RIDES THE
+    * SHUFFLE'S OWN SORT MACHINERY (`flatMapSortedGroups` plans one
+    * Exchange + one SortExec over (key, value), exactly the sort the
+    * sort-based shuffle already does for grouping) — no second shuffle,
+    * no per-group buffer.
+    *
+    * Order contract (the V2 analogue of `run`'s K2 note): values
+    * arrive in Spark's ascending order of V2's ENCODED form — for
+    * primitives the natural order, for case classes / tuples the
+    * lexicographic order of their encoder fields. A client whose
+    * desired order is not a field prefix of V2 reshapes V2 so it is
+    * (the same discipline MapReduce-era secondary sort imposed via
+    * composite keys). */
+  def runSorted[K1, V1, K2, V2, K3, V3](
+      input: Dataset[(K1, V1)],
+      client: MapReduceClient[K1, V1, K2, V2, K3, V3],
+      parallelism: Int = 0)(implicit
+      ord: Ordering[K2],
+      e2: Encoder[(K2, V2)],
+      ek2: Encoder[K2],
+      e3: Encoder[(K3, V3)]): Dataset[(K3, V3)] = {
+    val sized = if (parallelism > 0) input.repartition(parallelism) else input
+    sized
+      .flatMap { case (k1, v1) => client.map(k1, v1) }
+      .groupByKey(_._1)
+      // "_2" is the VALUE side of the grouped (K2, V2) pair; sorting on
+      // the whole struct gives lexicographic field order (struct
+      // ordering is a first-class Spark sort), which IS the documented
+      // V2 order contract.
+      .flatMapSortedGroups(org.apache.spark.sql.functions.col("_2")) {
+        (k2, pairs) => client.reduce(k2, pairs.map(_._2)).iterator
+      }
+  }
+
   /** Async launch — parity with `startMapReduceJob` returning an opaque
     * handle immediately while threads run (SURVEY.md §3.1/§3.3). The
     * returned [[JobHandle]] supports `getJobState` (via a registered

@@ -66,6 +66,39 @@ object CountOfCountsClient
     Iterator.single((cnt, ones.sum))
 }
 
+/** Per-user event-sequence digest — the order-sensitive reduce that
+  * requires [[MapReduce.runSorted]]: values are (tsUs, eventId,
+  * eventType) tuples, so the kernel's V2 sort contract (lexicographic
+  * encoder-field order) delivers them in (ts_us, event_id) order — a
+  * total order, event_id being unique — and the reduce streams a
+  * count + MD5 of the comma-joined event types in O(1) memory per
+  * group. Under plain [[MapReduce.run]] the same reduce would be
+  * nondeterministic (bag order); under the reference's kernel it would
+  * need an O(group) in-reduce buffer+sort. */
+object SequenceDigestClient
+    extends MapReduceClient[Long, (Long, Long, String),
+      Long, (Long, Long, String), Long, (Long, String)] {
+  override def map(uid: Long, ev: (Long, Long, String)): IterableOnce[(Long, (Long, Long, String))] =
+    Iterator.single((uid, ev))
+  override def reduce(uid: Long, vs: Iterator[(Long, Long, String)]): IterableOnce[(Long, (Long, String))] = {
+    var n = 0L
+    val sb = new StringBuilder
+    vs.foreach { v =>
+      n += 1
+      // NULL event_type: counted (count(*) semantics) but skipped in
+      // the digest — DuckDB's string_agg drops NULLs, and appending
+      // null would render the literal "null" (ADVICE r10).
+      if (v._3 != null) {
+        if (sb.nonEmpty) sb.append(',')
+        sb.append(v._3)
+      }
+    }
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes("UTF-8"))
+    Iterator.single((uid, (n, d.map("%02x".format(_)).mkString)))
+  }
+}
+
 /** Character frequency — the literal course sample client shape. */
 object CharCountClient
     extends MapReduceClient[Long, String, String, Long, String, Long] {

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.mr.{CharCountClient, CountOfCountsClient, CustomerOrderJoinClient, GroupedAggClient, MapReduce, WordCountClient}
+import graft.mr.{CharCountClient, CountOfCountsClient, CustomerOrderJoinClient, GroupedAggClient, MapReduce, SequenceDigestClient, WordCountClient}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -67,37 +67,27 @@ object KernelQueries extends QueryModule {
         .orderBy("cnt")
     }),
 
-    // SECONDARY SORT (r10) — the classic MapReduce pattern the plain
-    // kernel cannot express: the reference's R3 sort orders by K2
-    // ONLY, so reduce sees its values in arbitrary order and every
-    // order-sensitive reduce (sequence reconstruction, sessionization,
-    // time-series folds) must buffer + sort per group in user code —
-    // O(group) memory, the thing that dies on a hot key. Spark's
-    // `flatMapSortedGroups` IS the secondary-sort primitive: the sort
-    // keys ride the SHUFFLE's own sort machinery, so the group
-    // iterator arrives ordered and the reduce streams in O(1) memory
-    // per group. Workload: per-user event-sequence digest — count +
-    // md5 of the comma-joined event types in (ts_us, event_id) order
-    // (a total order, so the digest is deterministic on both engines).
+    // SECONDARY SORT (r10; lifted into the kernel API in r11) — the
+    // classic MapReduce pattern the reference's kernel cannot express:
+    // its R3 sort orders by K2 ONLY, so reduce sees values in arbitrary
+    // order and every order-sensitive reduce (sequence reconstruction,
+    // sessionization, time-series folds) must buffer + sort per group
+    // in user code — O(group) memory, the thing that dies on a hot
+    // key. `MapReduce.runSorted` lowers to `flatMapSortedGroups`: the
+    // value order rides the SHUFFLE's own sort machinery, the group
+    // iterator arrives ordered, the reduce streams in O(1) memory per
+    // group (see runSorted's scaladoc for the V2 order contract).
+    // Workload: per-user event-sequence digest — count + md5 of the
+    // comma-joined event types in (ts_us, event_id) order (a total
+    // order, so the digest is deterministic on both engines).
     "mr_secondary_sort" -> ((s, dir) => {
       import s.implicits._
       val ev = Tables.events(s, dir)
-        .selectExpr("user_id", s"${QueryModule.TsUs} AS ts_us",
-          "event_id", "event_type")
-        .as[(Long, Long, Long, String)]
-      ev.groupByKey(_._1)
-        .flatMapSortedGroups($"ts_us", $"event_id") { (uid, it) =>
-          var n = 0L
-          val sb = new StringBuilder
-          it.foreach { r =>
-            n += 1
-            if (sb.nonEmpty) sb.append(',')
-            sb.append(r._4)
-          }
-          val d = java.security.MessageDigest.getInstance("MD5")
-            .digest(sb.toString.getBytes("UTF-8"))
-          Iterator((uid, n, d.map("%02x".format(_)).mkString))
-        }
+        .selectExpr("user_id",
+          s"struct(${QueryModule.TsUs} AS ts_us, event_id, event_type) AS ev")
+        .as[(Long, (Long, Long, String))]
+      MapReduce.runSorted(ev, SequenceDigestClient, mtl(s))
+        .map { case (uid, (n, md5)) => (uid, n, md5) }
         .toDF("user_id", "n_events", "seq_md5")
         .orderBy("user_id")
     }),

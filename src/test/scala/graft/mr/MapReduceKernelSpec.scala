@@ -76,6 +76,33 @@ class MapReduceKernelSpec extends SparkSpec {
     assert(asMultiset(got) == asMultiset(model(input, client)))
   }
 
+  test("runSorted: sorted-group iterator matches the groupBy+sortBy model") {
+    import spark.implicits._
+    // Reduce output is the ORDER-SENSITIVE concatenation of the group's
+    // values — under plain `run` this would be nondeterministic; under
+    // `runSorted` it must equal the model that sorts each group by the
+    // natural (lexicographic tuple) V2 ordering before folding. ASCII
+    // strings only: Spark's UTF8String sort is byte-wise, Scala's is
+    // code-unit-wise, and they only provably coincide on ASCII.
+    val client = new MapReduceClient[Long, (Long, String), Long, (Long, String), Long, String] {
+      def map(k: Long, v: (Long, String)) = Seq((k % 4, v))
+      def reduce(k: Long, vs: Iterator[(Long, String)]) =
+        Seq((k, vs.map { case (a, s) => s"$a:$s" }.mkString("|")))
+    }
+    val inputGen = Gen.listOf(Gen.zip(Gen.choose(0L, 9L),
+      Gen.zip(Gen.choose(0L, 20L), Gen.oneOf("a", "b", "c", "ab", ""))))
+    samples(inputGen, 8).foreach { input =>
+      val got = MapReduce.runSorted(input.toDS(), client).collect().toSeq
+      val want = input
+        .flatMap { case (k, v) => client.map(k, v) }
+        .groupBy(_._1)
+        .toSeq
+        .flatMap { case (k, kvs) =>
+          client.reduce(k, kvs.map(_._2).sorted.iterator) }
+      assert(asMultiset(got) == asMultiset(want))
+    }
+  }
+
   test("parallelism pins map-side width like multiThreadLevel") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.Repartition
