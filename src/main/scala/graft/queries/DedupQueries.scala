@@ -180,7 +180,73 @@ object DedupQueries extends QueryModule {
         labels = next; frontier = nextFrontier; frontierRows = deltaRows
       }
     }
+    // The frontier's job ends at convergence — drop its blocks here so
+    // a long bench sweep doesn't accumulate one orphaned cache entry
+    // per invocation (ADVICE r10). Safe: `labels` is either the forced
+    // `next` cache or (init-convergence) was fully materialized by the
+    // frontier count, so nothing recomputes through the dropped blocks.
+    // The RETURNED `labels` (and any edges the caller persisted) stay
+    // cached on purpose — the returned plan is lazy, so the cache must
+    // outlive this call; callers follow the QueryModule caching
+    // contract (`spark.catalog.clearCache()` between queries, as
+    // Verify, Bench, and the specs do).
+    frontier.unpersist()
     labels
+  }
+
+  /** Shared plan for the two dataset-profile queries: one scan of
+    * `orders` (plus the deterministic null-sparse derived column — the
+    * fixture has no NULLs, and the null-count/null-ppm path is the
+    * op's core claim, so a derived every-third-key-NULL column keeps it
+    * load-bearing on both engines), one aggregate row, stacked to long
+    * format AFTER aggregation — one output row per profiled column, no
+    * per-column scans, no join. `exact = true` counts distincts with
+    * `countDistinct` (lowers to one Expand — rows replicated once per
+    * profiled column into the partial agg; fine at profile cadence,
+    * oracle-checkable); `exact = false` uses `approx_count_distinct`
+    * HLL++ sketches (single-pass, no Expand — the 100-TB form).
+    * `spread`: the fixture table is one parquet split, so the partial
+    * aggregate would otherwise run on a single task; at production
+    * split counts this is a planning no-op (QueryModule.spread doc). */
+  private def profilePlan(
+      s: SparkSession, dir: String, exact: Boolean): DataFrame = {
+    import s.implicits._
+    def nulls(c: String) =
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
+    def nd(c: String) =
+      (if (exact) countDistinct(col(c))
+       else approx_count_distinct(col(c), 0.01)).as(s"${c}_nd")
+    def mmStr(c: String) = Seq(
+      min(col(c)).cast("string").as(s"${c}_min"),
+      max(col(c)).cast("string").as(s"${c}_max"))
+    def mmE2(c: String) = Seq(
+      floor(min(col(c)) * 100).cast("long").cast("string").as(s"${c}_min"),
+      floor(max(col(c)) * 100).cast("long").cast("string").as(s"${c}_max"))
+    def mmTs(c: String) = Seq(
+      date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_min"),
+      date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_max"))
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority", "o_status_sparse")
+    val mm: Map[String, Seq[org.apache.spark.sql.Column]] = Map(
+      "o_totalprice" -> mmE2("o_totalprice"),
+      "o_orderdate" -> mmTs("o_orderdate")
+    ).withDefault(mmStr)
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(nulls(c), nd(c)) ++ mm(c))
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
+    QueryModule.spread(Tables.orders(s, dir)
+        .withColumn("o_status_sparse",
+          when($"o_orderkey" % 3 === 0, lit(null).cast("string"))
+            .otherwise($"o_orderstatus")))
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_null, n_distinct, min_str, max_str)")
+      .selectExpr("col_name", "n_rows", "n_null",
+        "n_null * 1000000L div n_rows AS null_ppm",
+        "n_distinct", "min_str", "max_str")
+      .orderBy("col_name")
   }
 
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
@@ -813,66 +879,109 @@ object DedupQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // CDC APPLY with a CONFLICT-BEARING batch (r11): pipe_cdc_apply
+    // assumes at most one change per key — a real MERGE batch carries
+    // several (a row updated then deleted, inserted then updated
+    // within one commit window) and must resolve LATEST-WINS first.
+    // This composes the ev_compact_latest shape (one groupBy, max over
+    // a (seq, payload) struct — partial+final agg, no window/no sort)
+    // in FRONT of the same single full-outer-join apply: exactly one
+    // pre-aggregation + one join, one shuffle each on the key. The
+    // fixture batch carries TWO ops per touched key in commit order
+    // (seq): %7==0 → U(1) then D(2) (update superseded by delete —
+    // resolved D, row removed); %7==1 → D(1) then U(2) (delete
+    // superseded by update — resolved U, the conflict a naive
+    // apply-in-arrival-order gets wrong); %7==2 → I(1) then U(2) under
+    // the +2^40 key (insert refined in-batch — applies as an insert:
+    // origin derives from base-side presence, not the resolved op
+    // code). Idempotent re-apply as before.
+    "pipe_cdc_apply_multi" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"n_chars", lit(1).as("in_base"))
+      val touched = Tables.documents(s, dir).where($"doc_id" % 7 < 3)
+      val op1 = touched.selectExpr(
+        "CASE WHEN doc_id % 7 = 2 THEN doc_id + 1099511627776L " +
+          "ELSE doc_id END AS doc_id",
+        "1L AS seq",
+        "CASE doc_id % 7 WHEN 0 THEN 'U' WHEN 1 THEN 'D' ELSE 'I' END AS op",
+        "lang", "n_chars")
+      val op2 = touched.selectExpr(
+        "CASE WHEN doc_id % 7 = 2 THEN doc_id + 1099511627776L " +
+          "ELSE doc_id END AS doc_id",
+        "2L AS seq",
+        "CASE doc_id % 7 WHEN 0 THEN 'D' ELSE 'U' END AS op",
+        "lang",
+        "CASE doc_id % 7 WHEN 0 THEN n_chars ELSE n_chars + 1000L END " +
+          "AS n_chars")
+      val resolved = op1.unionAll(op2)
+        .groupBy($"doc_id")
+        .agg(max(struct($"seq", $"op", $"lang", $"n_chars")).as("m"))
+        .select($"doc_id", $"m.op".as("op"),
+          $"m.lang".as("c_lang"), $"m.n_chars".as("c_n_chars"))
+      base.join(resolved, Seq("doc_id"), "full_outer")
+        .where(coalesce($"op", lit("")) =!= "D")
+        .select($"doc_id",
+          coalesce($"c_lang", $"lang").as("lang"),
+          coalesce($"c_n_chars", $"n_chars").as("n_chars"),
+          when($"op".isNull, "base")
+            .when($"in_base".isNull, "inserted")
+            .otherwise("updated").as("origin"))
+        .orderBy("doc_id")
+    }),
+
     // Dataset PROFILE (r10): the schema-validation report every ingest
     // runs before training — per column: row count, null count + ppm,
     // exact distinct count, and canonical min/max renderings. ONE scan,
     // one aggregate row, stacked to long format AFTER aggregation (the
-    // stack explodes 1 wide row into 6 — no shuffle repetition, no
-    // per-column scans, no join; plan-guarded). Renderings are
-    // engine-canonical on purpose: longs/strings cast directly, the
-    // double as an e2-floored integer, the timestamp via an explicit
-    // format — so the oracle compares bytes, not float/temporal
-    // printers. The multi-column exact countDistinct plans as one
-    // Expand (rows replicated once per distinct column) — fine at
-    // profile cadence; at 100 TB swap approx_count_distinct in for a
-    // single-pass sketch profile (the HLL route rel_approx_distinct
-    // already proves).
-    "pipe_profile" -> ((s, dir) => {
-      import s.implicits._
-      def nulls(c: String) =
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
-      def nd(c: String) = countDistinct(col(c)).as(s"${c}_nd")
-      def mmStr(c: String) = Seq(
-        min(col(c)).cast("string").as(s"${c}_min"),
-        max(col(c)).cast("string").as(s"${c}_max"))
-      def mmE2(c: String) = Seq(
-        floor(min(col(c)) * 100).cast("long").cast("string").as(s"${c}_min"),
-        floor(max(col(c)) * 100).cast("long").cast("string").as(s"${c}_max"))
-      def mmTs(c: String) = Seq(
-        date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_min"),
-        date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_max"))
-      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderdate", "o_orderpriority", "o_status_sparse")
-      val mm: Map[String, Seq[org.apache.spark.sql.Column]] = Map(
-        "o_totalprice" -> mmE2("o_totalprice"),
-        "o_orderdate" -> mmTs("o_orderdate")
-      ).withDefault(mmStr)
-      val aggs = count(lit(1)).as("n_rows") +:
-        cols.flatMap(c => Seq(nulls(c), nd(c)) ++ mm(c))
-      val stackArgs = cols.map(c =>
-        s"'$c', ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
-      // spread: the fixture table is one parquet split, so the
-      // Expand×8 partial aggregate would run on a single task (~3.1 s
-      // → ~2.2 s warm at sf0.1 once spread across cores; the remaining
-      // cost is the exact multi-distinct itself). At production
-      // split counts this is a planning no-op (QueryModule.spread doc).
-      // o_status_sparse: the fixture carries no NULLs, so a profile of
-      // raw columns would never exercise the null-count/null-ppm path —
-      // the op's core claim. A deterministically null-sparse derived
-      // column (every third key NULLed) keeps that path load-bearing
-      // on both engines.
-      QueryModule.spread(Tables.orders(s, dir)
-          .withColumn("o_status_sparse",
-            when($"o_orderkey" % 3 === 0, lit(null).cast("string"))
-              .otherwise($"o_orderstatus")))
-        .agg(aggs.head, aggs.tail: _*)
-        .selectExpr("n_rows",
-          s"stack(${cols.size}, $stackArgs) AS " +
-            "(col_name, n_null, n_distinct, min_str, max_str)")
-        .selectExpr("col_name", "n_rows", "n_null",
-          "n_null * 1000000L div n_rows AS null_ppm",
-          "n_distinct", "min_str", "max_str")
-        .orderBy("col_name")
+    // stack explodes the 1 wide row into one row per profiled column —
+    // no shuffle repetition, no per-column scans, no join;
+    // plan-guarded). Renderings are engine-canonical on purpose:
+    // longs/strings cast directly, the double as an e2-floored integer,
+    // the timestamp via an explicit format — so the oracle compares
+    // bytes, not float/temporal printers. The multi-column exact
+    // countDistinct plans as one Expand (rows replicated once per
+    // distinct column) — fine at profile cadence; at 100 TB run
+    // `pipe_profile_approx` below: same one scan, no Expand, HLL
+    // sketches in place of the exact distincts.
+    "pipe_profile" -> ((s, dir) => profilePlan(s, dir, exact = true)),
+
+    // Sketch PROFILE (r11): the variant you actually run at 100 TB.
+    // Same one-scan stacked shape as pipe_profile, but the per-column
+    // distinct counts are HLL++ sketches (`approx_count_distinct`,
+    // rsd=0.01) — single-pass partial+final aggregation, NO Expand, so
+    // 100 TB flows through the first aggregate once instead of
+    // once-per-profiled-column (pipe_profile's Expand×8 → 800 TB).
+    // Everything else in the row (n_rows, null counts/ppm, min/max
+    // renderings) is the same exact aggregate. Rows-only (HLL merge
+    // order is engine-local); the in-path gate recomputes the exact
+    // profile and `require`s every sketch within the rel_approx_distinct
+    // 4σ bound AND every exact field byte-identical — the driver run
+    // witnesses both. The exact sibling stays the oracle-checkable
+    // yardstick, the same pairing as emb_cosine_pairs/emb_blocked_pairs.
+    "pipe_profile_approx" -> ((s, dir) => {
+      val out = profilePlan(s, dir, exact = false)
+      QueryModule.gated("pipe_profile_approx", out) { rows =>
+        val exact = profilePlan(s, dir, exact = true).collect()
+          .map(r => r.getString(0) -> r).toMap
+        require(rows.length == exact.size,
+          s"pipe_profile_approx gate: ${rows.length} rows vs " +
+            s"${exact.size} exact profile rows")
+        rows.foreach { r =>
+          val e = exact(r.getString(0))
+          // Exact fields must agree bit-for-bit: only the distinct
+          // count is sketched.
+          Seq(1, 2, 3, 5, 6).foreach { i =>
+            require(r.get(i) == e.get(i),
+              s"pipe_profile_approx gate: ${r.getString(0)} field $i " +
+                s"diverges (${r.get(i)} vs exact ${e.get(i)})")
+          }
+          val (a, x) = (r.getLong(4), e.getLong(4))
+          require(math.abs(a - x) <= math.max(4L, (0.04 * x).toLong),
+            s"pipe_profile_approx gate: ${r.getString(0)} approx $a vs " +
+              s"exact $x drifts past the 4σ HLL bound")
+        }
+      }
     }),
 
     // Near-dup CLUSTER resolution: connected components over the exact
@@ -1199,6 +1308,43 @@ object DedupQueries extends QueryModule {
         |       ELSE 'inserted' END AS origin
         |FROM base b FULL OUTER JOIN c ON b.doc_id = c.doc_id
         |WHERE coalesce(c.op, '') <> 'D'
+        |ORDER BY doc_id""".stripMargin,
+
+    // Latest-wins resolution rendered as a DESC row_number window (the
+    // portable SQL form of the engine's max-over-(seq, payload) struct
+    // — seq is unique per key, so both pick the same row); then the
+    // same full-outer merge as pipe_cdc_apply. origin comes from
+    // base-side presence, not the resolved op code (an in-batch I→U
+    // chain still applies as an insert).
+    "pipe_cdc_apply_multi" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        |t AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 < 3),
+        |c AS (SELECT
+        |  CASE WHEN doc_id % 7 = 2 THEN doc_id + 1099511627776 ELSE doc_id END AS doc_id,
+        |  1 AS seq,
+        |  CASE doc_id % 7 WHEN 0 THEN 'U' WHEN 1 THEN 'D' ELSE 'I' END AS op,
+        |  lang, n_chars
+        |  FROM t
+        |  UNION ALL
+        |  SELECT
+        |  CASE WHEN doc_id % 7 = 2 THEN doc_id + 1099511627776 ELSE doc_id END,
+        |  2,
+        |  CASE doc_id % 7 WHEN 0 THEN 'D' ELSE 'U' END,
+        |  lang,
+        |  CASE doc_id % 7 WHEN 0 THEN n_chars ELSE n_chars + 1000 END
+        |  FROM t),
+        |r AS (SELECT doc_id, op, lang AS c_lang, n_chars AS c_n_chars FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |    FROM c)
+        |  WHERE rn = 1)
+        |SELECT CAST(coalesce(b.doc_id, r.doc_id) AS BIGINT) AS doc_id,
+        |  coalesce(r.c_lang, b.lang) AS lang,
+        |  CAST(coalesce(r.c_n_chars, b.n_chars) AS BIGINT) AS n_chars,
+        |  CASE WHEN r.op IS NULL THEN 'base'
+        |       WHEN b.doc_id IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS origin
+        |FROM base b FULL OUTER JOIN r ON b.doc_id = r.doc_id
+        |WHERE coalesce(r.op, '') <> 'D'
         |ORDER BY doc_id""".stripMargin,
 
     // One aggregate row, unioned to long format; every integer

@@ -324,15 +324,18 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("secondary sort rides the group shuffle's own sort") {
-    // flatMapSortedGroups must plan as ONE hash exchange + a
-    // partition-local sort carrying the secondary keys — the whole
-    // point over buffering+sorting inside the reduce (O(group) memory
-    // on a hot key).
+    // MapReduce.runSorted must plan as ONE hash exchange + a
+    // partition-local sort carrying the value struct (the (ts_us,
+    // event_id, event_type) secondary keys) — the whole point over
+    // buffering+sorting inside the reduce (O(group) memory on a hot
+    // key). The sort node orders on (grouping key _1, value _2): two
+    // ascending sort columns, no extra exchange.
     val p = plan("mr_secondary_sort")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       "expected exactly one group shuffle")
-    assert("Sort \\[[^\\]]*ts_us".r.findFirstIn(p).isDefined,
-      "secondary sort keys did not reach the shuffle-side sort")
+    assert("Sort \\[value#\\d+L? ASC[^,\\]]*, _2#\\d+ ASC[^\\]]*\\], false".r
+        .findFirstIn(p).isDefined,
+      "secondary sort value struct did not reach the shuffle-side sort")
   }
 
   test("cdc apply is one keyed full-outer merge, no extra joins") {
@@ -344,6 +347,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("FullOuter"), "merge lost its full-outer form")
     assert("Join".r.findAllIn(p).size == 1,
       s"expected exactly one join in the merge plan")
+  }
+
+  test("conflict-bearing cdc apply is one pre-agg + one full-outer merge") {
+    // Latest-wins resolution must be the ev_compact_latest shape — a
+    // partial+final max-over-struct aggregate, NO window/sort ranking
+    // (a row_number here would global-sort the change batch) — feeding
+    // the same single full-outer join as pipe_cdc_apply.
+    val p = plan("pipe_cdc_apply_multi")
+    assert(p.contains("FullOuter"), "merge lost its full-outer form")
+    assert("Join".r.findAllIn(p).size == 1,
+      s"expected exactly one join in the merge plan")
+    assert(!p.contains("Window"),
+      "latest-wins resolution must be an aggregate, not a window rank")
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r
+        .findAllIn(p).size >= 2,
+      "latest-wins resolution lost its partial/final aggregate split")
     assert(!p.contains("Window"), "unexpected window in the merge plan")
   }
 
@@ -353,6 +372,27 @@ class PlanShapeSpec extends SparkSpec {
     // from stacking the 1-row aggregate output. A per-column union of
     // scans or a self-join here would multiply the corpus read.
     val p = plan("pipe_profile")
+    assert(!p.contains("Join"), "profile must not join")
+    assert("FileScan|Scan parquet".r.findAllIn(p).size <= 1,
+      "profile re-scans the table per column")
+    assert(p.contains("Generate stack"), "long format lost its stack")
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r
+        .findAllIn(p).size >= 2,
+      "profile aggregate lost its partial/final split")
+  }
+
+  test("sketch profile is one scan with NO Expand (single-pass HLL)") {
+    // The 100-TB profile form: pipe_profile's exact multi-column
+    // countDistinct lowers to an Expand that replicates every scanned
+    // row once per profiled column into the partial aggregate; the
+    // approx sibling's whole point is that the HLL sketches aggregate
+    // in ONE pass. An Expand reappearing here means the sketch plan
+    // regressed to the exact plan's shape. A gated query's plan has
+    // EXECUTED, so AQE's toString repeats the tree under an
+    // "== Initial Plan ==" section — count nodes in the final section
+    // only, or every scan/agg double-counts.
+    val p = gatedPlan("pipe_profile_approx").split("== Initial Plan ==")(0)
+    assert(!p.contains("Expand"), "sketch profile must not Expand")
     assert(!p.contains("Join"), "profile must not join")
     assert("FileScan|Scan parquet".r.findAllIn(p).size <= 1,
       "profile re-scans the table per column")
