@@ -599,9 +599,20 @@ object EventsQueries extends QueryModule {
           .selectExpr("user_id AS userId", s"$TS_US AS tsUs",
             "event_type AS eventType")
           .as[graft.streaming.Ev]
+        // RocksDB provider (r11): this drain's state GROWS per key for
+        // the whole run (mapGroupsWithState, NoTimeout — one snapshot
+        // entry per user, never evicted), which is exactly the state
+        // class that outgrows heap snapshots at 100 TB; running it on
+        // RocksDB makes the suite witness per-key-growing custom state
+        // on the production provider, not just the dedup drain's
+        // per-row state. Oracle unchanged — the provider is pure
+        // configuration (DrainProfile A/B: heap 1.57 s vs RocksDB
+        // 1.74 s min-of-3 on this exact shape at sf0.1 — the ~0.2 s
+        // constant is the changelog/SST machinery, the price of state
+        // that no longer lives on the JVM heap).
         graft.streaming.EventStreams.drainUpdate(
             graft.streaming.EventStreams.sessionize(evs).toDF(),
-            "graft_ev_sessz_", minBatches = nf)
+            "graft_ev_sessz_", minBatches = nf, rocksdb = true)
           .groupBy($"userId")
           .agg(max(struct($"nEvents", $"nSessions")).as("m"))
           .select($"userId".as("user_id"), $"m.nEvents".as("n_events"),

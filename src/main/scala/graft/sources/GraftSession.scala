@@ -33,11 +33,15 @@ object GraftSession {
     *    [[graft.operators.SkewJoin.aqeSkewJoinDemo]], with detection
     *    thresholds scaled to fixture size there, not here).
     *  - `spark.sql.streaming.stateStore.providerClass`: default
-    *    (HDFS-backed) here; only the one data-sized-state drain
-    *    (`ev_stream_dedup`) opts into RocksDB. Measured A/B on that
-    *    exact drain shape (DrainProfile r9, sf0.1, ~10^5 state rows,
-    *    tmpfs scratch, min of 3 interleaved reps): heap 3.40 s vs
-    *    RocksDB 3.79 s — the provider costs ~12% at fixture scale
+    *    (HDFS-backed) here; the two drains whose state grows with the
+    *    data opt into RocksDB — `ev_stream_dedup` (per-row state: one
+    *    entry per event id in the horizon) and `ev_stream_sessionize`
+    *    (per-key-growing custom state: one mapGroupsWithState snapshot
+    *    per user, never evicted). Measured A/B on the dedup drain
+    *    shape (DrainProfile r9, sf0.1, ~10^5 state rows, tmpfs
+    *    scratch, min of 3 interleaved reps): heap 3.40 s vs
+    *    RocksDB 3.79 s — and on the sessionize shape (r11): heap
+    *    1.57 s vs RocksDB 1.74 s — the provider costs ~12% at fixture scale
     *    (native-store commit machinery), the price of state that no
     *    longer lives on the JVM heap. At 100 TB that trade inverts:
     *    heap-backed state caps at executor memory and snapshots whole
@@ -78,6 +82,33 @@ object GraftSession {
     * `toURI`/`Paths.get`, not `URL.getPath`, so a checkout path with
     * spaces (percent-encoded in the URL) still yields a usable
     * filesystem path. */
+  /** Staging root for operators that WRITE a dataset mid-query and
+    * read it back through executors (mm_ingest's `binaryFile` media
+    * tree, rel_bucketed_join's bucketed warehouse). Default: a
+    * driver-local temp dir — correct on `local[*]` and on
+    * `local-cluster` (one host, shared /tmp). On a REAL cluster set
+    * `SPARK_GRAFT_STAGING` to a shared-filesystem path (NFS/FUSE mount
+    * visible at the SAME path on every node): executors open these
+    * files directly, so a driver-only path would fail the scan there.
+    * The env var takes a mounted filesystem path, not an object-store
+    * URI — staging through s3://... would need the writers below to go
+    * through Hadoop FS APIs instead of java.nio (deployment note, not
+    * fixture machinery). Each call returns a fresh unique subdirectory
+    * so concurrent queries never collide; callers delete their tree
+    * when done (same hygiene as EventStreams.tempDir). */
+  def stagingDir(tag: String): java.nio.file.Path =
+    sys.env.get("SPARK_GRAFT_STAGING") match {
+      case Some(root) =>
+        val p = java.nio.file.Paths.get(root)
+        try java.nio.file.Files.createDirectories(p)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_STAGING=$root cannot be created: ${e.getMessage}", e)
+        }
+        java.nio.file.Files.createTempDirectory(p, tag)
+      case None => java.nio.file.Files.createTempDirectory(tag)
+    }
+
   def classesDir: String = sys.env.get("SPARK_GRAFT_CLASSPATH")
     .orElse(
       Option(GraftSession.getClass.getProtectionDomain.getCodeSource)

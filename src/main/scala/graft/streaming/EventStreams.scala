@@ -591,6 +591,16 @@ object EventStreams {
         val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
         while (empties < 1 && System.nanoTime() < deadline)
           Thread.sleep(25)
+        // Deadline expiry with no empty batch means the final-watermark
+        // micro-batch never fired (a wedged trigger clock) — fail HERE,
+        // attributably, instead of stopping anyway and surfacing later
+        // as a confusing oracle diff on the missing last windows
+        // (ADVICE r10).
+        if (empties < 1)
+          throw new IllegalStateException(
+            "awaitQuiescent: no no-data micro-batch committed within the " +
+              "20 s deadline — the ProcessingTime trigger clock is wedged; " +
+              "final-watermark windows were never emitted")
       } finally q.stop()
       Option(counter.dataBatches.get(run)).map(_.intValue).getOrElse(0)
     } finally spark.streams.removeListener(counter)

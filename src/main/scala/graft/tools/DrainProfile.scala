@@ -82,6 +82,30 @@ object DrainProfile {
         }
       }
     }
+    // Heap vs RocksDB A/B on the EXACT ev_stream_sessionize drain shape
+    // (the suite's per-key-GROWING custom state: mapGroupsWithState,
+    // NoTimeout, one snapshot per user for the whole run,
+    // statePartitions=2 via drainUpdate's default). Same protocol as
+    // the dedup A/B — the number ev_stream_sessionize's rocksdb=true
+    // comment must cite.
+    (1 to 3).foreach { rep =>
+      Seq(false, true).foreach { rocks =>
+        graft.streaming.EventStreams.withSplitEvents(spark, sfDir, 3) {
+          (src, nf) =>
+            val t0 = System.nanoTime()
+            val evs = src
+              .selectExpr("user_id AS userId",
+                s"${graft.queries.QueryModule.TsUs} AS tsUs",
+                "event_type AS eventType")
+              .as[graft.streaming.Ev]
+            graft.streaming.EventStreams.drainUpdate(
+              graft.streaming.EventStreams.sessionize(evs).toDF(),
+              "prof_sessz_", minBatches = nf, rocksdb = rocks).count()
+            val t = (System.nanoTime() - t0) / 1e9
+            println(f"[prof] sessionize/${if (rocks) "rocksdb" else "heap"}/rep$rep total=$t%.2f s")
+        }
+      }
+    }
     spark.stop()
   }
 }
