@@ -117,12 +117,13 @@ object MultimodalQueries extends QueryModule {
     // (writing 60 real container files to a temp dir) is the harness
     // stand-in for the object store a production corpus already lives
     // in; it is driver-side and bounded by design. DEPLOYMENT
-    // CONSTRAINT: the temp dir is DRIVER-LOCAL, so the binaryFile scan
-    // only finds it when executors share the driver's filesystem —
-    // true in local[N] and same-host local-cluster (ClusterSmoke
-    // --all), false on any multi-node cluster, where the fixture-prep
-    // step must stage to shared storage (HDFS/S3) instead; the query
-    // path is unchanged either way. The QUERY path — distributed
+    // CONSTRAINT: the staging dir defaults to DRIVER-LOCAL temp, so
+    // the binaryFile scan only finds it when executors share the
+    // driver's filesystem — true in local[N] and same-host
+    // local-cluster (ClusterSmoke --all). On a multi-node cluster set
+    // SPARK_GRAFT_STAGING to a shared mount (GraftSession.stagingDir)
+    // and the same code stages where every executor can scan; the
+    // query path is unchanged either way. The QUERY path — distributed
     // binaryFile scan, filename→key extraction, per-row magic-sniffed
     // JRE parse — is exactly the production shape. Every reported
     // value (dims, channels, frame counts, duration) comes out of the
@@ -130,7 +131,7 @@ object MultimodalQueries extends QueryModule {
     // the generators.
     "mm_ingest" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_mm_ingest_")
+      val tmp = graft.sources.GraftSession.stagingDir("graft_mm_ingest_")
       try {
         Tables.documents(s, dir).select($"doc_id", $"text")
           .where($"doc_id" < 60).collect().foreach { r =>

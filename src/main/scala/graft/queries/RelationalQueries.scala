@@ -465,7 +465,7 @@ object RelationalQueries extends QueryModule {
     // local relation before the temp tables are dropped, so the
     // returned plan owns no external state. See operators.BucketedJoin.
     "rel_bucketed_join" -> ((s, dir) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft_bkt_")
+      val wh = graft.sources.GraftSession.stagingDir("graft_bkt_")
       try {
         graft.operators.BucketedJoin.writeBucketed(s, dir, wh.toString)
         val agg = graft.operators.BucketedJoin.plan(s)

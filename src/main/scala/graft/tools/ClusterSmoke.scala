@@ -22,11 +22,14 @@ import org.apache.spark.sql.SparkSession
   * streaming drain.
   *
   * `--all` caveat: `mm_ingest` and `rel_bucketed_join` stage fixture
-  * state (temp media files / a warehouse dir) on the DRIVER's
-  * filesystem and scan it from executors. That works here only because
-  * `local-cluster` executors share the driver's host; on a real
-  * multi-node cluster those fixture-prep steps must stage to shared
-  * storage (HDFS/S3) — the query plans themselves are unchanged. The
+  * state (temp media files / a warehouse dir) via
+  * `GraftSession.stagingDir` — driver-local temp by default, which
+  * works here because `local-cluster` executors share the driver's
+  * host; on a real multi-node cluster set `SPARK_GRAFT_STAGING` to a
+  * shared mount (verified: `SPARK_GRAFT_STAGING=<dir> sbt "runMain
+  * graft.tools.ClusterSmoke mm_ingest rel_bucketed_join"` stages
+  * under the override and both queries pass with executors scanning
+  * it) — the query plans themselves are unchanged. The
   * drains' scratch trees (sink + checkpoint) have the same share-a-
   * filesystem assumption in this harness; production checkpoints go to
   * HDFS/S3 by construction.
@@ -44,7 +47,7 @@ object ClusterSmoke {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sf = args.headOption.filterNot(a => a == "--all" || a == "--batches")
+    val sf = args.find(_.startsWith("/"))
       .getOrElse("/root/testdata/sf0.001")
     // Default: a representative slice. `--all` runs the full query
     // surface distributed — the heavyweight pre-round check.
@@ -54,10 +57,14 @@ object ClusterSmoke {
     // watermark/state semantics hold when the micro-batches execute on
     // SEPARATE executor JVMs (state store, checkpoint IO and the
     // listener-counted progress all crossing process boundaries).
+    // Explicit query names as args run exactly those (e.g. the staging
+    // queries under an overridden SPARK_GRAFT_STAGING root).
+    val named = args.filter(graft.SparkEntry.queries.contains).toSeq
     val slice =
       if (args.contains("--all")) graft.SparkEntry.queries.keys.toSeq.sorted
       else if (args.contains("--batches"))
         graft.SparkEntry.queries.keys.filter(_.startsWith("ev_stream")).toSeq.sorted
+      else if (named.nonEmpty) named
       else Seq("mr_wordcount", "mm_metadata", "emb_knn",
         "dedup_ngram_jaccard", "ev_stream_hourly")
     var failures = 0
