@@ -86,7 +86,12 @@ object KernelQueries extends QueryModule {
         .selectExpr("user_id",
           s"struct(${QueryModule.TsUs} AS ts_us, event_id, event_type) AS ev")
         .as[(Long, (Long, Long, String))]
-      MapReduce.runSorted(ev, SequenceDigestClient, mtl(s))
+      // parallelism=0 (no map-side repartition): unlike the wordcount
+      // family, this client's map is an identity emit — all real work
+      // (sort, digest fold) happens at/after the group exchange, so a
+      // spread would add a full extra shuffle of the events table for
+      // nothing (measured: 0.89 s with mtl vs 0.45 s without at sf0.1).
+      MapReduce.runSorted(ev, SequenceDigestClient)
         .map { case (uid, (n, md5)) => (uid, n, md5) }
         .toDF("user_id", "n_events", "seq_md5")
         .orderBy("user_id")

@@ -333,9 +333,9 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("mr_secondary_sort")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       "expected exactly one group shuffle")
-    assert("Sort \\[value#\\d+L? ASC[^,\\]]*, _2#\\d+ ASC[^\\]]*\\], false".r
+    assert("Sort \\[value#\\d+L? ASC[^,\\]]*, _2#\\d+[.\\w]* ASC[^\\]]*\\], false".r
         .findFirstIn(p).isDefined,
-      "secondary sort value struct did not reach the shuffle-side sort")
+      "secondary sort value keys did not reach the shuffle-side sort")
   }
 
   test("cdc apply is one keyed full-outer merge, no extra joins") {
