@@ -194,6 +194,18 @@ object DedupQueries extends QueryModule {
     labels
   }
 
+  /** Sketch precision for the approx profile. 0.02 rather than
+    * rel_approx_distinct's 0.01: the HLL++ register count grows ~1/rsd²
+    * and the profile carries EIGHT sketches in one aggregate buffer —
+    * at rsd 0.01 that is ~16k buffer words (SortAggregate fallback +
+    * multi-second codegen of the monster update expressions, measured
+    * ~6.5 s for the approx pass alone at sf0.1, 2.6× the EXACT Expand
+    * profile it exists to beat); at 0.02 the buffer is 4× smaller and
+    * the pass is cheap while a ±2%-rsd distinct count remains far
+    * tighter than any profile consumer needs. The in-path gate scales
+    * its 4σ bound with this constant. */
+  private val ProfileRsd = 0.02
+
   /** Shared plan for the two dataset-profile queries: one scan of
     * `orders` (plus the deterministic null-sparse derived column — the
     * fixture has no NULLs, and the null-count/null-ppm path is the
@@ -215,7 +227,7 @@ object DedupQueries extends QueryModule {
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
     def nd(c: String) =
       (if (exact) countDistinct(col(c))
-       else approx_count_distinct(col(c), 0.01)).as(s"${c}_nd")
+       else approx_count_distinct(col(c), ProfileRsd)).as(s"${c}_nd")
     def mmStr(c: String) = Seq(
       min(col(c)).cast("string").as(s"${c}_min"),
       max(col(c)).cast("string").as(s"${c}_max"))
@@ -977,7 +989,7 @@ object DedupQueries extends QueryModule {
                 s"diverges (${r.get(i)} vs exact ${e.get(i)})")
           }
           val (a, x) = (r.getLong(4), e.getLong(4))
-          require(math.abs(a - x) <= math.max(4L, (0.04 * x).toLong),
+          require(math.abs(a - x) <= math.max(4L, (4 * ProfileRsd * x).toLong),
             s"pipe_profile_approx gate: ${r.getString(0)} approx $a vs " +
               s"exact $x drifts past the 4σ HLL bound")
         }
