@@ -688,6 +688,32 @@ object DedupQueries extends QueryModule {
         .orderBy("lang", "rk")
     }),
 
+    // Weighted sampling WITHOUT replacement (r11): Efraimidis–Spirakis
+    // A-ES — every row draws key = u^(1/w) with u uniform in (0,1] and
+    // w its weight (n_chars here: longer docs proportionally likelier,
+    // a standard pretraining mixing policy); the global top-k by key
+    // IS an exact weighted sample without replacement. u derives from
+    // md5(doc_id) — first 15 hex digits → a 60-bit integer, +1, /2^60
+    // — so the draw is deterministic and engine-portable: both engines
+    // evaluate the identical double and select the identical rows (no
+    // RNG state, idempotent re-runs, and the oracle replays the exact
+    // draw in SQL). Scale: the keying is a narrow per-row projection
+    // and the top-k lowers to TakeOrderedAndProject (per-partition
+    // k-row heaps + a k-row driver merge, plan-guarded) — no global
+    // sort, no corpus shuffle; the only data movement is k rows per
+    // partition.
+    "pipe_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .selectExpr("doc_id", "lang", "n_chars",
+          "pow((CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) + 1)" +
+            " / 1152921504606846976.0, 1.0 / n_chars) AS k")
+        .orderBy($"k".desc, $"doc_id")
+        .limit(50)
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing (concat-and-chunk): lay every doc's tokens out
     // on one global tape in doc_id order and map each doc to its
     // 2048-token context windows — the packing step of every
@@ -1230,6 +1256,14 @@ object DedupQueries extends QueryModule {
         |  FROM documents)
         |WHERE rn <= CASE WHEN lang = 'en' THEN 160 ELSE 60 END
         |ORDER BY lang, doc_id""".stripMargin,
+    "pipe_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+        |        / 1152921504606846976.0, 1.0 / n_chars) AS k
+        |  FROM documents
+        |  ORDER BY k DESC, doc_id LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
     "pipe_pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tok
          |           FROM documents),

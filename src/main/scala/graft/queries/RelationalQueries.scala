@@ -340,6 +340,47 @@ object RelationalQueries extends QueryModule {
     }),
 
     // Exact distinct aggregation (expand + two-phase agg under the hood).
+    // Correlation MATRIX (r11) — the numeric-feature screening pass a
+    // dataset audit runs before training: pairwise Pearson r over the
+    // measure columns, in ONE scan. Never `corr()` directly at oracle
+    // parity: its double accumulation is order-dependent (partial
+    // merge order differs per engine/run). Instead the scan reduces to
+    // the exact sufficient statistics — Σx, Σx², Σxy in the DECIMAL
+    // domain (exact, order-independent, one partial+final aggregate
+    // row) — and r = (nΣxy−ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) is then
+    // a scalar double expression over identical inputs on both engines
+    // (casts and √ are correctly rounded; round(6) for rendering).
+    // Adding a column costs one more sum, not another scan; at 100 TB
+    // this is the only corr shape that is both exact and one-pass.
+    "rel_corr_matrix" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir).selectExpr(
+        "CAST(l_quantity AS DECIMAL(12,2)) AS x",
+        "CAST(l_extendedprice AS DECIMAL(12,2)) AS y",
+        "CAST(l_discount AS DECIMAL(6,4)) AS z")
+      val agg = li.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"x").cast("double").as("sx"),
+        sum($"y").cast("double").as("sy"),
+        sum($"z").cast("double").as("sz"),
+        sum($"x" * $"x").cast("double").as("sxx"),
+        sum($"y" * $"y").cast("double").as("syy"),
+        sum($"z" * $"z").cast("double").as("szz"),
+        sum($"x" * $"y").cast("double").as("sxy"),
+        sum($"x" * $"z").cast("double").as("sxz"),
+        sum($"y" * $"z").cast("double").as("syz"))
+      def r(s1: String, s2: String, s11: String, s22: String, s12: String) =
+        s"round((n * $s12 - $s1 * $s2) / (sqrt(n * $s11 - $s1 * $s1)" +
+          s" * sqrt(n * $s22 - $s2 * $s2)), 6)"
+      agg.selectExpr(
+        "stack(3, " +
+          s"'quantity~discount', ${r("sx", "sz", "sxx", "szz", "sxz")}, " +
+          s"'quantity~extendedprice', ${r("sx", "sy", "sxx", "syy", "sxy")}, " +
+          s"'extendedprice~discount', ${r("sy", "sz", "syy", "szz", "syz")}" +
+          ") AS (pair, corr)")
+        .orderBy("pair")
+    }),
+
     "rel_count_distinct" -> ((s, dir) => {
       import s.implicits._
       Tables.orders(s, dir)
@@ -656,6 +697,29 @@ object RelationalQueries extends QueryModule {
         |UNION ALL
         |SELECT 'union_all' AS op, count(*) AS n FROM (SELECT * FROM c97 UNION ALL SELECT * FROM c98)
         |ORDER BY op""".stripMargin,
+    "rel_corr_matrix" ->
+      """WITH t AS (SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+        |                  CAST(l_extendedprice AS DECIMAL(12,2)) AS y,
+        |                  CAST(l_discount AS DECIMAL(6,4)) AS z
+        |           FROM lineitem),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |        CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |        CAST(sum(z) AS DOUBLE) AS sz,
+        |        CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy,
+        |        CAST(sum(z*z) AS DOUBLE) AS szz,
+        |        CAST(sum(x*y) AS DOUBLE) AS sxy, CAST(sum(x*z) AS DOUBLE) AS sxz,
+        |        CAST(sum(y*z) AS DOUBLE) AS syz
+        |      FROM t)
+        |SELECT pair, corr FROM (
+        |  SELECT 'quantity~discount' AS pair,
+        |    round((n*sxz - sx*sz) / (sqrt(n*sxx - sx*sx) * sqrt(n*szz - sz*sz)), 6) AS corr FROM a
+        |  UNION ALL
+        |  SELECT 'quantity~extendedprice' AS pair,
+        |    round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr FROM a
+        |  UNION ALL
+        |  SELECT 'extendedprice~discount' AS pair,
+        |    round((n*syz - sy*sz) / (sqrt(n*syy - sy*sy) * sqrt(n*szz - sz*sz)), 6) AS corr FROM a)
+        |ORDER BY pair""".stripMargin,
     "rel_count_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders
         |FROM orders

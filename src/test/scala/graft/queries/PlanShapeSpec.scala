@@ -402,6 +402,35 @@ class PlanShapeSpec extends SparkSpec {
       "profile aggregate lost its partial/final split")
   }
 
+  test("weighted sample is heap top-k, no corpus sort or shuffle") {
+    // A-ES weighted sampling = narrow per-row keying + global top-k.
+    // The top-k must lower to TakeOrderedAndProject (per-partition
+    // k-row heaps, k-row driver merge); a full Sort+Exchange of the
+    // keyed corpus appearing instead is the shape that dies at 100 TB.
+    val p = plan("pipe_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "weighted sample lost its heap top-k")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      "weighted sample shuffles the corpus")
+  }
+
+  test("corr matrix is one scan, one partial+final aggregate, no join") {
+    // Pairwise Pearson r from exact decimal sufficient statistics:
+    // everything reduces in ONE pass over lineitem. A Join (stats
+    // computed per-pair and stitched), an Expand, or a second scan
+    // means the plan regressed to a multi-pass shape.
+    val p = plan("rel_corr_matrix")
+    assert(!p.contains("Join"), "corr matrix must not join")
+    assert(!p.contains("Expand"), "corr matrix must not Expand")
+    assert("FileScan|Scan parquet".r.findAllIn(p).size <= 1,
+      "corr matrix re-scans the table")
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r
+        .findAllIn(p).size >= 2,
+      "corr aggregate lost its partial/final split")
+    assert(p.contains("Generate stack"), "long format lost its stack")
+  }
+
   test("overlap chunking shuffles nothing before its output sort") {
     // The op's scale story: scan → generate → project is embarrassingly
     // parallel. The ONLY exchange allowed is the rangepartitioning for
