@@ -250,6 +250,102 @@ object EmbeddingQueries extends QueryModule {
         .orderBy("dim")
     }),
 
+    // K-MEANS, Lloyd's algorithm (r11): REAL iterative clustering (the
+    // other emb queries use the label centroids as a deterministic
+    // k-means stand-in — this is the trainer that would produce such a
+    // codebook: IVF cells, PQ sub-codebooks, SemDeDup buckets). k=8,
+    // init = the k lowest-vec_id vectors (deterministic, no RNG),
+    // ITERS=5 fixed rounds. Per round, the 100-TB shape: centroids ride
+    // into the plan as a BROADCAST LITERAL (k×64 doubles — bytes in the
+    // plan, not a join side), the assignment is a NARROW codegen'd
+    // per-row argmin over that literal (zip_with/aggregate — no
+    // shuffle, no UDF), and the update is ONE partial+final aggregate
+    // keyed by cluster whose output is k rows — per iteration the
+    // corpus is scanned once and shuffles k rows per map partition,
+    // nothing else. Element sums run in 1e-6 fixed point via the
+    // ElementwiseSum Aggregator (exact + order-independent, so every
+    // run converges identically regardless of partitioning; a raw
+    // double sum would make the trained codebook depend on merge
+    // order). Per-round inertia comes out of the SAME aggregate (no
+    // extra pass). Rows-only (centroid trajectories are engine-local);
+    // the in-path gate re-derives the final assignment exactly over
+    // the fixture and `require`s cluster sizes identical + inertia
+    // within fixed-point slack + the recorded inertia sequence
+    // monotone non-increasing (Lloyd's invariant).
+    "emb_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      val K = 8; val ITERS = 5
+      val sumAgg = udaf(new ElementwiseSum(64))
+      val emb = Tables.embeddings(s, dir)
+        .selectExpr("vec_id", "cast(embedding AS array<double>) AS e")
+        .persist()
+      var cents: Array[Array[Double]] = emb.orderBy("vec_id").limit(K)
+        .select($"e").collect().map(_.getSeq[Double](0).toArray)
+      // Assignment plan against the current centroid literal: d2s =
+      // squared L2 to each centroid; ties (exact-equal distances) break
+      // to the lowest cluster id via array_position's first-match.
+      def assigned(cs: Array[Array[Double]]): DataFrame =
+        emb.withColumn("cs", typedLit(cs.map(_.toSeq).toSeq))
+          .selectExpr("vec_id",
+            "transform(cs, c -> aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)) AS d2s",
+            "transform(e, x -> CAST(floor(x * 1000000) AS BIGINT)) AS e6")
+          .selectExpr("vec_id", "e6",
+            "CAST(array_position(d2s, array_min(d2s)) - 1 AS INT) AS cluster",
+            "CAST(floor(array_min(d2s) * 1000000) AS BIGINT) AS d2_e6")
+      def step(cs: Array[Array[Double]]): DataFrame =
+        assigned(cs).groupBy($"cluster")
+          .agg(count(lit(1)).as("n_points"), sumAgg($"e6").as("sums"),
+            sum($"d2_e6").as("inertia_e6"))
+      val inertias = Array.newBuilder[Long]
+      for (_ <- 0 until ITERS) {
+        val rows = step(cents).collect() // k rows: the codebook update
+        inertias += rows.map(_.getLong(3)).sum
+        val byCluster = rows.map { r =>
+          val n = r.getLong(1)
+          r.getInt(0) -> r.getSeq[Long](2).map(_ / (n * 1000000.0)).toArray
+        }.toMap
+        // An emptied cluster keeps its previous centroid (standard
+        // Lloyd's fallback; deterministic).
+        cents = Array.tabulate(K)(i => byCluster.getOrElse(i, cents(i)))
+      }
+      val hist = inertias.result()
+      val out = step(cents)
+        .selectExpr("cluster", "n_points", "inertia_e6")
+        .orderBy("cluster")
+      QueryModule.gated("emb_kmeans", out) { rows =>
+        // Exact local re-derivation over the fixture (bounded: ≤2000
+        // 64-dim vectors; a production audit samples instead).
+        val local = emb.select($"vec_id", $"e").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val n = local.length.toLong
+        val sizes = Array.fill(K)(0L); val inert = Array.fill(K)(0L)
+        local.foreach { case (_, e) =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < K) {
+            var d = 0.0; var i = 0
+            while (i < 64) { val t = e(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          sizes(best) += 1; inert(best) += math.floor(bestD * 1000000).toLong
+        }
+        rows.foreach { r =>
+          val c = r.getInt(0)
+          require(r.getLong(1) == sizes(c),
+            s"emb_kmeans gate: cluster $c size ${r.getLong(1)} != exact ${sizes(c)}")
+          require(math.abs(r.getLong(2) - inert(c)) <= r.getLong(1),
+            s"emb_kmeans gate: cluster $c inertia ${r.getLong(2)} vs exact " +
+              s"${inert(c)} beyond fixed-point slack")
+        }
+        hist.sliding(2).foreach { w =>
+          if (w.length == 2) require(w(1) <= w(0) + n,
+            s"emb_kmeans gate: inertia rose ${w(0)} -> ${w(1)} " +
+              "(Lloyd's monotonicity violated beyond flooring slack)")
+        }
+      }
+    }),
+
     // ANN via IVF (inverted file): the label centroids act as the
     // coarse codebook (deterministic k-means stand-in), every vector is
     // assigned to its nearest cell, probes search their nprobe=3

@@ -456,6 +456,36 @@ object EventsQueries extends QueryModule {
       }
     }),
 
+    // Streaming MERGE-INTO-TARGET upsert, driver-checked (r11): the
+    // SINK-side sibling of ev_stream_compact. Compact keeps latest-
+    // per-key in ENGINE STATE and appends a changelog the reader must
+    // compact; here the streaming query is STATELESS and foreachBatch
+    // MERGEs each micro-batch into a keyed files TARGET, batchId-
+    // versioned write-once (EventStreams.drainMergeTarget) — the sink
+    // IS the queryable compacted table after every batch, the
+    // materialized-view-over-files production pattern. The source
+    // stages every slice TWICE (at-least-once re-delivery), so the
+    // oracle ALSO witnesses that latest-wins merge absorbs duplicate
+    // delivery without an engine dedup state. No n_events column on
+    // purpose: a count is NOT re-delivery-idempotent (it double-counts
+    // what the merge absorbs) — the honest target under at-least-once
+    // carries only latest-wins fields.
+    "ev_stream_upsert" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.EventStreams.withSplitEvents(s, dir, 3,
+          redeliver = true) { (src, nf) =>
+        val keyed = src.selectExpr("user_id", "event_type",
+          s"struct($TS_US AS ts_us, event_id, value) AS m")
+        graft.streaming.EventStreams.drainMergeTarget(
+            keyed, "graft_ev_upsert_", Seq("user_id", "event_type"),
+            minBatches = nf)
+          .select($"user_id", $"event_type",
+            $"m.event_id".as("last_event_id"), $"m.ts_us".as("last_ts_us"),
+            $"m.value".as("last_value"))
+          .orderBy("user_id", "event_type")
+      }
+    }),
+
     // Streaming exactly-once dedup, driver-checked: every source slice
     // is staged TWICE (a byte-identical copy one file later — the
     // at-least-once re-delivery every ingestion pipeline must
@@ -808,6 +838,18 @@ object EventsQueries extends QueryModule {
         |    row_number() OVER (PARTITION BY user_id, event_type
         |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
         |    count(*) OVER (PARTITION BY user_id, event_type) AS n_events
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    // Same latest-per-key rows as ev_compact_latest minus the count
+    // column (counts are not re-delivery-idempotent; see the query).
+    "ev_stream_upsert" ->
+      """SELECT user_id, event_type, last_event_id, last_ts_us, last_value
+        |FROM (
+        |  SELECT user_id, event_type, event_id AS last_event_id,
+        |    epoch_us(ts) AS last_ts_us, value AS last_value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,

@@ -795,6 +795,80 @@ object EventStreams {
     loadAndClean(spark, tmp, df.schema)
   }
 
+  /** MERGE-INTO-TARGET counterpart of [[drainUpdate]] (r11): where
+    * drainUpdate lands a CHANGELOG (per-batch refreshed rows appended,
+    * compaction deferred to the reader), this drain maintains the
+    * compacted TARGET TABLE itself — each micro-batch foreachBatch
+    * MERGEs the batch's latest-per-key rows into the keyed files
+    * target and rewrites it under a batchId-versioned directory,
+    * skipping the write when that batch's directory already committed
+    * (`_SUCCESS` present): the idempotent-sink trick every
+    * exactly-once files pipeline hangs off foreachBatch's (batch,
+    * batchId) contract. Latest-wins merge makes the target ALSO
+    * idempotent under at-least-once re-delivery of the source (max
+    * over re-seen rows is a no-op) — callers prove it by staging every
+    * slice twice. The streaming query itself is STATELESS: no
+    * watermark, no state store — all cross-batch memory lives in the
+    * target files, the pattern that keeps engine state out of the
+    * picture when the sink is already a table. At 100 TB the per-batch
+    * rewrite becomes a partition-pruned MERGE (only files holding
+    * touched keys rewrite — pipe_cdc_apply's join, scoped by the
+    * delta's key range); the fixture target is keys-sized, so the full
+    * rewrite is the honest small shape.
+    *
+    * Input contract: `df` = `keyCols` plus one struct column `m` whose
+    * field-lexicographic max is latest-wins (ts first). */
+  def drainMergeTarget(df: DataFrame, tag: String, keyCols: Seq[String],
+      minBatches: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val tmp = tempDir(tag)
+    val keyExprs = keyCols.map(col)
+    val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+    try {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val batches =
+        try awaitCounted(spark,
+          df.writeStream
+            .outputMode(OutputMode.Append)
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .foreachBatch {
+              (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+                val out = s"$tmp/target_$bid"
+                val done = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+                val fs = done.getFileSystem(
+                  spark.sparkContext.hadoopConfiguration)
+                if (!fs.exists(done)) {
+                  val delta = batch
+                    .groupBy(keyExprs: _*).agg(max(col("m")).as("m"))
+                  val merged = Option(current.get) match {
+                    case Some(p) => spark.read.parquet(p)
+                      .unionByName(delta)
+                      .groupBy(keyExprs: _*).agg(max(col("m")).as("m"))
+                    case None => delta
+                  }
+                  merged.write.mode("overwrite").parquet(out)
+                }
+                current.set(out)
+                ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())._2
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      assertBatches(batches, minBatches)
+      Option(current.get) match {
+        case Some(p) =>
+          // Same driver-side read-back contract as loadAndClean: the
+          // final target is keys-sized by construction.
+          val raw = spark.read.parquet(p)
+          spark.createDataFrame(
+            java.util.Arrays.asList(raw.collect(): _*), raw.schema)
+        case None => spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
+      }
+    } finally deleteTree(tmp)
+  }
+
   /** Shared post-drain read-back: load the sink into a LOCAL relation
     * (drain results are harness read-backs bounded by the sink's size —
     * a production deployment's consumers read the sink files in place),

@@ -450,6 +450,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_._3 > 0), "no watermark-expired clicks exercised the outer emission")
   }
 
+  test("foreachBatch merge target equals batch compaction under re-delivery") {
+    // drainMergeTarget maintains the compacted table in the SINK
+    // (stateless query, latest-wins merge per micro-batch, batchId-
+    // versioned write-once). With every slice staged twice the final
+    // target must still equal the batch latest-per-key over the raw
+    // table — the at-least-once idempotence claim, checked engine-side
+    // (the driver's oracle re-proves it against DuckDB).
+    import spark.implicits._
+    val streamed = graft.SparkEntry.queries("ev_stream_upsert")(spark, sf0001)
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    val batch = graft.SparkEntry.queries("ev_compact_latest")(spark, sf0001)
+      .select($"user_id", $"event_type", $"last_event_id", $"last_ts_us",
+        $"last_value")
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("Trigger.AvailableNow drains the source then self-terminates") {
     // The batch-over-stream pattern: a scheduled (e.g. nightly) run of
     // the same streaming pipeline processes everything available and
