@@ -41,6 +41,51 @@ object EventsQueries extends QueryModule {
         .orderBy("cohort_d", "day_offset")
     }),
 
+    // INCREMENTAL aggregate refresh (r11): materialized-view
+    // maintenance for ALGEBRAIC aggregates — the nightly-rollup
+    // pattern. The base aggregate is STORED (staged to parquet here:
+    // the stand-in for yesterday's materialization) and the refresh
+    // scans ONLY the delta facts: one partial+final aggregate over the
+    // new slice, then ONE key-level full-outer merge
+    // (coalesce-and-add — count/sum are algebraic, so merging partials
+    // ≡ recomputing) against the k-row stored table. Base facts are
+    // never re-read — at 100 TB the refresh cost tracks the day's
+    // delta, not corpus size (and the delta predicate becomes a
+    // partition-pruned date filter on a date-partitioned layout; the
+    // fixture's derived-column filter is the unpartitioned stand-in).
+    // Sums ride decimal (exact, order-independent) and cast to double
+    // once at the edge. Oracle = the FULL-table aggregate: the driver
+    // proves merge-refresh ≡ full recompute.
+    "ev_incr_refresh" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr(TS_US))
+      val b = ev.agg(min($"ts_us"), max($"ts_us")).head()
+      val cutoff = b.getLong(0) + (b.getLong(1) - b.getLong(0)) * 2 / 3
+      def aggOf(df: DataFrame): DataFrame = df.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).as("sv"))
+      val tmp = graft.sources.GraftSession.stagingDir("graft_incr_")
+      try {
+        aggOf(ev.where($"ts_us" < cutoff)).write.parquet(s"$tmp/base_agg")
+        val stored = s.read.parquet(s"$tmp/base_agg")
+          .select($"event_type", $"n".as("n_b"), $"sv".as("sv_b"))
+        val delta = aggOf(ev.where($"ts_us" >= cutoff))
+          .select($"event_type", $"n".as("n_d"), $"sv".as("sv_d"))
+        val zero = lit(0).cast("decimal(18,2)")
+        val out = stored.join(delta, Seq("event_type"), "full_outer")
+          .select($"event_type",
+            (coalesce($"n_b", lit(0L)) + coalesce($"n_d", lit(0L)))
+              .as("n_events"),
+            (coalesce($"sv_b", zero) + coalesce($"sv_d", zero))
+              .cast("double").as("total_value"))
+          .orderBy("event_type")
+        // Materialize before the staged base vanishes (mm_ingest
+        // pattern): the returned plan must own no on-disk state.
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // Tumbling 1-hour windows per event type. window() keeps the whole
     // agg in one shuffle; at scale the windows align with parquet
     // partition pruning on a date-partitioned layout.
@@ -664,6 +709,14 @@ object EventsQueries extends QueryModule {
         |WHERE date_diff('day', cohort_d, d) IN (0, 1, 7)
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // Full-table aggregate: proves the staged-base + delta-merge
+    // refresh equals a from-scratch recompute.
+    "ev_incr_refresh" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
     "ev_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         |  count(*) AS n,

@@ -61,6 +61,95 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // BPE VOCAB TRAINING (r11): the merge-induction loop behind every
+    // modern tokenizer (txt_bpe_tokens applies a regex stand-in; this
+    // TRAINS the merges). The 100-TB shape real trainers use: ONE
+    // corpus scan reduces to the distinct WORD-FREQUENCY table, and
+    // all ten merge rounds run against that vocab-sized table — the
+    // corpus is never re-scanned, so training cost is independent of
+    // corpus size after the first pass. Per round: each distinct word
+    // re-segments under the merges-so-far (a driver-held list of ≤10
+    // string pairs riding the closure — bytes, not a join), emits its
+    // weighted adjacent symbol pairs, and ONE partial+final aggregate
+    // + heap top-1 (TakeOrderedAndProject) picks the round's merge
+    // with a total-order tie-break (count desc, then symbol pair asc —
+    // binary string order, fixture is ASCII so JVM/local orderings
+    // coincide). Deterministic end-to-end: no RNG, integer counts,
+    // total-order pick. Rows-only (iterative — not expressible as one
+    // SQL query); the in-path gate re-runs the whole algorithm
+    // single-threaded over the collected word-frequency table
+    // (vocab-bounded) and `require`s the identical merge list.
+    "txt_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val MERGES = 10
+      val wordFreq = Tables.documents(s, dir)
+        .selectExpr(s"explode($tokens) AS w")
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)]
+        .persist()
+      def applyMerges(word: String, merges: Seq[(String, String)]): Array[String] = {
+        var syms: Array[String] = word.map(_.toString).toArray
+        merges.foreach { case (a, b) =>
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+        syms
+      }
+      var merges = Vector.empty[(String, String)]
+      val picked = Vector.newBuilder[(Int, String, String, Long)]
+      var rank = 1
+      var exhausted = false
+      while (rank <= MERGES && !exhausted) {
+        val m = merges
+        val top = wordFreq.flatMap { case (w, c) =>
+            val syms = applyMerges(w, m)
+            (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), c))
+          }
+          .toDF("l", "r", "c")
+          .groupBy($"l", $"r").agg(sum($"c").as("cnt"))
+          .orderBy($"cnt".desc, $"l", $"r")
+          .limit(1)
+          .as[(String, String, Long)]
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, c) = top.head
+          merges = merges :+ (l -> r)
+          picked += ((rank, l, r, c))
+          rank += 1
+        }
+      }
+      val got = picked.result()
+      // In-path gate: the exact single-threaded reference run.
+      val local = wordFreq.collect()
+      var lm = Vector.empty[(String, String)]
+      got.foreach { case (rk, l, r, c) =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        local.foreach { case (w, cnt) =>
+          val syms = applyMerges(w, lm)
+          var i = 0
+          while (i + 1 < syms.length) {
+            val k = (syms(i), syms(i + 1))
+            counts(k) = counts.getOrElse(k, 0L) + cnt
+            i += 1
+          }
+        }
+        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        require(best._1 == ((l, r)) && best._2 == c,
+          s"txt_bpe_train gate: round $rk picked ($l,$r,$c) but exact " +
+            s"recomputation says ${best._1} with ${best._2}")
+        lm = lm :+ (l -> r)
+      }
+      s.createDataFrame(got).toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+        .orderBy("merge_rank")
+    }),
+
     // Word-distribution Shannon entropy per doc — the repetitiveness
     // signal quality filters threshold on (a boilerplate page scores
     // low, natural prose high). Shape: explode → per-(doc, word) count

@@ -15,7 +15,7 @@ class EntryContractSpec extends AnyFunSuite {
     "dedup_minhash_lsh", "dedup_simhash",
     "emb_ann_topk", "emb_ivf_topk", "emb_pq_topk", "emb_kmeans",
     "rel_approx_distinct", "rel_approx_quantiles",
-    "txt_heavy_hitters", "pipe_profile_approx")
+    "txt_heavy_hitters", "txt_bpe_train", "pipe_profile_approx")
 
   test("every oracle key names an existing query") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
