@@ -694,6 +694,79 @@ object EventsQueries extends QueryModule {
             $"m.nSessions".as("n_sessions"))
           .orderBy("user_id")
       }
+    }),
+
+    // SCD TYPE-2 history build (r11): intervalize a keyed changelog
+    // into [valid_from, valid_to) versions — the warehouse-history
+    // sibling of ev_compact_latest (which keeps only the newest row;
+    // SCD2 keeps every version with its validity interval). ONE window
+    // per (user, type) key: lead(ts) closes each version, row_number
+    // stamps it, the open version (valid_to NULL) is current. No join,
+    // no self-join on "next change" — the window rides a single
+    // shuffle on the key, so at 100 TB this is one exchange of narrow
+    // columns and a partition-local sort, the same cost class as any
+    // keyed window. Interval math stays on the exact µs long clock.
+    // user_id < 40 bounds the driver compare; the plan is
+    // restriction-independent.
+    "ev_scd2" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts_us", $"event_id")
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr(TS_US))
+        .where($"user_id" < 40)
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to_us", lead($"ts_us", 1).over(w))
+        .select($"user_id", $"event_type", $"version", $"event_id",
+          $"value", $"ts_us".as("valid_from_us"), $"valid_to_us",
+          $"valid_to_us".isNull.as("is_current"))
+        .orderBy("user_id", "event_type", "version")
+    }),
+
+    // MAX-CONCURRENT-SESSIONS via a day-partitioned SWEEP LINE (r11):
+    // interval-overlap counting without the O(n²) interval self-join.
+    // Sessions (the 30-min-gap rule shared with ev_sessions) become
+    // ±1 deltas at [start, end+1µs); a running sum over the deltas IS
+    // the concurrency curve, and its max per day is the answer. The
+    // scale move is the DAY CLIP: each session is first split at UTC
+    // day boundaries (sequence+explode — sessions are gap-bounded, so
+    // the per-row expansion is tiny), which keys every delta by day
+    // and makes the sweep's sort PARTITIONED — no global single-
+    // partition window anywhere, the 100-TB version just picks a finer
+    // bucket. Determinism under ties: the sweep orders by (t, delta)
+    // so closes (-1) precede opens (+1) at the same instant, and the
+    // default RANGE frame makes tied rows peer-grouped — the running
+    // value at any tie group is order-independent on both engines.
+    "ev_concurrency" -> ((s, dir) => {
+      import s.implicits._
+      val dayUs = 86400000000L
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val sess = Tables.events(s, dir)
+        .withColumn("ts_us", expr(TS_US))
+        .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(byUser))
+        .withColumn("brk",
+          when($"gap_us".isNull || $"gap_us" > 1800L * 1000 * 1000, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum($"brk").over(byUser))
+        .groupBy($"user_id", $"sess_id")
+        .agg(min($"ts_us").as("s_us"), max($"ts_us").as("e_us"))
+      val deltas = sess
+        .withColumn("day",
+          explode(expr(s"sequence(s_us div $dayUs, e_us div $dayUs)")))
+        .select($"day",
+          greatest($"s_us", $"day" * dayUs).as("lo"),
+          (least($"e_us", ($"day" + 1) * dayUs - 1) + 1).as("hi1"))
+        .select($"day", explode(array(
+          struct($"lo".as("t"), lit(1L).as("d")),
+          struct($"hi1".as("t"), lit(-1L).as("d")))).as("x"))
+        .select($"day", $"x.t".as("t"), $"x.d".as("d"))
+      val sweep = Window.partitionBy($"day").orderBy($"t", $"d")
+      deltas
+        .withColumn("run", sum($"d").over(sweep))
+        .groupBy($"day")
+        .agg(max($"run").as("max_concurrent"))
+        .select($"day".as("epoch_day"), $"max_concurrent")
+        .orderBy("epoch_day")
     })
   )
 
@@ -1045,6 +1118,58 @@ object EventsQueries extends QueryModule {
         |  CAST(sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions
         |FROM g
         |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    // Same keyed lead()-intervalization; versions stamped in the same
+    // (ts_us, event_id) total order.
+    "ev_scd2" ->
+      """SELECT user_id, event_type, version, event_id, value,
+        |  valid_from_us, valid_to_us, is_current
+        |FROM (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER w AS version, event_id, value,
+        |    epoch_us(ts) AS valid_from_us,
+        |    lead(epoch_us(ts), 1) OVER w AS valid_to_us,
+        |    lead(epoch_us(ts), 1) OVER w IS NULL AS is_current
+        |  FROM events
+        |  WHERE user_id < 40
+        |  WINDOW w AS (PARTITION BY user_id, event_type
+        |               ORDER BY epoch_us(ts), event_id))
+        |ORDER BY user_id, event_type, version""".stripMargin,
+    // Same sessionize → day-clip → ±1 sweep construction; the default
+    // RANGE window frame peer-groups tied (t, d) rows identically.
+    "ev_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+        |             THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id) AS sess_id
+        |  FROM g),
+        |b AS (
+        |  SELECT user_id, sess_id, min(ts_us) AS s_us, max(ts_us) AS e_us
+        |  FROM s GROUP BY user_id, sess_id),
+        |bd AS (
+        |  SELECT s_us, e_us,
+        |    unnest(generate_series(s_us // 86400000000,
+        |                           e_us // 86400000000)) AS day
+        |  FROM b),
+        |d AS (
+        |  SELECT day,
+        |    greatest(s_us, day * 86400000000) AS lo,
+        |    least(e_us, (day + 1) * 86400000000 - 1) + 1 AS hi1
+        |  FROM bd),
+        |del AS (
+        |  SELECT day, lo AS t, 1 AS d FROM d
+        |  UNION ALL
+        |  SELECT day, hi1 AS t, -1 AS d FROM d),
+        |r AS (
+        |  SELECT day, sum(d) OVER (PARTITION BY day ORDER BY t, d) AS run
+        |  FROM del)
+        |SELECT day AS epoch_day, CAST(max(run) AS BIGINT) AS max_concurrent
+        |FROM r GROUP BY day ORDER BY epoch_day""".stripMargin
   )
 }

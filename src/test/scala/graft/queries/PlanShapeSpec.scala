@@ -253,6 +253,24 @@ class PlanShapeSpec extends SparkSpec {
       "both frame aggregates must share one Window pass")
   }
 
+  test("scd2 intervalizes in one keyed window pass — no self-join") {
+    val p = plan("ev_scd2")
+    assert(!p.contains("Join"),
+      "scd2 must close versions with lead(), not a next-change self-join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "row_number/lead must share the one keyed exchange")
+    assert("\\+- Window ".r.findAllIn(p).size == 1,
+      "version stamp and validity close must share one Window pass")
+  }
+
+  test("concurrency sweep stays day-partitioned — no global window, no join") {
+    val p = plan("ev_concurrency")
+    assert(!p.contains("Join"),
+      "sweep line replaces the interval self-join; none may appear")
+    assert(!p.contains("Exchange SinglePartition"),
+      "the day clip exists so no window serializes to one partition")
+  }
+
   test("gap-fill spine joins broadcast (bounds scalar + hourly table)") {
     val p = plan("ev_gap_fill")
     assert(!p.contains("CartesianProduct"),
