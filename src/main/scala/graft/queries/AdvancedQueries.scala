@@ -167,6 +167,46 @@ object AdvancedQueries extends QueryModule {
           countDistinct($"l_partkey").as("n_parts"),
           countDistinct($"l_suppkey").as("n_supps"))
         .orderBy("zbucket")
+    }),
+
+    // PAGERANK, fixed-point (r11): 5 synchronous rounds of the random-
+    // surfer update over the part↔supplier bipartite graph derived
+    // from lineitem (edges = DISTINCT (l_partkey, l_suppkey) in both
+    // directions; nodes encoded part→2k, supplier→2k+1 — symmetric, so
+    // no dangling mass). All arithmetic is exact BIGINT fixed point
+    // (init rank 1e12; r' = 0.15·1e12 + (85·Σ contrib) div 100, each
+    // contrib = rank div outdeg — truncating integer division,
+    // identical on both engines), so the oracle REPLAYS the identical
+    // iteration as five chained CTEs and the driver hash-compares
+    // exact integers: no float accumulation-order divergence, the
+    // emb_kmeans fixed-point policy applied to graph iteration. Scale
+    // shape: the EDGE list — annotated with outdeg once, persisted —
+    // is the big side and never re-derives; per round the node-sized
+    // rank table BROADCASTS onto it and one partial+final aggregate on
+    // dst yields the next ranks, so an iteration costs one edge pass
+    // plus a per-partition-combined shuffle of node rows. Unlike
+    // dedup_clusters' frontier (delta-converging), PageRank updates
+    // every node every round — the dense-iteration sibling. RDD-cut
+    // per round keeps analyzer cost flat (the connectedComponents
+    // discipline; 5 rounds would survive without it, 50 would not).
+    "rel_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val e0 = Tables.lineitem(s, dir)
+        .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst")))
+      val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val ed = edges.join(deg, "src").persist()
+      var ranks = deg.select($"src".as("node"), lit(1000000000000L).as("pr"))
+      for (_ <- 1 to 5) {
+        val next = ed.join(broadcast(ranks), $"src" === $"node")
+          .select($"dst", expr("pr div deg").as("c"))
+          .groupBy($"dst")
+          .agg(expr("150000000000L + (85 * sum(c)) div 100").as("pr"))
+          .select($"dst".as("node"), $"pr")
+        ranks = s.createDataFrame(next.rdd, next.schema)
+      }
+      ranks.orderBy($"pr".desc, $"node").limit(50)
     })
   )
 
@@ -228,6 +268,29 @@ object AdvancedQueries extends QueryModule {
         |  count(DISTINCT l_suppkey) AS n_supps
         |FROM s4
         |GROUP BY 1
-        |ORDER BY zbucket""".stripMargin
+        |ORDER BY zbucket""".stripMargin,
+
+    // The identical fixed-point iteration, unrolled: five chained CTEs
+    // replay r' = 0.15e12 + (85·Σ(pr // deg)) // 100 exactly (// on
+    // positive BIGINTs ≡ Spark's div).
+    "rel_pagerank" -> {
+      val step = (i: Int) =>
+        s"""r$i AS (SELECT dst AS node,
+           |  CAST(150000000000 + (85 * CAST(sum(pr // deg) AS BIGINT)) // 100
+           |    AS BIGINT) AS pr
+           |  FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.node GROUP BY dst)"""
+          .stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src,
+         |    l_suppkey * 2 + 1 AS dst FROM lineitem),
+         |edges AS (SELECT src, dst FROM e0
+         |          UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |ed AS (SELECT edges.src, edges.dst, deg.deg
+         |       FROM edges JOIN deg USING (src)),
+         |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS pr
+         |       FROM deg),
+         |${(1 to 5).map(step).mkString(",\n")}
+         |SELECT node, pr FROM r5 ORDER BY pr DESC, node LIMIT 50""".stripMargin
+    }
   )
 }

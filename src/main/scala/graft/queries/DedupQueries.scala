@@ -932,6 +932,61 @@ object DedupQueries extends QueryModule {
         .orderBy("lang", "source")
     }),
 
+    // DATA-CONTRACT EXPECTATION SUITE (r11): the Deequ/Great-
+    // Expectations gate an ingest runs before training — declared
+    // constraints evaluated in MINIMAL passes. All single-table
+    // constraints for one table ride ONE partial+final aggregate scan
+    // and stack to long form AFTER aggregation (the pipe_profile
+    // shape: lineitem's four checks cost one scan, not four); each
+    // referential-integrity constraint is one LEFT ANTI join counting
+    // orphans (the dim side auto-broadcasts here; at 100 TB the same
+    // plan shuffle-joins on the key — either way only the key column
+    // moves). NULL handling is deliberately uniform: every row check
+    // is `WHEN <expected> THEN 0 ELSE 1`, so a NULL predicate falls to
+    // the ELSE and counts as a violation on BOTH engines (NULL IN /
+    // NULL BETWEEN are NULL, not false — the formulation makes that a
+    // feature instead of an engine-parity trap). Output: one row per
+    // constraint (name, violation count, pass).
+    "pipe_expectations" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .agg(
+          sum(expr("CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END")).as("m1"),
+          sum(expr("CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END")).as("m2"),
+          sum(expr("CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END")).as("m3"),
+          sum(expr("CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END")).as("m4"))
+        .selectExpr("stack(4, " +
+          "'lineitem.l_shipdate IS NOT NULL', m1, " +
+          "'lineitem.l_discount BETWEEN 0 AND 1', m2, " +
+          "'lineitem.l_returnflag IN (A,N,R)', m3, " +
+          "'lineitem.l_quantity > 0', m4) AS (con, violations)")
+      def unique(df: DataFrame, table: String, key: String): DataFrame =
+        df.agg((count(lit(1)) - countDistinct(col(key))).as("violations"))
+          .select(lit(s"$table.$key UNIQUE").as("con"), $"violations")
+      val docs = Tables.documents(s, dir)
+        .agg(sum(expr("CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END"))
+          .as("violations"))
+        .select(lit("documents.n_chars = length(text)").as("con"), $"violations")
+      def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
+          label: String): DataFrame =
+        fact.select(fk).join(dim.select(pk), col(fk) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(label).as("con"), $"violations")
+      li.unionAll(unique(Tables.orders(s, dir), "orders", "o_orderkey"))
+        .unionAll(unique(Tables.customer(s, dir), "customer", "c_custkey"))
+        .unionAll(unique(Tables.events(s, dir), "events", "event_id"))
+        .unionAll(docs)
+        .unionAll(orphans(Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey",
+          "orders.o_custkey IN customer.c_custkey"))
+        .unionAll(orphans(Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey",
+          "lineitem.l_orderkey IN orders.o_orderkey"))
+        .select($"con".as("constraint_name"), $"violations",
+          ($"violations" === 0).as("pass"))
+        .orderBy("constraint_name")
+    }),
+
     // CDC APPLY / MERGE (r10): apply a keyed change batch (insert /
     // update / delete op codes) to a base snapshot — MERGE INTO
     // semantics as one FULL-OUTER join on the primary key, the shape
@@ -1394,6 +1449,50 @@ object DedupQueries extends QueryModule {
          |FROM d
          |GROUP BY ROLLUP (lang, source)
          |ORDER BY lang, source""".stripMargin,
+
+    // Same WHEN <expected> THEN 0 ELSE 1 formulation everywhere: a
+    // NULL predicate (NULL IN, NULL BETWEEN) falls to ELSE on both
+    // engines, so NULLs count as violations identically.
+    "pipe_expectations" ->
+      """WITH c AS (
+        |  SELECT 'lineitem.l_shipdate IS NOT NULL' AS constraint_name,
+        |    CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.l_discount BETWEEN 0 AND 1',
+        |    CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.l_returnflag IN (A,N,R)',
+        |    CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.l_quantity > 0',
+        |    CAST(sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders.o_orderkey UNIQUE',
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'customer.c_custkey UNIQUE',
+        |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+        |  UNION ALL
+        |  SELECT 'events.event_id UNIQUE',
+        |    CAST(count(*) - count(DISTINCT event_id) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'documents.n_chars = length(text)',
+        |    CAST(sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey IN customer.c_custkey',
+        |    CAST(count(*) AS BIGINT) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey IN orders.o_orderkey',
+        |    CAST(count(*) AS BIGINT) FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |SELECT constraint_name, violations, violations = 0 AS pass
+        |FROM c ORDER BY constraint_name""".stripMargin,
 
     // Same derivation of the change batch, same single full-outer
     // MERGE; the USING-join's coalesced key renders as an explicit

@@ -253,6 +253,26 @@ class PlanShapeSpec extends SparkSpec {
       "both frame aggregates must share one Window pass")
   }
 
+  test("expectations: table checks share one scan; RI checks are broadcast anti-joins") {
+    val p = plan("pipe_expectations")
+    assert(p.contains("LeftAnti"),
+      "referential integrity must lower to anti-joins")
+    assert(!p.contains("CartesianProduct"), "no RI check may go cartesian")
+    // lineitem appears exactly twice: once under the 4-metric stacked
+    // aggregate, once as the fact side of the l_orderkey RI anti-join —
+    // a third scan means a single-table check stopped sharing.
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 2,
+      "lineitem single-table checks must share one aggregate scan")
+  }
+
+  test("pagerank: rounds are plan-cut; result is heap top-k over the last round") {
+    val p = plan("rel_pagerank")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 must be heap top-k, not a global sort")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "per-round RDD cut missing — analyzer cost would grow with rounds")
+  }
+
   test("scd2 intervalizes in one keyed window pass — no self-join") {
     val p = plan("ev_scd2")
     assert(!p.contains("Join"),
