@@ -99,6 +99,32 @@ object SequenceDigestClient
   }
 }
 
+/** Ordered 3-step sequence detection (signup → view → purchase, each
+  * strictly later than the previous step) — MATCH_RECOGNIZE-style
+  * pattern matching as an O(1)-memory state machine riding
+  * [[MapReduce.runSorted]]'s (ts_us, event_id) group order. Greedy
+  * first-qualifying IS min-qualifying under the sort, so the emitted
+  * (t1, t2, t3) equal the SQL formulation's chained
+  * `min(ts) WHERE ts > prev` exactly: a step candidate at ts == prev
+  * fails the strict > on both engines, and any candidate sorted before
+  * the previous step's match can't qualify (sort order ⇒ ts ≤ prev).
+  * Users that never complete the pattern emit nothing. */
+object SeqPatternClient
+    extends MapReduceClient[Long, (Long, Long, String),
+      Long, (Long, Long, String), Long, (Long, Long, Long)] {
+  override def map(uid: Long, ev: (Long, Long, String)): IterableOnce[(Long, (Long, Long, String))] =
+    Iterator.single((uid, ev))
+  override def reduce(uid: Long, vs: Iterator[(Long, Long, String)]): IterableOnce[(Long, (Long, Long, Long))] = {
+    var t1 = -1L; var t2 = -1L; var t3 = -1L
+    vs.foreach { case (ts, _, tpe) =>
+      if (t1 < 0) { if (tpe == "signup") t1 = ts }
+      else if (t2 < 0) { if (tpe == "view" && ts > t1) t2 = ts }
+      else if (t3 < 0) { if (tpe == "purchase" && ts > t2) t3 = ts }
+    }
+    if (t3 >= 0) Iterator.single((uid, (t1, t2, t3))) else Iterator.empty
+  }
+}
+
 /** Character frequency — the literal course sample client shape. */
 object CharCountClient
     extends MapReduceClient[Long, String, String, Long, String, Long] {

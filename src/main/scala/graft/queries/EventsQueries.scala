@@ -723,6 +723,43 @@ object EventsQueries extends QueryModule {
         .orderBy("user_id", "event_type", "version")
     }),
 
+    // A/B EXPERIMENT READOUT (r11): Welch's t statistic per event type
+    // between two deterministic variants (user_id parity — the hash-
+    // split every experimentation system uses). The rel_corr_matrix
+    // determinism policy applied to hypothesis testing: ONE scan, one
+    // partial+final aggregate of EXACT decimal sufficient statistics
+    // (n, Σx, Σx² per variant, conditional aggregates pivoting both
+    // variants into one row — no join, no second pass), then mean/
+    // variance/t as a scalar double expression over identical inputs,
+    // round(6) for rendering (the rel_corr_matrix policy: DuckDB's
+    // int128-decimal→double cast can double-round 1 ulp apart from
+    // Java's single-step BigDecimal conversion once Σx²'s integer
+    // representation exceeds 2^53 — observed at sf0.01 — and the
+    // 6-decimal rendering absorbs exactly that class of divergence).
+    // Adding a variant adds columns, not scans.
+    "ev_abtest" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .where($"value".isNotNull)
+        .select($"event_type", ($"user_id" % 2).as("v"),
+          $"value".cast("decimal(18,6)").as("x"))
+        .groupBy($"event_type")
+        .agg(
+          count(when($"v" === 0, 1)).as("n_a"),
+          count(when($"v" === 1, 1)).as("n_b"),
+          sum(when($"v" === 0, $"x")).as("sx_a"),
+          sum(when($"v" === 1, $"x")).as("sx_b"),
+          sum(when($"v" === 0, $"x" * $"x")).as("sxx_a"),
+          sum(when($"v" === 1, $"x" * $"x")).as("sxx_b"))
+        .selectExpr("event_type", "n_a", "n_b",
+          "round(CAST(sx_a AS DOUBLE) / n_a, 6) AS mean_a",
+          "round(CAST(sx_b AS DOUBLE) / n_b, 6) AS mean_b",
+          "round((CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b) / " +
+            "sqrt(((CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / n_a) / (n_a - 1)) / n_a + " +
+            "((CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / n_b) / (n_b - 1)) / n_b), 6) AS t_stat")
+        .orderBy("event_type")
+    }),
+
     // MAX-CONCURRENT-SESSIONS via a day-partitioned SWEEP LINE (r11):
     // interval-overlap counting without the O(n²) interval self-join.
     // Sessions (the 30-min-gap rule shared with ev_sessions) become
@@ -1119,6 +1156,31 @@ object EventsQueries extends QueryModule {
         |FROM g
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // Identical decimal sufficient statistics, identical double
+    // expression tree — byte-equal t stats.
+    "ev_abtest" ->
+      """WITH d AS (
+        |  SELECT event_type, user_id % 2 AS v,
+        |    CAST(value AS DECIMAL(18,6)) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (
+        |  SELECT event_type,
+        |    count(CASE WHEN v = 0 THEN 1 END) AS n_a,
+        |    count(CASE WHEN v = 1 THEN 1 END) AS n_b,
+        |    sum(CASE WHEN v = 0 THEN x END) AS sx_a,
+        |    sum(CASE WHEN v = 1 THEN x END) AS sx_b,
+        |    sum(CASE WHEN v = 0 THEN x * x END) AS sxx_a,
+        |    sum(CASE WHEN v = 1 THEN x * x END) AS sxx_b
+        |  FROM d GROUP BY event_type)
+        |SELECT event_type, n_a, n_b,
+        |  round(CAST(sx_a AS DOUBLE) / n_a, 6) AS mean_a,
+        |  round(CAST(sx_b AS DOUBLE) / n_b, 6) AS mean_b,
+        |  round((CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b) /
+        |    sqrt(((CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / n_a) / (n_a - 1)) / n_a +
+        |         ((CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / n_b) / (n_b - 1)) / n_b), 6) AS t_stat
+        |FROM a
+        |ORDER BY event_type""".stripMargin,
+
     // Same keyed lead()-intervalization; versions stamped in the same
     // (ts_us, event_id) total order.
     "ev_scd2" ->

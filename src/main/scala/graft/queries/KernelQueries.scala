@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.mr.{CharCountClient, CountOfCountsClient, CustomerOrderJoinClient, GroupedAggClient, MapReduce, SequenceDigestClient, WordCountClient}
+import graft.mr.{CharCountClient, CountOfCountsClient, CustomerOrderJoinClient, GroupedAggClient, MapReduce, SeqPatternClient, SequenceDigestClient, WordCountClient}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -97,6 +97,27 @@ object KernelQueries extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // SEQUENCE-PATTERN MATCH through the kernel (r11): the
+    // MATCH_RECOGNIZE workload — users completing signup → view →
+    // purchase with each step strictly later — as an O(1)-memory state
+    // machine over runSorted's (ts_us, event_id) group order. SQL needs
+    // three chained min-after joins (the oracle); the sorted reduce
+    // does it in one pass of the one keyed exchange. Type filter
+    // pushed below the shuffle: only the three step types move.
+    "mr_seq_pattern" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .where($"event_type".isin("signup", "view", "purchase"))
+        .selectExpr("user_id",
+          s"struct(${QueryModule.TsUs} AS ts_us, event_id, event_type) AS ev")
+        .as[(Long, (Long, Long, String))]
+      // parallelism=0: identity map, same rationale as mr_secondary_sort.
+      MapReduce.runSorted(ev, SeqPatternClient)
+        .map { case (uid, (t1, t2, t3)) => (uid, t1, t2, t3) }
+        .toDF("user_id", "signup_us", "view_us", "purchase_us")
+        .orderBy("user_id")
+    }),
+
     // Grouped aggregation through the kernel (TPC-H Q1 shape): the
     // reference's reduce sees the whole group; integral measures (unit
     // counts / cents) keep in-group order irrelevant.
@@ -151,6 +172,24 @@ object KernelQueries extends QueryModule {
         |    AS seq_md5
         |FROM events
         |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    // Chained min-after formulation: t2 = min view ts strictly after
+    // t1, t3 = min purchase ts strictly after t2 — exactly what the
+    // greedy state machine computes under the (ts_us, event_id) sort.
+    "mr_seq_pattern" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+        |  WHERE event_type IN ('signup', 'view', 'purchase')),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM ev e
+        |       JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND ts_us > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM ev e
+        |       JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY e.user_id)
+        |SELECT s1.user_id, t1 AS signup_us, t2 AS view_us, t3 AS purchase_us
+        |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
     "mr_grouped_agg" ->
       """SELECT l_returnflag, l_linestatus,

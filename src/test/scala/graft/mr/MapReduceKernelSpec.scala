@@ -103,6 +103,41 @@ class MapReduceKernelSpec extends SparkSpec {
     }
   }
 
+  test("SeqPatternClient matches the chained min-after model on random event logs") {
+    import spark.implicits._
+    // Model: t1 = min signup ts; t2 = min view ts > t1; t3 = min
+    // purchase ts > t2 — the oracle SQL's formulation. The kernel path
+    // must produce exactly the matched users with identical step
+    // timestamps, for any event mix including ts ties (distinct
+    // event_ids keep the V2 sort total).
+    val types = Seq("signup", "view", "purchase", "click")
+    val inputGen = Gen.listOf(
+      Gen.zip(Gen.choose(0L, 5L),
+        Gen.zip(Gen.choose(0L, 8L), Gen.oneOf(types))))
+    samples(inputGen, 8).foreach { raw =>
+      val input = raw.zipWithIndex.map { case ((uid, (ts, tpe)), i) =>
+        (uid, (ts, i.toLong, tpe))
+      }
+      val steps = input.filter(e => e._2._3 != "click")
+      val got = MapReduce.runSorted(steps.toDS(), SeqPatternClient)
+        .collect().toMap
+      val want = steps.groupBy(_._1).flatMap { case (uid, evs) =>
+        val ts = evs.map(_._2)
+        def minAfter(tpe: String, after: Long): Option[Long] = {
+          val c = ts.filter(e => e._3 == tpe && e._1 > after).map(_._1)
+          if (c.isEmpty) None else Some(c.min)
+        }
+        for {
+          t1 <- { val c = ts.filter(_._3 == "signup").map(_._1)
+                  if (c.isEmpty) None else Some(c.min) }
+          t2 <- minAfter("view", t1)
+          t3 <- minAfter("purchase", t2)
+        } yield uid -> (t1, t2, t3)
+      }
+      assert(got == want)
+    }
+  }
+
   test("parallelism pins map-side width like multiThreadLevel") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.Repartition

@@ -253,6 +253,24 @@ class PlanShapeSpec extends SparkSpec {
       "both frame aggregates must share one Window pass")
   }
 
+  test("abtest: one scan, conditional partial+final aggregate, no join") {
+    val p = plan("ev_abtest")
+    assert(!p.contains("Join"), "both variants must pivot in one aggregate")
+    assert("FileScan|Scan parquet".r.findAllIn(p).size <= 1,
+      "abtest re-scans the table per variant")
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r
+        .findAllIn(p).size >= 2,
+      "sufficient statistics lost their partial/final split")
+  }
+
+  test("seq pattern rides one group exchange; step-type filter reaches the scan") {
+    val p = plan("mr_seq_pattern")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "state machine must ride the single keyed exchange")
+    assert(p.contains("PushedFilters: [In(event_type"),
+      "step-type filter must reach the parquet scan")
+  }
+
   test("expectations: table checks share one scan; RI checks are broadcast anti-joins") {
     val p = plan("pipe_expectations")
     assert(p.contains("LeftAnti"),
