@@ -767,6 +767,44 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // SCHEMA EVOLUTION read (r11): a long-lived corpus directory holds
+    // files written under SUCCESSIVE schemas — here v1 (doc_id, lang,
+    // n_chars) and v2 adding a `quality` column. `mergeSchema`
+    // reconciles the per-file footers into the union schema at PLAN
+    // time and v1 rows surface NULL quality — the evolution path a
+    // 100-TB corpus relies on when a column lands mid-ingest
+    // (rewriting history is not an option; the scan adapts per file).
+    // The aggregate witnesses both halves: per lang, the null-quality
+    // count must equal the v1 rows (NULL backfill) and the v2 quality
+    // sums ride exact decimal. Same staging + materialize-then-return
+    // discipline as pipe_compact_files.
+    "pipe_schema_evolve" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.sources.GraftSession.stagingDir("graft_evolve_")
+      try {
+        val root = tmp.resolve("table").toString
+        val docs = Tables.documents(s, dir)
+        docs.where($"doc_id" % 2 === 0)
+          .select($"doc_id", $"lang", $"n_chars")
+          .write.parquet(s"$root/v1")
+        docs.where($"doc_id" % 2 === 1)
+          .select($"doc_id", $"lang", $"n_chars",
+            ($"n_chars" % 100).cast("double").as("quality"))
+          .write.parquet(s"$root/v2")
+        val out = s.read.option("mergeSchema", "true")
+          .parquet(s"$root/v1", s"$root/v2")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("CASE WHEN quality IS NULL THEN 1 ELSE 0 END"))
+              .as("n_legacy"),
+            sum($"quality".cast("decimal(18,2)")).cast("double")
+              .as("sum_quality"))
+          .orderBy("lang")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // Sequence packing (concat-and-chunk): lay every doc's tokens out
     // on one global tape in doc_id order and map each doc to its
     // 2048-token context windows — the packing step of every
@@ -1449,6 +1487,21 @@ object DedupQueries extends QueryModule {
          |FROM d
          |GROUP BY ROLLUP (lang, source)
          |ORDER BY lang, source""".stripMargin,
+
+    // The two schema versions replayed as an explicit union with a
+    // typed NULL — what mergeSchema materializes implicitly.
+    "pipe_schema_evolve" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, n_chars, CAST(NULL AS DOUBLE) AS quality
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, CAST(n_chars % 100 AS DOUBLE)
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_legacy,
+        |  CAST(sum(CAST(quality AS DECIMAL(18,2))) AS DOUBLE) AS sum_quality
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Same WHEN <expected> THEN 0 ELSE 1 formulation everywhere: a
     // NULL predicate (NULL IN, NULL BETWEEN) falls to ELSE on both

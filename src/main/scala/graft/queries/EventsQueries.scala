@@ -132,6 +132,37 @@ object EventsQueries extends QueryModule {
       }
     }),
 
+    // STREAMING OBSERVABILITY (r11): ev_stream_hourly's topology with
+    // a `Dataset.observe()` SOURCE AUDIT riding the plan — rows
+    // ingested and null-value count collected per micro-batch as
+    // CollectMetrics (a zero-shuffle accumulator on the existing
+    // scan; the way a production pipeline audits its source WITHOUT a
+    // second pass), summed across batches by a push listener. The
+    // in-path `require` makes the driver run witness the audit: the
+    // observed source-row total must equal the table count — a
+    // dropped-batch or double-read would surface HERE, not as a
+    // downstream oracle diff. Output (and oracle) identical to
+    // ev_stream_hourly: observation must not perturb the plan.
+    "ev_stream_observe" -> ((s, dir) => {
+      graft.streaming.EventStreams.withSplitEvents(s, dir, 3) { (src, nf) =>
+        val audited = src.observe("src_audit",
+          count(lit(1)).as("rows_seen"),
+          sum(expr("CASE WHEN value IS NULL THEN 1 ELSE 0 END"))
+            .as("null_values"))
+        val (out, obs) = graft.streaming.EventStreams.drainAppendObserved(
+          graft.streaming.EventStreams.hourlyCounts(audited),
+          "graft_ev_obs_", "src_audit", minBatches = nf)
+        val expected = Tables.events(s, dir).count()
+        val seen = obs.getOrElse("rows_seen", -1L)
+        require(seen == expected,
+          s"ev_stream_observe: source audit saw $seen rows, table has " +
+            s"$expected — a batch was dropped or double-read")
+        out.select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
+            col("event_type"), col("n"))
+          .orderBy("hour_start", "event_type")
+      }
+    }),
+
     // ev_stream_hourly's topology under a Trigger.ProcessingTime clock
     // (r10 — the one trigger path no AvailableNow drain can exercise):
     // a STANDING query whose micro-batches fire on wall-clock ticks,
@@ -839,6 +870,16 @@ object EventsQueries extends QueryModule {
     // delay) has passed its end. Spark tracks event time in
     // milliseconds, so the horizon compares at ms precision.
     "ev_stream_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        |  count(*) AS n
+        |FROM events
+        |WHERE epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+        |      <= (SELECT epoch_ms(max(ts)) - 7200000 FROM events)
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
+    // Same horizon as ev_stream_hourly BY DESIGN: the CollectMetrics
+    // observation must not perturb the watermark topology's output.
+    "ev_stream_observe" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         |  count(*) AS n
         |FROM events

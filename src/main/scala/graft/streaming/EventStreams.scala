@@ -532,6 +532,73 @@ object EventStreams {
     }
   }
 
+  /** Observed-metrics accumulator for [[drainAppendObserved]]: sums
+    * every numeric field of the named observation across micro-batches
+    * (`observe()` emits one metrics row per batch; no-data batches may
+    * emit none — absence is simply not added). Not keyed by runId: the
+    * listener lives only for one drain and the drain helpers are
+    * SEQUENTIAL-ONLY by contract, so exactly one run reports while it
+    * is registered. */
+  private final class ObservedSums(obsName: String)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val sums = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val row = e.progress.observedMetrics.get(obsName)
+      if (row != null) {
+        row.schema.fields.zipWithIndex.foreach { case (f, i) =>
+          if (!row.isNullAt(i)) {
+            val v: Long = row.get(i) match {
+              case l: java.lang.Long     => l.longValue
+              case n: java.lang.Number   => n.longValue
+              case x => sys.error(s"non-numeric observed metric ${f.name}: $x")
+            }
+            sums.merge(f.name, java.lang.Long.valueOf(v),
+              (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+          }
+        }
+      }
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  }
+
+  /** [[drainAppend]] plus the OBSERVABILITY path: the caller passes a
+    * topology whose source carries `Dataset.observe(obsName, ...)`, and
+    * the drain returns the result alongside the per-metric SUM over all
+    * micro-batches — the production pattern for source audits (rows
+    * ingested, nulls seen, late counts) that must be collected WITHOUT
+    * a second scan: CollectMetrics rides the existing plan as a
+    * zero-shuffle accumulator, and the listener is push-based (no
+    * `recentProgress` cap — same rationale as [[DrainCounter]]). */
+  def drainAppendObserved(df: DataFrame, tag: String, obsName: String,
+      statePartitions: Int = 2, minBatches: Int = 0): (DataFrame, Map[String, Long]) = {
+    val spark = df.sparkSession
+    recordProvider(tag, rocksdb = false)
+    val acc = new ObservedSums(obsName)
+    spark.streams.addListener(acc)
+    val tmp = tempDir(tag)
+    try {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      val batches =
+        try awaitCounted(spark,
+          df.writeStream
+            .format("parquet")
+            .option("path", s"$tmp/out")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode(OutputMode.Append)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())._2
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      assertBatches(batches, minBatches)
+    } catch { case e: Throwable => deleteTree(tmp); throw e }
+    finally spark.streams.removeListener(acc)
+    import scala.jdk.CollectionConverters._
+    (loadAndClean(spark, tmp, df.schema),
+      acc.sums.asScala.map { case (k, v) => k -> v.longValue }.toMap)
+  }
+
   /** Block until the (AvailableNow) query self-terminates and return
     * `(totalInputRows, dataBatches)` — micro-batches that actually read
     * rows, i.e. excluding the trailing no-data batch the engine runs to

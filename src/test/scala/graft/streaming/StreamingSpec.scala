@@ -392,6 +392,32 @@ class StreamingSpec extends SparkSpec {
     assert(pt.nonEmpty)
   }
 
+  test("observed drain: source audit sums equal the batch table; output unperturbed") {
+    import spark.implicits._
+    EventStreams.withSplitEvents(spark, sf0001, 3) { (src, nf) =>
+      val audited = src.observe("audit_spec",
+        count(lit(1)).as("rows_seen"),
+        sum(expr("CASE WHEN value IS NULL THEN 1 ELSE 0 END")).as("null_values"))
+      val (out, obs) = EventStreams.drainAppendObserved(
+        EventStreams.hourlyCounts(audited), "graft_spec_obs_",
+        "audit_spec", minBatches = nf)
+      val ev = graft.sources.Tables.events(spark, sf0001)
+      assert(obs("rows_seen") == ev.count(),
+        "CollectMetrics missed or double-counted a micro-batch")
+      assert(obs("null_values") ==
+        ev.where($"value".isNull).count(),
+        "per-batch null audit diverges from the batch count")
+      // The observation must not perturb the drained result.
+      val hourly = graft.SparkEntry.queries("ev_stream_hourly")(spark, sf0001)
+        .select($"hour_start".cast("string"), $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      val got = out
+        .select($"hour_start".cast("string"), $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(got == hourly, "observe() changed the emitted horizon")
+    }
+  }
+
   test("incremental drain resumes from the checkpoint and covers the table exactly") {
     import spark.implicits._
     // incrementalDrain hard-asserts internally (from the progress
