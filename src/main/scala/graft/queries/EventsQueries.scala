@@ -132,6 +132,59 @@ object EventsQueries extends QueryModule {
       }
     }),
 
+    // LATE-DATA DROP semantics (r11): the one watermark behavior no
+    // in-order drain can exercise — rows arriving AFTER their window
+    // closed. Four slices delivered 0, 3 (global max: the watermark
+    // jumps to its final value), 2, 1: Spark's stateful operators
+    // filter late rows with the PREVIOUS batch's watermark while
+    // evicting with the current one (the SPARK-42376 two-watermark
+    // model — measured here: a 3-slice 0,2,1 delivery drops NOTHING
+    // because the post-jump batch is still admitted under the pre-jump
+    // filter), so slice 2 is late-but-in-grace (merged and emitted)
+    // and slice 1 — arriving once the filter watermark has caught up —
+    // is DROPPED wholesale rather than double-emitted into finalized
+    // windows. TWO witnesses: the in-path require checks the engine's
+    // own accounting (numRowsDroppedByWatermark summed over the drain)
+    // against the batch-computed expectation, and the oracle replays
+    // the whole scenario in SQL — slice membership via the staging's
+    // integer slice arithmetic, drops via the ms-precision
+    // `window end <= watermark` predicate (boundary pinned by a
+    // StreamingSpec test: end == wm IS dropped). The counter's unit is
+    // itself a plan witness: the stateful operator sees POST-COMBINE
+    // rows, so the expected count is the number of distinct late
+    // (hour, event_type) GROUPS, not raw rows (measured 843 groups vs
+    // 2480 rows at sf0.01) — map-side partial aggregation provably ran
+    // before state. Exact equality holds because the staged slice is
+    // one file ≪ maxPartitionBytes, i.e. one input split; a multi-
+    // split slice would combine per split and overshoot.
+    "ev_stream_late" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.EventStreams.withLateEvents(s, dir) { (src, nf) =>
+        val (out, dropped) =
+          graft.streaming.EventStreams.drainAppendDropCounted(
+            graft.streaming.EventStreams.hourlyCounts(src),
+            "graft_ev_late_", minBatches = nf)
+        val ev = Tables.events(s, dir).withColumn("ts_us", expr(TS_US))
+        val b = ev.agg(min($"ts_us"), max($"ts_us")).head()
+        val (tmin, tmax) = (b.getLong(0), b.getLong(1))
+        val span = math.max(tmax - tmin + 1, 4L)
+        val wmMs = tmax / 1000 - 7200000
+        val expectedLate = ev
+          .where($"ts_us" >= tmin + span / 4 &&
+            $"ts_us" < tmin + span * 2 / 4)
+          .where(expr(s"(ts_us div 3600000000 + 1) * 3600000 <= $wmMs"))
+          .select(expr("ts_us div 3600000000").as("hr"), $"event_type")
+          .distinct().count()
+        require(dropped == expectedLate,
+          s"ev_stream_late: engine dropped $dropped partial rows, batch " +
+            s"replay expects $expectedLate late (hour, type) groups — " +
+            "late accounting or the pre-state combine diverged")
+        out.select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
+            col("event_type"), col("n"))
+          .orderBy("hour_start", "event_type")
+      }
+    }),
+
     // STREAMING OBSERVABILITY (r11): ev_stream_hourly's topology with
     // a `Dataset.observe()` SOURCE AUDIT riding the plan — rows
     // ingested and null-value count collected per micro-batch as
@@ -877,6 +930,32 @@ object EventsQueries extends QueryModule {
         |      <= (SELECT epoch_ms(max(ts)) - 7200000 FROM events)
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin,
+    // Full SQL replay of the late-delivery scenario: slice-1
+    // membership via the staging's integer quarter arithmetic
+    // (truncating division, identical on both engines), the drop via
+    // the ms-precision `window end <= watermark` predicate, then the
+    // standard emission horizon over the KEPT rows. Slices 0/2/3 are
+    // never dropped (slice 2 is admitted under the lagging filter
+    // watermark — see the query comment), so only slice 1 is excluded.
+    "ev_stream_late" ->
+      """WITH p AS (
+        |  SELECT min(epoch_us(ts)) AS tmin,
+        |    greatest(max(epoch_us(ts)) - min(epoch_us(ts)) + 1, 4) AS span,
+        |    max(epoch_us(ts)) // 1000 - 7200000 AS wm
+        |  FROM events),
+        |kept AS (
+        |  SELECT e.ts, e.event_type
+        |  FROM events e, p
+        |  WHERE NOT (epoch_us(e.ts) >= p.tmin + p.span * 1 // 4
+        |         AND epoch_us(e.ts) < p.tmin + p.span * 2 // 4
+        |         AND (epoch_us(e.ts) // 3600000000 + 1) * 3600000 <= p.wm))
+        |SELECT CAST(date_trunc('hour', k.ts) AS TIMESTAMP) AS hour_start,
+        |  k.event_type, count(*) AS n
+        |FROM kept k, p
+        |WHERE (epoch_us(k.ts) // 3600000000 + 1) * 3600000 <= p.wm
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
+
     // Same horizon as ev_stream_hourly BY DESIGN: the CollectMetrics
     // observation must not perturb the watermark topology's output.
     "ev_stream_observe" ->

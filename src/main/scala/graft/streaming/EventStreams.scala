@@ -138,6 +138,62 @@ object EventStreams {
     staged
   }
 
+  /** LATE-DELIVERY staging: FOUR time slices delivered OUT OF
+    * EVENT-TIME ORDER — slice 0, then slice 3 (global max event time:
+    * the watermark jumps to its final value), then slice 2, then
+    * slice 1. This is the arrival pattern the watermark exists to make
+    * tractable (a partitioned log replaying a backfilled region, a
+    * slow upstream shard), and the four-batch shape is DELIBERATE:
+    * Spark's stateful operators carry TWO watermarks per batch
+    * (SPARK-42376) — late-row FILTERING uses the PREVIOUS batch's
+    * watermark while eviction/emission uses the current one — so the
+    * batch right after the jump (slice 2) is still admitted under the
+    * pre-jump filter (merged and emitted: late-but-in-grace), and only
+    * the batch after THAT (slice 1) meets the advanced filter and is
+    * dropped. A 3-slice version (0,2,1) drops NOTHING — measured, and
+    * exactly what the two-watermark model predicts. Every slice must
+    * be non-empty or the scenario degenerates — staging fails loudly
+    * rather than silently testing nothing. */
+  def withLateEvents[T](spark: SparkSession, dir: String)(
+      f: (DataFrame, Int) => T): T = {
+    val staged = splitCache.computeIfAbsent((dir + "#late", 4, false), _ => {
+      val tmp = tempDir("graft_ev_latestage_")
+      try {
+        val cnt = stageSplitLate(spark, dir, tmp)
+        tmp -> cnt
+      } catch { case e: Throwable => deleteTree(tmp); throw e }
+    })
+    f(scanStaged(spark, staged._1.resolve("src")), staged._2)
+  }
+
+  /** [[stageSplit]]'s slice math with delivery ranks 0,3,2,1. Both the
+    * file NAME and the mtime carry the rank (path order and
+    * modification-time order must agree, so no source tie-break can
+    * restore event-time order). */
+  private def stageSplitLate(spark: SparkSession, dir: String,
+      tmp: java.nio.file.Path): Int = {
+    import java.nio.file.Files
+    val src = Files.createDirectories(tmp.resolve("src"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    val b = raw.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val (tmin, tmax) = (b.getLong(0), b.getLong(1))
+    val span = math.max(tmax - tmin + 1, 4L)
+    val rank = Map(0 -> 0, 1 -> 3, 2 -> 2, 3 -> 1)
+    for (k <- 0 until 4) {
+      val lo = tmin + span * k / 4
+      val hi = tmin + span * (k + 1) / 4
+      val slice = raw.where(col("ts_us") >= lo && col("ts_us") < hi).drop("ts_us")
+      val name = f"part-${rank(k)}%03d.parquet"
+      val n = stageSourceFile(tmp, src, slice, name)
+      require(n > 0,
+        s"stageSplitLate: slice $k is empty — the late-delivery scenario " +
+          "needs four data batches")
+      stampOrder(src.resolve(name), rank(k))
+    }
+    4
+  }
+
   /** The scan half of [[splitEventsSource]]: a one-file-per-micro-batch
     * streaming read over an already-staged slice directory. */
   private def scanStaged(spark: SparkSession,
@@ -561,6 +617,54 @@ object EventStreams {
       }
     }
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  }
+
+  /** Accumulates `numRowsDroppedByWatermark` across a run's stateful
+    * operators and micro-batches. Same lifetime/sequentiality contract
+    * as [[ObservedSums]]. */
+  private final class DroppedCounter
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val dropped = new java.util.concurrent.atomic.AtomicLong()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      dropped.addAndGet(
+        e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+      ()
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  }
+
+  /** [[drainAppend]] returning the engine's own LATE-ROW accounting
+    * beside the result: total `numRowsDroppedByWatermark` over the
+    * drain. The drop boundary is `window.end <= watermark` — pinned by
+    * a StreamingSpec boundary test (a row whose window end equals the
+    * watermark exactly IS dropped), the mirror of the append-emission
+    * horizon's `<=`. */
+  def drainAppendDropCounted(df: DataFrame, tag: String,
+      statePartitions: Int = 2, minBatches: Int = 0): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    recordProvider(tag, rocksdb = false)
+    val acc = new DroppedCounter
+    spark.streams.addListener(acc)
+    val tmp = tempDir(tag)
+    try {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      val batches =
+        try awaitCounted(spark,
+          df.writeStream
+            .format("parquet")
+            .option("path", s"$tmp/out")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode(OutputMode.Append)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())._2
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      assertBatches(batches, minBatches)
+    } catch { case e: Throwable => deleteTree(tmp); throw e }
+    finally spark.streams.removeListener(acc)
+    (loadAndClean(spark, tmp, df.schema), acc.dropped.get)
   }
 
   /** [[drainAppend]] plus the OBSERVABILITY path: the caller passes a

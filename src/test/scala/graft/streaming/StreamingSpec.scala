@@ -392,6 +392,44 @@ class StreamingSpec extends SparkSpec {
     assert(pt.nonEmpty)
   }
 
+  test("watermark drops a late row whose window end EQUALS the watermark (<= boundary)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Pins the drop predicate ev_stream_late's oracle encodes. After
+    // batch 1 the watermark is 08:00; the MemoryStream pause lets a
+    // no-data batch run, so by the second data batch the LATE-EVENTS
+    // filter watermark (which lags one batch behind — SPARK-42376
+    // two-watermark model) has caught up to 08:00 too. The late row in
+    // hour [07:00,08:00) — window end == filter watermark EXACTLY —
+    // must be dropped (<= boundary), while hour [08:00,09:00)
+    // (end 09:00 > wm) is kept, and the engine's own accounting must
+    // report exactly the one drop.
+    val in = MemoryStream[(Long, String)]
+    val events = in.toDF()
+      .select(timestamp_micros($"_1").as("ts_utc"), $"_2".as("event_type"))
+    val q = EventStreams.toMemory(
+      EventStreams.hourlyCounts(events), "late_boundary", OutputMode.Append())
+    try {
+      in.addData((us(10, 0), "anchor"), (us(7, 30), "early"))
+      q.processAllAvailable()
+      in.addData((us(7, 45), "boundary"), (us(8, 15), "kept"))
+      q.processAllAvailable()
+      in.addData((us(23, 0), "flush"))
+      q.processAllAvailable()
+      val got = spark.table("late_boundary")
+        .select($"hour_start".cast("string"), $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(got == Set(
+        ("2024-01-01 07:00:00", "early", 1L),
+        ("2024-01-01 08:00:00", "kept", 1L),
+        ("2024-01-01 10:00:00", "anchor", 1L)),
+        s"boundary semantics changed: $got")
+      val drops = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(drops == 1L, s"expected exactly the boundary drop, got $drops")
+    } finally q.stop()
+  }
+
   test("observed drain: source audit sums equal the batch table; output unperturbed") {
     import spark.implicits._
     EventStreams.withSplitEvents(spark, sf0001, 3) { (src, nf) =>
