@@ -395,6 +395,67 @@ object EmbeddingQueries extends QueryModule {
       }
     }),
 
+    // RECALL CURVE (r11): the tuning table every ANN deployment derives
+    // before picking its operating point — recall@3 as a function of
+    // IVF nprobe, over the same cells/probes as emb_ivf_topk. One
+    // assignment pass (persisted), then one bounded cell-join per swept
+    // nprobe; ground truth is the same brute-forced fixed probe set
+    // every production recall audit uses. Self-asserting rather than
+    // oracle-backed (ranking rides derived double centroids): the gate
+    // requires recall MONOTONE in nprobe and EXACTLY 100% at
+    // nprobe = K — at full probe width the cell search is exhaustive,
+    // so anything under 1.0 means the candidate join or tie rules
+    // diverged from the exact scan, not just a tuning miss.
+    "emb_recall_curve" -> ((s, dir) => {
+      import s.implicits._
+      val sumAgg = udaf(new ElementwiseSum(64))
+      val cent = Tables.embeddings(s, dir)
+        .selectExpr("label",
+          "transform(cast(embedding AS array<double>), x -> CAST(floor(x * 1000000) AS BIGINT)) AS e6")
+        .groupBy($"label").agg(count(lit(1)).as("n"), sumAgg($"e6").as("sums"))
+        .selectExpr("label AS cell",
+          "transform(sums, x -> x / (n * 1000000.0)) AS cvec")
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val wCell = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
+      val assigned = emb.crossJoin(broadcast(cent))
+        .withColumn("csim", call_function("cosine_sim", $"embedding", $"cvec"))
+        .withColumn("crk", row_number().over(wCell))
+        .persist()
+      val k = cent.count().toInt
+      val cells = assigned.where($"crk" === 1)
+        .select($"vec_id", $"cell", $"embedding")
+      val probes = assigned.where($"vec_id" < 10)
+      val exact = exactTop3(s, dir)
+      val sweep = (Seq(1, 2, 3) ++ Seq(k)).distinct.filter(_ <= k)
+      val curve = sweep.map { np =>
+        val probeCells = probes.where($"crk" <= np)
+          .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cell")
+        val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+        val got = cells.join(broadcast(probeCells), Seq("cell"))
+          .where($"vec_id" =!= $"qid")
+          .withColumn("sim", call_function("cosine_sim", $"qe", $"embedding"))
+          .withColumn("rank", row_number().over(w))
+          .where($"rank" <= 3)
+          .select($"qid", $"vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val hits = got.count(exact.contains).toLong
+        (np, hits, exact.size.toLong, hits * 1000000L / exact.size)
+      }
+      curve.sliding(2).foreach {
+        case Seq((np1, h1, _, _), (np2, h2, _, _)) =>
+          require(h1 <= h2,
+            s"emb_recall_curve gate: recall fell $h1 -> $h2 widening " +
+              s"nprobe $np1 -> $np2 — candidate search lost results")
+        case _ => ()
+      }
+      require(curve.last._4 == 1000000L,
+        s"emb_recall_curve gate: nprobe=$k (exhaustive) recovered only " +
+          s"${curve.last._2}/${curve.last._3} exact pairs — the cell " +
+          "search diverges from the exact scan")
+      curve.toDF("nprobe", "n_hits", "n_exact", "recall_ppm")
+        .orderBy("nprobe")
+    }),
+
     // ANN via product quantization (the third ANN family next to IVF
     // and LSH: compressed-domain search). 64 dims split into 8
     // subspaces of 8; the per-label centroids restricted to each

@@ -780,6 +780,33 @@ object EventsQueries extends QueryModule {
       }
     }),
 
+    // transformWithState (r11): Spark 4's NEW arbitrary-state API —
+    // the successor to mapGroupsWithState — driven end-to-end: per-user
+    // MapState[type → count] composite state (entry-wise updates,
+    // where the old API rewrites one whole value blob per key per
+    // batch), RocksDB provider REQUIRED by the API (state built to
+    // live off-heap), update-mode changelog drained through the files
+    // sink and compacted max-per-key on read-back (counts are
+    // monotone). Oracle: the plain batch (user, type) count — the new
+    // state machinery must reproduce exactly what the shuffle
+    // aggregate computes.
+    "ev_stream_tws" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.EventStreams.withSplitEvents(s, dir, 3) { (src, nf) =>
+        val evs = src
+          .selectExpr("user_id AS userId", s"$TS_US AS tsUs",
+            "event_type AS eventType")
+          .as[graft.streaming.Ev]
+        graft.streaming.EventStreams.drainUpdate(
+            graft.streaming.EventStreams.typeCounts(evs).toDF(),
+            "graft_ev_tws_", minBatches = nf, rocksdb = true)
+          .groupBy($"userId", $"eventType")
+          .agg(max($"n").as("n"))
+          .select($"userId".as("user_id"), $"eventType".as("event_type"), $"n")
+          .orderBy("user_id", "event_type")
+      }
+    }),
+
     // SCD TYPE-2 history build (r11): intervalize a keyed changelog
     // into [valid_from, valid_to) versions — the warehouse-history
     // sibling of ev_compact_latest (which keeps only the newest row;
@@ -1276,6 +1303,14 @@ object EventsQueries extends QueryModule {
         |FROM g
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // The compacted transformWithState changelog must equal the plain
+    // batch count — the new state API reproduces the shuffle aggregate.
+    "ev_stream_tws" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
     // Identical decimal sufficient statistics, identical double
     // expression tree — byte-equal t stats.
     "ev_abtest" ->

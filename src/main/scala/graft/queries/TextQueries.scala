@@ -326,6 +326,45 @@ object TextQueries extends QueryModule {
         .limit(20)
     }),
 
+    // BIGRAM-LM QUALITY SCORING (r11) — the CCNet/KenLM-shape filter:
+    // train an add-1-smoothed bigram model ON the corpus (one pass to
+    // the vocab-sized count tables) and score every doc's mean
+    // negative log-likelihood against it; low-probability word
+    // transitions mark noisy docs. Scale shape: the count tables are
+    // VOCAB-sized and broadcast back onto the bigram stream — the
+    // corpus shuffles once to build counts and never sorts; scoring is
+    // a per-row lookup + one keyed aggregate. Determinism: per-bigram
+    // nll floors to 1e-9 fixed point (the txt_collocations policy — a
+    // 1-ulp libm ln() divergence moves a doc SUM by ≤ a few e-9, which
+    // the round(6) avg rendering cannot see), then sums ride exact
+    // BIGINT. P(w2|w1) = (c12+1)/(c1+V): c1 counts w1 as bigram-LEFT
+    // (so Σ_w2 c12 = c1 exactly), V = distinct continuation words.
+    "txt_lm_score" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", expr(tokens).as("t"))
+      val pairs = QueryModule.spread(docs).where("size(t) >= 2").selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))) AS b")
+        .select($"doc_id", $"b.w1", $"b.w2")
+      val lcnt = pairs.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val bcnt = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      val voc = pairs.agg(countDistinct($"w2").as("v"))
+      pairs
+        .join(broadcast(bcnt), Seq("w1", "w2"))
+        .join(broadcast(lcnt), Seq("w1"))
+        .crossJoin(broadcast(voc))
+        .withColumn("nll_e9", expr(
+          "CAST(floor(-ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v)) " +
+            "* 1000000000) AS BIGINT)"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"nll_e9").as("sum_nll_e9"))
+        .selectExpr("doc_id", "n_bigrams", "sum_nll_e9",
+          "round(CAST(sum_nll_e9 AS DOUBLE) / 1000000000 / n_bigrams, 6) AS avg_nll")
+        .orderBy("doc_id")
+    }),
+
     "txt_char_bigrams" -> ((s, dir) => {
       import s.implicits._
       QueryModule.spread(Tables.documents(s, dir).select("text"))
@@ -532,6 +571,33 @@ object TextQueries extends QueryModule {
          |WHERE c_ab >= 5
          |ORDER BY pmi_e3 DESC, w1, w2
          |LIMIT 20""".stripMargin,
+    // Identical count tables, identical per-bigram floor-e9 nll,
+    // identical all-double avg expression. The HUGEINT sum→DOUBLE cast
+    // is exact here (doc sums ≤ ~1e12 < 2^53), unlike the Σx² case
+    // ev_abtest's round(6) exists to absorb.
+    "txt_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS t FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+         |         string_split(bg, ' ')[2] AS w2
+         |  FROM (SELECT doc_id,
+         |          unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+         |        FROM t WHERE len(t) >= 2)),
+         |lcnt AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+         |bcnt AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+         |voc AS (SELECT count(DISTINCT w2) AS v FROM pairs),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(floor(-ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))
+         |      * 1000000000) AS BIGINT) AS nll_e9
+         |  FROM pairs JOIN bcnt USING (w1, w2) JOIN lcnt USING (w1)
+         |  CROSS JOIN voc)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(nll_e9) AS BIGINT) AS sum_nll_e9,
+         |  round(CAST(CAST(sum(nll_e9) AS BIGINT) AS DOUBLE) / 1000000000
+         |    / count(*), 6) AS avg_nll
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "txt_char_bigrams" ->
       """SELECT bg, count(*) AS cnt
         |FROM (SELECT unnest([substr(text, i, 2) FOR i IN range(1, length(text))]) AS bg

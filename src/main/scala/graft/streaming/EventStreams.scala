@@ -31,6 +31,39 @@ final case class LatestRecord(userId: Long, eventType: String,
 
 private final case class LatestSt(tsUs: Long, eventId: Long, value: Double, n: Long)
 
+/** Changelog row of [[EventStreams.typeCounts]]: the running count for
+  * one (user, type) key after a batch that touched it. */
+final case class TypeCount(userId: Long, eventType: String, n: Long)
+
+/** `StatefulProcessor` behind [[EventStreams.typeCounts]]: one
+  * `MapState[eventType → count]` per user key, updated entry-wise.
+  * The batch's rows fold locally first (one state read+write per
+  * touched type, not per row), then each touched entry emits its new
+  * running count. Count updates are order-insensitive, so no in-batch
+  * sort is needed (unlike the sessionize fold). */
+private final class TypeCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, TypeCount] {
+  @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCount] = {
+    val batch = scala.collection.mutable.HashMap.empty[String, Long]
+    rows.foreach(e =>
+      batch.update(e.eventType, batch.getOrElse(e.eventType, 0L) + 1L))
+    batch.iterator.map { case (tpe, add) =>
+      val nw = (if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L) + add
+      counts.updateValue(tpe, nw)
+      TypeCount(key, tpe, nw)
+    }
+  }
+}
+
 /** Structured Streaming surface (SURVEY.md §2.2 — the reference is
   * strictly batch; this is the extension mandate's stream path). The
   * same transformations as [[graft.queries.EventsQueries]], expressed
@@ -301,6 +334,27 @@ object EventStreams {
           state.update(st)
           UserSessions(userId, st.nSessions, st.nEvents)
       }
+  }
+
+  /** Per-user per-type running counters on the NEW arbitrary-state API
+    * (`transformWithState`, Spark 4 — the successor to
+    * mapGroupsWithState): typed COMPOSITE state via a
+    * `MapState[type → count]` per user key, the state shape the old
+    * API could only fake by packing a map into one value blob (every
+    * update rewriting the whole blob; MapState updates touch one
+    * entry). Requires the RocksDB provider by design — the API is
+    * built for state that lives off-heap. Emission is an update-mode
+    * changelog (one row per touched (user, type) per batch, carrying
+    * the running count); counts are monotone, so read-back compaction
+    * is max-per-key. TTLConfig.NONE: the fixture's user population is
+    * bounded; a production deployment sets a TTL and the provider
+    * expires cold keys without a query change. */
+  def typeCounts(events: Dataset[Ev]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new TypeCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** Sessionization in its production shape: emit each session ONCE,

@@ -253,6 +253,16 @@ class PlanShapeSpec extends SparkSpec {
       "both frame aggregates must share one Window pass")
   }
 
+  test("lm score broadcasts vocab-sized count tables onto the bigram stream") {
+    val p = plan("txt_lm_score")
+    assert(p.contains("BroadcastHashJoin"),
+      "bigram/left-count lookups must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "the scalar vocab size must broadcast, not go cartesian")
+    assert(!p.contains("SortMergeJoin"),
+      "count tables are vocab-sized — a shuffle join means they stopped broadcasting")
+  }
+
   test("abtest: one scan, conditional partial+final aggregate, no join") {
     val p = plan("ev_abtest")
     assert(!p.contains("Join"), "both variants must pivot in one aggregate")

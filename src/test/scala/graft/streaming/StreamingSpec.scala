@@ -392,6 +392,18 @@ class StreamingSpec extends SparkSpec {
     assert(pt.nonEmpty)
   }
 
+  test("transformWithState MapState counters equal the batch (user,type) aggregate") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("ev_stream_tws")(spark, sf0001)
+      .as[(Long, String, Long)].collect().toSet
+    val want = graft.sources.Tables.events(spark, sf0001)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want,
+      "the new state API's compacted changelog diverged from the batch count")
+  }
+
   test("watermark drops a late row whose window end EQUALS the watermark (<= boundary)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
