@@ -375,4 +375,40 @@ object MediaCodec {
     try g.drawImage(img, 0, 0, tw, th, null) finally g.dispose()
     (meta, scaled.getWidth, scaled.getHeight)
   }
+
+  /** Per-block grayscale pixel sums over the DECODED raster on a g×g
+    * grid with truncating-integer boundaries (block (i, j) covers cols
+    * [i·w/g, (i+1)·w/g) × rows [j·h/g, (j+1)·h/g)) — the exact-integer
+    * core of an average-hash, kept as raw sums so the hash comparison
+    * can stay in cross-multiplied BIGINTs (no float mean anywhere).
+    * Row-major g×g output. PNG 8-bit grayscale is lossless, so these
+    * sums are exact functions of the payload the oracle can predict. */
+  def grayBlockSums(m: MediaFile, g: Int): (Int, Int, Array[Long]) = {
+    val img = decodeImage(m)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val sums = new Array[Long](g * g)
+    var j = 0
+    while (j < g) {
+      val rLo = j.toLong * h / g; val rHi = (j + 1).toLong * h / g
+      var i = 0
+      while (i < g) {
+        val cLo = i.toLong * w / g; val cHi = (i + 1).toLong * w / g
+        var s = 0L
+        var y = rLo
+        while (y < rHi) {
+          var x = cLo
+          while (x < cHi) {
+            s += raster.getSample(x.toInt, y.toInt, 0)
+            x += 1
+          }
+          y += 1
+        }
+        sums(j * g + i) = s
+        i += 1
+      }
+      j += 1
+    }
+    (w, h, sums)
+  }
 }

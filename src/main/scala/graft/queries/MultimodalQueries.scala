@@ -109,6 +109,43 @@ object MultimodalQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // PERCEPTUAL HASH (r11): 64-bit average-hash per image computed
+    // from the REAL decoded raster — 8×8 block pixel sums (truncating
+    // grid boundaries), bit set where block mean exceeds the global
+    // mean, compared in cross-multiplied exact BIGINTs (block_sum·w·h
+    // > total_sum·block_pixels — no float mean anywhere, so the hash
+    // is bit-deterministic). The image near-dup primitive: at 100 TB
+    // the hashes feed the dedup_simhash chunk-blocking machinery
+    // (16-bit bands → hamming verify) unchanged. A narrow decode map
+    // + per-row integer fold, no shuffle before the output sort. The
+    // oracle predicts every bit from the generator (payload bytes fill
+    // row 0, PNG grayscale is lossless): only row-0 blocks can carry
+    // mass, so bits 8..63's comparisons are provably 0 > total·cnt —
+    // the SQL evaluates the identical full formula.
+    "mm_phash" -> ((s, dir) => {
+      import s.implicits._
+      media(s, dir, Some("image")).map { m =>
+        val (w, h, sums) = MediaCodec.grayBlockSums(m, 8)
+        val total = sums.sum
+        val wl = w.toLong; val hl = h.toLong
+        var hash = 0L
+        var j = 0
+        while (j < 8) {
+          val rc = (j + 1) * hl / 8 - j * hl / 8
+          var i = 0
+          while (i < 8) {
+            val cc = (i + 1) * wl / 8 - i * wl / 8
+            if (sums(j * 8 + i) * wl * hl > total * (rc * cc))
+              hash |= 1L << (j * 8 + i)
+            i += 1
+          }
+          j += 1
+        }
+        (m.docId, w, h, hash)
+      }.toDF("doc_id", "width", "height", "phash")
+        .orderBy("doc_id")
+    }),
+
     // END-TO-END file ingestion: the decode inputs here are ACTUAL
     // .png/.jpg/.wav/.gif FILES on disk, read back through Spark's
     // `binaryFile` source and parsed by magic number — no transcode
@@ -253,6 +290,35 @@ object MultimodalQueries extends QueryModule {
         |FROM f, range(0, 5) i(i)
         |WHERE i.i < nf
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // Generator replay: payload bytes fill raster row 0 (truncated at
+    // w), all other pixels are 0, so block (i, j=0) sums the payload
+    // bytes in its column range and every j>0 block sums to zero — its
+    // bit comparison is 0 > total·cnt, false whenever any payload byte
+    // is nonzero. The bit formula is the identical cross-multiplied
+    // integer comparison the Scala side evaluates on the decoded
+    // raster.
+    "mm_phash" ->
+      """WITH m AS (SELECT doc_id, text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS blen
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 0),
+        |d AS (SELECT doc_id, text, blen,
+        |        CAST(64 + blen % 577 AS BIGINT) AS w,
+        |        CAST(64 + (blen * 31) % 449 AS BIGINT) AS h
+        |      FROM m),
+        |b AS (SELECT doc_id, w, h,
+        |        [coalesce(list_sum([ascii(text[x + 1]) FOR x IN
+        |           range(i * w // 8, least((i + 1) * w // 8, blen))]), 0)
+        |         FOR i IN range(0, 8)] AS s,
+        |        [((i + 1) * w // 8 - i * w // 8) * (h // 8)
+        |         FOR i IN range(0, 8)] AS cnt
+        |      FROM d)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(coalesce(list_sum(
+        |    [CASE WHEN s[i + 1] * w * h > list_sum(s) * cnt[i + 1]
+        |          THEN 1 << i ELSE 0 END FOR i IN range(0, 8)]), 0) AS BIGINT)
+        |    AS phash
+        |FROM b
+        |ORDER BY doc_id""".stripMargin,
     "mm_resize" ->
       """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS blen
         |           FROM documents WHERE CAST(doc_id % 3 AS INT) = 0),

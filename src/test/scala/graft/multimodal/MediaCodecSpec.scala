@@ -19,6 +19,30 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("block sums read the exact generated pixels back off the decoded raster") {
+    // Generator contract: payload bytes fill raster row 0 (truncated at
+    // w), all other pixels 0 — so the total over all blocks must equal
+    // the sum of the first min(w, len) payload bytes, every block
+    // outside grid row 0 must be empty, and each row-0 block must sum
+    // exactly its column range. PNG 8-bit grayscale is lossless; any
+    // diff means the decode path stopped being pixel-exact.
+    for (n <- Seq(17, 100, 577, 1234)) {
+      val payload = bytes(n)
+      val (w, h, sums) = MediaCodec.grayBlockSums(
+        MediaFile(n.toLong, "image", payload), 8)
+      assert(w == 64 + n % 577 && h == 64 + (n * 31) % 449)
+      val expTotal = payload.take(math.min(w, n)).map(_ & 0xff).map(_.toLong).sum
+      assert(sums.sum == expTotal, s"len=$n total")
+      for (j <- 1 until 8; i <- 0 until 8)
+        assert(sums(j * 8 + i) == 0L, s"len=$n block($i,$j) nonzero")
+      for (i <- 0 until 8) {
+        val cLo = i * w / 8; val cHi = (i + 1) * w / 8
+        val exp = (cLo until math.min(cHi, n)).map(x => (payload(x) & 0xff).toLong).sum
+        assert(sums(i) == exp, s"len=$n block($i,0)")
+      }
+    }
+  }
+
   test("audio decode reports PCM16 mono duration from the real WAV parser") {
     for (n <- Seq(2, 15, 16000, 48001)) {
       val m = MediaCodec.decode(MediaFile(n.toLong, "audio", bytes(n)))
