@@ -197,14 +197,25 @@ object AdvancedQueries extends QueryModule {
       val edges = e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst")))
       val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
       val ed = edges.join(deg, "src").persist()
+      // Every round's rank table is PERSISTED: broadcast() builds its
+      // table by executing the input plan, so an uncached round-k
+      // table would re-run rounds 1..k-1 through the edge join —
+      // O(rounds²) edge passes. No eager count/unpersist per round
+      // (the connectedComponents discipline) on purpose: round k+1's
+      // broadcast is the action that materializes cut_k — lazily, in
+      // order, through the already-cached predecessor — and the five
+      // node-sized caches are negligible next to the edge cache, so
+      // the per-round forcing job would only add scheduling overhead.
+      // Caller clearCache drops all of it (QueryModule contract).
       var ranks = deg.select($"src".as("node"), lit(1000000000000L).as("pr"))
+        .persist()
       for (_ <- 1 to 5) {
         val next = ed.join(broadcast(ranks), $"src" === $"node")
           .select($"dst", expr("pr div deg").as("c"))
           .groupBy($"dst")
           .agg(expr("150000000000L + (85 * sum(c)) div 100").as("pr"))
           .select($"dst".as("node"), $"pr")
-        ranks = s.createDataFrame(next.rdd, next.schema)
+        ranks = s.createDataFrame(next.rdd, next.schema).persist()
       }
       ranks.orderBy($"pr".desc, $"node").limit(50)
     })

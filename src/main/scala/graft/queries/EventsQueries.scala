@@ -834,6 +834,28 @@ object EventsQueries extends QueryModule {
         .orderBy("user_id", "event_type", "version")
     }),
 
+    // BEHAVIOR-FLOW TRANSITION MATRIX (r11): per-user adjacent
+    // event-type transitions (the Markov chain behind every Sankey /
+    // user-flow dashboard) plus each transition's share of its source
+    // state's outgoing edges in exact ppm. One keyed window (lead over
+    // the per-user total order) + one aggregate + one windowed total
+    // per source state — the shuffle count stays at two regardless of
+    // corpus size, and nothing ever sorts globally.
+    "ev_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val wSrc = Window.partitionBy($"from_type")
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr(TS_US))
+        .withColumn("next_type", lead($"event_type", 1).over(byUser))
+        .where($"next_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_ppm",
+          expr("n * 1000000L div sum(n) OVER (PARTITION BY from_type)"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // A/B EXPERIMENT READOUT (r11): Welch's t statistic per event type
     // between two deterministic variants (user_id parity — the hash-
     // split every experimentation system uses). The rel_corr_matrix
@@ -1303,6 +1325,23 @@ object EventsQueries extends QueryModule {
         |FROM g
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // Same per-user lead, same exact integer share.
+    "ev_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM t WHERE to_type IS NOT NULL
+        |  GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type)
+        |    AS BIGINT) AS share_ppm
+        |FROM c
+        |ORDER BY from_type, to_type""".stripMargin,
+
     // The compacted transformWithState changelog must equal the plain
     // batch count — the new state API reproduces the shuffle aggregate.
     "ev_stream_tws" ->

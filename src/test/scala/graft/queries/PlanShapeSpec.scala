@@ -301,6 +301,13 @@ class PlanShapeSpec extends SparkSpec {
       "per-round RDD cut missing — analyzer cost would grow with rounds")
   }
 
+  test("transition matrix: windows stay keyed, no join, no global sort before output") {
+    val p = plan("ev_transitions")
+    assert(!p.contains("Join"), "adjacent transitions come from lead(), not a self-join")
+    assert(!p.contains("Exchange SinglePartition"),
+      "both the per-user lead and the per-source share must stay partitioned")
+  }
+
   test("scd2 intervalizes in one keyed window pass — no self-join") {
     val p = plan("ev_scd2")
     assert(!p.contains("Join"),
