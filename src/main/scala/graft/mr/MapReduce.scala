@@ -66,6 +66,42 @@ object MapReduce {
       }
   }
 
+  /** [[run]] with a COMBINER — Hadoop's classic map-side
+    * pre-aggregation contract, which the reference kernel cannot
+    * express (its reduce only ever sees the full shuffled group): the
+    * caller supplies an associative+commutative `combine` over V2, and
+    * the kernel lowers the reduce to Spark's `reduceGroups`
+    * (ReduceAggregator), whose PARTIAL aggregate runs before the
+    * exchange — each map partition ships one combined value per key
+    * instead of every intermediate pair, the map-side-combine shape
+    * that makes high-cardinality-key aggregation survive 100 TB.
+    *
+    * Contract (the Hadoop combiner law): for every key,
+    * `client.reduce(k, vs)` must equal
+    * `client.reduce(k, Iterator(vs.reduce(combine)))` — i.e. the
+    * reduce must be algebraic in `combine`. The client's reduce runs
+    * once per key on the single combined value, so emission shape
+    * (0..N outputs, K3/V3 mapping) stays fully client-controlled. */
+  def runCombined[K1, V1, K2, V2, K3, V3](
+      input: Dataset[(K1, V1)],
+      client: MapReduceClient[K1, V1, K2, V2, K3, V3],
+      combine: (V2, V2) => V2,
+      parallelism: Int = 0)(implicit
+      e2: Encoder[(K2, V2)],
+      ek2: Encoder[K2],
+      ev2: Encoder[V2],
+      e3: Encoder[(K3, V3)]): Dataset[(K3, V3)] = {
+    val sized = if (parallelism > 0) input.repartition(parallelism) else input
+    sized
+      .flatMap { case (k1, v1) => client.map(k1, v1) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .reduceGroups(combine)
+      .flatMap { case (k2, v2) =>
+        client.reduce(k2, Iterator.single(v2)).iterator
+      }
+  }
+
   /** [[run]] with SECONDARY SORT: reduce sees each group's values in
     * ascending V2 order, streamed in O(1) memory per group — the
     * classic MapReduce pattern the reference's kernel cannot express

@@ -767,6 +767,56 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // CDC ROUND-TRIP with BEFORE/AFTER images (r11): the Debezium-
+    // envelope changelog shape — each change carries its pre-image, so
+    // the batch is INVERTIBLE: undo(apply(base, batch), batch) ≡ base.
+    // apply is the pipe_cdc_apply single full-outer MERGE; undo is the
+    // SAME join shape with the inverse op semantics (U restores the
+    // before-image, D re-inserts it, I deletes its key). Two keyed
+    // full-outer joins total, narrow columns only — the point-in-time
+    // RESTORE path every table format builds from its changelog, and
+    // the reason production CDC captures pre-images at all. The oracle
+    // is the base table's own digest: the driver proves the round trip
+    // is lossless, not merely row-count-preserving (per-doc hash XOR —
+    // any flipped n_chars or resurrected/lost key breaks the
+    // signature).
+    "pipe_cdc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"n_chars")
+      val ch = Tables.documents(s, dir).where($"doc_id" % 7 < 3)
+        .selectExpr(
+          "CASE WHEN doc_id % 7 = 2 THEN doc_id + 1099511627776 " +
+            "ELSE doc_id END AS key",
+          "CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN 'D' WHEN 1 THEN 'U' " +
+            "ELSE 'I' END AS op",
+          "lang AS c_lang",
+          "CASE WHEN doc_id % 7 = 2 THEN CAST(NULL AS BIGINT) " +
+            "ELSE n_chars END AS before_n",
+          "CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN CAST(NULL AS BIGINT) " +
+            "WHEN 1 THEN n_chars + 1000 ELSE n_chars END AS after_n")
+        .persist()
+      val applied = base.join(ch, $"doc_id" === $"key", "full_outer")
+        .where($"op".isNull || $"op" =!= "D")
+        .selectExpr("coalesce(doc_id, key) AS doc_id",
+          "coalesce(lang, c_lang) AS lang",
+          "CASE WHEN op IN ('U', 'I') THEN after_n ELSE n_chars END AS n_chars")
+      val undone = applied
+        .join(ch.selectExpr("key AS key2", "op AS op2", "c_lang AS c_lang2",
+          "before_n AS before_n2"), $"doc_id" === $"key2", "full_outer")
+        .where($"op2".isNull || $"op2" =!= "I")
+        .selectExpr("coalesce(doc_id, key2) AS doc_id",
+          "coalesce(lang, c_lang2) AS lang",
+          "CASE WHEN op2 IN ('U', 'D') THEN before_n2 ELSE n_chars END AS n_chars")
+      undone.selectExpr("lang", "n_chars",
+          "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', " +
+            "CAST(n_chars AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+          expr("bit_xor(h)").as("content_sig"))
+        .orderBy("lang")
+    }),
+
     // SCHEMA EVOLUTION read (r11): a long-lived corpus directory holds
     // files written under SUCCESSIVE schemas — here v1 (doc_id, lang,
     // n_chars) and v2 adding a `quality` column. `mergeSchema`
@@ -1487,6 +1537,17 @@ object DedupQueries extends QueryModule {
          |FROM d
          |GROUP BY ROLLUP (lang, source)
          |ORDER BY lang, source""".stripMargin,
+
+    // The round trip must reproduce the BASE table bit-for-bit, so the
+    // oracle is simply the base digest — no change machinery at all.
+    "pipe_cdc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT) AS content_sig
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     // The two schema versions replayed as an explicit union with a
     // typed NULL — what mergeSchema materializes implicitly.

@@ -395,6 +395,45 @@ object EmbeddingQueries extends QueryModule {
       }
     }),
 
+    // DIMENSION-TRUNCATION CURVE (r11): the Matryoshka/MRL tuning table
+    // — recall@3 when scoring on only the first d dimensions, the
+    // question every embedding deployment asks before shipping
+    // truncated vectors (4× less storage and bandwidth per halving).
+    // Brute-force cosine over slice(embedding, 1, d) against the same
+    // fixed probe set; ground truth is the full-width exact scan. At
+    // d=64 the sliced scan IS the exact scan (same scorer, same tie
+    // rules), so the gate requires recall EXACTLY 100% there — under
+    // it means the sweep diverged from the ground-truth path, not that
+    // truncation hurt. Recall at d<64 is reported, not bounded:
+    // truncation loss is the measurement, and it is not provably
+    // monotone.
+    "emb_dim_curve" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding").persist()
+      val probes = emb.where($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val exact = exactTop3(s, dir)
+      val curve = Seq(8, 16, 32, 64).map { d =>
+        val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+        val got = emb.join(broadcast(probes), $"vec_id" =!= $"qid")
+          .withColumn("sim", call_function("cosine_sim",
+            expr(s"slice(qe, 1, $d)"), expr(s"slice(embedding, 1, $d)")))
+          .withColumn("rank", row_number().over(w))
+          .where($"rank" <= 3)
+          .select($"qid", $"vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val hits = got.count(exact.contains).toLong
+        (d, hits, exact.size.toLong, hits * 1000000L / exact.size)
+      }
+      require(curve.last._4 == 1000000L,
+        s"emb_dim_curve gate: full-width (d=64) sweep recovered only " +
+          s"${curve.last._2}/${curve.last._3} exact pairs — the sweep " +
+          "diverged from the ground-truth scan")
+      curve.toDF("dims", "n_hits", "n_exact", "recall_ppm")
+        .orderBy("dims")
+    }),
+
     // RECALL CURVE (r11): the tuning table every ANN deployment derives
     // before picking its operating point — recall@3 as a function of
     // IVF nprobe, over the same cells/probes as emb_ivf_topk. One

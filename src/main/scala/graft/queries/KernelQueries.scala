@@ -35,6 +35,21 @@ object KernelQueries extends QueryModule {
         .toDF("ch", "cnt")
         .orderBy("ch")
     }),
+
+    // COMBINER wordcount (r11): the same client through
+    // MapReduce.runCombined — the Hadoop combiner contract the
+    // reference kernel lacks. Where mr_wordcount ships EVERY (word, 1)
+    // pair through the exchange and reduces whole groups,
+    // this plan partial-aggregates per map partition first (one
+    // combined count per word per partition crosses the shuffle) —
+    // plan-guarded partial+final. Same oracle as mr_wordcount: the
+    // combiner must be output-invisible.
+    "mr_combined_wordcount" -> ((s, dir) => {
+      import s.implicits._
+      MapReduce.runCombined(docs(s, dir), WordCountClient, (a: Long, b: Long) => a + b, mtl(s))
+        .toDF("word", "cnt")
+        .orderBy("word")
+    }),
     // The reference's reduce-side join idiom: customer ⋈ orders through
     // the kernel (tagged union → groupByKey → whole-group reduce).
     "mr_join" -> ((s, dir) => {
@@ -141,6 +156,14 @@ object KernelQueries extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "mr_wordcount" ->
+      """SELECT w AS word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |WHERE w <> ''
+        |GROUP BY w
+        |ORDER BY word""".stripMargin,
+    // Byte-identical to mr_wordcount's oracle: the combiner is an
+    // execution strategy, never a semantics change.
+    "mr_combined_wordcount" ->
       """SELECT w AS word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |WHERE w <> ''

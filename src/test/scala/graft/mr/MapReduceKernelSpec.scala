@@ -103,6 +103,22 @@ class MapReduceKernelSpec extends SparkSpec {
     }
   }
 
+  test("runCombined obeys the combiner law: identical output to the plain run") {
+    import spark.implicits._
+    // For an algebraic client (wordcount-shape sum), the combiner must
+    // be output-invisible under any grouping/partitioning of the input.
+    val inputGen = Gen.listOf(Gen.zip(Gen.choose(0L, 9L),
+      Gen.oneOf("a", "b", "c", "d", "ab")))
+    samples(inputGen, 8).foreach { input =>
+      val ds = input.toDS()
+      val plain = MapReduce.run(ds, WordCountClient).collect().toSeq
+      val combined = MapReduce
+        .runCombined(ds, WordCountClient, (a: Long, b: Long) => a + b)
+        .collect().toSeq
+      assert(asMultiset(plain) == asMultiset(combined))
+    }
+  }
+
   test("SeqPatternClient matches the chained min-after model on random event logs") {
     import spark.implicits._
     // Model: t1 = min signup ts; t2 = min view ts > t1; t3 = min

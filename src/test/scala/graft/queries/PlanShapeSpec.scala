@@ -273,6 +273,22 @@ class PlanShapeSpec extends SparkSpec {
       "sufficient statistics lost their partial/final split")
   }
 
+  test("combiner wordcount partial-aggregates before the exchange") {
+    val p = plan("mr_combined_wordcount")
+    assert("ObjectHashAggregate|HashAggregate|SortAggregate".r
+        .findAllIn(p).size >= 2,
+      "runCombined lost its map-side partial aggregate")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "one keyed exchange only — combined values ship, not raw pairs")
+  }
+
+  test("cdc roundtrip is exactly two keyed full-outer merges, no window") {
+    val p = plan("pipe_cdc_roundtrip")
+    assert("FullOuter".r.findAllIn(p).size == 2,
+      "apply + undo must each be one full-outer join")
+    assert(!p.contains("Window"), "no window machinery in the merge path")
+  }
+
   test("seq pattern rides one group exchange; step-type filter reaches the scan") {
     val p = plan("mr_seq_pattern")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
