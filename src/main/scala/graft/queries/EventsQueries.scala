@@ -780,6 +780,41 @@ object EventsQueries extends QueryModule {
       }
     }),
 
+    // STREAM-to-SCD2 TEMPORAL JOIN (r11): point-in-time enrichment —
+    // each streamed view event joins the dimension VERSION that was
+    // valid at its event time (feature-store PIT correctness: the
+    // enrichment must never read a future version). The dimension is
+    // the SCD2 intervalization of the user's purchases (lead() closes
+    // versions — the ev_scd2 shape); the stream side is a STATELESS
+    // stream-static inner join, so every micro-batch broadcasts the
+    // dim and appends immediately — no state, no watermark, the shape
+    // that scales to any stream rate. Interval semantics are exact µs
+    // longs: [valid_from, valid_to) half-open, so a view at a version
+    // boundary lands in the newer version on both engines, and an
+    // empty interval (two purchases at one instant) can never match.
+    "ev_stream_scd_join" -> ((s, dir) => {
+      import s.implicits._
+      val wp = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val dim = Tables.events(s, dir).where($"event_type" === "purchase")
+        .withColumn("ts_us", expr(TS_US))
+        .select($"user_id".as("d_user"), $"ts_us".as("valid_from"),
+          lead($"ts_us", 1).over(wp).as("valid_to"),
+          row_number().over(wp).as("version"), $"value".as("d_value"))
+      graft.streaming.EventStreams.withSplitEvents(s, dir, 3) { (src, nf) =>
+        val views = src.where($"event_type" === "view")
+          .selectExpr("user_id", "event_id", s"$TS_US AS v_ts")
+        val joined = views.join(broadcast(dim),
+          $"user_id" === $"d_user" && $"v_ts" >= $"valid_from" &&
+            ($"valid_to".isNull || $"v_ts" < $"valid_to"))
+          .select($"user_id", $"event_id", $"version", $"d_value")
+        graft.streaming.EventStreams.drainAppend(joined,
+            "graft_ev_scdj_", minBatches = nf)
+          .groupBy($"user_id", $"version")
+          .agg(count(lit(1)).as("n_views"), max($"d_value").as("version_value"))
+          .orderBy("user_id", "version")
+      }
+    }),
+
     // transformWithState (r11): Spark 4's NEW arbitrary-state API —
     // the successor to mapGroupsWithState — driven end-to-end: per-user
     // MapState[type → count] composite state (entry-wise updates,
@@ -1325,6 +1360,26 @@ object EventsQueries extends QueryModule {
         |FROM g
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // Identical SCD2 intervalization + half-open containment join in
+    // batch SQL — the streaming drain must enrich point-in-time
+    // exactly like the batch join.
+    "ev_stream_scd_join" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS valid_from,
+        |    lead(epoch_us(ts)) OVER w AS valid_to,
+        |    row_number() OVER w AS version, value AS d_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |v AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS v_ts
+        |  FROM events WHERE event_type = 'view')
+        |SELECT v.user_id AS user_id, version, count(*) AS n_views,
+        |  max(d_value) AS version_value
+        |FROM v JOIN p ON v.user_id = p.user_id AND v_ts >= valid_from
+        |  AND (valid_to IS NULL OR v_ts < valid_to)
+        |GROUP BY v.user_id, version
+        |ORDER BY v.user_id, version""".stripMargin,
+
     // Same per-user lead, same exact integer share.
     "ev_transitions" ->
       """WITH t AS (

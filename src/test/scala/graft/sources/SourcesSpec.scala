@@ -45,6 +45,21 @@ class SourcesSpec extends SparkSpec {
       s"orc scan lost filter pushdown:\n$p")
   }
 
+  test("xml round-trip preserves nation (Spark 4 built-in XML source)") {
+    // spark-xml graduated into Spark core in 4.0 — one more ingest
+    // format (config exports, legacy feeds) with zero extra deps.
+    // Schema passed at read: XML infers strings conservatively, and
+    // ingest pipelines pin schemas anyway.
+    val nation = Tables.nation(spark, sf001)
+    val dir = tmp("xml")
+    nation.write.mode("overwrite").format("xml")
+      .option("rowTag", "nation").save(dir)
+    val back = spark.read.format("xml")
+      .option("rowTag", "nation").schema(nation.schema).load(dir)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
   test("zstd parquet round-trips (the cold-data codec choice is a config, not code)") {
     val part = Tables.part(spark, sf001)
     val dir = tmp("zstd")
