@@ -218,6 +218,60 @@ object AdvancedQueries extends QueryModule {
         ranks = s.createDataFrame(next.rdd, next.schema).persist()
       }
       ranks.orderBy($"pr".desc, $"node").limit(50)
+    }),
+
+    // DYNAMIC PARTITION PRUNING (r11): the partition-elimination
+    // mechanism that decides SCAN volume at 100 TB — a fact table
+    // laid out by day must not be re-scanned in full when the query
+    // joins it against a dim whose filter is only known at runtime.
+    // Stage: events written `partitionBy(d)` (repartitioned by day
+    // first so each partition is one file, the layout discipline a
+    // real table would have); dim: the "busy" days — strictly above
+    // the mean signups/day, a predicate Catalyst cannot fold into a
+    // static partition filter because it depends on an aggregate.
+    // The dim broadcasts (it is day-sized at any SF), and Catalyst's
+    // PartitionPruning rule reuses that broadcast as a pruning
+    // subquery on the fact scan: the plan carries
+    // `dynamicpruningexpression(d IN dynamicpruning#N)` in the scan's
+    // PartitionFilters, so only busy-day directories are read.
+    // PlanShapeSpec asserts both the expression and the runtime
+    // "partitions read" metric via the inner-plan registry. The
+    // output itself is exact relational algebra — full DuckDB oracle
+    // over the unpartitioned fixture.
+    "rel_partition_prune" -> ((s, dir) => {
+      import s.implicits._
+      val stage = graft.sources.GraftSession.stagingDir("graft_dpp_")
+      try {
+        val facts = s"$stage/events_by_day"
+        Tables.events(s, dir)
+          .withColumn("d", to_date($"ts_utc"))
+          .repartition($"d")
+          .write.partitionBy("d").parquet(facts)
+        val fact = s.read.parquet(facts)
+        val daily = Tables.events(s, dir)
+          .where($"event_type" === "signup")
+          .groupBy(to_date($"ts_utc").as("d"))
+          .agg(count(lit(1)).as("n_signups"))
+        val tot = daily.agg(count(lit(1)).as("n_days"),
+          sum($"n_signups").as("total"))
+        val dim = daily.crossJoin(broadcast(tot))
+          .where($"n_signups" * $"n_days" > $"total")
+          .select($"d", $"n_signups")
+        val out = fact.join(broadcast(dim), Seq("d"))
+          .groupBy($"d")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct($"user_id").as("n_users"),
+            max($"n_signups").as("n_signups"))
+          .orderBy("d")
+        QueryModule.gatedPlans.put("rel_partition_prune", out)
+        val rows = out.collect()
+        // In-path witness: the executed fact scan must carry the DPP
+        // subquery — without it this query silently reads every day.
+        require(out.queryExecution.executedPlan.toString
+            .contains("dynamicpruning"),
+          "rel_partition_prune: fact scan lost its dynamic pruning filter")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(stage)
     })
   )
 
@@ -302,6 +356,24 @@ object AdvancedQueries extends QueryModule {
          |       FROM deg),
          |${(1 to 5).map(step).mkString(",\n")}
          |SELECT node, pr FROM r5 ORDER BY pr DESC, node LIMIT 50""".stripMargin
-    }
+    },
+
+    // Same algebra over the unpartitioned fixture — the staged layout
+    // changes WHAT IS READ, never the result.
+    "rel_partition_prune" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS n_signups
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_days, sum(n_signups) AS total
+        |        FROM daily),
+        |dim AS (SELECT d, n_signups FROM daily, tot
+        |        WHERE n_signups * n_days > total)
+        |SELECT e.d, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |  CAST(max(dim.n_signups) AS BIGINT) AS n_signups
+        |FROM (SELECT CAST(ts AS DATE) AS d, user_id FROM events) e
+        |JOIN dim USING (d)
+        |GROUP BY e.d
+        |ORDER BY d""".stripMargin
   )
 }

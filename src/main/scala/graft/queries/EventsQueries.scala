@@ -972,6 +972,56 @@ object EventsQueries extends QueryModule {
         .agg(max($"run").as("max_concurrent"))
         .select($"day".as("epoch_day"), $"max_concurrent")
         .orderBy("epoch_day")
+    }),
+
+    // MERGEABLE-SKETCH ROLLUP (r11): per-day DataSketches HLL sketches
+    // of the user set, window-UNIONED into a cumulative distinct-user
+    // curve — the incremental distinct pattern a 100-TB pipeline runs
+    // instead of rescanning the fact: build one small sketch row per
+    // day (partial+final agg over the fact — the only heavy pass),
+    // persist those, and answer any date-range distinct query by
+    // merging sketches (register-max union, order- and partition-
+    // independent) without touching the raw events again. The window
+    // union runs over ONE ROW PER DAY — thousands of rows at any
+    // scale, so the unbounded-preceding frame over a single ordered
+    // partition is deliberate and free; the fact never sees a window.
+    // Rows-only (DuckDB has no DataSketches HLL); the gate recomputes
+    // the EXACT cumulative distinct curve via the first-seen-day trick
+    // (min(day) per user, one extra shuffle) and requires every day's
+    // estimate within the lgK=12 HLL error envelope.
+    "ev_hll_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date($"ts_utc").as("d"))
+        .agg(hll_sketch_agg($"user_id", 12).as("sk"),
+          count(lit(1)).as("n_events"))
+      val w = Window.orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = daily
+        .withColumn("cum_users",
+          hll_sketch_estimate(hll_union_agg($"sk", lit(false)).over(w)))
+        .select($"d", $"n_events", $"cum_users")
+        .orderBy("d")
+      QueryModule.gated("ev_hll_rollup", out) { rows =>
+        // Exact ground truth: per-day NEW-user counts (first-seen-day
+        // trick — ≤ one row per day crosses to the driver), folded into
+        // a running sum over the estimate's own day axis so a day with
+        // zero new users still carries the previous total.
+        val newPerDay = Tables.events(s, dir)
+          .groupBy($"user_id").agg(min(to_date($"ts_utc")).as("d"))
+          .groupBy($"d").agg(count(lit(1)).as("nu"))
+          .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+        var cum = 0L
+        rows.sortBy(_.getDate(0).toString).foreach { r =>
+          val d = r.getDate(0).toString
+          cum += newPerDay.getOrElse(d, 0L)
+          val a = r.getLong(2)
+          // lgK=12 → rsd ≈ 1.6%; 4σ ≈ 6.5%, absolute floor for tiny days.
+          require(math.abs(a - cum) <= math.max(8L, (0.065 * cum).toLong),
+            s"ev_hll_rollup gate: $d estimate $a vs exact $cum drifts past " +
+              "the 4σ HLL bound")
+        }
+      }
     })
   )
 

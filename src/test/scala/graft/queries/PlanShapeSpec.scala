@@ -635,4 +635,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(zRows * 2 <= pRows,
       s"z-order layout scanned $zRows rows vs $pRows unclustered — no row-group skipping")
   }
+
+  test("partitioned fact scan is dynamically pruned to the dim's days") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val result = graft.SparkEntry.queries("rel_partition_prune")(spark, sf001)
+    val inner = QueryModule.gatedPlans.get("rel_partition_prune")
+    val planStr = inner.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruningexpression"),
+      s"fact scan carries no DPP filter:\n$planStr")
+    // Runtime proof, not just plan shape: walk into the executed AQE
+    // stages (collect() stops at QueryStageExec boundaries) and read
+    // the fact scan's driver-side partition metric — the number of
+    // day directories actually listed must equal the busy-day count,
+    // strictly fewer than the days that exist.
+    def all(p: SparkPlan): Seq[SparkPlan] = p +: (p.children ++ (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => Seq.empty
+    })).flatMap(all)
+    val scan = all(inner.queryExecution.executedPlan)
+      .collectFirst {
+        case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("graft_dpp_")) => f
+      }
+      .getOrElse(fail("no staged-fact FileSourceScanExec in the executed plan"))
+    val busyDays = result.count()
+    val allDays = graft.sources.Tables.events(spark, sf001)
+      .selectExpr("to_date(ts_utc)").distinct().count()
+    val read = scan.metrics("numPartitions").value
+    info(s"partitions read: $read of $allDays days (busy: $busyDays)")
+    assert(read == busyDays,
+      s"DPP read $read partitions, expected the $busyDays busy days")
+    assert(read < allDays, "DPP pruned nothing — every day directory was read")
+  }
+
+  test("hll rollup windows over day rows, never the fact (sketch partial+final)") {
+    val p = gatedPlan("ev_hll_rollup")
+    // The sketch aggregate is a TypedImperativeAggregate → partial +
+    // final ObjectHashAggregate pair: the fact collapses to one row
+    // per day BEFORE the cumulative union window runs.
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final sketch aggregation:\n$p")
+    assert("Window".r.findAllIn(p).size >= 1, "missing the union window")
+  }
 }
