@@ -59,6 +59,11 @@ object ClusterSmoke {
     // listener-counted progress all crossing process boundaries).
     // Explicit query names as args run exactly those (e.g. the staging
     // queries under an overridden SPARK_GRAFT_STAGING root).
+    if (args.contains("--retry")) {
+      retryDemo(spark, sf)
+      spark.stop()
+      return
+    }
     val named = args.filter(graft.SparkEntry.queries.contains).toSeq
     val slice =
       if (args.contains("--all")) graft.SparkEntry.queries.keys.toSeq.sorted
@@ -81,5 +86,61 @@ object ClusterSmoke {
     }
     spark.stop()
     if (failures > 0) sys.exit(1)
+  }
+
+  /** R13 fault-tolerance demonstration (`--retry`): the reference
+    * kernel's error handling is "print `system error:` and exit(1)" —
+    * ANY worker failure kills the whole job. Spark's task retry
+    * supplants that: this runs the flagship wordcount with a client
+    * whose map DETERMINISTICALLY throws on the first attempt of
+    * partition 0 (real executor JVMs here, and `local-cluster` keeps
+    * the non-local default `spark.task.maxFailures=4`, unlike
+    * `local[N]` where retries are off — which is why this lives in the
+    * smoke harness, not the unit suite). The failed attempt's shuffle
+    * output is never committed, the retried attempt (attemptNumber 1)
+    * passes, and the output must be IDENTICAL to the clean run — the
+    * exactly-once illusion over at-least-twice execution. */
+  private def retryDemo(spark: SparkSession, sf: String): Unit = {
+    import spark.implicits._
+    import graft.mr.{MapReduce, MapReduceClient, WordCountClient}
+    object FlakyWordCountClient
+        extends MapReduceClient[Long, String, String, Long, String, Long] {
+      override def map(docId: Long, text: String): IterableOnce[(String, Long)] = {
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0)
+          throw new RuntimeException(
+            "graft injected failure: first attempt of map partition 0")
+        WordCountClient.map(docId, text)
+      }
+      override def reduce(w: String, counts: Iterator[Long]): IterableOnce[(String, Long)] =
+        WordCountClient.reduce(w, counts)
+    }
+    val taskFailures = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.reason != org.apache.spark.Success) taskFailures.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val in = graft.sources.Tables.documents(spark, sf)
+        .select("doc_id", "text").as[(Long, String)]
+      val clean = MapReduce.run(in, WordCountClient, 8)
+        .collect().sortBy(_._1).toSeq
+      val flaky = MapReduce.run(in, FlakyWordCountClient, 8)
+        .collect().sortBy(_._1).toSeq
+      require(flaky == clean,
+        s"retried run diverged: ${flaky.size} vs ${clean.size} rows")
+      // Listener events drain asynchronously (the bus is private API);
+      // poll briefly so the injected failure is visible before the
+      // assert.
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (taskFailures.get < 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      require(taskFailures.get >= 1,
+        "no task failure observed — the injection never fired")
+      println(s"[cluster] retry OK: ${taskFailures.get} task failure(s) " +
+        s"absorbed, output identical to the clean run (${clean.size} words)")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
