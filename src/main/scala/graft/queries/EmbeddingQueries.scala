@@ -668,6 +668,59 @@ object EmbeddingQueries extends QueryModule {
           s"emb_ann_topk recall gate: 0/${exact.size} exact top-3 pairs " +
             "recovered — the LSH bands carry no similarity signal")
       }
+    }),
+
+    // PCA TOP COMPONENT via power iteration (r11) — the spectral
+    // primitive under embedding whitening/compression and drift
+    // monitoring, in the engine's exact-replay style: the corpus pass
+    // is ONE partial+final aggregate folding each row's 64×64 outer
+    // product (quantized 1e3 fixed point, computed by a codegen'd
+    // nested-transform — no explode, no shuffle of row×dim² rows; only
+    // 4096-long Gram partials cross the exchange), and the 8-round
+    // power iteration then runs DRIVER-SIDE on the collected 64×64
+    // BIGINT matrix — bounded by dim², independent of corpus size,
+    // which is exactly what makes this legitimate at 100 TB (contrast
+    // rel_pagerank, whose node state is data-sized and must stay
+    // distributed). All iteration arithmetic is overflow-free exact
+    // integers: w = A·v; renorm v' = sign(w)·(|w| div (max|w| div
+    // 1e6)) — positive-operand truncating division only, so Spark
+    // `div`, Scala `/`, and DuckDB `//` agree sign-safely. The oracle
+    // replays the identical Gram build + 8 unrolled rounds in SQL, so
+    // the driver hash-compares the eigenvector exactly. Uncentered
+    // (2nd-moment) PCA, stated plainly: no mean subtraction, which
+    // keeps the pass one aggregate and the replay exact.
+    "emb_pca_power" -> ((s, dir) => {
+      import s.implicits._
+      val gramAgg = udaf(new ElementwiseSum(4096))
+      val gramDf = Tables.embeddings(s, dir)
+        .selectExpr(
+          "transform(CAST(embedding AS array<double>), " +
+            "x -> CAST(floor(x * 1000) AS BIGINT)) AS q")
+        .selectExpr("flatten(transform(q, x -> transform(q, y -> x * y))) AS op")
+        .agg(gramAgg($"op").as("a"))
+      // Inner-plan registry (ShowPlan / PlanShapeSpec): the returned
+      // DataFrame is a driver-local eigenvector, but the plan that
+      // must stay partial+final-with-no-explode is the Gram pass.
+      QueryModule.gatedPlans.put("emb_pca_power", gramDf)
+      val gram = gramDf.head().getSeq[Long](0).toArray
+      require(gram.length == 4096, s"gram is ${gram.length}, want 64*64")
+      var v = Array.fill(64)(1000000L)
+      var lambdaFp = 0L
+      for (_ <- 1 to 8) {
+        val w = Array.tabulate(64) { i =>
+          var acc = 0L; var j = 0
+          while (j < 64) { acc += gram(i * 64 + j) * v(j); j += 1 }
+          acc
+        }
+        lambdaFp = w.map(math.abs).max
+        val scaled = lambdaFp / 1000000L
+        require(scaled > 0, "emb_pca_power: degenerate Gram matrix (max|w| < 1e6)")
+        v = w.map(x => { val m = math.abs(x) / scaled; if (x < 0) -m else m })
+      }
+      v.zipWithIndex
+        .map { case (e, i) => (i + 1L, e, lambdaFp) }
+        .toSeq.toDF("dim", "eigvec_fp", "lambda_fp")
+        .orderBy("dim")
     })
   )
 
@@ -685,6 +738,30 @@ object EmbeddingQueries extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "emb_blocked_pairs" -> CosinePairsSql,
+    // The identical Gram build + 8 unrolled power-iteration rounds
+    // (the rel_pagerank replay pattern): every operation is exact
+    // integer arithmetic with positive-operand division, so the
+    // eigenvector hash-matches bit for bit.
+    "emb_pca_power" -> {
+      val round = (k: Int) =>
+        s"""w$k AS (SELECT a.i AS dim, CAST(sum(a.a * v${k - 1}.v) AS BIGINT) AS w
+           |  FROM a JOIN v${k - 1} ON a.j = v${k - 1}.dim GROUP BY 1),
+           |m$k AS (SELECT CAST(max(abs(w)) AS BIGINT) // 1000000 AS s FROM w$k),
+           |v$k AS (SELECT dim, CAST(CASE WHEN w < 0 THEN -(abs(w) // s)
+           |  ELSE abs(w) // s END AS BIGINT) AS v FROM w$k, m$k)""".stripMargin
+      s"""WITH q AS (SELECT vec_id, d.i AS i,
+         |    CAST(floor(embedding[d.i]::DOUBLE * 1000) AS BIGINT) AS qv
+         |  FROM embeddings, range(1, 65) d(i)),
+         |a AS (SELECT qi.i AS i, qj.i AS j,
+         |      CAST(sum(qi.qv * qj.qv) AS BIGINT) AS a
+         |      FROM q qi JOIN q qj USING (vec_id) GROUP BY 1, 2),
+         |v0 AS (SELECT i AS dim, CAST(1000000 AS BIGINT) AS v
+         |       FROM range(1, 65) t(i)),
+         |${(1 to 8).map(round).mkString(",\n")}
+         |SELECT CAST(v8.dim AS BIGINT) AS dim, v8.v AS eigvec_fp,
+         |  (SELECT CAST(max(abs(w)) AS BIGINT) FROM w8) AS lambda_fp
+         |FROM v8 ORDER BY dim""".stripMargin
+    },
     "emb_norms" ->
       """SELECT label, count(*) AS n, max(len(embedding)) AS dim,
         |  CAST(sum(CAST(floor(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) * 1000000) AS BIGINT)) AS BIGINT) AS sum_norm2_e6

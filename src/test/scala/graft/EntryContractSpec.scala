@@ -16,7 +16,8 @@ class EntryContractSpec extends AnyFunSuite {
     "emb_ann_topk", "emb_ivf_topk", "emb_pq_topk", "emb_kmeans",
     "emb_recall_curve", "emb_dim_curve",
     "rel_approx_distinct", "rel_approx_quantiles",
-    "txt_heavy_hitters", "txt_bpe_train", "pipe_profile_approx")
+    "txt_heavy_hitters", "txt_bpe_train", "pipe_profile_approx",
+    "ev_hll_rollup")
 
   test("every oracle key names an existing query") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)

@@ -672,6 +672,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(read < allDays, "DPP pruned nothing — every day directory was read")
   }
 
+  test("pca gram pass is one partial+final aggregate with no explode") {
+    val p = gatedPlan("emb_pca_power")
+    // Each row folds its 64x64 outer product inside the aggregator:
+    // nothing generates row-per-element output, and only 4096-long
+    // partials cross the exchange.
+    assert(!p.contains("Generate"), s"gram pass explodes rows:\n$p")
+    assert("ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation for the gram fold:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"gram pass should shuffle once (partials to the final agg):\n$p")
+  }
+
   test("hll rollup windows over day rows, never the fact (sketch partial+final)") {
     val p = gatedPlan("ev_hll_rollup")
     // The sketch aggregate is a TypedImperativeAggregate → partial +
