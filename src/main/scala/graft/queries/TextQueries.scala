@@ -15,6 +15,63 @@ import org.apache.spark.sql.functions._
   * bit-identical across engines, so the oracle hash never depends on
   * float rounding.
   */
+/** Exact single-threaded BPE reference (vocab-sized inputs only): ONE
+  * definition of merge application and local training shared by
+  * txt_bpe_train's in-path gate and txt_bpe_apply's merge derivation —
+  * the byte-identity policy for the tokenizer semantics (a divergent
+  * copy would silently fork what "the trained tokenizer" means).
+  */
+private[queries] object BpeCore {
+  /** Re-segment one word under an ordered merge list (each merge
+    * rewrites non-overlapping left-to-right — the semantics SQL
+    * `replace` reproduces on the |-separated string form). */
+  def applyMerges(word: String, merges: Seq[(String, String)]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    merges.foreach { case (a, b) =>
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
+  /** Train up to `k` merges over a word-frequency table: per round,
+    * count weighted adjacent symbol pairs under the merges-so-far and
+    * pick the max with the total-order tie-break (count desc, then
+    * symbol pair asc). Returns (rank, left, right, pairCount). */
+  def trainLocal(wordFreq: Array[(String, Long)], k: Int): Vector[(Int, String, String, Long)] = {
+    var merges = Vector.empty[(String, String)]
+    val picked = Vector.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= k && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      wordFreq.foreach { case (w, cnt) =>
+        val syms = applyMerges(w, merges)
+        var i = 0
+        while (i + 1 < syms.length) {
+          val key = (syms(i), syms(i + 1))
+          counts(key) = counts.getOrElse(key, 0L) + cnt
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        merges = merges :+ (l -> r)
+        picked += ((rank, l, r, c))
+        rank += 1
+      }
+    }
+    picked.result()
+  }
+}
+
 object TextQueries extends QueryModule {
 
   /** Non-empty whitespace tokens (SQL lambda — codegen'd, no UDF). */
@@ -87,20 +144,11 @@ object TextQueries extends QueryModule {
         .groupBy($"w").agg(count(lit(1)).as("cnt"))
         .as[(String, Long)]
         .persist()
-      def applyMerges(word: String, merges: Seq[(String, String)]): Array[String] = {
-        var syms: Array[String] = word.map(_.toString).toArray
-        merges.foreach { case (a, b) =>
-          val out = Array.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-              out += (a + b); i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          syms = out.result()
-        }
-        syms
-      }
+      // Local alias: the shared exact core (BpeCore) — a plain function
+      // value so the distributed flatMap closure below captures only
+      // the function, not the module object.
+      val applyMerges: (String, Seq[(String, String)]) => Array[String] =
+        BpeCore.applyMerges
       var merges = Vector.empty[(String, String)]
       val picked = Vector.newBuilder[(Int, String, String, Long)]
       var rank = 1
@@ -126,28 +174,59 @@ object TextQueries extends QueryModule {
         }
       }
       val got = picked.result()
-      // In-path gate: the exact single-threaded reference run.
-      val local = wordFreq.collect()
-      var lm = Vector.empty[(String, String)]
-      got.foreach { case (rk, l, r, c) =>
-        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-        local.foreach { case (w, cnt) =>
-          val syms = applyMerges(w, lm)
-          var i = 0
-          while (i + 1 < syms.length) {
-            val k = (syms(i), syms(i + 1))
-            counts(k) = counts.getOrElse(k, 0L) + cnt
-            i += 1
-          }
-        }
-        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
-        require(best._1 == ((l, r)) && best._2 == c,
-          s"txt_bpe_train gate: round $rk picked ($l,$r,$c) but exact " +
-            s"recomputation says ${best._1} with ${best._2}")
-        lm = lm :+ (l -> r)
-      }
+      // In-path gate: the exact single-threaded reference run (the
+      // shared BpeCore trainer — also the merge source of
+      // txt_bpe_apply, so this gate proves the distributed trainer and
+      // the apply path agree on what "the tokenizer" is).
+      val expected = BpeCore.trainLocal(wordFreq.collect(), MERGES)
+      require(expected == got,
+        s"txt_bpe_train gate: distributed picks $got diverge from the " +
+          s"exact reference $expected")
       s.createDataFrame(got).toDF("merge_rank", "left_sym", "right_sym", "pair_count")
         .orderBy("merge_rank")
+    }),
+
+    // BPE ENCODE (r11) — the other half of the tokenizer loop: apply
+    // the 10 trained merges to the whole corpus and report per-doc
+    // token counts + compression. Merge derivation: the exact local
+    // trainer (BpeCore — the same code txt_bpe_train's gate proves
+    // equal to the distributed trainer) over the ONE-pass word-
+    // frequency table. The encode itself is pure codegen'd string
+    // algebra, no UDF: each word becomes its |-separated char string
+    // and the merges apply as a chain of literal `replace` calls
+    // (left-to-right non-overlapping — exactly applyMerges' semantics
+    // on that representation, and exactly what DuckDB's replace does,
+    // so the oracle can re-derive the merges in SQL and hash-match).
+    // Scale shape: only DISTINCT words are encoded (vocab-sized work,
+    // like real tokenizers), then broadcast-joined back onto the
+    // corpus — the fact-side pass stays one narrow projection + one
+    // partial+final aggregate per doc.
+    "txt_bpe_apply" -> ((s, dir) => {
+      import s.implicits._
+      val wf = Tables.documents(s, dir)
+        .selectExpr(s"explode($tokens) AS w")
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)].collect()
+      val merges = BpeCore.trainLocal(wf, 10).map(p => (p._2, p._3))
+      def q(sym: String): String = "'" + sym.replace("'", "''") + "'"
+      val chain = merges.foldLeft(
+        "concat('|', regexp_replace(w, '(.)', '$1|'))") { case (inner, (a, b)) =>
+        s"replace($inner, concat('|', ${q(a)}, '|', ${q(b)}, '|'), " +
+          s"concat('|', ${q(a + b)}, '|'))"
+      }
+      val words = Tables.documents(s, dir)
+        .selectExpr("doc_id", s"explode($tokens) AS w")
+      val vocabEnc = words.select($"w").distinct()
+        .selectExpr("w",
+          s"CAST(size(split($chain, '[|]')) - 2 AS BIGINT) AS n_bpe_w")
+      words.join(broadcast(vocabEnc), "w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length($"w")).as("n_chars"),
+          sum($"n_bpe_w").as("n_bpe"))
+        .selectExpr("doc_id", "n_words", "n_chars", "n_bpe",
+          "(n_chars - n_bpe) * 1000000L div n_chars AS saved_ppm")
+        .orderBy("doc_id")
     }),
 
     // Word-distribution Shannon entropy per doc — the repetitiveness
@@ -446,6 +525,50 @@ object TextQueries extends QueryModule {
   private val duckTokens = QueryModule.DuckTokens
 
   override def oracles: Map[String, String] = Map(
+    // Full tokenizer replay: re-derive the 10 merges in SQL (per
+    // round: adjacent-pair counts over the |-separated vocab, argmax
+    // with the same total-order tie-break — space sorts below every
+    // symbol char, so `ORDER BY c DESC, pr` on the space-joined pair
+    // equals the Scala (count desc, left, right) tuple order — then
+    // one literal replace), then apply the final merge list to the
+    // corpus words. `replace` is left-to-right non-overlapping in both
+    // engines, which is exactly applyMerges' semantics on this string
+    // form — so the per-doc counts hash-match exactly.
+    "txt_bpe_apply" -> {
+      // Every CTE is MATERIALIZED: the rounds chain (v_k reads v_{k-1}
+      // from two places plus three scalar subqueries on m_k), and
+      // DuckDB's default CTE inlining would re-expand the whole prefix
+      // at every reference — exponential plan growth that exhausts
+      // file handles before round 10. Materialization makes the replay
+      // linear, one pass per round, like the engine's own loop.
+      val round = (k: Int) =>
+        s"""p$k AS MATERIALIZED (SELECT unnest([y[i] || ' ' || y[i+1] FOR i IN range(1, len(y))]) AS pr, cnt
+           |  FROM (SELECT list_filter(string_split(s, '|'), x -> x != '') AS y, cnt FROM v${k - 1})),
+           |m$k AS MATERIALIZED (SELECT string_split(pr, ' ')[1] AS l, string_split(pr, ' ')[2] AS r
+           |  FROM (SELECT pr, sum(cnt) AS c FROM p$k GROUP BY pr)
+           |  ORDER BY c DESC, pr LIMIT 1),
+           |v$k AS MATERIALIZED (SELECT w, replace(s,
+           |    '|' || (SELECT l FROM m$k) || '|' || (SELECT r FROM m$k) || '|',
+           |    '|' || (SELECT l || r FROM m$k) || '|') AS s, cnt FROM v${k - 1})"""
+          .stripMargin
+      s"""WITH wf AS MATERIALIZED (SELECT w, count(*) AS cnt
+         |  FROM (SELECT unnest($duckTokens) AS w FROM documents) GROUP BY w),
+         |v0 AS MATERIALIZED (SELECT w,
+         |    '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|' AS s,
+         |    cnt FROM wf),
+         |${(1 to 10).map(round).mkString(",\n")},
+         |enc AS MATERIALIZED (SELECT w,
+         |    CAST(len(string_split(s, '|')) - 2 AS BIGINT) AS n_bpe_w FROM v10),
+         |d AS (SELECT doc_id, unnest($duckTokens) AS w FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(length(d.w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(enc.n_bpe_w) AS BIGINT) AS n_bpe,
+         |  CAST((CAST(sum(length(d.w)) AS BIGINT) - CAST(sum(enc.n_bpe_w) AS BIGINT))
+         |    * 1000000 // CAST(sum(length(d.w)) AS BIGINT) AS BIGINT) AS saved_ppm
+         |FROM d JOIN enc USING (w)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
     "txt_tokens" ->
       s"""SELECT doc_id, len($duckTokens) AS n_tokens, length(text) AS text_len,
          |  n_chars, n_chars = length(text) AS chars_ok
