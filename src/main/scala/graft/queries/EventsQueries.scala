@@ -928,6 +928,82 @@ object EventsQueries extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // CUPED VARIANCE REDUCTION (r11) — the readout every mature
+    // experimentation platform layers over ev_abtest's plain Welch t:
+    // each user's PRE-period metric (days 1–15) is used as a control
+    // covariate for their POST-period metric (days 16+), removing the
+    // between-user variance the randomization didn't create. Same
+    // determinism policy as ev_abtest: per-user X/Y are EXACT decimal
+    // sums (one shuffle on user_id), the pooled sufficient statistics
+    // (n, ΣX, ΣY, ΣXY, ΣX²) and per-variant (n_v, ΣX_v, ΣY_v) are one
+    // tiny partial+final aggregate each, and θ = cov(X,Y)/var(X) plus
+    // the adjusted means are a single scalar double expression over
+    // identical inputs, round(6) for rendering. The 1-row pooled side
+    // broadcasts onto the 2-row variant side — adding a variant adds
+    // rows to a 2-row table, never a scan.
+    "ev_cuped" -> ((s, dir) => {
+      import s.implicits._
+      val perUser = Tables.events(s, dir)
+        .where($"value".isNotNull)
+        .select($"user_id", ($"user_id" % 2).as("v"),
+          when(dayofmonth($"ts_utc") <= 15, $"value".cast("decimal(18,6)"))
+            .otherwise(lit(0).cast("decimal(18,6)")).as("px"),
+          when(dayofmonth($"ts_utc") > 15, $"value".cast("decimal(18,6)"))
+            .otherwise(lit(0).cast("decimal(18,6)")).as("py"))
+        .groupBy($"user_id", $"v")
+        .agg(sum($"px").as("x"), sum($"py").as("y"))
+      val pooled = perUser.agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      val byV = perUser.groupBy($"v")
+        .agg(count(lit(1)).as("n_v"), sum($"x").as("sx_v"), sum($"y").as("sy_v"))
+      byV.crossJoin(broadcast(pooled))
+        .selectExpr("v AS variant", "n_v AS n_users",
+          "round(CAST(sy_v AS DOUBLE) / n_v, 6) AS mean_y",
+          "round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / " +
+            "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n), 6) AS theta",
+          "round(CAST(sy_v AS DOUBLE) / n_v - " +
+            "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / " +
+            " (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)) * " +
+            "(CAST(sx_v AS DOUBLE) / n_v - CAST(sx AS DOUBLE) / n), 6) AS mean_y_adj")
+        .orderBy("variant")
+    }),
+
+    // EXPONENTIAL SMOOTHING (r11) — the EWMA baseline behind burn-rate
+    // alerts and simple demand forecasts: per-day revenue smoothed
+    // with α=0.2, entirely in exact integer micro-units so the
+    // sequential recurrence l_d = (2·x_d + 8·l_{d-1}) div 10 replays
+    // identically anywhere (truncating division on non-negative
+    // operands). Shape: the corpus pass is one partial+final per-day
+    // aggregate; the recurrence then folds DRIVER-SIDE over the
+    // day-bounded series (one row per day at any corpus scale — the
+    // emb_pca_power materialization argument: state is calendar-sized,
+    // not data-sized). The oracle replays the identical recurrence
+    // with a RECURSIVE CTE over the day sequence.
+    "ev_ewma" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .where($"value".isNotNull)
+        .groupBy(dayofmonth($"ts_utc").as("day"))
+        .agg(sum($"value".cast("decimal(18,6)")).as("rev"))
+        .selectExpr("CAST(day AS BIGINT) AS day",
+          "CAST(rev * 1000000 AS BIGINT) AS rev_e6")
+        .orderBy("day")
+        .collect()
+      var level = 0L
+      var first = true
+      val out = daily.map { r =>
+        val (d, x) = (r.getLong(0), r.getLong(1))
+        require(x >= 0, s"ev_ewma: negative day revenue $x on day $d — " +
+          "the truncating-div recurrence assumes non-negative series")
+        level = if (first) { first = false; x }
+          else (2L * x + 8L * level) / 10L
+        (d, x, level)
+      }
+      out.toSeq.toDF("day", "rev_e6", "ewma_e6").orderBy("day")
+    }),
+
     // MAX-CONCURRENT-SESSIONS via a day-partitioned SWEEP LINE (r11):
     // interval-overlap counting without the O(n²) interval self-join.
     // Sessions (the 30-min-gap rule shared with ev_sessions) become
@@ -1479,6 +1555,55 @@ object EventsQueries extends QueryModule {
         |         ((CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / n_b) / (n_b - 1)) / n_b), 6) AS t_stat
         |FROM a
         |ORDER BY event_type""".stripMargin,
+
+    // Identical decimal sufficient statistics, identical double
+    // expression tree for θ and the adjusted means.
+    "ev_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS v,
+        |    sum(CASE WHEN date_part('day', ts) <= 15
+        |        THEN CAST(value AS DECIMAL(18,6))
+        |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS x,
+        |    sum(CASE WHEN date_part('day', ts) > 15
+        |        THEN CAST(value AS DECIMAL(18,6))
+        |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS y
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY user_id, user_id % 2),
+        |p AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM u),
+        |bv AS (
+        |  SELECT v, count(*) AS n_v, sum(x) AS sx_v, sum(y) AS sy_v
+        |  FROM u GROUP BY v)
+        |SELECT v AS variant, n_v AS n_users,
+        |  round(CAST(sy_v AS DOUBLE) / n_v, 6) AS mean_y,
+        |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n), 6) AS theta,
+        |  round(CAST(sy_v AS DOUBLE) / n_v -
+        |    ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+        |     (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)) *
+        |    (CAST(sx_v AS DOUBLE) / n_v - CAST(sx AS DOUBLE) / n), 6) AS mean_y_adj
+        |FROM bv, p
+        |ORDER BY variant""".stripMargin,
+
+    // The identical integer recurrence, replayed as a RECURSIVE CTE
+    // over the row-numbered day sequence.
+    "ev_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(date_part('day', ts) AS BIGINT) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_e6
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1),
+        |d2 AS (SELECT day, rev_e6, row_number() OVER (ORDER BY day) AS rn
+        |       FROM daily),
+        |rec AS (
+        |  SELECT day, rev_e6, rn, rev_e6 AS ewma_e6 FROM d2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d2.day, d2.rev_e6, d2.rn,
+        |    CAST((2 * d2.rev_e6 + 8 * rec.ewma_e6) // 10 AS BIGINT)
+        |  FROM d2 JOIN rec ON d2.rn = rec.rn + 1)
+        |SELECT day, rev_e6, ewma_e6 FROM rec ORDER BY day""".stripMargin,
 
     // Same keyed lead()-intervalization; versions stamped in the same
     // (ts_us, event_id) total order.
