@@ -209,16 +209,22 @@ object TextQueries extends QueryModule {
         .as[(String, Long)].collect()
       val merges = BpeCore.trainLocal(wf, 10).map(p => (p._2, p._3))
       def q(sym: String): String = "'" + sym.replace("'", "''") + "'"
+      // Every symbol carries its OWN delimiters ("|c||a|"): a shared
+      // middle pipe would make back-to-back occurrences of the same
+      // pair share a boundary char, so the second match dies with the
+      // first's consumed region and the rewrite under-merges relative
+      // to applyMerges (BpeSpec pins this equivalence on 500 random
+      // word/merge cases — the single-pipe form fails it).
       val chain = merges.foldLeft(
-        "concat('|', regexp_replace(w, '(.)', '$1|'))") { case (inner, (a, b)) =>
-        s"replace($inner, concat('|', ${q(a)}, '|', ${q(b)}, '|'), " +
+        "regexp_replace(w, '(.)', '|$1|')") { case (inner, (a, b)) =>
+        s"replace($inner, concat('|', ${q(a)}, '||', ${q(b)}, '|'), " +
           s"concat('|', ${q(a + b)}, '|'))"
       }
       val words = Tables.documents(s, dir)
         .selectExpr("doc_id", s"explode($tokens) AS w")
       val vocabEnc = words.select($"w").distinct()
         .selectExpr("w",
-          s"CAST(size(split($chain, '[|]')) - 2 AS BIGINT) AS n_bpe_w")
+          s"CAST(size(filter(split($chain, '[|]'), x -> x != '')) AS BIGINT) AS n_bpe_w")
       words.join(broadcast(vocabEnc), "w")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_words"),
@@ -548,17 +554,18 @@ object TextQueries extends QueryModule {
            |  FROM (SELECT pr, sum(cnt) AS c FROM p$k GROUP BY pr)
            |  ORDER BY c DESC, pr LIMIT 1),
            |v$k AS MATERIALIZED (SELECT w, replace(s,
-           |    '|' || (SELECT l FROM m$k) || '|' || (SELECT r FROM m$k) || '|',
+           |    '|' || (SELECT l FROM m$k) || '||' || (SELECT r FROM m$k) || '|',
            |    '|' || (SELECT l || r FROM m$k) || '|') AS s, cnt FROM v${k - 1})"""
           .stripMargin
       s"""WITH wf AS MATERIALIZED (SELECT w, count(*) AS cnt
          |  FROM (SELECT unnest($duckTokens) AS w FROM documents) GROUP BY w),
          |v0 AS MATERIALIZED (SELECT w,
-         |    '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|' AS s,
+         |    '|' || array_to_string(regexp_extract_all(w, '.'), '||') || '|' AS s,
          |    cnt FROM wf),
          |${(1 to 10).map(round).mkString(",\n")},
          |enc AS MATERIALIZED (SELECT w,
-         |    CAST(len(string_split(s, '|')) - 2 AS BIGINT) AS n_bpe_w FROM v10),
+         |    CAST(len(list_filter(string_split(s, '|'), x -> x != ''))
+         |      AS BIGINT) AS n_bpe_w FROM v10),
          |d AS (SELECT doc_id, unnest($duckTokens) AS w FROM documents)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(length(d.w)) AS BIGINT) AS n_chars,

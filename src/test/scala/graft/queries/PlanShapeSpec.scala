@@ -672,6 +672,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(read < allDays, "DPP pruned nothing — every day directory was read")
   }
 
+  test("bucketed scan prunes to one bucket on an equality filter") {
+    // The read-side payoff of the bucket layout beyond shuffle-free
+    // joins: a point predicate on the bucket column must scan only the
+    // bucket the key hashes to — 1 of 8 files — which the scan node
+    // reports as SelectedBucketsCount. (DPP prunes partitions by dim
+    // filter; THIS prunes buckets by key hash — the two layout-driven
+    // scan eliminations a 100-TB table relies on.)
+    val wh = java.nio.file.Files.createTempDirectory("graft_bktprune_")
+    // A bare filter has no distribution requirement, so the
+    // DisableUnnecessaryBucketedScan rule would drop the bucketed scan
+    // ("Bucketed: false (disabled by query planner)") and with it the
+    // pruning metadata; pin the bucketed read on for the assertion —
+    // pruning is precisely the benefit that rule's heuristic misses.
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val autoPrev = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "false")
+    try {
+      graft.operators.BucketedJoin.writeBucketed(spark, sf001, wh.toString)
+      val df = spark.table(graft.operators.BucketedJoin.OrdersTable)
+        .where(org.apache.spark.sql.functions.col("o_custkey") === 42L)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected a single-bucket scan:\n$p")
+      // And it still returns exactly what the unbucketed read returns.
+      val expected = graft.sources.Tables.orders(spark, sf001)
+        .where(org.apache.spark.sql.functions.col("o_custkey") === 42L).count()
+      assert(df.count() == expected)
+    } finally {
+      spark.conf.set(autoKey, autoPrev)
+      graft.operators.BucketedJoin.dropTables(spark)
+      graft.streaming.EventStreams.deleteTree(wh)
+    }
+  }
+
   test("pca gram pass is one partial+final aggregate with no explode") {
     val p = gatedPlan("emb_pca_power")
     // Each row folds its 64x64 outer product inside the aggregator:
