@@ -928,6 +928,68 @@ object EventsQueries extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // SKETCH SET ALGEBRA (r11) — audience overlap without a distinct
+    // self-join: per-event-type HLL sketches of the user set, then for
+    // every type PAIR the union estimate comes from one sketch merge
+    // and the intersection via inclusion–exclusion (|A∩B| ≈ |A|+|B|−
+    // |A∪B|) — the segment-overlap matrix marketing/experimentation
+    // stacks compute over billions of users from kilobyte sketches.
+    // The corpus pass is ONE sketch aggregate (5 rows out); the pair
+    // table is |types|² — calendar-small, built by a broadcast self-
+    // join of the 5-row sketch table. Rows-only (engine-local sketch
+    // estimates); the gate recomputes EXACT pairwise intersections
+    // (one distinct (type,user) pass self-joined on user) and bounds
+    // every estimate: union within the lgK=12 4σ envelope, and the
+    // intersection within the COMPOUND bound 4σ·(|A|+|B|+|A∪B|) —
+    // inclusion–exclusion differences lose relative accuracy as the
+    // intersection shrinks, which is exactly the operational caveat
+    // this query documents by construction.
+    "ev_hll_setops" -> ((s, dir) => {
+      import s.implicits._
+      val sk = Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(hll_sketch_agg($"user_id", 12).as("sk"))
+        .withColumn("est", hll_sketch_estimate($"sk"))
+      val pairs = sk.as("a")
+        .join(broadcast(sk.as("b")),
+          $"a.event_type" < $"b.event_type")
+        .select($"a.event_type".as("t1"), $"b.event_type".as("t2"),
+          $"a.est".as("est_1"), $"b.est".as("est_2"),
+          hll_sketch_estimate(
+            hll_union($"a.sk", $"b.sk")).as("est_union"))
+        .withColumn("est_inter",
+          greatest($"est_1" + $"est_2" - $"est_union", lit(0L)))
+        .orderBy("t1", "t2")
+      QueryModule.gated("ev_hll_setops", pairs) { rows =>
+        val tu = Tables.events(s, dir)
+          .select($"event_type", $"user_id").distinct().persist()
+        val exactSizes = tu.groupBy($"event_type").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val exactInter = tu.as("x").join(tu.as("y"),
+            $"x.user_id" === $"y.user_id" &&
+              $"x.event_type" < $"y.event_type")
+          .groupBy($"x.event_type".as("t1"), $"y.event_type".as("t2"))
+          .count().collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        tu.unpersist()
+        rows.foreach { r =>
+          val (t1, t2) = (r.getString(0), r.getString(1))
+          val (e1, e2) = (exactSizes(t1), exactSizes(t2))
+          val exUnion = e1 + e2 - exactInter.getOrElse((t1, t2), 0L)
+          val sigma = 0.065
+          require(math.abs(r.getLong(4) - exUnion) <=
+              math.max(8L, (sigma * exUnion).toLong),
+            s"ev_hll_setops gate: union($t1,$t2) ${r.getLong(4)} vs exact " +
+              s"$exUnion past the 4σ bound")
+          val exInter = exactInter.getOrElse((t1, t2), 0L)
+          val bound = math.max(16L, (sigma * (e1 + e2 + exUnion)).toLong)
+          require(math.abs(r.getLong(5) - exInter) <= bound,
+            s"ev_hll_setops gate: inter($t1,$t2) ${r.getLong(5)} vs exact " +
+              s"$exInter past the compound inclusion-exclusion bound $bound")
+        }
+      }
+    }),
+
     // CUPED VARIANCE REDUCTION (r11) — the readout every mature
     // experimentation platform layers over ev_abtest's plain Welch t:
     // each user's PRE-period metric (days 1–15) is used as a control
