@@ -518,6 +518,51 @@ object RelationalQueries extends QueryModule {
       }
     }),
 
+    // MULTI-FORMAT SOURCE/SINK ROUNDTRIP (r11): the same orders slice
+    // written to csv, json, orc and xml, read back with the explicit
+    // schema (no inference — the production contract), and aggregated
+    // per format. All four rows must carry IDENTICAL numbers — and
+    // equal the oracle's aggregate over the original parquet — proving
+    // the interchange formats are lossless for these columns (doubles
+    // survive because Spark renders shortest-roundtrip decimal
+    // strings; the quoted-string path is exercised by o_orderpriority's
+    // embedded spaces). Timestamps deliberately excluded: text formats
+    // have format-profile pitfalls there, and the binary-columnar
+    // coverage for timestamps lives in every other query's parquet
+    // path. Staged like rel_bucketed_join; driver-local default,
+    // SPARK_GRAFT_STAGING relocates on a real cluster.
+    "rel_source_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val stage = graft.sources.GraftSession.stagingDir("graft_fmt_")
+      try {
+        val slice = Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+            $"o_orderpriority", $"o_totalprice")
+        val schema = slice.schema
+        val formats = Seq("csv", "json", "orc", "xml")
+        formats.foreach { f =>
+          val w = slice.write.mode("overwrite").format(f)
+          (if (f == "xml") w.option("rowTag", "order")
+           else if (f == "csv") w.option("header", "true")
+           else w).save(s"$stage/$f")
+        }
+        val perFormat = formats.map { f =>
+          val r = s.read.format(f).schema(schema)
+          val back = (if (f == "xml") r.option("rowTag", "order")
+                      else if (f == "csv") r.option("header", "true")
+                      else r).load(s"$stage/$f")
+          back.agg(
+              count(lit(1)).as("n"),
+              countDistinct($"o_custkey").as("n_cust"),
+              sum($"o_totalprice".cast("decimal(18,2)"))
+                .cast("double").as("revenue"))
+            .select(lit(f).as("format"), $"n", $"n_cust", $"revenue")
+        }.reduce(_.unionAll(_))
+        val rows = perFormat.orderBy("format").collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), perFormat.schema)
+      } finally graft.streaming.EventStreams.deleteTree(stage)
+    }),
+
     // Cartesian product (tiny dims only — the one shape that must never
     // run on big inputs; kept to 5x5 on purpose).
     "rel_crossjoin" -> ((s, dir) => {
@@ -758,6 +803,18 @@ object RelationalQueries extends QueryModule {
     "rel_crossjoin" ->
       """SELECT a.r_name AS r1, b.r_name AS r2
         |FROM region a CROSS JOIN region b
-        |ORDER BY r1, r2""".stripMargin
+        |ORDER BY r1, r2""".stripMargin,
+
+    // One aggregate over the original parquet, fanned across the four
+    // format labels: every interchange format must reproduce it.
+    "rel_source_roundtrip" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n, count(DISTINCT o_custkey) AS n_cust,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders)
+        |SELECT f.fmt AS format, CAST(n AS BIGINT) AS n,
+        |  CAST(n_cust AS BIGINT) AS n_cust, revenue
+        |FROM a, (VALUES ('csv'), ('json'), ('orc'), ('xml')) f(fmt)
+        |ORDER BY format""".stripMargin
   )
 }
