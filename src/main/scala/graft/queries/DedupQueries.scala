@@ -318,6 +318,44 @@ object DedupQueries extends QueryModule {
         .orderBy("source")
     }),
 
+    // INCREMENTAL DEDUP (r11) — the shape ingestion actually runs: a
+    // NEW batch (the doc_id % 4 == 3 shard, the "today's crawl"
+    // stand-in) deduped against the EXISTING corpus and against
+    // earlier rows of itself, while the existing corpus is NEVER
+    // re-deduped — at 100 TB the corpus side contributes only its
+    // digest index (one narrow column shuffled, or in steady state a
+    // pre-built bucketed digest table), and per-ingest cost scales
+    // with the batch, not the corpus. One left-semi join kills
+    // corpus-duplicated docs; one window over the batch's own digests
+    // (first occurrence by doc_id wins) kills intra-batch dups; the
+    // verdict per doc is emitted for audit (keep / dup_of_corpus /
+    // dup_in_batch — counts are what dashboards track). The dedup key
+    // is the word-SET fingerprint (md5 of the sorted distinct token
+    // list — the canopy-level near-dup key; a raw-text md5 is vacuous
+    // on this fixture, which has zero byte-identical docs). Batch =
+    // doc_id % 4 == 3 (the late-arriving crawl shard), which exercises
+    // every verdict class at sf0.01: 17 corpus-dups, 5 intra-batch
+    // dups, 103 keeps.
+    "pipe_incr_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .selectExpr("doc_id",
+          s"md5(array_join(array_sort(array_distinct($TOKENS)), ' ')) AS digest")
+      val corpus = docs.where($"doc_id" % 4 =!= 3).select($"digest").distinct()
+      val batch = docs.where($"doc_id" % 4 === 3)
+      val w = Window.partitionBy($"digest").orderBy($"doc_id")
+      batch
+        .join(corpus.withColumn("in_corpus", lit(1)), Seq("digest"), "left")
+        .withColumn("rk", row_number().over(w))
+        .selectExpr("doc_id",
+          """CASE WHEN in_corpus IS NOT NULL THEN 'dup_of_corpus'
+            |     WHEN rk > 1 THEN 'dup_in_batch'
+            |     ELSE 'keep' END AS verdict""".stripMargin)
+        .groupBy($"verdict")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+        .orderBy("verdict")
+    }),
+
     // Exact near-dup pairs at Jaccard ≥ 0.5 over word 3-grams.
     "dedup_ngram_jaccard" -> ((s, dir) =>
       jaccardPairs(s, dir)
@@ -712,6 +750,58 @@ object DedupQueries extends QueryModule {
         .limit(50)
         .select($"doc_id", $"lang", $"n_chars")
         .orderBy("doc_id")
+    }),
+
+    // IDEMPOTENT PARTITION BACKFILL (r11) — dynamic partition
+    // overwrite as the driver-checked repair primitive: a day-
+    // partitioned table gets one day CORRUPTED (that day's rows
+    // doubled, written with partitionOverwriteMode=dynamic — an
+    // in-path `require` witnesses both that the corruption landed AND
+    // that only that partition changed), then BACKFILLED by
+    // recomputing just that day from source and overwriting again.
+    // `dynamic` is the whole point: mode("overwrite") with the default
+    // static mode would truncate the entire table; dynamic replaces
+    // exactly the partitions present in the written batch, so a 100-TB
+    // backfill rewrites one day, not the table — and re-running it is
+    // a no-op (idempotent by construction). The oracle proves full
+    // restoration: the per-day profile over the repaired table must
+    // hash-match the profile DuckDB computes from the original events.
+    "pipe_backfill" -> ((s, dir) => {
+      import s.implicits._
+      val stage = graft.sources.GraftSession.stagingDir("graft_bf_")
+      try {
+        val path = stage.resolve("events_by_day").toString
+        val ev = Tables.events(s, dir)
+          .select($"event_id", $"user_id", $"event_type", $"value",
+            to_date($"ts_utc").as("d"))
+        ev.repartition($"d").write.partitionBy("d").parquet(path)
+        val day0 = ev.agg(min($"d")).head().getDate(0)
+        val dayRows = ev.where($"d" === lit(day0))
+        val n0 = dayRows.count()
+        val othersBefore = s.read.parquet(path).where($"d" =!= lit(day0)).count()
+        def overwriteDay(df: org.apache.spark.sql.DataFrame): Unit =
+          df.repartition(1).write
+            .partitionBy("d")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(path)
+        overwriteDay(dayRows.unionAll(dayRows)) // corrupt: doubled day
+        require(s.read.parquet(path).where($"d" === lit(day0)).count() == 2 * n0,
+          "pipe_backfill: corruption write did not land")
+        require(s.read.parquet(path).where($"d" =!= lit(day0)).count() == othersBefore,
+          "pipe_backfill: dynamic overwrite touched other partitions")
+        overwriteDay(dayRows) // backfill: recompute the day from source
+        val out = s.read.parquet(path)
+          .groupBy($"d")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct($"user_id").as("n_users"),
+            sum($"value".cast("decimal(18,6)")).cast("decimal(38,6)")
+              .as("sum_value"))
+          .selectExpr("d", "n_events", "n_users",
+            "CAST(sum_value * 1000000 AS BIGINT) AS sum_value_e6")
+          .orderBy("d")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(stage)
     }),
 
     // Small-file COMPACTION (r11): the table-maintenance op every
@@ -1308,6 +1398,38 @@ object DedupQueries extends QueryModule {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // The per-day profile of the ORIGINAL events: the repaired staged
+    // table must reproduce it exactly.
+    "pipe_backfill" ->
+      """SELECT CAST(ts AS DATE) AS d, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_e6
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY d""".stripMargin,
+
+    // Same split arithmetic, same corpus-dup-over-batch-dup precedence,
+    // same word-set fingerprint.
+    "pipe_incr_dedup" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct($duckTokens)), ' ')) AS digest
+        |  FROM documents),
+        |corpus AS (SELECT DISTINCT digest FROM d WHERE doc_id % 4 != 3),
+        |batch AS (SELECT doc_id, digest FROM d WHERE doc_id % 4 = 3),
+        |verdicts AS (
+        |  SELECT doc_id,
+        |    CASE WHEN digest IN (SELECT digest FROM corpus)
+        |           THEN 'dup_of_corpus'
+        |         WHEN row_number() OVER (PARTITION BY digest ORDER BY doc_id) > 1
+        |           THEN 'dup_in_batch'
+        |         ELSE 'keep' END AS verdict
+        |  FROM batch)
+        |SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc
+        |FROM verdicts
+        |GROUP BY verdict
+        |ORDER BY verdict""".stripMargin,
     "pipe_clean_corpus" ->
       s"""WITH q AS (
         |  SELECT doc_id, lang, text,
