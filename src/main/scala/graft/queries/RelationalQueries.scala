@@ -518,6 +518,32 @@ object RelationalQueries extends QueryModule {
       }
     }),
 
+    // ORDERED STRING AGGREGATION (r11) — the LISTAGG/GROUP_CONCAT
+    // surface: per priority, the top-5 orders by price rendered as one
+    // ordered comma-joined string. Determinism is the whole operator
+    // here: an unordered collect_list depends on partitioning, so the
+    // fold is collect_list(struct(rank, key)) → array_sort → join —
+    // the struct sort makes the render order total regardless of how
+    // partials merged (rank itself is total via the (price desc, key)
+    // tie-break). The window is per-priority (partitioned), the
+    // collect is bounded at 5 rows per group.
+    "rel_listagg" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= 5)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct($"rk", $"o_orderkey"))),
+              x => x.getField("o_orderkey").cast("string")),
+            ",").as("top_keys"))
+        .orderBy("o_orderpriority")
+    }),
+
     // MULTI-FORMAT SOURCE/SINK ROUNDTRIP (r11): the same orders slice
     // written to csv, json, orc and xml, read back with the explicit
     // schema (no inference — the production contract), and aggregated
@@ -804,6 +830,20 @@ object RelationalQueries extends QueryModule {
       """SELECT a.r_name AS r1, b.r_name AS r2
         |FROM region a CROSS JOIN region b
         |ORDER BY r1, r2""".stripMargin,
+
+    // string_agg with an explicit ORDER BY — the rank order is total,
+    // so the joined string is identical.
+    "rel_listagg" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rk) AS top_keys
+        |FROM r WHERE rk <= 5
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // One aggregate over the original parquet, fanned across the four
     // format labels: every interchange format must reproduce it.
