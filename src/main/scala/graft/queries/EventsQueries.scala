@@ -928,6 +928,57 @@ object EventsQueries extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // STREAMING SKETCH MAINTENANCE (r11) — the HLL family's streaming
+    // face: per-event-type user sketches maintained INCREMENTALLY by a
+    // running (unwindowed, update-mode) streaming aggregate across
+    // micro-batches, drained as a changelog and compacted to each
+    // group's final emission (per-group row count strictly grows per
+    // re-emission, so max-n picks it — the ev_stream_compact rule).
+    // The claim gated in-path is the one that makes sketches the right
+    // 100-TB architecture: register-max merge is associative and
+    // order-independent, so the incrementally-maintained sketch must
+    // yield the IDENTICAL estimate to a from-scratch batch rebuild —
+    // exact equality, not a bound (both paths end in union-merged
+    // register state over the same rows; stream-vs-batch is just a
+    // different merge tree).
+    "ev_stream_hll" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.EventStreams.withSplitEvents(s, dir, 3) { (src, nf) =>
+        val agg = src.groupBy($"event_type")
+          .agg(hll_sketch_agg($"user_id", 12).as("sk"),
+            count(lit(1)).as("n"))
+        val log = graft.streaming.EventStreams.drainUpdate(
+          agg, "graft_ev_hll_", minBatches = nf)
+        val w = Window.partitionBy($"event_type").orderBy($"n".desc)
+        val out = log
+          .withColumn("rk", row_number().over(w))
+          .where($"rk" === 1)
+          .select($"event_type", $"n".as("n_events"),
+            hll_sketch_estimate($"sk").as("approx_users"))
+          .orderBy("event_type")
+        QueryModule.gated("ev_stream_hll", out) { rows =>
+          val batch = Tables.events(s, dir)
+            .groupBy($"event_type")
+            .agg(count(lit(1)).as("n"),
+              hll_sketch_estimate(hll_sketch_agg($"user_id", 12)).as("est"))
+            .collect()
+            .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+          require(rows.length == batch.size,
+            s"ev_stream_hll gate: ${rows.length} groups vs batch ${batch.size}")
+          rows.foreach { r =>
+            val (bn, bEst) = batch(r.getString(0))
+            require(r.getLong(1) == bn,
+              s"ev_stream_hll gate: ${r.getString(0)} saw ${r.getLong(1)} " +
+                s"rows vs batch $bn — the drain lost or duplicated data")
+            require(r.getLong(2) == bEst,
+              s"ev_stream_hll gate: ${r.getString(0)} incremental estimate " +
+                s"${r.getLong(2)} != batch rebuild $bEst — register merge " +
+                "diverged from the batch merge tree")
+          }
+        }
+      }
+    }),
+
     // SKETCH SET ALGEBRA (r11) — audience overlap without a distinct
     // self-join: per-event-type HLL sketches of the user set, then for
     // every type PAIR the union estimate comes from one sketch merge

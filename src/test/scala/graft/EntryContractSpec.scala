@@ -17,7 +17,7 @@ class EntryContractSpec extends AnyFunSuite {
     "emb_recall_curve", "emb_dim_curve",
     "rel_approx_distinct", "rel_approx_quantiles",
     "txt_heavy_hitters", "txt_bpe_train", "pipe_profile_approx",
-    "ev_hll_rollup", "ev_hll_setops")
+    "ev_hll_rollup", "ev_hll_setops", "ev_stream_hll")
 
   test("every oracle key names an existing query") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
