@@ -752,6 +752,73 @@ object DedupQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // END-TO-END CORPUS PIPELINE (r11) — the composition proof: the
+    // four pipeline stages a pretraining-data run actually chains —
+    // quality filter (pipe_clean_corpus's rules) → fingerprint dedup
+    // keep-lowest (pipe_incr_dedup's word-set key) → benchmark
+    // decontamination (pipe_decontam's broadcast 3-gram join) →
+    // sequence packing (pipe_pack_sequences' two-level gapless tape) —
+    // as ONE lazy plan, reusing the SAME shared fragments (Tokens,
+    // grams3) so stage semantics cannot drift from the standalone
+    // operators. Catalyst sees the whole pipeline at once: the filters
+    // push into the scan, the dedup window and the anti-join reorder
+    // around each other, and nothing materializes between stages —
+    // the argument for an engine where pipeline steps are plan
+    // fragments, not jobs gated by intermediate tables. Output: the
+    // per-language survivor profile plus chunk-boundary straddlers
+    // and the global packed-chunk count — all exact integers, full
+    // DuckDB oracle replaying the identical four stages.
+    "pipe_e2e_corpus" -> ((s, dir) => {
+      import s.implicits._
+      val C = 2048L
+      val base = Tables.documents(s, dir)
+        .selectExpr("doc_id", "lang", s"$TOKENS AS toks")
+        .selectExpr("doc_id", "lang", "toks",
+          "CAST(size(toks) AS BIGINT) AS n_tok",
+          "CAST(size(filter(toks, w -> w IN ('a', 'the'))) AS BIGINT) AS stop_cnt")
+      val quality = base.where("doc_id >= 10 AND n_tok BETWEEN 10 AND 1000" +
+        " AND stop_cnt * 1000000 div greatest(n_tok, 1) < 300000")
+      val wFp = Window.partitionBy($"fp").orderBy($"doc_id")
+      val deduped = quality
+        .selectExpr("doc_id", "lang", "toks", "n_tok",
+          "md5(array_join(array_sort(array_distinct(toks)), ' ')) AS fp")
+        .withColumn("rn", row_number().over(wFp))
+        .where($"rn" === 1)
+      val evalGrams = base.where($"doc_id" < 10 && size($"toks") >= 3)
+        .selectExpr(s"explode(${QueryModule.grams3("toks")}) AS g")
+        .distinct()
+      val flagged = deduped.where(size($"toks") >= 3)
+        .selectExpr("doc_id", s"explode(${QueryModule.grams3("toks")}) AS g")
+        .join(broadcast(evalGrams), "g")
+        .select($"doc_id").distinct()
+      val surv = deduped.join(flagged, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"lang", $"n_tok")
+      // Gapless token tape in doc_id order (the two-level cumulative
+      // trick from pipe_pack_sequences — per-bucket bases keep the
+      // corpus-side window partitioned).
+      val d = surv.withColumn("pid", expr("doc_id div 100"))
+      val bucketBase = d.groupBy($"pid").agg(sum($"n_tok").as("bsum"))
+        .withColumn("base",
+          coalesce(sum($"bsum").over(Window.orderBy($"pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"pid", $"base")
+      val wLocal = Window.partitionBy($"pid").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tape = d.join(broadcast(bucketBase), "pid")
+        .withColumn("start_tok",
+          $"base" + coalesce(sum($"n_tok").over(wLocal), lit(0L)))
+        .withColumn("straddle",
+          expr(s"start_tok div $C != (start_tok + n_tok - 1) div $C"))
+      val tot = tape.agg(
+        expr(s"CAST((sum(n_tok) + ${C - 1}) div $C AS BIGINT)")
+          .as("total_chunks"))
+      tape.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+          count(when($"straddle", 1)).as("n_straddle"))
+        .crossJoin(broadcast(tot))
+        .orderBy("lang")
+    }),
+
     // IDEMPOTENT PARTITION BACKFILL (r11) — dynamic partition
     // overwrite as the driver-checked repair primitive: a day-
     // partitioned table gets one day CORRUPTED (that day's rows
@@ -1398,6 +1465,47 @@ object DedupQueries extends QueryModule {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // The identical four stages as CTEs, on the shared fragments.
+    "pipe_e2e_corpus" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, lang, $duckTokens AS toks FROM documents),
+        |b2 AS (SELECT doc_id, lang, toks,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(toks, w -> w IN ('a', 'the'))) AS BIGINT) AS stop_cnt
+        |  FROM base),
+        |quality AS (SELECT * FROM b2
+        |  WHERE doc_id >= 10 AND n_tok BETWEEN 10 AND 1000
+        |    AND stop_cnt * 1000000 // greatest(n_tok, 1) < 300000),
+        |dd AS (SELECT *,
+        |    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+        |  FROM quality),
+        |deduped AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM dd) WHERE rn = 1),
+        |eg AS (SELECT DISTINCT unnest(${QueryModule.duckGrams3("toks")}) AS g
+        |  FROM base WHERE doc_id < 10 AND len(toks) >= 3),
+        |cg AS (SELECT doc_id, unnest(${QueryModule.duckGrams3("toks")}) AS g
+        |  FROM deduped WHERE len(toks) >= 3),
+        |flagged AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (g)),
+        |surv AS (SELECT doc_id, lang, n_tok FROM deduped
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+        |tape AS (SELECT lang, n_tok,
+        |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |  FROM surv),
+        |marks AS (SELECT lang, n_tok,
+        |    (start_tok // 2048) != ((start_tok + n_tok - 1) // 2048) AS straddle
+        |  FROM tape),
+        |tot AS (SELECT CAST((sum(n_tok) + 2047) // 2048 AS BIGINT) AS total_chunks
+        |  FROM marks)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE straddle) AS BIGINT) AS n_straddle,
+        |  total_chunks
+        |FROM marks, tot
+        |GROUP BY lang, total_chunks
+        |ORDER BY lang""".stripMargin,
 
     // The per-day profile of the ORIGINAL events: the repaired staged
     // table must reproduce it exactly.
