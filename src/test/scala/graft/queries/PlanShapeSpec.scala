@@ -706,6 +706,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("e2e pipeline composes without a cartesian and anti-joins the contamination") {
+    val p = plan("pipe_e2e_corpus")
+    // The 1-row total-chunks crossJoin is the only nested-loop join
+    // allowed; the contamination stage must stay a broadcast equi-join
+    // + LeftAnti, and the whole four-stage plan must not degenerate to
+    // CartesianProduct anywhere.
+    assert(p.contains("LeftAnti"), s"decontamination lost its anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pipeline degenerated to a cartesian:\n$p")
+    assert(p.contains("PushedFilters"), "scan lost filter pushdown")
+  }
+
   test("pca gram pass is one partial+final aggregate with no explode") {
     val p = gatedPlan("emb_pca_power")
     // Each row folds its 64x64 outer product inside the aggregator:
