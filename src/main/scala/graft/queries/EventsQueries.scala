@@ -938,9 +938,16 @@ object EventsQueries extends QueryModule {
     // 100-TB architecture: register-max merge is associative and
     // order-independent, so the incrementally-maintained sketch must
     // yield the IDENTICAL estimate to a from-scratch batch rebuild —
-    // exact equality, not a bound (both paths end in union-merged
-    // register state over the same rows; stream-vs-batch is just a
-    // different merge tree).
+    // exact equality, not a bound. One subtlety makes this precise
+    // (caught live at sf0.1): DataSketches picks its estimator (HIP vs
+    // composite) from the sketch's merge HISTORY, not its registers —
+    // a direct-updated sketch keeps the HIP accumulator, a unioned one
+    // drops it — and stream-vs-batch merge trees can land on different
+    // sides of that flag (observed: 1488 vs 1480 on identical
+    // registers). Both paths therefore read the estimate through a
+    // SELF-UNION, which deterministically pins the composite
+    // estimator; the estimate is then a pure function of register
+    // state and exact equality is the honest invariant.
     "ev_stream_hll" -> ((s, dir) => {
       import s.implicits._
       graft.streaming.EventStreams.withSplitEvents(s, dir, 3) { (src, nf) =>
@@ -954,13 +961,15 @@ object EventsQueries extends QueryModule {
           .withColumn("rk", row_number().over(w))
           .where($"rk" === 1)
           .select($"event_type", $"n".as("n_events"),
-            hll_sketch_estimate($"sk").as("approx_users"))
+            hll_sketch_estimate(hll_union($"sk", $"sk")).as("approx_users"))
           .orderBy("event_type")
         QueryModule.gated("ev_stream_hll", out) { rows =>
           val batch = Tables.events(s, dir)
             .groupBy($"event_type")
             .agg(count(lit(1)).as("n"),
-              hll_sketch_estimate(hll_sketch_agg($"user_id", 12)).as("est"))
+              hll_sketch_agg($"user_id", 12).as("bsk"))
+            .select($"event_type", $"n",
+              hll_sketch_estimate(hll_union($"bsk", $"bsk")).as("est"))
             .collect()
             .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
           require(rows.length == batch.size,
