@@ -670,6 +670,41 @@ object EmbeddingQueries extends QueryModule {
       }
     }),
 
+    // MAXSIM LATE INTERACTION (r11) — the ColBERT-style multi-vector
+    // retrieval primitive: documents are GROUPS of vectors (gid =
+    // vec_id div 8, ≤8 "token" vectors each), and a query document
+    // scores a candidate as Σ_q max_d cos(q, d) — every query token
+    // matches its best candidate token, scores summed. The operator
+    // single-vector kNN cannot express: one bad token doesn't sink a
+    // doc, and the per-token max is where late interaction beats
+    // pooled embeddings. Shape: the probe set (3 docs × ≤8 vectors)
+    // BROADCASTS onto one pass over the corpus vectors — cosines via
+    // the codegen'd cosine_sim, then partial+final aggregates for the
+    // per-(query-token, candidate) max and the per-candidate sum, and
+    // a per-probe top-3 window. Determinism: each per-token max is
+    // floored to e6 BEFORE the sum, so the score is an exact integer
+    // sum of deterministic doubles (the emb_knn float policy applied
+    // to an additive score).
+    "emb_maxsim" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .selectExpr("vec_id", "vec_id div 8 AS gid", "embedding")
+      val probes = e.where($"gid" < 3)
+        .select($"gid".as("qgid"), $"vec_id".as("qvec"), $"embedding".as("qe"))
+      val w = Window.partitionBy($"qgid").orderBy($"score_e6".desc, $"dgid")
+      e.join(broadcast(probes), $"gid" =!= $"qgid")
+        .select($"qgid", $"gid".as("dgid"), $"qvec",
+          call_function("cosine_sim", $"qe", $"embedding").as("sim"))
+        .groupBy($"qgid", $"dgid", $"qvec")
+        .agg(expr("CAST(floor(max(sim) * 1000000) AS BIGINT)").as("m"))
+        .groupBy($"qgid", $"dgid")
+        .agg(sum($"m").as("score_e6"))
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= 3)
+        .select($"qgid", $"rk".cast("long").as("rk"), $"dgid", $"score_e6")
+        .orderBy("qgid", "rk")
+    }),
+
     // PCA TOP COMPONENT via power iteration (r11) — the spectral
     // primitive under embedding whitening/compression and drift
     // monitoring, in the engine's exact-replay style: the corpus pass
@@ -738,6 +773,25 @@ object EmbeddingQueries extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "emb_blocked_pairs" -> CosinePairsSql,
+    // Same grouping, same per-token max→floor→sum policy, same
+    // (score desc, dgid) tie-break.
+    "emb_maxsim" ->
+      """WITH e AS (SELECT vec_id, vec_id // 8 AS gid,
+        |    embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT gid AS qgid, vec_id AS qvec, v AS qv FROM e WHERE gid < 3),
+        |m AS (SELECT qgid, e.gid AS dgid, qvec,
+        |    CAST(floor(max(list_cosine_similarity(qv, e.v)) * 1000000) AS BIGINT) AS m
+        |  FROM q JOIN e ON e.gid != qgid
+        |  GROUP BY 1, 2, 3),
+        |sc AS (SELECT qgid, dgid, CAST(sum(m) AS BIGINT) AS score_e6
+        |  FROM m GROUP BY 1, 2),
+        |r AS (SELECT qgid, dgid, score_e6,
+        |    row_number() OVER (PARTITION BY qgid
+        |      ORDER BY score_e6 DESC, dgid) AS rk
+        |  FROM sc)
+        |SELECT qgid, CAST(rk AS BIGINT) AS rk, dgid, score_e6
+        |FROM r WHERE rk <= 3
+        |ORDER BY qgid, rk""".stripMargin,
     // The identical Gram build + 8 unrolled power-iteration rounds
     // (the rel_pagerank replay pattern): every operation is exact
     // integer arithmetic with positive-operand division, so the
