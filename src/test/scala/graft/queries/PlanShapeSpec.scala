@@ -718,6 +718,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), "scan lost filter pushdown")
   }
 
+  test("maxsim broadcasts the probe vectors, never self-joins the corpus") {
+    val p = plan("emb_maxsim")
+    // The != gid theta-join must be a BroadcastNestedLoopJoin with the
+    // tiny probe side broadcast (the emb_knn pattern); a corpus-side
+    // cartesian or shuffled NLJ means the probe pruning regressed.
+    assert(p.contains("BroadcastNestedLoopJoin"), s"probe join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus self-cartesian:\n$p")
+  }
+
   test("pca gram pass is one partial+final aggregate with no explode") {
     val p = gatedPlan("emb_pca_power")
     // Each row folds its 64x64 outer product inside the aggregator:
