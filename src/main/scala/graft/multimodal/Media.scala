@@ -344,6 +344,32 @@ object MediaCodec {
     } finally rd.dispose()
   }
 
+  /** Adjacent-frame L1 pixel delta over each frame's row 0 (the row
+    * every frame of the container populates): the temporal-difference
+    * signal scene-cut/keyframe detectors threshold. Reads the REAL
+    * decoded rasters of consecutive frames — an MP4 deployment changes
+    * only the decode, the delta math is the operator. Returns one row
+    * per adjacent pair: (docId, pairIdx, Σ_x |f_i(x,0) − f_{i+1}(x,0)|). */
+  def frameRowDeltas(m: MediaFile): Seq[(Long, Long, Long)] = {
+    val rd = gifReader(m.payload)
+    try {
+      val n = rd.getNumImages(true)
+      val rows = (0 until n).map { i =>
+        val f = rd.read(i)
+        Array.tabulate(f.getWidth)(x => (f.getRGB(x, 0) & 0xff).toLong)
+      }
+      (0 until n - 1).map { i =>
+        val (a, b) = (rows(i), rows(i + 1))
+        var d = 0L
+        var x = 0
+        while (x < a.length && x < b.length) {
+          d += math.abs(a(x) - b(x)); x += 1
+        }
+        (m.docId, i.toLong, d)
+      }
+    } finally rd.dispose()
+  }
+
   /** Fit-into-box target dimensions preserving aspect ratio,
     * floor-rounded. Pure math, shared by the real scaler below and any
     * caller that only needs the target size. */

@@ -93,6 +93,23 @@ object MultimodalQueries extends QueryModule {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // TEMPORAL FRAME DELTA (r11) — the scene-cut/keyframe signal: the
+    // L1 pixel difference between consecutive decoded frames (row 0,
+    // the row every frame populates), per video doc. Real decode path
+    // (javax.imageio GIF rasters, consecutive reads of the same
+    // container); narrow per-partition map like the other decode
+    // queries — at 100 TB this is the per-file CPU stage before any
+    // shuffle. The oracle predicts every delta byte-exactly from the
+    // generator (frame i's row is the payload rotated by i, and the
+    // 256-entry grayscale palette round-trips bytes losslessly).
+    "mm_frame_delta" -> ((s, dir) => {
+      import s.implicits._
+      media(s, dir, Some("video"))
+        .flatMap(MediaCodec.frameRowDeltas)
+        .toDF("doc_id", "pair_idx", "delta")
+        .orderBy("doc_id", "pair_idx")
+    }),
+
     // Resize: images only, fit into a 256x256 box preserving aspect
     // ratio. REAL path: PNG decode + Graphics2D raster scale per row
     // (MediaCodec.resizeImage); out_w/out_h are read back from the
@@ -297,6 +314,24 @@ object MultimodalQueries extends QueryModule {
     // is nonzero. The bit formula is the identical cross-multiplied
     // integer comparison the Scala side evaluates on the decoded
     // raster.
+    // Generator replay for the deltas: frame i's row-0 pixel x is
+    // payload[(x+i) % blen] for x < min(w, blen) and 0 beyond, so the
+    // pair delta is a closed-form sum over the text bytes.
+    "mm_frame_delta" ->
+      """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS blen
+        |           FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+        |f AS (SELECT doc_id, text, blen, least(5, blen // 100 + 1) AS nf,
+        |        CAST(64 + blen % 577 AS INT) AS w
+        |      FROM m)
+        |SELECT doc_id, i.i AS pair_idx,
+        |  CAST(coalesce(list_sum(
+        |    [abs(ascii(text[CAST((x + i.i) % blen AS INT) + 1])
+        |        - ascii(text[CAST((x + i.i + 1) % blen AS INT) + 1]))
+        |     FOR x IN range(0, least(w, blen))]), 0) AS BIGINT) AS delta
+        |FROM f, range(0, 4) i(i)
+        |WHERE i.i < nf - 1
+        |ORDER BY doc_id, pair_idx""".stripMargin,
+
     "mm_phash" ->
       """WITH m AS (SELECT doc_id, text,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS blen
