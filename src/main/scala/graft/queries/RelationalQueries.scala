@@ -518,6 +518,55 @@ object RelationalQueries extends QueryModule {
       }
     }),
 
+    // PARQUET AGGREGATE PUSHDOWN (r11) — the third scan-elimination
+    // mechanism next to DPP (partition dirs) and bucket pruning (hash
+    // files): an unfiltered COUNT/MIN/MAX is answered from parquet
+    // FOOTER STATISTICS — row-group counts and column min/max — without
+    // decoding a single data page. At 100 TB that turns a full-table
+    // profile into a metadata read. Requires the v2 scan path
+    // (USING parquet via DataSourceV2, here a temp view over the file)
+    // plus `spark.sql.parquet.aggregatePushdown`; the plan then carries
+    // `PushedAggregation: [COUNT(*), MIN(..), MAX(..)]` and an empty
+    // ReadSchema. Conf is set/restored around the materialization
+    // (pushdown must be live when the plan compiles, so the result is
+    // collected in-scope — the rel_bucketed_join pattern), and the
+    // in-path require keeps the pushdown load-bearing: without it this
+    // query silently degrades to a full scan. Oracle: the same
+    // aggregate computed by DuckDB the ordinary way — footer stats MUST
+    // equal the data or the file is corrupt, which is exactly what
+    // makes this correctness-checkable.
+    "rel_agg_pushdown" -> ((s, dir) => {
+      val key = "spark.sql.parquet.aggregatePushdown"
+      // Aggregate pushdown exists only on the DataSourceV2 scan path;
+      // parquet sits in useV1SourceList by default, so both confs are
+      // pinned (and restored) around this one read.
+      val v1Key = "spark.sql.sources.useV1SourceList"
+      val prev = s.conf.get(key, "false")
+      val prevV1 = s.conf.get(v1Key)
+      s.conf.set(key, "true")
+      s.conf.set(v1Key, prevV1.split(',').filterNot(_.trim == "parquet").mkString(","))
+      try {
+        // Integral/floating columns only: timestamp min/max is outside
+        // the pushdown-supported types and would silently veto the
+        // whole pushdown (observed — the in-path require caught it).
+        val out = s.read.parquet(s"$dir/lineitem.parquet")
+          .agg(count(lit(1)).as("n"),
+            min(col("l_orderkey")).as("min_okey"),
+            max(col("l_orderkey")).as("max_okey"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"))
+        QueryModule.gatedPlans.put("rel_agg_pushdown", out)
+        val rows = out.collect()
+        require(out.queryExecution.executedPlan.toString
+            .contains("PushedAggregation: [COUNT(*)"),
+          "rel_agg_pushdown: aggregate did not reach the parquet footer")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.conf.set(key, prev)
+        s.conf.set(v1Key, prevV1)
+      }
+    }),
+
     // ORDERED STRING AGGREGATION (r11) — the LISTAGG/GROUP_CONCAT
     // surface: per priority, the top-5 orders by price rendered as one
     // ordered comma-joined string. Determinism is the whole operator
@@ -830,6 +879,14 @@ object RelationalQueries extends QueryModule {
       """SELECT a.r_name AS r1, b.r_name AS r2
         |FROM region a CROSS JOIN region b
         |ORDER BY r1, r2""".stripMargin,
+
+    // The same aggregate computed the ordinary way: parquet footer
+    // stats must equal the data.
+    "rel_agg_pushdown" ->
+      """SELECT count(*) AS n,
+        |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem""".stripMargin,
 
     // string_agg with an explicit ORDER BY — the rank order is total,
     // so the joined string is identical.

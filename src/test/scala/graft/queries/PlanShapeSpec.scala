@@ -718,6 +718,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), "scan lost filter pushdown")
   }
 
+  test("count/min/max is answered from parquet footer stats (agg pushdown)") {
+    graft.SparkEntry.queries("rel_agg_pushdown")(spark, sf001)
+    val p = QueryModule.gatedPlans.get("rel_agg_pushdown")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregation: [COUNT(*), MIN(l_orderkey), " +
+      "MAX(l_orderkey), MIN(l_quantity), MAX(l_quantity)]"),
+      s"aggregate not pushed to the footer:\n$p")
+    // The scan's read schema is the aggregate results themselves —
+    // no data column is decoded.
+    assert(p.contains("ReadSchema: struct<count(*):bigint"),
+      s"scan still reads data columns:\n$p")
+  }
+
   test("maxsim broadcasts the probe vectors, never self-joins the corpus") {
     val p = plan("emb_maxsim")
     // The != gid theta-join must be a BroadcastNestedLoopJoin with the
