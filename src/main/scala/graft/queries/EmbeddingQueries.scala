@@ -670,6 +670,53 @@ object EmbeddingQueries extends QueryModule {
       }
     }),
 
+    // CLUSTERING EVALUATION (r11) — purity of the label-centroid
+    // assignment, the metric every clustering/codebook pipeline
+    // reports: assign each vector to its nearest LABEL centroid, cross
+    // the assignment against the true labels, and report each
+    // cluster's majority share. Everything is exact integers: vectors
+    // quantize to 1e-6 fixed point, centroids are sign-safe truncating
+    // means of those integers, and squared L2 distances are BIGINT
+    // sums — so the argmin (ties to the lowest label) and the whole
+    // confusion matrix replay bit-for-bit in SQL. Shape: the 10×64
+    // centroid table is collected (bounded by k·dim, the emb_kmeans
+    // argument) and rides into the plan as a literal; assignment is a
+    // narrow codegen'd per-row argmin — one scan, one confusion-matrix
+    // aggregate, no joins.
+    "emb_cluster_purity" -> ((s, dir) => {
+      import s.implicits._
+      val sumAgg = udaf(new ElementwiseSum(64))
+      val emb = Tables.embeddings(s, dir)
+        .selectExpr("vec_id", "label",
+          "transform(CAST(embedding AS array<double>), " +
+            "x -> CAST(floor(x * 1000000) AS BIGINT)) AS vq")
+      val cents = emb.groupBy($"label")
+        .agg(count(lit(1)).as("n"), sumAgg($"vq").as("s"))
+        .collect()
+        .map { r =>
+          val n = r.getLong(1)
+          (r.getInt(0),
+            r.getSeq[Long](2).map(s => if (s < 0) -((-s) / n) else s / n))
+        }.sortBy(_._1)
+      val w = Window.partitionBy($"assigned").orderBy($"c".desc, $"label")
+      emb.withColumn("cs", typedLit(cents.map(_._2.toSeq).toSeq))
+        .selectExpr("label",
+          "transform(cs, c -> aggregate(zip_with(vq, c, " +
+            "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)) AS ds")
+        .selectExpr("label",
+          // first-match array_position = lowest index = lowest label
+          // (centroids sorted by label), the deterministic tiebreak.
+          s"element_at(array(${cents.map(_._1).mkString(",")}), " +
+            "CAST(array_position(ds, array_min(ds)) AS INT)) AS assigned")
+        .groupBy($"assigned", $"label").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", sum($"c").over(Window.partitionBy($"assigned")))
+        .where($"rk" === 1)
+        .selectExpr("assigned", "n", "label AS maj_label", "c AS maj_n",
+          "c * 1000000L div n AS purity_ppm")
+        .orderBy("assigned")
+    }),
+
     // MAXSIM LATE INTERACTION (r11) — the ColBERT-style multi-vector
     // retrieval primitive: documents are GROUPS of vectors (gid =
     // vec_id div 8, ≤8 "token" vectors each), and a query document
@@ -773,6 +820,34 @@ object EmbeddingQueries extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "emb_blocked_pairs" -> CosinePairsSql,
+    // Identical quantization, sign-safe centroid division, integer
+    // distances, and (dist, label) argmin tiebreak.
+    "emb_cluster_purity" ->
+      """WITH q AS (SELECT vec_id, label, d.i AS i,
+        |    CAST(floor(embedding[d.i]::DOUBLE * 1000000) AS BIGINT) AS v6
+        |  FROM embeddings, range(1, 65) d(i)),
+        |cs AS (SELECT label, i, CAST(sum(v6) AS BIGINT) AS s, count(*) AS n
+        |  FROM q GROUP BY 1, 2),
+        |c AS (SELECT label, i,
+        |    CAST(CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END AS BIGINT) AS cfp
+        |  FROM cs),
+        |dist AS (SELECT q.vec_id, q.label AS tlabel, c.label AS clabel,
+        |    CAST(sum((q.v6 - c.cfp) * (q.v6 - c.cfp)) AS BIGINT) AS d
+        |  FROM q JOIN c USING (i) GROUP BY 1, 2, 3),
+        |a AS (SELECT vec_id, tlabel, clabel AS assigned FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d, clabel) AS rk FROM dist) WHERE rk = 1),
+        |conf AS (SELECT assigned, tlabel, count(*) AS c FROM a GROUP BY 1, 2),
+        |top AS (SELECT assigned, tlabel, c,
+        |    row_number() OVER (PARTITION BY assigned ORDER BY c DESC, tlabel) AS rk,
+        |    sum(c) OVER (PARTITION BY assigned) AS n
+        |  FROM conf)
+        |SELECT assigned, CAST(n AS BIGINT) AS n, tlabel AS maj_label,
+        |  CAST(c AS BIGINT) AS maj_n,
+        |  CAST(c * 1000000 // n AS BIGINT) AS purity_ppm
+        |FROM top WHERE rk = 1
+        |ORDER BY assigned""".stripMargin,
+
     // Same grouping, same per-token max→floor→sum policy, same
     // (score desc, dgid) tie-break.
     "emb_maxsim" ->
