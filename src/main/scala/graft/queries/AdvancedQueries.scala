@@ -189,6 +189,15 @@ object AdvancedQueries extends QueryModule {
     // every node every round — the dense-iteration sibling. RDD-cut
     // per round keeps analyzer cost flat (the connectedComponents
     // discipline; 5 rounds would survive without it, 50 would not).
+    // The per-round broadcast is GUARDED by node count (the
+    // connectedComponents broadcastFrontierMax discipline): under 1M
+    // nodes a rank row is ~16 bytes so the broadcast table is tens of
+    // MB — cheaper than shuffling the edge list; above the bound the
+    // rank table scales with the data and a forced broadcast would
+    // OOM the driver/executors at a billion-node graph, so the join
+    // degrades to a sort-merge/shuffle-hash join on src (the edge
+    // side is already hash-partitionable on src; AQE picks the
+    // strategy). PlanShapeSpec tolerates either join form.
     "rel_pagerank" -> ((s, dir) => {
       import s.implicits._
       val e0 = Tables.lineitem(s, dir)
@@ -197,6 +206,13 @@ object AdvancedQueries extends QueryModule {
       val edges = e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst")))
       val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
       val ed = edges.join(deg, "src").persist()
+      // Node count: one aggregate over the persisted edge table (also
+      // forces ed's cache before the rounds start). Same bound as
+      // connectedComponents' broadcastFrontierMax.
+      val nodeCount = ed.select($"src").distinct().count()
+      val broadcastNodeMax = 1000000L
+      def maybeBroadcast(df: DataFrame): DataFrame =
+        if (nodeCount <= broadcastNodeMax) broadcast(df) else df
       // Every round's rank table is PERSISTED: broadcast() builds its
       // table by executing the input plan, so an uncached round-k
       // table would re-run rounds 1..k-1 through the edge join —
@@ -210,7 +226,7 @@ object AdvancedQueries extends QueryModule {
       var ranks = deg.select($"src".as("node"), lit(1000000000000L).as("pr"))
         .persist()
       for (_ <- 1 to 5) {
-        val next = ed.join(broadcast(ranks), $"src" === $"node")
+        val next = ed.join(maybeBroadcast(ranks), $"src" === $"node")
           .select($"dst", expr("pr div deg").as("c"))
           .groupBy($"dst")
           .agg(expr("150000000000L + (85 * sum(c)) div 100").as("pr"))

@@ -789,9 +789,21 @@ object EmbeddingQueries extends QueryModule {
       var v = Array.fill(64)(1000000L)
       var lambdaFp = 0L
       for (_ <- 1 to 8) {
+        // w = A·v in CHECKED Long arithmetic: Gram entries grow with
+        // corpus size (≈N·1e6 for unit-norm 1e3-quantized vectors) and
+        // v is renormalized to ≈1e6, so w_i ≈ 64·N·1e12 exceeds Long
+        // near N ≈ 1.4e5 rows. Scala's `*`/`+` would wrap silently
+        // while DuckDB's BIGINT raises — an asymmetric divergence the
+        // hash compare could miss. add/multiplyExact makes the Spark
+        // side fail loudly at the same boundary (the degenerate-Gram
+        // require's fail-loud policy); at that corpus size the right
+        // move is raising the quantization denominator, not wrapping.
         val w = Array.tabulate(64) { i =>
           var acc = 0L; var j = 0
-          while (j < 64) { acc += gram(i * 64 + j) * v(j); j += 1 }
+          while (j < 64) {
+            acc = Math.addExact(acc, Math.multiplyExact(gram(i * 64 + j), v(j)))
+            j += 1
+          }
           acc
         }
         lambdaFp = w.map(math.abs).max

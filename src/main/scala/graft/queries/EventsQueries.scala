@@ -1052,9 +1052,14 @@ object EventsQueries extends QueryModule {
 
     // CUPED VARIANCE REDUCTION (r11) — the readout every mature
     // experimentation platform layers over ev_abtest's plain Welch t:
-    // each user's PRE-period metric (days 1–15) is used as a control
-    // covariate for their POST-period metric (days 16+), removing the
-    // between-user variance the randomization didn't create. Same
+    // each user's PRE-period metric is used as a control covariate for
+    // their POST-period metric, removing the between-user variance the
+    // randomization didn't create. The pre/post boundary is the
+    // CALENDAR MIDPOINT of the fixture's date range (epoch-day
+    // (min+max) div 2, one 1-row broadcast aggregate) keyed on
+    // to_date(ts_utc) — NOT day-of-month, which would fold same-day-of-
+    // month rows from different months together if the fixture ever
+    // spans more than one month (ADVICE r11). Same
     // determinism policy as ev_abtest: per-user X/Y are EXACT decimal
     // sums (one shuffle on user_id), the pooled sufficient statistics
     // (n, ΣX, ΣY, ΣXY, ΣX²) and per-variant (n_v, ΣX_v, ΣY_v) are one
@@ -1065,12 +1070,18 @@ object EventsQueries extends QueryModule {
     // rows to a 2-row table, never a scan.
     "ev_cuped" -> ((s, dir) => {
       import s.implicits._
-      val perUser = Tables.events(s, dir)
+      val dated = Tables.events(s, dir)
         .where($"value".isNotNull)
+        .withColumn("d",
+          datediff(to_date($"ts_utc"), lit("1970-01-01")).cast("long"))
+      // Midpoint epoch day: positive operands, so Spark `div` and
+      // DuckDB `//` agree; 1 row, broadcast onto the fact pass.
+      val split = dated.agg(expr("(min(d) + max(d)) div 2").as("sd"))
+      val perUser = dated.crossJoin(broadcast(split))
         .select($"user_id", ($"user_id" % 2).as("v"),
-          when(dayofmonth($"ts_utc") <= 15, $"value".cast("decimal(18,6)"))
+          when($"d" <= $"sd", $"value".cast("decimal(18,6)"))
             .otherwise(lit(0).cast("decimal(18,6)")).as("px"),
-          when(dayofmonth($"ts_utc") > 15, $"value".cast("decimal(18,6)"))
+          when($"d" > $"sd", $"value".cast("decimal(18,6)"))
             .otherwise(lit(0).cast("decimal(18,6)")).as("py"))
         .groupBy($"user_id", $"v")
         .agg(sum($"px").as("x"), sum($"py").as("y"))
@@ -1094,7 +1105,11 @@ object EventsQueries extends QueryModule {
 
     // EXPONENTIAL SMOOTHING (r11) — the EWMA baseline behind burn-rate
     // alerts and simple demand forecasts: per-day revenue smoothed
-    // with α=0.2, entirely in exact integer micro-units so the
+    // with α=0.2. The time axis is the EPOCH DAY
+    // (datediff(to_date(ts_utc), 1970-01-01)) — a total order across
+    // months, unlike the r11 day-of-month key that would interleave
+    // rows from different months into one series (ADVICE r11) —
+    // entirely in exact integer micro-units so the
     // sequential recurrence l_d = (2·x_d + 8·l_{d-1}) div 10 replays
     // identically anywhere (truncating division on non-negative
     // operands). Shape: the corpus pass is one partial+final per-day
@@ -1107,7 +1122,7 @@ object EventsQueries extends QueryModule {
       import s.implicits._
       val daily = Tables.events(s, dir)
         .where($"value".isNotNull)
-        .groupBy(dayofmonth($"ts_utc").as("day"))
+        .groupBy(datediff(to_date($"ts_utc"), lit("1970-01-01")).as("day"))
         .agg(sum($"value".cast("decimal(18,6)")).as("rev"))
         .selectExpr("CAST(day AS BIGINT) AS day",
           "CAST(rev * 1000000 AS BIGINT) AS rev_e6")
@@ -1681,15 +1696,20 @@ object EventsQueries extends QueryModule {
     // Identical decimal sufficient statistics, identical double
     // expression tree for θ and the adjusted means.
     "ev_cuped" ->
-      """WITH u AS (
+      """WITH e AS (
+        |  SELECT user_id, value,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        |  FROM events WHERE value IS NOT NULL),
+        |sp AS (SELECT (min(d) + max(d)) // 2 AS sd FROM e),
+        |u AS (
         |  SELECT user_id, user_id % 2 AS v,
-        |    sum(CASE WHEN date_part('day', ts) <= 15
+        |    sum(CASE WHEN d <= sd
         |        THEN CAST(value AS DECIMAL(18,6))
         |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS x,
-        |    sum(CASE WHEN date_part('day', ts) > 15
+        |    sum(CASE WHEN d > sd
         |        THEN CAST(value AS DECIMAL(18,6))
         |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS y
-        |  FROM events WHERE value IS NOT NULL
+        |  FROM e, sp
         |  GROUP BY user_id, user_id % 2),
         |p AS (
         |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
@@ -1713,7 +1733,7 @@ object EventsQueries extends QueryModule {
     // over the row-numbered day sequence.
     "ev_ewma" ->
       """WITH RECURSIVE daily AS (
-        |  SELECT CAST(date_part('day', ts) AS BIGINT) AS day,
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
         |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_e6
         |  FROM events WHERE value IS NOT NULL
         |  GROUP BY 1),

@@ -536,35 +536,34 @@ object RelationalQueries extends QueryModule {
     // equal the data or the file is corrupt, which is exactly what
     // makes this correctness-checkable.
     "rel_agg_pushdown" -> ((s, dir) => {
-      val key = "spark.sql.parquet.aggregatePushdown"
       // Aggregate pushdown exists only on the DataSourceV2 scan path;
-      // parquet sits in useV1SourceList by default, so both confs are
-      // pinned (and restored) around this one read.
-      val v1Key = "spark.sql.sources.useV1SourceList"
-      val prev = s.conf.get(key, "false")
-      val prevV1 = s.conf.get(v1Key)
-      s.conf.set(key, "true")
-      s.conf.set(v1Key, prevV1.split(',').filterNot(_.trim == "parquet").mkString(","))
-      try {
-        // Integral/floating columns only: timestamp min/max is outside
-        // the pushdown-supported types and would silently veto the
-        // whole pushdown (observed — the in-path require caught it).
-        val out = s.read.parquet(s"$dir/lineitem.parquet")
-          .agg(count(lit(1)).as("n"),
-            min(col("l_orderkey")).as("min_okey"),
-            max(col("l_orderkey")).as("max_okey"),
-            min(col("l_quantity")).as("min_qty"),
-            max(col("l_quantity")).as("max_qty"))
-        QueryModule.gatedPlans.put("rel_agg_pushdown", out)
-        val rows = out.collect()
-        require(out.queryExecution.executedPlan.toString
-            .contains("PushedAggregation: [COUNT(*)"),
-          "rel_agg_pushdown: aggregate did not reach the parquet footer")
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-      } finally {
-        s.conf.set(key, prev)
-        s.conf.set(v1Key, prevV1)
-      }
+      // parquet sits in useV1SourceList by default, so both confs must
+      // flip for this ONE read. Flipping them on the shared session
+      // would silently reroute any concurrently compiling parquet scan
+      // to the V2 path (ADVICE r11) — so the pins land on a CHILD
+      // session (`newSession()`: same SparkContext + cached data,
+      // isolated SQLConf) and die with it; the caller's session is
+      // never mutated and nothing needs restoring.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s2.conf.set("spark.sql.sources.useV1SourceList",
+        s2.conf.get("spark.sql.sources.useV1SourceList")
+          .split(',').filterNot(_.trim == "parquet").mkString(","))
+      // Integral/floating columns only: timestamp min/max is outside
+      // the pushdown-supported types and would silently veto the
+      // whole pushdown (observed — the in-path require caught it).
+      val out = s2.read.parquet(s"$dir/lineitem.parquet")
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+      QueryModule.gatedPlans.put("rel_agg_pushdown", out)
+      val rows = out.collect()
+      require(out.queryExecution.executedPlan.toString
+          .contains("PushedAggregation: [COUNT(*)"),
+        "rel_agg_pushdown: aggregate did not reach the parquet footer")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
     // ORDERED STRING AGGREGATION (r11) — the LISTAGG/GROUP_CONCAT

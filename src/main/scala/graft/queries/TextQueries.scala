@@ -207,6 +207,18 @@ object TextQueries extends QueryModule {
         .selectExpr(s"explode($tokens) AS w")
         .groupBy($"w").agg(count(lit(1)).as("cnt"))
         .as[(String, Long)].collect()
+      // The chain below encodes symbol boundaries with '|'. A corpus
+      // token containing a literal pipe would have regexp_replace wrap
+      // it into '|||' — boundary chars indistinguishable from content —
+      // and the chained-replace encode would silently diverge from
+      // BpeCore.applyMerges (the semantics the merges were trained
+      // under). Fail loudly instead (in-path gate style): this corpus'
+      // whitespace tokenizer admits '|', so the contract must be
+      // checked, not assumed. A pipe-bearing corpus needs a delimiter
+      // outside its token alphabet.
+      require(!wf.exists(_._1.contains("|")),
+        "txt_bpe_apply: vocab contains '|' — the pipe-delimited " +
+          "boundary encoding is unsound for this corpus")
       val merges = BpeCore.trainLocal(wf, 10).map(p => (p._2, p._3))
       def q(sym: String): String = "'" + sym.replace("'", "''") + "'"
       // Every symbol carries its OWN delimiters ("|c||a|"): a shared
