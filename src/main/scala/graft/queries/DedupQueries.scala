@@ -1441,6 +1441,145 @@ object DedupQueries extends QueryModule {
           s"dedup_simhash gate: sum(n_near)=$near is odd — pair " +
             "endpoints must come in twos")
       }
+    }),
+
+    // VERSIONED-TABLE COMMIT PROTOCOL (r12) — the manifest/commit-log
+    // layer (operators.VersionedTable) the whole CDC/compaction/
+    // backfill family writes through in production: data files mean
+    // nothing until a numbered manifest names them, the commit point
+    // is ONE atomic rename, and readers resolve the latest (or a
+    // requested) manifest — giving atomic swap, snapshot isolation,
+    // and time travel over plain parquet. History staged here:
+    //   v0 = base documents (full snapshot commit);
+    //   v1 = copy-on-write MERGE of the pipe_cdc_apply change batch
+    //        over the v0 SNAPSHOT READ (the composition the verdict
+    //        asks for: CDC apply produces version N+1);
+    //   v2 = APPEND-ONLY commit (doc_id%7==3 clones under +2^41,
+    //        n_chars+5) that writes ONLY its new rows and carries v1's
+    //        file list forward verbatim in the manifest — the
+    //        O(new-data) commit cost that makes the layer viable at
+    //        100 TB (v1's files are never rewritten or even opened);
+    //   v3 = a commit that CRASHES between writing data files and the
+    //        rename. The in-path atomicity witness requires the
+    //        readable history to still be exactly {0,1,2} and the
+    //        latest read to resolve v2 — orphan files are invisible
+    //        because only manifests define table contents.
+    // Output: per-version row count / char sum / lang count / content
+    // signature via TIME-TRAVEL reads of all three versions; the
+    // oracle reconstructs each version explicitly from `documents`, so
+    // the driver hash-proves every snapshot, not just the latest.
+    "pipe_table_commit" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vtbl_")
+      try {
+        val table = tmp.resolve("table")
+        val base = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+        VersionedTable.commit(s, table, 0L, base)
+        val v0 = VersionedTable.read(s, table, Some(0L))
+        val changes = Tables.documents(s, dir)
+          .where($"doc_id" % 7 < 3)
+          .selectExpr(
+            "CASE WHEN doc_id % 7 = 2 THEN doc_id + 1099511627776L " +
+              "ELSE doc_id END AS doc_id",
+            "CASE doc_id % 7 WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op",
+            "lang AS c_lang",
+            "CASE doc_id % 7 WHEN 1 THEN n_chars + 1000L ELSE n_chars END " +
+              "AS c_n_chars")
+        val merged = v0.join(changes, Seq("doc_id"), "full_outer")
+          .where(coalesce($"op", lit("")) =!= "D")
+          .select($"doc_id",
+            coalesce($"c_lang", $"lang").as("lang"),
+            coalesce($"c_n_chars", $"n_chars").as("n_chars"))
+        VersionedTable.commit(s, table, 1L, merged)
+        val appended = Tables.documents(s, dir)
+          .where($"doc_id" % 7 === 3)
+          .selectExpr("doc_id + 2199023255552L AS doc_id", "lang",
+            "n_chars + 5L AS n_chars")
+        VersionedTable.commit(s, table, 2L, appended,
+          carried = VersionedTable.manifest(table, 1L))
+        VersionedTable.failedCommit(s, table, 3L, base.limit(10))
+        require(VersionedTable.versions(table) == Seq(0L, 1L, 2L),
+          s"pipe_table_commit: readable history is " +
+            s"${VersionedTable.versions(table)} — the failed v3 leaked " +
+            "or a commit vanished")
+        require(VersionedTable.latestVersion(table).contains(2L),
+          "pipe_table_commit: latest must resolve to v2 after the crash")
+        val out = Seq(0L, 1L, 2L).map { v =>
+          VersionedTable.read(s, table, Some(v))
+            .selectExpr("lang", "n_chars",
+              "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', " +
+                "CAST(n_chars AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h")
+            .agg(count(lit(1)).as("n_rows"),
+              sum($"n_chars").as("sum_chars"),
+              countDistinct($"lang").as("n_langs"),
+              expr("bit_xor(h)").as("content_sig"))
+            .select(lit(v).as("version"), $"n_rows", $"sum_chars",
+              $"n_langs", $"content_sig")
+        }.reduce(_ unionAll _).orderBy("version")
+        // Materialize before the staging tree vanishes (the
+        // pipe_compact_files discipline).
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // TIME-TRAVEL READ (r12) — the consumer half of the commit
+    // protocol above, proven at FULL ROW fidelity: after v2 is
+    // committed (append visible at latest), a read AT VERSION 1 must
+    // return exactly the v1 snapshot — every doc_id/lang/n_chars hash-
+    // matched against the oracle's explicit reconstruction, not an
+    // aggregate. This is the read path a reproducible training run
+    // pins ("train on the corpus as of commit N"): resolving manifest
+    // N instead of max is the entire cost difference, and the scan
+    // plans over exactly v1's files — v2's appended files are never
+    // opened (manifests define contents; nothing filters at runtime).
+    // In-path: latest must see MORE rows than v1 (the append is live),
+    // and resolving a never-committed version must fail loudly.
+    "pipe_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vttt_")
+      try {
+        val table = tmp.resolve("table")
+        val base = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+        VersionedTable.commit(s, table, 0L, base)
+        val changes = Tables.documents(s, dir)
+          .where($"doc_id" % 7 < 3)
+          .selectExpr(
+            "CASE WHEN doc_id % 7 = 2 THEN doc_id + 1099511627776L " +
+              "ELSE doc_id END AS doc_id",
+            "CASE doc_id % 7 WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op",
+            "lang AS c_lang",
+            "CASE doc_id % 7 WHEN 1 THEN n_chars + 1000L ELSE n_chars END " +
+              "AS c_n_chars")
+        val merged = VersionedTable.read(s, table, Some(0L))
+          .join(changes, Seq("doc_id"), "full_outer")
+          .where(coalesce($"op", lit("")) =!= "D")
+          .select($"doc_id",
+            coalesce($"c_lang", $"lang").as("lang"),
+            coalesce($"c_n_chars", $"n_chars").as("n_chars"))
+        VersionedTable.commit(s, table, 1L, merged)
+        val appended = Tables.documents(s, dir)
+          .where($"doc_id" % 7 === 3)
+          .selectExpr("doc_id + 2199023255552L AS doc_id", "lang",
+            "n_chars + 5L AS n_chars")
+        VersionedTable.commit(s, table, 2L, appended,
+          carried = VersionedTable.manifest(table, 1L))
+        val nLatest = VersionedTable.read(s, table).count()
+        val v1 = VersionedTable.read(s, table, Some(1L))
+        val rows = v1.orderBy("doc_id").collect()
+        require(nLatest > rows.length,
+          s"pipe_time_travel: latest ($nLatest rows) must see the v2 " +
+            s"append beyond v1 (${rows.length} rows)")
+        val missing = scala.util.Try(
+          VersionedTable.read(s, table, Some(5L))).isFailure
+        require(missing,
+          "pipe_time_travel: reading a never-committed version must fail")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), v1.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
     })
   )
 
@@ -1955,6 +2094,60 @@ object DedupQueries extends QueryModule {
          |SELECT cluster_id, count(*) AS n_docs
          |FROM lab
          |GROUP BY cluster_id
-         |ORDER BY cluster_id""".stripMargin
+         |ORDER BY cluster_id""".stripMargin,
+
+    // Each committed version reconstructed EXPLICITLY from the fixture
+    // (v0 = base; v1 = the pipe_cdc_apply batch applied; v2 = v1 plus
+    // the +2^41 append), so the driver proves every snapshot the
+    // manifests claim — same per-row digest as pipe_cdc_roundtrip.
+    "pipe_table_commit" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 7 = 1 THEN n_chars + 1000 ELSE n_chars END
+        |      AS n_chars
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776, lang, n_chars
+        |  FROM documents WHERE doc_id % 7 = 2),
+        |v2 AS (
+        |  SELECT * FROM v1
+        |  UNION ALL
+        |  SELECT doc_id + 2199023255552, lang, n_chars + 5
+        |  FROM documents WHERE doc_id % 7 = 3)
+        |SELECT CAST(0 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT) AS content_sig
+        |FROM documents
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT), CAST(count(DISTINCT lang) AS BIGINT),
+        |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT)
+        |FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT), CAST(count(DISTINCT lang) AS BIGINT),
+        |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT)
+        |FROM v2
+        |ORDER BY version""".stripMargin,
+
+    // The v1 snapshot at full row fidelity — the exact table a
+    // time-travel read at version 1 must return after v2 is live.
+    "pipe_time_travel" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 7 = 1 THEN n_chars + 1000 ELSE n_chars END
+        |      AS n_chars
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776, lang, n_chars
+        |  FROM documents WHERE doc_id % 7 = 2)
+        |ORDER BY doc_id""".stripMargin
   )
 }
