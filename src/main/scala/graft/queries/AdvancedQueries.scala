@@ -51,6 +51,39 @@ object AdvancedQueries extends QueryModule {
         .orderBy("band")
     }),
 
+    // WIDTH-BUCKET BAND PROJECTION (r12) — the 100-TB sibling
+    // rel_range_join's own comment names: the same banding computed as
+    // a PROJECTION instead of an inequality join. Fixed band edges are
+    // data the planner can fold into a CASE ladder, so the plan is one
+    // narrow codegen'd projection + one partial+final aggregate — no
+    // join operator at ALL (PlanShapeSpec asserts no
+    // BroadcastNestedLoopJoin, the shape the join form pays). Same
+    // bands, same half-open [lo, hi) semantics, and the SAME oracle
+    // SQL as rel_range_join — the emb_blocked_pairs pairing pattern:
+    // the driver independently proves the projection reproduces the
+    // join's output bit for bit. This is the form that survives scale:
+    // the BNLJ form evaluates n_bands predicates per row THROUGH a
+    // join operator (and unmatched rows die in the join); here
+    // unmatched rows die in a filter and the per-row cost is one
+    // branch ladder inside whole-stage codegen.
+    "rel_band_bucket" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("p00_050", 0.0, 50.0), ("p05_100", 50.0, 100.0),
+        ("p10_200", 100.0, 200.0), ("p20_500", 200.0, 500.0))
+      val ladder = bands.foldRight(lit(null).cast("string")) {
+        case ((name, lo, hi), tail) =>
+          when($"value" >= lo && $"value" < hi, lit(name)).otherwise(tail)
+      }
+      Tables.events(s, dir)
+        .withColumn("band", ladder)
+        .where($"band".isNotNull)
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("band")
+    }),
+
     // Exact percentiles (interpolating): per event type, p50/p90/p99 of
     // value, floored to micros — Spark `percentile` and DuckDB
     // `quantile_cont` share the (n-1)·p interpolation definition.
@@ -291,6 +324,20 @@ object AdvancedQueries extends QueryModule {
     })
   )
 
+  /** ONE oracle text for the inequality-join band form and its
+    * width-bucket projection sibling (same pattern as
+    * EmbeddingQueries.CosinePairsSql): identical SQL means the driver
+    * proves output equality across the two plans. */
+  private val RangeBandSql =
+    """WITH bands(band, lo, hi) AS (VALUES
+      |  ('p00_050', 0.0, 50.0), ('p05_100', 50.0, 100.0),
+      |  ('p10_200', 100.0, 200.0), ('p20_500', 200.0, 500.0))
+      |SELECT band, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN bands ON value >= lo AND value < hi
+      |GROUP BY band
+      |ORDER BY band""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "rel_asof_join" ->
       """WITH ev AS (
@@ -306,15 +353,11 @@ object AdvancedQueries extends QueryModule {
         |  FROM ev)
         |WHERE event_type = 'purchase'
         |ORDER BY user_id, event_id""".stripMargin,
-    "rel_range_join" ->
-      """WITH bands(band, lo, hi) AS (VALUES
-        |  ('p00_050', 0.0, 50.0), ('p05_100', 50.0, 100.0),
-        |  ('p10_200', 100.0, 200.0), ('p20_500', 200.0, 500.0))
-        |SELECT band, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events JOIN bands ON value >= lo AND value < hi
-        |GROUP BY band
-        |ORDER BY band""".stripMargin,
+    "rel_range_join" -> RangeBandSql,
+    // IDENTICAL oracle text: the driver independently proves the
+    // projection form reproduces the inequality-join form bit for bit
+    // (the emb_cosine_pairs/emb_blocked_pairs pairing pattern).
+    "rel_band_bucket" -> RangeBandSql,
     "rel_percentiles" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(floor(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_e6,

@@ -49,6 +49,42 @@ object EmbeddingQueries extends QueryModule {
   private def exactTop3(s: SparkSession, dir: String): Set[(Long, Long)] =
     knnPlan(s, dir, 3).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
 
+  /** The in-memory IVF route (emb_ivf_topk's body), factored so the
+    * persisted-index variant can gate EXACT row equality against it:
+    * label centroids as the coarse codebook (deterministic k-means
+    * stand-in), nearest-cell assignment, nprobe=3 probe search. One
+    * definition — a drifted copy would turn the equality gate into a
+    * tautology or a flake. */
+  private def ivfTop3InMemory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sumAgg = udaf(new ElementwiseSum(64))
+    val cent = Tables.embeddings(s, dir)
+      .selectExpr("label",
+        "transform(cast(embedding AS array<double>), x -> CAST(floor(x * 1000000) AS BIGINT)) AS e6")
+      .groupBy($"label").agg(count(lit(1)).as("n"), sumAgg($"e6").as("sums"))
+      .selectExpr("label AS cell",
+        "transform(sums, x -> x / (n * 1000000.0)) AS cvec")
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val wCell = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
+    val assigned = emb.crossJoin(broadcast(cent))
+      .withColumn("csim", call_function("cosine_sim", $"embedding", $"cvec"))
+      .withColumn("crk", row_number().over(wCell))
+      .persist()
+    val cells = assigned.where($"crk" === 1)
+      .select($"vec_id", $"cell", $"embedding")
+    val probeCells = assigned.where($"vec_id" < 10 && $"crk" <= 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cell")
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+    cells.join(broadcast(probeCells), Seq("cell"))
+      .where($"vec_id" =!= $"qid")
+      .withColumn("sim", call_function("cosine_sim", $"qe", $"embedding"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+      .selectExpr("qid", "rank", "vec_id AS nid", "cell",
+        "CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6")
+      .orderBy("qid", "rank")
+  }
+
   /** Hard ceiling for the deliberately-quadratic exactness yardstick
     * below: 10k vectors ≈ 5·10⁷ scored pairs, a few seconds on one
     * node — the most an O(n²) plan should ever silently run. Above it
@@ -354,33 +390,7 @@ object EmbeddingQueries extends QueryModule {
     // probe touches 3/k of the data. Rows-only (ranking rides on
     // derived centroids); the spec measures recall vs emb_knn.
     "emb_ivf_topk" -> ((s, dir) => {
-      import s.implicits._
-      val sumAgg = udaf(new ElementwiseSum(64))
-      val cent = Tables.embeddings(s, dir)
-        .selectExpr("label",
-          "transform(cast(embedding AS array<double>), x -> CAST(floor(x * 1000000) AS BIGINT)) AS e6")
-        .groupBy($"label").agg(count(lit(1)).as("n"), sumAgg($"e6").as("sums"))
-        .selectExpr("label AS cell",
-          "transform(sums, x -> x / (n * 1000000.0)) AS cvec")
-      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      val wCell = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
-      val assigned = emb.crossJoin(broadcast(cent))
-        .withColumn("csim", call_function("cosine_sim", $"embedding", $"cvec"))
-        .withColumn("crk", row_number().over(wCell))
-        .persist()
-      val cells = assigned.where($"crk" === 1)
-        .select($"vec_id", $"cell", $"embedding")
-      val probeCells = assigned.where($"vec_id" < 10 && $"crk" <= 3)
-        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cell")
-      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
-      val out = cells.join(broadcast(probeCells), Seq("cell"))
-        .where($"vec_id" =!= $"qid")
-        .withColumn("sim", call_function("cosine_sim", $"qe", $"embedding"))
-        .withColumn("rank", row_number().over(w))
-        .where($"rank" <= 3)
-        .selectExpr("qid", "rank", "vec_id AS nid", "cell",
-          "CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6")
-        .orderBy("qid", "rank")
+      val out = ivfTop3InMemory(s, dir)
       // In-path recall gate (EmbeddingSpec's bound, now enforced on
       // every run the driver times): nprobe=3 of ~10 weakly-informative
       // cells on near-uniform vectors must still beat a quarter of the
@@ -393,6 +403,93 @@ object EmbeddingQueries extends QueryModule {
           s"emb_ivf_topk recall gate: $overlap/${exact.size} exact top-3 " +
             "pairs recovered, below the 1/4 floor")
       }
+    }),
+
+    // PERSISTED IVF INDEX (r12) — the amortization that makes ANN
+    // viable at scale: emb_ivf_topk re-derives its codebook and cell
+    // assignment inside the query, which is the right DEMO shape but
+    // the wrong SERVING shape (a 100-TB index is built once at ingest
+    // and queried thousands of times). Here the two phases are
+    // physically split: BUILD writes the k-row centroid codebook and
+    // the inverted file — postings `write.partitionBy(cell)`, so each
+    // cell is its own directory — to the staging store; SERVE then
+    // answers top-k from the STORED index alone: probe vectors are
+    // fetched from the postings, their nprobe=3 cells come from a
+    // broadcast of the k-row stored codebook (serve-time work is
+    // O(k·probes), corpus-free), and the candidate join touches only
+    // the probed cells' files. Two in-path guards make the split
+    // load-bearing: (1) the serve plan's scan set must not contain the
+    // source corpus — if `embeddings.parquet` appears anywhere in the
+    // executed plan, the query silently re-clustered at query time and
+    // fails; (2) the served rows must be IDENTICAL to the in-memory
+    // route's (same codebook math, exact fixed-point centroids, same
+    // tie rules — the round trip through parquet must not perturb a
+    // single rank). Rows-only like emb_ivf_topk (ranking rides on
+    // derived centroids), with the equality gate standing in for the
+    // oracle at full strength.
+    "emb_ivf_persisted" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.sources.GraftSession.stagingDir("graft_ivfidx_")
+      try {
+        val idx = tmp.resolve("index")
+        // BUILD: one corpus pass for the codebook (k-row aggregate),
+        // one for the assignment; the inverted file lands partitioned
+        // by cell so a probe's scan is 3/k of the data BY LAYOUT.
+        val sumAgg = udaf(new ElementwiseSum(64))
+        val cent = Tables.embeddings(s, dir)
+          .selectExpr("label",
+            "transform(cast(embedding AS array<double>), x -> CAST(floor(x * 1000000) AS BIGINT)) AS e6")
+          .groupBy($"label").agg(count(lit(1)).as("n"), sumAgg($"e6").as("sums"))
+          .selectExpr("label AS cell",
+            "transform(sums, x -> x / (n * 1000000.0)) AS cvec")
+        cent.write.parquet(idx.resolve("centroids").toString)
+        val wCell = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
+        Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+          .crossJoin(broadcast(s.read.parquet(idx.resolve("centroids").toString)))
+          .withColumn("csim", call_function("cosine_sim", $"embedding", $"cvec"))
+          .withColumn("crk", row_number().over(wCell))
+          .where($"crk" === 1)
+          .select($"cell", $"vec_id", $"embedding")
+          .write.partitionBy("cell").parquet(idx.resolve("postings").toString)
+        // SERVE: stored index only — no Tables.* reference below.
+        val centS = s.read.parquet(idx.resolve("centroids").toString)
+        val posts = s.read.parquet(idx.resolve("postings").toString)
+        val probes = posts.where($"vec_id" < 10)
+          .select($"vec_id".as("qid"), $"embedding".as("qe"))
+        val wP = Window.partitionBy($"qid").orderBy($"csim".desc, $"cell")
+        val probeCells = probes.crossJoin(broadcast(centS))
+          .withColumn("csim", call_function("cosine_sim", $"qe", $"cvec"))
+          .withColumn("crk", row_number().over(wP))
+          .where($"crk" <= 3)
+          .select($"qid", $"qe", $"cell")
+        val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+        val out = posts.join(broadcast(probeCells), Seq("cell"))
+          .where($"vec_id" =!= $"qid")
+          .withColumn("sim", call_function("cosine_sim", $"qe", $"embedding"))
+          .withColumn("rank", row_number().over(w))
+          .where($"rank" <= 3)
+          // cell comes back through partition-directory inference —
+          // pin it to the codebook's INT so the equality gate compares
+          // values, not inference accidents.
+          .selectExpr("qid", "rank", "vec_id AS nid",
+            "CAST(cell AS INT) AS cell",
+            "CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6")
+          .orderBy("qid", "rank")
+        QueryModule.gatedPlans.put("emb_ivf_persisted", out)
+        val planStr = out.queryExecution.executedPlan.toString
+        require(!planStr.contains("embeddings.parquet"),
+          "emb_ivf_persisted: the serve plan scans the source corpus — " +
+            "the index was re-derived at query time")
+        val rows = out.collect()
+        // Equality gate vs the in-memory route (fixture-bounded
+        // collect; a production audit samples probes instead).
+        val mem = ivfTop3InMemory(s, dir).collect()
+        require(rows.length == mem.length &&
+            rows.zip(mem).forall { case (a, b) => a == b },
+          "emb_ivf_persisted: served rows diverge from the in-memory " +
+            "IVF route — the parquet round trip perturbed the index")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
     // DIMENSION-TRUNCATION CURVE (r11): the Matryoshka/MRL tuning table

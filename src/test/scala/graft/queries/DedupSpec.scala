@@ -140,16 +140,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("pii scrub finds exactly the injected email+phone in every doc") {
+  test("pii scrub finds exactly the injected matches of every class") {
     // The fixture text is PII-free word salad, so the deterministic
-    // injection is the only match: one email and one phone per doc —
-    // a zero count would mean the regex stopped matching, >1 would mean
-    // the corpus (or a replacement artifact) leaked a new match.
+    // injection is the only source of matches: exactly one email /
+    // card / ssn / ip / access key per doc. Phones are 1 + the
+    // card-internal leaks the pattern is BLIND to semantically but
+    // must count deterministically: a card segment ending in 555
+    // is followed by '-dddd', which IS phone-shaped ('555-' + 4
+    // digits) — the test recomputes that expectation per doc, so a
+    // divergence in either direction (missed plant or phantom match)
+    // fails. n_cc_luhn must agree with a local Luhn check of the
+    // planted digits.
     val rows = graft.SparkEntry.queries("pipe_pii_scrub")(spark, sf0001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getInt(1) == 1, s"doc ${r.getLong(0)}: n_emails=${r.getInt(1)}")
-      assert(r.getInt(2) == 1, s"doc ${r.getLong(0)}: n_phones=${r.getInt(2)}")
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 1, s"doc $id: n_emails=${r.getInt(1)}")
+      val expPhones = 1 +
+        (if (id % 10000 % 1000 == 555) 1 else 0) +
+        (if ((id * 7) % 10000 % 1000 == 555) 1 else 0)
+      assert(r.getInt(2) == expPhones,
+        s"doc $id: n_phones=${r.getInt(2)}, expected $expPhones")
+      assert(r.getInt(3) == 1, s"doc $id: n_cc=${r.getInt(3)}")
+      val digits = "4111" + f"${id % 10000}%04d" +
+        f"${(id * 7) % 10000}%04d" + f"${(id * 13) % 10000}%04d"
+      val luhn = digits.reverse.zipWithIndex.map { case (ch, i) =>
+        val d = ch - '0'
+        if (i % 2 == 0) d else { val t = d * 2; if (t > 9) t - 9 else t }
+      }.sum
+      val expLuhn = if (luhn % 10 == 0) 1 else 0
+      assert(r.getInt(4) == expLuhn,
+        s"doc $id: n_cc_luhn=${r.getInt(4)}, expected $expLuhn for $digits")
+      assert(r.getInt(5) == 1, s"doc $id: n_ssn=${r.getInt(5)}")
+      assert(r.getInt(6) == 1, s"doc $id: n_ip=${r.getInt(6)}")
+      assert(r.getInt(7) == 1, s"doc $id: n_keys=${r.getInt(7)}")
     }
   }
 

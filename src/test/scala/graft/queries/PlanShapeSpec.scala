@@ -317,6 +317,22 @@ class PlanShapeSpec extends SparkSpec {
       "per-round RDD cut missing — analyzer cost would grow with rounds")
   }
 
+  test("band bucket: banding is a projection — no join operator at all") {
+    val p = plan("rel_band_bucket")
+    assert(!p.contains("Join"),
+      "the width-bucket sibling must not pay any join (that's rel_range_join's shape)")
+    assert(!p.contains("CartesianProduct"), "no cross product")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "band counts must partial+final aggregate")
+  }
+
+  test("persisted IVF serve plan never rescans the source corpus") {
+    val p = gatedPlan("emb_ivf_persisted")
+    assert(!p.contains("embeddings.parquet"),
+      "serve must plan over the stored index only — a corpus scan means " +
+        "the index was re-derived at query time")
+  }
+
   test("transition matrix: windows stay keyed, no join, no global sort before output") {
     val p = plan("ev_transitions")
     assert(!p.contains("Join"), "adjacent transitions come from lead(), not a self-join")
