@@ -36,6 +36,7 @@ import org.apache.spark.sql.SparkSession
   */
 object ClusterSmoke {
   def main(args: Array[String]): Unit = {
+    if (args.contains("--pressure")) { pressureDemo(args); return }
     val spark = graft.sources.GraftSession.configure(SparkSession.builder()
       .master("local-cluster[2,4,2048]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -142,5 +143,79 @@ object ClusterSmoke {
       println(s"[cluster] retry OK: ${taskFailures.get} task failure(s) " +
         s"absorbed, output identical to the clean run (${clean.size} words)")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Memory-pressure validation (`--pressure`): the difference between
+    * "the right plan" and "the right plan under pressure". The
+    * heaviest non-stream queries run on real executor JVMs that are
+    * deliberately STARVED — 640 MB heaps and `spark.memory.fraction`
+    * squeezed to 0.05, so the execution/storage pool is ~17 MB per
+    * executor and every big hash aggregate, sort, and sort-merge join
+    * is forced off its in-memory fast path into Spark's spill
+    * machinery (UnsafeExternalSorter / hash-agg sort fallback). The
+    * run must stay GREEN — correct answers with spills, not OOMs —
+    * and the listener-summed task metrics must witness actual
+    * spilling, or the demonstration is vacuous and the run fails.
+    * Default fixture is sf0.1 (the bench scale) so the operators have
+    * real volume to spill.
+    * {{{
+    * SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+    *   sbt "runMain graft.tools.ClusterSmoke --pressure"
+    * }}}
+    */
+  private def pressureDemo(args: Array[String]): Unit = {
+    val spark = graft.sources.GraftSession.configure(SparkSession.builder()
+      .master("local-cluster[2,2,640]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.executor.memory", "640m")
+      .config("spark.memory.fraction", "0.05")
+      .config("spark.executor.extraClassPath",
+        graft.sources.GraftSession.classesDir)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = args.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.1")
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) {
+          memSpilled.addAndGet(e.taskMetrics.memoryBytesSpilled)
+          diskSpilled.addAndGet(e.taskMetrics.diskBytesSpilled)
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val heavy = Seq("rel_pagerank", "dedup_clusters", "pipe_profile",
+      "dedup_minhash_lsh", "tpch_q9", "tpch_q18", "tpch_q21")
+    var failures = 0
+    heavy.foreach { q =>
+      try {
+        val n = graft.SparkEntry.queries(q)(spark, sf).count()
+        println(s"[pressure] $q OK ($n rows, cumulative spill: " +
+          s"mem=${memSpilled.get} disk=${diskSpilled.get})")
+      } catch { case e: Throwable =>
+        failures += 1
+        println(s"[pressure] $q FAILED: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(300))
+      }
+      spark.catalog.clearCache()
+    }
+    // Listener events drain asynchronously — poll before judging.
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (diskSpilled.get == 0 && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    println(s"[pressure] total spill: mem=${memSpilled.get} bytes, " +
+      s"disk=${diskSpilled.get} bytes across ${heavy.size} queries")
+    spark.stop()
+    if (failures > 0) {
+      println(s"[pressure] $failures queries failed under memory pressure")
+      sys.exit(1)
+    }
+    if (diskSpilled.get == 0) {
+      println("[pressure] no spill observed — the run proved nothing; " +
+        "shrink spark.memory.fraction or grow the fixture")
+      sys.exit(1)
+    }
   }
 }
