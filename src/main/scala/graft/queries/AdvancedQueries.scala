@@ -239,13 +239,6 @@ object AdvancedQueries extends QueryModule {
       val edges = e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst")))
       val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
       val ed = edges.join(deg, "src").persist()
-      // Node count: one aggregate over the persisted edge table (also
-      // forces ed's cache before the rounds start). Same bound as
-      // connectedComponents' broadcastFrontierMax.
-      val nodeCount = ed.select($"src").distinct().count()
-      val broadcastNodeMax = 1000000L
-      def maybeBroadcast(df: DataFrame): DataFrame =
-        if (nodeCount <= broadcastNodeMax) broadcast(df) else df
       // Every round's rank table is PERSISTED: broadcast() builds its
       // table by executing the input plan, so an uncached round-k
       // table would re-run rounds 1..k-1 through the edge join —
@@ -258,6 +251,15 @@ object AdvancedQueries extends QueryModule {
       // Caller clearCache drops all of it (QueryModule contract).
       var ranks = deg.select($"src".as("node"), lit(1000000000000L).as("pr"))
         .persist()
+      // Node count for the broadcast guard, measured on the init rank
+      // table — the count() doubles as the cache-forcing action round 1
+      // would otherwise pay inside its broadcast build, so the guard
+      // costs one scan of already-cached node rows, not an extra pass.
+      // Same bound as connectedComponents' broadcastFrontierMax.
+      val nodeCount = ranks.count()
+      val broadcastNodeMax = 1000000L
+      def maybeBroadcast(df: DataFrame): DataFrame =
+        if (nodeCount <= broadcastNodeMax) broadcast(df) else df
       for (_ <- 1 to 5) {
         val next = ed.join(maybeBroadcast(ranks), $"src" === $"node")
           .select($"dst", expr("pr div deg").as("c"))
