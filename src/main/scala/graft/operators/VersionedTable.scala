@@ -1,7 +1,7 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.{Files, Path}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -18,13 +18,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   _commits/.tmp-*                         in-flight, invisible to readers
   * }}}
   *
-  * The COMMIT POINT is a single atomic rename of the finished manifest
+  * The COMMIT POINT is a single atomic link of the finished manifest
   * into `_commits/` — data files are written first and mean nothing
   * until a manifest names them, so a crash mid-commit (or mid-write)
   * leaves garbage data files but a perfectly readable previous
-  * version: readers only ever see the set of fully-renamed manifests.
+  * version: readers only ever see the set of fully-published manifests.
   * Because the final name encodes the version, two racing committers
-  * of version N cannot both succeed — the second rename fails on the
+  * of version N cannot both succeed — the second link fails on the
   * existing target (optimistic concurrency, the conditional-PUT/
   * putIfAbsent primitive object stores expose for exactly this).
   *
@@ -36,8 +36,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * exactly the listed files — time travel at version N is just
   * resolving manifest N instead of max.
   *
-  * Local-filesystem realization of the primitives: java.nio
-  * ATOMIC_MOVE for the rename (same deployment note as
+  * Local-filesystem realization of the primitives: an atomic
+  * java.nio createLink as the conditional put (same deployment note as
   * GraftSession.stagingDir — a real cluster points SPARK_GRAFT_STAGING
   * at a shared mount; an object-store port swaps these few lines for
   * conditional PUTs, the protocol is unchanged).
@@ -67,37 +67,115 @@ object VersionedTable {
     * commits); pass Nil for a full copy-on-write snapshot. */
   def commit(s: SparkSession, table: Path, version: Long,
              df: DataFrame, carried: Seq[String] = Nil): Seq[String] = {
-    val dataDir = table.resolve("data").resolve(f"v$version%06d-new")
+    val dataDir = newDataDir(table, version)
     df.write.parquet(dataDir.toString)
     publish(table, version, carried ++ partFiles(table, dataDir))
   }
 
+  /** Each commit ATTEMPT writes under its own unique slug: a crashed
+    * or raced attempt's files can never collide with the winner's —
+    * they just sit orphaned and invisible (manifests define
+    * contents). */
+  private def newDataDir(table: Path, version: Long): Path =
+    table.resolve("data").resolve(
+      f"v$version%06d-" + java.util.UUID.randomUUID().toString.take(8))
+
   /** The commit point, isolated so a test/witness can drive the
     * failure path: write the manifest under a dot-temp name (readers
-    * skip non-matching names), then ONE atomic rename to the
-    * version-encoding final name. */
+    * skip non-matching names), then ONE atomic link to the
+    * version-encoding final name. `createLink` rather than an
+    * ATOMIC_MOVE rename: POSIX rename REPLACES an existing target, so
+    * a move would let a racing committer of the same version silently
+    * clobber the winner — the hard link fails with
+    * FileAlreadyExistsException instead, which IS the
+    * optimistic-concurrency conflict (putIfAbsent on an object
+    * store). */
   def publish(table: Path, version: Long, files: Seq[String]): Seq[String] = {
     val dir = Files.createDirectories(commitsDir(table))
     val tmp = Files.createTempFile(dir, ".tmp-", ".manifest")
     Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve(manifestName(version)),
-      StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(dir.resolve(manifestName(version)), tmp)
+    finally Files.deleteIfExists(tmp)
     files
   }
 
   /** Stage version `version`'s data files and its manifest BUT crash
-    * before the rename — the atomicity witness. Leaves exactly what a
+    * before the publish link — the atomicity witness. Leaves exactly what a
     * mid-commit failure leaves: orphan data files + a temp manifest
     * no reader resolves. */
   def failedCommit(s: SparkSession, table: Path, version: Long,
                    df: DataFrame): Unit = {
-    val dataDir = table.resolve("data").resolve(f"v$version%06d-new")
+    val dataDir = newDataDir(table, version)
     df.write.parquet(dataDir.toString)
     val dir = Files.createDirectories(commitsDir(table))
     val tmp = Files.createTempFile(dir, ".tmp-", ".manifest")
     Files.write(tmp,
       partFiles(table, dataDir).mkString("\n").getBytes(StandardCharsets.UTF_8))
-    // no rename: the commit never happened as far as any reader knows
+    // no publish link: the commit never happened as far as any reader knows
+  }
+
+  /** Commit with per-file MIN/MAX statistics on `statsCol` (a BIGINT
+    * column) — the data-skipping half of the protocol: real table
+    * formats aggregate footer stats into the manifest at write time so
+    * a reader can eliminate FILES (not just row groups) without
+    * opening them. Stats cost one pass over the NEW files only
+    * (grouped on input_file_name — commit-time work proportional to
+    * the commit, like the write itself). Manifest lines become
+    * `path<TAB>min<TAB>max`; plain lines (no stats) stay readable.
+    * Skipping only pays when the layout clusters the column — pair
+    * with repartitionByRange/z-order at write, exactly as production
+    * tables do. */
+  def commitWithStats(s: SparkSession, table: Path, version: Long,
+                      df: DataFrame, statsCol: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val dataDir = newDataDir(table, version)
+    df.write.parquet(dataDir.toString)
+    val stats = s.read.parquet(dataDir.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(statsCol)).cast("long").as("mn"),
+        max(col(statsCol)).cast("long").as("mx"))
+      .collect()
+      .map { r =>
+        val p = java.nio.file.Paths.get(new java.net.URI(r.getString(0)))
+        (table.relativize(p).toString, r.getLong(1), r.getLong(2))
+      }.sortBy(_._1)
+    val lines = stats.map { case (f, mn, mx) => s"$f\t$mn\t$mx" }
+    publish(table, version, lines)
+    stats.map(_._1)
+  }
+
+  /** Parsed `(path, min, max)` stats of a version's manifest; files
+    * committed without stats surface with a full-range (Long.Min,
+    * Long.Max) — never skippable, always correct. */
+  def statsManifest(table: Path, version: Long): Seq[(String, Long, Long)] =
+    manifest(table, version).map { line =>
+      line.split('\t') match {
+        case Array(f, mn, mx) => (f, mn.toLong, mx.toLong)
+        case Array(f) => (f, Long.MinValue, Long.MaxValue)
+      }
+    }
+
+  /** Range read with FILE-LEVEL skipping: plans over only the files
+    * whose [min, max] overlaps [lo, hi], then re-applies the predicate
+    * (stats prune files; they do not filter rows). Returns the frame
+    * plus (filesRead, filesTotal) so callers can witness that pruning
+    * actually happened. */
+  def readRange(s: SparkSession, table: Path, statsCol: String,
+                lo: Long, hi: Long,
+                version: Option[Long] = None): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val all = statsManifest(table, v)
+    val live = all.filter { case (_, mn, mx) => mx >= lo && mn <= hi }
+    val df =
+      if (live.isEmpty)
+        // No file can match: an empty frame with the right schema,
+        // derived from ONE file's footer without reading its rows.
+        s.read.parquet(table.resolve(all.head._1).toString).limit(0)
+      else s.read.parquet(live.map(f => table.resolve(f._1).toString): _*)
+    (df.where(col(statsCol) >= lo && col(statsCol) <= hi),
+      live.size, all.size)
   }
 
   /** Committed versions, ascending (the readable history). */
@@ -125,11 +203,13 @@ object VersionedTable {
 
   /** Snapshot read: latest version by default, time travel via
     * `version`. Plans over exactly the manifest's files — orphans from
-    * failed commits are invisible by construction. */
+    * failed commits are invisible by construction. (Routes through
+    * [[statsManifest]] so stats-bearing and plain manifest lines read
+    * alike.) */
   def read(s: SparkSession, table: Path, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $table"))
-    val files = manifest(table, v).map(f => table.resolve(f).toString)
+    val files = statsManifest(table, v).map(f => table.resolve(f._1).toString)
     s.read.parquet(files: _*)
   }
 }

@@ -1612,6 +1612,43 @@ object DedupQueries extends QueryModule {
           "pipe_time_travel: reading a never-committed version must fail")
         s.createDataFrame(java.util.Arrays.asList(rows: _*), v1.schema)
       } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // MANIFEST FILE SKIPPING (r12) — the data-skipping half of the
+    // commit protocol, and the fourth scan-elimination mechanism next
+    // to DPP (partition dirs), bucket pruning (hash files) and footer
+    // aggregate pushdown (row-group stats): the COMMIT aggregates
+    // per-file MIN/MAX of a clustering column into the manifest
+    // (`path<TAB>min<TAB>max`, one pass over the new files — cost
+    // tracks the commit), and a range read then eliminates whole
+    // FILES without opening them. Skipping is only as good as the
+    // layout: the write range-clusters by doc_id (repartitionByRange —
+    // z-order's 1-D cousin), so per-file ranges are tight and
+    // disjoint and a narrow predicate maps to few files. The in-path
+    // require makes the pruning load-bearing (filesRead strictly
+    // below filesTotal — without it the read silently degrades to a
+    // full scan); stats prune files, the predicate still filters
+    // rows, so the oracle proves FULL-ROW equality with the plain
+    // filtered table.
+    "pipe_manifest_skip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vskip_")
+      try {
+        val table = tmp.resolve("table")
+        val base = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+          .repartitionByRange(8, $"doc_id")
+        VersionedTable.commitWithStats(s, table, 0L, base, "doc_id")
+        val (df, nRead, nTotal) =
+          VersionedTable.readRange(s, table, "doc_id", 10L, 40L)
+        require(nRead < nTotal,
+          s"pipe_manifest_skip: no files skipped ($nRead of $nTotal " +
+            "opened) — stats pruning is not load-bearing")
+        val out = df.orderBy("doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
     })
   )
 
@@ -2194,6 +2231,15 @@ object DedupQueries extends QueryModule {
         |    CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT)
         |FROM v2
         |ORDER BY version""".stripMargin,
+
+    // File skipping must not change results: full-row equality with
+    // the plainly filtered table.
+    "pipe_manifest_skip" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE doc_id BETWEEN 10 AND 40
+        |ORDER BY doc_id""".stripMargin,
 
     // The v1 snapshot at full row fidelity — the exact table a
     // time-travel read at version 1 must return after v2 is live.

@@ -615,6 +615,31 @@ object EventsQueries extends QueryModule {
       }
     }),
 
+    // STREAMING VERSIONED-TABLE COMMITS (r12): each micro-batch is an
+    // APPEND COMMIT through the operators.VersionedTable protocol —
+    // version = batchId, the batch's files plus the carried-forward
+    // prior manifest, published by one atomic conditional create. The
+    // exactly-once mechanism itself: a RETRIED batch's publish hits
+    // the version-collision conflict and is skipped, so replay can
+    // never double-append (the streaming-sink txn-version pattern
+    // real table formats use); a crash before publish leaves only
+    // invisible orphan files. The drain's in-path witnesses require
+    // the committed history to be exactly one version per data batch
+    // with strictly growing row counts — the table's history IS the
+    // stream's batch history, time-travelable to "after batch k".
+    // Stateless query (append-only publishing needs no watermark or
+    // state store); the final version must be the events table exactly
+    // once — the oracle is the raw projection.
+    "ev_stream_commit" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.EventStreams.withSplitEvents(s, dir, 3) { (src, nf) =>
+        graft.streaming.EventStreams.drainVersionedCommits(
+            src.selectExpr("event_id", "user_id", "event_type", "value"),
+            "graft_ev_vcommit_", minBatches = nf)
+          .orderBy("event_id")
+      }
+    }),
+
     // Streaming exactly-once dedup, driver-checked: every source slice
     // is staged TWICE (a byte-identical copy one file later — the
     // at-least-once re-delivery every ingestion pipeline must
@@ -1553,6 +1578,13 @@ object EventsQueries extends QueryModule {
     // filter if the horizon already passed it. Originals are never
     // late (slices are time-contiguous), so nothing else is dropped.
     "ev_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin,
+    // The appended table after the last commit must be the events
+    // table exactly once — same projection as ev_stream_dedup, but
+    // proven through the commit protocol (append history + conflict
+    // idempotency) instead of dedup state.
+    "ev_stream_commit" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
     "ev_stream_enrich" ->

@@ -1094,6 +1094,78 @@ object EventStreams {
     } finally deleteTree(tmp)
   }
 
+  /** Streaming EXACTLY-ONCE table publishing through the versioned
+    * commit protocol (operators.VersionedTable): each micro-batch is
+    * an APPEND COMMIT — the batch's rows become new files, the prior
+    * version's manifest is carried forward, and version number =
+    * batchId. This is the mechanism that turns Spark's replayable-
+    * source + idempotent-sink contract into end-to-end exactly-once
+    * TABLE semantics: a batch retried after its commit published hits
+    * the manifest's atomic-create conflict (the putIfAbsent) and is
+    * skipped — the retry can never double-append, because the conflict
+    * IS the "already done" signal (the Delta/Iceberg streaming-sink
+    * txn-version dance, re-derived). A crash BEFORE publish leaves
+    * only orphan files under a unique attempt slug; the replayed batch
+    * commits fresh ones. Consumers meanwhile read any committed
+    * version with full snapshot isolation — a reader planning over
+    * version N is untouchable by in-flight commits, and the table's
+    * HISTORY is the stream's batch history (time travel to "the table
+    * after batch k"). The streaming query itself is stateless (no
+    * watermark/state store: append-only publishing needs none).
+    *
+    * In-path witnesses: the committed history must be exactly
+    * 0..lastBatch with strictly growing row counts, and version 0's
+    * count must be below the latest (the append history is real, not
+    * one fat batch). Returns the LATEST version as a local relation
+    * (same read-back contract as loadAndClean). */
+  def drainVersionedCommits(df: DataFrame, tag: String,
+      minBatches: Int = 0): DataFrame = {
+    import graft.operators.VersionedTable
+    val spark = df.sparkSession
+    val tmp = tempDir(tag)
+    val table = tmp.resolve("table")
+    try {
+      val batches = awaitCounted(spark,
+        df.writeStream
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+              // A trailing no-data micro-batch publishes nothing (an
+              // empty append is not a version); carried files come
+              // from the latest committed manifest, not bid-1, so the
+              // chain survives any skipped batch id.
+              if (!batch.isEmpty) {
+                val carried = VersionedTable.latestVersion(table)
+                  .map(VersionedTable.manifest(table, _))
+                  .getOrElse(Seq.empty[String])
+                try VersionedTable.commit(spark, table, bid, batch.toDF(), carried)
+                catch {
+                  // A retried batch whose commit already published:
+                  // exactly-once by conflict, not by luck.
+                  case _: java.nio.file.FileAlreadyExistsException => ()
+                }
+              }
+              ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())._2
+      assertBatches(batches, minBatches)
+      val history = VersionedTable.versions(table)
+      require(history == (0L until batches.toLong),
+        s"drainVersionedCommits: committed history $history is not " +
+          s"exactly batches 0..${batches - 1}")
+      val counts = history.map(v =>
+        VersionedTable.read(spark, table, Some(v)).count())
+      require(counts.zip(counts.tail).forall { case (a, b) => a < b },
+        s"drainVersionedCommits: version row counts $counts must " +
+          "strictly grow — some batch appended nothing")
+      val raw = VersionedTable.read(spark, table)
+      spark.createDataFrame(
+        java.util.Arrays.asList(raw.collect(): _*), raw.schema)
+    } finally deleteTree(tmp)
+  }
+
   /** Shared post-drain read-back: load the sink into a LOCAL relation
     * (drain results are harness read-backs bounded by the sink's size —
     * a production deployment's consumers read the sink files in place),

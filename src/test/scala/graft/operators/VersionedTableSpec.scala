@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Protocol-level guarantees of the manifest/commit-log layer that the
+  * query-surface witnesses (pipe_table_commit / pipe_time_travel)
+  * exercise end-to-end: atomic visibility, optimistic-concurrency
+  * conflict on a version collision, file carry-over, and orphan
+  * invisibility.
+  */
+class VersionedTableSpec extends SparkSpec {
+
+  private def freshTable() =
+    Files.createTempDirectory("graft_vt_spec_").resolve("t")
+
+  private def df(ids: Long*) = {
+    import spark.implicits._
+    ids.toSeq.toDF("id")
+  }
+
+  test("no committed version -> read fails, latest is None") {
+    val t = freshTable()
+    assert(VersionedTable.latestVersion(t).isEmpty)
+    assert(VersionedTable.versions(t).isEmpty)
+    intercept[IllegalArgumentException] { VersionedTable.read(spark, t) }
+  }
+
+  test("commit then read round-trips; latest resolves the max version") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2, 3))
+    VersionedTable.commit(spark, t, 1L, df(4, 5))
+    assert(VersionedTable.versions(t) == Seq(0L, 1L))
+    assert(VersionedTable.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(4L, 5L))
+    assert(VersionedTable.read(spark, t, Some(0L)).count() == 3)
+  }
+
+  test("append commit carries prior files: old rows + new rows, no rewrite") {
+    val t = freshTable()
+    val v0Files = VersionedTable.commit(spark, t, 0L, df(1, 2, 3))
+    VersionedTable.commit(spark, t, 1L, df(10, 11),
+      carried = VersionedTable.manifest(t, 0L))
+    val v1 = VersionedTable.manifest(t, 1L)
+    assert(v0Files.forall(v1.contains),
+      "v1's manifest must list every v0 file verbatim (no data movement)")
+    assert(VersionedTable.read(spark, t).count() == 5)
+    // Time travel still sees only v0.
+    assert(VersionedTable.read(spark, t, Some(0L)).count() == 3)
+  }
+
+  test("a crashed commit is invisible; previous version stays readable") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2))
+    VersionedTable.failedCommit(spark, t, 1L, df(99))
+    assert(VersionedTable.versions(t) == Seq(0L),
+      "the unrenamed manifest must not appear in the history")
+    assert(VersionedTable.read(spark, t).count() == 2)
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, t, Some(1L))
+    }
+  }
+
+  test("publishing the same version twice fails (optimistic concurrency)") {
+    val t = freshTable()
+    val files = VersionedTable.commit(spark, t, 0L, df(1))
+    // A racing committer of version 0: the atomic rename must refuse
+    // the existing target instead of clobbering it.
+    intercept[java.nio.file.FileSystemException] {
+      VersionedTable.publish(t, 0L, files)
+    }
+    // The original commit is untouched.
+    assert(VersionedTable.manifest(t, 0L) == files)
+  }
+}
