@@ -178,6 +178,38 @@ object VersionedTable {
       live.size, all.size)
   }
 
+  /** VACUUM: expire every version below `keepFrom` and delete the data
+    * files nothing retained references — the reclamation half of the
+    * protocol (old snapshots and crashed-attempt orphans accumulate
+    * forever otherwise). Safety is purely set arithmetic: a file
+    * survives iff SOME manifest ≥ `keepFrom` lists it, so files
+    * carried forward across an expired boundary (append commits)
+    * survive, while files referenced only by expired versions — and
+    * orphans referenced by nothing — are removed. Expired manifests
+    * are deleted LAST: a crash mid-vacuum leaves extra files (safe,
+    * invisible), never a manifest pointing at deleted data. Returns
+    * (filesDeleted, versionsExpired). */
+  def expire(table: Path, keepFrom: Long): (Int, Int) = {
+    val all = versions(table)
+    val (dead, live) = all.partition(_ < keepFrom)
+    require(live.nonEmpty,
+      s"expire(keepFrom=$keepFrom) would delete every version of $table")
+    val referenced = live.flatMap(v => statsManifest(table, v).map(_._1)).toSet
+    val dataRoot = table.resolve("data")
+    var deleted = 0
+    if (Files.isDirectory(dataRoot)) {
+      val walk = Files.walk(dataRoot)
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          !referenced.contains(table.relativize(p).toString))
+        .foreach { p => Files.delete(p); deleted += 1 }
+      finally walk.close()
+    }
+    dead.foreach(v =>
+      Files.deleteIfExists(commitsDir(table).resolve(manifestName(v))))
+    (deleted, dead.size)
+  }
+
   /** Committed versions, ascending (the readable history). */
   def versions(table: Path): Seq[Long] = {
     val dir = commitsDir(table)

@@ -1649,6 +1649,62 @@ object DedupQueries extends QueryModule {
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // COMPACTION AS A COMMIT + VACUUM (r12) — pipe_compact_files'
+    // OPTIMIZE rewrite, upgraded from raw directories to the protocol:
+    // v0 lands fragmented (64 tiny files — ingest litter), v1 is the
+    // compaction commit (same rows, few right-sized files; the
+    // in-path require proves the file count actually shrank), and
+    // CRUCIALLY v0 stays readable after v1 publishes — compaction is
+    // a new version, not an in-place mutation, so concurrent readers
+    // planning over v0 are never broken (the torn-read hazard the raw
+    // pipe_compact_files rewrite would have under concurrency). Then
+    // VACUUM (expire < 1) reclaims v0's unreferenced files and its
+    // manifest: the in-path requires witness v0 files deleted, v0
+    // unreadable, and — the safety property — v1 STILL fully readable
+    // (its files were never candidates). Output: the per-lang content
+    // digest over v1 AFTER the vacuum, so the driver proves
+    // compaction+reclamation end-to-end content-lossless against the
+    // original table.
+    "pipe_compact_commit" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vcompact_")
+      try {
+        val table = tmp.resolve("table")
+        val base = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"text", $"n_chars")
+        VersionedTable.commit(s, table, 0L, base.repartition(64))
+        val nFrag = VersionedTable.manifest(table, 0L).size
+        // OPTIMIZE: one read of v0, one right-sized rewrite, commit v1.
+        VersionedTable.commit(s, table, 1L,
+          VersionedTable.read(s, table, Some(0L)).coalesce(2))
+        val nComp = VersionedTable.manifest(table, 1L).size
+        require(nComp < nFrag,
+          s"pipe_compact_commit: rewrite did not compact ($nFrag -> $nComp)")
+        require(VersionedTable.read(s, table, Some(0L)).count() ==
+            VersionedTable.read(s, table, Some(1L)).count(),
+          "pipe_compact_commit: v0 must stay readable (and equal) " +
+            "after the compaction commit")
+        val (nDeleted, nExpired) = VersionedTable.expire(table, keepFrom = 1L)
+        require(nExpired == 1 && nDeleted >= nFrag,
+          s"pipe_compact_commit: vacuum expired $nExpired versions / " +
+            s"deleted $nDeleted files; expected v0's $nFrag+ files gone")
+        require(scala.util.Try(
+            VersionedTable.read(s, table, Some(0L)).count()).isFailure,
+          "pipe_compact_commit: v0 must be unreadable after expiry")
+        val out = VersionedTable.read(s, table)
+          .selectExpr("lang", "n_chars",
+            "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT) AS h")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("sum_chars"),
+            expr("bit_xor(h)").as("content_sig"))
+          .orderBy("lang")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
     })
   )
 
@@ -1927,6 +1983,15 @@ object DedupQueries extends QueryModule {
         |  ORDER BY k DESC, doc_id LIMIT 50)
         |ORDER BY doc_id""".stripMargin,
     "pipe_compact_files" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS content_sig
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    // Same content digest as pipe_compact_files: compaction-as-commit
+    // plus vacuum must be exactly as lossless as the raw rewrite.
+    "pipe_compact_commit" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS content_sig

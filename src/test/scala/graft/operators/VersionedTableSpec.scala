@@ -61,6 +61,34 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("expire deletes only files no retained version references") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2, 3))
+    // v1 APPENDS, carrying v0's files — those must survive v0's expiry.
+    VersionedTable.commit(spark, t, 1L, df(4),
+      carried = VersionedTable.manifest(t, 0L))
+    // v2 rewrites fully — v1's new file becomes reclaimable once v1 dies.
+    VersionedTable.commit(spark, t, 2L, df(7, 8))
+    VersionedTable.failedCommit(spark, t, 3L, df(99)) // orphan litter
+    val (deleted0, expired0) = VersionedTable.expire(t, keepFrom = 1L)
+    assert(expired0 == 1)
+    // v1 carried every v0 file, so only the orphan attempt's files die.
+    assert(VersionedTable.read(spark, t, Some(1L)).count() == 4,
+      "carried files must survive the carrier's ancestor expiring")
+    val (_, expired1) = VersionedTable.expire(t, keepFrom = 2L)
+    assert(expired1 == 1)
+    assert(VersionedTable.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(7L, 8L))
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, t, Some(1L))
+    }
+    // Refusing to expire the whole history.
+    intercept[IllegalArgumentException] {
+      VersionedTable.expire(t, keepFrom = 99L)
+    }
+    assert(deleted0 >= 1)
+  }
+
   test("publishing the same version twice fails (optimistic concurrency)") {
     val t = freshTable()
     val files = VersionedTable.commit(spark, t, 0L, df(1))
