@@ -202,6 +202,63 @@ object AdvancedQueries extends QueryModule {
         .orderBy("zbucket")
     }),
 
+    // TRIANGLE COUNTING (r12) — the third graph primitive beside
+    // connected components (frontier) and PageRank (dense iteration):
+    // clustering/community structure over the co-purchase graph
+    // (parts appearing in the same order; the %4 slice keeps the
+    // fixture graph analysis-sized). The scale shape is DEGREE-ORDERED
+    // ORIENTATION, the canonical distributed-triangle trick: rank
+    // nodes by (degree, id), orient every edge low→high rank, generate
+    // wedges by self-joining oriented edges on their LOW endpoint, and
+    // close each wedge against the oriented edge set. Orientation
+    // bounds every out-degree by O(√m), so the wedge count — the only
+    // superlinear term — is O(m^1.5) worst case instead of Σdeg²'s
+    // hub-explosion (a celebrity node of degree d contributes d² naive
+    // wedges but ~m oriented ones). Both joins are plain equi-joins
+    // (hash/SMJ at scale, no broadcast needed). The reported counts
+    // (nodes/edges/triangles) are orientation-INVARIANT, so the oracle
+    // counts the same triangles with the simple id-ordered triple join
+    // — proving the optimized orientation changed nothing.
+    "rel_triangles" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .where($"l_partkey" % 4 === 0)
+        .select($"l_orderkey", $"l_partkey")
+      val pairs = li.alias("a")
+        .join(li.alias("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .distinct()
+        .persist()
+      val deg = pairs.select($"u".as("n"))
+        .unionAll(pairs.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("d"))
+      // Orient low→high by (degree, id); carry the high endpoint's
+      // rank key so wedge endpoints can be ordered without a re-join.
+      val oriented = pairs
+        .join(deg.select($"n".as("u"), $"d".as("du")), "u")
+        .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
+        .select(
+          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"),
+            struct($"u".as("lo"), $"v".as("hi"), $"dv".as("dhi")))
+            .otherwise(struct($"v".as("lo"), $"u".as("hi"), $"du".as("dhi")))
+            .as("e"))
+        .select($"e.lo".as("lo"), $"e.hi".as("hi"), $"e.dhi".as("dhi"))
+        .persist()
+      val wedges = oriented.select($"lo", $"hi".as("h1"), $"dhi".as("d1"))
+        .join(oriented.select($"lo", $"hi".as("h2"), $"dhi".as("d2")), "lo")
+        .where($"d1" < $"d2" || ($"d1" === $"d2" && $"h1" < $"h2"))
+      // rank(h1) < rank(h2) ⇒ the closing edge, if present, is
+      // oriented (h1 → h2): one equi-join decides each wedge.
+      val tris = wedges
+        .join(oriented.select($"lo".as("h1"), $"hi".as("h2")), Seq("h1", "h2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+      val edges = pairs.agg(count(lit(1)).as("n_edges"))
+      nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(tris))
+    }),
+
     // PAGERANK, fixed-point (r11): 5 synchronous rounds of the random-
     // surfer update over the part↔supplier bipartite graph derived
     // from lineitem (edges = DISTINCT (l_partkey, l_suppkey) in both
@@ -355,6 +412,26 @@ object AdvancedQueries extends QueryModule {
         |  FROM ev)
         |WHERE event_type = 'purchase'
         |ORDER BY user_id, event_id""".stripMargin,
+    // Orientation-invariant counts via the simple id-ordered triple
+    // join — the degree-ordered plan must change nothing.
+    "rel_triangles" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |            WHERE l_partkey % 4 = 0),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM li a JOIN li b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |n AS (SELECT count(DISTINCT x) AS n_nodes FROM
+        |        (SELECT u AS x FROM e UNION ALL SELECT v FROM e)),
+        |m AS (SELECT count(*) AS n_edges FROM e),
+        |t AS (SELECT count(*) AS n_triangles
+        |      FROM e e1
+        |      JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(n_edges AS BIGINT) AS n_edges,
+        |  CAST(n_triangles AS BIGINT) AS n_triangles
+        |FROM n, m, t""".stripMargin,
+
     "rel_range_join" -> RangeBandSql,
     // IDENTICAL oracle text: the driver independently proves the
     // projection form reproduces the inequality-join form bit for bit

@@ -83,6 +83,62 @@ object RelationalQueries extends QueryModule {
         .orderBy("r_name", "n_name")
     }),
 
+    // INCREMENTAL JOIN-VIEW MAINTENANCE (r12) — the delta algebra
+    // ev_incr_refresh's aggregate merge cannot express: a materialized
+    // JOIN view V = A ⋈ B refreshed under inserts on BOTH sides via
+    //   ΔV = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB
+    // (insert-only IVM; the three terms are disjoint by construction,
+    // so the refreshed view is stored-rows ∪ ΔV with no dedup). The
+    // fixture splits lineitem by late line numbers (ΔA = l_linenumber
+    // ≥ 4, late-arriving items on existing orders) and orders by key
+    // residue (ΔB = o_orderkey%7==0, newly landed orders), so all
+    // three delta terms are non-empty. Scale shape: yesterday's V is
+    // STORED (staged parquet) and never recomputed; each old-side
+    // input is first SEMI-JOIN SCOPED to the delta's key set before
+    // the delta join — at 100 TB that scoping is the index/partition-
+    // pruned lookup that keeps refresh cost tracking the delta, not
+    // the corpus. The view stores DETAIL rows (priority, price, disc),
+    // so the final aggregate over stored ∪ ΔV is bit-identical to a
+    // full recompute — which is exactly what the oracle runs: the
+    // driver proves merge-refresh ≡ recompute for a JOIN view.
+    "rel_incr_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_extendedprice", $"l_discount")
+      val ord = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority")
+      val aOld = li.where($"l_linenumber" <= 3)
+      val aDelta = li.where($"l_linenumber" >= 4)
+      val bOld = ord.where($"o_orderkey" % 7 =!= 0)
+      val bDelta = ord.where($"o_orderkey" % 7 === 0)
+      def view(a: DataFrame, b: DataFrame): DataFrame =
+        a.join(b, $"l_orderkey" === $"o_orderkey")
+          .select($"o_orderpriority", $"l_extendedprice", $"l_discount")
+      val tmp = graft.sources.GraftSession.stagingDir("graft_ivmj_")
+      try {
+        view(aOld, bOld).write.parquet(s"$tmp/view")
+        val stored = s.read.parquet(s"$tmp/view")
+        val bOldScoped = bOld.join(
+          aDelta.select($"l_orderkey".as("k")).distinct(),
+          $"o_orderkey" === $"k", "left_semi")
+        val aOldScoped = aOld.join(
+          bDelta.select($"o_orderkey".as("k")).distinct(),
+          $"l_orderkey" === $"k", "left_semi")
+        val deltaV = view(aDelta, bOldScoped)
+          .unionAll(view(aOldScoped, bDelta))
+          .unionAll(view(aDelta, bDelta))
+        val out = stored.unionAll(deltaV)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            QueryModule.revenue($"l_extendedprice", $"l_discount")
+              .as("revenue"))
+          .orderBy("o_orderpriority")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // Skew-mitigated (salted) equi-join: at 100 TB a hot join key (one
     // customer with millions of orders) lands an entire shuffle
     // partition on one task. Salting splits the fact side's key space
@@ -677,6 +733,14 @@ object RelationalQueries extends QueryModule {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+    // The FULL join recompute — the driver proves the stored-view +
+    // three-term delta refresh lands on the identical aggregate.
+    "rel_incr_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+        |  ${QueryModule.DuckRevenue} AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // The plain join — identical results prove the bucketed layout
     // round-trip (write bucketed, join co-located) is semantics-
     // preserving; the no-shuffle property itself is asserted in
