@@ -134,6 +134,10 @@ object RelationalQueries extends QueryModule {
             QueryModule.revenue($"l_extendedprice", $"l_discount")
               .as("revenue"))
           .orderBy("o_orderpriority")
+        // Inner-plan registry: the returned frame is a local relation
+        // (the staged view dies with the query), so PlanShapeSpec
+        // reads the real refresh plan from here.
+        QueryModule.gatedPlans.put("rel_incr_join", out)
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally graft.streaming.EventStreams.deleteTree(tmp)

@@ -333,6 +333,26 @@ class PlanShapeSpec extends SparkSpec {
         "the index was re-derived at query time")
   }
 
+  test("triangle wedges close through keyed equi-joins, never all-pairs") {
+    val p = plan("rel_triangles")
+    // The only nested-loop joins allowed are the final composition of
+    // the three 1-row aggregates; the wedge and closing joins must be
+    // keyed (the join keys appear in a hash/merge join header).
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[h1".r
+        .findFirstIn(p).isDefined,
+      "the closing join must be a keyed equi-join on (h1, h2)")
+    assert(!p.contains("CartesianProduct"), "no cross product")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "only the two 1-row aggregate compositions may nest-loop")
+  }
+
+  test("incremental join refresh: old sides are delta-scoped semi-joins") {
+    val p = gatedPlan("rel_incr_join")
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      "both old-side inputs must be semi-join scoped to the delta keys " +
+        "before the delta join — otherwise refresh cost tracks the corpus")
+  }
+
   test("transition matrix: windows stay keyed, no join, no global sort before output") {
     val p = plan("ev_transitions")
     assert(!p.contains("Join"), "adjacent transitions come from lead(), not a self-join")
