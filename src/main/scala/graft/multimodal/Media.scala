@@ -278,6 +278,31 @@ object MediaCodec {
       s"unknown container magic: ${bytes.take(4).map(b => f"${b & 0xff}%02x").mkString}")
   }
 
+  /** Decode an audio payload's PCM16 sample values through the REAL
+    * RIFF parser: the AudioInputStream's decoded byte stream (not the
+    * raw payload) is paired little-endian into signed 16-bit samples —
+    * so a framing bug in the container path would surface here, not be
+    * papered over by rereading the input. On this fixture the payload
+    * is ASCII, so every hi byte < 0x80 and all samples are
+    * non-negative; the oracle replays the identical pairing from the
+    * text bytes. */
+  def pcmSamples(m: MediaFile): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(wavFor(m.payload)))
+    try {
+      val bytes = ais.readAllBytes()
+      val out = new Array[Int](bytes.length / 2)
+      var i = 0
+      while (i < out.length) {
+        val lo = bytes(2 * i) & 0xff
+        val hi = bytes(2 * i + 1).toInt
+        out(i) = (hi << 8) | lo
+        i += 1
+      }
+      out
+    } finally ais.close()
+  }
+
   def decode(m: MediaFile): MediaMeta = {
     val len = m.payload.length.toLong
     m.mediaType match {

@@ -80,6 +80,33 @@ object MultimodalQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // AUDIO ENERGY FEATURES (r12) — the per-clip loudness profile an
+    // audio-corpus quality filter thresholds on (silence/clipping
+    // screens, VAD pre-filtering): sample count, Σ|x|, Σx² (the RMS
+    // numerator) and peak amplitude per audio doc, computed from PCM16
+    // samples decoded through the REAL RIFF parser (AudioInputStream's
+    // decoded byte stream, paired little-endian — a container-framing
+    // bug shows up here as a value diff, not silence). All exact
+    // integers, so the oracle replays the identical pairing from the
+    // payload's text bytes (ASCII ⇒ hi byte < 0x80 ⇒ all samples
+    // non-negative on this fixture; the abs in-path is the general
+    // form). Narrow per-partition decode map, no shuffle — the
+    // embarrassingly parallel stage where a real codec burns CPU.
+    "mm_audio_energy" -> ((s, dir) => {
+      import s.implicits._
+      media(s, dir, Some("audio")).map { m =>
+        val xs = graft.multimodal.MediaCodec.pcmSamples(m)
+        var sumAbs = 0L; var sumSq = 0L; var peak = 0L
+        xs.foreach { v =>
+          val a = math.abs(v.toLong)
+          sumAbs += a; sumSq += v.toLong * v
+          if (a > peak) peak = a
+        }
+        (m.docId, xs.length.toLong, sumAbs, sumSq, peak)
+      }.toDF("doc_id", "n_samples", "sum_abs", "sum_sq", "peak")
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling: videos only, every frame ACTUALLY DECODED from
     // the multi-frame GIF container — per-frame dims, GCE delay, and
     // the first pixel's round-tripped gray value all come out of the
@@ -283,6 +310,23 @@ object MultimodalQueries extends QueryModule {
           s"len(list_filter(string_split(text, ''), c -> ascii(c) % 8 = $b)) AS f$b")
           .mkString(", ") +
         """ FROM documents ORDER BY doc_id"""),
+    // Replays the PCM16 little-endian pairing from the text bytes:
+    // sample i = code(2i-1) + 256·code(2i) (ASCII ⇒ non-negative, so
+    // sum_abs = plain sum). Coalesce guards the ns=0 empty list.
+    "mm_audio_energy" ->
+      """WITH a AS (SELECT doc_id, text, len(text) // 2 AS ns
+        |           FROM documents WHERE CAST(doc_id % 3 AS INT) = 1),
+        |s AS (SELECT doc_id, ns,
+        |        [ascii(substr(text, 2*i-1, 1)) + 256 * ascii(substr(text, 2*i, 1))
+        |         FOR i IN range(1, ns + 1)] AS v
+        |      FROM a)
+        |SELECT doc_id, CAST(ns AS BIGINT) AS n_samples,
+        |  CAST(coalesce(list_sum(v), 0) AS BIGINT) AS sum_abs,
+        |  CAST(coalesce(list_sum([x * x FOR x IN v]), 0) AS BIGINT) AS sum_sq,
+        |  CAST(coalesce(list_max(v), 0) AS BIGINT) AS peak
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
     // Predicts the GIF generator frame by frame: frame 0 is the full
     // logical screen, later frames are 1-px strips; every frame carries
     // the same (blen%100)+1 cs delay; the first pixel of frame i is the
