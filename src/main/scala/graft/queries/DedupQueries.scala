@@ -1705,6 +1705,77 @@ object DedupQueries extends QueryModule {
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // CHANGE DATA FEED between versions (r12) — "what changed from
+    // v0 to v1" at ROW level, priced at FILE level: because data files
+    // are immutable, any file listed in BOTH manifests cannot contain
+    // a change — the row diff runs only over v0-only ∪ v1-only files,
+    // so CDF cost tracks the commit's touched data, not the table
+    // (pipe_snapshot_diff's full-table digest join is the
+    // protocol-less sibling; this is why table formats derive their
+    // change feeds from the commit log). The v1 commit itself is a
+    // PARTIAL REWRITE scoped by manifest stats: the update batch
+    // targets doc_id < 64, so only the stats-overlapping files are
+    // read and rewritten (U: +1000 chars on doc_id%10!=3; D:
+    // doc_id%10==3 removed) and every other file is carried verbatim
+    // — in-path requires prove files were actually shared AND the
+    // diff never opened them. Classification is one full-outer join
+    // on the key over the two small file sets; rewritten-but-
+    // unchanged rows (ids ≥ 64 sharing a rewritten file) fall out as
+    // equal and are excluded. Oracle reconstructs the U/D sets
+    // explicitly from the fixture.
+    "pipe_cdf" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vcdf_")
+      try {
+        val table = tmp.resolve("table")
+        val base = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+          .repartitionByRange(8, $"doc_id")
+        VersionedTable.commitWithStats(s, table, 0L, base, "doc_id")
+        val v0Lines = VersionedTable.manifest(table, 0L)
+        def range(line: String): (Long, Long) = {
+          val p = line.split('\t'); (p(1).toLong, p(2).toLong)
+        }
+        val (affected, carriedLines) = v0Lines.partition { l =>
+          val (mn, mx) = range(l); mx >= 0L && mn <= 63L
+        }
+        require(affected.nonEmpty && carriedLines.nonEmpty,
+          "pipe_cdf: the [0,63] batch must touch some files and spare " +
+            "others — otherwise the partial rewrite proves nothing")
+        val touched = s.read.parquet(
+          affected.map(l => table.resolve(l.split('\t').head).toString): _*)
+        val rewritten = touched
+          .where(!($"doc_id" < 64 && $"doc_id" % 10 === 3))
+          .select($"doc_id", $"lang",
+            when($"doc_id" < 64, $"n_chars" + 1000L)
+              .otherwise($"n_chars").as("n_chars"))
+        VersionedTable.commit(s, table, 1L, rewritten, carried = carriedLines)
+        val v0Set = v0Lines.toSet
+        val v1Set = VersionedTable.manifest(table, 1L).toSet
+        require((v0Set intersect v1Set) == carriedLines.toSet,
+          "pipe_cdf: the carried files must be exactly the shared set")
+        def readLines(lines: Set[String]): DataFrame =
+          s.read.parquet(lines.toSeq.sorted
+            .map(l => table.resolve(l.split('\t').head).toString): _*)
+        val oldRows = readLines(v0Set diff v1Set)
+          .select($"doc_id", $"n_chars".as("old_n_chars"))
+        val newRows = readLines(v1Set diff v0Set)
+          .select($"doc_id", $"n_chars".as("new_n_chars"))
+        val out = oldRows.join(newRows, Seq("doc_id"), "full_outer")
+          .select($"doc_id",
+            when($"new_n_chars".isNull, "D")
+              .when($"old_n_chars".isNull, "I")
+              .otherwise("U").as("op"),
+            $"old_n_chars", $"new_n_chars")
+          .where($"old_n_chars".isNull || $"new_n_chars".isNull ||
+            $"old_n_chars" =!= $"new_n_chars")
+          .orderBy("doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
     })
   )
 
@@ -1989,6 +2060,19 @@ object DedupQueries extends QueryModule {
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    // The U/D sets reconstructed explicitly: deletes are doc_id<64 %10==3,
+    // updates the rest of doc_id<64 with +1000 chars; no inserts.
+    "pipe_cdf" ->
+      """SELECT doc_id, 'D' AS op,
+        |  CAST(n_chars AS BIGINT) AS old_n_chars,
+        |  CAST(NULL AS BIGINT) AS new_n_chars
+        |FROM documents WHERE doc_id < 64 AND doc_id % 10 = 3
+        |UNION ALL
+        |SELECT doc_id, 'U', CAST(n_chars AS BIGINT),
+        |  CAST(n_chars + 1000 AS BIGINT)
+        |FROM documents WHERE doc_id < 64 AND doc_id % 10 <> 3
+        |ORDER BY doc_id""".stripMargin,
+
     // Same content digest as pipe_compact_files: compaction-as-commit
     // plus vacuum must be exactly as lossless as the raw rewrite.
     "pipe_compact_commit" ->
