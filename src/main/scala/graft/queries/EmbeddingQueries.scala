@@ -286,6 +286,54 @@ object EmbeddingQueries extends QueryModule {
         .orderBy("dim")
     }),
 
+    // SCALAR-QUANTIZED (SQ8) SEARCH (r12) — the search path that
+    // actually USES emb_int8_quant's parameter table: vectors packed
+    // to 8-bit codes per dimension (4× less memory/bandwidth than
+    // float32 — at 100 TB the difference between an in-RAM and an
+    // on-disk index), probes scored by integer dot product in the
+    // quantized domain. Everything is EXACT integer arithmetic
+    // (per-dim global min/range in 1e-6 fixed point, q = (v−min)·255
+    // div range ∈ [0,255], scores ≤ 64·255² fit comfortably), so
+    // unlike the float ANN routes this one is FULLY ORACLE-BACKED:
+    // DuckDB replays the identical quantize+dot+rank pipeline and the
+    // driver hash-compares every rank. Shape: the dim-sized stats ride
+    // into the plan as broadcast literals (bytes, not a join side),
+    // quantization is a narrow codegen'd zip_with, and the probe scan
+    // is the emb_knn broadcast-probe shape — one corpus pass, no
+    // shuffle. Quantization loss vs the float route is the measured
+    // trade, not a bug: the oracle proves the int8 route is computed
+    // exactly, not that it equals float ranking.
+    "emb_sq8_topk" -> ((s, dir) => {
+      import s.implicits._
+      val statRows = Tables.embeddings(s, dir)
+        .selectExpr("posexplode(cast(embedding AS array<double>)) AS (pos, v)")
+        .selectExpr("pos", "CAST(floor(v * 1000000) AS BIGINT) AS v6")
+        .groupBy($"pos")
+        .agg(min($"v6").as("mn"), max($"v6").as("mx"))
+        .orderBy("pos").collect()
+      require(statRows.length == 64, s"expected 64 dims, got ${statRows.length}")
+      val mins = statRows.map(_.getLong(1)).toSeq
+      val ranges = statRows.map(r => r.getLong(2) - r.getLong(1)).toSeq
+      val q8 = Tables.embeddings(s, dir)
+        .withColumn("mns", typedLit(mins))
+        .withColumn("rs", typedLit(ranges))
+        .selectExpr("vec_id",
+          "zip_with(zip_with(transform(cast(embedding AS array<double>), " +
+            "x -> CAST(floor(x * 1000000) AS BIGINT)), mns, (x, mn) -> x - mn), " +
+            "rs, (d, r) -> CASE WHEN r = 0 THEN 0L ELSE d * 255 div r END) AS q")
+      val probes = q8.where($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"q".as("pq"))
+      val w = Window.partitionBy($"qid").orderBy($"score".desc, $"vec_id")
+      q8.join(broadcast(probes), $"vec_id" =!= $"qid")
+        .selectExpr("qid", "vec_id",
+          "aggregate(zip_with(pq, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x) AS score")
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= 3)
+        .selectExpr("qid", "CAST(rank AS BIGINT) AS rank",
+          "vec_id AS nid", "score")
+        .orderBy("qid", "rank")
+    }),
+
     // K-MEANS, Lloyd's algorithm (r11): REAL iterative clustering (the
     // other emb queries use the label centroids as a deterministic
     // k-means stand-in — this is the trainer that would produce such a
@@ -929,6 +977,30 @@ object EmbeddingQueries extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "emb_blocked_pairs" -> CosinePairsSql,
+    // The identical quantize + integer-dot + rank pipeline: per-dim
+    // global min/range in 1e-6 fixed point, q = (v−min)·255 // range,
+    // same (score desc, nid) tie-break.
+    "emb_sq8_topk" ->
+      """WITH q AS (SELECT vec_id, d.i AS i,
+        |    CAST(floor(embedding[d.i]::DOUBLE * 1000000) AS BIGINT) AS v6
+        |  FROM embeddings, range(1, 65) d(i)),
+        |st AS (SELECT i, min(v6) AS mn, max(v6) AS mx FROM q GROUP BY i),
+        |qq AS (SELECT vec_id, q.i,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE (v6 - mn) * 255 // (mx - mn) END AS qv
+        |  FROM q JOIN st USING (i)),
+        |p AS (SELECT vec_id AS qid, i, qv AS pv FROM qq WHERE vec_id < 10),
+        |dot AS (SELECT p.qid, qq.vec_id AS nid,
+        |    CAST(sum(p.pv * qq.qv) AS BIGINT) AS score
+        |  FROM p JOIN qq ON p.i = qq.i AND qq.vec_id != p.qid
+        |  GROUP BY 1, 2),
+        |r AS (SELECT qid, nid, score,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, nid) AS rk
+        |  FROM dot)
+        |SELECT qid, CAST(rk AS BIGINT) AS rank, nid, score
+        |FROM r WHERE rk <= 3
+        |ORDER BY qid, rank""".stripMargin,
     // Identical quantization, sign-safe centroid division, integer
     // distances, and (dist, label) argmin tiebreak.
     "emb_cluster_purity" ->
