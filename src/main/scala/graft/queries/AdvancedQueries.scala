@@ -11,6 +11,46 @@ import org.apache.spark.sql.functions._
   */
 object AdvancedQueries extends QueryModule {
 
+  /** Degree-ordered triangle counting over an undirected edge set
+    * (`pairs`: distinct (u, v) with u < v, no self-loops) — the
+    * library operator behind `rel_triangles`, factored so TriangleSpec
+    * can property-test it against a local brute force on random
+    * graphs. Returns one row (n_nodes, n_edges, n_triangles). Rank =
+    * (degree, id); every edge is oriented low→high rank, bounding
+    * out-degrees at O(√m), so wedge generation — the only superlinear
+    * term — is O(m^1.5) worst case instead of Σdeg²'s hub explosion.
+    * Both joins are plain equi-joins. */
+  private[graft] def triangleStats(s: SparkSession, pairsIn: DataFrame): DataFrame = {
+    import s.implicits._
+    val pairs = pairsIn.persist()
+    val deg = pairs.select($"u".as("n"))
+      .unionAll(pairs.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    // Orient low→high by (degree, id); carry the high endpoint's
+    // rank key so wedge endpoints can be ordered without a re-join.
+    val oriented = pairs
+      .join(deg.select($"n".as("u"), $"d".as("du")), "u")
+      .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
+      .select(
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"),
+          struct($"u".as("lo"), $"v".as("hi"), $"dv".as("dhi")))
+          .otherwise(struct($"v".as("lo"), $"u".as("hi"), $"du".as("dhi")))
+          .as("e"))
+      .select($"e.lo".as("lo"), $"e.hi".as("hi"), $"e.dhi".as("dhi"))
+      .persist()
+    val wedges = oriented.select($"lo", $"hi".as("h1"), $"dhi".as("d1"))
+      .join(oriented.select($"lo", $"hi".as("h2"), $"dhi".as("d2")), "lo")
+      .where($"d1" < $"d2" || ($"d1" === $"d2" && $"h1" < $"h2"))
+    // rank(h1) < rank(h2) ⇒ the closing edge, if present, is
+    // oriented (h1 → h2): one equi-join decides each wedge.
+    val tris = wedges
+      .join(oriented.select($"lo".as("h1"), $"hi".as("h2")), Seq("h1", "h2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val edges = pairs.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(tris))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // AS-OF JOIN, backward: each purchase matched to the same user's
@@ -230,33 +270,7 @@ object AdvancedQueries extends QueryModule {
             $"a.l_partkey" < $"b.l_partkey")
         .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
         .distinct()
-        .persist()
-      val deg = pairs.select($"u".as("n"))
-        .unionAll(pairs.select($"v".as("n")))
-        .groupBy($"n").agg(count(lit(1)).as("d"))
-      // Orient low→high by (degree, id); carry the high endpoint's
-      // rank key so wedge endpoints can be ordered without a re-join.
-      val oriented = pairs
-        .join(deg.select($"n".as("u"), $"d".as("du")), "u")
-        .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
-        .select(
-          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"),
-            struct($"u".as("lo"), $"v".as("hi"), $"dv".as("dhi")))
-            .otherwise(struct($"v".as("lo"), $"u".as("hi"), $"du".as("dhi")))
-            .as("e"))
-        .select($"e.lo".as("lo"), $"e.hi".as("hi"), $"e.dhi".as("dhi"))
-        .persist()
-      val wedges = oriented.select($"lo", $"hi".as("h1"), $"dhi".as("d1"))
-        .join(oriented.select($"lo", $"hi".as("h2"), $"dhi".as("d2")), "lo")
-        .where($"d1" < $"d2" || ($"d1" === $"d2" && $"h1" < $"h2"))
-      // rank(h1) < rank(h2) ⇒ the closing edge, if present, is
-      // oriented (h1 → h2): one equi-join decides each wedge.
-      val tris = wedges
-        .join(oriented.select($"lo".as("h1"), $"hi".as("h2")), Seq("h1", "h2"))
-        .agg(count(lit(1)).as("n_triangles"))
-      val nodes = deg.agg(count(lit(1)).as("n_nodes"))
-      val edges = pairs.agg(count(lit(1)).as("n_edges"))
-      nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(tris))
+      triangleStats(s, pairs)
     }),
 
     // PAGERANK, fixed-point (r11): 5 synchronous rounds of the random-
