@@ -304,6 +304,44 @@ object DedupQueries extends QueryModule {
       .where($"c" * 2 >= $"sa" + $"sb" - $"c")
   }
 
+  /** Stage the shared v0→v2 version history used by BOTH
+    * `pipe_table_commit` and `pipe_time_travel` (one definition — a
+    * drifted copy would silently fork what "version 1" means between
+    * the two oracles): v0 = base documents; v1 = copy-on-write MERGE
+    * of the pipe_cdc_apply change batch over the v0 SNAPSHOT READ;
+    * v2 = append-only commit (+2^41 clones of doc_id%7==3, n_chars+5)
+    * carrying v1's file list verbatim. */
+  private def stageVersionHistory(
+      s: SparkSession, dir: String, table: java.nio.file.Path): Unit = {
+    import s.implicits._
+    import graft.operators.VersionedTable
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"n_chars")
+    VersionedTable.commit(s, table, 0L, base)
+    val changes = Tables.documents(s, dir)
+      .where($"doc_id" % 7 < 3)
+      .selectExpr(
+        "CASE WHEN doc_id % 7 = 2 THEN doc_id + 1099511627776L " +
+          "ELSE doc_id END AS doc_id",
+        "CASE doc_id % 7 WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op",
+        "lang AS c_lang",
+        "CASE doc_id % 7 WHEN 1 THEN n_chars + 1000L ELSE n_chars END " +
+          "AS c_n_chars")
+    val merged = VersionedTable.read(s, table, Some(0L))
+      .join(changes, Seq("doc_id"), "full_outer")
+      .where(coalesce($"op", lit("")) =!= "D")
+      .select($"doc_id",
+        coalesce($"c_lang", $"lang").as("lang"),
+        coalesce($"c_n_chars", $"n_chars").as("n_chars"))
+    VersionedTable.commit(s, table, 1L, merged)
+    val appended = Tables.documents(s, dir)
+      .where($"doc_id" % 7 === 3)
+      .selectExpr("doc_id + 2199023255552L AS doc_id", "lang",
+        "n_chars + 5L AS n_chars")
+    VersionedTable.commit(s, table, 2L, appended,
+      carried = VersionedTable.manifest(table, 1L))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup stats per source partition (hash-groupBy dedup shape;
@@ -1506,32 +1544,10 @@ object DedupQueries extends QueryModule {
       val tmp = graft.sources.GraftSession.stagingDir("graft_vtbl_")
       try {
         val table = tmp.resolve("table")
-        val base = Tables.documents(s, dir)
-          .select($"doc_id", $"lang", $"n_chars")
-        VersionedTable.commit(s, table, 0L, base)
-        val v0 = VersionedTable.read(s, table, Some(0L))
-        val changes = Tables.documents(s, dir)
-          .where($"doc_id" % 7 < 3)
-          .selectExpr(
-            "CASE WHEN doc_id % 7 = 2 THEN doc_id + 1099511627776L " +
-              "ELSE doc_id END AS doc_id",
-            "CASE doc_id % 7 WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op",
-            "lang AS c_lang",
-            "CASE doc_id % 7 WHEN 1 THEN n_chars + 1000L ELSE n_chars END " +
-              "AS c_n_chars")
-        val merged = v0.join(changes, Seq("doc_id"), "full_outer")
-          .where(coalesce($"op", lit("")) =!= "D")
-          .select($"doc_id",
-            coalesce($"c_lang", $"lang").as("lang"),
-            coalesce($"c_n_chars", $"n_chars").as("n_chars"))
-        VersionedTable.commit(s, table, 1L, merged)
-        val appended = Tables.documents(s, dir)
-          .where($"doc_id" % 7 === 3)
-          .selectExpr("doc_id + 2199023255552L AS doc_id", "lang",
-            "n_chars + 5L AS n_chars")
-        VersionedTable.commit(s, table, 2L, appended,
-          carried = VersionedTable.manifest(table, 1L))
-        VersionedTable.failedCommit(s, table, 3L, base.limit(10))
+        stageVersionHistory(s, dir, table)
+        VersionedTable.failedCommit(s, table, 3L,
+          Tables.documents(s, dir)
+            .select($"doc_id", $"lang", $"n_chars").limit(10))
         require(VersionedTable.versions(table) == Seq(0L, 1L, 2L),
           s"pipe_table_commit: readable history is " +
             s"${VersionedTable.versions(table)} — the failed v3 leaked " +
@@ -1575,31 +1591,7 @@ object DedupQueries extends QueryModule {
       val tmp = graft.sources.GraftSession.stagingDir("graft_vttt_")
       try {
         val table = tmp.resolve("table")
-        val base = Tables.documents(s, dir)
-          .select($"doc_id", $"lang", $"n_chars")
-        VersionedTable.commit(s, table, 0L, base)
-        val changes = Tables.documents(s, dir)
-          .where($"doc_id" % 7 < 3)
-          .selectExpr(
-            "CASE WHEN doc_id % 7 = 2 THEN doc_id + 1099511627776L " +
-              "ELSE doc_id END AS doc_id",
-            "CASE doc_id % 7 WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op",
-            "lang AS c_lang",
-            "CASE doc_id % 7 WHEN 1 THEN n_chars + 1000L ELSE n_chars END " +
-              "AS c_n_chars")
-        val merged = VersionedTable.read(s, table, Some(0L))
-          .join(changes, Seq("doc_id"), "full_outer")
-          .where(coalesce($"op", lit("")) =!= "D")
-          .select($"doc_id",
-            coalesce($"c_lang", $"lang").as("lang"),
-            coalesce($"c_n_chars", $"n_chars").as("n_chars"))
-        VersionedTable.commit(s, table, 1L, merged)
-        val appended = Tables.documents(s, dir)
-          .where($"doc_id" % 7 === 3)
-          .selectExpr("doc_id + 2199023255552L AS doc_id", "lang",
-            "n_chars + 5L AS n_chars")
-        VersionedTable.commit(s, table, 2L, appended,
-          carried = VersionedTable.manifest(table, 1L))
+        stageVersionHistory(s, dir, table)
         val nLatest = VersionedTable.read(s, table).count()
         val v1 = VersionedTable.read(s, table, Some(1L))
         val rows = v1.orderBy("doc_id").collect()
