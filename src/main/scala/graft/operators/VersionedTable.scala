@@ -238,10 +238,15 @@ object VersionedTable {
     * failed commits are invisible by construction. (Routes through
     * [[statsManifest]] so stats-bearing and plain manifest lines read
     * alike.) */
-  def read(s: SparkSession, table: Path, version: Option[Long] = None): DataFrame = {
+  def read(s: SparkSession, table: Path, version: Option[Long] = None,
+           mergeSchema: Boolean = false): DataFrame = {
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $table"))
     val files = statsManifest(table, v).map(f => table.resolve(f._1).toString)
-    s.read.parquet(files: _*)
+    // mergeSchema: a version whose commits span a schema change (an
+    // appended column) reconciles per-file footers into the union
+    // schema at plan time — old files surface typed NULLs. Off by
+    // default: single-schema reads should not pay the footer sweep.
+    s.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
   }
 }

@@ -1699,6 +1699,50 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // SCHEMA EVOLUTION THROUGH THE COMMIT PROTOCOL (r12) —
+    // pipe_schema_evolve proves mergeSchema over raw directories; this
+    // composes it with versioning, the form a long-lived table
+    // actually takes: v0 commits under schema A (doc_id, lang,
+    // n_chars), v1 is an APPEND commit whose new files carry schema
+    // A+quality — v0's files are carried verbatim (never rewritten:
+    // schema evolution must not cost a table rewrite at 100 TB), and
+    // a mergeSchema read of v1 reconciles the two footer schemas at
+    // plan time, surfacing typed NULL quality for the legacy rows.
+    // Time travel composes cleanly: a read AT v0 still sees pure
+    // schema A (in-path require — the old snapshot must not grow a
+    // column it never had). Aggregate witnesses both halves, exactly
+    // like pipe_schema_evolve's: per lang, null-quality count == v0
+    // rows, exact decimal quality sums for the v1 rows.
+    "pipe_schema_commit" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vschem_")
+      try {
+        val table = tmp.resolve("table")
+        val docs = Tables.documents(s, dir)
+        VersionedTable.commit(s, table, 0L,
+          docs.where($"doc_id" % 2 === 0)
+            .select($"doc_id", $"lang", $"n_chars"))
+        VersionedTable.commit(s, table, 1L,
+          docs.where($"doc_id" % 2 === 1)
+            .select($"doc_id", $"lang", $"n_chars",
+              ($"n_chars" % 100).cast("double").as("quality")),
+          carried = VersionedTable.manifest(table, 0L))
+        require(!VersionedTable.read(s, table, Some(0L))
+            .columns.contains("quality"),
+          "pipe_schema_commit: the v0 snapshot must keep schema A")
+        val out = VersionedTable.read(s, table, mergeSchema = true)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"quality".isNull, 1L).otherwise(0L)).as("n_legacy"),
+            sum($"quality".cast("decimal(18,2)")).cast("double")
+              .as("sum_quality"))
+          .orderBy("lang")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // CHANGE DATA FEED between versions (r12) — "what changed from
     // v0 to v1" at ROW level, priced at FILE level: because data files
     // are immutable, any file listed in BOTH manifests cannot contain
@@ -2052,6 +2096,23 @@ object DedupQueries extends QueryModule {
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    // The two schemas replayed as an explicit union with a typed NULL
+    // — what the mergeSchema read materializes implicitly (same form
+    // as pipe_schema_evolve's oracle; here the split is the commit
+    // boundary).
+    "pipe_schema_commit" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, n_chars, CAST(NULL AS DOUBLE) AS quality
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, CAST(n_chars % 100 AS DOUBLE)
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_legacy,
+        |  CAST(sum(CAST(quality AS DECIMAL(18,2))) AS DOUBLE) AS sum_quality
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
+
     // The U/D sets reconstructed explicitly: deletes are doc_id<64 %10==3,
     // updates the rest of doc_id<64 with +1000 chars; no inserts.
     "pipe_cdf" ->
