@@ -67,6 +67,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new BloomFilterAggregate(children.head,
           Cast(children(1), LongType), Cast(children(2), LongType))
       }))
+    // Engine-native optimizer rule: disjoint-literal-band inequality
+    // joins lower to the CASE-ladder projection (see
+    // graft.plans.RangeBandRewrite — semantics-guarded, falls back to
+    // the join untouched when its preconditions don't hold).
+    ext.injectOptimizerRule(_ => graft.plans.RangeBandRewrite)
     ext.injectFunction((
       new FunctionIdentifier("might_contain"),
       new ExpressionInfo(

@@ -317,6 +317,14 @@ class PlanShapeSpec extends SparkSpec {
       "per-round RDD cut missing — analyzer cost would grow with rounds")
   }
 
+  test("range join is auto-lowered to the CASE ladder by RangeBandRewrite") {
+    val p = plan("rel_range_join")
+    assert(!p.contains("Join"),
+      "the disjoint-band inequality join must be rewritten to a " +
+        "projection by the injected optimizer rule")
+    assert(p.contains("CASE WHEN"), "expected the CASE ladder")
+  }
+
   test("band bucket: banding is a projection — no join operator at all") {
     val p = plan("rel_band_bucket")
     assert(!p.contains("Join"),
