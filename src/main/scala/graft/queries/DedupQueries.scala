@@ -1699,6 +1699,55 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // QUALITY FILTER FUNNEL (r12) — the ablation table every corpus
+    // release publishes (the Dolma/FineWeb-style report): the cleaning
+    // rules applied in a FIXED order, with per-stage input/drop/
+    // survivor counts, so a reviewer can see which rule costs what.
+    // Stages: length bounds → stopword saturation → 3-gram repetition
+    // → language allowlist — every signal an EXACT integer expression
+    // already proven element-wise by its standalone query (txt_quality,
+    // txt_repetition, the shared grams3 fragment), so the funnel's
+    // whole report is oracle-exact. Shape: ONE corpus scan computing
+    // all signals, one partial+final aggregate producing five counters,
+    // stacked to long format AFTER aggregation (the pipe_profile
+    // pattern — the stack explodes 1 row, not the corpus). Order
+    // matters and is part of the contract: n_in of stage k is n_out of
+    // stage k−1, so a rule reordering shows up as a hash mismatch.
+    "pipe_filter_funnel" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .selectExpr("lang", s"$TOKENS AS t")
+        .selectExpr("lang",
+          "CAST(size(t) AS BIGINT) AS n_tok",
+          "CAST(size(filter(t, w -> w IN ('a', 'the'))) AS BIGINT) AS stop_cnt",
+          "CASE WHEN size(t) >= 3 THEN CAST(size(array_distinct(" +
+            s"${QueryModule.grams3("t")})) AS BIGINT) ELSE 0L END AS dg")
+        .selectExpr(
+          "n_tok BETWEEN 10 AND 1000 AS ok1",
+          // Zero-token guard mirrors txt_quality's ANSI-div concern.
+          "(CASE WHEN n_tok = 0 THEN 1000000L " +
+            "ELSE stop_cnt * 1000000L div n_tok END) < 300000 AS ok2",
+          "(CASE WHEN n_tok >= 3 THEN " +
+            "(n_tok - 2 - dg) * 1000000L div (n_tok - 2) " +
+            "ELSE 0L END) < 200000 AS ok3",
+          "lang IN ('en', 'de', 'es', 'fr', 'zh') AS ok4")
+        .agg(
+          count(lit(1)).as("c0"),
+          sum(when($"ok1", 1L).otherwise(0L)).as("c1"),
+          sum(when($"ok1" && $"ok2", 1L).otherwise(0L)).as("c2"),
+          sum(when($"ok1" && $"ok2" && $"ok3", 1L).otherwise(0L)).as("c3"),
+          sum(when($"ok1" && $"ok2" && $"ok3" && $"ok4", 1L).otherwise(0L))
+            .as("c4"))
+        .selectExpr("stack(4, " +
+          "1L, 'length', c0, c1, " +
+          "2L, 'stopwords', c1, c2, " +
+          "3L, 'repetition', c2, c3, " +
+          "4L, 'language', c3, c4) AS (stage, rule, n_in, n_out)")
+        .selectExpr("stage", "rule", "n_in",
+          "n_in - n_out AS n_drop", "n_out")
+        .orderBy("stage")
+    }),
+
     // SCHEMA EVOLUTION THROUGH THE COMMIT PROTOCOL (r12) —
     // pipe_schema_evolve proves mergeSchema over raw directories; this
     // composes it with versioning, the form a long-lived table
@@ -2096,6 +2145,45 @@ object DedupQueries extends QueryModule {
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    // Identical staged booleans over the shared tokenizer/grams
+    // fragments; the funnel chaining (n_in_k = n_out_{k-1}) is part of
+    // the compared output.
+    "pipe_filter_funnel" ->
+      s"""WITH sig AS (
+        |  SELECT lang, $duckTokens AS t FROM documents),
+        |x AS (
+        |  SELECT lang, len(t) AS n_tok,
+        |    len(list_filter(t, w -> w IN ('a', 'the'))) AS stop_cnt,
+        |    CASE WHEN len(t) >= 3
+        |      THEN len(list_distinct(${QueryModule.duckGrams3("t")}))
+        |      ELSE 0 END AS dg
+        |  FROM sig),
+        |f AS (
+        |  SELECT n_tok BETWEEN 10 AND 1000 AS ok1,
+        |    (CASE WHEN n_tok = 0 THEN 1000000
+        |      ELSE stop_cnt * 1000000 // n_tok END) < 300000 AS ok2,
+        |    (CASE WHEN n_tok >= 3
+        |      THEN (n_tok - 2 - dg) * 1000000 // (n_tok - 2)
+        |      ELSE 0 END) < 200000 AS ok3,
+        |    lang IN ('en', 'de', 'es', 'fr', 'zh') AS ok4
+        |  FROM x),
+        |c AS (SELECT count(*) AS c0,
+        |    sum(CASE WHEN ok1 THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN ok1 AND ok2 THEN 1 ELSE 0 END) AS c2,
+        |    sum(CASE WHEN ok1 AND ok2 AND ok3 THEN 1 ELSE 0 END) AS c3,
+        |    sum(CASE WHEN ok1 AND ok2 AND ok3 AND ok4 THEN 1 ELSE 0 END) AS c4
+        |  FROM f)
+        |SELECT CAST(stage AS BIGINT) AS stage, rule,
+        |  CAST(n_in AS BIGINT) AS n_in,
+        |  CAST(n_in - n_out AS BIGINT) AS n_drop,
+        |  CAST(n_out AS BIGINT) AS n_out
+        |FROM (
+        |  SELECT 1 AS stage, 'length' AS rule, c0 AS n_in, c1 AS n_out FROM c
+        |  UNION ALL SELECT 2, 'stopwords', c1, c2 FROM c
+        |  UNION ALL SELECT 3, 'repetition', c2, c3 FROM c
+        |  UNION ALL SELECT 4, 'language', c3, c4 FROM c)
+        |ORDER BY stage""".stripMargin,
+
     // The two schemas replayed as an explicit union with a typed NULL
     // — what the mergeSchema read materializes implicitly (same form
     // as pipe_schema_evolve's oracle; here the split is the commit
