@@ -41,6 +41,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * GraftSession.stagingDir — a real cluster points SPARK_GRAFT_STAGING
   * at a shared mount; an object-store port swaps these few lines for
   * conditional PUTs, the protocol is unchanged).
+  *
+  * Scaling note, stated plainly: manifests here are one flat text file
+  * parsed on the driver — O(live files) work per read. That holds to
+  * the order of 10⁵–10⁶ files (a line is ~100 bytes; tens of MB of
+  * driver text), which with right-sized 128 MB–1 GB files covers a
+  * 100 TB table. Beyond that, real formats shard the metadata (a
+  * manifest LIST pointing at per-partition manifest files, read as a
+  * distributed job) — a layout change inside this object's read/write
+  * helpers; the commit point, snapshot isolation, and time-travel
+  * semantics above are unchanged by it.
   */
 object VersionedTable {
 
