@@ -187,7 +187,11 @@ object ClusterSmoke {
     }
     spark.sparkContext.addSparkListener(listener)
     val heavy = Seq("rel_pagerank", "dedup_clusters", "pipe_profile",
-      "dedup_minhash_lsh", "tpch_q9", "tpch_q18", "tpch_q21")
+      "dedup_minhash_lsh", "tpch_q9", "tpch_q18", "tpch_q21",
+      // r12 additions with real volume: the wedge-join triangle count
+      // and the full versioned-table protocol cycle (writes + merges
+      // + time-travel reads under starved executors).
+      "rel_triangles", "pipe_table_commit")
     var failures = 0
     heavy.foreach { q =>
       try {
