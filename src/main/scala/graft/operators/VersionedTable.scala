@@ -220,6 +220,90 @@ object VersionedTable {
     (deleted, dead.size)
   }
 
+  /** Result of an optimistic commit: the version that finally
+    * published and how many conflicts (lost races) were absorbed on
+    * the way — callers witness the concurrency path actually ran. */
+  final case class Committed(version: Long, conflicts: Int)
+
+  /** Blind APPEND with optimistic concurrency — the cheap half of a
+    * multi-writer protocol. Data files are written exactly ONCE (an
+    * append's content does not depend on the snapshot it lands on);
+    * only the manifest publish retries: each attempt re-resolves the
+    * latest version and carries ITS file list plus the already-written
+    * new files, so losing a race costs one tiny metadata round,
+    * never a data rewrite. This is why real table formats classify
+    * appends as auto-rebaseable: they commute with any concurrent
+    * commit, so conflict resolution is mechanical re-carry.
+    *
+    * `beforeAttempt(targetVersion)` fires after the attempt's target
+    * version is resolved and before its publish — the race-injection
+    * seam (a test/witness commits the target version inside it,
+    * forcing the real FileAlreadyExistsException conflict path;
+    * production passes the default no-op). Same design stance as
+    * [[failedCommit]]: the failure paths must be drivable, not just
+    * argued about. */
+  def appendCommit(s: SparkSession, table: Path, df: DataFrame,
+                   maxAttempts: Int = 10,
+                   beforeAttempt: Long => Unit = _ => ()): Committed = {
+    val dataDir = table.resolve("data").resolve(
+      "append-" + java.util.UUID.randomUUID().toString.take(8))
+    df.write.parquet(dataDir.toString)
+    val mine = partFiles(table, dataDir)
+    var conflicts = 0
+    while (conflicts < maxAttempts) {
+      val target = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(
+          s"appendCommit: no committed version at $table to append to")) + 1
+      beforeAttempt(target)
+      try {
+        publish(table, target, manifest(table, target - 1) ++ mine)
+        return Committed(target, conflicts)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => conflicts += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"appendCommit: lost $maxAttempts straight races at $table")
+  }
+
+  /** General optimistic TRANSACTION — the copy-on-write half: `op`
+    * reads the snapshot at the latest version and returns the full
+    * new table contents (a MERGE/UPDATE shape). On a publish conflict
+    * the transaction REBASES: it re-runs `op` against the winner's
+    * snapshot and tries again — the semantics every optimistic table
+    * format gives UPDATE/MERGE (serializable as long as `op` is a
+    * function of the snapshot). Each attempt writes its own data dir;
+    * a lost attempt's files are orphans, invisible by construction
+    * and reclaimed by [[expire]].
+    *
+    * Fixture-scale note: `op` here returns the WHOLE table (full
+    * rewrite per attempt). Production narrows the rewrite to touched
+    * files exactly as `pipe_cdf` prices it — the retry protocol is
+    * unchanged, only `carried` becomes the untouched-file list. */
+  def transact(s: SparkSession, table: Path,
+               op: DataFrame => DataFrame,
+               maxAttempts: Int = 5,
+               beforeAttempt: Long => Unit = _ => ()): Committed = {
+    var conflicts = 0
+    while (conflicts < maxAttempts) {
+      val base = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(
+          s"transact: no committed version at $table"))
+      val out = op(read(s, table, Some(base)))
+      val dataDir = newDataDir(table, base + 1)
+      out.write.parquet(dataDir.toString)
+      beforeAttempt(base + 1)
+      try {
+        publish(table, base + 1, partFiles(table, dataDir))
+        return Committed(base + 1, conflicts)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => conflicts += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"transact: lost $maxAttempts straight races at $table")
+  }
+
   /** Committed versions, ascending (the readable history). */
   def versions(table: Path): Seq[Long] = {
     val dir = commitsDir(table)

@@ -1861,6 +1861,108 @@ object DedupQueries extends QueryModule {
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // MULTI-WRITER OPTIMISTIC CONCURRENCY (r12) — the retry/rebase
+    // layer over the commit point's putIfAbsent primitive, exercised
+    // through REAL lost races (not argued): the manifest hard-link of
+    // a taken version throws FileAlreadyExistsException, and the two
+    // writer classes of every optimistic table format resolve it
+    // differently —
+    //   APPEND (VersionedTable.appendCommit): commutes with anything,
+    //     so a lost race re-carries the winner's file list and
+    //     republishes. Data files are written ONCE; the retry costs
+    //     one metadata round. Writer A resolves latest=v0, targets v1,
+    //     and inside the race-injection seam writer B publishes v1
+    //     first — A's link genuinely fails, A rebases onto B's
+    //     manifest and lands v2 (gate: exactly 1 conflict, v1's file
+    //     list carried verbatim into v2 — B's committed files were
+    //     never rewritten or lost).
+    //   MERGE (VersionedTable.transact): a function of the snapshot,
+    //     so a lost race must RE-RUN against the winner's snapshot
+    //     (rebasing the computation, not just the file list). Writer C
+    //     updates n_chars+7 on doc_id%5==0 over latest; mid-flight
+    //     writer D appends — C's first result (computed over v2,
+    //     blind to D) publishes into a conflict, is discarded as
+    //     orphans, and C re-derives over v3 so D's rows ARE updated
+    //     in v4. The serializability witness: final content ≡ the
+    //     serial schedule B, A, D, then C — which is exactly what the
+    //     oracle reconstructs, every intermediate version digested.
+    // At 100 TB: conflicts cost O(metadata) for appends and O(touched
+    // files) for merges (pipe_cdf prices the narrowing); neither ever
+    // blocks readers, who keep planning over the last published
+    // manifest throughout.
+    "pipe_commit_conflict" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vocc_")
+      try {
+        val table = tmp.resolve("table")
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+        VersionedTable.commit(s, table, 0L, docs)
+        def clones(m: Long, shift: Long, bump: Long) =
+          Tables.documents(s, dir).where($"doc_id" % 11 === m)
+            .selectExpr(s"doc_id + ${shift}L AS doc_id", "lang",
+              s"n_chars + ${bump}L AS n_chars")
+        // Writer A (append, batch %11==5) loses its first race to
+        // writer B (batch %11==7), injected at the seam between A's
+        // version resolution and A's publish link.
+        var bDone = false
+        val a = VersionedTable.appendCommit(s, table,
+          clones(5, 4398046511104L, 1L),
+          beforeAttempt = { target =>
+            if (!bDone) {
+              bDone = true
+              VersionedTable.commit(s, table, target,
+                clones(7, 8796093022208L, 2L),
+                carried = VersionedTable.manifest(table, target - 1))
+            }
+          })
+        require(a.conflicts == 1 && a.version == 2L,
+          s"pipe_commit_conflict: append expected 1 lost race landing " +
+            s"v2, got ${a.conflicts} conflicts at v${a.version}")
+        val v1Files = VersionedTable.manifest(table, 1L).toSet
+        require(v1Files.subsetOf(VersionedTable.manifest(table, 2L).toSet),
+          "pipe_commit_conflict: the rebased append must carry the " +
+            "winner's v1 file list verbatim")
+        // Writer C (merge) loses its first race to writer D's append
+        // (batch %11==9) and must recompute over the D-bearing
+        // snapshot — v4 updates D's rows too.
+        var dDone = false
+        val c = VersionedTable.transact(s, table,
+          op = snap => snap.selectExpr("doc_id", "lang",
+            "CASE WHEN doc_id % 5 = 0 THEN n_chars + 7 ELSE n_chars END " +
+              "AS n_chars"),
+          beforeAttempt = { target =>
+            if (!dDone) {
+              dDone = true
+              VersionedTable.commit(s, table, target,
+                clones(9, 17592186044416L, 3L),
+                carried = VersionedTable.manifest(table, target - 1))
+            }
+          })
+        require(c.conflicts == 1 && c.version == 4L,
+          s"pipe_commit_conflict: merge expected 1 lost race landing " +
+            s"v4, got ${c.conflicts} conflicts at v${c.version}")
+        require(VersionedTable.versions(table) == Seq(0L, 1L, 2L, 3L, 4L),
+          "pipe_commit_conflict: history must read 0..4 — a lost " +
+            "attempt leaked a manifest or a commit vanished")
+        val out = (0L to 4L).map { v =>
+          VersionedTable.read(s, table, Some(v))
+            .selectExpr("lang", "n_chars",
+              "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', " +
+                "CAST(n_chars AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h")
+            .agg(count(lit(1)).as("n_rows"),
+              sum($"n_chars").as("sum_chars"),
+              countDistinct($"lang").as("n_langs"),
+              expr("bit_xor(h)").as("content_sig"))
+            .select(lit(v).as("version"), $"n_rows", $"sum_chars",
+              $"n_langs", $"content_sig")
+        }.reduce(_ unionAll _).orderBy("version")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
     })
   )
 
@@ -2530,6 +2632,48 @@ object DedupQueries extends QueryModule {
         |FROM documents
         |WHERE doc_id BETWEEN 10 AND 40
         |ORDER BY doc_id""".stripMargin,
+
+    // The serial schedule the optimistic writers must be equivalent
+    // to — B's append, A's rebased append, D's append, then C's merge
+    // recomputed over the D-bearing snapshot — every intermediate
+    // version digested, so the driver proves the conflict resolutions
+    // (re-carry for appends, re-run for merges) content-exact.
+    "pipe_commit_conflict" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 8796093022208, lang, n_chars + 2
+        |  FROM documents WHERE doc_id % 11 = 7),
+        |v2 AS (
+        |  SELECT * FROM v1
+        |  UNION ALL
+        |  SELECT doc_id + 4398046511104, lang, n_chars + 1
+        |  FROM documents WHERE doc_id % 11 = 5),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  UNION ALL
+        |  SELECT doc_id + 17592186044416, lang, n_chars + 3
+        |  FROM documents WHERE doc_id % 11 = 9),
+        |v4 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 5 = 0 THEN n_chars + 7 ELSE n_chars END
+        |      AS n_chars
+        |  FROM v3),
+        |sig AS (
+        |  SELECT 0 AS version, doc_id, lang, n_chars FROM documents
+        |  UNION ALL SELECT 1, doc_id, lang, n_chars FROM v1
+        |  UNION ALL SELECT 2, doc_id, lang, n_chars FROM v2
+        |  UNION ALL SELECT 3, doc_id, lang, n_chars FROM v3
+        |  UNION ALL SELECT 4, doc_id, lang, n_chars FROM v4)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT) AS content_sig
+        |FROM sig
+        |GROUP BY version
+        |ORDER BY version""".stripMargin,
 
     // The v1 snapshot at full row fidelity — the exact table a
     // time-travel read at version 1 must return after v2 is live.

@@ -89,6 +89,67 @@ class VersionedTableSpec extends SparkSpec {
     assert(deleted0 >= 1)
   }
 
+  test("appendCommit rebases onto a racing winner without rewriting data") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2))
+    var raced = false
+    val c = VersionedTable.appendCommit(spark, t, df(10, 11),
+      beforeAttempt = { target =>
+        if (!raced) {
+          raced = true
+          VersionedTable.commit(spark, t, target, df(5),
+            carried = VersionedTable.manifest(t, target - 1))
+        }
+      })
+    assert(c.conflicts == 1 && c.version == 2L)
+    // The winner's file list is carried verbatim; both appends are live.
+    val v1 = VersionedTable.manifest(t, 1L).toSet
+    assert(v1.subsetOf(VersionedTable.manifest(t, 2L).toSet))
+    assert(VersionedTable.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 5L, 10L, 11L))
+    // The rebase republished the SAME data files (append- dir written
+    // once): v2 adds exactly two lines beyond v1's carry.
+    assert((VersionedTable.manifest(t, 2L).toSet -- v1).forall(
+      _.startsWith("data/append-")))
+  }
+
+  test("appendCommit gives up after maxAttempts straight losses") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1))
+    intercept[IllegalStateException] {
+      VersionedTable.appendCommit(spark, t, df(9), maxAttempts = 2,
+        beforeAttempt = { target =>
+          VersionedTable.commit(spark, t, target, df(target),
+            carried = VersionedTable.manifest(t, target - 1))
+        })
+    }
+  }
+
+  test("transact re-runs the op against the winner's snapshot") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(10, 20))
+    var raced = false
+    // op doubles every id; the racing append lands 30 mid-transaction,
+    // so serializability demands 30 be doubled too.
+    val c = VersionedTable.transact(spark, t,
+      op = snap => snap.selectExpr("id * 2 AS id"),
+      beforeAttempt = { target =>
+        if (!raced) {
+          raced = true
+          VersionedTable.commit(spark, t, target, df(30),
+            carried = VersionedTable.manifest(t, target - 1))
+        }
+      })
+    assert(c.conflicts == 1 && c.version == 2L)
+    assert(VersionedTable.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(20L, 40L, 60L))
+    // The lost attempt's files are orphans: expire reclaims them while
+    // every retained version stays intact.
+    val (deleted, _) = VersionedTable.expire(t, keepFrom = 2L)
+    assert(deleted >= 1, "the discarded first-attempt files must be reclaimed")
+    assert(VersionedTable.read(spark, t).count() == 3)
+  }
+
   test("publishing the same version twice fails (optimistic concurrency)") {
     val t = freshTable()
     val files = VersionedTable.commit(spark, t, 0L, df(1))
