@@ -341,6 +341,15 @@ class PlanShapeSpec extends SparkSpec {
         "the index was re-derived at query time")
   }
 
+  test("IVF append serve plan reads both segments, never the corpus") {
+    val p = gatedPlan("emb_ivf_append")
+    assert(!p.contains("embeddings.parquet"),
+      "serve must plan over the stored segments only — a corpus scan " +
+        "means the index was re-derived at query time")
+    assert(p.contains("seg-000") && p.contains("seg-001"),
+      "both the base segment and the appended segment must be planned")
+  }
+
   test("triangle wedges close through keyed equi-joins, never all-pairs") {
     val p = plan("rel_triangles")
     // The only nested-loop joins allowed are the final composition of
