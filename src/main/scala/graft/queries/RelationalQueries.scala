@@ -626,6 +626,99 @@ object RelationalQueries extends QueryModule {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // COST-BASED BROADCAST (r12) — ANALYZE-computed statistics driving
+    // a physical join choice, the planner integration every warehouse
+    // engine builds stats collection FOR: file-size estimation cannot
+    // see through a filter (a Filter's size estimate without column
+    // stats is its child's — Spark deliberately refuses to guess), so
+    // a highly selective probe side looks too big to broadcast and the
+    // join plans as a full shuffle. With CBO enabled and column stats
+    // on the filter key, FilterEstimation prices the equality at
+    // 1/ndv(o_custkey), the filtered side drops under the broadcast
+    // threshold, and the SAME query plans broadcast — no shuffle of
+    // lineitem at all. At 100 TB this is the difference between
+    // shuffling the fact table and not (AQE can rescue it at runtime,
+    // but only AFTER materializing the shuffle map side — stats kill
+    // the shuffle at plan time; AQE is pinned off here so the witness
+    // reads the static decision). The witness is self-calibrating
+    // across scale factors: both estimates are read from the optimizer
+    // (stats-based must be ≤ 1/4 of file-based), and the threshold is
+    // set between them, so the A/B holds at any SF. The in-path
+    // control re-plans with CBO off under the SAME threshold and must
+    // see the broadcast disappear — the stats are load-bearing, not
+    // coincidental. Catalog work rides an isolated child session
+    // (the rel_agg_pushdown discipline); the managed stats table is
+    // dropped in finally. Oracle: the join aggregate the ordinary way
+    // (stats may only change the plan, never the rows).
+    "rel_cbo_broadcast" -> ((s, dir) => {
+      import s.implicits._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      s2.conf.set("spark.sql.cbo.planStats.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      val tname = "graft_cbo_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      Tables.orders(s2, dir).select($"o_orderkey", $"o_custkey")
+        .write.format("parquet").saveAsTable(tname)
+      // Plan statistics resolve SQLConf through the ACTIVE session
+      // (thread-local), not the DataFrame's own — a stats read while
+      // the parent session is active would consult the parent's conf
+      // AND memoize that answer on the catalog-cached relation,
+      // poisoning every later read (observed: both estimates came
+      // back as the bare file size). Pin s2 active for the whole
+      // body; restored in finally.
+      val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+      org.apache.spark.sql.SparkSession.setActiveSession(s2)
+      try {
+        s2.sql(s"ANALYZE TABLE $tname COMPUTE STATISTICS")
+        s2.sql(s"ANALYZE TABLE $tname COMPUTE STATISTICS FOR COLUMNS o_custkey")
+        val k0 = Tables.orders(s2, dir).agg(min($"o_custkey")).head.getLong(0)
+        def filtered = s2.table(tname).where($"o_custkey" === k0)
+        // Both estimates under CBO: the unfiltered relation prices at
+        // rowCount x row width; the filtered side at 1/ndv(o_custkey)
+        // of it. The ratio is scale-free (ndv grows with the table),
+        // so the threshold between them self-calibrates at any SF.
+        val estBig = s2.table(tname).queryExecution.optimizedPlan
+          .stats.sizeInBytes
+        val estStats = filtered.queryExecution.optimizedPlan
+          .stats.sizeInBytes
+        require(estStats * 4 <= estBig,
+          s"rel_cbo_broadcast: stats-based filtered estimate ($estStats " +
+            s"B) must undercut the unfiltered one ($estBig B) 4x for " +
+            "the A/B to be meaningful — did ANALYZE collect column stats?")
+        val thr = BigInt(math.sqrt((estStats * estBig).toDouble).toLong)
+          .max(BigInt(1024))
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", thr.toString)
+        def joined = Tables.lineitem(s2, dir)
+          .join(filtered, $"l_orderkey" === $"o_orderkey")
+          .agg(
+            countDistinct($"o_orderkey").as("n_orders"),
+            count(lit(1)).as("n_items"),
+            sum($"l_quantity".cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+        val out = joined
+        QueryModule.gatedPlans.put("rel_cbo_broadcast", out)
+        val planOn = out.queryExecution.executedPlan.toString
+        require(planOn.contains("BroadcastHashJoin"),
+          s"rel_cbo_broadcast: CBO + column stats under threshold $thr " +
+            "must plan a broadcast join")
+        s2.conf.set("spark.sql.cbo.enabled", "false")
+        val planOff = joined.queryExecution.executedPlan.toString
+        require(!planOff.contains("BroadcastHashJoin") &&
+            planOff.contains("SortMergeJoin"),
+          "rel_cbo_broadcast: the control (CBO off, same threshold) " +
+            "must fall back to a shuffle join — otherwise the stats " +
+            "were not the deciding input")
+        s2.conf.set("spark.sql.cbo.enabled", "true")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        org.apache.spark.sql.SparkSession.setActiveSession(
+          prevActive.getOrElse(s))
+        s2.sql(s"DROP TABLE IF EXISTS $tname")
+      }
+    }),
+
     // ORDERED STRING AGGREGATION (r11) — the LISTAGG/GROUP_CONCAT
     // surface: per priority, the top-5 orders by price rendered as one
     // ordered comma-joined string. Determinism is the whole operator
@@ -708,6 +801,15 @@ object RelationalQueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Stats may only change the plan, never the rows: the same join
+    // aggregate computed the ordinary way, the probe key re-derived as
+    // the same scalar subquery.
+    "rel_cbo_broadcast" ->
+      """SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey = (SELECT min(o_custkey) FROM orders)""".stripMargin,
     "rel_q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
