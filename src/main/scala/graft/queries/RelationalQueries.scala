@@ -719,6 +719,74 @@ object RelationalQueries extends QueryModule {
       }
     }),
 
+    // RECURSIVE CTE (r12) — iteration INSIDE one declarative query
+    // (SQL:1999 WITH RECURSIVE, new in Spark 4.x): every other
+    // iterative shape here (PageRank, CC, k-means) hand-rolls a
+    // driver loop; the recursive CTE pushes the loop into the engine,
+    // which plans each step over the previous step's output only (the
+    // UnionLoop operator — per-step cost tracks the FRONTIER, the
+    // same delta discipline dedup_clusters enforces by hand). The
+    // walk: every customer key halves until it reaches the root — an
+    // acyclic ladder (strictly decreasing, so UNION ALL terminates
+    // structurally; ~log2(n) steps, far under the recursion limit),
+    // then depth histogram + content sum. DuckDB replays the
+    // identical recursion — engine-loop vs engine-loop, oracle-exact.
+    "rel_recursive_cte" -> ((s, dir) => {
+      s.sql(
+        s"""WITH RECURSIVE walk(custkey, cur, depth) AS (
+           |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT)
+           |  FROM parquet.`$dir/customer.parquet`
+           |  UNION ALL
+           |  SELECT custkey, CAST(floor(cur / 2) AS BIGINT), depth + 1
+           |  FROM walk WHERE cur > 1
+           |),
+           |d AS (SELECT custkey, max(depth) AS depth FROM walk
+           |      GROUP BY custkey)
+           |SELECT depth, count(*) AS n_cust, sum(custkey) AS sum_key
+           |FROM d GROUP BY depth ORDER BY depth""".stripMargin)
+    }),
+
+    // NULL-AWARE ANTI JOIN (r12) — the NOT IN correctness trap: one
+    // NULL in the subquery makes x NOT IN (...) UNKNOWN for EVERY x,
+    // so the branch over the NULL-bearing subquery must return ZERO
+    // rows, while the NULL-free branch anti-joins normally. A naive
+    // hash anti join gets the first branch wrong silently — which is
+    // why Spark plans a dedicated null-aware single-column variant
+    // (and why engines that can't must fall back to O(n·m) nested
+    // loops). Both branches run as real joins over the fixture and
+    // the oracle replays the three-valued logic; the in-path require
+    // witnesses the dedicated operator actually planned. At 100 TB
+    // the subquery side is an aggregate-sized broadcast — the
+    // rewrite-to-anti-join is what keeps NOT IN off the nested-loop
+    // cliff.
+    "rel_null_anti" -> ((s, dir) => {
+      val out = s.sql(
+        s"""WITH li AS (SELECT l_orderkey
+           |            FROM parquet.`$dir/lineitem.parquet`),
+           |clean AS (SELECT o_orderkey FROM parquet.`$dir/orders.parquet`
+           |          WHERE o_totalprice > 150000),
+           |tainted AS (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+           |                        ELSE o_orderkey END AS k
+           |            FROM parquet.`$dir/orders.parquet`)
+           |SELECT 'no_nulls' AS branch, count(*) AS n,
+           |  coalesce(sum(l_orderkey), 0) AS sum_key
+           |FROM li WHERE l_orderkey NOT IN (SELECT o_orderkey FROM clean)
+           |UNION ALL
+           |SELECT 'with_null', count(*), coalesce(sum(l_orderkey), 0)
+           |FROM li WHERE l_orderkey NOT IN (SELECT k FROM tainted)
+           |ORDER BY branch""".stripMargin)
+      QueryModule.gatedPlans.put("rel_null_anti", out)
+      val plan = out.queryExecution.executedPlan.toString
+      // The null-aware variant prints as a trailing `true`
+      // (isNullAwareAntiJoin) on the BroadcastHashJoin line.
+      require(plan.contains("LeftAnti, BuildRight, true"),
+        "rel_null_anti: the NULL-bearing NOT IN branch must plan the " +
+          "dedicated null-aware anti join, not a generic fallback")
+      require(!plan.contains("BroadcastNestedLoopJoin"),
+        "rel_null_anti: NOT IN fell off the nested-loop cliff")
+      out
+    }),
+
     // ORDERED STRING AGGREGATION (r11) — the LISTAGG/GROUP_CONCAT
     // surface: per priority, the top-5 orders by price rendered as one
     // ordered comma-joined string. Determinism is the whole operator
@@ -801,6 +869,38 @@ object RelationalQueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Engine-loop vs engine-loop: DuckDB replays the identical
+    // recursion (same halving ladder, same depth aggregation).
+    "rel_recursive_cte" ->
+      """WITH RECURSIVE walk(custkey, cur, depth) AS (
+        |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer
+        |  UNION ALL
+        |  SELECT custkey, CAST(floor(cur / 2) AS BIGINT), depth + 1
+        |  FROM walk WHERE cur > 1
+        |),
+        |d AS (SELECT custkey, max(depth) AS depth FROM walk
+        |      GROUP BY custkey)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(custkey) AS BIGINT) AS sum_key
+        |FROM d GROUP BY depth ORDER BY depth""".stripMargin,
+
+    // The three-valued logic replayed: the NULL-bearing branch must
+    // come back 0/0 in BOTH engines or NOT IN is broken somewhere.
+    "rel_null_anti" ->
+      """WITH li AS (SELECT l_orderkey FROM lineitem),
+        |clean AS (SELECT o_orderkey FROM orders
+        |          WHERE o_totalprice > 150000),
+        |tainted AS (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+        |                        ELSE o_orderkey END AS k FROM orders)
+        |SELECT 'no_nulls' AS branch, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(l_orderkey), 0) AS BIGINT) AS sum_key
+        |FROM li WHERE l_orderkey NOT IN (SELECT o_orderkey FROM clean)
+        |UNION ALL
+        |SELECT 'with_null', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(l_orderkey), 0) AS BIGINT)
+        |FROM li WHERE l_orderkey NOT IN (SELECT k FROM tainted)
+        |ORDER BY branch""".stripMargin,
+
     // Stats may only change the plan, never the rows: the same join
     // aggregate computed the ordinary way, the probe key re-derived as
     // the same scalar subquery.
