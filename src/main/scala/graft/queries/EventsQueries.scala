@@ -417,6 +417,46 @@ object EventsQueries extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // VARIANT SEMI-STRUCTURED EXTRACTION (r12) — the open-schema
+    // ingestion shape ev_json's fixed-path get_json_object can't
+    // cover: payloads whose SHAPE varies by row (fields present or
+    // absent, nested arrays) parsed ONCE into Spark 4's binary
+    // VARIANT type, then typed-path extraction (`variant_get` with a
+    // target type, including an array index path) — no schema
+    // declared anywhere, absent paths surface as typed NULLs that
+    // aggregate away. The heterogeneous payloads are constructed
+    // deterministically from fixture columns (purchase rows gain an
+    // integer `amt`, error rows a one-element `code` array), so the
+    // oracle rebuilds the identical strings and replays the paths
+    // with its own JSON engine — cross-engine proof that the VARIANT
+    // encode/decode round trip loses nothing. At 100 TB this is the
+    // bronze-layer pattern: parse once at ingest, store the binary
+    // variant, extract many times without re-tokenizing (the parse is
+    // the expensive part; variant_get on the encoded form is not).
+    "ev_variant" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .selectExpr("event_type",
+          """parse_json(CASE
+            |  WHEN event_type = 'purchase' THEN concat(
+            |    '{"k": ', get_json_object(props, '$.k'),
+            |    ', "amt": ', CAST(CAST(floor(value * 100) AS BIGINT) AS STRING), '}')
+            |  WHEN event_type = 'error' THEN concat(
+            |    '{"k": ', get_json_object(props, '$.k'),
+            |    ', "code": [', CAST(event_id % 7 AS STRING), ']}')
+            |  ELSE props END) AS v""".stripMargin)
+        .selectExpr("event_type",
+          "variant_get(v, '$.k', 'long') AS k",
+          "variant_get(v, '$.amt', 'long') AS amt",
+          "variant_get(v, '$.code[0]', 'long') AS code0")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"k").as("sum_k"),
+          count($"amt").as("n_amt"), sum($"amt").as("sum_amt"),
+          count($"code0").as("n_code"), sum($"code0").as("sum_code"))
+        .orderBy("event_type")
+    }),
+
     // Daily × event-type pivot (explicit value list so the output schema
     // is static; nulls from empty cells folded to 0).
     "ev_daily_pivot" -> ((s, dir) => {
@@ -1469,6 +1509,30 @@ object EventsQueries extends QueryModule {
         |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
         |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
         |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // The identical heterogeneous payloads rebuilt string-for-string,
+    // the paths replayed by DuckDB's JSON engine — absent paths are
+    // NULLs in both, so n_amt/n_code count exactly the shaped rows.
+    "ev_variant" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |    CASE
+        |      WHEN event_type = 'purchase' THEN
+        |        '{"k": ' || (props->>'$.k') || ', "amt": ' ||
+        |        CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) || '}'
+        |      WHEN event_type = 'error' THEN
+        |        '{"k": ' || (props->>'$.k') || ', "code": [' ||
+        |        CAST(event_id % 7 AS VARCHAR) || ']}'
+        |      ELSE props END AS j
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(j->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(count(CAST(j->>'$.amt' AS BIGINT)) AS BIGINT) AS n_amt,
+        |  CAST(sum(CAST(j->>'$.amt' AS BIGINT)) AS BIGINT) AS sum_amt,
+        |  CAST(count(CAST(j->>'$.code[0]' AS BIGINT)) AS BIGINT) AS n_code,
+        |  CAST(sum(CAST(j->>'$.code[0]' AS BIGINT)) AS BIGINT) AS sum_code
+        |FROM v
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "ev_daily_pivot" ->
