@@ -788,6 +788,41 @@ object EventsQueries extends QueryModule {
       }
     }),
 
+    // FULL-OUTER stream-stream join (r12) — the last cell of the
+    // streaming join matrix (inner: ev_stream_attrib; left-outer:
+    // ev_stream_funnel): BOTH unmatched sides emit null-padded rows
+    // once the watermark proves their match window closed. The two
+    // sides expire on DIFFERENT bounds, both derived from the join
+    // condition: a click's window is [click_ts, click_ts + 1 h], so
+    // its null row emits when W passes click_ts + 1 h; a purchase can
+    // only match clicks at or before it, so its null row emits as
+    // soon as W passes purch_ts itself. The oracle replays both
+    // bounds against the final watermark (min over both sides of
+    // max-event-ms − 1 h). Per user the rollup counts matched pairs,
+    // expired clicks, and expired purchases — the conversion ledger
+    // BOTH ways (which purchases had no attributable click is the
+    // fraud/debug side left-outer cannot see).
+    "ev_stream_fulljoin" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.EventStreams.withSplitEvents(s, dir, 3) { (ev, nf) =>
+        graft.streaming.EventStreams.drainAppend(
+            graft.streaming.EventStreams.attributePurchases(
+              ev.where($"event_type" === "click"),
+              ev.where($"event_type" === "purchase"),
+              "full_outer"),
+            "graft_ev_fullj_", minBatches = nf)
+          .groupBy(coalesce($"click_user", $"purch_user").as("user_id"))
+          .agg(
+            sum(when($"click_user".isNotNull && $"purch_user".isNotNull,
+              1L).otherwise(0L)).as("n_attributed"),
+            sum(when($"purch_user".isNull, 1L).otherwise(0L))
+              .as("n_expired_clicks"),
+            sum(when($"click_user".isNull, 1L).otherwise(0L))
+              .as("n_expired_purchases"))
+          .orderBy("user_id")
+      }
+    }),
+
     // STATEFUL checkpoint-resume, driver-checked: ev_stream_incr proves
     // the file source resumes incrementally; this row proves OPERATOR
     // STATE survives the restart. Two AvailableNow drains of the
@@ -1511,6 +1546,45 @@ object EventsQueries extends QueryModule {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // Both expiry bounds replayed against the final watermark: clicks
+    // expire at click_ms + 1 h < wm (as in ev_stream_funnel),
+    // purchases at purch_ms < wm (a click at or before the purchase
+    // could still arrive until then). Matched pairs are the inner
+    // region, identical in both engines.
+    "ev_stream_fulljoin" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS cus FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS pus FROM events
+        |      WHERE event_type = 'purchase'),
+        |w AS (SELECT least((SELECT max(cus) FROM c) // 1000,
+        |                   (SELECT max(pus) FROM p) // 1000)
+        |             - 3600000 AS wm),
+        |jc AS (SELECT c.user_id, c.cus, p.pus
+        |       FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |         AND p.pus BETWEEN c.cus AND c.cus + 3600000000),
+        |jp AS (SELECT p.user_id, p.pus
+        |       FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |         AND p.pus BETWEEN c.cus AND c.cus + 3600000000
+        |       WHERE c.user_id IS NULL),
+        |rows_ AS (
+        |  SELECT user_id,
+        |    CASE WHEN pus IS NOT NULL THEN 1 ELSE 0 END AS attributed,
+        |    CASE WHEN pus IS NULL THEN 1 ELSE 0 END AS exp_click,
+        |    0 AS exp_purch
+        |  FROM jc
+        |  WHERE pus IS NOT NULL
+        |     OR cus // 1000 + 3600000 < (SELECT wm FROM w)
+        |  UNION ALL
+        |  SELECT user_id, 0, 0, 1 FROM jp
+        |  WHERE pus // 1000 < (SELECT wm FROM w))
+        |SELECT user_id,
+        |  CAST(sum(attributed) AS BIGINT) AS n_attributed,
+        |  CAST(sum(exp_click) AS BIGINT) AS n_expired_clicks,
+        |  CAST(sum(exp_purch) AS BIGINT) AS n_expired_purchases
+        |FROM rows_
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
     // The identical heterogeneous payloads rebuilt string-for-string,
     // the paths replayed by DuckDB's JSON engine — absent paths are
     // NULLs in both, so n_amt/n_code count exactly the shaped rows.
