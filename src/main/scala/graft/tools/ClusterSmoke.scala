@@ -191,7 +191,12 @@ object ClusterSmoke {
       // r12 additions with real volume: the wedge-join triangle count
       // and the full versioned-table protocol cycle (writes + merges
       // + time-travel reads under starved executors).
-      "rel_triangles", "pipe_table_commit")
+      "rel_triangles", "pipe_table_commit",
+      // r12 third session: the multi-writer conflict cycle (two extra
+      // writers' full rewrites + rebases) and the segment ingest +
+      // dual-route serve of the IVF index — both write-heavy shapes
+      // whose broadcast/codebook maths must survive starved executors.
+      "pipe_commit_conflict", "emb_ivf_append")
     var failures = 0
     heavy.foreach { q =>
       try {
