@@ -719,6 +719,48 @@ object RelationalQueries extends QueryModule {
       }
     }),
 
+    // AUTO-INJECTED RUNTIME BLOOM FILTER (r12) — the optimizer-side
+    // sibling of the hand-built rel_bloom_prefilter: with runtime
+    // filter injection enabled, Catalyst notices the selective filter
+    // on the orders side of the shuffle join and REWRITES the lineitem
+    // scan to `might_contain(bloom_over_selected_keys, xxhash64(key))`
+    // — no user code names a bloom anywhere. At 100 TB this prunes
+    // the fact-table shuffle input by the dim's selectivity BEFORE
+    // the exchange (the row-level analogue of DPP's partition-level
+    // pruning; the sixth scan-elimination mechanism in the suite).
+    // Thresholds are pinned on an isolated child session so the
+    // fixture-sized sides qualify (production sizes clear the real
+    // defaults); broadcast is disabled so the shuffle join the filter
+    // exists to protect is actually planned. In-path: might_contain
+    // must appear ON THE FACT SIDE of the executed plan. The filter
+    // admits false positives and drops nothing real, so the oracle is
+    // the plain join aggregate — injection may only change the plan.
+    "rel_runtime_filter" -> ((s, dir) => {
+      import s.implicits._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "10GB")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = Tables.lineitem(s2, dir)
+        .join(Tables.orders(s2, dir).where($"o_totalprice" > 400000),
+          $"l_orderkey" === $"o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct($"o_orderkey").as("n_orders"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+      QueryModule.gatedPlans.put("rel_runtime_filter", out)
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("might_contain"),
+        "rel_runtime_filter: the optimizer did not inject the runtime " +
+          "bloom filter onto the fact-side scan")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
+
     // RECURSIVE CTE (r12) — iteration INSIDE one declarative query
     // (SQL:1999 WITH RECURSIVE, new in Spark 4.x): every other
     // iterative shape here (PageRank, CC, k-means) hand-rolls a
@@ -869,6 +911,15 @@ object RelationalQueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Injection may only change the plan: the plain join aggregate.
+    "rel_runtime_filter" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000""".stripMargin,
+
     // Engine-loop vs engine-loop: DuckDB replays the identical
     // recursion (same halving ladder, same depth aggregation).
     "rel_recursive_cte" ->
