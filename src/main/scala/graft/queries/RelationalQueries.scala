@@ -761,6 +761,39 @@ object RelationalQueries extends QueryModule {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // LATERAL CORRELATED SUBQUERY (r12) — the per-row-subquery surface
+    // (SQL:1999 LATERAL): for each qualifying order, the top-2
+    // lineitems by price from a correlated, ordered, LIMITed
+    // derived table. The naive reading is a nested loop (one subquery
+    // execution per outer row — death at 100 TB); Spark's
+    // DecorrelateInnerQuery rewrites it into ONE equi-join plus a
+    // per-key rank — the plan you'd hand-write (rel_window_topk's
+    // shape), planned automatically from the declarative form. The
+    // in-path require witnesses the decorrelation: a hash join and no
+    // nested-loop operator. DuckDB executes the same LATERAL text
+    // natively — same rows, its own execution strategy.
+    "rel_lateral" -> ((s, dir) => {
+      val out = s.sql(
+        s"""SELECT o_orderkey, o_orderpriority, l.l_linenumber,
+           |  l.l_extendedprice
+           |FROM parquet.`$dir/orders.parquet`,
+           |LATERAL (SELECT l_linenumber, l_extendedprice
+           |         FROM parquet.`$dir/lineitem.parquet`
+           |         WHERE l_orderkey = o_orderkey
+           |         ORDER BY l_extendedprice DESC, l_linenumber
+           |         LIMIT 2) AS l
+           |WHERE o_totalprice > 400000
+           |ORDER BY o_orderkey, l.l_linenumber""".stripMargin)
+      QueryModule.gatedPlans.put("rel_lateral", out)
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        "rel_lateral: the correlated subquery must decorrelate to a " +
+          "keyed join")
+      require(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        "rel_lateral: decorrelation fell back to a per-row nested loop")
+      out
+    }),
+
     // RECURSIVE CTE (r12) — iteration INSIDE one declarative query
     // (SQL:1999 WITH RECURSIVE, new in Spark 4.x): every other
     // iterative shape here (PageRank, CC, k-means) hand-rolls a
@@ -911,6 +944,19 @@ object RelationalQueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // The same LATERAL text, executed natively by DuckDB.
+    "rel_lateral" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(l.l_linenumber AS INT) AS l_linenumber, l.l_extendedprice
+        |FROM orders,
+        |LATERAL (SELECT l_linenumber, l_extendedprice
+        |         FROM lineitem
+        |         WHERE l_orderkey = o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber
+        |         LIMIT 2) AS l
+        |WHERE o_totalprice > 400000
+        |ORDER BY o_orderkey, l.l_linenumber""".stripMargin,
+
     // Injection may only change the plan: the plain join aggregate.
     "rel_runtime_filter" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_items,
