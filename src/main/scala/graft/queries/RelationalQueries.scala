@@ -761,6 +761,33 @@ object RelationalQueries extends QueryModule {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // SQL SCRIPTING (r12) — Spark 4's procedural surface (compound
+    // BEGIN..END, DECLARE VARIABLE, scalar-subquery assignment): the
+    // two-phase "compute a data-driven parameter, then use it" shape
+    // that otherwise needs a driver round trip (collect the p90, bake
+    // it into a second query). Here both phases live in ONE script:
+    // the engine runs the parameter query, binds the session
+    // variable, and plans the main query with it — at 100 TB the same
+    // pattern parameterizes retention thresholds, sampling floors, or
+    // skew cutoffs without any client logic. The oracle expresses the
+    // identical dataflow relationally (the parameter as a CTE scalar),
+    // proving the scripted binding changes nothing about the result.
+    "rel_sql_script" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.scripting.enabled", "true")
+      s2.sql(
+        s"""BEGIN
+           |  DECLARE VARIABLE p90 DOUBLE;
+           |  SET p90 = (SELECT percentile(value, 0.9)
+           |             FROM parquet.`$dir/events.parquet`);
+           |  SELECT event_type, count(*) AS n,
+           |    CAST(floor(min(value) * 1000000) AS BIGINT) AS min_e6
+           |  FROM parquet.`$dir/events.parquet`
+           |  WHERE value > p90
+           |  GROUP BY event_type ORDER BY event_type;
+           |END""".stripMargin)
+    }),
+
     // LATERAL CORRELATED SUBQUERY (r12) — the per-row-subquery surface
     // (SQL:1999 LATERAL): for each qualifying order, the top-2
     // lineitems by price from a correlated, ordered, LIMITed
@@ -944,6 +971,17 @@ object RelationalQueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // The scripted parameter binding expressed relationally: the same
+    // p90 (shared interpolation definition) as a CTE scalar.
+    "rel_sql_script" ->
+      """WITH p AS (SELECT quantile_cont(value, 0.9) AS p90 FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(floor(min(value) * 1000000) AS BIGINT) AS min_e6
+        |FROM events, p
+        |WHERE value > p.p90
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     // The same LATERAL text, executed natively by DuckDB.
     "rel_lateral" ->
       """SELECT o_orderkey, o_orderpriority,
