@@ -761,6 +761,45 @@ object RelationalQueries extends QueryModule {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // NULL-SAFE EQUALITY JOIN (r12) — `<=>` / IS NOT DISTINCT FROM:
+    // ordinary equi-joins DROP null keys (NULL = NULL is UNKNOWN),
+    // but entity-resolution joins on partially-populated keys need
+    // NULL to match NULL. The semantic point pairs with rel_null_anti
+    // (three-valued logic both ways); the PLAN point is that Spark
+    // hashes null-safe equality like any key (a real
+    // BroadcastHashJoin — no nested-loop penalty for the null
+    // semantics; in-path witness). Both sides derive a nullable
+    // bucket key (NULL for one status class), so NULL×NULL matches
+    // contribute a deliberately large cross-group — counted, not
+    // exploded: the aggregate keeps the output row-bounded.
+    "rel_nullsafe_join" -> ((s, dir) => {
+      import s.implicits._
+      val a = Tables.orders(s, dir).selectExpr(
+        "CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey % 100 END AS ka",
+        "o_orderkey")
+      val b = Tables.orders(s, dir).selectExpr(
+        "CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey % 100 END AS kb",
+        "o_totalprice")
+        .groupBy($"kb")
+        .agg(count(lit(1)).as("nb"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+      val out = a.join(b, $"ka" <=> $"kb")
+        .groupBy($"ka")
+        .agg(count(lit(1)).as("n_pairs"), max($"nb").as("nb"),
+          max($"sum_price").as("sum_price"))
+        .orderBy($"ka".asc_nulls_first)
+      QueryModule.gatedPlans.put("rel_nullsafe_join", out)
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        "rel_nullsafe_join: null-safe equality must still plan a keyed " +
+          "join")
+      require(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        "rel_nullsafe_join: the null semantics fell back to a " +
+          "nested loop")
+      out
+    }),
+
     // SQL SCRIPTING (r12) — Spark 4's procedural surface (compound
     // BEGIN..END, DECLARE VARIABLE, scalar-subquery assignment): the
     // two-phase "compute a data-driven parameter, then use it" shape
@@ -971,6 +1010,25 @@ object RelationalQueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // IS NOT DISTINCT FROM replayed: NULL matches NULL, the aggregate
+    // bounds the deliberate NULL×NULL cross-group.
+    "rel_nullsafe_join" ->
+      """WITH a AS (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+        |                  ELSE o_custkey % 100 END AS ka, o_orderkey
+        |           FROM orders),
+        |b AS (SELECT kb, CAST(count(*) AS BIGINT) AS nb,
+        |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |          AS sum_price
+        |      FROM (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+        |                   ELSE o_custkey % 100 END AS kb, o_totalprice
+        |            FROM orders)
+        |      GROUP BY kb)
+        |SELECT ka, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(max(nb) AS BIGINT) AS nb, max(sum_price) AS sum_price
+        |FROM a JOIN b ON a.ka IS NOT DISTINCT FROM b.kb
+        |GROUP BY ka
+        |ORDER BY ka NULLS FIRST""".stripMargin,
+
     // The scripted parameter binding expressed relationally: the same
     // p90 (shared interpolation definition) as a CTE scalar.
     "rel_sql_script" ->
