@@ -136,7 +136,8 @@ object VersionedTable {
     * with repartitionByRange/z-order at write, exactly as production
     * tables do. */
   def commitWithStats(s: SparkSession, table: Path, version: Long,
-                      df: DataFrame, statsCol: String): Seq[String] = {
+                      df: DataFrame, statsCol: String,
+                      carried: Seq[String] = Nil): Seq[String] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val dataDir = newDataDir(table, version)
     df.write.parquet(dataDir.toString)
@@ -150,7 +151,10 @@ object VersionedTable {
         (table.relativize(p).toString, r.getLong(1), r.getLong(2))
       }.sortBy(_._1)
     val lines = stats.map { case (f, mn, mx) => s"$f\t$mn\t$mx" }
-    publish(table, version, lines)
+    // `carried` lines (an append commit) keep whatever stats their own
+    // commit recorded — stats ride the manifest line, so a carry is
+    // byte-verbatim exactly as in [[commit]].
+    publish(table, version, carried ++ lines)
     stats.map(_._1)
   }
 

@@ -1863,6 +1863,60 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // COMMIT HISTORY AS A TABLE via the engine's own DataSource V2
+    // connector (r12) — `spark.read.format("graft-history")` serves
+    // the versioned table's commit log as ordinary rows (version,
+    // file, mn, mx): the metadata-table idea every production format
+    // ships (DESCRIBE HISTORY), here exercising the full V2 read
+    // stack the suite otherwise only consumes — TableProvider +
+    // DataSourceRegister short name, one InputPartition PER VERSION
+    // (a 10⁶-commit log scans its metadata distributed, never through
+    // the driver), and COLUMN PRUNING pushed into the reader (the
+    // projected query materializes no file-path strings at all).
+    // Staged: v0 = stats commit over range-clustered docs (8 pinned
+    // files), v1 = stats append (2 pinned files, v0's lines carried
+    // byte-verbatim), plus a CRASHED v2 whose litter must be
+    // invisible to the history read. Output: per-version file count +
+    // global stats range — all derivable from the fixture, so the
+    // oracle proves the connector serves exactly what the manifests
+    // say. In-path: the plan must scan graft-history with `file`
+    // pruned away.
+    "pipe_table_history" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vhist_")
+      try {
+        val table = tmp.resolve("table")
+        val base = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+          .repartitionByRange(8, $"doc_id")
+        VersionedTable.commitWithStats(s, table, 0L, base, "doc_id")
+        val appended = Tables.documents(s, dir)
+          .where($"doc_id" % 5 === 0)
+          .selectExpr("doc_id + 2199023255552L AS doc_id", "lang", "n_chars")
+          .repartition(2)
+        VersionedTable.commitWithStats(s, table, 1L, appended, "doc_id",
+          carried = VersionedTable.manifest(table, 0L))
+        VersionedTable.failedCommit(s, table, 2L,
+          Tables.documents(s, dir)
+            .select($"doc_id", $"lang", $"n_chars").limit(5))
+        val out = s.read.format("graft-history").load(table.toString)
+          .groupBy($"version")
+          .agg(count(lit(1)).as("n_files"),
+            min($"mn").as("global_mn"), max($"mx").as("global_mx"))
+          .orderBy("version")
+        QueryModule.gatedPlans.put("pipe_table_history", out)
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("graft-history"),
+          "pipe_table_history: the plan must scan the V2 connector")
+        require(!plan.contains("file#"),
+          "pipe_table_history: column pruning did not reach the " +
+            "reader — the unused file column survived into the scan")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // MULTI-WRITER OPTIMISTIC CONCURRENCY (r12) — the retry/rebase
     // layer over the commit point's putIfAbsent primitive, exercised
     // through REAL lost races (not argued): the manifest hard-link of
@@ -2632,6 +2686,22 @@ object DedupQueries extends QueryModule {
         |FROM documents
         |WHERE doc_id BETWEEN 10 AND 40
         |ORDER BY doc_id""".stripMargin,
+
+    // What the manifests must say, derived from the fixture: v0 = 8
+    // range-clustered files spanning the full doc_id range; v1 adds
+    // the 2 append files whose clones extend the max, carrying v0's
+    // stats verbatim (so the v1 min is still the base min). The
+    // crashed v2 must not appear.
+    "pipe_table_history" ->
+      """SELECT CAST(0 AS BIGINT) AS version, CAST(8 AS BIGINT) AS n_files,
+        |  min(doc_id) AS global_mn, max(doc_id) AS global_mx
+        |FROM documents
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(10 AS BIGINT),
+        |  (SELECT min(doc_id) FROM documents),
+        |  (SELECT max(doc_id + 2199023255552) FROM documents
+        |   WHERE doc_id % 5 = 0)
+        |ORDER BY version""".stripMargin,
 
     // The serial schedule the optimistic writers must be equivalent
     // to — B's append, A's rebased append, D's append, then C's merge
