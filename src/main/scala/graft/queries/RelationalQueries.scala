@@ -761,6 +761,52 @@ object RelationalQueries extends QueryModule {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // COLUMNAR CACHE REUSE (r12) — the materialize-once surface:
+    // a filtered projection is persisted in Spark's compressed
+    // columnar cache and TWO different aggregates run over it; the
+    // in-path witness requires both plans to scan InMemoryTableScan
+    // (not the parquet file — the cache is load-bearing, the file is
+    // read once). This is the interactive-analytics shape (a hot
+    // working set queried many ways); at 100 TB you cache the
+    // FILTERED projection exactly as here — never the raw table —
+    // and the columnar batches serve whole-stage codegen directly.
+    // Cache state is session-shared (CacheManager lives in
+    // SharedState), so the entry is unpersisted in finally — a leaked
+    // cache would silently rewrite every later query's plan against
+    // this table. Oracle: both aggregates the ordinary way (caching
+    // may only change the plan).
+    "rel_cache_reuse" -> ((s, dir) => {
+      import s.implicits._
+      val cached = Tables.lineitem(s, dir)
+        .where($"l_quantity" > 45)
+        .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+        .cache()
+      try {
+        cached.count() // materialize the columnar batches
+        val a = cached.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        val b = cached.agg(
+          max($"l_extendedprice").as("max_price"),
+          min($"l_extendedprice").as("min_price"))
+        for ((df, tag) <- Seq((a, "first"), (b, "second"))) {
+          // The InMemoryTableScan node carries the ORIGINAL file-scan
+          // plan in its printed tree (that's the cached plan's
+          // description, not a re-execution), so the witness is the
+          // scan node itself, not the absence of the file name.
+          val p = df.queryExecution.executedPlan.toString
+          require(p.contains("InMemoryTableScan"),
+            s"rel_cache_reuse: the $tag aggregate bypassed the cache")
+        }
+        val out = a.crossJoin(b) // two 1-row aggregates composed
+        QueryModule.gatedPlans.put("rel_cache_reuse", out)
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally cached.unpersist()
+    }),
+
     // NULL-SAFE EQUALITY JOIN (r12) — `<=>` / IS NOT DISTINCT FROM:
     // ordinary equi-joins DROP null keys (NULL = NULL is UNKNOWN),
     // but entity-resolution joins on partially-populated keys need
@@ -1010,6 +1056,18 @@ object RelationalQueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Caching may only change the plan: both aggregates the ordinary
+    // way over the same filtered projection.
+    "rel_cache_reuse" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  max(l_extendedprice) AS max_price,
+        |  min(l_extendedprice) AS min_price
+        |FROM lineitem
+        |WHERE l_quantity > 45""".stripMargin,
+
     // IS NOT DISTINCT FROM replayed: NULL matches NULL, the aggregate
     // bounds the deliberate NULL×NULL cross-group.
     "rel_nullsafe_join" ->
