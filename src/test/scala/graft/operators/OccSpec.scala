@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Serializability of the optimistic-concurrency layer under RANDOM
+  * schedules: any mix of appends and merges, each losing 0..2 races to
+  * interloper appends injected at the publish seam, must leave the
+  * table equal to folding the actions in COMMIT-VERSION order over the
+  * initial state — the definition of serializable for this protocol
+  * (appends rebase by re-carry; merges rebase by re-running on the
+  * winner's snapshot, so a mid-flight interloper's rows are
+  * transformed too). The directed pipe_commit_conflict query pins one
+  * canonical schedule; this spec samples the schedule space.
+  */
+class OccSpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(7042L + i)))
+
+  private sealed trait Op
+  private case class Append(tag: Int) extends Op
+  private case class Merge(delta: Long) extends Op
+
+  /** Each op carries how many races it must lose before publishing. */
+  private val scheduleGen: Gen[List[(Op, Int)]] = for {
+    n <- Gen.chooseNum(2, 4)
+    ops <- Gen.listOfN(n, for {
+      isAppend <- Gen.oneOf(true, false)
+      delta <- Gen.chooseNum(1L, 9L)
+      races <- Gen.chooseNum(0, 2)
+      tag <- Gen.chooseNum(0, 999)
+    } yield (if (isAppend) Append(tag): Op else Merge(delta): Op, races))
+  } yield ops
+
+  /** Deterministic distinct id block per appender (base op i -> block
+    * 100·(i+1); interloper j of op i -> block 10000·(i+1) + 100·j). */
+  private def ids(block: Int): Seq[Long] =
+    Seq(block.toLong * 1000 + 1, block.toLong * 1000 + 2)
+
+  private def mergeSql(delta: Long): String =
+    s"CASE WHEN id % 2 = 0 THEN id + $delta ELSE id END AS id"
+
+  private def mergeModel(delta: Long)(s: Seq[Long]): Seq[Long] =
+    s.map(v => if (v % 2 == 0) v + delta else v)
+
+  test("random schedules with lost races fold serially by commit version") {
+    import spark.implicits._
+    for ((schedule, si) <- samples(scheduleGen, 8).zipWithIndex) {
+      val t = Files.createTempDirectory(s"graft_occ_${si}_").resolve("t")
+      VersionedTable.commit(spark, t, 0L, Seq(1L, 2L, 3L).toDF("id"))
+      // version -> model action, recorded as commits actually land.
+      val actions = scala.collection.mutable.Map[Long, Seq[Long] => Seq[Long]]()
+      for (((op, races), oi) <- schedule.zipWithIndex) {
+        var left = races
+        var interloper = 0
+        val inject: Long => Unit = { target =>
+          if (left > 0) {
+            left -= 1
+            interloper += 1
+            val extra = ids(10 * (oi + 1) + interloper)
+            VersionedTable.commit(spark, t, target, extra.toDF("id"),
+              carried = VersionedTable.manifest(t, target - 1))
+            actions(target) = (s: Seq[Long]) => s ++ extra
+          }
+        }
+        op match {
+          case Append(_) =>
+            val mine = ids(oi + 1)
+            val c = VersionedTable.appendCommit(spark, t, mine.toDF("id"),
+              beforeAttempt = inject)
+            assert(c.conflicts == races,
+              s"schedule $si op $oi: expected $races lost races, " +
+                s"got ${c.conflicts}")
+            actions(c.version) = (s: Seq[Long]) => s ++ mine
+          case Merge(delta) =>
+            val c = VersionedTable.transact(spark, t,
+              op = snap => snap.selectExpr(mergeSql(delta)),
+              beforeAttempt = inject)
+            assert(c.conflicts == races)
+            actions(c.version) = mergeModel(delta)
+        }
+      }
+      // History must be contiguous: v0 plus one version per action.
+      val vs = VersionedTable.versions(t)
+      assert(vs == (0L to actions.keys.max).toSeq,
+        s"schedule $si: history $vs has gaps or leaks")
+      val expected = vs.drop(1).foldLeft(Seq(1L, 2L, 3L)) { (st, v) =>
+        actions(v)(st)
+      }.sorted
+      val got = VersionedTable.read(spark, t)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expected,
+        s"schedule $si ($schedule): table diverged from the serial fold")
+      graft.streaming.EventStreams.deleteTree(t.getParent)
+    }
+  }
+}
