@@ -46,6 +46,36 @@ class OccSpec extends SparkSpec {
   private def mergeModel(delta: Long)(s: Seq[Long]): Seq[Long] =
     s.map(v => if (v % 2 == 0) v + delta else v)
 
+  test("genuinely concurrent appenders all land; history stays contiguous") {
+    // Unlike the injected races above, this drives REAL thread
+    // parallelism at the publish link: four appenders race freely, the
+    // conflict count is whatever the scheduler produces, and the
+    // invariants are what OCC actually promises — no lost update, no
+    // version gap, no duplicate.
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft_occ_par_").resolve("t")
+    VersionedTable.commit(spark, t, 0L, Seq(1L).toDF("id"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long =
+            VersionedTable.appendCommit(spark, t, ids(i).toDF("id")).version
+        })
+      }
+      val versions = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.toSet.size == 4, "two appenders claimed one version")
+      assert(VersionedTable.versions(t) == (0L to 4L).toSeq)
+      val got = VersionedTable.read(spark, t)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val expected = (1L +: (1 to 4).flatMap(ids)).sorted
+      assert(got == expected, "a concurrent append was lost or duplicated")
+    } finally {
+      pool.shutdownNow()
+      graft.streaming.EventStreams.deleteTree(t.getParent)
+    }
+  }
+
   test("random schedules with lost races fold serially by commit version") {
     import spark.implicits._
     for ((schedule, si) <- samples(scheduleGen, 8).zipWithIndex) {
