@@ -761,6 +761,43 @@ object RelationalQueries extends QueryModule {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // ANSI-SAFE ARITHMETIC (r12) — the try_* error-handling surface
+    // (Spark 4 runs ANSI mode by default, so overflow/bad-cast/÷0 are
+    // RUNTIME ERRORS — one malformed row kills a 100-TB job at hour
+    // three): try_cast / try_divide / try_add turn the error lanes
+    // into typed NULLs that quarantine instead of crash, the contract
+    // every ingestion pipeline wants. All three lanes are exercised
+    // with rows that genuinely hit them — non-numeric casts, zero
+    // divisors, Long-overflow adds — and counted next to the clean
+    // lanes. The oracle replays the semantics with explicit guards
+    // (TRY_CAST; CASE on the zero divisor; HUGEINT-checked overflow),
+    // proving Spark's try_* are exactly "NULL instead of error".
+    "rel_try_funcs" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .selectExpr(
+          "o_orderkey",
+          // Lane 1: cast a sometimes-non-numeric string.
+          "try_cast(CASE WHEN o_orderstatus = 'P' THEN 'n/a' " +
+            "ELSE CAST(o_orderkey AS STRING) END AS BIGINT) AS c",
+          // Lane 2: divide by a sometimes-zero denominator.
+          "try_divide(o_totalprice, o_custkey % 10) AS d",
+          // Lane 3: add near Long.MaxValue — overflows iff key is even.
+          "try_add(CASE WHEN o_orderkey % 2 = 0 THEN 9223372036854775800 " +
+            "ELSE 0 END, o_orderkey) AS a")
+        .agg(
+          count(lit(1)).as("n"),
+          count($"c").as("n_cast_ok"),
+          sum($"c").as("sum_cast"),
+          count($"d").as("n_div_ok"),
+          sum(floor($"d" * 1000).cast("long")).as("sum_div_e3"),
+          count($"a").as("n_add_ok"),
+          // a itself sits near Long.Max on the surviving even lanes —
+          // summing it raw would overflow the AGGREGATE under ANSI;
+          // the mod-1000 residue keeps the checksum small and exact.
+          sum($"a" % 1000).as("sum_add_mod"))
+    }),
+
     // COLUMNAR CACHE REUSE (r12) — the materialize-once surface:
     // a filtered projection is persisted in Spark's compressed
     // columnar cache and TWO different aggregates run over it; the
@@ -1056,6 +1093,35 @@ object RelationalQueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // The try_* semantics replayed with explicit guards: TRY_CAST
+    // natively; the zero divisor as a CASE; the overflow lane in
+    // HUGEINT (DuckDB's native int128) compared against the BIGINT
+    // range — NULL exactly where Spark's try_add returns NULL.
+    "rel_try_funcs" ->
+      """WITH t AS (
+        |  SELECT
+        |    TRY_CAST(CASE WHEN o_orderstatus = 'P' THEN 'n/a'
+        |             ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS c,
+        |    CASE WHEN o_custkey % 10 = 0 THEN NULL
+        |         ELSE o_totalprice / (o_custkey % 10) END AS d,
+        |    CASE WHEN CAST(CASE WHEN o_orderkey % 2 = 0
+        |                   THEN 9223372036854775800 ELSE 0 END AS HUGEINT)
+        |              + CAST(o_orderkey AS HUGEINT)
+        |              > CAST(9223372036854775807 AS HUGEINT) THEN NULL
+        |         ELSE CASE WHEN o_orderkey % 2 = 0
+        |              THEN 9223372036854775800 ELSE 0 END + o_orderkey
+        |         END AS a
+        |  FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(c) AS BIGINT) AS n_cast_ok,
+        |  CAST(sum(c) AS BIGINT) AS sum_cast,
+        |  CAST(count(d) AS BIGINT) AS n_div_ok,
+        |  CAST(sum(CAST(floor(d * 1000) AS BIGINT)) AS BIGINT)
+        |    AS sum_div_e3,
+        |  CAST(count(a) AS BIGINT) AS n_add_ok,
+        |  CAST(sum(a % 1000) AS BIGINT) AS sum_add_mod
+        |FROM t""".stripMargin,
+
     // Caching may only change the plan: both aggregates the ordinary
     // way over the same filtered projection.
     "rel_cache_reuse" ->
