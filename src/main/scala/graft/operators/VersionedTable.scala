@@ -158,16 +158,54 @@ object VersionedTable {
     stats.map(_._1)
   }
 
-  /** Parsed `(path, min, max)` stats of a version's manifest; files
-    * committed without stats surface with a full-range (Long.Min,
-    * Long.Max) — never skippable, always correct. */
+  /** Deletion-vector manifest lines are namespaced `DV\t<path>\t<keyCol>`
+    * — a plain data path can never collide (paths live under data/,
+    * the literal "DV" does not). */
+  private val DvPrefix = "DV\t"
+
+  /** Parsed `(path, min, max)` DATA-file stats of a version's manifest
+    * (deletion-vector lines are metadata, not scannable data — they
+    * surface via [[deletionVectors]]); files committed without stats
+    * get the full-range (Long.Min, Long.Max) — never skippable,
+    * always correct. */
   def statsManifest(table: Path, version: Long): Seq[(String, Long, Long)] =
-    manifest(table, version).map { line =>
+    manifest(table, version).filterNot(_.startsWith(DvPrefix)).map { line =>
       line.split('\t') match {
         case Array(f, mn, mx) => (f, mn.toLong, mx.toLong)
         case Array(f) => (f, Long.MinValue, Long.MaxValue)
       }
     }
+
+  /** The deletion vectors live at a version: (dvPath, keyColumn). */
+  def deletionVectors(table: Path, version: Long): Seq[(String, String)] =
+    manifest(table, version).filter(_.startsWith(DvPrefix)).map { line =>
+      val Array(_, p, keyCol) = line.split('\t')
+      (p, keyCol)
+    }
+
+  /** MERGE-ON-READ DELETE — the cheap-delete answer of every modern
+    * table format (Delta deletion vectors / Iceberg delete files):
+    * instead of rewriting every data file that contains a doomed row
+    * (copy-on-write — cost O(touched files), the [[transact]] shape),
+    * the commit writes ONLY a tiny key-list sidecar and carries the
+    * previous version's data lines BYTE-VERBATIM; readers anti-join
+    * the union of live deletion vectors at plan time. Delete cost is
+    * O(deleted keys) regardless of table size — at 100 TB the
+    * difference between a GDPR erasure finishing in seconds or
+    * rewriting terabytes. The debt is read-time (one broadcast-sized
+    * anti-join per scan), repaid when a compaction commit
+    * ([[transact]] or `commit`) materializes the surviving rows and
+    * drops the DV lines — exactly the merge-on-read → copy-on-write
+    * fold production tables schedule. Returns the published lines. */
+  def deleteCommit(s: SparkSession, table: Path, version: Long,
+                   keys: DataFrame, keyCol: String): Seq[String] = {
+    val dvDir = table.resolve("dv").resolve(
+      f"v$version%06d-" + java.util.UUID.randomUUID().toString.take(8))
+    keys.select(keyCol).write.parquet(dvDir.toString)
+    val dvLines = partFiles(table, dvDir)
+      .map(p => s"$DvPrefix$p\t$keyCol")
+    publish(table, version, manifest(table, version - 1) ++ dvLines)
+  }
 
   /** Range read with FILE-LEVEL skipping: plans over only the files
     * whose [min, max] overlaps [lo, hi], then re-applies the predicate
@@ -180,6 +218,11 @@ object VersionedTable {
     import org.apache.spark.sql.functions.col
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $table"))
+    // Range reads don't fold deletion vectors in (yet) — refuse
+    // loudly rather than silently resurrect deleted rows.
+    require(deletionVectors(table, v).isEmpty,
+      s"readRange at version $v: table carries deletion vectors — " +
+        "compact them away (a rewrite commit) before stats-range reads")
     val all = statsManifest(table, v)
     val live = all.filter { case (_, mn, mx) => mx >= lo && mn <= hi }
     val df =
@@ -208,11 +251,16 @@ object VersionedTable {
     val (dead, live) = all.partition(_ < keepFrom)
     require(live.nonEmpty,
       s"expire(keepFrom=$keepFrom) would delete every version of $table")
-    val referenced = live.flatMap(v => statsManifest(table, v).map(_._1)).toSet
-    val dataRoot = table.resolve("data")
+    // Deletion-vector sidecars are referenced files like any other: a
+    // DV listed by a retained version must survive, one referenced
+    // only by expired versions is reclaimable.
+    val referenced = live.flatMap(v =>
+      statsManifest(table, v).map(_._1) ++
+        deletionVectors(table, v).map(_._1)).toSet
     var deleted = 0
-    if (Files.isDirectory(dataRoot)) {
-      val walk = Files.walk(dataRoot)
+    for (root <- Seq(table.resolve("data"), table.resolve("dv"))
+         if Files.isDirectory(root)) {
+      val walk = Files.walk(root)
       try walk.iterator().asScala
         .filter(p => Files.isRegularFile(p) &&
           !referenced.contains(table.relativize(p).toString))
@@ -345,6 +393,21 @@ object VersionedTable {
     // appended column) reconciles per-file footers into the union
     // schema at plan time — old files surface typed NULLs. Off by
     // default: single-schema reads should not pay the footer sweep.
-    s.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
+    val base = s.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files: _*)
+    // Merge-on-read: anti-join the union of live deletion vectors.
+    // The DV side is O(deleted keys) — broadcast-sized in any sane
+    // history; a compaction commit folds it away entirely.
+    val dvs = deletionVectors(table, v)
+    if (dvs.isEmpty) base
+    else {
+      val keyCols = dvs.map(_._2).distinct
+      require(keyCols.size == 1,
+        s"mixed deletion-vector key columns at version $v: $keyCols")
+      val keys = s.read
+        .parquet(dvs.map(d => table.resolve(d._1).toString): _*)
+        .distinct()
+      base.join(keys, Seq(keyCols.head), "left_anti")
+    }
   }
 }

@@ -1863,6 +1863,65 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // MERGE-ON-READ DELETE via deletion vectors (r12) — the
+    // cheap-delete half the copy-on-write family (transact /
+    // pipe_cdc_apply) deliberately doesn't cover: a DELETE commit
+    // writes ONLY a key-list sidecar and carries every data line
+    // byte-verbatim (in-path require), so erasing k rows costs O(k)
+    // regardless of table size — at 100 TB the difference between a
+    // GDPR erasure finishing in seconds or rewriting terabytes.
+    // Readers anti-join the union of live DVs at plan time; the debt
+    // is repaid by a COMPACTION commit that materializes survivors
+    // and drops the DV lines (merge-on-read → copy-on-write fold,
+    // require-gated: v3 carries no DVs and fewer rows than v0's
+    // files). Staged: v0 = base; v1 = DV delete of doc_id%9==4;
+    // v2 = second DV delete of doc_id%9==7 (DVs accumulate);
+    // v3 = compaction. Output digests all four versions — progressive
+    // deletion, time travel to the undeleted v0, and the fold's
+    // losslessness are each oracle-proven.
+    "pipe_delete_dv" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vdv_")
+      try {
+        val table = tmp.resolve("table")
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+        VersionedTable.commit(s, table, 0L, docs)
+        VersionedTable.deleteCommit(s, table, 1L,
+          docs.where($"doc_id" % 9 === 4).select($"doc_id"), "doc_id")
+        VersionedTable.deleteCommit(s, table, 2L,
+          docs.where($"doc_id" % 9 === 7).select($"doc_id"), "doc_id")
+        // The delete commits must not have touched a single data line.
+        val dataLines = (v: Long) =>
+          VersionedTable.statsManifest(table, v).map(_._1)
+        require(dataLines(1L) == dataLines(0L) &&
+            dataLines(2L) == dataLines(0L),
+          "pipe_delete_dv: a delete commit rewrote data files — " +
+            "merge-on-read must cost O(deleted keys)")
+        require(VersionedTable.deletionVectors(table, 2L).size >= 2,
+          "pipe_delete_dv: both deletion vectors must ride v2")
+        // Compaction folds the DVs away.
+        VersionedTable.commit(s, table, 3L,
+          VersionedTable.read(s, table, Some(2L)))
+        require(VersionedTable.deletionVectors(table, 3L).isEmpty,
+          "pipe_delete_dv: compaction must drop the deletion vectors")
+        val out = (0L to 3L).map { v =>
+          VersionedTable.read(s, table, Some(v))
+            .selectExpr("n_chars",
+              "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', " +
+                "CAST(n_chars AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h")
+            .agg(count(lit(1)).as("n_rows"),
+              sum($"n_chars").as("sum_chars"),
+              expr("bit_xor(h)").as("content_sig"))
+            .select(lit(v).as("version"), $"n_rows", $"sum_chars",
+              $"content_sig")
+        }.reduce(_ unionAll _).orderBy("version")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // COMMIT HISTORY AS A TABLE via the engine's own DataSource V2
     // connector (r12) — `spark.read.format("graft-history")` serves
     // the versioned table's commit log as ordinary rows (version,
@@ -2686,6 +2745,28 @@ object DedupQueries extends QueryModule {
         |FROM documents
         |WHERE doc_id BETWEEN 10 AND 40
         |ORDER BY doc_id""".stripMargin,
+
+    // Progressive deletion replayed: v1 drops %9==4, v2 additionally
+    // %9==7, v3 ≡ v2 (compaction is content-lossless); v0 intact.
+    "pipe_delete_dv" ->
+      """WITH sig AS (
+        |  SELECT 0 AS version, doc_id, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT 1, doc_id, n_chars FROM documents WHERE doc_id % 9 <> 4
+        |  UNION ALL
+        |  SELECT 2, doc_id, n_chars FROM documents
+        |  WHERE doc_id % 9 <> 4 AND doc_id % 9 <> 7
+        |  UNION ALL
+        |  SELECT 3, doc_id, n_chars FROM documents
+        |  WHERE doc_id % 9 <> 4 AND doc_id % 9 <> 7)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT) AS content_sig
+        |FROM sig
+        |GROUP BY version
+        |ORDER BY version""".stripMargin,
 
     // What the manifests must say, derived from the fixture: v0 = 8
     // range-clustered files spanning the full doc_id range; v1 adds

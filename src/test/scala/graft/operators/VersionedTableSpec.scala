@@ -150,6 +150,47 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, t).count() == 3)
   }
 
+  test("deletion vectors: O(k) delete, accumulation, compaction fold") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2, 3, 4, 5))
+    VersionedTable.deleteCommit(spark, t, 1L, Seq(2L).toDF("id"), "id")
+    VersionedTable.deleteCommit(spark, t, 2L, Seq(4L, 9L).toDF("id"), "id")
+    // Data lines untouched by both deletes.
+    assert(VersionedTable.statsManifest(t, 2L).map(_._1) ==
+      VersionedTable.statsManifest(t, 0L).map(_._1))
+    assert(VersionedTable.read(spark, t, Some(1L))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L, 5L))
+    assert(VersionedTable.read(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L),
+      "DVs must accumulate across versions (a never-present key is a no-op)")
+    assert(VersionedTable.read(spark, t, Some(0L)).count() == 5,
+      "time travel must see the undeleted snapshot")
+    // Stats-range reads refuse DV-bearing versions.
+    intercept[IllegalArgumentException] {
+      VersionedTable.readRange(spark, t, "id", 0L, 10L)
+    }
+    // Compaction folds the DVs; expire then reclaims them.
+    VersionedTable.commit(spark, t, 3L, VersionedTable.read(spark, t, Some(2L)))
+    assert(VersionedTable.deletionVectors(t, 3L).isEmpty)
+    val (deleted, _) = VersionedTable.expire(t, keepFrom = 3L)
+    assert(deleted >= 3, "expired data files AND dv sidecars must be reclaimed")
+    assert(VersionedTable.read(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("deletion vectors survive expiry while a retaining version lives") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2))
+    VersionedTable.deleteCommit(spark, t, 1L, Seq(1L).toDF("id"), "id")
+    // Expire v0 only: v1 still references v0's data lines (carried)
+    // and its own DV — both must survive.
+    VersionedTable.expire(t, keepFrom = 1L)
+    assert(VersionedTable.read(spark, t)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("publishing the same version twice fails (optimistic concurrency)") {
     val t = freshTable()
     val files = VersionedTable.commit(spark, t, 0L, df(1))
