@@ -66,6 +66,48 @@ class HistorySourceSpec extends SparkSpec {
     assert(narrow.collect().length == 3)
   }
 
+  test("random histories: connector rows equal the manifests verbatim") {
+    // Property: for ANY history of plain/stats/append/failed commits,
+    // the connector serves exactly what statsManifest says per
+    // committed version — no more (crash litter), no less (carries).
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val histGen = Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("plain", "stats", "append", "failed")))
+    val hists = (1 to 6).map(i =>
+      histGen.pureApply(Gen.Parameters.default, Seed(9100L + i)))
+    for ((hist, hi) <- hists.zipWithIndex) {
+      val t = Files.createTempDirectory(s"graft_hist_prop_${hi}_").resolve("t")
+      VersionedTable.commit(spark, t, 0L, Seq(0L).toDF("id"))
+      var v = 0L
+      hist.zipWithIndex.foreach { case (kind, i) =>
+        val df = Seq(100L * (i + 1), 100L * (i + 1) + 1).toDF("id")
+          .repartition(1)
+        kind match {
+          case "plain" => v += 1; VersionedTable.commit(spark, t, v, df)
+          case "stats" => v += 1
+            VersionedTable.commitWithStats(spark, t, v, df, "id")
+          case "append" => v += 1
+            VersionedTable.commit(spark, t, v, df,
+              carried = VersionedTable.manifest(t, v - 1))
+          case "failed" => VersionedTable.failedCommit(spark, t, v + 1, df)
+        }
+      }
+      val got = spark.read.format("graft-history").load(t.toString)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val expected = VersionedTable.versions(t).flatMap { ver =>
+        VersionedTable.statsManifest(t, ver).map { case (f, mn, mx) =>
+          (ver, f, mn, mx)
+        }
+      }.toSet
+      assert(got == expected, s"history $hi ($hist): connector diverged")
+      graft.streaming.EventStreams.deleteTree(t.getParent)
+    }
+  }
+
   test("a missing path fails loudly") {
     intercept[Exception] {
       spark.read.format("graft-history").load()
