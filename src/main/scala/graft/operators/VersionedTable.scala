@@ -176,11 +176,14 @@ object VersionedTable {
       }
     }
 
-  /** The deletion vectors live at a version: (dvPath, keyColumn). */
-  def deletionVectors(table: Path, version: Long): Seq[(String, String)] =
+  /** The deletion vectors live at a version:
+    * (dvPath, keyColumn, originVersion). The origin version scopes
+    * the DV to the data files that existed when the delete committed
+    * — see [[deleteCommit]]. */
+  def deletionVectors(table: Path, version: Long): Seq[(String, String, Long)] =
     manifest(table, version).filter(_.startsWith(DvPrefix)).map { line =>
-      val Array(_, p, keyCol) = line.split('\t')
-      (p, keyCol)
+      val Array(_, p, keyCol, origin) = line.split('\t')
+      (p, keyCol, origin.toLong)
     }
 
   /** MERGE-ON-READ DELETE — the cheap-delete answer of every modern
@@ -196,14 +199,22 @@ object VersionedTable {
     * anti-join per scan), repaid when a compaction commit
     * ([[transact]] or `commit`) materializes the surviving rows and
     * drops the DV lines — exactly the merge-on-read → copy-on-write
-    * fold production tables schedule. Returns the published lines. */
+    * fold production tables schedule.
+    *
+    * A DV is SCOPED to the data files listed at its ORIGIN version
+    * (recorded in the manifest line): a later append that re-inserts
+    * a deleted key produces a file the DV does not cover, so the new
+    * row SURVIVES — delete-then-reinsert behaves like every
+    * sequence-numbered table format, not like an eternal tombstone
+    * (the trap an unscoped key list would be). Returns the published
+    * lines. */
   def deleteCommit(s: SparkSession, table: Path, version: Long,
                    keys: DataFrame, keyCol: String): Seq[String] = {
     val dvDir = table.resolve("dv").resolve(
       f"v$version%06d-" + java.util.UUID.randomUUID().toString.take(8))
     keys.select(keyCol).write.parquet(dvDir.toString)
     val dvLines = partFiles(table, dvDir)
-      .map(p => s"$DvPrefix$p\t$keyCol")
+      .map(p => s"$DvPrefix$p\t$keyCol\t$version")
     publish(table, version, manifest(table, version - 1) ++ dvLines)
   }
 
@@ -393,21 +404,41 @@ object VersionedTable {
     // appended column) reconciles per-file footers into the union
     // schema at plan time — old files surface typed NULLs. Off by
     // default: single-schema reads should not pay the footer sweep.
-    val base = s.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(files: _*)
-    // Merge-on-read: anti-join the union of live deletion vectors.
-    // The DV side is O(deleted keys) — broadcast-sized in any sane
-    // history; a compaction commit folds it away entirely.
+    def readFiles(fs: Seq[String]) =
+      s.read.option("mergeSchema", mergeSchema.toString).parquet(fs: _*)
+    // Merge-on-read: anti-join the live deletion vectors, each SCOPED
+    // to the data files its origin version listed — files appended
+    // after a delete are not covered, so re-inserted keys survive
+    // (sequence-number semantics, not eternal tombstones). Data files
+    // group by the set of DVs covering them (in any sane history a
+    // handful of groups); each group anti-joins its own key union.
+    // The DV side is O(deleted keys) — broadcast-sized; a compaction
+    // commit folds it away entirely.
+    val relFiles = statsManifest(table, v).map(_._1)
     val dvs = deletionVectors(table, v)
-    if (dvs.isEmpty) base
+    if (dvs.isEmpty) readFiles(files)
     else {
       val keyCols = dvs.map(_._2).distinct
       require(keyCols.size == 1,
         s"mixed deletion-vector key columns at version $v: $keyCols")
-      val keys = s.read
-        .parquet(dvs.map(d => table.resolve(d._1).toString): _*)
-        .distinct()
-      base.join(keys, Seq(keyCols.head), "left_anti")
+      val covered: Map[String, Set[String]] = dvs
+        .groupBy(_._3)
+        .flatMap { case (origin, group) =>
+          val scope = statsManifest(table, origin).map(_._1).toSet
+          group.map(dv => dv._1 -> scope)
+        }
+      val groups = relFiles.groupBy(f =>
+        covered.collect { case (dv, scope) if scope.contains(f) => dv }.toSet)
+      groups.map { case (dvSet, fs) =>
+        val part = readFiles(fs.map(f => table.resolve(f).toString))
+        if (dvSet.isEmpty) part
+        else {
+          val keys = s.read
+            .parquet(dvSet.toSeq.sorted.map(table.resolve(_).toString): _*)
+            .distinct()
+          part.join(keys, Seq(keyCols.head), "left_anti")
+        }
+      }.reduce(_ unionByName _)
     }
   }
 }

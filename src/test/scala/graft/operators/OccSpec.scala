@@ -46,6 +46,59 @@ class OccSpec extends SparkSpec {
   private def mergeModel(delta: Long)(s: Seq[Long]): Seq[Long] =
     s.map(v => if (v % 2 == 0) v + delta else v)
 
+  test("random append/delete/compact sequences track a multiset model") {
+    // Merge-on-read deletion vectors against a driver-side model:
+    // delete removes the key's CURRENTLY PRESENT copies only (a later
+    // re-append resurrects it — DV scoping), compaction never changes
+    // contents, and every version remains time-travelable to its
+    // model state.
+    import spark.implicits._
+    sealed trait DvOp
+    case class Add(ids: Seq[Long]) extends DvOp
+    case class Del(keys: Seq[Long]) extends DvOp
+    case object Compact extends DvOp
+    val universe = (1L to 6L)
+    val opGen: Gen[DvOp] = Gen.frequency(
+      4 -> Gen.someOf(universe).map(s => Add(s.toSeq)),
+      4 -> Gen.someOf(universe).map(s => Del(s.toSeq)),
+      2 -> Gen.const(Compact))
+    val seqGen = Gen.chooseNum(2, 5).flatMap(n => Gen.listOfN(n, opGen))
+    for ((ops, si) <- samples(seqGen, 6).zipWithIndex) {
+      val t = Files.createTempDirectory(s"graft_dv_prop_${si}_").resolve("t")
+      VersionedTable.commit(spark, t, 0L, Seq(1L, 2L).toDF("id"))
+      var model = Seq(1L, 2L) // multiset of present ids
+      val states = scala.collection.mutable.Map(0L -> model)
+      var v = 0L
+      ops.foreach { op =>
+        v += 1
+        op match {
+          case Add(ids) =>
+            VersionedTable.commit(spark, t, v,
+              (if (ids.isEmpty) Seq(-1L) else ids).toDF("id"),
+              carried = VersionedTable.manifest(t, v - 1))
+            model = model ++ (if (ids.isEmpty) Seq(-1L) else ids)
+          case Del(keys) =>
+            VersionedTable.deleteCommit(spark, t, v,
+              (if (keys.isEmpty) Seq(-99L) else keys).toDF("id"), "id")
+            val dead = (if (keys.isEmpty) Seq(-99L) else keys).toSet
+            model = model.filterNot(dead.contains)
+          case Compact =>
+            VersionedTable.commit(spark, t, v,
+              VersionedTable.read(spark, t, Some(v - 1)))
+        }
+        states(v) = model
+      }
+      // Every version time-travels to its model state.
+      states.foreach { case (ver, st) =>
+        val got = VersionedTable.read(spark, t, Some(ver))
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(got == st.sorted,
+          s"sequence $si ($ops): version $ver diverged from the model")
+      }
+      graft.streaming.EventStreams.deleteTree(t.getParent)
+    }
+  }
+
   test("genuinely concurrent appenders all land; history stays contiguous") {
     // Unlike the injected races above, this drives REAL thread
     // parallelism at the publish link: four appenders race freely, the

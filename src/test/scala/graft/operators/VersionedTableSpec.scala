@@ -179,6 +179,25 @@ class VersionedTableSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("a re-appended key survives an earlier delete (DV scoping)") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2, 3))
+    VersionedTable.deleteCommit(spark, t, 1L, Seq(2L).toDF("id"), "id")
+    // Re-insert 2 via an append: the new file postdates the DV's
+    // origin, so the DV must NOT cover it.
+    VersionedTable.commit(spark, t, 2L, df(2),
+      carried = VersionedTable.manifest(t, 1L))
+    assert(VersionedTable.read(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+      "sequence-number semantics: delete-then-reinsert must resurrect " +
+        "the key, not tombstone it forever")
+    // The ORIGINAL file's copy of 2 is still deleted: deleting 2 again
+    // then reading v2 (pre-second-delete) must show it once.
+    assert(VersionedTable.read(spark, t, Some(1L))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("deletion vectors survive expiry while a retaining version lives") {
     import spark.implicits._
     val t = freshTable()
