@@ -1863,6 +1863,68 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // QUARANTINE ROUTING (r12) — the row-level complement of
+    // pipe_expectations' violation COUNTS: every ingested row is
+    // routed to its sink with a REASON (first failing rule in a fixed
+    // order — bad_quantity → bad_discount → bad_flag → ok), in ONE
+    // scan and one partitioned write, so the quarantine lands as
+    // directory layout (`reason=...`) and downstream consumers read
+    // the clean partition — or one failure class for triage — via
+    // partition pruning, never rescanning the firehose. The fixture
+    // is clean by construction, so each failure class is planted
+    // deterministically (mutated clones of %97 key slices under a
+    // shifted id space — the pipe_pii_scrub discipline); the oracle
+    // rebuilds the identical plants and replays the routing CASE, so
+    // counts AND content checksums per sink are driver-proven. The
+    // in-path require pins the routing's physical materialization:
+    // all four reason directories must exist on disk.
+    "pipe_quarantine" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.sources.GraftSession.stagingDir("graft_quar_")
+      try {
+        val li = Tables.lineitem(s, dir).select(
+          $"l_orderkey", $"l_linenumber", $"l_quantity",
+          $"l_discount", $"l_returnflag")
+        def dirt(m: Int, mut: String, col: String) =
+          li.where($"l_orderkey" % 97 === m)
+            .selectExpr("l_orderkey + 4398046511104 AS l_orderkey",
+              "l_linenumber",
+              if (col == "l_quantity") mut else "l_quantity",
+              if (col == "l_discount") mut else "l_discount",
+              if (col == "l_returnflag") mut else "l_returnflag")
+        val input = li
+          .unionAll(dirt(0, "-1.0D AS l_quantity", "l_quantity"))
+          .unionAll(dirt(1, "1.5D AS l_discount", "l_discount"))
+          .unionAll(dirt(2, "'X' AS l_returnflag", "l_returnflag"))
+        input
+          .withColumn("reason", expr(
+            """CASE WHEN l_quantity IS NULL OR l_quantity <= 0
+              |       THEN 'bad_quantity'
+              |     WHEN l_discount NOT BETWEEN 0 AND 1
+              |       THEN 'bad_discount'
+              |     WHEN l_returnflag NOT IN ('A', 'N', 'R')
+              |       THEN 'bad_flag'
+              |     ELSE 'ok' END""".stripMargin))
+          .write.partitionBy("reason").parquet(tmp.resolve("routed").toString)
+        import scala.jdk.CollectionConverters._
+        val dirs = java.nio.file.Files.list(tmp.resolve("routed"))
+          .iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("reason=")).toSeq.sorted
+        require(dirs == Seq("reason=bad_discount", "reason=bad_flag",
+            "reason=bad_quantity", "reason=ok"),
+          s"pipe_quarantine: routing layout incomplete — got $dirs")
+        val out = s.read.parquet(tmp.resolve("routed").toString)
+          .groupBy($"reason")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct($"l_orderkey").as("n_orders"),
+            sum($"l_quantity".cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+          .orderBy("reason")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // MERGE-ON-READ DELETE via deletion vectors (r12) — the
     // cheap-delete half the copy-on-write family (transact /
     // pipe_cdc_apply) deliberately doesn't cover: a DELETE commit
@@ -2745,6 +2807,43 @@ object DedupQueries extends QueryModule {
         |FROM documents
         |WHERE doc_id BETWEEN 10 AND 40
         |ORDER BY doc_id""".stripMargin,
+
+    // The identical plants + the identical first-failure routing CASE,
+    // aggregated per sink.
+    "pipe_quarantine" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |                   l_discount, l_returnflag FROM lineitem),
+        |input AS (
+        |  SELECT * FROM li
+        |  UNION ALL
+        |  SELECT l_orderkey + 4398046511104, l_linenumber, -1.0,
+        |         l_discount, l_returnflag
+        |  FROM li WHERE l_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey + 4398046511104, l_linenumber, l_quantity,
+        |         1.5, l_returnflag
+        |  FROM li WHERE l_orderkey % 97 = 1
+        |  UNION ALL
+        |  SELECT l_orderkey + 4398046511104, l_linenumber, l_quantity,
+        |         l_discount, 'X'
+        |  FROM li WHERE l_orderkey % 97 = 2),
+        |routed AS (
+        |  SELECT *,
+        |    CASE WHEN l_quantity IS NULL OR l_quantity <= 0
+        |           THEN 'bad_quantity'
+        |         WHEN l_discount NOT BETWEEN 0 AND 1
+        |           THEN 'bad_discount'
+        |         WHEN l_returnflag NOT IN ('A', 'N', 'R')
+        |           THEN 'bad_flag'
+        |         ELSE 'ok' END AS reason
+        |  FROM input)
+        |SELECT reason, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM routed
+        |GROUP BY reason
+        |ORDER BY reason""".stripMargin,
 
     // Progressive deletion replayed: v1 drops %9==4, v2 additionally
     // %9==7, v3 ≡ v2 (compaction is content-lossless); v0 intact.
