@@ -5,9 +5,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -81,19 +81,61 @@ private[sources] class HistoryTable(path: String) extends Table with SupportsRea
 }
 
 private[sources] class HistoryScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = HistorySource.schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands back a subset of our schema in our field order; an
     // empty struct (count(*)) is legal and yields zero-width rows.
     required = requiredSchema
 
-  override def build(): Scan = new HistoryScan(path, required)
+  /** `version` predicates prune whole INPUT PARTITIONS (one manifest
+    * per version never opens) — the connector's analogue of partition
+    * pruning: `history.where("version = N")` costs one manifest read
+    * regardless of history length. Everything else stays residual:
+    * Spark re-applies pushed filters anyway, so acceptance here is a
+    * planning optimization, never a correctness dependency. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) =
+      filters.partition(HistoryScanBuilder.versionPrunable)
+    pushed = sup
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new HistoryScan(path, required, pushed)
 }
 
-private[sources] class HistoryScan(path: String, required: StructType)
+private[sources] object HistoryScanBuilder {
+
+  def versionPrunable(f: Filter): Boolean = f match {
+    case EqualTo("version", _: java.lang.Number) => true
+    case GreaterThan("version", _: java.lang.Number) => true
+    case GreaterThanOrEqual("version", _: java.lang.Number) => true
+    case LessThan("version", _: java.lang.Number) => true
+    case LessThanOrEqual("version", _: java.lang.Number) => true
+    case In("version", vs) => vs.forall(_.isInstanceOf[java.lang.Number])
+    case _ => false
+  }
+
+  def admits(f: Filter, v: Long): Boolean = f match {
+    case EqualTo("version", x: java.lang.Number) => v == x.longValue
+    case GreaterThan("version", x: java.lang.Number) => v > x.longValue
+    case GreaterThanOrEqual("version", x: java.lang.Number) => v >= x.longValue
+    case LessThan("version", x: java.lang.Number) => v < x.longValue
+    case LessThanOrEqual("version", x: java.lang.Number) => v <= x.longValue
+    case In("version", vs) =>
+      vs.exists { case x: java.lang.Number => v == x.longValue; case _ => false }
+    case _ => true
+  }
+}
+
+private[sources] class HistoryScan(path: String, required: StructType,
+                                   pushed: Array[Filter])
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -101,9 +143,11 @@ private[sources] class HistoryScan(path: String, required: StructType)
 
   override def planInputPartitions(): Array[InputPartition] = {
     // Version list is tiny (one dir listing); the manifests themselves
-    // are parsed on executors.
+    // are parsed on executors. Pushed version predicates prune here —
+    // pruned versions' manifests are never opened anywhere.
     val versions =
       graft.operators.VersionedTable.versions(java.nio.file.Paths.get(path))
+        .filter(v => pushed.forall(HistoryScanBuilder.admits(_, v)))
     versions.map(v => HistoryPartition(path, v): InputPartition).toArray
   }
 
@@ -111,7 +155,8 @@ private[sources] class HistoryScan(path: String, required: StructType)
     new HistoryReaderFactory(required.fieldNames)
 
   override def description(): String =
-    s"graft-history path=$path columns=[${required.fieldNames.mkString(",")}]"
+    s"graft-history path=$path columns=[${required.fieldNames.mkString(",")}]" +
+      s" pushed=[${pushed.mkString(",")}]"
 }
 
 private[sources] case class HistoryPartition(path: String, version: Long)

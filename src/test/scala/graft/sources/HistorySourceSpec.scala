@@ -66,6 +66,21 @@ class HistorySourceSpec extends SparkSpec {
     assert(narrow.collect().length == 3)
   }
 
+  test("version predicates prune input partitions (manifest-level skip)") {
+    val t = staged()
+    val df = spark.read.format("graft-history").load(t.toString)
+    assert(df.where("version = 1").rdd.getNumPartitions == 1,
+      "an equality predicate must plan exactly the one matching manifest")
+    assert(df.where("version >= 1 AND mn > 0").rdd.getNumPartitions == 1,
+      "the version half of a conjunction must prune; mn stays residual")
+    assert(df.where("version IN (0, 7)").rdd.getNumPartitions == 1)
+    assert(df.where("version > 99").rdd.getNumPartitions == 0,
+      "an unsatisfiable predicate must plan zero partitions")
+    // Pruning must not change results (Spark re-applies the filters).
+    assert(df.where("version = 1").count() == 2)
+    assert(df.where("version >= 1 AND mn > 5").count() == 1)
+  }
+
   test("random histories: connector rows equal the manifests verbatim") {
     // Property: for ANY history of plain/stats/append/failed commits,
     // the connector serves exactly what statsManifest says per
