@@ -42,15 +42,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * at a shared mount; an object-store port swaps these few lines for
   * conditional PUTs, the protocol is unchanged).
   *
-  * Scaling note, stated plainly: manifests here are one flat text file
-  * parsed on the driver — O(live files) work per read. That holds to
-  * the order of 10⁵–10⁶ files (a line is ~100 bytes; tens of MB of
-  * driver text), which with right-sized 128 MB–1 GB files covers a
-  * 100 TB table. Beyond that, real formats shard the metadata (a
-  * manifest LIST pointing at per-partition manifest files, read as a
-  * distributed job) — a layout change inside this object's read/write
-  * helpers; the commit point, snapshot isolation, and time-travel
-  * semantics above are unchanged by it.
+  * Metadata scaling (r13): a manifest may be a DELTA — first line
+  * `BASE\t<version>`, remaining lines the versions's ADDED entries —
+  * so an append/delete commit's metadata cost is O(the commit), never
+  * O(table). Readers resolve the chain (base's lines ++ delta lines);
+  * every `checkpointEvery`-th delta materializes the full list instead
+  * (the Delta-log "JSON deltas + periodic checkpoint" shape, Iceberg's
+  * manifest-list idea flattened to one dimension), so chain length —
+  * and therefore resolution cost — is bounded by a constant. The
+  * commit point, snapshot isolation, and time travel are unchanged:
+  * a delta still publishes through the same atomic link. Resolution
+  * is still driver-side text parsing — O(live files) per read, which
+  * with right-sized 128 MB–1 GB files covers a 100 TB table; past
+  * 10⁶ files real formats read the metadata itself as a distributed
+  * job (HistorySource already does, one partition per version).
   */
 object VersionedTable {
 
@@ -148,14 +153,20 @@ object VersionedTable {
       .collect()
       .map { r =>
         val p = java.nio.file.Paths.get(new java.net.URI(r.getString(0)))
-        (table.relativize(p).toString, r.getLong(1), r.getLong(2))
+        // A file whose statsCol is entirely NULL has no min/max: fall
+        // back to the full-range line (never skippable, always correct
+        // — the stats-less contract), instead of an NPE at getLong.
+        val (mn, mx) =
+          if (r.isNullAt(1) || r.isNullAt(2)) (Long.MinValue, Long.MaxValue)
+          else (r.getLong(1), r.getLong(2))
+        (table.relativize(p).toString, mn, mx)
       }.sortBy(_._1)
     val lines = stats.map { case (f, mn, mx) => s"$f\t$mn\t$mx" }
     // `carried` lines (an append commit) keep whatever stats their own
     // commit recorded — stats ride the manifest line, so a carry is
     // byte-verbatim exactly as in [[commit]].
     publish(table, version, carried ++ lines)
-    stats.map(_._1)
+    stats.map(_._1).toIndexedSeq
   }
 
   /** Deletion-vector manifest lines are namespaced `DV\t<path>\t<keyCol>`
@@ -163,18 +174,57 @@ object VersionedTable {
     * the literal "DV" does not). */
   private val DvPrefix = "DV\t"
 
+  /** Schema-evolution manifest lines (r13): `RENAME\t<from>\t<to>` and
+    * `WIDEN\t<col>\t<sqlType>` ride manifests like DV lines — a
+    * metadata-only commit records the mapping, no data file is ever
+    * rewritten (the field-ID column-mapping idea of real formats,
+    * keyed by name since this layer never reuses a dropped name). */
+  private val RenamePrefix = "RENAME\t"
+  private val WidenPrefix = "WIDEN\t"
+
+  private def isMetaLine(line: String): Boolean =
+    line.startsWith(DvPrefix) || line.startsWith(RenamePrefix) ||
+      line.startsWith(WidenPrefix)
+
   /** Parsed `(path, min, max)` DATA-file stats of a version's manifest
-    * (deletion-vector lines are metadata, not scannable data — they
-    * surface via [[deletionVectors]]); files committed without stats
-    * get the full-range (Long.Min, Long.Max) — never skippable,
-    * always correct. */
+    * (deletion-vector and schema-mapping lines are metadata, not
+    * scannable data); files committed without stats get the full-range
+    * (Long.Min, Long.Max) — never skippable, always correct. */
   def statsManifest(table: Path, version: Long): Seq[(String, Long, Long)] =
-    manifest(table, version).filterNot(_.startsWith(DvPrefix)).map { line =>
+    manifest(table, version).filterNot(isMetaLine).map { line =>
       line.split('\t') match {
         case Array(f, mn, mx) => (f, mn.toLong, mx.toLong)
         case Array(f) => (f, Long.MinValue, Long.MaxValue)
       }
     }
+
+  /** Schema mappings live at a version, in commit order:
+    * ("rename", from, to) or ("widen", col, sqlType). */
+  def columnMappings(table: Path, version: Long): Seq[(String, String, String)] =
+    manifest(table, version).collect {
+      case l if l.startsWith(RenamePrefix) =>
+        val Array(_, from, to) = l.split('\t'); ("rename", from, to)
+      case l if l.startsWith(WidenPrefix) =>
+        val Array(_, c, t) = l.split('\t'); ("widen", c, t)
+    }
+
+  /** Metadata-only RENAME commit: one manifest line, zero data files
+    * touched — at 100 TB a column rename must not cost a rewrite.
+    * Readers apply the mapping to files written under the old name;
+    * time travel below `version` still sees the old name. */
+  def renameCommit(table: Path, version: Long, from: String, to: String,
+                   checkpointEvery: Int = 8): Seq[String] =
+    publish(table, version,
+      deltaLines(table, version, Seq(s"$RenamePrefix$from\t$to"),
+        checkpointEvery))
+
+  /** Metadata-only type-WIDENING commit (e.g. int → bigint): readers
+    * cast files written under the narrow type at plan time. */
+  def widenCommit(table: Path, version: Long, col: String, sqlType: String,
+                  checkpointEvery: Int = 8): Seq[String] =
+    publish(table, version,
+      deltaLines(table, version, Seq(s"$WidenPrefix$col\t$sqlType"),
+        checkpointEvery))
 
   /** The deletion vectors live at a version:
     * (dvPath, keyColumn, originVersion). The origin version scopes
@@ -209,13 +259,41 @@ object VersionedTable {
     * (the trap an unscoped key list would be). Returns the published
     * lines. */
   def deleteCommit(s: SparkSession, table: Path, version: Long,
-                   keys: DataFrame, keyCol: String): Seq[String] = {
+                   keys: DataFrame, keyCol: String,
+                   checkpointEvery: Int = 8): Seq[String] = {
     val dvDir = table.resolve("dv").resolve(
       f"v$version%06d-" + java.util.UUID.randomUUID().toString.take(8))
     keys.select(keyCol).write.parquet(dvDir.toString)
     val dvLines = partFiles(table, dvDir)
       .map(p => s"$DvPrefix$p\t$keyCol\t$version")
-    publish(table, version, manifest(table, version - 1) ++ dvLines)
+    // A delete is additive metadata (data lines are never removed, a
+    // DV line is added), so it publishes as a delta like an append.
+    publish(table, version, deltaLines(table, version, dvLines, checkpointEvery))
+  }
+
+  /** Append at a PINNED version — the streaming-sink shape (version =
+    * micro-batch id, so a replayed batch's publish hits the version
+    * conflict and exactly-once falls out of the commit point). Same
+    * delta/checkpoint metadata cost as [[appendCommit]], without the
+    * retry loop: the caller owns conflict semantics. */
+  def commitAppend(s: SparkSession, table: Path, version: Long,
+                   df: DataFrame, checkpointEvery: Int = 8): Seq[String] = {
+    val dataDir = newDataDir(table, version)
+    df.write.parquet(dataDir.toString)
+    val mine = partFiles(table, dataDir)
+    // Base on the latest committed version, not version−1: batch ids
+    // may skip (an empty micro-batch publishes nothing), and a delta
+    // chain only needs SOME committed ancestor, not a dense one.
+    val lines = latestVersion(table) match {
+      case None => mine
+      case Some(base) =>
+        require(base < version,
+          s"commitAppend: version $version is not beyond latest $base")
+        if (chainLength(table, base) + 1 > checkpointEvery)
+          manifest(table, base) ++ mine
+        else (BasePrefix + base) +: mine
+    }
+    publish(table, version, lines)
   }
 
   /** Range read with FILE-LEVEL skipping: plans over only the files
@@ -229,21 +307,88 @@ object VersionedTable {
     import org.apache.spark.sql.functions.col
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $table"))
-    // Range reads don't fold deletion vectors in (yet) — refuse
-    // loudly rather than silently resurrect deleted rows.
-    require(deletionVectors(table, v).isEmpty,
-      s"readRange at version $v: table carries deletion vectors — " +
-        "compact them away (a rewrite commit) before stats-range reads")
+    require(columnMappings(table, v).isEmpty,
+      s"readRange at version $v: schema mappings could have renamed " +
+        s"'$statsCol' since the stats were recorded — use read() or " +
+        "compact first")
     val all = statsManifest(table, v)
+    require(all.nonEmpty,
+      s"readRange at version $v of $table: the manifest lists no data files")
     val live = all.filter { case (_, mn, mx) => mx >= lo && mn <= hi }
+    // Deletion vectors COMPOSE with stats pruning (r13): the DV
+    // anti-join applies to the pruned file set exactly as read()
+    // applies it to the full set — a DV's origin scope covers a
+    // subset the same way it covers the whole, so a GDPR-erased
+    // table keeps its range reads without waiting for compaction.
     val df =
       if (live.isEmpty)
         // No file can match: an empty frame with the right schema,
         // derived from ONE file's footer without reading its rows.
         s.read.parquet(table.resolve(all.head._1).toString).limit(0)
-      else s.read.parquet(live.map(f => table.resolve(f._1).toString): _*)
+      else readLive(s, table, v, live.map(_._1))
     (df.where(col(statsCol) >= lo && col(statsCol) <= hi),
       live.size, all.size)
+  }
+
+  /** PARTITIONED commit: `partitionBy(partCol)` layout, every leaf
+    * file recorded in the manifest with its partition value riding
+    * the path (`…/<partCol>=<value>/part-*.parquet` — the Hive
+    * convention IS the per-file partition record). Pair with
+    * [[readPartitions]] for manifest-level partition pruning. */
+  def commitPartitioned(s: SparkSession, table: Path, version: Long,
+                        df: DataFrame, partCol: String,
+                        carried: Seq[String] = Nil): Seq[String] = {
+    val dataDir = newDataDir(table, version)
+    df.write.partitionBy(partCol).parquet(dataDir.toString)
+    val walk = Files.walk(dataDir)
+    val files =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => table.relativize(p).toString)
+        .toSeq.sorted
+      finally walk.close()
+    publish(table, version, carried ++ files)
+  }
+
+  /** Manifest-level PARTITION PRUNING — the protocol sibling of
+    * directory-listing partition pruning: the reader selects files by
+    * the partition value recorded in their manifest path and plans
+    * over only those, no directory listing, no non-matching file ever
+    * opened. Returns (frame, filesRead, filesTotal) so callers can
+    * witness the pruning, like [[readRange]]. The partition column is
+    * re-attached from the manifest value (partitionBy strips it from
+    * the file payload), typed string — cast downstream if needed. */
+  def readPartitions(s: SparkSession, table: Path, partCol: String,
+                     values: Seq[String],
+                     version: Option[Long] = None): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.lit
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val all = statsManifest(table, v).map(_._1)
+    require(all.nonEmpty,
+      s"readPartitions at version $v of $table: no data files")
+    def valueOf(f: String): Option[String] =
+      f.split('/').collectFirst {
+        case seg if seg.startsWith(partCol + "=") =>
+          // partitionBy escapes path-hostile characters; decode so the
+          // manifest value compares against the logical one.
+          java.net.URLDecoder.decode(seg.substring(partCol.length + 1),
+            "UTF-8")
+      }
+    val byValue = all.flatMap(f => valueOf(f).map(_ -> f))
+    require(byValue.size == all.size,
+      s"readPartitions at version $v: some files carry no " +
+        s"$partCol= path segment — commit them via commitPartitioned")
+    val want = values.toSet
+    val live = byValue.filter { case (value, _) => want.contains(value) }
+    require(live.nonEmpty,
+      s"readPartitions at version $v: no files match $partCol in $values")
+    val df = live.groupBy(_._1).toSeq.sortBy(_._1).map { case (value, fs) =>
+      s.read.parquet(fs.map(f => table.resolve(f._2).toString): _*)
+        .withColumn(partCol, lit(value))
+    }.reduce(_ unionByName _)
+    (df, live.size, all.size)
   }
 
   /** VACUUM: expire every version below `keepFrom` and delete the data
@@ -262,6 +407,20 @@ object VersionedTable {
     val (dead, live) = all.partition(_ < keepFrom)
     require(live.nonEmpty,
       s"expire(keepFrom=$keepFrom) would delete every version of $table")
+    // PIN the manifests a live version's resolution still needs: its
+    // BASE chain (delta manifests splice ancestors' lines in) and
+    // every live DV's ORIGIN (read() resolves a DV's file scope via
+    // statsManifest(origin)). A pinned dead manifest stays on disk as
+    // a chain/scope anchor; its files are reclaimed like any other
+    // unreferenced file, so pinning never retains data.
+    val pinned = scala.collection.mutable.Set[Long]()
+    def visit(v: Long): Unit = if (pinned.add(v)) {
+      rawManifest(table, v).headOption
+        .filter(_.startsWith(BasePrefix))
+        .foreach(h => visit(h.stripPrefix(BasePrefix).trim.toLong))
+      deletionVectors(table, v).map(_._3).foreach(visit)
+    }
+    live.foreach(visit)
     // Deletion-vector sidecars are referenced files like any other: a
     // DV listed by a retained version must survive, one referenced
     // only by expired versions is reclaimable.
@@ -272,15 +431,20 @@ object VersionedTable {
     for (root <- Seq(table.resolve("data"), table.resolve("dv"))
          if Files.isDirectory(root)) {
       val walk = Files.walk(root)
+      // Only PAYLOAD files are vacuum candidates: manifests list only
+      // *.parquet, so an unrestricted sweep would delete _SUCCESS/.crc
+      // write-sidecars inside LIVE versions' data dirs.
       try walk.iterator().asScala
         .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
           !referenced.contains(table.relativize(p).toString))
         .foreach { p => Files.delete(p); deleted += 1 }
       finally walk.close()
     }
-    dead.foreach(v =>
+    val removable = dead.filterNot(pinned)
+    removable.foreach(v =>
       Files.deleteIfExists(commitsDir(table).resolve(manifestName(v))))
-    (deleted, dead.size)
+    (deleted, removable.size)
   }
 
   /** Result of an optimistic commit: the version that finally
@@ -307,7 +471,8 @@ object VersionedTable {
     * argued about. */
   def appendCommit(s: SparkSession, table: Path, df: DataFrame,
                    maxAttempts: Int = 10,
-                   beforeAttempt: Long => Unit = _ => ()): Committed = {
+                   beforeAttempt: Long => Unit = _ => (),
+                   checkpointEvery: Int = 8): Committed = {
     val dataDir = table.resolve("data").resolve(
       "append-" + java.util.UUID.randomUUID().toString.take(8))
     df.write.parquet(dataDir.toString)
@@ -319,7 +484,7 @@ object VersionedTable {
           s"appendCommit: no committed version at $table to append to")) + 1
       beforeAttempt(target)
       try {
-        publish(table, target, manifest(table, target - 1) ++ mine)
+        publish(table, target, deltaLines(table, target, mine, checkpointEvery))
         return Committed(target, conflicts)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => conflicts += 1
@@ -328,6 +493,18 @@ object VersionedTable {
     throw new IllegalStateException(
       s"appendCommit: lost $maxAttempts straight races at $table")
   }
+
+  /** The manifest body for an additive commit of `added` at `target`:
+    * a 1+|added|-line DELTA against target−1 (metadata cost tracks the
+    * commit, not the table), unless the resolution chain would exceed
+    * `checkpointEvery` files — then the full list is materialized (a
+    * CHECKPOINT, bounding every future read's chain walk). */
+  private def deltaLines(table: Path, target: Long, added: Seq[String],
+                         checkpointEvery: Int): Seq[String] =
+    if (target == 0L) added
+    else if (chainLength(table, target - 1) + 1 > checkpointEvery)
+      manifest(table, target - 1) ++ added
+    else (BasePrefix + (target - 1)) +: added
 
   /** General optimistic TRANSACTION — the copy-on-write half: `op`
     * reads the snapshot at the latest version and returns the full
@@ -381,13 +558,66 @@ object VersionedTable {
   /** Latest committed version, if any commit ever succeeded. */
   def latestVersion(table: Path): Option[Long] = versions(table).lastOption
 
-  /** The file list of a committed version. */
-  def manifest(table: Path, version: Long): Seq[String] = {
+  /** A delta manifest's first line names the version it extends; the
+    * rest are this version's ADDED lines. The literal "BASE" can never
+    * collide with a data path (those live under data/ or dv/). */
+  private val BasePrefix = "BASE\t"
+
+  /** The stored lines of version `version`'s manifest file, unresolved
+    * (a delta keeps its BASE pointer). */
+  private def rawManifest(table: Path, version: Long): Seq[String] = {
     val m = commitsDir(table).resolve(manifestName(version))
     require(Files.isRegularFile(m),
       s"version $version was never committed at $table")
     Files.readAllLines(m, StandardCharsets.UTF_8).asScala.toSeq
       .filter(_.nonEmpty)
+  }
+
+  /** The file list of a committed version, with delta chains resolved:
+    * a `BASE\tN` head splices in version N's resolved lines. Chain
+    * depth is bounded by the writers' `checkpointEvery`, so resolution
+    * cost is O(live files), not O(history). */
+  def manifest(table: Path, version: Long): Seq[String] = {
+    val raw = rawManifest(table, version)
+    raw.headOption match {
+      case Some(h) if h.startsWith(BasePrefix) =>
+        manifest(table, h.stripPrefix(BasePrefix).trim.toLong) ++ raw.tail
+      case _ => raw
+    }
+  }
+
+  /** How many manifest FILES a resolution of `version` reads (1 for a
+    * full manifest) — the checkpoint-cadence decision and its test
+    * witness. */
+  def chainLength(table: Path, version: Long): Int = {
+    val raw = rawManifest(table, version)
+    raw.headOption match {
+      case Some(h) if h.startsWith(BasePrefix) =>
+        1 + chainLength(table, h.stripPrefix(BasePrefix).trim.toLong)
+      case _ => 1
+    }
+  }
+
+  /** The manifest lines version `version` ADDED over its predecessor —
+    * the change-feed primitive ([[graft.sources.TableChangesSource]]
+    * plans micro-batches from it). For a delta manifest this is the
+    * stored tail (zero extra reads); for a full manifest it is the
+    * set difference against version-1's resolved lines (v0, or a
+    * rewrite commit, adds everything it lists). */
+  def addedLines(table: Path, version: Long): Seq[String] = {
+    val raw = rawManifest(table, version)
+    raw.headOption match {
+      case Some(h) if h.startsWith(BasePrefix) => raw.tail
+      case _ =>
+        // Full manifest: diff against the closest committed ancestor
+        // (batch-id histories may skip versions, so not version−1).
+        versions(table).filter(_ < version).lastOption match {
+          case None => raw
+          case Some(prev) =>
+            val prevSet = manifest(table, prev).toSet
+            raw.filterNot(prevSet)
+        }
+    }
   }
 
   /** Snapshot read: latest version by default, time travel via
@@ -399,28 +629,71 @@ object VersionedTable {
            mergeSchema: Boolean = false): DataFrame = {
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $table"))
-    val files = statsManifest(table, v).map(f => table.resolve(f._1).toString)
-    // mergeSchema: a version whose commits span a schema change (an
-    // appended column) reconciles per-file footers into the union
-    // schema at plan time — old files surface typed NULLs. Off by
-    // default: single-schema reads should not pay the footer sweep.
-    def readFiles(fs: Seq[String]) =
-      s.read.option("mergeSchema", mergeSchema.toString).parquet(fs: _*)
-    // Merge-on-read: anti-join the live deletion vectors, each SCOPED
-    // to the data files its origin version listed — files appended
-    // after a delete are not covered, so re-inserted keys survive
-    // (sequence-number semantics, not eternal tombstones). Data files
-    // group by the set of DVs covering them (in any sane history a
-    // handful of groups); each group anti-joins its own key union.
-    // The DV side is O(deleted keys) — broadcast-sized; a compaction
-    // commit folds it away entirely.
     val relFiles = statsManifest(table, v).map(_._1)
+    // A manifest carrying only metadata lines (every data file deleted
+    // and compacted away) has no schema to serve — refuse with the
+    // cause, not a reduce-on-empty crash.
+    require(relFiles.nonEmpty,
+      s"read at version $v of $table: the manifest lists no data files")
+    readLive(s, table, v, relFiles, mergeSchema)
+  }
+
+  /** Plan a read over `relFiles` (the full manifest, or a pruned
+    * subset) at version `v`, applying the version's live deletion
+    * vectors and schema mappings.
+    *
+    * Merge-on-read: anti-join the live deletion vectors, each SCOPED
+    * to the data files its origin version listed — files appended
+    * after a delete are not covered, so re-inserted keys survive
+    * (sequence-number semantics, not eternal tombstones). Data files
+    * group by the set of DVs covering them (in any sane history a
+    * handful of groups); each group anti-joins its own key union.
+    * The DV side is O(deleted keys) — broadcast-sized; a compaction
+    * commit folds it away entirely. Scoping composes with pruning:
+    * a DV covers a pruned subset exactly as it covers the whole.
+    *
+    * Schema mappings (RENAME/WIDEN) apply per WRITER DIRECTORY — all
+    * files of one commit share one footer schema, so grouping by
+    * parent dir reads each historical schema once, maps it to the
+    * current one, and unions (missing columns surface typed NULLs). */
+  private def readLive(s: SparkSession, table: Path, v: Long,
+                       relFiles: Seq[String],
+                       mergeSchema: Boolean = false): DataFrame = {
+    val maps = columnMappings(table, v)
     val dvs = deletionVectors(table, v)
-    if (dvs.isEmpty) readFiles(files)
+    val keyCols = dvs.map(_._2).distinct
+    require(keyCols.size <= 1,
+      s"mixed deletion-vector key columns at version $v: $keyCols")
+    // A rename could retarget a DV's key column between its origin and
+    // this version — refuse the ambiguity; compaction resolves it.
+    require(dvs.isEmpty || maps.isEmpty,
+      s"version $v carries both deletion vectors and schema mappings " +
+        "— compact (a rewrite commit) before combining the two")
+    // mergeSchema: a version whose commits span an ADDED column
+    // reconciles per-file footers into the union schema at plan time —
+    // old files surface typed NULLs. Off by default: single-schema
+    // reads should not pay the footer sweep.
+    def readFiles(fs: Seq[String]): DataFrame =
+      if (maps.isEmpty)
+        s.read.option("mergeSchema", mergeSchema.toString)
+          .parquet(fs.map(f => table.resolve(f).toString): _*)
+      else
+        fs.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+          .toSeq.sortBy(_._1)
+          .map { case (_, group) =>
+            val part =
+              s.read.parquet(group.map(f => table.resolve(f).toString): _*)
+            maps.foldLeft(part) {
+              case (d, ("rename", from, to)) if d.columns.contains(from) =>
+                d.withColumnRenamed(from, to)
+              case (d, ("widen", c, t)) if d.columns.contains(c) =>
+                d.withColumn(c, d(c).cast(t))
+              case (d, _) => d
+            }
+          }
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+    if (dvs.isEmpty) readFiles(relFiles)
     else {
-      val keyCols = dvs.map(_._2).distinct
-      require(keyCols.size == 1,
-        s"mixed deletion-vector key columns at version $v: $keyCols")
       val covered: Map[String, Set[String]] = dvs
         .groupBy(_._3)
         .flatMap { case (origin, group) =>
@@ -430,7 +703,7 @@ object VersionedTable {
       val groups = relFiles.groupBy(f =>
         covered.collect { case (dv, scope) if scope.contains(f) => dv }.toSet)
       groups.map { case (dvSet, fs) =>
-        val part = readFiles(fs.map(f => table.resolve(f).toString))
+        val part = readFiles(fs)
         if (dvSet.isEmpty) part
         else {
           val keys = s.read

@@ -1132,14 +1132,13 @@ object EventStreams {
           .foreachBatch {
             (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
               // A trailing no-data micro-batch publishes nothing (an
-              // empty append is not a version); carried files come
-              // from the latest committed manifest, not bid-1, so the
-              // chain survives any skipped batch id.
+              // empty append is not a version); commitAppend bases its
+              // DELTA manifest on the latest committed version, not
+              // bid-1, so the chain survives any skipped batch id —
+              // and per-batch commit metadata is O(the batch), not
+              // O(files in table) (r13 manifest-delta publishing).
               if (!batch.isEmpty) {
-                val carried = VersionedTable.latestVersion(table)
-                  .map(VersionedTable.manifest(table, _))
-                  .getOrElse(Seq.empty[String])
-                try VersionedTable.commit(spark, table, bid, batch.toDF(), carried)
+                try VersionedTable.commitAppend(spark, table, bid, batch.toDF())
                 catch {
                   // A retried batch whose commit already published:
                   // exactly-once by conflict, not by luck.

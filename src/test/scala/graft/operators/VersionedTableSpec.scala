@@ -166,10 +166,9 @@ class VersionedTableSpec extends SparkSpec {
       "DVs must accumulate across versions (a never-present key is a no-op)")
     assert(VersionedTable.read(spark, t, Some(0L)).count() == 5,
       "time travel must see the undeleted snapshot")
-    // Stats-range reads refuse DV-bearing versions.
-    intercept[IllegalArgumentException] {
-      VersionedTable.readRange(spark, t, "id", 0L, 10L)
-    }
+    // Stats-range reads compose the DVs (r13): deleted keys stay gone.
+    assert(VersionedTable.readRange(spark, t, "id", 0L, 10L)._1
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L))
     // Compaction folds the DVs; expire then reclaims them.
     VersionedTable.commit(spark, t, 3L, VersionedTable.read(spark, t, Some(2L)))
     assert(VersionedTable.deletionVectors(t, 3L).isEmpty)
@@ -208,6 +207,179 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.expire(t, keepFrom = 1L)
     assert(VersionedTable.read(spark, t)
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("append commits publish O(batch) manifest deltas; checkpoints bound the chain") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1L to 20L: _*).repartition(10))
+    val v0Lines = VersionedTable.manifest(t, 0L).size
+    assert(v0Lines >= 5, "v0 must be multi-file for the test to mean anything")
+    // 12 one-file appends with checkpointEvery=4: each non-checkpoint
+    // manifest is a BASE pointer + the batch's files — metadata bytes
+    // track the BATCH, never the table.
+    (1L to 12L).foreach { i =>
+      val c = VersionedTable.appendCommit(spark, t,
+        df(100 + i).coalesce(1), checkpointEvery = 4)
+      assert(c.version == i)
+    }
+    val commitsDir = t.resolve("_commits")
+    def manifestBytes(v: Long): Long =
+      Files.size(commitsDir.resolve(f"v$v%06d.manifest"))
+    val sizes = (1L to 12L).map(manifestBytes)
+    val chains = (1L to 12L).map(v => VersionedTable.chainLength(t, v))
+    // Chain length never exceeds the checkpoint bound.
+    assert(chains.forall(_ <= 4), s"chain lengths $chains exceed checkpointEvery")
+    // Delta manifests (chain > 1) are tiny: 2 lines, < 120 bytes —
+    // far below a full 20+-file list; checkpoints are the big ones.
+    val deltas = (1L to 12L).filter(v => VersionedTable.chainLength(t, v) > 1)
+    assert(deltas.nonEmpty)
+    deltas.foreach { v =>
+      assert(manifestBytes(v) < 150,
+        s"delta manifest v$v is ${manifestBytes(v)} bytes — it carried the table")
+    }
+    val checkpoints = (1L to 12L).filter(v => VersionedTable.chainLength(t, v) == 1)
+    assert(checkpoints.nonEmpty, s"no checkpoint in 12 appends at cadence 4 (sizes $sizes)")
+    // Resolution is unchanged by the layout: every version reads its
+    // full history's rows.
+    assert(VersionedTable.read(spark, t).count() == 20 + 12)
+    assert(VersionedTable.read(spark, t, Some(6L)).count() == 20 + 6)
+    // addedLines serves the change feed: exactly the batch's files.
+    (1L to 12L).foreach { v =>
+      assert(VersionedTable.addedLines(t, v).size == 1,
+        s"v$v addedLines must be exactly the one appended file")
+    }
+    assert(VersionedTable.addedLines(t, 0L).size == VersionedTable.manifest(t, 0L).size)
+  }
+
+  test("expire pins BASE chains and DV origins a live version still needs") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2, 3, 4))
+    // v1 = DV delete (delta, origin 1); v2 = append (delta on v1).
+    VersionedTable.deleteCommit(spark, t, 1L, Seq(2L).toDF("id"), "id")
+    VersionedTable.commit(spark, t, 2L, df(9),
+      carried = VersionedTable.manifest(t, 1L))
+    // Expire below v2: v0 (chain base) and v1 (DV origin + chain) are
+    // pinned, so the retained v2 keeps resolving its DV scope.
+    val (_, expired) = VersionedTable.expire(t, keepFrom = 2L)
+    assert(expired == 0, "chain/origin manifests must be pinned, not expired")
+    assert(VersionedTable.read(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L, 9L))
+    // After compaction the pins release and the history truly expires.
+    VersionedTable.commit(spark, t, 3L, VersionedTable.read(spark, t))
+    val (_, expired2) = VersionedTable.expire(t, keepFrom = 3L)
+    assert(expired2 == 3)
+    assert(VersionedTable.versions(t) == Seq(3L))
+  }
+
+  test("vacuum spares live versions' write sidecars (_SUCCESS, .crc)") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2))
+    VersionedTable.commit(spark, t, 1L, df(3, 4))
+    VersionedTable.expire(t, keepFrom = 1L)
+    // v1's data dir keeps its _SUCCESS marker: vacuum must only ever
+    // touch payload files.
+    val v1Dir = t.resolve(VersionedTable.manifest(t, 1L).head).getParent
+    assert(Files.exists(v1Dir.resolve("_SUCCESS")),
+      "vacuum deleted a live commit's _SUCCESS sidecar")
+    assert(VersionedTable.read(spark, t).count() == 2)
+  }
+
+  test("commitWithStats: an all-NULL stats file falls back to the full range") {
+    import spark.implicits._
+    val t = freshTable()
+    val data = Seq((1L, Some(5L)), (2L, Some(7L)), (3L, None), (4L, None))
+      .toDF("id", "k")
+    // One file of NULL-only k, one with real values.
+    VersionedTable.commitWithStats(spark, t, 0L,
+      data.repartitionByRange(2, org.apache.spark.sql.functions.col("k")),
+      "k")
+    val stats = VersionedTable.statsManifest(t, 0L)
+    assert(stats.exists { case (_, mn, mx) =>
+      mn == Long.MinValue && mx == Long.MaxValue },
+      s"the NULL-only file must carry the never-skippable full range: $stats")
+    // The full-range file survives every range read (never skipped).
+    val (dfR, _, total) = VersionedTable.readRange(spark, t, "k", 6L, 10L)
+    assert(total == stats.size)
+    assert(dfR.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("readRange composes deletion vectors with stats pruning") {
+    import spark.implicits._
+    val t = freshTable()
+    val base = spark.range(0, 100).selectExpr("id")
+      .repartitionByRange(5, org.apache.spark.sql.functions.col("id"))
+    VersionedTable.commitWithStats(spark, t, 0L, base, "id")
+    VersionedTable.deleteCommit(spark, t, 1L,
+      Seq(12L, 15L, 90L).toDF("id"), "id")
+    val (got, nRead, nTotal) = VersionedTable.readRange(spark, t, "id", 10L, 30L)
+    assert(nRead < nTotal, "stats pruning must still fire with DVs live")
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq ==
+      (10L to 30L).filterNot(Set(12L, 15L)),
+      "deleted keys must not resurrect inside a pruned range read")
+    // A key re-inserted after the delete survives even in range reads.
+    VersionedTable.commit(spark, t, 2L, df(12),
+      carried = VersionedTable.manifest(t, 1L))
+    val (got2, _, _) = VersionedTable.readRange(spark, t, "id", 10L, 30L)
+    assert(got2.collect().map(_.getLong(0)).sorted.toSeq ==
+      (10L to 30L).filterNot(_ == 15L))
+  }
+
+  test("read/readRange refuse a data-file-less manifest with a clear error") {
+    import spark.implicits._
+    val t = freshTable()
+    // A manifest carrying ONLY a DV line (no data): publish directly.
+    VersionedTable.commit(spark, t, 0L, df(1))
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.publish(t, 1L, Seq.empty)
+      VersionedTable.read(spark, t, Some(1L))
+    }
+    assert(ex.getMessage.contains("no data files"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.readRange(spark, t, "id", 0L, 5L, version = Some(1L))
+    }
+  }
+
+  test("partitioned commit records partition values; reads prune at manifest level") {
+    import spark.implicits._
+    val t = freshTable()
+    val data = Seq((1L, "en"), (2L, "de"), (3L, "en"), (4L, "fr"))
+      .toDF("id", "lang")
+    VersionedTable.commitPartitioned(spark, t, 0L, data, "lang")
+    assert(VersionedTable.manifest(t, 0L).forall(_.contains("lang=")),
+      "every manifest line must carry the partition value in its path")
+    val (got, nRead, nTotal) =
+      VersionedTable.readPartitions(spark, t, "lang", Seq("en", "fr"))
+    assert(nRead < nTotal)
+    assert(got.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+    assert(got.columns.contains("lang"))
+  }
+
+  test("rename + widen commits are metadata-only; old files read under the new schema") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L,
+      Seq((1L, 10), (2L, 20)).toDF("id", "len"))
+    VersionedTable.renameCommit(t, 1L, "len", "n_chars")
+    VersionedTable.widenCommit(t, 2L, "n_chars", "bigint")
+    // Both evolution commits added zero data files.
+    assert(VersionedTable.statsManifest(t, 2L).map(_._1) ==
+      VersionedTable.statsManifest(t, 0L).map(_._1))
+    // New data lands under the evolved schema.
+    VersionedTable.commit(spark, t, 3L,
+      Seq((3L, 30L)).toDF("id", "n_chars"),
+      carried = VersionedTable.manifest(t, 2L))
+    val latest = VersionedTable.read(spark, t)
+    assert(latest.schema("n_chars").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "the widened type must surface in the read schema")
+    assert(latest.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // Time travel below the rename still sees the old name.
+    val v0 = VersionedTable.read(spark, t, Some(0L))
+    assert(v0.columns.contains("len") && !v0.columns.contains("n_chars"))
   }
 
   test("publishing the same version twice fails (optimistic concurrency)") {
