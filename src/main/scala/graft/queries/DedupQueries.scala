@@ -1984,6 +1984,136 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // DELETION VECTORS × STATS PRUNING (r13) — the composition r12
+    // refused: a range read over a DV-bearing version applies the
+    // origin-scoped anti-join INSIDE the pruned file set, so a
+    // GDPR-erased 100-TB table keeps its cheap range reads without
+    // waiting for compaction to repay the merge-on-read debt. Staged:
+    // v0 = range-clustered stats commit (8 files); v1 = DV delete of
+    // doc_id%9==4 (data lines untouched); v2 = append re-inserting
+    // doc_id 13 (+1000 chars) — a key the DV killed, landing in a file
+    // the DV's origin scope does not cover. The range read [10,40] at
+    // latest must (in-path requires) still skip files AND serve
+    // exactly: survivors of the delete, plus the re-inserted 13 —
+    // pruning, merge-on-read, and sequence-number scoping all live in
+    // one plan, each half oracle-proven at full row fidelity.
+    "pipe_dv_skip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vdvskip_")
+      try {
+        val table = tmp.resolve("table")
+        val base = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+          .repartitionByRange(8, $"doc_id")
+        VersionedTable.commitWithStats(s, table, 0L, base, "doc_id")
+        VersionedTable.deleteCommit(s, table, 1L,
+          Tables.documents(s, dir).where($"doc_id" % 9 === 4)
+            .select($"doc_id"), "doc_id")
+        VersionedTable.commit(s, table, 2L,
+          Tables.documents(s, dir).where($"doc_id" === 13)
+            .selectExpr("doc_id", "lang", "n_chars + 1000L AS n_chars"),
+          carried = VersionedTable.manifest(table, 1L))
+        val (df, nRead, nTotal) =
+          VersionedTable.readRange(s, table, "doc_id", 10L, 40L)
+        require(nRead < nTotal,
+          s"pipe_dv_skip: no files skipped ($nRead of $nTotal opened) — " +
+            "stats pruning must survive live deletion vectors")
+        val out = df.orderBy("doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // PARTITION VALUES IN THE MANIFEST (r13) — the protocol sibling of
+    // rel_partition_prune: a partitioned commit records each file's
+    // partition value in its manifest path (the Hive `col=value`
+    // convention IS the per-file partition record), and a partition
+    // read prunes at MANIFEST level — no directory listing, no
+    // non-matching file ever opened, composing with everything else
+    // the manifest gives (time travel, atomic swap, vacuum). Staged:
+    // v0 = documents partitioned by lang; v1 = a partitioned APPEND
+    // (doc_id%5==0 clones, +5 chars) carrying v0's lines verbatim.
+    // The read of lang ∈ {en, fr} at latest must (in-path require)
+    // open strictly fewer files than the manifest lists; the oracle
+    // proves full-row equality including the re-attached partition
+    // column.
+    "pipe_partition_commit" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vpart_")
+      try {
+        val table = tmp.resolve("table")
+        VersionedTable.commitPartitioned(s, table, 0L,
+          Tables.documents(s, dir).select($"doc_id", $"n_chars", $"lang"),
+          "lang")
+        val appended = Tables.documents(s, dir)
+          .where($"doc_id" % 5 === 0)
+          .selectExpr("doc_id + 2199023255552L AS doc_id",
+            "n_chars + 5L AS n_chars", "lang")
+        VersionedTable.commitPartitioned(s, table, 1L, appended, "lang",
+          carried = VersionedTable.manifest(table, 0L))
+        val (df, nRead, nTotal) =
+          VersionedTable.readPartitions(s, table, "lang", Seq("en", "fr"))
+        require(nRead < nTotal,
+          s"pipe_partition_commit: no files pruned ($nRead of $nTotal) — " +
+            "manifest-level partition pruning is not load-bearing")
+        val out = df.select($"doc_id", $"lang", $"n_chars").orderBy("doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // SCHEMA EVOLUTION: RENAME + TYPE WIDENING (r13) — the half
+    // pipe_schema_commit (add-column) leaves open: long-lived tables
+    // eventually rename columns and widen types, and at 100 TB neither
+    // may cost a rewrite. Both are METADATA-ONLY commits (one manifest
+    // line each — in-path require: the data-file list is byte-identical
+    // across them); readers map each historical schema to the current
+    // one at plan time, per writer directory. Staged: v0 commits under
+    // legacy schema (len INT); v1 renames len→n_chars; v2 widens
+    // n_chars to BIGINT; v3 appends rows whose n_chars exceeds INT
+    // range — the widening is load-bearing, not cosmetic. In-path:
+    // time travel to v0 still sees `len` and no `n_chars` (the old
+    // snapshot must not be rewritten into the new world), and the
+    // latest read's n_chars is LongType. Oracle proves full-row
+    // equality across both schema generations.
+    "pipe_schema_rename" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vrename_")
+      try {
+        val table = tmp.resolve("table")
+        val docs = Tables.documents(s, dir)
+        VersionedTable.commit(s, table, 0L,
+          docs.select($"doc_id", $"lang", $"n_chars".cast("int").as("len")))
+        VersionedTable.renameCommit(table, 1L, "len", "n_chars")
+        VersionedTable.widenCommit(table, 2L, "n_chars", "bigint")
+        require(VersionedTable.statsManifest(table, 2L).map(_._1) ==
+            VersionedTable.statsManifest(table, 0L).map(_._1),
+          "pipe_schema_rename: an evolution commit touched data files — " +
+            "rename/widen must be metadata-only")
+        VersionedTable.commit(s, table, 3L,
+          docs.where($"doc_id" % 7 === 3)
+            .selectExpr("doc_id + 2199023255552L AS doc_id", "lang",
+              "n_chars + 4294967296L AS n_chars"),
+          carried = VersionedTable.manifest(table, 2L))
+        val v0 = VersionedTable.read(s, table, Some(0L))
+        require(v0.columns.contains("len") && !v0.columns.contains("n_chars"),
+          "pipe_schema_rename: time travel below the rename must see " +
+            "the old column name")
+        val latest = VersionedTable.read(s, table)
+        require(latest.schema("n_chars").dataType ==
+            org.apache.spark.sql.types.LongType,
+          "pipe_schema_rename: the widened type must surface in the " +
+            "read schema")
+        val out = latest.select($"doc_id", $"lang", $"n_chars")
+          .orderBy("doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // COMMIT HISTORY AS A TABLE via the engine's own DataSource V2
     // connector (r12) — `spark.read.format("graft-history")` serves
     // the versioned table's commit log as ordinary rows (version,
@@ -2866,6 +2996,38 @@ object DedupQueries extends QueryModule {
         |FROM sig
         |GROUP BY version
         |ORDER BY version""".stripMargin,
+
+    // The pruned range read over live DVs, reconstructed: survivors of
+    // the %9==4 delete inside [10,40], plus the re-inserted doc 13
+    // (+1000 chars) whose new file postdates the DV's origin scope.
+    "pipe_dv_skip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id BETWEEN 10 AND 40 AND doc_id % 9 <> 4
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars + 1000 FROM documents
+        |WHERE doc_id = 13
+        |ORDER BY doc_id""".stripMargin,
+
+    // The lang ∈ {en, fr} partitions of both commits — base rows plus
+    // the partitioned append's clones.
+    "pipe_partition_commit" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang IN ('en', 'fr')
+        |UNION ALL
+        |SELECT doc_id + 2199023255552, lang, n_chars + 5 FROM documents
+        |WHERE doc_id % 5 = 0 AND lang IN ('en', 'fr')
+        |ORDER BY doc_id""".stripMargin,
+
+    // Both schema generations under the evolved names/types: legacy
+    // rows (committed as len INT, read as n_chars BIGINT) plus the
+    // post-widening append whose values exceed INT range.
+    "pipe_schema_rename" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 2199023255552, lang, n_chars + 4294967296
+        |FROM documents WHERE doc_id % 7 = 3
+        |ORDER BY doc_id""".stripMargin,
 
     // What the manifests must say, derived from the fixture: v0 = 8
     // range-clustered files spanning the full doc_id range; v1 adds
