@@ -680,6 +680,26 @@ object EventsQueries extends QueryModule {
       }
     }),
 
+    // STREAMING CHANGE FEED over the versioned table (r13) — the
+    // CONSUMER half ev_stream_commit's producer leaves open, served by
+    // the engine's own DSv2 MicroBatchStream (`graft-changes`):
+    // offsets are COMMIT VERSIONS, admission control serves one
+    // micro-batch per commit (hard-asserted), work discovery reads
+    // only the commit's delta manifest lines (O(commit), never a
+    // table diff), and Spark's offset log makes the feed resumable —
+    // a commit landing between the two checkpointed drains is served
+    // exactly once by the second (progress-counter-asserted, the
+    // ev_stream_incr pattern). Rows carry `_commit_version`, so the
+    // oracle reconstructs the whole feed: which rows arrived AND in
+    // which commit. This is what turns the commit protocol into a
+    // pipeline backbone — downstream jobs tail the table instead of
+    // rescanning it.
+    "ev_stream_cdf" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.EventStreams.commitFeedDrain(s, dir)
+        .orderBy("_commit_version", "doc_id")
+    }),
+
     // Streaming exactly-once dedup, driver-checked: every source slice
     // is staged TWICE (a byte-identical copy one file later — the
     // at-least-once re-delivery every ingestion pipeline must
@@ -1725,6 +1745,13 @@ object EventsQueries extends QueryModule {
     "ev_stream_commit" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
+    // The feed replayed: which rows arrived, in which commit — v0 the
+    // %3==0 snapshot, v1 and the late v2 the two appends.
+    "ev_stream_cdf" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(doc_id % 3 AS BIGINT) AS _commit_version
+        |FROM documents
+        |ORDER BY _commit_version, doc_id""".stripMargin,
     "ev_stream_enrich" ->
       """SELECT coalesce(c.c_mktsegment, '(unmatched)') AS segment,
         |  count(*) AS n, count(DISTINCT e.user_id) AS n_users

@@ -1,0 +1,281 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** STREAMING CHANGE FEED over a [[graft.operators.VersionedTable]] —
+  * the consumer half of the commit protocol (the producer half is the
+  * streaming sink that publishes one version per micro-batch):
+  * `spark.readStream.format("graft-changes").load(tableRoot)` serves
+  * the rows each commit APPENDED, one micro-batch per commit, with a
+  * `_commit_version` column — the Delta/Iceberg incremental-source
+  * pattern (offsets are commit versions, not file positions), built on
+  * the public DataSource V2 streaming stack:
+  *
+  *  - [[MicroBatchStream]] + [[SupportsAdmissionControl]]: offsets are
+  *    the highest PROCESSED version; `latestOffset(start, limit)`
+  *    advances `maxVersionsPerTrigger` (default 1) commits per batch,
+  *    so batch boundaries ARE commit boundaries — the table's history
+  *    replays as the stream's batch history.
+  *  - Work discovery is O(the commit): a delta manifest's added lines
+  *    are its stored tail ([[graft.operators.VersionedTable.addedLines]]
+  *    — zero extra manifest reads), never a table diff.
+  *  - One [[InputPartition]] per (version, added file): executors read
+  *    the parquet payload themselves (parquet-hadoop's example Group
+  *    API — the library Spark itself builds on), so nothing data-sized
+  *    crosses the driver, and Spark's own offset log gives
+  *    checkpoint-resume across drains: a commit landing between two
+  *    AvailableNow runs is picked up exactly once by the second.
+  *
+  * Append-feed contract: a DELETE commit does not append rows —
+  * by default the stream FAILS on one (silently serving nothing for a
+  * version that removed data would misrepresent the feed); opt in to
+  * skipping via `ignoreDeletes=true` (the Delta option of the same
+  * name). Schema-evolution commits always fail the stream: a stream's
+  * schema is pinned at start. Options: `startingVersion` (default 0 —
+  * serve history from the beginning), `maxVersionsPerTrigger`,
+  * `ignoreDeletes`.
+  *
+  * Supported payload columns: the parquet primitives the fixtures use
+  * (BOOLEAN, INT32, INT64, FLOAT, DOUBLE, UTF8 BINARY). Nested and
+  * logical types would extend the same Group-to-InternalRow mapping.
+  */
+class TableChangesSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-changes"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TableChangesSource.tableSchema(options.get("path"))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    // Option keys arrive however the caller typed them — normalize.
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ChangesTable(opts.get("path"), schema,
+      opts.getOrDefault("startingVersion", "0").toLong,
+      opts.getOrDefault("maxVersionsPerTrigger", "1").toInt,
+      opts.getBoolean("ignoreDeletes", false))
+  }
+}
+
+object TableChangesSource {
+  import graft.operators.VersionedTable
+
+  val VersionColumn = "_commit_version"
+
+  /** Data schema from the latest manifest's first payload file's
+    * parquet footer, plus the commit-version column. One footer read —
+    * schema inference must not scan data. */
+  def tableSchema(path: String): StructType = {
+    require(path != null && path.nonEmpty,
+      "graft-changes: a table root path is required (…load(root))")
+    val table = java.nio.file.Paths.get(path)
+    val v = VersionedTable.latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-changes: no committed version at $path"))
+    val first = VersionedTable.statsManifest(table, v).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-changes: version $v of $path lists no data files"))._1
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(table.resolve(first).toString),
+      new Configuration()))
+    val msg = try reader.getFileMetaData.getSchema finally reader.close()
+    val dataFields = msg.getFields.asScala.map { f =>
+      require(f.isPrimitive,
+        s"graft-changes: unsupported nested column ${f.getName}")
+      val p = f.asPrimitiveType()
+      val dt = p.getPrimitiveTypeName match {
+        case INT64 => LongType
+        case INT32 => IntegerType
+        case DOUBLE => DoubleType
+        case FLOAT => FloatType
+        case BOOLEAN => BooleanType
+        case BINARY
+            if p.getLogicalTypeAnnotation ==
+              LogicalTypeAnnotation.stringType() => StringType
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft-changes: unsupported parquet type $other " +
+              s"for column ${f.getName}")
+      }
+      StructField(f.getName, dt, nullable = true)
+    }.toSeq
+    StructType(dataFields :+
+      StructField(VersionColumn, LongType, nullable = false))
+  }
+}
+
+private[sources] class ChangesTable(path: String, schema0: StructType,
+    startingVersion: Long, maxVersionsPerTrigger: Int, ignoreDeletes: Boolean)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft-changes($path)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema0
+        override def description(): String = s"graft-changes path=$path"
+        override def toMicroBatchStream(
+            checkpointLocation: String): MicroBatchStream =
+          new ChangesStream(path, schema0, startingVersion,
+            maxVersionsPerTrigger, ignoreDeletes)
+      }
+    }
+}
+
+/** Offset = highest commit version already processed (inclusive);
+  * `startingVersion - 1` before any batch ran. */
+private[sources] case class VersionOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+private[sources] class ChangesStream(path: String, schema: StructType,
+    startingVersion: Long, maxVersionsPerTrigger: Int, ignoreDeletes: Boolean)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  import graft.operators.VersionedTable
+
+  private val table = java.nio.file.Paths.get(path)
+
+  /** AvailableNow snapshot target: commits landing AFTER the run
+    * started are left for the next run. Implemented natively (the file
+    * source's pattern) because Spark's generic AvailableNow wrapper
+    * deliberately IGNORES admission control and would serve everything
+    * in one batch — losing the one-micro-batch-per-commit contract. */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(VersionedTable.latestVersion(table).getOrElse(startingVersion - 1))
+
+  override def initialOffset(): Offset = VersionOffset(startingVersion - 1)
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission control: advance at most `maxVersionsPerTrigger`
+    * commits past `start` — one micro-batch per commit by default, so
+    * the drain's batch count witnesses the feed's granularity. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[VersionOffset].version
+    val pending = VersionedTable.versions(table)
+      .filter(v => v > from && availableNowTarget.forall(v <= _))
+    if (pending.isEmpty) start
+    else VersionOffset(pending.take(maxVersionsPerTrigger).last)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-changes drives latestOffset(start, limit) via " +
+        "SupportsAdmissionControl")
+
+  override def reportLatestOffset(): Offset =
+    VersionedTable.latestVersion(table).map(VersionOffset(_))
+      .getOrElse(VersionOffset(startingVersion - 1))
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[VersionOffset].version
+    val hi = end.asInstanceOf[VersionOffset].version
+    VersionedTable.versions(table)
+      .filter(v => v > lo && v <= hi)
+      .flatMap { v =>
+        VersionedTable.addedLines(table, v).flatMap { line =>
+          if (!line.contains('\t'))
+            Some(ChangesPartition(path, v, line): InputPartition)
+          else if (line.startsWith("DV\t")) {
+            if (ignoreDeletes) None
+            else throw new IllegalStateException(
+              s"graft-changes: version $v is a DELETE commit — an " +
+                "append feed cannot represent it; set ignoreDeletes=" +
+                "true to skip delete commits explicitly")
+          } else if (line.startsWith("RENAME\t") ||
+              line.startsWith("WIDEN\t"))
+            throw new IllegalStateException(
+              s"graft-changes: version $v evolves the schema — restart " +
+                "the stream to pick up the new schema")
+          else // a stats-bearing data line: path<TAB>min<TAB>max
+            Some(ChangesPartition(path, v, line.split('\t').head)
+              : InputPartition)
+        }
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangesReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class ChangesPartition(path: String, version: Long,
+    file: String) extends InputPartition
+
+private[sources] class ChangesReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[ChangesPartition]
+    val full = java.nio.file.Paths.get(cp.path).resolve(cp.file).toString
+    new PartitionReader[InternalRow] {
+      private val reader: ParquetReader[Group] =
+        ParquetReader.builder[Group](new GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(full))
+          .withConf(new Configuration())
+          .build()
+      private var cur: Group = _
+      override def next(): Boolean = {
+        cur = reader.read()
+        cur != null
+      }
+      override def get(): InternalRow = {
+        val fileType = cur.getType
+        val vals = schema.fields.map { f =>
+          if (f.name == TableChangesSource.VersionColumn) cp.version
+          else {
+            val i = fileType.getFieldIndex(f.name)
+            if (cur.getFieldRepetitionCount(i) == 0) null
+            else f.dataType match {
+              case LongType => cur.getLong(i, 0)
+              case IntegerType => cur.getInteger(i, 0)
+              case DoubleType => cur.getDouble(i, 0)
+              case FloatType => cur.getFloat(i, 0)
+              case BooleanType => cur.getBoolean(i, 0)
+              case StringType =>
+                UTF8String.fromBytes(cur.getBinary(i, 0).getBytes)
+              case other =>
+                throw new IllegalStateException(
+                  s"graft-changes: unsupported read type $other")
+            }
+          }
+        }
+        InternalRow.fromSeq(vals.toIndexedSeq)
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+}

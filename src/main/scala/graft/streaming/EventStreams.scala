@@ -583,6 +583,48 @@ object EventStreams {
     } catch { case e: Throwable => deleteTree(tmp); throw e }
   }
 
+  /** STREAMING CHANGE-FEED consumer drain (r13) — the consumer half of
+    * the commit protocol, mirror of drainVersionedCommits' producer
+    * half: a versioned table is staged (v0 full, v1 append), then
+    * `readStream.format("graft-changes")` drains it through a
+    * PERSISTENT checkpoint — Spark's own offset log stores the commit
+    * version, so the SECOND drain (after a commit lands in between)
+    * ingests ONLY the late commit, hard-asserted via the progress
+    * counters exactly like [[incrementalDrain]]. Admission control
+    * serves ONE MICRO-BATCH PER COMMIT (also hard-asserted): the
+    * table's commit history replays as the stream's batch history,
+    * which is what makes the versioned table a pipeline backbone
+    * rather than just a snapshot store. Result: every appended row
+    * with its `_commit_version` — deterministic, so the batch oracle
+    * reconstructs the feed exactly. */
+  def commitFeedDrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val tmp = tempDir("graft_ev_cfeed_")
+    try {
+      val table = tmp.resolve("table")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      VersionedTable.commit(spark, table, 0L,
+        docs.where(col("doc_id") % 3 === 0))
+      VersionedTable.appendCommit(spark, table,
+        docs.where(col("doc_id") % 3 === 1))
+      val stream = spark.readStream.format("graft-changes")
+        .load(table.toString)
+      val (got1, batches1) = checkpointedDrainCounted(spark, stream, tmp)
+      assertBatches(batches1, 2) // one micro-batch per commit: v0, v1
+      // A commit lands BETWEEN drains: the checkpoint-resumed second
+      // drain must serve exactly it.
+      VersionedTable.appendCommit(spark, table,
+        docs.where(col("doc_id") % 3 === 2))
+      val (got2, batches2) = checkpointedDrainCounted(spark, stream, tmp)
+      assertBatches(batches2, 1)
+      val n01 = docs.where(col("doc_id") % 3 < 2).count()
+      val n2 = docs.where(col("doc_id") % 3 === 2).count()
+      assertIncremental(got1, n01, got2, n2)
+      loadAndClean(spark, tmp, stream.schema)
+    } catch { case e: Throwable => deleteTree(tmp); throw e }
+  }
+
   /** Stage a batch slice through a one-file write, then move the part
     * file into the flat source dir the stream lists as `fileName`;
     * returns its row count. */
@@ -605,6 +647,12 @@ object EventStreams {
     * returns the run's total input-row count. */
   private def checkpointedDrain(spark: SparkSession, df: DataFrame,
       tmp: java.nio.file.Path): Long =
+    checkpointedDrainCounted(spark, df, tmp)._1
+
+  /** [[checkpointedDrain]] returning (rows, dataBatches) — for drains
+    * whose batch GRANULARITY is itself an assertion target. */
+  private def checkpointedDrainCounted(spark: SparkSession, df: DataFrame,
+      tmp: java.nio.file.Path): (Long, Int) =
     awaitCounted(spark,
       df.writeStream
         .format("parquet")
@@ -612,7 +660,7 @@ object EventStreams {
         .option("checkpointLocation", s"$tmp/ckpt")
         .outputMode(OutputMode.Append)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start())._1
+        .start())
 
   /** Per-run progress accumulator. Counting via a listener — NOT
     * `q.recentProgress` — because the retained progress array is capped

@@ -1,0 +1,82 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.VersionedTable
+import java.nio.file.Files
+
+/** Contract of the `graft-changes` streaming source beyond the
+  * driver-checked drain (ev_stream_cdf): offset semantics
+  * (startingVersion), the append-feed refusal of delete commits, and
+  * the explicit ignoreDeletes opt-out. */
+class TableChangesSpec extends SparkSpec {
+
+  private def freshTable() =
+    Files.createTempDirectory("graft_changes_spec_").resolve("t")
+
+  private def df(ids: Long*) = {
+    import spark.implicits._
+    ids.toSeq.toDF("id")
+  }
+
+  private def drainAll(table: java.nio.file.Path,
+      options: Map[String, String] = Map.empty): Seq[(Long, Long)] = {
+    val tmp = Files.createTempDirectory("graft_changes_sink_")
+    val reader = options.foldLeft(spark.readStream.format("graft-changes")) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    val q = reader.load(table.toString)
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(120000L)) q.stop()
+    q.exception.foreach(throw _)
+    spark.read.parquet(s"$tmp/out")
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        r.getLong(r.fieldIndex("_commit_version"))))
+      .toSeq.sorted
+  }
+
+  test("serves each commit's appended rows labeled with its version") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2))
+    VersionedTable.appendCommit(spark, t, df(3))
+    VersionedTable.appendCommit(spark, t, df(4, 5))
+    assert(drainAll(t) ==
+      Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L), (5L, 2L)))
+  }
+
+  test("startingVersion skips history before N") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2))
+    VersionedTable.appendCommit(spark, t, df(3))
+    assert(drainAll(t, Map("startingVersion" -> "1")) == Seq((3L, 1L)))
+  }
+
+  test("a delete commit fails the append feed unless ignoreDeletes") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2, 3))
+    VersionedTable.deleteCommit(spark, t, 1L, Seq(2L).toDF("id"), "id")
+    VersionedTable.appendCommit(spark, t, df(9))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainAll(t)
+    }
+    assert(ex.getMessage.contains("DELETE commit") ||
+      Option(ex.getCause).exists(_.getMessage.contains("DELETE commit")))
+    assert(drainAll(t, Map("ignoreDeletes" -> "true")) ==
+      Seq((1L, 0L), (2L, 0L), (3L, 0L), (9L, 2L)),
+      "ignoreDeletes must skip the delete commit but keep serving appends")
+  }
+
+  test("a schema-evolution commit fails the stream") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1))
+    VersionedTable.renameCommit(t, 1L, "id", "key")
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainAll(t, Map("ignoreDeletes" -> "true"))
+    }
+  }
+}
