@@ -136,6 +136,106 @@ object EmbeddingQueries extends QueryModule {
     * emb_ann_topk), instead of quietly burning a cluster. */
   private[queries] val CosinePairsYardstickMax = 10000L
 
+  /** PQ geometry shared by the in-query route (emb_pq_topk) and the
+    * persisted build/serve split (emb_pq_persisted): 8 subspaces of
+    * 8 dims; the k exact label means act as every subspace's
+    * sub-codebook (the deterministic k-means stand-in, same as IVF). */
+  private val PqM = 8
+  private val PqSub = 8
+
+  /** The k-row label-mean codebook, exact fixed-point (floor(x·10⁶))
+    * like every derived-centroid route in this module. */
+  private def labelCodebook(s: SparkSession, dir: String): Array[Array[Double]] = {
+    import s.implicits._
+    val sumAgg = udaf(new ElementwiseSum(64))
+    Tables.embeddings(s, dir)
+      .selectExpr("label",
+        "transform(cast(embedding AS array<double>), x -> CAST(floor(x * 1000000) AS BIGINT)) AS e6")
+      .groupBy($"label").agg(count(lit(1)).as("n"), sumAgg($"e6").as("sums"))
+      .selectExpr("label", "transform(sums, x -> x / (n * 1e6)) AS cvec")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+  }
+
+  /** PQ ENCODE: per subspace, nearest sub-codebook entry by L2 (ties →
+    * smaller code id); carries the reconstruction's squared norm so
+    * scoring never touches the original floats. One typed pass. */
+  private def pqEncode(s: SparkSession, emb: DataFrame,
+      codes: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val kN = codes.length
+    emb.as[(Long, Array[Float])].map { case (id, e) =>
+      val cs = new Array[Int](PqM)
+      var norm2 = 0.0
+      var m = 0
+      while (m < PqM) {
+        var best = 0; var bestD = Double.MaxValue; var k = 0
+        while (k < kN) {
+          var d = 0.0; var i = m * PqSub
+          while (i < (m + 1) * PqSub) {
+            val diff = e(i) - codes(k)(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = k }
+          k += 1
+        }
+        cs(m) = best
+        var i = m * PqSub
+        while (i < (m + 1) * PqSub) {
+          norm2 += codes(best)(i) * codes(best)(i); i += 1
+        }
+        m += 1
+      }
+      (id, cs, norm2)
+    }.toDF("vec_id", "codes", "cnorm2")
+  }
+
+  /** PQ SERVE: asymmetric-distance shortlist over the CODES table
+    * (compressed-domain scan — dot(q, reconstruction) per (probe,
+    * code row) in one typed pass over the broadcast probe join), then
+    * an exact cosine rerank that fetches only the shortlist's full
+    * vectors from `vectors` (vec_id, embedding). `corpusN` sizes the
+    * shortlist (max(30, n/16)). */
+  private def pqServe(s: SparkSession, enc: DataFrame, vectors: DataFrame,
+      probes: DataFrame, codes: Array[Array[Double]],
+      corpusN: Long): DataFrame = {
+    import s.implicits._
+    val scored = enc.join(broadcast(probes), $"vec_id" =!= $"qid")
+      .select($"qid", $"qe", $"vec_id", $"codes", $"cnorm2")
+      .as[(Long, Array[Float], Long, Array[Int], Double)]
+      .map { case (qid, qe, vid, cs, cnorm2) =>
+        var dot = 0.0; var qn2 = 0.0
+        var i = 0
+        while (i < qe.length) { qn2 += qe(i).toDouble * qe(i); i += 1 }
+        var m = 0
+        while (m < PqM) {
+          val c = codes(cs(m))
+          var j = m * PqSub
+          while (j < (m + 1) * PqSub) { dot += qe(j) * c(j); j += 1 }
+          m += 1
+        }
+        val denom = math.sqrt(qn2) * math.sqrt(cnorm2)
+        val approx = if (denom > 0) dot / denom else -1.0
+        (qid, vid, math.floor(approx * 1000000).toLong)
+      }.toDF("qid", "nid", "approx_e6")
+    val shortlist = math.max(30L, corpusN / 16)
+    val wCand = Window.partitionBy($"qid").orderBy($"approx_e6".desc, $"nid")
+    val cand = scored
+      .withColumn("crk", row_number().over(wCand))
+      .where($"crk" <= shortlist)
+      .select($"qid", $"nid")
+    // Exact rerank of the shortlist only.
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+    cand
+      .join(vectors.select($"vec_id".as("nid"), $"embedding"), "nid")
+      .join(broadcast(probes), "qid")
+      .withColumn("sim", call_function("cosine_sim", $"qe", $"embedding"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+      .selectExpr("qid", "rank", "nid",
+        "CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6")
+      .orderBy("qid", "rank")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Per-vector squared-norm (sequential double fold = DuckDB's
@@ -792,82 +892,12 @@ object EmbeddingQueries extends QueryModule {
     // EmbeddingSpec measures recall against emb_knn.
     "emb_pq_topk" -> ((s, dir) => {
       import s.implicits._
-      val M = 8; val SUB = 8
-      val sumAgg = udaf(new ElementwiseSum(64))
-      val codes: Array[Array[Double]] = Tables.embeddings(s, dir)
-        .selectExpr("label",
-          "transform(cast(embedding AS array<double>), x -> CAST(floor(x * 1000000) AS BIGINT)) AS e6")
-        .groupBy($"label").agg(count(lit(1)).as("n"), sumAgg($"e6").as("sums"))
-        .selectExpr("label", "transform(sums, x -> x / (n * 1e6)) AS cvec")
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1).map(_._2)
-      val K = codes.length
+      val codes = labelCodebook(s, dir)
       val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      // Encode: per subspace, nearest sub-codebook entry by L2 (ties →
-      // smaller code id); carry the reconstruction's squared norm so
-      // scoring never touches the original floats.
-      val enc = emb.as[(Long, Array[Float])].map { case (id, e) =>
-        val cs = new Array[Int](M)
-        var norm2 = 0.0
-        var m = 0
-        while (m < M) {
-          var best = 0; var bestD = Double.MaxValue; var k = 0
-          while (k < K) {
-            var d = 0.0; var i = m * SUB
-            while (i < (m + 1) * SUB) {
-              val diff = e(i) - codes(k)(i); d += diff * diff; i += 1
-            }
-            if (d < bestD) { bestD = d; best = k }
-            k += 1
-          }
-          cs(m) = best
-          var i = m * SUB
-          while (i < (m + 1) * SUB) {
-            norm2 += codes(best)(i) * codes(best)(i); i += 1
-          }
-          m += 1
-        }
-        (id, cs, norm2)
-      }.toDF("vec_id", "codes", "cnorm2")
       val probes = emb.where($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qe"))
-      // Asymmetric distance computation: dot(q, reconstruction(x)) per
-      // (probe, code row) in one typed pass over the broadcast join.
-      val scored = enc.join(broadcast(probes), $"vec_id" =!= $"qid")
-        .select($"qid", $"qe", $"vec_id", $"codes", $"cnorm2")
-        .as[(Long, Array[Float], Long, Array[Int], Double)]
-        .map { case (qid, qe, vid, cs, cnorm2) =>
-          var dot = 0.0; var qn2 = 0.0
-          var i = 0
-          while (i < qe.length) { qn2 += qe(i).toDouble * qe(i); i += 1 }
-          var m = 0
-          while (m < M) {
-            val c = codes(cs(m))
-            var j = m * SUB
-            while (j < (m + 1) * SUB) { dot += qe(j) * c(j); j += 1 }
-            m += 1
-          }
-          val denom = math.sqrt(qn2) * math.sqrt(cnorm2)
-          val approx = if (denom > 0) dot / denom else -1.0
-          (qid, vid, math.floor(approx * 1000000).toLong)
-        }.toDF("qid", "nid", "approx_e6")
-      val shortlist = math.max(30L, Tables.embeddings(s, dir).count() / 16)
-      val wCand = Window.partitionBy($"qid").orderBy($"approx_e6".desc, $"nid")
-      val cand = scored
-        .withColumn("crk", row_number().over(wCand))
-        .where($"crk" <= shortlist)
-        .select($"qid", $"nid")
-      // Exact rerank of the shortlist only.
-      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
-      val out = cand
-        .join(emb.select($"vec_id".as("nid"), $"embedding"), "nid")
-        .join(broadcast(probes), "qid")
-        .withColumn("sim", call_function("cosine_sim", $"qe", $"embedding"))
-        .withColumn("rank", row_number().over(w))
-        .where($"rank" <= 3)
-        .selectExpr("qid", "rank", "nid",
-          "CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6")
-        .orderBy("qid", "rank")
+      val out = pqServe(s, pqEncode(s, emb, codes), emb, probes, codes,
+        Tables.embeddings(s, dir).count())
       // In-path recall gate (EmbeddingSpec's bound): the exact rerank
       // of a 30-candidate PQ shortlist must recover at least a quarter
       // of the exact top-3.
@@ -879,6 +909,77 @@ object EmbeddingQueries extends QueryModule {
           s"emb_pq_topk recall gate: $overlap/${exact.size} exact top-3 " +
             "pairs recovered, below the 1/4 floor")
       }
+    }),
+
+    // PERSISTED PQ INDEX + EXACT RERANK (r13) — the PQ sibling of
+    // emb_ivf_persisted, completing the persisted-ANN family:
+    // emb_pq_topk derives its codes inside the query (the demo shape);
+    // here BUILD writes the three artifacts a served PQ index is made
+    // of — the k-row codebook, the PQ CODES table (vec_id, codes,
+    // cnorm2: M bytes-ish per vector instead of 64 floats — the ~30×
+    // memory reduction that is PQ's whole point), and the full vectors
+    // (rerank storage, cold-path) — and SERVE answers top-k from the
+    // STORED artifacts alone: ADC shortlists over the stored codes
+    // (compressed-domain scan), then an exact rerank fetches ONLY the
+    // shortlist's full vectors. In-path guards: (1) the serve plan
+    // never scans the source corpus (plan-string require, the
+    // emb_ivf_persisted discipline); (2) served rows are IDENTICAL to
+    // the in-query route under the same codebook — the parquet round
+    // trip (codes, norms, vectors) must not perturb a single rank;
+    // (3) the emb_pq_topk recall floor vs the exact top-3. Rows-only
+    // like emb_pq_topk (ranking rides on derived centroids).
+    "emb_pq_persisted" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.sources.GraftSession.stagingDir("graft_pqidx_")
+      try {
+        val idx = tmp.resolve("index")
+        // BUILD: one corpus pass for the codebook, one to encode, one
+        // to lay down rerank storage.
+        val sumAgg = udaf(new ElementwiseSum(64))
+        Tables.embeddings(s, dir)
+          .selectExpr("label",
+            "transform(cast(embedding AS array<double>), x -> CAST(floor(x * 1000000) AS BIGINT)) AS e6")
+          .groupBy($"label").agg(count(lit(1)).as("n"), sumAgg($"e6").as("sums"))
+          .selectExpr("label", "transform(sums, x -> x / (n * 1e6)) AS cvec")
+          .write.parquet(idx.resolve("codebook").toString)
+        val codes: Array[Array[Double]] = s.read
+          .parquet(idx.resolve("codebook").toString)
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1).map(_._2)
+        val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+        pqEncode(s, emb, codes).write.parquet(idx.resolve("pqcodes").toString)
+        emb.write.parquet(idx.resolve("vectors").toString)
+        val corpusN = emb.count()
+        // SERVE: stored artifacts only — no Tables.* reference below.
+        val encS = s.read.parquet(idx.resolve("pqcodes").toString)
+        val vecS = s.read.parquet(idx.resolve("vectors").toString)
+        val probes = vecS.where($"vec_id" < 10)
+          .select($"vec_id".as("qid"), $"embedding".as("qe"))
+        val out = pqServe(s, encS, vecS, probes, codes, vecS.count())
+        QueryModule.gatedPlans.put("emb_pq_persisted", out)
+        val planStr = out.queryExecution.executedPlan.toString
+        require(!planStr.contains("embeddings.parquet"),
+          "emb_pq_persisted: the serve plan scans the source corpus — " +
+            "the index was re-derived at query time")
+        val rows = out.collect()
+        // Equality gate vs the in-query route under the same stored
+        // codebook (fixture-bounded collect; production samples probes).
+        val memProbes = emb.where($"vec_id" < 10)
+          .select($"vec_id".as("qid"), $"embedding".as("qe"))
+        val mem = pqServe(s, pqEncode(s, emb, codes), emb, memProbes,
+          codes, corpusN).collect()
+        require(rows.length == mem.length &&
+            rows.zip(mem).forall { case (a, b) => a == b },
+          "emb_pq_persisted: served rows diverge from the in-query PQ " +
+            "route — the parquet round trip perturbed the index")
+        val exact = exactTop3(s, dir)
+        val overlap = rows.map(r => (r.getLong(0), r.getLong(2)))
+          .count(exact.contains)
+        require(overlap >= exact.size / 4,
+          s"emb_pq_persisted recall gate: $overlap/${exact.size} exact " +
+            "top-3 pairs recovered, below the 1/4 floor")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
     // ANN via random-hyperplane LSH (sign sketch): 16 planes from a
