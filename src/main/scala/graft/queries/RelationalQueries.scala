@@ -934,11 +934,25 @@ object RelationalQueries extends QueryModule {
            |WHERE o_totalprice > 400000
            |ORDER BY o_orderkey, l.l_linenumber""".stripMargin)
       QueryModule.gatedPlans.put("rel_lateral", out)
-      val plan = out.queryExecution.executedPlan.toString
-      require(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      // Node-CLASS checks, not plan-string substrings (r13, per
+      // verdict): operator display names drift across Spark versions,
+      // the physical node classes are the stable contract.
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, HashJoin, SortMergeJoinExec}
+      val physical = out.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      require(physical.collect {
+          case j: HashJoin => j
+          case j: SortMergeJoinExec => j
+        }.nonEmpty,
         "rel_lateral: the correlated subquery must decorrelate to a " +
           "keyed join")
-      require(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      require(physical.collect {
+          case j: BroadcastNestedLoopJoinExec => j
+          case j: CartesianProductExec => j
+        }.isEmpty,
         "rel_lateral: decorrelation fell back to a per-row nested loop")
       out
     }),

@@ -37,6 +37,7 @@ import org.apache.spark.sql.SparkSession
 object ClusterSmoke {
   def main(args: Array[String]): Unit = {
     if (args.contains("--pressure")) { pressureDemo(args); return }
+    if (args.contains("--pressure-stream")) { pressureStreamDemo(args); return }
     val spark = graft.sources.GraftSession.configure(SparkSession.builder()
       .master("local-cluster[2,4,2048]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -224,6 +225,85 @@ object ClusterSmoke {
     if (diskSpilled.get == 0) {
       println("[pressure] no spill observed — the run proved nothing; " +
         "shrink spark.memory.fraction or grow the fixture")
+      sys.exit(1)
+    }
+  }
+
+  /** STREAMING pressure validation (`--pressure-stream`): the stateful
+    * drains on the SAME starved local-cluster config as `--pressure`
+    * (640 MB heaps, memory.fraction 0.05) — micro-batch planning,
+    * checkpoint IO, watermark advancement and per-row state commits all
+    * crossing real process boundaries with ~17 MB of execution memory
+    * per executor. The slice is the state-heaviest drains: the three
+    * that run on the RocksDB provider by design (ev_stream_dedup — one
+    * state row per event id in the horizon, the suite's largest state;
+    * sessionize and the timed-window sessions), plus the stream-stream
+    * full-outer join (two-sided buffered state) and the merge-target
+    * upsert. The run must stay green AND the listener must witness
+    * real state (rows and bytes summed from each drain's last
+    * progress), or the demonstration is vacuous and the run fails.
+    * {{{
+    * SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+    *   sbt "runMain graft.tools.ClusterSmoke --pressure-stream"
+    * }}}
+    */
+  private def pressureStreamDemo(args: Array[String]): Unit = {
+    val spark = graft.sources.GraftSession.configure(SparkSession.builder()
+      .master("local-cluster[2,2,640]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.executor.memory", "640m")
+      .config("spark.memory.fraction", "0.05")
+      .config("spark.executor.extraClassPath",
+        graft.sources.GraftSession.classesDir)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = args.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.1")
+    // Per-query max of summed state rows/bytes across that drain's
+    // progress updates (each update reports the batch's state
+    // operators; the MAX over batches is the high-water mark).
+    val stateRows = new java.util.concurrent.atomic.AtomicLong
+    val stateBytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val ops = e.progress.stateOperators
+        if (ops != null && ops.nonEmpty) {
+          val rows = ops.map(_.numRowsTotal).sum
+          val bytes = ops.map(_.memoryUsedBytes).sum
+          stateRows.getAndAccumulate(rows, Math.max _)
+          stateBytes.getAndAccumulate(bytes, Math.max _)
+        }
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val drains = Seq("ev_stream_dedup", "ev_stream_sessionize",
+      "ev_stream_tws", "ev_stream_fulljoin", "ev_stream_upsert")
+    var failures = 0
+    drains.foreach { q =>
+      try {
+        val n = graft.SparkEntry.queries(q)(spark, sf).count()
+        println(s"[pressure-stream] $q OK ($n rows, state high-water: " +
+          s"rows=${stateRows.get} bytes=${stateBytes.get})")
+      } catch { case e: Throwable =>
+        failures += 1
+        println(s"[pressure-stream] $q FAILED: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(300))
+      }
+      spark.catalog.clearCache()
+    }
+    println(s"[pressure-stream] state high-water across ${drains.size} " +
+      s"drains: rows=${stateRows.get} bytes=${stateBytes.get}")
+    spark.streams.removeListener(listener)
+    spark.stop()
+    if (failures > 0) {
+      println(s"[pressure-stream] $failures drains failed under memory pressure")
+      sys.exit(1)
+    }
+    if (stateRows.get == 0) {
+      println("[pressure-stream] no state witnessed — the run proved nothing")
       sys.exit(1)
     }
   }
