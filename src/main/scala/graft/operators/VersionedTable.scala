@@ -362,7 +362,6 @@ object VersionedTable {
   def readPartitions(s: SparkSession, table: Path, partCol: String,
                      values: Seq[String],
                      version: Option[Long] = None): (DataFrame, Int, Int) = {
-    import org.apache.spark.sql.functions.lit
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $table"))
     val all = statsManifest(table, v).map(_._1)
@@ -384,10 +383,20 @@ object VersionedTable {
     val live = byValue.filter { case (value, _) => want.contains(value) }
     require(live.nonEmpty,
       s"readPartitions at version $v: no files match $partCol in $values")
-    val df = live.groupBy(_._1).toSeq.sortBy(_._1).map { case (value, fs) =>
-      s.read.parquet(fs.map(f => table.resolve(f._2).toString): _*)
-        .withColumn(partCol, lit(value))
-    }.reduce(_ unionByName _)
+    // One scan per COMMIT DIR (basePath recovers the partition column
+    // from the `col=value` path segments), not per value: union legs
+    // scale with the handful of commits, never with partition-value
+    // cardinality. The column is pinned to string so the read schema
+    // doesn't depend on what partition inference guesses per dir.
+    val df = live.map(_._2)
+      .groupBy(f => f.split('/').take(2).mkString("/"))
+      .toSeq.sortBy(_._1)
+      .map { case (dataDir, fs) =>
+        val part = s.read.option("basePath", table.resolve(dataDir).toString)
+          .parquet(fs.map(f => table.resolve(f).toString): _*)
+        part.withColumn(partCol, part(partCol).cast("string"))
+      }
+      .reduce(_ unionByName _)
     (df, live.size, all.size)
   }
 
