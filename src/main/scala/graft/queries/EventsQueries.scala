@@ -700,6 +700,26 @@ object EventsQueries extends QueryModule {
         .orderBy("_commit_version", "doc_id")
     }),
 
+    // FULL CHANGE FEED over the versioned table (r13) — ev_stream_cdf's
+    // append feed upgraded to serve DELETE commits too
+    // (readChangeFeed=true, the Delta option of the same name): a
+    // history with a merge-on-read DV delete drains as typed rows —
+    // inserts carry data, deletes carry only their key — one
+    // micro-batch per commit (hard-asserted). The in-path gate proves
+    // mirror sufficiency: applying the feed (inserts minus later
+    // deletes per key, in commit order) reproduces the table's own
+    // latest read EXACTLY, including the key a later append
+    // re-inserted (sequence-number scoping through the stream). This
+    // is the consumer contract that lets a downstream system maintain
+    // a row-level replica from the commit log alone — the full CDC
+    // loop: exactly-once producer (ev_stream_commit), append feed
+    // (ev_stream_cdf), and now deletes.
+    "ev_stream_cdf_full" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.EventStreams.changeFeedDrain(s, dir)
+        .orderBy("_commit_version", "_change_type", "doc_id")
+    }),
+
     // Streaming exactly-once dedup, driver-checked: every source slice
     // is staged TWICE (a byte-identical copy one file later — the
     // at-least-once re-delivery every ingestion pipeline must
@@ -1745,6 +1765,22 @@ object EventsQueries extends QueryModule {
     "ev_stream_commit" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
+    // The full feed replayed: v0's inserts, v1's delete keys (data
+    // columns NULL), v2's re-insert of doc 13 (+1000 chars).
+    "ev_stream_cdf_full" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+        |  CAST(1 AS BIGINT), 'delete'
+        |FROM documents WHERE doc_id % 9 = 4
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars + 1000,
+        |  CAST(2 AS BIGINT), 'insert'
+        |FROM documents WHERE doc_id = 13
+        |ORDER BY _commit_version, _change_type, doc_id""".stripMargin,
+
     // The feed replayed: which rows arrived, in which commit — v0 the
     // %3==0 snapshot, v1 and the late v2 the two appends.
     "ev_stream_cdf" ->

@@ -48,10 +48,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * by default the stream FAILS on one (silently serving nothing for a
   * version that removed data would misrepresent the feed); opt in to
   * skipping via `ignoreDeletes=true` (the Delta option of the same
-  * name). Schema-evolution commits always fail the stream: a stream's
-  * schema is pinned at start. Options: `startingVersion` (default 0 —
-  * serve history from the beginning), `maxVersionsPerTrigger`,
-  * `ignoreDeletes`.
+  * name), or to the FULL change feed via `readChangeFeed=true`, which
+  * adds a `_change_type` column ('insert'/'delete') and serves a
+  * delete commit's deletion-vector keys as delete rows (the key
+  * column populated, everything else NULL) — enough for a downstream
+  * consumer to maintain a row-level mirror: apply inserts, anti-join
+  * deletes, in commit order. Schema-evolution commits always fail the
+  * stream: a stream's schema is pinned at start. Options:
+  * `startingVersion` (default 0 — serve history from the beginning),
+  * `maxVersionsPerTrigger`, `ignoreDeletes`, `readChangeFeed`.
   *
   * Supported payload columns: the parquet primitives the fixtures use
   * (BOOLEAN, INT32, INT64, FLOAT, DOUBLE, UTF8 BINARY). Nested and
@@ -62,7 +67,8 @@ class TableChangesSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-changes"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    TableChangesSource.tableSchema(options.get("path"))
+    TableChangesSource.tableSchema(options.get("path"),
+      options.getBoolean("readChangeFeed", false))
 
   override def getTable(
       schema: StructType,
@@ -73,7 +79,8 @@ class TableChangesSource extends TableProvider with DataSourceRegister {
     new ChangesTable(opts.get("path"), schema,
       opts.getOrDefault("startingVersion", "0").toLong,
       opts.getOrDefault("maxVersionsPerTrigger", "1").toInt,
-      opts.getBoolean("ignoreDeletes", false))
+      opts.getBoolean("ignoreDeletes", false),
+      opts.getBoolean("readChangeFeed", false))
   }
 }
 
@@ -81,11 +88,13 @@ object TableChangesSource {
   import graft.operators.VersionedTable
 
   val VersionColumn = "_commit_version"
+  val ChangeTypeColumn = "_change_type"
 
   /** Data schema from the latest manifest's first payload file's
-    * parquet footer, plus the commit-version column. One footer read —
+    * parquet footer, plus the commit-version column (and, in
+    * change-feed mode, the change-type column). One footer read —
     * schema inference must not scan data. */
-  def tableSchema(path: String): StructType = {
+  def tableSchema(path: String, readChangeFeed: Boolean = false): StructType = {
     require(path != null && path.nonEmpty,
       "graft-changes: a table root path is required (…load(root))")
     val table = java.nio.file.Paths.get(path)
@@ -119,13 +128,18 @@ object TableChangesSource {
       }
       StructField(f.getName, dt, nullable = true)
     }.toSeq
-    StructType(dataFields :+
-      StructField(VersionColumn, LongType, nullable = false))
+    val base = dataFields :+
+      StructField(VersionColumn, LongType, nullable = false)
+    StructType(
+      if (readChangeFeed)
+        base :+ StructField(ChangeTypeColumn, StringType, nullable = false)
+      else base)
   }
 }
 
 private[sources] class ChangesTable(path: String, schema0: StructType,
-    startingVersion: Long, maxVersionsPerTrigger: Int, ignoreDeletes: Boolean)
+    startingVersion: Long, maxVersionsPerTrigger: Int, ignoreDeletes: Boolean,
+    readChangeFeed: Boolean)
     extends Table with SupportsRead {
 
   override def name(): String = s"graft-changes($path)"
@@ -141,7 +155,7 @@ private[sources] class ChangesTable(path: String, schema0: StructType,
         override def toMicroBatchStream(
             checkpointLocation: String): MicroBatchStream =
           new ChangesStream(path, schema0, startingVersion,
-            maxVersionsPerTrigger, ignoreDeletes)
+            maxVersionsPerTrigger, ignoreDeletes, readChangeFeed)
       }
     }
 }
@@ -153,7 +167,8 @@ private[sources] case class VersionOffset(version: Long) extends Offset {
 }
 
 private[sources] class ChangesStream(path: String, schema: StructType,
-    startingVersion: Long, maxVersionsPerTrigger: Int, ignoreDeletes: Boolean)
+    startingVersion: Long, maxVersionsPerTrigger: Int, ignoreDeletes: Boolean,
+    readChangeFeed: Boolean)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   import graft.operators.VersionedTable
 
@@ -208,11 +223,18 @@ private[sources] class ChangesStream(path: String, schema: StructType,
           if (!line.contains('\t'))
             Some(ChangesPartition(path, v, line): InputPartition)
           else if (line.startsWith("DV\t")) {
-            if (ignoreDeletes) None
+            if (readChangeFeed) {
+              // Full change feed: the DV's key list becomes delete
+              // rows — key column populated, everything else NULL.
+              val Array(_, dvFile, keyCol, _) = line.split('\t')
+              Some(ChangesPartition(path, v, dvFile,
+                deleteKeyCol = keyCol): InputPartition)
+            } else if (ignoreDeletes) None
             else throw new IllegalStateException(
               s"graft-changes: version $v is a DELETE commit — an " +
                 "append feed cannot represent it; set ignoreDeletes=" +
-                "true to skip delete commits explicitly")
+                "true to skip delete commits, or readChangeFeed=true " +
+                "to serve them as _change_type='delete' rows")
           } else if (line.startsWith("RENAME\t") ||
               line.startsWith("WIDEN\t"))
             throw new IllegalStateException(
@@ -232,14 +254,18 @@ private[sources] class ChangesStream(path: String, schema: StructType,
   override def stop(): Unit = ()
 }
 
+/** `deleteKeyCol` non-empty marks a DELETE partition (change-feed
+  * mode): `file` is the DV key-list parquet, and every output row
+  * populates only the key column + version + change type. */
 private[sources] case class ChangesPartition(path: String, version: Long,
-    file: String) extends InputPartition
+    file: String, deleteKeyCol: String = "") extends InputPartition
 
 private[sources] class ChangesReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[ChangesPartition]
+    val isDelete = cp.deleteKeyCol.nonEmpty
     val full = java.nio.file.Paths.get(cp.path).resolve(cp.file).toString
     new PartitionReader[InternalRow] {
       private val reader: ParquetReader[Group] =
@@ -252,26 +278,33 @@ private[sources] class ChangesReaderFactory(schema: StructType)
         cur = reader.read()
         cur != null
       }
-      override def get(): InternalRow = {
+      private def readField(f: StructField): Any = {
         val fileType = cur.getType
+        val i = fileType.getFieldIndex(f.name)
+        if (cur.getFieldRepetitionCount(i) == 0) null
+        else f.dataType match {
+          case LongType => cur.getLong(i, 0)
+          case IntegerType => cur.getInteger(i, 0)
+          case DoubleType => cur.getDouble(i, 0)
+          case FloatType => cur.getFloat(i, 0)
+          case BooleanType => cur.getBoolean(i, 0)
+          case StringType =>
+            UTF8String.fromBytes(cur.getBinary(i, 0).getBytes)
+          case other =>
+            throw new IllegalStateException(
+              s"graft-changes: unsupported read type $other")
+        }
+      }
+      override def get(): InternalRow = {
         val vals = schema.fields.map { f =>
           if (f.name == TableChangesSource.VersionColumn) cp.version
-          else {
-            val i = fileType.getFieldIndex(f.name)
-            if (cur.getFieldRepetitionCount(i) == 0) null
-            else f.dataType match {
-              case LongType => cur.getLong(i, 0)
-              case IntegerType => cur.getInteger(i, 0)
-              case DoubleType => cur.getDouble(i, 0)
-              case FloatType => cur.getFloat(i, 0)
-              case BooleanType => cur.getBoolean(i, 0)
-              case StringType =>
-                UTF8String.fromBytes(cur.getBinary(i, 0).getBytes)
-              case other =>
-                throw new IllegalStateException(
-                  s"graft-changes: unsupported read type $other")
-            }
-          }
+          else if (f.name == TableChangesSource.ChangeTypeColumn)
+            UTF8String.fromString(if (isDelete) "delete" else "insert")
+          else if (isDelete) {
+            // A delete row carries ONLY its key; the DV file's single
+            // column is the key column, everything else is NULL.
+            if (f.name == cp.deleteKeyCol) readField(f) else null
+          } else readField(f)
         }
         InternalRow.fromSeq(vals.toIndexedSeq)
       }

@@ -625,6 +625,55 @@ object EventStreams {
     } catch { case e: Throwable => deleteTree(tmp); throw e }
   }
 
+  /** FULL change-feed drain (r13) — [[commitFeedDrain]]'s append feed
+    * upgraded to `readChangeFeed=true`: a history with a DELETE commit
+    * (v0 base → v1 DV delete of doc_id%9==4 → v2 append re-inserting
+    * doc 13) drains as typed rows — inserts carry data, deletes carry
+    * ONLY their key (`_change_type` distinguishes them) — one
+    * micro-batch per commit (hard-asserted: 3 batches). The in-path
+    * gate proves the feed is SUFFICIENT to maintain a mirror: applying
+    * it (inserts minus later deletes, per key, in commit order) must
+    * reproduce the table's own latest read exactly — including the
+    * re-inserted key the sequence-number scoping preserves. Returns
+    * the raw feed, fully deterministic → batch oracle. */
+  def changeFeedDrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val tmp = tempDir("graft_ev_cdffull_")
+    try {
+      val table = tmp.resolve("table")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      VersionedTable.commit(spark, table, 0L, docs)
+      VersionedTable.deleteCommit(spark, table, 1L,
+        docs.where(col("doc_id") % 9 === 4).select(col("doc_id")), "doc_id")
+      VersionedTable.commit(spark, table, 2L,
+        docs.where(col("doc_id") === 13)
+          .selectExpr("doc_id", "lang", "n_chars + 1000L AS n_chars"),
+        carried = VersionedTable.manifest(table, 1L))
+      val stream = spark.readStream.format("graft-changes")
+        .option("readChangeFeed", "true")
+        .load(table.toString)
+      val (_, batches) = checkpointedDrainCounted(spark, stream, tmp)
+      assertBatches(batches, 3) // one micro-batch per commit: v0,v1,v2
+      val feed = spark.read.parquet(s"$tmp/out")
+      // Mirror gate: the feed applied = the table's latest snapshot.
+      val dels = feed.where(col("_change_type") === "delete")
+        .groupBy(col("doc_id"))
+        .agg(max(col("_commit_version")).as("del_v"))
+      val mirror = feed.where(col("_change_type") === "insert")
+        .join(dels, Seq("doc_id"), "left")
+        .where(col("del_v").isNull || col("_commit_version") > col("del_v"))
+        .selectExpr("doc_id", "lang", "n_chars")
+      val latest = VersionedTable.read(spark, table)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      require(mirror.exceptAll(latest).isEmpty &&
+          latest.exceptAll(mirror).isEmpty,
+        "changeFeedDrain: applying the change feed does not reproduce " +
+          "the table's latest snapshot — the feed is not mirror-sufficient")
+      loadAndClean(spark, tmp, stream.schema)
+    } catch { case e: Throwable => deleteTree(tmp); throw e }
+  }
+
   /** Stage a batch slice through a one-file write, then move the part
     * file into the flat source dir the stream lists as `fileName`;
     * returns its row count. */

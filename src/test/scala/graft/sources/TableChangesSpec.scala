@@ -71,6 +71,45 @@ class TableChangesSpec extends SparkSpec {
       "ignoreDeletes must skip the delete commit but keep serving appends")
   }
 
+  test("readChangeFeed serves delete commits as typed delete rows") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2, 3))
+    VersionedTable.deleteCommit(spark, t, 1L, Seq(2L, 3L).toDF("id"), "id")
+    VersionedTable.commit(spark, t, 2L, df(3),
+      carried = VersionedTable.manifest(t, 1L))
+    val tmp = Files.createTempDirectory("graft_changes_cdf_")
+    val q = spark.readStream.format("graft-changes")
+      .option("readChangeFeed", "true")
+      .load(t.toString)
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(120000L)) q.stop()
+    val rows = spark.read.parquet(s"$tmp/out").collect().map { r =>
+      (r.getLong(r.fieldIndex("_commit_version")),
+        r.getString(r.fieldIndex("_change_type")),
+        r.getLong(r.fieldIndex("id")))
+    }.toSeq.sorted
+    assert(rows == Seq((0L, "insert", 1L), (0L, "insert", 2L),
+      (0L, "insert", 3L), (1L, "delete", 2L), (1L, "delete", 3L),
+      (2L, "insert", 3L)))
+    // Applying the feed (inserts minus later deletes, per key) must
+    // reproduce the table's latest state — incl. the re-inserted 3.
+    val feed = spark.read.parquet(s"$tmp/out")
+    val dels = feed.where($"_change_type" === "delete")
+      .groupBy($"id")
+      .agg(org.apache.spark.sql.functions.max($"_commit_version").as("dv"))
+    val mirror = feed.where($"_change_type" === "insert")
+      .join(dels, Seq("id"), "left")
+      .where($"dv".isNull || $"_commit_version" > $"dv")
+      .select($"id")
+    assert(mirror.collect().map(_.getLong(0)).sorted.toSeq ==
+      VersionedTable.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("a schema-evolution commit fails the stream") {
     val t = freshTable()
     VersionedTable.commit(spark, t, 0L, df(1))
