@@ -613,6 +613,25 @@ object VersionedTable {
     * stored tail (zero extra reads); for a full manifest it is the
     * set difference against version-1's resolved lines (v0, or a
     * rewrite commit, adds everything it lists). */
+  /** The manifest lines version `version` REMOVED vs its predecessor —
+    * nonempty exactly for REWRITE commits (compaction, transact's
+    * copy-on-write), which a change feed cannot represent as
+    * appends+deletes. Deltas are pure additions, so only full
+    * manifests can remove. */
+  def removedLines(table: Path, version: Long): Seq[String] = {
+    val raw = rawManifest(table, version)
+    raw.headOption match {
+      case Some(h) if h.startsWith(BasePrefix) => Seq.empty
+      case _ =>
+        versions(table).filter(_ < version).lastOption match {
+          case None => Seq.empty
+          case Some(prev) =>
+            val cur = raw.toSet
+            manifest(table, prev).filterNot(cur)
+        }
+    }
+  }
+
   def addedLines(table: Path, version: Long): Seq[String] = {
     val raw = rawManifest(table, version)
     raw.headOption match {

@@ -219,6 +219,19 @@ private[sources] class ChangesStream(path: String, schema: StructType,
     VersionedTable.versions(table)
       .filter(v => v > lo && v <= hi)
       .flatMap { v =>
+        // A REWRITE commit (compaction / copy-on-write merge) drops
+        // manifest lines — unrepresentable as appends+deletes: serving
+        // its adds as inserts would double rows a mirror already holds
+        // and silently skip the drops. Fail loudly (the Delta stance on
+        // non-append changes) instead of corrupting downstream state —
+        // EXCEPT at the explicit startingVersion, which by contract
+        // serves as the feed's initial snapshot.
+        require(v == startingVersion ||
+            VersionedTable.removedLines(table, v).isEmpty,
+          s"graft-changes: version $v rewrites data files (compaction/" +
+            "merge) — the change feed serves append and delete commits " +
+            "only; restart the stream from a snapshot at or above it " +
+            s"(startingVersion=$v)")
         VersionedTable.addedLines(table, v).flatMap { line =>
           if (!line.contains('\t'))
             Some(ChangesPartition(path, v, line): InputPartition)

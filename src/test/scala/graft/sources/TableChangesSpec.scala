@@ -110,6 +110,21 @@ class TableChangesSpec extends SparkSpec {
       VersionedTable.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("a rewrite commit fails the feed; startingVersion at it serves a snapshot") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2, 3))
+    VersionedTable.appendCommit(spark, t, df(4))
+    // v2 = compaction: a full rewrite dropping v0/v1's files.
+    VersionedTable.commit(spark, t, 2L,
+      VersionedTable.read(spark, t).coalesce(1))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainAll(t)
+    }
+    // Restarting AT the rewrite serves it as the initial snapshot.
+    assert(drainAll(t, Map("startingVersion" -> "2"))
+      .map(_._1).sorted == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("a schema-evolution commit fails the stream") {
     val t = freshTable()
     VersionedTable.commit(spark, t, 0L, df(1))
