@@ -13,7 +13,7 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -148,13 +148,22 @@ private[sources] class ChangesTable(path: String, schema0: StructType,
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // Column pruning pushed into the streaming reader (the
+      // graft-history discipline): a consumer projecting two columns
+      // — or counting rows — materializes only those; the Group reader
+      // simply skips unrequested fields.
+      private var required: StructType = schema0
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = schema0
-        override def description(): String = s"graft-changes path=$path"
+        override def readSchema(): StructType = required
+        override def description(): String =
+          s"graft-changes path=$path " +
+            s"columns=[${required.fieldNames.mkString(",")}]"
         override def toMicroBatchStream(
             checkpointLocation: String): MicroBatchStream =
-          new ChangesStream(path, schema0, startingVersion,
+          new ChangesStream(path, required, startingVersion,
             maxVersionsPerTrigger, ignoreDeletes, readChangeFeed)
       }
     }
