@@ -143,30 +143,14 @@ object VersionedTable {
   def commitWithStats(s: SparkSession, table: Path, version: Long,
                       df: DataFrame, statsCol: String,
                       carried: Seq[String] = Nil): Seq[String] = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val dataDir = newDataDir(table, version)
     df.write.parquet(dataDir.toString)
-    val stats = s.read.parquet(dataDir.toString)
-      .groupBy(input_file_name().as("f"))
-      .agg(min(col(statsCol)).cast("long").as("mn"),
-        max(col(statsCol)).cast("long").as("mx"))
-      .collect()
-      .map { r =>
-        val p = java.nio.file.Paths.get(new java.net.URI(r.getString(0)))
-        // A file whose statsCol is entirely NULL has no min/max: fall
-        // back to the full-range line (never skippable, always correct
-        // — the stats-less contract), instead of an NPE at getLong.
-        val (mn, mx) =
-          if (r.isNullAt(1) || r.isNullAt(2)) (Long.MinValue, Long.MaxValue)
-          else (r.getLong(1), r.getLong(2))
-        (table.relativize(p).toString, mn, mx)
-      }.sortBy(_._1)
-    val lines = stats.map { case (f, mn, mx) => s"$f\t$mn\t$mx" }
+    val lines = fileStatsLines(s, table, dataDir, statsCol)
     // `carried` lines (an append commit) keep whatever stats their own
     // commit recorded — stats ride the manifest line, so a carry is
     // byte-verbatim exactly as in [[commit]].
     publish(table, version, carried ++ lines)
-    stats.map(_._1).toIndexedSeq
+    lines.map(_.split('\t').head)
   }
 
   /** Deletion-vector manifest lines are namespaced `DV\t<path>\t<keyCol>`
@@ -337,18 +321,46 @@ object VersionedTable {
     * [[readPartitions]] for manifest-level partition pruning. */
   def commitPartitioned(s: SparkSession, table: Path, version: Long,
                         df: DataFrame, partCol: String,
-                        carried: Seq[String] = Nil): Seq[String] = {
+                        carried: Seq[String] = Nil,
+                        statsCol: Option[String] = None): Seq[String] = {
     val dataDir = newDataDir(table, version)
     df.write.partitionBy(partCol).parquet(dataDir.toString)
-    val walk = Files.walk(dataDir)
-    val files =
-      try walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .map(p => table.relativize(p).toString)
-        .toSeq.sorted
-      finally walk.close()
+    val files = statsCol match {
+      // Partition value in the path AND per-file min/max on the line:
+      // the two orthogonal skipping mechanisms compose on one manifest
+      // entry ([[readPartitionRange]] consumes both).
+      case Some(c) => fileStatsLines(s, table, dataDir, c)
+      case None =>
+        val walk = Files.walk(dataDir)
+        try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(p => table.relativize(p).toString)
+          .toSeq.sorted
+        finally walk.close()
+    }
     publish(table, version, carried ++ files)
+  }
+
+  /** Per-file `path<TAB>min<TAB>max` manifest lines for every parquet
+    * file under `dataDir` (flat or partitioned layout — input_file_name
+    * resolves leaves either way); all-NULL files fall back to the
+    * never-skippable full range. One pass over the new files only. */
+  private def fileStatsLines(s: SparkSession, table: Path, dataDir: Path,
+                             statsCol: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    s.read.parquet(dataDir.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(statsCol)).cast("long").as("mn"),
+        max(col(statsCol)).cast("long").as("mx"))
+      .collect()
+      .map { r =>
+        val p = java.nio.file.Paths.get(new java.net.URI(r.getString(0)))
+        val (mn, mx) =
+          if (r.isNullAt(1) || r.isNullAt(2)) (Long.MinValue, Long.MaxValue)
+          else (r.getLong(1), r.getLong(2))
+        s"${table.relativize(p)}\t$mn\t$mx"
+      }.toIndexedSeq.sorted
   }
 
   /** Manifest-level PARTITION PRUNING — the protocol sibling of
@@ -383,12 +395,20 @@ object VersionedTable {
     val live = byValue.filter { case (value, _) => want.contains(value) }
     require(live.nonEmpty,
       s"readPartitions at version $v: no files match $partCol in $values")
-    // One scan per COMMIT DIR (basePath recovers the partition column
-    // from the `col=value` path segments), not per value: union legs
-    // scale with the handful of commits, never with partition-value
-    // cardinality. The column is pinned to string so the read schema
-    // doesn't depend on what partition inference guesses per dir.
-    val df = live.map(_._2)
+    (readPartitionedFiles(s, table, partCol, live.map(_._2)),
+      live.size, all.size)
+  }
+
+  /** Plan a read over partitioned-layout manifest files: one scan per
+    * COMMIT DIR (basePath recovers the partition column from the
+    * `col=value` path segments), not per value — union legs scale with
+    * the handful of commits, never with partition-value cardinality.
+    * The column is pinned to string so the read schema doesn't depend
+    * on what partition inference guesses per dir. */
+  private def readPartitionedFiles(s: SparkSession, table: Path,
+                                   partCol: String,
+                                   files: Seq[String]): DataFrame =
+    files
       .groupBy(f => f.split('/').take(2).mkString("/"))
       .toSeq.sortBy(_._1)
       .map { case (dataDir, fs) =>
@@ -397,7 +417,46 @@ object VersionedTable {
         part.withColumn(partCol, part(partCol).cast("string"))
       }
       .reduce(_ unionByName _)
-    (df, live.size, all.size)
+
+  /** PARTITION PRUNING × STATS SKIPPING in one read — the two
+    * orthogonal manifest mechanisms composed, exactly as production
+    * formats compose partition predicates with file-level zonemaps:
+    * files are first selected by partition VALUE (path segment), then
+    * by [min, max] overlap with [lo, hi] on the line's stats, and only
+    * the doubly-surviving files are opened (the row predicate still
+    * filters — stats prune files, never rows). Returns
+    * (frame, filesRead, filesAfterPartitionPrune, filesTotal) so
+    * callers can witness EACH pruning stage independently. */
+  def readPartitionRange(s: SparkSession, table: Path, partCol: String,
+                         values: Seq[String], statsCol: String,
+                         lo: Long, hi: Long, version: Option[Long] = None)
+      : (DataFrame, Int, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    require(columnMappings(table, v).isEmpty,
+      s"readPartitionRange at version $v: schema mappings could have " +
+        s"renamed '$statsCol' — use read() or compact first")
+    val all = statsManifest(table, v)
+    require(all.nonEmpty,
+      s"readPartitionRange at version $v of $table: no data files")
+    val want = values.toSet
+    val part = all.filter { case (f, _, _) =>
+      f.split('/').exists { seg =>
+        seg.startsWith(partCol + "=") &&
+          want.contains(java.net.URLDecoder.decode(
+            seg.substring(partCol.length + 1), "UTF-8"))
+      }
+    }
+    require(part.nonEmpty,
+      s"readPartitionRange at version $v: no files match $partCol in $values")
+    val live = part.filter { case (_, mn, mx) => mx >= lo && mn <= hi }
+    val df =
+      if (live.isEmpty)
+        readPartitionedFiles(s, table, partCol, Seq(part.head._1)).limit(0)
+      else readPartitionedFiles(s, table, partCol, live.map(_._1))
+    (df.where(col(statsCol) >= lo && col(statsCol) <= hi),
+      live.size, part.size, all.size)
   }
 
   /** VACUUM: expire every version below `keepFrom` and delete the data

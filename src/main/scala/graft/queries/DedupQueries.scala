@@ -2064,6 +2064,42 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // PARTITION PRUNING × STATS SKIPPING (r13) — the two orthogonal
+    // manifest mechanisms COMPOSED, the way production formats pair
+    // partition predicates with file-level zonemaps: one
+    // commitPartitioned(statsCol=doc_id) records the partition value
+    // in each file's PATH and its doc_id min/max on the LINE; the read
+    // then prunes twice — partition value first, stats overlap second
+    // — and opens only the doubly-surviving files. The write
+    // range-clusters doc_id BEFORE partitioning, so each (task, lang)
+    // file covers one doc_id quartile and both prunings have real
+    // teeth. In-path requires witness EACH stage independently
+    // (partition-matched < total, opened < partition-matched); the
+    // oracle proves full-row equality with the plain double filter.
+    "pipe_partition_stats" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vpstats_")
+      try {
+        val table = tmp.resolve("table")
+        VersionedTable.commitPartitioned(s, table, 0L,
+          Tables.documents(s, dir)
+            .select($"doc_id", $"n_chars", $"lang")
+            .repartitionByRange(4, $"doc_id"),
+          "lang", statsCol = Some("doc_id"))
+        val (df, nRead, nPart, nTotal) = VersionedTable.readPartitionRange(
+          s, table, "lang", Seq("en", "fr"), "doc_id", 10L, 60L)
+        require(nPart < nTotal,
+          s"pipe_partition_stats: partition pruning idle ($nPart of $nTotal)")
+        require(nRead < nPart,
+          s"pipe_partition_stats: stats pruning idle ($nRead of $nPart " +
+            "partition-matched files opened)")
+        val out = df.select($"doc_id", $"lang", $"n_chars").orderBy("doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // SCHEMA EVOLUTION: RENAME + TYPE WIDENING (r13) — the half
     // pipe_schema_commit (add-column) leaves open: long-lived tables
     // eventually rename columns and widen types, and at 100 TB neither
@@ -3016,6 +3052,13 @@ object DedupQueries extends QueryModule {
         |UNION ALL
         |SELECT doc_id + 2199023255552, lang, n_chars + 5 FROM documents
         |WHERE doc_id % 5 = 0 AND lang IN ('en', 'fr')
+        |ORDER BY doc_id""".stripMargin,
+
+    // The double filter replayed plainly — partition and range
+    // predicates over the base table.
+    "pipe_partition_stats" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang IN ('en', 'fr') AND doc_id BETWEEN 10 AND 60
         |ORDER BY doc_id""".stripMargin,
 
     // Both schema generations under the evolved names/types: legacy

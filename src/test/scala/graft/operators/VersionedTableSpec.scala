@@ -356,6 +356,30 @@ class VersionedTableSpec extends SparkSpec {
     assert(got.columns.contains("lang"))
   }
 
+  test("partition pruning and stats skipping compose on one manifest") {
+    import spark.implicits._
+    val t = freshTable()
+    val data = spark.range(0, 100)
+      .selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g")
+      .repartitionByRange(4, $"id")
+    VersionedTable.commitPartitioned(spark, t, 0L, data, "g",
+      statsCol = Some("id"))
+    // Every line carries BOTH the partition path segment and stats.
+    assert(VersionedTable.manifest(t, 0L).forall(l =>
+      l.contains("g=") && l.split('\t').length == 3))
+    val (df, nRead, nPart, nTotal) =
+      VersionedTable.readPartitionRange(spark, t, "g", Seq("a"), "id", 0L, 20L)
+    assert(nPart < nTotal, "partition stage must prune")
+    assert(nRead < nPart, "stats stage must prune within the partition")
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L to 20L).filter(_ % 2 == 0))
+    // An empty stats window returns an empty, correctly-shaped frame.
+    val (empty, _, _, _) =
+      VersionedTable.readPartitionRange(spark, t, "g", Seq("a"), "id",
+        1000L, 2000L)
+    assert(empty.count() == 0 && empty.columns.contains("g"))
+  }
+
   test("rename + widen commits are metadata-only; old files read under the new schema") {
     import spark.implicits._
     val t = freshTable()
