@@ -255,6 +255,42 @@ object VersionedTable {
     publish(table, version, deltaLines(table, version, dvLines, checkpointEvery))
   }
 
+  /** MERGE (upsert) as ONE atomic merge-on-read commit — the row-level
+    * `MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT` every
+    * production table format serves: matched keys' old rows die, the
+    * update rows (matched or new) appear, atomically. Instead of the
+    * copy-on-write rewrite ([[transact]] — cost O(touched files)), the
+    * commit publishes a deletion vector over the update KEYS plus the
+    * update rows as ordinary data files, in a single manifest — cost
+    * O(update batch), never O(table), which at 100 TB is the difference
+    * between an upsert stream keeping up and falling hours behind.
+    *
+    * The DV's origin is pinned to the BASE version (latest at commit
+    * time), so its scope covers only pre-merge files: the update rows
+    * written by this same commit carry the very keys the DV lists, and
+    * origin scoping is what lets them survive (the sequence-number
+    * semantics [[deleteCommit]] documents, doing double duty here).
+    * The read-time debt and its compaction repayment are identical to
+    * a plain delete. Returns the merge's published version. */
+  def mergeCommit(s: SparkSession, table: Path, updates: DataFrame,
+                  keyCol: String, checkpointEvery: Int = 8): Long = {
+    val base = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"mergeCommit: no committed version at $table to merge into"))
+    val version = base + 1
+    val dvDir = table.resolve("dv").resolve(
+      f"v$version%06d-merge-" + java.util.UUID.randomUUID().toString.take(8))
+    updates.select(keyCol).distinct().write.parquet(dvDir.toString)
+    val dvLines = partFiles(table, dvDir)
+      .map(p => s"$DvPrefix$p\t$keyCol\t$base")
+    val dataDir = newDataDir(table, version)
+    updates.write.parquet(dataDir.toString)
+    val dataLines = partFiles(table, dataDir)
+    publish(table, version,
+      deltaLines(table, version, dvLines ++ dataLines, checkpointEvery))
+    version
+  }
+
   /** Append at a PINNED version — the streaming-sink shape (version =
     * micro-batch id, so a replayed batch's publish hits the version
     * conflict and exactly-once falls out of the commit point). Same

@@ -2025,6 +2025,119 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // ROW-LEVEL MERGE / UPSERT COMMIT (r13) — the `MERGE INTO … WHEN
+    // MATCHED UPDATE / WHEN NOT MATCHED INSERT` shape as ONE atomic
+    // merge-on-read commit: a deletion vector over the update keys
+    // (origin-scoped to the BASE version, so the update rows the same
+    // commit appends survive their own DV) plus the update rows as
+    // ordinary data files, in a single manifest — cost O(update
+    // batch), never O(table). Staged: v0 = documents; merge 1 updates
+    // doc_id%6==2 (+7000 chars) and inserts %11==5 clones under new
+    // ids; merge 2 re-updates the %12==2 half of the already-merged
+    // keys (+9000 over the ORIGINAL chars) — update-of-update through
+    // two DV generations, the sequencing a naive unscoped key list
+    // gets wrong. In-path requires: neither merge rewrote a base data
+    // line, and both DV generations ride the latest manifest. The
+    // oracle replays the two merges relationally at full row fidelity.
+    "pipe_merge_commit" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vmerge_")
+      try {
+        val table = tmp.resolve("table")
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+        VersionedTable.commit(s, table, 0L, docs)
+        val u1 = docs.where($"doc_id" % 6 === 2)
+          .selectExpr("doc_id", "lang", "n_chars + 7000L AS n_chars")
+          .unionAll(docs.where($"doc_id" % 11 === 5)
+            .selectExpr("doc_id + 2199023255552L AS doc_id", "lang",
+              "n_chars"))
+        val v1 = VersionedTable.mergeCommit(s, table, u1, "doc_id")
+        val u2 = docs.where($"doc_id" % 12 === 2)
+          .selectExpr("doc_id", "lang", "n_chars + 9000L AS n_chars")
+        val v2 = VersionedTable.mergeCommit(s, table, u2, "doc_id")
+        val v0Files = VersionedTable.statsManifest(table, 0L).map(_._1).toSet
+        require(v0Files.subsetOf(
+            VersionedTable.statsManifest(table, v2).map(_._1).toSet),
+          "pipe_merge_commit: a merge rewrote base data files — upsert " +
+            "must cost O(update batch), not O(table)")
+        require(VersionedTable.deletionVectors(table, v2)
+            .map(_._3).distinct.size == 2,
+          "pipe_merge_commit: both merges' DV generations must ride " +
+            s"the latest manifest (v1=$v1, v2=$v2)")
+        val out = VersionedTable.read(s, table)
+          .select($"doc_id", $"lang", $"n_chars").orderBy("doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // THE VERSIONED TABLE AS A SPARK TABLE (r13) — the engine's THIRD
+    // DataSource V2 connector (`graft-table`): the commit protocol
+    // served through `spark.read.format(...)`, where a VANILLA
+    // DataFrame predicate — `.where("doc_id BETWEEN 10 AND 40")`, no
+    // bespoke API — flows through Catalyst's V2 pushdown into
+    // MANIFEST-level file pruning, and the version's live deletion
+    // vectors apply AT SCAN LEVEL (each input partition = one
+    // surviving file + its covering DV key lists; the executor hashes
+    // O(deleted keys) and filters as it reads — no join in the plan
+    // at all). Staged exactly as pipe_dv_skip (range-clustered stats
+    // commit → DV delete → re-insert of a killed key), so the same
+    // oracle proves the same rows now arrive through the connector
+    // path. In-path requires: the scan's partition count (== files
+    // opened) is strictly below the manifest's file count (pushdown
+    // pruned), and the physical plan contains NO join node (the DV
+    // anti-join really was absorbed into the scan).
+    "pipe_table_scan" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vscan_")
+      try {
+        val table = tmp.resolve("table")
+        val base = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+          .repartitionByRange(8, $"doc_id")
+        VersionedTable.commitWithStats(s, table, 0L, base, "doc_id")
+        VersionedTable.deleteCommit(s, table, 1L,
+          Tables.documents(s, dir).where($"doc_id" % 9 === 4)
+            .select($"doc_id"), "doc_id")
+        VersionedTable.commit(s, table, 2L,
+          Tables.documents(s, dir).where($"doc_id" === 13)
+            .selectExpr("doc_id", "lang", "n_chars + 1000L AS n_chars"),
+          carried = VersionedTable.manifest(table, 1L))
+        val filtered = s.read.format("graft-table")
+          .option("statsCol", "doc_id")
+          .load(table.toString)
+          .where($"doc_id" >= 10 && $"doc_id" <= 40)
+        val filesTotal = VersionedTable.statsManifest(table, 2L).size
+        val filesRead = filtered.rdd.getNumPartitions
+        require(filesRead < filesTotal,
+          s"pipe_table_scan: no files pruned ($filesRead of $filesTotal " +
+            "planned) — the pushed predicate must prune at manifest level")
+        // Node-class check: merge-on-read must live inside the scan.
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        import org.apache.spark.sql.execution.joins.BaseJoinExec
+        val physical = filtered.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        require(physical.collect { case j: BaseJoinExec => j }.isEmpty,
+          "pipe_table_scan: the deletion vectors planned as a join — " +
+            "scan-level merge-on-read is not load-bearing")
+        // Time travel through the same connector: v0 predates the
+        // delete and the re-insert.
+        require(s.read.format("graft-table").option("version", "0")
+            .load(table.toString).count() ==
+          Tables.documents(s, dir).count(),
+          "pipe_table_scan: version=0 must serve the pre-delete snapshot")
+        val out = filtered.select($"doc_id", $"lang", $"n_chars")
+          .orderBy("doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // PARTITION VALUES IN THE MANIFEST (r13) — the protocol sibling of
     // rel_partition_prune: a partitioned commit records each file's
     // partition value in its manifest path (the Hive `col=value`
@@ -3037,6 +3150,42 @@ object DedupQueries extends QueryModule {
     // the %9==4 delete inside [10,40], plus the re-inserted doc 13
     // (+1000 chars) whose new file postdates the DV's origin scope.
     "pipe_dv_skip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id BETWEEN 10 AND 40 AND doc_id % 9 <> 4
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars + 1000 FROM documents
+        |WHERE doc_id = 13
+        |ORDER BY doc_id""".stripMargin,
+
+    // The two merges replayed relationally: merge 1 = base minus
+    // matched keys plus updates+inserts; merge 2 = that state minus
+    // the re-updated keys plus their second-generation rows (values
+    // derived from the ORIGINAL fixture, exactly as the query builds
+    // its update batches).
+    "pipe_merge_commit" ->
+      """WITH u1 AS (
+        |  SELECT doc_id, lang, n_chars + 7000 AS n_chars FROM documents
+        |  WHERE doc_id % 6 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 2199023255552, lang, n_chars FROM documents
+        |  WHERE doc_id % 11 = 5),
+        |t1 AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 6 <> 2
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM u1),
+        |u2 AS (
+        |  SELECT doc_id, lang, n_chars + 9000 AS n_chars FROM documents
+        |  WHERE doc_id % 12 = 2)
+        |SELECT doc_id, lang, n_chars FROM t1
+        |WHERE doc_id NOT IN (SELECT doc_id FROM u2)
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars FROM u2
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same staging as pipe_dv_skip, so the same reconstruction — the
+    // deliverable is that these rows now arrive through the V2
+    // connector's pushed-down, scan-level merge-on-read path.
+    "pipe_table_scan" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id BETWEEN 10 AND 40 AND doc_id % 9 <> 4
         |UNION ALL

@@ -1,0 +1,358 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** BATCH TABLE READ over a [[graft.operators.VersionedTable]] — the
+  * engine's third DataSource V2 connector, and the one that makes the
+  * commit protocol a first-class Spark TABLE:
+  * `spark.read.format("graft-table").load(root)` plans the latest
+  * snapshot; `.option("version", N)` time-travels. What the connector
+  * adds over the library API (`VersionedTable.read/readRange`) is that
+  * the SAME pruning now flows from ordinary Catalyst predicates:
+  *
+  *  - FILTER PUSHDOWN → MANIFEST PRUNING
+  *    ([[SupportsPushDownFilters]]): range/equality predicates on the
+  *    table's stats column (`.option("statsCol", c)` — the column
+  *    `commitWithStats` recorded per-file min/max for) prune whole
+  *    files at PLANNING time from manifest lines alone; a pruned
+  *    file's footer is never opened anywhere. `df.where("c BETWEEN
+  *    10 AND 40")` costs O(overlapping files) with no bespoke API —
+  *    the user writes vanilla DataFrame code and the commit protocol's
+  *    zonemaps do the skipping. Stats prune files, never rows, so
+  *    every filter stays residual: Spark re-applies it row-level, and
+  *    acceptance here is a planning optimization, never a correctness
+  *    dependency (the graft-history discipline).
+  *  - MERGE-ON-READ AT SCAN LEVEL: each input partition is one
+  *    surviving data file plus the deletion vectors whose
+  *    origin-version scope covers it; the executor loads the DV key
+  *    lists into a hash set (O(deleted keys) — the same bound the
+  *    DataFrame anti-join pays) and filters rows as it reads, so a
+  *    DV-bearing version scans in one pass with no join in the plan
+  *    at all. Origin scoping is preserved exactly: a file appended
+  *    after a delete is covered by no DV, so re-inserted keys survive.
+  *  - COLUMN PRUNING ([[SupportsPushDownRequiredColumns]]): only
+  *    requested fields are materialized (plus, transiently, the DV
+  *    key column where a file has live DVs).
+  *
+  * One [[InputPartition]] per surviving file — the natural parallelism
+  * of a manifest, and the pruning witness: `df.rdd.getNumPartitions`
+  * IS the files-opened count. Schema-evolved versions (RENAME/WIDEN
+  * mappings) are refused loudly — their per-directory schema mapping
+  * is a plan-level union, served by `VersionedTable.read`; a scan
+  * must not guess. Writes go through the commit protocol (`commit`/
+  * `appendCommit`/`mergeCommit`/`transact`) — the putIfAbsent publish
+  * is the whole point; a blind V2 write path would bypass it.
+  */
+class GraftTableSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTableSource.dataSchema(options.get("path"),
+      GraftTableSource.resolveVersion(options.get("path"),
+        Option(options.get("version")).map(_.toLong)))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = opts.get("path")
+    new GraftTable(path, schema,
+      GraftTableSource.resolveVersion(path,
+        Option(opts.get("version")).map(_.toLong)),
+      Option(opts.get("statsCol")))
+  }
+}
+
+object GraftTableSource {
+  import graft.operators.VersionedTable
+
+  private[sources] def resolveVersion(path: String,
+                                      requested: Option[Long]): Long = {
+    require(path != null && path.nonEmpty,
+      "graft-table: a table root path is required (…load(root))")
+    val table = java.nio.file.Paths.get(path)
+    requested match {
+      case Some(v) =>
+        require(VersionedTable.versions(table).contains(v),
+          s"graft-table: version $v was never committed at $path")
+        v
+      case None =>
+        VersionedTable.latestVersion(table).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-table: no committed version at $path"))
+    }
+  }
+
+  /** Data schema from the version's first manifest file's parquet
+    * footer — one footer read; schema inference must not scan data. */
+  private[sources] def dataSchema(path: String, version: Long): StructType = {
+    val table = java.nio.file.Paths.get(path)
+    val first = VersionedTable.statsManifest(table, version).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-table: version $version of $path lists no data files"))._1
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(table.resolve(first).toString),
+      new Configuration()))
+    val msg = try reader.getFileMetaData.getSchema finally reader.close()
+    StructType(msg.getFields.asScala.map { f =>
+      require(f.isPrimitive,
+        s"graft-table: unsupported nested column ${f.getName}")
+      val p = f.asPrimitiveType()
+      val dt = p.getPrimitiveTypeName match {
+        case INT64 => LongType
+        case INT32 => IntegerType
+        case DOUBLE => DoubleType
+        case FLOAT => FloatType
+        case BOOLEAN => BooleanType
+        case BINARY
+            if p.getLogicalTypeAnnotation ==
+              LogicalTypeAnnotation.stringType() => StringType
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft-table: unsupported parquet type $other " +
+              s"for column ${f.getName}")
+      }
+      StructField(f.getName, dt, nullable = true)
+    }.toSeq)
+  }
+
+  /** Does a file whose stats-column range is [mn, mx] possibly hold a
+    * row admitted by `f`? Conservative: unrecognized shapes admit. */
+  private[sources] def admits(f: Filter, statsCol: String,
+                              mn: Long, mx: Long): Boolean = {
+    def lv(x: Any): Option[Long] = x match {
+      case n: java.lang.Number => Some(n.longValue)
+      case _ => None
+    }
+    f match {
+      case EqualTo(c, x) if c == statsCol =>
+        lv(x).forall(v => v >= mn && v <= mx)
+      case GreaterThan(c, x) if c == statsCol => lv(x).forall(mx > _)
+      case GreaterThanOrEqual(c, x) if c == statsCol => lv(x).forall(mx >= _)
+      case LessThan(c, x) if c == statsCol => lv(x).forall(mn < _)
+      case LessThanOrEqual(c, x) if c == statsCol => lv(x).forall(mn <= _)
+      case In(c, vs) if c == statsCol =>
+        vs.exists(x => lv(x).forall(v => v >= mn && v <= mx))
+      case org.apache.spark.sql.sources.And(l, r) =>
+        admits(l, statsCol, mn, mx) && admits(r, statsCol, mn, mx)
+      case _ => true
+    }
+  }
+
+  private[sources] def prunable(f: Filter, statsCol: String): Boolean =
+    f match {
+      case EqualTo(c, _) => c == statsCol
+      case GreaterThan(c, _) => c == statsCol
+      case GreaterThanOrEqual(c, _) => c == statsCol
+      case LessThan(c, _) => c == statsCol
+      case LessThanOrEqual(c, _) => c == statsCol
+      case In(c, _) => c == statsCol
+      case org.apache.spark.sql.sources.And(l, r) =>
+        prunable(l, statsCol) || prunable(r, statsCol)
+      case _ => false
+    }
+}
+
+private[sources] class GraftTable(path: String, schema0: StructType,
+    version: Long, statsCol: Option[String])
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft-table($path@v$version)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, version, statsCol, schema0)
+}
+
+private[sources] class GraftScanBuilder(path: String, version: Long,
+    statsCol: Option[String], schema0: StructType)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = schema0
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Filters on the stats column are recorded for manifest pruning;
+    * EVERYTHING stays residual (stats prune files, not rows — Spark
+    * must re-apply row-level). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = statsCol match {
+      case Some(c) => filters.filter(GraftTableSource.prunable(_, c))
+      case None => Array.empty
+    }
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new GraftScan(path, version, statsCol, required, pushed)
+}
+
+private[sources] class GraftScan(path: String, version: Long,
+    statsCol: Option[String], required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  import graft.operators.VersionedTable
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val table = java.nio.file.Paths.get(path)
+    // Schema-evolved versions carry a per-directory mapping the scan
+    // must not guess at — refuse with the working alternative.
+    require(VersionedTable.columnMappings(table, version).isEmpty,
+      s"graft-table: version $version of $path carries schema-evolution " +
+        "mappings (RENAME/WIDEN) — read it via VersionedTable.read, or " +
+        "compact first")
+    val all = VersionedTable.statsManifest(table, version)
+    require(all.nonEmpty,
+      s"graft-table: version $version of $path lists no data files")
+    // Manifest pruning: a file survives only if every pushed filter
+    // admits its [min, max]. Stats-less lines carry the full range —
+    // never skippable, always correct.
+    val live = statsCol match {
+      case Some(c) =>
+        all.filter { case (_, mn, mx) =>
+          pushed.forall(GraftTableSource.admits(_, c, mn, mx))
+        }
+      case None => all
+    }
+    // Merge-on-read: attach to each file the DV key lists whose
+    // origin-version scope covers it (origin scoping preserved — a
+    // file appended after a delete is covered by no DV).
+    val dvs = VersionedTable.deletionVectors(table, version)
+    val keyCols = dvs.map(_._2).distinct
+    require(keyCols.size <= 1,
+      s"graft-table: mixed deletion-vector key columns at version " +
+        s"$version: $keyCols")
+    val covering: Map[String, Seq[String]] =
+      if (dvs.isEmpty) Map.empty
+      else {
+        val scopes = dvs.map { case (dvFile, _, origin) =>
+          dvFile -> VersionedTable.statsManifest(table, origin)
+            .map(_._1).toSet
+        }
+        live.map(_._1).map { f =>
+          f -> scopes.collect { case (dv, scope) if scope(f) => dv }
+        }.toMap
+      }
+    live.map { case (f, _, _) =>
+      GraftTablePartition(path, f, covering.getOrElse(f, Nil),
+        keyCols.headOption.getOrElse("")): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftTableReaderFactory(required)
+
+  override def description(): String =
+    s"graft-table path=$path version=$version " +
+      s"columns=[${required.fieldNames.mkString(",")}] " +
+      s"pushed=[${pushed.mkString(",")}]"
+}
+
+private[sources] case class GraftTablePartition(path: String, file: String,
+    dvFiles: Seq[String], keyCol: String) extends InputPartition
+
+private[sources] class GraftTableReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftTablePartition]
+    val root = java.nio.file.Paths.get(gp.path)
+
+    def open(rel: String): ParquetReader[Group] =
+      ParquetReader.builder[Group](new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(root.resolve(rel).toString))
+        .withConf(new Configuration())
+        .build()
+
+    def keyValue(g: Group, i: Int): Any =
+      g.getType.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+        case INT64 => java.lang.Long.valueOf(g.getLong(i, 0))
+        case INT32 => java.lang.Integer.valueOf(g.getInteger(i, 0))
+        case BINARY => g.getBinary(i, 0).toStringUsingUTF8
+        case other => throw new IllegalStateException(
+          s"graft-table: unsupported deletion-vector key type $other")
+      }
+
+    // The executor's share of merge-on-read: this file's covering DV
+    // key lists, hashed — O(this table's deleted keys), the same bound
+    // the plan-level anti-join pays, with no join in the plan at all.
+    val deadKeys: java.util.HashSet[Any] = {
+      val set = new java.util.HashSet[Any]()
+      gp.dvFiles.foreach { dv =>
+        val r = open(dv)
+        try {
+          var g = r.read()
+          while (g != null) {
+            if (g.getFieldRepetitionCount(0) > 0)
+              set.add(keyValue(g, g.getType.getFieldIndex(gp.keyCol)))
+            g = r.read()
+          }
+        } finally r.close()
+      }
+      set
+    }
+
+    new PartitionReader[InternalRow] {
+      private val reader = open(gp.file)
+      private var cur: Group = _
+      override def next(): Boolean = {
+        cur = reader.read()
+        // Skip rows a covering deletion vector killed.
+        while (cur != null && !deadKeys.isEmpty && {
+          val i = cur.getType.getFieldIndex(gp.keyCol)
+          cur.getFieldRepetitionCount(i) > 0 &&
+            deadKeys.contains(keyValue(cur, i))
+        }) cur = reader.read()
+        cur != null
+      }
+      override def get(): InternalRow = {
+        val vals = schema.fields.map { f =>
+          val i = cur.getType.getFieldIndex(f.name)
+          if (cur.getFieldRepetitionCount(i) == 0) null
+          else f.dataType match {
+            case LongType => cur.getLong(i, 0)
+            case IntegerType => cur.getInteger(i, 0)
+            case DoubleType => cur.getDouble(i, 0)
+            case FloatType => cur.getFloat(i, 0)
+            case BooleanType => cur.getBoolean(i, 0)
+            case StringType =>
+              UTF8String.fromBytes(cur.getBinary(i, 0).getBytes)
+            case other => throw new IllegalStateException(
+              s"graft-table: unsupported read type $other")
+          }
+        }
+        InternalRow.fromSeq(vals.toIndexedSeq)
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+}

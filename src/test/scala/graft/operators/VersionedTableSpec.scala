@@ -406,6 +406,41 @@ class VersionedTableSpec extends SparkSpec {
     assert(v0.columns.contains("len") && !v0.columns.contains("n_chars"))
   }
 
+  test("mergeCommit upserts atomically: matched keys replaced, new keys inserted") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"))
+    // Update 2, insert 9 — one commit.
+    val v1 = VersionedTable.mergeCommit(spark, t,
+      Seq((2L, 21L), (9L, 90L)).toDF("id", "v"), "id")
+    assert(VersionedTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 10L), (2L, 21L), (3L, 30L), (9L, 90L)))
+    // Update-of-update: a second merge over an already-merged key must
+    // serve the SECOND generation (its DV covers merge 1's files).
+    VersionedTable.mergeCommit(spark, t, Seq((2L, 22L)).toDF("id", "v"), "id")
+    assert(VersionedTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 10L), (2L, 22L), (3L, 30L), (9L, 90L)))
+    // Time travel below the merges is untouched; between them sees gen 1.
+    assert(VersionedTable.read(spark, t, Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(VersionedTable.read(spark, t, Some(v1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 10L), (2L, 21L), (3L, 30L), (9L, 90L)))
+    // O(batch) metadata: neither merge rewrote v0's data lines.
+    val v0Files = VersionedTable.statsManifest(t, 0L).map(_._1).toSet
+    assert(v0Files.subsetOf(
+      VersionedTable.statsManifest(t, v1 + 1).map(_._1).toSet))
+    // Compaction folds both DV generations away.
+    VersionedTable.commit(spark, t, v1 + 2,
+      VersionedTable.read(spark, t, Some(v1 + 1)))
+    assert(VersionedTable.deletionVectors(t, v1 + 2).isEmpty)
+    assert(VersionedTable.read(spark, t).count() == 4)
+  }
+
   test("publishing the same version twice fails (optimistic concurrency)") {
     val t = freshTable()
     val files = VersionedTable.commit(spark, t, 0L, df(1))
