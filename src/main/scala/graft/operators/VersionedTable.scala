@@ -166,9 +166,15 @@ object VersionedTable {
   private val RenamePrefix = "RENAME\t"
   private val WidenPrefix = "WIDEN\t"
 
+  /** Per-file bloom-filter manifest lines (r13):
+    * `BLOOM\t<file>\t<col>\t<base64 bits>` — a point-lookup skipping
+    * index riding the manifest next to the zonemap stats, pruning
+    * equality probes on UNCLUSTERED columns (see [[FileBloom]]). */
+  private val BloomPrefix = "BLOOM\t"
+
   private def isMetaLine(line: String): Boolean =
     line.startsWith(DvPrefix) || line.startsWith(RenamePrefix) ||
-      line.startsWith(WidenPrefix)
+      line.startsWith(WidenPrefix) || line.startsWith(BloomPrefix)
 
   /** Parsed `(path, min, max)` DATA-file stats of a version's manifest
     * (deletion-vector and schema-mapping lines are metadata, not
@@ -397,6 +403,79 @@ object VersionedTable {
           else (r.getLong(1), r.getLong(2))
         s"${table.relativize(p)}\t$mn\t$mx"
       }.toIndexedSeq.sorted
+  }
+
+  /** Per-file `BLOOM` manifest lines for `bloomCol` over every parquet
+    * file under `dataDir` — one distributed pass (map-side-combined
+    * 1 KiB buffers; see [[FileBloom.agg]]), file-count-sized collect. */
+  private def fileBloomLines(s: SparkSession, table: Path, dataDir: Path,
+                             bloomCol: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, udaf}
+    val bloomAgg = udaf(FileBloom.agg)
+    s.read.parquet(dataDir.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(bloomAgg(col(bloomCol).cast("string")).as("bits"))
+      .collect()
+      .map { r =>
+        val p = java.nio.file.Paths.get(new java.net.URI(r.getString(0)))
+        val b64 = java.util.Base64.getEncoder
+          .encodeToString(r.getAs[Array[Byte]]("bits"))
+        s"$BloomPrefix${table.relativize(p)}\t$bloomCol\t$b64"
+      }.toIndexedSeq.sorted
+  }
+
+  /** Commit with BOTH skipping indexes on the manifest: zonemap
+    * min/max on `statsCol` (range pruning — needs a clustered layout
+    * to bite) and a per-file bloom on `bloomCol` (equality pruning —
+    * bites on ANY layout; the point-lookup answer zonemaps can't
+    * give). Either column may be the other; blooms for several
+    * columns would be further BLOOM lines. Readers that predate a
+    * line kind ignore it — manifests stay forward-compatible. */
+  def commitIndexed(s: SparkSession, table: Path, version: Long,
+                    df: DataFrame, statsCol: String, bloomCol: String,
+                    carried: Seq[String] = Nil): Seq[String] = {
+    val dataDir = newDataDir(table, version)
+    df.write.parquet(dataDir.toString)
+    val lines = fileStatsLines(s, table, dataDir, statsCol) ++
+      fileBloomLines(s, table, dataDir, bloomCol)
+    publish(table, version, carried ++ lines)
+    lines
+  }
+
+  /** The bloom skipping indexes live at a version:
+    * (file, column, filter bits). */
+  def blooms(table: Path, version: Long): Seq[(String, String, Array[Byte])] =
+    manifest(table, version).filter(_.startsWith(BloomPrefix)).map { line =>
+      val Array(_, f, c, b64) = line.split('\t')
+      (f, c, java.util.Base64.getDecoder.decode(b64))
+    }
+
+  /** POINT LOOKUP with bloom skipping: plans over only the files whose
+    * bloom for `col` might contain `value` (files without a bloom line
+    * for `col` always might), then re-applies the equality row-level.
+    * Returns the frame plus (filesRead, filesTotal) so callers can
+    * witness that skipping actually happened. The probe is rendered
+    * with `String.valueOf`, matching the writer's CAST(col AS STRING)
+    * aggregation. */
+  def readEquals(s: SparkSession, table: Path, colName: String, value: Any,
+                 version: Option[Long] = None): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalArgumentException(
+        s"readEquals: no committed version at $table"))
+    val all = statsManifest(table, v).map(_._1)
+    require(all.nonEmpty,
+      s"readEquals at version $v of $table: the manifest lists no data files")
+    val probe = String.valueOf(value)
+    val filters = blooms(table, v)
+      .collect { case (f, c, bits) if c == colName => f -> bits }.toMap
+    val live = all.filter(f =>
+      filters.get(f).forall(FileBloom.mightContain(_, probe)))
+    val df =
+      if (live.isEmpty)
+        s.read.parquet(table.resolve(all.head).toString).limit(0)
+      else readLive(s, table, v, live)
+    (df.where(col(colName) === lit(value)), live.size, all.size)
   }
 
   /** Manifest-level PARTITION PRUNING — the protocol sibling of

@@ -2138,6 +2138,59 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // PER-FILE BLOOM FILTERS IN THE MANIFEST (r13) — the point-lookup
+    // skipping index zonemaps cannot be: the table is laid out by
+    // doc_id RESIDUE CLASS (mod 8 — a round-robin-like layout with
+    // nothing clustered), so every file's doc_id [min,max] spans the
+    // probes and stats pruning has zero teeth — while the ~1 KiB
+    // bloom line per file answers "definitely not here" and an
+    // equality probe opens O(1) files on ANY layout (at a 10⁶-file
+    // table, one task instead of a full scan). Both the library route
+    // (readEquals, witnessed) and the connector route (a vanilla
+    // `.where(doc_id = p)` pushed into bloom pruning) are exercised;
+    // the in-path require demands each probe plan strictly FEWER
+    // files than its zonemap admits — bloom beating stats, not riding
+    // them. The oracle proves the three probed rows at full fidelity.
+    "pipe_point_skip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vbloom_")
+      try {
+        val table = tmp.resolve("table")
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+          .repartitionByRange(8, $"doc_id" % 8)
+        VersionedTable.commitIndexed(s, table, 0L, docs,
+          statsCol = "doc_id", bloomCol = "doc_id")
+        val stats = VersionedTable.statsManifest(table, 0L)
+        val probes = Seq(13L, 137L, 399L)
+        // Library route, probe 1: witnessed bloom skipping.
+        val (one, oneRead, oneTotal) =
+          VersionedTable.readEquals(s, table, "doc_id", probes.head)
+        require(oneRead <
+            stats.count { case (_, mn, mx) =>
+              probes.head >= mn && probes.head <= mx },
+          s"pipe_point_skip: readEquals opened $oneRead files — the " +
+            "bloom must prune beyond what the zonemaps admit")
+        // Connector route, every probe: vanilla equality predicates.
+        val frames = probes.map { p =>
+          val df = s.read.format("graft-table")
+            .option("statsCol", "doc_id").load(table.toString)
+            .where($"doc_id" === p)
+          val admitted = stats.count { case (_, mn, mx) => p >= mn && p <= mx }
+          val planned = df.rdd.getNumPartitions
+          require(planned < admitted,
+            s"pipe_point_skip: probe $p planned $planned of $admitted " +
+              "zonemap-admitted files — bloom pruning is not load-bearing")
+          df.select($"doc_id", $"lang", $"n_chars")
+        }
+        require(one.count() == 1, "pipe_point_skip: probe row must exist")
+        val out = frames.reduce(_ unionAll _).orderBy("doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // PARTITION VALUES IN THE MANIFEST (r13) — the protocol sibling of
     // rel_partition_prune: a partitioned commit records each file's
     // partition value in its manifest path (the Hive `col=value`
@@ -3191,6 +3244,12 @@ object DedupQueries extends QueryModule {
         |UNION ALL
         |SELECT doc_id, lang, n_chars + 1000 FROM documents
         |WHERE doc_id = 13
+        |ORDER BY doc_id""".stripMargin,
+
+    // The three bloom-pruned point lookups, replayed plainly.
+    "pipe_point_skip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (13, 137, 399)
         |ORDER BY doc_id""".stripMargin,
 
     // The lang ∈ {en, fr} partitions of both commits — base rows plus

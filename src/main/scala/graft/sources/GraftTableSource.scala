@@ -171,6 +171,30 @@ object GraftTableSource {
         prunable(l, statsCol) || prunable(r, statsCol)
       case _ => false
     }
+
+  private[sources] def bloomPrunable(f: Filter, cols: Set[String]): Boolean =
+    f match {
+      case EqualTo(c, _) => cols(c)
+      case In(c, _) => cols(c)
+      case org.apache.spark.sql.sources.And(l, r) =>
+        bloomPrunable(l, cols) || bloomPrunable(r, cols)
+      case _ => false
+    }
+
+  /** Might a file whose bloom bits for `c` are `bits` hold a row
+    * admitted by `f`? Conservative: non-equality shapes admit. Probes
+    * render via String.valueOf — the writer's CAST(col AS STRING). */
+  private[sources] def bloomAdmits(f: Filter, c: String,
+                                   bits: Array[Byte]): Boolean = f match {
+    case EqualTo(`c`, x) =>
+      graft.operators.FileBloom.mightContain(bits, String.valueOf(x))
+    case In(`c`, vs) =>
+      vs.isEmpty || vs.exists(x =>
+        graft.operators.FileBloom.mightContain(bits, String.valueOf(x)))
+    case org.apache.spark.sql.sources.And(l, r) =>
+      bloomAdmits(l, c, bits) && bloomAdmits(r, c, bits)
+    case _ => true
+  }
 }
 
 private[sources] class GraftTable(path: String, schema0: StructType,
@@ -194,17 +218,27 @@ private[sources] class GraftScanBuilder(path: String, version: Long,
   private var required: StructType = schema0
   private var pushed: Array[Filter] = Array.empty
 
+  /** Columns with a BLOOM line in this version's manifest — equality
+    * probes on them prune files whatever the layout (the manifest is
+    * self-describing here; no option needed). One metadata read. */
+  private lazy val bloomCols: Set[String] =
+    graft.operators.VersionedTable
+      .blooms(java.nio.file.Paths.get(path), version).map(_._2).toSet
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Filters on the stats column are recorded for manifest pruning;
-    * EVERYTHING stays residual (stats prune files, not rows — Spark
-    * must re-apply row-level). */
+  /** Filters on the stats column (range) or a bloom-indexed column
+    * (equality) are recorded for manifest pruning; EVERYTHING stays
+    * residual (skipping indexes prune files, not rows — Spark must
+    * re-apply row-level). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = statsCol match {
-      case Some(c) => filters.filter(GraftTableSource.prunable(_, c))
-      case None => Array.empty
+    val statsPrunable: Filter => Boolean = statsCol match {
+      case Some(c) => GraftTableSource.prunable(_, c)
+      case None => _ => false
     }
+    pushed = filters.filter(f =>
+      statsPrunable(f) || GraftTableSource.bloomPrunable(f, bloomCols))
     filters
   }
 
@@ -233,15 +267,20 @@ private[sources] class GraftScan(path: String, version: Long,
     val all = VersionedTable.statsManifest(table, version)
     require(all.nonEmpty,
       s"graft-table: version $version of $path lists no data files")
-    // Manifest pruning: a file survives only if every pushed filter
-    // admits its [min, max]. Stats-less lines carry the full range —
-    // never skippable, always correct.
-    val live = statsCol match {
-      case Some(c) =>
-        all.filter { case (_, mn, mx) =>
-          pushed.forall(GraftTableSource.admits(_, c, mn, mx))
-        }
-      case None => all
+    // Manifest pruning, both skipping indexes: a file survives only if
+    // every pushed filter admits its zonemap [min, max] (stats-less
+    // lines carry the full range — never skippable, always correct)
+    // AND every pushed equality admits its bloom bits (files without a
+    // bloom line for the probed column always admit).
+    val bloomsByFile: Map[(String, String), Array[Byte]] =
+      VersionedTable.blooms(table, version)
+        .map { case (f, c, bits) => (f, c) -> bits }.toMap
+    val bloomCols = bloomsByFile.keysIterator.map(_._2).toSet
+    val live = all.filter { case (f, mn, mx) =>
+      statsCol.forall(c =>
+        pushed.forall(GraftTableSource.admits(_, c, mn, mx))) &&
+        bloomCols.forall(c => bloomsByFile.get((f, c)).forall(bits =>
+          pushed.forall(GraftTableSource.bloomAdmits(_, c, bits))))
     }
     // Merge-on-read: attach to each file the DV key lists whose
     // origin-version scope covers it (origin scoping preserved — a

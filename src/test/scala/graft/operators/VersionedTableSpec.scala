@@ -441,6 +441,34 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, t).count() == 4)
   }
 
+  test("commitIndexed blooms prune point lookups; no false negatives") {
+    import spark.implicits._
+    val t = freshTable()
+    // Residue-class layout: every file's zonemap spans [0, 400) —
+    // stats pruning is toothless, only the bloom can skip.
+    VersionedTable.commitIndexed(spark, t, 0L,
+      spark.range(0, 400).toDF("id")
+        .repartitionByRange(4, $"id" % 4), "id", "id")
+    assert(VersionedTable.blooms(t, 0L).size == 4)
+    // No false negatives: every present key is found, exactly once.
+    Seq(0L, 7L, 399L).foreach { k =>
+      val (df, read, total) = VersionedTable.readEquals(spark, t, "id", k)
+      assert(total == 4)
+      assert(df.collect().map(_.getLong(0)).toSeq == Seq(k))
+      assert(read < total, s"probe $k opened $read of $total files — " +
+        "the bloom must prune an unclustered layout")
+    }
+    // An absent key reads empty (possibly through a false-positive file).
+    val (none, _, _) = VersionedTable.readEquals(spark, t, "id", 123456L)
+    assert(none.count() == 0)
+    // Files without a bloom line for the column are never pruned.
+    VersionedTable.commit(spark, t, 1L, Seq(5000L).toDF("id"),
+      carried = VersionedTable.manifest(t, 0L))
+    val (df1, _, total1) = VersionedTable.readEquals(spark, t, "id", 5000L)
+    assert(total1 == 5)
+    assert(df1.collect().map(_.getLong(0)).toSeq == Seq(5000L))
+  }
+
   test("publishing the same version twice fails (optimistic concurrency)") {
     val t = freshTable()
     val files = VersionedTable.commit(spark, t, 0L, df(1))

@@ -77,6 +77,21 @@ class GraftTableSpec extends SparkSpec {
       .sorted.toSeq == Seq((1L, 10L), (2L, 21L), (9L, 90L)))
   }
 
+  test("equality predicates prune via manifest blooms on any layout") {
+    import spark.implicits._
+    val t = fresh()
+    VersionedTable.commitIndexed(spark, t, 0L,
+      spark.range(0, 400).toDF("id")
+        .repartitionByRange(4, $"id" % 4), "id", "id")
+    val probed = read(t, "statsCol" -> "id").where($"id" === 37L)
+    assert(probed.rdd.getNumPartitions < 4,
+      "an equality probe must prune bloom-indexed files — zonemaps " +
+        "cannot on a residue-class layout")
+    assert(probed.collect().map(_.getLong(0)).toSeq == Seq(37L))
+    // The bloom needs no statsCol option: the manifest is self-describing.
+    assert(read(t).where($"id" === 37L).rdd.getNumPartitions < 4)
+  }
+
   test("column pruning serves a projection and a count(*)") {
     import spark.implicits._
     val t = fresh()
