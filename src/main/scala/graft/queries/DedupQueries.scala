@@ -2230,6 +2230,45 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // PARTITION PRUNING THROUGH THE CONNECTOR (r13) — the same staging
+    // as pipe_partition_commit, but the read is a VANILLA DataFrame
+    // predicate on the graft-table source: `.where(lang IN ('en',
+    // 'fr'))` flows through V2 pushdown into path-segment pruning (the
+    // manifest is self-describing — partition columns are detected
+    // from the Hive-style `lang=…` segments a partitioned commit
+    // records, no option needed), and the partition column itself is
+    // served from the path, never from file payloads. In-path require:
+    // the scan plans strictly fewer splits than the manifest lists.
+    // The oracle is the same reconstruction — the deliverable is the
+    // route.
+    "pipe_table_part_scan" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vpscan_")
+      try {
+        val table = tmp.resolve("table")
+        VersionedTable.commitPartitioned(s, table, 0L,
+          Tables.documents(s, dir).select($"doc_id", $"n_chars", $"lang"),
+          "lang")
+        val appended = Tables.documents(s, dir)
+          .where($"doc_id" % 5 === 0)
+          .selectExpr("doc_id + 2199023255552L AS doc_id",
+            "n_chars + 5L AS n_chars", "lang")
+        VersionedTable.commitPartitioned(s, table, 1L, appended, "lang",
+          carried = VersionedTable.manifest(table, 0L))
+        val df = s.read.format("graft-table").load(table.toString)
+          .where($"lang".isin("en", "fr"))
+        val filesTotal = VersionedTable.statsManifest(table, 1L).size
+        val planned = df.rdd.getNumPartitions
+        require(planned < filesTotal,
+          s"pipe_table_part_scan: planned $planned of $filesTotal files " +
+            "— pushed partition predicates must prune by path segment")
+        val out = df.select($"doc_id", $"lang", $"n_chars").orderBy("doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // PARTITION PRUNING × STATS SKIPPING (r13) — the two orthogonal
     // manifest mechanisms COMPOSED, the way production formats pair
     // partition predicates with file-level zonemaps: one
@@ -3255,6 +3294,16 @@ object DedupQueries extends QueryModule {
     // The lang ∈ {en, fr} partitions of both commits — base rows plus
     // the partitioned append's clones.
     "pipe_partition_commit" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang IN ('en', 'fr')
+        |UNION ALL
+        |SELECT doc_id + 2199023255552, lang, n_chars + 5 FROM documents
+        |WHERE doc_id % 5 = 0 AND lang IN ('en', 'fr')
+        |ORDER BY doc_id""".stripMargin,
+
+    // The same reconstruction as pipe_partition_commit — these rows
+    // now arrive through the connector's pushed path-segment pruning.
+    "pipe_table_part_scan" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang IN ('en', 'fr')
         |UNION ALL

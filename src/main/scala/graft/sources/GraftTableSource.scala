@@ -103,8 +103,29 @@ object GraftTableSource {
     }
   }
 
+  /** Partition `col=value` path segments of one manifest file path,
+    * URL-decoded (partitionBy escapes path-hostile characters). */
+  private[sources] def partitionValues(file: String): Seq[(String, String)] =
+    file.split('/').toSeq.collect {
+      case seg if seg.contains('=') =>
+        val i = seg.indexOf('=')
+        seg.substring(0, i) ->
+          java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+    }
+
+  /** Partition columns across a version's manifest, in first-appearance
+    * order — self-describing from the Hive-style paths a partitioned
+    * commit records; no option needed. */
+  private[sources] def partitionCols(table: java.nio.file.Path,
+                                     version: Long): Seq[String] =
+    VersionedTable.statsManifest(table, version)
+      .flatMap(l => partitionValues(l._1).map(_._1)).distinct
+
   /** Data schema from the version's first manifest file's parquet
-    * footer — one footer read; schema inference must not scan data. */
+    * footer — one footer read; schema inference must not scan data.
+    * Partition columns ride the manifest PATHS, not the payload
+    * (partitionBy strips them), and are re-attached as strings — the
+    * [[graft.operators.VersionedTable.readPartitions]] contract. */
   private[sources] def dataSchema(path: String, version: Long): StructType = {
     val table = java.nio.file.Paths.get(path)
     val first = VersionedTable.statsManifest(table, version).headOption
@@ -133,7 +154,12 @@ object GraftTableSource {
               s"for column ${f.getName}")
       }
       StructField(f.getName, dt, nullable = true)
-    }.toSeq)
+    }.toSeq match {
+      case dataFields =>
+        val names = dataFields.map(_.name).toSet
+        dataFields ++ partitionCols(table, version)
+          .filterNot(names).map(StructField(_, StringType, nullable = true))
+    })
   }
 
   /** Does a file whose stats-column range is [mn, mx] possibly hold a
@@ -181,6 +207,26 @@ object GraftTableSource {
       case _ => false
     }
 
+  private[sources] def partPrunable(f: Filter, cols: Set[String]): Boolean =
+    f match {
+      case EqualTo(c, _) => cols(c)
+      case In(c, _) => cols(c)
+      case org.apache.spark.sql.sources.And(l, r) =>
+        partPrunable(l, cols) || partPrunable(r, cols)
+      case _ => false
+    }
+
+  /** Might a file whose partition value for `c` is `v` hold a row
+    * admitted by `f`? Conservative: non-equality shapes admit. */
+  private[sources] def partAdmits(f: Filter, c: String,
+                                  v: String): Boolean = f match {
+    case EqualTo(`c`, x) => String.valueOf(x) == v
+    case In(`c`, vs) => vs.isEmpty || vs.exists(x => String.valueOf(x) == v)
+    case org.apache.spark.sql.sources.And(l, r) =>
+      partAdmits(l, c, v) && partAdmits(r, c, v)
+    case _ => true
+  }
+
   /** Might a file whose bloom bits for `c` are `bits` hold a row
     * admitted by `f`? Conservative: non-equality shapes admit. Probes
     * render via String.valueOf — the writer's CAST(col AS STRING). */
@@ -225,6 +271,12 @@ private[sources] class GraftScanBuilder(path: String, version: Long,
     graft.operators.VersionedTable
       .blooms(java.nio.file.Paths.get(path), version).map(_._2).toSet
 
+  /** Partition columns riding the manifest paths — equality probes on
+    * them prune files by path segment alone (self-describing too). */
+  private lazy val partCols: Set[String] =
+    GraftTableSource.partitionCols(java.nio.file.Paths.get(path), version)
+      .toSet
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -238,7 +290,8 @@ private[sources] class GraftScanBuilder(path: String, version: Long,
       case None => _ => false
     }
     pushed = filters.filter(f =>
-      statsPrunable(f) || GraftTableSource.bloomPrunable(f, bloomCols))
+      statsPrunable(f) || GraftTableSource.bloomPrunable(f, bloomCols) ||
+        GraftTableSource.partPrunable(f, partCols))
     filters
   }
 
@@ -280,7 +333,10 @@ private[sources] class GraftScan(path: String, version: Long,
       statsCol.forall(c =>
         pushed.forall(GraftTableSource.admits(_, c, mn, mx))) &&
         bloomCols.forall(c => bloomsByFile.get((f, c)).forall(bits =>
-          pushed.forall(GraftTableSource.bloomAdmits(_, c, bits))))
+          pushed.forall(GraftTableSource.bloomAdmits(_, c, bits)))) &&
+        GraftTableSource.partitionValues(f).forall { case (c, v) =>
+          pushed.forall(GraftTableSource.partAdmits(_, c, v))
+        }
     }
     // Merge-on-read: attach to each file the DV key lists whose
     // origin-version scope covers it (origin scoping preserved — a
@@ -303,7 +359,8 @@ private[sources] class GraftScan(path: String, version: Long,
       }
     live.map { case (f, _, _) =>
       GraftTablePartition(path, f, covering.getOrElse(f, Nil),
-        keyCols.headOption.getOrElse("")): InputPartition
+        keyCols.headOption.getOrElse(""),
+        GraftTableSource.partitionValues(f)): InputPartition
     }.toArray
   }
 
@@ -317,7 +374,8 @@ private[sources] class GraftScan(path: String, version: Long,
 }
 
 private[sources] case class GraftTablePartition(path: String, file: String,
-    dvFiles: Seq[String], keyCol: String) extends InputPartition
+    dvFiles: Seq[String], keyCol: String,
+    partValues: Seq[(String, String)] = Nil) extends InputPartition
 
 private[sources] class GraftTableReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
@@ -373,8 +431,16 @@ private[sources] class GraftTableReaderFactory(schema: StructType)
         }) cur = reader.read()
         cur != null
       }
+      // Partition columns are constants of this split, served from the
+      // manifest path — the file payload never contains them.
+      private val partConst: Map[String, UTF8String] =
+        gp.partValues.map { case (c, v) => c -> UTF8String.fromString(v) }
+          .toMap
+
       override def get(): InternalRow = {
         val vals = schema.fields.map { f =>
+          if (partConst.contains(f.name)) partConst(f.name)
+          else {
           val i = cur.getType.getFieldIndex(f.name)
           if (cur.getFieldRepetitionCount(i) == 0) null
           else f.dataType match {
@@ -387,6 +453,7 @@ private[sources] class GraftTableReaderFactory(schema: StructType)
               UTF8String.fromBytes(cur.getBinary(i, 0).getBytes)
             case other => throw new IllegalStateException(
               s"graft-table: unsupported read type $other")
+          }
           }
         }
         InternalRow.fromSeq(vals.toIndexedSeq)

@@ -92,6 +92,27 @@ class GraftTableSpec extends SparkSpec {
     assert(read(t).where($"id" === 37L).rdd.getNumPartitions < 4)
   }
 
+  test("partitioned commits: path pruning and the re-attached column") {
+    import spark.implicits._
+    val t = fresh()
+    VersionedTable.commitPartitioned(spark, t, 0L,
+      Seq((1L, "en"), (2L, "fr"), (3L, "de"), (4L, "en"))
+        .toDF("id", "lang"), "lang")
+    val df = read(t)
+    // The partition column is re-attached from the manifest path.
+    assert(df.columns.toSeq == Seq("id", "lang"))
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      .toSeq == Seq((1L, "en"), (2L, "fr"), (3L, "de"), (4L, "en")).sorted)
+    // An equality predicate prunes whole partitions by path segment.
+    val en = df.where($"lang" === "en")
+    assert(en.rdd.getNumPartitions <
+      VersionedTable.statsManifest(t, 0L).size)
+    assert(en.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+    // isin prunes too, keeping both named partitions.
+    assert(df.where($"lang".isin("fr", "de")).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("column pruning serves a projection and a count(*)") {
     import spark.implicits._
     val t = fresh()
