@@ -149,7 +149,8 @@ object VersionedTable {
     // `carried` lines (an append commit) keep whatever stats their own
     // commit recorded — stats ride the manifest line, so a carry is
     // byte-verbatim exactly as in [[commit]].
-    publish(table, version, carried ++ lines)
+    publish(table, version,
+      carried ++ lines :+ s"$StatsColPrefix$statsCol")
     lines.map(_.split('\t').head)
   }
 
@@ -172,9 +173,24 @@ object VersionedTable {
     * equality probes on UNCLUSTERED columns (see [[FileBloom]]). */
   private val BloomPrefix = "BLOOM\t"
 
+  /** `STATSCOL\t<col>` (r13): records WHICH column a commit's per-file
+    * min/max describe, making the manifest fully self-describing —
+    * readers that can't pass options (a SQL catalog scan) still know
+    * what to prune on. */
+  private val StatsColPrefix = "STATSCOL\t"
+
   private def isMetaLine(line: String): Boolean =
     line.startsWith(DvPrefix) || line.startsWith(RenamePrefix) ||
-      line.startsWith(WidenPrefix) || line.startsWith(BloomPrefix)
+      line.startsWith(WidenPrefix) || line.startsWith(BloomPrefix) ||
+      line.startsWith(StatsColPrefix)
+
+  /** The stats columns a version's manifests declared, distinct in
+    * commit order (practically a single column per table family). */
+  def statsColumns(table: Path, version: Long): Seq[String] =
+    manifest(table, version).collect {
+      case l if l.startsWith(StatsColPrefix) =>
+        l.substring(StatsColPrefix.length)
+    }.distinct
 
   /** Parsed `(path, min, max)` DATA-file stats of a version's manifest
     * (deletion-vector and schema-mapping lines are metadata, not
@@ -371,7 +387,8 @@ object VersionedTable {
       // Partition value in the path AND per-file min/max on the line:
       // the two orthogonal skipping mechanisms compose on one manifest
       // entry ([[readPartitionRange]] consumes both).
-      case Some(c) => fileStatsLines(s, table, dataDir, c)
+      case Some(c) => fileStatsLines(s, table, dataDir, c) :+
+        s"$StatsColPrefix$c"
       case None =>
         val walk = Files.walk(dataDir)
         try walk.iterator().asScala
@@ -437,7 +454,8 @@ object VersionedTable {
     val dataDir = newDataDir(table, version)
     df.write.parquet(dataDir.toString)
     val lines = fileStatsLines(s, table, dataDir, statsCol) ++
-      fileBloomLines(s, table, dataDir, bloomCol)
+      fileBloomLines(s, table, dataDir, bloomCol) :+
+      s"$StatsColPrefix$statsCol"
     publish(table, version, carried ++ lines)
     lines
   }
@@ -726,6 +744,15 @@ object VersionedTable {
     throw new IllegalStateException(
       s"transact: lost $maxAttempts straight races at $table")
   }
+
+  /** Committed versions with their manifest publish times (epoch
+    * millis, from the atomic link's mtime) — what `TIMESTAMP AS OF`
+    * resolves against. */
+  def versionTimes(table: Path): Seq[(Long, Long)] =
+    versions(table).map { v =>
+      v -> Files.getLastModifiedTime(
+        commitsDir(table).resolve(manifestName(v))).toMillis
+    }
 
   /** Committed versions, ascending (the readable history). */
   def versions(table: Path): Seq[Long] = {

@@ -1820,7 +1820,10 @@ object DedupQueries extends QueryModule {
           .select($"doc_id", $"lang", $"n_chars")
           .repartitionByRange(8, $"doc_id")
         VersionedTable.commitWithStats(s, table, 0L, base, "doc_id")
+        // Data lines only: since r13 a stats commit also declares its
+        // STATSCOL as a metadata line, which carries no range to price.
         val v0Lines = VersionedTable.manifest(table, 0L)
+          .filter(_.split('\t').length == 3)
         def range(line: String): (Long, Long) = {
           val p = line.split('\t'); (p(1).toLong, p(2).toLong)
         }
@@ -2186,6 +2189,66 @@ object DedupQueries extends QueryModule {
         }
         require(one.count() == 1, "pipe_point_skip: probe row must exist")
         val out = frames.reduce(_ unionAll _).orderBy("doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // THE PROTOCOL IN PLAIN SQL — CATALOG + TIME TRAVEL (r13): a V2
+    // TableCatalog (`graft.sources.GraftCatalog`) serves versioned
+    // tables BY NAME, so `SELECT … FROM graftcat.docs VERSION AS OF 0`
+    // is the whole API — the Delta/Iceberg SQL surface over this
+    // engine's own commit protocol. The catalog scan takes NO options:
+    // the stats column comes from the manifest's STATSCOL declaration
+    // (self-describing since r13), so a vanilla SQL BETWEEN prunes
+    // files at manifest level (in-path require), and the deletion
+    // vectors of the latest version apply inside the scan. TIMESTAMP
+    // AS OF resolves publish mtimes (far-future == latest, required
+    // in-path). The oracle replays both versions relationally.
+    "pipe_sql_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vsql_")
+      try {
+        val table = tmp.resolve("docs")
+        VersionedTable.commitIndexed(s, table, 0L,
+          Tables.documents(s, dir).select($"doc_id", $"lang", $"n_chars")
+            .repartitionByRange(8, $"doc_id"),
+          statsCol = "doc_id", bloomCol = "doc_id")
+        VersionedTable.deleteCommit(s, table, 1L,
+          Tables.documents(s, dir).where($"doc_id" % 9 === 4)
+            .select($"doc_id"), "doc_id")
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        val v0 = s2.sql(
+          """SELECT doc_id, lang, n_chars FROM graftcat.docs VERSION AS OF 0
+            |WHERE doc_id BETWEEN 10 AND 40""".stripMargin)
+        val latest = s2.sql(
+          """SELECT doc_id, lang, n_chars FROM graftcat.docs
+            |WHERE doc_id BETWEEN 10 AND 40""".stripMargin)
+        // No options anywhere: the BETWEEN must still prune via the
+        // manifest's own STATSCOL declaration.
+        val filesTotal = VersionedTable.statsManifest(table, 1L).size
+        val planned = latest.rdd.getNumPartitions
+        require(planned < filesTotal,
+          s"pipe_sql_time_travel: planned $planned of $filesTotal files " +
+            "— a catalog SQL read must prune from the self-describing " +
+            "manifest")
+        require(s2.sql(
+            """SELECT count(*) AS n FROM graftcat.docs
+              |TIMESTAMP AS OF '2999-01-01'""".stripMargin)
+            .head().getLong(0) == latest
+            .sparkSession.read.format("graft-table")
+            .load(table.toString).count(),
+          "pipe_sql_time_travel: a far-future TIMESTAMP AS OF must " +
+            "serve the latest snapshot")
+        val out = v0.select(lit(0L).as("version"), $"doc_id", $"lang",
+            $"n_chars")
+          .unionAll(latest.select(lit(1L).as("version"), $"doc_id",
+            $"lang", $"n_chars"))
+          .orderBy("version", "doc_id")
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally graft.streaming.EventStreams.deleteTree(tmp)
@@ -3273,6 +3336,16 @@ object DedupQueries extends QueryModule {
         |UNION ALL
         |SELECT doc_id, lang, n_chars FROM u2
         |ORDER BY doc_id""".stripMargin,
+
+    // Both SQL time-travel reads replayed: v0 = everything in range,
+    // latest = survivors of the %9==4 delete.
+    "pipe_sql_time_travel" ->
+      """SELECT CAST(0 AS BIGINT) AS version, doc_id, lang, n_chars
+        |FROM documents WHERE doc_id BETWEEN 10 AND 40
+        |UNION ALL
+        |SELECT 1, doc_id, lang, n_chars FROM documents
+        |WHERE doc_id BETWEEN 10 AND 40 AND doc_id % 9 <> 4
+        |ORDER BY version, doc_id""".stripMargin,
 
     // Same staging as pipe_dv_skip, so the same reconstruction — the
     // deliverable is that these rows now arrive through the V2

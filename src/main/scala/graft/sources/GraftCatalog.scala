@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.VersionedTable
+
+/** The commit protocol as a Spark SQL CATALOG — versioned tables
+  * addressable by NAME in plain SQL, including the time-travel syntax
+  * every production format exposes:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graftcat.root", "/warehouse")
+  *   spark.sql("SELECT * FROM graftcat.docs")                    // latest
+  *   spark.sql("SELECT * FROM graftcat.docs VERSION AS OF 3")    // commit 3
+  *   spark.sql("SELECT * FROM graftcat.docs TIMESTAMP AS OF '…'")// by time
+  * }}}
+  *
+  * A catalog table is one directory under `root` (one versioned table
+  * per subdirectory, resolved lazily — listTables lists committed
+  * tables only). Every load serves the SAME [[GraftTable]] the
+  * `graft-table` connector builds, so SQL reads get the full skipping
+  * stack with NO options: the stats column comes from the manifest's
+  * own STATSCOL declaration, blooms and partition values are
+  * self-describing, and deletion vectors apply inside the scan.
+  * `VERSION AS OF` maps to the commit version (TableCatalog's
+  * string-version load); `TIMESTAMP AS OF` resolves to the NEWEST
+  * commit published at-or-before the timestamp (manifest link mtime —
+  * the snapshot-at-time semantics of Delta/Iceberg).
+  *
+  * Read-only by design, like every surface over the protocol: DDL and
+  * DML route through `commit`/`appendCommit`/`mergeCommit`/`transact`
+  * — the atomic putIfAbsent publish is the consistency story, and a
+  * catalog write path would bypass it.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: java.nio.file.Path = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null && r.nonEmpty,
+      s"graft catalog '$name': set spark.sql.catalog.$name.root to a " +
+        "directory holding versioned tables (one per subdirectory)")
+    root = Paths.get(r)
+  }
+
+  override def name(): String = catalogName
+
+  private def tableRoot(ident: Identifier): java.nio.file.Path = {
+    if (ident.namespace.nonEmpty)
+      throw new NoSuchTableException(ident)
+    root.resolve(ident.name)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.isEmpty &&
+      VersionedTable.latestVersion(tableRoot(ident)).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    if (!Files.isDirectory(root)) Array.empty
+    else {
+      val stream = Files.list(root)
+      try stream.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          VersionedTable.latestVersion(p).isDefined)
+        .map(p => Identifier.of(Array.empty, p.getFileName.toString))
+        .toArray
+      finally stream.close()
+    }
+  }
+
+  private def load(ident: Identifier, version: Option[Long]): Table = {
+    val p = tableRoot(ident)
+    if (VersionedTable.latestVersion(p).isEmpty)
+      throw new NoSuchTableException(ident)
+    val path = p.toString
+    val v = GraftTableSource.resolveVersion(path, version)
+    new GraftTable(path, GraftTableSource.dataSchema(path, v), v,
+      VersionedTable.statsColumns(p, v).headOption)
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF <v>` — the version string is the commit version. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(try version.toLong catch {
+      case _: NumberFormatException => throw new NoSuchTableException(ident)
+    }))
+
+  /** `TIMESTAMP AS OF <t>` — Spark hands epoch MICROS; serve the
+    * newest commit published at-or-before it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = tableRoot(ident)
+    if (VersionedTable.latestVersion(p).isEmpty)
+      throw new NoSuchTableException(ident)
+    val at = VersionedTable.versionTimes(p)
+      .filter { case (_, ms) => ms * 1000L <= timestamp }
+      .lastOption.getOrElse(throw new NoSuchTableException(ident))._1
+    load(ident, Some(at))
+  }
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft catalog '$catalogName' is read-only: $op routes through " +
+        "the commit protocol (VersionedTable.commit/appendCommit/" +
+        "mergeCommit/transact)")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    readOnly("CREATE TABLE")
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    readOnly("ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean =
+    readOnly("DROP TABLE")
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit =
+    readOnly("RENAME TABLE")
+}

@@ -76,10 +76,14 @@ class GraftTableSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val path = opts.get("path")
-    new GraftTable(path, schema,
-      GraftTableSource.resolveVersion(path,
-        Option(opts.get("version")).map(_.toLong)),
-      Option(opts.get("statsCol")))
+    val version = GraftTableSource.resolveVersion(path,
+      Option(opts.get("version")).map(_.toLong))
+    // statsCol falls back to the manifest's own STATSCOL declaration —
+    // self-describing, so SQL catalog scans (no options) still prune.
+    val statsCol = Option(opts.get("statsCol")).orElse(
+      graft.operators.VersionedTable
+        .statsColumns(java.nio.file.Paths.get(path), version).headOption)
+    new GraftTable(path, schema, version, statsCol)
   }
 }
 

@@ -262,6 +262,9 @@ private[sources] class ChangesStream(path: String, schema: StructType,
             throw new IllegalStateException(
               s"graft-changes: version $v evolves the schema — restart " +
                 "the stream to pick up the new schema")
+          else if (line.startsWith("BLOOM\t") ||
+              line.startsWith("STATSCOL\t"))
+            None // skipping-index metadata: no rows to serve
           else // a stats-bearing data line: path<TAB>min<TAB>max
             Some(ChangesPartition(path, v, line.split('\t').head)
               : InputPartition)

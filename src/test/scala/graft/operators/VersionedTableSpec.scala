@@ -364,9 +364,13 @@ class VersionedTableSpec extends SparkSpec {
       .repartitionByRange(4, $"id")
     VersionedTable.commitPartitioned(spark, t, 0L, data, "g",
       statsCol = Some("id"))
-    // Every line carries BOTH the partition path segment and stats.
-    assert(VersionedTable.manifest(t, 0L).forall(l =>
-      l.contains("g=") && l.split('\t').length == 3))
+    // Every data line carries BOTH the partition path segment and real
+    // stats; the commit also declares its stats column (r13).
+    assert(VersionedTable.statsManifest(t, 0L).forall {
+      case (f, mn, mx) =>
+        f.contains("g=") && (mn, mx) != (Long.MinValue, Long.MaxValue)
+    })
+    assert(VersionedTable.statsColumns(t, 0L) == Seq("id"))
     val (df, nRead, nPart, nTotal) =
       VersionedTable.readPartitionRange(spark, t, "g", Seq("a"), "id", 0L, 20L)
     assert(nPart < nTotal, "partition stage must prune")

@@ -1,0 +1,84 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.VersionedTable
+import java.nio.file.Files
+
+/** Catalog-level guarantees of the graft SQL catalog (the
+  * query-surface witness is pipe_sql_time_travel): name resolution,
+  * listTables, VERSION AS OF / TIMESTAMP AS OF loads, the
+  * self-describing statsCol flowing into SQL pruning, and read-only
+  * refusals for DDL.
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  private def session(root: java.nio.file.Path) = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.g", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.g.root", root.toString)
+    s2
+  }
+
+  private def staged(): java.nio.file.Path = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cat_spec_")
+    val t = root.resolve("nums")
+    VersionedTable.commitWithStats(spark, t, 0L,
+      spark.range(0, 100).toDF("id").repartitionByRange(4, $"id"), "id")
+    // mtime is millisecond-granular; keep the two commits apart so
+    // TIMESTAMP AS OF has an unambiguous boundary to resolve.
+    Thread.sleep(20)
+    VersionedTable.commit(spark, t, 1L, Seq(1000L).toDF("id"),
+      carried = VersionedTable.manifest(t, 0L))
+    root
+  }
+
+  test("tables resolve by name; versions via VERSION AS OF") {
+    val root = staged()
+    val s2 = session(root)
+    assert(s2.sql("SELECT count(*) AS n FROM g.nums").head().getLong(0)
+      == 101)
+    assert(s2.sql("SELECT count(*) AS n FROM g.nums VERSION AS OF 0")
+      .head().getLong(0) == 100)
+    intercept[Exception] {
+      s2.sql("SELECT * FROM g.nums VERSION AS OF 9").collect()
+    }
+    intercept[Exception] { s2.sql("SELECT * FROM g.missing").collect() }
+  }
+
+  test("TIMESTAMP AS OF resolves publish times; listTables lists") {
+    val root = staged()
+    val s2 = session(root)
+    val t0Millis = VersionedTable.versionTimes(root.resolve("nums")).head._2
+    val t0 = java.time.Instant.ofEpochMilli(t0Millis)
+    assert(s2.sql(
+      s"SELECT count(*) AS n FROM g.nums TIMESTAMP AS OF '$t0'")
+      .head().getLong(0) == 100,
+      "a timestamp at v0's publish must serve v0")
+    assert(s2.sql(
+      "SELECT count(*) AS n FROM g.nums TIMESTAMP AS OF '2999-01-01'")
+      .head().getLong(0) == 101)
+    assert(s2.sql("SHOW TABLES IN g").collect()
+      .map(_.getString(1)).toSeq == Seq("nums"))
+  }
+
+  test("SQL reads prune via the manifest's own STATSCOL declaration") {
+    val root = staged()
+    val s2 = session(root)
+    val pruned = s2.sql(
+      "SELECT id FROM g.nums VERSION AS OF 0 WHERE id BETWEEN 10 AND 20")
+    assert(pruned.rdd.getNumPartitions < 4,
+      "the catalog scan must pick up statsCol from the manifest")
+    assert(pruned.count() == 11)
+  }
+
+  test("DDL is refused: writes route through the commit protocol") {
+    val root = staged()
+    val s2 = session(root)
+    val e = intercept[Exception] { s2.sql("DROP TABLE g.nums") }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("commit protocol"))
+  }
+}
