@@ -322,20 +322,7 @@ object VersionedTable {
                    df: DataFrame, checkpointEvery: Int = 8): Seq[String] = {
     val dataDir = newDataDir(table, version)
     df.write.parquet(dataDir.toString)
-    val mine = partFiles(table, dataDir)
-    // Base on the latest committed version, not version−1: batch ids
-    // may skip (an empty micro-batch publishes nothing), and a delta
-    // chain only needs SOME committed ancestor, not a dense one.
-    val lines = latestVersion(table) match {
-      case None => mine
-      case Some(base) =>
-        require(base < version,
-          s"commitAppend: version $version is not beyond latest $base")
-        if (chainLength(table, base) + 1 > checkpointEvery)
-          manifest(table, base) ++ mine
-        else (BasePrefix + base) +: mine
-    }
-    publish(table, version, lines)
+    publishDelta(table, version, partFiles(table, dataDir), checkpointEvery)
   }
 
   /** Range read with FILE-LEVEL skipping: plans over only the files
@@ -693,6 +680,27 @@ object VersionedTable {
     }
     throw new IllegalStateException(
       s"appendCommit: lost $maxAttempts straight races at $table")
+  }
+
+  /** Publish ALREADY-STAGED files as an O(batch) delta commit at a
+    * pinned version — the V2 write path's commit point (executors
+    * staged the files; this is the driver-side putIfAbsent). Bases on
+    * the LATEST committed version, not version−1: sink version
+    * numbering is sparse (empty micro-batches publish nothing), and a
+    * delta chain needs some committed ancestor, not a dense one. Same
+    * conflict semantics as [[publish]]: the caller owns retries. */
+  def publishDelta(table: Path, version: Long, files: Seq[String],
+                   checkpointEvery: Int = 8): Seq[String] = {
+    val lines = latestVersion(table) match {
+      case None => files
+      case Some(base) =>
+        require(base < version,
+          s"publishDelta: version $version is not beyond latest $base")
+        if (chainLength(table, base) + 1 > checkpointEvery)
+          manifest(table, base) ++ files
+        else (BasePrefix + base) +: files
+    }
+    publish(table, version, lines)
   }
 
   /** The manifest body for an additive commit of `added` at `target`:

@@ -2194,6 +2194,49 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // V2 BATCH WRITE THROUGH THE PROTOCOL (r13) — `df.write.format(
+    // "graft-table").mode("append")` IS a commit: executors stage
+    // parquet (nothing data-sized crosses the driver), the driver's
+    // V2 commit publishes ONE O(batch) delta manifest at latest+1
+    // with appendCommit's conflict-retry. Staged: v0 bootstrap (doc_id
+    // %3==0) via the library, then TWO V2 appends (%3==1, %3==2). The
+    // in-path requires prove each append landed as exactly one
+    // version, the base data lines were never rewritten, and each
+    // append's metadata tracks its batch (delta, not a table rewrite).
+    // The oracle proves the final table at full row fidelity.
+    "pipe_v2_write" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_v2w_")
+      try {
+        val table = tmp.resolve("table")
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+        VersionedTable.commit(s, table, 0L, docs.where($"doc_id" % 3 === 0))
+        docs.where($"doc_id" % 3 === 1).write.format("graft-table")
+          .mode("append").save(table.toString)
+        require(VersionedTable.latestVersion(table).contains(1L),
+          "pipe_v2_write: the first V2 append must publish version 1")
+        docs.where($"doc_id" % 3 === 2).write.format("graft-table")
+          .mode("append").save(table.toString)
+        require(VersionedTable.latestVersion(table).contains(2L),
+          "pipe_v2_write: the second V2 append must publish version 2")
+        val v0Files = VersionedTable.statsManifest(table, 0L).map(_._1).toSet
+        require(v0Files.subsetOf(
+            VersionedTable.statsManifest(table, 2L).map(_._1).toSet),
+          "pipe_v2_write: a V2 append rewrote base data files")
+        require(VersionedTable.addedLines(table, 1L).nonEmpty &&
+            VersionedTable.addedLines(table, 1L)
+              .forall(l => !v0Files.contains(l)),
+          "pipe_v2_write: append metadata must track the batch (delta), " +
+            "not restate the table")
+        val out = s.read.format("graft-table").load(table.toString)
+          .select($"doc_id", $"lang", $"n_chars").orderBy("doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // THE PROTOCOL IN PLAIN SQL — CATALOG + TIME TRAVEL (r13): a V2
     // TableCatalog (`graft.sources.GraftCatalog`) serves versioned
     // tables BY NAME, so `SELECT … FROM graftcat.docs VERSION AS OF 0`
@@ -3335,6 +3378,11 @@ object DedupQueries extends QueryModule {
         |WHERE doc_id NOT IN (SELECT doc_id FROM u2)
         |UNION ALL
         |SELECT doc_id, lang, n_chars FROM u2
+        |ORDER BY doc_id""".stripMargin,
+
+    // The bootstrap plus both V2 appends is just … the whole table.
+    "pipe_v2_write" ->
+      """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     // Both SQL time-travel reads replayed: v0 = everything in range,

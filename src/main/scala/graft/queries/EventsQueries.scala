@@ -796,6 +796,16 @@ object EventsQueries extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // STREAMING SINK INTO THE VERSIONED TABLE (r13) — writeStream
+    // .format("graft-table"): the exactly-once producer as a native V2
+    // StreamingWrite (version = epoch + 1, replay skips at the
+    // putIfAbsent commit point), two-drain checkpoint-resume, each
+    // data epoch one atomic commit. See EventStreams.sinkDrain for the
+    // in-path requires; the oracle proves the drained table IS the
+    // events table, exactly once.
+    "ev_stream_sink" -> ((s, dir) =>
+      graft.streaming.EventStreams.sinkDrain(s, dir)),
+
     // LEFT-OUTER stream-stream join, driver-checked: same time-bounded
     // click→purchase attribution as ev_stream_attrib, but never-
     // converted clicks ALSO emit (null purchase columns) once the
@@ -1801,6 +1811,11 @@ object EventsQueries extends QueryModule {
     // once (the incrementality itself is hard-asserted engine-side from
     // the progress counters — see EventStreams.incrementalDrain).
     "ev_stream_incr" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    // The sink table read back: the whole events table, exactly once.
+    "ev_stream_sink" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
     // Matched pairs emit immediately; an unmatched click emits its null

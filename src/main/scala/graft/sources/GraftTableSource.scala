@@ -57,9 +57,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * IS the files-opened count. Schema-evolved versions (RENAME/WIDEN
   * mappings) are refused loudly — their per-directory schema mapping
   * is a plan-level union, served by `VersionedTable.read`; a scan
-  * must not guess. Writes go through the commit protocol (`commit`/
-  * `appendCommit`/`mergeCommit`/`transact`) — the putIfAbsent publish
-  * is the whole point; a blind V2 write path would bypass it.
+  * must not guess. V2 WRITES exist and go THROUGH the protocol, never
+  * around it: batch append and the exactly-once streaming sink both
+  * stage files on executors and publish via the atomic putIfAbsent
+  * commit point (see [[GraftWriteBuilder]]).
   */
 class GraftTableSource extends TableProvider with DataSourceRegister {
 
@@ -249,15 +250,23 @@ object GraftTableSource {
 
 private[sources] class GraftTable(path: String, schema0: StructType,
     version: Long, statsCol: Option[String])
-    extends Table with SupportsRead {
+    extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft-table($path@v$version)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, version, statsCol, schema0)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(path, info)
 }
 
 private[sources] class GraftScanBuilder(path: String, version: Long,

@@ -1,0 +1,239 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.simple.SimpleGroup
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+
+import graft.operators.VersionedTable
+
+/** V2 WRITE paths for the `graft-table` connector — both route through
+  * the commit protocol's atomic publish, so a V2 write IS a commit,
+  * never a bypass:
+  *
+  *  - BATCH APPEND (`df.write.format("graft-table").mode("append")
+  *    .save(root)`): executors stage parquet files (no driver data
+  *    path), the driver's `commit(messages)` publishes them as one
+  *    O(batch) delta manifest at latest+1 with the optimistic
+  *    conflict-retry of `appendCommit` — a lost race re-publishes the
+  *    same staged files against the winner, rewriting nothing.
+  *  - STREAMING SINK (`df.writeStream.format("graft-table")`):
+  *    version = epochId + 1 (the table is BOOTSTRAPPED at v0 with its
+  *    schema — see the query staging), so a replayed micro-batch
+  *    recomputes the SAME version, finds it committed, and skips:
+  *    exactly-once falls out of the putIfAbsent commit point with no
+  *    sink-side dedup state (the `ev_stream_commit` discipline served
+  *    as a native `StreamingWrite`). The sink owns the table past its
+  *    bootstrap — a foreign commit at a sink version is refused as
+  *    corruption rather than silently skipped.
+  *
+  * Writers emit rows through parquet-hadoop's example Group API (the
+  * read path's mirror); an empty task deletes its file and stages
+  * nothing, so manifests never carry zero-row files.
+  */
+private[sources] class GraftWriteBuilder(path: String,
+    info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write = new GraftWrite(path, info.schema())
+}
+
+private[sources] class GraftWrite(path: String, schema: StructType)
+    extends Write {
+
+  // One staging namespace per write attempt; files land under data/
+  // like every commit's, invisible until a manifest lists them and
+  // reclaimable by expire() if the write never commits.
+  private val stagingRel =
+    "data/v2w-" + java.util.UUID.randomUUID().toString.take(8)
+
+  override def toBatch: BatchWrite = new GraftBatchWrite(path, stagingRel,
+    schema)
+  override def toStreaming: StreamingWrite =
+    new GraftStreamingWrite(path, stagingRel, schema)
+}
+
+private[sources] case class GraftCommitMessage(files: Seq[String])
+    extends WriterCommitMessage
+
+private[sources] class GraftBatchWrite(path: String, stagingRel: String,
+    schema: StructType) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(path, stagingRel, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.flatMap {
+      case GraftCommitMessage(fs) => fs
+      case other => throw new IllegalStateException(
+        s"graft-table: unexpected commit message $other")
+    }.sorted.toSeq
+    if (files.nonEmpty) {
+      val table = java.nio.file.Paths.get(path)
+      // The appendCommit OCC loop over already-staged files: losing a
+      // race costs one more manifest write, never a data rewrite.
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 10) {
+        val target = VersionedTable.latestVersion(table).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-table: batch append needs a committed version at " +
+              s"$path to append to — bootstrap the table via " +
+              "VersionedTable.commit first")) + 1
+        try {
+          VersionedTable.publishDelta(table, target, files)
+          done = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => attempts += 1
+        }
+      }
+      if (!done) throw new IllegalStateException(
+        s"graft-table: lost 10 straight publish races at $path")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftWriterFactory.discard(path, messages)
+}
+
+private[sources] class GraftStreamingWrite(path: String, stagingRel: String,
+    schema: StructType) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftWriterFactory(path, stagingRel, schema)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val table = java.nio.file.Paths.get(path)
+    val version = epochId + 1
+    val files = messages.flatMap {
+      case GraftCommitMessage(fs) => fs
+      case other => throw new IllegalStateException(
+        s"graft-table: unexpected commit message $other")
+    }.sorted.toSeq
+    if (VersionedTable.versions(table).contains(version)) {
+      // The replayed-micro-batch path: this epoch already published —
+      // drop the re-staged files, keep the committed truth. A foreign
+      // commit would carry none of this sink's staging namespace; the
+      // distinction is checked so corruption fails loudly.
+      require(VersionedTable.addedLines(table, version)
+          .forall(l => !l.contains('\t')),
+        s"graft-table: version $version of $path was committed outside " +
+          "this streaming sink — one writer owns a sink table")
+      GraftWriterFactory.discard(path, messages)
+    } else if (files.nonEmpty) {
+      VersionedTable.publishDelta(table, version, files)
+    }
+    // An empty epoch publishes nothing: version numbering stays sparse
+    // and the delta chain bases on the latest committed ancestor.
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    GraftWriterFactory.discard(path, messages)
+}
+
+private[sources] object GraftWriterFactory {
+  /** Abort/replay cleanup: delete the staged files the messages name. */
+  def discard(path: String, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftCommitMessage(fs) => fs.foreach { f =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(path).resolve(f))
+      }
+      case _ => ()
+    }
+
+  /** StructType → parquet example MessageType (the write-side mirror
+    * of the connector's footer mapping). */
+  def messageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val p = f.dataType match {
+        case LongType => Types.optional(INT64)
+        case IntegerType => Types.optional(INT32)
+        case DoubleType => Types.optional(DOUBLE)
+        case FloatType => Types.optional(FLOAT)
+        case BooleanType => Types.optional(BOOLEAN)
+        case StringType =>
+          Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        case other => throw new IllegalArgumentException(
+          s"graft-table: unsupported write type $other for ${f.name}")
+      }
+      b.addField(p.named(f.name))
+    }
+    b.named("graft")
+  }
+}
+
+private[sources] class GraftWriterFactory(path: String, stagingRel: String,
+    schema: StructType)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    writer(partitionId, taskId)
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    writer(partitionId, taskId)
+
+  private def writer(partitionId: Int,
+                     taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val rel = f"$stagingRel/part-$partitionId%05d-$taskId.parquet"
+      private val full = java.nio.file.Paths.get(path).resolve(rel)
+      private val msgType = GraftWriterFactory.messageType(schema)
+      private val conf = new Configuration()
+      GroupWriteSupport.setSchema(msgType, conf)
+      private val out = ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(full.toString))
+        .withConf(conf)
+        .withType(msgType)
+        .build()
+      private var rows = 0L
+
+      override def write(row: InternalRow): Unit = {
+        val g = new SimpleGroup(msgType)
+        var i = 0
+        while (i < schema.fields.length) {
+          if (!row.isNullAt(i)) schema.fields(i).dataType match {
+            case LongType => g.add(i, row.getLong(i))
+            case IntegerType => g.add(i, row.getInt(i))
+            case DoubleType => g.add(i, row.getDouble(i))
+            case FloatType => g.add(i, row.getFloat(i))
+            case BooleanType => g.add(i, row.getBoolean(i))
+            case StringType =>
+              g.add(i, Binary.fromString(row.getUTF8String(i).toString))
+            case other => throw new IllegalStateException(
+              s"graft-table: unsupported write type $other")
+          }
+          i += 1
+        }
+        out.write(g)
+        rows += 1L
+      }
+
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        if (rows == 0L) {
+          // Nothing staged: manifests must never carry zero-row files.
+          java.nio.file.Files.deleteIfExists(full)
+          GraftCommitMessage(Nil)
+        } else GraftCommitMessage(Seq(rel))
+      }
+
+      override def abort(): Unit = {
+        out.close()
+        java.nio.file.Files.deleteIfExists(full)
+      }
+
+      override def close(): Unit = ()
+    }
+}

@@ -674,6 +674,58 @@ object EventStreams {
     } catch { case e: Throwable => deleteTree(tmp); throw e }
   }
 
+  /** STREAMING SINK drain (r13) — the PRODUCER half as a native V2
+    * `StreamingWrite`: events stream `writeStream.format("graft-table")`
+    * straight INTO a versioned table, no foreachBatch glue — version =
+    * epoch + 1 over a schema-pinning v0 bootstrap, so exactly-once is
+    * the commit point's putIfAbsent, not sink-side state (the
+    * `ev_stream_commit` discipline, promoted into the connector). The
+    * same two-drain checkpoint-resume shape as [[incrementalDrain]]:
+    * drain 1 publishes the even file, a second file lands, drain 2
+    * resumes from the checkpoint and publishes ONLY it. In-path
+    * requires: row counts exact after each drain (no loss, no
+    * duplication) and ≥2 sink versions over the bootstrap (each data
+    * epoch was its own atomic commit). Returns the sink table read
+    * back through the connector, detached from the staging dir. */
+  def sinkDrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val tmp = tempDir("graft_ev_sink_")
+    try {
+      val src = java.nio.file.Files.createDirectories(tmp.resolve("src"))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val sel = Seq(col("event_id"), col("user_id"), col("event_type"))
+      val table = tmp.resolve("table")
+      VersionedTable.commit(spark, table, 0L,
+        raw.select(sel: _*).limit(0).coalesce(1))
+      val stream = spark.readStream.schema(schema).parquet(src.toString)
+        .select(sel: _*)
+      def drain(): Unit = {
+        val q = stream.writeStream.format("graft-table")
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(table.toString)
+        q.awaitTermination()
+      }
+      val nEven = stageSourceFile(tmp, src,
+        raw.where(col("event_id") % 2 === 0), "even.parquet")
+      drain()
+      require(VersionedTable.read(spark, table).count() == nEven,
+        "sinkDrain: drain 1 must publish exactly the even file's rows")
+      val nOdd = stageSourceFile(tmp, src,
+        raw.where(col("event_id") % 2 === 1), "odd.parquet")
+      drain()
+      require(VersionedTable.read(spark, table).count() == nEven + nOdd,
+        "sinkDrain: the resumed drain must publish only the new file — " +
+          "no loss, no re-publication")
+      require(VersionedTable.versions(table).size >= 3,
+        "sinkDrain: each data epoch must land as its own commit")
+      val out = spark.read.format("graft-table").load(table.toString)
+        .orderBy("event_id")
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally deleteTree(tmp)
+  }
+
   /** Stage a batch slice through a one-file write, then move the part
     * file into the flat source dir the stream lists as `fileName`;
     * returns its row count. */

@@ -1,0 +1,116 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.VersionedTable
+import java.nio.file.Files
+
+/** V2 write-path guarantees of the graft-table connector (the
+  * query-surface witnesses are pipe_v2_write / ev_stream_sink): batch
+  * append as an O(batch) delta commit, writer-side empty-file
+  * suppression, the streaming sink's version-per-epoch mapping, and
+  * its replayed-epoch idempotence.
+  */
+class GraftTableWriteSpec extends SparkSpec {
+
+  private def fresh(): java.nio.file.Path =
+    Files.createTempDirectory("graft_w_spec_").resolve("t")
+
+  test("batch append publishes an O(batch) delta at latest+1") {
+    import spark.implicits._
+    val t = fresh()
+    VersionedTable.commit(spark, t, 0L, Seq(1L, 2L).toDF("id"))
+    Seq(3L, 4L).toDF("id").repartition(2).write
+      .format("graft-table").mode("append").save(t.toString)
+    assert(VersionedTable.latestVersion(t).contains(1L))
+    assert(VersionedTable.read(spark, t).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // Delta metadata: the appended lines track the batch, not the table.
+    assert(VersionedTable.addedLines(t, 1L).size <= 2)
+    // A second append through the same path stacks.
+    Seq(5L).toDF("id").write.format("graft-table").mode("append")
+      .save(t.toString)
+    assert(spark.read.format("graft-table").load(t.toString).count() == 5)
+    // Appending to a never-committed table is refused with guidance.
+    val t2 = fresh()
+    val e = intercept[Exception] {
+      Seq(1L).toDF("id").write.format("graft-table").mode("append")
+        .save(t2.toString)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("bootstrap") || msgs.contains("no committed"))
+  }
+
+  test("empty tasks stage no files; manifests carry no zero-row files") {
+    import spark.implicits._
+    val t = fresh()
+    VersionedTable.commit(spark, t, 0L, Seq(1L).toDF("id"))
+    // 8 partitions, 2 rows: six writers see nothing.
+    Seq(2L, 3L).toDF("id").repartition(8).write
+      .format("graft-table").mode("append").save(t.toString)
+    assert(VersionedTable.addedLines(t, 1L).size <= 2)
+    assert(VersionedTable.read(spark, t).count() == 3)
+  }
+
+  test("streaming sink: one version per epoch, exactly-once on replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = fresh()
+    // Bootstrap v0 pins the sink table's schema.
+    VersionedTable.commit(spark, t, 0L, Seq.empty[Long].toDF("id"))
+    val cp1 = Files.createTempDirectory("graft_w_cp1_").toString
+
+    val ms = MemoryStream[Long]
+    ms.addData(1L, 2L, 3L)
+    val q = ms.toDF().select($"value".as("id")).writeStream
+      .format("graft-table").option("checkpointLocation", cp1)
+      .start(t.toString)
+    q.processAllAvailable()
+    ms.addData(4L, 5L)
+    q.processAllAvailable()
+    q.stop()
+    assert(VersionedTable.read(spark, t).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // Epochs 0 and 1 landed as versions 1 and 2.
+    assert(VersionedTable.versions(t) == Seq(0L, 1L, 2L))
+
+    // A fresh checkpoint restarts epoch numbering at 0: its commit
+    // recomputes version 1, finds it committed by this sink, and must
+    // SKIP — the replayed-micro-batch path, no duplicate rows.
+    val cp2 = Files.createTempDirectory("graft_w_cp2_").toString
+    val ms2 = MemoryStream[Long]
+    ms2.addData(1L, 2L, 3L)
+    val q2 = ms2.toDF().select($"value".as("id")).writeStream
+      .format("graft-table").option("checkpointLocation", cp2)
+      .start(t.toString)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(VersionedTable.read(spark, t).count() == 5,
+      "a replayed epoch must not double rows")
+  }
+
+  test("a foreign commit at a sink version fails the stream loudly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = fresh()
+    VersionedTable.commit(spark, t, 0L, Seq.empty[Long].toDF("id"))
+    // Version 1 committed OUTSIDE the sink, with stats lines (tabbed).
+    VersionedTable.commitWithStats(spark, t, 1L, Seq(9L).toDF("id"), "id",
+      carried = VersionedTable.manifest(t, 0L))
+    val cp = Files.createTempDirectory("graft_w_cp3_").toString
+    val ms = MemoryStream[Long]
+    ms.addData(1L)
+    val q = ms.toDF().select($"value".as("id")).writeStream
+      .format("graft-table").option("checkpointLocation", cp)
+      .start(t.toString)
+    val e = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("outside this streaming sink"))
+  }
+}
