@@ -38,12 +38,22 @@ import graft.operators.VersionedTable
   * nothing, so manifests never carry zero-row files.
   */
 private[sources] class GraftWriteBuilder(path: String,
-    info: LogicalWriteInfo) extends WriteBuilder {
-  override def build(): Write = new GraftWrite(path, info.schema())
+    info: LogicalWriteInfo) extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var rewrite = false
+
+  /** `mode("overwrite")` → a REWRITE commit: the staged files become
+    * the table's ENTIRE next version (a full manifest, no BASE line —
+    * exactly what compaction publishes), atomically replacing the
+    * snapshot while every prior version stays readable. */
+  override def truncate(): WriteBuilder = { rewrite = true; this }
+
+  override def build(): Write = new GraftWrite(path, info.schema(), rewrite)
 }
 
-private[sources] class GraftWrite(path: String, schema: StructType)
-    extends Write {
+private[sources] class GraftWrite(path: String, schema: StructType,
+    truncate: Boolean = false) extends Write {
 
   // One staging namespace per write attempt; files land under data/
   // like every commit's, invisible until a manifest lists them and
@@ -52,16 +62,20 @@ private[sources] class GraftWrite(path: String, schema: StructType)
     "data/v2w-" + java.util.UUID.randomUUID().toString.take(8)
 
   override def toBatch: BatchWrite = new GraftBatchWrite(path, stagingRel,
-    schema)
-  override def toStreaming: StreamingWrite =
+    schema, truncate)
+  override def toStreaming: StreamingWrite = {
+    require(!truncate,
+      "graft-table: the streaming sink is append-only (complete-mode " +
+        "rewrites belong to batch overwrite or compaction commits)")
     new GraftStreamingWrite(path, stagingRel, schema)
+  }
 }
 
 private[sources] case class GraftCommitMessage(files: Seq[String])
     extends WriterCommitMessage
 
 private[sources] class GraftBatchWrite(path: String, stagingRel: String,
-    schema: StructType) extends BatchWrite {
+    schema: StructType, truncate: Boolean) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -73,20 +87,27 @@ private[sources] class GraftBatchWrite(path: String, stagingRel: String,
       case other => throw new IllegalStateException(
         s"graft-table: unexpected commit message $other")
     }.sorted.toSeq
-    if (files.nonEmpty) {
+    if (files.nonEmpty || truncate) {
       val table = java.nio.file.Paths.get(path)
       // The appendCommit OCC loop over already-staged files: losing a
       // race costs one more manifest write, never a data rewrite.
       var attempts = 0
       var done = false
       while (!done && attempts < 10) {
-        val target = VersionedTable.latestVersion(table).getOrElse(
-          throw new IllegalArgumentException(
-            s"graft-table: batch append needs a committed version at " +
-              s"$path to append to — bootstrap the table via " +
-              "VersionedTable.commit first")) + 1
+        val target =
+          if (truncate) VersionedTable.latestVersion(table)
+            .map(_ + 1).getOrElse(0L)
+          else VersionedTable.latestVersion(table).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-table: batch append needs a committed version at " +
+                s"$path to append to — bootstrap the table via " +
+                "VersionedTable.commit first")) + 1
         try {
-          VersionedTable.publishDelta(table, target, files)
+          // Overwrite = a rewrite commit: the staged files ARE the
+          // snapshot (full manifest, no BASE) — prior versions stay
+          // readable; expire() reclaims them later.
+          if (truncate) VersionedTable.publish(table, target, files)
+          else VersionedTable.publishDelta(table, target, files)
           done = true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => attempts += 1

@@ -42,6 +42,20 @@ class GraftTableWriteSpec extends SparkSpec {
     assert(msgs.contains("bootstrap") || msgs.contains("no committed"))
   }
 
+  test("mode(overwrite) publishes a rewrite commit; history stays readable") {
+    import spark.implicits._
+    val t = fresh()
+    VersionedTable.commit(spark, t, 0L, Seq(1L, 2L, 3L).toDF("id"))
+    Seq(10L, 11L).toDF("id").write.format("graft-table")
+      .mode("overwrite").save(t.toString)
+    assert(VersionedTable.read(spark, t).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(10L, 11L))
+    // Time travel below the overwrite still serves the old snapshot.
+    assert(VersionedTable.read(spark, t, Some(0L)).count() == 3)
+    // A rewrite commit is a full manifest: no BASE chain to walk.
+    assert(VersionedTable.chainLength(t, 1L) == 1)
+  }
+
   test("empty tasks stage no files; manifests carry no zero-row files") {
     import spark.implicits._
     val t = fresh()
