@@ -179,10 +179,17 @@ object VersionedTable {
     * what to prune on. */
   private val StatsColPrefix = "STATSCOL\t"
 
+  /** `STATS\t<file>\t<col>\t<mn>\t<mx>` (r13): SECONDARY per-file
+    * zonemaps — the primary stats column rides the data line itself;
+    * additional columns (a z-order's other dimensions) ride these meta
+    * lines, so a multi-dimensional box predicate prunes on EVERY
+    * clustered column at once (see [[commitMultiStats]]/[[readBox]]). */
+  private val StatsPrefix = "STATS\t"
+
   private def isMetaLine(line: String): Boolean =
     line.startsWith(DvPrefix) || line.startsWith(RenamePrefix) ||
       line.startsWith(WidenPrefix) || line.startsWith(BloomPrefix) ||
-      line.startsWith(StatsColPrefix)
+      line.startsWith(StatsColPrefix) || line.startsWith(StatsPrefix)
 
   /** The stats columns a version's manifests declared, distinct in
     * commit order (practically a single column per table family). */
@@ -392,8 +399,8 @@ object VersionedTable {
     * file under `dataDir` (flat or partitioned layout — input_file_name
     * resolves leaves either way); all-NULL files fall back to the
     * never-skippable full range. One pass over the new files only. */
-  private def fileStatsLines(s: SparkSession, table: Path, dataDir: Path,
-                             statsCol: String): Seq[String] = {
+  private def fileColStats(s: SparkSession, table: Path, dataDir: Path,
+                           statsCol: String): Seq[(String, Long, Long)] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     s.read.parquet(dataDir.toString)
       .groupBy(input_file_name().as("f"))
@@ -405,8 +412,89 @@ object VersionedTable {
         val (mn, mx) =
           if (r.isNullAt(1) || r.isNullAt(2)) (Long.MinValue, Long.MaxValue)
           else (r.getLong(1), r.getLong(2))
-        s"${table.relativize(p)}\t$mn\t$mx"
-      }.toIndexedSeq.sorted
+        (table.relativize(p).toString, mn, mx)
+      }.toIndexedSeq.sortBy(_._1)
+  }
+
+  private def fileStatsLines(s: SparkSession, table: Path, dataDir: Path,
+                             statsCol: String): Seq[String] =
+    fileColStats(s, table, dataDir, statsCol)
+      .map { case (f, mn, mx) => s"$f\t$mn\t$mx" }
+
+  /** Commit with zonemaps on SEVERAL columns: `cols.head` rides the
+    * data lines (the [[commitWithStats]] layout, fully
+    * backward-compatible), the rest ride `STATS` meta lines — the
+    * manifest shape a Z-ORDERED write needs, where every interleaved
+    * dimension's per-file range is tight and a box predicate should
+    * prune on all of them at once. One distributed stats pass per
+    * column over the new files only. */
+  def commitMultiStats(s: SparkSession, table: Path, version: Long,
+                       df: DataFrame, cols: Seq[String],
+                       carried: Seq[String] = Nil): Seq[String] = {
+    require(cols.nonEmpty, "commitMultiStats: at least one stats column")
+    val dataDir = newDataDir(table, version)
+    df.write.parquet(dataDir.toString)
+    val primary = fileStatsLines(s, table, dataDir, cols.head)
+    val secondary = cols.tail.flatMap(c =>
+      fileColStats(s, table, dataDir, c).map { case (f, mn, mx) =>
+        s"$StatsPrefix$f\t$c\t$mn\t$mx"
+      })
+    val lines = (primary ++ secondary) :+ s"$StatsColPrefix${cols.head}"
+    publish(table, version, carried ++ lines)
+    lines
+  }
+
+  /** The SECONDARY zonemaps at a version: (file, column, min, max). */
+  def secondaryStats(table: Path,
+                     version: Long): Seq[(String, String, Long, Long)] =
+    manifest(table, version).filter(_.startsWith(StatsPrefix)).map { line =>
+      val Array(_, f, c, mn, mx) = line.split('\t')
+      (f, c, mn.toLong, mx.toLong)
+    }
+
+  /** Multi-dimensional BOX read: plans over only the files whose
+    * zonemap on EVERY requested column overlaps its range (primary
+    * data-line stats + secondary STATS lines; columns without stats
+    * never prune), then re-applies the predicates row-level. Returns
+    * (frame, filesRead, perDimAdmitted, filesTotal) — the per-dim map
+    * counts files each dimension ALONE admits, so a caller can
+    * witness that every dimension's pruning contributed (the point of
+    * a z-order layout over a single-column sort). */
+  def readBox(s: SparkSession, table: Path,
+              ranges: Seq[(String, Long, Long)],
+              version: Option[Long] = None)
+      : (DataFrame, Int, Map[String, Int], Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalArgumentException(
+        s"readBox: no committed version at $table"))
+    val all = statsManifest(table, v)
+    require(all.nonEmpty,
+      s"readBox at version $v of $table: the manifest lists no data files")
+    val colStats: Map[String, Map[String, (Long, Long)]] =
+      (statsColumns(table, v).headOption.map(c =>
+        c -> all.map { case (f, mn, mx) => f -> (mn, mx) }.toMap).toSeq ++
+        secondaryStats(table, v).groupBy(_._2).map { case (c, rows) =>
+          c -> rows.map(r => r._1 -> (r._3, r._4)).toMap
+        }).toMap
+    def admits(f: String, c: String, lo: Long, hi: Long): Boolean =
+      colStats.get(c).flatMap(_.get(f)).forall { case (mn, mx) =>
+        mx >= lo && mn <= hi
+      }
+    val files = all.map(_._1)
+    val perDim = ranges.map { case (c, lo, hi) =>
+      c -> files.count(admits(_, c, lo, hi))
+    }.toMap
+    val live = files.filter(f =>
+      ranges.forall { case (c, lo, hi) => admits(f, c, lo, hi) })
+    val df =
+      if (live.isEmpty)
+        s.read.parquet(table.resolve(files.head).toString).limit(0)
+      else readLive(s, table, v, live)
+    val filtered = ranges.foldLeft(df) { case (d, (c, lo, hi)) =>
+      d.where(col(c) >= lit(lo) && col(c) <= lit(hi))
+    }
+    (filtered, live.size, perDim, files.size)
   }
 
   /** Per-file `BLOOM` manifest lines for `bloomCol` over every parquet

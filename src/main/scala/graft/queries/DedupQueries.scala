@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.{MinHashAgg, SimHashAgg, TopKOrderedAgg}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2194,6 +2194,81 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // Z-ORDER + MULTI-COLUMN ZONEMAPS (r13) — pipe_zorder_layout's
+    // write trick finally paired with the manifest machinery that
+    // cashes it in: the table is written in MORTON ORDER over
+    // (doc_id, n_chars) and committed with zonemaps on BOTH columns
+    // (primary on the data line, secondary as STATS meta lines), so a
+    // 2-D box predicate prunes on EVERY interleaved dimension at once
+    // — the reason z-order beats a single-column sort, witnessed
+    // rather than asserted: in-path requires demand each dimension
+    // ALONE prunes files, and that the connector route (two vanilla
+    // BETWEENs pushed through V2) plans EXACTLY the library route's
+    // doubly-surviving file set. The box is derived from the data
+    // (max/4 … max/2 per dim, integer div) so the staging is
+    // scale-invariant; the oracle replays it relationally.
+    "pipe_zorder_skip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vzskip_")
+      try {
+        val table = tmp.resolve("table")
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+        def spread(x: Column): Column =
+          Seq((8, 16711935L), (4, 252645135L), (2, 858993459L),
+            (1, 1431655765L))
+            .foldLeft(x.bitwiseAND(lit(65535L))) { case (c, (sh, mask)) =>
+              c.bitwiseOR(shiftleft(c, sh)).bitwiseAND(lit(mask))
+            }
+        // Dims NORMALIZED to a common 10-bit scale before interleaving
+        // — raw interleave lets the wider dimension's high bits own the
+        // top of every z value (doc_id spans 13 bits at sf0.1, n_chars
+        // 10), collapsing the layout to a one-column sort. Linear
+        // min/max scaling is deterministic and keeps both dims' bits
+        // alternating at the top, which is what makes every file a
+        // RECTANGLE instead of a stripe.
+        val stats = docs.agg(min($"doc_id"), max($"doc_id"),
+          min($"n_chars"), max($"n_chars")).head()
+        val (dMin, dMax) = (stats.getLong(0), stats.getLong(1))
+        val (nMin, nMax) = (stats.getLong(2), stats.getLong(3))
+        def norm(c: Column, lo: Long, hi: Long): Column =
+          (c - lit(lo)) * lit(1023L) / lit(math.max(1L, hi - lo))
+        val zed = docs
+          .withColumn("z",
+            spread(norm($"doc_id", dMin, dMax).cast("long"))
+              .bitwiseOR(shiftleft(
+                spread(norm($"n_chars", nMin, nMax).cast("long")), 1)))
+          .repartitionByRange(16, $"z").sortWithinPartitions($"z")
+          .drop("z")
+        VersionedTable.commitMultiStats(s, table, 0L, zed,
+          Seq("doc_id", "n_chars"))
+        val ranges = Seq(("doc_id", dMax / 4, dMax / 2),
+          ("n_chars", nMax / 4, nMax / 2))
+        val (_, nRead, perDim, nTotal) =
+          VersionedTable.readBox(s, table, ranges)
+        require(nRead < nTotal,
+          s"pipe_zorder_skip: box read opened $nRead of $nTotal files — " +
+            "2-D pruning is not load-bearing")
+        ranges.foreach { case (c, _, _) =>
+          require(perDim(c) < nTotal,
+            s"pipe_zorder_skip: dimension $c alone admits all $nTotal " +
+              "files — the z-order layout left it unclustered")
+        }
+        val filtered = s.read.format("graft-table").load(table.toString)
+          .where($"doc_id".between(dMax / 4, dMax / 2) &&
+            $"n_chars".between(nMax / 4, nMax / 2))
+        require(filtered.rdd.getNumPartitions == nRead,
+          s"pipe_zorder_skip: the connector planned " +
+            s"${filtered.rdd.getNumPartitions} files, the library " +
+            s"route $nRead — pushed 2-D pruning must match")
+        val out = filtered.select($"doc_id", $"lang", $"n_chars")
+          .orderBy("doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // V2 BATCH WRITE THROUGH THE PROTOCOL (r13) — `df.write.format(
     // "graft-table").mode("append")` IS a commit: executors stage
     // parquet (nothing data-sized crosses the driver), the driver's
@@ -3378,6 +3453,16 @@ object DedupQueries extends QueryModule {
         |WHERE doc_id NOT IN (SELECT doc_id FROM u2)
         |UNION ALL
         |SELECT doc_id, lang, n_chars FROM u2
+        |ORDER BY doc_id""".stripMargin,
+
+    // The 2-D box replayed relationally, box bounds derived the same
+    // way (integer division of per-dim maxima).
+    "pipe_zorder_skip" ->
+      """WITH b AS (SELECT max(doc_id) // 4 AS dlo, max(doc_id) // 2 AS dhi,
+        |  max(n_chars) // 4 AS nlo, max(n_chars) // 2 AS nhi
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM documents, b
+        |WHERE doc_id BETWEEN dlo AND dhi AND n_chars BETWEEN nlo AND nhi
         |ORDER BY doc_id""".stripMargin,
 
     // The bootstrap plus both V2 appends is just … the whole table.

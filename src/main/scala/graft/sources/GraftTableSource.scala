@@ -291,6 +291,13 @@ private[sources] class GraftScanBuilder(path: String, version: Long,
     GraftTableSource.partitionCols(java.nio.file.Paths.get(path), version)
       .toSet
 
+  /** Columns with SECONDARY zonemap lines (a z-order's other
+    * dimensions) — range predicates on them prune like the primary. */
+  private lazy val secondaryStatsCols: Set[String] =
+    graft.operators.VersionedTable
+      .secondaryStats(java.nio.file.Paths.get(path), version)
+      .map(_._2).toSet
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -304,7 +311,9 @@ private[sources] class GraftScanBuilder(path: String, version: Long,
       case None => _ => false
     }
     pushed = filters.filter(f =>
-      statsPrunable(f) || GraftTableSource.bloomPrunable(f, bloomCols) ||
+      statsPrunable(f) ||
+        secondaryStatsCols.exists(GraftTableSource.prunable(f, _)) ||
+        GraftTableSource.bloomPrunable(f, bloomCols) ||
         GraftTableSource.partPrunable(f, partCols))
     filters
   }
@@ -343,9 +352,19 @@ private[sources] class GraftScan(path: String, version: Long,
       VersionedTable.blooms(table, version)
         .map { case (f, c, bits) => (f, c) -> bits }.toMap
     val bloomCols = bloomsByFile.keysIterator.map(_._2).toSet
+    // Secondary zonemaps (a z-order's other dimensions) prune exactly
+    // like the primary data-line stats.
+    val secondary: Map[(String, String), (Long, Long)] =
+      VersionedTable.secondaryStats(table, version)
+        .map { case (f, c, mn, mx) => (f, c) -> (mn, mx) }.toMap
+    val secondaryCols = secondary.keysIterator.map(_._2).toSet
     val live = all.filter { case (f, mn, mx) =>
       statsCol.forall(c =>
         pushed.forall(GraftTableSource.admits(_, c, mn, mx))) &&
+        secondaryCols.forall(c => secondary.get((f, c)).forall {
+          case (smn, smx) =>
+            pushed.forall(GraftTableSource.admits(_, c, smn, smx))
+        }) &&
         bloomCols.forall(c => bloomsByFile.get((f, c)).forall(bits =>
           pushed.forall(GraftTableSource.bloomAdmits(_, c, bits)))) &&
         GraftTableSource.partitionValues(f).forall { case (c, v) =>

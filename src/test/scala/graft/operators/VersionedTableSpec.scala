@@ -473,6 +473,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(df1.collect().map(_.getLong(0)).toSeq == Seq(5000L))
   }
 
+  test("commitMultiStats: secondary zonemaps prune a 2-D box read") {
+    import spark.implicits._
+    val t = freshTable()
+    // A grid clustered on BOTH dims: 4 range buckets of x, each file
+    // covering all y — then re-bucketed so files are (x-range,
+    // y-range) cells via a z-like composite.
+    val grid = spark.range(0, 1024).selectExpr("id div 32 AS x",
+      "id % 32 AS y", "id AS payload")
+      .repartitionByRange(16, org.apache.spark.sql.functions.expr(
+        "(x div 8) * 4 + (y div 8)"))
+    VersionedTable.commitMultiStats(spark, t, 0L, grid, Seq("x", "y"))
+    assert(VersionedTable.statsColumns(t, 0L) == Seq("x"))
+    assert(VersionedTable.secondaryStats(t, 0L).nonEmpty)
+    val (df, nRead, perDim, nTotal) = VersionedTable.readBox(spark, t,
+      Seq(("x", 0L, 7L), ("y", 0L, 7L)))
+    assert(nTotal == 16)
+    assert(perDim("x") < nTotal && perDim("y") < nTotal,
+      "each dimension alone must prune")
+    assert(nRead < perDim("x") && nRead < perDim("y"),
+      "the combination must prune beyond either dimension")
+    assert(df.count() == 64) // the 8x8 corner cell
+    // Columns without stats never prune (and never corrupt).
+    val (all, allRead, _, _) = VersionedTable.readBox(spark, t,
+      Seq(("payload", 0L, 10L)))
+    assert(allRead == 16 && all.count() == 11)
+  }
+
   test("publishing the same version twice fails (optimistic concurrency)") {
     val t = freshTable()
     val files = VersionedTable.commit(spark, t, 0L, df(1))
