@@ -142,15 +142,21 @@ object VersionedTable {
     * tables do. */
   def commitWithStats(s: SparkSession, table: Path, version: Long,
                       df: DataFrame, statsCol: String,
-                      carried: Seq[String] = Nil): Seq[String] = {
+                      carried: Seq[String] = Nil,
+                      rowCounts: Boolean = false): Seq[String] = {
     val dataDir = newDataDir(table, version)
     df.write.parquet(dataDir.toString)
-    val lines = fileStatsLines(s, table, dataDir, statsCol)
+    val stats = fileColStats(s, table, dataDir, statsCol)
+    val lines = stats.map { case (f, mn, mx, _) => s"$f\t$mn\t$mx" }
+    // ROWS lines ride the same single stats pass — metadata-only
+    // count(*) costs nothing extra at commit time.
+    val rows = if (rowCounts)
+      stats.map { case (f, _, _, n) => s"$RowsPrefix$f\t$n" } else Nil
     // `carried` lines (an append commit) keep whatever stats their own
     // commit recorded — stats ride the manifest line, so a carry is
     // byte-verbatim exactly as in [[commit]].
     publish(table, version,
-      carried ++ lines :+ s"$StatsColPrefix$statsCol")
+      carried ++ lines ++ rows :+ s"$StatsColPrefix$statsCol")
     lines.map(_.split('\t').head)
   }
 
@@ -186,10 +192,32 @@ object VersionedTable {
     * clustered column at once (see [[commitMultiStats]]/[[readBox]]). */
   private val StatsPrefix = "STATS\t"
 
+  /** `ROWS\t<file>\t<count>` (r13): per-file ROW COUNTS in the manifest
+    * — what lets `count(*)` (and partition-grouped counts) be answered
+    * from METADATA alone, never opening a data file: the
+    * Iceberg-manifest/Delta-checkpoint `record_count` idea. At 100 TB
+    * the difference between a row-count dashboard query costing one
+    * manifest read and costing a full table scan. Written by
+    * stats-bearing commits on request ([[commitWithStats]]/
+    * [[commitPartitioned]] `rowCounts = true`); readers that predate
+    * the line kind skip it like any meta line. */
+  private val RowsPrefix = "ROWS\t"
+
   private def isMetaLine(line: String): Boolean =
     line.startsWith(DvPrefix) || line.startsWith(RenamePrefix) ||
       line.startsWith(WidenPrefix) || line.startsWith(BloomPrefix) ||
-      line.startsWith(StatsColPrefix) || line.startsWith(StatsPrefix)
+      line.startsWith(StatsColPrefix) || line.startsWith(StatsPrefix) ||
+      line.startsWith(RowsPrefix)
+
+  /** The per-file row counts recorded at a version: (file, rows).
+    * A file committed without a ROWS line is simply absent — callers
+    * deciding whether metadata can answer a count must check coverage
+    * ([[graft.sources.GraftTableSource]] does). */
+  def rowCounts(table: Path, version: Long): Seq[(String, Long)] =
+    manifest(table, version).filter(_.startsWith(RowsPrefix)).map { line =>
+      val Array(_, f, n) = line.split('\t')
+      (f, n.toLong)
+    }
 
   /** The stats columns a version's manifests declared, distinct in
     * commit order (practically a single column per table family). */
@@ -374,52 +402,79 @@ object VersionedTable {
   def commitPartitioned(s: SparkSession, table: Path, version: Long,
                         df: DataFrame, partCol: String,
                         carried: Seq[String] = Nil,
-                        statsCol: Option[String] = None): Seq[String] = {
+                        statsCol: Option[String] = None,
+                        rowCounts: Boolean = false): Seq[String] = {
     val dataDir = newDataDir(table, version)
     df.write.partitionBy(partCol).parquet(dataDir.toString)
     val files = statsCol match {
       // Partition value in the path AND per-file min/max on the line:
       // the two orthogonal skipping mechanisms compose on one manifest
       // entry ([[readPartitionRange]] consumes both).
-      case Some(c) => fileStatsLines(s, table, dataDir, c) :+
-        s"$StatsColPrefix$c"
+      case Some(c) =>
+        val stats = fileColStats(s, table, dataDir, c)
+        stats.map { case (f, mn, mx, _) => s"$f\t$mn\t$mx" } ++
+          (if (rowCounts)
+             stats.map { case (f, _, _, n) => s"$RowsPrefix$f\t$n" }
+           else Nil) :+ s"$StatsColPrefix$c"
       case None =>
         val walk = Files.walk(dataDir)
-        try walk.iterator().asScala
-          .filter(p => Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet"))
-          .map(p => table.relativize(p).toString)
-          .toSeq.sorted
-        finally walk.close()
+        try {
+          val fs = walk.iterator().asScala
+            .filter(p => Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .map(p => table.relativize(p).toString)
+            .toSeq.sorted
+          // Row counts without a stats column: one footer-free count
+          // pass grouped on file (the same shape as the stats pass).
+          if (rowCounts) fs ++ fileRowsLines(s, table, dataDir)
+          else fs
+        } finally walk.close()
     }
     publish(table, version, carried ++ files)
   }
 
-  /** Per-file `path<TAB>min<TAB>max` manifest lines for every parquet
-    * file under `dataDir` (flat or partitioned layout — input_file_name
-    * resolves leaves either way); all-NULL files fall back to the
-    * never-skippable full range. One pass over the new files only. */
+  /** Per-file `ROWS` manifest lines for every parquet file under
+    * `dataDir` — one distributed count pass over the new files only. */
+  private def fileRowsLines(s: SparkSession, table: Path,
+                            dataDir: Path): Seq[String] = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit}
+    s.read.parquet(dataDir.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        val p = java.nio.file.Paths.get(new java.net.URI(r.getString(0)))
+        s"$RowsPrefix${table.relativize(p)}\t${r.getLong(1)}"
+      }.toIndexedSeq.sorted
+  }
+
+  /** Per-file `(path, min, max, rowCount)` for every parquet file under
+    * `dataDir` (flat or partitioned layout — input_file_name resolves
+    * leaves either way); all-NULL files fall back to the never-skippable
+    * full range. One pass over the new files only; the row count rides
+    * the same aggregation for free. */
   private def fileColStats(s: SparkSession, table: Path, dataDir: Path,
-                           statsCol: String): Seq[(String, Long, Long)] = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+                           statsCol: String): Seq[(String, Long, Long, Long)] = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     s.read.parquet(dataDir.toString)
       .groupBy(input_file_name().as("f"))
       .agg(min(col(statsCol)).cast("long").as("mn"),
-        max(col(statsCol)).cast("long").as("mx"))
+        max(col(statsCol)).cast("long").as("mx"),
+        count(lit(1)).as("n"))
       .collect()
       .map { r =>
         val p = java.nio.file.Paths.get(new java.net.URI(r.getString(0)))
         val (mn, mx) =
           if (r.isNullAt(1) || r.isNullAt(2)) (Long.MinValue, Long.MaxValue)
           else (r.getLong(1), r.getLong(2))
-        (table.relativize(p).toString, mn, mx)
+        (table.relativize(p).toString, mn, mx, r.getLong(3))
       }.toIndexedSeq.sortBy(_._1)
   }
 
   private def fileStatsLines(s: SparkSession, table: Path, dataDir: Path,
                              statsCol: String): Seq[String] =
     fileColStats(s, table, dataDir, statsCol)
-      .map { case (f, mn, mx) => s"$f\t$mn\t$mx" }
+      .map { case (f, mn, mx, _) => s"$f\t$mn\t$mx" }
 
   /** Commit with zonemaps on SEVERAL columns: `cols.head` rides the
     * data lines (the [[commitWithStats]] layout, fully
@@ -436,7 +491,7 @@ object VersionedTable {
     df.write.parquet(dataDir.toString)
     val primary = fileStatsLines(s, table, dataDir, cols.head)
     val secondary = cols.tail.flatMap(c =>
-      fileColStats(s, table, dataDir, c).map { case (f, mn, mx) =>
+      fileColStats(s, table, dataDir, c).map { case (f, mn, mx, _) =>
         s"$StatsPrefix$f\t$c\t$mn\t$mx"
       })
     val lines = (primary ++ secondary) :+ s"$StatsColPrefix${cols.head}"
@@ -696,11 +751,15 @@ object VersionedTable {
         .foreach(h => visit(h.stripPrefix(BasePrefix).trim.toLong))
       deletionVectors(table, v).map(_._3).foreach(visit)
     }
-    live.foreach(visit)
+    // Ref heads (tags, branch tips) are ROOTS like live versions: a
+    // release tag pinned at version 2 must survive an expire(keepFrom=
+    // 10) — exactly the ref-retention rule production formats apply.
+    val anchors = live ++ refs(table).map(_._3).filterNot(live.contains)
+    anchors.foreach(visit)
     // Deletion-vector sidecars are referenced files like any other: a
     // DV listed by a retained version must survive, one referenced
     // only by expired versions is reclaimable.
-    val referenced = live.flatMap(v =>
+    val referenced = anchors.flatMap(v =>
       statsManifest(table, v).map(_._1) ++
         deletionVectors(table, v).map(_._1)).toSet
     var deleted = 0
@@ -841,6 +900,85 @@ object VersionedTable {
       s"transact: lost $maxAttempts straight races at $table")
   }
 
+  /** The data file a meta line describes, if it describes one —
+    * BLOOM/STATS/ROWS lines index a specific file and must die with it
+    * when a rewrite replaces that file; STATSCOL/RENAME/WIDEN lines
+    * describe the table and survive; DV lines reference dv/ sidecars,
+    * never data files. */
+  private def metaFile(line: String): Option[String] =
+    if (line.startsWith(BloomPrefix) || line.startsWith(StatsPrefix) ||
+        line.startsWith(RowsPrefix)) Some(line.split('\t')(1))
+    else None
+
+  /** Row-level UPDATE as a STATS-PRUNED copy-on-write commit — the
+    * `UPDATE … WHERE statsCol BETWEEN lo AND hi SET …` every production
+    * format serves by rewriting ONLY the files the predicate can touch:
+    * the manifest zonemaps locate the overlapping files (the same
+    * pruning [[readRange]] reads with), those files are rewritten with
+    * `set` applied to matching rows (non-matching rows in a touched
+    * file are carried through the rewrite byte-equal in value — file
+    * granularity is the unit of copy-on-write), and every untouched
+    * file's manifest line is carried BYTE-VERBATIM. Cost is O(files
+    * overlapping the predicate), never O(table) — at 100 TB, an update
+    * to last week's partition must not rewrite three years of history.
+    *
+    * `set` entries are (column, SQL expression) applied in order (a
+    * later expression sees earlier updates, the multi-assignment SQL
+    * rule). Stats (and ROWS lines, if the base version recorded any)
+    * are recomputed for the new files in the one commit-time pass;
+    * BLOOM/STATS meta lines indexing a rewritten file are dropped —
+    * a stale skipping index on fresh data would prune wrongly.
+    * Publishes a FULL manifest (a rewrite removes lines; only full
+    * manifests can remove — the [[removedLines]] change-feed contract).
+    * DV-bearing or schema-mapped versions are refused: compact first.
+    * Returns (publishedVersion, filesRewritten, filesTotal); an update
+    * whose range no file overlaps is a no-op returning the base
+    * version with zero rewrites (nothing to publish). */
+  def updateWhere(s: SparkSession, table: Path, statsCol: String,
+                  lo: Long, hi: Long,
+                  set: Seq[(String, String)]): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, expr, when}
+    require(set.nonEmpty, "updateWhere: no SET assignments")
+    val base = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"updateWhere: no committed version at $table"))
+    require(columnMappings(table, base).isEmpty,
+      s"updateWhere at version $base: schema mappings could have renamed " +
+        s"'$statsCol' since the stats were recorded — compact first")
+    require(deletionVectors(table, base).isEmpty,
+      s"updateWhere at version $base: live deletion vectors — compact " +
+        "(fold the DVs into data) before a copy-on-write update")
+    val all = statsManifest(table, base)
+    require(all.nonEmpty,
+      s"updateWhere at version $base of $table: no data files")
+    val touched = all.collect {
+      case (f, mn, mx) if mx >= lo && mn <= hi => f
+    }.toSet
+    if (touched.isEmpty) return (base, 0, all.size)
+    val version = base + 1
+    val dataDir = newDataDir(table, version)
+    val hit = col(statsCol) >= lo && col(statsCol) <= hi
+    val updated = set.foldLeft(
+      s.read.parquet(touched.toSeq.sorted
+        .map(f => table.resolve(f).toString): _*)) {
+      case (d, (c, e)) => d.withColumn(c, when(hit, expr(e)).otherwise(col(c)))
+    }
+    updated.write.parquet(dataDir.toString)
+    val stats = fileColStats(s, table, dataDir, statsCol)
+    val newLines = stats.map { case (f, mn, mx, _) => s"$f\t$mn\t$mx" }
+    val baseLines = manifest(table, base)
+    val rowsLines =
+      if (baseLines.exists(_.startsWith(RowsPrefix)))
+        stats.map { case (f, _, _, n) => s"$RowsPrefix$f\t$n" }
+      else Nil
+    val carried = baseLines.filter { line =>
+      if (isMetaLine(line)) metaFile(line).forall(!touched.contains(_))
+      else !touched.contains(line.split('\t').head)
+    }
+    publish(table, version, carried ++ newLines ++ rowsLines)
+    (version, touched.size, all.size)
+  }
+
   /** Committed versions with their manifest publish times (epoch
     * millis, from the atomic link's mtime) — what `TIMESTAMP AS OF`
     * resolves against. */
@@ -863,6 +1001,164 @@ object VersionedTable {
 
   /** Latest committed version, if any commit ever succeeded. */
   def latestVersion(table: Path): Option[Long] = versions(table).lastOption
+
+  // ===== NAMED REFS: tags and branches over the snapshot log =====
+  //
+  // The Iceberg refs idea re-derived on this layer's primitives: every
+  // commit is a SNAPSHOT in one global log (`_commits/`, integer ids);
+  // a REF is a named pointer into that log. A TAG is immutable (a
+  // release pin); a BRANCH advances — `branchCommit` appends a snapshot
+  // whose BASE is the branch head and CASes the ref forward, so two
+  // branches interleave snapshots in one log yet each reads a linear
+  // history. Zero data is copied at branch time (manifests are file
+  // LISTS; both branches share every common file).
+  //
+  // A ref is an APPEND-ONLY LOG of its own: `_refs/<name>/r%06d.ref`,
+  // each file one `<kind>\t<version>` record, head = max seq. Advancing
+  // the ref is the same atomic createLink putIfAbsent as publishing a
+  // manifest — a racing advance of the same seq fails on the existing
+  // name, which IS the compare-and-swap (and the ref's own history
+  // falls out for free). A branchCommit that loses the ref race leaves
+  // its already-published snapshot ORPHANED in the log — unreachable
+  // from any ref, reclaimed by [[expire]] like any lost attempt — and
+  // retries from the winner's head; data files are written exactly
+  // once (appends commute, the [[appendCommit]] discipline).
+  //
+  // Scope note, stated loudly: version-UNAWARE reads (`read()` with no
+  // version, `latestVersion`) see the LATEST SNAPSHOT in the global
+  // log, whatever ref produced it — the raw log, not a branch. Readers
+  // that care which line of history they follow read through a ref
+  // ([[readRef]]). Production formats make "main" such a ref and
+  // default readers onto it; this layer keeps the default reader
+  // ref-free so every pre-refs caller is byte-identical, and tables
+  // that want main-semantics create the ref explicitly.
+
+  private def refsDir(table: Path): Path = table.resolve("_refs")
+
+  private val RefRe = """r(\d{6})\.ref""".r
+
+  private def refDir(table: Path, name: String): Path = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"ref name '$name' — letters, digits, dot, underscore, dash")
+    refsDir(table).resolve(name)
+  }
+
+  /** Atomically publish ref record `seq` → (kind, version): createLink
+    * putIfAbsent, exactly the manifest commit point. Throws
+    * FileAlreadyExistsException when `seq` is taken — the lost CAS. */
+  private def publishRef(table: Path, name: String, seq: Long,
+                         kind: String, version: Long): Unit = {
+    val dir = Files.createDirectories(refDir(table, name))
+    val tmp = Files.createTempFile(dir, ".tmp-", ".ref")
+    Files.write(tmp, s"$kind\t$version".getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(dir.resolve(f"r$seq%06d.ref"), tmp)
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** A ref's full advance history, ascending: (seq, kind, version). */
+  def refEntries(table: Path, name: String): Seq[(Long, String, Long)] = {
+    val dir = refDir(table, name)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .flatMap(p => p.getFileName.toString match {
+        case RefRe(seq) =>
+          val Array(kind, v) = Files.readAllLines(p).get(0).split('\t')
+          Some((seq.toLong, kind, v.toLong))
+        case _ => None
+      }).toSeq.sortBy(_._1)
+  }
+
+  /** The ref's current (kind, version), if the ref exists. */
+  def refHead(table: Path, name: String): Option[(String, Long)] =
+    refEntries(table, name).lastOption.map { case (_, k, v) => (k, v) }
+
+  /** All refs of a table: (name, kind, headVersion). */
+  def refs(table: Path): Seq[(String, String, Long)] = {
+    val dir = refsDir(table)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+      .flatMap(n => refHead(table, n).map { case (k, v) => (n, k, v) })
+  }
+
+  /** Create an IMMUTABLE tag at `version`. Immutability is the commit
+    * point itself: a tag is seq 0 of its ref log and nothing ever
+    * publishes seq 1 — a second create of the same name loses the
+    * createLink race and throws. */
+  def tagCreate(table: Path, name: String, version: Long): Unit = {
+    require(versions(table).contains(version),
+      s"tagCreate: version $version was never committed at $table")
+    publishRef(table, name, 0L, "tag", version)
+  }
+
+  /** Create a branch pointing at `version` — zero files copied; the
+    * branch and its source share every manifest line until the first
+    * [[branchCommit]] diverges them. */
+  def branchCreate(table: Path, name: String, version: Long): Unit = {
+    require(versions(table).contains(version),
+      s"branchCreate: version $version was never committed at $table")
+    publishRef(table, name, 0L, "branch", version)
+  }
+
+  /** Snapshot read through a ref — the branch/tag-aware reader. */
+  def readRef(s: SparkSession, table: Path, name: String): DataFrame = {
+    val (_, v) = refHead(table, name).getOrElse(
+      throw new IllegalArgumentException(s"no ref '$name' at $table"))
+    read(s, table, Some(v))
+  }
+
+  /** APPEND to a branch: publish a snapshot whose BASE is the branch
+    * head (global next id — branches interleave in one log), then CAS
+    * the ref forward. Data files are written exactly once; on a lost
+    * race (snapshot id taken, or the ref advanced underneath us) only
+    * tiny metadata retries. Returns the published (version, conflicts
+    * absorbed). */
+  def branchCommit(s: SparkSession, table: Path, name: String,
+                   df: DataFrame, maxAttempts: Int = 10,
+                   checkpointEvery: Int = 8): Committed = {
+    val (kind0, _) = refHead(table, name).getOrElse(
+      throw new IllegalArgumentException(s"no ref '$name' at $table"))
+    require(kind0 == "branch", s"ref '$name' is a $kind0 — tags are immutable")
+    val dataDir = table.resolve("data").resolve(
+      s"branch-$name-" + java.util.UUID.randomUUID().toString.take(8))
+    df.write.parquet(dataDir.toString)
+    val mine = partFiles(table, dataDir)
+    var conflicts = 0
+    while (conflicts < maxAttempts) {
+      val entries = refEntries(table, name)
+      val (headSeq, _, headVersion) = entries.last
+      val target = latestVersion(table).getOrElse(
+        throw new IllegalStateException(
+          s"branchCommit: ref '$name' exists but no version does")) + 1
+      // A branch delta bases on the BRANCH head, not target−1 — the
+      // whole point of interleaving: resolution follows the ref's line
+      // of history. Checkpoint on the branch's own chain depth.
+      val lines =
+        if (chainLength(table, headVersion) + 1 > checkpointEvery)
+          manifest(table, headVersion) ++ mine
+        else (BasePrefix + headVersion) +: mine
+      try {
+        publish(table, target, lines)
+        try {
+          publishRef(table, name, headSeq + 1, "branch", target)
+          return Committed(target, conflicts)
+        } catch {
+          // Lost the ref CAS: someone advanced the branch first. Our
+          // published snapshot is orphaned (unreachable from any ref —
+          // expire() reclaims its files); retry from the new head.
+          case _: java.nio.file.FileAlreadyExistsException =>
+            conflicts += 1
+        }
+      } catch {
+        // Snapshot id taken by a concurrent committer — retry with a
+        // fresh id; the ref head may or may not have moved.
+        case _: java.nio.file.FileAlreadyExistsException => conflicts += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"branchCommit: lost $maxAttempts straight races on ref '$name'")
+  }
 
   /** A delta manifest's first line names the version it extends; the
     * rest are this version's ADDED lines. The literal "BASE" can never

@@ -2619,6 +2619,207 @@ object DedupQueries extends QueryModule {
     // files) for merges (pipe_cdf prices the narrowing); neither ever
     // blocks readers, who keep planning over the last published
     // manifest throughout.
+    // METADATA-ONLY AGGREGATES (r13) — the Iceberg-manifest `count(*)`
+    // answer, served through the graft-table connector's V2 aggregate
+    // pushdown: the commit records per-file ROW COUNTS (`ROWS` lines,
+    // riding the same single commit-time stats pass) next to the
+    // doc_id zonemaps and the lang= partition paths, and then a
+    // VANILLA `t.groupBy("lang").count()` / `t.agg(count, min, max)`
+    // is answered at PLANNING time from manifest lines alone — the
+    // scan's one input partition carries the finished rows and NO data
+    // file is opened anywhere. At 100 TB this is a dashboard query
+    // costing one metadata read instead of a table scan. Pushdown is
+    // complete only when metadata is exact (no DVs, no schema
+    // mappings, full ROWS coverage, non-sentinel stats, BIGINT stats
+    // column); the in-path requires witness BOTH directions: the two
+    // clean aggregates must push (aggPushed in the scan description),
+    // and a FILTERED aggregate must refuse (filters stay residual by
+    // design — a file-pruning index can never answer a row predicate)
+    // yet still return the correct count through the ordinary path.
+    "pipe_meta_agg" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vmagg_")
+      try {
+        val table = tmp.resolve("table")
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+        VersionedTable.commitPartitioned(s, table, 0L, docs, "lang",
+          statsCol = Some("doc_id"), rowCounts = true)
+        val t = s.read.format("graft-table").load(table.toString)
+        def aggPushed(df: DataFrame): Boolean = {
+          import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+          import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          val physical = df.queryExecution.executedPlan match {
+            case a: AdaptiveSparkPlanExec => a.executedPlan
+            case p => p
+          }
+          physical.collect { case b: BatchScanExec => b.scan.description() }
+            .exists(_.contains("aggPushed="))
+        }
+        val grouped = t.groupBy($"lang").agg(count(lit(1)).as("n_rows"))
+        val global = t.agg(count(lit(1)).as("total_rows"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+        require(aggPushed(grouped),
+          "pipe_meta_agg: the partition-grouped count must be answered " +
+            "from manifest ROWS lines (aggPushed missing from the scan)")
+        require(aggPushed(global),
+          "pipe_meta_agg: count/min/max must be answered from manifest " +
+            "ROWS lines and zonemaps (aggPushed missing from the scan)")
+        // Refusal honesty: a row predicate cannot be answered by
+        // file-level metadata — the filtered count must take the
+        // ordinary scan path and still be exact.
+        val filtered = t.where($"doc_id" > 100L).agg(count(lit(1)).as("n"))
+        require(!aggPushed(filtered),
+          "pipe_meta_agg: a FILTERED aggregate pushed down — file-level " +
+            "metadata cannot answer a row predicate exactly")
+        require(filtered.head().getLong(0) ==
+            docs.where($"doc_id" > 100L).count(),
+          "pipe_meta_agg: the refused (ordinary-path) filtered count " +
+            "is wrong")
+        val out = grouped.crossJoin(global)
+          .select($"lang", $"n_rows", $"total_rows", $"min_id", $"max_id")
+          .orderBy("lang")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // BRANCHES AND TAGS OVER THE SNAPSHOT LOG (r13) — the Iceberg refs
+    // idea on this layer's primitives: every commit is a snapshot in
+    // ONE global log; a ref is a named pointer (`_refs/<name>/`, an
+    // append-only seq of createLink putIfAbsent records — the same
+    // atomic CAS as the manifest commit point, with ref history for
+    // free). Branching copies ZERO data (manifests are file lists;
+    // both branches share every common file — witnessed in-path), a
+    // branchCommit appends a snapshot whose BASE is the branch head
+    // and CASes the ref forward, and two branches interleave snapshot
+    // ids yet each reads a linear history. Tags are immutable pins
+    // (seq 0, nothing ever publishes seq 1 — the second create LOSES
+    // the link race, witnessed). The experiment workflow this serves
+    // at 100 TB: fork a dev branch off production, run the risky
+    // rewrite there, read both heads concurrently — no copy, no lock,
+    // no interference (isolation witnessed both directions in-path).
+    "pipe_table_branch" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vref_")
+      try {
+        val table = tmp.resolve("table")
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+        val base = docs.where($"doc_id" % 5 < 3)
+        VersionedTable.commit(s, table, 0L, base)
+        VersionedTable.branchCreate(table, "main", 0L)
+        VersionedTable.branchCreate(table, "exp", 0L)
+        VersionedTable.tagCreate(table, "release", 0L)
+        val expRows = docs.where($"doc_id" % 5 === 3)
+          .selectExpr("doc_id + 1099511627776L AS doc_id", "lang", "n_chars")
+        val mainRows = docs.where($"doc_id" % 5 === 4)
+          .selectExpr("doc_id + 2199023255552L AS doc_id", "lang", "n_chars")
+        val ce = VersionedTable.branchCommit(s, table, "exp", expRows)
+        val cm = VersionedTable.branchCommit(s, table, "main", mainRows)
+        require(ce.version == 1L && cm.version == 2L,
+          s"pipe_table_branch: branches must interleave snapshots in one " +
+            s"log (exp landed v${ce.version}, main v${cm.version})")
+        // Zero-copy: both branch snapshots carry v0's lines verbatim.
+        val v0 = VersionedTable.manifest(table, 0L).toSet
+        require(v0.subsetOf(VersionedTable.manifest(table, ce.version).toSet)
+            && v0.subsetOf(VersionedTable.manifest(table, cm.version).toSet),
+          "pipe_table_branch: a branch commit copied (or dropped) base " +
+            "files — branching must share, not copy")
+        // Isolation, both directions: neither branch sees the other's
+        // append (id ranges are disjoint by construction).
+        require(VersionedTable.readRef(s, table, "main")
+            .where($"doc_id" >= 1099511627776L &&
+              $"doc_id" < 2199023255552L).count() == 0,
+          "pipe_table_branch: exp's append leaked into main")
+        require(VersionedTable.readRef(s, table, "exp")
+            .where($"doc_id" >= 2199023255552L).count() == 0,
+          "pipe_table_branch: main's append leaked into exp")
+        require(VersionedTable.readRef(s, table, "release").count()
+            == base.count(),
+          "pipe_table_branch: the release tag must pin the v0 snapshot")
+        require(scala.util.Try(
+            VersionedTable.tagCreate(table, "release", 2L)).isFailure,
+          "pipe_table_branch: re-creating a tag must lose the CAS race")
+        require(scala.util.Try(VersionedTable.branchCommit(
+            s, table, "release", mainRows)).isFailure,
+          "pipe_table_branch: committing to a tag must refuse")
+        val out = Seq("exp", "main", "release").map { r =>
+          VersionedTable.readRef(s, table, r)
+            .selectExpr("lang", "n_chars",
+              "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', " +
+                "CAST(n_chars AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h")
+            .agg(count(lit(1)).as("n_rows"),
+              sum($"n_chars").as("sum_chars"),
+              expr("bit_xor(h)").as("content_sig"))
+            .select(lit(r).as("ref"), $"n_rows", $"sum_chars",
+              $"content_sig")
+        }.reduce(_ unionAll _).orderBy("ref")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // STATS-PRUNED COPY-ON-WRITE UPDATE (r13) — `UPDATE … WHERE doc_id
+    // BETWEEN 10 AND 40 SET n_chars = n_chars + 100000`: the manifest
+    // zonemaps locate the files the predicate can touch (the same
+    // pruning readRange reads with), ONLY those are rewritten (witness:
+    // filesRewritten strictly below filesTotal — at 100 TB an update
+    // to one key range must not rewrite the table), every untouched
+    // file's manifest line is carried byte-verbatim (witnessed), and
+    // the ROWS row counts are recomputed for the new files in the same
+    // commit-time pass (witnessed: full coverage at v1, and the
+    // metadata count equals the real count). A no-match update is a
+    // no-op returning the base version — no empty commit published
+    // (witnessed). The oracle proves FULL-ROW equality with the CASE
+    // expression applied relationally.
+    "pipe_update_commit" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vupd_")
+      try {
+        val table = tmp.resolve("table")
+        val base = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+          .repartitionByRange(8, $"doc_id")
+        VersionedTable.commitWithStats(s, table, 0L, base, "doc_id",
+          rowCounts = true)
+        val (v, rewritten, total) = VersionedTable.updateWhere(
+          s, table, "doc_id", 10L, 40L,
+          Seq("n_chars" -> "n_chars + 100000L"))
+        require(v == 1L && rewritten > 0 && rewritten < total,
+          s"pipe_update_commit: expected a partial rewrite at v1, got " +
+            s"$rewritten of $total files at v$v")
+        // Untouched files' data lines carried byte-verbatim.
+        val untouched = VersionedTable.statsManifest(table, 0L).collect {
+          case (f, mn, mx) if !(mx >= 10L && mn <= 40L) => f
+        }.toSet
+        require(untouched.subsetOf(
+            VersionedTable.statsManifest(table, 1L).map(_._1).toSet),
+          "pipe_update_commit: an untouched file's manifest line " +
+            "vanished in the rewrite")
+        // Metadata row counts track the rewrite: full coverage, and
+        // the manifest-summed count equals the real one.
+        val rc = VersionedTable.rowCounts(table, 1L)
+        require(rc.map(_._1).toSet ==
+            VersionedTable.statsManifest(table, 1L).map(_._1).toSet &&
+            rc.map(_._2).sum == VersionedTable.read(s, table).count(),
+          "pipe_update_commit: ROWS lines must cover v1 exactly and " +
+            "sum to the true row count")
+        val (v2, r2, _) = VersionedTable.updateWhere(
+          s, table, "doc_id", -100L, -50L, Seq("n_chars" -> "0L"))
+        require(v2 == 1L && r2 == 0,
+          "pipe_update_commit: a no-match update must be a no-op, " +
+            s"not a commit (landed v$v2 rewriting $r2 files)")
+        val out = VersionedTable.read(s, table)
+          .select($"doc_id", $"lang", $"n_chars").orderBy("doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     "pipe_commit_conflict" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.VersionedTable
@@ -3606,6 +3807,59 @@ object DedupQueries extends QueryModule {
         |  UNION ALL
         |  SELECT doc_id + 1099511627776, lang, n_chars
         |  FROM documents WHERE doc_id % 7 = 2)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Metadata-answered aggregates must EQUAL the relational ones —
+    // grouped count per lang, plus the global count/min/max on every
+    // row (the Spark side serves them from manifest ROWS/zonemap lines
+    // without opening a data file; equality here is what makes that
+    // safe).
+    "pipe_meta_agg" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST((SELECT count(*) FROM documents) AS BIGINT) AS total_rows,
+        |  CAST((SELECT min(doc_id) FROM documents) AS BIGINT) AS min_id,
+        |  CAST((SELECT max(doc_id) FROM documents) AS BIGINT) AS max_id
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    // Each ref's snapshot replayed relationally: base = doc_id%5<3;
+    // exp appends the %5=3 clones (+2^40 ids), main the %5=4 clones
+    // (+2^41), release pins base — same per-row digest as
+    // pipe_table_commit.
+    "pipe_table_branch" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 5 < 3),
+        |exp AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776, lang, n_chars
+        |  FROM documents WHERE doc_id % 5 = 3),
+        |main AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 2199023255552, lang, n_chars
+        |  FROM documents WHERE doc_id % 5 = 4),
+        |refs AS (
+        |  SELECT 'exp' AS ref, doc_id, lang, n_chars FROM exp
+        |  UNION ALL SELECT 'main', doc_id, lang, n_chars FROM main
+        |  UNION ALL SELECT 'release', doc_id, lang, n_chars FROM base)
+        |SELECT ref, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT) AS content_sig
+        |FROM refs
+        |GROUP BY ref
+        |ORDER BY ref""".stripMargin,
+
+    // The copy-on-write update applied relationally, full-row: the
+    // partial rewrite must change exactly the predicate's rows and
+    // nothing else.
+    "pipe_update_commit" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(CASE WHEN doc_id BETWEEN 10 AND 40
+        |       THEN n_chars + 100000 ELSE n_chars END AS BIGINT) AS n_chars
+        |FROM documents
         |ORDER BY doc_id""".stripMargin
   )
 }

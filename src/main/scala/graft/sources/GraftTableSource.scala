@@ -12,8 +12,9 @@ import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -270,13 +271,22 @@ private[sources] class GraftTable(path: String, schema0: StructType,
     new GraftWriteBuilder(path, info)
 }
 
+private[sources] sealed trait MetaAggFunc extends Serializable
+private[sources] case object MetaCount extends MetaAggFunc
+private[sources] case object MetaMin extends MetaAggFunc
+private[sources] case object MetaMax extends MetaAggFunc
+private[sources] case class MetaAggPlan(groupCols: Seq[String],
+    funcs: Seq[MetaAggFunc]) extends Serializable
+
 private[sources] class GraftScanBuilder(path: String, version: Long,
     statsCol: Option[String], schema0: StructType)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = schema0
   private var pushed: Array[Filter] = Array.empty
+  private var metaAgg: Option[MetaAggPlan] = None
 
   /** Columns with a BLOOM line in this version's manifest — equality
     * probes on them prune files whatever the layout (the manifest is
@@ -320,19 +330,129 @@ private[sources] class GraftScanBuilder(path: String, version: Long,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** METADATA-ONLY AGGREGATES — the Iceberg-manifest `count(*)` answer:
+    * when every aggregate in the query is computable from manifest
+    * lines alone (COUNT(*) from ROWS row counts, MIN/MAX of the stats
+    * column from its per-file zonemaps, optionally grouped by partition
+    * columns riding the manifest paths), the scan serves the FINISHED
+    * aggregate rows and no data file is opened anywhere — at 100 TB a
+    * row-count dashboard costs one manifest read, not a table scan.
+    * COMPLETE pushdown only, and only when metadata is exact: refused
+    * whenever a deletion vector lives (counts would overstate), a
+    * schema mapping lives (stats could describe a renamed column), any
+    * file lacks a ROWS line (counts) or carries the full-range
+    * stats-less sentinel (min/max), the stats column is not BIGINT
+    * (stats are long casts — exact only for long columns), or any
+    * filter is present (our filters stay residual by design, so a
+    * filtered aggregate must scan). Refusal means `pushAggregation` =
+    * false and Spark plans the ordinary scan+aggregate — pruning
+    * optimizations never become correctness dependencies. */
+  private def planMetaAgg(agg: Aggregation): Option[MetaAggPlan] = {
+    import graft.operators.VersionedTable
+    val table = java.nio.file.Paths.get(path)
+    def name(e: Expression): Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def longTyped(c: String): Boolean =
+      schema0.fields.find(_.name == c).exists(_.dataType == LongType)
+    if (pushed.nonEmpty) return None
+    if (VersionedTable.columnMappings(table, version).nonEmpty) return None
+    if (VersionedTable.deletionVectors(table, version).nonEmpty) return None
+    val files = VersionedTable.statsManifest(table, version)
+    if (files.isEmpty) return None
+    val gcols = agg.groupByExpressions.toSeq.map(name)
+    if (gcols.exists(_.isEmpty)) return None
+    val groupCols = gcols.flatten
+    // Every group column must be a partition column present on EVERY
+    // file's manifest path — the per-file partition value IS the group.
+    if (!groupCols.forall(partCols.contains)) return None
+    if (!files.forall { case (f, _, _) =>
+          val vals = GraftTableSource.partitionValues(f).map(_._1).toSet
+          groupCols.forall(vals.contains)
+        }) return None
+    val rows = VersionedTable.rowCounts(table, version).toMap
+    val exactStats = statsCol.exists(longTyped) && files.forall {
+      case (_, mn, mx) => !(mn == Long.MinValue && mx == Long.MaxValue)
+    }
+    val funcs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar if files.forall(f => rows.contains(f._1)) =>
+        Some(MetaCount)
+      case m: Min if name(m.column).exists(statsCol.contains) && exactStats =>
+        Some(MetaMin)
+      case m: Max if name(m.column).exists(statsCol.contains) && exactStats =>
+        Some(MetaMax)
+      case _ => None
+    }
+    if (funcs.exists(_.isEmpty)) None
+    else Some(MetaAggPlan(groupCols, funcs.flatten))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    planMetaAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    planMetaAgg(agg) match {
+      case Some(p) =>
+        metaAgg = Some(p)
+        // The scan's output becomes the finished aggregate rows:
+        // group columns (strings off the manifest paths) then one
+        // BIGINT per aggregate — positional, the complete-pushdown
+        // contract.
+        required = StructType(
+          p.groupCols.map(StructField(_, StringType, nullable = true)) ++
+            p.funcs.zipWithIndex.map { case (f, i) =>
+              StructField(s"agg_$i" + (f match {
+                case MetaCount => "_count"
+                case MetaMin => "_min"
+                case MetaMax => "_max"
+              }), LongType, nullable = true)
+            })
+        true
+      case None => false
+    }
+
   override def build(): Scan =
-    new GraftScan(path, version, statsCol, required, pushed)
+    new GraftScan(path, version, statsCol, required, pushed, metaAgg)
 }
 
 private[sources] class GraftScan(path: String, version: Long,
-    statsCol: Option[String], required: StructType, pushed: Array[Filter])
+    statsCol: Option[String], required: StructType, pushed: Array[Filter],
+    metaAgg: Option[MetaAggPlan] = None)
     extends Scan with Batch {
   import graft.operators.VersionedTable
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** The finished aggregate rows, computed at PLANNING time from the
+    * manifest alone — group values are partition-path strings, agg
+    * values fold per-file ROWS counts / zonemap bounds. One partition,
+    * zero data files opened (the whole point). */
+  private def metaAggRows(plan: MetaAggPlan): Array[Array[Any]] = {
+    val table = java.nio.file.Paths.get(path)
+    val files = VersionedTable.statsManifest(table, version)
+    val rows = VersionedTable.rowCounts(table, version).toMap
+    files.groupBy { case (f, _, _) =>
+      val vals = GraftTableSource.partitionValues(f).toMap
+      plan.groupCols.map(vals(_))
+    }.toSeq.sortBy(_._1.mkString(" "))
+      .map { case (groupVals, fs) =>
+        (groupVals ++ plan.funcs.map {
+          case MetaCount => fs.map(f => rows(f._1)).sum
+          case MetaMin => fs.map(_._2).min
+          case MetaMax => fs.map(_._3).max
+        }).toArray[Any]
+      }.toArray
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
+    metaAgg match {
+      case Some(plan) =>
+        return Array(MetaAggPartition(metaAggRows(plan)))
+      case None => ()
+    }
     val table = java.nio.file.Paths.get(path)
     // Schema-evolved versions carry a per-directory mapping the scan
     // must not guess at — refuse with the working alternative.
@@ -403,17 +523,42 @@ private[sources] class GraftScan(path: String, version: Long,
   override def description(): String =
     s"graft-table path=$path version=$version " +
       s"columns=[${required.fieldNames.mkString(",")}] " +
-      s"pushed=[${pushed.mkString(",")}]"
+      s"pushed=[${pushed.mkString(",")}]" +
+      metaAgg.fold("")(p =>
+        s" aggPushed=[groupBy=${p.groupCols.mkString(",")} " +
+          s"funcs=${p.funcs.mkString(",")}]")
 }
 
 private[sources] case class GraftTablePartition(path: String, file: String,
     dvFiles: Seq[String], keyCol: String,
     partValues: Seq[(String, String)] = Nil) extends InputPartition
 
+/** The single partition of a metadata-answered aggregate: the finished
+  * rows themselves (strings for group columns, longs for aggregates) —
+  * nothing on the executor but a replay. */
+private[sources] case class MetaAggPartition(rows: Array[Array[Any]])
+    extends InputPartition
+
 private[sources] class GraftTableReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    p match {
+      case MetaAggPartition(rows) =>
+        // Finished aggregate rows computed at planning time — convert
+        // to InternalRow per the (string group cols, long aggs) schema.
+        return new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(rows(i).toIndexedSeq.map {
+              case s: String => UTF8String.fromString(s)
+              case other => other
+            })
+          override def close(): Unit = ()
+        }
+      case _ => ()
+    }
     val gp = p.asInstanceOf[GraftTablePartition]
     val root = java.nio.file.Paths.get(gp.path)
 

@@ -511,4 +511,114 @@ class VersionedTableSpec extends SparkSpec {
     // The original commit is untouched.
     assert(VersionedTable.manifest(t, 0L) == files)
   }
+
+  test("rowCounts lines cover a counted commit and sum to the row count") {
+    val t = freshTable()
+    VersionedTable.commitWithStats(spark, t, 0L,
+      df(1L to 20L: _*).repartition(4), "id", rowCounts = true)
+    val rc = VersionedTable.rowCounts(t, 0L)
+    assert(rc.map(_._1).toSet ==
+      VersionedTable.statsManifest(t, 0L).map(_._1).toSet,
+      "every data file must carry a ROWS line")
+    assert(rc.map(_._2).sum == 20L)
+    // Readers that predate ROWS lines skip them: the snapshot read is
+    // unchanged.
+    assert(VersionedTable.read(spark, t).count() == 20L)
+  }
+
+  test("tags are immutable; branches advance by CAS and stay isolated") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2, 3))
+    VersionedTable.tagCreate(t, "rel", 0L)
+    intercept[java.nio.file.FileSystemException] {
+      VersionedTable.tagCreate(t, "rel", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.branchCommit(spark, t, "rel", df(9))
+    }
+    VersionedTable.branchCreate(t, "a", 0L)
+    VersionedTable.branchCreate(t, "b", 0L)
+    val ca = VersionedTable.branchCommit(spark, t, "a", df(10, 11))
+    val cb = VersionedTable.branchCommit(spark, t, "b", df(20))
+    assert(ca.version == 1L && cb.version == 2L,
+      "branch snapshots interleave in one global log")
+    assert(VersionedTable.readRef(spark, t, "a").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 10L, 11L))
+    assert(VersionedTable.readRef(spark, t, "b").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 20L))
+    assert(VersionedTable.readRef(spark, t, "rel").count() == 3L)
+    // Ref history is an append-only log of its own.
+    assert(VersionedTable.refEntries(t, "a").map(_._3) == Seq(0L, 1L))
+    assert(VersionedTable.refs(t).map(r => (r._1, r._2)) ==
+      Seq(("a", "branch"), ("b", "branch"), ("rel", "tag")))
+  }
+
+  test("expire pins ref heads: a tagged old version survives vacuum") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2))
+    VersionedTable.tagCreate(t, "pin", 0L)
+    // v1 rewrites the table; v0 is below keepFrom but tagged.
+    VersionedTable.commit(spark, t, 1L, df(5, 6, 7))
+    VersionedTable.expire(t, keepFrom = 1L)
+    assert(VersionedTable.readRef(spark, t, "pin").count() == 2L,
+      "the tag's snapshot must survive an expire below keepFrom")
+    assert(VersionedTable.read(spark, t).count() == 3L)
+  }
+
+  test("updateWhere rewrites only overlapping files, carries the rest verbatim") {
+    import spark.implicits._
+    val t = freshTable()
+    val base = (1L to 100L).toDF("id")
+      .selectExpr("id", "id * 10 AS v")
+      .repartitionByRange(5, org.apache.spark.sql.functions.col("id"))
+    VersionedTable.commitWithStats(spark, t, 0L, base, "id",
+      rowCounts = true)
+    val (v, rewritten, total) =
+      VersionedTable.updateWhere(spark, t, "id", 1L, 10L,
+        Seq("v" -> "v + 1000000"))
+    assert(v == 1L && rewritten > 0 && rewritten < total)
+    // Untouched files byte-verbatim; rewritten files' ROWS recomputed
+    // with full coverage.
+    val v0 = VersionedTable.statsManifest(t, 0L)
+    val kept = v0.collect { case (f, mn, mx) if !(mx >= 1L && mn <= 10L) => f }
+    val v1Files = VersionedTable.statsManifest(t, 1L).map(_._1).toSet
+    assert(kept.forall(v1Files.contains))
+    val rc = VersionedTable.rowCounts(t, 1L)
+    assert(rc.map(_._1).toSet == v1Files && rc.map(_._2).sum == 100L)
+    // Row-level result: exactly ids 1..10 updated.
+    val got = VersionedTable.read(spark, t)
+      .selectExpr("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 100L).forall(i =>
+      got(i) == (if (i <= 10) i * 10 + 1000000 else i * 10)))
+    // No-match update is a no-op, not an empty commit.
+    val (v2, r2, _) = VersionedTable.updateWhere(spark, t, "id",
+      -5L, -1L, Seq("v" -> "0"))
+    assert(v2 == 1L && r2 == 0)
+    assert(VersionedTable.versions(t) == Seq(0L, 1L))
+  }
+
+  test("updateWhere drops skipping-index meta lines of rewritten files") {
+    import spark.implicits._
+    val t = freshTable()
+    val base = (1L to 40L).toDF("id").selectExpr("id", "id * 2 AS v")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("id"))
+    VersionedTable.commitIndexed(spark, t, 0L, base, "id", "v")
+    val (_, rewritten, total) =
+      VersionedTable.updateWhere(spark, t, "id", 1L, 5L,
+        Seq("v" -> "v + 7"))
+    assert(rewritten > 0 && rewritten < total)
+    // A stale bloom on fresh data would prune wrongly: every BLOOM
+    // line surviving at v1 must index a surviving v0 file.
+    val v1Files = VersionedTable.statsManifest(t, 1L).map(_._1).toSet
+    val v0Files = VersionedTable.statsManifest(t, 0L).map(_._1).toSet
+    assert(VersionedTable.blooms(t, 1L).forall { case (f, _, _) =>
+      v1Files.contains(f) && v0Files.contains(f)
+    }, "a rewritten file's bloom line must die with the file")
+    // And the refusals: DV-bearing or schema-mapped versions.
+    VersionedTable.deleteCommit(spark, t, 2L, Seq(3L).toDF("id"), "id")
+    intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, t, "id", 1L, 5L, Seq("v" -> "0"))
+    }
+  }
 }

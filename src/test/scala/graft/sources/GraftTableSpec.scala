@@ -139,4 +139,64 @@ class GraftTableSpec extends SparkSpec {
     // The pre-evolution version still serves.
     assert(read(t, "version" -> "0").count() == 1)
   }
+
+  private def aggPushed(df: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val physical = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    physical.collect { case b: BatchScanExec => b.scan.description() }
+      .exists(_.contains("aggPushed="))
+  }
+
+  test("count/min/max are answered from manifest metadata alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val t = fresh()
+    VersionedTable.commitWithStats(spark, t, 0L,
+      spark.range(0, 500).toDF("id").repartitionByRange(5, $"id"), "id",
+      rowCounts = true)
+    val global = read(t).agg(count(lit(1)).as("n"),
+      min($"id").as("mn"), max($"id").as("mx"))
+    assert(aggPushed(global), "clean count/min/max must push to metadata")
+    assert(global.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((500L, 0L, 499L)))
+  }
+
+  test("partition-grouped counts push; DVs and filters refuse pushdown") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit}
+    val t = fresh()
+    val df = spark.range(0, 300).selectExpr("id",
+      "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' " +
+        "ELSE 'c' END AS g")
+    VersionedTable.commitPartitioned(spark, t, 0L, df, "g",
+      statsCol = Some("id"), rowCounts = true)
+    val grouped = read(t).groupBy($"g").agg(count(lit(1)).as("n"))
+    assert(aggPushed(grouped), "partition-grouped count must push")
+    assert(grouped.collect().map(r => (r.getString(0), r.getLong(1)))
+      .sorted.toSeq == Seq(("a", 100L), ("b", 100L), ("c", 100L)))
+    // A row predicate can never be answered by file metadata: refuse
+    // and serve the ordinary path correctly.
+    val filtered = read(t).where($"id" >= 100L).agg(count(lit(1)).as("n"))
+    assert(!aggPushed(filtered), "a filtered aggregate must not push")
+    assert(filtered.head().getLong(0) == 200L)
+    // A live deletion vector makes file counts overstate: refuse.
+    VersionedTable.deleteCommit(spark, t, 1L, Seq(5L).toDF("id"), "id")
+    val dv = read(t).agg(count(lit(1)).as("n"))
+    assert(!aggPushed(dv), "a DV-bearing version must not push counts")
+    assert(dv.head().getLong(0) == 299L)
+    // A counted commit without stats still answers grouped counts
+    // (CountStar needs ROWS coverage, not zonemaps) — but min/max on
+    // an un-stats column must refuse.
+    val t2 = fresh()
+    VersionedTable.commitPartitioned(spark, t2, 0L, df, "g",
+      rowCounts = true)
+    val g2 = read(t2).groupBy($"g").agg(count(lit(1)).as("n"))
+    assert(aggPushed(g2), "ROWS coverage alone must serve pure counts")
+    assert(g2.collect().map(_.getLong(1)).sum == 300L)
+  }
 }
