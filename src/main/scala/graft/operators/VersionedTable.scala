@@ -203,11 +203,94 @@ object VersionedTable {
     * the line kind skip it like any meta line. */
   private val RowsPrefix = "ROWS\t"
 
+  /** `CHECK\t<sql expr>` (r13): a TABLE CONSTRAINT riding the manifest
+    * — the Delta `ADD CONSTRAINT` idea: once declared, every
+    * row-adding commit path validates its NEW files against the live
+    * CHECK expressions before publishing (one aggregate pass over the
+    * batch — cost O(commit), never O(table)), so a poisoned batch
+    * fails BEFORE the commit point and the table can never hold a
+    * violating row. SQL semantics: a row violates only when the
+    * expression evaluates FALSE — NULL passes, as standard CHECK. */
+  private val CheckPrefix = "CHECK\t"
+
   private def isMetaLine(line: String): Boolean =
     line.startsWith(DvPrefix) || line.startsWith(RenamePrefix) ||
       line.startsWith(WidenPrefix) || line.startsWith(BloomPrefix) ||
       line.startsWith(StatsColPrefix) || line.startsWith(StatsPrefix) ||
-      line.startsWith(RowsPrefix)
+      line.startsWith(RowsPrefix) || line.startsWith(CheckPrefix)
+
+  /** The CHECK constraints live at a version, in declaration order. */
+  def checkConstraints(table: Path, version: Long): Seq[String] =
+    manifest(table, version).collect {
+      case l if l.startsWith(CheckPrefix) => l.substring(CheckPrefix.length)
+    }
+
+  /** Declare a CHECK constraint as a METADATA-ONLY commit — after
+    * validating the CURRENT snapshot against it (the Delta ADD
+    * CONSTRAINT contract: a constraint the existing data violates must
+    * be refused, which costs one scan — the one place this surface
+    * pays O(table), exactly as production formats do). From this
+    * version on, every row-adding commit validates its new files.
+    * Like every manifest metadata line (STATSCOL, BLOOM), a CHECK
+    * rides deltas and partial rewrites but not a from-scratch FULL
+    * manifest: a compaction via `commit`/`transact` drops it —
+    * re-declare after compacting (the data it would re-validate was
+    * already gated row by row). */
+  def constraintCommit(s: SparkSession, table: Path, version: Long,
+                       expr: String, checkpointEvery: Int = 8): Seq[String] = {
+    require(!expr.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "constraintCommit: the expression must not contain tab/newline " +
+        "(manifest lines are TAB-structured)")
+    val base = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"constraintCommit: no committed version at $table"))
+    violations(read(s, table, Some(base)), Seq(expr)).foreach {
+      case (e, n) => require(n == 0L,
+        s"constraintCommit: $n existing row(s) violate CHECK ($e) — " +
+          "a constraint the current snapshot breaks must not be declared")
+    }
+    publish(table, version,
+      deltaLines(table, version, Seq(s"$CheckPrefix$expr"), checkpointEvery))
+  }
+
+  /** Violation counts per CHECK expression over `data`, in ONE
+    * aggregate pass (`count_if((e) = false)` — NULL passes, the SQL
+    * CHECK rule). */
+  private def violations(data: DataFrame,
+                         cs: Seq[String]): Seq[(String, Long)] =
+    if (cs.isEmpty) Nil
+    else {
+      val row = data.selectExpr(cs.zipWithIndex.map { case (e, i) =>
+        s"count_if(($e) = false) AS c$i"
+      }: _*).head()
+      cs.zipWithIndex.map { case (e, i) => (e, row.getLong(i)) }
+    }
+
+  /** Enforce the CHECK constraints of version `asOf` against the
+    * freshly-written files under `dataDir` — called by every
+    * row-adding commit path between the data write and the publish
+    * link, so a violating batch leaves only invisible orphans, never
+    * a committed violation. Reads the files back (one pass over the
+    * new files, like the stats pass) rather than recomputing the
+    * caller's frame. No-op when no constraint is declared or the dir
+    * holds no files (empty batch). */
+  private def enforceConstraints(s: SparkSession, table: Path,
+                                 dataDir: Path, asOf: Option[Long],
+                                 what: String): Unit = {
+    val cs = asOf.map(checkConstraints(table, _)).getOrElse(Nil)
+    if (cs.isEmpty) return
+    val walk = Files.walk(dataDir)
+    val any = try walk.iterator().asScala.exists(p =>
+      Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+    finally walk.close()
+    if (!any) return
+    violations(s.read.parquet(dataDir.toString), cs).foreach {
+      case (e, n) => require(n == 0L,
+        s"$what: $n row(s) in this commit violate CHECK ($e) — " +
+          "refused before the commit point (no partial state published)")
+    }
+  }
 
   /** The per-file row counts recorded at a version: (file, rows).
     * A file committed without a ROWS line is simply absent — callers
@@ -342,6 +425,9 @@ object VersionedTable {
       .map(p => s"$DvPrefix$p\t$keyCol\t$base")
     val dataDir = newDataDir(table, version)
     updates.write.parquet(dataDir.toString)
+    // The upsert's new rows honor CHECK constraints (deletes cannot
+    // introduce a violation).
+    enforceConstraints(s, table, dataDir, Some(base), "mergeCommit")
     val dataLines = partFiles(table, dataDir)
     publish(table, version,
       deltaLines(table, version, dvLines ++ dataLines, checkpointEvery))
@@ -357,6 +443,10 @@ object VersionedTable {
                    df: DataFrame, checkpointEvery: Int = 8): Seq[String] = {
     val dataDir = newDataDir(table, version)
     df.write.parquet(dataDir.toString)
+    // The streaming-sink path honors CHECK constraints too: a poisoned
+    // micro-batch fails its epoch before the commit point.
+    enforceConstraints(s, table, dataDir, latestVersion(table),
+      "commitAppend")
     publishDelta(table, version, partFiles(table, dataDir), checkpointEvery)
   }
 
@@ -811,6 +901,14 @@ object VersionedTable {
     val dataDir = table.resolve("data").resolve(
       "append-" + java.util.UUID.randomUUID().toString.take(8))
     df.write.parquet(dataDir.toString)
+    // CHECK constraints gate the batch BEFORE any publish attempt — a
+    // violating batch leaves only invisible orphans. Validated against
+    // the latest snapshot's declarations at call time (a concurrently
+    // ADDED constraint races like any metadata; the winner's declare
+    // already validated the whole table, which includes nothing of
+    // ours until our publish succeeds).
+    enforceConstraints(s, table, dataDir, latestVersion(table),
+      "appendCommit")
     val mine = partFiles(table, dataDir)
     var conflicts = 0
     while (conflicts < maxAttempts) {
@@ -964,6 +1062,9 @@ object VersionedTable {
       case (d, (c, e)) => d.withColumn(c, when(hit, expr(e)).otherwise(col(c)))
     }
     updated.write.parquet(dataDir.toString)
+    // The rewritten rows honor CHECK constraints — an UPDATE must not
+    // be the path that smuggles a violation in.
+    enforceConstraints(s, table, dataDir, Some(base), "updateWhere")
     val stats = fileColStats(s, table, dataDir, statsCol)
     val newLines = stats.map { case (f, mn, mx, _) => s"$f\t$mn\t$mx" }
     val baseLines = manifest(table, base)
@@ -1123,6 +1224,10 @@ object VersionedTable {
     val dataDir = table.resolve("data").resolve(
       s"branch-$name-" + java.util.UUID.randomUUID().toString.take(8))
     df.write.parquet(dataDir.toString)
+    // Constraints are per-LINE-OF-HISTORY: validate against the branch
+    // head's declarations, not the global latest snapshot.
+    enforceConstraints(s, table, dataDir,
+      refHead(table, name).map(_._2), s"branchCommit($name)")
     val mine = partFiles(table, dataDir)
     var conflicts = 0
     while (conflicts < maxAttempts) {

@@ -2820,6 +2820,120 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // COMMIT-TIME CHECK CONSTRAINTS (r13) — the Delta ADD CONSTRAINT
+    // idea on the manifest: `constraintCommit` declares a CHECK as a
+    // metadata-only commit AFTER validating the current snapshot (a
+    // constraint the existing data violates is refused — witnessed),
+    // and from then on EVERY row-adding commit path validates its new
+    // files in one O(batch) aggregate pass BEFORE the publish link —
+    // a poisoned batch fails leaving only invisible orphans, never a
+    // committed violation (witnessed: the bad append throws AND the
+    // version history is unchanged). At 100 TB this is the difference
+    // between rejecting a corrupt ingest batch at its own cost and
+    // discovering NULL keys three joins downstream. NULL passes (the
+    // SQL CHECK rule — a CHECK is not a NOT NULL unless written so).
+    "pipe_commit_constraint" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vchk_")
+      try {
+        val table = tmp.resolve("table")
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+        VersionedTable.commit(s, table, 0L, docs)
+        VersionedTable.constraintCommit(s, table, 1L,
+          "n_chars >= 0 AND lang IS NOT NULL")
+        // A constraint the current snapshot violates must be refused.
+        require(scala.util.Try(VersionedTable.constraintCommit(
+            s, table, 2L, "n_chars > 100000")).isFailure,
+          "pipe_commit_constraint: declaring a CHECK the existing data " +
+            "violates must be refused after the validation scan")
+        val good = docs.where($"doc_id" % 7 === 3)
+          .selectExpr("doc_id + 1099511627776L AS doc_id", "lang",
+            "n_chars")
+        val g = VersionedTable.appendCommit(s, table, good)
+        require(g.version == 2L,
+          s"pipe_commit_constraint: the clean append must land v2, " +
+            s"got v${g.version}")
+        val bad = docs.where($"doc_id" % 7 === 5)
+          .selectExpr("doc_id + 2199023255552L AS doc_id", "lang",
+            "-1L AS n_chars")
+        require(scala.util.Try(
+            VersionedTable.appendCommit(s, table, bad)).isFailure,
+          "pipe_commit_constraint: a violating batch must fail before " +
+            "the commit point")
+        require(VersionedTable.versions(table) == Seq(0L, 1L, 2L),
+          "pipe_commit_constraint: the refused batch published state — " +
+            s"history reads ${VersionedTable.versions(table)}")
+        val out = VersionedTable.read(s, table)
+          .select($"doc_id", $"lang", $"n_chars").orderBy("doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // BRANCH-AWARE SQL — VERSION AS OF '<ref>' (r13) — the refs layer
+    // surfaced in plain SQL through the catalog, the Iceberg
+    // convention: a NUMBER is a commit id, a STRING is a named ref —
+    // `VERSION AS OF 'exp'` reads the exp branch's head, `VERSION AS
+    // OF 'v0'` a tag pin. The connector grows the same addressing as
+    // `.option("ref", name)` (mutually exclusive with version —
+    // refused, witnessed). An unknown ref is an unknown version
+    // (witnessed). The workflow this closes: an analyst A/B-reads a
+    // production table against its experiment branch in two SQL
+    // queries, no version numbers in sight.
+    "pipe_sql_branch" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vsqlb_")
+      try {
+        val table = tmp.resolve("docs")
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+        VersionedTable.commit(s, table, 0L, docs)
+        VersionedTable.branchCreate(table, "exp", 0L)
+        VersionedTable.branchCreate(table, "main", 0L)
+        VersionedTable.tagCreate(table, "v0", 0L)
+        VersionedTable.branchCommit(s, table, "exp",
+          docs.where($"doc_id" % 7 === 1)
+            .selectExpr("doc_id + 1099511627776L AS doc_id", "lang",
+              "n_chars"))
+        VersionedTable.branchCommit(s, table, "main",
+          docs.where($"doc_id" % 7 === 2)
+            .selectExpr("doc_id + 2199023255552L AS doc_id", "lang",
+              "n_chars"))
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        def digest(ref: String) = s2.sql(
+          s"""SELECT '$ref' AS ref, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  bit_xor(CAST(conv(substr(md5(concat(
+             |    CAST(doc_id AS STRING), ':',
+             |    CAST(n_chars AS STRING))), 1, 15), 16, 10) AS BIGINT))
+             |    AS content_sig
+             |FROM graftcat.docs VERSION AS OF '$ref'""".stripMargin)
+        require(scala.util.Try(s2.sql(
+            "SELECT * FROM graftcat.docs VERSION AS OF 'nosuchref'")
+            .collect()).isFailure,
+          "pipe_sql_branch: an unknown ref must be an unknown version")
+        // The connector's option('ref') addresses the same head.
+        require(s.read.format("graft-table").option("ref", "exp")
+            .load(table.toString).count() ==
+          docs.count() + docs.where($"doc_id" % 7 === 1).count(),
+          "pipe_sql_branch: option(ref=exp) must read the branch head")
+        require(scala.util.Try(s.read.format("graft-table")
+            .option("ref", "exp").option("version", "0")
+            .load(table.toString).count()).isFailure,
+          "pipe_sql_branch: version and ref together must be refused")
+        val out = digest("exp").unionAll(digest("main"))
+          .unionAll(digest("v0")).orderBy("ref")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     "pipe_commit_conflict" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.VersionedTable
@@ -3844,6 +3958,44 @@ object DedupQueries extends QueryModule {
         |  SELECT 'exp' AS ref, doc_id, lang, n_chars FROM exp
         |  UNION ALL SELECT 'main', doc_id, lang, n_chars FROM main
         |  UNION ALL SELECT 'release', doc_id, lang, n_chars FROM base)
+        |SELECT ref, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT) AS content_sig
+        |FROM refs
+        |GROUP BY ref
+        |ORDER BY ref""".stripMargin,
+
+    // The constrained table: base + the clean append only — the
+    // refused batch must have left no trace.
+    "pipe_commit_constraint" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776, lang, n_chars
+        |  FROM documents WHERE doc_id % 7 = 3)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Each SQL-addressed ref's snapshot replayed relationally: exp =
+    // base + %7=1 clones (+2^40), main = base + %7=2 clones (+2^41),
+    // the v0 tag pins base.
+    "pipe_sql_branch" ->
+      """WITH exp AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776, lang, n_chars
+        |  FROM documents WHERE doc_id % 7 = 1),
+        |main AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2199023255552, lang, n_chars
+        |  FROM documents WHERE doc_id % 7 = 2),
+        |refs AS (
+        |  SELECT 'exp' AS ref, doc_id, lang, n_chars FROM exp
+        |  UNION ALL SELECT 'main', doc_id, lang, n_chars FROM main
+        |  UNION ALL SELECT 'v0', doc_id, lang, n_chars FROM documents)
         |SELECT ref, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||

@@ -93,10 +93,19 @@ class GraftCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
 
-  /** `VERSION AS OF <v>` — the version string is the commit version. */
+  /** `VERSION AS OF <v>` — a number is the commit version; a string is
+    * a NAMED REF (branch head or tag pin), the Iceberg convention:
+    * `VERSION AS OF 'exp'` reads the exp branch's head snapshot,
+    * `VERSION AS OF 'release'` the tagged one. An unknown ref (or a
+    * name the ref grammar refuses) is an unknown table version. */
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(try version.toLong catch {
-      case _: NumberFormatException => throw new NoSuchTableException(ident)
+      case _: NumberFormatException =>
+        (try VersionedTable.refHead(tableRoot(ident), version)
+         catch { case _: IllegalArgumentException => None }) match {
+          case Some((_, v)) => v
+          case None => throw new NoSuchTableException(ident)
+        }
     }))
 
   /** `TIMESTAMP AS OF <t>` — Spark hands epoch MICROS; serve the

@@ -70,7 +70,7 @@ class GraftTableSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftTableSource.dataSchema(options.get("path"),
       GraftTableSource.resolveVersion(options.get("path"),
-        Option(options.get("version")).map(_.toLong)))
+        GraftTableSource.requestedVersion(options)))
 
   override def getTable(
       schema: StructType,
@@ -79,7 +79,7 @@ class GraftTableSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     val path = opts.get("path")
     val version = GraftTableSource.resolveVersion(path,
-      Option(opts.get("version")).map(_.toLong))
+      GraftTableSource.requestedVersion(opts))
     // statsCol falls back to the manifest's own STATSCOL declaration —
     // self-describing, so SQL catalog scans (no options) still prune.
     val statsCol = Option(opts.get("statsCol")).orElse(
@@ -91,6 +91,25 @@ class GraftTableSource extends TableProvider with DataSourceRegister {
 
 object GraftTableSource {
   import graft.operators.VersionedTable
+
+  /** The version the caller's options pin, if any: `version` (a commit
+    * id) or `ref` (a named branch/tag — resolved to its head snapshot),
+    * mutually exclusive. Absent both, the latest snapshot serves. */
+  private[sources] def requestedVersion(
+      opts: CaseInsensitiveStringMap): Option[Long] = {
+    val ver = Option(opts.get("version")).map(_.toLong)
+    val ref = Option(opts.get("ref"))
+    require(ver.isEmpty || ref.isEmpty,
+      "graft-table: options 'version' and 'ref' are mutually exclusive")
+    ref match {
+      case Some(r) =>
+        val path = opts.get("path")
+        Some(VersionedTable.refHead(java.nio.file.Paths.get(path), r)
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft-table: no ref '$r' at $path"))._2)
+      case None => ver
+    }
+  }
 
   private[sources] def resolveVersion(path: String,
                                       requested: Option[Long]): Long = {

@@ -598,6 +598,45 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versions(t) == Seq(0L, 1L))
   }
 
+  test("CHECK constraints gate every row-adding path before the commit point") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    VersionedTable.constraintCommit(spark, t, 1L, "v >= 0")
+    // Declaring a CHECK the snapshot violates is refused.
+    intercept[IllegalArgumentException] {
+      VersionedTable.constraintCommit(spark, t, 2L, "v > 15")
+    }
+    // Clean append passes; violating append fails pre-publish.
+    VersionedTable.appendCommit(spark, t, Seq((3L, 30L)).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.appendCommit(spark, t, Seq((4L, -1L)).toDF("id", "v"))
+    }
+    assert(VersionedTable.versions(t) == Seq(0L, 1L, 2L))
+    // NULL passes (SQL CHECK semantics).
+    VersionedTable.appendCommit(spark, t,
+      Seq((5L, Option.empty[Long])).toDF("id", "v"))
+    assert(VersionedTable.read(spark, t).count() == 4)
+    // The streaming/pinned path and merge/update enforce too.
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitAppend(spark, t, 10L,
+        Seq((6L, -5L)).toDF("id", "v"))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.mergeCommit(spark, t,
+        Seq((1L, -9L)).toDF("id", "v"), "id")
+    }
+    // A branch inherits its head's constraints.
+    VersionedTable.branchCreate(t, "dev", 3L)
+    intercept[IllegalArgumentException] {
+      VersionedTable.branchCommit(spark, t, "dev",
+        Seq((7L, -2L)).toDF("id", "v"))
+    }
+    assert(VersionedTable.checkConstraints(
+      t, VersionedTable.latestVersion(t).get) == Seq("v >= 0"))
+  }
+
   test("updateWhere drops skipping-index meta lines of rewritten files") {
     import spark.implicits._
     val t = freshTable()

@@ -46,6 +46,24 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { s2.sql("SELECT * FROM g.missing").collect() }
   }
 
+  test("VERSION AS OF '<ref>' resolves branches and tags by name") {
+    import spark.implicits._
+    val root = staged()
+    val t = root.resolve("nums")
+    VersionedTable.tagCreate(t, "first", 0L)
+    VersionedTable.branchCreate(t, "dev", 1L)
+    VersionedTable.branchCommit(spark, t, "dev", Seq(2000L).toDF("id"))
+    val s2 = session(root)
+    assert(s2.sql("SELECT count(*) AS n FROM g.nums VERSION AS OF 'first'")
+      .head().getLong(0) == 100)
+    assert(s2.sql("SELECT count(*) AS n FROM g.nums VERSION AS OF 'dev'")
+      .head().getLong(0) == 102)
+    // The default read stays the raw log's latest snapshot.
+    intercept[Exception] {
+      s2.sql("SELECT * FROM g.nums VERSION AS OF 'nope'").collect()
+    }
+  }
+
   test("TIMESTAMP AS OF resolves publish times; listTables lists") {
     val root = staged()
     val s2 = session(root)
