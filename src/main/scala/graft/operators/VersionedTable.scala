@@ -1026,15 +1026,19 @@ object VersionedTable {
     * are recomputed for the new files in the one commit-time pass;
     * BLOOM/STATS meta lines indexing a rewritten file are dropped —
     * a stale skipping index on fresh data would prune wrongly.
-    * Publishes a FULL manifest (a rewrite removes lines; only full
-    * manifests can remove — the [[removedLines]] change-feed contract).
+    * METADATA is O(commit) too: the manifest is an RM delta (BASE +
+    * `RM\t<touched>` + the new lines — the Delta add+remove-actions
+    * shape), with the usual checkpoint cadence bounding the chain;
+    * [[removedLines]] reports the removals, so the change feed refuses
+    * the version exactly as it refuses any rewrite.
     * DV-bearing or schema-mapped versions are refused: compact first.
     * Returns (publishedVersion, filesRewritten, filesTotal); an update
     * whose range no file overlaps is a no-op returning the base
     * version with zero rewrites (nothing to publish). */
   def updateWhere(s: SparkSession, table: Path, statsCol: String,
                   lo: Long, hi: Long,
-                  set: Seq[(String, String)]): (Long, Int, Int) = {
+                  set: Seq[(String, String)],
+                  checkpointEvery: Int = 8): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.{col, expr, when}
     require(set.nonEmpty, "updateWhere: no SET assignments")
     val base = latestVersion(table).getOrElse(
@@ -1072,11 +1076,22 @@ object VersionedTable {
       if (baseLines.exists(_.startsWith(RowsPrefix)))
         stats.map { case (f, _, _, n) => s"$RowsPrefix$f\t$n" }
       else Nil
-    val carried = baseLines.filter { line =>
-      if (isMetaLine(line)) metaFile(line).forall(!touched.contains(_))
-      else !touched.contains(line.split('\t').head)
-    }
-    publish(table, version, carried ++ newLines ++ rowsLines)
+    // O(commit) metadata (r13): BASE + RM(touched) + the new lines —
+    // at a 10⁶-file table an update touching 3 files writes 7 manifest
+    // lines, not the full list. Resolution drops the RM'd data lines
+    // and their indexing meta lines; every `checkpointEvery`-th commit
+    // still materializes the full list (carried byte-verbatim + new),
+    // bounding the chain exactly as appends do.
+    val added = newLines ++ rowsLines
+    val lines =
+      if (chainLength(table, base) + 1 > checkpointEvery)
+        baseLines.filter { line =>
+          if (isMetaLine(line)) metaFile(line).forall(!touched.contains(_))
+          else !touched.contains(line.split('\t').head)
+        } ++ added
+      else (BasePrefix + base) +:
+        (touched.toSeq.sorted.map(RmPrefix + _) ++ added)
+    publish(table, version, lines)
     (version, touched.size, all.size)
   }
 
@@ -1390,6 +1405,18 @@ object VersionedTable {
     * collide with a data path (those live under data/ or dv/). */
   private val BasePrefix = "BASE\t"
 
+  /** `RM\t<file>` (r13): a REMOVAL inside a delta manifest — the
+    * Delta-log add+remove-actions shape that makes PARTIAL REWRITES
+    * O(commit) metadata too: an [[updateWhere]] touching 3 of 10⁶
+    * files publishes BASE + 3 RM lines + 3 new stats lines, never the
+    * full list (checkpoints still bound the chain). Resolution drops
+    * the named data line AND every meta line indexing it (BLOOM/STATS/
+    * ROWS — a stale skipping index must die with its file). RM deltas
+    * are REWRITES to the change feed: [[removedLines]] reports them,
+    * so `graft-changes` refuses the version exactly as it refuses a
+    * full-manifest rewrite. */
+  private val RmPrefix = "RM\t"
+
   /** The stored lines of version `version`'s manifest file, unresolved
     * (a delta keeps its BASE pointer). */
   private def rawManifest(table: Path, version: Long): Seq[String] = {
@@ -1401,14 +1428,25 @@ object VersionedTable {
   }
 
   /** The file list of a committed version, with delta chains resolved:
-    * a `BASE\tN` head splices in version N's resolved lines. Chain
-    * depth is bounded by the writers' `checkpointEvery`, so resolution
-    * cost is O(live files), not O(history). */
+    * a `BASE\tN` head splices in version N's resolved lines; `RM\t<f>`
+    * tail lines drop f's data line and every meta line indexing f from
+    * the spliced base. Chain depth is bounded by the writers'
+    * `checkpointEvery`, so resolution cost is O(live files), not
+    * O(history). */
   def manifest(table: Path, version: Long): Seq[String] = {
     val raw = rawManifest(table, version)
     raw.headOption match {
       case Some(h) if h.startsWith(BasePrefix) =>
-        manifest(table, h.stripPrefix(BasePrefix).trim.toLong) ++ raw.tail
+        val base = manifest(table, h.stripPrefix(BasePrefix).trim.toLong)
+        val (rm, added) = raw.tail.partition(_.startsWith(RmPrefix))
+        if (rm.isEmpty) base ++ added
+        else {
+          val dead = rm.map(_.substring(RmPrefix.length)).toSet
+          base.filterNot { line =>
+            if (isMetaLine(line)) metaFile(line).exists(dead)
+            else dead.contains(line.split('\t').head)
+          } ++ added
+        }
       case _ => raw
     }
   }
@@ -1439,7 +1477,19 @@ object VersionedTable {
   def removedLines(table: Path, version: Long): Seq[String] = {
     val raw = rawManifest(table, version)
     raw.headOption match {
-      case Some(h) if h.startsWith(BasePrefix) => Seq.empty
+      case Some(h) if h.startsWith(BasePrefix) =>
+        // An RM-bearing delta removes: resolve exactly what its BASE
+        // listed for the named files (data line + indexing meta lines)
+        // — the same answer a full-manifest diff would give.
+        val dead = raw.tail.collect {
+          case l if l.startsWith(RmPrefix) => l.substring(RmPrefix.length)
+        }.toSet
+        if (dead.isEmpty) Seq.empty
+        else manifest(table, h.stripPrefix(BasePrefix).trim.toLong)
+          .filter { line =>
+            if (isMetaLine(line)) metaFile(line).exists(dead)
+            else dead.contains(line.split('\t').head)
+          }
       case _ =>
         versions(table).filter(_ < version).lastOption match {
           case None => Seq.empty
@@ -1453,7 +1503,8 @@ object VersionedTable {
   def addedLines(table: Path, version: Long): Seq[String] = {
     val raw = rawManifest(table, version)
     raw.headOption match {
-      case Some(h) if h.startsWith(BasePrefix) => raw.tail
+      case Some(h) if h.startsWith(BasePrefix) =>
+        raw.tail.filterNot(_.startsWith(RmPrefix))
       case _ =>
         // Full manifest: diff against the closest committed ancestor
         // (batch-id histories may skip versions, so not version−1).

@@ -596,6 +596,33 @@ class VersionedTableSpec extends SparkSpec {
       -5L, -1L, Seq("v" -> "0"))
     assert(v2 == 1L && r2 == 0)
     assert(VersionedTable.versions(t) == Seq(0L, 1L))
+    // O(commit) metadata: the update manifest is an RM DELTA whose
+    // bytes track the touched files, never the table (the Delta
+    // add+remove-actions shape).
+    val mBytes = java.nio.file.Files.size(
+      t.resolve("_commits").resolve("v000001.manifest"))
+    assert(mBytes < 500,
+      s"update manifest is $mBytes bytes — it carried the table")
+    // removedLines reports the rewrite (data line + its ROWS line), so
+    // the change feed refuses this version like any rewrite.
+    val removed = VersionedTable.removedLines(t, 1L)
+    assert(removed.exists(!_.contains("ROWS\t")) &&
+      removed.exists(_.startsWith("ROWS\t")),
+      s"removedLines must name the rewritten data and meta lines: $removed")
+    // Chained RM deltas resolve correctly: a second update over an
+    // already-delta'd base.
+    val (v3, r3, _) = VersionedTable.updateWhere(spark, t, "id",
+      95L, 100L, Seq("v" -> "v + 5000000"))
+    assert(v3 == 2L && r3 > 0)
+    val got2 = VersionedTable.read(spark, t)
+      .selectExpr("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.size == 100)
+    assert((1L to 100L).forall { i =>
+      val base0 = i * 10
+      val afterFirst = if (i <= 10) base0 + 1000000 else base0
+      got2(i) == (if (i >= 95) afterFirst + 5000000 else afterFirst)
+    })
   }
 
   test("CHECK constraints gate every row-adding path before the commit point") {
