@@ -806,6 +806,22 @@ object EventsQueries extends QueryModule {
     "ev_stream_sink" -> ((s, dir) =>
       graft.streaming.EventStreams.sinkDrain(s, dir)),
 
+    // END-TO-END PIPELINE (r13) — both V2 connectors CHAINED through a
+    // stateful operator in ONE streaming query: versioned source table
+    // (3 time-sliced commits) → graft-changes feed (one micro-batch
+    // per commit, hard-asserted — the watermark advances between
+    // commits and closes windows incrementally) → watermarked hourly
+    // count+sum (append mode) → graft-table exactly-once sink (each
+    // emitting epoch its own atomic commit). The composition that
+    // makes the commit protocol a PIPELINE backbone: upstream
+    // publishes atomic versions, the feed replays them as batch
+    // history, stateful streaming folds them, the result lands
+    // downstream exactly once — no foreachBatch glue, no side tables.
+    // Oracle: the horizon-bounded hourly aggregate (slices partition
+    // the table, so the final watermark is the global one).
+    "ev_stream_pipeline" -> ((s, dir) =>
+      graft.streaming.EventStreams.pipelineDrain(s, dir)),
+
     // LEFT-OUTER stream-stream join, driver-checked: same time-bounded
     // click→purchase attribution as ev_stream_attrib, but never-
     // converted clicks ALSO emit (null purchase columns) once the
@@ -1818,6 +1834,21 @@ object EventsQueries extends QueryModule {
     "ev_stream_sink" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+
+    // The pipeline's sink: the standard append-mode emission horizon
+    // (window end ms <= global max event ms − 2 h) over the hourly
+    // count+sum — the time slices partition the whole table, so the
+    // final watermark is the global one and this is exactly
+    // ev_stream_hourly's horizon with ev_hourly's value sum.
+    "ev_stream_pipeline" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+        |      <= (SELECT epoch_ms(max(ts)) - 7200000 FROM events)
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
     // Matched pairs emit immediately; an unmatched click emits its null
     // row only once the global watermark W (min over both sides of
     // max event ms − 1 h) passes the end of its 1 h match window.

@@ -537,6 +537,61 @@ object TextQueries extends QueryModule {
               "from the CMS top-20")
         }
       }
+    }),
+
+    // FUZZY PAIR MINING via deletion-neighborhood blocking (r13) — the
+    // SymSpell idea, the scalable answer to "find all token pairs
+    // within edit distance 1" (typo mining / fuzzy dedup keys): two
+    // strings at distance ≤ 1 ALWAYS share a member of
+    // {token} ∪ del1(token) (substitution at i → both minus char i;
+    // insert/delete → the shorter string itself), so generating ≤
+    // len+1 variants per token and equi-joining on the variant yields
+    // a COMPLETE candidate set of size O(vocab × len) — never the
+    // O(vocab²) all-pairs scan, which is the difference between a
+    // shuffle join and an impossibility at a billion-token vocabulary.
+    // Candidates are then verified exactly (levenshtein == 1, both
+    // engines' built-in). Vocabulary bounded to confident tokens
+    // (lowercase alpha, length 4–12, corpus freq ≥ 3). The fixture's
+    // synthetic corpus is typo-free by construction (24 clean words),
+    // so typos are PLANTED deterministically (the pipe_pii_scrub
+    // discipline): the doc_id%11==5 slice re-enters with
+    // 'table'→'tabl' and 'value'→'valu' applied — both engines replay
+    // the identical corruption, and the expected pairs are exactly the
+    // planted ones plus whatever the clean corpus incidentally holds.
+    // In-path require pins the blocking's the-point property:
+    // candidate pairs checked strictly below the all-pairs count.
+    "txt_typo_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.select($"text").unionAll(
+        docs.where($"doc_id" % 11 === 5)
+          .selectExpr(
+            "replace(replace(text, 'table', 'tabl'), 'value', 'valu') " +
+              "AS text"))
+      val vocab = corpus
+        .selectExpr(s"explode($tokens) AS w0")
+        .selectExpr("lower(w0) AS w")
+        .where($"w".rlike("^[a-z]{4,12}$"))
+        .groupBy($"w").agg(count(lit(1)).as("f"))
+        .where($"f" >= 3)
+        .select($"w")
+      val variants = vocab.selectExpr("w",
+        "explode(array_union(array(w), transform(sequence(1, length(w)), " +
+          "i -> concat(substring(w, 1, i - 1), substring(w, i + 1, " +
+          "length(w)))))) AS k")
+      val candidates = variants.as("a")
+        .join(variants.as("b"),
+          $"a.k" === $"b.k" && $"a.w" < $"b.w")
+        .select($"a.w".as("tok_a"), $"b.w".as("tok_b"))
+        .distinct()
+      val nVocab = vocab.count()
+      val nCand = candidates.count()
+      require(nCand < nVocab * (nVocab - 1) / 2,
+        s"txt_typo_pairs: $nCand candidates vs ${nVocab} tokens — the " +
+          "deletion blocking did not beat all-pairs")
+      candidates
+        .where(expr("levenshtein(tok_a, tok_b) = 1"))
+        .orderBy("tok_a", "tok_b")
     })
   )
 
@@ -746,6 +801,34 @@ object TextQueries extends QueryModule {
         |      FROM documents WHERE length(text) >= 2)
         |GROUP BY bg
         |ORDER BY cnt DESC, bg
-        |LIMIT 15""".stripMargin
+        |LIMIT 15""".stripMargin,
+
+    // The same deletion-neighborhood candidate generation replayed
+    // relationally (completeness for distance ≤ 1 is a theorem, so
+    // replaying the blocking IS exact), over the identically-planted
+    // corpus, verified with DuckDB's own levenshtein.
+    "txt_typo_pairs" ->
+      s"""WITH corpus AS (
+        |  SELECT text FROM documents
+        |  UNION ALL
+        |  SELECT replace(replace(text, 'table', 'tabl'), 'value', 'valu')
+        |  FROM documents WHERE doc_id % 11 = 5),
+        |w0 AS (
+        |  SELECT lower(unnest($duckTokens)) AS w FROM corpus),
+        |v AS (
+        |  SELECT w FROM w0
+        |  WHERE regexp_full_match(w, '[a-z]{4,12}')
+        |  GROUP BY w HAVING count(*) >= 3),
+        |var AS (
+        |  SELECT w, unnest(list_append(
+        |    [substr(w, 1, i - 1) || substr(w, i + 1) FOR i IN range(1, len(w) + 1)],
+        |    w)) AS k
+        |  FROM v),
+        |cand AS (
+        |  SELECT DISTINCT a.w AS tok_a, b.w AS tok_b
+        |  FROM var a JOIN var b ON a.k = b.k AND a.w < b.w)
+        |SELECT tok_a, tok_b FROM cand
+        |WHERE levenshtein(tok_a, tok_b) = 1
+        |ORDER BY tok_a, tok_b""".stripMargin
   )
 }

@@ -726,6 +726,87 @@ object EventStreams {
     } finally deleteTree(tmp)
   }
 
+  /** END-TO-END PIPELINE drain (r13) — the versioned table as a
+    * pipeline BACKBONE, both V2 connectors CHAINED through a stateful
+    * operator in ONE streaming query:
+    *
+    *   source versioned table (3 event-time-sliced commits)
+    *     → `graft-changes` change feed  (one micro-batch PER COMMIT,
+    *       hard-asserted — so the watermark advances between commits
+    *       and closes windows incrementally, not in one catch-all)
+    *     → watermarked hourly aggregation (append mode; count + exact
+    *       decimal-summed value)
+    *     → `graft-table` exactly-once streaming sink (each emitting
+    *       epoch its own atomic commit — putIfAbsent idempotency).
+    *
+    * The commits are TIME slices (oldest first), so delivery is
+    * in-order and nothing is late-dropped; the emission horizon is the
+    * standard one (final watermark = global max event time − 2 h) and
+    * the slices partition the whole table, so the batch oracle is the
+    * plain horizon-bounded hourly aggregate. The hour rides the sink
+    * as epoch MICROS (the connector's Group-API writer is
+    * primitive-typed by design) and converts back at the read edge.
+    * This is the shape that makes the commit protocol a pipeline:
+    * upstream publishes atomic versions, the feed replays them as
+    * batch history, stateful streaming folds them, and the result
+    * lands downstream exactly once — no glue tables, no foreachBatch. */
+  def pipelineDrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val tmp = tempDir("graft_ev_pipe_")
+    try {
+      val srcTable = tmp.resolve("src")
+      val sinkTable = tmp.resolve("sink")
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        .withColumn("ts_us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+      val b = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      val (tmin, tmax) = (b.getLong(0), b.getLong(1))
+      val span = math.max(tmax - tmin + 1, 3L)
+      // The event time rides the source table as epoch MICROS: both
+      // connectors' Group-API readers/writers are primitive-typed by
+      // design, so the timestamp round-trips as a long and converts at
+      // the stream edge (timestamp_micros) / read edge.
+      def slice(i: Int) = ev
+        .where(col("ts_us") >= tmin + span * i / 3 &&
+          col("ts_us") < tmin + span * (i + 1) / 3)
+        .drop("ts")
+      VersionedTable.commit(spark, srcTable, 0L, slice(0))
+      VersionedTable.appendCommit(spark, srcTable, slice(1))
+      VersionedTable.appendCommit(spark, srcTable, slice(2))
+      // Sink bootstrap pins the AGGREGATE schema at v0.
+      VersionedTable.commit(spark, sinkTable, 0L,
+        ev.limit(0).selectExpr("ts_us AS hour_us", "event_type",
+          "CAST(0 AS BIGINT) AS n", "CAST(0.0 AS DOUBLE) AS total_value")
+          .coalesce(1))
+      val agg = spark.readStream.format("graft-changes")
+        .load(srcTable.toString)
+        .withColumn("ts_utc", expr("timestamp_micros(ts_us)"))
+        .withWatermark("ts_utc", "2 hours")
+        .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .selectExpr("unix_micros(w.start) AS hour_us", "event_type",
+          "n", "total_value")
+      val (_, batches) = awaitCounted(spark,
+        agg.writeStream.format("graft-table")
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(sinkTable.toString))
+      assertBatches(batches, 3) // one micro-batch per source commit
+      require(VersionedTable.versions(sinkTable).size >= 3,
+        "pipelineDrain: emitting epochs must land as their own atomic " +
+          "sink commits (bootstrap + >= 2 emissions)")
+      val out = spark.read.format("graft-table").load(sinkTable.toString)
+        .selectExpr(
+          "CAST(timestamp_micros(hour_us) AS timestamp_ntz) AS hour_start",
+          "event_type", "n", "total_value")
+        .orderBy("hour_start", "event_type")
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally deleteTree(tmp)
+  }
+
   /** Stage a batch slice through a one-file write, then move the part
     * file into the flat source dir the stream lists as `fileName`;
     * returns its row count. */
