@@ -56,7 +56,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * deletes, in commit order. Schema-evolution commits always fail the
   * stream: a stream's schema is pinned at start. Options:
   * `startingVersion` (default 0 — serve history from the beginning),
-  * `maxVersionsPerTrigger`, `ignoreDeletes`, `readChangeFeed`.
+  * `maxVersionsPerTrigger`, `ignoreDeletes`, `readChangeFeed`, and
+  * `ref` (stream ONE branch's line of history — its advances since the
+  * fork; without it a table holding branch refs is refused, since its
+  * raw log interleaves lines of history).
   *
   * Supported payload columns: the parquet primitives the fixtures use
   * (BOOLEAN, INT32, INT64, FLOAT, DOUBLE, UTF8 BINARY). Nested and
@@ -76,11 +79,17 @@ class TableChangesSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     // Option keys arrive however the caller typed them — normalize.
     val opts = new CaseInsensitiveStringMap(properties)
+    val ref = Option(opts.get("ref"))
+    require(ref.isEmpty || !opts.containsKey("startingVersion"),
+      "graft-changes: options 'ref' and 'startingVersion' are mutually " +
+        "exclusive — a ref feed starts at the branch's fork (seed the " +
+        "mirror with a batch readRef at the fork, then stream advances)")
     new ChangesTable(opts.get("path"), schema,
       opts.getOrDefault("startingVersion", "0").toLong,
       opts.getOrDefault("maxVersionsPerTrigger", "1").toInt,
       opts.getBoolean("ignoreDeletes", false),
-      opts.getBoolean("readChangeFeed", false))
+      opts.getBoolean("readChangeFeed", false),
+      ref)
   }
 }
 
@@ -139,7 +148,7 @@ object TableChangesSource {
 
 private[sources] class ChangesTable(path: String, schema0: StructType,
     startingVersion: Long, maxVersionsPerTrigger: Int, ignoreDeletes: Boolean,
-    readChangeFeed: Boolean)
+    readChangeFeed: Boolean, ref: Option[String] = None)
     extends Table with SupportsRead {
 
   override def name(): String = s"graft-changes($path)"
@@ -164,7 +173,7 @@ private[sources] class ChangesTable(path: String, schema0: StructType,
         override def toMicroBatchStream(
             checkpointLocation: String): MicroBatchStream =
           new ChangesStream(path, required, startingVersion,
-            maxVersionsPerTrigger, ignoreDeletes, readChangeFeed)
+            maxVersionsPerTrigger, ignoreDeletes, readChangeFeed, ref)
       }
     }
 }
@@ -177,11 +186,48 @@ private[sources] case class VersionOffset(version: Long) extends Offset {
 
 private[sources] class ChangesStream(path: String, schema: StructType,
     startingVersion: Long, maxVersionsPerTrigger: Int, ignoreDeletes: Boolean,
-    readChangeFeed: Boolean)
+    readChangeFeed: Boolean, ref: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   import graft.operators.VersionedTable
 
   private val table = java.nio.file.Paths.get(path)
+
+  /** BRANCH-PINNED FEED (r13): with `option("ref", name)` the feed
+    * serves ONLY the named branch's own line of history — its ref log
+    * (fork + every CAS'd advance) IS that history, so admission
+    * filters to those versions and other branches' interleaved commits
+    * (and orphaned lost-race snapshots) are invisible. The feed starts
+    * AFTER the fork: seed a mirror with a batch `readRef` at the fork,
+    * then stream the advances — the Delta CDF "initial snapshot by
+    * batch, then changes" pattern, which sidesteps the fork-content
+    * question entirely. Re-read per trigger so advances landing
+    * mid-stream are picked up. A rolled-back branch (advanceRef to an
+    * older version) breaks offset monotonicity and fails loudly.
+    * WITHOUT a ref, a table that HAS branch refs is refused: its raw
+    * log interleaves lines of history, and a feed over it would hand a
+    * trunk consumer another branch's rows. */
+  private def refAdvances(): Option[(Long, Seq[Long])] = ref.map { r =>
+    val es = VersionedTable.refEntries(table, r)
+    require(es.nonEmpty, s"graft-changes: no ref '$r' at $path")
+    require(es.head._2 == "branch",
+      s"graft-changes: ref '$r' is a ${es.head._2} — a tag never " +
+        "advances, so it has no change feed; read it batch via readRef")
+    val vs = es.map(_._3)
+    require(vs == vs.sorted,
+      s"graft-changes: ref '$r' was rolled back (advances $vs are not " +
+        "monotone) — restart the feed from a fresh checkpoint")
+    (vs.head, vs.tail.distinct)
+  }
+
+  private def admissible(v: Long): Boolean = refAdvances() match {
+    case Some((_, advances)) => advances.contains(v)
+    case None =>
+      require(VersionedTable.refs(table).forall(_._2 != "branch"),
+        s"graft-changes: $path has branch refs — commits of different " +
+          "lines of history interleave in its log; pin option(\"ref\", " +
+          "<branch>) to stream one line")
+      true
+  }
 
   /** AvailableNow snapshot target: commits landing AFTER the run
     * started are left for the next run. Implemented natively (the file
@@ -191,10 +237,17 @@ private[sources] class ChangesStream(path: String, schema: StructType,
   @volatile private var availableNowTarget: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget =
-      Some(VersionedTable.latestVersion(table).getOrElse(startingVersion - 1))
+    availableNowTarget = Some(refAdvances() match {
+      case Some((fork, advances)) => advances.lastOption.getOrElse(fork)
+      case None =>
+        VersionedTable.latestVersion(table).getOrElse(startingVersion - 1)
+    })
 
-  override def initialOffset(): Offset = VersionOffset(startingVersion - 1)
+  override def initialOffset(): Offset =
+    VersionOffset(refAdvances() match {
+      case Some((fork, _)) => fork // "processed through the fork"
+      case None => startingVersion - 1
+    })
 
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.trim.toLong)
@@ -207,7 +260,8 @@ private[sources] class ChangesStream(path: String, schema: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[VersionOffset].version
     val pending = VersionedTable.versions(table)
-      .filter(v => v > from && availableNowTarget.forall(v <= _))
+      .filter(v => v > from && availableNowTarget.forall(v <= _) &&
+        admissible(v))
     if (pending.isEmpty) start
     else VersionOffset(pending.take(maxVersionsPerTrigger).last)
   }
@@ -217,16 +271,20 @@ private[sources] class ChangesStream(path: String, schema: StructType,
       "graft-changes drives latestOffset(start, limit) via " +
         "SupportsAdmissionControl")
 
-  override def reportLatestOffset(): Offset =
-    VersionedTable.latestVersion(table).map(VersionOffset(_))
-      .getOrElse(VersionOffset(startingVersion - 1))
+  override def reportLatestOffset(): Offset = refAdvances() match {
+    case Some((fork, advances)) =>
+      VersionOffset(advances.lastOption.getOrElse(fork))
+    case None =>
+      VersionedTable.latestVersion(table).map(VersionOffset(_))
+        .getOrElse(VersionOffset(startingVersion - 1))
+  }
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[VersionOffset].version
     val hi = end.asInstanceOf[VersionOffset].version
     VersionedTable.versions(table)
-      .filter(v => v > lo && v <= hi)
+      .filter(v => v > lo && v <= hi && admissible(v))
       .flatMap { v =>
         // A REWRITE commit (compaction / copy-on-write merge) drops
         // manifest lines — unrepresentable as appends+deletes: serving

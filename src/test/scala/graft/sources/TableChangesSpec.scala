@@ -55,6 +55,31 @@ class TableChangesSpec extends SparkSpec {
     assert(drainAll(t, Map("startingVersion" -> "1")) == Seq((3L, 1L)))
   }
 
+  test("option(ref) streams one branch's line; unpinned branched tables refuse") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2))
+    VersionedTable.branchCreate(t, "a", 0L)
+    VersionedTable.branchCreate(t, "b", 0L)
+    VersionedTable.branchCommit(spark, t, "a", df(10))   // v1
+    VersionedTable.branchCommit(spark, t, "b", df(20))   // v2
+    VersionedTable.branchCommit(spark, t, "a", df(11))   // v3
+    // Pinned to a: only a's advances, b's interleaved commit invisible.
+    assert(drainAll(t, Map("ref" -> "a")) == Seq((10L, 1L), (11L, 3L)))
+    // Unpinned: the raw log interleaves lines of history — refuse.
+    val e = intercept[Exception] { drainAll(t) }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => Option(c.getMessage).exists(_.contains("branch refs"))))
+    // A tag has no feed; ref+startingVersion refuse together.
+    VersionedTable.tagCreate(t, "pin", 0L)
+    intercept[Exception] { drainAll(t, Map("ref" -> "pin")) }
+    intercept[Exception] {
+      drainAll(t, Map("ref" -> "a", "startingVersion" -> "1"))
+    }
+    // A rolled-back branch breaks monotonicity — fail loudly.
+    VersionedTable.advanceRef(t, "a", 1L)
+    intercept[Exception] { drainAll(t, Map("ref" -> "a")) }
+  }
+
   test("a delete commit fails the append feed unless ignoreDeletes") {
     import spark.implicits._
     val t = freshTable()
