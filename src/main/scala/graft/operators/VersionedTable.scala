@@ -414,6 +414,7 @@ object VersionedTable {
     * a plain delete. Returns the merge's published version. */
   def mergeCommit(s: SparkSession, table: Path, updates: DataFrame,
                   keyCol: String, checkpointEvery: Int = 8): Long = {
+    refuseBranched(table, "mergeCommit")
     val base = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(
         s"mergeCommit: no committed version at $table to merge into"))
@@ -441,6 +442,9 @@ object VersionedTable {
     * retry loop: the caller owns conflict semantics. */
   def commitAppend(s: SparkSession, table: Path, version: Long,
                    df: DataFrame, checkpointEvery: Int = 8): Seq[String] = {
+    // The version is pinned but the delta BASES on the global latest —
+    // the same interleave hazard as any version-unaware writer.
+    refuseBranched(table, "commitAppend")
     val dataDir = newDataDir(table, version)
     df.write.parquet(dataDir.toString)
     // The streaming-sink path honors CHECK constraints too: a poisoned
@@ -898,6 +902,7 @@ object VersionedTable {
                    maxAttempts: Int = 10,
                    beforeAttempt: Long => Unit = _ => (),
                    checkpointEvery: Int = 8): Committed = {
+    refuseBranched(table, "appendCommit")
     val dataDir = table.resolve("data").resolve(
       "append-" + java.util.UUID.randomUUID().toString.take(8))
     df.write.parquet(dataDir.toString)
@@ -978,6 +983,7 @@ object VersionedTable {
                op: DataFrame => DataFrame,
                maxAttempts: Int = 5,
                beforeAttempt: Long => Unit = _ => ()): Committed = {
+    refuseBranched(table, "transact")
     var conflicts = 0
     while (conflicts < maxAttempts) {
       val base = latestVersion(table).getOrElse(
@@ -1040,6 +1046,7 @@ object VersionedTable {
                   set: Seq[(String, String)],
                   checkpointEvery: Int = 8): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.{col, expr, when}
+    refuseBranched(table, "updateWhere")
     require(set.nonEmpty, "updateWhere: no SET assignments")
     val base = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(
@@ -1113,6 +1120,7 @@ object VersionedTable {
                     statsCol: Option[String] = None,
                     files: Int = 4): Long = {
     import org.apache.spark.sql.functions.col
+    refuseBranched(table, "compactCommit")
     val base = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(
         s"compactCommit: no committed version at $table"))
@@ -1319,6 +1327,19 @@ object VersionedTable {
       s"branchCreate: version $version was never committed at $table")
     publishRef(table, name, 0L, "branch", version)
   }
+
+  /** Version-unaware writers (appendCommit, transact, mergeCommit,
+    * updateWhere, compactCommit) base on the GLOBAL latest snapshot —
+    * which, once branch refs exist, may be whichever line of history
+    * last interleaved a commit. Basing trunk work on another branch's
+    * head would silently merge histories, so those writers REFUSE
+    * branched tables (the change feed's stance): write through
+    * [[branchCommit]] against an explicit ref instead. */
+  private def refuseBranched(table: Path, what: String): Unit =
+    require(refs(table).forall(_._2 != "branch"),
+      s"$what: $table has branch refs — lines of history interleave in " +
+        "its log, and a version-unaware writer would base on whichever " +
+        "advanced last; commit through branchCommit(<ref>) instead")
 
   /** CAS-advance a branch ref to an arbitrary committed version — the
     * ROLLBACK/RETARGET verb (Iceberg's replace-branch): moving a

@@ -478,6 +478,59 @@ object EmbeddingQueries extends QueryModule {
         .orderBy("qid", "rank")
     }),
 
+    // BINARY QUANTIZATION + HAMMING SHORTLIST + EXACT RERANK (r13) —
+    // the 1-bit end of the quantization family (float → int8 sq →
+    // PQ → sign bit): each 64-dim vector compresses to ONE 64-bit
+    // word (bit i = dim i above the per-dim corpus mean — 256×
+    // smaller than float32), the probe scan ranks by
+    // bit_count(code ^ pcode) — one XOR+popcount per candidate, the
+    // cheapest similarity there is, and the reason BQ is the
+    // first-stage filter of modern vector stores — and the hamming
+    // top-10 shortlist is exactly reranked on the stored fixed-point
+    // vectors. Fully deterministic (integer means via truncating
+    // division, hamming and score ties by vec_id), so the oracle
+    // replays the whole two-stage route exactly — quantization loss
+    // vs float ranking is the measured trade, not a bug (the
+    // emb_sq8_topk stance). At 100 TB: the corpus scan touches 8
+    // bytes/vector; full vectors are read for 10 rows per probe.
+    "emb_bq_topk" -> ((s, dir) => {
+      import s.implicits._
+      val v6 = Tables.embeddings(s, dir).selectExpr("vec_id",
+        "transform(cast(embedding AS array<double>), " +
+          "x -> CAST(floor(x * 1000000) AS BIGINT)) AS v6")
+      val meanRows = v6.selectExpr("posexplode(v6) AS (pos, v)")
+        .groupBy($"pos").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+        .orderBy("pos").collect()
+      require(meanRows.length == 64,
+        s"emb_bq_topk: expected 64 dims, got ${meanRows.length}")
+      // Truncating integer division — deterministic and replayed
+      // byte-identically by DuckDB's `//`.
+      val means = meanRows.map(r => r.getLong(1) / r.getLong(2)).toSeq
+      val coded = v6.withColumn("ms", typedLit(means))
+        .selectExpr("vec_id", "v6",
+          "aggregate(zip_with(zip_with(v6, ms, (x, m) -> CASE WHEN x > m " +
+            "THEN 1L ELSE 0L END), sequence(0, 63), (b, p) -> " +
+            "shiftleft(b, CAST(p AS INT))), 0L, (acc, x) -> acc | x) " +
+            "AS code")
+      val probes = coded.where($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"code".as("pcode"), $"v6".as("pv6"))
+      val wH = Window.partitionBy($"qid").orderBy($"ham".asc, $"vec_id")
+      val short = coded.join(broadcast(probes), $"vec_id" =!= $"qid")
+        .selectExpr("qid", "vec_id", "v6", "pv6",
+          "bit_count(code ^ pcode) AS ham")
+        .withColumn("hrank", row_number().over(wH))
+        .where($"hrank" <= 10)
+      val wS = Window.partitionBy($"qid").orderBy($"score".desc, $"vec_id")
+      short.selectExpr("qid", "vec_id",
+          "aggregate(zip_with(pv6, v6, (a, b) -> a * b), 0L, " +
+            "(acc, x) -> acc + x) AS score")
+        .withColumn("rank", row_number().over(wS))
+        .where($"rank" <= 3)
+        .selectExpr("qid", "CAST(rank AS BIGINT) AS rank",
+          "vec_id AS nid", "score")
+        .orderBy("qid", "rank")
+    }),
+
     // K-MEANS, Lloyd's algorithm (r11): REAL iterative clustering (the
     // other emb queries use the label centroids as a deterministic
     // k-means stand-in — this is the trainer that would produce such a
@@ -1230,6 +1283,47 @@ object EmbeddingQueries extends QueryModule {
         |    row_number() OVER (PARTITION BY qid
         |      ORDER BY score DESC, nid) AS rk
         |  FROM dot)
+        |SELECT qid, CAST(rk AS BIGINT) AS rank, nid, score
+        |FROM r WHERE rk <= 3
+        |ORDER BY qid, rank""".stripMargin,
+    // The identical two-stage route replayed relationally: per-dim
+    // truncated-integer means (sign-safe //), sign bits, per-pair
+    // hamming as a bit-diff sum (no packing needed relationally —
+    // the 64-bit word + XOR/popcount is the Spark side's performance
+    // form, not a semantic), hamming top-10 shortlist, exact
+    // fixed-point dot rerank, ties by id everywhere.
+    "emb_bq_topk" ->
+      """WITH q AS (SELECT vec_id, d.i AS i,
+        |    CAST(floor(embedding[d.i]::DOUBLE * 1000000) AS BIGINT) AS v6
+        |  FROM embeddings, range(1, 65) d(i)),
+        |m AS (SELECT i, CAST(sum(v6) AS BIGINT) AS s, count(*) AS n
+        |  FROM q GROUP BY i),
+        |mm AS (SELECT i,
+        |    CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END AS mean6
+        |  FROM m),
+        |b AS (SELECT q.vec_id, q.i, q.v6,
+        |    CASE WHEN q.v6 > mm.mean6 THEN 1 ELSE 0 END AS bit
+        |  FROM q JOIN mm USING (i)),
+        |ham AS (SELECT p.vec_id AS qid, c.vec_id AS vid,
+        |    CAST(sum(CASE WHEN p.bit != c.bit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ham
+        |  FROM b p JOIN b c ON p.i = c.i
+        |    AND p.vec_id < 10 AND c.vec_id != p.vec_id
+        |  GROUP BY 1, 2),
+        |short AS (SELECT qid, vid FROM (
+        |    SELECT qid, vid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY ham, vid) AS hr
+        |    FROM ham) WHERE hr <= 10),
+        |sc AS (SELECT s.qid, s.vid AS nid,
+        |    CAST(sum(p.v6 * c.v6) AS BIGINT) AS score
+        |  FROM short s
+        |  JOIN b p ON p.vec_id = s.qid
+        |  JOIN b c ON c.vec_id = s.vid AND c.i = p.i
+        |  GROUP BY 1, 2),
+        |r AS (SELECT qid, nid, score,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, nid) AS rk
+        |  FROM sc)
         |SELECT qid, CAST(rk AS BIGINT) AS rank, nid, score
         |FROM r WHERE rk <= 3
         |ORDER BY qid, rank""".stripMargin,

@@ -551,6 +551,17 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.refEntries(t, "a").map(_._3) == Seq(0L, 1L))
     assert(VersionedTable.refs(t).map(r => (r._1, r._2)) ==
       Seq(("a", "branch"), ("b", "branch"), ("rel", "tag")))
+    // Version-unaware writers refuse a branched table: basing on the
+    // global latest would silently merge lines of history.
+    intercept[IllegalArgumentException] {
+      VersionedTable.appendCommit(spark, t, df(99))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.transact(spark, t, identity)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.compactCommit(spark, t)
+    }
   }
 
   test("expire pins ref heads: a tagged old version survives vacuum") {
