@@ -3006,6 +3006,61 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // SQL DML THROUGH THE CATALOG (r13) — DELETE and INSERT as plain
+    // SQL, both routed through the commit protocol: `DELETE FROM
+    // graftcat.docs WHERE doc_id IN (…)` publishes a MERGE-ON-READ
+    // deletion-vector commit (O(deleted keys), base data lines carried
+    // byte-verbatim — witnessed; the V2 SupportsDelete hook), and
+    // `INSERT INTO graftcat.docs SELECT …` stages on executors and
+    // publishes an O(batch) delta through the same putIfAbsent commit
+    // point (the V2 write path — no bespoke API anywhere in this
+    // query: a SQL user gets atomic versions, time travel, and
+    // cheap deletes without knowing the protocol exists). In-path:
+    // the delete rewrote nothing, the insert carried everything, both
+    // landed as their own versions, and an unsupported DELETE
+    // predicate (a range — not expressible as a key-list DV) refuses
+    // loudly instead of partially deleting.
+    "pipe_sql_dml" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vdml_")
+      try {
+        val table = tmp.resolve("docs")
+        VersionedTable.commit(s, table, 0L,
+          Tables.documents(s, dir).select($"doc_id", $"lang", $"n_chars"))
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        s2.sql("DELETE FROM graftcat.docs WHERE doc_id IN (3, 17, 41)")
+        require(VersionedTable.deletionVectors(table, 1L).nonEmpty,
+          "pipe_sql_dml: the SQL DELETE must publish a deletion-vector " +
+            "commit")
+        require(VersionedTable.statsManifest(table, 0L).map(_._1).toSet
+            .subsetOf(VersionedTable.statsManifest(table, 1L).map(_._1)
+              .toSet),
+          "pipe_sql_dml: the SQL DELETE rewrote data files — a delete " +
+            "must cost O(deleted keys)")
+        s2.sql(
+          """INSERT INTO graftcat.docs
+            |SELECT doc_id + 2199023255552, lang, n_chars
+            |FROM graftcat.docs VERSION AS OF 0
+            |WHERE doc_id IN (1, 2)""".stripMargin)
+        require(VersionedTable.versions(table) == Seq(0L, 1L, 2L),
+          "pipe_sql_dml: DELETE then INSERT must land as versions 1 " +
+            s"and 2 — history reads ${VersionedTable.versions(table)}")
+        // A range DELETE is not a key list: refuse, don't half-delete.
+        require(scala.util.Try(s2.sql(
+            "DELETE FROM graftcat.docs WHERE doc_id > 100")).isFailure,
+          "pipe_sql_dml: a range DELETE must refuse (only key-list " +
+            "deletes map to deletion vectors)")
+        val out = s2.sql(
+          "SELECT doc_id, lang, n_chars FROM graftcat.docs ORDER BY doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     "pipe_commit_conflict" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.VersionedTable
@@ -4102,6 +4157,22 @@ object DedupQueries extends QueryModule {
         |FROM refs
         |GROUP BY ref
         |ORDER BY ref""".stripMargin,
+
+    // The SQL DML pair applied relationally: base minus the three
+    // deleted keys, plus the two inserted clones (selected from the
+    // PRE-delete snapshot — doc_id 1 and 2 survive the delete anyway,
+    // so the time-travel read equals the trivial one here; the
+    // in-path version history is what pins the mechanism).
+    "pipe_sql_dml" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id NOT IN (3, 17, 41)
+        |  UNION ALL
+        |  SELECT doc_id + 2199023255552, lang, n_chars
+        |  FROM documents WHERE doc_id IN (1, 2))
+        |ORDER BY doc_id""".stripMargin,
 
     // The copy-on-write update applied relationally, full-row: the
     // partial rewrite must change exactly the predicate's rows and

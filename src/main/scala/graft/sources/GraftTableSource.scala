@@ -272,7 +272,9 @@ private[sources] class GraftTable(path: String, schema0: StructType,
     version: Long, statsCol: Option[String])
     extends Table
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  import graft.operators.VersionedTable
 
   override def name(): String = s"graft-table($path@v$version)"
   override def schema(): StructType = schema0
@@ -288,6 +290,61 @@ private[sources] class GraftTable(path: String, schema0: StructType,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(path, info)
+
+  /** SQL DELETE → MERGE-ON-READ DV COMMIT: `DELETE FROM graftcat.t
+    * WHERE key IN (…)` publishes a deletion-vector commit — cost
+    * O(deleted keys) whatever the table weighs, never a rewrite (the
+    * [[graft.operators.VersionedTable.deleteCommit]] contract, now
+    * reachable from plain SQL). Supported predicate shapes: ONE
+    * equality or IN on a single column — exactly what a key-list DV
+    * can express; anything else refuses via `canDeleteWhere`, so Spark
+    * raises the standard cannot-delete error instead of a silent
+    * partial delete. Refused on branched tables (version-unaware
+    * writer) and when live DVs use a different key column (readers
+    * require one DV key per table). */
+  private def deleteKeySet(
+      filters: Array[Filter]): Option[(String, Seq[Any])] = filters match {
+    case Array(EqualTo(c, v)) => Some((c, Seq(v)))
+    case Array(In(c, vs)) if vs.nonEmpty => Some((c, vs.toSeq))
+    case _ => None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    deleteKeySet(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (keyCol, values) = deleteKeySet(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        "graft-table: DELETE supports one equality or IN predicate on " +
+          s"a single column; got [${filters.mkString(", ")}]"))
+    val table = java.nio.file.Paths.get(path)
+    require(VersionedTable.refs(table).forall(_._2 != "branch"),
+      s"graft-table: $path has branch refs — DELETE through the " +
+        "protocol against an explicit ref instead")
+    val base = VersionedTable.latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-table: no committed version at $path"))
+    val existingKeyCols =
+      VersionedTable.deletionVectors(table, base).map(_._2).distinct
+    require(existingKeyCols.forall(_ == keyCol),
+      s"graft-table: live deletion vectors key on $existingKeyCols — a " +
+        s"DELETE keyed on '$keyCol' would poison merge-on-read")
+    val field = schema0.fields.find(_.name == keyCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-table: DELETE column '$keyCol' is not in the schema"))
+    def coerce(v: Any): Any = (field.dataType, v) match {
+      case (LongType, n: java.lang.Number) => java.lang.Long.valueOf(n.longValue)
+      case (IntegerType, n: java.lang.Number) => Integer.valueOf(n.intValue)
+      case (StringType, s) => String.valueOf(s)
+      case _ => v
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    val keys = spark.createDataFrame(
+      values.map(v => org.apache.spark.sql.Row(coerce(v))).asJava,
+      StructType(Seq(field)))
+    VersionedTable.deleteCommit(spark, table, base + 1, keys, keyCol)
+    ()
+  }
 }
 
 private[sources] sealed trait MetaAggFunc extends Serializable

@@ -90,6 +90,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(pruned.count() == 11)
   }
 
+  test("SQL DELETE publishes a DV commit; unsupported shapes refuse") {
+    import spark.implicits._
+    val root = staged()
+    val t = root.resolve("nums")
+    val s2 = session(root)
+    s2.sql("DELETE FROM g.nums WHERE id IN (5, 7)")
+    assert(VersionedTable.deletionVectors(
+      t, VersionedTable.latestVersion(t).get).nonEmpty,
+      "SQL DELETE must land as a deletion-vector commit")
+    assert(s2.sql("SELECT count(*) AS n FROM g.nums").head().getLong(0)
+      == 99) // 101 - 2
+    // Equality form too; then the refusals: range predicates and a
+    // second key column.
+    s2.sql("DELETE FROM g.nums WHERE id = 9")
+    assert(s2.sql("SELECT count(*) AS n FROM g.nums").head().getLong(0)
+      == 98)
+    intercept[Exception] { s2.sql("DELETE FROM g.nums WHERE id > 50") }
+    // INSERT INTO routes through the V2 write path: an O(batch) commit.
+    val before = VersionedTable.latestVersion(t).get
+    s2.sql("INSERT INTO g.nums SELECT 5000 AS id")
+    assert(VersionedTable.latestVersion(t).contains(before + 1))
+    assert(s2.sql("SELECT count(*) AS n FROM g.nums").head().getLong(0)
+      == 99)
+  }
+
   test("DDL is refused: writes route through the commit protocol") {
     val root = staged()
     val s2 = session(root)
