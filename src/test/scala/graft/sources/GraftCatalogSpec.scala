@@ -90,6 +90,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(pruned.count() == 11)
   }
 
+  test("SQL count(*) over a counted table is answered from the manifest") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = Files.createTempDirectory("graft_cat_spec_")
+    VersionedTable.commitWithStats(spark, root.resolve("nums"), 0L,
+      spark.range(0, 100).toDF("id").repartitionByRange(4, $"id"), "id",
+      rowCounts = true)
+    val s2 = session(root)
+    val df = s2.sql("SELECT count(*) AS n, min(id) AS mn FROM g.nums")
+    val physical = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(physical.collect { case b: BatchScanExec => b.scan.description() }
+      .exists(_.contains("aggPushed=")),
+      "a catalog SQL count/min over ROWS+zonemap manifests must be " +
+        "answered at planning time")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((100L, 0L)))
+  }
+
   test("SQL DELETE publishes a DV commit; unsupported shapes refuse") {
     import spark.implicits._
     val root = staged()
