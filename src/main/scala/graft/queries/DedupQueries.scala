@@ -3061,6 +3061,65 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // SQL STORED PROCEDURES — table maintenance from CALL (r13) — the
+    // protocol's lifecycle verbs as plain SQL (Spark 4 ProcedureCatalog,
+    // the Iceberg-procedures shape): stage a table carrying real debt
+    // (a deletion vector from a SQL DELETE, a CHECK constraint, 32
+    // ingest-fragmented files), then run the whole maintenance cycle
+    // without touching the library API — `CALL graftcat.compact(...)`
+    // folds the DV into right-sized re-clustered files and CARRIES the
+    // constraint (witnessed), `CALL graftcat.tag(...)` pins the clean
+    // snapshot, `CALL graftcat.expire(...)` vacuums the fragmented
+    // history (witnessed: files and manifests reclaimed, the expired
+    // version unreadable, the tag still serving). Each CALL returns
+    // its witness rows through a LocalScan, inspectable in SQL. The
+    // oracle proves the full cycle content-lossless: the final table
+    // is exactly base minus the deleted keys.
+    "pipe_sql_maintain" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vmaint_")
+      try {
+        val table = tmp.resolve("docs")
+        VersionedTable.commit(s, table, 0L,
+          Tables.documents(s, dir).select($"doc_id", $"lang", $"n_chars")
+            .repartition(32))
+        VersionedTable.constraintCommit(s, table, 1L, "n_chars >= 0")
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        s2.sql("DELETE FROM graftcat.docs WHERE doc_id IN (3, 17)")
+        val res = s2.sql("CALL graftcat.compact('docs', 'doc_id', 4)")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(res("version") == 3L && res("files") <= 4L,
+          s"pipe_sql_maintain: CALL compact must report v3 with <= 4 " +
+            s"files, got $res")
+        require(VersionedTable.deletionVectors(table, 3L).isEmpty &&
+            VersionedTable.checkConstraints(table, 3L)
+              == Seq("n_chars >= 0"),
+          "pipe_sql_maintain: compaction must fold the DV and carry " +
+            "the CHECK")
+        s2.sql("CALL graftcat.tag('docs', 'release', 3)")
+        val exp = s2.sql("CALL graftcat.expire('docs', 3)")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(exp("files_deleted") > 0L && exp("versions_expired") >= 3L,
+          s"pipe_sql_maintain: the vacuum must reclaim the fragmented " +
+            s"pre-compaction files and manifests, got $exp")
+        require(VersionedTable.readRef(s, table, "release").count() == 498L,
+          "pipe_sql_maintain: the release tag must read the compacted " +
+            "snapshot (500 - 2 deleted) after the vacuum")
+        require(scala.util.Try(
+            VersionedTable.read(s, table, Some(0L))).isFailure,
+          "pipe_sql_maintain: the expired fragmented version must be " +
+            "unreadable after the vacuum")
+        val out = s2.sql(
+          "SELECT doc_id, lang, n_chars FROM graftcat.docs ORDER BY doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     "pipe_commit_conflict" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.VersionedTable
@@ -4157,6 +4216,15 @@ object DedupQueries extends QueryModule {
         |FROM refs
         |GROUP BY ref
         |ORDER BY ref""".stripMargin,
+
+    // The maintenance cycle must be content-lossless: the final table
+    // is exactly base minus the two SQL-deleted keys.
+    "pipe_sql_maintain" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE doc_id NOT IN (3, 17)
+        |ORDER BY doc_id""".stripMargin,
 
     // The SQL DML pair applied relationally: base minus the three
     // deleted keys, plus the two inserted clones (selected from the

@@ -3,11 +3,15 @@ package graft.sources
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataTypes, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.VersionedTable
 
@@ -40,10 +44,114 @@ import graft.operators.VersionedTable
   * — the atomic putIfAbsent publish is the consistency story, and a
   * catalog write path would bypass it.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: java.nio.file.Path = _
+
+  /** SQL STORED PROCEDURES (r13) — the table-maintenance verbs as
+    * plain `CALL` statements (Spark 4's ProcedureCatalog, the
+    * Iceberg-procedures shape), so an operator runs the protocol's
+    * lifecycle without touching the library API:
+    * {{{
+    *   CALL graftcat.compact('docs')              -- fold DVs/mappings,
+    *                                              -- keep constraints
+    *   CALL graftcat.compact('docs', 'doc_id', 8) -- re-cluster + stats
+    *   CALL graftcat.expire('docs', 2)            -- vacuum below v2
+    *   CALL graftcat.tag('docs', 'release', 3)    -- immutable pin
+    * }}}
+    * Each returns its witness rows (key, value) — published version,
+    * files deleted, … — through a LocalScan, so the CALL's result is
+    * inspectable in SQL like any query. DML-class refusals (branched
+    * tables, tag re-creation) surface as the procedure's error. */
+  private def tableAt(name: String): java.nio.file.Path = {
+    val p = root.resolve(name)
+    if (VersionedTable.latestVersion(p).isEmpty)
+      throw new NoSuchTableException(Identifier.of(Array.empty, name))
+    p
+  }
+
+  private def proc(pname: String, doc: String,
+                   ps: Seq[ProcedureParameter],
+                   run: InternalRow => Seq[(String, Long)]): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = pname
+      override def description(): String = doc
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = ps.toArray
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val out = run(input)
+        java.util.Collections.singletonList(new LocalScan {
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("key", DataTypes.StringType, nullable = false),
+            StructField("value", DataTypes.LongType, nullable = false)))
+          override def rows(): Array[InternalRow] = out.map { case (k, v) =>
+            InternalRow(UTF8String.fromString(k), java.lang.Long.valueOf(v))
+          }.toArray
+          override def description(): String = s"graft-procedure $pname"
+        }: Scan).iterator()
+      }
+    }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    Array("compact", "expire", "tag").map(Identifier.of(Array.empty, _))
+  }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (ident.namespace.nonEmpty)
+      throw new RuntimeException(s"unknown procedure $ident")
+    ident.name match {
+      case "compact" => proc("compact",
+        "Fold deletion vectors and schema mappings into right-sized " +
+          "current-schema files; recompute stats/ROWS; carry CHECK " +
+          "constraints. compact(table, stats_col => NULL, files => 4)",
+        Seq(ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("stats_col", DataTypes.StringType)
+            .defaultValue("NULL").build(),
+          ProcedureParameter.in("files", DataTypes.IntegerType)
+            .defaultValue("4").build()),
+        { in =>
+          val t = tableAt(in.getUTF8String(0).toString)
+          val statsCol =
+            if (in.isNullAt(1)) None else Some(in.getUTF8String(1).toString)
+          val v = VersionedTable.compactCommit(
+            org.apache.spark.sql.SparkSession.active, t, statsCol,
+            in.getInt(2))
+          Seq("version" -> v,
+            "files" -> VersionedTable.statsManifest(t, v).size.toLong)
+        })
+      case "expire" => proc("expire",
+        "Expire versions below keep_from and vacuum unreferenced files " +
+          "(ref heads, BASE chains and DV origins stay pinned). " +
+          "expire(table, keep_from)",
+        Seq(ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("keep_from", DataTypes.LongType).build()),
+        { in =>
+          val (deleted, expired) = VersionedTable.expire(
+            tableAt(in.getUTF8String(0).toString), in.getLong(1))
+          Seq("files_deleted" -> deleted.toLong,
+            "versions_expired" -> expired.toLong)
+        })
+      case "tag" => proc("tag",
+        "Create an immutable named pin at a committed version. " +
+          "tag(table, name, version)",
+        Seq(ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("name", DataTypes.StringType).build(),
+          ProcedureParameter.in("version", DataTypes.LongType).build()),
+        { in =>
+          val t = tableAt(in.getUTF8String(0).toString)
+          VersionedTable.tagCreate(t, in.getUTF8String(1).toString,
+            in.getLong(2))
+          Seq("version" -> in.getLong(2))
+        })
+      case other =>
+        throw new RuntimeException(
+          s"graft catalog '$catalogName': unknown procedure '$other' " +
+            "(available: compact, expire, tag)")
+    }
+  }
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {

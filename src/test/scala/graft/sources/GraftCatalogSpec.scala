@@ -137,6 +137,33 @@ class GraftCatalogSpec extends SparkSpec {
       == 99)
   }
 
+  test("CALL procedures run the maintenance verbs from plain SQL") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cat_spec_")
+    val t = root.resolve("nums")
+    VersionedTable.commit(spark, t, 0L,
+      spark.range(0, 50).toDF("id").repartition(8))
+    VersionedTable.constraintCommit(spark, t, 1L, "id >= 0")
+    VersionedTable.deleteCommit(spark, t, 2L, Seq(7L).toDF("id"), "id")
+    val s2 = session(root)
+    // compact: folds the DV, keeps the CHECK, reports its version.
+    val res = s2.sql("CALL g.compact('nums', 'id', 2)").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res("version") == 3L && res("files") <= 2L)
+    assert(VersionedTable.deletionVectors(t, 3L).isEmpty)
+    assert(VersionedTable.checkConstraints(t, 3L) == Seq("id >= 0"))
+    // tag then expire: the pin survives the vacuum below it.
+    s2.sql("CALL g.tag('nums', 'keep', 0)")
+    val exp = s2.sql("CALL g.expire('nums', 3)").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exp("versions_expired") >= 1L)
+    assert(VersionedTable.readRef(spark, t, "keep").count() == 50)
+    assert(VersionedTable.read(spark, t).count() == 49)
+    // Refusals surface as the CALL's error.
+    intercept[Exception] { s2.sql("CALL g.tag('nums', 'keep', 3)") }
+    intercept[Exception] { s2.sql("CALL g.nosuch('nums')") }
+  }
+
   test("DDL is refused: writes route through the commit protocol") {
     val root = staged()
     val s2 = session(root)
