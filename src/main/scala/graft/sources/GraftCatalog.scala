@@ -96,7 +96,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array("compact", "expire", "tag").map(Identifier.of(Array.empty, _))
+    Array("compact", "expire", "tag", "branch", "promote")
+      .map(Identifier.of(Array.empty, _))
   }
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -146,10 +147,35 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             in.getLong(2))
           Seq("version" -> in.getLong(2))
         })
+      case "branch" => proc("branch",
+        "Fork a zero-copy branch at a committed version. " +
+          "branch(table, name, version)",
+        Seq(ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("name", DataTypes.StringType).build(),
+          ProcedureParameter.in("version", DataTypes.LongType).build()),
+        { in =>
+          val t = tableAt(in.getUTF8String(0).toString)
+          VersionedTable.branchCreate(t, in.getUTF8String(1).toString,
+            in.getLong(2))
+          Seq("version" -> in.getLong(2))
+        })
+      case "promote" => proc("promote",
+        "Fast-forward an append-only branch's additions into another " +
+          "branch as one metadata commit. promote(table, from, into)",
+        Seq(ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("from", DataTypes.StringType).build(),
+          ProcedureParameter.in("into", DataTypes.StringType).build()),
+        { in =>
+          val c = VersionedTable.promoteBranch(
+            org.apache.spark.sql.SparkSession.active,
+            tableAt(in.getUTF8String(0).toString),
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString)
+          Seq("version" -> c.version, "conflicts" -> c.conflicts.toLong)
+        })
       case other =>
         throw new RuntimeException(
           s"graft catalog '$catalogName': unknown procedure '$other' " +
-            "(available: compact, expire, tag)")
+            "(available: compact, expire, tag, branch, promote)")
     }
   }
 

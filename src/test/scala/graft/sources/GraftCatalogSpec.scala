@@ -162,6 +162,15 @@ class GraftCatalogSpec extends SparkSpec {
     // Refusals surface as the CALL's error.
     intercept[Exception] { s2.sql("CALL g.tag('nums', 'keep', 3)") }
     intercept[Exception] { s2.sql("CALL g.nosuch('nums')") }
+    // The ref lifecycle from SQL: branch at the clean snapshot, read
+    // it by name, promote its (empty) additions — version advances.
+    s2.sql("CALL g.branch('nums', 'dev', 3)")
+    s2.sql("CALL g.branch('nums', 'main', 3)")
+    assert(s2.sql("SELECT count(*) AS n FROM g.nums VERSION AS OF 'dev'")
+      .head().getLong(0) == 49)
+    val p = s2.sql("CALL g.promote('nums', 'dev', 'main')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p("version") == 4L && p("conflicts") == 0L)
   }
 
   test("DDL is refused: writes route through the commit protocol") {
