@@ -180,4 +180,50 @@ class OccSpec extends SparkSpec {
       graft.streaming.EventStreams.deleteTree(t.getParent)
     }
   }
+
+  test("random branch interleavings stay isolated; promote folds exactly the additions") {
+    // Two branches forked at the same base, commits interleaved in a
+    // RANDOM order — the snapshot ids interleave in one global log,
+    // yet each ref must read base ++ exactly its own commits, in any
+    // schedule; a final promote moves a's additions into b and
+    // nothing else (a untouched). The directed pipe_table_branch /
+    // pipe_branch_promote queries pin one canonical schedule; this
+    // samples the space.
+    import spark.implicits._
+    val schedGen: Gen[List[Boolean]] = for {
+      n <- Gen.chooseNum(2, 6)
+      picks <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield picks
+    samples(schedGen, 4).zipWithIndex.foreach { case (sched, si) =>
+      val t = Files.createTempDirectory("graft_refprop_").resolve("t")
+      val base = Seq(1L, 2L, 3L)
+      VersionedTable.commit(spark, t, 0L, base.toDF("id"))
+      VersionedTable.branchCreate(t, "a", 0L)
+      VersionedTable.branchCreate(t, "b", 0L)
+      var aIds = Seq.empty[Long]; var bIds = Seq.empty[Long]
+      sched.zipWithIndex.foreach { case (toA, i) =>
+        val ids = Seq(100L * (i + 1) + 1, 100L * (i + 1) + 2)
+        if (toA) {
+          VersionedTable.branchCommit(spark, t, "a", ids.toDF("id"))
+          aIds ++= ids
+        } else {
+          VersionedTable.branchCommit(spark, t, "b", ids.toDF("id"))
+          bIds ++= ids
+        }
+      }
+      def refIds(r: String): Seq[Long] =
+        VersionedTable.readRef(spark, t, r).collect()
+          .map(_.getLong(0)).sorted.toSeq
+      assert(refIds("a") == (base ++ aIds).sorted,
+        s"schedule $si ($sched): branch a polluted or lost commits")
+      assert(refIds("b") == (base ++ bIds).sorted,
+        s"schedule $si ($sched): branch b polluted or lost commits")
+      VersionedTable.promoteBranch(spark, t, "a", "b")
+      assert(refIds("b") == (base ++ aIds ++ bIds).sorted,
+        s"schedule $si: promote must fold exactly a's additions into b")
+      assert(refIds("a") == (base ++ aIds).sorted,
+        s"schedule $si: promote must not advance the source branch")
+      graft.streaming.EventStreams.deleteTree(t.getParent)
+    }
+  }
 }

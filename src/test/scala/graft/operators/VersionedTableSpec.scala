@@ -770,6 +770,32 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("vacuum reclaims files an RM delta rewrote away; the delta chain stays resolvable") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commitWithStats(spark, t, 0L,
+      (1L to 50L).toDF("id").selectExpr("id", "id AS v")
+        .repartitionByRange(5, org.apache.spark.sql.functions.col("id")),
+      "id")
+    val (v1, rewritten, total) =
+      VersionedTable.updateWhere(spark, t, "id", 1L, 10L, Seq("v" -> "0"))
+    assert(rewritten > 0 && rewritten < total)
+    val rewrittenAway = VersionedTable.statsManifest(t, 0L).map(_._1).toSet
+      .diff(VersionedTable.statsManifest(t, v1).map(_._1).toSet)
+    assert(rewrittenAway.nonEmpty)
+    // Expire v0: the RM'd files are referenced by nothing live and
+    // must be reclaimed; v1 (an RM DELTA whose BASE is the expired
+    // v0) must STILL resolve — the pinning keeps v0's manifest as a
+    // chain anchor while its dead files go.
+    val (deleted, _) = VersionedTable.expire(t, keepFrom = v1)
+    assert(deleted >= rewrittenAway.size,
+      s"vacuum deleted $deleted files; the ${rewrittenAway.size} " +
+        "rewritten-away files were unreferenced and reclaimable")
+    assert(rewrittenAway.forall(f => !Files.exists(t.resolve(f))))
+    assert(VersionedTable.read(spark, t).count() == 50,
+      "the RM delta must resolve through its pinned expired BASE")
+  }
+
   test("updateWhere drops skipping-index meta lines of rewritten files") {
     import spark.implicits._
     val t = freshTable()
