@@ -96,7 +96,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array("compact", "expire", "tag", "branch", "promote")
+    Array("compact", "expire", "tag", "branch", "promote",
+      "update_where", "constrain", "rename_column", "widen_column")
       .map(Identifier.of(Array.empty, _))
   }
 
@@ -172,10 +173,71 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             in.getUTF8String(1).toString, in.getUTF8String(2).toString)
           Seq("version" -> c.version, "conflicts" -> c.conflicts.toLong)
         })
+      case "update_where" => proc("update_where",
+        "Stats-pruned copy-on-write UPDATE: rewrite only the files " +
+          "whose zonemap overlaps [lo, hi] on the stats column, " +
+          "applying `SET col = expr` to matching rows. " +
+          "update_where(table, stats_col, lo, hi, col, expr)",
+        Seq(ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("stats_col", DataTypes.StringType).build(),
+          ProcedureParameter.in("lo", DataTypes.LongType).build(),
+          ProcedureParameter.in("hi", DataTypes.LongType).build(),
+          ProcedureParameter.in("col", DataTypes.StringType).build(),
+          ProcedureParameter.in("expr", DataTypes.StringType).build()),
+        { in =>
+          val (v, rewritten, total) = VersionedTable.updateWhere(
+            org.apache.spark.sql.SparkSession.active,
+            tableAt(in.getUTF8String(0).toString),
+            in.getUTF8String(1).toString, in.getLong(2), in.getLong(3),
+            Seq(in.getUTF8String(4).toString -> in.getUTF8String(5).toString))
+          Seq("version" -> v, "files_rewritten" -> rewritten.toLong,
+            "files_total" -> total.toLong)
+        })
+      case "constrain" => proc("constrain",
+        "Declare a CHECK constraint (validates the current snapshot " +
+          "first; every later row-adding commit validates its batch). " +
+          "constrain(table, expr)",
+        Seq(ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("expr", DataTypes.StringType).build()),
+        { in =>
+          val t = tableAt(in.getUTF8String(0).toString)
+          val v = VersionedTable.latestVersion(t).get + 1
+          VersionedTable.constraintCommit(
+            org.apache.spark.sql.SparkSession.active, t,
+            v, in.getUTF8String(1).toString)
+          Seq("version" -> v)
+        })
+      case "rename_column" => proc("rename_column",
+        "Metadata-only column rename (no data rewritten; time travel " +
+          "below it sees the old name). rename_column(table, from, to)",
+        Seq(ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("from", DataTypes.StringType).build(),
+          ProcedureParameter.in("to", DataTypes.StringType).build()),
+        { in =>
+          val t = tableAt(in.getUTF8String(0).toString)
+          val v = VersionedTable.latestVersion(t).get + 1
+          VersionedTable.renameCommit(t, v, in.getUTF8String(1).toString,
+            in.getUTF8String(2).toString)
+          Seq("version" -> v)
+        })
+      case "widen_column" => proc("widen_column",
+        "Metadata-only type widening (e.g. int -> bigint; readers cast " +
+          "narrow files at plan time). widen_column(table, col, type)",
+        Seq(ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("col", DataTypes.StringType).build(),
+          ProcedureParameter.in("type", DataTypes.StringType).build()),
+        { in =>
+          val t = tableAt(in.getUTF8String(0).toString)
+          val v = VersionedTable.latestVersion(t).get + 1
+          VersionedTable.widenCommit(t, v, in.getUTF8String(1).toString,
+            in.getUTF8String(2).toString)
+          Seq("version" -> v)
+        })
       case other =>
         throw new RuntimeException(
           s"graft catalog '$catalogName': unknown procedure '$other' " +
-            "(available: compact, expire, tag, branch, promote)")
+            "(available: compact, expire, tag, branch, promote, " +
+            "update_where, constrain, rename_column, widen_column)")
     }
   }
 

@@ -173,6 +173,39 @@ class GraftCatalogSpec extends SparkSpec {
     assert(p("version") == 4L && p("conflicts") == 0L)
   }
 
+  test("CALL update_where/constrain/rename_column/widen_column complete the SQL-driven protocol") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cat_spec_")
+    val t = root.resolve("nums")
+    VersionedTable.commitWithStats(spark, t,
+      0L, (1L to 40L).toDF("id").selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("id")),
+      "id")
+    val s2 = session(root)
+    s2.sql("CALL g.constrain('nums', 'v >= 0')")
+    val u = s2.sql(
+      "CALL g.update_where('nums', 'id', 1, 10, 'v', 'v + 1000')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(u("files_rewritten") > 0 &&
+      u("files_rewritten") < u("files_total"),
+      s"CALL update_where must partially rewrite, got $u")
+    val got = VersionedTable.read(spark, t).selectExpr("id", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 40L).forall(i =>
+      got(i) == (if (i <= 10) i * 2 + 1000 else i * 2)))
+    // A SET violating the CHECK refuses pre-publish.
+    intercept[Exception] {
+      s2.sql("CALL g.update_where('nums', 'id', 1, 5, 'v', '-1')")
+    }
+    // Metadata-only evolution from SQL.
+    s2.sql("CALL g.rename_column('nums', 'v', 'val')")
+    s2.sql("CALL g.widen_column('nums', 'val', 'decimal(20,0)')")
+    assert(VersionedTable.read(spark, t).columns.toSeq
+      .contains("val"))
+    // Declaring a CHECK the snapshot violates refuses after its scan.
+    intercept[Exception] { s2.sql("CALL g.constrain('nums', 'id > 5')") }
+  }
+
   test("DDL is refused: writes route through the commit protocol") {
     val root = staged()
     val s2 = session(root)
