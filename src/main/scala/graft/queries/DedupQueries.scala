@@ -3106,9 +3106,11 @@ object DedupQueries extends QueryModule {
         require(exp("files_deleted") > 0L && exp("versions_expired") >= 3L,
           s"pipe_sql_maintain: the vacuum must reclaim the fragmented " +
             s"pre-compaction files and manifests, got $exp")
-        require(VersionedTable.readRef(s, table, "release").count() == 498L,
+        val nDocs = Tables.documents(s, dir).count()
+        require(VersionedTable.readRef(s, table, "release").count()
+            == nDocs - 2L,
           "pipe_sql_maintain: the release tag must read the compacted " +
-            "snapshot (500 - 2 deleted) after the vacuum")
+            s"snapshot ($nDocs - 2 deleted) after the vacuum")
         require(scala.util.Try(
             VersionedTable.read(s, table, Some(0L))).isFailure,
           "pipe_sql_maintain: the expired fragmented version must be " +
