@@ -266,6 +266,24 @@ object VersionedTable {
       cs.zipWithIndex.map { case (e, i) => (e, row.getLong(i)) }
     }
 
+  /** Validate staged RELATIVE files against the CHECK constraints of
+    * `asOf` — the V2 write paths' hook (executors stage, the driver
+    * commits; a violating batch fails BEFORE the publish link and the
+    * abort path discards the orphans). No-op when no constraint is
+    * declared or the batch is empty. */
+  private[graft] def enforceConstraintsOnFiles(
+      s: SparkSession, table: Path, files: Seq[String],
+      asOf: Option[Long], what: String): Unit = {
+    val cs = asOf.map(checkConstraints(table, _)).getOrElse(Nil)
+    if (cs.isEmpty || files.isEmpty) return
+    violations(
+      s.read.parquet(files.map(f => table.resolve(f).toString): _*), cs)
+      .foreach { case (e, n) => require(n == 0L,
+        s"$what: $n row(s) in this commit violate CHECK ($e) — " +
+          "refused before the commit point (no partial state published)")
+      }
+  }
+
   /** Enforce the CHECK constraints of version `asOf` against the
     * freshly-written files under `dataDir` — called by every
     * row-adding commit path between the data write and the publish

@@ -89,6 +89,15 @@ private[sources] class GraftBatchWrite(path: String, stagingRel: String,
     }.sorted.toSeq
     if (files.nonEmpty || truncate) {
       val table = java.nio.file.Paths.get(path)
+      // The append path honors CHECK constraints like every row-adding
+      // writer: a violating INSERT fails here, Spark aborts, and the
+      // abort path discards the staged orphans. (Overwrite publishes a
+      // from-scratch full manifest, which drops table metadata lines
+      // by the documented rewrite contract — nothing to enforce.)
+      if (!truncate)
+        VersionedTable.enforceConstraintsOnFiles(
+          org.apache.spark.sql.SparkSession.active, table, files,
+          VersionedTable.latestVersion(table), "graft-table append")
       // The appendCommit OCC loop over already-staged files: losing a
       // race costs one more manifest write, never a data rewrite.
       var attempts = 0
@@ -149,6 +158,11 @@ private[sources] class GraftStreamingWrite(path: String, stagingRel: String,
           "this streaming sink — one writer owns a sink table")
       GraftWriterFactory.discard(path, messages)
     } else if (files.nonEmpty) {
+      // A poisoned micro-batch fails its epoch BEFORE the commit point
+      // — the streaming face of the CHECK gate.
+      VersionedTable.enforceConstraintsOnFiles(
+        org.apache.spark.sql.SparkSession.active, table, files,
+        VersionedTable.latestVersion(table), "graft-table sink")
       VersionedTable.publishDelta(table, version, files)
     }
     // An empty epoch publishes nothing: version numbering stays sparse

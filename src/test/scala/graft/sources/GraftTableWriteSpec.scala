@@ -42,6 +42,27 @@ class GraftTableWriteSpec extends SparkSpec {
     assert(msgs.contains("bootstrap") || msgs.contains("no committed"))
   }
 
+  test("V2 appends honor CHECK constraints: a violating INSERT refuses") {
+    import spark.implicits._
+    val t = fresh()
+    VersionedTable.commit(spark, t, 0L,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    VersionedTable.constraintCommit(spark, t, 1L, "v >= 0")
+    // Clean V2 append passes the gate.
+    Seq((3L, 30L)).toDF("id", "v").write.format("graft-table")
+      .mode("append").save(t.toString)
+    assert(VersionedTable.latestVersion(t).contains(2L))
+    // A violating batch fails BEFORE the commit point; the abort path
+    // discards the staged orphans and the history is untouched.
+    intercept[Exception] {
+      Seq((4L, -1L)).toDF("id", "v").write.format("graft-table")
+        .mode("append").save(t.toString)
+    }
+    assert(VersionedTable.versions(t) == Seq(0L, 1L, 2L),
+      "the refused INSERT must publish nothing")
+    assert(VersionedTable.read(spark, t).count() == 3)
+  }
+
   test("mode(overwrite) publishes a rewrite commit; history stays readable") {
     import spark.implicits._
     val t = fresh()
