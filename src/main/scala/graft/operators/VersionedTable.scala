@@ -1201,6 +1201,13 @@ object VersionedTable {
       s"promoteBranch: branch '$from' rewrote files since its fork at " +
         s"v$fork — removals cannot replay as an append; compact first")
     val added = headLines.filterNot(forkSet)
+    // The TARGET branch's constraints gate the promote: `into` may
+    // have declared a stricter CHECK after the fork, and a
+    // fast-forward must not be the path that smuggles violating rows
+    // past it. O(added files) — the price every row-adding path pays.
+    enforceConstraintsOnFiles(s, table,
+      added.filterNot(isMetaLine).map(_.split('\t').head),
+      refHead(table, into).map(_._2), s"promoteBranch($from -> $into)")
     var conflicts = 0
     while (conflicts < maxAttempts) {
       val entries = refEntries(table, into)

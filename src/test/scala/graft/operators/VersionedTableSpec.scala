@@ -768,6 +768,23 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       VersionedTable.promoteBranch(spark, t, "exp", "pin")
     }
+    // The TARGET's constraints gate a promote: a branch carrying rows
+    // the target's post-fork CHECK forbids cannot fast-forward.
+    val t2 = freshTable()
+    VersionedTable.commit(spark, t2, 0L, df(1, 2))
+    VersionedTable.branchCreate(t2, "dev", 0L)
+    VersionedTable.branchCreate(t2, "prod", 0L)
+    VersionedTable.branchCommit(spark, t2, "dev", df(-5))
+    VersionedTable.branchCommit(spark, t2, "prod", df(3))
+    // prod declares id >= 0 on its own line of history.
+    val prodHead = VersionedTable.refHead(t2, "prod").get._2
+    val cv = VersionedTable.latestVersion(t2).get + 1
+    VersionedTable.publish(t2, cv,
+      Seq("BASE\t" + prodHead, "CHECK\tid >= 0"))
+    VersionedTable.advanceRef(t2, "prod", cv)
+    intercept[IllegalArgumentException] {
+      VersionedTable.promoteBranch(spark, t2, "dev", "prod")
+    }
   }
 
   test("vacuum reclaims files an RM delta rewrote away; the delta chain stays resolvable") {
