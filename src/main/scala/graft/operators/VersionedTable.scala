@@ -84,7 +84,30 @@ object VersionedTable {
              df: DataFrame, carried: Seq[String] = Nil): Seq[String] = {
     val dataDir = newDataDir(table, version)
     df.write.parquet(dataDir.toString)
-    publish(table, version, carried ++ partFiles(table, dataDir))
+    val files = carried ++ partFiles(table, dataDir)
+    publish(table, version,
+      files ++ carryChecks(s, table, version, dataDir, carried, "commit"))
+    files
+  }
+
+  /** CHECK lines a full-manifest writer at `version` must CARRY from
+    * the closest committed ancestor (r14 — a declared table contract
+    * must survive every rewrite, not just [[compactCommit]]'s), minus
+    * any the caller's `carried` lines already restate; the new files
+    * under `dataDir` are validated against them first, so the rewrite
+    * cannot be the path that smuggles a violation in. Nil when no
+    * ancestor or no constraint exists — the common case pays one
+    * directory listing and nothing else. */
+  private def carryChecks(s: SparkSession, table: Path, version: Long,
+                          dataDir: Path, carried: Seq[String],
+                          what: String): Seq[String] = {
+    val prior = versions(table).filter(_ < version).lastOption
+    val cs = prior.map(checkConstraints(table, _)).getOrElse(Nil)
+    if (cs.isEmpty) Nil
+    else {
+      enforceConstraints(s, table, dataDir, prior, what)
+      cs.map(CheckPrefix + _).filterNot(carried.contains)
+    }
   }
 
   /** Each commit ATTEMPT writes under its own unique slug: a crashed
@@ -156,7 +179,9 @@ object VersionedTable {
     // commit recorded — stats ride the manifest line, so a carry is
     // byte-verbatim exactly as in [[commit]].
     publish(table, version,
-      carried ++ lines ++ rows :+ s"$StatsColPrefix$statsCol")
+      carried ++ lines ++ rows ++
+        carryChecks(s, table, version, dataDir, carried,
+          "commitWithStats") :+ s"$StatsColPrefix$statsCol")
     lines.map(_.split('\t').head)
   }
 
@@ -213,11 +238,43 @@ object VersionedTable {
     * expression evaluates FALSE — NULL passes, as standard CHECK. */
   private val CheckPrefix = "CHECK\t"
 
+  /** `KIND\t<verb>` (r14): a PER-COMMIT annotation naming the commit's
+    * intent — `update` (a stats-pruned copy-on-write rewrite) or
+    * `compact` (a content-preserving reorganization, the Delta
+    * `dataChange=false` idea). The change feed keys on it: an `update`
+    * commit's RM'd/added files serve as `update_preimage`/
+    * `update_postimage` rows; a `compact` commit serves NOTHING (no
+    * data changed — downstream mirrors skip it instead of
+    * full-restarting). Unlike every other meta line, a KIND line
+    * describes ONE commit, never the table: [[manifest]] strips it
+    * during resolution, so it can never leak into a later version's
+    * carry or checkpoint. Read it via [[commitKind]]. */
+  private val KindPrefix = "KIND\t"
+
+  /** The per-commit KIND annotation of `version`, if its writer
+    * declared one ("update" / "compact"). */
+  def commitKind(table: Path, version: Long): Option[String] =
+    rawManifest(table, version).collectFirst {
+      case l if l.startsWith(KindPrefix) => l.substring(KindPrefix.length)
+    }
+
   private def isMetaLine(line: String): Boolean =
     line.startsWith(DvPrefix) || line.startsWith(RenamePrefix) ||
       line.startsWith(WidenPrefix) || line.startsWith(BloomPrefix) ||
       line.startsWith(StatsColPrefix) || line.startsWith(StatsPrefix) ||
-      line.startsWith(RowsPrefix) || line.startsWith(CheckPrefix)
+      line.startsWith(RowsPrefix) || line.startsWith(CheckPrefix) ||
+      line.startsWith(KindPrefix)
+
+  /** Does any data-file path of `version`'s manifest carry Hive-style
+    * `col=value` partition segments (a [[commitPartitioned]] layout)?
+    * Those files' partition column lives ONLY in the path — any
+    * rewrite that reads leaves raw and writes flat would silently drop
+    * it, so partition-layout tables gate the copy-on-write verbs. */
+  private def partitionColsOf(table: Path, version: Long): Seq[String] =
+    statsManifest(table, version)
+      .flatMap(_._1.split('/').dropRight(1).toSeq.collect {
+        case seg if seg.contains('=') => seg.substring(0, seg.indexOf('='))
+      }).distinct
 
   /** The CHECK constraints live at a version, in declaration order. */
   def checkConstraints(table: Path, version: Long): Seq[String] =
@@ -231,16 +288,20 @@ object VersionedTable {
     * be refused, which costs one scan — the one place this surface
     * pays O(table), exactly as production formats do). From this
     * version on, every row-adding commit validates its new files.
-    * Like every manifest metadata line (STATSCOL, BLOOM), a CHECK
-    * rides deltas and partial rewrites but not a from-scratch FULL
-    * manifest: a compaction via `commit`/`transact` drops it —
-    * re-declare after compacting (the data it would re-validate was
-    * already gated row by row). */
+    * Unlike per-file metadata (BLOOM/STATS/ROWS), a CHECK is a TABLE
+    * contract: every full-manifest writer — [[compactCommit]],
+    * [[transact]], raw [[commit]] and the stats/partitioned/indexed
+    * variants, the V2 overwrite path — carries live CHECK lines
+    * forward and validates its new files against them (r14; dropping
+    * a declared safety gate silently was the r13 amnesia ADVICE.md
+    * flagged). Only a publish() of hand-built lines can still shed
+    * one, and that is the raw-primitive escape hatch, not a path. */
   def constraintCommit(s: SparkSession, table: Path, version: Long,
                        expr: String, checkpointEvery: Int = 8): Seq[String] = {
     require(!expr.exists(c => c == '\t' || c == '\n' || c == '\r'),
       "constraintCommit: the expression must not contain tab/newline " +
         "(manifest lines are TAB-structured)")
+    refuseBranched(table, "constraintCommit")
     val base = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(
         s"constraintCommit: no committed version at $table"))
@@ -355,18 +416,22 @@ object VersionedTable {
     * Readers apply the mapping to files written under the old name;
     * time travel below `version` still sees the old name. */
   def renameCommit(table: Path, version: Long, from: String, to: String,
-                   checkpointEvery: Int = 8): Seq[String] =
+                   checkpointEvery: Int = 8): Seq[String] = {
+    refuseBranched(table, "renameCommit")
     publish(table, version,
       deltaLines(table, version, Seq(s"$RenamePrefix$from\t$to"),
         checkpointEvery))
+  }
 
   /** Metadata-only type-WIDENING commit (e.g. int → bigint): readers
     * cast files written under the narrow type at plan time. */
   def widenCommit(table: Path, version: Long, col: String, sqlType: String,
-                  checkpointEvery: Int = 8): Seq[String] =
+                  checkpointEvery: Int = 8): Seq[String] = {
+    refuseBranched(table, "widenCommit")
     publish(table, version,
       deltaLines(table, version, Seq(s"$WidenPrefix$col\t$sqlType"),
         checkpointEvery))
+  }
 
   /** The deletion vectors live at a version:
     * (dvPath, keyColumn, originVersion). The origin version scopes
@@ -403,6 +468,11 @@ object VersionedTable {
   def deleteCommit(s: SparkSession, table: Path, version: Long,
                    keys: DataFrame, keyCol: String,
                    checkpointEvery: Int = 8): Seq[String] = {
+    // Version-pinned but chain-BASED on the global latest (deltaLines
+    // below) — the same interleave hazard as every version-unaware
+    // writer once branch refs exist (r14, ADVICE parity with
+    // mergeCommit/appendCommit).
+    refuseBranched(table, "deleteCommit")
     val dvDir = table.resolve("dv").resolve(
       f"v$version%06d-" + java.util.UUID.randomUUID().toString.take(8))
     keys.select(keyCol).write.parquet(dvDir.toString)
@@ -542,7 +612,8 @@ object VersionedTable {
           else fs
         } finally walk.close()
     }
-    publish(table, version, carried ++ files)
+    publish(table, version, carried ++ files ++
+      carryChecks(s, table, version, dataDir, carried, "commitPartitioned"))
   }
 
   /** Per-file `ROWS` manifest lines for every parquet file under
@@ -607,7 +678,8 @@ object VersionedTable {
         s"$StatsPrefix$f\t$c\t$mn\t$mx"
       })
     val lines = (primary ++ secondary) :+ s"$StatsColPrefix${cols.head}"
-    publish(table, version, carried ++ lines)
+    publish(table, version, carried ++ lines ++
+      carryChecks(s, table, version, dataDir, carried, "commitMultiStats"))
     lines
   }
 
@@ -698,7 +770,8 @@ object VersionedTable {
     val lines = fileStatsLines(s, table, dataDir, statsCol) ++
       fileBloomLines(s, table, dataDir, bloomCol) :+
       s"$StatsColPrefix$statsCol"
-    publish(table, version, carried ++ lines)
+    publish(table, version, carried ++ lines ++
+      carryChecks(s, table, version, dataDir, carried, "commitIndexed"))
     lines
   }
 
@@ -1010,9 +1083,17 @@ object VersionedTable {
       val out = op(read(s, table, Some(base)))
       val dataDir = newDataDir(table, base + 1)
       out.write.parquet(dataDir.toString)
+      // A transaction's full rewrite carries the table's CHECK
+      // contract forward AND honors it (r14, was silent amnesia):
+      // `op` must not be the path that smuggles a violation in, and a
+      // declared safety gate must survive the rewrite — the
+      // compactCommit discipline applied to the other full-manifest
+      // writer. Validated per attempt against the attempt's own base.
+      enforceConstraints(s, table, dataDir, Some(base), "transact")
+      val checks = checkConstraints(table, base).map(CheckPrefix + _)
       beforeAttempt(base + 1)
       try {
-        publish(table, base + 1, partFiles(table, dataDir))
+        publish(table, base + 1, partFiles(table, dataDir) ++ checks)
         return Committed(base + 1, conflicts)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => conflicts += 1
@@ -1075,6 +1156,14 @@ object VersionedTable {
     require(deletionVectors(table, base).isEmpty,
       s"updateWhere at version $base: live deletion vectors — compact " +
         "(fold the DVs into data) before a copy-on-write update")
+    // Hive-partitioned layout: the partition column lives ONLY in the
+    // manifest paths — a raw-leaf rewrite would silently drop it from
+    // the rewritten rows. Refuse, like the DV/mapping gates above;
+    // compactCommit (partition-aware since r14) is the resolution.
+    require(partitionColsOf(table, base).isEmpty,
+      s"updateWhere at version $base: partition-layout files " +
+        "(col=value path segments) — their partition column is not in " +
+        "the payload and a rewrite would drop it; compact first")
     val all = statsManifest(table, base)
     require(all.nonEmpty,
       s"updateWhere at version $base of $table: no data files")
@@ -1107,7 +1196,11 @@ object VersionedTable {
     // and their indexing meta lines; every `checkpointEvery`-th commit
     // still materializes the full list (carried byte-verbatim + new),
     // bounding the chain exactly as appends do.
-    val added = newLines ++ rowsLines
+    // KIND=update annotates the commit for the change feed: its RM'd
+    // files replay as update_preimage rows, its new files as
+    // update_postimage — a mirror applies the pair instead of
+    // full-restarting. Stripped at resolution (never carried).
+    val added = newLines ++ rowsLines :+ s"${KindPrefix}update"
     val lines =
       if (chainLength(table, base) + 1 > checkpointEvery)
         baseLines.filter { line =>
@@ -1143,28 +1236,75 @@ object VersionedTable {
       throw new IllegalArgumentException(
         s"compactCommit: no committed version at $table"))
     val version = base + 1
-    val snap = read(s, table, Some(base),
-      mergeSchema = columnMappings(table, base).nonEmpty)
-    val out = statsCol match {
-      case Some(c) => snap.repartitionByRange(files, col(c))
-      case None => snap.repartition(files)
-    }
+    // Hive-partitioned layout (r14, was silent corruption): the
+    // partition column lives only in the manifest paths, so the
+    // rewrite re-attaches it from those paths (readPartitionedFiles)
+    // and writes partitionBy — layout, pruning, and the column all
+    // survive the compaction. One partition column, no DVs/mappings
+    // in the mix (the flat path composes those; partitioned commits
+    // never carry them today — refuse rather than guess).
+    val partCols = partitionColsOf(table, base)
+    require(partCols.size <= 1,
+      s"compactCommit at version $base: multiple partition columns " +
+        s"$partCols in the manifest paths — unsupported layout")
     val dataDir = newDataDir(table, version)
-    out.write.parquet(dataDir.toString)
     val hadRows = manifest(table, base).exists(_.startsWith(RowsPrefix))
-    val lines = statsCol match {
-      case Some(c) =>
-        val stats = fileColStats(s, table, dataDir, c)
-        stats.map { case (f, mn, mx, _) => s"$f\t$mn\t$mx" } ++
-          (if (hadRows)
-             stats.map { case (f, _, _, n) => s"$RowsPrefix$f\t$n" }
-           else Nil) :+ s"$StatsColPrefix$c"
+    val lines = partCols.headOption match {
+      case Some(pc) =>
+        require(deletionVectors(table, base).isEmpty &&
+            columnMappings(table, base).isEmpty,
+          s"compactCommit at version $base: partition-layout files " +
+            "combined with deletion vectors or schema mappings — " +
+            "unsupported composition")
+        val snap = readPartitionedFiles(s, table, pc,
+          statsManifest(table, base).map(_._1))
+        val out = statsCol match {
+          case Some(c) => snap.repartitionByRange(files, col(c))
+          case None => snap.repartition(files)
+        }
+        out.write.partitionBy(pc).parquet(dataDir.toString)
+        statsCol match {
+          case Some(c) =>
+            val stats = fileColStats(s, table, dataDir, c)
+            stats.map { case (f, mn, mx, _) => s"$f\t$mn\t$mx" } ++
+              (if (hadRows)
+                 stats.map { case (f, _, _, n) => s"$RowsPrefix$f\t$n" }
+               else Nil) :+ s"$StatsColPrefix$c"
+          case None =>
+            val walk = Files.walk(dataDir)
+            val fs = try walk.iterator().asScala
+              .filter(p => Files.isRegularFile(p) &&
+                p.getFileName.toString.endsWith(".parquet"))
+              .map(p => table.relativize(p).toString)
+              .toSeq.sorted
+            finally walk.close()
+            fs ++ (if (hadRows) fileRowsLines(s, table, dataDir) else Nil)
+        }
       case None =>
-        partFiles(table, dataDir) ++
-          (if (hadRows) fileRowsLines(s, table, dataDir) else Nil)
+        val snap = read(s, table, Some(base),
+          mergeSchema = columnMappings(table, base).nonEmpty)
+        val out = statsCol match {
+          case Some(c) => snap.repartitionByRange(files, col(c))
+          case None => snap.repartition(files)
+        }
+        out.write.parquet(dataDir.toString)
+        statsCol match {
+          case Some(c) =>
+            val stats = fileColStats(s, table, dataDir, c)
+            stats.map { case (f, mn, mx, _) => s"$f\t$mn\t$mx" } ++
+              (if (hadRows)
+                 stats.map { case (f, _, _, n) => s"$RowsPrefix$f\t$n" }
+               else Nil) :+ s"$StatsColPrefix$c"
+          case None =>
+            partFiles(table, dataDir) ++
+              (if (hadRows) fileRowsLines(s, table, dataDir) else Nil)
+        }
     }
     val checks = checkConstraints(table, base).map(CheckPrefix + _)
-    publish(table, version, lines ++ checks)
+    // KIND=compact marks the commit content-preserving (dataChange=
+    // false): the change feed skips it instead of failing downstream
+    // mirrors into a full restart.
+    publish(table, version, lines ++ checks :+ s"${KindPrefix}compact")
     version
   }
 
@@ -1481,7 +1621,7 @@ object VersionedTable {
     * O(history). */
   def manifest(table: Path, version: Long): Seq[String] = {
     val raw = rawManifest(table, version)
-    raw.headOption match {
+    val resolved = raw.headOption match {
       case Some(h) if h.startsWith(BasePrefix) =>
         val base = manifest(table, h.stripPrefix(BasePrefix).trim.toLong)
         val (rm, added) = raw.tail.partition(_.startsWith(RmPrefix))
@@ -1495,6 +1635,9 @@ object VersionedTable {
         }
       case _ => raw
     }
+    // KIND annotations describe one commit, never the table: strip them
+    // from every resolution so no later carry/checkpoint inherits one.
+    resolved.filterNot(_.startsWith(KindPrefix))
   }
 
   /** How many manifest FILES a resolution of `version` reads (1 for a
@@ -1548,7 +1691,7 @@ object VersionedTable {
 
   def addedLines(table: Path, version: Long): Seq[String] = {
     val raw = rawManifest(table, version)
-    raw.headOption match {
+    (raw.headOption match {
       case Some(h) if h.startsWith(BasePrefix) =>
         raw.tail.filterNot(_.startsWith(RmPrefix))
       case _ =>
@@ -1560,7 +1703,7 @@ object VersionedTable {
             val prevSet = manifest(table, prev).toSet
             raw.filterNot(prevSet)
         }
-    }
+    }).filterNot(_.startsWith(KindPrefix))
   }
 
   /** Snapshot read: latest version by default, time travel via
