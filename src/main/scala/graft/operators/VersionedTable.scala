@@ -79,9 +79,17 @@ object VersionedTable {
     * publish the manifest = carried ++ new. Returns the published
     * file list. `carried` is relative paths from a previous manifest
     * that remain live in this version (append/partial-rewrite
-    * commits); pass Nil for a full copy-on-write snapshot. */
+    * commits); pass Nil for a full copy-on-write snapshot.
+    *
+    * Branched tables refuse (r15, like every version-pinned variant):
+    * a raw commit's CHECK carry derives from the globally closest
+    * prior snapshot, which on an interleaved log may belong to
+    * ANOTHER branch — enforcing (and injecting) a foreign line of
+    * history's contract. Write through [[branchCommit]] instead; the
+    * ref-free escape hatch is raw [[publish]] of hand-built lines. */
   def commit(s: SparkSession, table: Path, version: Long,
              df: DataFrame, carried: Seq[String] = Nil): Seq[String] = {
+    refuseBranched(table, "commit")
     val dataDir = newDataDir(table, version)
     df.write.parquet(dataDir.toString)
     val files = carried ++ partFiles(table, dataDir)
@@ -97,7 +105,11 @@ object VersionedTable {
     * under `dataDir` are validated against them first, so the rewrite
     * cannot be the path that smuggles a violation in. Nil when no
     * ancestor or no constraint exists — the common case pays one
-    * directory listing and nothing else. */
+    * directory listing plus one raw-chain CHECK scan (O(chain) tiny
+    * metadata reads, bounded by the checkpoint cadence; the full
+    * file-list splice is NOT paid — see [[checkConstraints]]).
+    * Callers are branch-guarded (see [[commit]]), so "closest prior"
+    * is always this line of history. */
   private def carryChecks(s: SparkSession, table: Path, version: Long,
                           dataDir: Path, carried: Seq[String],
                           what: String): Seq[String] = {
@@ -167,6 +179,7 @@ object VersionedTable {
                       df: DataFrame, statsCol: String,
                       carried: Seq[String] = Nil,
                       rowCounts: Boolean = false): Seq[String] = {
+    refuseBranched(table, "commitWithStats")
     val dataDir = newDataDir(table, version)
     df.write.parquet(dataDir.toString)
     val stats = fileColStats(s, table, dataDir, statsCol)
@@ -276,11 +289,27 @@ object VersionedTable {
         case seg if seg.contains('=') => seg.substring(0, seg.indexOf('='))
       }).distinct
 
-  /** The CHECK constraints live at a version, in declaration order. */
-  def checkConstraints(table: Path, version: Long): Seq[String] =
-    manifest(table, version).collect {
+  /** The CHECK constraints live at a version, in declaration order.
+    * Computed by a RAW-chain walk (base's constraints ++ this delta's
+    * CHECK tail) rather than full manifest resolution: CHECK lines are
+    * only ever added (RM names data files, never constraints) and every
+    * full-manifest writer carries them, so the walk gives the same
+    * answer as resolving — without splicing the O(live files) list.
+    * This keeps the per-commit [[carryChecks]] probe O(chain) metadata
+    * reads (ADVICE r14: the old resolution-based probe made every raw
+    * commit pay a full manifest resolution just to learn there was no
+    * constraint). */
+  def checkConstraints(table: Path, version: Long): Seq[String] = {
+    val raw = rawManifest(table, version)
+    val own = raw.collect {
       case l if l.startsWith(CheckPrefix) => l.substring(CheckPrefix.length)
     }
+    (raw.headOption match {
+      case Some(h) if h.startsWith(BasePrefix) =>
+        checkConstraints(table, h.stripPrefix(BasePrefix).trim.toLong) ++ own
+      case _ => own
+    }).distinct
+  }
 
   /** Declare a CHECK constraint as a METADATA-ONLY commit — after
     * validating the CURRENT snapshot against it (the Delta ADD
@@ -343,6 +372,24 @@ object VersionedTable {
         s"$what: $n row(s) in this commit violate CHECK ($e) — " +
           "refused before the commit point (no partial state published)")
       }
+  }
+
+  /** The full-manifest CHECK carry for writers that stage RELATIVE
+    * files (the V2 overwrite path): validate `files` against the
+    * latest committed version's constraints, then return the CHECK
+    * lines the new manifest must restate. Nil when the table is empty
+    * or unconstrained. r15 — INSERT OVERWRITE was the one remaining
+    * full-manifest writer that silently dropped a declared contract
+    * (the r14 amnesia fix missed it, flagged by ADVICE). */
+  private[graft] def carryChecksOnFiles(s: SparkSession, table: Path,
+      files: Seq[String], what: String): Seq[String] = {
+    val prior = latestVersion(table)
+    val cs = prior.map(checkConstraints(table, _)).getOrElse(Nil)
+    if (cs.isEmpty) Nil
+    else {
+      enforceConstraintsOnFiles(s, table, files, prior, what)
+      cs.map(CheckPrefix + _)
+    }
   }
 
   /** Enforce the CHECK constraints of version `asOf` against the
@@ -586,6 +633,7 @@ object VersionedTable {
                         carried: Seq[String] = Nil,
                         statsCol: Option[String] = None,
                         rowCounts: Boolean = false): Seq[String] = {
+    refuseBranched(table, "commitPartitioned")
     val dataDir = newDataDir(table, version)
     df.write.partitionBy(partCol).parquet(dataDir.toString)
     val files = statsCol match {
@@ -669,6 +717,7 @@ object VersionedTable {
   def commitMultiStats(s: SparkSession, table: Path, version: Long,
                        df: DataFrame, cols: Seq[String],
                        carried: Seq[String] = Nil): Seq[String] = {
+    refuseBranched(table, "commitMultiStats")
     require(cols.nonEmpty, "commitMultiStats: at least one stats column")
     val dataDir = newDataDir(table, version)
     df.write.parquet(dataDir.toString)
@@ -765,6 +814,7 @@ object VersionedTable {
   def commitIndexed(s: SparkSession, table: Path, version: Long,
                     df: DataFrame, statsCol: String, bloomCol: String,
                     carried: Seq[String] = Nil): Seq[String] = {
+    refuseBranched(table, "commitIndexed")
     val dataDir = newDataDir(table, version)
     df.write.parquet(dataDir.toString)
     val lines = fileStatsLines(s, table, dataDir, statsCol) ++

@@ -89,15 +89,30 @@ private[sources] class GraftBatchWrite(path: String, stagingRel: String,
     }.sorted.toSeq
     if (files.nonEmpty || truncate) {
       val table = java.nio.file.Paths.get(path)
-      // The append path honors CHECK constraints like every row-adding
+      // A V2 write on a branched table would base on (or replace) the
+      // GLOBAL latest snapshot — whichever line of history interleaved
+      // last. Same stance as the library's version-unaware writers.
+      require(VersionedTable.refs(table).forall(_._2 != "branch"),
+        s"graft-table: $path has branch refs — write through " +
+          "VersionedTable.branchCommit(<ref>) instead of the connector")
+      // Both V2 paths honor CHECK constraints like every row-adding
       // writer: a violating INSERT fails here, Spark aborts, and the
-      // abort path discards the staged orphans. (Overwrite publishes a
-      // from-scratch full manifest, which drops table metadata lines
-      // by the documented rewrite contract — nothing to enforce.)
-      if (!truncate)
-        VersionedTable.enforceConstraintsOnFiles(
-          org.apache.spark.sql.SparkSession.active, table, files,
-          VersionedTable.latestVersion(table), "graft-table append")
+      // abort path discards the staged orphans. The overwrite is a
+      // full-manifest rewrite, so it additionally CARRIES the live
+      // CHECK lines into its from-scratch manifest (r15 — an INSERT
+      // OVERWRITE must not be the path that silently drops a declared
+      // table contract, the same amnesia rule as compactCommit).
+      val checkLines =
+        if (truncate)
+          VersionedTable.carryChecksOnFiles(
+            org.apache.spark.sql.SparkSession.active, table, files,
+            "graft-table overwrite")
+        else {
+          VersionedTable.enforceConstraintsOnFiles(
+            org.apache.spark.sql.SparkSession.active, table, files,
+            VersionedTable.latestVersion(table), "graft-table append")
+          Nil
+        }
       // The appendCommit OCC loop over already-staged files: losing a
       // race costs one more manifest write, never a data rewrite.
       var attempts = 0
@@ -113,9 +128,11 @@ private[sources] class GraftBatchWrite(path: String, stagingRel: String,
                 "VersionedTable.commit first")) + 1
         try {
           // Overwrite = a rewrite commit: the staged files ARE the
-          // snapshot (full manifest, no BASE) — prior versions stay
-          // readable; expire() reclaims them later.
-          if (truncate) VersionedTable.publish(table, target, files)
+          // snapshot (full manifest, no BASE) plus the carried CHECK
+          // lines — prior versions stay readable; expire() reclaims
+          // them later.
+          if (truncate)
+            VersionedTable.publish(table, target, files ++ checkLines)
           else VersionedTable.publishDelta(table, target, files)
           done = true
         } catch {

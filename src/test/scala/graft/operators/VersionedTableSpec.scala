@@ -836,4 +836,172 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.updateWhere(spark, t, "id", 1L, 5L, Seq("v" -> "0"))
     }
   }
+
+  test("compactCommit on a partition layout keeps layout, pruning, column") {
+    import spark.implicits._
+    val t = freshTable()
+    // 8-way fragmented per partition value: the compaction has work.
+    val data = Seq.tabulate(60)(i => (i.toLong, s"g${i % 3}"))
+      .toDF("id", "g").repartition(8)
+    VersionedTable.commitPartitioned(spark, t, 0L, data, "g",
+      statsCol = Some("id"), rowCounts = true)
+    val v = VersionedTable.compactCommit(spark, t,
+      statsCol = Some("id"), files = 2)
+    assert(v == 1L)
+    assert(VersionedTable.commitKind(t, v).contains("compact"))
+    // The partition layout survives: every file still carries g=… and
+    // readPartitions prunes at the manifest level.
+    val files = VersionedTable.statsManifest(t, v).map(_._1)
+    assert(files.nonEmpty && files.forall(_.contains("g=")),
+      "compaction flattened the partition layout")
+    assert(files.size < VersionedTable.statsManifest(t, 0L).size,
+      "compaction must reduce the file count")
+    val (pruned, nRead, nTotal) =
+      VersionedTable.readPartitions(spark, t, "g", Seq("g1"))
+    assert(nRead < nTotal, "partition pruning must survive compaction")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 60L).filter(_ % 3 == 1).toSeq,
+      "the partition column (and its rows) must survive the rewrite")
+    // Content losslessness + recomputed metadata.
+    assert(VersionedTable.read(spark, t, Some(v)).count() == 60)
+    assert(VersionedTable.rowCounts(t, v).map(_._2).sum == 60L,
+      "ROWS lines must be recomputed for the compacted files")
+    assert(VersionedTable.statsColumns(t, v) == Seq("id"))
+    // Multi-column layouts refuse rather than guess.
+    val t2 = freshTable()
+    VersionedTable.commitPartitioned(spark, t2, 0L,
+      Seq((1L, "a")).toDF("id", "g"), "g")
+    VersionedTable.commitPartitioned(spark, t2, 1L,
+      Seq((2L, "b")).toDF("id", "h"), "h",
+      carried = VersionedTable.manifest(t2, 0L))
+    intercept[IllegalArgumentException] {
+      VersionedTable.compactCommit(spark, t2)
+    }
+  }
+
+  test("transact validates and carries CHECK constraints per attempt") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    VersionedTable.constraintCommit(spark, t, 1L, "v >= 0")
+    // An op whose output violates the live CHECK must fail BEFORE the
+    // commit point — the rewrite can't smuggle a violation in.
+    intercept[IllegalArgumentException] {
+      VersionedTable.transact(spark, t,
+        op = snap => snap.selectExpr("id", "-v AS v"))
+    }
+    assert(VersionedTable.versions(t) == Seq(0L, 1L),
+      "the refused transaction must publish nothing")
+    // A clean rewrite publishes AND carries the contract.
+    val c = VersionedTable.transact(spark, t,
+      op = snap => snap.selectExpr("id", "v + 1 AS v"))
+    assert(VersionedTable.checkConstraints(t, c.version) == Seq("v >= 0"),
+      "transact dropped the declared CHECK — metadata amnesia")
+    intercept[IllegalArgumentException] {
+      VersionedTable.appendCommit(spark, t, Seq((9L, -1L)).toDF("id", "v"))
+    }
+  }
+
+  test("every raw commit variant carries and enforces live CHECKs") {
+    import spark.implicits._
+    val good = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    val bad = Seq((3L, -5L)).toDF("id", "v")
+    type Variant = (java.nio.file.Path, Long,
+      org.apache.spark.sql.DataFrame) => Unit
+    val variants: Seq[(String, Variant)] = Seq(
+      "commit" -> ((t, ver, d) =>
+        VersionedTable.commit(spark, t, ver, d)),
+      "commitWithStats" -> ((t, ver, d) =>
+        VersionedTable.commitWithStats(spark, t, ver, d, "id")),
+      "commitPartitioned" -> ((t, ver, d) =>
+        VersionedTable.commitPartitioned(spark, t, ver, d, "id")),
+      "commitMultiStats" -> ((t, ver, d) =>
+        VersionedTable.commitMultiStats(spark, t, ver, d, Seq("id", "v"))),
+      "commitIndexed" -> ((t, ver, d) =>
+        VersionedTable.commitIndexed(spark, t, ver, d, "id", "v")))
+    variants.foreach { case (name, run) =>
+      val t = freshTable()
+      VersionedTable.commit(spark, t, 0L, good)
+      VersionedTable.constraintCommit(spark, t, 1L, "v >= 0")
+      // The full-manifest rewrite must refuse a violating batch …
+      intercept[IllegalArgumentException] { run(t, 2L, bad) }
+      assert(VersionedTable.versions(t) == Seq(0L, 1L),
+        s"$name: the refused rewrite must publish nothing")
+      // … and a clean one must carry the CHECK lines forward.
+      run(t, 2L, good)
+      assert(VersionedTable.checkConstraints(t, 2L) == Seq("v >= 0"),
+        s"$name: the rewrite dropped the declared CHECK")
+    }
+  }
+
+  test("commitKind annotates update/compact; resolution strips it") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commitWithStats(spark, t, 0L,
+      (1L to 20L).toDF("id").selectExpr("id", "id AS v")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("id")),
+      "id")
+    VersionedTable.updateWhere(spark, t, "id", 1L, 5L, Seq("v" -> "0"))
+    assert(VersionedTable.commitKind(t, 1L).contains("update"))
+    val v2 = VersionedTable.compactCommit(spark, t, Some("id"), files = 2)
+    assert(VersionedTable.commitKind(t, v2).contains("compact"))
+    assert(VersionedTable.commitKind(t, 0L).isEmpty)
+    // KIND describes ONE commit: resolution strips it, so no later
+    // carry or checkpoint inherits the annotation.
+    assert(VersionedTable.manifest(t, 1L).forall(!_.startsWith("KIND")))
+    VersionedTable.appendCommit(spark, t, Seq((99L, 99L)).toDF("id", "v"))
+    assert(VersionedTable.commitKind(t, v2 + 1).isEmpty,
+      "an append must not inherit the prior commit's KIND")
+  }
+
+  test("branched tables refuse every version-unaware or raw-carry verb") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2, 3))
+    VersionedTable.branchCreate(t, "dev", 0L)
+    val refusals: Seq[(String, () => Any)] = Seq(
+      "deleteCommit" -> (() =>
+        VersionedTable.deleteCommit(spark, t, 1L, Seq(1L).toDF("id"), "id")),
+      "constraintCommit" -> (() =>
+        VersionedTable.constraintCommit(spark, t, 1L, "id >= 0")),
+      "renameCommit" -> (() =>
+        VersionedTable.renameCommit(t, 1L, "id", "id2")),
+      "widenCommit" -> (() =>
+        VersionedTable.widenCommit(t, 1L, "id", "bigint")),
+      "commit" -> (() => VersionedTable.commit(spark, t, 1L, df(9))),
+      "commitWithStats" -> (() =>
+        VersionedTable.commitWithStats(spark, t, 1L, df(9), "id")),
+      "commitPartitioned" -> (() =>
+        VersionedTable.commitPartitioned(spark, t, 1L, df(9), "id")),
+      "commitMultiStats" -> (() =>
+        VersionedTable.commitMultiStats(spark, t, 1L, df(9), Seq("id"))),
+      "commitIndexed" -> (() =>
+        VersionedTable.commitIndexed(spark, t, 1L, df(9), "id", "id")))
+    refusals.foreach { case (name, run) =>
+      val e = intercept[IllegalArgumentException] { run() }
+      assert(e.getMessage.contains("branch refs"), s"$name must refuse")
+    }
+    assert(VersionedTable.versions(t) == Seq(0L),
+      "a refused verb must publish nothing")
+  }
+
+  test("updateWhere refuses partition-layout tables") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commitPartitioned(spark, t, 0L,
+      Seq.tabulate(10)(i => (i.toLong, s"g${i % 2}")).toDF("id", "g"), "g",
+      statsCol = Some("id"))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, t, "id", 0L, 5L, Seq("id" -> "0"))
+    }
+    assert(e.getMessage.contains("partition-layout"))
+    // compactCommit is the documented resolution — and after it the
+    // layout is still partitioned, so updateWhere still refuses (the
+    // flat path is a plain commit of the current snapshot).
+    VersionedTable.compactCommit(spark, t, Some("id"), files = 2)
+    intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, t, "id", 0L, 5L, Seq("id" -> "0"))
+    }
+  }
 }

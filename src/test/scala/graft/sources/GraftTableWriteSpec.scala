@@ -77,6 +77,50 @@ class GraftTableWriteSpec extends SparkSpec {
     assert(VersionedTable.chainLength(t, 1L) == 1)
   }
 
+  test("mode(overwrite) carries CHECK constraints and refuses violations") {
+    import spark.implicits._
+    val t = fresh()
+    VersionedTable.commit(spark, t, 0L,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    VersionedTable.constraintCommit(spark, t, 1L, "v >= 0")
+    // A violating INSERT OVERWRITE must fail BEFORE the commit point —
+    // the rewrite is not the path that smuggles a violation in.
+    intercept[Exception] {
+      Seq((3L, -7L)).toDF("id", "v").write.format("graft-table")
+        .mode("overwrite").save(t.toString)
+    }
+    assert(VersionedTable.versions(t) == Seq(0L, 1L),
+      "the refused overwrite must publish nothing")
+    // A clean overwrite publishes AND carries the contract forward …
+    Seq((5L, 50L)).toDF("id", "v").write.format("graft-table")
+      .mode("overwrite").save(t.toString)
+    assert(VersionedTable.checkConstraints(t, 2L) == Seq("v >= 0"),
+      "INSERT OVERWRITE dropped the declared CHECK — metadata amnesia")
+    // … so the gate still bites on the next append.
+    intercept[Exception] {
+      Seq((6L, -1L)).toDF("id", "v").write.format("graft-table")
+        .mode("append").save(t.toString)
+    }
+    assert(VersionedTable.read(spark, t).count() == 1)
+  }
+
+  test("V2 writes refuse branched tables (interleaved lines of history)") {
+    import spark.implicits._
+    val t = fresh()
+    VersionedTable.commit(spark, t, 0L, Seq(1L).toDF("id"))
+    VersionedTable.branchCreate(t, "dev", 0L)
+    for (mode <- Seq("append", "overwrite")) {
+      val e = intercept[Exception] {
+        Seq(2L).toDF("id").write.format("graft-table").mode(mode)
+          .save(t.toString)
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("branch refs"), s"mode=$mode must refuse")
+    }
+  }
+
   test("empty tasks stage no files; manifests carry no zero-row files") {
     import spark.implicits._
     val t = fresh()
