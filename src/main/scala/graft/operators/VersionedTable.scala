@@ -1739,6 +1739,14 @@ object VersionedTable {
     }
   }
 
+  /** The DATA files version `version` removed vs its predecessor —
+    * [[removedLines]] narrowed to payload paths (indexing meta lines
+    * die with their file but carry no rows). The change feed serves
+    * these as `update_preimage` rows for a KIND=update commit. */
+  def removedDataFiles(table: Path, version: Long): Seq[String] =
+    removedLines(table, version).filterNot(isMetaLine)
+      .map(_.split('\t').head)
+
   def addedLines(table: Path, version: Long): Seq[String] = {
     val raw = rawManifest(table, version)
     (raw.headOption match {

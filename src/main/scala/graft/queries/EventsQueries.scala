@@ -720,6 +720,29 @@ object EventsQueries extends QueryModule {
         .orderBy("_commit_version", "_change_type", "doc_id")
     }),
 
+    // UPDATE/COMPACT CHANGE FEED (r15) — the rewrite commits the feed
+    // used to hard-fail on, served via their KIND annotations: a
+    // KIND=update commit (stats-pruned copy-on-write UPDATE) replays
+    // its rewritten file as update_preimage (old rows) +
+    // update_postimage (new rows) in ONE micro-batch, and a
+    // KIND=compact commit (content-preserving OPTIMIZE,
+    // dataChange=false) drains as an EMPTY batch — zero rows served,
+    // offset advanced, progress-counter-witnessed — instead of
+    // forcing the downstream full-restart every raw rewrite still
+    // forces. A checkpoint-resumed second drain serves a later append
+    // alone (the offset moved cleanly past both rewrites), and the
+    // in-path mirror gate proves the feed stays sufficient: applying
+    // it (inserts, delete-preimage-keys + insert-postimage per
+    // update, in commit order) reproduces the table's latest read
+    // exactly. This closes the CDC loop over DML: at 100 TB a mirror
+    // must survive UPDATE and OPTIMIZE on the source table without
+    // restarting from a snapshot.
+    "ev_stream_cdf_update" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.EventStreams.cdfUpdateDrain(s, dir)
+        .orderBy("_commit_version", "_change_type", "doc_id")
+    }),
+
     // Streaming exactly-once dedup, driver-checked: every source slice
     // is staged TWICE (a byte-identical copy one file later — the
     // at-least-once re-delivery every ingestion pipeline must
@@ -1805,6 +1828,27 @@ object EventsQueries extends QueryModule {
         |SELECT doc_id, lang, n_chars + 1000,
         |  CAST(2 AS BIGINT), 'insert'
         |FROM documents WHERE doc_id = 13
+        |ORDER BY _commit_version, _change_type, doc_id""".stripMargin,
+    // The update/compact feed replayed: v0's inserts, v1's whole-
+    // snapshot preimage (the single-file layout makes the touched set
+    // the whole table) + postimage with the UPDATE's CASE applied,
+    // v2's compaction serving NOTHING, v3's single late append.
+    "ev_stream_cdf_update" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT), 'update_preimage'
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, lang,
+        |  CASE WHEN doc_id BETWEEN 10 AND 40 THEN n_chars + 100000
+        |       ELSE n_chars END,
+        |  CAST(1 AS BIGINT), 'update_postimage'
+        |FROM documents
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), 'zz', CAST(42 AS BIGINT),
+        |  CAST(3 AS BIGINT), 'insert'
         |ORDER BY _commit_version, _change_type, doc_id""".stripMargin,
 
     // The feed replayed: which rows arrived, in which commit — v0 the

@@ -49,11 +49,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * version that removed data would misrepresent the feed); opt in to
   * skipping via `ignoreDeletes=true` (the Delta option of the same
   * name), or to the FULL change feed via `readChangeFeed=true`, which
-  * adds a `_change_type` column ('insert'/'delete') and serves a
-  * delete commit's deletion-vector keys as delete rows (the key
-  * column populated, everything else NULL) — enough for a downstream
+  * adds a `_change_type` column ('insert' / 'delete' /
+  * 'update_preimage' / 'update_postimage') and serves a delete
+  * commit's deletion-vector keys as delete rows (the key column
+  * populated, everything else NULL) — enough for a downstream
   * consumer to maintain a row-level mirror: apply inserts, anti-join
-  * deletes, in commit order. Schema-evolution commits always fail the
+  * deletes, in commit order. REWRITE commits are served by their
+  * `KIND` annotation (r15): a KIND=compact commit is content-
+  * preserving (`dataChange=false`) and serves NOTHING in every mode —
+  * the offset advances through an empty batch instead of the
+  * full-restart a raw rewrite forces; a KIND=update commit serves,
+  * in change-feed mode, its RM'd files' rows as `update_preimage`
+  * and its new files' as `update_postimage` in the same micro-batch —
+  * a mirror deletes the preimage keys and inserts the postimage rows
+  * atomically per commit (file granularity: rows the update's
+  * predicate spared replay as identical pre/post pairs, a no-op under
+  * that rule). Unannotated rewrites still fail the stream.
+  * Schema-evolution commits always fail the
   * stream: a stream's schema is pinned at start. Options:
   * `startingVersion` (default 0 — serve history from the beginning),
   * `maxVersionsPerTrigger`, `ignoreDeletes`, `readChangeFeed`, and
@@ -219,14 +231,25 @@ private[sources] class ChangesStream(path: String, schema: StructType,
     (vs.head, vs.tail.distinct)
   }
 
-  private def admissible(v: Long): Boolean = refAdvances() match {
-    case Some((_, advances)) => advances.contains(v)
+  /** Per-trigger admission filter (r15 — ADVICE r13/r14: the old
+    * per-version `admissible(v)` re-ran [[refAdvances]] — a ref
+    * directory listing plus a read of EVERY ref record — once per
+    * CANDIDATE VERSION, O(N_versions × refEntries) filesystem reads
+    * per trigger). Now the ref state is read ONCE per
+    * latestOffset/planInputPartitions call and the returned predicate
+    * closes over it; behavior is unchanged (the state is still
+    * re-read each trigger, so mid-stream branch advances are still
+    * picked up). */
+  private def admissionFilter(): Long => Boolean = refAdvances() match {
+    case Some((_, advances)) =>
+      val live = advances.toSet
+      live.contains _
     case None =>
       require(VersionedTable.refs(table).forall(_._2 != "branch"),
         s"graft-changes: $path has branch refs — commits of different " +
           "lines of history interleave in its log; pin option(\"ref\", " +
           "<branch>) to stream one line")
-      true
+      _ => true
   }
 
   /** AvailableNow snapshot target: commits landing AFTER the run
@@ -259,9 +282,10 @@ private[sources] class ChangesStream(path: String, schema: StructType,
     * the drain's batch count witnesses the feed's granularity. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[VersionOffset].version
+    val admits = admissionFilter()
     val pending = VersionedTable.versions(table)
       .filter(v => v > from && availableNowTarget.forall(v <= _) &&
-        admissible(v))
+        admits(v))
     if (pending.isEmpty) start
     else VersionOffset(pending.take(maxVersionsPerTrigger).last)
   }
@@ -283,52 +307,94 @@ private[sources] class ChangesStream(path: String, schema: StructType,
       end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[VersionOffset].version
     val hi = end.asInstanceOf[VersionOffset].version
+    val admits = admissionFilter()
     VersionedTable.versions(table)
-      .filter(v => v > lo && v <= hi && admissible(v))
+      .filter(v => v > lo && v <= hi && admits(v))
       .flatMap { v =>
-        // A REWRITE commit (compaction / copy-on-write merge) drops
-        // manifest lines — unrepresentable as appends+deletes: serving
-        // its adds as inserts would double rows a mirror already holds
-        // and silently skip the drops. Fail loudly (the Delta stance on
-        // non-append changes) instead of corrupting downstream state —
-        // EXCEPT at the explicit startingVersion, which by contract
-        // serves as the feed's initial snapshot.
-        require(v == startingVersion ||
-            VersionedTable.removedLines(table, v).isEmpty,
-          s"graft-changes: version $v rewrites data files (compaction/" +
-            "merge) — the change feed serves append and delete commits " +
-            "only; restart the stream from a snapshot at or above it " +
-            s"(startingVersion=$v)")
-        VersionedTable.addedLines(table, v).flatMap { line =>
-          if (!line.contains('\t'))
-            Some(ChangesPartition(path, v, line): InputPartition)
-          else if (line.startsWith("DV\t")) {
-            if (readChangeFeed) {
-              // Full change feed: the DV's key list becomes delete
-              // rows — key column populated, everything else NULL.
-              val Array(_, dvFile, keyCol, _) = line.split('\t')
-              Some(ChangesPartition(path, v, dvFile,
-                deleteKeyCol = keyCol): InputPartition)
-            } else if (ignoreDeletes) None
-            else throw new IllegalStateException(
-              s"graft-changes: version $v is a DELETE commit — an " +
-                "append feed cannot represent it; set ignoreDeletes=" +
-                "true to skip delete commits, or readChangeFeed=true " +
-                "to serve them as _change_type='delete' rows")
-          } else if (line.startsWith("RENAME\t") ||
-              line.startsWith("WIDEN\t"))
-            throw new IllegalStateException(
-              s"graft-changes: version $v evolves the schema — restart " +
-                "the stream to pick up the new schema")
-          else if (line.startsWith("BLOOM\t") ||
-              line.startsWith("STATSCOL\t"))
-            None // skipping-index metadata: no rows to serve
-          else // a stats-bearing data line: path<TAB>min<TAB>max
-            Some(ChangesPartition(path, v, line.split('\t').head)
-              : InputPartition)
+        VersionedTable.commitKind(table, v) match {
+          // KIND=compact (r15, consuming r14's annotation): a
+          // compaction reorganizes bytes but the CONTENT is identical
+          // — the Delta `dataChange=false` skip. Serve NOTHING: the
+          // offset still advances through the version, the batch
+          // commits EMPTY (the progress counters witness zero rows),
+          // and downstream mirrors keep streaming instead of
+          // full-restarting on what used to be a hard failure.
+          case Some("compact") => Nil
+          // KIND=update (r15): a stats-pruned copy-on-write UPDATE
+          // rewrote whole files in place — representable only in
+          // change-feed mode, as the Delta CDF pair: every RM'd
+          // file's rows replay as `update_preimage`, every new
+          // file's as `update_postimage`, SAME micro-batch, so a
+          // mirror applies delete(preimage keys) + insert(postimage
+          // rows) atomically per commit. Granularity is the FILE:
+          // rows the predicate spared inside a touched file appear
+          // as identical pre/post pairs — a no-op under that apply
+          // rule, so the feed stays mirror-sufficient.
+          case Some("update") =>
+            if (!readChangeFeed) throw new IllegalStateException(
+              s"graft-changes: version $v is an UPDATE commit (copy-" +
+                "on-write rewrite) — an append feed cannot represent " +
+                "it; set readChangeFeed=true to serve it as " +
+                "update_preimage/update_postimage rows")
+            VersionedTable.removedDataFiles(table, v).map(f =>
+              ChangesPartition(path, v, f,
+                changeType = "update_preimage"): InputPartition) ++
+              addPartitions(v, "update_postimage")
+          case _ =>
+            // An UNANNOTATED rewrite commit (raw commit-as-compaction,
+            // transact's copy-on-write) drops manifest lines with no
+            // declared intent — unrepresentable: serving its adds as
+            // inserts would double rows a mirror already holds and
+            // silently skip the drops. Fail loudly (the Delta stance
+            // on non-append changes) instead of corrupting downstream
+            // state — EXCEPT at the explicit startingVersion, which by
+            // contract serves as the feed's initial snapshot.
+            require(v == startingVersion ||
+                VersionedTable.removedLines(table, v).isEmpty,
+              s"graft-changes: version $v rewrites data files with no " +
+                "KIND annotation (raw compaction/merge) — the change " +
+                "feed serves append, delete, and annotated update/" +
+                "compact commits only; restart the stream from a " +
+                s"snapshot at or above it (startingVersion=$v)")
+            addPartitions(v, "insert")
         }
       }.toArray
   }
+
+  /** One [[InputPartition]] per payload file version `v` ADDED,
+    * serving its rows as `changeType` — plus, for DV delete commits,
+    * the key-list partitions change-feed mode serves as delete rows. */
+  private def addPartitions(v: Long,
+      changeType: String): Seq[InputPartition] =
+    VersionedTable.addedLines(table, v).flatMap { line =>
+      if (!line.contains('\t'))
+        Some(ChangesPartition(path, v, line,
+          changeType = changeType): InputPartition)
+      else if (line.startsWith("DV\t")) {
+        if (readChangeFeed) {
+          // Full change feed: the DV's key list becomes delete
+          // rows — key column populated, everything else NULL.
+          val Array(_, dvFile, keyCol, _) = line.split('\t')
+          Some(ChangesPartition(path, v, dvFile,
+            deleteKeyCol = keyCol, changeType = "delete"): InputPartition)
+        } else if (ignoreDeletes) None
+        else throw new IllegalStateException(
+          s"graft-changes: version $v is a DELETE commit — an " +
+            "append feed cannot represent it; set ignoreDeletes=" +
+            "true to skip delete commits, or readChangeFeed=true " +
+            "to serve them as _change_type='delete' rows")
+      } else if (line.startsWith("RENAME\t") ||
+          line.startsWith("WIDEN\t"))
+        throw new IllegalStateException(
+          s"graft-changes: version $v evolves the schema — restart " +
+            "the stream to pick up the new schema")
+      else if (line.startsWith("BLOOM\t") ||
+          line.startsWith("STATSCOL\t"))
+        None // skipping-index metadata: no rows to serve
+      else // a stats-bearing data line: path<TAB>min<TAB>max
+        Some(ChangesPartition(path, v, line.split('\t').head,
+          changeType = changeType): InputPartition)
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangesReaderFactory(schema)
@@ -337,11 +403,15 @@ private[sources] class ChangesStream(path: String, schema: StructType,
   override def stop(): Unit = ()
 }
 
-/** `deleteKeyCol` non-empty marks a DELETE partition (change-feed
-  * mode): `file` is the DV key-list parquet, and every output row
-  * populates only the key column + version + change type. */
+/** `changeType` is the `_change_type` the partition's rows carry in
+  * change-feed mode ('insert' / 'delete' / 'update_preimage' /
+  * 'update_postimage'; ignored otherwise). `deleteKeyCol` non-empty
+  * marks a DELETE partition: `file` is the DV key-list parquet, and
+  * every output row populates only the key column + version + change
+  * type. */
 private[sources] case class ChangesPartition(path: String, version: Long,
-    file: String, deleteKeyCol: String = "") extends InputPartition
+    file: String, deleteKeyCol: String = "",
+    changeType: String = "insert") extends InputPartition
 
 private[sources] class ChangesReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
@@ -382,7 +452,7 @@ private[sources] class ChangesReaderFactory(schema: StructType)
         val vals = schema.fields.map { f =>
           if (f.name == TableChangesSource.VersionColumn) cp.version
           else if (f.name == TableChangesSource.ChangeTypeColumn)
-            UTF8String.fromString(if (isDelete) "delete" else "insert")
+            UTF8String.fromString(cp.changeType)
           else if (isDelete) {
             // A delete row carries ONLY its key; the DV file's single
             // column is the key column, everything else is NULL.

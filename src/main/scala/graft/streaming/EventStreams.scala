@@ -610,13 +610,13 @@ object EventStreams {
         docs.where(col("doc_id") % 3 === 1))
       val stream = spark.readStream.format("graft-changes")
         .load(table.toString)
-      val (got1, batches1) = checkpointedDrainCounted(spark, stream, tmp)
+      val (got1, batches1, _) = checkpointedDrainCounted(spark, stream, tmp)
       assertBatches(batches1, 2) // one micro-batch per commit: v0, v1
       // A commit lands BETWEEN drains: the checkpoint-resumed second
       // drain must serve exactly it.
       VersionedTable.appendCommit(spark, table,
         docs.where(col("doc_id") % 3 === 2))
-      val (got2, batches2) = checkpointedDrainCounted(spark, stream, tmp)
+      val (got2, batches2, _) = checkpointedDrainCounted(spark, stream, tmp)
       assertBatches(batches2, 1)
       val n01 = docs.where(col("doc_id") % 3 < 2).count()
       val n2 = docs.where(col("doc_id") % 3 === 2).count()
@@ -653,7 +653,7 @@ object EventStreams {
       val stream = spark.readStream.format("graft-changes")
         .option("readChangeFeed", "true")
         .load(table.toString)
-      val (_, batches) = checkpointedDrainCounted(spark, stream, tmp)
+      val (_, batches, _) = checkpointedDrainCounted(spark, stream, tmp)
       assertBatches(batches, 3) // one micro-batch per commit: v0,v1,v2
       val feed = spark.read.parquet(s"$tmp/out")
       // Mirror gate: the feed applied = the table's latest snapshot.
@@ -670,6 +670,90 @@ object EventStreams {
           latest.exceptAll(mirror).isEmpty,
         "changeFeedDrain: applying the change feed does not reproduce " +
           "the table's latest snapshot — the feed is not mirror-sufficient")
+      loadAndClean(spark, tmp, stream.schema)
+    } catch { case e: Throwable => deleteTree(tmp); throw e }
+  }
+
+  /** UPDATE/COMPACT change-feed drain (r15) — [[changeFeedDrain]]
+    * extended to the REWRITE commits the feed used to hard-fail on,
+    * consuming the `KIND` annotations r14's writers stamp: a history
+    * of v0 base → v1 `updateWhere` (KIND=update) → v2 `compactCommit`
+    * (KIND=compact) → v3 append drains as v0 inserts, v1's rewritten
+    * file replayed as `update_preimage` (old rows) + `update_postimage`
+    * (new rows) in ONE micro-batch, v2 as an EMPTY batch (zero rows
+    * served, offset advanced — progress-counter-witnessed: the
+    * compaction that used to force a downstream full-restart is now a
+    * skip), and v3 alone in a checkpoint-RESUMED second drain (the
+    * offset moved cleanly past both rewrites). v0 is staged as ONE
+    * data file so the update's touched set — hence the preimage — is
+    * the whole snapshot, layout-independent and oracle-reconstructable
+    * (partial-rewrite pruning is priced in pipe_update_commit; this
+    * query's subject is the FEED). In-path mirror gate: applying the
+    * feed (inserts, then per update delete preimage keys + insert
+    * postimage rows, in commit order) must reproduce the table's own
+    * latest read exactly — the contract that lets a downstream replica
+    * survive UPDATE and OPTIMIZE without restarts. */
+  def cdfUpdateDrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val tmp = tempDir("graft_ev_cdfupd_")
+    try {
+      val table = tmp.resolve("table")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val n = docs.count()
+      VersionedTable.commitWithStats(spark, table, 0L, docs.coalesce(1),
+        "doc_id")
+      val (v1, rewritten, total) = VersionedTable.updateWhere(
+        spark, table, "doc_id", 10L, 40L,
+        Seq("n_chars" -> "n_chars + 100000L"))
+      require(v1 == 1L && rewritten == 1 && total == 1,
+        s"cdfUpdateDrain: expected the single-file snapshot rewritten " +
+          s"at v1, got $rewritten of $total at v$v1")
+      val v2 = VersionedTable.compactCommit(spark, table, Some("doc_id"),
+        files = 2)
+      require(v2 == 2L &&
+          VersionedTable.commitKind(table, v2).contains("compact"),
+        "cdfUpdateDrain: compactCommit must land at v2 annotated " +
+          "KIND=compact")
+      val stream = spark.readStream.format("graft-changes")
+        .option("readChangeFeed", "true")
+        .load(table.toString)
+      val (rows1, data1, empty1) =
+        checkpointedDrainCounted(spark, stream, tmp)
+      assertBatches(data1, 2) // v0 inserts; v1 preimage+postimage
+      require(empty1 >= 1,
+        "cdfUpdateDrain: the KIND=compact version must drain as an " +
+          "EMPTY micro-batch — consumed, zero rows, no failure")
+      require(rows1 == 3 * n,
+        s"cdfUpdateDrain: drain 1 served $rows1 rows, expected ${3 * n} " +
+          "(n inserts + n preimages + n postimages)")
+      // A later append proves the checkpoint moved cleanly PAST the
+      // rewrites: the resumed drain serves exactly it.
+      VersionedTable.appendCommit(spark, table,
+        spark.range(1).selectExpr("-1L AS doc_id",
+          "CAST('zz' AS STRING) AS lang", "42L AS n_chars"))
+      val (rows2, data2, _) = checkpointedDrainCounted(spark, stream, tmp)
+      assertIncremental(rows1, 3 * n, rows2, 1L)
+      assertBatches(data2, 1)
+      val feed = spark.read.parquet(s"$tmp/out")
+      // Mirror gate: inserts minus preimage-deleted keys, plus
+      // postimage rows, in commit order = the table's latest snapshot.
+      val pre = feed.where(col("_change_type") === "update_preimage")
+        .groupBy(col("doc_id"))
+        .agg(max(col("_commit_version")).as("upd_v"))
+      val mirror = feed.where(col("_change_type") === "insert")
+        .join(pre, Seq("doc_id"), "left")
+        .where(col("upd_v").isNull || col("_commit_version") > col("upd_v"))
+        .selectExpr("doc_id", "lang", "n_chars")
+        .unionAll(feed.where(col("_change_type") === "update_postimage")
+          .selectExpr("doc_id", "lang", "n_chars"))
+      val latest = VersionedTable.read(spark, table)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      require(mirror.exceptAll(latest).isEmpty &&
+          latest.exceptAll(mirror).isEmpty,
+        "cdfUpdateDrain: applying the update feed does not reproduce " +
+          "the table's latest snapshot — the feed is not " +
+          "mirror-sufficient across UPDATE/OPTIMIZE")
       loadAndClean(spark, tmp, stream.schema)
     } catch { case e: Throwable => deleteTree(tmp); throw e }
   }
@@ -788,7 +872,7 @@ object EventStreams {
             .as("total_value"))
         .selectExpr("unix_micros(w.start) AS hour_us", "event_type",
           "n", "total_value")
-      val (_, batches) = awaitCounted(spark,
+      val (_, batches, _) = awaitCounted(spark,
         agg.writeStream.format("graft-table")
           .option("checkpointLocation", tmp.resolve("ckpt").toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -831,10 +915,12 @@ object EventStreams {
       tmp: java.nio.file.Path): Long =
     checkpointedDrainCounted(spark, df, tmp)._1
 
-  /** [[checkpointedDrain]] returning (rows, dataBatches) — for drains
-    * whose batch GRANULARITY is itself an assertion target. */
+  /** [[checkpointedDrain]] returning (rows, dataBatches, emptyBatches)
+    * — for drains whose batch GRANULARITY is itself an assertion
+    * target (emptyBatches witnesses versions the feed consumed but
+    * served zero rows for, e.g. a KIND=compact skip). */
   private def checkpointedDrainCounted(spark: SparkSession, df: DataFrame,
-      tmp: java.nio.file.Path): (Long, Int) =
+      tmp: java.nio.file.Path): (Long, Int, Int) =
     awaitCounted(spark,
       df.writeStream
         .format("parquet")
@@ -995,7 +1081,8 @@ object EventStreams {
     * event so every progress update has been delivered before the
     * counts are read. */
   private def awaitCounted(spark: SparkSession,
-      start: => org.apache.spark.sql.streaming.StreamingQuery): (Long, Int) = {
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : (Long, Int, Int) = {
     val counter = new DrainCounter
     spark.streams.addListener(counter)
     try {
@@ -1006,7 +1093,8 @@ object EventStreams {
       while (!counter.terminated.contains(run) && System.nanoTime() < deadline)
         Thread.sleep(10)
       (Option(counter.rows.get(run)).map(_.longValue).getOrElse(0L),
-        Option(counter.dataBatches.get(run)).map(_.intValue).getOrElse(0))
+        Option(counter.dataBatches.get(run)).map(_.intValue).getOrElse(0),
+        Option(counter.emptyBatches.get(run)).map(_.intValue).getOrElse(0))
     } finally spark.streams.removeListener(counter)
   }
 

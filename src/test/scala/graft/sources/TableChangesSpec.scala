@@ -150,6 +150,68 @@ class TableChangesSpec extends SparkSpec {
       .map(_._1).sorted == Seq(1L, 2L, 3L, 4L))
   }
 
+  private def drainFeed(table: java.nio.file.Path)
+      : Seq[(Long, Long, String)] = {
+    val tmp = Files.createTempDirectory("graft_changes_feed_")
+    val q = spark.readStream.format("graft-changes")
+      .option("readChangeFeed", "true")
+      .load(table.toString)
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(120000L)) q.stop()
+    q.exception.foreach(throw _)
+    spark.read.parquet(s"$tmp/out")
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        r.getLong(r.fieldIndex("_commit_version")),
+        r.getString(r.fieldIndex("_change_type"))))
+      .toSeq.sorted
+  }
+
+  test("a KIND=compact commit is skipped in every mode (dataChange=false)") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2, 3))
+    VersionedTable.compactCommit(spark, t) // v1, KIND=compact
+    assert(VersionedTable.commitKind(t, 1L).contains("compact"))
+    VersionedTable.appendCommit(spark, t, df(4)) // v2
+    // The append feed used to hard-fail on ANY rewrite; an annotated
+    // compaction now drains through as an empty batch — the content
+    // is v0's rows plus v2's, nothing doubled, nothing from v1.
+    assert(drainAll(t) == Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 2L)))
+    assert(drainFeed(t) == Seq((1L, 0L, "insert"), (2L, 0L, "insert"),
+      (3L, 0L, "insert"), (4L, 2L, "insert")))
+  }
+
+  test("a KIND=update commit serves preimage/postimage pairs in feed mode") {
+    val t = freshTable()
+    VersionedTable.commitWithStats(spark, t, 0L, df(1, 2, 3).coalesce(1),
+      "id")
+    val (v, rewritten, total) = VersionedTable.updateWhere(
+      spark, t, "id", 2L, 2L, Seq("id" -> "id + 10L"))
+    assert(v == 1L && rewritten == 1 && total == 1)
+    // Change-feed mode: the rewritten file's old rows replay as
+    // update_preimage, its new rows as update_postimage, same version
+    // (file granularity — untouched rows pair up identically).
+    assert(drainFeed(t) == Seq(
+      (1L, 0L, "insert"), (1L, 1L, "update_postimage"),
+      (1L, 1L, "update_preimage"),
+      (2L, 0L, "insert"), (2L, 1L, "update_preimage"),
+      (3L, 0L, "insert"), (3L, 1L, "update_postimage"),
+      (3L, 1L, "update_preimage"),
+      (12L, 1L, "update_postimage")))
+    // The plain append feed cannot represent an update — fail loudly
+    // with the remedy in the message.
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainAll(t)
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => Option(c.getMessage)
+        .exists(_.contains("readChangeFeed"))))
+  }
+
   test("a projected feed reads correctly through column pruning") {
     val t = freshTable()
     VersionedTable.commit(spark, t, 0L, df(1, 2))
