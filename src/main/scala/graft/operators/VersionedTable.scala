@@ -1371,9 +1371,13 @@ object VersionedTable {
     * feed takes on rewrite commits. `from` itself is untouched (read
     * it after the promote and it still serves its own head). Conflict
     * semantics as [[branchCommit]]: lost snapshot-id or ref races
-    * retry on tiny metadata. */
+    * retry on tiny metadata. `beforeAttempt(intoHead)` is the race
+    * seam ([[appendCommit]]'s pattern): it runs after each attempt
+    * reads the target head, so a test can advance `into` underneath
+    * the promote deterministically. */
   def promoteBranch(s: SparkSession, table: Path, from: String,
-                    into: String, maxAttempts: Int = 10): Committed = {
+                    into: String, maxAttempts: Int = 10,
+                    beforeAttempt: Long => Unit = _ => ()): Committed = {
     val fromEntries = refEntries(table, from)
     require(fromEntries.nonEmpty, s"promoteBranch: no ref '$from' at $table")
     val (_, intoKind) = refHead(table, into)
@@ -1391,17 +1395,36 @@ object VersionedTable {
       s"promoteBranch: branch '$from' rewrote files since its fork at " +
         s"v$fork — removals cannot replay as an append; compact first")
     val added = headLines.filterNot(forkSet)
+    val addedFiles = added.filterNot(isMetaLine).map(_.split('\t').head)
+    var conflicts = 0
     // The TARGET branch's constraints gate the promote: `into` may
     // have declared a stricter CHECK after the fork, and a
     // fast-forward must not be the path that smuggles violating rows
-    // past it. O(added files) — the price every row-adding path pays.
-    enforceConstraintsOnFiles(s, table,
-      added.filterNot(isMetaLine).map(_.split('\t').head),
-      refHead(table, into).map(_._2), s"promoteBranch($from -> $into)")
-    var conflicts = 0
+    // past it. Validated INSIDE the retry loop against the FRESH head
+    // (r15 — the old single pre-loop validation raced: a CHECK
+    // declared on `into` between a lost ref CAS and the retry was
+    // silently bypassed, since the retry republished onto the new
+    // head unvalidated). Keyed on the head's constraint SET, so the
+    // common retry cause — a concurrent append, constraints unchanged
+    // — re-pays only the O(chain) metadata probe, never the
+    // O(added rows) scan.
+    var validated: Option[Seq[String]] = None
     while (conflicts < maxAttempts) {
       val entries = refEntries(table, into)
       val (headSeq, _, intoHead) = entries.last
+      beforeAttempt(intoHead)
+      val checks = checkConstraints(table, intoHead)
+      if (!validated.contains(checks)) {
+        if (checks.nonEmpty && addedFiles.nonEmpty)
+          violations(s.read.parquet(
+            addedFiles.map(f => table.resolve(f).toString): _*), checks)
+            .foreach { case (e, n) => require(n == 0L,
+              s"promoteBranch($from -> $into): $n row(s) violate CHECK " +
+                s"($e) on the target branch — refused before the commit " +
+                "point (no partial state published)")
+            }
+        validated = Some(checks)
+      }
       val target = latestVersion(table).get + 1
       val lines = (BasePrefix + intoHead) +: added
       try {
@@ -1410,6 +1433,12 @@ object VersionedTable {
           publishRef(table, into, headSeq + 1, "branch", target)
           return Committed(target, conflicts)
         } catch {
+          // Lost the ref CAS: the head MOVED, so the just-published
+          // snapshot's BASE is stale — it stays ORPHANED in the log
+          // (manifest-only: its data lines are the from-branch's
+          // files, still referenced there, so expire() reclaims just
+          // the one manifest) and the retry republishes on the fresh
+          // head.
           case _: java.nio.file.FileAlreadyExistsException => conflicts += 1
         }
       } catch {

@@ -787,6 +787,53 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("promoteBranch revalidates against the fresh head after a lost ref CAS") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2))
+    VersionedTable.branchCreate(t, "dev", 0L)
+    VersionedTable.branchCreate(t, "prod", 0L)
+    VersionedTable.branchCommit(spark, t, "dev", df(-5)) // violates prod's
+    // A CHECK commit on prod's line, PUBLISHED but not yet the ref
+    // head — the concurrent writer the race seam will let win.
+    val prodHead0 = VersionedTable.refHead(t, "prod").get._2
+    val cv = VersionedTable.latestVersion(t).get + 1
+    VersionedTable.publish(t, cv,
+      Seq("BASE\t" + prodHead0, "CHECK\tid >= 0"))
+    // Attempt 0 reads prod's head, then the seam advances prod to the
+    // CHECK commit (stealing the ref CAS the promote will try). The
+    // old behavior validated ONCE before the loop — the retry would
+    // republish dev's -5 onto the constrained head unvalidated. The
+    // fix revalidates per attempt against the FRESH head: refused.
+    var fired = false
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.promoteBranch(spark, t, "dev", "prod",
+        beforeAttempt = _ => if (!fired) {
+          fired = true
+          VersionedTable.advanceRef(t, "prod", cv)
+        })
+    }
+    assert(e.getMessage.contains("CHECK"))
+    // prod's line of history is intact: the lost attempt's snapshot is
+    // orphaned (unreachable), never the ref head.
+    assert(VersionedTable.refHead(t, "prod").get._2 == cv)
+    assert(VersionedTable.readRef(spark, t, "prod").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // The same race with NON-violating rows absorbs the conflict and
+    // promotes cleanly on retry (constraints re-checked, satisfied).
+    VersionedTable.branchCreate(t, "ok", 0L)
+    VersionedTable.branchCommit(spark, t, "ok", df(7))
+    var fired2 = false
+    val p = VersionedTable.promoteBranch(spark, t, "ok", "prod",
+      beforeAttempt = _ => if (!fired2) {
+        fired2 = true
+        VersionedTable.branchCommit(spark, t, "prod", df(9))
+      })
+    assert(p.conflicts >= 1)
+    assert(VersionedTable.readRef(spark, t, "prod").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 7L, 9L))
+  }
+
   test("vacuum reclaims files an RM delta rewrote away; the delta chain stays resolvable") {
     import spark.implicits._
     val t = freshTable()
