@@ -1263,6 +1263,113 @@ object VersionedTable {
     (version, touched.size, all.size)
   }
 
+  /** GROUP-REPLACEMENT COMMIT (r15) — the commit point of the SQL
+    * row-level DML path ([[graft.sources.GraftTable]] as
+    * `SupportsRowLevelOperations`): Spark's group-based rewrite read
+    * version `base`, planned `replaced` (the files whose groups the
+    * statement touches — the operation scan's zonemap/bloom pruning
+    * already narrowed them when the condition allowed), executors
+    * staged the replacement rows as `staged`, and this publishes
+    * base+1 with `replaced` swapped for `staged` — RM-delta when a
+    * subset survives (O(commit) metadata, the [[updateWhere]] shape),
+    * a fresh full manifest when the statement rewrote every file.
+    *
+    * Contract inherited from the scan: staged rows are the replaced
+    * files' LIVE rows post-statement (deletion vectors were applied
+    * inside the scan, so a full replacement folds them away; a subset
+    * replacement leaves the DV lines live for the untouched files
+    * they still scope to). Stats and ROWS lines are recomputed for the
+    * staged files when the base manifest declares them; CHECK
+    * constraints validate the staged files and carry into a full
+    * manifest. KIND=update annotates the commit — a SQL UPDATE, MERGE
+    * or rewrite-shaped DELETE all replay through the change feed as
+    * update_preimage/update_postimage pairs.
+    *
+    * Optimistic concurrency, detect-and-refuse: the staged rows are a
+    * function of `base`'s snapshot, so unlike an append a lost race
+    * cannot be replayed by this layer — if the table moved past
+    * `base`, or the publish itself collides, the statement fails with
+    * the re-run instruction (the serializable-conflict answer every
+    * optimistic format gives UPDATE/MERGE). */
+  def replaceFilesCommit(s: SparkSession, table: Path, base: Long,
+                         replaced: Seq[String], staged: Seq[String],
+                         what: String, checkpointEvery: Int = 8): Long = {
+    refuseBranched(table, what)
+    val latest = latestVersion(table)
+    require(latest.contains(base),
+      s"$what: the statement read version $base but the table is now " +
+        s"at ${latest.fold("<empty>")(_.toString)} — concurrent commit; " +
+        "re-run the statement against the new snapshot")
+    require(columnMappings(table, base).isEmpty,
+      s"$what at version $base: schema-evolution mappings live — " +
+        "compact first (the scan refuses these too)")
+    require(partitionColsOf(table, base).isEmpty,
+      s"$what at version $base: partition-layout files (col=value " +
+        "path segments) — their partition column is not in the payload " +
+        "and a rewrite would drop it; compact first")
+    val all = statsManifest(table, base).map(_._1)
+    val touched = replaced.toSet
+    require(touched.subsetOf(all.toSet),
+      s"$what: replaced files ${touched -- all.toSet} are not in " +
+        s"version $base's manifest")
+    val version = base + 1
+    // A statement that touched nothing (condition pruned every group)
+    // publishes nothing — the no-op discipline of updateWhere.
+    if (touched.isEmpty && staged.isEmpty) return base
+    enforceConstraintsOnFiles(s, table, staged, Some(base), what)
+    val baseLines = manifest(table, base)
+    val statsColOpt = statsColumns(table, base).headOption
+    val hadRows = baseLines.exists(_.startsWith(RowsPrefix))
+    // Staged files share one staging dir (the V2 writer's namespace) —
+    // stats/ROWS recompute in one pass over the new files only.
+    val dataDir = staged.headOption
+      .map(f => table.resolve(f).getParent).orNull
+    val stagedStats = statsColOpt match {
+      case Some(c) if staged.nonEmpty =>
+        val st = fileColStats(s, table, dataDir, c)
+        require(st.map(_._1).toSet == staged.toSet,
+          s"$what: staging dir $dataDir holds files the write did not " +
+            s"commit (${st.map(_._1).toSet -- staged.toSet})")
+        st
+      case _ => Nil
+    }
+    val stagedLines =
+      if (statsColOpt.isDefined && staged.nonEmpty)
+        stagedStats.map { case (f, mn, mx, _) => s"$f\t$mn\t$mx" }
+      else staged
+    val rowsLines =
+      if (!hadRows || staged.isEmpty) Nil
+      else if (statsColOpt.isDefined)
+        stagedStats.map { case (f, _, _, n) => s"$RowsPrefix$f\t$n" }
+      else fileRowsLines(s, table, dataDir)
+    val added = stagedLines ++ rowsLines :+ s"${KindPrefix}update"
+    val lines =
+      if (touched == all.toSet)
+        // Full rewrite: a from-scratch snapshot — DVs folded away by
+        // the scan, CHECK and STATSCOL carried (the compactCommit
+        // amnesia rule).
+        stagedLines ++ rowsLines ++
+          checkConstraints(table, base).map(CheckPrefix + _) ++
+          statsColOpt.map(StatsColPrefix + _).toSeq :+
+          s"${KindPrefix}update"
+      else if (chainLength(table, base) + 1 > checkpointEvery)
+        baseLines.filter { line =>
+          if (isMetaLine(line)) metaFile(line).forall(!touched.contains(_))
+          else !touched.contains(line.split('\t').head)
+        } ++ added
+      else (BasePrefix + base) +:
+        (replaced.sorted.map(RmPrefix + _) ++ added)
+    try publish(table, version, lines)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"$what: version $version was committed concurrently — the " +
+            "staged rows derive from the superseded snapshot; re-run " +
+            "the statement")
+    }
+    version
+  }
+
   /** COMPACTION WITHOUT METADATA AMNESIA — the merge-on-read →
     * copy-on-write fold as a first-class commit: reads the latest
     * snapshot (deletion vectors folded away, schema mappings

@@ -3049,11 +3049,132 @@ object DedupQueries extends QueryModule {
         require(VersionedTable.versions(table) == Seq(0L, 1L, 2L),
           "pipe_sql_dml: DELETE then INSERT must land as versions 1 " +
             s"and 2 — history reads ${VersionedTable.versions(table)}")
-        // A range DELETE is not a key list: refuse, don't half-delete.
-        require(scala.util.Try(s2.sql(
-            "DELETE FROM graftcat.docs WHERE doc_id > 100")).isFailure,
-          "pipe_sql_dml: a range DELETE must refuse (only key-list " +
-            "deletes map to deletion vectors)")
+        // A non-key DELETE can't be a key-list DV — since r15 it falls
+        // through to the GROUP-BASED REWRITE path
+        // (SupportsRowLevelOperations) instead of refusing: the scan
+        // applies the live DVs while rewriting, so the commit also
+        // FOLDS them away (witnessed), and the commit is stamped
+        // KIND=update for the change feed.
+        s2.sql("DELETE FROM graftcat.docs " +
+          "WHERE n_chars % 2 = 1 AND doc_id < 50")
+        require(VersionedTable.latestVersion(table).contains(3L) &&
+            VersionedTable.commitKind(table, 3L).contains("update"),
+          "pipe_sql_dml: the rewrite DELETE must land as v3, " +
+            "KIND=update")
+        require(VersionedTable.deletionVectors(table, 3L).isEmpty,
+          "pipe_sql_dml: the full rewrite must fold the v1 deletion " +
+            "vector away (the scan already applied it)")
+        val out = s2.sql(
+          "SELECT doc_id, lang, n_chars FROM graftcat.docs ORDER BY doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // SQL UPDATE — the literal statement (r15): `UPDATE graftcat.docs
+    // SET … WHERE doc_id BETWEEN …` through SupportsRowLevelOperations'
+    // group-based copy-on-write path. The statement's condition is
+    // pushed into the OPERATION SCAN (Spark's
+    // GroupBasedRowLevelOperationScanPlanning), so the same zonemap
+    // pruning every read gets decides WHICH files the statement
+    // rewrites at plan time: witnessed exactly as pipe_update_commit —
+    // untouched files' manifest lines carry byte-verbatim, ROWS
+    // metadata recomputed and true, KIND=update stamped for the change
+    // feed, and a no-match UPDATE publishes nothing. Same oracle as
+    // pipe_update_commit: the library verb and the SQL statement are
+    // the same commit, reached two ways.
+    "pipe_sql_update" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vsqlupd_")
+      try {
+        val table = tmp.resolve("docs")
+        VersionedTable.commitWithStats(s, table, 0L,
+          Tables.documents(s, dir).select($"doc_id", $"lang", $"n_chars")
+            .repartitionByRange(8, $"doc_id"), "doc_id",
+          rowCounts = true)
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        s2.sql("UPDATE graftcat.docs SET n_chars = n_chars + 100000 " +
+          "WHERE doc_id BETWEEN 10 AND 40")
+        require(VersionedTable.latestVersion(table).contains(1L) &&
+            VersionedTable.commitKind(table, 1L).contains("update"),
+          "pipe_sql_update: the statement must land as v1, KIND=update")
+        // The condition reached the operation scan: files whose
+        // zonemap misses [10, 40] were never rewritten.
+        val untouched = VersionedTable.statsManifest(table, 0L).collect {
+          case (f, mn, mx) if !(mx >= 10L && mn <= 40L) => f
+        }.toSet
+        require(untouched.nonEmpty && untouched.subsetOf(
+            VersionedTable.statsManifest(table, 1L).map(_._1).toSet),
+          "pipe_sql_update: an untouched file's manifest line vanished " +
+            "— the SQL UPDATE must rewrite only zonemap-overlapping " +
+            "files")
+        val rc = VersionedTable.rowCounts(table, 1L)
+        require(rc.map(_._1).toSet ==
+            VersionedTable.statsManifest(table, 1L).map(_._1).toSet &&
+            rc.map(_._2).sum == VersionedTable.read(s, table).count(),
+          "pipe_sql_update: ROWS lines must cover v1 exactly and sum " +
+            "to the true row count")
+        // A no-match UPDATE is a no-op: nothing published.
+        s2.sql("UPDATE graftcat.docs SET n_chars = 0 " +
+          "WHERE doc_id BETWEEN -100 AND -50")
+        require(VersionedTable.latestVersion(table).contains(1L),
+          "pipe_sql_update: a no-match UPDATE must publish nothing")
+        val out = s2.sql(
+          "SELECT doc_id, lang, n_chars FROM graftcat.docs ORDER BY doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // SQL MERGE INTO — the literal statement (r15): matched rows
+    // update, unmatched source rows insert, one atomic KIND=update
+    // commit through the group-replacement write. A MERGE's ON
+    // condition references the source, so no static pruning applies —
+    // the whole table rewrites (the documented group-based MERGE cost;
+    // the library's mergeCommit is the O(update batch) merge-on-read
+    // alternative, priced side by side in pipe_merge_commit). The
+    // oracle is pipe_merge_commit's single-round shape: base with the
+    // matched updates applied plus the unmatched inserts.
+    "pipe_sql_merge" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vsqlmrg_")
+      try {
+        val table = tmp.resolve("docs")
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+        VersionedTable.commit(s, table, 0L, docs)
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        // The upsert source: +7000 chars for doc_id%6==2 (matched),
+        // clones shifted past the id space for doc_id%11==5
+        // (unmatched) — pipe_merge_commit's u1, as a temp view on the
+        // catalog session.
+        s2.read.parquet(s"$dir/documents.parquet")
+          .select($"doc_id", $"lang", $"n_chars")
+          .where($"doc_id" % 6 === 2)
+          .selectExpr("doc_id", "lang", "n_chars + 7000L AS n_chars")
+          .unionAll(s2.read.parquet(s"$dir/documents.parquet")
+            .where($"doc_id" % 11 === 5)
+            .selectExpr("doc_id + 2199023255552L AS doc_id", "lang",
+              "n_chars"))
+          .createOrReplaceTempView("upserts")
+        s2.sql(
+          """MERGE INTO graftcat.docs t USING upserts u
+            |ON t.doc_id = u.doc_id
+            |WHEN MATCHED THEN UPDATE SET n_chars = u.n_chars
+            |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+            |  VALUES (u.doc_id, u.lang, u.n_chars)""".stripMargin)
+        require(VersionedTable.latestVersion(table).contains(1L) &&
+            VersionedTable.commitKind(table, 1L).contains("update"),
+          "pipe_sql_merge: the MERGE must land as one v1 KIND=update " +
+            "commit")
         val out = s2.sql(
           "SELECT doc_id, lang, n_chars FROM graftcat.docs ORDER BY doc_id")
         val rows = out.collect()
@@ -4228,11 +4349,11 @@ object DedupQueries extends QueryModule {
         |WHERE doc_id NOT IN (3, 17)
         |ORDER BY doc_id""".stripMargin,
 
-    // The SQL DML pair applied relationally: base minus the three
-    // deleted keys, plus the two inserted clones (selected from the
-    // PRE-delete snapshot — doc_id 1 and 2 survive the delete anyway,
-    // so the time-travel read equals the trivial one here; the
-    // in-path version history is what pins the mechanism).
+    // The SQL DML triple applied relationally: base minus the three
+    // DV-deleted keys, plus the two inserted clones (selected from the
+    // PRE-delete snapshot — doc_id 1 and 2 survive the delete anyway),
+    // minus the rewrite DELETE's predicate rows (odd n_chars under
+    // doc_id 50; the clones' ids are far above 50).
     "pipe_sql_dml" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
         |  CAST(n_chars AS BIGINT) AS n_chars
@@ -4242,6 +4363,7 @@ object DedupQueries extends QueryModule {
         |  UNION ALL
         |  SELECT doc_id + 2199023255552, lang, n_chars
         |  FROM documents WHERE doc_id IN (1, 2))
+        |WHERE NOT (n_chars % 2 = 1 AND doc_id < 50)
         |ORDER BY doc_id""".stripMargin,
 
     // The copy-on-write update applied relationally, full-row: the
@@ -4252,6 +4374,35 @@ object DedupQueries extends QueryModule {
         |  CAST(CASE WHEN doc_id BETWEEN 10 AND 40
         |       THEN n_chars + 100000 ELSE n_chars END AS BIGINT) AS n_chars
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // The literal SQL UPDATE statement — same semantics, same oracle
+    // shape as the library verb (pipe_update_commit): one commit,
+    // exactly the predicate's rows changed.
+    "pipe_sql_update" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(CASE WHEN doc_id BETWEEN 10 AND 40
+        |       THEN n_chars + 100000 ELSE n_chars END AS BIGINT) AS n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // The literal MERGE INTO replayed relationally — the single-round
+    // shape of pipe_merge_commit's oracle: matched rows take the
+    // source's n_chars, unmatched source rows insert.
+    "pipe_sql_merge" ->
+      """WITH u1 AS (
+        |  SELECT doc_id, lang, n_chars + 7000 AS n_chars FROM documents
+        |  WHERE doc_id % 6 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 2199023255552, lang, n_chars FROM documents
+        |  WHERE doc_id % 11 = 5)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 6 <> 2
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM u1)
         |ORDER BY doc_id""".stripMargin
   )
 }

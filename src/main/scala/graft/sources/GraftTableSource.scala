@@ -273,8 +273,18 @@ private[sources] class GraftTable(path: String, schema0: StructType,
     extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   import graft.operators.VersionedTable
+
+  /** SQL UPDATE / MERGE / rewrite-shaped DELETE — the group-based
+    * copy-on-write path (see [[GraftRowLevelOperation]]); key-shaped
+    * DELETEs still optimize back to the metadata DV commit below. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftRowLevelOperationBuilder(path, schema0, version, statsCol,
+      info)
 
   override def name(): String = s"graft-table($path@v$version)"
   override def schema(): StructType = schema0

@@ -225,7 +225,7 @@ private[sources] object GraftWriterFactory {
 }
 
 private[sources] class GraftWriterFactory(path: String, stagingRel: String,
-    schema: StructType)
+    schema: StructType, replaceDataRows: Boolean = false)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int,
@@ -250,19 +250,32 @@ private[sources] class GraftWriterFactory(path: String, stagingRel: String,
         .withType(msgType)
         .build()
       private var rows = 0L
+      // Group-replacement rows (SQL UPDATE/MERGE/DELETE rewrites)
+      // arrive as `__row_operation:int +: data` — Spark's ReplaceData
+      // strips the operation column via its row projection ONLY for
+      // writers that request metadata attributes (the plain
+      // DataWritingSparkTask passes the raw row through), so this
+      // writer skips it itself. info.schema() is the DATA schema
+      // either way.
+      private val off = if (replaceDataRows) 1 else 0
 
       override def write(row: InternalRow): Unit = {
+        // Group-based semantics: every surviving group's kept rows are
+        // written. A DELETE-tagged row (possible only in delta-based
+        // plans) carries no payload to keep — skip defensively.
+        if (replaceDataRows && row.getInt(0) == 1) return
         val g = new SimpleGroup(msgType)
         var i = 0
         while (i < schema.fields.length) {
-          if (!row.isNullAt(i)) schema.fields(i).dataType match {
-            case LongType => g.add(i, row.getLong(i))
-            case IntegerType => g.add(i, row.getInt(i))
-            case DoubleType => g.add(i, row.getDouble(i))
-            case FloatType => g.add(i, row.getFloat(i))
-            case BooleanType => g.add(i, row.getBoolean(i))
+          if (!row.isNullAt(i + off)) schema.fields(i).dataType match {
+            case LongType => g.add(i, row.getLong(i + off))
+            case IntegerType => g.add(i, row.getInt(i + off))
+            case DoubleType => g.add(i, row.getDouble(i + off))
+            case FloatType => g.add(i, row.getFloat(i + off))
+            case BooleanType => g.add(i, row.getBoolean(i + off))
             case StringType =>
-              g.add(i, Binary.fromString(row.getUTF8String(i).toString))
+              g.add(i, Binary.fromString(
+                row.getUTF8String(i + off).toString))
             case other => throw new IllegalStateException(
               s"graft-table: unsupported write type $other")
           }

@@ -123,18 +123,84 @@ class GraftCatalogSpec extends SparkSpec {
       "SQL DELETE must land as a deletion-vector commit")
     assert(s2.sql("SELECT count(*) AS n FROM g.nums").head().getLong(0)
       == 99) // 101 - 2
-    // Equality form too; then the refusals: range predicates and a
-    // second key column.
+    // Equality form too — still the metadata DV path (the
+    // OptimizeMetadataOnlyDeleteFromTable conversion).
     s2.sql("DELETE FROM g.nums WHERE id = 9")
     assert(s2.sql("SELECT count(*) AS n FROM g.nums").head().getLong(0)
       == 98)
-    intercept[Exception] { s2.sql("DELETE FROM g.nums WHERE id > 50") }
+    // A range predicate can't be a key-list DV — since r15 it falls
+    // through to the group-based REWRITE path instead of refusing:
+    // zonemap-pruned copy-on-write, stamped KIND=update, DVs applied
+    // by the scan so nothing deleted resurrects.
+    val beforeRw = VersionedTable.latestVersion(t).get
+    s2.sql("DELETE FROM g.nums WHERE id > 50")
+    val rwV = VersionedTable.latestVersion(t).get
+    assert(rwV == beforeRw + 1)
+    assert(VersionedTable.commitKind(t, rwV).contains("update"))
+    assert(s2.sql("SELECT count(*) AS n FROM g.nums").head().getLong(0)
+      == 48) // 0..50 minus the DV'd 5, 7, 9
     // INSERT INTO routes through the V2 write path: an O(batch) commit.
     val before = VersionedTable.latestVersion(t).get
     s2.sql("INSERT INTO g.nums SELECT 5000 AS id")
     assert(VersionedTable.latestVersion(t).contains(before + 1))
     assert(s2.sql("SELECT count(*) AS n FROM g.nums").head().getLong(0)
-      == 99)
+      == 49)
+  }
+
+  test("SQL UPDATE rewrites only zonemap-overlapping files") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cat_upd_")
+    val t = root.resolve("nums")
+    VersionedTable.commitWithStats(spark, t, 0L,
+      spark.range(0, 100).selectExpr("id", "id AS v")
+        .repartitionByRange(4, $"id"), "id", rowCounts = true)
+    val s2 = session(root)
+    s2.sql("UPDATE g.nums SET v = v + 1000 WHERE id BETWEEN 10 AND 40")
+    val got = s2.sql("SELECT id, v FROM g.nums ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (0L until 100L).map(i =>
+      (i, if (i >= 10 && i <= 40) i + 1000 else i)))
+    // The statement's condition pushed into the operation scan: files
+    // whose zonemap misses [10, 40] were never rewritten — their
+    // manifest lines carry byte-verbatim into v1.
+    val untouched = VersionedTable.statsManifest(t, 0L).collect {
+      case (f, mn, mx) if !(mx >= 10L && mn <= 40L) => f
+    }.toSet
+    assert(untouched.nonEmpty, "fixture must leave untouched files")
+    assert(untouched.subsetOf(
+      VersionedTable.statsManifest(t, 1L).map(_._1).toSet))
+    assert(VersionedTable.commitKind(t, 1L).contains("update"))
+    // Stats metadata survives the SQL rewrite: ROWS covers v1 exactly
+    // and sums true; STATSCOL still declared.
+    val rc = VersionedTable.rowCounts(t, 1L)
+    assert(rc.map(_._1).toSet ==
+      VersionedTable.statsManifest(t, 1L).map(_._1).toSet)
+    assert(rc.map(_._2).sum == 100L)
+    assert(VersionedTable.statsColumns(t, 1L).headOption.contains("id"))
+    // A no-match UPDATE is a no-op: nothing published.
+    s2.sql("UPDATE g.nums SET v = 0 WHERE id BETWEEN -100 AND -50")
+    assert(VersionedTable.latestVersion(t).contains(1L))
+  }
+
+  test("SQL MERGE INTO upserts through the group-replacement write") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cat_mrg_")
+    val t = root.resolve("nums")
+    VersionedTable.commitWithStats(spark, t, 0L,
+      spark.range(0, 10).selectExpr("id", "id AS v")
+        .repartitionByRange(2, $"id"), "id")
+    val s2 = session(root)
+    // newSession shares the SparkContext but not temp views — register
+    // the source on s2 itself.
+    s2.range(5, 15).selectExpr("id", "CAST(-1 AS BIGINT) AS v")
+      .createOrReplaceTempView("upd")
+    s2.sql("""MERGE INTO g.nums t USING upd u ON t.id = u.id
+              WHEN MATCHED THEN UPDATE SET v = u.v
+              WHEN NOT MATCHED THEN INSERT (id, v) VALUES (u.id, u.v)""")
+    val got = s2.sql("SELECT id, v FROM g.nums ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (0L until 15L).map(i => (i, if (i >= 5) -1L else i)))
+    assert(VersionedTable.commitKind(t, 1L).contains("update"))
   }
 
   test("CALL procedures run the maintenance verbs from plain SQL") {
