@@ -3182,6 +3182,64 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // SQL DDL THROUGH THE CATALOG (r15) — the table LIFECYCLE as plain
+    // statements, every one a protocol commit: `CREATE TABLE … AS
+    // SELECT` bootstraps v0 as a schema-pinning zero-row commit and
+    // lands the rows as v1 through the V2 write (witnessed: history
+    // reads [0, 1] and VERSION AS OF 0 time-travels to the empty
+    // declaration); `ALTER TABLE … RENAME COLUMN` publishes the
+    // metadata-only rename commit, visible to the very next statement
+    // and materialized by the next compaction; `DROP TABLE` is
+    // REF-GUARDED — a tagged release refuses to vanish (witnessed),
+    // while an unpinned scratch table drops cleanly (witnessed). With
+    // DML and CALL maintenance this closes the loop: a SQL user now
+    // creates, evolves, queries, and retires versioned tables without
+    // ever importing the library.
+    "pipe_sql_ddl" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vddl_")
+      try {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        s2.sql(s"""CREATE TABLE graftcat.docs AS
+                   SELECT doc_id, lang, n_chars
+                   FROM parquet.`$dir/documents.parquet`""")
+        val table = tmp.resolve("docs")
+        require(VersionedTable.versions(table) == Seq(0L, 1L),
+          "pipe_sql_ddl: CTAS must land as bootstrap v0 + data v1, " +
+            s"got ${VersionedTable.versions(table)}")
+        require(s2.sql(
+            "SELECT count(*) AS n FROM graftcat.docs VERSION AS OF 0")
+            .head().getLong(0) == 0L,
+          "pipe_sql_ddl: VERSION AS OF 0 must serve the empty " +
+            "schema-pinning declaration")
+        s2.sql("ALTER TABLE graftcat.docs RENAME COLUMN n_chars TO chars")
+        // The rename is metadata-only debt; the compaction
+        // materializes it into the files (and re-clusters).
+        s2.sql("CALL graftcat.compact('docs', 'doc_id', 4)")
+        require(VersionedTable.columnMappings(table, 3L).isEmpty,
+          "pipe_sql_ddl: compaction must materialize the rename")
+        // DROP is ref-guarded: a pinned release refuses to vanish.
+        s2.sql("CALL graftcat.tag('docs', 'release', 3)")
+        require(scala.util.Try(
+            s2.sql("DROP TABLE graftcat.docs")).isFailure,
+          "pipe_sql_ddl: DROP TABLE must refuse while a tag pins " +
+            "history")
+        // An unpinned scratch table drops cleanly and is gone.
+        s2.sql("CREATE TABLE graftcat.scratch (id BIGINT)")
+        s2.sql("DROP TABLE graftcat.scratch")
+        require(VersionedTable.latestVersion(
+            tmp.resolve("scratch")).isEmpty,
+          "pipe_sql_ddl: DROP TABLE must remove the unpinned table")
+        val out = s2.sql(
+          "SELECT doc_id, lang, chars FROM graftcat.docs ORDER BY doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // SQL STORED PROCEDURES — table maintenance from CALL (r13) — the
     // protocol's lifecycle verbs as plain SQL (Spark 4 ProcedureCatalog,
     // the Iceberg-procedures shape): stage a table carrying real debt
@@ -4383,6 +4441,14 @@ object DedupQueries extends QueryModule {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
         |  CAST(CASE WHEN doc_id BETWEEN 10 AND 40
         |       THEN n_chars + 100000 ELSE n_chars END AS BIGINT) AS n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // The DDL lifecycle is content-preserving: CTAS + rename + compact
+    // serve exactly the source projection under the new column name.
+    "pipe_sql_ddl" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(n_chars AS BIGINT) AS chars
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 

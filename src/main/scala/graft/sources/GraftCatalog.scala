@@ -39,10 +39,13 @@ import graft.operators.VersionedTable
   * commit published at-or-before the timestamp (manifest link mtime —
   * the snapshot-at-time semantics of Delta/Iceberg).
   *
-  * Read-only by design, like every surface over the protocol: DDL and
-  * DML route through `commit`/`appendCommit`/`mergeCommit`/`transact`
-  * — the atomic putIfAbsent publish is the consistency story, and a
-  * catalog write path would bypass it.
+  * DDL (r15) goes THROUGH the protocol, never around it: CREATE TABLE
+  * [AS SELECT] bootstraps v0 as a schema-pinning zero-row commit (a
+  * CTAS's rows append as v1), ALTER TABLE RENAME/ALTER COLUMN TYPE
+  * publish the metadata-only rename/widen commits, and DROP TABLE is
+  * ref-guarded (a tagged release or live branch refuses to vanish).
+  * Every mutation is still one atomic putIfAbsent publish — the
+  * catalog adds names, not a second write path.
   */
 class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
@@ -283,7 +286,25 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       throw new NoSuchTableException(ident)
     val path = p.toString
     val v = GraftTableSource.resolveVersion(path, version)
-    new GraftTable(path, GraftTableSource.dataSchema(path, v), v,
+    // The footer schema is the WRITE-time one; the version's live
+    // rename/widen mappings evolve it to the CURRENT names/types (r15
+    // — ALTER TABLE must be visible to the very next statement). The
+    // scan still refuses mapped versions until a compaction
+    // materializes the mapping; the NAME surface evolves immediately.
+    val evolved = VersionedTable.columnMappings(p, v).foldLeft(
+      GraftTableSource.dataSchema(path, v)) {
+      case (sch, ("rename", from, to)) =>
+        StructType(sch.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+      case (sch, ("widen", c, t)) =>
+        StructType(sch.fields.map(f =>
+          if (f.name == c)
+            f.copy(dataType =
+              org.apache.spark.sql.types.DataType.fromDDL(t))
+          else f))
+      case (sch, _) => sch
+    }
+    new GraftTable(path, evolved, v,
       VersionedTable.statsColumns(p, v).headOption)
   }
 
@@ -318,21 +339,97 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft catalog '$catalogName' is read-only: $op routes through " +
-        "the commit protocol (VersionedTable.commit/appendCommit/" +
-        "mergeCommit/transact)")
+      s"graft catalog '$catalogName' is read-only for $op: it routes " +
+        "through the commit protocol (VersionedTable.commit/" +
+        "appendCommit/mergeCommit/transact)")
 
+  /** SQL DDL (r15) — `CREATE TABLE [AS SELECT]`: version 0 is a
+    * BOOTSTRAP commit pinning the declared schema as one zero-row
+    * parquet file (the streaming sink's bootstrap shape — the
+    * manifest's first footer IS the connector's schema source, so an
+    * empty table still self-describes), published through the same
+    * putIfAbsent as every commit. A CTAS then appends its rows as v1
+    * through the ordinary V2 write — the data lands as its own atomic
+    * version and `VERSION AS OF 0` time-travels to the empty
+    * declaration forever. Partition transforms refuse (the protocol's
+    * partition layout comes from `commitPartitioned`, not DDL). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+      properties: java.util.Map[String, String]): Table = {
+    if (ident.namespace.nonEmpty)
+      throw new NoSuchNamespaceException(ident.namespace)
+    require(partitions.isEmpty,
+      s"graft catalog '$catalogName': PARTITIONED BY is not supported " +
+        "in DDL — partition layouts come from commitPartitioned")
+    val p = tableRoot(ident)
+    if (VersionedTable.latestVersion(p).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(Array(catalogName, ident.name))
+    // The writer's primitive surface gates the schema up front — a
+    // CTAS must fail before committing anything it can't then write.
+    GraftWriterFactory.messageType(schema)
+    val spark = org.apache.spark.sql.SparkSession.active
+    VersionedTable.commit(spark, p, 0L,
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        schema).coalesce(1))
+    load(ident, None)
+  }
 
+  /** `ALTER TABLE` → the protocol's METADATA-ONLY evolution commits:
+    * RENAME COLUMN → [[VersionedTable.renameCommit]], ALTER COLUMN
+    * TYPE → [[VersionedTable.widenCommit]] (widenings only — the
+    * commit validates). No data file is rewritten; time travel below
+    * the commit sees the old schema; the connector's scan will ask for
+    * a compaction before serving the mapped version (by design — the
+    * mapping is debt the next compact materializes). Other changes
+    * refuse. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
+                          changes: TableChange*): Table = {
+    val p = tableAt(ident.name)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"graft catalog '$catalogName': nested rename unsupported")
+        VersionedTable.renameCommit(p,
+          VersionedTable.latestVersion(p).get + 1,
+          r.fieldNames()(0), r.newName)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          s"graft catalog '$catalogName': nested type change unsupported")
+        VersionedTable.widenCommit(p,
+          VersionedTable.latestVersion(p).get + 1,
+          u.fieldNames()(0), u.newDataType.sql.toLowerCase)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog '$catalogName': unsupported ALTER TABLE change " +
+          s"$other (supported: RENAME COLUMN, ALTER COLUMN TYPE)")
+    }
+    // The mapped version self-describes through VersionedTable.read;
+    // return the table at its new head.
+    load(ident, None)
+  }
 
-  override def dropTable(ident: Identifier): Boolean =
-    readOnly("DROP TABLE")
+  /** `DROP TABLE` — REF-GUARDED: a table holding named refs (a
+    * release tag, a live branch) refuses to vanish — drop the refs
+    * first, the same explicitness expire() demands. Otherwise the
+    * whole table directory (manifests, refs dir scaffolding, data) is
+    * removed; DROP is the one operation that is ABOUT erasing history,
+    * so it is not itself a commit. */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (ident.namespace.nonEmpty) return false
+    val p = tableRoot(ident)
+    if (VersionedTable.latestVersion(p).isEmpty) return false
+    val refs = VersionedTable.refs(p)
+    require(refs.isEmpty,
+      s"graft catalog '$catalogName': ${ident.name} holds named refs " +
+        s"${refs.map(_._1).mkString("[", ", ", "]")} — a pinned " +
+        "release or live branch must be dropped explicitly first")
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => { Files.deleteIfExists(f); () })
+    finally walk.close()
+    true
+  }
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =

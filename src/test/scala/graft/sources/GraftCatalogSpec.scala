@@ -272,13 +272,57 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { s2.sql("CALL g.constrain('nums', 'id > 5')") }
   }
 
-  test("DDL is refused: writes route through the commit protocol") {
-    val root = staged()
+  test("CREATE TABLE AS SELECT bootstraps v0 and lands data as v1") {
+    val root = Files.createTempDirectory("graft_cat_ddl_")
     val s2 = session(root)
-    val e = intercept[Exception] { s2.sql("DROP TABLE g.nums") }
-    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
-      .takeWhile(_ != null)
-      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
-    assert(msgs.contains("commit protocol"))
+    s2.sql("CREATE TABLE g.made AS SELECT id, id * 2 AS v FROM range(5)")
+    val t = root.resolve("made")
+    // v0 = the schema-pinning empty bootstrap; v1 = the CTAS rows —
+    // time travel to the declaration stays possible forever.
+    assert(VersionedTable.versions(t) == Seq(0L, 1L))
+    assert(s2.sql("SELECT count(*) AS n FROM g.made VERSION AS OF 0")
+      .head().getLong(0) == 0)
+    assert(s2.sql("SELECT sum(v) AS s FROM g.made").head().getLong(0)
+      == 20)
+    // Plain CREATE TABLE declares an empty table; re-creating refuses.
+    s2.sql("CREATE TABLE g.empty (id BIGINT, name STRING)")
+    assert(s2.sql("SELECT count(*) AS n FROM g.empty").head().getLong(0)
+      == 0)
+    intercept[Exception] { s2.sql("CREATE TABLE g.made (id BIGINT)") }
+    // Unsupported column types fail BEFORE any commit exists.
+    intercept[Exception] {
+      s2.sql("CREATE TABLE g.bad (m MAP<STRING, STRING>)")
+    }
+    assert(VersionedTable.latestVersion(root.resolve("bad")).isEmpty)
+  }
+
+  test("ALTER TABLE publishes rename/widen commits; DROP is ref-guarded") {
+    val root = Files.createTempDirectory("graft_cat_ddl2_")
+    val s2 = session(root)
+    s2.sql("CREATE TABLE g.ev AS SELECT id, CAST(id AS INT) AS small " +
+      "FROM range(4)")
+    val t = root.resolve("ev")
+    s2.sql("ALTER TABLE g.ev RENAME COLUMN small TO grown")
+    s2.sql("ALTER TABLE g.ev ALTER COLUMN grown TYPE BIGINT")
+    // Both are metadata-only commits; the library read serves the
+    // evolved schema without a rewrite.
+    assert(VersionedTable.versions(t) == Seq(0L, 1L, 2L, 3L))
+    val evolved = VersionedTable.read(spark, t)
+    assert(evolved.schema.fieldNames.toSeq == Seq("id", "grown"))
+    assert(evolved.schema("grown").dataType ==
+      org.apache.spark.sql.types.LongType)
+    intercept[Exception] {
+      s2.sql("ALTER TABLE g.ev ALTER COLUMN grown COMMENT 'x'")
+    }
+    // DROP refuses while a ref pins history; dropping after is final.
+    VersionedTable.tagCreate(t, "keep", 1L)
+    intercept[Exception] { s2.sql("DROP TABLE g.ev") }
+    assert(VersionedTable.latestVersion(t).contains(3L))
+    java.nio.file.Files.walk(t.resolve("_refs")).sorted(
+      java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    s2.sql("DROP TABLE g.ev")
+    assert(VersionedTable.latestVersion(t).isEmpty)
+    intercept[Exception] { s2.sql("SELECT * FROM g.ev").collect() }
   }
 }
