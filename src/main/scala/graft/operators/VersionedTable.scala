@@ -1465,23 +1465,37 @@ object VersionedTable {
     version
   }
 
-  /** PROMOTE an append-only branch into another branch — the
-    * fast-forward merge that turns a validated experiment into
-    * production WITHOUT copying data: the lines `from`'s history ADDED
-    * since its fork point (ref seq 0 records exactly where the branch
-    * was created) are published as one snapshot based on `into`'s
-    * head, and `into`'s ref CASes forward. Zero data movement — a
-    * promote is a metadata commit whatever the branch weighs. Refused
-    * when `from` REWROTE files since the fork (its fork manifest is no
-    * longer a subset of its head): removals cannot be replayed as an
-    * append — compact/cherry-pick manually, the same stance the change
-    * feed takes on rewrite commits. `from` itself is untouched (read
-    * it after the promote and it still serves its own head). Conflict
-    * semantics as [[branchCommit]]: lost snapshot-id or ref races
-    * retry on tiny metadata. `beforeAttempt(intoHead)` is the race
-    * seam ([[appendCommit]]'s pattern): it runs after each attempt
-    * reads the target head, so a test can advance `into` underneath
-    * the promote deterministically. */
+  /** PROMOTE a branch into another branch — the merge that turns a
+    * validated experiment into production WITHOUT copying data: the
+    * NET change `from`'s history made since its fork point (ref seq 0
+    * records exactly where the branch was created) is published as
+    * one snapshot based on `into`'s head, and `into`'s ref CASes
+    * forward. Zero data movement — a promote is a metadata commit
+    * whatever the branch weighs.
+    *
+    * Append-only branches FAST-FORWARD (BASE + added lines). A branch
+    * that REWROTE files since the fork (updateWhere-shaped history,
+    * hand-published rewrites) REBASES (r15): its net removals replay
+    * as RM lines against `into`'s head, its net additions append —
+    * provided every removed line is still VERBATIM in `into`'s head
+    * manifest. If `into` touched any of the same files (the removed
+    * line is gone or its stats changed), the promote REFUSES: that is
+    * a true three-way conflict only a human (or a re-run of the
+    * branch's logic on the new base) can resolve — the overlapping-RM
+    * rule. A rebase with removals is a rewrite to the change feed and
+    * is stamped KIND=update (preimage = the removed files' rows,
+    * postimage = the added files' — the mirror-correct pair); a pure
+    * fast-forward stays unannotated and serves as plain inserts.
+    * Removing a CHECK line can never ride a promote — a contract
+    * change must be explicit, not a merge side effect.
+    *
+    * `from` itself is untouched (read it after the promote and it
+    * still serves its own head). Conflict semantics as
+    * [[branchCommit]]: lost snapshot-id or ref races retry on tiny
+    * metadata. `beforeAttempt(intoHead)` is the race seam
+    * ([[appendCommit]]'s pattern): it runs after each attempt reads
+    * the target head, so a test can advance `into` underneath the
+    * promote deterministically. */
   def promoteBranch(s: SparkSession, table: Path, from: String,
                     into: String, maxAttempts: Int = 10,
                     beforeAttempt: Long => Unit = _ => ()): Committed = {
@@ -1498,9 +1512,22 @@ object VersionedTable {
     val forkLines = manifest(table, fork)
     val headLines = manifest(table, fromHead)
     val forkSet = forkLines.toSet
-    require(forkLines.forall(headLines.contains),
-      s"promoteBranch: branch '$from' rewrote files since its fork at " +
-        s"v$fork — removals cannot replay as an append; compact first")
+    val headSet = headLines.toSet
+    // The branch's NET change since the fork: lines it added, lines it
+    // removed (rewrites). Removals rebase as RM deltas below; a
+    // removed CHECK line refuses outright (contracts don't merge away).
+    val removed = forkLines.filterNot(headSet)
+    require(!removed.exists(_.startsWith(CheckPrefix)),
+      s"promoteBranch: branch '$from' dropped a CHECK constraint since " +
+        s"its fork at v$fork — a contract change cannot ride a promote")
+    val removedPaths = removed.map { line =>
+      if (isMetaLine(line)) metaFile(line).getOrElse(
+        throw new IllegalArgumentException(
+          s"promoteBranch: branch '$from' removed table-wide metadata " +
+            s"'${line.takeWhile(_ != '\t')}' since its fork — " +
+            "unrebasable; compact first"))
+      else line.split('\t').head
+    }.distinct
     val added = headLines.filterNot(forkSet)
     val addedFiles = added.filterNot(isMetaLine).map(_.split('\t').head)
     var conflicts = 0
@@ -1532,8 +1559,25 @@ object VersionedTable {
             }
         validated = Some(checks)
       }
+      // Overlapping-RM conflict check, per attempt against the FRESH
+      // head: every line the branch removed must still sit VERBATIM in
+      // `into`'s manifest — if `into` touched the same file (line gone
+      // or re-statted), the rebase would silently discard its change.
+      if (removed.nonEmpty) {
+        val intoSet = manifest(table, intoHead).toSet
+        val conflicting = removed.filterNot(intoSet)
+        require(conflicting.isEmpty,
+          s"promoteBranch($from -> $into): both branches touched " +
+            s"${conflicting.map(_.split('\t').head).distinct
+              .mkString("[", ", ", "]")} since the fork — a true " +
+            "conflict; rebase the branch's logic on the new base or " +
+            "resolve manually")
+      }
       val target = latestVersion(table).get + 1
-      val lines = (BasePrefix + intoHead) +: added
+      val lines = (BasePrefix + intoHead) +: (
+        if (removed.isEmpty) added
+        else removedPaths.sorted.map(RmPrefix + _) ++ added :+
+          s"${KindPrefix}update")
       try {
         publish(table, target, lines)
         try {

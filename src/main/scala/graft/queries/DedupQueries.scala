@@ -2990,7 +2990,45 @@ object DedupQueries extends QueryModule {
         require(VersionedTable.refHead(table, "exp").get._2 == expHead,
           "pipe_branch_promote: promoting must not advance the source " +
             "branch")
-        val out = Seq("exp", "main").map { r =>
+        // REBASE-PROMOTE (r15): a branch whose history REWROTE files
+        // (here: a whole-snapshot fix bumping n_chars by 500 where
+        // doc_id % 9 = 0, staged as the raw-publish escape hatch — the
+        // branch verbs are append-only) now promotes too: its net
+        // removals replay as RM lines against main's head, its
+        // replacements append, stamped KIND=update for the change
+        // feed. main keeps everything it gained meanwhile (exp's
+        // promote, its own add) — a three-way merge, refused only when
+        // both branches touched the same file (spec-covered).
+        VersionedTable.branchCreate(table, "fix", 0L)
+        val fixDf = docs.selectExpr("doc_id", "lang",
+          "CASE WHEN doc_id % 9 = 0 THEN n_chars + 500L " +
+            "ELSE n_chars END AS n_chars")
+        val dd = table.resolve("data").resolve("fix-rw")
+        fixDf.write.parquet(dd.toString)
+        val staged = {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(dd)
+          try walk.iterator().asScala.filter(p =>
+              java.nio.file.Files.isRegularFile(p) &&
+                p.toString.endsWith(".parquet"))
+            .map(p => table.relativize(p).toString).toSeq.sorted
+          finally walk.close()
+        }
+        val fixHead = VersionedTable.latestVersion(table).get + 1
+        VersionedTable.publish(table, fixHead, staged)
+        VersionedTable.advanceRef(table, "fix", fixHead)
+        val promoted2 = VersionedTable.promoteBranch(s, table, "fix",
+          "main")
+        require(VersionedTable.commitKind(table, promoted2.version)
+            .contains("update"),
+          "pipe_branch_promote: a rebase with removals must stamp " +
+            "KIND=update for the change feed")
+        require(VersionedTable.removedDataFiles(table, promoted2.version)
+            .toSet == VersionedTable.manifest(table, 0L)
+            .map(_.split('\t').head).toSet,
+          "pipe_branch_promote: the rebase must remove exactly the " +
+            "fork files the fix branch rewrote")
+        val out = Seq("exp", "fix", "main").map { r =>
           VersionedTable.readRef(s, table, r)
             .selectExpr("lang", "n_chars",
               "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', " +
@@ -4381,14 +4419,20 @@ object DedupQueries extends QueryModule {
         |exp AS (
         |  SELECT doc_id, lang, n_chars FROM documents
         |  UNION ALL SELECT * FROM expadd),
+        |fix AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 9 = 0 THEN n_chars + 500
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents),
         |main AS (
-        |  SELECT doc_id, lang, n_chars FROM documents
+        |  SELECT doc_id, lang, n_chars FROM fix
         |  UNION ALL
         |  SELECT doc_id + 2199023255552, lang, n_chars
         |  FROM documents WHERE doc_id % 7 = 2
         |  UNION ALL SELECT * FROM expadd),
         |refs AS (
         |  SELECT 'exp' AS ref, doc_id, lang, n_chars FROM exp
+        |  UNION ALL SELECT 'fix', doc_id, lang, n_chars FROM fix
         |  UNION ALL SELECT 'main', doc_id, lang, n_chars FROM main)
         |SELECT ref, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

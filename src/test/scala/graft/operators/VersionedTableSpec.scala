@@ -751,8 +751,11 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.addedLines(t, p.version).forall(l =>
       VersionedTable.manifest(
         t, VersionedTable.refHead(t, "exp").get._2).contains(l)))
-    // A branch whose history rewrote files (head not a superset of its
-    // fork) cannot replay as an append.
+    // A branch whose history REWROTE files (head not a superset of its
+    // fork) REBASES since r15: its net removal replays as an RM delta
+    // against main's head — main keeps its own additions and loses
+    // exactly the branch's dropped file; the commit is KIND=update so
+    // the change feed can replay it as preimage/postimage.
     VersionedTable.branchCreate(t, "rw", 0L)
     val head = VersionedTable.latestVersion(t).get + 1
     // Simulate a rewrite on the rw branch: a full manifest that drops
@@ -760,9 +763,25 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.publish(t, head,
       VersionedTable.manifest(t, 0L).drop(1))
     VersionedTable.advanceRef(t, "rw", head)
-    intercept[IllegalArgumentException] {
-      VersionedTable.promoteBranch(spark, t, "rw", "main")
+    val rwKept = VersionedTable.readRef(spark, t, "rw").collect()
+      .map(_.getLong(0)).toSet
+    val pr = VersionedTable.promoteBranch(spark, t, "rw", "main")
+    assert(VersionedTable.commitKind(t, pr.version).contains("update"))
+    assert(VersionedTable.readRef(spark, t, "main").collect()
+      .map(_.getLong(0)).sorted.toSeq ==
+      (rwKept ++ Set(10L, 11L, 20L)).toSeq.sorted)
+    // A TRUE conflict still refuses: rw2 removes the same fork file
+    // main just lost — the removed line is no longer verbatim in
+    // main's head (the overlapping-RM rule).
+    VersionedTable.branchCreate(t, "rw2", 0L)
+    val head2 = VersionedTable.latestVersion(t).get + 1
+    VersionedTable.publish(t, head2,
+      VersionedTable.manifest(t, 0L).drop(1))
+    VersionedTable.advanceRef(t, "rw2", head2)
+    val ce = intercept[IllegalArgumentException] {
+      VersionedTable.promoteBranch(spark, t, "rw2", "main")
     }
+    assert(ce.getMessage.contains("both branches touched"))
     // Promoting into a tag refuses.
     VersionedTable.tagCreate(t, "pin", 0L)
     intercept[IllegalArgumentException] {
