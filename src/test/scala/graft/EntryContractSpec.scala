@@ -14,6 +14,7 @@ class EntryContractSpec extends AnyFunSuite {
   private val RowsOnly = Set(
     "dedup_minhash_lsh", "dedup_simhash",
     "emb_ann_topk", "emb_ivf_topk", "emb_ivf_persisted", "emb_ivf_append",
+    "emb_ivfpq_persisted",
     "emb_pq_persisted",
     "emb_pq_topk",
     "emb_kmeans",
