@@ -253,11 +253,15 @@ object EmbeddingQueries extends QueryModule {
     * compressed-domain scan runs ONLY inside those cells' code
     * postings (never the whole codes table — the sublinear step IVF
     * adds to flat PQ), a per-probe shortlist reranks exactly from
-    * `vectors`. Tie rules match the whole module: cells by csim desc
-    * then cell; candidates by approx desc then nid; final by sim desc
-    * then nid. */
+    * `vectors`. The shortlist SCALES with the corpus (max(30, n/16),
+    * the emb_pq_topk lesson: a fixed rerank budget silently starves
+    * recall as the corpus grows — caught again here by the recall
+    * gate at the 10× fixture). Tie rules match the whole module:
+    * cells by csim desc then cell; candidates by approx desc then
+    * nid; final by sim desc then nid. */
   private def ivfPqTop3(enc: DataFrame, cent: DataFrame,
-      vectors: DataFrame, codes: Array[Array[Double]]): DataFrame = {
+      vectors: DataFrame, codes: Array[Array[Double]],
+      corpusN: Long): DataFrame = {
     val s = enc.sparkSession
     import s.implicits._
     val probes = vectors.where($"vec_id" < 10)
@@ -275,10 +279,11 @@ object EmbeddingQueries extends QueryModule {
       .map { case (qid, qe, vid, cs, cnorm2) =>
         (qid, vid, adcApproxE6(qe, cs, cnorm2, codes))
       }.toDF("qid", "nid", "approx_e6")
+    val shortlist = math.max(30L, corpusN / 16)
     val wCand = Window.partitionBy($"qid").orderBy($"approx_e6".desc, $"nid")
     val cand = scored
       .withColumn("crk", row_number().over(wCand))
-      .where($"crk" <= 30)
+      .where($"crk" <= shortlist)
       .select($"qid", $"nid")
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
     cand
@@ -1142,7 +1147,7 @@ object EmbeddingQueries extends QueryModule {
           .selectExpr("CAST(cell AS INT) AS cell", "vec_id", "codes",
             "cnorm2")
         val vecS = s.read.parquet(idx.resolve("vectors").toString)
-        val out = ivfPqTop3(encS, centS, vecS, codes)
+        val out = ivfPqTop3(encS, centS, vecS, codes, corpusN)
         QueryModule.gatedPlans.put("emb_ivfpq_persisted", out)
         val planStr = out.queryExecution.executedPlan.toString
         require(!planStr.contains("embeddings.parquet"),
@@ -1173,7 +1178,7 @@ object EmbeddingQueries extends QueryModule {
             .join(assignToCells(emb, centS).select($"vec_id", $"cell"),
               "vec_id")
             .select($"cell", $"vec_id", $"codes", $"cnorm2"),
-          centS, emb, codes).collect()
+          centS, emb, codes, corpusN).collect()
         require(rows.length == mem.length &&
             rows.zip(mem).forall { case (a, b) => a == b },
           "emb_ivfpq_persisted: served rows diverge from the in-memory " +
