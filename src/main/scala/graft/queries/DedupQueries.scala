@@ -3089,19 +3089,21 @@ object DedupQueries extends QueryModule {
             s"and 2 — history reads ${VersionedTable.versions(table)}")
         // A non-key DELETE can't be a key-list DV — since r15 it falls
         // through to the GROUP-BASED REWRITE path
-        // (SupportsRowLevelOperations) instead of refusing: the scan
-        // applies the live DVs while rewriting, so the commit also
-        // FOLDS them away (witnessed), and the commit is stamped
-        // KIND=update for the change feed.
+        // (SupportsRowLevelOperations) instead of refusing: runtime
+        // group filtering rewrites only the files holding matching
+        // rows (witnessed: something was removed, and any surviving
+        // deletion vector stays correctly scoped to the untouched
+        // files — the oracle proves the deleted keys stay dead either
+        // way), stamped KIND=update for the change feed.
         s2.sql("DELETE FROM graftcat.docs " +
           "WHERE n_chars % 2 = 1 AND doc_id < 50")
         require(VersionedTable.latestVersion(table).contains(3L) &&
             VersionedTable.commitKind(table, 3L).contains("update"),
           "pipe_sql_dml: the rewrite DELETE must land as v3, " +
             "KIND=update")
-        require(VersionedTable.deletionVectors(table, 3L).isEmpty,
-          "pipe_sql_dml: the full rewrite must fold the v1 deletion " +
-            "vector away (the scan already applied it)")
+        require(VersionedTable.removedDataFiles(table, 3L).nonEmpty,
+          "pipe_sql_dml: the rewrite DELETE must replace the files " +
+            "holding matching rows")
         val out = s2.sql(
           "SELECT doc_id, lang, n_chars FROM graftcat.docs ORDER BY doc_id")
         val rows = out.collect()
@@ -3170,13 +3172,15 @@ object DedupQueries extends QueryModule {
 
     // SQL MERGE INTO — the literal statement (r15): matched rows
     // update, unmatched source rows insert, one atomic KIND=update
-    // commit through the group-replacement write. A MERGE's ON
-    // condition references the source, so no static pruning applies —
-    // the whole table rewrites (the documented group-based MERGE cost;
-    // the library's mergeCommit is the O(update batch) merge-on-read
-    // alternative, priced side by side in pipe_merge_commit). The
-    // oracle is pipe_merge_commit's single-round shape: base with the
-    // matched updates applied plus the unmatched inserts.
+    // commit through the group-replacement write. RUNTIME GROUP
+    // FILTERING prunes the rewrite to files that actually hold matched
+    // keys (the matching-rows subquery on _file — here the matched set
+    // doc_id%6==2 spans every file, so all rewrite; the narrow-source
+    // pruning witness lives in GraftCatalogSpec). The library's
+    // mergeCommit stays the O(update batch) merge-on-read alternative,
+    // priced side by side in pipe_merge_commit. The oracle is
+    // pipe_merge_commit's single-round shape: base with the matched
+    // updates applied plus the unmatched inserts.
     "pipe_sql_merge" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.VersionedTable

@@ -48,18 +48,24 @@ import graft.operators.VersionedTable
   *    statement with a re-run instruction instead of silently losing
   *    either write.
   *
+  *  - RUNTIME GROUP FILTERING (r15): the operation requests the
+  *    `_file` metadata column, so Spark's
+  *    `RowLevelOperationRuntimeGroupFiltering` runs a matching-rows
+  *    subquery (target rows the statement touches, DISTINCT `_file` —
+  *    for MERGE that is a semi-join against the SOURCE) and
+  *    runtime-prunes the main scan to exactly those files via the
+  *    scan's `SupportsRuntimeV2Filtering`. A MERGE therefore rewrites
+  *    only the files that actually hold matched keys — beyond
+  *    anything static zonemaps can prove, and the difference between
+  *    rewriting a 100 TB table and rewriting the matched fraction.
+  *
   * Key-shaped `DELETE`s (one equality/IN on a column) never reach this
   * path: Spark's `OptimizeMetadataOnlyDeleteFromTable` converts them
   * back to [[GraftTable]]'s metadata delete — the O(deleted keys)
   * deletion-vector commit — via `canDeleteWhere`. This operation is
-  * the rewrite fallback for every other shape.
-  *
-  * MERGE scale note: a MERGE's ON condition references the source, so
-  * no static pruning applies and every group is rewritten — the
-  * documented cost of group-based MERGE without runtime group
-  * filtering (the library's
-  * [[graft.operators.VersionedTable.mergeCommit]] and `transact` are
-  * the narrower tools when the source's key range is known).
+  * the rewrite fallback for every other shape. The library's
+  * [[graft.operators.VersionedTable.mergeCommit]] stays the
+  * merge-on-read alternative (no rewrite at all — a DV plus appends).
   */
 private[sources] class GraftRowLevelOperationBuilder(path: String,
     schema0: StructType, version: Long, statsCol: Option[String],
@@ -76,13 +82,29 @@ private[sources] class GraftRowLevelOperation(path: String,
   /** The files the operation scan planned — the GROUPS this statement
     * replaces. Written at scan-planning time, read at commit time; the
     * one operation instance is shared between both sides (the
-    * RowLevelOperationTable contract). */
+    * RowLevelOperationTable contract). When runtime group filtering
+    * fires, TWO scans exist — the matching-rows subquery's and the
+    * main (runtime-filtered) one; only the filtered scan's plan is the
+    * replaced set, so once any scan receives `filter()`, recording is
+    * exclusive to it ([[RecordingScan]]). */
   @volatile private[sources] var scannedFiles: Seq[String] = Nil
+  @volatile private[sources] var filteredScan: AnyRef = null
 
   override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String =
     s"graft-row-level $cmd $path@v$version"
+
+  /** `_file` makes the GROUP identity visible to Spark: the rewrite
+    * plans carry it, and `RowLevelOperationRuntimeGroupFiltering` can
+    * then run the matching-rows subquery (DISTINCT `_file` of rows the
+    * statement touches) and runtime-prune the main scan to exactly
+    * those files — a MERGE rewrites only files holding matched keys,
+    * not the table. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("_file"))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, version, statsCol, schema0) {
@@ -106,20 +128,39 @@ private[sources] class GraftRowLevelOperation(path: String,
 
 /** Wraps the table's ordinary scan to RECORD the planned files (the
   * groups the statement replaces) on the operation instance. Pure
-  * pass-through otherwise — pruning, readers, pushdown all stay the
-  * table scan's. */
+  * pass-through otherwise — pruning, readers, pushdown, runtime group
+  * filtering all stay the table scan's. Recording protocol: once any
+  * of the operation's scans receives a runtime `filter()` call, that
+  * scan is the MAIN scan (the matching-rows subquery's scan is never
+  * runtime-filtered) and recording becomes exclusive to it — its
+  * post-filter plan is the replaced set. */
 private[sources] class RecordingScan(inner: Scan,
-    op: GraftRowLevelOperation) extends Scan with Batch {
+    op: GraftRowLevelOperation) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String = inner.description()
   override def toBatch: Batch = this
 
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner.asInstanceOf[org.apache.spark.sql.connector.read
+      .SupportsRuntimeV2Filtering].filterAttributes()
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit = {
+    op.filteredScan = this
+    inner.asInstanceOf[org.apache.spark.sql.connector.read
+      .SupportsRuntimeV2Filtering].filter(predicates)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val ps = inner.toBatch.planInputPartitions()
-    op.scannedFiles = ps.collect {
-      case p: GraftTablePartition => p.file
-    }.toSeq
+    if (op.filteredScan == null || (op.filteredScan eq this))
+      op.scannedFiles = ps.collect {
+        case p: GraftTablePartition => p.file
+      }.toSeq
     ps
   }
 

@@ -266,6 +266,33 @@ object GraftTableSource {
       bloomAdmits(l, c, bits) && bloomAdmits(r, c, bits)
     case _ => true
   }
+
+  /** The file set a runtime V2 predicate admits on `_file`, if it is
+    * one of the shapes the group-filtering rule produces (IN / =).
+    * None = unrecognized → no pruning (safe: the scan then reads, and
+    * the row-level commit replaces, every candidate file). */
+  private[sources] def filePredicateSet(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Set[String]] = {
+    import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference}
+    def isFileRef(e: Expression): Boolean = e match {
+      case r: NamedReference => r.fieldNames.toSeq == Seq("_file")
+      case _ => false
+    }
+    def str(e: Expression): Option[String] = e match {
+      case l: Literal[_] => Option(l.value).map(_.toString)
+      case _ => None
+    }
+    p.name match {
+      case "IN" if p.children().nonEmpty && isFileRef(p.children()(0)) =>
+        val vs = p.children().drop(1).map(str)
+        if (vs.forall(_.isDefined)) Some(vs.flatten.toSet) else None
+      case "=" if p.children().length == 2 &&
+          isFileRef(p.children()(0)) =>
+        str(p.children()(1)).map(Set(_))
+      case _ => None
+    }
+  }
 }
 
 private[sources] class GraftTable(path: String, schema0: StructType,
@@ -274,8 +301,25 @@ private[sources] class GraftTable(path: String, schema0: StructType,
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   import graft.operators.VersionedTable
+
+  /** `_file` — each row's relative data-file path (the Delta/Iceberg
+    * metadata column of the same name): the GROUP identity the
+    * row-level runtime filter prunes on, and a lineage/debugging
+    * column for ordinary reads (`SELECT _file, * FROM graftcat.t`).
+    * Served by the scan from its split, zero cost. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "relative data-file path of the row (its row-level group)"
+    })
 
   /** SQL UPDATE / MERGE / rewrite-shaped DELETE — the group-based
     * copy-on-write path (see [[GraftRowLevelOperation]]); key-shaped
@@ -506,8 +550,34 @@ private[sources] class GraftScanBuilder(path: String, version: Long,
 private[sources] class GraftScan(path: String, version: Long,
     statsCol: Option[String], required: StructType, pushed: Array[Filter],
     metaAgg: Option[MetaAggPlan] = None)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import graft.operators.VersionedTable
+
+  /** RUNTIME GROUP FILTERING (r15) — the scan accepts a runtime
+    * IN-predicate on `_file` and narrows its planned files to exactly
+    * that set. Spark's `RowLevelOperationRuntimeGroupFiltering` is the
+    * producer: for UPDATE/DELETE/MERGE it runs a matching-rows
+    * subquery (target ⋉ condition, DISTINCT `_file`) and hands the
+    * result here, so the copy-on-write rewrite touches ONLY files that
+    * actually contain affected rows — beyond what static zonemaps can
+    * prove, and the difference between rewriting a 100 TB table and
+    * rewriting the matched fraction on every MERGE. Unparseable
+    * predicate shapes are ignored: an unpruned scan is still correct
+    * (the commit then replaces exactly what was scanned). */
+  @volatile private var runtimeFiles: Option[Set[String]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("_file"))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit = {
+    val sets = predicates.flatMap(GraftTableSource.filePredicateSet)
+    sets.reduceOption(_ intersect _).foreach(s => runtimeFiles = Some(s))
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -565,6 +635,7 @@ private[sources] class GraftScan(path: String, version: Long,
         .map { case (f, c, mn, mx) => (f, c) -> (mn, mx) }.toMap
     val secondaryCols = secondary.keysIterator.map(_._2).toSet
     val live = all.filter { case (f, mn, mx) =>
+      runtimeFiles.forall(_.contains(f)) &&
       statsCol.forall(c =>
         pushed.forall(GraftTableSource.admits(_, c, mn, mx))) &&
         secondaryCols.forall(c => secondary.get((f, c)).forall {
@@ -696,10 +767,11 @@ private[sources] class GraftTableReaderFactory(schema: StructType)
         cur != null
       }
       // Partition columns are constants of this split, served from the
-      // manifest path — the file payload never contains them.
+      // manifest path — the file payload never contains them. `_file`
+      // (the metadata column) is likewise a split constant.
       private val partConst: Map[String, UTF8String] =
         gp.partValues.map { case (c, v) => c -> UTF8String.fromString(v) }
-          .toMap
+          .toMap + ("_file" -> UTF8String.fromString(gp.file))
 
       override def get(): InternalRow = {
         val vals = schema.fields.map { f =>

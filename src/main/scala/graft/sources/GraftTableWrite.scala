@@ -250,20 +250,22 @@ private[sources] class GraftWriterFactory(path: String, stagingRel: String,
         .withType(msgType)
         .build()
       private var rows = 0L
-      // Group-replacement rows (SQL UPDATE/MERGE/DELETE rewrites)
-      // arrive as `__row_operation:int +: data` — Spark's ReplaceData
-      // strips the operation column via its row projection ONLY for
-      // writers that request metadata attributes (the plain
-      // DataWritingSparkTask passes the raw row through), so this
-      // writer skips it itself. info.schema() is the DATA schema
-      // either way.
-      private val off = if (replaceDataRows) 1 else 0
 
       override def write(row: InternalRow): Unit = {
+        // Group-replacement rows (SQL UPDATE/MERGE/DELETE rewrites)
+        // arrive two ways: PROJECTED to the data schema when the
+        // operation requests metadata attributes (ReplaceData's row
+        // projection strips `__row_operation` and the metadata
+        // columns), or RAW as `__row_operation:int +: data` through
+        // the plain DataWritingSparkTask. info.schema() is the DATA
+        // schema either way, so the row width decides the offset.
+        val off =
+          if (replaceDataRows) row.numFields - schema.fields.length else 0
         // Group-based semantics: every surviving group's kept rows are
-        // written. A DELETE-tagged row (possible only in delta-based
-        // plans) carries no payload to keep — skip defensively.
-        if (replaceDataRows && row.getInt(0) == 1) return
+        // written. A DELETE-tagged raw row (possible only in
+        // delta-based plans) carries no payload to keep — skip
+        // defensively.
+        if (off == 1 && row.getInt(0) == 1) return
         val g = new SimpleGroup(msgType)
         var i = 0
         while (i < schema.fields.length) {

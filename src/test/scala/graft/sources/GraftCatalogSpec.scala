@@ -182,6 +182,45 @@ class GraftCatalogSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(t).contains(1L))
   }
 
+  test("runtime group filtering rewrites only files containing matches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cat_rtf_")
+    val t = root.resolve("nums")
+    // Committed WITHOUT stats: static zonemap pruning is impossible —
+    // any partial rewrite below must come from the runtime
+    // matching-rows subquery (DISTINCT _file of rows the statement
+    // touches) pruning the operation scan.
+    VersionedTable.commit(spark, t, 0L,
+      spark.range(0, 100).selectExpr("id", "id AS v")
+        .repartitionByRange(4, $"id"))
+    val nFiles = VersionedTable.statsManifest(t, 0L).size
+    assert(nFiles == 4)
+    val s2 = session(root)
+    // The _file metadata column itself serves from plain SQL.
+    assert(s2.sql("SELECT count(DISTINCT _file) AS n FROM g.nums")
+      .head().getLong(0) == nFiles)
+    s2.sql("UPDATE g.nums SET v = -1 WHERE id = 7")
+    assert(VersionedTable.removedDataFiles(t, 1L).size == 1,
+      "a one-key UPDATE on a stats-less table must rewrite exactly " +
+        "the one file holding the key (runtime group filtering)")
+    assert(s2.sql("SELECT id, v FROM g.nums ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (0L until 100L).map(i => (i, if (i == 7) -1L else i)))
+    // MERGE: the source touches ids 95..105 — one target file matches,
+    // 100..105 insert. Only that file is replaced.
+    s2.range(95, 106).selectExpr("id", "CAST(-2 AS BIGINT) AS v")
+      .createOrReplaceTempView("u")
+    s2.sql("""MERGE INTO g.nums t USING u ON t.id = u.id
+              WHEN MATCHED THEN UPDATE SET v = u.v
+              WHEN NOT MATCHED THEN INSERT (id, v) VALUES (u.id, u.v)""")
+    assert(VersionedTable.removedDataFiles(t, 2L).size == 1,
+      "a narrow-source MERGE must rewrite only the matching file")
+    assert(s2.sql("SELECT id, v FROM g.nums ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (0L until 106L).map(i =>
+        (i, if (i >= 95) -2L else if (i == 7) -1L else i)))
+  }
+
   test("SQL MERGE INTO upserts through the group-replacement write") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_cat_mrg_")
