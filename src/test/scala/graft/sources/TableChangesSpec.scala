@@ -150,11 +150,14 @@ class TableChangesSpec extends SparkSpec {
       .map(_._1).sorted == Seq(1L, 2L, 3L, 4L))
   }
 
-  private def drainFeed(table: java.nio.file.Path)
+  private def drainFeed(table: java.nio.file.Path,
+      options: Map[String, String] = Map.empty)
       : Seq[(Long, Long, String)] = {
     val tmp = Files.createTempDirectory("graft_changes_feed_")
-    val q = spark.readStream.format("graft-changes")
-      .option("readChangeFeed", "true")
+    val q = options.foldLeft(spark.readStream.format("graft-changes")
+        .option("readChangeFeed", "true")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
       .load(table.toString)
       .writeStream.format("parquet")
       .option("path", s"$tmp/out")
@@ -210,6 +213,30 @@ class TableChangesSpec extends SparkSpec {
     assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .exists(c => Option(c.getMessage)
         .exists(_.contains("readChangeFeed"))))
+  }
+
+  test("a rebase-promote commit replays through a ref-pinned feed") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2, 3))
+    VersionedTable.branchCreate(t, "main", 0L)
+    VersionedTable.branchCreate(t, "fix", 0L)
+    VersionedTable.branchCommit(spark, t, "main", df(10)) // v1
+    // fix rewrites: its head drops one of the fork's files.
+    val head = VersionedTable.latestVersion(t).get + 1
+    VersionedTable.publish(t, head, VersionedTable.manifest(t, 0L).drop(1))
+    VersionedTable.advanceRef(t, "fix", head)
+    val dropped = Set(1L, 2L, 3L) --
+      VersionedTable.readRef(spark, t, "fix").collect()
+        .map(_.getLong(0)).toSet
+    val p = VersionedTable.promoteBranch(spark, t, "fix", "main")
+    // The main-pinned feed serves its own append as an insert and the
+    // promote's KIND=update rebase as preimage rows (the dropped
+    // file's content; the rebase added nothing) — a downstream mirror
+    // of main survives the merge without a restart.
+    assert(drainFeed(t, Map("ref" -> "main")) ==
+      (Seq((10L, 1L, "insert")) ++
+        dropped.toSeq.sorted.map((_, p.version, "update_preimage")))
+        .sorted)
   }
 
   test("a projected feed reads correctly through column pruning") {
