@@ -99,7 +99,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array("compact", "expire", "tag", "branch", "promote",
+    Array("compact", "expire", "tag", "branch", "promote", "rollback",
       "update_where", "constrain", "rename_column", "widen_column")
       .map(Identifier.of(Array.empty, _))
   }
@@ -176,6 +176,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             in.getUTF8String(1).toString, in.getUTF8String(2).toString)
           Seq("version" -> c.version, "conflicts" -> c.conflicts.toLong)
         })
+      case "rollback" => proc("rollback",
+        "Retarget a branch ref to a known-good committed version — the " +
+          "rollback verb (one ref record, no data touched; tags " +
+          "refuse; a pinned feed on the ref fails loudly on the broken " +
+          "monotonicity and restarts from a fresh checkpoint). " +
+          "rollback(table, ref, version)",
+        Seq(ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("ref", DataTypes.StringType).build(),
+          ProcedureParameter.in("version", DataTypes.LongType).build()),
+        { in =>
+          val t = tableAt(in.getUTF8String(0).toString)
+          VersionedTable.advanceRef(t, in.getUTF8String(1).toString,
+            in.getLong(2))
+          Seq("version" -> in.getLong(2))
+        })
       case "update_where" => proc("update_where",
         "Stats-pruned copy-on-write UPDATE: rewrite only the files " +
           "whose zonemap overlaps [lo, hi] on the stats column, " +
@@ -239,7 +254,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case other =>
         throw new RuntimeException(
           s"graft catalog '$catalogName': unknown procedure '$other' " +
-            "(available: compact, expire, tag, branch, promote, " +
+            "(available: compact, expire, tag, branch, promote, rollback, " +
             "update_where, constrain, rename_column, widen_column)")
     }
   }

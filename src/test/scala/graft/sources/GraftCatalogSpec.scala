@@ -311,6 +311,37 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { s2.sql("CALL g.constrain('nums', 'id > 5')") }
   }
 
+  test("CALL rollback retargets a branch; INSERT OVERWRITE carries CHECKs") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cat_rb_")
+    val t = root.resolve("nums")
+    VersionedTable.commit(spark, t, 0L, spark.range(0, 5).toDF("id"))
+    VersionedTable.branchCreate(t, "main", 0L)
+    VersionedTable.branchCommit(spark, t, "main",
+      spark.range(5, 8).toDF("id"))
+    val s2 = session(root)
+    // Rollback = one ref record, no data touched; the bad commit stays
+    // readable in the log (time travel) but main serves v0 again.
+    s2.sql("CALL g.rollback('nums', 'main', 0)")
+    assert(VersionedTable.refHead(t, "main").get._2 == 0L)
+    assert(VersionedTable.readRef(spark, t, "main").count() == 5)
+    VersionedTable.tagCreate(t, "pin", 0L)
+    intercept[Exception] { s2.sql("CALL g.rollback('nums', 'pin', 0)") }
+    // INSERT OVERWRITE: the V2 truncate path is a rewrite commit that
+    // VALIDATES against and CARRIES the declared CHECK constraints.
+    val t2 = root.resolve("ow")
+    VersionedTable.commit(spark, t2, 0L, spark.range(0, 5).toDF("id"))
+    VersionedTable.constraintCommit(spark, t2, 1L, "id >= 0")
+    s2.sql("INSERT OVERWRITE g.ow SELECT id + 100 AS id FROM range(3)")
+    assert(s2.sql("SELECT count(*) AS n FROM g.ow").head().getLong(0) == 3)
+    assert(VersionedTable.checkConstraints(t2,
+      VersionedTable.latestVersion(t2).get) == Seq("id >= 0"))
+    intercept[Exception] {
+      s2.sql("INSERT OVERWRITE g.ow SELECT -5 AS id")
+    }
+    assert(s2.sql("SELECT count(*) AS n FROM g.ow").head().getLong(0) == 3)
+  }
+
   test("CREATE TABLE AS SELECT bootstraps v0 and lands data as v1") {
     val root = Files.createTempDirectory("graft_cat_ddl_")
     val s2 = session(root)
