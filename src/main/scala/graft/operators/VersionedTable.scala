@@ -1316,6 +1316,15 @@ object VersionedTable {
     // A statement that touched nothing (condition pruned every group)
     // publishes nothing — the no-op discipline of updateWhere.
     if (touched.isEmpty && staged.isEmpty) return base
+    // A statement that deletes EVERY row would publish a manifest with
+    // no data lines — unreadable (the first footer is the schema
+    // source) and almost never what was meant. Refuse with the
+    // alternatives instead of bricking the table.
+    require(staged.nonEmpty || touched != all.toSet,
+      s"$what: the statement removes every row of $table — a table " +
+        "needs at least one data file (its schema source); DROP the " +
+        "table, or DELETE by key (a deletion-vector commit keeps the " +
+        "files), or overwrite with replacement rows")
     enforceConstraintsOnFiles(s, table, staged, Some(base), what)
     val baseLines = manifest(table, base)
     val statsColOpt = statsColumns(table, base).headOption

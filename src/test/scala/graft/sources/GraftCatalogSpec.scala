@@ -219,6 +219,17 @@ class GraftCatalogSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       (0L until 106L).map(i =>
         (i, if (i >= 95) -2L else if (i == 7) -1L else i)))
+    // A DELETE matching every row would leave a manifest with no data
+    // files (no schema source) — refused with the alternatives, table
+    // intact.
+    val e = intercept[Exception] {
+      s2.sql("DELETE FROM g.nums WHERE v > -1000")
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => Option(c.getMessage)
+        .exists(_.contains("removes every row"))))
+    assert(s2.sql("SELECT count(*) AS n FROM g.nums").head().getLong(0)
+      == 106)
   }
 
   test("SQL MERGE INTO upserts through the group-replacement write") {
