@@ -232,6 +232,23 @@ class GraftCatalogSpec extends SparkSpec {
       == 106)
   }
 
+  test("the UPDATE plan carries the runtime group filter") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cat_rtfplan_")
+    val t = root.resolve("nums")
+    VersionedTable.commit(spark, t, 0L,
+      spark.range(0, 20).selectExpr("id", "id AS v")
+        .repartitionByRange(2, $"id"))
+    val s2 = session(root)
+    // The matching-rows subquery injects a dynamic-pruning runtime
+    // filter into the operation scan — if this wiring regresses, the
+    // statement silently degrades to a full-table rewrite.
+    val plan = s2.sql("EXPLAIN UPDATE g.nums SET v = -1 WHERE id = 7")
+      .head().getString(0)
+    assert(plan.contains("dynamicpruning"),
+      s"no runtime group filter in the UPDATE plan:\n$plan")
+  }
+
   test("SQL MERGE INTO upserts through the group-replacement write") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_cat_mrg_")

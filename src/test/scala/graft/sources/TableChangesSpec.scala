@@ -215,6 +215,26 @@ class TableChangesSpec extends SparkSpec {
         .exists(_.contains("readChangeFeed"))))
   }
 
+  test("a SQL UPDATE commit replays through the change feed") {
+    val t = freshTable()
+    VersionedTable.commitWithStats(spark, t, 0L, df(1, 2, 3).coalesce(1),
+      "id")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.c", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.c.root", t.getParent.toString)
+    s2.sql("UPDATE c.t SET id = id + 10 WHERE id = 2")
+    // The statement's replaceFilesCommit is KIND=update like the
+    // library verb — same preimage/postimage replay, no restart.
+    assert(VersionedTable.commitKind(t, 1L).contains("update"))
+    assert(drainFeed(t) == Seq(
+      (1L, 0L, "insert"), (1L, 1L, "update_postimage"),
+      (1L, 1L, "update_preimage"),
+      (2L, 0L, "insert"), (2L, 1L, "update_preimage"),
+      (3L, 0L, "insert"), (3L, 1L, "update_postimage"),
+      (3L, 1L, "update_preimage"),
+      (12L, 1L, "update_postimage")))
+  }
+
   test("a rebase-promote commit replays through a ref-pinned feed") {
     val t = freshTable()
     VersionedTable.commit(spark, t, 0L, df(1, 2, 3))
