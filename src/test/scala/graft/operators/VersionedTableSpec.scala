@@ -1052,6 +1052,46 @@ class VersionedTableSpec extends SparkSpec {
       "a refused verb must publish nothing")
   }
 
+  test("replaceFilesCommit detects concurrent commits and refuses") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2, 3))
+    val files0 = VersionedTable.statsManifest(t, 0L).map(_._1)
+    // Stage replacement rows the way the V2 write would.
+    val dd = t.resolve("data").resolve("rlo-test")
+    df(10, 20).coalesce(1).write.parquet(dd.toString)
+    val staged = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dd)
+      try walk.iterator().asScala.filter(p =>
+          java.nio.file.Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet"))
+        .map(p => t.relativize(p).toString).toSeq.sorted
+      finally walk.close()
+    }
+    // A commit lands between the statement's scan (base 0) and its
+    // publish: the staged rows derive from a superseded snapshot —
+    // detect-and-refuse with the re-run instruction, nothing published.
+    VersionedTable.appendCommit(spark, t, df(4))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.replaceFilesCommit(spark, t, 0L, files0, staged,
+        "test")
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    assert(VersionedTable.latestVersion(t).contains(1L))
+    // Against the true latest it publishes: RM + adds, KIND=update.
+    val v = VersionedTable.replaceFilesCommit(spark, t, 1L,
+      files0, staged, "test")
+    assert(v == 2L && VersionedTable.commitKind(t, 2L).contains("update"))
+    assert(VersionedTable.read(spark, t).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(4L, 10L, 20L))
+    // Stale replaced-file names (not in the base manifest) refuse too.
+    intercept[IllegalArgumentException] {
+      VersionedTable.replaceFilesCommit(spark, t, 2L,
+        Seq("data/nope.parquet"), Nil, "test")
+    }
+  }
+
   test("updateWhere refuses partition-layout tables") {
     import spark.implicits._
     val t = freshTable()
