@@ -1537,6 +1537,20 @@ object VersionedTable {
             "unrebasable; compact first"))
       else line.split('\t').head
     }.distinct
+    // A per-FILE index line (BLOOM/STATS/ROWS) removed while its data
+    // file survives cannot rebase: the replay RM names the FILE, which
+    // would drop the kept data line along with the index. (DV removals
+    // stand alone by design — folding a deletion vector away is a
+    // legitimate net change whose RM names only the DV sidecar.)
+    val removedDataPaths =
+      removed.filterNot(isMetaLine).map(_.split('\t').head).toSet
+    removed.filter(l => l.startsWith(BloomPrefix) ||
+        l.startsWith(StatsPrefix) || l.startsWith(RowsPrefix)).foreach {
+      m => require(metaFile(m).forall(removedDataPaths.contains),
+        s"promoteBranch: branch '$from' dropped index metadata " +
+          s"('${m.takeWhile(_ != '\t')}') for a data file it kept — " +
+          "unrebasable as a file-level RM; compact first")
+    }
     val added = headLines.filterNot(forkSet)
     val addedFiles = added.filterNot(isMetaLine).map(_.split('\t').head)
     var conflicts = 0

@@ -402,6 +402,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val p = tableAt(ident.name)
+    // One change per statement: each evolution is its own atomic
+    // commit, and a multi-change set would otherwise half-apply when a
+    // later change refuses (there is no multi-commit transaction to
+    // roll back).
+    require(changes.length == 1,
+      s"graft catalog '$catalogName': one change per ALTER TABLE " +
+        s"statement (got ${changes.length}) — each evolution is its " +
+        "own atomic commit")
     changes.foreach {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,

@@ -1052,6 +1052,25 @@ class VersionedTableSpec extends SparkSpec {
       "a refused verb must publish nothing")
   }
 
+  test("rebase refuses a branch that dropped a kept file's index metadata") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commitWithStats(spark, t, 0L, df(1, 2, 3).coalesce(1),
+      "id", rowCounts = true)
+    VersionedTable.branchCreate(t, "m", 0L)
+    VersionedTable.branchCreate(t, "rw", 0L)
+    // The branch head keeps every data file but drops the ROWS index
+    // lines — a file-level RM replay would drop the kept data too.
+    val head = VersionedTable.latestVersion(t).get + 1
+    VersionedTable.publish(t, head,
+      VersionedTable.manifest(t, 0L).filterNot(_.startsWith("ROWS")))
+    VersionedTable.advanceRef(t, "rw", head)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.promoteBranch(spark, t, "rw", "m")
+    }
+    assert(e.getMessage.contains("index metadata"))
+  }
+
   test("replaceFilesCommit detects concurrent commits and refuses") {
     import spark.implicits._
     val t = freshTable()

@@ -412,6 +412,22 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] {
       s2.sql("ALTER TABLE g.ev ALTER COLUMN grown COMMENT 'x'")
     }
+    // A multi-change set would half-apply if a later change refused —
+    // one change per statement (each evolution its own atomic commit).
+    val cat = new GraftCatalog()
+    cat.initialize("g", new org.apache.spark.sql.util
+      .CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("root", root.toString)))
+    val multi = intercept[IllegalArgumentException] {
+      cat.alterTable(
+        org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array.empty, "ev"),
+        org.apache.spark.sql.connector.catalog.TableChange
+          .renameColumn(Array("id"), "a"),
+        org.apache.spark.sql.connector.catalog.TableChange
+          .renameColumn(Array("grown"), "b"))
+    }
+    assert(multi.getMessage.contains("one change per ALTER"))
     // DROP refuses while a ref pins history; dropping after is final.
     VersionedTable.tagCreate(t, "keep", 1L)
     intercept[Exception] { s2.sql("DROP TABLE g.ev") }
