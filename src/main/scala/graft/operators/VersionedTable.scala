@@ -1633,7 +1633,18 @@ object VersionedTable {
         commitsDir(table).resolve(manifestName(v))).toMillis
     }
 
-  /** Committed versions, ascending (the readable history). */
+  /** Committed versions, ascending (the readable history).
+    *
+    * Scale note (documented, deliberately unoptimized): this lists the
+    * whole `_commits/` directory — O(history) dirents per call, cheap
+    * until a table accumulates ~10⁶ commits. The production fix is the
+    * Delta `_last_checkpoint` idea: a best-effort latest-version hint
+    * file updated after each publish, trusted only as a lower bound
+    * and probed forward by existence checks (hints can lag, never
+    * lead, because versions are immutable once published and expire()
+    * only removes BELOW a floor). Not built yet because every fixture
+    * and the bench sit 4–5 orders of magnitude under the threshold and
+    * a wrong hint is a correctness bug, not a slowdown. */
   def versions(table: Path): Seq[Long] = {
     val dir = commitsDir(table)
     if (!Files.isDirectory(dir)) Seq.empty
