@@ -363,6 +363,37 @@ private[sources] class GraftTable(path: String, schema0: StructType,
     case _ => None
   }
 
+  /** SQL `TRUNCATE TABLE` — the legitimate empty-the-table verb (the
+    * row-level path deliberately refuses a DELETE that removes every
+    * row): publishes ONE commit replacing the snapshot with a single
+    * zero-row file, so the SCHEMA stays self-describing (the DDL
+    * bootstrap shape), CHECK constraints and STATSCOL carry, history
+    * stays time-travelable, and the KIND=update stamp lets a change
+    * feed replay it as delete-everything preimage rows instead of
+    * restarting. */
+  override def truncateTable(): Boolean = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val table = java.nio.file.Paths.get(path)
+    val dd = table.resolve("data").resolve(
+      "trunc-" + java.util.UUID.randomUUID().toString.take(8))
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      schema0).coalesce(1).write.parquet(dd.toString)
+    val staged = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dd)
+      try walk.iterator().asScala.filter(p =>
+          java.nio.file.Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet"))
+        .map(p => table.relativize(p).toString).toSeq.sorted
+      finally walk.close()
+    }
+    VersionedTable.replaceFilesCommit(spark, table, version,
+      VersionedTable.statsManifest(table, version).map(_._1), staged,
+      "graft-table TRUNCATE")
+    true
+  }
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     deleteKeySet(filters).isDefined
 

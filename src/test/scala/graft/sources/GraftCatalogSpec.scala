@@ -368,6 +368,21 @@ class GraftCatalogSpec extends SparkSpec {
       s2.sql("INSERT OVERWRITE g.ow SELECT -5 AS id")
     }
     assert(s2.sql("SELECT count(*) AS n FROM g.ow").head().getLong(0) == 3)
+    // TRUNCATE TABLE: one KIND=update commit, schema + CHECK + history
+    // survive; the emptied table still reads and re-inserts validate.
+    val vBefore = VersionedTable.latestVersion(t2).get
+    s2.sql("TRUNCATE TABLE g.ow")
+    assert(s2.sql("SELECT count(*) AS n FROM g.ow").head().getLong(0) == 0)
+    val vT = VersionedTable.latestVersion(t2).get
+    assert(vT == vBefore + 1 &&
+      VersionedTable.commitKind(t2, vT).contains("update"))
+    assert(VersionedTable.checkConstraints(t2, vT) == Seq("id >= 0"))
+    assert(s2.sql(
+      s"SELECT count(*) AS n FROM g.ow VERSION AS OF $vBefore")
+      .head().getLong(0) == 3)
+    intercept[Exception] { s2.sql("INSERT INTO g.ow SELECT -7 AS id") }
+    s2.sql("INSERT INTO g.ow SELECT 7 AS id")
+    assert(s2.sql("SELECT count(*) AS n FROM g.ow").head().getLong(0) == 1)
   }
 
   test("CREATE TABLE AS SELECT bootstraps v0 and lands data as v1") {
