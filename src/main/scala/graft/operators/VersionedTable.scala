@@ -1351,13 +1351,35 @@ object VersionedTable {
       else if (statsColOpt.isDefined)
         stagedStats.map { case (f, _, _, n) => s"$RowsPrefix$f\t$n" }
       else fileRowsLines(s, table, dataDir)
-    val added = stagedLines ++ rowsLines :+ s"${KindPrefix}update"
+    // INDEX MAINTENANCE (r15): a DML rewrite must not silently degrade
+    // the skipping indexes — when the replaced files carried BLOOM or
+    // secondary-zonemap STATS lines, recompute them for the staged
+    // files in the same commit-time window (one aggregation per
+    // indexed column over the NEW files only, the commitIndexed cost
+    // discipline). Untouched files' index lines carry as before, so a
+    // point lookup prunes exactly as well after an UPDATE as before.
+    val indexLines =
+      if (staged.isEmpty) Nil
+      else {
+        val bloomCols = blooms(table, base)
+          .collect { case (f, c, _) if touched.contains(f) => c }.distinct
+        val secCols = secondaryStats(table, base)
+          .collect { case (f, c, _, _) if touched.contains(f) => c }
+          .distinct
+        bloomCols.flatMap(c => fileBloomLines(s, table, dataDir, c)) ++
+          secCols.flatMap(c =>
+            fileColStats(s, table, dataDir, c).map {
+              case (f, mn, mx, _) => s"$StatsPrefix$f\t$c\t$mn\t$mx"
+            })
+      }
+    val added =
+      stagedLines ++ rowsLines ++ indexLines :+ s"${KindPrefix}update"
     val lines =
       if (touched == all.toSet)
         // Full rewrite: a from-scratch snapshot — DVs folded away by
         // the scan, CHECK and STATSCOL carried (the compactCommit
-        // amnesia rule).
-        stagedLines ++ rowsLines ++
+        // amnesia rule), indexes recomputed above.
+        stagedLines ++ rowsLines ++ indexLines ++
           checkConstraints(table, base).map(CheckPrefix + _) ++
           statsColOpt.map(StatsColPrefix + _).toSeq :+
           s"${KindPrefix}update"

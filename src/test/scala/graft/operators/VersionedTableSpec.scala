@@ -1071,6 +1071,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("index metadata"))
   }
 
+  test("replaceFilesCommit recomputes secondary zonemaps for staged files") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commitMultiStats(spark, t, 0L,
+      (1L to 40L).toDF("id").selectExpr("id", "id * 3 AS v")
+        .repartitionByRange(4, $"id"), Seq("id", "v"))
+    val files0 = VersionedTable.statsManifest(t, 0L).map(_._1)
+    val dd = t.resolve("data").resolve("rlo-sec")
+    (1L to 40L).toDF("id").selectExpr("id", "id * 3 + 1 AS v")
+      .repartitionByRange(2, $"id").write.parquet(dd.toString)
+    val staged = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dd)
+      try walk.iterator().asScala.filter(p =>
+          java.nio.file.Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet"))
+        .map(p => t.relativize(p).toString).toSeq.sorted
+      finally walk.close()
+    }
+    val v = VersionedTable.replaceFilesCommit(spark, t, 0L, files0,
+      staged, "test")
+    // The v-dimension zonemaps cover the staged files with true
+    // bounds — the box read prunes on BOTH dims exactly as before the
+    // rewrite.
+    val sec = VersionedTable.secondaryStats(t, v)
+      .collect { case (f, "v", mn, mx) => (f, mn, mx) }
+    assert(sec.map(_._1).toSet == staged.toSet)
+    assert(sec.forall { case (_, mn, mx) => mn >= 4L && mx <= 121L })
+    val (_, read, perDim, total) = VersionedTable.readBox(spark, t,
+      Seq(("id", 1L, 10L), ("v", 4L, 31L)), Some(v))
+    assert(read < total && perDim("v") < total,
+      s"box read $read/$total, perDim $perDim")
+  }
+
   test("replaceFilesCommit detects concurrent commits and refuses") {
     import spark.implicits._
     val t = freshTable()

@@ -232,6 +232,28 @@ class GraftCatalogSpec extends SparkSpec {
       == 106)
   }
 
+  test("SQL UPDATE maintains the bloom skipping index") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cat_bloom_")
+    val t = root.resolve("nums")
+    VersionedTable.commitIndexed(spark, t, 0L,
+      spark.range(0, 100).selectExpr("id", "id AS v")
+        .repartitionByRange(4, $"id"), "id", "v")
+    val s2 = session(root)
+    s2.sql("UPDATE g.nums SET v = v + 1000 WHERE id BETWEEN 10 AND 40")
+    // Full bloom coverage survives the rewrite: replaced files'
+    // filters recomputed, untouched files' carried.
+    val files1 = VersionedTable.statsManifest(t, 1L).map(_._1).toSet
+    assert(VersionedTable.blooms(t, 1L)
+      .collect { case (f, "v", _) => f }.toSet == files1)
+    // And the recomputed filters have teeth: a point lookup on an
+    // UPDATED value still prunes files.
+    val (hit, read, total) = VersionedTable.readEquals(spark, t, "v",
+      1035L)
+    assert(hit.count() == 1 && read < total,
+      s"bloom lookup read $read of $total files")
+  }
+
   test("the UPDATE plan carries the runtime group filter") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_cat_rtfplan_")
