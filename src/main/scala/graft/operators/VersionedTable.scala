@@ -1240,6 +1240,23 @@ object VersionedTable {
       if (baseLines.exists(_.startsWith(RowsPrefix)))
         stats.map { case (f, _, _, n) => s"$RowsPrefix$f\t$n" }
       else Nil
+    // INDEX MAINTENANCE (r15, the replaceFilesCommit discipline): when
+    // the touched files carried BLOOM or secondary-zonemap lines,
+    // recompute them for the rewritten files in the same commit-time
+    // window — an UPDATE must not degrade point-lookup or box-read
+    // pruning until the next compaction.
+    val indexLines = {
+      val bloomCols = blooms(table, base)
+        .collect { case (f, c, _) if touched.contains(f) => c }.distinct
+      val secCols = secondaryStats(table, base)
+        .collect { case (f, c, _, _) if touched.contains(f) => c }
+        .distinct
+      bloomCols.flatMap(c => fileBloomLines(s, table, dataDir, c)) ++
+        secCols.flatMap(c =>
+          fileColStats(s, table, dataDir, c).map {
+            case (f, mn, mx, _) => s"$StatsPrefix$f\t$c\t$mn\t$mx"
+          })
+    }
     // O(commit) metadata (r13): BASE + RM(touched) + the new lines —
     // at a 10⁶-file table an update touching 3 files writes 7 manifest
     // lines, not the full list. Resolution drops the RM'd data lines
@@ -1250,7 +1267,8 @@ object VersionedTable {
     // files replay as update_preimage rows, its new files as
     // update_postimage — a mirror applies the pair instead of
     // full-restarting. Stripped at resolution (never carried).
-    val added = newLines ++ rowsLines :+ s"${KindPrefix}update"
+    val added =
+      newLines ++ rowsLines ++ indexLines :+ s"${KindPrefix}update"
     val lines =
       if (chainLength(table, base) + 1 > checkpointEvery)
         baseLines.filter { line =>

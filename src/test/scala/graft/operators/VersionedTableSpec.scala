@@ -879,7 +879,7 @@ class VersionedTableSpec extends SparkSpec {
       "the RM delta must resolve through its pinned expired BASE")
   }
 
-  test("updateWhere drops skipping-index meta lines of rewritten files") {
+  test("updateWhere maintains skipping indexes across the rewrite") {
     import spark.implicits._
     val t = freshTable()
     val base = (1L to 40L).toDF("id").selectExpr("id", "id * 2 AS v")
@@ -889,13 +889,19 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.updateWhere(spark, t, "id", 1L, 5L,
         Seq("v" -> "v + 7"))
     assert(rewritten > 0 && rewritten < total)
-    // A stale bloom on fresh data would prune wrongly: every BLOOM
-    // line surviving at v1 must index a surviving v0 file.
+    // No stale bloom survives (it would prune wrongly on fresh data)
+    // AND no coverage is lost (r15): every v1 file carries a bloom —
+    // rewritten files' filters recomputed, untouched files' carried.
     val v1Files = VersionedTable.statsManifest(t, 1L).map(_._1).toSet
-    val v0Files = VersionedTable.statsManifest(t, 0L).map(_._1).toSet
-    assert(VersionedTable.blooms(t, 1L).forall { case (f, _, _) =>
-      v1Files.contains(f) && v0Files.contains(f)
-    }, "a rewritten file's bloom line must die with the file")
+    assert(VersionedTable.blooms(t, 1L)
+      .collect { case (f, "v", _) => f }.toSet == v1Files,
+      "bloom coverage must survive the rewrite exactly")
+    // The recomputed filter has teeth on an updated value (id=3 →
+    // v=13): the point lookup finds it while still pruning files.
+    val (hit, read, totalF) = VersionedTable.readEquals(spark, t, "v",
+      13L, Some(1L))
+    assert(hit.count() == 1 && read < totalF,
+      s"bloom lookup read $read of $totalF files")
     // And the refusals: DV-bearing or schema-mapped versions.
     VersionedTable.deleteCommit(spark, t, 2L, Seq(3L).toDF("id"), "id")
     intercept[IllegalArgumentException] {
