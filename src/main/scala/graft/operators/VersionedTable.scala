@@ -1427,7 +1427,9 @@ object VersionedTable {
     * rewrites it into `files` right-sized files (range-clustered on
     * `statsCol` when given, so the fresh zonemaps have teeth), and
     * publishes a FULL manifest that: recomputes per-file stats + ROWS
-    * (ROWS iff the base recorded any), re-declares STATSCOL, and
+    * (ROWS iff the base recorded any), re-declares STATSCOL,
+    * RECOMPUTES the bloom and secondary-zonemap indexes the base
+    * carried (r15 — pruning must not degrade through maintenance), and
     * CARRIES the CHECK constraints forward — compaction must not be
     * the path that silently drops a table's contract (raw
     * `commit`-as-compaction does, documented on [[constraintCommit]]).
@@ -1507,10 +1509,29 @@ object VersionedTable {
         }
     }
     val checks = checkConstraints(table, base).map(CheckPrefix + _)
+    // INDEX MAINTENANCE (r15): compaction must not be the path that
+    // silently drops the skipping indexes either — recompute BLOOM and
+    // secondary-zonemap lines for every column the base indexed, over
+    // the fresh files (flat layouts only; partitioned bases never
+    // carry these compositions today). The primary stats column's
+    // zonemaps already ride the data lines above.
+    val indexLines =
+      if (partCols.nonEmpty) Nil
+      else {
+        val bloomCols = blooms(table, base).map(_._2).distinct
+        val secCols = secondaryStats(table, base).map(_._2).distinct
+          .filterNot(statsCol.contains)
+        bloomCols.flatMap(c => fileBloomLines(s, table, dataDir, c)) ++
+          secCols.flatMap(c =>
+            fileColStats(s, table, dataDir, c).map {
+              case (f, mn, mx, _) => s"$StatsPrefix$f\t$c\t$mn\t$mx"
+            })
+      }
     // KIND=compact marks the commit content-preserving (dataChange=
     // false): the change feed skips it instead of failing downstream
     // mirrors into a full restart.
-    publish(table, version, lines ++ checks :+ s"${KindPrefix}compact")
+    publish(table, version,
+      lines ++ indexLines ++ checks :+ s"${KindPrefix}compact")
     version
   }
 

@@ -1077,6 +1077,24 @@ class VersionedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("index metadata"))
   }
 
+  test("compactCommit recomputes the bloom index over the fresh files") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commitIndexed(spark, t, 0L,
+      (1L to 40L).toDF("id").selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("id")),
+      "id", "v")
+    val v = VersionedTable.compactCommit(spark, t, Some("id"), files = 2)
+    val vFiles = VersionedTable.statsManifest(t, v).map(_._1).toSet
+    assert(VersionedTable.blooms(t, v)
+      .collect { case (f, "v", _) => f }.toSet == vFiles,
+      "compaction must recompute bloom coverage, not drop it")
+    val (hit, read, total) = VersionedTable.readEquals(spark, t, "v",
+      26L, Some(v))
+    assert(hit.count() == 1 && read < total,
+      s"bloom lookup read $read of $total files after compaction")
+  }
+
   test("replaceFilesCommit recomputes secondary zonemaps for staged files") {
     import spark.implicits._
     val t = freshTable()
