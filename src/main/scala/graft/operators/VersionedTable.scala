@@ -122,6 +122,47 @@ object VersionedTable {
     }
   }
 
+  /** Manifest lines for freshly-staged files under `dataDir`, matching
+    * the INDEX SHAPE of the base manifest (r15 — ingest must not
+    * degrade pruning until the next compaction): stats-bearing data
+    * lines when the base declares STATSCOL, ROWS lines when the base
+    * records them, BLOOM and secondary-zonemap lines recomputed for
+    * every column the base indexes. Plain lines when the base declares
+    * nothing — deciding costs one string scan of the already-resolved
+    * base lines, no extra IO; recomputation costs one aggregation per
+    * indexed column over the NEW files only. */
+  private def indexedLines(s: SparkSession, table: Path, dataDir: Path,
+                           baseLines: Seq[String]): Seq[String] = {
+    val scOpt = baseLines.collectFirst {
+      case l if l.startsWith(StatsColPrefix) =>
+        l.substring(StatsColPrefix.length)
+    }
+    val hadRows = baseLines.exists(_.startsWith(RowsPrefix))
+    val bloomCols = baseLines.collect {
+      case l if l.startsWith(BloomPrefix) => l.split('\t')(2)
+    }.distinct
+    val secCols = baseLines.collect {
+      case l if l.startsWith(StatsPrefix) => l.split('\t')(2)
+    }.distinct.filterNot(scOpt.contains)
+    val data = scOpt match {
+      case Some(c) =>
+        val st = fileColStats(s, table, dataDir, c)
+        st.map { case (f, mn, mx, _) => s"$f\t$mn\t$mx" } ++
+          (if (hadRows)
+             st.map { case (f, _, _, n) => s"$RowsPrefix$f\t$n" }
+           else Nil)
+      case None =>
+        partFiles(table, dataDir) ++
+          (if (hadRows) fileRowsLines(s, table, dataDir) else Nil)
+    }
+    data ++
+      bloomCols.flatMap(c => fileBloomLines(s, table, dataDir, c)) ++
+      secCols.flatMap(c =>
+        fileColStats(s, table, dataDir, c).map {
+          case (f, mn, mx, _) => s"$StatsPrefix$f\t$c\t$mn\t$mx"
+        })
+  }
+
   /** Each commit ATTEMPT writes under its own unique slug: a crashed
     * or raced attempt's files can never collide with the winner's —
     * they just sit orphaned and invisible (manifests define
@@ -564,7 +605,10 @@ object VersionedTable {
     // The upsert's new rows honor CHECK constraints (deletes cannot
     // introduce a violation).
     enforceConstraints(s, table, dataDir, Some(base), "mergeCommit")
-    val dataLines = partFiles(table, dataDir)
+    // Index continuity (r15): the upsert's new files join the base's
+    // skipping indexes (stats/ROWS/BLOOM/secondary) instead of
+    // carrying unprunable plain lines until the next compaction.
+    val dataLines = indexedLines(s, table, dataDir, manifest(table, base))
     publish(table, version,
       deltaLines(table, version, dvLines ++ dataLines, checkpointEvery))
     version
@@ -1055,7 +1099,14 @@ object VersionedTable {
     // ours until our publish succeeds).
     enforceConstraints(s, table, dataDir, latestVersion(table),
       "appendCommit")
-    val mine = partFiles(table, dataDir)
+    // Index continuity (r15): the appended files join the base's
+    // skipping indexes instead of degrading them — stats/ROWS/BLOOM/
+    // secondary lines matching the base's shape (plain lines on an
+    // unindexed table, as before).
+    val mine = latestVersion(table) match {
+      case Some(v) => indexedLines(s, table, dataDir, manifest(table, v))
+      case None => partFiles(table, dataDir)
+    }
     var conflicts = 0
     while (conflicts < maxAttempts) {
       val target = latestVersion(table).getOrElse(
