@@ -163,6 +163,27 @@ object VersionedTable {
         })
   }
 
+  /** [[indexedLines]] against the LATEST manifest — the V2 batch
+    * INSERT path's index continuity (executors staged the files under
+    * `dataDir`; the driver shapes their manifest lines). Plain lines
+    * when the table declares no indexes or has no commits yet. */
+  private[graft] def ingestLines(s: SparkSession, table: Path,
+                                 dataDir: Path): Seq[String] =
+    latestVersion(table) match {
+      case Some(v) => indexedLines(s, table, dataDir, manifest(table, v))
+      case None => partFiles(table, dataDir)
+    }
+
+  /** [[ingestLines]] plus the restated STATSCOL declaration — a FULL
+    * manifest (INSERT OVERWRITE) must restate table-wide declarations
+    * or the rewrite silently drops them (the same amnesia rule as
+    * CHECK constraints). */
+  private[graft] def overwriteLines(s: SparkSession, table: Path,
+                                    dataDir: Path): Seq[String] =
+    ingestLines(s, table, dataDir) ++
+      latestVersion(table).toSeq.flatMap(v =>
+        statsColumns(table, v).headOption.map(StatsColPrefix + _))
+
   /** Each commit ATTEMPT writes under its own unique slug: a crashed
     * or raced attempt's files can never collide with the winner's —
     * they just sit orphaned and invisible (manifests define

@@ -95,6 +95,13 @@ private[sources] class GraftBatchWrite(path: String, stagingRel: String,
       require(VersionedTable.refs(table).forall(_._2 != "branch"),
         s"graft-table: $path has branch refs — write through " +
           "VersionedTable.branchCommit(<ref>) instead of the connector")
+      // An overwrite that staged NOTHING would publish a manifest with
+      // no data lines — unreadable (the first footer is the schema
+      // source). Refuse with the legitimate verb.
+      require(!truncate || files.nonEmpty,
+        s"graft-table: INSERT OVERWRITE of $path staged zero rows — a " +
+          "table needs at least one data file (its schema source); " +
+          "use TRUNCATE TABLE to empty it")
       // Both V2 paths honor CHECK constraints like every row-adding
       // writer: a violating INSERT fails here, Spark aborts, and the
       // abort path discards the staged orphans. The overwrite is a
@@ -113,6 +120,17 @@ private[sources] class GraftBatchWrite(path: String, stagingRel: String,
             VersionedTable.latestVersion(table), "graft-table append")
           Nil
         }
+      // Index continuity (r15): SQL INSERTs join the table's skipping
+      // indexes like every library writer — stats/ROWS/BLOOM/secondary
+      // lines matching the base's shape (and the overwrite restates
+      // the STATSCOL declaration its full manifest would otherwise
+      // drop). Plain lines on unindexed tables, exactly as before.
+      val dataDir = java.nio.file.Paths.get(path).resolve(stagingRel)
+      val lines =
+        if (truncate) VersionedTable.overwriteLines(
+          org.apache.spark.sql.SparkSession.active, table, dataDir)
+        else VersionedTable.ingestLines(
+          org.apache.spark.sql.SparkSession.active, table, dataDir)
       // The appendCommit OCC loop over already-staged files: losing a
       // race costs one more manifest write, never a data rewrite.
       var attempts = 0
@@ -132,8 +150,8 @@ private[sources] class GraftBatchWrite(path: String, stagingRel: String,
           // lines — prior versions stay readable; expire() reclaims
           // them later.
           if (truncate)
-            VersionedTable.publish(table, target, files ++ checkLines)
-          else VersionedTable.publishDelta(table, target, files)
+            VersionedTable.publish(table, target, lines ++ checkLines)
+          else VersionedTable.publishDelta(table, target, lines)
           done = true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => attempts += 1

@@ -254,6 +254,45 @@ class GraftCatalogSpec extends SparkSpec {
       s"bloom lookup read $read of $total files")
   }
 
+  test("SQL INSERTs keep the skipping indexes alive") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cat_ins_")
+    val t = root.resolve("nums")
+    VersionedTable.commitWithStats(spark, t, 0L,
+      spark.range(0, 100).selectExpr("id", "id AS v")
+        .repartitionByRange(4, $"id"), "id", rowCounts = true)
+    val s2 = session(root)
+    // INSERT INTO: the appended files carry stats + ROWS like the
+    // base's — a later range read prunes the old files away and the
+    // metadata row counts still cover every file.
+    s2.sql("INSERT INTO g.nums SELECT id, id AS v FROM range(200, 240)")
+    val v1 = VersionedTable.latestVersion(t).get
+    val (hit, read, total) = VersionedTable.readRange(spark, t, "id",
+      200L, 239L)
+    assert(hit.count() == 40 && read < total,
+      s"range read $read of $total files after INSERT INTO")
+    assert(VersionedTable.rowCounts(t, v1).map(_._1).toSet ==
+      VersionedTable.statsManifest(t, v1).map(_._1).toSet,
+      "ROWS coverage must survive the insert")
+    // INSERT OVERWRITE: the full manifest restates STATSCOL and
+    // carries fresh stats — pruning survives the rewrite.
+    s2.sql("INSERT OVERWRITE g.nums SELECT id, id AS v FROM range(50)")
+    val v2 = VersionedTable.latestVersion(t).get
+    assert(VersionedTable.statsColumns(t, v2).headOption.contains("id"),
+      "the overwrite must restate the STATSCOL declaration")
+    assert(VersionedTable.rowCounts(t, v2).map(_._2).sum == 50L)
+    // An overwrite staging zero rows refuses (the table would lose its
+    // schema source) — TRUNCATE TABLE is the legitimate verb.
+    val e = intercept[Exception] {
+      s2.sql("INSERT OVERWRITE g.nums SELECT id, id AS v FROM range(0)")
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => Option(c.getMessage)
+        .exists(_.contains("TRUNCATE TABLE"))))
+    assert(s2.sql("SELECT count(*) AS n FROM g.nums").head().getLong(0)
+      == 50)
+  }
+
   test("the UPDATE plan carries the runtime group filter") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_cat_rtfplan_")
