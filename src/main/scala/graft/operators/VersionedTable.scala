@@ -132,7 +132,8 @@ object VersionedTable {
     * base lines, no extra IO; recomputation costs one aggregation per
     * indexed column over the NEW files only. */
   private def indexedLines(s: SparkSession, table: Path, dataDir: Path,
-                           baseLines: Seq[String]): Seq[String] = {
+                           baseLines: Seq[String],
+                           only: String => Boolean = _ => true): Seq[String] = {
     val scOpt = baseLines.collectFirst {
       case l if l.startsWith(StatsColPrefix) =>
         l.substring(StatsColPrefix.length)
@@ -146,19 +147,23 @@ object VersionedTable {
     }.distinct.filterNot(scOpt.contains)
     val data = scOpt match {
       case Some(c) =>
-        val st = fileColStats(s, table, dataDir, c)
+        val st = fileColStats(s, table, dataDir, c).filter(t => only(t._1))
         st.map { case (f, mn, mx, _) => s"$f\t$mn\t$mx" } ++
           (if (hadRows)
              st.map { case (f, _, _, n) => s"$RowsPrefix$f\t$n" }
            else Nil)
       case None =>
-        partFiles(table, dataDir) ++
-          (if (hadRows) fileRowsLines(s, table, dataDir) else Nil)
+        partFiles(table, dataDir).filter(only) ++
+          (if (hadRows)
+             fileRowsLines(s, table, dataDir)
+               .filter(l => only(l.split('\t')(1)))
+           else Nil)
     }
     data ++
-      bloomCols.flatMap(c => fileBloomLines(s, table, dataDir, c)) ++
+      bloomCols.flatMap(c => fileBloomLines(s, table, dataDir, c)
+        .filter(l => only(l.split('\t')(1)))) ++
       secCols.flatMap(c =>
-        fileColStats(s, table, dataDir, c).map {
+        fileColStats(s, table, dataDir, c).filter(t => only(t._1)).map {
           case (f, mn, mx, _) => s"$StatsPrefix$f\t$c\t$mn\t$mx"
         })
   }
@@ -166,21 +171,32 @@ object VersionedTable {
   /** [[indexedLines]] against the LATEST manifest — the V2 batch
     * INSERT path's index continuity (executors staged the files under
     * `dataDir`; the driver shapes their manifest lines). Plain lines
-    * when the table declares no indexes or has no commits yet. */
+    * when the table declares no indexes or has no commits yet.
+    * `files` is the commit-message-derived list of table-relative
+    * staged paths: the manifest is restricted to exactly those files,
+    * so an orphan left in the staging dir by a zombie/speculative task
+    * attempt (whose abort never ran) is never committed — it stays
+    * invisible and reclaimable, same as every raced commit attempt's
+    * leftovers. */
   private[graft] def ingestLines(s: SparkSession, table: Path,
-                                 dataDir: Path): Seq[String] =
+                                 dataDir: Path,
+                                 files: Seq[String]): Seq[String] = {
+    val only = files.toSet
     latestVersion(table) match {
-      case Some(v) => indexedLines(s, table, dataDir, manifest(table, v))
-      case None => partFiles(table, dataDir)
+      case Some(v) =>
+        indexedLines(s, table, dataDir, manifest(table, v), only)
+      case None => partFiles(table, dataDir).filter(only)
     }
+  }
 
   /** [[ingestLines]] plus the restated STATSCOL declaration — a FULL
     * manifest (INSERT OVERWRITE) must restate table-wide declarations
     * or the rewrite silently drops them (the same amnesia rule as
     * CHECK constraints). */
   private[graft] def overwriteLines(s: SparkSession, table: Path,
-                                    dataDir: Path): Seq[String] =
-    ingestLines(s, table, dataDir) ++
+                                    dataDir: Path,
+                                    files: Seq[String]): Seq[String] =
+    ingestLines(s, table, dataDir, files) ++
       latestVersion(table).toSeq.flatMap(v =>
         statsColumns(table, v).headOption.map(StatsColPrefix + _))
 
@@ -1426,10 +1442,19 @@ object VersionedTable {
     val stagedStats = statsColOpt match {
       case Some(c) if staged.nonEmpty =>
         val st = fileColStats(s, table, dataDir, c)
-        require(st.map(_._1).toSet == staged.toSet,
+        // Orphans (a zombie attempt's leftovers in the staging dir)
+        // must never be committed: every aggregated file must be one
+        // the write actually staged.
+        require(st.map(_._1).toSet.subsetOf(staged.toSet),
           s"$what: staging dir $dataDir holds files the write did not " +
             s"commit (${st.map(_._1).toSet -- staged.toSet})")
-        st
+        // The reverse gap is legitimate: a ZERO-ROW staged file
+        // (TRUNCATE's schema-carrying empty file) contributes no
+        // aggregation row — synthesize the never-skippable full range
+        // and ROWS 0 so stats-bearing tables can truncate too.
+        val aggregated = st.map(_._1).toSet
+        st ++ staged.filterNot(aggregated).sorted
+          .map(f => (f, Long.MinValue, Long.MaxValue, 0L))
       case _ => Nil
     }
     val stagedLines =

@@ -68,7 +68,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * inspectable in SQL like any query. DML-class refusals (branched
     * tables, tag re-creation) surface as the procedure's error. */
   private def tableAt(name: String): java.nio.file.Path = {
-    val p = root.resolve(name)
+    val p = validName(name)
     if (VersionedTable.latestVersion(p).isEmpty)
       throw new NoSuchTableException(Identifier.of(Array.empty, name))
     p
@@ -271,15 +271,36 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def name(): String = catalogName
 
+  /** Table-name validation — a quoted identifier is arbitrary bytes,
+    * and the catalog maps names to FILESYSTEM paths, so a name carrying
+    * path segments (`` g.`../other/tbl` ``) would escape the catalog
+    * root: loadTable would read a foreign directory and DROP TABLE
+    * would erase one. Reject separators and dot-segments, then require
+    * the resolved path to be a DIRECT child of the root (belt and
+    * braces against platform path quirks) before any filesystem use. */
+  private def validName(name: String): java.nio.file.Path = {
+    require(name.nonEmpty && !name.contains('/') &&
+        !name.contains('\\') && name != "." && name != "..",
+      s"graft catalog '$catalogName': invalid table name '$name' — " +
+        "names map to directories directly under the catalog root " +
+        "(no path separators or dot-segments)")
+    val p = root.resolve(name).toAbsolutePath.normalize()
+    require(p.getParent == root.toAbsolutePath.normalize(),
+      s"graft catalog '$catalogName': table name '$name' escapes the " +
+        "catalog root")
+    p
+  }
+
   private def tableRoot(ident: Identifier): java.nio.file.Path = {
     if (ident.namespace.nonEmpty)
       throw new NoSuchTableException(ident)
-    root.resolve(ident.name)
+    validName(ident.name)
   }
 
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace.isEmpty &&
-      VersionedTable.latestVersion(tableRoot(ident)).isDefined
+      (try VersionedTable.latestVersion(tableRoot(ident)).isDefined
+       catch { case _: IllegalArgumentException => false })
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)

@@ -624,7 +624,7 @@ private[sources] class GraftScan(path: String, version: Long,
     files.groupBy { case (f, _, _) =>
       val vals = GraftTableSource.partitionValues(f).toMap
       plan.groupCols.map(vals(_))
-    }.toSeq.sortBy(_._1.mkString(" "))
+    }.toSeq.sortBy(_._1.mkString("\u0001"))
       .map { case (groupVals, fs) =>
         (groupVals ++ plan.funcs.map {
           case MetaCount => fs.map(f => rows(f._1)).sum

@@ -102,37 +102,15 @@ private[sources] class GraftBatchWrite(path: String, stagingRel: String,
         s"graft-table: INSERT OVERWRITE of $path staged zero rows — a " +
           "table needs at least one data file (its schema source); " +
           "use TRUNCATE TABLE to empty it")
-      // Both V2 paths honor CHECK constraints like every row-adding
-      // writer: a violating INSERT fails here, Spark aborts, and the
-      // abort path discards the staged orphans. The overwrite is a
-      // full-manifest rewrite, so it additionally CARRIES the live
-      // CHECK lines into its from-scratch manifest (r15 — an INSERT
-      // OVERWRITE must not be the path that silently drops a declared
-      // table contract, the same amnesia rule as compactCommit).
-      val checkLines =
-        if (truncate)
-          VersionedTable.carryChecksOnFiles(
-            org.apache.spark.sql.SparkSession.active, table, files,
-            "graft-table overwrite")
-        else {
-          VersionedTable.enforceConstraintsOnFiles(
-            org.apache.spark.sql.SparkSession.active, table, files,
-            VersionedTable.latestVersion(table), "graft-table append")
-          Nil
-        }
-      // Index continuity (r15): SQL INSERTs join the table's skipping
-      // indexes like every library writer — stats/ROWS/BLOOM/secondary
-      // lines matching the base's shape (and the overwrite restates
-      // the STATSCOL declaration its full manifest would otherwise
-      // drop). Plain lines on unindexed tables, exactly as before.
-      val dataDir = java.nio.file.Paths.get(path).resolve(stagingRel)
-      val lines =
-        if (truncate) VersionedTable.overwriteLines(
-          org.apache.spark.sql.SparkSession.active, table, dataDir)
-        else VersionedTable.ingestLines(
-          org.apache.spark.sql.SparkSession.active, table, dataDir)
       // The appendCommit OCC loop over already-staged files: losing a
       // race costs one more manifest write, never a data rewrite.
+      // CHECK validation and index-shape derivation run INSIDE the
+      // loop, against each attempt's head: a constraint (or index)
+      // declared concurrently between a lost race and the retry is
+      // honored, never bypassed — the promoteBranch revalidation rule.
+      // The non-retry cost is identical (one pass); retries are rare.
+      val dataDir = java.nio.file.Paths.get(path).resolve(stagingRel)
+      val spark = org.apache.spark.sql.SparkSession.active
       var attempts = 0
       var done = false
       while (!done && attempts < 10) {
@@ -144,6 +122,34 @@ private[sources] class GraftBatchWrite(path: String, stagingRel: String,
               s"graft-table: batch append needs a committed version at " +
                 s"$path to append to — bootstrap the table via " +
                 "VersionedTable.commit first")) + 1
+        // Both V2 paths honor CHECK constraints like every row-adding
+        // writer: a violating INSERT fails here, Spark aborts, and the
+        // abort path discards the staged orphans. The overwrite is a
+        // full-manifest rewrite, so it additionally CARRIES the live
+        // CHECK lines into its from-scratch manifest (r15 — an INSERT
+        // OVERWRITE must not be the path that silently drops a declared
+        // table contract, the same amnesia rule as compactCommit).
+        val checkLines =
+          if (truncate)
+            VersionedTable.carryChecksOnFiles(spark, table, files,
+              "graft-table overwrite")
+          else {
+            VersionedTable.enforceConstraintsOnFiles(spark, table, files,
+              VersionedTable.latestVersion(table), "graft-table append")
+            Nil
+          }
+        // Index continuity (r15): SQL INSERTs join the table's skipping
+        // indexes like every library writer — stats/ROWS/BLOOM/secondary
+        // lines matching the base's shape (and the overwrite restates
+        // the STATSCOL declaration its full manifest would otherwise
+        // drop). Plain lines on unindexed tables, exactly as before.
+        // Restricted to the message-derived `files`: an orphan left in
+        // the staging dir by a task attempt whose abort never ran is
+        // never committed (and never bypasses the CHECK gate above).
+        val lines =
+          if (truncate)
+            VersionedTable.overwriteLines(spark, table, dataDir, files)
+          else VersionedTable.ingestLines(spark, table, dataDir, files)
         try {
           // Overwrite = a rewrite commit: the staged files ARE the
           // snapshot (full manifest, no BASE) plus the carried CHECK

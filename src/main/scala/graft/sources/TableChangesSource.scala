@@ -64,7 +64,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * a mirror deletes the preimage keys and inserts the postimage rows
   * atomically per commit (file granularity: rows the update's
   * predicate spared replay as identical pre/post pairs, a no-op under
-  * that rule). Unannotated rewrites still fail the stream.
+  * that rule). Unannotated rewrites still fail the stream. In every
+  * case the commit AT the explicit `startingVersion` is exempt from
+  * KIND dispatch: its manifest adds replay as inserts — the feed's
+  * initial snapshot (bootstrap a mirror at a compaction version and
+  * the full rewritten manifest is served, then deltas follow).
   * Schema-evolution commits always fail the
   * stream: a stream's schema is pinned at start. Options:
   * `startingVersion` (default 0 — serve history from the beginning),
@@ -311,7 +315,17 @@ private[sources] class ChangesStream(path: String, schema: StructType,
     VersionedTable.versions(table)
       .filter(v => v > lo && v <= hi && admits(v))
       .flatMap { v =>
-        VersionedTable.commitKind(table, v) match {
+        // The explicit startingVersion is the feed's initial snapshot
+        // BY CONTRACT — its manifest adds replay as inserts before any
+        // KIND dispatch. A feed bootstrapped at a KIND=compact version
+        // must serve the full rewritten manifest (content-identical to
+        // the table), not the empty batch the compact branch serves
+        // mid-stream; a KIND=update bootstrap serves its adds the same
+        // way the documented unannotated-rewrite exemption always has.
+        // Without this ordering a mirror seeded at a compaction gets
+        // ZERO rows and then only subsequent deltas — silent loss.
+        if (v == startingVersion) addPartitions(v, "insert")
+        else VersionedTable.commitKind(table, v) match {
           // KIND=compact (r15, consuming r14's annotation): a
           // compaction reorganizes bytes but the CONTENT is identical
           // — the Delta `dataChange=false` skip. Serve NOTHING: the
@@ -347,10 +361,9 @@ private[sources] class ChangesStream(path: String, schema: StructType,
             // inserts would double rows a mirror already holds and
             // silently skip the drops. Fail loudly (the Delta stance
             // on non-append changes) instead of corrupting downstream
-            // state — EXCEPT at the explicit startingVersion, which by
-            // contract serves as the feed's initial snapshot.
-            require(v == startingVersion ||
-                VersionedTable.removedLines(table, v).isEmpty,
+            // state. (The startingVersion initial-snapshot exemption
+            // is handled above, before any KIND dispatch.)
+            require(VersionedTable.removedLines(table, v).isEmpty,
               s"graft-changes: version $v rewrites data files with no " +
                 "KIND annotation (raw compaction/merge) — the change " +
                 "feed serves append, delete, and annotated update/" +

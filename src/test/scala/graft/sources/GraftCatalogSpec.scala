@@ -446,6 +446,73 @@ class GraftCatalogSpec extends SparkSpec {
     assert(s2.sql("SELECT count(*) AS n FROM g.ow").head().getLong(0) == 1)
   }
 
+  test("TRUNCATE TABLE works on stats/indexed tables (zero-row stats synthesized)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cat_trunc_")
+    // commitWithStats — the framework's primary shape: the truncate
+    // commit's single zero-row file contributes no aggregation row, so
+    // the staged-stats pass must synthesize the never-skippable full
+    // range + ROWS 0 instead of refusing.
+    val t = root.resolve("st")
+    VersionedTable.commitWithStats(spark, t, 0L,
+      spark.range(0, 40).toDF("id").repartitionByRange(2, $"id"), "id",
+      rowCounts = true)
+    val s2 = session(root)
+    s2.sql("TRUNCATE TABLE g.st")
+    assert(s2.sql("SELECT count(*) AS n FROM g.st").head().getLong(0) == 0)
+    val vT = VersionedTable.latestVersion(t).get
+    // STATSCOL survives the rewrite; the synthesized line is the
+    // full (never-skippable) range; ROWS records zero.
+    assert(VersionedTable.statsColumns(t, vT) == Seq("id"))
+    assert(VersionedTable.statsManifest(t, vT).map(m => (m._2, m._3)) ==
+      Seq((Long.MinValue, Long.MaxValue)))
+    assert(VersionedTable.rowCounts(t, vT).map(_._2) == Seq(0L))
+    // The emptied table still ingests with index continuity intact.
+    s2.sql("INSERT INTO g.st SELECT 7 AS id")
+    assert(s2.sql("SELECT sum(id) AS s FROM g.st").head().getLong(0) == 7)
+    val vI = VersionedTable.latestVersion(t).get
+    assert(VersionedTable.statsManifest(t, vI)
+      .exists(m => m._2 == 7L && m._3 == 7L))
+    // commitIndexed (stats + bloom) truncates the same way.
+    val t2 = root.resolve("ix")
+    VersionedTable.commitIndexed(spark, t2, 0L,
+      spark.range(0, 40).toDF("id"), "id", "id")
+    s2.sql("TRUNCATE TABLE g.ix")
+    assert(s2.sql("SELECT count(*) AS n FROM g.ix").head().getLong(0) == 0)
+  }
+
+  test("table names carrying path segments refuse before any filesystem use") {
+    val root = Files.createTempDirectory("graft_cat_esc_")
+    // A victim table OUTSIDE the catalog root, reachable only by
+    // traversal: DROP through a quoted identifier must not erase it.
+    val outside = Files.createTempDirectory("graft_cat_victim_")
+    VersionedTable.commit(spark, outside.resolve("v"), 0L,
+      spark.range(0, 3).toDF("id"))
+    val rel = root.relativize(outside).toString + "/v"
+    val s2 = session(root)
+    intercept[Exception] { s2.sql(s"DROP TABLE g.`$rel`") }
+    assert(VersionedTable.latestVersion(outside.resolve("v"))
+      .contains(0L), "the foreign table must survive")
+    // The guard itself, at the catalog API (SQL may wrap the error):
+    val cat = new GraftCatalog()
+    cat.initialize("g", new org.apache.spark.sql.util
+      .CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("root", root.toString)))
+    val direct = intercept[IllegalArgumentException] {
+      cat.dropTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array.empty, rel))
+    }
+    assert(direct.getMessage.contains("invalid table name"))
+    assert(VersionedTable.latestVersion(outside.resolve("v"))
+      .contains(0L))
+    // Same guard on the read/create faces.
+    intercept[Exception] { s2.sql(s"SELECT * FROM g.`$rel`").collect() }
+    intercept[Exception] {
+      s2.sql(s"CREATE TABLE g.`../escape` (id BIGINT)")
+    }
+    assert(!Files.exists(root.getParent.resolve("escape")))
+  }
+
   test("CREATE TABLE AS SELECT bootstraps v0 and lands data as v1") {
     val root = Files.createTempDirectory("graft_cat_ddl_")
     val s2 = session(root)

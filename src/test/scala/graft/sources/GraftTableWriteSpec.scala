@@ -63,6 +63,51 @@ class GraftTableWriteSpec extends SparkSpec {
     assert(VersionedTable.read(spark, t).count() == 3)
   }
 
+  test("orphan files in the staging dir are never committed") {
+    import spark.implicits._
+    // A zombie/speculative task attempt can leave a parquet file in
+    // the staging dir whose abort() never ran. The manifest must
+    // derive from the commit MESSAGES, not a directory listing —
+    // otherwise the orphan's rows get committed (duplicates) and
+    // bypass CHECK validation. ingestLines/overwriteLines take the
+    // message-derived file list and restrict to it.
+    import scala.jdk.CollectionConverters._
+    def plant(table: java.nio.file.Path, dir: java.nio.file.Path,
+        name: String, ids: Seq[Long]): String = {
+      val tmp = Files.createTempDirectory("graft_w_plant_")
+      ids.toDF("id").coalesce(1).write.parquet(tmp.resolve("p").toString)
+      val part = Files.list(tmp.resolve("p")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.createDirectories(dir)
+      Files.move(part, dir.resolve(name))
+      table.relativize(dir.resolve(name)).toString
+    }
+    val t = fresh()
+    VersionedTable.commitWithStats(spark, t, 0L,
+      Seq(1L, 2L).toDF("id").coalesce(1), "id", rowCounts = true)
+    val staging = t.resolve("data").resolve("v2w-orphantest")
+    // Two real files sit in the staging dir; only one is in messages.
+    val good = plant(t, staging, "part-good.parquet", Seq(3L))
+    plant(t, staging, "part-zombie.parquet", Seq(99L))
+    val ingest = VersionedTable.ingestLines(spark, t, staging, Seq(good))
+    // Stats-bearing data lines + ROWS lines for the good file ONLY.
+    assert(ingest.nonEmpty)
+    assert(ingest.forall(_.contains("part-good.parquet")),
+      s"orphan leaked into manifest lines: $ingest")
+    val over = VersionedTable.overwriteLines(spark, t, staging, Seq(good))
+    assert(over.filterNot(_.startsWith("STATSCOL"))
+      .forall(_.contains("part-good.parquet")),
+      s"orphan leaked into overwrite lines: $over")
+    // Plain (unindexed) base: same restriction via partFiles.
+    val t2 = fresh()
+    VersionedTable.commit(spark, t2, 0L, Seq(1L).toDF("id"))
+    val st2 = t2.resolve("data").resolve("v2w-orphantest")
+    val good2 = plant(t2, st2, "part-good.parquet", Seq(2L))
+    plant(t2, st2, "part-zombie.parquet", Seq(98L))
+    assert(VersionedTable.ingestLines(spark, t2, st2, Seq(good2)) ==
+      Seq(good2))
+  }
+
   test("mode(overwrite) publishes a rewrite commit; history stays readable") {
     import spark.implicits._
     val t = fresh()

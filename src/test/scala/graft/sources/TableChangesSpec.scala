@@ -188,6 +188,30 @@ class TableChangesSpec extends SparkSpec {
       (3L, 0L, "insert"), (4L, 2L, "insert")))
   }
 
+  test("startingVersion AT an annotated rewrite serves the initial snapshot") {
+    // The initial-snapshot contract must run BEFORE the KIND dispatch:
+    // a mirror bootstrapped at a compaction version gets the full
+    // rewritten manifest (not the empty batch compact serves
+    // mid-stream), then subsequent deltas — no silent zero-row start.
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2, 3))
+    VersionedTable.compactCommit(spark, t) // v1, KIND=compact
+    VersionedTable.appendCommit(spark, t, df(4)) // v2
+    assert(drainAll(t, Map("startingVersion" -> "1")) ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L)))
+    // Same exemption for a KIND=update bootstrap: its adds serve as
+    // inserts even WITHOUT readChangeFeed (no preimage/postimage — the
+    // feed starts here, there is no downstream state to patch).
+    val u = freshTable()
+    VersionedTable.commitWithStats(spark, u, 0L, df(1, 2, 3).coalesce(1),
+      "id")
+    VersionedTable.updateWhere(spark, u, "id", 2L, 2L,
+      Seq("id" -> "id + 10L")) // v1, KIND=update
+    VersionedTable.appendCommit(spark, u, df(4)) // v2
+    assert(drainAll(u, Map("startingVersion" -> "1")) ==
+      Seq((1L, 1L), (3L, 1L), (4L, 2L), (12L, 1L)))
+  }
+
   test("a KIND=update commit serves preimage/postimage pairs in feed mode") {
     val t = freshTable()
     VersionedTable.commitWithStats(spark, t, 0L, df(1, 2, 3).coalesce(1),
