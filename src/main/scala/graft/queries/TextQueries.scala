@@ -368,17 +368,50 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id", "rank")
     }),
 
-    // String similarity: vocabulary word pairs within edit distance 2.
-    // The vocab is extracted then self-joined — at any corpus size the
-    // distinct-term side is small, so this broadcasts (never an
-    // all-docs cross join).
+    // String similarity: vocabulary word pairs within edit distance 2,
+    // via DELETION-NEIGHBORHOOD BLOCKING at depth 2 (the txt_typo_pairs
+    // SymSpell idea, generalized — r16, replacing an O(vocab²)
+    // broadcast nested-loop join that could never survive a real
+    // vocabulary). Completeness is a theorem: an optimal edit script of
+    // ≤ 2 ops deletes ≤ 2 characters from EACH side to reach a common
+    // skeleton (a substitution deletes the differing char from both; an
+    // insert/delete removes the extra char from the longer side), so
+    // two words at distance ≤ 2 always share a member of del≤2(w) =
+    // {w} ∪ del1(w) ∪ del2(w). Candidate generation is O(vocab · len²)
+    // (≤ 1 + L + L(L−1)/2 variants per word), the join is an EQUI-join
+    // on the variant (shuffle-partitionable at any scale), and the
+    // exact levenshtein ≤ 2 check verifies each candidate — same
+    // results as all-pairs, never the all-pairs plan. The in-path
+    // require pins the point: candidates stay below the all-pairs
+    // count (the txt_typo_pairs witness shape).
     "txt_levenshtein" -> ((s, dir) => {
       import s.implicits._
       val vocab = Tables.documents(s, dir)
         .selectExpr(s"explode($tokens) AS w").distinct()
-      val a = vocab.select($"w".as("w1"))
-      val b = vocab.select($"w".as("w2"))
-      a.join(broadcast(b), $"w1" < $"w2")
+      val del1 =
+        "transform(sequence(1, length(w)), i -> " +
+          "concat(substring(w, 1, i - 1), substring(w, i + 1, length(w))))"
+      // Two-char deletions at positions i < j: prefix ⧺ (i,j) gap ⧺
+      // suffix. i ranges to length−1 so the inner sequence is always
+      // ascending (Spark's sequence DESCENDS when start > stop).
+      val del2 =
+        "CASE WHEN length(w) >= 2 THEN flatten(" +
+          "transform(sequence(1, length(w) - 1), i -> " +
+          "transform(sequence(i + 1, length(w)), j -> " +
+          "concat(substring(w, 1, i - 1), substring(w, i + 1, j - i - 1), " +
+          "substring(w, j + 1, length(w)))))) ELSE array() END"
+      val variants = vocab.selectExpr("w",
+        s"explode(array_union(array_union(array(w), $del1), $del2)) AS k")
+      val candidates = variants.as("a")
+        .join(variants.as("b"), $"a.k" === $"b.k" && $"a.w" < $"b.w")
+        .select($"a.w".as("w1"), $"b.w".as("w2"))
+        .distinct()
+      val nVocab = vocab.count()
+      val nCand = candidates.count()
+      require(nCand < nVocab * (nVocab - 1) / 2,
+        s"txt_levenshtein: $nCand candidates vs $nVocab tokens — the " +
+          "deletion blocking did not beat all-pairs")
+      candidates
         .withColumn("dist", levenshtein($"w1", $"w2"))
         .where($"dist" <= 2)
         .orderBy("w1", "w2")

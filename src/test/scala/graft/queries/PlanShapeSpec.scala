@@ -51,6 +51,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("levenshtein pair mining is an equi-join on deletion variants, not all-pairs") {
+    // r16: del≤2 SymSpell blocking — the candidate join must stay a
+    // keyed join on the variant; a BNLJ/cross here is the O(vocab²)
+    // all-pairs plan the rewrite exists to kill.
+    val p = plan("txt_levenshtein")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidate join degenerated to BNLJ")
+    assert(!p.contains("CartesianProduct"),
+      "candidate join degenerated to a cross join")
+  }
+
   test("jaccard candidate join is an equi-join on the shingle hash, not all-pairs") {
     val p = plan("dedup_ngram_jaccard")
     // The candidate self-join must stay keyed (hash/sort-merge on the
