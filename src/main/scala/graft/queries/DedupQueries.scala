@@ -220,8 +220,20 @@ object DedupQueries extends QueryModule {
     * `spread`: the fixture table is one parquet split, so the partial
     * aggregate would otherwise run on a single task; at production
     * split counts this is a planning no-op (QueryModule.spread doc). */
+  /** The profile's column inventory — shared between the plan and the
+    * sampled audit's deterministic column selection. */
+  private val ProfiledCols = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+    "o_status_sparse")
+
+  /** `onlyCols` (r16) restricts the profile to a subset of the
+    * profiled columns — the sampled-audit entry: recomputing the
+    * EXACT (Expand-based) profile for a fraction of the columns costs
+    * that fraction of the Expand replication. Query-surface callers
+    * pass None and profile everything. */
   private def profilePlan(
-      s: SparkSession, dir: String, exact: Boolean): DataFrame = {
+      s: SparkSession, dir: String, exact: Boolean,
+      onlyCols: Option[Seq[String]] = None): DataFrame = {
     import s.implicits._
     def nulls(c: String) =
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
@@ -237,8 +249,9 @@ object DedupQueries extends QueryModule {
     def mmTs(c: String) = Seq(
       date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_min"),
       date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_max"))
-    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-      "o_totalprice", "o_orderdate", "o_orderpriority", "o_status_sparse")
+    val cols = onlyCols.map(oc => ProfiledCols.filter(oc.contains))
+      .getOrElse(ProfiledCols)
+    require(cols.nonEmpty, "profilePlan: onlyCols selected no columns")
     val mm: Map[String, Seq[org.apache.spark.sql.Column]] = Map(
       "o_totalprice" -> mmE2("o_totalprice"),
       "o_orderdate" -> mmTs("o_orderdate")
@@ -261,9 +274,21 @@ object DedupQueries extends QueryModule {
       .orderBy("col_name")
   }
 
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  /** `auditDocs = true` is the gate-side entry (r16): under a sampled
+    * audit (QueryModule.auditSample < 1) the document universe is cut
+    * to the deterministic audit slice BEFORE shingling, so the exact
+    * ground-truth join costs fraction² of the full audit instead of
+    * always paying the full exact pair join the sketch exists to
+    * avoid. Query-surface callers (dedup_ngram_jaccard,
+    * dedup_clusters) never set it — their results stay exact and
+    * oracle-checked at every setting. */
+  private def jaccardPairs(s: SparkSession, dir: String,
+      auditDocs: Boolean = false): DataFrame = {
     import s.implicits._
-    val sets = shingleArrays(s, dir).persist()
+    val all = shingleArrays(s, dir)
+    val sets = (if (auditDocs && QueryModule.auditSample < 1.0)
+      all.where(QueryModule.auditSelectedCol(col("doc_id")))
+    else all).persist()
     // Hash BEFORE any shuffle: document frequency and prefix ranking
     // run entirely on the 8-byte xxhash64, so shingle STRINGS never
     // cross an exchange anywhere in the pipeline (they exist only in
@@ -541,18 +566,33 @@ object DedupQueries extends QueryModule {
       // SUBSET of it, and 16×4 banding on the fixture's strong planted
       // near-dups (J ≈ 0.98) must recover ≥ 9/10 of the exact pairs.
       // Cost: one extra run of the (prefix-filtered, scale-safe) exact
-      // pair join — the audit every production LSH deployment samples.
+      // pair join — exhaustive by default (the fixture-scale
+      // correctness witness); under SPARK_GRAFT_AUDIT_SAMPLE < 1 the
+      // ground truth is recomputed only over the deterministic audit
+      // doc slice and both sides of the comparison restrict to pairs
+      // WITHIN it — the sampled audit every production LSH deployment
+      // actually runs (cost ∝ fraction², same bound, sampled evidence).
       QueryModule.gated("dedup_minhash_lsh", out) { rows =>
-        val exact = jaccardPairs(s, dir).select($"d1", $"d2")
+        val sampled = QueryModule.auditSample < 1.0
+        val exact = jaccardPairs(s, dir, auditDocs = true)
+          .select($"d1", $"d2")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        val lsh = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+        val lsh = rows.map(r => (r.getLong(0), r.getLong(1)))
+          .filter { case (a, b) => !sampled ||
+            (QueryModule.auditSelected(a) && QueryModule.auditSelected(b)) }
+          .toSet
         require(lsh.subsetOf(exact),
           s"dedup_minhash_lsh gate: verified LSH pairs must be a subset " +
             s"of the exact Jaccard pairs; extras: ${lsh -- exact}")
-        require(lsh.nonEmpty, "dedup_minhash_lsh gate: no candidates found")
+        // A thin sample can legitimately hold zero audited pairs; the
+        // exhaustive default keeps the hard non-emptiness witness.
+        if (!sampled)
+          require(lsh.nonEmpty, "dedup_minhash_lsh gate: no candidates found")
         require(lsh.size * 10 >= exact.size * 9,
           s"dedup_minhash_lsh gate: recall ${lsh.size}/${exact.size} " +
-            "below the 9/10 floor")
+            "below the 9/10 floor" +
+            (if (sampled) s" (audited slice, fraction ${QueryModule.auditSample})"
+             else ""))
       }
     }),
 
@@ -1423,12 +1463,30 @@ object DedupQueries extends QueryModule {
     "pipe_profile_approx" -> ((s, dir) => {
       val out = profilePlan(s, dir, exact = false)
       QueryModule.gated("pipe_profile_approx", out) { rows =>
-        val exact = profilePlan(s, dir, exact = true).collect()
-          .map(r => r.getString(0) -> r).toMap
-        require(rows.length == exact.size,
+        // Exhaustive by default: re-derive the exact profile for EVERY
+        // column (the fixture-scale witness). Under
+        // SPARK_GRAFT_AUDIT_SAMPLE < 1 the exact recomputation — the
+        // Expand-based plan this query exists to avoid — runs over a
+        // deterministic FRACTION of the columns (spread selection, at
+        // least one), cutting the Expand replication proportionally;
+        // the sketch bound is then witnessed on the audited columns.
+        val nAll = ProfiledCols.length
+        val audited =
+          if (QueryModule.auditSample >= 1.0) ProfiledCols
+          else ProfiledCols.zipWithIndex.collect {
+            case (c, i)
+              if i.toLong * 1000000L / nAll < QueryModule.auditThreshold => c
+          }
+        val exact =
+          profilePlan(s, dir, exact = true, onlyCols = Some(audited))
+            .collect().map(r => r.getString(0) -> r).toMap
+        require(rows.length == nAll,
           s"pipe_profile_approx gate: ${rows.length} rows vs " +
-            s"${exact.size} exact profile rows")
-        rows.foreach { r =>
+            s"$nAll profiled columns")
+        require(exact.size == audited.length,
+          s"pipe_profile_approx gate: exact audit returned ${exact.size} " +
+            s"rows for ${audited.length} audited columns")
+        rows.filter(r => exact.contains(r.getString(0))).foreach { r =>
           val e = exact(r.getString(0))
           // Exact fields must agree bit-for-bit: only the distinct
           // count is sketched.

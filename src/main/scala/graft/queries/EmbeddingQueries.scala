@@ -655,11 +655,18 @@ object EmbeddingQueries extends QueryModule {
         .selectExpr("cluster", "n_points", "inertia_e6")
         .orderBy("cluster")
       QueryModule.gated("emb_kmeans", out) { rows =>
-        // Exact local re-derivation over the fixture (bounded: ≤2000
-        // 64-dim vectors; a production audit samples instead).
-        val local = emb.select($"vec_id", $"e").collect()
+        // Exact local re-derivation — exhaustive by default (bounded at
+        // fixture scale: ≤2000 64-dim vectors). Under
+        // SPARK_GRAFT_AUDIT_SAMPLE < 1 only the deterministic audit
+        // slice is collected (the driver never holds the full table at
+        // production scale) and the equality checks relax to the
+        // subset bounds a sample can witness: sampled per-cluster
+        // sizes/inertia can never EXCEED the distributed totals.
+        val sampled = QueryModule.auditSample < 1.0
+        val src = if (sampled)
+          emb.where(QueryModule.auditSelectedCol($"vec_id")) else emb
+        val local = src.select($"vec_id", $"e").collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        val n = local.length.toLong
         val sizes = Array.fill(K)(0L); val inert = Array.fill(K)(0L)
         local.foreach { case (_, e) =>
           var best = 0; var bestD = Double.MaxValue
@@ -674,14 +681,28 @@ object EmbeddingQueries extends QueryModule {
         }
         rows.foreach { r =>
           val c = r.getInt(0)
-          require(r.getLong(1) == sizes(c),
-            s"emb_kmeans gate: cluster $c size ${r.getLong(1)} != exact ${sizes(c)}")
-          require(math.abs(r.getLong(2) - inert(c)) <= r.getLong(1),
-            s"emb_kmeans gate: cluster $c inertia ${r.getLong(2)} vs exact " +
-              s"${inert(c)} beyond fixed-point slack")
+          if (sampled) {
+            require(sizes(c) <= r.getLong(1),
+              s"emb_kmeans gate: audited cluster $c size ${sizes(c)} " +
+                s"exceeds the distributed count ${r.getLong(1)}")
+            require(inert(c) <= r.getLong(2) + r.getLong(1),
+              s"emb_kmeans gate: audited cluster $c inertia ${inert(c)} " +
+                s"exceeds the distributed total ${r.getLong(2)} beyond " +
+                "fixed-point slack")
+          } else {
+            require(r.getLong(1) == sizes(c),
+              s"emb_kmeans gate: cluster $c size ${r.getLong(1)} != exact ${sizes(c)}")
+            require(math.abs(r.getLong(2) - inert(c)) <= r.getLong(1),
+              s"emb_kmeans gate: cluster $c inertia ${r.getLong(2)} vs exact " +
+                s"${inert(c)} beyond fixed-point slack")
+          }
         }
+        // Flooring slack is one unit per POINT of the distributed run
+        // (not of the audit sample) — take the full count from the
+        // output rows so a thin sample doesn't tighten the bound.
+        val nFull = rows.map(_.getLong(1)).sum
         hist.sliding(2).foreach { w =>
-          if (w.length == 2) require(w(1) <= w(0) + n,
+          if (w.length == 2) require(w(1) <= w(0) + nFull,
             s"emb_kmeans gate: inertia rose ${w(0)} -> ${w(1)} " +
               "(Lloyd's monotonicity violated beyond flooring slack)")
         }

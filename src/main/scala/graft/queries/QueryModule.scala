@@ -108,6 +108,40 @@ object QueryModule {
   /** Last inner plan per gated query name (test/diagnostic hook). */
   val gatedPlans =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** AUDIT FRACTION (r16) for the in-path gates whose ground-truth
+    * recomputation is EXHAUSTIVE — the full exact pair join
+    * (dedup_minhash_lsh), a whole-table collect (emb_kmeans), the
+    * Expand-based exact profile (pipe_profile_approx). At fixture
+    * scale the exhaustive audit IS the rows-only correctness witness
+    * and stays the default (1.0); at production scale it would
+    * dominate the query (or OOM the driver), so
+    * `SPARK_GRAFT_AUDIT_SAMPLE` (env, deployments) or the
+    * `spark.graft.audit.sample` system property (tests — settable
+    * in-JVM) scales the audit down to a deterministic sample: the
+    * gate still executes and still `require`s its bound, on
+    * fraction-of-the-data evidence. Accepted range (0, 1]. */
+  def auditSample: Double = {
+    val f = sys.props.get("spark.graft.audit.sample")
+      .orElse(sys.env.get("SPARK_GRAFT_AUDIT_SAMPLE"))
+      .map(_.toDouble).getOrElse(1.0)
+    require(f > 0.0 && f <= 1.0,
+      s"SPARK_GRAFT_AUDIT_SAMPLE=$f must be in (0, 1]")
+    f
+  }
+
+  /** Deterministic membership threshold for [[auditSample]]: an id is
+    * audited iff `floorMod(id, 1000000) < auditThreshold` — the same
+    * arithmetic on the Column side (`pmod`) and the driver side
+    * (`Math.floorMod`), so the sampled ground truth and the sampled
+    * output select IDENTICAL ids with no hash replay needed. */
+  def auditThreshold: Long = math.ceil(auditSample * 1000000L).toLong
+
+  def auditSelectedCol(c: Column): Column =
+    pmod(c, lit(1000000L)) < lit(auditThreshold)
+
+  def auditSelected(id: Long): Boolean =
+    java.lang.Math.floorMod(id, 1000000L) < auditThreshold
 }
 
 trait QueryModule {

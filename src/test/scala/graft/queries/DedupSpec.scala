@@ -17,6 +17,36 @@ class DedupSpec extends SparkSpec {
       s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("sampled audit (SPARK_GRAFT_AUDIT_SAMPLE) keeps results identical and gates passing") {
+    // The exhaustive in-path gates (minhash recall, kmeans
+    // re-derivation, exact profile) get a production scale switch:
+    // under a fractional audit the QUERY OUTPUT must be byte-identical
+    // (only the audit evidence shrinks) and every gate must still
+    // execute and pass on its deterministic slice.
+    def run(name: String): Seq[String] = {
+      spark.catalog.clearCache()
+      graft.SparkEntry.queries(name)(spark, sf001)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val names = Seq("dedup_minhash_lsh", "emb_kmeans", "pipe_profile_approx")
+    val full = names.map(n => n -> run(n)).toMap
+    assert(QueryModule.auditSample == 1.0,
+      "specs must start at the exhaustive default")
+    System.setProperty("spark.graft.audit.sample", "0.3")
+    try {
+      assert(QueryModule.auditSample == 0.3)
+      names.foreach { n =>
+        assert(run(n) == full(n),
+          s"$n output changed under a sampled audit — the switch must " +
+            "scale the audit, never the result")
+      }
+    } finally System.clearProperty("spark.graft.audit.sample")
+    // An out-of-range fraction refuses loudly.
+    System.setProperty("spark.graft.audit.sample", "0")
+    try intercept[IllegalArgumentException] { QueryModule.auditSample }
+    finally System.clearProperty("spark.graft.audit.sample")
+  }
+
   test("simhash: near-dup docs have close signatures, and n_near is symmetric") {
     val rows = graft.SparkEntry.queries("dedup_simhash")(spark, sf001).collect()
     assert(rows.length == 500)
