@@ -285,9 +285,15 @@ object VersionedTable {
     * `WIDEN\t<col>\t<sqlType>` ride manifests like DV lines — a
     * metadata-only commit records the mapping, no data file is ever
     * rewritten (the field-ID column-mapping idea of real formats,
-    * keyed by name since this layer never reuses a dropped name). */
+    * keyed by name since this layer never reuses a dropped name).
+    * `ADDCOL\t<name>\t<sqlType>` (r16) appends a NULLABLE column the
+    * same way: files written before it surface typed NULLs at read
+    * time, files written after it carry real values, and the next
+    * compaction materializes the union — the Delta/Iceberg add-column
+    * story, still O(1) metadata at any table size. */
   private val RenamePrefix = "RENAME\t"
   private val WidenPrefix = "WIDEN\t"
+  private val AddColPrefix = "ADDCOL\t"
 
   /** Per-file bloom-filter manifest lines (r13):
     * `BLOOM\t<file>\t<col>\t<base64 bits>` — a point-lookup skipping
@@ -351,7 +357,8 @@ object VersionedTable {
 
   private def isMetaLine(line: String): Boolean =
     line.startsWith(DvPrefix) || line.startsWith(RenamePrefix) ||
-      line.startsWith(WidenPrefix) || line.startsWith(BloomPrefix) ||
+      line.startsWith(WidenPrefix) || line.startsWith(AddColPrefix) ||
+      line.startsWith(BloomPrefix) ||
       line.startsWith(StatsColPrefix) || line.startsWith(StatsPrefix) ||
       line.startsWith(RowsPrefix) || line.startsWith(CheckPrefix) ||
       line.startsWith(KindPrefix)
@@ -527,13 +534,16 @@ object VersionedTable {
     }
 
   /** Schema mappings live at a version, in commit order:
-    * ("rename", from, to) or ("widen", col, sqlType). */
+    * ("rename", from, to), ("widen", col, sqlType), or
+    * ("addcol", col, sqlType). */
   def columnMappings(table: Path, version: Long): Seq[(String, String, String)] =
     manifest(table, version).collect {
       case l if l.startsWith(RenamePrefix) =>
         val Array(_, from, to) = l.split('\t'); ("rename", from, to)
       case l if l.startsWith(WidenPrefix) =>
         val Array(_, c, t) = l.split('\t'); ("widen", c, t)
+      case l if l.startsWith(AddColPrefix) =>
+        val Array(_, c, t) = l.split('\t'); ("addcol", c, t)
     }
 
   /** Metadata-only RENAME commit: one manifest line, zero data files
@@ -555,6 +565,44 @@ object VersionedTable {
     refuseBranched(table, "widenCommit")
     publish(table, version,
       deltaLines(table, version, Seq(s"$WidenPrefix$col\t$sqlType"),
+        checkpointEvery))
+  }
+
+  /** Metadata-only ADD COLUMN commit (r16) — the most common schema
+    * evolution, at the same O(1) cost as rename/widen: one manifest
+    * line, zero data files touched. The column is NULLABLE by
+    * construction (every pre-existing row reads as a typed NULL — a
+    * NOT NULL add would instantly be violated by history, so callers
+    * refuse it before reaching here); later writers see it in the
+    * table schema and land real values; the next compaction
+    * materializes the union and retires the mapping. Time travel
+    * below `version` sees the old schema. `sqlType` must be on the
+    * writer's primitive surface (long/int/double/float/boolean/
+    * string) so a post-add INSERT can actually write it; the name
+    * must be new — re-adding a live column refuses. */
+  def addColumnCommit(s: SparkSession, table: Path, version: Long,
+                      name: String, sqlType: String,
+                      checkpointEvery: Int = 8): Seq[String] = {
+    refuseBranched(table, "addColumnCommit")
+    require(name.nonEmpty && !name.contains('\t') && !name.contains('\n'),
+      s"addColumnCommit: invalid column name '$name'")
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(sqlType)
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.DoubleType,
+        org.apache.spark.sql.types.FloatType,
+        org.apache.spark.sql.types.BooleanType,
+        org.apache.spark.sql.types.StringType).contains(dt),
+      s"addColumnCommit: type $sqlType is outside the writer's " +
+        "primitive surface (bigint/int/double/float/boolean/string)")
+    val existing = read(s, table, Some(version - 1),
+      mergeSchema = true).schema.fieldNames
+    require(!existing.exists(_.equalsIgnoreCase(name)),
+      s"addColumnCommit: column '$name' already exists in " +
+        s"${existing.mkString("[", ", ", "]")}")
+    publish(table, version,
+      deltaLines(table, version, Seq(s"$AddColPrefix$name\t$sqlType"),
         checkpointEvery))
   }
 
@@ -2204,6 +2252,11 @@ object VersionedTable {
                 d.withColumnRenamed(from, to)
               case (d, ("widen", c, t)) if d.columns.contains(c) =>
                 d.withColumn(c, d(c).cast(t))
+              // Added column: files written before the ADDCOL commit
+              // surface a typed NULL; files written after carry it.
+              case (d, ("addcol", c, t)) if !d.columns.contains(c) =>
+                d.withColumn(c,
+                  org.apache.spark.sql.functions.lit(null).cast(t))
               case (d, _) => d
             }
           }

@@ -3340,6 +3340,72 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // SQL ALTER TABLE ADD COLUMN (r16) — the most common schema
+    // evolution, end-to-end in plain SQL: the ALTER publishes a
+    // metadata-only ADDCOL commit (O(1) at any table size — no file is
+    // rewritten), the very next SELECT serves legacy rows with typed
+    // NULLs for the new column (the connector reads a footer-missing
+    // field as NULL — no compaction needed to start querying), an
+    // INSERT lands real values alongside, time travel below the ALTER
+    // still sees the old schema, and the compaction that eventually
+    // runs materializes the union and retires the mapping with content
+    // unchanged (witnessed). The oracle replays the whole lifecycle
+    // relationally: the base projection with a NULL quality column
+    // plus the inserted rows with theirs.
+    "pipe_sql_add_column" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vaddc_")
+      try {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        s2.sql(s"""CREATE TABLE graftcat.docs AS
+                   SELECT doc_id, lang, n_chars
+                   FROM parquet.`$dir/documents.parquet`""")
+        val table = tmp.resolve("docs")
+        s2.sql("ALTER TABLE graftcat.docs ADD COLUMN quality BIGINT")
+        require(VersionedTable.columnMappings(table, 2L) ==
+            Seq(("addcol", "quality", "bigint")),
+          "pipe_sql_add_column: the ALTER must land as one metadata-" +
+            "only ADDCOL commit")
+        // Visible to the very next statement: every legacy row serves
+        // a typed NULL, no compaction in between.
+        val n = s2.sql("SELECT count(*) AS n FROM graftcat.docs")
+          .head().getLong(0)
+        require(s2.sql("SELECT count(*) AS n FROM graftcat.docs " +
+            "WHERE quality IS NULL").head().getLong(0) == n && n > 0,
+          "pipe_sql_add_column: legacy rows must read as typed NULLs " +
+            "immediately after the ALTER")
+        // Time travel below the ALTER sees the old schema.
+        require(!s2.sql("SELECT * FROM graftcat.docs VERSION AS OF 1")
+            .schema.fieldNames.contains("quality"),
+          "pipe_sql_add_column: VERSION AS OF below the ALTER must " +
+            "not show the added column")
+        // New rows land real values next to the NULL-serving history.
+        s2.sql(s"""INSERT INTO graftcat.docs
+                   SELECT doc_id + 4398046511104L AS doc_id, lang,
+                          n_chars, n_chars * 2L AS quality
+                   FROM parquet.`$dir/documents.parquet`
+                   WHERE doc_id % 9 = 4""")
+        val out = s2.sql("SELECT doc_id, lang, n_chars, quality " +
+          "FROM graftcat.docs ORDER BY doc_id")
+        val rows = out.collect()
+        // The compaction MATERIALIZES the union (mapping retired,
+        // content byte-identical) — the debt-repayment half.
+        s2.sql("CALL graftcat.compact('docs', 'doc_id', 4)")
+        require(VersionedTable.columnMappings(table,
+            VersionedTable.latestVersion(table).get).isEmpty,
+          "pipe_sql_add_column: compaction must retire the ADDCOL " +
+            "mapping")
+        val after = s2.sql("SELECT doc_id, lang, n_chars, quality " +
+          "FROM graftcat.docs ORDER BY doc_id").collect()
+        require(after.toSeq == rows.toSeq,
+          "pipe_sql_add_column: compaction changed the table contents")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // SQL STORED PROCEDURES — table maintenance from CALL (r13) — the
     // protocol's lifecycle verbs as plain SQL (Spark 4 ProcedureCatalog,
     // the Iceberg-procedures shape): stage a table carrying real debt
@@ -4556,6 +4622,21 @@ object DedupQueries extends QueryModule {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
         |  CAST(n_chars AS BIGINT) AS chars
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // ADD COLUMN replayed relationally: the base projection carries a
+    // typed NULL for the added column, the inserted clones carry real
+    // values — exactly what the mapped read (and the compaction that
+    // materializes it) must serve.
+    "pipe_sql_add_column" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(NULL AS BIGINT) AS quality
+        |FROM documents
+        |UNION ALL
+        |SELECT CAST(doc_id + 4398046511104 AS BIGINT), lang,
+        |  CAST(n_chars AS BIGINT), CAST(n_chars * 2 AS BIGINT)
+        |FROM documents WHERE doc_id % 9 = 4
         |ORDER BY doc_id""".stripMargin,
 
     // The literal MERGE INTO replayed relationally — the single-round

@@ -444,9 +444,31 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         VersionedTable.widenCommit(p,
           VersionedTable.latestVersion(p).get + 1,
           u.fieldNames()(0), u.newDataType.sql.toLowerCase)
+      // ALTER TABLE ADD COLUMN (r16): a metadata-only ADDCOL commit —
+      // legacy rows read as typed NULLs immediately (no compaction
+      // needed: the connector serves missing footer fields as NULL),
+      // later INSERTs write real values. NULLABLE appends only: a NOT
+      // NULL add would be violated by every existing row, and a
+      // FIRST/AFTER position would reorder what historical footers
+      // cannot — both refuse loudly.
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"graft catalog '$catalogName': nested add-column unsupported")
+        require(a.isNullable,
+          s"graft catalog '$catalogName': ADD COLUMN must be nullable " +
+            "— existing rows have no value for it (add nullable, " +
+            "backfill, then constrain)")
+        require(a.position() == null,
+          s"graft catalog '$catalogName': ADD COLUMN FIRST/AFTER " +
+            "unsupported — new columns append at the end")
+        VersionedTable.addColumnCommit(
+          org.apache.spark.sql.SparkSession.active, p,
+          VersionedTable.latestVersion(p).get + 1,
+          a.fieldNames()(0), a.dataType.sql.toLowerCase)
       case other => throw new UnsupportedOperationException(
         s"graft catalog '$catalogName': unsupported ALTER TABLE change " +
-          s"$other (supported: RENAME COLUMN, ALTER COLUMN TYPE)")
+          s"$other (supported: ADD COLUMN, RENAME COLUMN, " +
+          "ALTER COLUMN TYPE)")
     }
     // The mapped version self-describes through VersionedTable.read;
     // return the table at its new head.

@@ -182,8 +182,20 @@ object GraftTableSource {
     }.toSeq match {
       case dataFields =>
         val names = dataFields.map(_.name).toSet
-        dataFields ++ partitionCols(table, version)
+        val withParts = dataFields ++ partitionCols(table, version)
           .filterNot(names).map(StructField(_, StringType, nullable = true))
+        // ADDCOL mappings (r16): columns added by a metadata-only
+        // commit appear in the served schema even though the footer
+        // this schema came from predates them — files that lack the
+        // column read as typed NULLs. Guarded by name: a post-add
+        // INSERT's footer may already carry the column.
+        val have = withParts.map(_.name).toSet
+        withParts ++ VersionedTable.columnMappings(table, version)
+          .collect { case ("addcol", c, t) if !have.contains(c) =>
+            StructField(c,
+              org.apache.spark.sql.types.DataType.fromDDL(t),
+              nullable = true)
+          }
     })
   }
 
@@ -642,11 +654,23 @@ private[sources] class GraftScan(path: String, version: Long,
     }
     val table = java.nio.file.Paths.get(path)
     // Schema-evolved versions carry a per-directory mapping the scan
-    // must not guess at — refuse with the working alternative.
-    require(VersionedTable.columnMappings(table, version).isEmpty,
+    // must not guess at — refuse with the working alternative. ADDCOL
+    // mappings (r16) are the exception the reader CAN serve exactly:
+    // a requested column missing from a file's footer reads as a
+    // typed NULL, which is precisely the add-column contract — so SQL
+    // keeps working the moment the ALTER commits. Rename/widen still
+    // wait for the compaction that materializes them, and an ADDCOL
+    // never coexists with live deletion vectors keyed on it (guarded
+    // below like VersionedTable.read's rule).
+    val maps = VersionedTable.columnMappings(table, version)
+    require(maps.forall(_._1 == "addcol"),
       s"graft-table: version $version of $path carries schema-evolution " +
         "mappings (RENAME/WIDEN) — read it via VersionedTable.read, or " +
         "compact first")
+    require(maps.isEmpty ||
+        VersionedTable.deletionVectors(table, version).isEmpty,
+      s"graft-table: version $version of $path carries both deletion " +
+        "vectors and schema mappings — compact before combining the two")
     val all = VersionedTable.statsManifest(table, version)
     require(all.nonEmpty,
       s"graft-table: version $version of $path lists no data files")
@@ -807,6 +831,10 @@ private[sources] class GraftTableReaderFactory(schema: StructType)
       override def get(): InternalRow = {
         val vals = schema.fields.map { f =>
           if (partConst.contains(f.name)) partConst(f.name)
+          // A column ADDED after this file was written (ADDCOL
+          // mapping) is absent from the footer — serve the typed NULL
+          // the add-column contract promises for legacy rows.
+          else if (!cur.getType.containsField(f.name)) null
           else {
           val i = cur.getType.getFieldIndex(f.name)
           if (cur.getFieldRepetitionCount(i) == 0) null

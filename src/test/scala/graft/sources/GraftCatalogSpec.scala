@@ -537,6 +537,64 @@ class GraftCatalogSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(root.resolve("bad")).isEmpty)
   }
 
+  test("ALTER TABLE ADD COLUMN: metadata-only, NULL history, refusals") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cat_addc_")
+    val t = root.resolve("d")
+    VersionedTable.commitWithStats(spark, t, 0L,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1), "id")
+    val s2 = session(root)
+    s2.sql("ALTER TABLE g.d ADD COLUMN extra STRING")
+    // Metadata-only: no data dir grew, one ADDCOL mapping lives.
+    assert(VersionedTable.columnMappings(t, 1L) ==
+      Seq(("addcol", "extra", "string")))
+    // Legacy rows read as typed NULLs from SQL immediately; stats
+    // pruning on the original column still works underneath.
+    val rows = s2.sql("SELECT id, v, extra FROM g.d ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2)))
+      .toSeq == Seq((1L, 10L, true), (2L, 20L, true)))
+    // INSERT lands real values; the mixed read serves both.
+    s2.sql("INSERT INTO g.d SELECT 3L AS id, 30L AS v, 'x' AS extra")
+    assert(s2.sql("SELECT count(*) AS n FROM g.d WHERE extra IS NULL")
+      .head().getLong(0) == 2)
+    assert(s2.sql("SELECT extra FROM g.d WHERE id = 3").head()
+      .getString(0) == "x")
+    // Time travel below the ALTER sees the old schema.
+    assert(!s2.sql("SELECT * FROM g.d VERSION AS OF 0")
+      .schema.fieldNames.contains("extra"))
+    // Refusals: duplicate name, NOT NULL, positioned add, bad type.
+    intercept[Exception] { s2.sql("ALTER TABLE g.d ADD COLUMN v BIGINT") }
+    intercept[Exception] {
+      s2.sql("ALTER TABLE g.d ADD COLUMN req BIGINT NOT NULL")
+    }
+    intercept[Exception] {
+      s2.sql("ALTER TABLE g.d ADD COLUMN pos BIGINT FIRST")
+    }
+    intercept[Exception] {
+      s2.sql("ALTER TABLE g.d ADD COLUMN m MAP<STRING, STRING>")
+    }
+    // The library verb refuses re-adding a mapped (not yet
+    // materialized) column too.
+    intercept[IllegalArgumentException] {
+      VersionedTable.addColumnCommit(spark, t,
+        VersionedTable.latestVersion(t).get + 1, "extra", "bigint")
+    }
+    // A change feed pinned before the ALTER fails on the ADDCOL
+    // commit (stream schema is pinned at start) rather than serving
+    // rows under a stale schema.
+    intercept[Exception] {
+      val tmp = Files.createTempDirectory("graft_addc_feed_")
+      val q = spark.readStream.format("graft-changes").load(t.toString)
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(120000L)) q.stop()
+      q.exception.foreach(throw _)
+    }
+  }
+
   test("ALTER TABLE publishes rename/widen commits; DROP is ref-guarded") {
     val root = Files.createTempDirectory("graft_cat_ddl2_")
     val s2 = session(root)
