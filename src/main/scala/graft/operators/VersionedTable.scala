@@ -66,14 +66,20 @@ object VersionedTable {
 
   private val ManifestRe = """v(\d{6})\.manifest""".r
 
-  /** List the parquet part files under a freshly-written output dir,
-    * as table-root-relative strings (sorted: the manifest is a stable
-    * artifact, not an enumeration-order accident). */
-  private def partFiles(table: Path, dataDir: Path): Seq[String] =
-    Files.list(dataDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
+  /** List the parquet part files under a freshly-written output dir —
+    * RECURSIVE (a partitioned V2 write nests `col=value` dirs; flat
+    * dirs walk identically) — as table-root-relative strings (sorted:
+    * the manifest is a stable artifact, not an enumeration-order
+    * accident). */
+  private def partFiles(table: Path, dataDir: Path): Seq[String] = {
+    val walk = Files.walk(dataDir)
+    try walk.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
       .map(p => table.relativize(p).toString)
       .toSeq.sorted
+    finally walk.close()
+  }
 
   /** Write `df` as version `version`'s new files and atomically
     * publish the manifest = carried ++ new. Returns the published
@@ -198,7 +204,8 @@ object VersionedTable {
                                     files: Seq[String]): Seq[String] =
     ingestLines(s, table, dataDir, files) ++
       latestVersion(table).toSeq.flatMap(v =>
-        statsColumns(table, v).headOption.map(StatsColPrefix + _))
+        statsColumns(table, v).headOption.map(StatsColPrefix + _) ++
+          declaredPartitionCols(table, v).map(PartColPrefix + _))
 
   /** Each commit ATTEMPT writes under its own unique slug: a crashed
     * or raced attempt's files can never collide with the winner's —
@@ -335,6 +342,15 @@ object VersionedTable {
     * expression evaluates FALSE — NULL passes, as standard CHECK. */
   private val CheckPrefix = "CHECK\t"
 
+  /** `PARTCOL\t<col>` (r16): the DECLARED partition layout — written
+    * by DDL `CREATE TABLE … PARTITIONED BY`, where the layout must be
+    * known BEFORE any data file's path can exhibit it (the zero-row
+    * bootstrap is flat). Readers and writers consult
+    * [[partitionLayout]] = declared ∪ path-derived, so DDL-declared
+    * and `commitPartitioned`-grown layouts behave identically. Like
+    * STATSCOL, a full-manifest rewrite must restate it. */
+  private val PartColPrefix = "PARTCOL\t"
+
   /** `KIND\t<verb>` (r14): a PER-COMMIT annotation naming the commit's
     * intent — `update` (a stats-pruned copy-on-write rewrite) or
     * `compact` (a content-preserving reorganization, the Delta
@@ -361,7 +377,7 @@ object VersionedTable {
       line.startsWith(BloomPrefix) ||
       line.startsWith(StatsColPrefix) || line.startsWith(StatsPrefix) ||
       line.startsWith(RowsPrefix) || line.startsWith(CheckPrefix) ||
-      line.startsWith(KindPrefix)
+      line.startsWith(KindPrefix) || line.startsWith(PartColPrefix)
 
   /** Does any data-file path of `version`'s manifest carry Hive-style
     * `col=value` partition segments (a [[commitPartitioned]] layout)?
@@ -373,6 +389,32 @@ object VersionedTable {
       .flatMap(_._1.split('/').dropRight(1).toSeq.collect {
         case seg if seg.contains('=') => seg.substring(0, seg.indexOf('='))
       }).distinct
+
+  /** The manifest line declaring `col` as a partition column — what a
+    * DDL bootstrap passes as `carried` so the layout is known before
+    * any data file's path can exhibit it. */
+  def partColLine(col: String): String = {
+    require(col.nonEmpty && !col.contains('\t') && !col.contains('\n') &&
+        !col.contains('/') && !col.contains('='),
+      s"partColLine: invalid partition column name '$col'")
+    s"$PartColPrefix$col"
+  }
+
+  /** The DECLARED partition columns at a version (DDL `PARTITIONED
+    * BY`), in declaration order — Nil for layouts grown only from
+    * `commitPartitioned` paths. */
+  def declaredPartitionCols(table: Path, version: Long): Seq[String] =
+    manifest(table, version).collect {
+      case l if l.startsWith(PartColPrefix) =>
+        l.substring(PartColPrefix.length)
+    }
+
+  /** The version's full partition layout: declared columns first, then
+    * any path-derived column the declaration missed. What V2 writers
+    * write under and `GraftTable.partitioning()` reports. */
+  def partitionLayout(table: Path, version: Long): Seq[String] =
+    (declaredPartitionCols(table, version) ++
+      partitionColsOf(table, version)).distinct
 
   /** The CHECK constraints live at a version, in declaration order.
     * Computed by a RAW-chain walk (base's constraints ++ this delta's
@@ -1346,7 +1388,7 @@ object VersionedTable {
     // manifest paths — a raw-leaf rewrite would silently drop it from
     // the rewritten rows. Refuse, like the DV/mapping gates above;
     // compactCommit (partition-aware since r14) is the resolution.
-    require(partitionColsOf(table, base).isEmpty,
+    require(partitionLayout(table, base).isEmpty,
       s"updateWhere at version $base: partition-layout files " +
         "(col=value path segments) — their partition column is not in " +
         "the payload and a rewrite would drop it; compact first")
@@ -1457,7 +1499,7 @@ object VersionedTable {
     require(columnMappings(table, base).isEmpty,
       s"$what at version $base: schema-evolution mappings live — " +
         "compact first (the scan refuses these too)")
-    require(partitionColsOf(table, base).isEmpty,
+    require(partitionLayout(table, base).isEmpty,
       s"$what at version $base: partition-layout files (col=value " +
         "path segments) — their partition column is not in the payload " +
         "and a rewrite would drop it; compact first")
@@ -1596,7 +1638,7 @@ object VersionedTable {
     // survive the compaction. One partition column, no DVs/mappings
     // in the mix (the flat path composes those; partitioned commits
     // never carry them today — refuse rather than guess).
-    val partCols = partitionColsOf(table, base)
+    val partCols = partitionLayout(table, base)
     require(partCols.size <= 1,
       s"compactCommit at version $base: multiple partition columns " +
         s"$partCols in the manifest paths — unsupported layout")
@@ -1674,9 +1716,12 @@ object VersionedTable {
       }
     // KIND=compact marks the commit content-preserving (dataChange=
     // false): the change feed skips it instead of failing downstream
-    // mirrors into a full restart.
+    // mirrors into a full restart. A DECLARED partition layout is a
+    // table-wide contract like STATSCOL — the full-manifest rewrite
+    // restates it (amnesia rule).
+    val partDecl = declaredPartitionCols(table, base).map(PartColPrefix + _)
     publish(table, version,
-      lines ++ indexLines ++ checks :+ s"${KindPrefix}compact")
+      lines ++ indexLines ++ checks ++ partDecl :+ s"${KindPrefix}compact")
     version
   }
 

@@ -3340,6 +3340,82 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // SQL CREATE TABLE … PARTITIONED BY (r16) — a DDL-created table
+    // finally gets the manifest partition pruning the engine is
+    // proudest of: the declaration lands as a PARTCOL line on the
+    // zero-row bootstrap (the layout is known before any data path
+    // can exhibit it), the V2 INSERT routes each row to Hive-style
+    // `lang=value` files (partition column stripped from the payload,
+    // write clustered by the column via the declared distribution
+    // requirement), and the scan prunes files by partition value from
+    // a plain SQL predicate — witnessed in-path: one scan partition
+    // per surviving file, strictly fewer than the table's files.
+    // CTAS PARTITIONED BY lands partitioned the same way (witnessed).
+    "pipe_sql_partitioned" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vpart_")
+      try {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        s2.sql("""CREATE TABLE graftcat.docs
+                  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                  PARTITIONED BY (lang)""")
+        val table = tmp.resolve("docs")
+        require(VersionedTable.declaredPartitionCols(table, 0L) ==
+            Seq("lang"),
+          "pipe_sql_partitioned: the DDL must declare the layout on " +
+            "the bootstrap")
+        s2.sql(s"""INSERT INTO graftcat.docs
+                   SELECT doc_id, lang, n_chars
+                   FROM parquet.`$dir/documents.parquet`""")
+        // Every ingested file landed under its partition segment.
+        val added = VersionedTable.addedLines(table, 1L)
+          .filterNot(_.contains('\t'))
+        require(added.nonEmpty && added.forall(_.contains("lang=")),
+          s"pipe_sql_partitioned: INSERT must land col=value files, " +
+            s"got $added")
+        val langs = added.flatMap(f => f.split('/').collectFirst {
+          case seg if seg.startsWith("lang=") => seg }).distinct
+        require(langs.size > 1,
+          "pipe_sql_partitioned: fixture must span several partitions")
+        // MANIFEST PARTITION PRUNING from plain SQL: the scan plans
+        // one input partition per surviving file, so a single-value
+        // predicate must read strictly fewer files than the table
+        // holds (the pipe_partition_commit witness, on a DDL table).
+        val one = s2.sql(
+          "SELECT * FROM graftcat.docs WHERE lang = 'en'")
+        val scanned = one.rdd.getNumPartitions
+        val enFiles = added.count(_.contains("lang=en"))
+        // +1: the flat zero-row bootstrap carries no partition segment
+        // so no value predicate can ever prune it — a constant, not a
+        // scale cost.
+        require(scanned == enFiles + 1 && scanned < added.size + 1,
+          s"pipe_sql_partitioned: predicate scanned $scanned files, " +
+            s"expected the $enFiles lang=en files (+ bootstrap) of " +
+            s"${added.size + 1}")
+        // CTAS PARTITIONED BY lands partitioned the same way.
+        s2.sql(s"""CREATE TABLE graftcat.by_lang PARTITIONED BY (lang)
+                   AS SELECT doc_id, lang, n_chars
+                   FROM parquet.`$dir/documents.parquet`
+                   WHERE doc_id % 5 = 0""")
+        val t2 = tmp.resolve("by_lang")
+        val ctasFiles = VersionedTable.addedLines(t2, 1L)
+          .filterNot(_.contains('\t'))
+        require(ctasFiles.nonEmpty && ctasFiles.forall(_.contains("lang=")),
+          "pipe_sql_partitioned: CTAS writes must land partitioned")
+        val out = s2.sql(
+          """SELECT d.doc_id, d.lang, d.n_chars,
+             |  CASE WHEN b.doc_id IS NULL THEN 0L ELSE 1L END AS in_ctas
+             |FROM graftcat.docs d LEFT JOIN graftcat.by_lang b
+             |  ON d.doc_id = b.doc_id
+             |ORDER BY d.doc_id""".stripMargin)
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // SQL ALTER TABLE ADD COLUMN (r16) — the most common schema
     // evolution, end-to-end in plain SQL: the ALTER publishes a
     // metadata-only ADDCOL commit (O(1) at any table size — no file is
@@ -4623,6 +4699,16 @@ object DedupQueries extends QueryModule {
         |  CAST(n_chars AS BIGINT) AS chars
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // The partitioned lifecycle replayed relationally: every document
+    // row, flagged by membership in the CTAS's doc_id%5 slice.
+    "pipe_sql_partitioned" ->
+      """SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
+        |  CAST(d.n_chars AS BIGINT) AS n_chars,
+        |  CAST(CASE WHEN d.doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS in_ctas
+        |FROM documents d
+        |ORDER BY d.doc_id""".stripMargin,
 
     // ADD COLUMN replayed relationally: the base projection carries a
     // typed NULL for the added column, the inserted clones carry real

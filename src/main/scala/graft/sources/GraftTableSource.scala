@@ -283,28 +283,41 @@ object GraftTableSource {
     * one of the shapes the group-filtering rule produces (IN / =).
     * None = unrecognized → no pruning (safe: the scan then reads, and
     * the row-level commit replaces, every candidate file). */
-  private[sources] def filePredicateSet(
+  /** Parse a runtime predicate of shape `col IN (…)` / `col = v` into
+    * (column, admitted values) — the producer is Spark's dynamic
+    * pruning machinery (row-level group filtering hands `_file` sets,
+    * join-driven DPP hands partition-column value sets). Unparseable
+    * shapes return None: an unpruned scan is still correct. */
+  private[sources] def colValuePredicateSet(
       p: org.apache.spark.sql.connector.expressions.filter.Predicate)
-      : Option[Set[String]] = {
+      : Option[(String, Set[String])] = {
     import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference}
-    def isFileRef(e: Expression): Boolean = e match {
-      case r: NamedReference => r.fieldNames.toSeq == Seq("_file")
-      case _ => false
+    def ref(e: Expression): Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
     }
     def str(e: Expression): Option[String] = e match {
       case l: Literal[_] => Option(l.value).map(_.toString)
       case _ => None
     }
     p.name match {
-      case "IN" if p.children().nonEmpty && isFileRef(p.children()(0)) =>
-        val vs = p.children().drop(1).map(str)
-        if (vs.forall(_.isDefined)) Some(vs.flatten.toSet) else None
-      case "=" if p.children().length == 2 &&
-          isFileRef(p.children()(0)) =>
-        str(p.children()(1)).map(Set(_))
+      case "IN" if p.children().nonEmpty =>
+        ref(p.children()(0)).flatMap { c =>
+          val vs = p.children().drop(1).map(str)
+          if (vs.forall(_.isDefined)) Some(c -> vs.flatten.toSet) else None
+        }
+      case "=" if p.children().length == 2 =>
+        for (c <- ref(p.children()(0)); v <- str(p.children()(1)))
+          yield c -> Set(v)
       case _ => None
     }
   }
+
+  private[sources] def filePredicateSet(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Set[String]] =
+    colValuePredicateSet(p).collect { case ("_file", vs) => vs }
 }
 
 private[sources] class GraftTable(path: String, schema0: StructType,
@@ -316,6 +329,16 @@ private[sources] class GraftTable(path: String, schema0: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   import graft.operators.VersionedTable
+
+  /** The table's partition layout as identity transforms — declared
+    * (DDL `PARTITIONED BY`) or grown from `commitPartitioned` paths.
+    * Reported so SQL surfaces (DESCRIBE, CTAS validation) see it and
+    * the V2 write can honor it. */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    VersionedTable.partitionLayout(java.nio.file.Paths.get(path), version)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
 
   /** `_file` — each row's relative data-file path (the Delta/Iceberg
     * metadata column of the same name): the GROUP identity the
@@ -610,15 +633,42 @@ private[sources] class GraftScan(path: String, version: Long,
     * (the commit then replaces exactly what was scanned). */
   @volatile private var runtimeFiles: Option[Set[String]] = None
 
+  /** Runtime-filterable columns — only ones RESOLVABLE in this scan's
+    * output (Spark's PartitionPruning resolves these against the
+    * relation and fails hard on a miss): `_file` when the scan serves
+    * it (row-level operation scans request it as a metadata column),
+    * plus any partition column in the output (lets join-driven dynamic
+    * partition pruning hand us value sets). */
   override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
-      .column("_file"))
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val table = java.nio.file.Paths.get(path)
+    val names = required.fieldNames.toSet
+    val parts = VersionedTable.partitionLayout(table, version)
+      .filter(names.contains)
+    ((if (names.contains("_file")) Seq("_file") else Nil) ++ parts)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  }
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions
         .filter.Predicate]): Unit = {
-    val sets = predicates.flatMap(GraftTableSource.filePredicateSet)
+    val table = java.nio.file.Paths.get(path)
+    val partCols = VersionedTable.partitionLayout(table, version).toSet
+    val sets = predicates.flatMap { p =>
+      GraftTableSource.colValuePredicateSet(p).flatMap {
+        case ("_file", vs) => Some(vs)
+        // Join-driven DPP on a partition column: admit files whose
+        // path segment carries an admitted value; files WITHOUT the
+        // segment (the flat bootstrap) are never pruned — their rows
+        // may hold anything, so only the path is evidence.
+        case (c, vs) if partCols.contains(c) =>
+          Some(VersionedTable.statsManifest(table, version).map(_._1)
+            .filter(f => GraftTableSource.partitionValues(f).toMap
+              .get(c).forall(vs.contains)).toSet)
+        case _ => None
+      }
+    }
     sets.reduceOption(_ intersect _).foreach(s => runtimeFiles = Some(s))
   }
 

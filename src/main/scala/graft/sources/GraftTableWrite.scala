@@ -53,7 +53,8 @@ private[sources] class GraftWriteBuilder(path: String,
 }
 
 private[sources] class GraftWrite(path: String, schema: StructType,
-    truncate: Boolean = false) extends Write {
+    truncate: Boolean = false) extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   // One staging namespace per write attempt; files land under data/
   // like every commit's, invisible until a manifest lists them and
@@ -61,12 +62,60 @@ private[sources] class GraftWrite(path: String, schema: StructType,
   private val stagingRel =
     "data/v2w-" + java.util.UUID.randomUUID().toString.take(8)
 
+  /** The table's partition layout at write time (declared via DDL or
+    * grown from commitPartitioned paths): a V2 INSERT into a
+    * partitioned table lands `col=value` files like every library
+    * writer, so DDL-created partitioned tables get manifest partition
+    * pruning from day one. Single column today (the library's reader
+    * contract); multi-column layouts refuse loudly below. */
+  private val partCols: Seq[String] =
+    VersionedTable.latestVersion(java.nio.file.Paths.get(path))
+      .map(v => VersionedTable.partitionLayout(
+        java.nio.file.Paths.get(path), v))
+      .getOrElse(Nil)
+  require(partCols.size <= 1,
+    s"graft-table: $path declares a multi-column partition layout " +
+      s"$partCols — the V2 writer supports one partition column")
+  partCols.foreach { pc =>
+    val f = schema.fields.find(_.name == pc).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-table: partition column '$pc' missing from the write " +
+          s"schema ${schema.fieldNames.mkString("[", ", ", "]")}"))
+    require(f.dataType == org.apache.spark.sql.types.StringType,
+      s"graft-table: partition column '$pc' must be STRING (partition " +
+        "values ride the path and read back as strings)")
+  }
+
+  /** Cluster input by the partition column so each task writes few
+    * files (the write-side shuffle every partitioned table format
+    * requires at scale); unpartitioned writes impose nothing. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    partCols.headOption match {
+      case Some(pc) =>
+        org.apache.spark.sql.connector.distributions.Distributions
+          .clustered(Array(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(pc)))
+      case None =>
+        org.apache.spark.sql.connector.distributions.Distributions
+          .unspecified()
+    }
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+
   override def toBatch: BatchWrite = new GraftBatchWrite(path, stagingRel,
-    schema, truncate)
+    schema, truncate, partCols)
   override def toStreaming: StreamingWrite = {
     require(!truncate,
       "graft-table: the streaming sink is append-only (complete-mode " +
         "rewrites belong to batch overwrite or compaction commits)")
+    require(partCols.isEmpty,
+      s"graft-table: $path has a partition layout $partCols — the " +
+        "streaming sink writes flat files; sink to a flat table and " +
+        "compact into the layout, or batch-insert")
     new GraftStreamingWrite(path, stagingRel, schema)
   }
 }
@@ -75,11 +124,13 @@ private[sources] case class GraftCommitMessage(files: Seq[String])
     extends WriterCommitMessage
 
 private[sources] class GraftBatchWrite(path: String, stagingRel: String,
-    schema: StructType, truncate: Boolean) extends BatchWrite {
+    schema: StructType, truncate: Boolean,
+    partCols: Seq[String] = Nil) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(path, stagingRel, schema)
+    new GraftWriterFactory(path, stagingRel, schema,
+      partCols = partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.flatMap {
@@ -249,8 +300,13 @@ private[sources] object GraftWriterFactory {
 }
 
 private[sources] class GraftWriterFactory(path: String, stagingRel: String,
-    schema: StructType, replaceDataRows: Boolean = false)
+    schema: StructType, replaceDataRows: Boolean = false,
+    partCols: Seq[String] = Nil)
     extends DataWriterFactory with StreamingDataWriterFactory {
+
+  require(partCols.isEmpty || !replaceDataRows,
+    "graft-table: group-replacement writes never target partitioned " +
+      "tables (the row-level paths refuse them upstream)")
 
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
@@ -262,6 +318,98 @@ private[sources] class GraftWriterFactory(path: String, stagingRel: String,
 
   private def writer(partitionId: Int,
                      taskId: Long): DataWriter[InternalRow] =
+    partCols.headOption match {
+      case Some(pc) => partitionedWriter(pc, partitionId, taskId)
+      case None => flatWriter(partitionId, taskId)
+    }
+
+  /** Partitioned INSERT (r16): rows route to one open file per
+    * partition VALUE, under a Hive-style `col=value` segment (URL-
+    * encoded — [[GraftTableSource.partitionValues]] decodes). The
+    * partition column is STRIPPED from the payload (it rides the
+    * path, the commitPartitioned layout), and the write-side
+    * distribution requirement clusters rows so a task sees few
+    * values. NULL partition values refuse loudly — the path cannot
+    * carry them and a default-partition convention would silently
+    * split the column's semantics. */
+  private def partitionedWriter(pc: String, partitionId: Int,
+                                taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val partIdx = schema.fieldIndex(pc)
+      private val payload = StructType(schema.fields.filter(_.name != pc))
+      private val payloadIdx =
+        payload.fields.map(f => schema.fieldIndex(f.name))
+      private val msgType = GraftWriterFactory.messageType(payload)
+      private val conf = new Configuration()
+      GroupWriteSupport.setSchema(msgType, conf)
+      private val open = scala.collection.mutable.Map
+        .empty[String, (org.apache.parquet.hadoop.ParquetWriter[
+          org.apache.parquet.example.data.Group], Array[Long], String)]
+
+      private def writerFor(value: String) =
+        open.getOrElseUpdate(value, {
+          val enc = java.net.URLEncoder.encode(value, "UTF-8")
+          val rel =
+            f"$stagingRel/$pc=$enc/part-$partitionId%05d-$taskId.parquet"
+          val full = java.nio.file.Paths.get(path).resolve(rel)
+          val w = ExampleParquetWriter
+            .builder(new org.apache.hadoop.fs.Path(full.toString))
+            .withConf(conf)
+            .withType(msgType)
+            .build()
+          (w, Array(0L), rel)
+        })
+
+      override def write(row: InternalRow): Unit = {
+        require(!row.isNullAt(partIdx),
+          s"graft-table: NULL partition value for '$pc' — partition " +
+            "values ride the path and cannot be NULL")
+        val (w, n, _) = writerFor(row.getUTF8String(partIdx).toString)
+        val g = new SimpleGroup(msgType)
+        var i = 0
+        while (i < payload.fields.length) {
+          val src = payloadIdx(i)
+          if (!row.isNullAt(src)) payload.fields(i).dataType match {
+            case LongType => g.add(i, row.getLong(src))
+            case IntegerType => g.add(i, row.getInt(src))
+            case DoubleType => g.add(i, row.getDouble(src))
+            case FloatType => g.add(i, row.getFloat(src))
+            case BooleanType => g.add(i, row.getBoolean(src))
+            case StringType =>
+              g.add(i, Binary.fromString(row.getUTF8String(src).toString))
+            case other => throw new IllegalStateException(
+              s"graft-table: unsupported write type $other")
+          }
+          i += 1
+        }
+        w.write(g)
+        n(0) += 1L
+      }
+
+      override def commit(): WriterCommitMessage = {
+        val rels = open.values.toSeq.flatMap { case (w, n, rel) =>
+          w.close()
+          if (n(0) == 0L) {
+            java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(path).resolve(rel))
+            None
+          } else Some(rel)
+        }
+        GraftCommitMessage(rels.sorted)
+      }
+
+      override def abort(): Unit =
+        open.values.foreach { case (w, _, rel) =>
+          w.close()
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(path).resolve(rel))
+        }
+
+      override def close(): Unit = ()
+    }
+
+  private def flatWriter(partitionId: Int,
+                         taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val rel = f"$stagingRel/part-$partitionId%05d-$taskId.parquet"
       private val full = java.nio.file.Paths.get(path).resolve(rel)

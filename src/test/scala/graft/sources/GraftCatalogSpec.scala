@@ -537,6 +537,52 @@ class GraftCatalogSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(root.resolve("bad")).isEmpty)
   }
 
+  test("CREATE TABLE PARTITIONED BY: layout declared, INSERT lands col=value, refusals") {
+    val root = Files.createTempDirectory("graft_cat_part_")
+    val s2 = session(root)
+    s2.sql("CREATE TABLE g.p (id BIGINT, region STRING) " +
+      "PARTITIONED BY (region)")
+    val t = root.resolve("p")
+    assert(VersionedTable.declaredPartitionCols(t, 0L) == Seq("region"))
+    s2.sql("INSERT INTO g.p VALUES (1, 'east'), (2, 'west'), (3, 'east')")
+    val files = VersionedTable.addedLines(t, 1L).filterNot(_.contains('\t'))
+    assert(files.forall(_.contains("region=")) && files.size == 2,
+      s"expected one file per region, got $files")
+    // The partition column reads back from the path; values round-trip
+    // through the URL encoding.
+    assert(s2.sql("SELECT id, region FROM g.p ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "east"), (2L, "west"), (3L, "east")))
+    // Static predicate pruning: one scan partition per surviving file
+    // (+ the never-prunable flat bootstrap).
+    assert(s2.sql("SELECT * FROM g.p WHERE region = 'west'")
+      .rdd.getNumPartitions == 2)
+    // Path-hostile partition values survive the encode/decode round
+    // trip; NULL partition values refuse loudly.
+    s2.sql("INSERT INTO g.p VALUES (4, 'a/b=c d')")
+    assert(s2.sql("SELECT region FROM g.p WHERE id = 4").head()
+      .getString(0) == "a/b=c d")
+    intercept[Exception] {
+      s2.sql("INSERT INTO g.p VALUES (5, CAST(NULL AS STRING))")
+    }
+    // Refusals: non-string partition column, multi-column, transforms,
+    // streaming sink into a partitioned table.
+    intercept[Exception] {
+      s2.sql("CREATE TABLE g.bad1 (id BIGINT) PARTITIONED BY (id)")
+    }
+    intercept[Exception] {
+      s2.sql("CREATE TABLE g.bad2 (id BIGINT, a STRING, b STRING) " +
+        "PARTITIONED BY (a, b)")
+    }
+    intercept[Exception] {
+      s2.sql("CREATE TABLE g.bad3 (id BIGINT, a STRING) " +
+        "PARTITIONED BY (bucket(4, a))")
+    }
+    assert(VersionedTable.latestVersion(root.resolve("bad1")).isEmpty &&
+      VersionedTable.latestVersion(root.resolve("bad2")).isEmpty &&
+      VersionedTable.latestVersion(root.resolve("bad3")).isEmpty)
+  }
+
   test("ALTER TABLE ADD COLUMN: metadata-only, NULL history, refusals") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_cat_addc_")
