@@ -803,10 +803,26 @@ object VersionedTable {
                         df: DataFrame, partCol: String,
                         carried: Seq[String] = Nil,
                         statsCol: Option[String] = None,
-                        rowCounts: Boolean = false): Seq[String] = {
+                        rowCounts: Boolean = false): Seq[String] =
+    commitPartitionedMulti(s, table, version, df, Seq(partCol), carried,
+      statsCol, rowCounts)
+
+  /** [[commitPartitioned]] with SEVERAL partition columns (r16) — the
+    * day-one real layout ((date, region), (lang, shard)): values nest
+    * as `c1=v1/c2=v2/…` path segments in declaration order, every
+    * reader parses all segments ([[readPartitions]] prunes on any of
+    * them), and stats/ROWS compose per file exactly as single-column
+    * layouts do. */
+  def commitPartitionedMulti(s: SparkSession, table: Path, version: Long,
+                             df: DataFrame, partCols: Seq[String],
+                             carried: Seq[String] = Nil,
+                             statsCol: Option[String] = None,
+                             rowCounts: Boolean = false): Seq[String] = {
     refuseBranched(table, "commitPartitioned")
+    require(partCols.nonEmpty && partCols.distinct == partCols,
+      s"commitPartitioned: invalid partition columns $partCols")
     val dataDir = newDataDir(table, version)
-    df.write.partitionBy(partCol).parquet(dataDir.toString)
+    df.write.partitionBy(partCols: _*).parquet(dataDir.toString)
     val files = statsCol match {
       // Partition value in the path AND per-file min/max on the line:
       // the two orthogonal skipping mechanisms compose on one manifest
@@ -1077,15 +1093,27 @@ object VersionedTable {
   private def readPartitionedFiles(s: SparkSession, table: Path,
                                    partCol: String,
                                    files: Seq[String]): DataFrame =
+    readMultiPartitionedFiles(s, table, Seq(partCol), files)
+
+  private def readMultiPartitionedFiles(s: SparkSession, table: Path,
+                                        partCols: Seq[String],
+                                        files: Seq[String]): DataFrame =
     files
       .groupBy(f => f.split('/').take(2).mkString("/"))
       .toSeq.sortBy(_._1)
       .map { case (dataDir, fs) =>
         val part = s.read.option("basePath", table.resolve(dataDir).toString)
           .parquet(fs.map(f => table.resolve(f).toString): _*)
-        part.withColumn(partCol, part(partCol).cast("string"))
+        // Each group's partition columns come from path discovery;
+        // a flat group (the DDL bootstrap) carries them in its payload
+        // instead, and a column absent from both is a typed NULL
+        // (zero-row groups only, by construction).
+        partCols.foldLeft(part)((d, pc) =>
+          if (d.columns.contains(pc)) d.withColumn(pc, d(pc).cast("string"))
+          else d.withColumn(pc,
+            org.apache.spark.sql.functions.lit(null).cast("string")))
       }
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = false))
 
   /** PARTITION PRUNING × STATS SKIPPING in one read — the two
     * orthogonal manifest mechanisms composed, exactly as production
@@ -1639,25 +1667,39 @@ object VersionedTable {
     // in the mix (the flat path composes those; partitioned commits
     // never carry them today — refuse rather than guess).
     val partCols = partitionLayout(table, base)
-    require(partCols.size <= 1,
-      s"compactCommit at version $base: multiple partition columns " +
-        s"$partCols in the manifest paths — unsupported layout")
     val dataDir = newDataDir(table, version)
     val hadRows = manifest(table, base).exists(_.startsWith(RowsPrefix))
     val lines = partCols.headOption match {
-      case Some(pc) =>
+      case Some(_) =>
         require(deletionVectors(table, base).isEmpty &&
             columnMappings(table, base).isEmpty,
           s"compactCommit at version $base: partition-layout files " +
             "combined with deletion vectors or schema mappings — " +
             "unsupported composition")
-        val snap = readPartitionedFiles(s, table, pc,
+        // A healthy layout is UNIFORM: every data file carries every
+        // layout column's segment (the flat zero-row DDL bootstrap is
+        // the one exception). A RAGGED mix — files partitioned on
+        // different column sets — has no faithful rewrite (partitionBy
+        // would materialize NULL segments); refuse rather than guess.
+        val declared = declaredPartitionCols(table, base)
+        statsManifest(table, base).map(_._1).foreach { f =>
+          val fileCols = f.split('/').dropRight(1).collect {
+            case seg if seg.contains('=') =>
+              seg.substring(0, seg.indexOf('='))
+          }.toSet
+          require(fileCols == partCols.toSet ||
+              (fileCols.isEmpty && declared.nonEmpty),
+            s"compactCommit at version $base: file $f carries " +
+              s"partition segments $fileCols but the table layout is " +
+              s"$partCols — ragged layouts refuse")
+        }
+        val snap = readMultiPartitionedFiles(s, table, partCols,
           statsManifest(table, base).map(_._1))
         val out = statsCol match {
           case Some(c) => snap.repartitionByRange(files, col(c))
           case None => snap.repartition(files)
         }
-        out.write.partitionBy(pc).parquet(dataDir.toString)
+        out.write.partitionBy(partCols: _*).parquet(dataDir.toString)
         statsCol match {
           case Some(c) =>
             val stats = fileColStats(s, table, dataDir, c)

@@ -2520,6 +2520,56 @@ object DedupQueries extends QueryModule {
     // teeth. In-path requires witness EACH stage independently
     // (partition-matched < total, opened < partition-matched); the
     // oracle proves full-row equality with the plain double filter.
+    // MULTI-COLUMN partition layout (r16) — the (date, region)-shaped
+    // day-one real layout as (lang, shard): values nest as
+    // lang=…/shard=… path segments, per-file doc_id zonemaps and ROWS
+    // compose on the same manifest lines, a predicate on BOTH columns
+    // prunes through the connector (in-path require: one scan split
+    // per surviving file, strictly fewer than the manifest lists),
+    // and the compaction preserves the nested layout (in-path
+    // require). Oracle proves full-row equality including both
+    // re-attached partition columns.
+    "pipe_partition_multi" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vpmulti_")
+      try {
+        val table = tmp.resolve("table")
+        VersionedTable.commitPartitionedMulti(s, table, 0L,
+          Tables.documents(s, dir)
+            .selectExpr("doc_id", "n_chars", "lang",
+              "CAST(doc_id % 3 AS STRING) AS shard"),
+          Seq("lang", "shard"), statsCol = Some("doc_id"),
+          rowCounts = true)
+        val files0 = VersionedTable.statsManifest(table, 0L).map(_._1)
+        require(files0.forall(f =>
+            f.contains("lang=") && f.contains("shard=")),
+          s"pipe_partition_multi: files must nest both segments: $files0")
+        // Both-column predicate prunes to exactly the matching files.
+        val pruned = s.read.format("graft-table").load(table.toString)
+          .where($"lang" === "en" && $"shard" === "1")
+        val scanned = pruned.rdd.getNumPartitions
+        val expect = files0.count(f =>
+          f.contains("lang=en") && f.contains("shard=1"))
+        require(scanned == expect && scanned < files0.size,
+          s"pipe_partition_multi: scanned $scanned, expected $expect " +
+            s"of ${files0.size}")
+        // Compaction preserves the nested layout and the contents.
+        VersionedTable.compactCommit(s, table, Some("doc_id"), files = 6)
+        val files1 = VersionedTable.statsManifest(table, 1L).map(_._1)
+        require(files1.forall(f =>
+            f.contains("lang=") && f.contains("shard=")),
+          s"pipe_partition_multi: compaction dropped the layout: $files1")
+        // Read through the connector: partition columns re-attach from
+        // the nested path segments.
+        val out = s.read.format("graft-table").load(table.toString)
+          .select($"doc_id", $"lang", $"shard", $"n_chars")
+          .orderBy("doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     "pipe_partition_stats" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.VersionedTable
@@ -4446,6 +4496,15 @@ object DedupQueries extends QueryModule {
     "pipe_partition_stats" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang IN ('en', 'fr') AND doc_id BETWEEN 10 AND 60
+        |ORDER BY doc_id""".stripMargin,
+
+    // The multi-column layout round-trips content-losslessly, both
+    // partition columns re-attached from the nested path segments.
+    "pipe_partition_multi" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(doc_id % 3 AS VARCHAR) AS shard,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     // Both schema generations under the evolved names/types: legacy

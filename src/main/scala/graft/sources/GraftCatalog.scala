@@ -394,37 +394,35 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       properties: java.util.Map[String, String]): Table = {
     if (ident.namespace.nonEmpty)
       throw new NoSuchNamespaceException(ident.namespace)
-    // PARTITIONED BY (r16): one IDENTITY column, STRING-typed — the
+    // PARTITIONED BY (r16): IDENTITY columns, STRING-typed — the
     // layout the whole read stack already prunes on (partition values
-    // ride Hive-style path segments and read back as strings). The
-    // declaration lands as a PARTCOL manifest line on the bootstrap,
-    // so the very first INSERT/CTAS write lands `col=value` files and
-    // gets manifest partition pruning from day one. Anything fancier
-    // (bucket/days/multi-column) refuses loudly.
-    val partCol = partitions.toSeq match {
-      case Seq() => None
-      case Seq(t) =>
-        val refs = t.references()
-        require(t.name() == "identity" && refs.length == 1 &&
-            refs(0).fieldNames.length == 1,
-          s"graft catalog '$catalogName': only PARTITIONED BY " +
-            s"(<column>) is supported, got $t")
-        val c = refs(0).fieldNames()(0)
-        val f = schema.fields.find(_.name == c).getOrElse(
-          throw new IllegalArgumentException(
-            s"graft catalog '$catalogName': partition column '$c' is " +
-              "not in the table schema"))
-        require(f.dataType == org.apache.spark.sql.types.StringType,
-          s"graft catalog '$catalogName': partition column '$c' must " +
-            "be STRING — partition values ride the path and read back " +
-            "as strings")
-        Some(c)
-      case many => throw new UnsupportedOperationException(
-        s"graft catalog '$catalogName': multi-column PARTITIONED BY " +
-          s"(${many.mkString(", ")}) is not supported — partition by " +
-          "one column and cluster the rest via stats (compact with a " +
-          "stats column)")
+    // ride Hive-style path segments and read back as strings; several
+    // columns nest as c1=v1/c2=v2 in declaration order — the (date,
+    // region) day-one layout). The declaration lands as PARTCOL
+    // manifest lines on the bootstrap, so the very first INSERT/CTAS
+    // write lands partitioned files and gets manifest partition
+    // pruning from day one. Transform partitioning (bucket/days/…)
+    // refuses loudly.
+    val partColSeq = partitions.toSeq.map { t =>
+      val refs = t.references()
+      require(t.name() == "identity" && refs.length == 1 &&
+          refs(0).fieldNames.length == 1,
+        s"graft catalog '$catalogName': only PARTITIONED BY " +
+          s"(<columns>) is supported, got $t")
+      val c = refs(0).fieldNames()(0)
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft catalog '$catalogName': partition column '$c' is " +
+            "not in the table schema"))
+      require(f.dataType == org.apache.spark.sql.types.StringType,
+        s"graft catalog '$catalogName': partition column '$c' must " +
+          "be STRING — partition values ride the path and read back " +
+          "as strings")
+      c
     }
+    require(partColSeq.distinct == partColSeq,
+      s"graft catalog '$catalogName': duplicate partition columns " +
+        s"$partColSeq")
     val p = tableRoot(ident)
     if (VersionedTable.latestVersion(p).isDefined)
       throw new org.apache.spark.sql.catalyst.analysis
@@ -437,7 +435,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         schema).coalesce(1),
-      carried = partCol.map(VersionedTable.partColLine).toSeq)
+      carried = partColSeq.map(VersionedTable.partColLine))
     load(ident, None)
   }
 

@@ -64,18 +64,14 @@ private[sources] class GraftWrite(path: String, schema: StructType,
 
   /** The table's partition layout at write time (declared via DDL or
     * grown from commitPartitioned paths): a V2 INSERT into a
-    * partitioned table lands `col=value` files like every library
+    * partitioned table lands `c1=v1/c2=v2/…` files like every library
     * writer, so DDL-created partitioned tables get manifest partition
-    * pruning from day one. Single column today (the library's reader
-    * contract); multi-column layouts refuse loudly below. */
+    * pruning from day one. */
   private val partCols: Seq[String] =
     VersionedTable.latestVersion(java.nio.file.Paths.get(path))
       .map(v => VersionedTable.partitionLayout(
         java.nio.file.Paths.get(path), v))
       .getOrElse(Nil)
-  require(partCols.size <= 1,
-    s"graft-table: $path declares a multi-column partition layout " +
-      s"$partCols — the V2 writer supports one partition column")
   partCols.foreach { pc =>
     val f = schema.fields.find(_.name == pc).getOrElse(
       throw new IllegalArgumentException(
@@ -91,16 +87,14 @@ private[sources] class GraftWrite(path: String, schema: StructType,
     * requires at scale); unpartitioned writes impose nothing. */
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
-    partCols.headOption match {
-      case Some(pc) =>
-        org.apache.spark.sql.connector.distributions.Distributions
-          .clustered(Array(
-            org.apache.spark.sql.connector.expressions.Expressions
-              .column(pc)))
-      case None =>
-        org.apache.spark.sql.connector.distributions.Distributions
-          .unspecified()
-    }
+    if (partCols.nonEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions
+        .clustered(partCols.map(pc =>
+          org.apache.spark.sql.connector.expressions.Expressions
+            .column(pc): org.apache.spark.sql.connector.expressions
+            .Expression).toArray)
+    else org.apache.spark.sql.connector.distributions.Distributions
+      .unspecified()
 
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
@@ -318,25 +312,25 @@ private[sources] class GraftWriterFactory(path: String, stagingRel: String,
 
   private def writer(partitionId: Int,
                      taskId: Long): DataWriter[InternalRow] =
-    partCols.headOption match {
-      case Some(pc) => partitionedWriter(pc, partitionId, taskId)
-      case None => flatWriter(partitionId, taskId)
-    }
+    if (partCols.nonEmpty) partitionedWriter(partCols, partitionId, taskId)
+    else flatWriter(partitionId, taskId)
 
   /** Partitioned INSERT (r16): rows route to one open file per
-    * partition VALUE, under a Hive-style `col=value` segment (URL-
-    * encoded — [[GraftTableSource.partitionValues]] decodes). The
-    * partition column is STRIPPED from the payload (it rides the
-    * path, the commitPartitioned layout), and the write-side
-    * distribution requirement clusters rows so a task sees few
-    * values. NULL partition values refuse loudly — the path cannot
-    * carry them and a default-partition convention would silently
-    * split the column's semantics. */
-  private def partitionedWriter(pc: String, partitionId: Int,
+    * partition VALUE TUPLE, under nested Hive-style `c1=v1/c2=v2/…`
+    * segments in layout order (URL-encoded —
+    * [[GraftTableSource.partitionValues]] decodes). The partition
+    * columns are STRIPPED from the payload (they ride the path, the
+    * commitPartitioned layout), and the write-side distribution
+    * requirement clusters rows so a task sees few tuples. NULL
+    * partition values refuse loudly — the path cannot carry them and
+    * a default-partition convention would silently split the
+    * columns' semantics. */
+  private def partitionedWriter(pcs: Seq[String], partitionId: Int,
                                 taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val partIdx = schema.fieldIndex(pc)
-      private val payload = StructType(schema.fields.filter(_.name != pc))
+      private val partIdx = pcs.map(schema.fieldIndex).toArray
+      private val payload =
+        StructType(schema.fields.filterNot(f => pcs.contains(f.name)))
       private val payloadIdx =
         payload.fields.map(f => schema.fieldIndex(f.name))
       private val msgType = GraftWriterFactory.messageType(payload)
@@ -346,11 +340,10 @@ private[sources] class GraftWriterFactory(path: String, stagingRel: String,
         .empty[String, (org.apache.parquet.hadoop.ParquetWriter[
           org.apache.parquet.example.data.Group], Array[Long], String)]
 
-      private def writerFor(value: String) =
-        open.getOrElseUpdate(value, {
-          val enc = java.net.URLEncoder.encode(value, "UTF-8")
+      private def writerFor(segments: String) =
+        open.getOrElseUpdate(segments, {
           val rel =
-            f"$stagingRel/$pc=$enc/part-$partitionId%05d-$taskId.parquet"
+            f"$stagingRel/$segments/part-$partitionId%05d-$taskId.parquet"
           val full = java.nio.file.Paths.get(path).resolve(rel)
           val w = ExampleParquetWriter
             .builder(new org.apache.hadoop.fs.Path(full.toString))
@@ -361,10 +354,14 @@ private[sources] class GraftWriterFactory(path: String, stagingRel: String,
         })
 
       override def write(row: InternalRow): Unit = {
-        require(!row.isNullAt(partIdx),
-          s"graft-table: NULL partition value for '$pc' — partition " +
-            "values ride the path and cannot be NULL")
-        val (w, n, _) = writerFor(row.getUTF8String(partIdx).toString)
+        val segments = pcs.zip(partIdx).map { case (pc, i) =>
+          require(!row.isNullAt(i),
+            s"graft-table: NULL partition value for '$pc' — partition " +
+              "values ride the path and cannot be NULL")
+          s"$pc=${java.net.URLEncoder.encode(
+            row.getUTF8String(i).toString, "UTF-8")}"
+        }.mkString("/")
+        val (w, n, _) = writerFor(segments)
         val g = new SimpleGroup(msgType)
         var i = 0
         while (i < payload.fields.length) {

@@ -384,6 +384,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.contains("g"))
   }
 
+  test("multi-column partition layout: nested segments, stats compose, compaction preserves") {
+    import spark.implicits._
+    val t = freshTable()
+    val data = spark.range(0, 120)
+      .selectExpr("id",
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+        "CAST(id % 3 AS STRING) AS h")
+      .repartitionByRange(4, $"id")
+    VersionedTable.commitPartitionedMulti(spark, t, 0L, data,
+      Seq("g", "h"), statsCol = Some("id"), rowCounts = true)
+    // Every data line nests BOTH segments in declaration order, with
+    // real stats riding the same line.
+    assert(VersionedTable.statsManifest(t, 0L).forall { case (f, mn, mx) =>
+      f.matches(".*/g=[ab]/h=[012]/.*") &&
+        (mn, mx) != (Long.MinValue, Long.MaxValue)
+    })
+    assert(VersionedTable.rowCounts(t, 0L).map(_._2).sum == 120L)
+    // The connector prunes on both columns at once.
+    val pruned = spark.read.format("graft-table").load(t.toString)
+      .where($"g" === "a" && $"h" === "0")
+    val expect = VersionedTable.statsManifest(t, 0L).map(_._1)
+      .count(f => f.contains("g=a") && f.contains("h=0"))
+    assert(pruned.rdd.getNumPartitions == expect)
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 120L).filter(i => i % 2 == 0 && i % 3 == 0))
+    // Compaction preserves the nested layout and the contents.
+    VersionedTable.compactCommit(spark, t, Some("id"), files = 3)
+    assert(VersionedTable.statsManifest(t, 1L).map(_._1)
+      .forall(_.matches(".*/g=[ab]/h=[012]/.*")))
+    val after = spark.read.format("graft-table").load(t.toString)
+    assert(after.count() == 120L &&
+      after.select("g", "h").distinct().count() == 6L)
+  }
+
   test("rename + widen commits are metadata-only; old files read under the new schema") {
     import spark.implicits._
     val t = freshTable()
@@ -939,7 +973,9 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.rowCounts(t, v).map(_._2).sum == 60L,
       "ROWS lines must be recomputed for the compacted files")
     assert(VersionedTable.statsColumns(t, v) == Seq("id"))
-    // Multi-column layouts refuse rather than guess.
+    // RAGGED layouts (files partitioned on different column sets)
+    // refuse rather than guess — uniform multi-column layouts compact
+    // fine (see the multi-column layout test above).
     val t2 = freshTable()
     VersionedTable.commitPartitioned(spark, t2, 0L,
       Seq((1L, "a")).toDF("id", "g"), "g")

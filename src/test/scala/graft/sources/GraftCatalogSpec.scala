@@ -565,21 +565,40 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] {
       s2.sql("INSERT INTO g.p VALUES (5, CAST(NULL AS STRING))")
     }
-    // Refusals: non-string partition column, multi-column, transforms,
+    // MULTI-COLUMN layout (r16): values nest in declaration order and
+    // predicates on either column prune files.
+    s2.sql("CREATE TABLE g.m (id BIGINT, d STRING, r STRING) " +
+      "PARTITIONED BY (d, r)")
+    s2.sql("INSERT INTO g.m VALUES (1, 'd1', 'east'), (2, 'd1', 'west'), " +
+      "(3, 'd2', 'east'), (4, 'd2', 'east')")
+    val m = root.resolve("m")
+    val mFiles = VersionedTable.addedLines(m, 1L).filterNot(_.contains('\t'))
+    assert(mFiles.size == 3 && mFiles.forall(f =>
+      f.matches(".*d=d[12]/r=(east|west)/.*")),
+      s"expected nested d=/r= segments, got $mFiles")
+    assert(s2.sql("SELECT id FROM g.m WHERE d = 'd2' AND r = 'east'")
+      .rdd.getNumPartitions == 2) // the one matching file + bootstrap
+    assert(s2.sql("SELECT id, d, r FROM g.m ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "d1", "east"), (2L, "d1", "west"),
+        (3L, "d2", "east"), (4L, "d2", "east")))
+    // Compaction preserves the multi-column layout.
+    s2.sql("CALL g.compact('m')")
+    val v2files = VersionedTable.statsManifest(m, 2L).map(_._1)
+    assert(v2files.forall(_.matches(".*d=d[12]/r=(east|west)/.*")),
+      s"compaction must keep the layout, got $v2files")
+    assert(VersionedTable.declaredPartitionCols(m, 2L) == Seq("d", "r"))
+    assert(s2.sql("SELECT sum(id) AS s FROM g.m").head().getLong(0) == 10)
+    // Refusals: non-string partition column, transform partitioning,
     // streaming sink into a partitioned table.
     intercept[Exception] {
       s2.sql("CREATE TABLE g.bad1 (id BIGINT) PARTITIONED BY (id)")
-    }
-    intercept[Exception] {
-      s2.sql("CREATE TABLE g.bad2 (id BIGINT, a STRING, b STRING) " +
-        "PARTITIONED BY (a, b)")
     }
     intercept[Exception] {
       s2.sql("CREATE TABLE g.bad3 (id BIGINT, a STRING) " +
         "PARTITIONED BY (bucket(4, a))")
     }
     assert(VersionedTable.latestVersion(root.resolve("bad1")).isEmpty &&
-      VersionedTable.latestVersion(root.resolve("bad2")).isEmpty &&
       VersionedTable.latestVersion(root.resolve("bad3")).isEmpty)
   }
 
