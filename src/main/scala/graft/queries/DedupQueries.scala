@@ -3377,11 +3377,27 @@ object DedupQueries extends QueryModule {
             s2.sql("DROP TABLE graftcat.docs")).isFailure,
           "pipe_sql_ddl: DROP TABLE must refuse while a tag pins " +
             "history")
-        // An unpinned scratch table drops cleanly and is gone.
+        // RENAME TABLE (r16) is one atomic directory move — history
+        // rides along; CREATE OR REPLACE re-declares in place (drop +
+        // create, both ref-guarded); an unpinned scratch table then
+        // drops cleanly and is gone.
         s2.sql("CREATE TABLE graftcat.scratch (id BIGINT)")
-        s2.sql("DROP TABLE graftcat.scratch")
+        s2.sql("ALTER TABLE graftcat.scratch RENAME TO graftcat.scratch2")
         require(VersionedTable.latestVersion(
-            tmp.resolve("scratch")).isEmpty,
+            tmp.resolve("scratch")).isEmpty &&
+            VersionedTable.latestVersion(tmp.resolve("scratch2"))
+              .contains(0L),
+          "pipe_sql_ddl: RENAME TO must move the table directory")
+        s2.sql("CREATE OR REPLACE TABLE graftcat.scratch2 " +
+          "AS SELECT 5L AS id")
+        require(s2.sql("SELECT id FROM graftcat.scratch2").head()
+            .getLong(0) == 5L &&
+            VersionedTable.versions(tmp.resolve("scratch2")) ==
+              Seq(0L, 1L),
+          "pipe_sql_ddl: CREATE OR REPLACE must re-declare from v0")
+        s2.sql("DROP TABLE graftcat.scratch2")
+        require(VersionedTable.latestVersion(
+            tmp.resolve("scratch2")).isEmpty,
           "pipe_sql_ddl: DROP TABLE must remove the unpinned table")
         val out = s2.sql(
           "SELECT doc_id, lang, chars FROM graftcat.docs ORDER BY doc_id")

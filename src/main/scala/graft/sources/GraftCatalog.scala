@@ -524,7 +524,34 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     true
   }
 
+  /** `ALTER TABLE … RENAME TO` (r16) — one atomic directory move: a
+    * table is self-contained under its root (manifests reference data
+    * files RELATIVELY, refs live in `_refs/` inside), so the rename
+    * carries the entire history, every tag/branch, and every data
+    * byte without touching any of them. The target name must be free;
+    * readers holding the old path fail on their next manifest list,
+    * exactly like any catalog rename. */
   override def renameTable(oldIdent: Identifier,
-                           newIdent: Identifier): Unit =
-    readOnly("RENAME TABLE")
+                           newIdent: Identifier): Unit = {
+    if (oldIdent.namespace.nonEmpty)
+      throw new NoSuchTableException(oldIdent)
+    val from = validName(oldIdent.name)
+    if (VersionedTable.latestVersion(from).isEmpty)
+      throw new NoSuchTableException(oldIdent)
+    // Spark may hand the new name catalog-qualified (RENAME TO g.b
+    // arrives as namespace ["g"]) — strip our own name; any OTHER
+    // namespace is a real (unsupported) move.
+    require(newIdent.namespace.isEmpty ||
+        newIdent.namespace.toSeq == Seq(catalogName),
+      s"graft catalog '$catalogName': RENAME cannot move a table to a " +
+        "namespace (tables live directly under the catalog root)")
+    val to = validName(newIdent.name)
+    if (VersionedTable.latestVersion(to).isDefined ||
+        Files.exists(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(Array(catalogName, newIdent.name))
+    Files.move(from, to,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
 }

@@ -537,6 +537,43 @@ class GraftCatalogSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(root.resolve("bad")).isEmpty)
   }
 
+  test("RENAME TABLE moves history and refs atomically; CREATE OR REPLACE is ref-guarded") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cat_ren_")
+    val t = root.resolve("a")
+    VersionedTable.commit(spark, t, 0L, Seq(1L, 2L).toDF("id"))
+    VersionedTable.appendCommit(spark, t, Seq(3L).toDF("id"))
+    VersionedTable.tagCreate(t, "rel", 0L)
+    val s2 = session(root)
+    s2.sql("ALTER TABLE g.a RENAME TO g.b")
+    // The whole history and the tag rode the move.
+    assert(VersionedTable.latestVersion(root.resolve("a")).isEmpty)
+    assert(s2.sql("SELECT count(*) AS n FROM g.b").head().getLong(0) == 3)
+    assert(s2.sql("SELECT count(*) AS n FROM g.b VERSION AS OF 'rel'")
+      .head().getLong(0) == 2)
+    // Renaming onto a live table refuses; so does a traversal name.
+    val t2 = root.resolve("c")
+    VersionedTable.commit(spark, t2, 0L, Seq(9L).toDF("id"))
+    intercept[Exception] { s2.sql("ALTER TABLE g.b RENAME TO g.c") }
+    intercept[Exception] { s2.sql("ALTER TABLE g.b RENAME TO g.`../x`") }
+    assert(s2.sql("SELECT count(*) AS n FROM g.b").head().getLong(0) == 3)
+    // CREATE OR REPLACE: ref-guarded like DROP — the pinned release
+    // refuses to vanish; after the refs are dropped, the replace
+    // lands a fresh declaration + data.
+    intercept[Exception] {
+      s2.sql("CREATE OR REPLACE TABLE g.b AS SELECT 7L AS id")
+    }
+    assert(s2.sql("SELECT count(*) AS n FROM g.b").head().getLong(0) == 3)
+    java.nio.file.Files.walk(root.resolve("b").resolve("_refs")).sorted(
+      java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    s2.sql("CREATE OR REPLACE TABLE g.b AS SELECT 7L AS id")
+    assert(s2.sql("SELECT id FROM g.b").collect().map(_.getLong(0))
+      .toSeq == Seq(7L))
+    assert(VersionedTable.versions(root.resolve("b")) == Seq(0L, 1L),
+      "the replace must land as a fresh bootstrap + data history")
+  }
+
   test("CREATE TABLE PARTITIONED BY: layout declared, INSERT lands col=value, refusals") {
     val root = Files.createTempDirectory("graft_cat_part_")
     val s2 = session(root)
