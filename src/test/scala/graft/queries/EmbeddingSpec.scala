@@ -49,6 +49,29 @@ class EmbeddingSpec extends SparkSpec {
     assert(overlap >= exact.size / 4, s"PQ recall too low: $overlap/${exact.size}")
   }
 
+  test("graph-ANN (NSW) top-k recall against exact kNN; output is deterministic") {
+    val exact = graft.SparkEntry.queries("emb_knn")(spark, sf001)
+      .filter("rank <= 3").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val run1 = graft.SparkEntry.queries("emb_hnsw_topk")(spark, sf001)
+      .collect()
+    assert(run1.length == 30, s"expected 10 probes x top-3, got ${run1.length}")
+    val got = run1.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = got.count(exact.contains)
+    info(s"NSW/exact top-3 overlap: $overlap/${exact.size}")
+    // The in-path gate enforces >= 9/10; the spec re-proves it from
+    // the query surface (and the gate would have thrown already).
+    assert(overlap * 10 >= exact.size * 9,
+      s"graph-ANN recall too low: $overlap/${exact.size}")
+    // Deterministic build + search: a second full build/serve pass
+    // returns byte-identical rows (sequential insertion in vec_id
+    // order, total (sim, id) ordering everywhere).
+    val run2 = graft.SparkEntry.queries("emb_hnsw_topk")(spark, sf001)
+      .collect()
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq,
+      "graph build/serve is not deterministic across runs")
+  }
+
   test("emb_cosine_pairs refuses to build above the O(n²) yardstick ceiling") {
     import spark.implicits._
     // 10001 vectors: one past the cap. The guard's count() runs before
