@@ -113,6 +113,39 @@ class GraftTableSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("runtime partition-value predicates prune files (join-driven DPP)") {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val t = fresh()
+    VersionedTable.commitPartitioned(spark, t, 0L,
+      Seq((1L, "en"), (2L, "fr"), (3L, "de"), (4L, "en"))
+        .toDF("id", "lang"), "lang")
+    val table = new GraftTable(t.toString,
+      GraftTableSource.dataSchema(t.toString, 0L), 0L, None)
+    // The scan advertises the partition column as runtime-filterable
+    // (resolvable in its output) — never _file, which a plain read
+    // does not serve (the pre-r16 unconditional advertisement broke
+    // Spark's PartitionPruning on any join over a partitioned table).
+    val scan = table.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build().asInstanceOf[GraftScan]
+    val attrs = scan.filterAttributes().map(_.fieldNames()(0)).toSeq
+    assert(attrs == Seq("lang"), s"expected [lang], got $attrs")
+    // A runtime IN on the partition column (what DPP hands over after
+    // the build side materializes) narrows the planned files to the
+    // admitted values' segments.
+    val total = scan.planInputPartitions().length
+    scan.filter(Array(new Predicate("IN",
+      Array(Expressions.column("lang"),
+        Expressions.literal("en")))))
+    val pruned = scan.planInputPartitions().length
+    assert(pruned < total,
+      s"runtime value filter pruned nothing ($pruned of $total)")
+    assert(pruned == VersionedTable.statsManifest(t, 0L).map(_._1)
+      .count(_.contains("lang=en")))
+  }
+
   test("column pruning serves a projection and a count(*)") {
     import spark.implicits._
     val t = fresh()
