@@ -1659,13 +1659,15 @@ object VersionedTable {
       throw new IllegalArgumentException(
         s"compactCommit: no committed version at $table"))
     val version = base + 1
-    // Hive-partitioned layout (r14, was silent corruption): the
-    // partition column lives only in the manifest paths, so the
-    // rewrite re-attaches it from those paths (readPartitionedFiles)
-    // and writes partitionBy — layout, pruning, and the column all
-    // survive the compaction. One partition column, no DVs/mappings
-    // in the mix (the flat path composes those; partitioned commits
-    // never carry them today — refuse rather than guess).
+    // Hive-partitioned layout (r14, was silent corruption; r16:
+    // multi-column): the partition columns live only in the manifest
+    // paths, so the rewrite re-attaches them from those paths
+    // (partition discovery per writer directory) and writes
+    // partitionBy on the full layout — layout, pruning, and the
+    // columns all survive the compaction. No DVs/mappings in the mix
+    // (the flat path composes those; partitioned commits never carry
+    // them today — refuse rather than guess), and RAGGED layouts
+    // refuse below.
     val partCols = partitionLayout(table, base)
     val dataDir = newDataDir(table, version)
     val hadRows = manifest(table, base).exists(_.startsWith(RowsPrefix))
