@@ -688,6 +688,19 @@ object VersionedTable {
     // writer once branch refs exist (r14, ADVICE parity with
     // mergeCommit/appendCommit).
     refuseBranched(table, "deleteCommit")
+    // A DV keyed on a PARTITION-LAYOUT column would poison every
+    // subsequent scan: the column rides the file PATH, not the
+    // payload, so the reader's per-row key lookup has no field to
+    // read — the table would commit fine and then fail on read.
+    // Refuse up front; a partition-valued delete is a file-level
+    // operation (drop the partition's files via a rewrite commit),
+    // not a row-level DV.
+    require(version == 0L ||
+        !partitionLayout(table, version - 1).contains(keyCol),
+      s"deleteCommit: key column '$keyCol' is a partition-layout " +
+        "column — its values ride file paths, not row payloads, so a " +
+        "deletion vector cannot apply; drop the partition's files via " +
+        "a rewrite commit instead")
     val dvDir = table.resolve("dv").resolve(
       f"v$version%06d-" + java.util.UUID.randomUUID().toString.take(8))
     keys.select(keyCol).write.parquet(dvDir.toString)
@@ -1517,7 +1530,8 @@ object VersionedTable {
     * optimistic format gives UPDATE/MERGE). */
   def replaceFilesCommit(s: SparkSession, table: Path, base: Long,
                          replaced: Seq[String], staged: Seq[String],
-                         what: String, checkpointEvery: Int = 8): Long = {
+                         what: String, checkpointEvery: Int = 8,
+                         truncate: Boolean = false): Long = {
     refuseBranched(table, what)
     val latest = latestVersion(table)
     require(latest.contains(base),
@@ -1527,7 +1541,12 @@ object VersionedTable {
     require(columnMappings(table, base).isEmpty,
       s"$what at version $base: schema-evolution mappings live — " +
         "compact first (the scan refuses these too)")
-    require(partitionLayout(table, base).isEmpty,
+    // A partial rewrite of a partition layout would read raw leaves
+    // and drop the path-borne partition columns — refuse. TRUNCATE is
+    // the exception: it reads NOTHING (the staged zero-row file
+    // carries the full schema incl. the partition columns, the DDL
+    // bootstrap shape) and the declared layout is restated below.
+    require(truncate || partitionLayout(table, base).isEmpty,
       s"$what at version $base: partition-layout files (col=value " +
         "path segments) — their partition column is not in the payload " +
         "and a rewrite would drop it; compact first")
@@ -1610,11 +1629,13 @@ object VersionedTable {
     val lines =
       if (touched == all.toSet)
         // Full rewrite: a from-scratch snapshot — DVs folded away by
-        // the scan, CHECK and STATSCOL carried (the compactCommit
-        // amnesia rule), indexes recomputed above.
+        // the scan, CHECK, STATSCOL and the declared partition layout
+        // carried (the compactCommit amnesia rule), indexes recomputed
+        // above.
         stagedLines ++ rowsLines ++ indexLines ++
           checkConstraints(table, base).map(CheckPrefix + _) ++
-          statsColOpt.map(StatsColPrefix + _).toSeq :+
+          statsColOpt.map(StatsColPrefix + _).toSeq ++
+          declaredPartitionCols(table, base).map(PartColPrefix + _) :+
           s"${KindPrefix}update"
       else if (chainLength(table, base) + 1 > checkpointEvery)
         baseLines.filter { line =>

@@ -402,7 +402,11 @@ private[sources] class GraftTable(path: String, schema0: StructType,
     * row-level path deliberately refuses a DELETE that removes every
     * row): publishes ONE commit replacing the snapshot with a single
     * zero-row file, so the SCHEMA stays self-describing (the DDL
-    * bootstrap shape), CHECK constraints and STATSCOL carry, history
+    * bootstrap shape), CHECK constraints, STATSCOL and the DECLARED
+    * partition layout carry (r16 — a truncated PARTITIONED BY table
+    * keeps landing partitioned inserts; a layout grown only from
+    * commitPartitioned paths has no declaration to carry and resets
+    * to flat, its columns surviving as payload fields), history
     * stays time-travelable, and the KIND=update stamp lets a change
     * feed replay it as delete-everything preimage rows instead of
     * restarting. */
@@ -425,7 +429,7 @@ private[sources] class GraftTable(path: String, schema0: StructType,
     }
     VersionedTable.replaceFilesCommit(spark, table, version,
       VersionedTable.statsManifest(table, version).map(_._1), staged,
-      "graft-table TRUNCATE")
+      "graft-table TRUNCATE", truncate = true)
     true
   }
 

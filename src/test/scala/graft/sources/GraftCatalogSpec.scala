@@ -626,6 +626,30 @@ class GraftCatalogSpec extends SparkSpec {
       s"compaction must keep the layout, got $v2files")
     assert(VersionedTable.declaredPartitionCols(m, 2L) == Seq("d", "r"))
     assert(s2.sql("SELECT sum(id) AS s FROM g.m").head().getLong(0) == 10)
+    // TRUNCATE on a partitioned table: reads nothing, keeps the
+    // declared layout (PARTCOL restated), and re-inserts land
+    // partitioned again.
+    s2.sql("TRUNCATE TABLE g.m")
+    assert(s2.sql("SELECT count(*) AS n FROM g.m").head().getLong(0) == 0)
+    assert(VersionedTable.declaredPartitionCols(m,
+      VersionedTable.latestVersion(m).get) == Seq("d", "r"))
+    s2.sql("INSERT INTO g.m VALUES (9, 'd3', 'east')")
+    assert(VersionedTable.addedLines(m,
+        VersionedTable.latestVersion(m).get)
+      .filterNot(_.contains('\t'))
+      .forall(_.matches(".*d=d3/r=east/.*")),
+      "post-TRUNCATE inserts must keep landing partitioned")
+    // A DELETE keyed on a partition column refuses UP FRONT (its
+    // values ride file paths — a DV could never apply at read time).
+    val delEx = intercept[Exception] {
+      s2.sql("DELETE FROM g.m WHERE d = 'd3'")
+    }
+    assert(Iterator.iterate(delEx: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .exists(c => Option(c.getMessage)
+        .exists(_.contains("partition-layout"))))
+    assert(s2.sql("SELECT count(*) AS n FROM g.m").head().getLong(0) == 1,
+      "the refused DELETE must not commit anything")
     // Refusals: non-string partition column, transform partitioning,
     // streaming sink into a partitioned table.
     intercept[Exception] {
