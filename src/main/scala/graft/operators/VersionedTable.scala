@@ -301,6 +301,15 @@ object VersionedTable {
   private val RenamePrefix = "RENAME\t"
   private val WidenPrefix = "WIDEN\t"
   private val AddColPrefix = "ADDCOL\t"
+  /** `DROPCOL\t<name>` (r16): the inverse of ADDCOL, same O(1)
+    * metadata cost — readers stop SERVING the column (files still
+    * carry the bytes until the next compaction physically drops them),
+    * time travel below the commit still sees it. Refused while the
+    * column is load-bearing (stats/bloom/zonemap/DV-key/partition/
+    * CHECK) or while rename/widen mappings live (those record the
+    * column's footer-time name; a drop recorded under an evolved name
+    * would miss). */
+  private val DropColPrefix = "DROPCOL\t"
 
   /** Per-file bloom-filter manifest lines (r13):
     * `BLOOM\t<file>\t<col>\t<base64 bits>` — a point-lookup skipping
@@ -374,7 +383,7 @@ object VersionedTable {
   private def isMetaLine(line: String): Boolean =
     line.startsWith(DvPrefix) || line.startsWith(RenamePrefix) ||
       line.startsWith(WidenPrefix) || line.startsWith(AddColPrefix) ||
-      line.startsWith(BloomPrefix) ||
+      line.startsWith(DropColPrefix) || line.startsWith(BloomPrefix) ||
       line.startsWith(StatsColPrefix) || line.startsWith(StatsPrefix) ||
       line.startsWith(RowsPrefix) || line.startsWith(CheckPrefix) ||
       line.startsWith(KindPrefix) || line.startsWith(PartColPrefix)
@@ -586,6 +595,8 @@ object VersionedTable {
         val Array(_, c, t) = l.split('\t'); ("widen", c, t)
       case l if l.startsWith(AddColPrefix) =>
         val Array(_, c, t) = l.split('\t'); ("addcol", c, t)
+      case l if l.startsWith(DropColPrefix) =>
+        ("dropcol", l.substring(DropColPrefix.length), "")
     }
 
   /** Metadata-only RENAME commit: one manifest line, zero data files
@@ -643,8 +654,64 @@ object VersionedTable {
     require(!existing.exists(_.equalsIgnoreCase(name)),
       s"addColumnCommit: column '$name' already exists in " +
         s"${existing.mkString("[", ", ", "]")}")
+    // Re-adding a name a live DROPCOL removed would resurrect the old
+    // files' STALE BYTES (the reader finds the footer field and serves
+    // it) — refuse until a compaction physically drops them.
+    require(!columnMappings(table, version - 1)
+        .exists(m => m._1 == "dropcol" && m._2.equalsIgnoreCase(name)),
+      s"addColumnCommit: '$name' was dropped by a live DROPCOL " +
+        "mapping — compact first so the old files' bytes are gone")
     publish(table, version,
       deltaLines(table, version, Seq(s"$AddColPrefix$name\t$sqlType"),
+        checkpointEvery))
+  }
+
+  /** Metadata-only DROP COLUMN commit (r16) — one manifest line, zero
+    * data files touched: readers stop serving the column immediately,
+    * the bytes stay in the files until the next compaction physically
+    * drops them, time travel below `version` still sees it. Refused
+    * while the column is LOAD-BEARING — the table's stats column, a
+    * bloom/secondary-zonemap index column, a live DV's key, a
+    * partition-layout column, or referenced by a CHECK constraint —
+    * and while rename/widen mappings live (they record footer-time
+    * names; a drop recorded under an evolved name would miss its
+    * target). Dropping the last column refuses: a table needs a
+    * schema. */
+  def dropColumnCommit(s: SparkSession, table: Path, version: Long,
+                       name: String,
+                       checkpointEvery: Int = 8): Seq[String] = {
+    refuseBranched(table, "dropColumnCommit")
+    val base = version - 1
+    require(columnMappings(table, base).forall(m =>
+        m._1 == "addcol" || m._1 == "dropcol"),
+      s"dropColumnCommit: rename/widen mappings live at version $base " +
+        "— compact first (they record footer-time column names)")
+    val schema = read(s, table, Some(base), mergeSchema = true).schema
+    require(schema.fieldNames.contains(name),
+      s"dropColumnCommit: column '$name' is not in " +
+        s"${schema.fieldNames.mkString("[", ", ", "]")}")
+    require(schema.fieldNames.length > 1,
+      s"dropColumnCommit: '$name' is the table's last column")
+    require(!statsColumns(table, base).contains(name),
+      s"dropColumnCommit: '$name' is the table's stats column — " +
+        "compact onto another stats column first")
+    require(!blooms(table, base).exists(_._2 == name) &&
+        !secondaryStats(table, base).exists(_._2 == name),
+      s"dropColumnCommit: '$name' carries a skipping index — compact " +
+        "first")
+    require(!deletionVectors(table, base).exists(_._2 == name),
+      s"dropColumnCommit: '$name' keys live deletion vectors — " +
+        "compact (folding the DVs) first")
+    require(!partitionLayout(table, base).contains(name),
+      s"dropColumnCommit: '$name' is a partition-layout column")
+    val word = java.util.regex.Pattern.compile(
+      "\\b" + java.util.regex.Pattern.quote(name) + "\\b")
+    checkConstraints(table, base).foreach(expr =>
+      require(!word.matcher(expr).find(),
+        s"dropColumnCommit: '$name' is referenced by CHECK ($expr) — " +
+          "drop or rewrite the constraint first"))
+    publish(table, version,
+      deltaLines(table, version, Seq(s"$DropColPrefix$name"),
         checkpointEvery))
   }
 
@@ -2367,6 +2434,10 @@ object VersionedTable {
               case (d, ("addcol", c, t)) if !d.columns.contains(c) =>
                 d.withColumn(c,
                   org.apache.spark.sql.functions.lit(null).cast(t))
+              // Dropped column: stop serving it (older files still
+              // carry the bytes until compaction).
+              case (d, ("dropcol", c, _)) if d.columns.contains(c) =>
+                d.drop(c)
               case (d, _) => d
             }
           }

@@ -3548,6 +3548,69 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // SQL ALTER TABLE DROP COLUMN (r16) — the inverse evolution, same
+    // O(1) metadata cost: the DROPCOL commit makes readers stop
+    // serving the column immediately (bytes wait for the next
+    // compaction), time travel below the ALTER still sees it, INSERTs
+    // after the drop write the narrowed schema, and RE-ADDING the
+    // dropped name refuses until compaction physically removes the
+    // old bytes (otherwise the reader would resurrect stale values) —
+    // then succeeds (witnessed). Oracle replays the lifecycle: the
+    // projection without the dropped column plus the post-drop
+    // inserts.
+    "pipe_sql_drop_column" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vdropc_")
+      try {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        s2.sql(s"""CREATE TABLE graftcat.docs AS
+                   SELECT doc_id, lang, n_chars,
+                          n_chars * 3L AS scratch
+                   FROM parquet.`$dir/documents.parquet`""")
+        val table = tmp.resolve("docs")
+        s2.sql("ALTER TABLE graftcat.docs DROP COLUMN scratch")
+        require(VersionedTable.columnMappings(table, 2L) ==
+            Seq(("dropcol", "scratch", "")),
+          "pipe_sql_drop_column: the ALTER must land as one metadata-" +
+            "only DROPCOL commit")
+        require(!s2.sql("SELECT * FROM graftcat.docs")
+            .schema.fieldNames.contains("scratch"),
+          "pipe_sql_drop_column: the column must vanish immediately")
+        require(s2.sql("SELECT * FROM graftcat.docs VERSION AS OF 1")
+            .schema.fieldNames.contains("scratch"),
+          "pipe_sql_drop_column: time travel below the ALTER must " +
+            "still see the column")
+        s2.sql(s"""INSERT INTO graftcat.docs
+                   SELECT doc_id + 8796093022208L AS doc_id, lang,
+                          n_chars
+                   FROM parquet.`$dir/documents.parquet`
+                   WHERE doc_id % 8 = 1""")
+        // Re-adding the dropped name refuses while old bytes live…
+        require(scala.util.Try(s2.sql(
+            "ALTER TABLE graftcat.docs ADD COLUMN scratch BIGINT"))
+            .isFailure,
+          "pipe_sql_drop_column: re-adding a dropped name must refuse " +
+            "before compaction (stale-byte resurrection)")
+        val out = s2.sql("SELECT doc_id, lang, n_chars " +
+          "FROM graftcat.docs ORDER BY doc_id")
+        val rows = out.collect()
+        // …and succeeds once compaction physically drops them.
+        s2.sql("CALL graftcat.compact('docs', 'doc_id', 4)")
+        require(VersionedTable.columnMappings(table,
+            VersionedTable.latestVersion(table).get).isEmpty,
+          "pipe_sql_drop_column: compaction must retire the mapping")
+        s2.sql("ALTER TABLE graftcat.docs ADD COLUMN scratch BIGINT")
+        require(s2.sql("SELECT count(*) AS n FROM graftcat.docs " +
+            "WHERE scratch IS NULL").head().getLong(0) == rows.length,
+          "pipe_sql_drop_column: the re-added column must be all-NULL " +
+            "(no stale bytes resurrected)")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // SQL STORED PROCEDURES — table maintenance from CALL (r13) — the
     // protocol's lifecycle verbs as plain SQL (Spark 4 ProcedureCatalog,
     // the Iceberg-procedures shape): stage a table carrying real debt
@@ -4773,6 +4836,18 @@ object DedupQueries extends QueryModule {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
         |  CAST(n_chars AS BIGINT) AS chars
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // DROP COLUMN replayed relationally: the projection without the
+    // dropped column plus the post-drop inserts.
+    "pipe_sql_drop_column" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT CAST(doc_id + 8796093022208 AS BIGINT), lang,
+        |  CAST(n_chars AS BIGINT)
+        |FROM documents WHERE doc_id % 8 = 1
         |ORDER BY doc_id""".stripMargin,
 
     // The partitioned lifecycle replayed relationally: every document

@@ -492,9 +492,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           org.apache.spark.sql.SparkSession.active, p,
           VersionedTable.latestVersion(p).get + 1,
           a.fieldNames()(0), a.dataType.sql.toLowerCase)
+      // ALTER TABLE DROP COLUMN (r16): a metadata-only DROPCOL commit
+      // — readers stop serving the column immediately, its bytes wait
+      // for compaction, time travel below sees it. Load-bearing
+      // columns (stats/index/DV-key/partition/CHECK) refuse inside
+      // the commit verb.
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"graft catalog '$catalogName': nested drop-column unsupported")
+        VersionedTable.dropColumnCommit(
+          org.apache.spark.sql.SparkSession.active, p,
+          VersionedTable.latestVersion(p).get + 1, d.fieldNames()(0))
       case other => throw new UnsupportedOperationException(
         s"graft catalog '$catalogName': unsupported ALTER TABLE change " +
-          s"$other (supported: ADD COLUMN, RENAME COLUMN, " +
+          s"$other (supported: ADD COLUMN, DROP COLUMN, RENAME COLUMN, " +
           "ALTER COLUMN TYPE)")
     }
     // The mapped version self-describes through VersionedTable.read;

@@ -184,17 +184,24 @@ object GraftTableSource {
         val names = dataFields.map(_.name).toSet
         val withParts = dataFields ++ partitionCols(table, version)
           .filterNot(names).map(StructField(_, StringType, nullable = true))
-        // ADDCOL mappings (r16): columns added by a metadata-only
-        // commit appear in the served schema even though the footer
-        // this schema came from predates them — files that lack the
-        // column read as typed NULLs. Guarded by name: a post-add
-        // INSERT's footer may already carry the column.
-        val have = withParts.map(_.name).toSet
-        withParts ++ VersionedTable.columnMappings(table, version)
-          .collect { case ("addcol", c, t) if !have.contains(c) =>
-            StructField(c,
-              org.apache.spark.sql.types.DataType.fromDDL(t),
-              nullable = true)
+        // ADDCOL/DROPCOL mappings (r16), folded IN COMMIT ORDER:
+        // a column added by a metadata-only commit appears in the
+        // served schema even though the footer predates it (files
+        // lacking it read as typed NULLs; guarded by name — a
+        // post-add INSERT's footer may already carry it), and a
+        // dropped column vanishes from the served schema while its
+        // bytes wait for compaction. Order matters: add q then drop
+        // q nets to nothing.
+        VersionedTable.columnMappings(table, version)
+          .foldLeft(withParts) {
+            case (fields, ("addcol", c, t))
+                if !fields.exists(_.name == c) =>
+              fields :+ StructField(c,
+                org.apache.spark.sql.types.DataType.fromDDL(t),
+                nullable = true)
+            case (fields, ("dropcol", c, _)) =>
+              fields.filterNot(_.name == c)
+            case (fields, _) => fields
           }
     })
   }
@@ -717,7 +724,7 @@ private[sources] class GraftScan(path: String, version: Long,
     // never coexists with live deletion vectors keyed on it (guarded
     // below like VersionedTable.read's rule).
     val maps = VersionedTable.columnMappings(table, version)
-    require(maps.forall(_._1 == "addcol"),
+    require(maps.forall(m => m._1 == "addcol" || m._1 == "dropcol"),
       s"graft-table: version $version of $path carries schema-evolution " +
         "mappings (RENAME/WIDEN) — read it via VersionedTable.read, or " +
         "compact first")

@@ -397,7 +397,8 @@ private[sources] class ChangesStream(path: String, schema: StructType,
             "true to skip delete commits, or readChangeFeed=true " +
             "to serve them as _change_type='delete' rows")
       } else if (line.startsWith("RENAME\t") ||
-          line.startsWith("WIDEN\t") || line.startsWith("ADDCOL\t"))
+          line.startsWith("WIDEN\t") || line.startsWith("ADDCOL\t") ||
+          line.startsWith("DROPCOL\t"))
         throw new IllegalStateException(
           s"graft-changes: version $v evolves the schema — restart " +
             "the stream to pick up the new schema")

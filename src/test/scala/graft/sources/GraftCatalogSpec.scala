@@ -721,6 +721,41 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE DROP COLUMN refuses load-bearing columns") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cat_dropc_")
+    val s2 = session(root)
+    // Stats column: refused.
+    val t1 = root.resolve("st")
+    VersionedTable.commitWithStats(spark, t1, 0L,
+      Seq((1L, 2L)).toDF("id", "v").coalesce(1), "id")
+    intercept[Exception] { s2.sql("ALTER TABLE g.st DROP COLUMN id") }
+    // Non-load-bearing sibling drops fine; last column refused.
+    s2.sql("ALTER TABLE g.st DROP COLUMN v")
+    intercept[Exception] { s2.sql("ALTER TABLE g.st DROP COLUMN id") }
+    // DV key column: refused while the DV lives.
+    val t2 = root.resolve("dv")
+    VersionedTable.commit(spark, t2, 0L,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    VersionedTable.deleteCommit(spark, t2, 1L, Seq(1L).toDF("id"), "id")
+    intercept[Exception] { s2.sql("ALTER TABLE g.dv DROP COLUMN id") }
+    // CHECK-referenced column: refused with the constraint named.
+    val t3 = root.resolve("ck")
+    VersionedTable.commit(spark, t3, 0L,
+      Seq((1L, 10L)).toDF("id", "v"))
+    VersionedTable.constraintCommit(spark, t3, 1L, "v >= 0")
+    intercept[Exception] { s2.sql("ALTER TABLE g.ck DROP COLUMN v") }
+    // Partition column: refused.
+    s2.sql("CREATE TABLE g.pt (id BIGINT, r STRING) PARTITIONED BY (r)")
+    intercept[Exception] { s2.sql("ALTER TABLE g.pt DROP COLUMN r") }
+    // Live rename mapping: refused (footer-time name hazard).
+    val t4 = root.resolve("rn")
+    VersionedTable.commit(spark, t4, 0L,
+      Seq((1L, 10L)).toDF("id", "v"))
+    s2.sql("ALTER TABLE g.rn RENAME COLUMN v TO w")
+    intercept[Exception] { s2.sql("ALTER TABLE g.rn DROP COLUMN w") }
+  }
+
   test("ALTER TABLE publishes rename/widen commits; DROP is ref-guarded") {
     val root = Files.createTempDirectory("graft_cat_ddl2_")
     val s2 = session(root)
