@@ -242,15 +242,18 @@ object EmbeddingQueries extends QueryModule {
   private[graft] case class HnswRun(out: DataFrame,
       visitedTotal: () => Long, nVec: Long, nProbes: Long, segments: Int)
 
-  private[graft] def hnswBuildServe(s: SparkSession, dir: String,
-      idx: java.nio.file.Path, segments: Int, efServe: Int,
-      efC: Int = 24, m: Int = 8, maxDeg: Int = 16): HnswRun = {
+  /** Build NSW graphs for `vectors` (vec_id, e, seg) — one graph per
+    * segment value present, in parallel — and persist (vectors +
+    * adjacency) partitioned by segment under `idx` (append mode: a
+    * later batch lands as ITS OWN segment next to the existing ones,
+    * the Lucene segment-append model — base segments are never
+    * reopened). */
+  private def hnswBuildSegments(vectors: DataFrame,
+      idx: java.nio.file.Path, efC: Int, m: Int, maxDeg: Int): Unit = {
+    val s = vectors.sparkSession
     import s.implicits._
-    // BUILD: one corpus pass, `segments` graphs in parallel.
-    Tables.embeddings(s, dir)
-      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e",
-        s"CAST(vec_id % $segments AS INT) AS seg")
-      .repartition(segments, $"seg")
+    vectors
+      .repartition(col("seg"))
       .as[(Long, Seq[Double], Int)]
       .mapPartitions { it =>
         val rows = it.toArray
@@ -262,8 +265,27 @@ object EmbeddingQueries extends QueryModule {
         }
       }
       .toDF("vec_id", "e", "nbrs", "seg")
-      .write.partitionBy("seg").parquet(idx.toString)
-    // SERVE: stored graph only — no Tables.* reference below.
+      .write.mode("append").partitionBy("seg").parquet(idx.toString)
+  }
+
+  private[graft] def hnswBuildServe(s: SparkSession, dir: String,
+      idx: java.nio.file.Path, segments: Int, efServe: Int,
+      efC: Int = 24, m: Int = 8, maxDeg: Int = 16): HnswRun = {
+    import s.implicits._
+    // BUILD: one corpus pass, `segments` graphs in parallel.
+    hnswBuildSegments(Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e",
+        s"CAST(vec_id % $segments AS INT) AS seg"),
+      idx, efC, m, maxDeg)
+    hnswServe(s, idx, efServe, segments)
+  }
+
+  /** Serve the 10 standard probes from the STORED segments under
+    * `idx` — greedy per-segment search merged across segments; no
+    * corpus reference. */
+  private[graft] def hnswServe(s: SparkSession, idx: java.nio.file.Path,
+      efServe: Int, segments: Int): HnswRun = {
+    import s.implicits._
     val g = s.read.parquet(idx.toString)
     val probes = g.where($"vec_id" < 10)
       .select($"vec_id", $"e").collect()
@@ -1059,6 +1081,82 @@ object EmbeddingQueries extends QueryModule {
           require(overlap * 10 >= exact.size * 9,
             s"emb_hnsw_topk recall gate: $overlap/${exact.size} exact " +
               "pairs recovered — below the 9/10 floor")
+        }
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // INCREMENTAL GRAPH-ANN MAINTENANCE (r16) — the ingest path of the
+    // served NSW index, the Lucene segment-append model: a new batch
+    // builds ITS OWN segment graph (cost O(batch·efC·deg), whatever
+    // the base weighs) and lands NEXT to the existing segments — base
+    // graphs are never reopened (witnessed byte-for-byte: the base
+    // segment files are identical before and after the append). Serve
+    // reads the union of stored segments through the same greedy
+    // merge. Gates: (1) no-rebuild (base files unchanged); (2) the
+    // appended segment holds exactly the batch's vectors; (3) serve
+    // plan reads stored segments only; (4) visited < brute-force scan;
+    // (5) the module's 9/10 recall floor over the FULL corpus.
+    "emb_hnsw_append" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.sources.GraftSession.stagingDir("graft_hnswapp_")
+      try {
+        val idx = tmp.resolve("graph")
+        val S = 4
+        // BASE: everything except the append batch (probes stay in
+        // the base so serve's probe read is stable).
+        hnswBuildSegments(Tables.embeddings(s, dir)
+          .where("vec_id % 9 != 5 OR vec_id < 10")
+          .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e",
+            s"CAST(vec_id % $S AS INT) AS seg"),
+          idx, HnswEfC, HnswM, HnswMaxDeg)
+        def listing(): Map[String, Long] = {
+          val walk = java.nio.file.Files.walk(idx)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala
+              .filter(p => java.nio.file.Files.isRegularFile(p) &&
+                p.toString.endsWith(".parquet"))
+              .map(p => idx.relativize(p).toString ->
+                java.nio.file.Files.size(p))
+              .toMap
+          } finally walk.close()
+        }
+        val baseFiles = listing()
+        // APPEND: the held-out batch as its OWN new segment.
+        val batch = Tables.embeddings(s, dir)
+          .where("vec_id % 9 = 5 AND vec_id >= 10")
+          .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e",
+            s"CAST($S AS INT) AS seg")
+        val batchN = batch.count()
+        hnswBuildSegments(batch, idx, HnswEfC, HnswM, HnswMaxDeg)
+        val after = listing()
+        require(baseFiles.forall { case (f, sz) => after.get(f).contains(sz) },
+          "emb_hnsw_append: the append REWROTE base segment files — " +
+            "segment maintenance must never reopen existing graphs")
+        require(after.size > baseFiles.size &&
+            after.keys.filterNot(baseFiles.contains)
+              .forall(_.contains(s"seg=$S")),
+          "emb_hnsw_append: the batch must land as its own new segment")
+        val h = hnswServe(s, idx, HnswEfServe, S + 1)
+        QueryModule.gated("emb_hnsw_append", h.out) { rows =>
+          val planStr = QueryModule.gatedPlans.get("emb_hnsw_append")
+            .queryExecution.executedPlan.toString
+          require(!planStr.contains("embeddings.parquet"),
+            "emb_hnsw_append: the serve plan scans the source corpus")
+          val segN = s.read.parquet(idx.toString)
+            .where($"seg" === S).count()
+          require(segN == batchN,
+            s"emb_hnsw_append: appended segment holds $segN rows for " +
+              s"a $batchN-row batch")
+          require(h.visitedTotal() < h.nVec * h.nProbes,
+            "emb_hnsw_append: the segment-union search is not cheaper " +
+              "than a brute-force scan")
+          val exact = exactTop3(s, dir)
+          val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+          val overlap = exact.count(got)
+          require(overlap * 10 >= exact.size * 9,
+            s"emb_hnsw_append recall gate: $overlap/${exact.size} " +
+              "exact pairs recovered — below the 9/10 floor")
         }
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
