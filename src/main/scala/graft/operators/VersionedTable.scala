@@ -1605,8 +1605,17 @@ object VersionedTable {
       s"$what: the statement read version $base but the table is now " +
         s"at ${latest.fold("<empty>")(_.toString)} — concurrent commit; " +
         "re-run the statement against the new snapshot")
-    require(columnMappings(table, base).isEmpty,
-      s"$what at version $base: schema-evolution mappings live — " +
+    // ADDCOL/DROPCOL mappings compose with a rewrite (r16): the
+    // operation scan already serves the evolved schema (NULLs for
+    // missing added columns, dropped columns omitted), so the staged
+    // files carry the evolved schema physically; untouched files keep
+    // reading through the mapping, and a FULL rewrite materializes it
+    // (the from-scratch manifest drops the line — correctly, the new
+    // files embody it). RENAME/WIDEN still wait for compaction: they
+    // record footer-time names the partial rewrite would half-apply.
+    require(columnMappings(table, base).forall(m =>
+        m._1 == "addcol" || m._1 == "dropcol"),
+      s"$what at version $base: rename/widen schema mappings live — " +
         "compact first (the scan refuses these too)")
     // A partial rewrite of a partition layout would read raw leaves
     // and drop the path-borne partition columns — refuse. TRUNCATE is

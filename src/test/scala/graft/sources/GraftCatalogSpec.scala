@@ -688,6 +688,14 @@ class GraftCatalogSpec extends SparkSpec {
     // Time travel below the ALTER sees the old schema.
     assert(!s2.sql("SELECT * FROM g.d VERSION AS OF 0")
       .schema.fieldNames.contains("extra"))
+    // DML composes with the live mapping (r16): an UPDATE right after
+    // the ADD rewrites its matched files under the evolved schema —
+    // no compaction in between — and the untouched history keeps
+    // serving NULLs through the carried mapping.
+    s2.sql("UPDATE g.d SET extra = 'y' WHERE id = 1")
+    assert(s2.sql("SELECT id, extra FROM g.d ORDER BY id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((1L, Some("y")), (2L, None), (3L, Some("x"))))
     // Refusals: duplicate name, NOT NULL, positioned add, bad type.
     intercept[Exception] { s2.sql("ALTER TABLE g.d ADD COLUMN v BIGINT") }
     intercept[Exception] {
