@@ -128,14 +128,23 @@ object GraftTableSource {
     }
   }
 
+  /** Percent-decode a partition path value — %XX ONLY, never the
+    * URL-form `+`→space rule: Spark's partitionBy writes literal `+`
+    * bytes un-escaped, so URLDecoder would silently corrupt any
+    * partition value containing one ("a+b" → "a b"). Literal `+` is
+    * shielded before the %XX pass. */
+  private[sources] def pctDecode(s: String): String =
+    if (!s.contains('%')) s
+    else java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+
   /** Partition `col=value` path segments of one manifest file path,
-    * URL-decoded (partitionBy escapes path-hostile characters). */
+    * percent-decoded (both partitionBy and the V2 partitioned writer
+    * escape path-hostile characters as %XX). */
   private[sources] def partitionValues(file: String): Seq[(String, String)] =
     file.split('/').toSeq.collect {
       case seg if seg.contains('=') =>
         val i = seg.indexOf('=')
-        seg.substring(0, i) ->
-          java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+        seg.substring(0, i) -> pctDecode(seg.substring(i + 1))
     }
 
   /** Partition columns across a version's manifest, in first-appearance

@@ -358,8 +358,12 @@ private[sources] class GraftWriterFactory(path: String, stagingRel: String,
           require(!row.isNullAt(i),
             s"graft-table: NULL partition value for '$pc' — partition " +
               "values ride the path and cannot be NULL")
+          // %XX escaping (space as %20, never URL-form '+': the
+          // reader decodes %XX only, so a literal '+' in a value
+          // must ride as %2B — URLEncoder already does that — and
+          // space must not become '+').
           s"$pc=${java.net.URLEncoder.encode(
-            row.getUTF8String(i).toString, "UTF-8")}"
+            row.getUTF8String(i).toString, "UTF-8").replace("+", "%20")}"
         }.mkString("/")
         val (w, n, _) = writerFor(segments)
         val g = new SimpleGroup(msgType)

@@ -595,10 +595,14 @@ class GraftCatalogSpec extends SparkSpec {
     assert(s2.sql("SELECT * FROM g.p WHERE region = 'west'")
       .rdd.getNumPartitions == 2)
     // Path-hostile partition values survive the encode/decode round
-    // trip; NULL partition values refuse loudly.
-    s2.sql("INSERT INTO g.p VALUES (4, 'a/b=c d')")
+    // trip — including a literal '+', which URL-form decoding would
+    // corrupt to a space (the codec is %XX-only); NULL partition
+    // values refuse loudly.
+    s2.sql("INSERT INTO g.p VALUES (4, 'a/b=c d'), (5, 'x+y')")
     assert(s2.sql("SELECT region FROM g.p WHERE id = 4").head()
       .getString(0) == "a/b=c d")
+    assert(s2.sql("SELECT region FROM g.p WHERE id = 5").head()
+      .getString(0) == "x+y")
     intercept[Exception] {
       s2.sql("INSERT INTO g.p VALUES (5, CAST(NULL AS STRING))")
     }
