@@ -153,7 +153,22 @@ object TableChangesSource {
       }
       StructField(f.getName, dt, nullable = true)
     }.toSeq
-    val base = dataFields :+
+    // ADDCOL/DROPCOL mappings live at the head fold into the served
+    // schema in commit order (the batch connector's rule): a fresh
+    // feed sees the EVOLVED shape regardless of which footer the
+    // first manifest file happens to carry. (Rename/widen commits
+    // still fail the running feed at their version — schema is pinned
+    // at start.)
+    val evolved = VersionedTable.columnMappings(table, v)
+      .foldLeft(dataFields) {
+        case (fields, ("addcol", c, t)) if !fields.exists(_.name == c) =>
+          fields :+ StructField(c,
+            org.apache.spark.sql.types.DataType.fromDDL(t),
+            nullable = true)
+        case (fields, ("dropcol", c, _)) => fields.filterNot(_.name == c)
+        case (fields, _) => fields
+      }
+    val base = evolved :+
       StructField(VersionColumn, LongType, nullable = false)
     StructType(
       if (readChangeFeed)
@@ -447,6 +462,11 @@ private[sources] class ChangesReaderFactory(schema: StructType)
       }
       private def readField(f: StructField): Any = {
         val fileType = cur.getType
+        // A column missing from this file's footer (it predates an
+        // ADDCOL commit, or postdates a DROPCOL the schema still
+        // carries from an older first-footer) reads as a typed NULL —
+        // the same contract as the batch connector.
+        if (!fileType.containsField(f.name)) return null
         val i = fileType.getFieldIndex(f.name)
         if (cur.getFieldRepetitionCount(i) == 0) null
         else f.dataType match {

@@ -301,6 +301,43 @@ class TableChangesSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq == Seq(0L, 0L, 1L))
   }
 
+  test("a fresh feed on an add-column-evolved table serves the evolved schema") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2))
+    VersionedTable.addColumnCommit(spark, t, 1L, "extra", "bigint")
+    // Post-evolution appends with MIXED footers: v2's file predates
+    // any writer knowing `extra`, v3's carries it.
+    VersionedTable.appendCommit(spark, t, Seq(3L).toDF("id"))
+    VersionedTable.appendCommit(spark, t,
+      Seq((4L, 40L)).toDF("id", "extra"))
+    // A feed pinned ABOVE the ADDCOL commit serves the EVOLVED schema
+    // (the mapping folds into tableSchema), and a footer missing the
+    // column reads as a typed NULL instead of crashing the reader.
+    val tmp = Files.createTempDirectory("graft_changes_addc_")
+    val q = spark.readStream.format("graft-changes")
+      .option("startingVersion", "2")
+      .load(t.toString)
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(120000L)) q.stop()
+    q.exception.foreach(throw _)
+    val rows = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        if (r.isNullAt(r.fieldIndex("extra"))) -1L
+        else r.getLong(r.fieldIndex("extra"))))
+      .toSeq.sorted
+    assert(rows == Seq((3L, -1L), (4L, 40L)))
+    // A feed crossing the ADDCOL commit itself still fails loudly
+    // (stream schema is pinned at start).
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainAll(t)
+    }
+  }
+
   test("a schema-evolution commit fails the stream") {
     val t = freshTable()
     VersionedTable.commit(spark, t, 0L, df(1))
