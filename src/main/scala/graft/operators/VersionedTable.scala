@@ -654,6 +654,11 @@ object VersionedTable {
     require(!existing.exists(_.equalsIgnoreCase(name)),
       s"addColumnCommit: column '$name' already exists in " +
         s"${existing.mkString("[", ", ", "]")}")
+    // Path-borne partition columns are not in the payload schema the
+    // check above reads — a duplicate add would shadow them.
+    require(!partitionLayout(table, version - 1)
+        .exists(_.equalsIgnoreCase(name)),
+      s"addColumnCommit: '$name' is a partition-layout column")
     // Re-adding a name a live DROPCOL removed would resurrect the old
     // files' STALE BYTES (the reader finds the footer field and serves
     // it) — refuse until a compaction physically drops them.
