@@ -606,6 +606,9 @@ object VersionedTable {
   def renameCommit(table: Path, version: Long, from: String, to: String,
                    checkpointEvery: Int = 8): Seq[String] = {
     refuseBranched(table, "renameCommit")
+    require(version == 0L || deletionVectors(table, version - 1).isEmpty,
+      s"renameCommit: live deletion vectors at $table — compact " +
+        "(folding the DVs) first; mappings and DVs cannot coexist")
     publish(table, version,
       deltaLines(table, version, Seq(s"$RenamePrefix$from\t$to"),
         checkpointEvery))
@@ -616,6 +619,9 @@ object VersionedTable {
   def widenCommit(table: Path, version: Long, col: String, sqlType: String,
                   checkpointEvery: Int = 8): Seq[String] = {
     refuseBranched(table, "widenCommit")
+    require(version == 0L || deletionVectors(table, version - 1).isEmpty,
+      s"widenCommit: live deletion vectors at $table — compact " +
+        "(folding the DVs) first; mappings and DVs cannot coexist")
     publish(table, version,
       deltaLines(table, version, Seq(s"$WidenPrefix$col\t$sqlType"),
         checkpointEvery))
@@ -649,8 +655,9 @@ object VersionedTable {
         org.apache.spark.sql.types.StringType).contains(dt),
       s"addColumnCommit: type $sqlType is outside the writer's " +
         "primitive surface (bigint/int/double/float/boolean/string)")
-    val existing = read(s, table, Some(version - 1),
-      mergeSchema = true).schema.fieldNames
+    // Plan-time schema only (one footer + the mapping fold) — the
+    // metadata-only contract must not pay a per-file footer sweep.
+    val existing = read(s, table, Some(version - 1)).schema.fieldNames
     require(!existing.exists(_.equalsIgnoreCase(name)),
       s"addColumnCommit: column '$name' already exists in " +
         s"${existing.mkString("[", ", ", "]")}")
@@ -659,6 +666,11 @@ object VersionedTable {
     require(!partitionLayout(table, version - 1)
         .exists(_.equalsIgnoreCase(name)),
       s"addColumnCommit: '$name' is a partition-layout column")
+    // The mirror of deleteCommit's guard: an evolution over live DVs
+    // creates the same both-sides-refuse dead end.
+    require(deletionVectors(table, version - 1).isEmpty,
+      s"addColumnCommit: live deletion vectors at $table — compact " +
+        "(folding the DVs) first; mappings and DVs cannot coexist")
     // Re-adding a name a live DROPCOL removed would resurrect the old
     // files' STALE BYTES (the reader finds the footer field and serves
     // it) — refuse until a compaction physically drops them.
@@ -691,7 +703,7 @@ object VersionedTable {
         m._1 == "addcol" || m._1 == "dropcol"),
       s"dropColumnCommit: rename/widen mappings live at version $base " +
         "— compact first (they record footer-time column names)")
-    val schema = read(s, table, Some(base), mergeSchema = true).schema
+    val schema = read(s, table, Some(base)).schema
     require(schema.fieldNames.contains(name),
       s"dropColumnCommit: column '$name' is not in " +
         s"${schema.fieldNames.mkString("[", ", ", "]")}")
@@ -704,9 +716,9 @@ object VersionedTable {
         !secondaryStats(table, base).exists(_._2 == name),
       s"dropColumnCommit: '$name' carries a skipping index — compact " +
         "first")
-    require(!deletionVectors(table, base).exists(_._2 == name),
-      s"dropColumnCommit: '$name' keys live deletion vectors — " +
-        "compact (folding the DVs) first")
+    require(deletionVectors(table, base).isEmpty,
+      s"dropColumnCommit: live deletion vectors at $table — compact " +
+        "(folding the DVs) first; mappings and DVs cannot coexist")
     require(!partitionLayout(table, base).contains(name),
       s"dropColumnCommit: '$name' is a partition-layout column")
     val word = java.util.regex.Pattern.compile(
@@ -760,6 +772,15 @@ object VersionedTable {
     // writer once branch refs exist (r14, ADVICE parity with
     // mergeCommit/appendCommit).
     refuseBranched(table, "deleteCommit")
+    // A DV and live schema mappings MUST NOT coexist (readLive and the
+    // connector both refuse the combination) — and critically, the
+    // resolution path would be bricked: compaction reads through
+    // readLive, which refuses too. Refuse at COMMIT time, where the
+    // user still has a working table and a working remedy.
+    require(version == 0L || columnMappings(table, version - 1).isEmpty,
+      s"deleteCommit: schema-evolution mappings live at $table — " +
+        "compact first (a DV over a mapped version would make every " +
+        "read, and the compaction that fixes it, refuse)")
     // A DV keyed on a PARTITION-LAYOUT column would poison every
     // subsequent scan: the column rides the file PATH, not the
     // payload, so the reader's per-row key lookup has no field to
@@ -806,6 +827,10 @@ object VersionedTable {
     val base = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(
         s"mergeCommit: no committed version at $table to merge into"))
+    require(columnMappings(table, base).isEmpty,
+      s"mergeCommit: schema-evolution mappings live at $table — " +
+        "compact first (a DV over a mapped version would make every " +
+        "read, and the compaction that fixes it, refuse)")
     val version = base + 1
     val dvDir = table.resolve("dv").resolve(
       f"v$version%06d-merge-" + java.util.UUID.randomUUID().toString.take(8))
@@ -919,21 +944,23 @@ object VersionedTable {
              stats.map { case (f, _, _, n) => s"$RowsPrefix$f\t$n" }
            else Nil) :+ s"$StatsColPrefix$c"
       case None =>
-        val walk = Files.walk(dataDir)
-        try {
-          val fs = walk.iterator().asScala
-            .filter(p => Files.isRegularFile(p) &&
-              p.getFileName.toString.endsWith(".parquet"))
-            .map(p => table.relativize(p).toString)
-            .toSeq.sorted
-          // Row counts without a stats column: one footer-free count
-          // pass grouped on file (the same shape as the stats pass).
-          if (rowCounts) fs ++ fileRowsLines(s, table, dataDir)
-          else fs
-        } finally walk.close()
+        // Row counts without a stats column: one footer-free count
+        // pass grouped on file (the same shape as the stats pass).
+        partFiles(table, dataDir) ++
+          (if (rowCounts) fileRowsLines(s, table, dataDir) else Nil)
     }
     publish(table, version, carried ++ files ++
       carryChecks(s, table, version, dataDir, carried, "commitPartitioned"))
+  }
+
+  /** [[fileRowsLines]] with zero-row synthesis (`ROWS <f> 0` for
+    * files the count pass never saw) — every staged file gets a line. */
+  private def fileRowsLinesAll(s: SparkSession, table: Path,
+                               dataDir: Path): Seq[String] = {
+    val counted = fileRowsLines(s, table, dataDir)
+    val seen = counted.map(_.split('\t')(1)).toSet
+    (counted ++ partFiles(table, dataDir).filterNot(seen)
+      .map(f => s"$RowsPrefix$f\t0")).sorted
   }
 
   /** Per-file `ROWS` manifest lines for every parquet file under
@@ -978,6 +1005,19 @@ object VersionedTable {
                              statsCol: String): Seq[String] =
     fileColStats(s, table, dataDir, statsCol)
       .map { case (f, mn, mx, _) => s"$f\t$mn\t$mx" }
+
+  /** [[fileColStats]] over `dataDir` with ZERO-ROW SYNTHESIS: a
+    * zero-row parquet file (a truncate/compact of an emptied table)
+    * contributes no aggregation row — it gets the never-skippable full
+    * range and ROWS 0, so stats-bearing manifests can always cover
+    * every staged file (a data-line-less manifest is unreadable). */
+  private def fileColStatsAll(s: SparkSession, table: Path, dataDir: Path,
+      statsCol: String): Seq[(String, Long, Long, Long)] = {
+    val st = fileColStats(s, table, dataDir, statsCol)
+    val seen = st.map(_._1).toSet
+    st ++ partFiles(table, dataDir).filterNot(seen).sorted
+      .map(f => (f, Long.MinValue, Long.MaxValue, 0L))
+  }
 
   /** Commit with zonemaps on SEVERAL columns: `cols.head` rides the
     * data lines (the [[commitWithStats]] layout, fully
@@ -1799,27 +1839,32 @@ object VersionedTable {
         }
         val snap = readMultiPartitionedFiles(s, table, partCols,
           statsManifest(table, base).map(_._1))
-        val out = statsCol match {
-          case Some(c) => snap.repartitionByRange(files, col(c))
-          case None => snap.repartition(files)
+        // A ZERO-ROW snapshot (a truncated/emptied partitioned table)
+        // must not flow through dynamic partitionBy — with no rows it
+        // writes NO files at all, and the published manifest would
+        // list no data lines (an unreadable table). Fall back to the
+        // flat zero-row bootstrap shape: one schema-carrying empty
+        // file, partition columns riding the payload, declared layout
+        // restated below.
+        if (snap.isEmpty)
+          snap.coalesce(1).write.parquet(dataDir.toString)
+        else {
+          val out = statsCol match {
+            case Some(c) => snap.repartitionByRange(files, col(c))
+            case None => snap.repartition(files)
+          }
+          out.write.partitionBy(partCols: _*).parquet(dataDir.toString)
         }
-        out.write.partitionBy(partCols: _*).parquet(dataDir.toString)
         statsCol match {
           case Some(c) =>
-            val stats = fileColStats(s, table, dataDir, c)
+            val stats = fileColStatsAll(s, table, dataDir, c)
             stats.map { case (f, mn, mx, _) => s"$f\t$mn\t$mx" } ++
               (if (hadRows)
                  stats.map { case (f, _, _, n) => s"$RowsPrefix$f\t$n" }
                else Nil) :+ s"$StatsColPrefix$c"
           case None =>
-            val walk = Files.walk(dataDir)
-            val fs = try walk.iterator().asScala
-              .filter(p => Files.isRegularFile(p) &&
-                p.getFileName.toString.endsWith(".parquet"))
-              .map(p => table.relativize(p).toString)
-              .toSeq.sorted
-            finally walk.close()
-            fs ++ (if (hadRows) fileRowsLines(s, table, dataDir) else Nil)
+            partFiles(table, dataDir) ++
+              (if (hadRows) fileRowsLinesAll(s, table, dataDir) else Nil)
         }
       case None =>
         val snap = read(s, table, Some(base),
@@ -1831,14 +1876,14 @@ object VersionedTable {
         out.write.parquet(dataDir.toString)
         statsCol match {
           case Some(c) =>
-            val stats = fileColStats(s, table, dataDir, c)
+            val stats = fileColStatsAll(s, table, dataDir, c)
             stats.map { case (f, mn, mx, _) => s"$f\t$mn\t$mx" } ++
               (if (hadRows)
                  stats.map { case (f, _, _, n) => s"$RowsPrefix$f\t$n" }
                else Nil) :+ s"$StatsColPrefix$c"
           case None =>
             partFiles(table, dataDir) ++
-              (if (hadRows) fileRowsLines(s, table, dataDir) else Nil)
+              (if (hadRows) fileRowsLinesAll(s, table, dataDir) else Nil)
         }
     }
     val checks = checkConstraints(table, base).map(CheckPrefix + _)

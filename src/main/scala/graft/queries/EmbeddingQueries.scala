@@ -292,7 +292,13 @@ object EmbeddingQueries extends QueryModule {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     val probesB = s.sparkContext.broadcast(probes)
+    // Co-locate each segment before grouping: the parquet read splits
+    // big segment files across input partitions (maxPartitionBytes),
+    // and a graph searched from HALF its adjacency map would crash or
+    // mis-serve. One shuffle keyed on seg — the same clustering the
+    // build pass used.
     val served = g.select($"seg", $"vec_id", $"e", $"nbrs")
+      .repartition(col("seg"))
       .as[(Int, Long, Seq[Double], Seq[Long])]
       .mapPartitions { it =>
         val rows = it.toArray

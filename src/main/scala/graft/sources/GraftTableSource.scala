@@ -675,6 +675,10 @@ private[sources] class GraftScan(path: String, version: Long,
         .filter.Predicate]): Unit = {
     val table = java.nio.file.Paths.get(path)
     val partCols = VersionedTable.partitionLayout(table, version).toSet
+    // One manifest resolution for the whole call, not one per
+    // predicate (BASE-chain resolution does file IO).
+    lazy val allFiles = VersionedTable.statsManifest(table, version)
+      .map(_._1)
     val sets = predicates.flatMap { p =>
       GraftTableSource.colValuePredicateSet(p).flatMap {
         case ("_file", vs) => Some(vs)
@@ -683,7 +687,7 @@ private[sources] class GraftScan(path: String, version: Long,
         // segment (the flat bootstrap) are never pruned — their rows
         // may hold anything, so only the path is evidence.
         case (c, vs) if partCols.contains(c) =>
-          Some(VersionedTable.statsManifest(table, version).map(_._1)
+          Some(allFiles
             .filter(f => GraftTableSource.partitionValues(f).toMap
               .get(c).forall(vs.contains)).toSet)
         case _ => None

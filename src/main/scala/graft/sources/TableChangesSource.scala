@@ -64,11 +64,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * a mirror deletes the preimage keys and inserts the postimage rows
   * atomically per commit (file granularity: rows the update's
   * predicate spared replay as identical pre/post pairs, a no-op under
-  * that rule). Unannotated rewrites still fail the stream. In every
-  * case the commit AT the explicit `startingVersion` is exempt from
-  * KIND dispatch: its manifest adds replay as inserts — the feed's
-  * initial snapshot (bootstrap a mirror at a compaction version and
-  * the full rewritten manifest is served, then deltas follow).
+  * that rule). Unannotated rewrites still fail the stream. A REWRITE
+  * commit AT the explicit `startingVersion` is exempt from KIND
+  * dispatch: its FULL MANIFEST replays as inserts — the feed's true
+  * initial snapshot (bootstrap a mirror at a compaction or update
+  * version and every live file's rows are served, then deltas
+  * follow); live DVs at the snapshot version refuse. Append versions
+  * at startingVersion keep cursor semantics (their adds only).
   * Schema-evolution commits always fail the
   * stream: a stream's schema is pinned at start. Options:
   * `startingVersion` (default 0 — serve history from the beginning),
@@ -330,16 +332,26 @@ private[sources] class ChangesStream(path: String, schema: StructType,
     VersionedTable.versions(table)
       .filter(v => v > lo && v <= hi && admits(v))
       .flatMap { v =>
-        // The explicit startingVersion is the feed's initial snapshot
-        // BY CONTRACT — its manifest adds replay as inserts before any
-        // KIND dispatch. A feed bootstrapped at a KIND=compact version
-        // must serve the full rewritten manifest (content-identical to
-        // the table), not the empty batch the compact branch serves
-        // mid-stream; a KIND=update bootstrap serves its adds the same
-        // way the documented unannotated-rewrite exemption always has.
-        // Without this ordering a mirror seeded at a compaction gets
-        // ZERO rows and then only subsequent deltas — silent loss.
-        if (v == startingVersion) addPartitions(v, "insert")
+        // The explicit startingVersion at a REWRITE version is the
+        // feed's initial snapshot BY CONTRACT, dispatched before any
+        // KIND match: the version's FULL MANIFEST replays as inserts —
+        // not just its adds, which for a partial (KIND=update) rewrite
+        // would silently omit every untouched file's rows, and for a
+        // compaction would be an empty batch. Live DVs at the snapshot
+        // version refuse (raw files would replay deleted rows); append
+        // versions keep cursor semantics (serve the version's adds
+        // only — "skip history before N").
+        if (v == startingVersion &&
+            VersionedTable.removedLines(table, v).nonEmpty) {
+          require(VersionedTable.deletionVectors(table, v).isEmpty,
+            s"graft-changes: startingVersion=$v is a rewrite commit " +
+              "with live deletion vectors — the raw-file snapshot " +
+              "would replay deleted rows; compact first or start at " +
+              "a DV-free version")
+          VersionedTable.statsManifest(table, v).map(_._1).map(f =>
+            ChangesPartition(path, v, f,
+              changeType = "insert"): InputPartition)
+        }
         else VersionedTable.commitKind(table, v) match {
           // KIND=compact (r15, consuming r14's annotation): a
           // compaction reorganizes bytes but the CONTENT is identical
@@ -426,7 +438,14 @@ private[sources] class ChangesStream(path: String, schema: StructType,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangesReaderFactory(schema)
+    new ChangesReaderFactory(schema,
+      // Only ADDCOL-introduced columns may legitimately be absent from
+      // a file's footer (files predating the add); any OTHER missing
+      // field is a real schema mismatch and must stay a loud failure,
+      // not a silent all-NULL column.
+      VersionedTable.latestVersion(table).toSeq
+        .flatMap(v => VersionedTable.columnMappings(table, v))
+        .collect { case ("addcol", c, _) => c }.toSet)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -442,7 +461,8 @@ private[sources] case class ChangesPartition(path: String, version: Long,
     file: String, deleteKeyCol: String = "",
     changeType: String = "insert") extends InputPartition
 
-private[sources] class ChangesReaderFactory(schema: StructType)
+private[sources] class ChangesReaderFactory(schema: StructType,
+    nullableMissing: Set[String] = Set.empty)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -462,11 +482,12 @@ private[sources] class ChangesReaderFactory(schema: StructType)
       }
       private def readField(f: StructField): Any = {
         val fileType = cur.getType
-        // A column missing from this file's footer (it predates an
-        // ADDCOL commit, or postdates a DROPCOL the schema still
-        // carries from an older first-footer) reads as a typed NULL —
-        // the same contract as the batch connector.
-        if (!fileType.containsField(f.name)) return null
+        // A column an ADDCOL mapping introduced may be absent from a
+        // file that predates it — typed NULL, the add-column contract.
+        // Any OTHER missing field keeps the loud getFieldIndex failure
+        // (a silent all-NULL column would mask a real mismatch).
+        if (!fileType.containsField(f.name) &&
+            nullableMissing.contains(f.name)) return null
         val i = fileType.getFieldIndex(f.name)
         if (cur.getFieldRepetitionCount(i) == 0) null
         else f.dataType match {

@@ -718,26 +718,23 @@ class VersionedTableSpec extends SparkSpec {
       "id", rowCounts = true)
     VersionedTable.constraintCommit(spark, t, 1L, "len >= 0")
     VersionedTable.deleteCommit(spark, t, 2L, Seq(7L).toDF("id"), "id")
-    VersionedTable.renameCommit(t, 3L, "len", "n")
-    // A mapped+DV'd version refuses most readers — compaction is the
-    // prescribed resolution, and must not lose the CHECK on the way.
-    // (read() refuses DV+mapping combined; compactCommit goes through
-    // the same read, so fold the DV first via a compaction WITHOUT the
-    // mapping? No: the mapping landed after the DV — compactCommit
-    // reads the latest version which carries both, so this is exactly
-    // the refused combination; assert the refusal, then resolve in two
-    // steps as the error prescribes.)
+    // A mapped+DV'd version would refuse every reader AND the
+    // compaction that resolves it — a dead end two valid statements
+    // used to be able to create. r16: the evolution commit REFUSES at
+    // commit time instead, while the table is still readable and the
+    // remedy (compact, folding the DV) still works.
     intercept[IllegalArgumentException] {
-      VersionedTable.read(spark, t)
+      VersionedTable.renameCommit(t, 3L, "len", "n")
     }
-    // Roll back one step conceptually: compact at the DV-only version
-    // is not addressable (compactCommit reads latest), so resolve by
-    // compacting — which must surface the same refusal...
-    intercept[IllegalArgumentException] {
-      VersionedTable.compactCommit(spark, t, Some("id"))
-    }
-    // ...and the supported path: a table with DVs OR mappings (not
-    // both) compacts cleanly. Fresh table with DVs + constraint:
+    assert(VersionedTable.read(spark, t).count() == 39L,
+      "the refused rename must leave the table readable")
+    // Compacting folds the DV; the rename then lands cleanly.
+    VersionedTable.compactCommit(spark, t, Some("id"))
+    VersionedTable.renameCommit(t, 4L, "len", "n")
+    assert(VersionedTable.columnMappings(t, 4L) ==
+      Seq(("rename", "len", "n")))
+    // The supported single-debt path: a table with DVs OR mappings
+    // (not both) compacts cleanly. Fresh table with DVs + constraint:
     val t2 = freshTable()
     VersionedTable.commitWithStats(spark, t2, 0L,
       (1L to 40L).toDF("id").selectExpr("id", "id * 2 AS len")

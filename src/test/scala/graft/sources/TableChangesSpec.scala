@@ -199,14 +199,19 @@ class TableChangesSpec extends SparkSpec {
     VersionedTable.appendCommit(spark, t, df(4)) // v2
     assert(drainAll(t, Map("startingVersion" -> "1")) ==
       Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L)))
-    // Same exemption for a KIND=update bootstrap: its adds serve as
-    // inserts even WITHOUT readChangeFeed (no preimage/postimage — the
-    // feed starts here, there is no downstream state to patch).
+    // Same exemption for a KIND=update bootstrap — and the snapshot is
+    // the version's FULL MANIFEST, not just its adds: a partial
+    // rewrite's untouched files' rows must be served too, or a mirror
+    // bootstrapped here silently lacks them forever.
     val u = freshTable()
-    VersionedTable.commitWithStats(spark, u, 0L, df(1, 2, 3).coalesce(1),
-      "id")
-    VersionedTable.updateWhere(spark, u, "id", 2L, 2L,
-      Seq("id" -> "id + 10L")) // v1, KIND=update
+    import spark.implicits._
+    VersionedTable.commitWithStats(spark, u, 0L,
+      Seq(1L, 2L, 3L).toDF("id").repartitionByRange(2, $"id"), "id")
+    // v1 rewrites ONLY the file holding id=2; the other file is
+    // untouched and carried.
+    val (_, rewritten, total) = VersionedTable.updateWhere(
+      spark, u, "id", 2L, 2L, Seq("id" -> "id + 10L"))
+    assert(rewritten < total, "the update must be a PARTIAL rewrite")
     VersionedTable.appendCommit(spark, u, df(4)) // v2
     assert(drainAll(u, Map("startingVersion" -> "1")) ==
       Seq((1L, 1L), (3L, 1L), (4L, 2L), (12L, 1L)))
