@@ -599,6 +599,24 @@ object VersionedTable {
         ("dropcol", l.substring(DropColPrefix.length), "")
     }
 
+  /** Every column name an ADDCOL commit EVER introduced at this table,
+    * across all of history — one raw-manifest read per version, no
+    * resolution. A change feed replaying from below an ADDCOL commit
+    * serves pre-add files whose footers lack the column; the mapping
+    * may since have been RETIRED by a compaction (head footers carry
+    * the column), so gating the typed-NULL fallback on the mappings
+    * still live at head would crash a history replay on getFieldIndex
+    * (ADVICE r16). The union over history is the correct gate: a name
+    * in it was introduced by the add-column contract at SOME version,
+    * so a footer missing it is legitimate; any other missing field
+    * stays a loud failure. (Checkpoint manifests restating live ADDCOL
+    * lines only re-add names already collected.) */
+  def historicalAddColNames(table: Path): Set[String] =
+    versions(table).flatMap(v => rawManifest(table, v).collect {
+      case l if l.startsWith(AddColPrefix) =>
+        l.substring(AddColPrefix.length).split('\t')(0)
+    }).toSet
+
   /** Metadata-only RENAME commit: one manifest line, zero data files
     * touched — at 100 TB a column rename must not cost a rewrite.
     * Readers apply the mapping to files written under the old name;
@@ -721,12 +739,33 @@ object VersionedTable {
         "(folding the DVs) first; mappings and DVs cannot coexist")
     require(!partitionLayout(table, base).contains(name),
       s"dropColumnCommit: '$name' is a partition-layout column")
-    val word = java.util.regex.Pattern.compile(
-      "\\b" + java.util.regex.Pattern.quote(name) + "\\b")
-    checkConstraints(table, base).foreach(expr =>
-      require(!word.matcher(expr).find(),
+    // CHECK references are resolved the way Spark will resolve them:
+    // parse the constraint and collect its attribute references,
+    // compared case-INSENSITIVELY (Spark's resolution is — a
+    // constraint written `CHECK (V >= 0)` over column `v` binds, and a
+    // guard that missed it would let the drop brick every subsequent
+    // write on an unresolvable-column error; ADVICE r16). Parsing also
+    // stops the false refusal when the name appears only inside a
+    // string literal. An unparseable constraint (none of ours are)
+    // falls back to the conservative case-insensitive word regex.
+    val dropLc = name.toLowerCase(java.util.Locale.ROOT)
+    checkConstraints(table, base).foreach { expr =>
+      val referenced: Boolean =
+        try s.sessionState.sqlParser.parseExpression(expr).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+        }.contains(dropLc)
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            java.util.regex.Pattern.compile(
+              "\\b" + java.util.regex.Pattern.quote(name) + "\\b",
+              java.util.regex.Pattern.CASE_INSENSITIVE)
+              .matcher(expr).find()
+        }
+      require(!referenced,
         s"dropColumnCommit: '$name' is referenced by CHECK ($expr) — " +
-          "drop or rewrite the constraint first"))
+          "drop or rewrite the constraint first")
+    }
     publish(table, version,
       deltaLines(table, version, Seq(s"$DropColPrefix$name"),
         checkpointEvery))

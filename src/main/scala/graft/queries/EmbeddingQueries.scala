@@ -232,6 +232,35 @@ object EmbeddingQueries extends QueryModule {
   private val HnswM = 12
   private val HnswMaxDeg = 24
 
+  /** Hard per-task materialization bound for the segment graphs (r17):
+    * both build and serve hold ONE task's segments in memory (the
+    * Lucene per-segment contract — segments are sized to executor
+    * memory), and before this guard a misconfigured segment count
+    * OOM'd the executor instead of refusing. At 64-dim double vectors
+    * + a ≤24-edge adjacency (~0.75 KB/row) the default 4M-row bound is
+    * ~3 GB per task — generous for any sane executor, far below a
+    * mis-sharded corpus. Overridable for tests (and fatter vectors)
+    * via -Dspark.graft.hnsw.maxTaskRows. */
+  private def hnswMaxTaskRows: Long =
+    sys.props.get("spark.graft.hnsw.maxTaskRows").map(_.toLong)
+      .getOrElse(4000000L)
+
+  /** Materialize a task's rows under [[hnswMaxTaskRows]], refusing at
+    * bound+1 while streaming — BEFORE the allocation that would OOM. */
+  private def boundedTaskRows[T: scala.reflect.ClassTag](
+      it: Iterator[T], bound: Long, what: String): Array[T] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+    while (it.hasNext) {
+      if (buf.length >= bound) throw new IllegalStateException(
+        s"$what: a task materialized more than $bound rows of segment " +
+          "graph — segments must be sized to executor memory; raise " +
+          "the segment count (or spark.graft.hnsw.maxTaskRows if the " +
+          "executors really have the headroom)")
+      buf += it.next()
+    }
+    buf.toArray
+  }
+
   /** One build+serve pass of the segment-NSW graph index (shared by
     * the `emb_hnsw_topk` query and the parameter probe tool): builds S
     * per-segment graphs in parallel, persists (vectors + adjacency)
@@ -252,11 +281,14 @@ object EmbeddingQueries extends QueryModule {
       idx: java.nio.file.Path, efC: Int, m: Int, maxDeg: Int): Unit = {
     val s = vectors.sparkSession
     import s.implicits._
+    // Resolved on the DRIVER and captured: executor sysprops are not
+    // the session's.
+    val taskBound = hnswMaxTaskRows
     vectors
       .repartition(col("seg"))
       .as[(Long, Seq[Double], Int)]
       .mapPartitions { it =>
-        val rows = it.toArray
+        val rows = boundedTaskRows(it, taskBound, "hnswBuild")
         rows.groupBy(_._3).iterator.flatMap { case (sg, rs) =>
           val vec = rs.map(t => (t._1, t._2.toArray)).sortBy(_._1)
           val adj = nswBuild(vec, m = m, efC = efC, maxDeg = maxDeg)
@@ -297,11 +329,12 @@ object EmbeddingQueries extends QueryModule {
     // and a graph searched from HALF its adjacency map would crash or
     // mis-serve. One shuffle keyed on seg — the same clustering the
     // build pass used.
+    val taskBound = hnswMaxTaskRows
     val served = g.select($"seg", $"vec_id", $"e", $"nbrs")
       .repartition(col("seg"))
       .as[(Int, Long, Seq[Double], Seq[Long])]
       .mapPartitions { it =>
-        val rows = it.toArray
+        val rows = boundedTaskRows(it, taskBound, "hnswServe")
         rows.groupBy(_._1).iterator.flatMap { case (sg, rs) =>
           val vecs = rs.map(t => t._2 -> t._3.toArray).toMap
           val adj = rs.map(t => t._2 -> t._4).toMap

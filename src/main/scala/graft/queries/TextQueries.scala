@@ -406,8 +406,15 @@ object TextQueries extends QueryModule {
         .join(variants.as("b"), $"a.k" === $"b.k" && $"a.w" < $"b.w")
         .select($"a.w".as("w1"), $"b.w".as("w2"))
         .distinct()
-      val nVocab = vocab.count()
-      val nCand = candidates.count()
+      // Both witness counts from ONE action (r17 — the old shape ran
+      // vocab.count() and candidates.count() as separate jobs, paying
+      // the variant join twice just to feed the require): the candidate
+      // count and the vocabulary count ride one job as a cross of two
+      // single-row aggregates.
+      val w = candidates.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(vocab.agg(count(lit(1)).as("n_vocab")))
+        .head()
+      val (nCand, nVocab) = (w.getLong(0), w.getLong(1))
       require(nCand < nVocab * (nVocab - 1) / 2,
         s"txt_levenshtein: $nCand candidates vs $nVocab tokens — the " +
           "deletion blocking did not beat all-pairs")

@@ -561,6 +561,23 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         Files.exists(to))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(Array(catalogName, newIdent.name))
+    // RESERVE the target name atomically before moving: POSIX rename()
+    // silently replaces an existing EMPTY target directory, so a bare
+    // exists-then-move could clobber a concurrent CREATE TABLE's
+    // just-created directory in the check-to-move window (ADVICE r16).
+    // createDirectory fails atomically if anyone else took the name;
+    // the subsequent ATOMIC_MOVE then replaces exactly the empty
+    // placeholder WE own (rename-over-empty-dir is now the mechanism,
+    // not the hazard), and if a racer managed to write INTO the
+    // placeholder the move fails DirectoryNotEmptyException — loud,
+    // never a clobber. Readers still see empty-or-complete, never a
+    // partially-moved table.
+    try Files.createDirectory(to)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(Array(catalogName, newIdent.name))
+    }
     Files.move(from, to,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ()

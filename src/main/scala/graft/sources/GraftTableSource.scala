@@ -804,7 +804,14 @@ private[sources] class GraftScan(path: String, version: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftTableReaderFactory(required)
+    new GraftTableReaderFactory(required,
+      // Only ADDCOL-introduced columns may legitimately be absent from
+      // a file's footer (files predating the add) — the same gate the
+      // change-feed reader applies. Any OTHER missing field is a real
+      // schema mismatch (manifest corruption, a foreign file) and must
+      // stay a loud failure, never a silent all-NULL column.
+      VersionedTable.columnMappings(java.nio.file.Paths.get(path), version)
+        .collect { case ("addcol", c, _) => c }.toSet)
 
   override def description(): String =
     s"graft-table path=$path version=$version " +
@@ -825,7 +832,8 @@ private[sources] case class GraftTablePartition(path: String, file: String,
 private[sources] case class MetaAggPartition(rows: Array[Array[Any]])
     extends InputPartition
 
-private[sources] class GraftTableReaderFactory(schema: StructType)
+private[sources] class GraftTableReaderFactory(schema: StructType,
+    nullableMissing: Set[String] = Set.empty)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -907,8 +915,12 @@ private[sources] class GraftTableReaderFactory(schema: StructType)
           if (partConst.contains(f.name)) partConst(f.name)
           // A column ADDED after this file was written (ADDCOL
           // mapping) is absent from the footer — serve the typed NULL
-          // the add-column contract promises for legacy rows.
-          else if (!cur.getType.containsField(f.name)) null
+          // the add-column contract promises for legacy rows. ONLY
+          // for those names: any other missing field falls through to
+          // getFieldIndex's loud failure (a genuinely mismatched or
+          // foreign file must never read as an all-NULL column).
+          else if (!cur.getType.containsField(f.name) &&
+              nullableMissing.contains(f.name)) null
           else {
           val i = cur.getType.getFieldIndex(f.name)
           if (cur.getFieldRepetitionCount(i) == 0) null

@@ -442,10 +442,13 @@ private[sources] class ChangesStream(path: String, schema: StructType,
       // Only ADDCOL-introduced columns may legitimately be absent from
       // a file's footer (files predating the add); any OTHER missing
       // field is a real schema mismatch and must stay a loud failure,
-      // not a silent all-NULL column.
-      VersionedTable.latestVersion(table).toSeq
-        .flatMap(v => VersionedTable.columnMappings(table, v))
-        .collect { case ("addcol", c, _) => c }.toSet)
+      // not a silent all-NULL column. The set is the union of ADDCOL
+      // names across ALL history, not just the mappings live at head:
+      // a compaction retires the mapping (head footers carry the
+      // column) while a feed replaying from startingVersion=0 still
+      // crosses the pre-add files — those footers legitimately lack
+      // the column and must serve the typed NULL (ADVICE r16).
+      VersionedTable.historicalAddColNames(table))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

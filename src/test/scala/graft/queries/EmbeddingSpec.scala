@@ -72,6 +72,23 @@ class EmbeddingSpec extends SparkSpec {
       "graph build/serve is not deterministic across runs")
   }
 
+  test("hnsw build/serve refuses a task above the materialization bound") {
+    // Both graph passes hold one task's segments in memory; a
+    // misconfigured segment count must REFUSE (r17), not OOM the
+    // executor. The bound is sysprop-overridable exactly for this test.
+    sys.props("spark.graft.hnsw.maxTaskRows") = "10"
+    try {
+      val e = intercept[Exception] {
+        graft.SparkEntry.queries("emb_hnsw_topk")(spark, sf001).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("sized to executor memory")),
+        s"wrong failure: ${messages(e).mkString(" | ")}")
+    } finally sys.props -= "spark.graft.hnsw.maxTaskRows"
+  }
+
   test("emb_cosine_pairs refuses to build above the O(n²) yardstick ceiling") {
     import spark.implicits._
     // 10001 vectors: one past the cap. The guard's count() runs before

@@ -757,6 +757,23 @@ class GraftCatalogSpec extends SparkSpec {
       Seq((1L, 10L)).toDF("id", "v"))
     VersionedTable.constraintCommit(spark, t3, 1L, "v >= 0")
     intercept[Exception] { s2.sql("ALTER TABLE g.ck DROP COLUMN v") }
+    // ...resolved case-INSENSITIVELY, the way Spark binds identifiers
+    // (ADVICE r16: a guard that missed `CHECK (V >= 0)` over column
+    // `v` would let the drop brick every subsequent write).
+    val t3b = root.resolve("ckci")
+    VersionedTable.commit(spark, t3b, 0L,
+      Seq((1L, 10L)).toDF("id", "v"))
+    VersionedTable.constraintCommit(spark, t3b, 1L, "V >= 0")
+    intercept[Exception] { s2.sql("ALTER TABLE g.ckci DROP COLUMN v") }
+    // ...and a name appearing only inside a string LITERAL does not
+    // false-refuse (the old raw-text regex did).
+    val t3c = root.resolve("cklit")
+    VersionedTable.commit(spark, t3c, 0L,
+      Seq((1L, 10L)).toDF("id", "v"))
+    VersionedTable.constraintCommit(spark, t3c, 1L,
+      "concat('v', 'x') = 'vx'")
+    s2.sql("ALTER TABLE g.cklit DROP COLUMN v")
+    assert(!s2.table("g.cklit").schema.fieldNames.contains("v"))
     // Partition column: refused.
     s2.sql("CREATE TABLE g.pt (id BIGINT, r STRING) PARTITIONED BY (r)")
     intercept[Exception] { s2.sql("ALTER TABLE g.pt DROP COLUMN r") }

@@ -160,6 +160,38 @@ class GraftTableSpec extends SparkSpec {
       Seq("b"))
   }
 
+  test("a footer missing a non-ADDCOL column fails loudly, never all-NULL") {
+    import spark.implicits._
+    val t = fresh()
+    VersionedTable.commit(spark, t, 0L,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    // Corrupt the manifest with a FOREIGN data file whose footer lacks
+    // `v` (manifest tampering / a mis-listed file). The batch reader
+    // must fail on the missing field — an all-NULL column would mask
+    // real corruption (ADVICE r16; the ADDCOL typed-NULL contract is
+    // gated on addcol-introduced names only).
+    val foreign = t.resolve("data").resolve("foreign")
+    Seq(99L).toDF("id").coalesce(1).write.parquet(foreign.toString)
+    val rel = {
+      val walk = Files.walk(foreign)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(p =>
+          Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .map(p => t.relativize(p).toString).toSeq.head
+      } finally walk.close()
+    }
+    VersionedTable.publishDelta(t, 1L, Seq(rel))
+    val e = intercept[Exception] {
+      spark.read.format("graft-table").load(t.toString).collect()
+    }
+    def messages(x: Throwable): Seq[String] =
+      if (x == null) Nil
+      else Option(x.getMessage).toSeq ++ messages(x.getCause)
+    assert(messages(e).exists(m => m.contains("v") || m.contains("Field")),
+      s"wrong failure: ${messages(e).mkString(" | ")}")
+  }
+
   test("schema-evolved versions are refused with the working alternative") {
     import spark.implicits._
     val t = fresh()

@@ -343,6 +343,41 @@ class TableChangesSpec extends SparkSpec {
     }
   }
 
+  test("a replay across a RETIRED add-column mapping still serves typed NULLs") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2))
+    VersionedTable.addColumnCommit(spark, t, 1L, "extra", "bigint")
+    VersionedTable.appendCommit(spark, t, Seq(3L).toDF("id")) // pre-add footer
+    VersionedTable.appendCommit(spark, t, Seq((4L, 40L)).toDF("id", "extra"))
+    // Compaction RETIRES the mapping (head footers carry the column) —
+    // the NULL-serving gate must come from ADDCOL history, not from the
+    // mappings still live at head (ADVICE r16: gating on live mappings
+    // crashed exactly this replay on getFieldIndex).
+    VersionedTable.compactCommit(spark, t)
+    assert(VersionedTable.columnMappings(t,
+      VersionedTable.latestVersion(t).get).isEmpty)
+    val tmp = Files.createTempDirectory("graft_changes_retired_")
+    val q = spark.readStream.format("graft-changes")
+      .option("startingVersion", "2")
+      .load(t.toString)
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(120000L)) q.stop()
+    q.exception.foreach(throw _)
+    val rows = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        if (r.isNullAt(r.fieldIndex("extra"))) -1L
+        else r.getLong(r.fieldIndex("extra"))))
+      .toSeq.sorted
+    // v2's pre-add file serves the typed NULL; v3 carries the value;
+    // the KIND=compact v4 serves nothing.
+    assert(rows == Seq((3L, -1L), (4L, 40L)))
+  }
+
   test("a schema-evolution commit fails the stream") {
     val t = freshTable()
     VersionedTable.commit(spark, t, 0L, df(1))
