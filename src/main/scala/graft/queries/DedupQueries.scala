@@ -2199,6 +2199,79 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // MANIFEST-STATISTICS-DRIVEN JOIN PLANNING (r17) — the connector
+    // reports `SupportsReportStatistics` (sum of surviving files'
+    // on-disk bytes + ROWS counts, post-pruning), so a join over two
+    // graft tables BROADCAST-decides from metadata: without reported
+    // stats every V2 relation weighs spark.sql.defaultSizeInBytes
+    // (Long.MaxValue) and the planner can never pick a broadcast join
+    // however small the dim side — at 100 TB, a mandatory fact-table
+    // shuffle on every dim join (the failure rel_cbo_broadcast
+    // demonstrates on plain parquet). Staged: a multi-file fact table
+    // (documents) and a tiny lang dimension, both graft tables; the
+    // broadcast threshold is pinned BETWEEN their measured byte sizes,
+    // so the planner's choice is provably stats-driven, not
+    // small-fixture luck. In-path requires: (1) the stats-on plan
+    // chooses BroadcastHashJoin with NO hint; (2) the same join with
+    // `reportStats=false` on both scans loses the broadcast and falls
+    // back to SortMergeJoin — the stats are load-bearing, not
+    // decorative. The oracle replays the join at full row fidelity.
+    "pipe_table_join" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vjoin_")
+      try {
+        val factT = tmp.resolve("fact")
+        val dimT = tmp.resolve("dim")
+        val fact0 = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+        VersionedTable.commitWithStats(s, factT, 0L,
+          fact0.repartitionByRange(8, $"doc_id"), "doc_id",
+          rowCounts = true)
+        VersionedTable.commit(s, dimT, 0L,
+          fact0.groupBy($"lang").agg(count(lit(1)).as("lang_docs"))
+            .coalesce(1))
+        def bytesOf(t: java.nio.file.Path): Long =
+          VersionedTable.statsManifest(t, 0L).map { case (f, _, _) =>
+            java.nio.file.Files.size(t.resolve(f))
+          }.sum
+        val (dimBytes, factBytes) = (bytesOf(dimT), bytesOf(factT))
+        require(dimBytes < factBytes,
+          s"pipe_table_join: dim ($dimBytes B) must weigh less than " +
+            s"fact ($factBytes B) for the threshold pin to mean anything")
+        def scan(t: java.nio.file.Path, stats: Boolean) = {
+          val r = s.read.format("graft-table")
+          (if (stats) r else r.option("reportStats", "false"))
+            .load(t.toString)
+        }
+        def joined(stats: Boolean) =
+          scan(factT, stats).join(scan(dimT, stats), "lang")
+            .select($"doc_id", $"lang", $"n_chars", $"lang_docs")
+            .where($"doc_id" < 60).orderBy($"doc_id")
+        val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          ((dimBytes + factBytes) / 2).toString)
+        try {
+          import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+          val out = joined(stats = true)
+          require(out.queryExecution.sparkPlan.collect {
+              case b: BroadcastHashJoinExec => b }.nonEmpty,
+            "pipe_table_join: the planner did not choose a broadcast " +
+              "join from the connector's reported statistics")
+          val blind = joined(stats = false).queryExecution.sparkPlan
+          require(blind.collect {
+              case b: BroadcastHashJoinExec => b }.isEmpty &&
+            blind.collect { case m: SortMergeJoinExec => m }.nonEmpty,
+            "pipe_table_join: with reportStats=false the broadcast " +
+              "must be LOST (defaultSizeInBytes) — the stats are not " +
+              "load-bearing")
+          val rows = out.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        } finally
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // PER-FILE BLOOM FILTERS IN THE MANIFEST (r13) — the point-lookup
     // skipping index zonemaps cannot be: the table is laid out by
     // doc_id RESIDUE CLASS (mod 8 — a round-robin-like layout with
@@ -4543,6 +4616,16 @@ object DedupQueries extends QueryModule {
         |SELECT doc_id, lang, n_chars + 1000 FROM documents
         |WHERE doc_id = 13
         |ORDER BY doc_id""".stripMargin,
+
+    // The stats-driven broadcast join replayed relationally: fact rows
+    // under 60 joined to the per-lang dimension.
+    "pipe_table_join" ->
+      """SELECT d.doc_id, d.lang, d.n_chars, x.lang_docs
+        |FROM documents d
+        |JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs
+        |      FROM documents GROUP BY lang) x ON d.lang = x.lang
+        |WHERE d.doc_id < 60
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The three bloom-pruned point lookups, replayed plainly.
     "pipe_point_skip" ->

@@ -389,7 +389,8 @@ private[sources] class GraftTable(path: String, schema0: StructType,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, version, statsCol, schema0)
+    new GraftScanBuilder(path, version, statsCol, schema0,
+      options.getBoolean("reportStats", true))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -495,7 +496,8 @@ private[sources] case class MetaAggPlan(groupCols: Seq[String],
     funcs: Seq[MetaAggFunc]) extends Serializable
 
 private[sources] class GraftScanBuilder(path: String, version: Long,
-    statsCol: Option[String], schema0: StructType)
+    statsCol: Option[String], schema0: StructType,
+    reportStats: Boolean = true)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
@@ -630,14 +632,16 @@ private[sources] class GraftScanBuilder(path: String, version: Long,
     }
 
   override def build(): Scan =
-    new GraftScan(path, version, statsCol, required, pushed, metaAgg)
+    new GraftScan(path, version, statsCol, required, pushed, metaAgg,
+      reportStats)
 }
 
 private[sources] class GraftScan(path: String, version: Long,
     statsCol: Option[String], required: StructType, pushed: Array[Filter],
-    metaAgg: Option[MetaAggPlan] = None)
+    metaAgg: Option[MetaAggPlan] = None, reportStats: Boolean = true)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import graft.operators.VersionedTable
 
   /** RUNTIME GROUP FILTERING (r15) — the scan accepts a runtime
@@ -699,6 +703,103 @@ private[sources] class GraftScan(path: String, version: Long,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** The manifest pruning both planning and stats estimation run: a
+    * file survives only if every pushed filter admits its zonemap
+    * [min, max] (stats-less lines carry the full range — never
+    * skippable, always correct), every pushed equality admits its
+    * bloom bits (files without a bloom line for the probed column
+    * always admit), every partition path segment is admitted, and any
+    * runtime file set contains it. */
+  private def livePrunedFiles(): Seq[(String, Long, Long)] = {
+    val table = java.nio.file.Paths.get(path)
+    val all = VersionedTable.statsManifest(table, version)
+    require(all.nonEmpty,
+      s"graft-table: version $version of $path lists no data files")
+    val bloomsByFile: Map[(String, String), Array[Byte]] =
+      VersionedTable.blooms(table, version)
+        .map { case (f, c, bits) => (f, c) -> bits }.toMap
+    val bloomCols = bloomsByFile.keysIterator.map(_._2).toSet
+    // Secondary zonemaps (a z-order's other dimensions) prune exactly
+    // like the primary data-line stats.
+    val secondary: Map[(String, String), (Long, Long)] =
+      VersionedTable.secondaryStats(table, version)
+        .map { case (f, c, mn, mx) => (f, c) -> (mn, mx) }.toMap
+    val secondaryCols = secondary.keysIterator.map(_._2).toSet
+    all.filter { case (f, mn, mx) =>
+      runtimeFiles.forall(_.contains(f)) &&
+      statsCol.forall(c =>
+        pushed.forall(GraftTableSource.admits(_, c, mn, mx))) &&
+        secondaryCols.forall(c => secondary.get((f, c)).forall {
+          case (smn, smx) =>
+            pushed.forall(GraftTableSource.admits(_, c, smn, smx))
+        }) &&
+        bloomCols.forall(c => bloomsByFile.get((f, c)).forall(bits =>
+          pushed.forall(GraftTableSource.bloomAdmits(_, c, bits)))) &&
+        GraftTableSource.partitionValues(f).forall { case (c, v) =>
+          pushed.forall(GraftTableSource.partAdmits(_, c, v))
+        }
+    }
+  }
+
+  /** MANIFEST-DRIVEN STATISTICS (r17) — `SupportsReportStatistics`:
+    * the scan reports sizeInBytes (sum of surviving files' on-disk
+    * bytes × `spark.sql.sources.fileCompressionFactor`, the FileScan
+    * convention) and numRows (sum of surviving files' ROWS lines, when
+    * every survivor has one) to Catalyst, POST-pruning — a filtered
+    * scan prices the surviving-file subset, not the table. This is
+    * what lets a join over two graft catalog tables broadcast-decide
+    * from metadata: without it every V2 relation weighs
+    * `spark.sql.defaultSizeInBytes` (Long.MaxValue) and the planner
+    * can never choose a broadcast join no matter how small the dim
+    * side actually is — at 100 TB, the difference between a metadata
+    * decision and a mandatory shuffle of the fact table. Withhold via
+    * `.option("reportStats", "false")` (diagnostics/witnesses). DV'd
+    * rows still count (an estimate must be cheap and an upper bound is
+    * the safe direction for broadcast decisions); estimation never
+    * throws — a version this scan would refuse at planning reports
+    * unknown instead of failing optimization with a worse error. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    import java.util.OptionalLong
+    val unknown = new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.empty()
+      override def numRows(): OptionalLong = OptionalLong.empty()
+    }
+    if (!reportStats) return unknown
+    try {
+      val table = java.nio.file.Paths.get(path)
+      metaAgg match {
+        case Some(plan) =>
+          // The scan's output IS the finished aggregate rows.
+          val n = metaAggRows(plan).length.toLong
+          return new org.apache.spark.sql.connector.read.Statistics {
+            override def sizeInBytes(): OptionalLong =
+              OptionalLong.of(math.max(1L, n * 32L * required.size))
+            override def numRows(): OptionalLong = OptionalLong.of(n)
+          }
+        case None => ()
+      }
+      val live = livePrunedFiles()
+      val bytes = live.map { case (f, _, _) =>
+        try java.nio.file.Files.size(table.resolve(f))
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      }.sum
+      val factor = try org.apache.spark.sql.SparkSession.active
+        .sessionState.conf.fileCompressionFactor
+      catch { case scala.util.control.NonFatal(_) => 1.0 }
+      val rows = VersionedTable.rowCounts(table, version).toMap
+      val nRows: OptionalLong =
+        if (live.forall(f => rows.contains(f._1)))
+          OptionalLong.of(live.map(f => rows(f._1)).sum)
+        else OptionalLong.empty()
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): OptionalLong =
+          OptionalLong.of(math.max(1L, (bytes * factor).toLong))
+        override def numRows(): OptionalLong = nRows
+      }
+    } catch { case scala.util.control.NonFatal(_) => unknown }
+  }
+
   /** The finished aggregate rows, computed at PLANNING time from the
     * manifest alone — group values are partition-path strings, agg
     * values fold per-file ROWS counts / zonemap bounds. One partition,
@@ -745,38 +846,7 @@ private[sources] class GraftScan(path: String, version: Long,
         VersionedTable.deletionVectors(table, version).isEmpty,
       s"graft-table: version $version of $path carries both deletion " +
         "vectors and schema mappings — compact before combining the two")
-    val all = VersionedTable.statsManifest(table, version)
-    require(all.nonEmpty,
-      s"graft-table: version $version of $path lists no data files")
-    // Manifest pruning, both skipping indexes: a file survives only if
-    // every pushed filter admits its zonemap [min, max] (stats-less
-    // lines carry the full range — never skippable, always correct)
-    // AND every pushed equality admits its bloom bits (files without a
-    // bloom line for the probed column always admit).
-    val bloomsByFile: Map[(String, String), Array[Byte]] =
-      VersionedTable.blooms(table, version)
-        .map { case (f, c, bits) => (f, c) -> bits }.toMap
-    val bloomCols = bloomsByFile.keysIterator.map(_._2).toSet
-    // Secondary zonemaps (a z-order's other dimensions) prune exactly
-    // like the primary data-line stats.
-    val secondary: Map[(String, String), (Long, Long)] =
-      VersionedTable.secondaryStats(table, version)
-        .map { case (f, c, mn, mx) => (f, c) -> (mn, mx) }.toMap
-    val secondaryCols = secondary.keysIterator.map(_._2).toSet
-    val live = all.filter { case (f, mn, mx) =>
-      runtimeFiles.forall(_.contains(f)) &&
-      statsCol.forall(c =>
-        pushed.forall(GraftTableSource.admits(_, c, mn, mx))) &&
-        secondaryCols.forall(c => secondary.get((f, c)).forall {
-          case (smn, smx) =>
-            pushed.forall(GraftTableSource.admits(_, c, smn, smx))
-        }) &&
-        bloomCols.forall(c => bloomsByFile.get((f, c)).forall(bits =>
-          pushed.forall(GraftTableSource.bloomAdmits(_, c, bits)))) &&
-        GraftTableSource.partitionValues(f).forall { case (c, v) =>
-          pushed.forall(GraftTableSource.partAdmits(_, c, v))
-        }
-    }
+    val live = livePrunedFiles()
     // Merge-on-read: attach to each file the DV key lists whose
     // origin-version scope covers it (origin scoping preserved — a
     // file appended after a delete is covered by no DV).

@@ -160,6 +160,32 @@ class GraftTableSpec extends SparkSpec {
       Seq("b"))
   }
 
+  test("the scan reports manifest statistics to Catalyst, post-pruning") {
+    import spark.implicits._
+    val t = fresh()
+    VersionedTable.commitWithStats(spark, t, 0L,
+      spark.range(0, 800).toDF("id").repartitionByRange(8, $"id"), "id",
+      rowCounts = true)
+    def scanStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.stats
+      }.head
+    val expectedBytes = VersionedTable.statsManifest(t, 0L)
+      .map { case (f, _, _) => Files.size(t.resolve(f)) }.sum
+    val full = scanStats(read(t))
+    assert(full.sizeInBytes == BigInt(expectedBytes))
+    assert(full.rowCount.contains(BigInt(800)))
+    // Post-pruning: a pushed range predicate shrinks BOTH estimates to
+    // the surviving-file subset.
+    val pruned = scanStats(read(t).where("id < 100"))
+    assert(pruned.sizeInBytes < full.sizeInBytes)
+    assert(pruned.rowCount.exists(_ < BigInt(800)))
+    // Withheld stats fall back to the planner's unknown default.
+    assert(scanStats(read(t, "reportStats" -> "false")).sizeInBytes ==
+      BigInt(spark.sessionState.conf.defaultSizeInBytes))
+  }
+
   test("a footer missing a non-ADDCOL column fails loudly, never all-NULL") {
     import spark.implicits._
     val t = fresh()
