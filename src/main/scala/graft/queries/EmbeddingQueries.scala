@@ -300,6 +300,40 @@ object EmbeddingQueries extends QueryModule {
       .write.mode("append").partitionBy("seg").parquet(idx.toString)
   }
 
+  /** SEGMENT MERGE (r17) — the maintenance verb that keeps the
+    * segment-append model honest (the Lucene merge policy): without
+    * one, continuous ingest grows one segment per batch forever and
+    * serve cost — each probe greedy-searches EVERY segment — grows
+    * linearly with ingest history (a year of hourly batches ≈ 9k
+    * segments and the sublinearity gate inverts). The merge rebuilds
+    * the NAMED small segments into ONE new segment (reading their
+    * stored vectors — never the source corpus — and running the same
+    * deterministic vec_id-ordered insertion build), writes it as a new
+    * segment directory, and only THEN retires the inputs, so a crash
+    * leaves a searchable superset, never a hole. Untouched segments
+    * are never reopened (the no-rebuild contract emb_hnsw_append
+    * witnesses byte-for-byte). Cost O(Σ merged rows · efC · deg) —
+    * the merged segments' size, independent of the base. */
+  private[graft] def hnswMergeSegments(s: SparkSession,
+      idx: java.nio.file.Path, merge: Seq[Int], target: Int,
+      efC: Int = HnswEfC, m: Int = HnswM, maxDeg: Int = HnswMaxDeg): Unit = {
+    require(merge.nonEmpty && !merge.contains(target),
+      s"hnswMergeSegments: target seg=$target must be a NEW segment " +
+        s"(merging $merge)")
+    merge.foreach(sg => require(
+      java.nio.file.Files.isDirectory(idx.resolve(s"seg=$sg")),
+      s"hnswMergeSegments: seg=$sg does not exist under $idx"))
+    require(!java.nio.file.Files.exists(idx.resolve(s"seg=$target")),
+      s"hnswMergeSegments: seg=$target already exists under $idx")
+    val vecs = s.read.parquet(idx.toString)
+      .where(col("seg").isin(merge.map(Int.box): _*))
+      .selectExpr("vec_id", "e", s"CAST($target AS INT) AS seg")
+    hnswBuildSegments(vecs, idx, efC, m, maxDeg)
+    // Inputs retire only after the replacement is fully written.
+    merge.foreach(sg =>
+      graft.streaming.EventStreams.deleteTree(idx.resolve(s"seg=$sg")))
+  }
+
   private[graft] def hnswBuildServe(s: SparkSession, dir: String,
       idx: java.nio.file.Path, segments: Int, efServe: Int,
       efC: Int = 24, m: Int = 8, maxDeg: Int = 16): HnswRun = {
@@ -1195,6 +1229,107 @@ object EmbeddingQueries extends QueryModule {
           val overlap = exact.count(got)
           require(overlap * 10 >= exact.size * 9,
             s"emb_hnsw_append recall gate: $overlap/${exact.size} " +
+              "exact pairs recovered — below the 9/10 floor")
+        }
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // GRAPH-ANN SEGMENT MERGE (r17) — the other half of the Lucene
+    // segment model emb_hnsw_append ships: append alone grows one
+    // segment per ingest batch FOREVER, and serve cost (every probe
+    // greedy-searches every segment) grows linearly with ingest
+    // history — the r16 weak-list entry. The merge verb rebuilds k
+    // small segments into one (reading their STORED vectors, never the
+    // source corpus; cost O(merged rows), independent of the base) and
+    // retires the inputs only after the replacement is written.
+    // Staged: base corpus over 4 segments, two small batches appended
+    // as their own segments (6 total), then the two batch segments
+    // merged into one (5 total). Gates: (1) fewer segments after the
+    // merge; (2) every BASE segment file byte-identical — maintenance
+    // never reopens untouched graphs; (3) the merged segment holds
+    // exactly the two batches' vectors; (4) the post-merge serve reads
+    // stored segments only, stays visited-sublinear, and returns
+    // BYTE-IDENTICAL top-k to the pre-merge serve — merging reorganizes
+    // the index, never the answers; (5) the module's 9/10 recall floor.
+    // Rows-only: greedy graph traversal is not SQL-expressible.
+    "emb_hnsw_merge" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.sources.GraftSession.stagingDir("graft_hnswmrg_")
+      try {
+        val idx = tmp.resolve("graph")
+        val S = 4
+        hnswBuildSegments(Tables.embeddings(s, dir)
+          .where("(vec_id % 9 != 5 AND vec_id % 9 != 7) OR vec_id < 10")
+          .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e",
+            s"CAST(vec_id % $S AS INT) AS seg"),
+          idx, HnswEfC, HnswM, HnswMaxDeg)
+        def batch(res: Int, seg: Int) = Tables.embeddings(s, dir)
+          .where(s"vec_id % 9 = $res AND vec_id >= 10")
+          .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e",
+            s"CAST($seg AS INT) AS seg")
+        val n1 = batch(5, S).count()
+        val n2 = batch(7, S + 1).count()
+        hnswBuildSegments(batch(5, S), idx, HnswEfC, HnswM, HnswMaxDeg)
+        hnswBuildSegments(batch(7, S + 1), idx, HnswEfC, HnswM, HnswMaxDeg)
+        def listing(prefixes: Int => Boolean): Map[String, Long] = {
+          val walk = java.nio.file.Files.walk(idx)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala
+              .filter(p => java.nio.file.Files.isRegularFile(p) &&
+                p.toString.endsWith(".parquet"))
+              .map(p => idx.relativize(p).toString ->
+                java.nio.file.Files.size(p))
+              .filter { case (f, _) =>
+                val seg = f.split('/').find(_.startsWith("seg="))
+                  .map(_.stripPrefix("seg=").toInt)
+                seg.exists(prefixes)
+              }.toMap
+          } finally walk.close()
+        }
+        def segCount(): Int = {
+          val ls = java.nio.file.Files.list(idx)
+          try {
+            import scala.jdk.CollectionConverters._
+            ls.iterator().asScala
+              .count(_.getFileName.toString.startsWith("seg="))
+          } finally ls.close()
+        }
+        val pre = hnswServe(s, idx, HnswEfServe, S + 2)
+        val preRows = pre.out.collect()
+        val preSegs = segCount()
+        val baseFiles = listing(_ < S)
+        hnswMergeSegments(s, idx, Seq(S, S + 1), S + 2)
+        require(segCount() < preSegs,
+          s"emb_hnsw_merge: ${segCount()} segments after merging " +
+            s"$preSegs — the merge must REDUCE segment count")
+        require(listing(_ < S) == baseFiles,
+          "emb_hnsw_merge: the merge touched BASE segment files — " +
+            "maintenance must never reopen untouched graphs")
+        val mergedN = s.read.parquet(idx.toString)
+          .where($"seg" === S + 2).count()
+        require(mergedN == n1 + n2,
+          s"emb_hnsw_merge: merged segment holds $mergedN rows for " +
+            s"${n1 + n2} merged vectors")
+        val h = hnswServe(s, idx, HnswEfServe, S + 1)
+        QueryModule.gated("emb_hnsw_merge", h.out) { rows =>
+          val planStr = QueryModule.gatedPlans.get("emb_hnsw_merge")
+            .queryExecution.executedPlan.toString
+          require(!planStr.contains("embeddings.parquet"),
+            "emb_hnsw_merge: the serve plan scans the source corpus")
+          require(rows.map(_.toString).toSeq ==
+              preRows.map(_.toString).toSeq,
+            "emb_hnsw_merge: the merged index changed the served " +
+              "top-k — a merge must reorganize the index, not the " +
+              "answers")
+          require(h.visitedTotal() < h.nVec * h.nProbes,
+            "emb_hnsw_merge: the post-merge search is not cheaper " +
+              "than a brute-force scan")
+          val exact = exactTop3(s, dir)
+          val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+          val overlap = exact.count(got)
+          require(overlap * 10 >= exact.size * 9,
+            s"emb_hnsw_merge recall gate: $overlap/${exact.size} " +
               "exact pairs recovered — below the 9/10 floor")
         }
       } finally graft.streaming.EventStreams.deleteTree(tmp)
