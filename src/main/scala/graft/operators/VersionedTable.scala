@@ -1955,6 +1955,108 @@ object VersionedTable {
     version
   }
 
+  /** Normalized 2-D MORTON KEY column over two BIGINT columns — ONE
+    * definition shared by the z-order queries and [[clusterCommit]]
+    * (divergent copies would silently fork the layout semantics).
+    * Dims are linearly scaled to a common 10-bit domain before
+    * interleaving: raw interleave lets the wider dimension's high bits
+    * own the top of every z value, collapsing the layout to a
+    * one-column sort, while normalization keeps both dims' bits
+    * alternating at the top — every file a RECTANGLE, not a stripe.
+    * Costs one min/max aggregation pass over `df`. */
+  def mortonColumn(df: DataFrame, c1: String, c2: String)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, max, min, shiftleft}
+    def spread(x: org.apache.spark.sql.Column) =
+      Seq((8, 16711935L), (4, 252645135L), (2, 858993459L),
+        (1, 1431655765L))
+        .foldLeft(x.bitwiseAND(lit(65535L))) { case (c, (sh, mask)) =>
+          c.bitwiseOR(shiftleft(c, sh)).bitwiseAND(lit(mask))
+        }
+    val r = df.agg(min(col(c1)), max(col(c1)),
+      min(col(c2)), max(col(c2))).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"mortonColumn: no non-NULL values to scale on ($c1, $c2)")
+    def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      (c - lit(lo)) * lit(1023L) / lit(math.max(1L, hi - lo))
+    spread(norm(col(c1), r.getLong(0), r.getLong(1)).cast("long"))
+      .bitwiseOR(shiftleft(
+        spread(norm(col(c2), r.getLong(2), r.getLong(3)).cast("long")), 1))
+  }
+
+  /** Z-ORDER CLUSTERING AS A MAINTENANCE COMMIT (r17) — the verb that
+    * lets a production table SCHEDULE layout maintenance through the
+    * protocol (reachable as `CALL <cat>.cluster(...)`): rewrites the
+    * latest snapshot in Morton order over two BIGINT columns (or
+    * range-clustered on one — [[compactCommit]] with teeth), and
+    * publishes ONE full manifest with fresh zonemaps on EVERY
+    * clustered column (primary on `cols.head` data lines, the rest as
+    * secondary STATS lines), ROWS iff the base recorded them,
+    * recomputed BLOOM + other secondary indexes the base carried, the
+    * CHECK constraints, and KIND=compact — so change feeds skip it and
+    * box predicates prune on every dimension from the moment it
+    * commits (the pipe_zorder_skip machinery, now schedulable).
+    * Deletion vectors and live schema mappings fold away exactly as
+    * compaction folds them. Partition-layout tables refuse (clustering
+    * inside a partitioned layout is a different verb). More than two
+    * columns refuses: only the 2-D interleave is recall-proven here.
+    * Cost O(live rows) — the price of any re-layout. */
+  def clusterCommit(s: SparkSession, table: Path, cols: Seq[String],
+                    files: Int = 16): Long = {
+    import org.apache.spark.sql.functions.col
+    refuseBranched(table, "clusterCommit")
+    require(cols.nonEmpty && cols.size <= 2,
+      s"clusterCommit: 1 (range) or 2 (Morton) cluster columns, got $cols")
+    require(files > 0, s"clusterCommit: files=$files must be positive")
+    val base = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"clusterCommit: no committed version at $table"))
+    val version = base + 1
+    require(partitionLayout(table, base).isEmpty,
+      s"clusterCommit: $table has a partition layout — cluster " +
+        "inside partitions is not supported; compact instead")
+    val snap = read(s, table, Some(base),
+      mergeSchema = columnMappings(table, base).nonEmpty)
+    cols.foreach(c => require(snap.schema.fields.exists(f =>
+        f.name == c && f.dataType == org.apache.spark.sql.types.LongType),
+      s"clusterCommit: column '$c' must exist with type BIGINT (the " +
+        "zonemap domain)"))
+    val dataDir = newDataDir(table, version)
+    val clustered = cols match {
+      case Seq(c) =>
+        snap.repartitionByRange(files, col(c)).sortWithinPartitions(col(c))
+      case Seq(c1, c2) =>
+        if (snap.isEmpty) snap.coalesce(1) // nothing to scale or cluster
+        else snap.withColumn("__z", mortonColumn(snap, c1, c2))
+          .repartitionByRange(files, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+    }
+    clustered.write.parquet(dataDir.toString)
+    val hadRows = manifest(table, base).exists(_.startsWith(RowsPrefix))
+    val stats = fileColStatsAll(s, table, dataDir, cols.head)
+    val lines = stats.map { case (f, mn, mx, _) => s"$f\t$mn\t$mx" } ++
+      (if (hadRows)
+         stats.map { case (f, _, _, n) => s"$RowsPrefix$f\t$n" }
+       else Nil) :+ s"$StatsColPrefix${cols.head}"
+    // Secondary zonemaps: the OTHER clustered dimension(s), plus any
+    // secondary column the base already indexed (maintenance must not
+    // be the path that drops an index — the compactCommit amnesia rule).
+    val secCols = (cols.tail ++
+      secondaryStats(table, base).map(_._2)).distinct
+      .filterNot(_ == cols.head)
+    val secondary = secCols.flatMap(c =>
+      fileColStats(s, table, dataDir, c).map { case (f, mn, mx, _) =>
+        s"$StatsPrefix$f\t$c\t$mn\t$mx"
+      })
+    val bloomLines = blooms(table, base).map(_._2).distinct
+      .flatMap(c => fileBloomLines(s, table, dataDir, c))
+    val checks = checkConstraints(table, base).map(CheckPrefix + _)
+    publish(table, version,
+      lines ++ secondary ++ bloomLines ++ checks :+ s"${KindPrefix}compact")
+    version
+  }
+
   /** PROMOTE a branch into another branch — the merge that turns a
     * validated experiment into production WITHOUT copying data: the
     * NET change `from`'s history made since its fork point (ref seq 0

@@ -2346,30 +2346,19 @@ object DedupQueries extends QueryModule {
         val table = tmp.resolve("table")
         val docs = Tables.documents(s, dir)
           .select($"doc_id", $"lang", $"n_chars")
-        def spread(x: Column): Column =
-          Seq((8, 16711935L), (4, 252645135L), (2, 858993459L),
-            (1, 1431655765L))
-            .foldLeft(x.bitwiseAND(lit(65535L))) { case (c, (sh, mask)) =>
-              c.bitwiseOR(shiftleft(c, sh)).bitwiseAND(lit(mask))
-            }
         // Dims NORMALIZED to a common 10-bit scale before interleaving
         // — raw interleave lets the wider dimension's high bits own the
         // top of every z value (doc_id spans 13 bits at sf0.1, n_chars
-        // 10), collapsing the layout to a one-column sort. Linear
-        // min/max scaling is deterministic and keeps both dims' bits
-        // alternating at the top, which is what makes every file a
-        // RECTANGLE instead of a stripe.
+        // 10), collapsing the layout to a one-column sort. ONE
+        // definition (r17: VersionedTable.mortonColumn — the same key
+        // CALL <cat>.cluster publishes, so this witness covers the
+        // maintenance verb's layout too).
         val stats = docs.agg(min($"doc_id"), max($"doc_id"),
           min($"n_chars"), max($"n_chars")).head()
-        val (dMin, dMax) = (stats.getLong(0), stats.getLong(1))
-        val (nMin, nMax) = (stats.getLong(2), stats.getLong(3))
-        def norm(c: Column, lo: Long, hi: Long): Column =
-          (c - lit(lo)) * lit(1023L) / lit(math.max(1L, hi - lo))
+        val (dMax, nMax) = (stats.getLong(1), stats.getLong(3))
         val zed = docs
-          .withColumn("z",
-            spread(norm($"doc_id", dMin, dMax).cast("long"))
-              .bitwiseOR(shiftleft(
-                spread(norm($"n_chars", nMin, nMax).cast("long")), 1)))
+          .withColumn("z", VersionedTable.mortonColumn(docs,
+            "doc_id", "n_chars"))
           .repartitionByRange(16, $"z").sortWithinPartitions($"z")
           .drop("z")
         VersionedTable.commitMultiStats(s, table, 0L, zed,

@@ -99,8 +99,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array("compact", "expire", "tag", "branch", "promote", "rollback",
-      "update_where", "constrain", "rename_column", "widen_column")
+    Array("compact", "cluster", "expire", "tag", "branch", "promote",
+      "rollback", "update_where", "constrain", "rename_column",
+      "widen_column")
       .map(Identifier.of(Array.empty, _))
   }
 
@@ -123,6 +124,26 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             if (in.isNullAt(1)) None else Some(in.getUTF8String(1).toString)
           val v = VersionedTable.compactCommit(
             org.apache.spark.sql.SparkSession.active, t, statsCol,
+            in.getInt(2))
+          Seq("version" -> v,
+            "files" -> VersionedTable.statsManifest(t, v).size.toLong)
+        })
+      case "cluster" => proc("cluster",
+        "Rewrite the table in Morton (z-order) layout over one or two " +
+          "BIGINT columns and republish zonemaps on every clustered " +
+          "column (+ blooms, ROWS, CHECKs) as one KIND=compact commit " +
+          "— schedulable layout maintenance; change feeds skip it. " +
+          "cluster(table, cols, files => 16); cols comma-separated.",
+        Seq(ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("cols", DataTypes.StringType).build(),
+          ProcedureParameter.in("files", DataTypes.IntegerType)
+            .defaultValue("16").build()),
+        { in =>
+          val t = tableAt(in.getUTF8String(0).toString)
+          val cols = in.getUTF8String(1).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val v = VersionedTable.clusterCommit(
+            org.apache.spark.sql.SparkSession.active, t, cols,
             in.getInt(2))
           Seq("version" -> v,
             "files" -> VersionedTable.statsManifest(t, v).size.toLong)
@@ -254,8 +275,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case other =>
         throw new RuntimeException(
           s"graft catalog '$catalogName': unknown procedure '$other' " +
-            "(available: compact, expire, tag, branch, promote, rollback, " +
-            "update_where, constrain, rename_column, widen_column)")
+            "(available: compact, cluster, expire, tag, branch, promote, " +
+            "rollback, update_where, constrain, rename_column, " +
+            "widen_column)")
     }
   }
 

@@ -733,6 +733,45 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL cluster rewrites in z-order and republishes prunable stats") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cat_cluster_")
+    val s2 = session(root)
+    val t = root.resolve("zt")
+    // Two scrambled BIGINT dims committed FLAT with no stats at all —
+    // the cluster call must create the whole skipping surface itself.
+    VersionedTable.commit(spark, t, 0L,
+      spark.range(0, 1024).selectExpr("id",
+        "CAST((id * 37) % 1024 AS BIGINT) AS v",
+        "CAST(id % 7 AS BIGINT) AS payload").repartition(8))
+    VersionedTable.constraintCommit(spark, t, 1L, "payload >= 0")
+    val out = s2.sql("CALL g.cluster('zt', 'id,v', files => 16)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("version") == 2L)
+    assert(VersionedTable.commitKind(t, 2L).contains("compact"))
+    // Box predicates prune through the catalog scan — on BOTH
+    // dimensions at once and on each dimension ALONE (the rectangle
+    // property; a stripe layout would admit every file on one dim).
+    val total = VersionedTable.statsManifest(t, 2L).size
+    def planned(where: String): Int =
+      s2.sql(s"SELECT * FROM g.zt WHERE $where").rdd.getNumPartitions
+    assert(planned("id BETWEEN 256 AND 511 AND v BETWEEN 256 AND 511")
+      < total)
+    assert(planned("id BETWEEN 256 AND 511") < total)
+    assert(planned("v BETWEEN 256 AND 511") < total)
+    // Content preserved; the CHECK constraint survived the rewrite and
+    // still gates inserts.
+    assert(s2.sql("SELECT count(*) AS n FROM g.zt").head().getLong(0)
+      == 1024)
+    assert(VersionedTable.checkConstraints(t, 2L) == Seq("payload >= 0"))
+    intercept[Exception] {
+      s2.sql("INSERT INTO g.zt VALUES (5000, 5000, -1)")
+    }
+    // Refusals: >2 columns, and a non-BIGINT cluster column.
+    intercept[Exception] { s2.sql("CALL g.cluster('zt', 'id,v,payload')") }
+    intercept[Exception] { s2.sql("CALL g.cluster('zt', 'missing')") }
+  }
+
   test("ALTER TABLE DROP COLUMN refuses load-bearing columns") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_cat_dropc_")
