@@ -205,7 +205,8 @@ object VersionedTable {
     ingestLines(s, table, dataDir, files) ++
       latestVersion(table).toSeq.flatMap(v =>
         statsColumns(table, v).headOption.map(StatsColPrefix + _) ++
-          declaredPartitionCols(table, v).map(PartColPrefix + _))
+          declaredPartitionCols(table, v).map(PartColPrefix + _) ++
+          partSpecLines(table, v))
 
   /** Each commit ATTEMPT writes under its own unique slug: a crashed
     * or raced attempt's files can never collide with the winner's —
@@ -360,6 +361,19 @@ object VersionedTable {
     * STATSCOL, a full-manifest rewrite must restate it. */
   private val PartColPrefix = "PARTCOL\t"
 
+  /** `PARTSPEC\t<gen>\t<c1,c2,…>` (r17): a NUMBERED partition-spec
+    * GENERATION — Iceberg's partition-spec-evolution idea: the table's
+    * WRITE layout can change mid-life in one O(1) metadata commit,
+    * rewriting nothing. Old files keep their `col=value` paths (every
+    * file self-describes the spec its PATH exhibits, and readers
+    * re-attach/prune each file under its own spec), new commits land
+    * under the HIGHEST generation ([[writePartitionLayout]]), and a
+    * compaction un-rags the table by rewriting the whole snapshot
+    * under the live spec. An EMPTY column list is a legal generation
+    * (evolve back to flat). Like STATSCOL/PARTCOL, a full-manifest
+    * rewrite must restate every generation line (amnesia rule). */
+  private val PartSpecPrefix = "PARTSPEC\t"
+
   /** `KIND\t<verb>` (r14): a PER-COMMIT annotation naming the commit's
     * intent — `update` (a stats-pruned copy-on-write rewrite) or
     * `compact` (a content-preserving reorganization, the Delta
@@ -386,7 +400,13 @@ object VersionedTable {
       line.startsWith(DropColPrefix) || line.startsWith(BloomPrefix) ||
       line.startsWith(StatsColPrefix) || line.startsWith(StatsPrefix) ||
       line.startsWith(RowsPrefix) || line.startsWith(CheckPrefix) ||
-      line.startsWith(KindPrefix) || line.startsWith(PartColPrefix)
+      line.startsWith(KindPrefix) || line.startsWith(PartColPrefix) ||
+      line.startsWith(PartSpecPrefix)
+
+  /** Is `line` a metadata line (never a data-file line)? The change
+    * feed's skip set: meta lines carry no rows to serve. */
+  private[graft] def isMetaManifestLine(line: String): Boolean =
+    isMetaLine(line)
 
   /** Does any data-file path of `version`'s manifest carry Hive-style
     * `col=value` partition segments (a [[commitPartitioned]] layout)?
@@ -424,6 +444,92 @@ object VersionedTable {
   def partitionLayout(table: Path, version: Long): Seq[String] =
     (declaredPartitionCols(table, version) ++
       partitionColsOf(table, version)).distinct
+
+  /** All partition-spec GENERATIONS at a version, generation-ascending:
+    * (gen, columns); an empty column list is a flat generation. Empty
+    * when the table never evolved (pre-r17 tables). */
+  def partitionSpecs(table: Path, version: Long): Seq[(Long, Seq[String])] =
+    manifest(table, version).collect {
+      case l if l.startsWith(PartSpecPrefix) =>
+        val rest = l.substring(PartSpecPrefix.length)
+        val tab = rest.indexOf('\t')
+        val gen = rest.substring(0, tab).toLong
+        val cols = rest.substring(tab + 1).split(',').toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        (gen, cols)
+    }.sortBy(_._1)
+
+  /** The live PARTSPEC manifest lines at a version — what every
+    * full-manifest rewrite must restate (the amnesia rule; all
+    * generations carry, so gen numbering and history survive any
+    * number of rewrites). */
+  private def partSpecLines(table: Path, version: Long): Seq[String] =
+    partitionSpecs(table, version).map { case (g, cs) =>
+      s"$PartSpecPrefix$g\t${cs.mkString(",")}"
+    }
+
+  /** The layout NEW writes land under: the latest spec generation if
+    * the table ever evolved ([[evolvePartitionLayout]]), else the full
+    * declared-∪-path layout — pre-evolution tables behave exactly as
+    * before. READERS keep consulting [[partitionLayout]] (the union):
+    * a mixed-spec table's served schema must surface every column any
+    * file's path carries, whichever generation wrote it. */
+  def writePartitionLayout(table: Path, version: Long): Seq[String] =
+    partitionSpecs(table, version).lastOption.map(_._2)
+      .getOrElse(partitionLayout(table, version))
+
+  /** PARTITION-SPEC EVOLUTION (r17) — change the table's write layout
+    * in ONE O(1) metadata commit, rewriting nothing (Iceberg's
+    * partition-spec evolution): publishes a delta manifest whose only
+    * payload is the next `PARTSPEC` generation. From this version on,
+    * INSERTs (V2 and library writers that consult
+    * [[writePartitionLayout]]) land `c=v/` files under the NEW spec;
+    * every existing file keeps its old path and keeps pruning under
+    * the spec its path exhibits (the V2 scan prunes per-file, so a
+    * predicate on a new-spec column skips new-spec files and
+    * conservatively admits old ones — exactly Iceberg's contract).
+    * A later [[compactCommit]] rewrites the whole snapshot under the
+    * live spec, un-ragging the layout. At 100 TB this is the verb
+    * that turns "we picked the wrong partition key three years ago"
+    * from a quarter-long backfill into one commit plus incremental
+    * maintenance.
+    *
+    * Every new spec column must resolve NOW, string-typed: payload
+    * columns by schema lookup, current path-borne partition columns by
+    * the layout (path values are strings by construction) — a column
+    * in neither place would brick the next INSERT, so it refuses at
+    * declaration time. Returns the published version. */
+  def evolvePartitionLayout(s: SparkSession, table: Path,
+                            newCols: Seq[String],
+                            checkpointEvery: Int = 8): Long = {
+    refuseBranched(table, "evolvePartitionLayout")
+    require(newCols.distinct == newCols,
+      s"evolvePartitionLayout: duplicate columns in $newCols")
+    newCols.foreach(partColLine) // name validity (tab/newline/slash/=)
+    val base = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"evolvePartitionLayout: no committed version at $table"))
+    val pathCols = partitionLayout(table, base).toSet
+    lazy val payload = read(s, table, Some(base),
+      mergeSchema = columnMappings(table, base).nonEmpty).schema
+    newCols.filterNot(pathCols).foreach { c =>
+      val f = payload.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"evolvePartitionLayout: column '$c' does not exist at " +
+            s"version $base of $table"))
+      require(f.dataType == org.apache.spark.sql.types.StringType,
+        s"evolvePartitionLayout: column '$c' is ${f.dataType.sql} — " +
+          "partition values ride the path and read back as STRING; " +
+          "derive a string column first")
+    }
+    val gen = partitionSpecs(table, base).lastOption
+      .map(_._1).getOrElse(0L) + 1
+    val version = base + 1
+    publish(table, version, deltaLines(table, version,
+      Seq(s"$PartSpecPrefix$gen\t${newCols.mkString(",")}"),
+      checkpointEvery))
+    version
+  }
 
   /** The CHECK constraints live at a version, in declaration order.
     * Computed by a RAW-chain walk (base's constraints ++ this delta's
@@ -737,7 +843,8 @@ object VersionedTable {
     require(deletionVectors(table, base).isEmpty,
       s"dropColumnCommit: live deletion vectors at $table — compact " +
         "(folding the DVs) first; mappings and DVs cannot coexist")
-    require(!partitionLayout(table, base).contains(name),
+    require(!partitionLayout(table, base).contains(name) &&
+        !writePartitionLayout(table, base).contains(name),
       s"dropColumnCommit: '$name' is a partition-layout column")
     // CHECK references are resolved the way Spark will resolve them:
     // parse the constraint and collect its attribute references,
@@ -1795,7 +1902,8 @@ object VersionedTable {
         stagedLines ++ rowsLines ++ indexLines ++
           checkConstraints(table, base).map(CheckPrefix + _) ++
           statsColOpt.map(StatsColPrefix + _).toSeq ++
-          declaredPartitionCols(table, base).map(PartColPrefix + _) :+
+          declaredPartitionCols(table, base).map(PartColPrefix + _) ++
+          partSpecLines(table, base) :+
           s"${KindPrefix}update"
       else if (chainLength(table, base) + 1 > checkpointEvery)
         baseLines.filter { line =>
@@ -1850,6 +1958,12 @@ object VersionedTable {
     // them today — refuse rather than guess), and RAGGED layouts
     // refuse below.
     val partCols = partitionLayout(table, base)
+    // PARTITION-SPEC EVOLUTION (r17): reads re-attach every file's
+    // path-borne columns under the file's OWN spec (the union layout),
+    // but the REWRITE lands under the LIVE spec — compaction is the
+    // maintenance verb that un-rags an evolved table.
+    val writeCols = writePartitionLayout(table, base)
+    val evolved = partitionSpecs(table, base).nonEmpty
     val dataDir = newDataDir(table, version)
     val hadRows = manifest(table, base).exists(_.startsWith(RowsPrefix))
     val lines = partCols.headOption match {
@@ -1859,22 +1973,33 @@ object VersionedTable {
           s"compactCommit at version $base: partition-layout files " +
             "combined with deletion vectors or schema mappings — " +
             "unsupported composition")
-        // A healthy layout is UNIFORM: every data file carries every
-        // layout column's segment (the flat zero-row DDL bootstrap is
-        // the one exception). A RAGGED mix — files partitioned on
-        // different column sets — has no faithful rewrite (partitionBy
-        // would materialize NULL segments); refuse rather than guess.
+        // A healthy NON-EVOLVED layout is UNIFORM: every data file
+        // carries every layout column's segment (the flat zero-row DDL
+        // bootstrap is the one exception). A RAGGED mix — files
+        // partitioned on different column sets — has no faithful
+        // rewrite under ONE declared layout (partitionBy would
+        // materialize NULL segments); refuse rather than guess. An
+        // EVOLVED table is legitimately ragged (each file under its
+        // generation's spec); there the check relaxes to "every
+        // segment column is a known layout column" and the rewrite
+        // below un-rags under the live spec.
         val declared = declaredPartitionCols(table, base)
         statsManifest(table, base).map(_._1).foreach { f =>
           val fileCols = f.split('/').dropRight(1).collect {
             case seg if seg.contains('=') =>
               seg.substring(0, seg.indexOf('='))
           }.toSet
-          require(fileCols == partCols.toSet ||
-              (fileCols.isEmpty && declared.nonEmpty),
-            s"compactCommit at version $base: file $f carries " +
-              s"partition segments $fileCols but the table layout is " +
-              s"$partCols — ragged layouts refuse")
+          if (evolved)
+            require(fileCols.subsetOf(partCols.toSet),
+              s"compactCommit at version $base: file $f carries " +
+                s"partition segments $fileCols outside the table's " +
+                s"known layout columns $partCols")
+          else
+            require(fileCols == partCols.toSet ||
+                (fileCols.isEmpty && declared.nonEmpty),
+              s"compactCommit at version $base: file $f carries " +
+                s"partition segments $fileCols but the table layout is " +
+                s"$partCols — ragged layouts refuse")
         }
         val snap = readMultiPartitionedFiles(s, table, partCols,
           statsManifest(table, base).map(_._1))
@@ -1892,7 +2017,10 @@ object VersionedTable {
             case Some(c) => snap.repartitionByRange(files, col(c))
             case None => snap.repartition(files)
           }
-          out.write.partitionBy(partCols: _*).parquet(dataDir.toString)
+          if (writeCols.nonEmpty)
+            out.write.partitionBy(writeCols: _*).parquet(dataDir.toString)
+          else // evolved back to flat: path columns fold into the payload
+            out.write.parquet(dataDir.toString)
         }
         statsCol match {
           case Some(c) =>
@@ -1912,7 +2040,15 @@ object VersionedTable {
           case Some(c) => snap.repartitionByRange(files, col(c))
           case None => snap.repartition(files)
         }
-        out.write.parquet(dataDir.toString)
+        // A flat-file table whose spec evolved to a partitioned layout
+        // before any partitioned insert landed: the compaction itself
+        // moves the snapshot under the live spec (empty snapshots keep
+        // the flat schema-carrying shape — dynamic partitionBy of zero
+        // rows would write no files at all).
+        if (writeCols.nonEmpty && !snap.isEmpty)
+          out.write.partitionBy(writeCols: _*).parquet(dataDir.toString)
+        else
+          out.write.parquet(dataDir.toString)
         statsCol match {
           case Some(c) =>
             val stats = fileColStatsAll(s, table, dataDir, c)
@@ -1933,7 +2069,7 @@ object VersionedTable {
     // carry these compositions today). The primary stats column's
     // zonemaps already ride the data lines above.
     val indexLines =
-      if (partCols.nonEmpty) Nil
+      if (partCols.nonEmpty || writeCols.nonEmpty) Nil
       else {
         val bloomCols = blooms(table, base).map(_._2).distinct
         val secCols = secondaryStats(table, base).map(_._2).distinct
@@ -1949,7 +2085,8 @@ object VersionedTable {
     // mirrors into a full restart. A DECLARED partition layout is a
     // table-wide contract like STATSCOL — the full-manifest rewrite
     // restates it (amnesia rule).
-    val partDecl = declaredPartitionCols(table, base).map(PartColPrefix + _)
+    val partDecl = declaredPartitionCols(table, base).map(PartColPrefix + _) ++
+      partSpecLines(table, base)
     publish(table, version,
       lines ++ indexLines ++ checks ++ partDecl :+ s"${KindPrefix}compact")
     version

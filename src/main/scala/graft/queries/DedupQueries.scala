@@ -3544,6 +3544,128 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // PARTITION-SPEC EVOLUTION (r17) — Iceberg's "we picked the wrong
+    // partition key" verb, end-to-end through the catalog: a table
+    // created PARTITIONED BY (lang) ingests a batch, CALL
+    // evolve_layout('docs', 'source') changes the WRITE layout in one
+    // O(1) metadata commit (witnessed: the commit adds exactly one
+    // PARTSPEC line and zero data files — at 100 TB this is the
+    // difference between one manifest write and a quarter-long
+    // backfill), the next INSERT lands source=… files while every old
+    // file keeps its lang=… path, the scan serves BOTH generations
+    // (each file re-attaches its own path columns; the other column
+    // rides its payload) and prunes each file under ITS OWN spec — a
+    // source predicate skips non-matching new-spec files and
+    // conservatively admits old-spec files (witnessed by scan
+    // partition counts, both directions). CALL compact then un-rags
+    // the table: every file rewritten under the live spec, content
+    // byte-identical (witnessed), and the same predicate now prunes
+    // the whole table. Oracle replays the two inserts relationally.
+    "pipe_partition_evolve" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vevolve_")
+      try {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        s2.sql("""CREATE TABLE graftcat.docs
+                  (doc_id BIGINT, lang STRING, source STRING,
+                   n_chars BIGINT)
+                  PARTITIONED BY (lang)""")
+        val table = tmp.resolve("docs")
+        s2.sql(s"""INSERT INTO graftcat.docs
+                   SELECT doc_id, lang, source, n_chars
+                   FROM parquet.`$dir/documents.parquet`
+                   WHERE doc_id % 3 = 0""")
+        val oldFiles = VersionedTable.addedLines(table, 1L)
+          .filterNot(_.contains('\t'))
+        require(oldFiles.nonEmpty && oldFiles.forall(_.contains("lang=")),
+          s"pipe_partition_evolve: batch 1 must land lang=… files")
+        // The evolution itself: ONE metadata commit, zero data files.
+        s2.sql("CALL graftcat.evolve_layout('docs', 'source')")
+        require(VersionedTable.latestVersion(table).contains(2L),
+          "pipe_partition_evolve: evolve_layout must publish one commit")
+        val evolveAdds = VersionedTable.addedLines(table, 2L)
+        require(evolveAdds.size == 1 &&
+            evolveAdds.head.startsWith("PARTSPEC\t"),
+          s"pipe_partition_evolve: the evolve commit must add exactly " +
+            s"one PARTSPEC line, got $evolveAdds")
+        require(VersionedTable.writePartitionLayout(table, 2L) ==
+            Seq("source"),
+          "pipe_partition_evolve: the live write layout must be the " +
+            "new spec")
+        // New data lands under the NEW spec; old files keep their
+        // paths (nothing was rewritten).
+        s2.sql(s"""INSERT INTO graftcat.docs
+                   SELECT doc_id, lang, source, n_chars
+                   FROM parquet.`$dir/documents.parquet`
+                   WHERE doc_id % 3 = 1""")
+        val newFiles = VersionedTable.addedLines(table, 3L)
+          .filterNot(_.contains('\t'))
+        require(newFiles.nonEmpty &&
+            newFiles.forall(f => f.contains("source=") &&
+              !f.contains("lang=")),
+          s"pipe_partition_evolve: batch 2 must land source=… files, " +
+            s"got $newFiles")
+        val srcVals = newFiles.flatMap(_.split('/').collectFirst {
+          case seg if seg.startsWith("source=") => seg }).distinct
+        require(srcVals.size > 1,
+          "pipe_partition_evolve: fixture must span several sources")
+        val oneSrc = srcVals.head.substring("source=".length)
+        // PER-FILE-SPEC PRUNING, pre-compaction: a source predicate
+        // must skip every non-matching NEW-spec file and
+        // conservatively admit every OLD-spec file (+ the flat
+        // bootstrap) — Iceberg's mixed-spec contract.
+        val matching = newFiles.count(_.contains(s"source=$oneSrc"))
+        val scanned = s2.sql("SELECT * FROM graftcat.docs " +
+          s"WHERE source = '$oneSrc'").rdd.getNumPartitions
+        require(scanned == matching + oldFiles.size + 1 &&
+            scanned < oldFiles.size + newFiles.size + 1,
+          s"pipe_partition_evolve: source predicate scanned $scanned " +
+            s"files, expected $matching matching new-spec + " +
+            s"${oldFiles.size} conservatively-admitted old-spec + " +
+            "bootstrap")
+        // …and the OLD spec still prunes its own generation: a lang
+        // predicate skips non-matching old-spec files while admitting
+        // every new-spec file.
+        val oneLang = oldFiles.flatMap(_.split('/').collectFirst {
+          case seg if seg.startsWith("lang=") => seg }).distinct
+          .head.substring("lang=".length)
+        val matchingOld = oldFiles.count(_.contains(s"lang=$oneLang"))
+        val scannedLang = s2.sql("SELECT * FROM graftcat.docs " +
+          s"WHERE lang = '$oneLang'").rdd.getNumPartitions
+        require(scannedLang == matchingOld + newFiles.size + 1,
+          s"pipe_partition_evolve: lang predicate scanned " +
+            s"$scannedLang files, expected $matchingOld old-spec + " +
+            s"${newFiles.size} admitted new-spec + bootstrap")
+        val out = s2.sql("SELECT doc_id, lang, source, n_chars " +
+          "FROM graftcat.docs ORDER BY doc_id")
+        val rows = out.collect()
+        // Compaction un-rags the evolved table: everything rewritten
+        // under the live spec, content identical, and the predicate
+        // now prunes the WHOLE table.
+        s2.sql("CALL graftcat.compact('docs', 'doc_id', 4)")
+        val v = VersionedTable.latestVersion(table).get
+        val files = VersionedTable.statsManifest(table, v).map(_._1)
+        require(files.forall(f => f.contains("source=") &&
+            !f.contains("lang=")),
+          s"pipe_partition_evolve: compaction must rewrite every file " +
+            s"under the live spec, got $files")
+        val after = s2.sql("SELECT doc_id, lang, source, n_chars " +
+          "FROM graftcat.docs ORDER BY doc_id").collect()
+        require(after.toSeq == rows.toSeq,
+          "pipe_partition_evolve: compaction changed the contents")
+        val matchAfter = files.count(_.contains(s"source=$oneSrc"))
+        val scanAfter = s2.sql("SELECT * FROM graftcat.docs " +
+          s"WHERE source = '$oneSrc'").rdd.getNumPartitions
+        require(scanAfter == matchAfter && scanAfter < files.size,
+          s"pipe_partition_evolve: post-compact predicate scanned " +
+            s"$scanAfter of ${files.size}, expected $matchAfter")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // SQL ALTER TABLE ADD COLUMN (r16) — the most common schema
     // evolution, end-to-end in plain SQL: the ALTER publishes a
     // metadata-only ADDCOL commit (O(1) at any table size — no file is
@@ -4931,6 +5053,17 @@ object DedupQueries extends QueryModule {
         |    AS in_ctas
         |FROM documents d
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Partition-spec evolution replayed relationally: the two insert
+    // batches, whichever layout generation their files landed under —
+    // the layouts are a physical concern the logical result must be
+    // invariant to.
+    "pipe_partition_evolve" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE doc_id % 3 = 0 OR doc_id % 3 = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // ADD COLUMN replayed relationally: the base projection carries a
     // typed NULL for the added column, the inserted clones carry real

@@ -99,9 +99,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array("compact", "cluster", "expire", "tag", "branch", "promote",
-      "rollback", "update_where", "constrain", "rename_column",
-      "widen_column")
+    Array("compact", "cluster", "evolve_layout", "expire", "tag",
+      "branch", "promote", "rollback", "update_where", "constrain",
+      "rename_column", "widen_column")
       .map(Identifier.of(Array.empty, _))
   }
 
@@ -147,6 +147,25 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             in.getInt(2))
           Seq("version" -> v,
             "files" -> VersionedTable.statsManifest(t, v).size.toLong)
+        })
+      case "evolve_layout" => proc("evolve_layout",
+        "PARTITION-SPEC EVOLUTION: change the table's write layout in " +
+          "one O(1) metadata commit — no data rewritten. New INSERTs " +
+          "land under the new spec; existing files keep their paths " +
+          "and prune under the spec each path exhibits; CALL compact " +
+          "later to un-rag the whole table under the live spec. " +
+          "evolve_layout(table, cols); cols comma-separated, '' = flat.",
+        Seq(ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("cols", DataTypes.StringType).build()),
+        { in =>
+          val t = tableAt(in.getUTF8String(0).toString)
+          val cols = in.getUTF8String(1).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val v = VersionedTable.evolvePartitionLayout(
+            org.apache.spark.sql.SparkSession.active, t, cols)
+          Seq("version" -> v,
+            "generation" -> VersionedTable.partitionSpecs(t, v)
+              .last._1)
         })
       case "expire" => proc("expire",
         "Expire versions below keep_from and vacuum unreferenced files " +

@@ -346,13 +346,17 @@ private[sources] class GraftTable(path: String, schema0: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   import graft.operators.VersionedTable
 
-  /** The table's partition layout as identity transforms — declared
-    * (DDL `PARTITIONED BY`) or grown from `commitPartitioned` paths.
-    * Reported so SQL surfaces (DESCRIBE, CTAS validation) see it and
-    * the V2 write can honor it. */
+  /** The table's WRITE partition layout as identity transforms —
+    * declared (DDL `PARTITIONED BY`), grown from `commitPartitioned`
+    * paths, or the live spec generation after a partition-spec
+    * evolution. Reported so SQL surfaces (DESCRIBE, CTAS validation)
+    * see it and the V2 write can honor it; the SCAN keeps serving the
+    * union of every generation's columns (old files re-attach theirs
+    * from their own paths). */
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    VersionedTable.partitionLayout(java.nio.file.Paths.get(path), version)
+    VersionedTable.writePartitionLayout(java.nio.file.Paths.get(path),
+        version)
       .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
       .toArray
 

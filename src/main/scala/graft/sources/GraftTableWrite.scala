@@ -69,7 +69,7 @@ private[sources] class GraftWrite(path: String, schema: StructType,
     * pruning from day one. */
   private val partCols: Seq[String] =
     VersionedTable.latestVersion(java.nio.file.Paths.get(path))
-      .map(v => VersionedTable.partitionLayout(
+      .map(v => VersionedTable.writePartitionLayout(
         java.nio.file.Paths.get(path), v))
       .getOrElse(Nil)
   partCols.foreach { pc =>

@@ -429,9 +429,16 @@ private[sources] class ChangesStream(path: String, schema: StructType,
         throw new IllegalStateException(
           s"graft-changes: version $v evolves the schema — restart " +
             "the stream to pick up the new schema")
-      else if (line.startsWith("BLOOM\t") ||
-          line.startsWith("STATSCOL\t"))
-        None // skipping-index metadata: no rows to serve
+      else if (VersionedTable.isMetaManifestLine(line))
+        // Metadata lines carry no rows to serve: skipping indexes
+        // (BLOOM/STATS/ROWS), table contracts (CHECK/STATSCOL/PARTCOL/
+        // PARTSPEC), commit annotations (KIND). Before r17 only
+        // BLOOM/STATSCOL were skipped — an appended ROWS line (a
+        // stats-indexed table's ingest) or a CHECK/PARTSPEC
+        // declaration fell through to the data-line branch below and
+        // was served as a phantom file named "ROWS"/"CHECK" (or
+        // double-served its file).
+        None
       else // a stats-bearing data line: path<TAB>min<TAB>max
         Some(ChangesPartition(path, v, line.split('\t').head,
           changeType = changeType): InputPartition)

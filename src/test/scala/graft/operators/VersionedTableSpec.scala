@@ -984,6 +984,87 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("partition-spec evolution: O(1) metadata commit, per-spec files, compaction un-rags") {
+    import spark.implicits._
+    val t = freshTable()
+    val batch1 = Seq.tabulate(30)(i => (i.toLong, s"g${i % 3}", s"h${i % 2}"))
+      .toDF("id", "g", "h")
+    VersionedTable.commitPartitioned(spark, t, 0L, batch1, "g")
+    // The evolution is ONE metadata commit: a 2-line delta (BASE +
+    // PARTSPEC), no data file touched.
+    val ev = VersionedTable.evolvePartitionLayout(spark, t, Seq("h"))
+    assert(ev == 1L)
+    assert(VersionedTable.addedLines(t, ev) == Seq("PARTSPEC\t1\th"),
+      "the evolve commit must add exactly one PARTSPEC line")
+    assert(VersionedTable.partitionSpecs(t, ev) == Seq((1L, Seq("h"))))
+    assert(VersionedTable.writePartitionLayout(t, ev) == Seq("h"),
+      "new writes must land under the latest spec generation")
+    assert(VersionedTable.partitionLayout(t, ev) == Seq("g"),
+      "the reader union still carries the old generation's column")
+    // A new batch lands under the NEW spec; old files keep their paths.
+    val batch2 = Seq.tabulate(10)(i =>
+      (100L + i, s"g${i % 3}", s"h${i % 2}")).toDF("id", "g", "h")
+    VersionedTable.commitPartitioned(spark, t, 2L, batch2, "h",
+      carried = VersionedTable.manifest(t, ev))
+    val files2 = VersionedTable.statsManifest(t, 2L).map(_._1)
+    assert(files2.exists(f => f.contains("g=") && !f.contains("h=")) &&
+      files2.exists(f => f.contains("h=") && !f.contains("g=")),
+      s"both generations' layouts must coexist, got $files2")
+    // Compaction rewrites the WHOLE snapshot under the live spec.
+    val v = VersionedTable.compactCommit(spark, t, files = 2)
+    val files = VersionedTable.statsManifest(t, v).map(_._1)
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("h=") && !f.contains("g=")),
+      s"compaction must un-rag under the live spec, got $files")
+    // Content survives: both generations' rows, the retired partition
+    // column folded into the payload.
+    val (dfh, nRead, nTotal) =
+      VersionedTable.readPartitions(spark, t, "h", Seq("h1"))
+    assert(nRead < nTotal, "live-spec pruning must work post-compaction")
+    val got = dfh.select("id", "g").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val want = (Seq.tabulate(30)(i => (i.toLong, s"g${i % 3}", s"h${i % 2}")) ++
+      Seq.tabulate(10)(i => (100L + i, s"g${i % 3}", s"h${i % 2}")))
+      .filter(_._3 == "h1").map(x => (x._1, x._2)).sorted
+    assert(got == want,
+      "both generations' rows (and the retired column) must survive")
+    // The full-manifest rewrite restates the spec history (amnesia
+    // rule) — writes after compaction keep landing under the live spec.
+    assert(VersionedTable.partitionSpecs(t, v) == Seq((1L, Seq("h"))))
+    assert(VersionedTable.writePartitionLayout(t, v) == Seq("h"))
+  }
+
+  test("evolvePartitionLayout refusals and the evolve-to-flat generation") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    // Unknown column / non-string column / duplicates refuse at
+    // declaration time, not first-write time.
+    intercept[IllegalArgumentException] {
+      VersionedTable.evolvePartitionLayout(spark, t, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.evolvePartitionLayout(spark, t, Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.evolvePartitionLayout(spark, t, Seq("s", "s"))
+    }
+    assert(VersionedTable.latestVersion(t).contains(0L),
+      "refused evolutions must publish nothing")
+    val v1 = VersionedTable.evolvePartitionLayout(spark, t, Seq("s"))
+    assert(VersionedTable.writePartitionLayout(t, v1) == Seq("s"))
+    // A live-spec column is load-bearing: DROP COLUMN refuses it.
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropColumnCommit(spark, t, v1 + 1, "s")
+    }
+    // Evolving BACK TO FLAT is a legal generation.
+    val v2 = VersionedTable.evolvePartitionLayout(spark, t, Nil)
+    assert(VersionedTable.partitionSpecs(t, v2) ==
+      Seq((1L, Seq("s")), (2L, Nil)))
+    assert(VersionedTable.writePartitionLayout(t, v2).isEmpty)
+  }
+
   test("transact validates and carries CHECK constraints per attempt") {
     import spark.implicits._
     val t = freshTable()

@@ -55,6 +55,27 @@ class TableChangesSpec extends SparkSpec {
     assert(drainAll(t, Map("startingVersion" -> "1")) == Seq((3L, 1L)))
   }
 
+  test("appended metadata lines (ROWS/CHECK/PARTSPEC) serve no phantom rows") {
+    import spark.implicits._
+    val t = freshTable()
+    // A ROWS-indexed table: every ingest appends data lines AND a ROWS
+    // meta line per file — the feed must serve each file's rows ONCE
+    // (before r17 the ROWS line fell through to the data-line branch
+    // and double-served its file).
+    VersionedTable.commitWithStats(spark, t, 0L,
+      Seq(1L, 2L).toDF("id"), "id", rowCounts = true)
+    VersionedTable.appendCommit(spark, t, Seq(3L).toDF("id"))
+    // Pure-metadata commits (a CHECK declaration, a partition-spec
+    // evolution) advance the feed with EMPTY batches — no phantom
+    // file named "CHECK"/"PARTSPEC" is ever opened.
+    VersionedTable.constraintCommit(spark, t,
+      VersionedTable.latestVersion(t).get + 1, "id >= 0")
+    VersionedTable.evolvePartitionLayout(spark, t, Nil)
+    VersionedTable.appendCommit(spark, t, Seq(4L).toDF("id"))
+    assert(drainAll(t) ==
+      Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 4L)))
+  }
+
   test("option(ref) streams one branch's line; unpinned branched tables refuse") {
     val t = freshTable()
     VersionedTable.commit(spark, t, 0L, df(1, 2))
