@@ -1096,6 +1096,43 @@ object RelationalQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(stage)
     }),
 
+    // Avro interchange (r17) — the commonest streaming-interchange
+    // format a pipeline ingests, WITHOUT the optional spark-avro
+    // module (absent here; Avro core only): graft.sources.AvroIO
+    // writes one container file per partition executor-side (Hadoop
+    // FileSystem API — no driver funnel) and reads containers back
+    // through binaryFile + executor-side block decode. Witnessed
+    // in-path: the write is distributed (several part files), the
+    // NULL lane survives the [null, T] union, and the read round-trips
+    // every row — the aggregate the oracle replays is computed over
+    // the READ-BACK frame, so the whole loop is on the hook.
+    "rel_source_avro" -> ((s, dir) => {
+      import s.implicits._
+      val stage = graft.sources.GraftSession.stagingDir("graft_avro_")
+      try {
+        val slice = Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+            when($"o_custkey" % 7 === 0, lit(null))
+              .otherwise($"o_orderpriority").as("maybe_prio"))
+          .repartition(4)
+        val files = graft.sources.AvroIO.write(slice, s"$stage/orders")
+        require(files > 1,
+          s"rel_source_avro: the write must be distributed across " +
+            s"partitions, got $files container file(s)")
+        val back = graft.sources.AvroIO.read(s, s"$stage/orders")
+        val out = back.agg(
+            count(lit(1)).as("n"),
+            countDistinct($"o_custkey").as("n_cust"),
+            count($"maybe_prio").as("n_prio"),
+            sum($"o_totalprice".cast("decimal(18,2)"))
+              .cast("double").as("revenue"))
+          .select(lit("avro").as("format"), $"n", $"n_cust", $"n_prio",
+            $"revenue")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(stage)
+    }),
+
     // Cartesian product (tiny dims only — the one shape that must never
     // run on big inputs; kept to 5x5 on purpose).
     "rel_crossjoin" -> ((s, dir) => {
@@ -1512,6 +1549,18 @@ object RelationalQueries extends QueryModule {
         |SELECT f.fmt AS format, CAST(n AS BIGINT) AS n,
         |  CAST(n_cust AS BIGINT) AS n_cust, revenue
         |FROM a, (VALUES ('csv'), ('json'), ('orc'), ('xml')) f(fmt)
-        |ORDER BY format""".stripMargin
+        |ORDER BY format""".stripMargin,
+
+    // The Avro loop replayed relationally: the same aggregate over the
+    // source rows — equal iff every row (and the NULL lane the union
+    // encodes) survived the write+read.
+    "rel_source_avro" ->
+      """SELECT 'avro' AS format, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |  CAST(count(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |             ELSE o_orderpriority END) AS BIGINT) AS n_prio,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders""".stripMargin
   )
 }

@@ -155,4 +155,34 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(lang"),
       s"partition filter missing from scan:\n$scan")
   }
+
+  test("AvroIO round-trips the interchange subset, nulls and binary included") {
+    import spark.implicits._
+    val dir = tmp("avro")
+    val data = Seq(
+      (1L, 10, 1.5d, 2.5f, true, "a", Array[Byte](1, 2)),
+      (2L, 20, -0.5d, 0f, false, "b", Array[Byte]()),
+      (3L, 30, 0d, 1f, true, null.asInstanceOf[String], null.asInstanceOf[Array[Byte]]))
+      .toDF("l", "i", "d", "f", "b", "s", "bin")
+    val files = AvroIO.write(data.repartition(2), dir)
+    assert(files == 2L, "one container file per non-empty partition")
+    val back = AvroIO.read(spark, dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      data.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      "the container header must reconstruct the Spark schema")
+    val got = back.orderBy("l").collect()
+    val want = data.orderBy("l").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      (0 until 6).foreach(c => assert(g.get(c) == w.get(c),
+        s"column $c mismatch: ${g.get(c)} vs ${w.get(c)}"))
+      val (gb, wb) = (g.getAs[Array[Byte]](6), w.getAs[Array[Byte]](6))
+      assert((gb == null) == (wb == null) &&
+        (gb == null || gb.sameElements(wb)), "binary column mismatch")
+    }
+    // Unsupported column types refuse loudly at schema time.
+    intercept[IllegalArgumentException] {
+      AvroIO.avroSchema(Seq((1L, Seq(1, 2))).toDF("id", "arr").schema)
+    }
+  }
 }
