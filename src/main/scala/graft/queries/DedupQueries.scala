@@ -3544,6 +3544,78 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // METADATA TABLES (r17) — the Iceberg `t$files` surface: a graft
+    // table's protocol state as SELECT-able relations, answered from
+    // MANIFESTS ALONE (at 100 TB, "how many rows per partition" /
+    // "which files hold last week" are dashboard queries that must
+    // cost a metadata read, never a scan). `t$history` (one row per
+    // commit: kind, files added/removed), `t$files` (path, bytes,
+    // ROWS count, zonemap bounds, partition segments), `t$partitions`
+    // (per-partition file/row rollup — the layout columns as real
+    // columns), `t$refs` (tags/branches) — and VERSION AS OF composes
+    // with all of them (witnessed: the v0 inventory is smaller). The
+    // oracle replays $partitions relationally: the per-lang row
+    // counts served from ROWS manifest lines must equal the exact
+    // GROUP BY over the fixture — the metadata IS the data's truth.
+    "pipe_table_meta" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vmeta_")
+      try {
+        val table = tmp.resolve("docs")
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        VersionedTable.commitPartitioned(s, table, 0L,
+          docs.where("doc_id % 2 = 0"), "lang",
+          statsCol = Some("doc_id"), rowCounts = true)
+        VersionedTable.commitPartitioned(s, table, 1L,
+          docs.where("doc_id % 2 = 1"), "lang",
+          carried = VersionedTable.manifest(table, 0L),
+          statsCol = Some("doc_id"), rowCounts = true)
+        VersionedTable.tagCreate(table, "release", 1L)
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        // $files: one row per live data file, bytes/ROWS/zonemaps from
+        // the manifest (+ a stat call for bytes), partition segments.
+        val files = s2.sql("SELECT * FROM graftcat.`docs$files`").collect()
+        require(files.length ==
+            VersionedTable.statsManifest(table, 1L).size,
+          "pipe_table_meta: $files must inventory the live snapshot")
+        require(files.forall(r => r.getLong(r.fieldIndex("bytes")) > 0 &&
+            !r.isNullAt(r.fieldIndex("row_count")) &&
+            r.getLong(r.fieldIndex("stats_min")) <=
+              r.getLong(r.fieldIndex("stats_max")) &&
+            r.getString(r.fieldIndex("partition")).startsWith("lang=")),
+          "pipe_table_meta: $files rows must carry bytes, ROWS count, " +
+            "zonemap bounds and partition segments")
+        // Time travel composes: v0's inventory is strictly smaller.
+        val v0Files = s2.sql(
+          "SELECT * FROM graftcat.`docs$files` VERSION AS OF 0").count()
+        require(v0Files < files.length && v0Files > 0,
+          s"pipe_table_meta: VERSION AS OF 0 must serve v0's " +
+            s"$v0Files-file inventory")
+        // $history: one row per commit, kind and add/remove counts.
+        val hist = s2.sql("SELECT version, files_added, files_removed " +
+          "FROM graftcat.`docs$history` ORDER BY version").collect()
+        require(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L) &&
+            hist.forall(r => r.getLong(1) > 0 && r.getLong(2) == 0),
+          "pipe_table_meta: $history must report both append commits")
+        // $refs: the tag with its pinned version.
+        val refs = s2.sql("SELECT name, type, version " +
+          "FROM graftcat.`docs$refs`").collect()
+        require(refs.map(r => (r.getString(0), r.getString(1),
+            r.getLong(2))).toSeq == Seq(("release", "tag", 1L)),
+          s"pipe_table_meta: $$refs must list the tag, got " +
+            refs.mkString(", "))
+        // $partitions: the per-lang rollup — the ORACLE-CHECKED half.
+        val out = s2.sql("SELECT lang, row_count " +
+          "FROM graftcat.`docs$partitions` ORDER BY lang")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // PARTITION-SPEC EVOLUTION (r17) — Iceberg's "we picked the wrong
     // partition key" verb, end-to-end through the catalog: a table
     // created PARTITIONED BY (lang) ingests a batch, CALL
@@ -5053,6 +5125,15 @@ object DedupQueries extends QueryModule {
         |    AS in_ctas
         |FROM documents d
         |ORDER BY d.doc_id""".stripMargin,
+
+    // The $partitions metadata table replayed relationally: per-lang
+    // row counts folded from ROWS manifest lines must equal the exact
+    // GROUP BY over the fixture rows the two commits ingested.
+    "pipe_table_meta" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS row_count
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     // Partition-spec evolution replayed relationally: the two insert
     // batches, whichever layout generation their files landed under —

@@ -358,6 +358,22 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   }
 
   private def load(ident: Identifier, version: Option[Long]): Table = {
+    // METADATA TABLES (r17): `t$history` / `t$files` / `t$partitions` /
+    // `t$refs` — the Iceberg metadata-table surface, answered from
+    // manifests alone. `VERSION AS OF` composes (the version resolves
+    // here, before the metadata table is built).
+    if (ident.namespace.isEmpty && ident.name.contains('$')) {
+      val i = ident.name.indexOf('$')
+      val (base, meta) =
+        (ident.name.substring(0, i), ident.name.substring(i + 1))
+      if (!GraftMetaTables.Kinds.contains(meta))
+        throw new NoSuchTableException(ident)
+      val p = validName(base)
+      if (VersionedTable.latestVersion(p).isEmpty)
+        throw new NoSuchTableException(ident)
+      return GraftMetaTables(p, meta,
+        GraftTableSource.resolveVersion(p.toString, version))
+    }
     val p = tableRoot(ident)
     if (VersionedTable.latestVersion(p).isEmpty)
       throw new NoSuchTableException(ident)

@@ -1,0 +1,147 @@
+package graft.sources
+
+import graft.operators.VersionedTable
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.file.{Files, Path}
+
+/** METADATA TABLES (r17) — the Iceberg `table$files` idea: every graft
+  * table exposes its own protocol state as SELECT-able relations,
+  * answered from MANIFESTS ALONE (no data file is ever opened — at
+  * 100 TB these queries cost a metadata read, which is the whole
+  * point of keeping per-file rows/stats/paths in the commit log):
+  *
+  *  - `t$history`    — one row per commit: version, committed_ms,
+  *                     kind, files_added, files_removed.
+  *  - `t$files`      — the live snapshot's file inventory: path,
+  *                     bytes, row_count (NULL without ROWS lines),
+  *                     stats_min/stats_max (NULL without zonemaps),
+  *                     partition (the `c=v/…` path segments, NULL for
+  *                     flat files).
+  *  - `t$partitions` — per-partition rollup: one STRING column per
+  *                     layout column (NULL where a file's own spec
+  *                     lacks it — evolution-aware), files,
+  *                     row_count (NULL without ROWS lines).
+  *  - `t$refs`       — name, type (tag/branch), version.
+  *
+  * Time travel composes: `SELECT … FROM g.`t$files` VERSION AS OF 3`
+  * inventories version 3's snapshot — the catalog resolves the version
+  * before the metadata table is built. All four are read-only. */
+object GraftMetaTables {
+
+  val Kinds: Set[String] = Set("history", "files", "partitions", "refs")
+
+  def apply(table: Path, kind: String, version: Long): Table =
+    new GraftMetaTable(table, kind, version)
+
+  private def utf(s: String): UTF8String = UTF8String.fromString(s)
+
+  private[sources] def schemaOf(table: Path, kind: String,
+                                version: Long): StructType = kind match {
+    case "history" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("committed_ms", LongType, nullable = false),
+      StructField("kind", StringType, nullable = true),
+      StructField("files_added", LongType, nullable = false),
+      StructField("files_removed", LongType, nullable = false)))
+    case "files" => StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("row_count", LongType, nullable = true),
+      StructField("stats_min", LongType, nullable = true),
+      StructField("stats_max", LongType, nullable = true),
+      StructField("partition", StringType, nullable = true)))
+    case "partitions" => StructType(
+      VersionedTable.partitionLayout(table, version).map(c =>
+        StructField(c, StringType, nullable = true)) ++ Seq(
+        StructField("files", LongType, nullable = false),
+        StructField("row_count", LongType, nullable = true)))
+    case "refs" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    case other => throw new IllegalArgumentException(
+      s"graft-table: unknown metadata table '$other' — " +
+        s"one of ${Kinds.toSeq.sorted.mkString(", ")}")
+  }
+
+  private[sources] def rowsOf(table: Path, kind: String,
+                              version: Long): Array[InternalRow] = kind match {
+    case "history" =>
+      val times = VersionedTable.versionTimes(table).toMap
+      VersionedTable.versions(table).filter(_ <= version).map { v =>
+        InternalRow(v, times.getOrElse(v, 0L),
+          VersionedTable.commitKind(table, v).map(utf).orNull,
+          VersionedTable.addedLines(table, v)
+            .count(!VersionedTable.isMetaManifestLine(_)).toLong,
+          VersionedTable.removedDataFiles(table, v).size.toLong)
+      }.toArray
+    case "files" =>
+      val hasStats = VersionedTable.statsColumns(table, version).nonEmpty
+      val rows = VersionedTable.rowCounts(table, version).toMap
+      VersionedTable.statsManifest(table, version).map { case (f, mn, mx) =>
+        val part = f.split('/').dropRight(1)
+          .filter(_.contains('=')).mkString("/")
+        InternalRow(utf(f), Files.size(table.resolve(f)),
+          rows.get(f).map(java.lang.Long.valueOf).orNull,
+          if (hasStats) java.lang.Long.valueOf(mn) else null,
+          if (hasStats) java.lang.Long.valueOf(mx) else null,
+          if (part.isEmpty) null else utf(part))
+      }.toArray
+    case "partitions" =>
+      val layout = VersionedTable.partitionLayout(table, version)
+      val rows = VersionedTable.rowCounts(table, version).toMap
+      val hasRows = rows.nonEmpty
+      VersionedTable.statsManifest(table, version).map(_._1)
+        .groupBy(f => layout.map(c =>
+          GraftTableSource.partitionValues(f).toMap.get(c)))
+        .toSeq.sortBy(_._1.map(_.getOrElse("")).mkString("/"))
+        .map { case (values, fs) =>
+          InternalRow.fromSeq(values.map(_.map(utf).orNull) ++ Seq(
+            fs.size.toLong,
+            if (hasRows)
+              java.lang.Long.valueOf(fs.flatMap(rows.get).sum)
+            else null))
+        }.toArray
+    case "refs" =>
+      VersionedTable.refs(table).map { case (name, tpe, head) =>
+        InternalRow(utf(name), utf(tpe), head)
+      }.toArray
+    case other => throw new IllegalArgumentException(
+      s"graft-table: unknown metadata table '$other'")
+  }
+}
+
+private[sources] class GraftMetaTable(table: Path, kind: String,
+    version: Long) extends Table with SupportsRead {
+
+  override def name(): String =
+    s"${table.getFileName}$$$kind@v$version"
+
+  override def schema(): StructType =
+    GraftMetaTables.schemaOf(table, kind, version)
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        // Computed at plan time from MANIFESTS only — the one
+        // filesystem touch beyond the commit log is Files.size on
+        // $files rows (a stat call, never a read).
+        private val out = GraftMetaTables.rowsOf(table, kind, version)
+        override def readSchema(): StructType = schema()
+        override def rows(): Array[InternalRow] = out
+        override def description(): String =
+          s"graft-meta ${name()} (manifest-only)"
+      }
+    }
+}

@@ -33,6 +33,53 @@ class GraftCatalogSpec extends SparkSpec {
     root
   }
 
+  test("metadata tables: $history/$files/$partitions/$refs from manifests") {
+    import spark.implicits._
+    val root = staged()
+    val s2 = session(root)
+    // $files: stats table — zonemap bounds present, no ROWS lines →
+    // row_count NULL, flat layout → partition NULL.
+    val files = s2.sql("SELECT * FROM g.`nums$files`").collect()
+    assert(files.length ==
+      VersionedTable.statsManifest(root.resolve("nums"), 1L).size)
+    assert(files.forall(r => r.isNullAt(r.fieldIndex("row_count")) &&
+      r.isNullAt(r.fieldIndex("partition")) &&
+      !r.isNullAt(r.fieldIndex("stats_min"))))
+    // $history: two append commits, no kind, nothing removed.
+    val hist = s2.sql("SELECT * FROM g.`nums$history` ORDER BY version")
+      .collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(hist.forall(r => r.isNullAt(r.fieldIndex("kind")) &&
+      r.getLong(r.fieldIndex("files_removed")) == 0L))
+    // $refs: empty until a ref exists; then lists it.
+    assert(s2.sql("SELECT * FROM g.`nums$refs`").count() == 0)
+    VersionedTable.tagCreate(root.resolve("nums"), "rel", 0L)
+    assert(s2.sql("SELECT name, type, version FROM g.`nums$refs`")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq == Seq(("rel", "tag", 0L)))
+    // VERSION AS OF composes with metadata tables.
+    assert(s2.sql("SELECT * FROM g.`nums$history` VERSION AS OF 0")
+      .count() == 1)
+    // Evolution-aware $partitions: a mixed-spec table serves each
+    // file's own values, NULL where its spec lacks a column.
+    val t2 = root.resolve("mix")
+    VersionedTable.commitPartitioned(spark, t2, 0L,
+      Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "g", "h"), "g")
+    VersionedTable.evolvePartitionLayout(spark, t2, Seq("h"))
+    VersionedTable.commitPartitioned(spark, t2, 2L,
+      Seq((3L, "a", "x")).toDF("id", "g", "h"), "h",
+      carried = VersionedTable.manifest(t2, 1L))
+    val parts = s2.sql("SELECT g, h, files FROM g.`mix$partitions`")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2))).toSet
+    assert(parts == Set((Some("a"), None, 1L), (Some("b"), None, 1L),
+      (None, Some("x"), 1L)),
+      s"evolution-aware partition rollup mismatch: $parts")
+    // Unknown $kind and $meta on a missing table are unknown tables.
+    intercept[Exception] { s2.sql("SELECT * FROM g.`nums$bogus`").collect() }
+    intercept[Exception] { s2.sql("SELECT * FROM g.`ghost$files`").collect() }
+  }
+
   test("tables resolve by name; versions via VERSION AS OF") {
     val root = staged()
     val s2 = session(root)
