@@ -334,6 +334,89 @@ object EmbeddingQueries extends QueryModule {
       graft.streaming.EventStreams.deleteTree(idx.resolve(s"seg=$sg")))
   }
 
+  /** ROUTED serve (r17) — the IVF×HNSW hybrid every large vector
+    * store converges on (FAISS IVF-HNSW, SPANN's centroid router):
+    * when segments are SPATIAL (each cell = a coarse-codebook
+    * centroid's vectors, not an ingest slice), a probe needs only its
+    * `nprobe` nearest cells — the coarse router costs O(k·probes) on
+    * tiny broadcast centroids, and serve work per probe drops from
+    * "every segment's graph" to nprobe graphs REGARDLESS of segment
+    * count: this is the structural answer to segment proliferation
+    * that merging alone only postpones. The scan itself prunes to the
+    * routed cells' partition directories (seg= pushdown), so unprobed
+    * segments are neither read nor searched. Recall is the IVF trade:
+    * routing loss dominates (the per-cell graphs are near-exact), so
+    * the gate is the IVF floor, not the unrouted 9/10. */
+  private[graft] def hnswServeRouted(s: SparkSession,
+      idx: java.nio.file.Path, efServe: Int, nprobe: Int): HnswRun = {
+    import s.implicits._
+    val g = s.read.parquet(idx.resolve("graph").toString)
+    val cents = s.read.parquet(idx.resolve("centroids").toString)
+      .selectExpr("cell", "CAST(cvec AS array<double>) AS cvec").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val probes = g.where($"vec_id" < 10)
+      .select($"vec_id", $"e").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    // Coarse routing, driver-side: k centroids × 10 probes. Ties to
+    // the smaller cell — the module's total-order rule.
+    val routed: Map[Long, Set[Int]] = probes.map { case (qid, qe) =>
+      qid -> cents.map { case (c, cv) => (cosineLocal(qe, cv), c) }
+        .sortBy { case (sim, c) => (-sim, c) }
+        .take(nprobe).map(_._2).toSet
+    }.toMap
+    val union = routed.values.flatten.toSet.toSeq.sorted
+    val routedB = s.sparkContext.broadcast(routed)
+    val probesB = s.sparkContext.broadcast(probes)
+    val taskBound = hnswMaxTaskRows
+    val served = g.where($"seg".isin(union.map(Int.box): _*))
+      .select($"seg", $"vec_id", $"e", $"nbrs")
+      .repartition(col("seg"))
+      .as[(Int, Long, Seq[Double], Seq[Long])]
+      .mapPartitions { it =>
+        val rows = boundedTaskRows(it, taskBound, "hnswServeRouted")
+        rows.groupBy(_._1).iterator.flatMap { case (sg, rs) =>
+          val qs = probesB.value
+            .filter { case (qid, _) => routedB.value(qid).contains(sg) }
+          if (qs.isEmpty) Iterator.empty
+          else {
+            val vecs = rs.map(t => t._2 -> t._3.toArray).toMap
+            val adj = rs.map(t => t._2 -> t._4).toMap
+            val entry = rs.iterator.map(_._2).min
+            qs.iterator.flatMap { case (qid, qe) =>
+              val (cands, visited) = nswSearch(qe, entry,
+                x => adj.getOrElse(x, Nil), vecs, ef = efServe)
+              cands.take(8).map { case (nid, sim) =>
+                (qid, nid, sim, sg, visited) }
+            }
+          }
+        }
+      }
+      .toDF("qid", "nid", "sim", "seg", "visited")
+      .persist()
+    // ROUTING WITNESS, in-path: every probe's serve rows span exactly
+    // its nprobe routed cells — counted from what actually ran, not
+    // assumed from the routing table.
+    val perProbe = served.select($"qid", $"seg").distinct()
+      .groupBy($"qid").agg(count(lit(1)).as("cells")).collect()
+    require(perProbe.length == probes.length &&
+        perProbe.forall(_.getLong(1) == math.min(nprobe, cents.length)),
+      s"hnswServeRouted: probes searched " +
+        s"${perProbe.map(_.getLong(1)).toSeq} cells, expected " +
+        s"$nprobe of ${cents.length} each")
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+    val out = served.where($"nid" =!= $"qid")
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+      .selectExpr("qid", "rank", "nid",
+        "CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6")
+      .orderBy("qid", "rank")
+    HnswRun(out,
+      () => served.select($"qid", $"seg", $"visited").distinct()
+        .agg(sum($"visited")).head().getLong(0),
+      g.count(), probes.length.toLong, cents.length)
+  }
+
   private[graft] def hnswBuildServe(s: SparkSession, dir: String,
       idx: java.nio.file.Path, segments: Int, efServe: Int,
       efC: Int = 24, m: Int = 8, maxDeg: Int = 16): HnswRun = {
@@ -1331,6 +1414,74 @@ object EmbeddingQueries extends QueryModule {
           require(overlap * 10 >= exact.size * 9,
             s"emb_hnsw_merge recall gate: $overlap/${exact.size} " +
               "exact pairs recovered — below the 9/10 floor")
+        }
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // ROUTED GRAPH ANN — IVF×HNSW (r17), the hybrid every large
+    // vector store converges on and the STRUCTURAL answer to segment
+    // proliferation (merging keeps segment COUNT bounded; routing
+    // makes serve cost independent of it): segments are SPATIAL —
+    // each coarse-codebook centroid's vectors form one cell, each
+    // cell builds its own NSW graph — and a probe searches only its
+    // nprobe=3 nearest cells, chosen by a driver-side O(k·probes)
+    // pass over the broadcast-sized stored codebook. The scan prunes
+    // to the routed cells' seg= partition directories, so unprobed
+    // cells are neither read nor greedy-searched. Gates: (1) the
+    // serve plan reads the stored index only; (2) ROUTING witness —
+    // every probe searched exactly nprobe of the k cells (counted
+    // from the served rows, not assumed); (3) visited work below the
+    // brute-force budget; (4) recall vs the exact top-3 at the IVF
+    // floor — the routing loss dominates on the near-uniform fixture
+    // vectors (the per-cell graphs are near-exact), exactly the
+    // recall/locality trade nprobe prices in production.
+    "emb_hnsw_routed" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.sources.GraftSession.stagingDir("graft_hnswrt_")
+      try {
+        val idx = tmp.resolve("index")
+        // BUILD: stored coarse codebook (exact fixed-point label
+        // means), nearest-cell assignment, one NSW graph per cell.
+        val sumAgg = udaf(new ElementwiseSum(64))
+        Tables.embeddings(s, dir)
+          .selectExpr("label",
+            "transform(cast(embedding AS array<double>), x -> CAST(floor(x * 1000000) AS BIGINT)) AS e6")
+          .groupBy($"label").agg(count(lit(1)).as("n"), sumAgg($"e6").as("sums"))
+          .selectExpr("label AS cell",
+            "transform(sums, x -> x / (n * 1000000.0)) AS cvec")
+          .write.parquet(idx.resolve("centroids").toString)
+        val wCell = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
+        val assigned = Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding")
+          .crossJoin(broadcast(
+            s.read.parquet(idx.resolve("centroids").toString)))
+          .withColumn("csim", call_function("cosine_sim", $"embedding", $"cvec"))
+          .withColumn("crk", row_number().over(wCell))
+          .where($"crk" === 1)
+          .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e",
+            "CAST(cell AS INT) AS seg")
+        hnswBuildSegments(assigned, idx.resolve("graph"),
+          HnswEfC, HnswM, HnswMaxDeg)
+        // SERVE: stored index only (codebook router + routed graphs).
+        val nprobe = 3
+        val h = hnswServeRouted(s, idx, HnswEfServe, nprobe)
+        QueryModule.gated("emb_hnsw_routed", h.out) { rows =>
+          val planStr = QueryModule.gatedPlans.get("emb_hnsw_routed")
+            .queryExecution.executedPlan.toString
+          require(!planStr.contains("embeddings.parquet"),
+            "emb_hnsw_routed: the serve plan scans the source corpus")
+          require(h.segments > nprobe,
+            s"emb_hnsw_routed: ${h.segments} cells — the routing " +
+              s"witness needs more cells than nprobe=$nprobe")
+          require(h.visitedTotal() < h.nVec * h.nProbes,
+            "emb_hnsw_routed: routed search is not cheaper than a " +
+              "brute-force scan")
+          val exact = exactTop3(s, dir)
+          val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+          val overlap = exact.count(got)
+          require(overlap >= exact.size / 4,
+            s"emb_hnsw_routed recall gate: $overlap/${exact.size} " +
+              "exact pairs recovered — below the IVF 1/4 floor")
         }
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),

@@ -72,6 +72,27 @@ class EmbeddingSpec extends SparkSpec {
       "graph build/serve is not deterministic across runs")
   }
 
+  test("routed graph-ANN (IVF×HNSW) recall and determinism") {
+    val exact = graft.SparkEntry.queries("emb_knn")(spark, sf001)
+      .filter("rank <= 3").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val run1 = graft.SparkEntry.queries("emb_hnsw_routed")(spark, sf001)
+      .collect()
+    assert(run1.length == 30, s"expected 10 probes x top-3, got ${run1.length}")
+    val got = run1.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = got.count(exact.contains)
+    info(s"routed NSW/exact top-3 overlap: $overlap/${exact.size}")
+    // Routing trades recall for probe locality — the IVF floor, not
+    // the unrouted 9/10 (the in-path gate enforces the same bound).
+    assert(overlap >= exact.size / 4,
+      s"routed graph-ANN recall too low: $overlap/${exact.size}")
+    // Deterministic codebook, assignment, build and routed search.
+    val run2 = graft.SparkEntry.queries("emb_hnsw_routed")(spark, sf001)
+      .collect()
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq,
+      "routed build/serve is not deterministic across runs")
+  }
+
   test("hnsw build/serve refuses a task above the materialization bound") {
     // Both graph passes hold one task's segments in memory; a
     // misconfigured segment count must REFUSE (r17), not OOM the
