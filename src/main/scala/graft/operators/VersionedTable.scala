@@ -2092,6 +2092,96 @@ object VersionedTable {
     version
   }
 
+  /** PARTITION-SCOPED COMPACTION (r17) — the maintenance shape a
+    * 100-TB table actually runs: nobody compacts three years of
+    * history to fix yesterday's small files. Rewrites ONLY the files
+    * whose `partCol=value` path segment matches `values` (the hot
+    * partitions an hourly stream just fragmented) into `files`
+    * right-sized files under the table's WRITE layout; every untouched
+    * file's manifest line carries BYTE-VERBATIM through an RM delta —
+    * metadata cost O(touched), never O(table), the updateWhere shape
+    * with compaction semantics. Stats/ROWS recompute for the new files
+    * when the base recorded them; KIND=compact, so change feeds skip
+    * the commit (content unchanged). On a spec-EVOLVED table the
+    * scoped rewrite moves just those files to the live spec —
+    * incremental un-ragging, partition by partition. Returns
+    * (publishedVersion, filesRewritten, filesTotal); an empty scope
+    * publishes nothing and returns (base, 0, total). */
+  def compactPartitionsCommit(s: SparkSession, table: Path,
+      partCol: String, values: Seq[String], files: Int = 4,
+      checkpointEvery: Int = 8): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    refuseBranched(table, "compactPartitionsCommit")
+    require(values.nonEmpty && files > 0,
+      s"compactPartitionsCommit: need partition values and files > 0")
+    val base = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"compactPartitionsCommit: no committed version at $table"))
+    require(deletionVectors(table, base).isEmpty &&
+        columnMappings(table, base).isEmpty,
+      s"compactPartitionsCommit at version $base: deletion vectors or " +
+        "schema mappings live — run a full compactCommit first")
+    val layout = partitionLayout(table, base)
+    require(layout.contains(partCol),
+      s"compactPartitionsCommit: '$partCol' is not a partition column " +
+        s"of $table (layout $layout)")
+    val all = statsManifest(table, base).map(_._1)
+    val want = values.toSet
+    def valueOf(f: String): Option[String] =
+      f.split('/').collectFirst {
+        case seg if seg.startsWith(partCol + "=") =>
+          java.net.URLDecoder.decode(seg.substring(partCol.length + 1),
+            "UTF-8")
+      }
+    val touched = all.filter(f => valueOf(f).exists(want))
+    if (touched.isEmpty) return (base, 0, all.size)
+    val version = base + 1
+    val writeCols = writePartitionLayout(table, base)
+    val snap = readMultiPartitionedFiles(s, table, layout, touched)
+    val dataDir = newDataDir(table, version)
+    val statsColOpt = statsColumns(table, base).headOption
+    val hadRows = manifest(table, base).exists(_.startsWith(RowsPrefix))
+    if (!snap.isEmpty) {
+      val out = statsColOpt match {
+        case Some(c) => snap.repartitionByRange(files, col(c))
+        case None => snap.repartition(files)
+      }
+      if (writeCols.nonEmpty)
+        out.write.partitionBy(writeCols: _*).parquet(dataDir.toString)
+      else out.write.parquet(dataDir.toString)
+    }
+    val staged =
+      if (snap.isEmpty) Nil
+      else statsColOpt match {
+        case Some(c) =>
+          val stats = fileColStatsAll(s, table, dataDir, c)
+          stats.map { case (f, mn, mx, _) => s"$f\t$mn\t$mx" } ++
+            (if (hadRows)
+               stats.map { case (f, _, _, n) => s"$RowsPrefix$f\t$n" }
+             else Nil)
+        case None =>
+          partFiles(table, dataDir) ++
+            (if (hadRows) fileRowsLinesAll(s, table, dataDir) else Nil)
+      }
+    // A scope that holds only zero-row files compacts away entirely —
+    // legal as long as the table keeps a data line (its schema source).
+    require(staged.nonEmpty || touched.size < all.size,
+      s"compactPartitionsCommit: the scope covers every file of $table " +
+        "and holds no rows — TRUNCATE is the legitimate verb")
+    val dead = touched.toSet
+    val added = staged :+ s"${KindPrefix}compact"
+    val lines =
+      if (chainLength(table, base) + 1 > checkpointEvery)
+        manifest(table, base).filter { line =>
+          if (isMetaLine(line)) metaFile(line).forall(!dead.contains(_))
+          else !dead.contains(line.split('\t').head)
+        } ++ added
+      else (BasePrefix + base) +:
+        (touched.sorted.map(RmPrefix + _) ++ added)
+    publish(table, version, lines)
+    (version, touched.size, all.size)
+  }
+
   /** Normalized 2-D MORTON KEY column over two BIGINT columns — ONE
     * definition shared by the z-order queries and [[clusterCommit]]
     * (divergent copies would silently fork the layout semantics).

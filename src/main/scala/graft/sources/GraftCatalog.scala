@@ -99,9 +99,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array("compact", "cluster", "evolve_layout", "expire", "tag",
-      "branch", "promote", "rollback", "update_where", "constrain",
-      "rename_column", "widen_column")
+    Array("compact", "compact_partitions", "cluster", "evolve_layout",
+      "expire", "tag", "branch", "promote", "rollback", "update_where",
+      "constrain", "rename_column", "widen_column")
       .map(Identifier.of(Array.empty, _))
   }
 
@@ -147,6 +147,29 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             in.getInt(2))
           Seq("version" -> v,
             "files" -> VersionedTable.statsManifest(t, v).size.toLong)
+        })
+      case "compact_partitions" => proc("compact_partitions",
+        "PARTITION-SCOPED compaction: rewrite only the files under the " +
+          "named partition values into right-sized files (RM delta — " +
+          "untouched files carry byte-verbatim, metadata O(touched)); " +
+          "KIND=compact so change feeds skip it. " +
+          "compact_partitions(table, col, vals, files => 4); " +
+          "vals comma-separated.",
+        Seq(ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("col", DataTypes.StringType).build(),
+          ProcedureParameter.in("vals", DataTypes.StringType).build(),
+          ProcedureParameter.in("files", DataTypes.IntegerType)
+            .defaultValue("4").build()),
+        { in =>
+          val t = tableAt(in.getUTF8String(0).toString)
+          val vals = in.getUTF8String(2).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val (v, rewritten, total) =
+            VersionedTable.compactPartitionsCommit(
+              org.apache.spark.sql.SparkSession.active, t,
+              in.getUTF8String(1).toString, vals, in.getInt(3))
+          Seq("version" -> v, "files_rewritten" -> rewritten.toLong,
+            "files_total" -> total.toLong)
         })
       case "evolve_layout" => proc("evolve_layout",
         "PARTITION-SPEC EVOLUTION: change the table's write layout in " +

@@ -106,11 +106,12 @@ private[sources] class GraftWrite(path: String, schema: StructType,
     require(!truncate,
       "graft-table: the streaming sink is append-only (complete-mode " +
         "rewrites belong to batch overwrite or compaction commits)")
-    require(partCols.isEmpty,
-      s"graft-table: $path has a partition layout $partCols — the " +
-        "streaming sink writes flat files; sink to a flat table and " +
-        "compact into the layout, or batch-insert")
-    new GraftStreamingWrite(path, stagingRel, schema)
+    // Partitioned sink tables (r17): each epoch's rows route to
+    // `c=v/…` files under the table's WRITE layout, exactly like a
+    // batch INSERT — the manifest partition pruning a day-partitioned
+    // event stream needs from its very first micro-batch. (Before r17
+    // this refused toward a flat-sink-then-compact detour.)
+    new GraftStreamingWrite(path, stagingRel, schema, partCols)
   }
 }
 
@@ -218,11 +219,12 @@ private[sources] class GraftBatchWrite(path: String, stagingRel: String,
 }
 
 private[sources] class GraftStreamingWrite(path: String, stagingRel: String,
-    schema: StructType) extends StreamingWrite {
+    schema: StructType,
+    partCols: Seq[String] = Nil) extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftWriterFactory(path, stagingRel, schema)
+    new GraftWriterFactory(path, stagingRel, schema, partCols = partCols)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {

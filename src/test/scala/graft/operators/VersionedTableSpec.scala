@@ -1034,6 +1034,45 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.writePartitionLayout(t, v) == Seq("h"))
   }
 
+  test("compactPartitionsCommit: scoped rewrite, verbatim carry, no-op scope") {
+    import spark.implicits._
+    val t = freshTable()
+    val data = Seq.tabulate(40)(i => (i.toLong, s"g${i % 2}"))
+      .toDF("id", "g").repartition(4)
+    VersionedTable.commitPartitioned(spark, t, 0L, data, "g",
+      statsCol = Some("id"), rowCounts = true)
+    val before = VersionedTable.manifest(t, 0L)
+    val g1Before = VersionedTable.statsManifest(t, 0L).map(_._1)
+      .count(_.contains("g=g1"))
+    assert(g1Before > 1, "scope must start fragmented")
+    val (v, rewritten, total) =
+      VersionedTable.compactPartitionsCommit(spark, t, "g", Seq("g1"),
+        files = 1)
+    assert(v == 1L && rewritten == g1Before &&
+      total == VersionedTable.statsManifest(t, 0L).size)
+    // Untouched partition lines carry byte-verbatim through the delta.
+    val after = VersionedTable.manifest(t, 1L)
+    assert(after.filter(_.contains("g=g0")).forall(before.contains),
+      "untouched partition lines must carry byte-verbatim")
+    assert(VersionedTable.statsManifest(t, 1L).map(_._1)
+      .count(_.contains("g=g1")) == 1,
+      "the scope must compact to one file")
+    assert(VersionedTable.commitKind(t, 1L).contains("compact"))
+    // Content, stats column and ROWS survive.
+    val (dfp, _, _) = VersionedTable.readPartitions(spark, t, "g", Seq("g1"))
+    assert(dfp.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 40L).filter(_ % 2 == 1).toSeq)
+    assert(VersionedTable.rowCounts(t, 1L).map(_._2).sum == 40L)
+    // Empty scope publishes nothing.
+    val filesNow = VersionedTable.statsManifest(t, 1L).size
+    assert(VersionedTable.compactPartitionsCommit(spark, t, "g",
+      Seq("nope")) == ((1L, 0, filesNow)))
+    // Unknown partition column refuses.
+    intercept[IllegalArgumentException] {
+      VersionedTable.compactPartitionsCommit(spark, t, "id", Seq("1"))
+    }
+  }
+
   test("evolvePartitionLayout refusals and the evolve-to-flat generation") {
     import spark.implicits._
     val t = freshTable()

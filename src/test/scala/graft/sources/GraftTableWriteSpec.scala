@@ -215,6 +215,44 @@ class GraftTableWriteSpec extends SparkSpec {
       "a replayed epoch must not double rows")
   }
 
+  test("streaming sink into a PARTITIONED table lands c=v files that prune") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = fresh()
+    // DDL-shaped bootstrap: declared layout on a zero-row v0 (payload
+    // carries the partition column; the PARTCOL line declares it).
+    VersionedTable.commit(spark, t, 0L,
+      Seq.empty[(Long, String)].toDF("id", "day"),
+      carried = Seq(VersionedTable.partColLine("day")))
+    val cp = Files.createTempDirectory("graft_w_cpp_").toString
+    val ms = MemoryStream[Long]
+    ms.addData(1L, 2L, 3L, 4L)
+    val q = ms.toDF()
+      .selectExpr("value AS id",
+        "CASE WHEN value % 2 = 0 THEN 'd2' ELSE 'd1' END AS day")
+      .writeStream
+      .format("graft-table").option("checkpointLocation", cp)
+      .start(t.toString)
+    q.processAllAvailable()
+    q.stop()
+    // Every epoch file landed under its partition segment.
+    val added = VersionedTable.addedLines(t, 1L).filterNot(_.contains('\t'))
+    assert(added.nonEmpty && added.forall(_.contains("day=")),
+      s"streamed files must land under day= segments, got $added")
+    // …and manifest partition pruning works on the streamed files
+    // (V2 scan: one input partition per surviving file; the flat
+    // zero-row bootstrap is never value-prunable — a constant +1).
+    val pruned = spark.read.format("graft-table").load(t.toString)
+      .where("day = 'd1'")
+    val d1Files = added.count(_.contains("day=d1"))
+    assert(pruned.rdd.getNumPartitions == d1Files + 1 &&
+      d1Files + 1 < added.size + 1,
+      s"expected the $d1Files day=d1 files (+bootstrap) of ${added.size + 1}")
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+  }
+
   test("a foreign commit at a sink version fails the stream loudly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
