@@ -845,6 +845,16 @@ object EventsQueries extends QueryModule {
     "ev_stream_pipeline" -> ((s, dir) =>
       graft.streaming.EventStreams.pipelineDrain(s, dir)),
 
+    // Streaming sink into a PARTITIONED graft table (r17): each
+    // micro-batch routes rows to event_type=… files, the sink gets
+    // manifest partition pruning from its first epoch (witnessed:
+    // segment paths, several values, a value predicate scans exactly
+    // its files + the zero-row bootstrap). Oracle = the per-type
+    // rollup over the source events — the partitioned drain must
+    // lose or double nothing.
+    "ev_stream_partitioned" -> ((s, dir) =>
+      graft.streaming.EventStreams.partitionedSinkDrain(s, dir)),
+
     // LEFT-OUTER stream-stream join, driver-checked: same time-bounded
     // click→purchase attribution as ev_stream_attrib, but never-
     // converted clicks ALSO emit (null purchase columns) once the
@@ -1893,6 +1903,15 @@ object EventsQueries extends QueryModule {
         |      <= (SELECT epoch_ms(max(ts)) - 7200000 FROM events)
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin,
+
+    // The partitioned drain is a stateless append: the read-back
+    // rollup equals the exact per-type aggregate over the source.
+    "ev_stream_partitioned" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // Matched pairs emit immediately; an unmatched click emits its null
     // row only once the global watermark W (min over both sides of
     // max event ms − 1 h) passes the end of its 1 h match window.

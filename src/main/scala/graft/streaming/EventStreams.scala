@@ -891,6 +891,79 @@ object EventStreams {
     } finally deleteTree(tmp)
   }
 
+  /** STREAMING SINK INTO A PARTITIONED TABLE (r17, driver-checked):
+    * the events stream drains into a graft table PARTITIONED BY
+    * event_type — each micro-batch's rows route to `event_type=…`
+    * files (the same partitioned writer batch INSERT uses), so the
+    * sink table gets manifest partition pruning from its FIRST epoch:
+    * a day/type-partitioned event mirror at 100 TB must never need a
+    * flat-sink-then-compact detour to become prunable. Witnessed
+    * in-path: every streamed data file carries its partition segment
+    * (several values present), and a single-value SQL predicate scans
+    * exactly that value's files (+ the never-prunable zero-row
+    * bootstrap). Returns the per-type rollup read back through the V2
+    * scan — the oracle proves the partitioned drain lost or doubled
+    * nothing. */
+  def partitionedSinkDrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val tmp = tempDir("graft_ev_psink_")
+    try {
+      val sinkTable = tmp.resolve("sink")
+      withSplitEvents(spark, dir, 3) { (src, nf) =>
+        val shaped = src.selectExpr("event_id", "event_type",
+          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+          "CAST(value AS DOUBLE) AS value")
+        // Bootstrap pins the schema AND declares the layout before any
+        // data path can exhibit it (the DDL PARTITIONED BY shape).
+        VersionedTable.commit(spark, sinkTable, 0L,
+          spark.read.parquet(s"$dir/events.parquet").limit(0)
+            .selectExpr("event_id", "event_type",
+              "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+              "CAST(value AS DOUBLE) AS value").coalesce(1),
+          carried = Seq(VersionedTable.partColLine("event_type")))
+        val (_, batches, _) = awaitCounted(spark,
+          shaped.writeStream.format("graft-table")
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(sinkTable.toString))
+        assertBatches(batches, nf)
+        val v = VersionedTable.latestVersion(sinkTable).get
+        val streamed = (1L to v).flatMap(ver =>
+          VersionedTable.addedLines(sinkTable, ver)
+            .filterNot(_.contains('\t')))
+        require(streamed.nonEmpty &&
+            streamed.forall(_.contains("event_type=")),
+          s"partitionedSinkDrain: streamed files must land under " +
+            s"event_type= segments, got $streamed")
+        val types = streamed.flatMap(_.split('/').collectFirst {
+          case seg if seg.startsWith("event_type=") => seg }).distinct
+        require(types.size > 1,
+          "partitionedSinkDrain: fixture must span several event types")
+        // Manifest partition pruning on the STREAMED files: one scan
+        // partition per surviving file; the flat zero-row bootstrap is
+        // never value-prunable (a constant +1, not a scale cost).
+        val pruned = spark.read.format("graft-table")
+          .load(sinkTable.toString).where("event_type = 'click'")
+        val clickFiles = streamed.count(_.contains("event_type=click"))
+        val scanned = pruned.rdd.getNumPartitions
+        require(scanned == clickFiles + 1 &&
+            scanned < streamed.size + 1,
+          s"partitionedSinkDrain: predicate scanned $scanned files, " +
+            s"expected the $clickFiles event_type=click files " +
+            s"(+ bootstrap) of ${streamed.size + 1}")
+        val out = spark.read.format("graft-table")
+          .load(sinkTable.toString)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("total_value"))
+          .orderBy("event_type")
+        val rows = out.collect()
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      }
+    } finally deleteTree(tmp)
+  }
+
   /** Stage a batch slice through a one-file write, then move the part
     * file into the flat source dir the stream lists as `fileName`;
     * returns its row count. */
