@@ -2178,7 +2178,14 @@ object VersionedTable {
         } ++ added
       else (BasePrefix + base) +:
         (touched.sorted.map(RmPrefix + _) ++ added)
-    publish(table, version, lines)
+    try publish(table, version, lines)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"compactPartitionsCommit: version $version was committed " +
+            "concurrently — the staged rewrite derives from the " +
+            "superseded snapshot; re-run against the new snapshot")
+    }
     (version, touched.size, all.size)
   }
 
