@@ -374,6 +374,15 @@ object VersionedTable {
     * rewrite must restate every generation line (amnesia rule). */
   private val PartSpecPrefix = "PARTSPEC\t"
 
+  /** `MVOF\t<base version>` (r17): a MATERIALIZED VIEW's refresh
+    * CURSOR — the base-table version whose rows this MV snapshot
+    * reflects (the Delta/materialized-lake idea: an MV is an
+    * aggregate TABLE plus a position in its base's commit log).
+    * Latest-wins (each refresh adds one; readers take the max), so a
+    * refresh is an ordinary delta commit and full rewrites restate
+    * only the live cursor. [[refreshMaterialized]] consumes it. */
+  private val MvOfPrefix = "MVOF\t"
+
   /** `KIND\t<verb>` (r14): a PER-COMMIT annotation naming the commit's
     * intent — `update` (a stats-pruned copy-on-write rewrite) or
     * `compact` (a content-preserving reorganization, the Delta
@@ -401,7 +410,7 @@ object VersionedTable {
       line.startsWith(StatsColPrefix) || line.startsWith(StatsPrefix) ||
       line.startsWith(RowsPrefix) || line.startsWith(CheckPrefix) ||
       line.startsWith(KindPrefix) || line.startsWith(PartColPrefix) ||
-      line.startsWith(PartSpecPrefix)
+      line.startsWith(PartSpecPrefix) || line.startsWith(MvOfPrefix)
 
   /** Is `line` a metadata line (never a data-file line)? The change
     * feed's skip set: meta lines carry no rows to serve. */
@@ -529,6 +538,104 @@ object VersionedTable {
       Seq(s"$PartSpecPrefix$gen\t${newCols.mkString(",")}"),
       checkpointEvery))
     version
+  }
+
+  /** The MV refresh cursor live at a version — the highest `MVOF`
+    * base version the manifest carries. */
+  def mvCursor(mv: Path, version: Long): Option[Long] =
+    manifest(mv, version).collect {
+      case l if l.startsWith(MvOfPrefix) =>
+        l.substring(MvOfPrefix.length).trim.toLong
+    } match {
+      case Nil => None
+      case vs => Some(vs.max)
+    }
+
+  /** MATERIALIZED VIEW bootstrap (r17): commit `agg(base snapshot)` as
+    * the MV table's v0, carrying the refresh cursor (`MVOF` = the base
+    * version the aggregate reflects). The MV is an ordinary graft
+    * table — time-travelable, taggable, SQL-readable through the
+    * catalog; only the cursor line distinguishes it. */
+  def createMaterialized(s: SparkSession, base: Path, mv: Path,
+      agg: DataFrame => DataFrame): Long = {
+    val bv = latestVersion(base).getOrElse(
+      throw new IllegalArgumentException(
+        s"createMaterialized: no committed version at $base"))
+    commit(s, mv, 0L, agg(read(s, base, Some(bv))),
+      carried = Seq(s"$MvOfPrefix$bv"))
+    0L
+  }
+
+  /** INCREMENTAL MV REFRESH (r17) — the maintenance loop that makes a
+    * 100-TB dashboard aggregate affordable: instead of recomputing
+    * `agg(base)` per refresh (O(base) — the thing that kills naive
+    * MVs at scale), read ONLY the rows the base appended since the
+    * cursor (`addedLines` of the commits in (cursor, latest] — the
+    * change feed's batch face), aggregate THAT (`aggDelta`, cost
+    * O(delta)), and fold it into the standing MV rows with `merge`
+    * (cost O(MV) — an aggregate table is small by construction). The
+    * walk understands commit KINDs exactly as the change feed does:
+    * KIND=compact commits are content-preserving and SKIP; any other
+    * commit that removed files (rewrites, DV deletes) REFUSES toward
+    * a full re-create — serving a stale or double-counted aggregate
+    * is never an option. Flat base tables only (partitioned files
+    * carry their partition column in the path, which a raw delta read
+    * would drop — refuse rather than mis-aggregate). Publishes the
+    * merged MV as a rewrite commit carrying the advanced cursor.
+    * Returns (mvVersion, deltaFilesRead, baseFilesTotal) — the
+    * O(delta) witness; a caught-up MV publishes nothing. */
+  def refreshMaterialized(s: SparkSession, base: Path, mv: Path,
+      aggDelta: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame): (Long, Int, Int) = {
+    val mvV = latestVersion(mv).getOrElse(
+      throw new IllegalArgumentException(
+        s"refreshMaterialized: no committed version at $mv"))
+    val cursor = mvCursor(mv, mvV).getOrElse(
+      throw new IllegalArgumentException(
+        s"refreshMaterialized: $mv carries no MVOF cursor — create it " +
+          "via createMaterialized"))
+    val bv = latestVersion(base).getOrElse(
+      throw new IllegalArgumentException(
+        s"refreshMaterialized: no committed version at $base"))
+    val baseTotal = statsManifest(base, bv).size
+    if (bv == cursor) return (mvV, 0, baseTotal)
+    require(partitionLayout(base, bv).isEmpty,
+      s"refreshMaterialized: $base has a partition layout — a raw " +
+        "delta read would drop the path-borne columns; re-create the MV")
+    val pending = versions(base).filter(v => v > cursor && v <= bv)
+    val deltaFiles = pending.flatMap { v =>
+      commitKind(base, v) match {
+        case Some("compact") => Nil // content-preserving: nothing new
+        case _ =>
+          val added = addedLines(base, v)
+          // A DV delete is a pure-ADD delta (it removes no manifest
+          // line), but it drops ROWS an append-derived refresh can't
+          // see — it must refuse exactly like a rewrite.
+          require(removedLines(base, v).isEmpty &&
+              !added.exists(_.startsWith(DvPrefix)),
+            s"refreshMaterialized: base version $v rewrites or deletes " +
+              "rows — an append-derived refresh would serve a wrong " +
+              "aggregate; re-create the MV from the current snapshot")
+          added.filterNot(isMetaLine).map(_.split('\t').head)
+      }
+    }
+    if (deltaFiles.isEmpty) {
+      // Only content-preserving commits since the cursor (compactions):
+      // the rows are already right — advance the cursor as a pure-meta
+      // delta, no MV row rewritten.
+      publish(mv, mvV + 1,
+        deltaLines(mv, mvV + 1, Seq(s"$MvOfPrefix$bv"), 8))
+      return (mvV + 1, 0, baseTotal)
+    }
+    val merged = merge(read(s, mv, Some(mvV)),
+      aggDelta(s.read.parquet(
+        deltaFiles.map(f => base.resolve(f).toString): _*)))
+    // KIND=update: the refresh is a copy-on-write rewrite of the MV —
+    // a change feed on the MV replays it as preimage/postimage pairs
+    // instead of refusing an unannotated rewrite.
+    commit(s, mv, mvV + 1, merged,
+      carried = Seq(s"$MvOfPrefix$bv", s"${KindPrefix}update"))
+    (mvV + 1, deltaFiles.size, baseTotal)
   }
 
   /** The CHECK constraints live at a version, in declaration order.

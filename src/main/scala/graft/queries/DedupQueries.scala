@@ -3738,6 +3738,80 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // INCREMENTAL MATERIALIZED-VIEW REFRESH (r17) — the maintenance
+    // loop that makes a 100-TB dashboard aggregate affordable: the MV
+    // is an ordinary graft table carrying an MVOF cursor (the base
+    // version its rows reflect); a refresh reads ONLY the files the
+    // base appended since the cursor (witnessed: delta files read <
+    // base total), aggregates the delta, and merges it into the
+    // standing rows — O(delta + MV), never O(base). The walk
+    // understands commit KINDs like the change feed: a KIND=compact
+    // of the base between refreshes contributes NOTHING (witnessed:
+    // the post-compaction refresh is a no-op reading zero files), and
+    // a rewriting commit refuses toward re-create. Oracle: the final
+    // MV must equal the exact GROUP BY over everything the base ever
+    // appended — the incremental path must be indistinguishable from
+    // the full recompute.
+    "pipe_mv_refresh" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vmv_")
+      try {
+        val base = tmp.resolve("docs")
+        val mv = tmp.resolve("docs_by_lang")
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        def agg(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("lang")).agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("chars"))
+        def merge(old: org.apache.spark.sql.DataFrame,
+                  delta: org.apache.spark.sql.DataFrame) =
+          old.unionByName(delta).groupBy(col("lang"))
+            .agg(sum(col("n")).as("n"), sum(col("chars")).as("chars"))
+        VersionedTable.commit(s, base, 0L, docs.where("doc_id % 3 = 0"))
+        VersionedTable.createMaterialized(s, base, mv, agg)
+        require(VersionedTable.mvCursor(mv, 0L).contains(0L),
+          "pipe_mv_refresh: the bootstrap must carry the MVOF cursor")
+        // Two appends land; the refresh reads ONLY their files.
+        VersionedTable.appendCommit(s, base, docs.where("doc_id % 3 = 1"))
+        VersionedTable.appendCommit(s, base, docs.where("doc_id % 3 = 2"))
+        val newFiles = (1L to 2L).map(v =>
+          VersionedTable.addedLines(base, v)
+            .count(!_.contains('\t'))).sum
+        val (mvV, read1, total1) =
+          VersionedTable.refreshMaterialized(s, base, mv, agg, merge)
+        require(mvV == 1L && read1 == newFiles && read1 < total1,
+          s"pipe_mv_refresh: refresh read $read1 of $total1 files, " +
+            s"expected exactly the $newFiles appended ones")
+        require(VersionedTable.mvCursor(mv, 1L).contains(2L),
+          "pipe_mv_refresh: the cursor must advance to the base head")
+        // A content-preserving compaction of the base contributes
+        // nothing: the next refresh is a no-op (zero files read, no
+        // MV commit published).
+        VersionedTable.compactCommit(s, base, files = 2)
+        val (mvV2, read2, _) =
+          VersionedTable.refreshMaterialized(s, base, mv, agg, merge)
+        require(read2 == 0 && mvV2 == 2L &&
+            VersionedTable.mvCursor(mv, 2L).contains(3L),
+          s"pipe_mv_refresh: a KIND=compact of the base must advance " +
+            s"the cursor reading zero files, got read=$read2 v=$mvV2")
+        require(VersionedTable.addedLines(mv, 2L)
+            .forall(_.startsWith("MVOF")),
+          "pipe_mv_refresh: the compaction-only refresh must be a " +
+            "pure cursor-advance delta, no MV row rewritten")
+        // The incremental MV equals the full recompute (the oracle
+        // also proves it relationally).
+        val full = agg(VersionedTable.read(s, base)).collect()
+          .map(_.toString).sorted.toSeq
+        val incr = VersionedTable.read(s, mv).collect()
+          .map(_.toString).sorted.toSeq
+        require(incr == full,
+          "pipe_mv_refresh: incremental MV diverges from recompute")
+        val out = VersionedTable.read(s, mv).orderBy("lang")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // PARTITION-SCOPED COMPACTION (r17) — the maintenance shape a
     // 100-TB table actually runs: an hourly stream fragments TODAY's
     // partition; nobody rewrites three years of history to fix it.
@@ -5193,6 +5267,14 @@ object DedupQueries extends QueryModule {
         |    AS in_ctas
         |FROM documents d
         |ORDER BY d.doc_id""".stripMargin,
+
+    // The incremental MV must be indistinguishable from the full
+    // recompute: the exact GROUP BY over everything the base appended.
+    "pipe_mv_refresh" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Partition-scoped compaction is content-preserving maintenance:
     // the post-CALL rollup must equal the exact fixture GROUP BY.

@@ -1034,6 +1034,49 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.writePartitionLayout(t, v) == Seq("h"))
   }
 
+  test("materialized-view refresh: O(delta) reads, kind-aware walk, refusals") {
+    import spark.implicits._
+    val base = freshTable()
+    val mv = base.resolveSibling("mv")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"g").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+    def merge(old: org.apache.spark.sql.DataFrame,
+              delta: org.apache.spark.sql.DataFrame) =
+      old.unionByName(delta).groupBy($"g")
+        .agg(org.apache.spark.sql.functions.sum($"n").as("n"))
+    VersionedTable.commit(spark, base, 0L,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "g"))
+    VersionedTable.createMaterialized(spark, base, mv, agg)
+    // Caught up: nothing published.
+    assert(VersionedTable.refreshMaterialized(spark, base, mv, agg,
+      merge) == ((0L, 0,
+        VersionedTable.statsManifest(base, 0L).size)))
+    assert(VersionedTable.versions(mv) == Seq(0L))
+    // Append → refresh reads exactly the appended file.
+    VersionedTable.appendCommit(spark, base, Seq((3L, "a")).toDF("id", "g"))
+    val (v1, read1, _) =
+      VersionedTable.refreshMaterialized(spark, base, mv, agg, merge)
+    assert(v1 == 1L && read1 == 1)
+    assert(VersionedTable.read(spark, mv).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+      Seq(("a", 2L), ("b", 1L)))
+    // An MV without a cursor refuses; a REWRITING base commit refuses
+    // toward re-create (a DV delete drops rows appends can't see).
+    val plain = freshTable()
+    VersionedTable.commit(spark, plain, 0L, Seq(1L).toDF("id"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.refreshMaterialized(spark, plain, plain, agg, merge)
+    }
+    VersionedTable.deleteCommit(spark, base,
+      VersionedTable.latestVersion(base).get + 1,
+      Seq(2L).toDF("id"), "id")
+    intercept[IllegalArgumentException] {
+      VersionedTable.refreshMaterialized(spark, base, mv, agg, merge)
+    }
+  }
+
   test("compactPartitionsCommit: scoped rewrite, verbatim carry, no-op scope") {
     import spark.implicits._
     val t = freshTable()
