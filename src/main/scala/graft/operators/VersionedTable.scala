@@ -383,6 +383,16 @@ object VersionedTable {
     * only the live cursor. [[refreshMaterialized]] consumes it. */
   private val MvOfPrefix = "MVOF\t"
 
+  /** `MVSQL\t<group cols csv>\t<sql>` (r17): the MV's DEFINITION as
+    * stored SQL — the aggregate statement (base referenced as
+    * `__BASE__`) plus its group columns, which is what makes the MV
+    * refreshable FROM SQL with no Scala in sight: a refresh runs the
+    * stored statement over the delta and folds partials by summing
+    * every non-group column (the sum/count-mergeable restriction
+    * every incremental view-maintenance system imposes; avg = sum +
+    * count). Declared once at CREATE, carried like CHECK lines. */
+  private val MvSqlPrefix = "MVSQL\t"
+
   /** `KIND\t<verb>` (r14): a PER-COMMIT annotation naming the commit's
     * intent — `update` (a stats-pruned copy-on-write rewrite) or
     * `compact` (a content-preserving reorganization, the Delta
@@ -410,7 +420,8 @@ object VersionedTable {
       line.startsWith(StatsColPrefix) || line.startsWith(StatsPrefix) ||
       line.startsWith(RowsPrefix) || line.startsWith(CheckPrefix) ||
       line.startsWith(KindPrefix) || line.startsWith(PartColPrefix) ||
-      line.startsWith(PartSpecPrefix) || line.startsWith(MvOfPrefix)
+      line.startsWith(PartSpecPrefix) || line.startsWith(MvOfPrefix) ||
+      line.startsWith(MvSqlPrefix)
 
   /** Is `line` a metadata line (never a data-file line)? The change
     * feed's skip set: meta lines carry no rows to serve. */
@@ -632,10 +643,106 @@ object VersionedTable {
         deltaFiles.map(f => base.resolve(f).toString): _*)))
     // KIND=update: the refresh is a copy-on-write rewrite of the MV —
     // a change feed on the MV replays it as preimage/postimage pairs
-    // instead of refusing an unannotated rewrite.
+    // instead of refusing an unannotated rewrite. The MVSQL definition
+    // (if declared) restates like every table-wide contract: a refresh
+    // must not be the commit that forgets what the MV computes.
     commit(s, mv, mvV + 1, merged,
-      carried = Seq(s"$MvOfPrefix$bv", s"${KindPrefix}update"))
+      carried = manifest(mv, mvV).filter(_.startsWith(MvSqlPrefix)) ++
+        Seq(s"$MvOfPrefix$bv", s"${KindPrefix}update"))
     (mvV + 1, deltaFiles.size, baseTotal)
+  }
+
+  /** The MV's stored SQL definition at a version: (group columns,
+    * statement with `__BASE__` placeholder). */
+  def mvDefinition(mv: Path, version: Long): Option[(Seq[String], String)] =
+    manifest(mv, version).collectFirst {
+      case l if l.startsWith(MvSqlPrefix) =>
+        val rest = l.substring(MvSqlPrefix.length)
+        val tab = rest.indexOf('\t')
+        (rest.substring(0, tab).split(',').toSeq.map(_.trim)
+          .filter(_.nonEmpty), rest.substring(tab + 1))
+    }
+
+  /** Run an MV's stored SQL over `input` (served as `__BASE__`). */
+  private def runMvSql(s: SparkSession, sql: String,
+                       input: DataFrame): DataFrame = {
+    val view = "graft_mv_in_" + java.util.UUID.randomUUID()
+      .toString.replace("-", "")
+    input.createOrReplaceTempView(view)
+    try s.sql(sql.replace("__BASE__", view))
+    finally s.catalog.dropTempView(view)
+  }
+
+  /** The generic partial-fold for a stored-SQL MV: union the standing
+    * rows with the delta aggregate and SUM every non-group column —
+    * correct exactly for the sum/count-mergeable aggregates the
+    * CREATE validated. Column order pinned to the MV's. */
+  private def mvMerge(groupCols: Seq[String], old: DataFrame,
+                      delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val aggCols = old.columns.filterNot(groupCols.contains)
+    old.unionByName(delta)
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggCols.head -> "sum", aggCols.tail.map(_ -> "sum"): _*)
+      .toDF(groupCols ++ aggCols: _*)
+      .select(old.columns.map(col): _*)
+  }
+
+  /** SQL-defined MATERIALIZED VIEW bootstrap (r17) — the CALL-surface
+    * face of [[createMaterialized]]: validates the statement (must
+    * reference `__BASE__`, group columns must be output columns, every
+    * other output column must be BIGINT or DOUBLE — the mergeable-sum
+    * restriction, refused at declaration time), runs it over the base
+    * snapshot, and commits the MV carrying BOTH the cursor and the
+    * definition — so the refresh needs nothing but the two tables. */
+  def createMaterializedSql(s: SparkSession, base: Path, mv: Path,
+      groupCols: Seq[String], sql: String): Long = {
+    require(!sql.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "createMaterializedSql: the statement must not contain " +
+        "tab/newline (manifest lines are TAB-structured)")
+    require(sql.contains("__BASE__"),
+      "createMaterializedSql: the statement must reference __BASE__")
+    require(groupCols.nonEmpty && groupCols.distinct == groupCols,
+      s"createMaterializedSql: invalid group columns $groupCols")
+    val bv = latestVersion(base).getOrElse(
+      throw new IllegalArgumentException(
+        s"createMaterializedSql: no committed version at $base"))
+    val out = runMvSql(s, sql, read(s, base, Some(bv)))
+    groupCols.foreach(c => require(out.columns.contains(c),
+      s"createMaterializedSql: group column '$c' is not an output " +
+        s"column of the statement (${out.columns.mkString(", ")})"))
+    require(out.columns.length > groupCols.length,
+      "createMaterializedSql: the statement must produce at least one " +
+        "aggregate column beyond the group columns")
+    out.schema.fields.filterNot(f => groupCols.contains(f.name))
+      .foreach(f => require(
+        f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.DoubleType,
+        s"createMaterializedSql: aggregate column '${f.name}' is " +
+          s"${f.dataType.sql} — refreshable aggregates must fold by " +
+          "SUM, so BIGINT/DOUBLE only (avg = sum + count; decimals " +
+          "widen under sum and would drift the schema)"))
+    commit(s, mv, 0L, out, carried = Seq(s"$MvOfPrefix$bv",
+      s"$MvSqlPrefix${groupCols.mkString(",")}\t$sql"))
+    0L
+  }
+
+  /** Refresh a SQL-defined MV from its STORED definition — the
+    * [[refreshMaterialized]] walk with aggDelta/merge derived from the
+    * MVSQL line; the definition carries like a CHECK, so the verb
+    * needs nothing but the two table paths. */
+  def refreshMaterializedSql(s: SparkSession, base: Path,
+                             mv: Path): (Long, Int, Int) = {
+    val mvV = latestVersion(mv).getOrElse(
+      throw new IllegalArgumentException(
+        s"refreshMaterializedSql: no committed version at $mv"))
+    val (groupCols, sql) = mvDefinition(mv, mvV).getOrElse(
+      throw new IllegalArgumentException(
+        s"refreshMaterializedSql: $mv carries no MVSQL definition — " +
+          "create it via createMaterializedSql"))
+    refreshMaterialized(s, base, mv,
+      aggDelta = df => runMvSql(s, sql, df),
+      merge = (old, delta) => mvMerge(groupCols, old, delta))
   }
 
   /** The CHECK constraints live at a version, in declaration order.

@@ -3738,6 +3738,72 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // MATERIALIZED VIEWS FROM SQL (r17) — the full MV lifecycle with
+    // zero library imports: CALL create_mv stores the aggregate
+    // statement (base as __BASE__) and its group columns IN THE MV'S
+    // MANIFEST (MVSQL line, carried like a CHECK) next to the MVOF
+    // cursor, so CALL refresh_mv needs nothing but two table names —
+    // it re-runs the stored statement over ONLY the appended files
+    // (witnessed from the CALL's own result rows: delta_files_read ==
+    // the appended count, < base total) and folds partials by the
+    // sum-mergeable rule the CREATE validated. The MV is an ordinary
+    // catalog table: SELECT-able, VERSION AS OF-able (witnessed: v0
+    // reflects batch 1 alone). Oracle: the refreshed MV equals the
+    // exact GROUP BY over everything the base ever ingested.
+    "pipe_sql_mv" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vsqlmv_")
+      try {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        s2.sql(s"""CREATE TABLE graftcat.docs AS
+                   SELECT doc_id, lang, n_chars
+                   FROM parquet.`$dir/documents.parquet`
+                   WHERE doc_id % 3 = 0""")
+        val created = s2.sql("CALL graftcat.create_mv('docs_by_lang', " +
+          "'docs', 'lang', 'SELECT lang, count(*) AS n, " +
+          "sum(n_chars) AS chars FROM __BASE__ GROUP BY lang')")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(created("cursor") == 1L,
+          s"pipe_sql_mv: CREATE must pin the cursor at the base head, " +
+            s"got $created")
+        s2.sql(s"""INSERT INTO graftcat.docs
+                   SELECT doc_id, lang, n_chars
+                   FROM parquet.`$dir/documents.parquet`
+                   WHERE doc_id % 3 = 1""")
+        s2.sql(s"""INSERT INTO graftcat.docs
+                   SELECT doc_id, lang, n_chars
+                   FROM parquet.`$dir/documents.parquet`
+                   WHERE doc_id % 3 = 2""")
+        val base = tmp.resolve("docs")
+        val appended = (2L to 3L).map(v =>
+          VersionedTable.addedLines(base, v)
+            .count(!_.contains('\t'))).sum
+        val res = s2.sql(
+          "CALL graftcat.refresh_mv('docs_by_lang', 'docs')")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(res("delta_files_read") == appended &&
+            res("delta_files_read") < res("base_files_total"),
+          s"pipe_sql_mv: refresh witness $res, expected exactly the " +
+            s"$appended appended files")
+        // The MV is an ordinary catalog table: time travel below the
+        // refresh reflects batch 1 alone.
+        val v0n = s2.sql("SELECT sum(n) AS t FROM " +
+          "graftcat.docs_by_lang VERSION AS OF 0").head().getLong(0)
+        val batch1 = s2.sql(
+          "SELECT count(*) AS n FROM graftcat.docs VERSION AS OF 1")
+          .head().getLong(0)
+        require(v0n == batch1,
+          s"pipe_sql_mv: MV v0 must reflect batch 1 ($batch1), got $v0n")
+        val out = s2.sql("SELECT lang, n, chars " +
+          "FROM graftcat.docs_by_lang ORDER BY lang")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // INCREMENTAL MATERIALIZED-VIEW REFRESH (r17) — the maintenance
     // loop that makes a 100-TB dashboard aggregate affordable: the MV
     // is an ordinary graft table carrying an MVOF cursor (the base
@@ -5267,6 +5333,14 @@ object DedupQueries extends QueryModule {
         |    AS in_ctas
         |FROM documents d
         |ORDER BY d.doc_id""".stripMargin,
+
+    // The SQL-defined MV, refreshed from its stored definition, must
+    // equal the exact GROUP BY over everything the base ingested.
+    "pipe_sql_mv" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // The incremental MV must be indistinguishable from the full
     // recompute: the exact GROUP BY over everything the base appended.

@@ -99,9 +99,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array("compact", "compact_partitions", "cluster", "evolve_layout",
-      "expire", "tag", "branch", "promote", "rollback", "update_where",
-      "constrain", "rename_column", "widen_column")
+    Array("compact", "compact_partitions", "cluster", "create_mv",
+      "evolve_layout", "expire", "refresh_mv", "tag", "branch",
+      "promote", "rollback", "update_where", "constrain",
+      "rename_column", "widen_column")
       .map(Identifier.of(Array.empty, _))
   }
 
@@ -147,6 +148,46 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             in.getInt(2))
           Seq("version" -> v,
             "files" -> VersionedTable.statsManifest(t, v).size.toLong)
+        })
+      case "create_mv" => proc("create_mv",
+        "Create a MATERIALIZED VIEW: run the aggregate statement " +
+          "(reference the base as __BASE__) over the base snapshot and " +
+          "commit it as an ordinary graft table carrying the MVOF " +
+          "refresh cursor and the MVSQL definition. Aggregate columns " +
+          "must fold by SUM (BIGINT/DOUBLE; avg = sum + count). " +
+          "create_mv(mv, base, group_cols, sql)",
+        Seq(ProcedureParameter.in("mv", DataTypes.StringType).build(),
+          ProcedureParameter.in("base", DataTypes.StringType).build(),
+          ProcedureParameter.in("group_cols", DataTypes.StringType)
+            .build(),
+          ProcedureParameter.in("sql", DataTypes.StringType).build()),
+        { in =>
+          val mvPath = validName(in.getUTF8String(0).toString)
+          val basePath = tableAt(in.getUTF8String(1).toString)
+          val groups = in.getUTF8String(2).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          VersionedTable.createMaterializedSql(
+            org.apache.spark.sql.SparkSession.active, basePath, mvPath,
+            groups, in.getUTF8String(3).toString)
+          Seq("version" -> 0L,
+            "cursor" -> VersionedTable.mvCursor(mvPath, 0L).get)
+        })
+      case "refresh_mv" => proc("refresh_mv",
+        "Incrementally refresh a SQL-defined MATERIALIZED VIEW from " +
+          "its stored MVSQL definition: aggregate only the files the " +
+          "base appended since the MVOF cursor and fold them into the " +
+          "standing rows — O(delta + MV), never O(base). KIND=compact " +
+          "base commits contribute nothing; rewrites/deletes refuse " +
+          "toward re-create. refresh_mv(mv, base)",
+        Seq(ProcedureParameter.in("mv", DataTypes.StringType).build(),
+          ProcedureParameter.in("base", DataTypes.StringType).build()),
+        { in =>
+          val mvPath = tableAt(in.getUTF8String(0).toString)
+          val basePath = tableAt(in.getUTF8String(1).toString)
+          val (v, read, total) = VersionedTable.refreshMaterializedSql(
+            org.apache.spark.sql.SparkSession.active, basePath, mvPath)
+          Seq("version" -> v, "delta_files_read" -> read.toLong,
+            "base_files_total" -> total.toLong)
         })
       case "compact_partitions" => proc("compact_partitions",
         "PARTITION-SCOPED compaction: rewrite only the files under the " +

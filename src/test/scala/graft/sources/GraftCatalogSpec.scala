@@ -80,6 +80,46 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { s2.sql("SELECT * FROM g.`ghost$files`").collect() }
   }
 
+  test("create_mv/refresh_mv: stored definition, declaration-time refusals") {
+    val root = staged()
+    val s2 = session(root)
+    // Statement must reference __BASE__; group col must be an output
+    // column; non-group outputs must be sum-mergeable (BIGINT/DOUBLE).
+    intercept[Exception] { s2.sql("CALL g.create_mv('m1', 'nums', 'id', " +
+      "'SELECT id, count(*) AS n FROM nums GROUP BY id')").collect() }
+    intercept[Exception] { s2.sql("CALL g.create_mv('m1', 'nums', 'k', " +
+      "'SELECT id, count(*) AS n FROM __BASE__ GROUP BY id')").collect() }
+    intercept[Exception] { s2.sql("CALL g.create_mv('m1', 'nums', 'id', " +
+      "'SELECT id, CAST(sum(id) AS DECIMAL(20,2)) AS n FROM __BASE__ " +
+      "GROUP BY id')").collect() }
+    // refresh_mv on a table with no MVSQL definition refuses.
+    intercept[Exception] {
+      s2.sql("CALL g.refresh_mv('nums', 'nums')").collect()
+    }
+    // The valid lifecycle: create, append to base, refresh, read.
+    s2.sql("CALL g.create_mv('m1', 'nums', 'b', " +
+      "'SELECT CAST(id % 2 AS STRING) AS b, count(*) AS n " +
+      "FROM __BASE__ GROUP BY 1')").collect()
+    import spark.implicits._
+    VersionedTable.appendCommit(spark, root.resolve("nums"),
+      Seq(2000L, 2001L).toDF("id"))
+    val appended = VersionedTable.addedLines(root.resolve("nums"), 2L)
+      .count(l => !VersionedTable.isMetaManifestLine(l)).toLong
+    val res = s2.sql("CALL g.refresh_mv('m1', 'nums')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res("delta_files_read") == appended &&
+      appended < res("base_files_total"))
+    assert(s2.sql("SELECT sum(n) AS t FROM g.m1").head().getLong(0)
+      == 103L)
+    // The definition survives the refresh (the amnesia rule) — a
+    // second append + refresh still works from the stored MVSQL.
+    VersionedTable.appendCommit(spark, root.resolve("nums"),
+      Seq(3000L).toDF("id"))
+    s2.sql("CALL g.refresh_mv('m1', 'nums')").collect()
+    assert(s2.sql("SELECT sum(n) AS t FROM g.m1").head().getLong(0)
+      == 104L)
+  }
+
   test("tables resolve by name; versions via VERSION AS OF") {
     val root = staged()
     val s2 = session(root)
