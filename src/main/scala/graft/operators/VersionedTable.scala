@@ -572,9 +572,20 @@ object VersionedTable {
     val bv = latestVersion(base).getOrElse(
       throw new IllegalArgumentException(
         s"createMaterialized: no committed version at $base"))
-    commit(s, mv, 0L, agg(read(s, base, Some(bv))),
+    commit(s, mv, 0L, agg(snapshotWithPartitions(s, base, bv)),
       carried = Seq(s"$MvOfPrefix$bv"))
     0L
+  }
+
+  /** The base snapshot with path-borne partition columns re-attached
+    * (flat tables read plainly) — what MV creation aggregates over, so
+    * group-by-partition-column views work on partitioned bases. */
+  private def snapshotWithPartitions(s: SparkSession, base: Path,
+                                     bv: Long): DataFrame = {
+    val layout = partitionLayout(base, bv)
+    if (layout.isEmpty) read(s, base, Some(bv))
+    else readMultiPartitionedFiles(s, base, layout,
+      statsManifest(base, bv).map(_._1))
   }
 
   /** INCREMENTAL MV REFRESH (r17) — the maintenance loop that makes a
@@ -589,10 +600,11 @@ object VersionedTable {
     * KIND=compact commits are content-preserving and SKIP; any other
     * commit that removed files (rewrites, DV deletes) REFUSES toward
     * a full re-create — serving a stale or double-counted aggregate
-    * is never an option. Flat base tables only (partitioned files
-    * carry their partition column in the path, which a raw delta read
-    * would drop — refuse rather than mis-aggregate). Publishes the
-    * merged MV as a rewrite commit carrying the advanced cursor.
+    * is never an option. Partitioned bases work: delta files
+    * re-attach their path-borne columns per commit dir (the
+    * compaction read), so day-partitioned fact tables refresh their
+    * MVs like flat ones. Publishes the merged MV as a rewrite commit
+    * carrying the advanced cursor.
     * Returns (mvVersion, deltaFilesRead, baseFilesTotal) — the
     * O(delta) witness; a caught-up MV publishes nothing. */
   def refreshMaterialized(s: SparkSession, base: Path, mv: Path,
@@ -610,9 +622,6 @@ object VersionedTable {
         s"refreshMaterialized: no committed version at $base"))
     val baseTotal = statsManifest(base, bv).size
     if (bv == cursor) return (mvV, 0, baseTotal)
-    require(partitionLayout(base, bv).isEmpty,
-      s"refreshMaterialized: $base has a partition layout — a raw " +
-        "delta read would drop the path-borne columns; re-create the MV")
     val pending = versions(base).filter(v => v > cursor && v <= bv)
     val deltaFiles = pending.flatMap { v =>
       commitKind(base, v) match {
@@ -638,9 +647,16 @@ object VersionedTable {
         deltaLines(mv, mvV + 1, Seq(s"$MvOfPrefix$bv"), 8))
       return (mvV + 1, 0, baseTotal)
     }
-    val merged = merge(read(s, mv, Some(mvV)),
-      aggDelta(s.read.parquet(
-        deltaFiles.map(f => base.resolve(f).toString): _*)))
+    // PARTITIONED bases (r17): the delta files re-attach their
+    // path-borne partition columns per commit dir — the same
+    // mixed-layout read compaction uses — so a day-partitioned fact
+    // table refreshes its MVs exactly like a flat one.
+    val layout = partitionLayout(base, bv)
+    val delta =
+      if (layout.isEmpty)
+        s.read.parquet(deltaFiles.map(f => base.resolve(f).toString): _*)
+      else readMultiPartitionedFiles(s, base, layout, deltaFiles)
+    val merged = merge(read(s, mv, Some(mvV)), aggDelta(delta))
     // KIND=update: the refresh is a copy-on-write rewrite of the MV —
     // a change feed on the MV replays it as preimage/postimage pairs
     // instead of refusing an unannotated rewrite. The MVSQL definition
@@ -707,7 +723,7 @@ object VersionedTable {
     val bv = latestVersion(base).getOrElse(
       throw new IllegalArgumentException(
         s"createMaterializedSql: no committed version at $base"))
-    val out = runMvSql(s, sql, read(s, base, Some(bv)))
+    val out = runMvSql(s, sql, snapshotWithPartitions(s, base, bv))
     groupCols.foreach(c => require(out.columns.contains(c),
       s"createMaterializedSql: group column '$c' is not an output " +
         s"column of the statement (${out.columns.mkString(", ")})"))

@@ -1075,6 +1075,22 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       VersionedTable.refreshMaterialized(spark, base, mv, agg, merge)
     }
+    // PARTITIONED base: the MV groups on the PATH-BORNE column —
+    // creation and delta reads both re-attach it per commit dir.
+    val pbase = freshTable()
+    val pmv = pbase.resolveSibling("pmv")
+    VersionedTable.commitPartitioned(spark, pbase, 0L,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "g"), "g")
+    VersionedTable.createMaterialized(spark, pbase, pmv, agg)
+    VersionedTable.commitPartitioned(spark, pbase, 1L,
+      Seq((3L, "a")).toDF("id", "g"), "g",
+      carried = VersionedTable.manifest(pbase, 0L))
+    val (pv, pread, _) =
+      VersionedTable.refreshMaterialized(spark, pbase, pmv, agg, merge)
+    assert(pv == 1L && pread == 1)
+    assert(VersionedTable.read(spark, pmv).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+      Seq(("a", 2L), ("b", 1L)))
   }
 
   test("compactPartitionsCommit: scoped rewrite, verbatim carry, no-op scope") {
