@@ -170,7 +170,16 @@ object TableChangesSource {
         case (fields, ("dropcol", c, _)) => fields.filterNot(_.name == c)
         case (fields, _) => fields
       }
-    val base = evolved :+
+    // PARTITION COLUMNS (r17): path-borne values never reach a footer,
+    // but a mirror of a partitioned table must not LOSE the column —
+    // serve them re-attached per file (string-typed, the batch
+    // connector's contract). Union across the manifest: every
+    // generation's columns appear, each file filling its own.
+    val withParts = evolved ++
+      GraftTableSource.partitionCols(table, v)
+        .filterNot(c => evolved.exists(_.name == c))
+        .map(StructField(_, StringType, nullable = true))
+    val base = withParts :+
       StructField(VersionColumn, LongType, nullable = false)
     StructType(
       if (readChangeFeed)
@@ -469,7 +478,14 @@ private[sources] class ChangesStream(path: String, schema: StructType,
   * type. */
 private[sources] case class ChangesPartition(path: String, version: Long,
     file: String, deleteKeyCol: String = "",
-    changeType: String = "insert") extends InputPartition
+    changeType: String = "insert") extends InputPartition {
+  /** This file's path-borne partition values — split constants the
+    * reader serves for columns no footer carries (empty for DV key
+    * lists and flat files). */
+  def partValues: Seq[(String, String)] =
+    if (deleteKeyCol.nonEmpty) Nil
+    else GraftTableSource.partitionValues(file)
+}
 
 private[sources] class ChangesReaderFactory(schema: StructType,
     nullableMissing: Set[String] = Set.empty)
@@ -513,6 +529,12 @@ private[sources] class ChangesReaderFactory(schema: StructType,
               s"graft-changes: unsupported read type $other")
         }
       }
+      // Partition columns are split constants served from the file's
+      // own path segments — footers never carry them.
+      private val partConst: Map[String, UTF8String] =
+        cp.partValues.map { case (c, v) =>
+          c -> UTF8String.fromString(v)
+        }.toMap
       override def get(): InternalRow = {
         val vals = schema.fields.map { f =>
           if (f.name == TableChangesSource.VersionColumn) cp.version
@@ -522,7 +544,8 @@ private[sources] class ChangesReaderFactory(schema: StructType,
             // A delete row carries ONLY its key; the DV file's single
             // column is the key column, everything else is NULL.
             if (f.name == cp.deleteKeyCol) readField(f) else null
-          } else readField(f)
+          } else if (partConst.contains(f.name)) partConst(f.name)
+          else readField(f)
         }
         InternalRow.fromSeq(vals.toIndexedSeq)
       }

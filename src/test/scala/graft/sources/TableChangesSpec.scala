@@ -76,6 +76,32 @@ class TableChangesSpec extends SparkSpec {
       Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 4L)))
   }
 
+  test("the feed serves path-borne partition columns per file") {
+    import spark.implicits._
+    val t = freshTable()
+    VersionedTable.commitPartitioned(spark, t, 0L,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "g"), "g")
+    VersionedTable.commitPartitioned(spark, t, 1L,
+      Seq((3L, "a")).toDF("id", "g"), "g",
+      carried = VersionedTable.manifest(t, 0L))
+    val tmp = Files.createTempDirectory("graft_changes_psink_")
+    val q = spark.readStream.format("graft-changes").load(t.toString)
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(120000L)) q.stop()
+    q.exception.foreach(throw _)
+    val got = spark.read.parquet(s"$tmp/out")
+      .select("id", "g", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got == Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "a", 1L)),
+      s"a mirror of a partitioned table must keep the partition " +
+        s"column, got $got")
+  }
+
   test("option(ref) streams one branch's line; unpinned branched tables refuse") {
     val t = freshTable()
     VersionedTable.commit(spark, t, 0L, df(1, 2))
