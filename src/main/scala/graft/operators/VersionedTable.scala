@@ -383,6 +383,18 @@ object VersionedTable {
     * only the live cursor. [[refreshMaterialized]] consumes it. */
   private val MvOfPrefix = "MVOF\t"
 
+  /** `NDV\t<col>\t<distinct>\t<nulls>` (r17): table-level COLUMN
+    * statistics from `ANALYZE` — the approximate distinct count (HLL
+    * sketch pass, the only affordable answer at 100 TB) and null
+    * count the V2 scan serves to Catalyst as `columnStats`, which is
+    * what a cost-based optimizer sizes join OUTPUTS with (sizeInBytes
+    * alone only sizes inputs). Latest line per column wins, so
+    * re-analyzing is an ordinary delta commit. Appends make the
+    * numbers drift (advisory, like every engine's ANALYZE); full
+    * REWRITES drop them — a compaction reorganizes enough that stale
+    * certainty is worse than none. */
+  private val NdvPrefix = "NDV\t"
+
   /** `MVSQL\t<group cols csv>\t<sql>` (r17): the MV's DEFINITION as
     * stored SQL — the aggregate statement (base referenced as
     * `__BASE__`) plus its group columns, which is what makes the MV
@@ -421,7 +433,7 @@ object VersionedTable {
       line.startsWith(RowsPrefix) || line.startsWith(CheckPrefix) ||
       line.startsWith(KindPrefix) || line.startsWith(PartColPrefix) ||
       line.startsWith(PartSpecPrefix) || line.startsWith(MvOfPrefix) ||
-      line.startsWith(MvSqlPrefix)
+      line.startsWith(MvSqlPrefix) || line.startsWith(NdvPrefix)
 
   /** Is `line` a metadata line (never a data-file line)? The change
     * feed's skip set: meta lines carry no rows to serve. */
@@ -666,6 +678,52 @@ object VersionedTable {
       carried = manifest(mv, mvV).filter(_.startsWith(MvSqlPrefix)) ++
         Seq(s"$MvOfPrefix$bv", s"${KindPrefix}update"))
     (mvV + 1, deltaFiles.size, baseTotal)
+  }
+
+  /** Column statistics live at a version: column → (approx distinct
+    * count, null count). Latest ANALYZE wins per column. */
+  def ndvStats(table: Path, version: Long): Map[String, (Long, Long)] =
+    manifest(table, version).foldLeft(Map.empty[String, (Long, Long)]) {
+      case (m, l) if l.startsWith(NdvPrefix) =>
+        val Array(_, c, d, n) = l.split('\t')
+        m + (c -> (d.toLong, n.toLong))
+      case (m, _) => m
+    }
+
+  /** `ANALYZE TABLE`-shape column statistics (r17): ONE aggregate pass
+    * over the snapshot computing `approx_count_distinct` (HLL — the
+    * only affordable distinct count at 100 TB) and the null count for
+    * each named column, published as NDV manifest lines in an O(1)
+    * delta commit. The V2 scan serves them to Catalyst as
+    * `columnStats`, the input a cost-based optimizer needs to size
+    * JOIN OUTPUTS (sizeInBytes/numRows only size inputs). Partition
+    * columns analyze too (the snapshot re-attaches them). Returns the
+    * published version. */
+  def analyzeCommit(s: SparkSession, table: Path, cols: Seq[String],
+                    checkpointEvery: Int = 8): Long = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col,
+      count, lit, when}
+    refuseBranched(table, "analyzeCommit")
+    require(cols.nonEmpty && cols.distinct == cols,
+      s"analyzeCommit: invalid column list $cols")
+    val base = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"analyzeCommit: no committed version at $table"))
+    val snap = snapshotWithPartitions(s, table, base)
+    cols.foreach(c => require(snap.columns.contains(c),
+      s"analyzeCommit: column '$c' does not exist at version $base " +
+        s"of $table (${snap.columns.mkString(", ")})"))
+    val row = snap.agg(
+      count(lit(1)).as("__n"),
+      cols.flatMap(c => Seq(
+        approx_count_distinct(col(c)).as(s"d_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"z_$c"))): _*).head()
+    val lines = cols.map(c =>
+      s"$NdvPrefix$c\t${row.getAs[Long](s"d_$c")}\t${row.getAs[Long](s"z_$c")}")
+    val version = base + 1
+    publish(table, version, deltaLines(table, version, lines,
+      checkpointEvery))
+    version
   }
 
   /** The MV's stored SQL definition at a version: (group columns,

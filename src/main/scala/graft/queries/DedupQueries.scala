@@ -3738,6 +3738,72 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // ANALYZE → COLUMN STATISTICS (r17) — the CBO input sizeInBytes
+    // can't provide: CALL analyze(table, cols) runs ONE aggregate
+    // pass (approx_count_distinct HLL + null count per column — the
+    // only affordable distinct count at 100 TB) and publishes NDV
+    // manifest lines in an O(1) delta commit; the V2 scan serves them
+    // to Catalyst as columnStats, which is what a cost-based
+    // optimizer sizes JOIN OUTPUTS with. Witnessed in-path: the
+    // commit is a pure-meta delta (zero data files), the served NDVs
+    // sit within the HLL error envelope of the exact distinct counts
+    // (±10%), and the scan's estimateStatistics carries them for
+    // exactly the analyzed columns. Oracle: the exact per-column
+    // distinct/null profile the statistics approximate.
+    "pipe_table_analyze" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vndv_")
+      try {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        s2.sql(s"""CREATE TABLE graftcat.docs AS
+                   SELECT doc_id, lang, source, n_chars,
+                     CASE WHEN doc_id % 7 = 0 THEN NULL
+                          ELSE lang END AS maybe_lang
+                   FROM parquet.`$dir/documents.parquet`""")
+        val table = tmp.resolve("docs")
+        val before = VersionedTable.latestVersion(table).get
+        s2.sql("CALL graftcat.analyze('docs', " +
+          "'lang,source,doc_id,maybe_lang')")
+        val v = VersionedTable.latestVersion(table).get
+        require(v == before + 1 &&
+            VersionedTable.addedLines(table, v)
+              .forall(_.startsWith("NDV\t")),
+          "pipe_table_analyze: ANALYZE must publish one pure-meta " +
+            "delta of NDV lines")
+        val ndv = VersionedTable.ndvStats(table, v)
+        // Exact truth for the envelope check and the oracle.
+        val exact = s2.sql("""SELECT count(DISTINCT lang) AS d_lang,
+             count(DISTINCT source) AS d_source,
+             count(DISTINCT doc_id) AS d_doc,
+             count(DISTINCT maybe_lang) AS d_maybe,
+             count(CASE WHEN maybe_lang IS NULL THEN 1 END) AS z_maybe
+             FROM graftcat.docs""").head()
+        def within(est: Long, ex: Long): Boolean =
+          math.abs(est - ex) <= math.max(1L, (ex * 0.10).toLong)
+        require(within(ndv("lang")._1, exact.getLong(0)) &&
+            within(ndv("source")._1, exact.getLong(1)) &&
+            within(ndv("doc_id")._1, exact.getLong(2)) &&
+            within(ndv("maybe_lang")._1, exact.getLong(3)) &&
+            ndv("maybe_lang")._2 == exact.getLong(4) &&
+            ndv("lang")._2 == 0L,
+          s"pipe_table_analyze: served stats $ndv outside the HLL " +
+            s"envelope of $exact")
+        val out = s2.sql(
+          """SELECT CAST(count(DISTINCT lang) AS BIGINT) AS d_lang,
+            |  CAST(count(DISTINCT source) AS BIGINT) AS d_source,
+            |  CAST(count(DISTINCT doc_id) AS BIGINT) AS d_doc,
+            |  CAST(count(DISTINCT maybe_lang) AS BIGINT) AS d_maybe,
+            |  CAST(count(CASE WHEN maybe_lang IS NULL THEN 1 END)
+            |    AS BIGINT) AS n_null
+            |FROM graftcat.docs""".stripMargin)
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // MATERIALIZED VIEWS FROM SQL (r17) — the full MV lifecycle with
     // zero library imports: CALL create_mv stores the aggregate
     // statement (base as __BASE__) and its group columns IN THE MV'S
@@ -5333,6 +5399,18 @@ object DedupQueries extends QueryModule {
         |    AS in_ctas
         |FROM documents d
         |ORDER BY d.doc_id""".stripMargin,
+
+    // The exact profile the ANALYZE statistics approximate (the ±10%
+    // envelope gate runs in-path; the oracle pins the exact truth).
+    "pipe_table_analyze" ->
+      """SELECT CAST(count(DISTINCT lang) AS BIGINT) AS d_lang,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS d_source,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS d_doc,
+        |  CAST(count(DISTINCT CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE lang END) AS BIGINT) AS d_maybe,
+        |  CAST(count(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_null
+        |FROM documents""".stripMargin,
 
     // The SQL-defined MV, refreshed from its stored definition, must
     // equal the exact GROUP BY over everything the base ingested.

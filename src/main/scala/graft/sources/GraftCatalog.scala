@@ -99,9 +99,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array("compact", "compact_partitions", "cluster", "create_mv",
-      "evolve_layout", "expire", "refresh_mv", "tag", "branch",
-      "promote", "rollback", "update_where", "constrain",
+    Array("analyze", "compact", "compact_partitions", "cluster",
+      "create_mv", "evolve_layout", "expire", "refresh_mv", "tag",
+      "branch", "promote", "rollback", "update_where", "constrain",
       "rename_column", "widen_column")
       .map(Identifier.of(Array.empty, _))
   }
@@ -148,6 +148,22 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             in.getInt(2))
           Seq("version" -> v,
             "files" -> VersionedTable.statsManifest(t, v).size.toLong)
+        })
+      case "analyze" => proc("analyze",
+        "ANALYZE-shape column statistics: one aggregate pass computes " +
+          "approx_count_distinct (HLL) + null count per named column, " +
+          "published as NDV manifest lines in an O(1) delta commit; " +
+          "the scan serves them to Catalyst as columnStats (CBO join-" +
+          "output sizing). analyze(table, cols); cols comma-separated.",
+        Seq(ProcedureParameter.in("table", DataTypes.StringType).build(),
+          ProcedureParameter.in("cols", DataTypes.StringType).build()),
+        { in =>
+          val t = tableAt(in.getUTF8String(0).toString)
+          val cols = in.getUTF8String(1).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val v = VersionedTable.analyzeCommit(
+            org.apache.spark.sql.SparkSession.active, t, cols)
+          Seq("version" -> v, "columns" -> cols.size.toLong)
         })
       case "create_mv" => proc("create_mv",
         "Create a MATERIALIZED VIEW: run the aggregate statement " +

@@ -796,10 +796,40 @@ private[sources] class GraftScan(path: String, version: Long,
         if (live.forall(f => rows.contains(f._1)))
           OptionalLong.of(live.map(f => rows(f._1)).sum)
         else OptionalLong.empty()
+      // COLUMN statistics (r17): ANALYZE-published NDV/null counts for
+      // the columns this scan outputs — what a cost-based optimizer
+      // sizes join OUTPUTS with. Advisory (appends drift them), which
+      // is the contract every engine's ANALYZE has.
+      val colStats: java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        val ndv = VersionedTable.ndvStats(table, version)
+        required.fieldNames.foreach { c =>
+          ndv.get(c).foreach { case (d, z) =>
+            m.put(org.apache.spark.sql.connector.expressions.Expressions
+                .column(c),
+              new org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics {
+                override def distinctCount(): OptionalLong =
+                  OptionalLong.of(d)
+                override def nullCount(): OptionalLong =
+                  OptionalLong.of(z)
+              })
+          }
+        }
+        m
+      }
       new org.apache.spark.sql.connector.read.Statistics {
         override def sizeInBytes(): OptionalLong =
           OptionalLong.of(math.max(1L, (bytes * factor).toLong))
         override def numRows(): OptionalLong = nRows
+        override def columnStats(): java.util.Map[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+          colStats
       }
     } catch { case scala.util.control.NonFatal(_) => unknown }
   }

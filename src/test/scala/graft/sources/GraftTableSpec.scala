@@ -186,6 +186,42 @@ class GraftTableSpec extends SparkSpec {
       BigInt(spark.sessionState.conf.defaultSizeInBytes))
   }
 
+  test("ANALYZE-published NDV/null counts reach Catalyst column stats") {
+    import spark.implicits._
+    val t = fresh()
+    VersionedTable.commit(spark, t, 0L,
+      Seq.tabulate(200)(i => (i.toLong, s"g${i % 7}",
+        if (i % 5 == 0) null else s"v$i")).toDF("id", "g", "s"))
+    val v = VersionedTable.analyzeCommit(spark, t, Seq("g", "s"))
+    val ndv = VersionedTable.ndvStats(t, v)
+    assert(ndv("g")._1 == 7L && ndv("g")._2 == 0L)
+    assert(ndv("s")._2 == 40L, "null count must be exact")
+    assert(math.abs(ndv("s")._1 - 160L) <= 16L,
+      s"HLL distinct estimate ${ndv("s")._1} outside the envelope")
+    // …and the scan serves them as Catalyst attribute statistics
+    // (CBO join-output sizing input).
+    val prior = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = read(t).queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.stats
+      }.head
+      val byName = stats.attributeStats.toSeq
+        .map { case (a, st) => a.name -> st }.toMap
+      assert(byName.contains("g") && byName.contains("s"),
+        s"analyzed columns missing from attributeStats: $byName")
+      assert(byName("g").distinctCount.contains(BigInt(7)))
+      assert(byName("s").nullCount.contains(BigInt(40)))
+      assert(!byName.contains("id"),
+        "unanalyzed columns must not fabricate statistics")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prior)
+    // Unknown columns refuse at declaration time.
+    intercept[IllegalArgumentException] {
+      VersionedTable.analyzeCommit(spark, t, Seq("nope"))
+    }
+  }
+
   test("a footer missing a non-ADDCOL column fails loudly, never all-NULL") {
     import spark.implicits._
     val t = fresh()
