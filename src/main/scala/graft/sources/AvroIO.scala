@@ -157,6 +157,11 @@ object AvroIO {
         val r = new DataFileReader[GenericRecord](
           new SeekableByteArrayInput(bytes),
           new GenericDatumReader[GenericRecord]())
+        // A downstream operator may stop consuming early (limit,
+        // take): close on task completion, not only on exhaustion.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try r.close() catch { case _: Throwable => () }))
         new Iterator[Row] {
           override def hasNext: Boolean = {
             val h = r.hasNext
