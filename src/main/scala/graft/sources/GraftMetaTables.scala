@@ -35,7 +35,8 @@ import java.nio.file.{Files, Path}
   * before the metadata table is built. All four are read-only. */
 object GraftMetaTables {
 
-  val Kinds: Set[String] = Set("history", "files", "partitions", "refs")
+  val Kinds: Set[String] =
+    Set("history", "files", "partitions", "refs", "stats")
 
   def apply(table: Path, kind: String, version: Long): Table =
     new GraftMetaTable(table, kind, version)
@@ -66,6 +67,12 @@ object GraftMetaTables {
       StructField("name", StringType, nullable = false),
       StructField("type", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
+    case "stats" => StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("ndv", LongType, nullable = true),
+      StructField("null_count", LongType, nullable = true),
+      StructField("bloom_files", LongType, nullable = false),
+      StructField("zonemap_files", LongType, nullable = false)))
     case other => throw new IllegalArgumentException(
       s"graft-table: unknown metadata table '$other' — " +
         s"one of ${Kinds.toSeq.sorted.mkString(", ")}")
@@ -113,6 +120,28 @@ object GraftMetaTables {
       VersionedTable.refs(table).map { case (name, tpe, head) =>
         InternalRow(utf(name), utf(tpe), head)
       }.toArray
+    case "stats" =>
+      // The column-statistics + skipping-index inventory a DBA asks
+      // "is this column ANALYZEd / indexed?" against: ANALYZE NDV/null
+      // counts, per-column bloom-indexed file counts, and zonemap
+      // coverage (the primary stats column's ranges ride every data
+      // line; secondary columns ride STATS lines).
+      val ndv = VersionedTable.ndvStats(table, version)
+      val bloomBy = VersionedTable.blooms(table, version)
+        .groupBy(_._2).map { case (c, bs) => c -> bs.size.toLong }
+      val nFiles = VersionedTable.statsManifest(table, version)
+        .size.toLong
+      val zoneBy = VersionedTable.secondaryStats(table, version)
+        .groupBy(_._2).map { case (c, zs) => c -> zs.size.toLong } ++
+        VersionedTable.statsColumns(table, version).headOption
+          .map(_ -> nFiles).toMap
+      (ndv.keySet ++ bloomBy.keySet ++ zoneBy.keySet).toSeq.sorted
+        .map { c =>
+          InternalRow(utf(c),
+            ndv.get(c).map(v => java.lang.Long.valueOf(v._1)).orNull,
+            ndv.get(c).map(v => java.lang.Long.valueOf(v._2)).orNull,
+            bloomBy.getOrElse(c, 0L), zoneBy.getOrElse(c, 0L))
+        }.toArray
     case other => throw new IllegalArgumentException(
       s"graft-table: unknown metadata table '$other'")
   }

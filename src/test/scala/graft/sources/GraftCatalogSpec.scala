@@ -75,6 +75,16 @@ class GraftCatalogSpec extends SparkSpec {
     assert(parts == Set((Some("a"), None, 1L), (Some("b"), None, 1L),
       (None, Some("x"), 1L)),
       s"evolution-aware partition rollup mismatch: $parts")
+    // $stats: the ANALYZE + skipping-index inventory — the statsCol's
+    // zonemaps ride every data line; an ANALYZE adds NDV/null rows.
+    VersionedTable.analyzeCommit(spark, root.resolve("nums"), Seq("id"))
+    val st = s2.sql("SELECT * FROM g.`nums$stats`").collect()
+      .map(r => r.getString(0) ->
+        (Option(r.get(1)), r.getLong(3), r.getLong(4))).toMap
+    assert(st.contains("id") && st("id")._1.nonEmpty &&
+      st("id")._3 == VersionedTable.statsManifest(root.resolve("nums"),
+        VersionedTable.latestVersion(root.resolve("nums")).get).size,
+      s"stats inventory mismatch: $st")
     // Unknown $kind and $meta on a missing table are unknown tables.
     intercept[Exception] { s2.sql("SELECT * FROM g.`nums$bogus`").collect() }
     intercept[Exception] { s2.sql("SELECT * FROM g.`ghost$files`").collect() }
