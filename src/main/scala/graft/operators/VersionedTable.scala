@@ -634,6 +634,15 @@ object VersionedTable {
         s"refreshMaterialized: no committed version at $base"))
     val baseTotal = statsManifest(base, bv).size
     if (bv == cursor) return (mvV, 0, baseTotal)
+    // The walk enumerates SURVIVING manifests: if expire() removed the
+    // cursor version, the first survivor's addedLines diff against a
+    // vanished ancestor would return its ENTIRE manifest and every
+    // already-folded row would aggregate AGAIN — the silent
+    // double-count this function exists to refuse (ADVICE r17).
+    require(versions(base).contains(cursor),
+      s"refreshMaterialized: the MV cursor (base version $cursor) was " +
+        s"expired from $base — the delta since the cursor is no longer " +
+        "enumerable; re-create the MV from the current snapshot")
     val pending = versions(base).filter(v => v > cursor && v <= bv)
     val deltaFiles = pending.flatMap { v =>
       commitKind(base, v) match {
@@ -796,6 +805,53 @@ object VersionedTable {
           s"${f.dataType.sql} — refreshable aggregates must fold by " +
           "SUM, so BIGINT/DOUBLE only (avg = sum + count; decimals " +
           "widen under sum and would drift the schema)"))
+    // The type proxy above is necessary but not SUFFICIENT: avg(x),
+    // min/max, count(DISTINCT …) and HAVING all type-check as
+    // BIGINT/DOUBLE yet do NOT fold by SUM — a refresh would silently
+    // serve wrong aggregates after the first delta (ADVICE r17). The
+    // ANALYZED plan is the ground truth: exactly one Aggregate, every
+    // aggregate function sum/count, no DISTINCT, no FILTER clause, no
+    // Filter ABOVE the aggregate (HAVING re-evaluates a predicate on
+    // PARTIALS at refresh time — groups could wrongly appear/vanish).
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+      val analyzed = out.queryExecution.analyzed
+      val aggNodes = analyzed.collect { case a: Aggregate => a }
+      require(aggNodes.length == 1,
+        s"createMaterializedSql: the statement must be exactly one " +
+          s"GROUP BY aggregate over __BASE__ (found ${aggNodes.length} " +
+          "Aggregate nodes)")
+      analyzed.foreach {
+        case f: Filter
+            if f.child.collectFirst { case a: Aggregate => a }.isDefined =>
+          throw new IllegalArgumentException(
+            "createMaterializedSql: HAVING (a filter above the " +
+              "aggregate) is not refreshable — a delta refresh would " +
+              "re-evaluate the predicate on partial sums; filter in a " +
+              "query over the MV instead")
+        case _ => ()
+      }
+      aggNodes.head.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression => ae
+      }).foreach { ae =>
+        require(!ae.isDistinct,
+          "createMaterializedSql: DISTINCT aggregates do not fold by " +
+            "SUM across deltas (a value seen in two deltas would " +
+            "double-count) — use an exact recompute instead")
+        require(ae.filter.isEmpty,
+          "createMaterializedSql: FILTER (WHERE …) aggregate clauses " +
+            "are not validated for mergeability — move the predicate " +
+            "to the statement's WHERE clause")
+        ae.aggregateFunction match {
+          case _: Sum | _: Count => ()
+          case other => throw new IllegalArgumentException(
+            s"createMaterializedSql: aggregate '${other.prettyName}' " +
+              "does not fold by SUM — only sum/count are incrementally " +
+              "refreshable (avg = sum + count, recombine when reading)")
+        }
+      }
+    }
     commit(s, mv, 0L, out, carried = Seq(s"$MvOfPrefix$bv",
       s"$MvSqlPrefix${groupCols.mkString(",")}\t$sql"))
     0L

@@ -624,8 +624,14 @@ object TextQueries extends QueryModule {
           $"a.k" === $"b.k" && $"a.w" < $"b.w")
         .select($"a.w".as("tok_a"), $"b.w".as("tok_b"))
         .distinct()
-      val nVocab = vocab.count()
-      val nCand = candidates.count()
+      // Both witness counts from ONE action (r18 — the old shape ran
+      // vocab.count() and candidates.count() as separate jobs, paying
+      // the variant self-join twice just to feed the require; the
+      // txt_levenshtein cross-of-two-aggregates shape, applied here).
+      val w = candidates.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(vocab.agg(count(lit(1)).as("n_vocab")))
+        .head()
+      val (nCand, nVocab) = (w.getLong(0), w.getLong(1))
       require(nCand < nVocab * (nVocab - 1) / 2,
         s"txt_typo_pairs: $nCand candidates vs ${nVocab} tokens — the " +
           "deletion blocking did not beat all-pairs")

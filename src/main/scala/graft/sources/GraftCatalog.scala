@@ -405,6 +405,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       s"graft catalog '$catalogName': invalid table name '$name' — " +
         "names map to directories directly under the catalog root " +
         "(no path separators or dot-segments)")
+    // '$' is the metadata-table namespace (`docs$files`): a CREATE-able
+    // name carrying it would be permanently unloadable (load() routes
+    // every '$'-bearing identifier to the metadata surface) and could
+    // shadow a real table's metadata views (ADVICE r17).
+    require(!name.contains('$'),
+      s"graft catalog '$catalogName': invalid table name '$name' — " +
+        "'$' is reserved for metadata tables (t$files, t$history, …)")
     val p = root.resolve(name).toAbsolutePath.normalize()
     require(p.getParent == root.toAbsolutePath.normalize(),
       s"graft catalog '$catalogName': table name '$name' escapes the " +

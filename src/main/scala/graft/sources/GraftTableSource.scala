@@ -799,7 +799,13 @@ private[sources] class GraftScan(path: String, version: Long,
       // COLUMN statistics (r17): ANALYZE-published NDV/null counts for
       // the columns this scan outputs — what a cost-based optimizer
       // sizes join OUTPUTS with. Advisory (appends drift them), which
-      // is the contract every engine's ANALYZE has.
+      // is the contract every engine's ANALYZE has. Since r18 the
+      // GLOBAL min/max of every zonemapped BIGINT column folds in from
+      // the surviving files' per-file ranges at ZERO extra cost (the
+      // manifest is already resolved) — CBO join-selectivity and range-
+      // filter estimates get real bounds, not guesses. Survivor-folded,
+      // so a pruned scan reports the pruned range; full-range
+      // stats-less sentinels poison nothing (skipped).
       val colStats: java.util.Map[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
@@ -807,18 +813,42 @@ private[sources] class GraftScan(path: String, version: Long,
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
         val ndv = VersionedTable.ndvStats(table, version)
+        def longTyped(c: String): Boolean =
+          required.fields.find(_.name == c).exists(_.dataType == LongType)
+        val ranges: Map[String, (Long, Long)] = {
+          val primary = statsCol.filter(longTyped).flatMap { c =>
+            val real = live.filterNot { case (_, mn, mx) =>
+              mn == Long.MinValue && mx == Long.MaxValue }
+            if (real.isEmpty) None
+            else Some(c -> (real.map(_._2).min, real.map(_._3).max))
+          }
+          val liveSet = live.map(_._1).toSet
+          val secondary = VersionedTable.secondaryStats(table, version)
+            .filter { case (f, c, _, _) => liveSet(f) && longTyped(c) }
+            .groupBy(_._2).map { case (c, zs) =>
+              c -> (zs.map(_._3).min, zs.map(_._4).max)
+            }
+          (primary.toMap ++ secondary)
+        }
         required.fieldNames.foreach { c =>
-          ndv.get(c).foreach { case (d, z) =>
+          val nd = ndv.get(c)
+          val rg = ranges.get(c)
+          if (nd.isDefined || rg.isDefined)
             m.put(org.apache.spark.sql.connector.expressions.Expressions
                 .column(c),
               new org.apache.spark.sql.connector.read.colstats
                 .ColumnStatistics {
                 override def distinctCount(): OptionalLong =
-                  OptionalLong.of(d)
+                  nd.fold(OptionalLong.empty())(v => OptionalLong.of(v._1))
                 override def nullCount(): OptionalLong =
-                  OptionalLong.of(z)
+                  nd.fold(OptionalLong.empty())(v => OptionalLong.of(v._2))
+                override def min(): java.util.Optional[Object] =
+                  rg.fold(java.util.Optional.empty[Object]())(r =>
+                    java.util.Optional.of(java.lang.Long.valueOf(r._1)))
+                override def max(): java.util.Optional[Object] =
+                  rg.fold(java.util.Optional.empty[Object]())(r =>
+                    java.util.Optional.of(java.lang.Long.valueOf(r._2)))
               })
-          }
         }
         m
       }

@@ -1399,4 +1399,63 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.updateWhere(spark, t, "id", 0L, 5L, Seq("id" -> "0"))
     }
   }
+
+  test("createMaterializedSql: the analyzed plan gates mergeability") {
+    import spark.implicits._
+    val base = freshTable()
+    VersionedTable.commit(spark, base, 0L,
+      Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "g"))
+    def create(sql: String): Unit = {
+      val mv = Files.createTempDirectory("graft_mv_gate_").resolve("mv")
+      VersionedTable.createMaterializedSql(spark, base, mv, Seq("g"), sql)
+    }
+    // The BIGINT/DOUBLE type proxy alone admits all of these — the
+    // plan inspection must refuse each (ADVICE r17: avg/min/max/
+    // count(DISTINCT)/HAVING silently break the SUM fold on refresh).
+    intercept[IllegalArgumentException] { create(
+      "SELECT g, avg(id) AS a FROM __BASE__ GROUP BY g") }
+    intercept[IllegalArgumentException] { create(
+      "SELECT g, max(id) AS m FROM __BASE__ GROUP BY g") }
+    intercept[IllegalArgumentException] { create(
+      "SELECT g, count(DISTINCT id) AS d FROM __BASE__ GROUP BY g") }
+    intercept[IllegalArgumentException] { create(
+      "SELECT g, sum(id) AS s FROM __BASE__ GROUP BY g HAVING sum(id) > 1") }
+    intercept[IllegalArgumentException] { create(
+      "SELECT g, count(id) FILTER (WHERE id > 1) AS c " +
+        "FROM __BASE__ GROUP BY g") }
+    // The mergeable surface still passes: sum/count, WHERE below the
+    // aggregate, arithmetic over the group key.
+    create("SELECT g, sum(id) AS s, count(*) AS n FROM __BASE__ " +
+      "WHERE id > 0 GROUP BY g")
+  }
+
+  test("refreshMaterialized refuses an expired cursor (double-count guard)") {
+    import spark.implicits._
+    val base = freshTable()
+    val mv = base.resolveSibling("mv_exp")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"g").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+    def merge(old: org.apache.spark.sql.DataFrame,
+              delta: org.apache.spark.sql.DataFrame) =
+      old.unionByName(delta).groupBy($"g")
+        .agg(org.apache.spark.sql.functions.sum($"n").as("n"))
+    VersionedTable.commit(spark, base, 0L,
+      Seq((1L, "a")).toDF("id", "g"))
+    VersionedTable.createMaterialized(spark, base, mv, agg) // cursor = 0
+    VersionedTable.commit(spark, base, 1L, Seq((2L, "b")).toDF("id", "g"),
+      carried = VersionedTable.manifest(base, 0L))
+    VersionedTable.commit(spark, base, 2L, Seq((3L, "a")).toDF("id", "g"),
+      carried = VersionedTable.manifest(base, 1L))
+    // Expire the cursor version: the first surviving manifest now diffs
+    // against no ancestor, so a refresh would re-aggregate every
+    // already-folded row — it must refuse instead (ADVICE r17).
+    VersionedTable.expire(base, 2L)
+    assert(!VersionedTable.versions(base).contains(0L))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.refreshMaterialized(spark, base, mv, agg, merge)
+    }
+    assert(e.getMessage.contains("expired"))
+  }
 }

@@ -966,4 +966,20 @@ class GraftCatalogSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(t).isEmpty)
     intercept[Exception] { s2.sql("SELECT * FROM g.ev").collect() }
   }
+
+  test("'$' is reserved for metadata tables — CREATE refuses it") {
+    val root = staged()
+    val s2 = session(root)
+    // A '$'-bearing name would be permanently unloadable (load() routes
+    // every '$' identifier to the metadata surface) and could shadow a
+    // real table's metadata views.
+    intercept[Exception] {
+      s2.sql("CREATE TABLE g.`docs$x` (id BIGINT)")
+    }
+    intercept[Exception] {
+      s2.sql("CALL g.create_mv('m$files', 'nums', 'b', " +
+        "'SELECT CAST(id % 2 AS STRING) AS b, count(*) AS n " +
+        "FROM __BASE__ GROUP BY 1')").collect()
+    }
+  }
 }

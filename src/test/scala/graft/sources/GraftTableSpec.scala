@@ -326,4 +326,32 @@ class GraftTableSpec extends SparkSpec {
     assert(aggPushed(g2), "ROWS coverage alone must serve pure counts")
     assert(g2.collect().map(_.getLong(1)).sum == 300L)
   }
+
+  test("zonemap-folded global min/max reach Catalyst column stats") {
+    import spark.implicits._
+    val t = fresh()
+    VersionedTable.commitWithStats(spark, t, 0L,
+      spark.range(100, 900).toDF("id").repartitionByRange(8, $"id"), "id")
+    val prior = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      def byName(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.stats
+        }.head.attributeStats.toSeq
+          .map { case (a, st) => a.name -> st }.toMap
+      // No ANALYZE ran: the range comes from the manifest zonemaps
+      // alone, folded across surviving files at zero extra cost.
+      val st = byName(read(t, "statsCol" -> "id"))
+      assert(st.contains("id"), s"zonemap range missing: $st")
+      assert(st("id").min.contains(100L) && st("id").max.contains(899L),
+        s"global range must fold from per-file zonemaps: ${st("id")}")
+      // Survivor-folded: a pruned scan reports the pruned range.
+      val pruned = byName(
+        read(t, "statsCol" -> "id").where($"id" >= 300 && $"id" < 500))
+      assert(pruned("id").max.exists(_.asInstanceOf[Long] < 899L),
+        s"pruned scan must fold only surviving files: ${pruned("id")}")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prior)
+  }
 }
