@@ -2272,6 +2272,89 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // STORAGE-PARTITIONED JOIN (r18) — the V2 sibling of
+    // rel_bucketed_join, from manifest metadata alone: both tables are
+    // committed PARTITIONED BY (lang), the connector reports
+    // KeyGroupedPartitioning over the layout (every input partition
+    // carries its path-borne key tuple), and with
+    // spark.sql.sources.v2.bucketing.enabled Spark groups same-key
+    // files into one task and plans the join with ZERO Exchange — at
+    // 100 TB, the difference between a metadata-only co-located
+    // fact-fact join and shuffling the fact table on every join
+    // (broadcast is pinned off; this is the non-broadcast-able case).
+    // In-path requires: (1) the SPJ plan has NO ShuffleExchange
+    // anywhere and the join is a SortMergeJoin; (2) same-key file
+    // GROUPING is real — the unfiltered join's output partition count
+    // equals the number of distinct lang values, not the file count;
+    // (3) the negative witness: v2 bucketing off replans BOTH sides
+    // behind exchanges — the co-location is the connector's report,
+    // not fixture luck. The filtered join also exercises the
+    // partial-scan side: the doc_id zonemap predicate prunes fact
+    // files and the join stays exchange-free (missing partition
+    // values pad via pushPartValues). Oracle replays the join at full
+    // row fidelity.
+    "pipe_table_spj" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vspj_")
+      try {
+        val factT = tmp.resolve("fact")
+        val dimT = tmp.resolve("dim")
+        val fact0 = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+        VersionedTable.commitPartitioned(s, factT, 0L,
+          fact0.repartitionByRange(8, $"doc_id"), "lang",
+          statsCol = Some("doc_id"), rowCounts = true)
+        VersionedTable.commitPartitioned(s, dimT, 0L,
+          fact0.groupBy($"lang").agg(count(lit(1)).as("lang_docs")),
+          "lang")
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.conf.set("spark.sql.adaptive.enabled", "false")
+        s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s2.conf.set(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        def scan(t: java.nio.file.Path) =
+          s2.read.format("graft-table").load(t.toString)
+        def joined() = scan(factT).join(scan(dimT), "lang")
+          .select($"doc_id", $"lang", $"n_chars", $"lang_docs")
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        def shuffles(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.executedPlan.collect {
+            case e: ShuffleExchangeExec => e }.size
+        val out = joined().where($"doc_id" < 80)
+        require(shuffles(out) == 0 &&
+            out.queryExecution.executedPlan.collect {
+              case j: SortMergeJoinExec => j }.nonEmpty,
+          "pipe_table_spj: the co-partitioned join must plan a " +
+            "SortMergeJoin with ZERO exchanges from the reported " +
+            "KeyGroupedPartitioning")
+        // Grouping witness: one task per KEY, not per file.
+        val nLangs = VersionedTable.statsManifest(factT, 0L)
+          .flatMap(f => f._1.split('/').collectFirst {
+            case seg if seg.startsWith("lang=") => seg }).distinct.size
+        val full = joined()
+        require(full.rdd.getNumPartitions == nLangs &&
+            VersionedTable.statsManifest(factT, 0L).size > nLangs,
+          s"pipe_table_spj: expected $nLangs key-grouped tasks over " +
+            s"${VersionedTable.statsManifest(factT, 0L).size} files, " +
+            s"got ${full.rdd.getNumPartitions}")
+        // Negative witness: without v2 bucketing the SAME join
+        // shuffles both sides.
+        s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        require(shuffles(joined().where($"doc_id" < 80)) == 2,
+          "pipe_table_spj: with v2 bucketing off the join must fall " +
+            "back to shuffling both sides — the zero-exchange plan is " +
+            "the connector's report, not fixture luck")
+        s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        val sorted = out.orderBy($"doc_id")
+        val rows = sorted.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*),
+          sorted.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // PER-FILE BLOOM FILTERS IN THE MANIFEST (r13) — the point-lookup
     // skipping index zonemaps cannot be: the table is laid out by
     // doc_id RESIDUE CLASS (mod 8 — a round-robin-like layout with
@@ -5082,6 +5165,16 @@ object DedupQueries extends QueryModule {
         |JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs
         |      FROM documents GROUP BY lang) x ON d.lang = x.lang
         |WHERE d.doc_id < 60
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // The storage-partitioned join replayed relationally: fact rows
+    // under 80 joined to the per-lang dimension.
+    "pipe_table_spj" ->
+      """SELECT d.doc_id, d.lang, d.n_chars, x.lang_docs
+        |FROM documents d
+        |JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs
+        |      FROM documents GROUP BY lang) x ON d.lang = x.lang
+        |WHERE d.doc_id < 80
         |ORDER BY d.doc_id""".stripMargin,
 
     // The three bloom-pruned point lookups, replayed plainly.

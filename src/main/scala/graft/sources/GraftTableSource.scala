@@ -645,7 +645,8 @@ private[sources] class GraftScan(path: String, version: Long,
     metaAgg: Option[MetaAggPlan] = None, reportStats: Boolean = true)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   import graft.operators.VersionedTable
 
   /** RUNTIME GROUP FILTERING (r15) — the scan accepts a runtime
@@ -706,6 +707,58 @@ private[sources] class GraftScan(path: String, version: Long,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** STORAGE-PARTITIONED JOIN (r18) — `SupportsReportPartitioning`:
+    * when every surviving file carries EVERY layout column on its path
+    * (one consistent identity spec — no flat bootstrap, no mid-
+    * evolution rags), the scan reports [[KeyGroupedPartitioning]] over
+    * the layout columns and each input partition exposes its
+    * path-borne value tuple as the partition key. With
+    * `spark.sql.sources.v2.bucketing.enabled`, Spark then groups
+    * same-key files into one task and plans a join of two tables
+    * partitioned on the same key with ZERO Exchange below the join —
+    * the V2 sibling of session-catalog bucketing (Iceberg's flagship
+    * join optimization). At 100 TB this is the difference between a
+    * metadata-only co-located fact-fact join and shuffling both sides
+    * on every join. Mixed-spec / partially-partitioned snapshots
+    * report unknown partitioning — pruning optimizations never become
+    * correctness dependencies, and Spark falls back to the ordinary
+    * shuffle plan. Metadata-answered aggregates serve one finished
+    * partition and report likewise. */
+  private def keyLayout(): Option[Seq[String]] = {
+    if (metaAgg.isDefined) return None
+    val table = java.nio.file.Paths.get(path)
+    val layout = VersionedTable.partitionLayout(table, version)
+    if (layout.isEmpty) return None
+    val live = livePrunedFiles()
+    if (live.isEmpty) return None
+    val ok = live.forall { case (f, _, _) =>
+      val cols = GraftTableSource.partitionValues(f).map(_._1).toSet
+      layout.forall(cols.contains)
+    }
+    if (ok) Some(layout) else None
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    try keyLayout() match {
+      case Some(layout) =>
+        val groups = livePrunedFiles().map { case (f, _, _) =>
+          val vals = GraftTableSource.partitionValues(f).toMap
+          layout.map(vals)
+        }.distinct.size
+        new KeyGroupedPartitioning(
+          layout.map(c => org.apache.spark.sql.connector.expressions
+            .Expressions.identity(c): Expression).toArray,
+          groups)
+      case None => new UnknownPartitioning(0)
+    } catch {
+      // A version this scan would refuse at planning (mappings, empty
+      // manifest) must not fail optimization with a worse error.
+      case scala.util.control.NonFatal(_) => new UnknownPartitioning(0)
+    }
+  }
 
   /** The manifest pruning both planning and stats estimation run: a
     * file survives only if every pushed filter admits its zonemap
@@ -930,10 +983,19 @@ private[sources] class GraftScan(path: String, version: Long,
           f -> scopes.collect { case (dv, scope) if scope(f) => dv }
         }.toMap
       }
+    // Ordered key tuples for storage-partitioned joins: attached only
+    // when the snapshot reports KeyGroupedPartitioning (every file
+    // carries every layout column) — Spark groups same-key files into
+    // one task and the join co-locates with no Exchange.
+    val spjLayout = keyLayout()
     live.map { case (f, _, _) =>
+      val vals = GraftTableSource.partitionValues(f)
       GraftTablePartition(path, f, covering.getOrElse(f, Nil),
-        keyCols.headOption.getOrElse(""),
-        GraftTableSource.partitionValues(f)): InputPartition
+        keyCols.headOption.getOrElse(""), vals,
+        spjLayout.map { layout =>
+          val m = vals.toMap
+          layout.map(m).toArray
+        }.orNull): InputPartition
     }.toArray
   }
 
@@ -956,9 +1018,18 @@ private[sources] class GraftScan(path: String, version: Long,
           s"funcs=${p.funcs.mkString(",")}]")
 }
 
+/** `keyVals` (r18): this file's partition-value tuple in layout order —
+  * non-null exactly when the scan reports KeyGroupedPartitioning, so
+  * Spark's v2-bucketing machinery can group same-key files into one
+  * task and co-locate joins. */
 private[sources] case class GraftTablePartition(path: String, file: String,
     dvFiles: Seq[String], keyCol: String,
-    partValues: Seq[(String, String)] = Nil) extends InputPartition
+    partValues: Seq[(String, String)] = Nil,
+    keyVals: Array[String] = null) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow.fromSeq(keyVals.toIndexedSeq.map(UTF8String.fromString))
+}
 
 /** The single partition of a metadata-answered aggregate: the finished
   * rows themselves (strings for group columns, longs for aggregates) —

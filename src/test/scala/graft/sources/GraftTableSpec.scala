@@ -354,4 +354,71 @@ class GraftTableSpec extends SparkSpec {
         s"pruned scan must fold only surviving files: ${pruned("id")}")
     } finally spark.conf.set("spark.sql.cbo.enabled", prior)
   }
+
+  test("storage-partitioned join: co-partitioned tables join with no shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val fact = fresh()
+    val dim = fresh()
+    val rows = Seq.tabulate(60)(i =>
+      (i.toLong, s"g${i % 3}", (i * 7).toLong)).toDF("id", "g", "v")
+    // Several files per key on the fact side (grouping is exercised),
+    // one per key on the dim side.
+    VersionedTable.commitPartitioned(spark, fact, 0L,
+      rows.repartition(4), "g", statsCol = Some("id"))
+    VersionedTable.commitPartitioned(spark, dim, 0L,
+      rows.groupBy($"g").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n")), "g")
+    def joined() = read(fact).join(read(dim), "g").select($"id", $"n")
+    // Exchanges are inserted by EnsureRequirements: inspect the
+    // EXECUTED plan, with AQE off so it is concrete at plan time.
+    def shuffles(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }.size
+    val priorB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val priorA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // Without v2 bucketing: both sides shuffle.
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      assert(shuffles(joined()) == 2,
+        "baseline must shuffle both sides")
+      // With it: the reported KeyGroupedPartitioning co-locates the
+      // join — ZERO exchanges anywhere in the plan.
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val spj = joined()
+      assert(shuffles(spj) == 0,
+        s"SPJ must plan no Exchange:\n${spj.queryExecution.executedPlan}")
+      assert(spj.queryExecution.executedPlan.collect {
+        case j: SortMergeJoinExec => j }.nonEmpty)
+      assert(spj.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+        .toSeq == Seq.tabulate(60)(i => (i.toLong, 20L)).sorted)
+      // One side needing a PARTIAL scan (a pushed range predicate
+      // prunes fact files): still zero exchanges, still correct.
+      val part = read(fact).where($"id" < 30).join(read(dim), "g")
+        .select($"id", $"n")
+      assert(shuffles(part) == 0,
+        s"partial-scan SPJ must plan no Exchange:\n" +
+          part.queryExecution.executedPlan)
+      assert(part.collect().map(_.getLong(0)).sorted.toSeq ==
+        (0L until 30L))
+      // Mismatched layouts (flat dim) fall back to the shuffle plan —
+      // the fallback is Spark's, never a wrong co-location.
+      val flat = fresh()
+      VersionedTable.commit(spark, flat, 0L,
+        rows.groupBy($"g").agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n")))
+      val mixed = read(fact).join(read(flat), "g").select($"id", $"n")
+      assert(shuffles(mixed) == 2,
+        "a flat right side must fall back to the ordinary shuffle join")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorB)
+      spark.conf.set("spark.sql.adaptive.enabled", priorA)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    }
+  }
 }
