@@ -3661,7 +3661,27 @@ object DedupQueries extends QueryModule {
         s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
         // $files: one row per live data file, bytes/ROWS/zonemaps from
         // the manifest (+ a stat call for bytes), partition segments.
-        val files = s2.sql("SELECT * FROM graftcat.`docs$files`").collect()
+        // Served DISTRIBUTED (r18): the plan must show a real V2
+        // BatchScan — executors parse the manifest and make the stat
+        // calls; a LocalTableScan here would mean a driver-side
+        // per-file materialization at PLAN time, the thing that OOMs
+        // the driver at a 10⁷-file table. $partitions likewise.
+        val filesDf = s2.sql("SELECT * FROM graftcat.`docs$files`")
+        Seq(filesDf,
+            s2.sql("SELECT * FROM graftcat.`docs$partitions`")).foreach {
+          df =>
+            val plan = df.queryExecution.executedPlan
+            require(plan.collect {
+                case b: org.apache.spark.sql.execution.datasources.v2
+                  .BatchScanExec => b }.nonEmpty &&
+              plan.collect {
+                case l: org.apache.spark.sql.execution
+                  .LocalTableScanExec => l }.isEmpty,
+              "pipe_table_meta: file-sized metadata tables must be " +
+                "served by a distributed V2 scan, not a driver-side " +
+                "LocalTableScan")
+        }
+        val files = filesDf.collect()
         require(files.length ==
             VersionedTable.statsManifest(table, 1L).size,
           "pipe_table_meta: $files must inventory the live snapshot")

@@ -3,13 +3,14 @@ package graft.sources
 import graft.operators.VersionedTable
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability}
-import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 
 /** METADATA TABLES (r17) — the Iceberg `table$files` idea: every graft
   * table exposes its own protocol state as SELECT-able relations,
@@ -32,7 +33,22 @@ import java.nio.file.{Files, Path}
   *
   * Time travel composes: `SELECT … FROM g.`t$files` VERSION AS OF 3`
   * inventories version 3's snapshot — the catalog resolves the version
-  * before the metadata table is built. All four are read-only. */
+  * before the metadata table is built. All four are read-only.
+  *
+  * SCALE DISPOSITION (r18): the FILE-SIZED tables (`$files`,
+  * `$partitions`) are served by a DISTRIBUTED V2 scan — the driver
+  * ships O(parallelism) partition stubs and each EXECUTOR resolves the
+  * manifest itself and takes a deterministic slice ($files: file-index
+  * stride, so the per-file `Files.size` stat calls distribute too;
+  * $partitions: partition-tuple hash, so each value tuple is rolled up
+  * by exactly one task from its own full-manifest parse). Before r18
+  * these materialized one driver-side InternalRow PER FILE at PLAN
+  * time — fine at fixture scale, a driver-resident OOM during planning
+  * at the 10⁶–10⁷-file tables 100 TB produces (the HistorySource
+  * lesson, applied). The genuinely COMMIT-SIZED tables (`$history`,
+  * `$refs`, `$stats` — O(versions)/O(refs)/O(columns) rows) stay on
+  * the plan-time LocalScan, where a distributed scan would be pure
+  * overhead. */
 object GraftMetaTables {
 
   val Kinds: Set[String] =
@@ -89,33 +105,9 @@ object GraftMetaTables {
             .count(!VersionedTable.isMetaManifestLine(_)).toLong,
           VersionedTable.removedDataFiles(table, v).size.toLong)
       }.toArray
-    case "files" =>
-      val hasStats = VersionedTable.statsColumns(table, version).nonEmpty
-      val rows = VersionedTable.rowCounts(table, version).toMap
-      VersionedTable.statsManifest(table, version).map { case (f, mn, mx) =>
-        val part = f.split('/').dropRight(1)
-          .filter(_.contains('=')).mkString("/")
-        InternalRow(utf(f), Files.size(table.resolve(f)),
-          rows.get(f).map(java.lang.Long.valueOf).orNull,
-          if (hasStats) java.lang.Long.valueOf(mn) else null,
-          if (hasStats) java.lang.Long.valueOf(mx) else null,
-          if (part.isEmpty) null else utf(part))
-      }.toArray
-    case "partitions" =>
-      val layout = VersionedTable.partitionLayout(table, version)
-      val rows = VersionedTable.rowCounts(table, version).toMap
-      val hasRows = rows.nonEmpty
-      VersionedTable.statsManifest(table, version).map(_._1)
-        .groupBy(f => layout.map(c =>
-          GraftTableSource.partitionValues(f).toMap.get(c)))
-        .toSeq.sortBy(_._1.map(_.getOrElse("")).mkString("/"))
-        .map { case (values, fs) =>
-          InternalRow.fromSeq(values.map(_.map(utf).orNull) ++ Seq(
-            fs.size.toLong,
-            if (hasRows)
-              java.lang.Long.valueOf(fs.flatMap(rows.get).sum)
-            else null))
-        }.toArray
+    case "files" | "partitions" => throw new IllegalStateException(
+      s"graft-table: '$kind' is served by the distributed scan, " +
+        "never materialized on the driver")
     case "refs" =>
       VersionedTable.refs(table).map { case (name, tpe, head) =>
         InternalRow(utf(name), utf(tpe), head)
@@ -145,6 +137,107 @@ object GraftMetaTables {
     case other => throw new IllegalArgumentException(
       s"graft-table: unknown metadata table '$other'")
   }
+
+  /** One executor task's slice of the `$files` inventory: files whose
+    * manifest index ≡ chunk (mod nChunks) — the manifest is parsed ON
+    * the executor (the partition stub carries only coordinates), and
+    * the per-file `Files.size` stat calls distribute with the slice. */
+  private[sources] def fileRowsChunk(table: Path, version: Long,
+      chunk: Int, nChunks: Int): Iterator[InternalRow] = {
+    val hasStats = VersionedTable.statsColumns(table, version).nonEmpty
+    val rows = VersionedTable.rowCounts(table, version).toMap
+    VersionedTable.statsManifest(table, version).iterator.zipWithIndex
+      .collect { case ((f, mn, mx), i) if i % nChunks == chunk =>
+        val part = f.split('/').dropRight(1)
+          .filter(_.contains('=')).mkString("/")
+        InternalRow(utf(f), Files.size(table.resolve(f)),
+          rows.get(f).map(java.lang.Long.valueOf).orNull,
+          if (hasStats) java.lang.Long.valueOf(mn) else null,
+          if (hasStats) java.lang.Long.valueOf(mx) else null,
+          if (part.isEmpty) null else utf(part))
+      }
+  }
+
+  /** One executor task's slice of the `$partitions` rollup: the value
+    * TUPLES whose hash ≡ chunk (mod nChunks) — each task parses the
+    * full manifest (cheap text work) but rolls up only its own tuples,
+    * so every partition row is emitted by exactly one task and nothing
+    * file-sized ever crosses the driver. */
+  private[sources] def partitionRowsChunk(table: Path, version: Long,
+      layout: Seq[String], chunk: Int,
+      nChunks: Int): Iterator[InternalRow] = {
+    val rows = VersionedTable.rowCounts(table, version).toMap
+    val hasRows = rows.nonEmpty
+    VersionedTable.statsManifest(table, version).iterator.map(_._1)
+      .map { f =>
+        val vals = GraftTableSource.partitionValues(f).toMap
+        (layout.map(vals.get), f)
+      }
+      .filter { case (tuple, _) =>
+        java.lang.Math.floorMod(tuple.hashCode, nChunks) == chunk }
+      .toSeq.groupBy(_._1).iterator
+      .map { case (values, fs) =>
+        InternalRow.fromSeq(values.map(_.map(utf).orNull) ++ Seq(
+          fs.size.toLong,
+          if (hasRows)
+            java.lang.Long.valueOf(fs.flatMap(x => rows.get(x._2)).sum)
+          else null))
+      }
+  }
+}
+
+private[sources] case class MetaChunkPartition(table: String,
+    kind: String, version: Long, layout: Seq[String], chunk: Int,
+    nChunks: Int) extends InputPartition
+
+/** The distributed scan behind `$files`/`$partitions`: O(parallelism)
+  * partition stubs from the driver, manifest parsing and stat calls on
+  * executors — the HistorySource discipline for the snapshot-sized
+  * metadata tables. */
+private[sources] class GraftMetaBatchScan(table: String, kind: String,
+    version: Long, layout: Seq[String], out: StructType)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, math.min(32,
+      org.apache.spark.sql.SparkSession.active
+        .sparkContext.defaultParallelism))
+    Array.tabulate(n)(i =>
+      MetaChunkPartition(table, kind, version, layout, i, n))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] = {
+        val mp = p.asInstanceOf[MetaChunkPartition]
+        val it = mp.kind match {
+          case "files" => GraftMetaTables.fileRowsChunk(
+            Paths.get(mp.table), mp.version, mp.chunk, mp.nChunks)
+          case "partitions" => GraftMetaTables.partitionRowsChunk(
+            Paths.get(mp.table), mp.version, mp.layout, mp.chunk,
+            mp.nChunks)
+          case other => throw new IllegalStateException(
+            s"graft-table: '$other' is not a distributed metadata table")
+        }
+        new PartitionReader[InternalRow] {
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            val has = it.hasNext
+            if (has) cur = it.next()
+            has
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      }
+    }
+
+  override def description(): String =
+    s"graft-meta $table$$$kind@v$version (distributed manifest scan)"
 }
 
 private[sources] class GraftMetaTable(table: Path, kind: String,
@@ -162,15 +255,21 @@ private[sources] class GraftMetaTable(table: Path, kind: String,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new LocalScan {
-        // Computed at plan time from MANIFESTS only — the one
-        // filesystem touch beyond the commit log is Files.size on
-        // $files rows (a stat call, never a read).
-        private val out = GraftMetaTables.rowsOf(table, kind, version)
-        override def readSchema(): StructType = schema()
-        override def rows(): Array[InternalRow] = out
-        override def description(): String =
-          s"graft-meta ${name()} (manifest-only)"
+      override def build(): Scan = kind match {
+        // FILE-SIZED tables go distributed (r18): manifests parse on
+        // executors, never materializing per-file rows on the driver.
+        case "files" | "partitions" =>
+          new GraftMetaBatchScan(table.toString, kind, version,
+            VersionedTable.partitionLayout(table, version), schema())
+        // COMMIT-SIZED tables (O(versions)/O(refs)/O(columns) rows)
+        // stay plan-time local — a distributed scan would be overhead.
+        case _ => new LocalScan {
+          private val out = GraftMetaTables.rowsOf(table, kind, version)
+          override def readSchema(): StructType = schema()
+          override def rows(): Array[InternalRow] = out
+          override def description(): String =
+            s"graft-meta ${name()} (manifest-only)"
+        }
       }
     }
 }
