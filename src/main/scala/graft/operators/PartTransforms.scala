@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** PARTITION TRANSFORMS (r18) — Iceberg's HIDDEN-PARTITIONING idea:
+  * a partition-spec generation may derive its path segments from a
+  * raw payload column instead of naming a string column directly —
+  * `days(ts)` lays files out by UTC day of a BIGINT epoch-micros
+  * column, `bucket(n, col)` by a stable hash residue. The layout
+  * column never exists in the served schema (hidden — analysts never
+  * learn it), writers derive the segment value at write time, and the
+  * SCAN converts an ordinary predicate on the RAW column into
+  * partition-value pruning: `WHERE ts BETWEEN a AND b` skips whole
+  * files from their `ts_day=…` path segments alone. At 100 TB this is
+  * the difference between "every analyst must know the layout column"
+  * and pruning that simply happens — the reason Iceberg ships
+  * transform specs at all.
+  *
+  * Grammar (the PARTSPEC column list, comma-separated, paren-aware):
+  *  - `col`            — identity: the STRING column itself rides the
+  *                       path (the r16/r17 layout, unchanged).
+  *  - `days(col)`      — `col` is BIGINT epoch MICROS (the engine's
+  *                       TsUs convention); segment `col_day=YYYY-MM-DD`
+  *                       (UTC, floorDiv — timezone-free by
+  *                       construction).
+  *  - `bucket(n, col)` — `col` is BIGINT/INT/STRING; segment
+  *                       `col_bucket=i`, i = murmur3(canonical string
+  *                       rendering) mod n, seed 42. Writer and reader
+  *                       share ONE JVM function, so the hash never
+  *                       drifts between them.
+  *
+  * Derived segment names (`col_day`, `col_bucket`) are reserved: the
+  * schema surface hides them, and evolution refuses a transform whose
+  * derived name collides with a payload or path column. The raw
+  * column STAYS in the payload (unlike identity columns, which ride
+  * the path only) — every rewrite remains information-complete.
+  */
+sealed trait PartTransform extends Serializable {
+  /** The payload column the segment derives from (for identity: the
+    * path-borne column itself). */
+  def rawCol: String
+  /** The `name` of the `name=value` path segment this spec writes. */
+  def derivedName: String
+  /** Canonical spec text as written in PARTSPEC / CALL arguments. */
+  def spec: String
+  def isIdentity: Boolean = false
+  /** Writer-side derivation from the raw value (never called on
+    * NULL — partition values cannot ride a path). */
+  def segmentValue(v: Any): String
+  /** The SAME derivation as a Spark Column (compaction's partitionBy
+    * route) — must agree byte-for-byte with [[segmentValue]]. */
+  def column(df: DataFrame): Column
+}
+
+final case class IdentityPart(rawCol: String) extends PartTransform {
+  override def derivedName: String = rawCol
+  override def spec: String = rawCol
+  override def isIdentity: Boolean = true
+  override def segmentValue(v: Any): String = String.valueOf(v)
+  override def column(df: DataFrame): Column = df(rawCol)
+}
+
+final case class DaysPart(rawCol: String) extends PartTransform {
+  override def derivedName: String = rawCol + "_day"
+  override def spec: String = s"days($rawCol)"
+  override def segmentValue(v: Any): String =
+    PartTransform.dayOfMicros(v match {
+      case n: java.lang.Number => n.longValue
+      case other => throw new IllegalArgumentException(
+        s"days($rawCol): expected an epoch-micros BIGINT value, got " +
+          s"$other")
+    })
+  override def column(df: DataFrame): Column =
+    // date_from_unix_date renders DateType → 'YYYY-MM-DD' exactly like
+    // LocalDate.toString; FLOOR(double) = floorDiv for |us| < 2^53
+    // (~year 287000 — beyond any epoch-micros fixture).
+    org.apache.spark.sql.functions.expr(
+      s"CAST(date_from_unix_date(CAST(FLOOR(`$rawCol` / 86400000000e0) " +
+        "AS INT)) AS STRING)")
+}
+
+final case class BucketPart(n: Int, rawCol: String) extends PartTransform {
+  require(n > 0, s"bucket($n, $rawCol): bucket count must be positive")
+  override def derivedName: String = rawCol + "_bucket"
+  override def spec: String = s"bucket($n,$rawCol)"
+  override def segmentValue(v: Any): String =
+    PartTransform.bucketOf(PartTransform.canonical(v), n).toString
+  override def column(df: DataFrame): Column = {
+    val f = org.apache.spark.sql.functions.udf((s: String) => {
+      require(s != null,
+        s"bucket($n, $rawCol): NULL partition value cannot ride a path")
+      PartTransform.bucketOf(s, n).toString
+    })
+    f(df(rawCol).cast(org.apache.spark.sql.types.StringType))
+  }
+}
+
+object PartTransform {
+
+  val MicrosPerDay: Long = 86400000000L
+
+  /** UTC day of an epoch-micros instant, 'YYYY-MM-DD'. */
+  def dayOfMicros(us: Long): String =
+    java.time.LocalDate.ofEpochDay(Math.floorDiv(us, MicrosPerDay))
+      .toString
+
+  /** The inclusive epoch-micros range a day segment covers — what the
+    * scan feeds the zonemap-admits logic to prune on raw-column range
+    * predicates. */
+  def microsRangeOfDay(day: String): (Long, Long) = {
+    val d = java.time.LocalDate.parse(day).toEpochDay
+    (d * MicrosPerDay, d * MicrosPerDay + MicrosPerDay - 1)
+  }
+
+  /** Canonical string rendering shared by writer (JVM row values) and
+    * reader (pushed-filter literals): numbers render as their long
+    * form, so a probe arriving as Integer matches a value written as
+    * Long. */
+  def canonical(v: Any): String = v match {
+    case n: java.lang.Number => String.valueOf(n.longValue)
+    case other => String.valueOf(other)
+  }
+
+  /** murmur3(utf-8 canonical, seed 42) mod n — one JVM function for
+    * both sides of the protocol. */
+  def bucketOf(canonical: String, n: Int): Int =
+    Math.floorMod(
+      scala.util.hashing.MurmurHash3.stringHash(canonical, 42), n)
+
+  private val Days = """days\(\s*([^()\s,]+)\s*\)""".r
+  private val Bucket = """bucket\(\s*(\d+)\s*,\s*([^()\s,]+)\s*\)""".r
+
+  /** Parse one spec entry. Unknown transform shapes refuse LOUDLY —
+    * `years(ts)` must never be stored as an identity column named
+    * "years(ts)". */
+  def parse(s: String): PartTransform = s.trim match {
+    case Days(c) => DaysPart(c)
+    case Bucket(n, c) => BucketPart(n.toInt, c)
+    case t if t.contains('(') || t.contains(')') =>
+      throw new IllegalArgumentException(
+        s"unsupported partition transform '$t' — supported: identity " +
+          "column, days(col), bucket(n, col)")
+    case t => IdentityPart(t)
+  }
+
+  /** Paren-aware comma split — `bucket(8,doc_id),lang` is two specs. */
+  def split(csv: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    csv.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+}

@@ -445,11 +445,29 @@ object VersionedTable {
     * Those files' partition column lives ONLY in the path — any
     * rewrite that reads leaves raw and writes flat would silently drop
     * it, so partition-layout tables gate the copy-on-write verbs. */
-  private def partitionColsOf(table: Path, version: Long): Seq[String] =
+  private def physicalPartitionColsOf(table: Path,
+                                      version: Long): Seq[String] =
     statsManifest(table, version)
       .flatMap(_._1.split('/').dropRight(1).toSeq.collect {
         case seg if seg.contains('=') => seg.substring(0, seg.indexOf('='))
       }).distinct
+
+  /** Path-derived partition columns EXCLUDING hidden transform
+    * segments (r18) — what the served schema and the reader union may
+    * surface; the physical variant exists for metadata tables and
+    * compaction's ragged checks. */
+  private def partitionColsOf(table: Path, version: Long): Seq[String] = {
+    val hidden = hiddenSegmentNames(table, version)
+    physicalPartitionColsOf(table, version).filterNot(hidden)
+  }
+
+  /** The PHYSICAL partition layout (declared ∪ every path-borne
+    * segment name, hidden transform segments INCLUDED) — the DBA's
+    * truth for `t$partitions`; the served schema uses
+    * [[partitionLayout]], which hides transform segments. */
+  def physicalPartitionLayout(table: Path, version: Long): Seq[String] =
+    (declaredPartitionCols(table, version) ++
+      physicalPartitionColsOf(table, version)).distinct
 
   /** The manifest line declaring `col` as a partition column — what a
     * DDL bootstrap passes as `carried` so the layout is known before
@@ -486,10 +504,28 @@ object VersionedTable {
         val rest = l.substring(PartSpecPrefix.length)
         val tab = rest.indexOf('\t')
         val gen = rest.substring(0, tab).toLong
-        val cols = rest.substring(tab + 1).split(',').toSeq
-          .map(_.trim).filter(_.nonEmpty)
+        // Paren-aware split (r18): `bucket(8,doc_id),lang` is two
+        // specs — a transform's inner comma is not a separator.
+        val cols = PartTransform.split(rest.substring(tab + 1))
         (gen, cols)
     }.sortBy(_._1)
+
+  /** HIDDEN segment names at a version (r18): the derived path-segment
+    * names of every transform spec any generation declared (`ts_day`,
+    * `doc_id_bucket`, …). These ride file paths like any partition
+    * value but are NEVER served as schema columns — hidden
+    * partitioning's whole point. All generations count: files written
+    * under a retired transform spec still carry (and prune on) their
+    * derived segments. */
+  def hiddenSegmentNames(table: Path, version: Long): Set[String] =
+    partitionSpecs(table, version).flatMap(_._2).map(PartTransform.parse)
+      .filterNot(_.isIdentity).map(_.derivedName).toSet
+
+  /** Every TRANSFORM spec any generation declared, parsed — what the
+    * scan prunes raw-column predicates through. */
+  def liveTransforms(table: Path, version: Long): Seq[PartTransform] =
+    partitionSpecs(table, version).flatMap(_._2).map(PartTransform.parse)
+      .filterNot(_.isIdentity).distinct
 
   /** The live PARTSPEC manifest lines at a version — what every
     * full-manifest rewrite must restate (the amnesia rule; all
@@ -503,12 +539,30 @@ object VersionedTable {
   /** The layout NEW writes land under: the latest spec generation if
     * the table ever evolved ([[evolvePartitionLayout]]), else the full
     * declared-∪-path layout — pre-evolution tables behave exactly as
-    * before. READERS keep consulting [[partitionLayout]] (the union):
-    * a mixed-spec table's served schema must surface every column any
-    * file's path carries, whichever generation wrote it. */
+    * before. Entries may be TRANSFORM specs (`days(ts)`) since r18;
+    * writers parse them via [[PartTransform.parse]]. READERS keep
+    * consulting [[partitionLayout]] (the union): a mixed-spec table's
+    * served schema must surface every column any file's path carries,
+    * whichever generation wrote it — hidden transform segments
+    * excepted. */
   def writePartitionLayout(table: Path, version: Long): Seq[String] =
     partitionSpecs(table, version).lastOption.map(_._2)
       .getOrElse(partitionLayout(table, version))
+
+  /** Write `out` under a (possibly transform-bearing) spec: transforms
+    * derive their segment column via the SAME rendering the V2 row
+    * writer uses, partitionBy strips exactly the derived names (raw
+    * columns stay in the payload — transform files remain
+    * information-complete), identity columns ride the path as always. */
+  private def writeUnderSpec(out: DataFrame, writeCols: Seq[String],
+                             dataDir: Path): Unit = {
+    val specs = writeCols.map(PartTransform.parse)
+    val derived = specs.foldLeft(out) { (df, t) =>
+      if (t.isIdentity) df else df.withColumn(t.derivedName, t.column(df))
+    }
+    derived.write.partitionBy(specs.map(_.derivedName): _*)
+      .parquet(dataDir.toString)
+  }
 
   /** PARTITION-SPEC EVOLUTION (r17) — change the table's write layout
     * in ONE O(1) metadata commit, rewriting nothing (Iceberg's
@@ -535,30 +589,65 @@ object VersionedTable {
                             newCols: Seq[String],
                             checkpointEvery: Int = 8): Long = {
     refuseBranched(table, "evolvePartitionLayout")
-    require(newCols.distinct == newCols,
-      s"evolvePartitionLayout: duplicate columns in $newCols")
-    newCols.foreach(partColLine) // name validity (tab/newline/slash/=)
+    // TRANSFORM specs (r18): each entry is an identity column,
+    // `days(col)` or `bucket(n, col)` — parse refuses unknown shapes
+    // loudly (a `years(ts)` must never be stored as a column name).
+    val specs = newCols.map(PartTransform.parse)
+    require(specs.map(_.derivedName).distinct.size == specs.size &&
+        newCols.distinct == newCols,
+      s"evolvePartitionLayout: duplicate columns/derived names in " +
+        s"$newCols")
+    specs.foreach(t => partColLine(t.rawCol)) // tab/newline/slash/= gate
     val base = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(
         s"evolvePartitionLayout: no committed version at $table"))
     val pathCols = partitionLayout(table, base).toSet
     lazy val payload = read(s, table, Some(base),
       mergeSchema = columnMappings(table, base).nonEmpty).schema
-    newCols.filterNot(pathCols).foreach { c =>
-      val f = payload.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"evolvePartitionLayout: column '$c' does not exist at " +
-            s"version $base of $table"))
-      require(f.dataType == org.apache.spark.sql.types.StringType,
-        s"evolvePartitionLayout: column '$c' is ${f.dataType.sql} — " +
-          "partition values ride the path and read back as STRING; " +
-          "derive a string column first")
+    specs.foreach {
+      case IdentityPart(c) if !pathCols(c) =>
+        val f = payload.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"evolvePartitionLayout: column '$c' does not exist at " +
+              s"version $base of $table"))
+        require(f.dataType == org.apache.spark.sql.types.StringType,
+          s"evolvePartitionLayout: column '$c' is ${f.dataType.sql} — " +
+            "partition values ride the path and read back as STRING; " +
+            "derive a string column, or use days()/bucket()")
+      case _: IdentityPart => ()
+      case t =>
+        // A transform derives from a PAYLOAD column (never a path-only
+        // column — old files' payloads must stay derivable), with the
+        // type its derivation demands; the derived segment name must
+        // shadow nothing.
+        val f = payload.fields.find(_.name == t.rawCol).getOrElse(
+          throw new IllegalArgumentException(
+            s"evolvePartitionLayout: ${t.spec} — raw column " +
+              s"'${t.rawCol}' is not a payload column at version $base"))
+        t match {
+          case _: DaysPart =>
+            require(f.dataType == org.apache.spark.sql.types.LongType,
+              s"evolvePartitionLayout: days(${t.rawCol}) needs a " +
+                s"BIGINT epoch-micros column, got ${f.dataType.sql}")
+          case _: BucketPart =>
+            require(Set[org.apache.spark.sql.types.DataType](
+                org.apache.spark.sql.types.LongType,
+                org.apache.spark.sql.types.IntegerType,
+                org.apache.spark.sql.types.StringType)(f.dataType),
+              s"evolvePartitionLayout: ${t.spec} needs a BIGINT/INT/" +
+                s"STRING column, got ${f.dataType.sql}")
+          case _ => ()
+        }
+        require(!payload.fields.exists(_.name == t.derivedName) &&
+            !pathCols(t.derivedName),
+          s"evolvePartitionLayout: derived segment name " +
+            s"'${t.derivedName}' collides with an existing column")
     }
     val gen = partitionSpecs(table, base).lastOption
       .map(_._1).getOrElse(0L) + 1
     val version = base + 1
     publish(table, version, deltaLines(table, version,
-      Seq(s"$PartSpecPrefix$gen\t${newCols.mkString(",")}"),
+      Seq(s"$PartSpecPrefix$gen\t${specs.map(_.spec).mkString(",")}"),
       checkpointEvery))
     version
   }
@@ -1130,10 +1219,14 @@ object VersionedTable {
       s"addColumnCommit: column '$name' already exists in " +
         s"${existing.mkString("[", ", ", "]")}")
     // Path-borne partition columns are not in the payload schema the
-    // check above reads — a duplicate add would shadow them.
+    // check above reads — a duplicate add would shadow them. Hidden
+    // transform segments reserve their names too (r18).
     require(!partitionLayout(table, version - 1)
-        .exists(_.equalsIgnoreCase(name)),
-      s"addColumnCommit: '$name' is a partition-layout column")
+        .exists(_.equalsIgnoreCase(name)) &&
+        !hiddenSegmentNames(table, version - 1)
+          .exists(_.equalsIgnoreCase(name)),
+      s"addColumnCommit: '$name' is a partition-layout column or " +
+        "hidden transform segment")
     // The mirror of deleteCommit's guard: an evolution over live DVs
     // creates the same both-sides-refuse dead end.
     require(deletionVectors(table, version - 1).isEmpty,
@@ -1190,6 +1283,12 @@ object VersionedTable {
     require(!partitionLayout(table, base).contains(name) &&
         !writePartitionLayout(table, base).contains(name),
       s"dropColumnCommit: '$name' is a partition-layout column")
+    // A transform spec derives its segments from a payload column —
+    // dropping the raw column would brick every future INSERT and the
+    // scan's raw-predicate pruning (r18).
+    require(!liveTransforms(table, base).exists(_.rawCol == name),
+      s"dropColumnCommit: '$name' feeds a partition transform spec " +
+        s"(${liveTransforms(table, base).map(_.spec).mkString(", ")})")
     // CHECK references are resolved the way Spark will resolve them:
     // parse the constraint and collect its attribute references,
     // compared case-INSENSITIVELY (Spark's resolution is — a
@@ -1712,13 +1811,22 @@ object VersionedTable {
 
   private def readMultiPartitionedFiles(s: SparkSession, table: Path,
                                         partCols: Seq[String],
-                                        files: Seq[String]): DataFrame =
+                                        files: Seq[String]): DataFrame = {
+    // HIDDEN transform segments (r18) also surface through path
+    // discovery — drop them: the raw column rides the payload, so the
+    // derived segment is redundant AND ragged across generations
+    // (a days-spec group would union 4 columns against an identity
+    // group's 3). The latest version's hidden set is a superset of
+    // every older one's (PARTSPEC generations only accumulate).
+    val hidden = latestVersion(table)
+      .map(hiddenSegmentNames(table, _)).getOrElse(Set.empty)
     files
       .groupBy(f => f.split('/').take(2).mkString("/"))
       .toSeq.sortBy(_._1)
       .map { case (dataDir, fs) =>
-        val part = s.read.option("basePath", table.resolve(dataDir).toString)
+        val raw = s.read.option("basePath", table.resolve(dataDir).toString)
           .parquet(fs.map(f => table.resolve(f).toString): _*)
+        val part = hidden.foldLeft(raw)((d, h) => d.drop(h))
         // Each group's partition columns come from path discovery;
         // a flat group (the DDL bootstrap) carries them in its payload
         // instead, and a column absent from both is a typed NULL
@@ -1729,6 +1837,7 @@ object VersionedTable {
             org.apache.spark.sql.functions.lit(null).cast("string")))
       }
       .reduce(_.unionByName(_, allowMissingColumns = false))
+  }
 
   /** PARTITION PRUNING × STATS SKIPPING in one read — the two
     * orthogonal manifest mechanisms composed, exactly as production
@@ -2334,7 +2443,8 @@ object VersionedTable {
               seg.substring(0, seg.indexOf('='))
           }.toSet
           if (evolved)
-            require(fileCols.subsetOf(partCols.toSet),
+            require(fileCols.subsetOf(partCols.toSet ++
+                hiddenSegmentNames(table, base)),
               s"compactCommit at version $base: file $f carries " +
                 s"partition segments $fileCols outside the table's " +
                 s"known layout columns $partCols")
@@ -2362,7 +2472,7 @@ object VersionedTable {
             case None => snap.repartition(files)
           }
           if (writeCols.nonEmpty)
-            out.write.partitionBy(writeCols: _*).parquet(dataDir.toString)
+            writeUnderSpec(out, writeCols, dataDir)
           else // evolved back to flat: path columns fold into the payload
             out.write.parquet(dataDir.toString)
         }
@@ -2390,7 +2500,7 @@ object VersionedTable {
         // the flat schema-carrying shape — dynamic partitionBy of zero
         // rows would write no files at all).
         if (writeCols.nonEmpty && !snap.isEmpty)
-          out.write.partitionBy(writeCols: _*).parquet(dataDir.toString)
+          writeUnderSpec(out, writeCols, dataDir)
         else
           out.write.parquet(dataDir.toString)
         statsCol match {
@@ -2491,7 +2601,7 @@ object VersionedTable {
         case None => snap.repartition(files)
       }
       if (writeCols.nonEmpty)
-        out.write.partitionBy(writeCols: _*).parquet(dataDir.toString)
+        writeUnderSpec(out, writeCols, dataDir)
       else out.write.parquet(dataDir.toString)
     }
     val staged =
@@ -2590,9 +2700,11 @@ object VersionedTable {
       throw new IllegalArgumentException(
         s"clusterCommit: no committed version at $table"))
     val version = base + 1
-    require(partitionLayout(table, base).isEmpty,
-      s"clusterCommit: $table has a partition layout — cluster " +
-        "inside partitions is not supported; compact instead")
+    require(partitionLayout(table, base).isEmpty &&
+        writePartitionLayout(table, base).isEmpty,
+      s"clusterCommit: $table has a partition layout (or live " +
+        "transform spec) — cluster rewrites the snapshot flat and " +
+        "would drop it; compact instead")
     val snap = read(s, table, Some(base),
       mergeSchema = columnMappings(table, base).nonEmpty)
     cols.foreach(c => require(snap.schema.fields.exists(f =>

@@ -2314,6 +2314,10 @@ object DedupQueries extends QueryModule {
         s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
         s2.conf.set(
           "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        // The preserve-data-grouping OPT-IN (the Iceberg conf, mirrored):
+        // reporting KeyGroupedPartitioning forces per-key task grouping
+        // on every scan, so only the session planning the join enables it.
+        s2.conf.set("spark.graft.planning.preserveDataGrouping", "true")
         def scan(t: java.nio.file.Path) =
           s2.read.format("graft-table").load(t.toString)
         def joined() = scan(factT).join(scan(dimT), "lang")
@@ -2340,14 +2344,15 @@ object DedupQueries extends QueryModule {
           s"pipe_table_spj: expected $nLangs key-grouped tasks over " +
             s"${VersionedTable.statsManifest(factT, 0L).size} files, " +
             s"got ${full.rdd.getNumPartitions}")
-        // Negative witness: without v2 bucketing the SAME join
-        // shuffles both sides.
-        s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        // Negative witness: without the opt-in the scan reports no
+        // partitioning and the SAME join shuffles both sides.
+        s2.conf.set("spark.graft.planning.preserveDataGrouping", "false")
         require(shuffles(joined().where($"doc_id" < 80)) == 2,
-          "pipe_table_spj: with v2 bucketing off the join must fall " +
-            "back to shuffling both sides — the zero-exchange plan is " +
-            "the connector's report, not fixture luck")
-        s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          "pipe_table_spj: without the preserve-data-grouping opt-in " +
+            "the join must fall back to shuffling both sides — the " +
+            "zero-exchange plan is the connector's report, not fixture " +
+            "luck")
+        s2.conf.set("spark.graft.planning.preserveDataGrouping", "true")
         val sorted = out.orderBy($"doc_id")
         val rows = sorted.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*),
@@ -3841,6 +3846,118 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // HIDDEN PARTITIONING (r18) — Iceberg's transform specs, the gap
+    // the r17 identity-only evolution left: a `days(ts_us)` generation
+    // lays new files out by UTC day of a BIGINT epoch-micros column,
+    // the derived `ts_us_day=…` segment NEVER appears in the served
+    // schema (analysts never learn the layout column), and a vanilla
+    // predicate on the RAW column prunes whole files from the path
+    // segments alone — at 100 TB, layout knowledge stops being part of
+    // every analyst's query contract. Staged: an identity-partitioned
+    // (event_type) table evolves to days(ts_us) in ONE metadata commit
+    // (witnessed: exactly one PARTSPEC line, zero data files); the
+    // next INSERT lands hidden day files; the scan (a) hides the
+    // derived column, (b) prunes a raw ts_us range to the matching
+    // day's files plus conservatively-admitted old-spec files, (c)
+    // still prunes event_type probes against the OLD generation —
+    // mixed-generation pruning both directions. `years(…)` refuses at
+    // declaration. CALL compact then un-rags the whole snapshot under
+    // the day spec (contents witnessed identical) and the same raw
+    // predicate prunes the entire table. Oracle replays the day slice.
+    "pipe_partition_hidden" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vhidden_")
+      try {
+        val table = tmp.resolve("ev")
+        val ev = Tables.events(s, dir).selectExpr("event_id",
+          s"${QueryModule.TsUs} AS ts_us", "event_type")
+        VersionedTable.commitPartitioned(s, table, 0L,
+          ev.where("event_id % 3 = 0"), "event_type")
+        val oldFiles = VersionedTable.statsManifest(table, 0L).map(_._1)
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        // Unsupported transforms refuse at declaration — never stored.
+        val refused = try {
+          s2.sql("CALL graftcat.evolve_layout('ev', 'years(ts_us)')")
+            .collect(); false
+        } catch { case _: Exception => true }
+        require(refused,
+          "pipe_partition_hidden: years(…) must refuse at declaration")
+        // The evolution: ONE metadata commit, zero data files.
+        s2.sql("CALL graftcat.evolve_layout('ev', 'days(ts_us)')")
+        val evolveAdds = VersionedTable.addedLines(table, 1L)
+        require(evolveAdds.size == 1 &&
+            evolveAdds.head.startsWith("PARTSPEC\t") &&
+            evolveAdds.head.endsWith("days(ts_us)"),
+          s"pipe_partition_hidden: expected one PARTSPEC transform " +
+            s"line, got $evolveAdds")
+        s2.sql(s"""INSERT INTO graftcat.ev
+                   SELECT event_id, unix_micros(CAST(ts AS TIMESTAMP))
+                            AS ts_us, event_type
+                   FROM parquet.`$dir/events.parquet`
+                   WHERE event_id % 3 <> 0""")
+        val newFiles = VersionedTable.addedLines(table, 2L)
+          .filterNot(VersionedTable.isMetaManifestLine)
+          .map(_.split('\t').head)
+        require(newFiles.nonEmpty && newFiles.forall(f =>
+            f.contains("ts_us_day=") && !f.contains("event_type=")),
+          s"pipe_partition_hidden: batch 2 must land hidden day files, " +
+            s"got $newFiles")
+        // HIDDEN: the derived segment is never a schema column.
+        val cols = s2.table("graftcat.ev").columns.toSeq
+        require(cols.sorted == Seq("event_id", "event_type", "ts_us"),
+          s"pipe_partition_hidden: ts_us_day leaked into the schema: " +
+            s"$cols")
+        // A RAW ts_us predicate prunes by the derived segments: the
+        // day's files + conservatively-admitted old-spec files.
+        val day = "2024-01-10"
+        val (lo, hi) = graft.operators.PartTransform.microsRangeOfDay(day)
+        val matching = newFiles.count(_.contains(s"ts_us_day=$day"))
+        def dayQuery = s2.sql("SELECT event_id, ts_us, event_type " +
+          s"FROM graftcat.ev WHERE ts_us BETWEEN $lo AND $hi")
+        require(matching > 0 &&
+            dayQuery.rdd.getNumPartitions == matching + oldFiles.size &&
+            matching + oldFiles.size < oldFiles.size + newFiles.size,
+          s"pipe_partition_hidden: raw-predicate scan planned " +
+            s"${dayQuery.rdd.getNumPartitions} files, expected " +
+            s"$matching day files + ${oldFiles.size} old-spec admits")
+        // …and the OLD identity generation still prunes its own files.
+        val oneType = oldFiles.flatMap(_.split('/').collectFirst {
+          case seg if seg.startsWith("event_type=") => seg }).distinct
+          .head.substring("event_type=".length)
+        val matchingOld = oldFiles.count(
+          _.contains(s"event_type=$oneType"))
+        val scannedType = s2.sql("SELECT * FROM graftcat.ev " +
+          s"WHERE event_type = '$oneType'").rdd.getNumPartitions
+        require(scannedType == matchingOld + newFiles.size,
+          s"pipe_partition_hidden: event_type probe scanned " +
+            s"$scannedType, expected $matchingOld old + " +
+            s"${newFiles.size} new-spec admits")
+        val out = dayQuery.orderBy("event_id")
+        val rows = out.collect()
+        // Compaction un-rags everything under the day spec; contents
+        // identical; the raw predicate now prunes the WHOLE table.
+        s2.sql("CALL graftcat.compact('ev', 'event_id', 4)")
+        val v = VersionedTable.latestVersion(table).get
+        val files = VersionedTable.statsManifest(table, v).map(_._1)
+        require(files.forall(f => f.contains("ts_us_day=") &&
+            !f.contains("event_type=")),
+          s"pipe_partition_hidden: compaction must rewrite under the " +
+            s"day spec, got $files")
+        val after = dayQuery.orderBy("event_id").collect()
+        require(after.toSeq == rows.toSeq,
+          "pipe_partition_hidden: compaction changed the contents")
+        val matchAfter = files.count(_.contains(s"ts_us_day=$day"))
+        require(dayQuery.rdd.getNumPartitions == matchAfter &&
+            matchAfter < files.size,
+          "pipe_partition_hidden: post-compact raw predicate must " +
+            "prune the whole table")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // ANALYZE → COLUMN STATISTICS (r17) — the CBO input sizeInBytes
     // can't provide: CALL analyze(table, cols) runs ONE aggregate
     // pass (approx_count_distinct HLL + null count per column — the
@@ -5186,6 +5303,15 @@ object DedupQueries extends QueryModule {
         |      FROM documents GROUP BY lang) x ON d.lang = x.lang
         |WHERE d.doc_id < 60
         |ORDER BY d.doc_id""".stripMargin,
+
+    // The hidden-partitioning day slice replayed relationally:
+    // 2024-01-10 in epoch micros (19732 * 86400000000).
+    "pipe_partition_hidden" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type
+        |FROM events
+        |WHERE epoch_us(ts)
+        |  BETWEEN 1704844800000000 AND 1704931199999999
+        |ORDER BY event_id""".stripMargin,
 
     // The storage-partitioned join replayed relationally: fact rows
     // under 80 joined to the per-lang dimension.

@@ -234,13 +234,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           "land under the new spec; existing files keep their paths " +
           "and prune under the spec each path exhibits; CALL compact " +
           "later to un-rag the whole table under the live spec. " +
+          "Transforms (r18): days(col) / bucket(n, col) — hidden " +
+          "partitioning; predicates on the RAW column prune. " +
           "evolve_layout(table, cols); cols comma-separated, '' = flat.",
         Seq(ProcedureParameter.in("table", DataTypes.StringType).build(),
           ProcedureParameter.in("cols", DataTypes.StringType).build()),
         { in =>
           val t = tableAt(in.getUTF8String(0).toString)
-          val cols = in.getUTF8String(1).toString.split(',')
-            .map(_.trim).filter(_.nonEmpty).toSeq
+          // Paren-aware split: bucket(8,doc_id)'s comma is not a
+          // separator.
+          val cols = graft.operators.PartTransform
+            .split(in.getUTF8String(1).toString)
           val v = VersionedTable.evolvePartitionLayout(
             org.apache.spark.sql.SparkSession.active, t, cols)
           Seq("version" -> v,

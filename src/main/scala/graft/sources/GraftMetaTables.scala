@@ -75,7 +75,10 @@ object GraftMetaTables {
       StructField("stats_max", LongType, nullable = true),
       StructField("partition", StringType, nullable = true)))
     case "partitions" => StructType(
-      VersionedTable.partitionLayout(table, version).map(c =>
+      // The PHYSICAL layout (r18): hidden transform segments are the
+      // DBA's business here — `ts_day` appears as a rollup column in
+      // $partitions even though the data schema hides it.
+      VersionedTable.physicalPartitionLayout(table, version).map(c =>
         StructField(c, StringType, nullable = true)) ++ Seq(
         StructField("files", LongType, nullable = false),
         StructField("row_count", LongType, nullable = true)))
@@ -260,7 +263,8 @@ private[sources] class GraftMetaTable(table: Path, kind: String,
         // executors, never materializing per-file rows on the driver.
         case "files" | "partitions" =>
           new GraftMetaBatchScan(table.toString, kind, version,
-            VersionedTable.partitionLayout(table, version), schema())
+            VersionedTable.physicalPartitionLayout(table, version),
+            schema())
         // COMMIT-SIZED tables (O(versions)/O(refs)/O(columns) rows)
         // stay plan-time local — a distributed scan would be overhead.
         case _ => new LocalScan {

@@ -149,11 +149,52 @@ object GraftTableSource {
 
   /** Partition columns across a version's manifest, in first-appearance
     * order — self-describing from the Hive-style paths a partitioned
-    * commit records; no option needed. */
+    * commit records; no option needed. HIDDEN transform segments
+    * (`ts_day=…` from a `days(ts)` spec) are excluded: they prune, but
+    * they are never schema columns (r18). */
   private[sources] def partitionCols(table: java.nio.file.Path,
-                                     version: Long): Seq[String] =
+                                     version: Long): Seq[String] = {
+    val hidden = VersionedTable.hiddenSegmentNames(table, version)
     VersionedTable.statsManifest(table, version)
       .flatMap(l => partitionValues(l._1).map(_._1)).distinct
+      .filterNot(hidden)
+  }
+
+  /** Is `f` a shape a TRANSFORM spec can prune on its raw column?
+    * days → the zonemap range shapes; bucket → equality shapes. */
+  private[sources] def transformPrunable(
+      f: Filter, t: graft.operators.PartTransform): Boolean = t match {
+    case _: graft.operators.DaysPart => prunable(f, t.rawCol)
+    case _: graft.operators.BucketPart => partPrunable(f, Set(t.rawCol))
+    case _ => false
+  }
+
+  /** Might a file whose DERIVED segment for transform `t` is `segVal`
+    * hold a row admitted by `f` (a predicate on the RAW column)?
+    * days: the segment's day covers an epoch-micros range — exactly a
+    * zonemap, so the zonemap admits logic applies verbatim. bucket:
+    * an equality probe hashes to exactly one residue. Conservative on
+    * unparseable segments and every other shape. */
+  private[sources] def transformAdmits(f: Filter,
+      t: graft.operators.PartTransform, segVal: String): Boolean =
+    try t match {
+      case graft.operators.DaysPart(c) =>
+        val (lo, hi) = graft.operators.PartTransform
+          .microsRangeOfDay(segVal)
+        admits(f, c, lo, hi)
+      case graft.operators.BucketPart(n, c) =>
+        def ok(x: Any): Boolean = graft.operators.PartTransform
+          .bucketOf(graft.operators.PartTransform.canonical(x), n)
+          .toString == segVal
+        f match {
+          case EqualTo(`c`, x) => ok(x)
+          case In(`c`, vs) => vs.isEmpty || vs.exists(ok)
+          case org.apache.spark.sql.sources.And(l, r) =>
+            transformAdmits(l, t, segVal) && transformAdmits(r, t, segVal)
+          case _ => true
+        }
+      case _ => true
+    } catch { case scala.util.control.NonFatal(_) => true }
 
   /** Data schema from the version's first manifest file's parquet
     * footer — one footer read; schema inference must not scan data.
@@ -357,8 +398,16 @@ private[sources] class GraftTable(path: String, schema0: StructType,
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
     VersionedTable.writePartitionLayout(java.nio.file.Paths.get(path),
         version)
-      .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
-      .toArray
+      .map(graft.operators.PartTransform.parse)
+      .map {
+        case graft.operators.DaysPart(c) =>
+          org.apache.spark.sql.connector.expressions.Expressions.days(c)
+        case graft.operators.BucketPart(n, c) =>
+          org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(n, c)
+        case t => org.apache.spark.sql.connector.expressions.Expressions
+          .identity(t.rawCol)
+      }.toArray
 
   /** `_file` — each row's relative data-file path (the Delta/Iceberg
     * metadata column of the same name): the GROUP identity the
@@ -530,6 +579,12 @@ private[sources] class GraftScanBuilder(path: String, version: Long,
       .secondaryStats(java.nio.file.Paths.get(path), version)
       .map(_._2).toSet
 
+  /** Transform specs from EVERY generation (r18) — a predicate on the
+    * RAW column prunes files by their derived path segments. */
+  private lazy val transforms: Seq[graft.operators.PartTransform] =
+    graft.operators.VersionedTable
+      .liveTransforms(java.nio.file.Paths.get(path), version)
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -546,7 +601,10 @@ private[sources] class GraftScanBuilder(path: String, version: Long,
       statsPrunable(f) ||
         secondaryStatsCols.exists(GraftTableSource.prunable(f, _)) ||
         GraftTableSource.bloomPrunable(f, bloomCols) ||
-        GraftTableSource.partPrunable(f, partCols))
+        GraftTableSource.partPrunable(f, partCols) ||
+        // Hidden partitioning (r18): a raw-column predicate prunes
+        // through the transform that derived the path segments.
+        transforms.exists(GraftTableSource.transformPrunable(f, _)))
     filters
   }
 
@@ -724,9 +782,26 @@ private[sources] class GraftScan(path: String, version: Long,
     * report unknown partitioning — pruning optimizations never become
     * correctness dependencies, and Spark falls back to the ordinary
     * shuffle plan. Metadata-answered aggregates serve one finished
-    * partition and report likewise. */
+    * partition and report likewise.
+    *
+    * OPT-IN by `spark.graft.planning.preserveDataGrouping=true`
+    * (Iceberg's preserve-data-grouping conf, same reasoning): once a
+    * scan REPORTS KeyGroupedPartitioning, Spark must GROUP same-key
+    * files into one task to make the report true — which caps a plain
+    * scan's parallelism at the distinct-key count (catastrophic for a
+    * SELECT over a 1000-files-per-day table) and is only a win when a
+    * join/aggregation actually exploits the clustering. The session
+    * opting in is the one planning the join. The decision is
+    * snapshotted per scan so planning-time reports and execution-time
+    * partition keys can never disagree mid-query. */
+  private lazy val spjLayout: Option[Seq[String]] = keyLayout()
+
   private def keyLayout(): Option[Seq[String]] = {
     if (metaAgg.isDefined) return None
+    val optIn = try org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.planning.preserveDataGrouping", "false") == "true"
+    catch { case scala.util.control.NonFatal(_) => false }
+    if (!optIn) return None
     val table = java.nio.file.Paths.get(path)
     val layout = VersionedTable.partitionLayout(table, version)
     if (layout.isEmpty) return None
@@ -742,7 +817,7 @@ private[sources] class GraftScan(path: String, version: Long,
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
-    try keyLayout() match {
+    try spjLayout match {
       case Some(layout) =>
         val groups = livePrunedFiles().map { case (f, _, _) =>
           val vals = GraftTableSource.partitionValues(f).toMap
@@ -782,6 +857,10 @@ private[sources] class GraftScan(path: String, version: Long,
       VersionedTable.secondaryStats(table, version)
         .map { case (f, c, mn, mx) => (f, c) -> (mn, mx) }.toMap
     val secondaryCols = secondary.keysIterator.map(_._2).toSet
+    // Hidden partitioning (r18): raw-column predicates prune each
+    // file by its derived path segments — files WITHOUT a transform's
+    // segment (older generations, flat bootstraps) always admit.
+    val transforms = VersionedTable.liveTransforms(table, version)
     all.filter { case (f, mn, mx) =>
       runtimeFiles.forall(_.contains(f)) &&
       statsCol.forall(c =>
@@ -794,6 +873,10 @@ private[sources] class GraftScan(path: String, version: Long,
           pushed.forall(GraftTableSource.bloomAdmits(_, c, bits)))) &&
         GraftTableSource.partitionValues(f).forall { case (c, v) =>
           pushed.forall(GraftTableSource.partAdmits(_, c, v))
+        } && {
+          lazy val segs = GraftTableSource.partitionValues(f).toMap
+          transforms.forall(t => segs.get(t.derivedName).forall(v =>
+            pushed.forall(GraftTableSource.transformAdmits(_, t, v))))
         }
     }
   }
@@ -987,7 +1070,6 @@ private[sources] class GraftScan(path: String, version: Long,
     // when the snapshot reports KeyGroupedPartitioning (every file
     // carries every layout column) — Spark groups same-key files into
     // one task and the join co-locates with no Exchange.
-    val spjLayout = keyLayout()
     live.map { case (f, _, _) =>
       val vals = GraftTableSource.partitionValues(f)
       GraftTablePartition(path, f, covering.getOrElse(f, Nil),

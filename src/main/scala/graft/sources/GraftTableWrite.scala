@@ -72,14 +72,33 @@ private[sources] class GraftWrite(path: String, schema: StructType,
       .map(v => VersionedTable.writePartitionLayout(
         java.nio.file.Paths.get(path), v))
       .getOrElse(Nil)
-  partCols.foreach { pc =>
-    val f = schema.fields.find(_.name == pc).getOrElse(
+  // Entries may be TRANSFORM specs (r18, hidden partitioning): the
+  // RAW column must be writable with the type the derivation demands;
+  // identity columns keep the STRING rule (their value IS the path).
+  private val partSpecs: Seq[graft.operators.PartTransform] =
+    partCols.map(graft.operators.PartTransform.parse)
+  partSpecs.foreach { t =>
+    val f = schema.fields.find(_.name == t.rawCol).getOrElse(
       throw new IllegalArgumentException(
-        s"graft-table: partition column '$pc' missing from the write " +
-          s"schema ${schema.fieldNames.mkString("[", ", ", "]")}"))
-    require(f.dataType == org.apache.spark.sql.types.StringType,
-      s"graft-table: partition column '$pc' must be STRING (partition " +
-        "values ride the path and read back as strings)")
+        s"graft-table: partition column '${t.rawCol}' missing from the " +
+          s"write schema ${schema.fieldNames.mkString("[", ", ", "]")}"))
+    t match {
+      case _: graft.operators.IdentityPart =>
+        require(f.dataType == org.apache.spark.sql.types.StringType,
+          s"graft-table: partition column '${t.rawCol}' must be STRING " +
+            "(partition values ride the path and read back as strings)")
+      case _: graft.operators.DaysPart =>
+        require(f.dataType == org.apache.spark.sql.types.LongType,
+          s"graft-table: ${t.spec} needs a BIGINT epoch-micros column, " +
+            s"got ${f.dataType.sql}")
+      case _: graft.operators.BucketPart =>
+        require(Set[org.apache.spark.sql.types.DataType](
+            org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.StringType)(f.dataType),
+          s"graft-table: ${t.spec} needs a BIGINT/INT/STRING column, " +
+            s"got ${f.dataType.sql}")
+    }
   }
 
   /** Cluster input by the partition column so each task writes few
@@ -87,11 +106,13 @@ private[sources] class GraftWrite(path: String, schema: StructType,
     * requires at scale); unpartitioned writes impose nothing. */
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
-    if (partCols.nonEmpty)
+    if (partSpecs.nonEmpty)
+      // Cluster by the RAW columns — a transform's derivation is a
+      // function of its raw column, so same-segment rows co-locate.
       org.apache.spark.sql.connector.distributions.Distributions
-        .clustered(partCols.map(pc =>
+        .clustered(partSpecs.map(t =>
           org.apache.spark.sql.connector.expressions.Expressions
-            .column(pc): org.apache.spark.sql.connector.expressions
+            .column(t.rawCol): org.apache.spark.sql.connector.expressions
             .Expression).toArray)
     else org.apache.spark.sql.connector.distributions.Distributions
       .unspecified()
@@ -330,9 +351,17 @@ private[sources] class GraftWriterFactory(path: String, stagingRel: String,
   private def partitionedWriter(pcs: Seq[String], partitionId: Int,
                                 taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val partIdx = pcs.map(schema.fieldIndex).toArray
+      // Specs may be transforms (r18): identity columns are STRIPPED
+      // from the payload (they ride the path, the commitPartitioned
+      // layout); a transform's RAW column STAYS (the derived segment
+      // is a lossy function — files must remain information-complete).
+      private val specs = pcs.map(graft.operators.PartTransform.parse)
+      private val partIdx = specs.map(t => schema.fieldIndex(t.rawCol))
+        .toArray
+      private val stripped = specs.collect {
+        case t if t.isIdentity => t.rawCol }.toSet
       private val payload =
-        StructType(schema.fields.filterNot(f => pcs.contains(f.name)))
+        StructType(schema.fields.filterNot(f => stripped.contains(f.name)))
       private val payloadIdx =
         payload.fields.map(f => schema.fieldIndex(f.name))
       private val msgType = GraftWriterFactory.messageType(payload)
@@ -356,16 +385,23 @@ private[sources] class GraftWriterFactory(path: String, stagingRel: String,
         })
 
       override def write(row: InternalRow): Unit = {
-        val segments = pcs.zip(partIdx).map { case (pc, i) =>
+        val segments = specs.zip(partIdx).map { case (t, i) =>
           require(!row.isNullAt(i),
-            s"graft-table: NULL partition value for '$pc' — partition " +
-              "values ride the path and cannot be NULL")
+            s"graft-table: NULL partition value for '${t.rawCol}' — " +
+              "partition values ride the path and cannot be NULL")
+          val raw: Any = schema.fields(i).dataType match {
+            case LongType => row.getLong(i)
+            case IntegerType => row.getInt(i)
+            case StringType => row.getUTF8String(i).toString
+            case other => throw new IllegalStateException(
+              s"graft-table: unsupported partition source type $other")
+          }
           // %XX escaping (space as %20, never URL-form '+': the
           // reader decodes %XX only, so a literal '+' in a value
           // must ride as %2B — URLEncoder already does that — and
           // space must not become '+').
-          s"$pc=${java.net.URLEncoder.encode(
-            row.getUTF8String(i).toString, "UTF-8").replace("+", "%20")}"
+          s"${t.derivedName}=${java.net.URLEncoder.encode(
+            t.segmentValue(raw), "UTF-8").replace("+", "%20")}"
         }.mkString("/")
         val (w, n, _) = writerFor(segments)
         val g = new SimpleGroup(msgType)

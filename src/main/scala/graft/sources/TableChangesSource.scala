@@ -438,6 +438,28 @@ private[sources] class ChangesStream(path: String, schema: StructType,
         throw new IllegalStateException(
           s"graft-changes: version $v evolves the schema — restart " +
             "the stream to pick up the new schema")
+      else if (line.startsWith("PARTSPEC\t")) {
+        // A spec evolution that introduces a brand-new IDENTITY
+        // partition column mid-stream evolves the schema exactly like
+        // RENAME/WIDEN (future files carry a path-borne column this
+        // stream's fixed schema cannot serve); a transform's RAW
+        // column must likewise exist. Known columns (re-ordering, a
+        // transform over an existing payload column) pass — the
+        // mirror's schema is unchanged (ADVICE r17).
+        val known = schema.fieldNames.toSet
+        // (an evolve-to-flat spec has an EMPTY column list — the
+        // trailing field vanishes under split, and there is nothing
+        // to check)
+        graft.operators.PartTransform
+          .split(line.split('\t').drop(2).mkString)
+          .map(graft.operators.PartTransform.parse)
+          .foreach(t => if (!known.contains(t.rawCol))
+            throw new IllegalStateException(
+              s"graft-changes: version $v evolves the partition spec " +
+                s"with column '${t.rawCol}' unknown to this stream's " +
+                "schema — restart the stream to pick up the new schema"))
+        None
+      }
       else if (VersionedTable.isMetaManifestLine(line))
         // Metadata lines carry no rows to serve: skipping indexes
         // (BLOOM/STATS/ROWS), table contracts (CHECK/STATSCOL/PARTCOL/

@@ -1458,4 +1458,75 @@ class VersionedTableSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("expired"))
   }
+
+  test("partition transforms: hidden days/bucket layout, raw-predicate pruning") {
+    import spark.implicits._
+    val t = freshTable()
+    val day0 = 19723L // 2024-01-01 as an epoch day
+    def us(d: Long, k: Long) = d * 86400000000L + k
+    val rows = Seq.tabulate(40)(i =>
+      (i.toLong, us(day0 + i % 4, i.toLong), s"e${i % 2}"))
+      .toDF("id", "ts_us", "kind")
+    VersionedTable.commit(spark, t, 0L, rows.where($"id" < 8).coalesce(1))
+    // Declaration-time refusals: unknown transforms, wrong raw types,
+    // zero buckets — never stored, always loud.
+    intercept[IllegalArgumentException] {
+      VersionedTable.evolvePartitionLayout(spark, t, Seq("years(ts_us)"))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.evolvePartitionLayout(spark, t, Seq("days(kind)"))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.evolvePartitionLayout(spark, t, Seq("bucket(0,id)"))
+    }
+    // One O(1) metadata commit; the next V2 INSERT lands day files.
+    VersionedTable.evolvePartitionLayout(spark, t, Seq("days(ts_us)"))
+    rows.where($"id" >= 8).write.format("graft-table").mode("append")
+      .save(t.toString)
+    val newFiles = VersionedTable.addedLines(t, 2L)
+      .filterNot(VersionedTable.isMetaManifestLine)
+      .map(_.split('\t').head)
+    assert(newFiles.nonEmpty &&
+      newFiles.forall(_.contains("ts_us_day=2024-01-")),
+      s"expected hidden day segments, got $newFiles")
+    // HIDDEN: the served schema never surfaces the derived segment.
+    val scan = spark.read.format("graft-table").load(t.toString)
+    assert(scan.columns.sorted.toSeq == Seq("id", "kind", "ts_us"))
+    // A predicate on the RAW column prunes by the derived segments:
+    // matching day files + the conservatively-admitted flat v0 file.
+    val (lo, hi) = graft.operators.PartTransform
+      .microsRangeOfDay("2024-01-03")
+    val pruned = scan.where($"ts_us" >= lo && $"ts_us" <= hi)
+    val matching = newFiles.count(_.contains("ts_us_day=2024-01-03"))
+    val oldFiles = VersionedTable.addedLines(t, 0L)
+      .count(l => !VersionedTable.isMetaManifestLine(l))
+    assert(pruned.rdd.getNumPartitions == matching + oldFiles &&
+      matching + oldFiles < newFiles.size + oldFiles,
+      s"day predicate scanned ${pruned.rdd.getNumPartitions}, expected " +
+        s"$matching matching + $oldFiles flat")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 40L).filter(_ % 4 == 2))
+    // Evolve again to a bucket spec; compaction un-rags the whole
+    // snapshot under it, byte-identical contents.
+    VersionedTable.evolvePartitionLayout(spark, t, Seq("bucket(4,id)"))
+    VersionedTable.compactCommit(spark, t, files = 2)
+    val files4 = VersionedTable.statsManifest(t, 4L).map(_._1)
+    assert(files4.forall(f => f.contains("id_bucket=") &&
+      !f.contains("ts_us_day=")))
+    val probe = spark.read.format("graft-table").load(t.toString)
+      .where($"id" === 7L)
+    val b = graft.operators.PartTransform.bucketOf("7", 4).toString
+    val expect = files4.count(_.contains(s"id_bucket=$b"))
+    assert(probe.rdd.getNumPartitions == expect && expect < files4.size,
+      s"bucket probe scanned ${probe.rdd.getNumPartitions} of " +
+        s"${files4.size}, expected $expect")
+    assert(probe.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    assert(spark.read.format("graft-table").load(t.toString)
+      .count() == 40L)
+    // The raw column feeding a live transform cannot be dropped.
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropColumnCommit(spark, t,
+        VersionedTable.latestVersion(t).get + 1, "id")
+    }
+  }
 }

@@ -382,13 +382,14 @@ class GraftTableSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      // Without v2 bucketing: both sides shuffle.
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      // Without the preserve-data-grouping opt-in the scan reports no
+      // partitioning (a plain scan must keep one-task-per-file
+      // parallelism): both sides shuffle.
       assert(shuffles(joined()) == 2,
         "baseline must shuffle both sides")
       // With it: the reported KeyGroupedPartitioning co-locates the
       // join — ZERO exchanges anywhere in the plan.
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.graft.planning.preserveDataGrouping", "true")
       val spj = joined()
       assert(shuffles(spj) == 0,
         s"SPJ must plan no Exchange:\n${spj.queryExecution.executedPlan}")
@@ -418,7 +419,7 @@ class GraftTableSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorB)
       spark.conf.set("spark.sql.adaptive.enabled", priorA)
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.unset("spark.graft.planning.preserveDataGrouping")
     }
   }
 }

@@ -433,4 +433,22 @@ class TableChangesSpec extends SparkSpec {
       drainAll(t, Map("ignoreDeletes" -> "true"))
     }
   }
+
+  test("a PARTSPEC naming a column unknown to the stream fails loudly") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1L, 2L))
+    // A spec over a KNOWN column is metadata-only for the feed: the
+    // mirror schema is unchanged, the batch is empty.
+    VersionedTable.evolvePartitionLayout(spark, t, Seq("bucket(4,id)"))
+    VersionedTable.appendCommit(spark, t, df(3L))
+    assert(drainAll(t) == Seq((1L, 0L), (2L, 0L), (3L, 2L)))
+    // A spec naming a column this stream's schema lacks (a foreign
+    // writer's manifest) means future files carry a path-borne column
+    // the fixed mirror schema cannot serve — restart, like RENAME.
+    VersionedTable.publishDelta(t,
+      VersionedTable.latestVersion(t).get + 1, Seq("PARTSPEC\t9\tghost"))
+    val e = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] { drainAll(t) }
+    assert(e.getMessage.contains("restart"))
+  }
 }
