@@ -706,11 +706,30 @@ object VersionedTable {
     * compaction read), so day-partitioned fact tables refresh their
     * MVs like flat ones. Publishes the merged MV as a rewrite commit
     * carrying the advanced cursor.
+    *
+    * DV DELETES (r18): for SUM-mergeable aggregates a deletion is
+    * SUBTRACTABLE — the rows a DV kills are exactly the key-matching
+    * rows alive in the snapshot the DV scopes (read through the
+    * connector, which applies every EARLIER DV, so sequential deletes
+    * never double-subtract), and `negateDelta` aggregates them with
+    * negated partials, folded in by the same `merge`. Callers that
+    * pass `negateDelta = None` (the default) keep the r17 refusal.
+    * `dropDeadGroups` runs once after all folds IFF a negative was
+    * applied — the SQL face uses the MV's count(*) column to remove
+    * groups whose last row died (a group a recompute would not
+    * produce). Refused toward re-create: true rewrites (removed
+    * manifest lines), and DVs whose origin scope is NOT the full
+    * prior snapshot (a partial-scope DV's kill set is not
+    * reconstructible from one snapshot read).
+    *
     * Returns (mvVersion, deltaFilesRead, baseFilesTotal) — the
     * O(delta) witness; a caught-up MV publishes nothing. */
   def refreshMaterialized(s: SparkSession, base: Path, mv: Path,
       aggDelta: DataFrame => DataFrame,
-      merge: (DataFrame, DataFrame) => DataFrame): (Long, Int, Int) = {
+      merge: (DataFrame, DataFrame) => DataFrame,
+      negateDelta: Option[DataFrame => DataFrame] = None,
+      dropDeadGroups: DataFrame => DataFrame = identity)
+      : (Long, Int, Int) = {
     val mvV = latestVersion(mv).getOrElse(
       throw new IllegalArgumentException(
         s"refreshMaterialized: no committed version at $mv"))
@@ -733,23 +752,54 @@ object VersionedTable {
         s"expired from $base — the delta since the cursor is no longer " +
         "enumerable; re-create the MV from the current snapshot")
     val pending = versions(base).filter(v => v > cursor && v <= bv)
+    val negatives = scala.collection.mutable.ArrayBuffer
+      .empty[DataFrame]
     val deltaFiles = pending.flatMap { v =>
       commitKind(base, v) match {
         case Some("compact") => Nil // content-preserving: nothing new
         case _ =>
           val added = addedLines(base, v)
-          // A DV delete is a pure-ADD delta (it removes no manifest
-          // line), but it drops ROWS an append-derived refresh can't
-          // see — it must refuse exactly like a rewrite.
+          val dvAdds = added.filter(_.startsWith(DvPrefix))
+          // A true rewrite removes manifest lines — unrepresentable as
+          // a delta either way; a DV delete is representable exactly
+          // when the caller can negate (sum-mergeable aggregates).
           require(removedLines(base, v).isEmpty &&
-              !added.exists(_.startsWith(DvPrefix)),
+              (dvAdds.isEmpty || negateDelta.isDefined),
             s"refreshMaterialized: base version $v rewrites or deletes " +
               "rows — an append-derived refresh would serve a wrong " +
               "aggregate; re-create the MV from the current snapshot")
+          if (dvAdds.nonEmpty) {
+            // The killed rows: key-matching rows alive in the snapshot
+            // just below v. The connector read applies every EARLIER
+            // DV (sequential deletes never double-subtract) and serves
+            // path-borne partition columns. Scope must be the FULL
+            // prior snapshot — deleteCommit (origin = v, same files)
+            // and mergeCommit (origin = prev) both qualify.
+            val prev = versions(base).filter(_ < v).last
+            val prevFiles = statsManifest(base, prev).map(_._1).toSet
+            dvAdds.map(_.split('\t'))
+              .groupBy(a => (a(2), a(3).toLong)).foreach {
+                case ((keyCol, origin), lines) =>
+                  require(statsManifest(base, origin).map(_._1).toSet ==
+                      prevFiles,
+                    s"refreshMaterialized: the DV at base version $v " +
+                      s"scopes origin $origin, not the full prior " +
+                      "snapshot — re-create the MV")
+                  val keys = s.read.parquet(
+                    lines.map(a => base.resolve(a(1)).toString): _*)
+                  val snap = s.read.format("graft-table")
+                    .option("version", prev.toString)
+                    .load(base.toString)
+                  val killed = snap.join(
+                    org.apache.spark.sql.functions.broadcast(keys),
+                    Seq(keyCol), "left_semi")
+                  negatives += negateDelta.get(killed)
+              }
+          }
           added.filterNot(isMetaLine).map(_.split('\t').head)
       }
     }
-    if (deltaFiles.isEmpty) {
+    if (deltaFiles.isEmpty && negatives.isEmpty) {
       // Only content-preserving commits since the cursor (compactions):
       // the rows are already right — advance the cursor as a pure-meta
       // delta, no MV row rewritten.
@@ -762,11 +812,17 @@ object VersionedTable {
     // mixed-layout read compaction uses — so a day-partitioned fact
     // table refreshes its MVs exactly like a flat one.
     val layout = partitionLayout(base, bv)
-    val delta =
-      if (layout.isEmpty)
-        s.read.parquet(deltaFiles.map(f => base.resolve(f).toString): _*)
-      else readMultiPartitionedFiles(s, base, layout, deltaFiles)
-    val merged = merge(read(s, mv, Some(mvV)), aggDelta(delta))
+    val positive =
+      if (deltaFiles.isEmpty) None
+      else if (layout.isEmpty)
+        Some(s.read.parquet(
+          deltaFiles.map(f => base.resolve(f).toString): _*))
+      else Some(readMultiPartitionedFiles(s, base, layout, deltaFiles))
+    val folded = negatives.foldLeft(
+      positive.fold(read(s, mv, Some(mvV)))(d =>
+        merge(read(s, mv, Some(mvV)), aggDelta(d))))(merge)
+    val merged =
+      if (negatives.isEmpty) folded else dropDeadGroups(folded)
     // KIND=update: the refresh is a copy-on-write rewrite of the MV —
     // a change feed on the MV replays it as preimage/postimage pairs
     // instead of refusing an unannotated rewrite. The MVSQL definition
@@ -952,6 +1008,7 @@ object VersionedTable {
     * needs nothing but the two table paths. */
   def refreshMaterializedSql(s: SparkSession, base: Path,
                              mv: Path): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.col
     val mvV = latestVersion(mv).getOrElse(
       throw new IllegalArgumentException(
         s"refreshMaterializedSql: no committed version at $mv"))
@@ -959,9 +1016,48 @@ object VersionedTable {
       throw new IllegalArgumentException(
         s"refreshMaterializedSql: $mv carries no MVSQL definition — " +
           "create it via createMaterializedSql"))
+    // The MV's count(*) output column, if the definition has one —
+    // what detects a group whose LAST row a delete killed (its merged
+    // count hits 0 and a recompute would not produce it). Located from
+    // the ANALYZED plan over a zero-row frame: plan-only, no job.
+    lazy val countStarCol: Option[String] = {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+      val bv = latestVersion(base).get
+      val probe = runMvSql(s, sql,
+        snapshotWithPartitions(s, base, bv).limit(0))
+      probe.queryExecution.analyzed.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          a.aggregateExpressions.collectFirst {
+            case al @ Alias(ae: AggregateExpression, _)
+                if (ae.aggregateFunction match {
+                  case c: Count => c.children == Seq(Literal(1))
+                  case _ => false
+                }) => al.name
+          }
+      }.flatten
+    }
     refreshMaterialized(s, base, mv,
       aggDelta = df => runMvSql(s, sql, df),
-      merge = (old, delta) => mvMerge(groupCols, old, delta))
+      merge = (old, delta) => mvMerge(groupCols, old, delta),
+      // DV-delete subtraction: aggregate the killed rows with the
+      // stored statement, then NEGATE every aggregate column — the
+      // ordinary merge folds it in (sum-mergeability is exactly what
+      // createMaterializedSql validated).
+      negateDelta = Some { killed =>
+        require(countStarCol.isDefined,
+          "refreshMaterializedSql: a DV-delete refresh needs a " +
+            "count(*) aggregate column in the MV definition to detect " +
+            "emptied groups — re-create the MV (or declare it with " +
+            "count(*))")
+        val agg = runMvSql(s, sql, killed)
+        agg.select(agg.columns.map(c =>
+          if (groupCols.contains(c)) col(c)
+          else (org.apache.spark.sql.functions.lit(0) - col(c)).as(c))
+          .toIndexedSeq: _*)
+      },
+      dropDeadGroups = df =>
+        countStarCol.fold(df)(c => df.where(col(c) > 0)))
   }
 
   /** The CHECK constraints live at a version, in declaration order.

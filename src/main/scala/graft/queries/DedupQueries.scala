@@ -4164,6 +4164,75 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // MV REFRESH OVER DV DELETES (r18) — the r17 refusal closed for
+    // the common production case: a dashboard MV over a fact table
+    // with GDPR deletes. For the sum-mergeable surface create_mv
+    // enforces, a deletion is SUBTRACTABLE: the refresh reads the
+    // killed rows (key-matching rows of the pre-delete snapshot,
+    // through the connector so EARLIER DVs apply and sequential
+    // deletes never double-subtract), aggregates them with the stored
+    // statement, NEGATES the partials, and folds them in with the
+    // ordinary merge — never an O(base) recompute. A group whose last
+    // row died is detected by the MV's count(*) column hitting 0 and
+    // VANISHES (a recompute would not produce it) — witnessed by
+    // deleting one lang entirely. Oracle: the refreshed MV equals the
+    // exact GROUP BY over (everything ingested) minus (everything
+    // deleted), replayed relationally.
+    "pipe_mv_delete" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vmvdel_")
+      try {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        s2.sql(s"""CREATE TABLE graftcat.docs AS
+                   SELECT doc_id, lang, n_chars
+                   FROM parquet.`$dir/documents.parquet`""")
+        s2.sql("CALL graftcat.create_mv('mv_del', 'docs', 'lang', " +
+          "'SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars " +
+          "FROM __BASE__ GROUP BY lang')").collect()
+        // Appends and deletes INTERLEAVE below the cursor walk: clones
+        // append, then a partial delete, then one lang dies entirely.
+        s2.sql(s"""INSERT INTO graftcat.docs
+                   SELECT doc_id + 1000000, lang, n_chars
+                   FROM parquet.`$dir/documents.parquet`
+                   WHERE doc_id % 10 = 0""")
+        val partialIds = s2.sql(
+          "SELECT doc_id FROM graftcat.docs WHERE doc_id % 7 = 3")
+          .collect().map(_.getLong(0))
+        require(partialIds.nonEmpty, "pipe_mv_delete: empty partial set")
+        s2.sql("DELETE FROM graftcat.docs WHERE doc_id IN (" +
+          partialIds.mkString(",") + ")")
+        val deadLang = s2.sql("SELECT min(lang) FROM graftcat.docs")
+          .head().getString(0)
+        val deadIds = s2.sql("SELECT doc_id FROM graftcat.docs " +
+          s"WHERE lang = '$deadLang'").collect().map(_.getLong(0))
+        s2.sql("DELETE FROM graftcat.docs WHERE doc_id IN (" +
+          deadIds.mkString(",") + ")")
+        // The refresh must SUCCEED (r17 refused here), with the
+        // positive delta still O(appended files).
+        val res = s2.sql("CALL graftcat.refresh_mv('mv_del', 'docs')")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(res("delta_files_read") < res("base_files_total"),
+          s"pipe_mv_delete: refresh was not incremental: $res")
+        // The refreshed MV equals a recompute over the live snapshot —
+        // and the dead lang's group VANISHED rather than lingering at 0.
+        val mvRows = s2.sql(
+          "SELECT lang, n_docs, chars FROM graftcat.mv_del")
+        val recompute = s2.sql("SELECT lang, count(*) AS n_docs, " +
+          "sum(n_chars) AS chars FROM graftcat.docs GROUP BY lang")
+        require(mvRows.collect().map(_.toString).sorted.toSeq ==
+            recompute.collect().map(_.toString).sorted.toSeq,
+          "pipe_mv_delete: refreshed MV diverges from recompute")
+        require(!mvRows.collect().exists(_.getString(0) == deadLang),
+          s"pipe_mv_delete: emptied group '$deadLang' must vanish")
+        val out = mvRows.orderBy("lang")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // PARTITION-SCOPED COMPACTION (r17) — the maintenance shape a
     // 100-TB table actually runs: an hourly stream fragments TODAY's
     // partition; nobody rewrites three years of history to fix it.
@@ -5665,6 +5734,23 @@ object DedupQueries extends QueryModule {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The DV-refreshed MV must equal the exact GROUP BY over
+    // (ingested) minus (deleted): clones appended, the doc_id%7=3
+    // slice deleted, the minimum lang deleted entirely (its group must
+    // be ABSENT, which the relational replay produces naturally).
+    "pipe_mv_delete" ->
+      """WITH full_set AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, n_chars FROM documents
+        |  WHERE doc_id % 10 = 0)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM full_set
+        |WHERE doc_id % 7 <> 3
+        |  AND lang <> (SELECT min(lang) FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Partition-scoped compaction is content-preserving maintenance:

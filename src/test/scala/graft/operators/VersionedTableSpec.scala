@@ -1529,4 +1529,47 @@ class VersionedTableSpec extends SparkSpec {
         VersionedTable.latestVersion(t).get + 1, "id")
     }
   }
+
+  test("SQL MV refresh subtracts DV deletes; emptied groups vanish") {
+    import spark.implicits._
+    val base = freshTable()
+    val mv = base.resolveSibling("mv_dv")
+    VersionedTable.commit(spark, base, 0L,
+      Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"))
+        .toDF("id", "g"))
+    VersionedTable.createMaterializedSql(spark, base, mv, Seq("g"),
+      "SELECT g, count(*) AS n, sum(id) AS s FROM __BASE__ GROUP BY g")
+    VersionedTable.appendCommit(spark, base, Seq((6L, "b")).toDF("id", "g"))
+    // Partial delete in one group, then the WHOLE other group — two
+    // sequential DVs (the second's kill set must not re-subtract the
+    // first's rows: the connector read applies earlier DVs).
+    VersionedTable.deleteCommit(spark, base,
+      VersionedTable.latestVersion(base).get + 1, Seq(2L).toDF("id"), "id")
+    VersionedTable.deleteCommit(spark, base,
+      VersionedTable.latestVersion(base).get + 1,
+      Seq(4L, 5L, 6L).toDF("id"), "id")
+    val (v, posRead, _) =
+      VersionedTable.refreshMaterializedSql(spark, base, mv)
+    assert(v == 1L && posRead >= 1) // the append is still O(delta)
+    val rows = VersionedTable.read(spark, mv).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // Recompute truth: a = {1,3} (n=2, s=4); b died entirely — the
+    // merged count hit 0 and the group must VANISH, not linger at 0.
+    assert(rows == Seq(("a", 2L, 4L)), s"got $rows")
+    // Caught up: a second refresh publishes nothing.
+    assert(VersionedTable.refreshMaterializedSql(spark, base, mv)._1 == 1L)
+    // An MV WITHOUT count(*) cannot detect emptied groups — the DV
+    // refresh refuses toward re-create, loudly naming the remedy.
+    val base2 = freshTable()
+    val mv2 = base2.resolveSibling("mv_dv2")
+    VersionedTable.commit(spark, base2, 0L,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "g"))
+    VersionedTable.createMaterializedSql(spark, base2, mv2, Seq("g"),
+      "SELECT g, sum(id) AS s FROM __BASE__ GROUP BY g")
+    VersionedTable.deleteCommit(spark, base2, 1L, Seq(2L).toDF("id"), "id")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.refreshMaterializedSql(spark, base2, mv2)
+    }
+    assert(e.getMessage.contains("count(*)"))
+  }
 }
