@@ -2,12 +2,12 @@ package graft.sources
 
 import org.apache.avro.Schema
 import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileStream,
-  DataFileWriter, SeekableByteArrayInput}
+  DataFileWriter, SeekableInput}
 import org.apache.avro.generic.{GenericData, GenericDatumReader,
   GenericDatumWriter, GenericRecord}
-import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 import scala.jdk.CollectionConverters._
 
@@ -21,17 +21,24 @@ import scala.jdk.CollectionConverters._
   *
   *  - WRITE: one container file per input partition, created through
   *    the Hadoop FileSystem API (the same executor-side create every
-  *    Spark sink uses — file://, hdfs://, s3a:// alike). Each task
+  *    Spark sink uses — file://, hdfs://, s3a:// alike; the SESSION's
+  *    Hadoop configuration rides a broadcast, so configured
+  *    filesystems/credentials actually apply, ADVICE r17). Each task
   *    streams its rows through a [[DataFileWriter]]; nothing funnels
   *    through the driver. Files roll with the upstream partitioning,
   *    so sizing them is the usual `repartition(n)` decision.
-  *  - READ: the `binaryFile` source lists and ships each file's bytes
-  *    to a task, which decodes the container blocks executor-side.
-  *    Parallelism is per FILE — the right grain when the writer rolls
-  *    ~128 MB containers (ours does, by partition). A block-splittable
-  *    reader (Avro sync markers make containers splittable, the way
-  *    Hadoop's AvroInputFormat does) is the refinement for pathological
-  *    single-huge-file drops; at that point use spark-avro proper.
+  *  - READ (BLOCK-SPLITTABLE, r18): Avro containers are splittable on
+  *    their 16-byte SYNC MARKERS — the Hadoop AvroInputFormat
+  *    contract. The driver lists files and cuts BYTE RANGES (one
+  *    split per `splitBytes`, default `spark.sql.files
+  *    .maxPartitionBytes`); each task opens its file through the
+  *    FileSystem API, `sync(start)`s to the first block boundary at
+  *    or after its range start, and decodes blocks until
+  *    `pastSync(end)` — every record lands in exactly one split, so a
+  *    single pathological 100-GB container drop decodes on the whole
+  *    cluster instead of serializing through one task (before r18:
+  *    one task per FILE via binaryFile, which also buffered the whole
+  *    container in memory).
   *
   * Type surface: BIGINT/INT/DOUBLE/FLOAT/BOOLEAN/STRING/BINARY, each
   * nullable via the standard `[null, T]` union — the interchange
@@ -97,18 +104,26 @@ object AvroIO {
     })
   }
 
+  /** The session's Hadoop configuration, broadcast-shaped — executor
+    * tasks and driver listings must resolve filesystems with the SAME
+    * settings the user configured (s3a credentials, custom schemes);
+    * a bare `new Configuration()` silently drops them (ADVICE r17). */
+  private def hadoopConf(spark: SparkSession): SerializableConfiguration =
+    new SerializableConfiguration(spark.sessionState.newHadoopConf())
+
   /** Distributed write: each partition streams to ONE container file
     * under `dir` (empty partitions write nothing). Returns the number
     * of files written. */
   def write(df: DataFrame, dir: String): Long = {
     val avroJson = avroSchema(df.schema).toString
     val names = df.schema.fieldNames
+    val conf = hadoopConf(df.sparkSession)
     val written = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty
       else {
         val sch = new Schema.Parser().parse(avroJson)
         val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.avro")
-        val out = path.getFileSystem(new Configuration()).create(path, true)
+        val out = path.getFileSystem(conf.value).create(path, true)
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](sch))
         w.setCodec(CodecFactory.deflateCodec(6))
@@ -132,14 +147,34 @@ object AvroIO {
     written
   }
 
-  /** Distributed read of every `*.avro` container under `dir`: schema
-    * from ONE header read driver-side (container headers are
-    * self-describing), bytes shipped by the `binaryFile` source,
-    * blocks decoded executor-side. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val conf = new Configuration()
+  /** [[SeekableInput]] over the Hadoop FileSystem API — what lets a
+    * [[DataFileReader]] `sync()` into the middle of a container on
+    * any configured filesystem. */
+  private class FsSeekableInput(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path) extends SeekableInput {
+    private val in = fs.open(path)
+    private val len = fs.getFileStatus(path).getLen
+    override def seek(p: Long): Unit = in.seek(p)
+    override def tell(): Long = in.getPos
+    override def length(): Long = len
+    override def read(b: Array[Byte], off: Int, l: Int): Int =
+      in.read(b, off, l)
+    def close(): Unit = in.close()
+  }
+
+  /** Block-splittable distributed read of every `*.avro` container
+    * under `dir`: schema from ONE header read driver-side (container
+    * headers are self-describing), then one task per BYTE RANGE —
+    * `sync(start)` / `pastSync(end)` assign every block to exactly one
+    * range (the Hadoop AvroInputFormat split contract), so a single
+    * huge container decodes cluster-wide. `splitBytes <= 0` uses
+    * `spark.sql.files.maxPartitionBytes`. */
+  def read(spark: SparkSession, dir: String,
+           splitBytes: Long = 0L): DataFrame = {
+    val conf = hadoopConf(spark)
     val pattern = new org.apache.hadoop.fs.Path(dir, "*.avro")
-    val fs = pattern.getFileSystem(conf)
+    val fs = pattern.getFileSystem(conf.value)
     val files = fs.globStatus(pattern)
     require(files != null && files.nonEmpty,
       s"AvroIO.read: no .avro container files under $dir")
@@ -149,23 +184,41 @@ object AvroIO {
     val avro = try header.getSchema finally header.close()
     val struct = sparkSchema(avro)
     val names = struct.fieldNames
-    val rows = spark.read.format("binaryFile")
-      .load(s"$dir/*.avro")
-      .select("content").rdd
-      .flatMap { fileRow =>
-        val bytes = fileRow.getAs[Array[Byte]](0)
-        val r = new DataFileReader[GenericRecord](
-          new SeekableByteArrayInput(bytes),
+    val target =
+      if (splitBytes > 0L) splitBytes
+      else spark.sessionState.conf.filesMaxPartitionBytes
+    // Byte-range splits: O(files) driver work from the listing alone
+    // (no container is opened to plan), each range O(target) bytes.
+    val splits: Seq[(String, Long, Long)] = files.toSeq.flatMap { st =>
+      val len = st.getLen
+      val n = math.max(1L, (len + target - 1) / target)
+      (0L until n).map(i => (st.getPath.toString, i * target,
+        math.min(len, (i + 1) * target)))
+    }
+    val rows = spark.sparkContext
+      .parallelize(splits, splits.size)
+      .flatMap { case (pathStr, start, end) =>
+        val path = new org.apache.hadoop.fs.Path(pathStr)
+        val in = new FsSeekableInput(
+          path.getFileSystem(conf.value), path)
+        val r = new DataFileReader[GenericRecord](in,
           new GenericDatumReader[GenericRecord]())
+        // Claim blocks whose sync marker sits in [start, end): the
+        // first block at-or-after start, up to (not past) end — the
+        // standard split ownership rule; record boundaries never tear.
+        r.sync(start)
+        def closeAll(): Unit = {
+          try r.close() catch { case _: Throwable => () }
+          try in.close() catch { case _: Throwable => () }
+        }
         // A downstream operator may stop consuming early (limit,
         // take): close on task completion, not only on exhaustion.
         Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ =>
-            try r.close() catch { case _: Throwable => () }))
+          _.addTaskCompletionListener[Unit](_ => closeAll()))
         new Iterator[Row] {
           override def hasNext: Boolean = {
-            val h = r.hasNext
-            if (!h) r.close()
+            val h = r.hasNext && !r.pastSync(end)
+            if (!h) closeAll()
             h
           }
           override def next(): Row = {

@@ -185,4 +185,27 @@ class SourcesSpec extends SparkSpec {
       AvroIO.avroSchema(Seq((1L, Seq(1, 2))).toDF("id", "arr").schema)
     }
   }
+
+  test("AvroIO: one big container splits on sync markers across tasks") {
+    import spark.implicits._
+    val dir = tmp("avro_split")
+    // ONE container (single input partition) with enough rows to span
+    // many Avro blocks — the pathological single-huge-file drop.
+    val data = spark.range(0, 50000)
+      .selectExpr("id", "repeat(CAST(id AS STRING), 20) AS pad")
+      .coalesce(1)
+    assert(AvroIO.write(data, dir) == 1L)
+    // A small split target must yield SEVERAL input partitions over
+    // the one file…
+    val back = AvroIO.read(spark, dir, splitBytes = 64 * 1024L)
+    assert(back.rdd.getNumPartitions > 1,
+      s"expected >1 byte-range splits, got ${back.rdd.getNumPartitions}")
+    // …and every record lands in exactly one split: identical rows,
+    // no loss, no duplication.
+    assert(back.count() == 50000L)
+    assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 50000L))
+    // The default target reads the same rows through one split.
+    assert(AvroIO.read(spark, dir).rdd.getNumPartitions == 1)
+  }
 }
