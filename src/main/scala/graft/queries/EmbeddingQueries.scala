@@ -277,7 +277,7 @@ object EmbeddingQueries extends QueryModule {
     * later batch lands as ITS OWN segment next to the existing ones,
     * the Lucene segment-append model — base segments are never
     * reopened). */
-  private def hnswBuildSegments(vectors: DataFrame,
+  private[graft] def hnswBuildSegments(vectors: DataFrame,
       idx: java.nio.file.Path, efC: Int, m: Int, maxDeg: Int): Unit = {
     val s = vectors.sparkSession
     import s.implicits._

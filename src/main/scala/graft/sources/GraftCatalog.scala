@@ -100,7 +100,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
     Array("analyze", "compact", "compact_partitions", "cluster",
-      "create_mv", "evolve_layout", "expire", "refresh_mv", "tag",
+      "create_mv", "evolve_layout", "expire", "hnsw_merge",
+      "refresh_mv", "tag",
       "branch", "promote", "rollback", "update_where", "constrain",
       "rename_column", "widen_column")
       .map(Identifier.of(Array.empty, _))
@@ -250,6 +251,41 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           Seq("version" -> v,
             "generation" -> VersionedTable.partitionSpecs(t, v)
               .last._1)
+        })
+      case "hnsw_merge" => proc("hnsw_merge",
+        "Graph-ANN SEGMENT MERGE as schedulable maintenance (r18, the " +
+          "compact_partitions of the vector index): rebuild the named " +
+          "small segments of an HNSW index directory under the catalog " +
+          "root into ONE new segment — reading their stored vectors, " +
+          "never the source corpus; untouched segments are never " +
+          "reopened; inputs retire only after the replacement is fully " +
+          "written (a crash leaves a searchable superset). Index " +
+          "artifacts carry array columns, which the primitive-only " +
+          "graft-table format cannot host — they live as plain " +
+          "partitioned parquet named under the root, so the CALL names " +
+          "them like tables without them being ones. " +
+          "hnsw_merge(index, segs, target); segs comma-separated.",
+        Seq(ProcedureParameter.in("index", DataTypes.StringType).build(),
+          ProcedureParameter.in("segs", DataTypes.StringType).build(),
+          ProcedureParameter.in("target", DataTypes.IntegerType).build()),
+        { in =>
+          val idx = validName(in.getUTF8String(0).toString)
+          require(Files.isDirectory(idx),
+            s"graft catalog '$catalogName': no index directory at $idx")
+          def segs() = {
+            val st = Files.list(idx)
+            try st.iterator().asScala.map(_.getFileName.toString)
+              .filter(_.startsWith("seg=")).size.toLong
+            finally st.close()
+          }
+          val before = segs()
+          val merge = in.getUTF8String(1).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+          graft.queries.EmbeddingQueries.hnswMergeSegments(
+            org.apache.spark.sql.SparkSession.active, idx, merge,
+            in.getInt(2))
+          Seq("segments_before" -> before, "segments_after" -> segs(),
+            "target" -> in.getInt(2).toLong)
         })
       case "expire" => proc("expire",
         "Expire versions below keep_from and vacuum unreferenced files " +

@@ -982,4 +982,35 @@ class GraftCatalogSpec extends SparkSpec {
         "FROM __BASE__ GROUP BY 1')").collect()
     }
   }
+
+  test("CALL hnsw_merge: schedulable segment maintenance under the root") {
+    import spark.implicits._
+    val root = staged()
+    val s2 = session(root)
+    val idx = root.resolve("docs_idx")
+    // Three tiny ingest segments of 8-dim vectors, the continuous-
+    // ingest shape the merge policy exists to bound.
+    def batch(seg: Int, lo: Long) =
+      (lo until lo + 12L).map(i =>
+        (i, Seq.tabulate(8)(d => ((i * 31 + d * 7) % 13).toDouble), seg))
+        .toDF("vec_id", "e", "seg")
+    Seq(0, 1, 2).foreach(sg =>
+      graft.queries.EmbeddingQueries.hnswBuildSegments(
+        batch(sg, sg * 12L), idx, efC = 8, m = 4, maxDeg = 8))
+    val before = spark.read.parquet(idx.toString)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val res = s2.sql("CALL g.hnsw_merge('docs_idx', '0,1', 7)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res("segments_before") == 3L && res("segments_after") == 2L)
+    // Every vector survives the merge; the untouched segment is intact.
+    val after = spark.read.parquet(idx.toString)
+    assert(after.select("vec_id").collect().map(_.getLong(0)).sorted
+      .toSeq == before)
+    assert(after.select("seg").distinct().collect().map(_.getInt(0))
+      .sorted.toSeq == Seq(2, 7))
+    // Refusals surface as the CALL's error: an existing target seg.
+    intercept[Exception] {
+      s2.sql("CALL g.hnsw_merge('docs_idx', '2', 7)").collect()
+    }
+  }
 }
