@@ -47,7 +47,24 @@ import graft.operators.VersionedTable
   * Every mutation is still one atomic putIfAbsent publish — the
   * catalog adds names, not a second write path.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** V2 FUNCTIONS (r18): `bucket` — resolved by Spark's SPJ machinery
+    * when a scan reports a bucket-transform KeyGroupedPartitioning
+    * (see [[GraftBucketFunction]]). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    Array(Identifier.of(Array.empty, "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    if (ident.namespace.isEmpty && ident.name == "bucket")
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+  }
 
   private var catalogName: String = _
   private var root: java.nio.file.Path = _

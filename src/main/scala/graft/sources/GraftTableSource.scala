@@ -794,39 +794,59 @@ private[sources] class GraftScan(path: String, version: Long,
     * opting in is the one planning the join. The decision is
     * snapshotted per scan so planning-time reports and execution-time
     * partition keys can never disagree mid-query. */
-  private lazy val spjLayout: Option[Seq[String]] = keyLayout()
+  private lazy val spjSpecs: Option[Seq[graft.operators.PartTransform]] =
+    keySpecs()
 
-  private def keyLayout(): Option[Seq[String]] = {
+  private def keySpecs(): Option[Seq[graft.operators.PartTransform]] = {
     if (metaAgg.isDefined) return None
     val optIn = try org.apache.spark.sql.SparkSession.active.conf
       .get("spark.graft.planning.preserveDataGrouping", "false") == "true"
     catch { case scala.util.control.NonFatal(_) => false }
     if (!optIn) return None
     val table = java.nio.file.Paths.get(path)
-    val layout = VersionedTable.partitionLayout(table, version)
-    if (layout.isEmpty) return None
+    // The key set is the physical clustering every live file exhibits:
+    // the live WRITE spec on an evolved table (identity and/or bucket
+    // transforms — bucket keys resolve through the catalog's V2
+    // `bucket` function, r18), the identity layout otherwise. Day
+    // transforms report nothing: their key is a derived date with no
+    // exposed V2 function, and a wrong report is worse than a shuffle.
+    val specs: Seq[graft.operators.PartTransform] =
+      if (VersionedTable.partitionSpecs(table, version).nonEmpty)
+        VersionedTable.writePartitionLayout(table, version)
+          .map(graft.operators.PartTransform.parse)
+      else VersionedTable.partitionLayout(table, version)
+        .map(graft.operators.IdentityPart(_))
+    if (specs.isEmpty ||
+        specs.exists(_.isInstanceOf[graft.operators.DaysPart])) return None
     val live = livePrunedFiles()
     if (live.isEmpty) return None
+    val names = specs.map(_.derivedName)
     val ok = live.forall { case (f, _, _) =>
       val cols = GraftTableSource.partitionValues(f).map(_._1).toSet
-      layout.forall(cols.contains)
+      names.forall(cols.contains)
     }
-    if (ok) Some(layout) else None
+    if (ok) Some(specs) else None
   }
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
-    try spjLayout match {
-      case Some(layout) =>
+    try spjSpecs match {
+      case Some(specs) =>
+        val names = specs.map(_.derivedName)
         val groups = livePrunedFiles().map { case (f, _, _) =>
           val vals = GraftTableSource.partitionValues(f).toMap
-          layout.map(vals)
+          names.map(vals)
         }.distinct.size
-        new KeyGroupedPartitioning(
-          layout.map(c => org.apache.spark.sql.connector.expressions
-            .Expressions.identity(c): Expression).toArray,
-          groups)
+        val keys = specs.map {
+          case graft.operators.BucketPart(n, c) =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, c): Expression
+          case t =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity(t.rawCol): Expression
+        }
+        new KeyGroupedPartitioning(keys.toArray, groups)
       case None => new UnknownPartitioning(0)
     } catch {
       // A version this scan would refuse at planning (mappings, empty
@@ -1068,16 +1088,20 @@ private[sources] class GraftScan(path: String, version: Long,
       }
     // Ordered key tuples for storage-partitioned joins: attached only
     // when the snapshot reports KeyGroupedPartitioning (every file
-    // carries every layout column) — Spark groups same-key files into
-    // one task and the join co-locates with no Exchange.
+    // carries every key segment) — Spark groups same-key files into
+    // one task and the join co-locates with no Exchange. Bucket keys
+    // are INTs (the transform's result type); identity keys strings.
     live.map { case (f, _, _) =>
       val vals = GraftTableSource.partitionValues(f)
       GraftTablePartition(path, f, covering.getOrElse(f, Nil),
         keyCols.headOption.getOrElse(""), vals,
-        spjLayout.map { layout =>
+        spjSpecs.map { specs =>
           val m = vals.toMap
-          layout.map(m).toArray
-        }.orNull): InputPartition
+          specs.map(t => m(t.derivedName)).toArray
+        }.orNull,
+        spjSpecs.map(_.map(
+          _.isInstanceOf[graft.operators.BucketPart]).toArray).orNull)
+        : InputPartition
     }.toArray
   }
 
@@ -1100,17 +1124,22 @@ private[sources] class GraftScan(path: String, version: Long,
           s"funcs=${p.funcs.mkString(",")}]")
 }
 
-/** `keyVals` (r18): this file's partition-value tuple in layout order —
+/** `keyVals` (r18): this file's partition-value tuple in key order —
   * non-null exactly when the scan reports KeyGroupedPartitioning, so
   * Spark's v2-bucketing machinery can group same-key files into one
-  * task and co-locate joins. */
+  * task and co-locate joins. `keyIsBucket` marks INT bucket keys (a
+  * bucket transform's result type); identity keys are strings. */
 private[sources] case class GraftTablePartition(path: String, file: String,
     dvFiles: Seq[String], keyCol: String,
     partValues: Seq[(String, String)] = Nil,
-    keyVals: Array[String] = null) extends InputPartition
+    keyVals: Array[String] = null,
+    keyIsBucket: Array[Boolean] = null) extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
-    InternalRow.fromSeq(keyVals.toIndexedSeq.map(UTF8String.fromString))
+    InternalRow.fromSeq(keyVals.toIndexedSeq.zipWithIndex.map {
+      case (v, i) if keyIsBucket != null && keyIsBucket(i) => v.toInt
+      case (v, _) => UTF8String.fromString(v)
+    })
 }
 
 /** The single partition of a metadata-answered aggregate: the finished

@@ -1013,4 +1013,49 @@ class GraftCatalogSpec extends SparkSpec {
       s2.sql("CALL g.hnsw_merge('docs_idx', '2', 7)").collect()
     }
   }
+
+  test("bucket-transform storage-partitioned join: zero shuffles via V2 function") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val root = staged()
+    val s2 = session(root)
+    def mk(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      val t = root.resolve(name)
+      VersionedTable.commit(spark, t, 0L, rows)
+      VersionedTable.evolvePartitionLayout(spark, t, Seq("bucket(8,id)"))
+      // Compaction un-rags the flat v0 under the bucket spec — every
+      // live file then carries an id_bucket segment.
+      VersionedTable.compactCommit(spark, t, files = 2)
+    }
+    mk("bfact", (0L until 200L).map(i => (i, i * 3)).toDF("id", "v"))
+    mk("bdim", (0L until 200L by 2).map(i => (i, i * 7)).toDF("id", "w"))
+    def shuffles(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }.size
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    def joined() = s2.sql(
+      "SELECT f.id, f.v, d.w FROM g.bfact f JOIN g.bdim d ON f.id = d.id")
+    // Without the opt-in: both sides shuffle.
+    assert(shuffles(joined()) == 2)
+    // With it: the bucket(8, id) KeyGroupedPartitioning resolves
+    // through the catalog's V2 `bucket` function and the join plans
+    // with ZERO exchanges — co-location proven from manifests alone.
+    s2.conf.set("spark.graft.planning.preserveDataGrouping", "true")
+    val spj = joined()
+    assert(shuffles(spj) == 0,
+      s"bucket SPJ must plan no Exchange:\n${spj.queryExecution.executedPlan}")
+    assert(spj.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).sorted.toSeq ==
+      (0L until 200L by 2).map(i => (i, i * 3, i * 7)))
+    // Mismatched bucket counts must never claim compatibility.
+    val t3 = root.resolve("bdim16")
+    VersionedTable.commit(spark, t3, 0L,
+      (0L until 200L by 2).map(i => (i, i * 7)).toDF("id", "w"))
+    VersionedTable.evolvePartitionLayout(spark, t3, Seq("bucket(16,id)"))
+    VersionedTable.compactCommit(spark, t3, files = 2)
+    assert(shuffles(s2.sql("SELECT f.id, f.v, d.w FROM g.bfact f " +
+      "JOIN g.bdim16 d ON f.id = d.id")) > 0,
+      "bucket(8) vs bucket(16) must fall back to shuffle")
+  }
 }
