@@ -2255,7 +2255,16 @@ object VersionedTable {
         .map(f => table.resolve(f).toString): _*)) {
       case (d, (c, e)) => d.withColumn(c, when(hit, expr(e)).otherwise(col(c)))
     }
-    updated.write.parquet(dataDir.toString)
+    // TRANSFORM layouts (r18): replacement files land UNDER the live
+    // write spec (segments re-derived from the rewritten rows — a SET
+    // on the raw column re-routes correctly), so a copy-on-write
+    // update never degrades hidden-partition pruning. Identity-layout
+    // files are refused above (their column is path-only); a transform
+    // file's payload is complete, so the rewrite is information-safe
+    // either way.
+    val writeCols = writePartitionLayout(table, base)
+    if (writeCols.nonEmpty) writeUnderSpec(updated, writeCols, dataDir)
+    else updated.write.parquet(dataDir.toString)
     // The rewritten rows honor CHECK constraints — an UPDATE must not
     // be the path that smuggles a violation in.
     enforceConstraints(s, table, dataDir, Some(base), "updateWhere")

@@ -1523,6 +1523,23 @@ class VersionedTableSpec extends SparkSpec {
     assert(probe.collect().map(_.getLong(0)).toSeq == Seq(7L))
     assert(spark.read.format("graft-table").load(t.toString)
       .count() == 40L)
+    // A copy-on-write UPDATE keeps the transform layout: replacement
+    // files re-derive their bucket segments from the rewritten rows.
+    val (uv, _, _) = VersionedTable.updateWhere(spark, t, "id", 7L, 7L,
+      Seq("kind" -> "'upd'"))
+    val updFiles = VersionedTable.addedLines(t, uv)
+      .filterNot(VersionedTable.isMetaManifestLine)
+      .map(_.split('\t').head)
+    assert(updFiles.nonEmpty && updFiles.forall(_.contains("id_bucket=")),
+      s"update replacements must land under the live spec: $updFiles")
+    val updated = spark.read.format("graft-table").load(t.toString)
+    assert(updated.where($"id" === 7L).select("kind").head.getString(0)
+      == "upd" && updated.count() == 40L)
+    // …and the bucket probe still prunes the post-update snapshot.
+    val probe2 = updated.where($"id" === 7L)
+    val files5 = VersionedTable.statsManifest(t, uv).map(_._1)
+    assert(probe2.rdd.getNumPartitions ==
+      files5.count(_.contains(s"id_bucket=$b")))
     // The raw column feeding a live transform cannot be dropped.
     intercept[IllegalArgumentException] {
       VersionedTable.dropColumnCommit(spark, t,
