@@ -479,6 +479,20 @@ object VersionedTable {
     s"$PartColPrefix$col"
   }
 
+  /** The manifest line declaring partition-spec generation `gen` with
+    * `specs` (identity names and/or `days(col)`/`bucket(n,col)`
+    * transforms) — what a DDL bootstrap carries so a TRANSFORM layout
+    * exists from version 0 (a streaming sink owns every version past
+    * the bootstrap, so evolution must ride the bootstrap there).
+    * Validates the grammar; type checks are the caller's (the schema
+    * is theirs). */
+  def partSpecLine(gen: Long, specs: Seq[String]): String = {
+    require(gen > 0, s"partSpecLine: generation must be positive, got $gen")
+    specs.foreach(PartTransform.parse) // grammar gate (loud on years())
+    s"$PartSpecPrefix$gen\t${specs.map(PartTransform.parse(_).spec)
+      .mkString(",")}"
+  }
+
   /** The DECLARED partition columns at a version (DDL `PARTITIONED
     * BY`), in declaration order — Nil for layouts grown only from
     * `commitPartitioned` paths. */

@@ -595,35 +595,75 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       properties: java.util.Map[String, String]): Table = {
     if (ident.namespace.nonEmpty)
       throw new NoSuchNamespaceException(ident.namespace)
-    // PARTITIONED BY (r16): IDENTITY columns, STRING-typed — the
-    // layout the whole read stack already prunes on (partition values
-    // ride Hive-style path segments and read back as strings; several
-    // columns nest as c1=v1/c2=v2 in declaration order — the (date,
-    // region) day-one layout). The declaration lands as PARTCOL
-    // manifest lines on the bootstrap, so the very first INSERT/CTAS
-    // write lands partitioned files and gets manifest partition
-    // pruning from day one. Transform partitioning (bucket/days/…)
-    // refuses loudly.
-    val partColSeq = partitions.toSeq.map { t =>
+    // PARTITIONED BY (r16; transforms r18): IDENTITY columns are
+    // STRING-typed (partition values ride Hive-style path segments and
+    // read back as strings; several columns nest as c1=v1/c2=v2 in
+    // declaration order). TRANSFORMS — PARTITIONED BY (days(ts),
+    // bucket(n, id)) — are the hidden-partitioning specs: the derived
+    // segment never enters the schema, predicates on the RAW column
+    // prune. Identity-only declarations land as PARTCOL lines (the r16
+    // shape, unchanged); a declaration with ANY transform lands as ONE
+    // PARTSPEC generation instead — either way the very first
+    // INSERT/CTAS/streaming epoch lands partitioned files and gets
+    // manifest pruning from day one (a streaming sink owns every
+    // version past the bootstrap, so this is the ONLY place a sink
+    // table's transform layout can be declared).
+    def singleRef(t: Transform): String = {
       val refs = t.references()
-      require(t.name() == "identity" && refs.length == 1 &&
-          refs(0).fieldNames.length == 1,
-        s"graft catalog '$catalogName': only PARTITIONED BY " +
-          s"(<columns>) is supported, got $t")
-      val c = refs(0).fieldNames()(0)
-      val f = schema.fields.find(_.name == c).getOrElse(
+      require(refs.length == 1 && refs(0).fieldNames.length == 1,
+        s"graft catalog '$catalogName': unsupported partition " +
+          s"transform $t")
+      refs(0).fieldNames()(0)
+    }
+    def fieldOf(c: String): org.apache.spark.sql.types.StructField =
+      schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"graft catalog '$catalogName': partition column '$c' is " +
             "not in the table schema"))
-      require(f.dataType == org.apache.spark.sql.types.StringType,
-        s"graft catalog '$catalogName': partition column '$c' must " +
-          "be STRING — partition values ride the path and read back " +
-          "as strings")
-      c
+    val partSpecSeq: Seq[String] = partitions.toSeq.map { t =>
+      t.name() match {
+        case "identity" =>
+          val c = singleRef(t)
+          require(fieldOf(c).dataType ==
+              org.apache.spark.sql.types.StringType,
+            s"graft catalog '$catalogName': partition column '$c' must " +
+              "be STRING — partition values ride the path and read " +
+              "back as strings (or use days()/bucket())")
+          c
+        case "days" =>
+          val c = singleRef(t)
+          require(fieldOf(c).dataType ==
+              org.apache.spark.sql.types.LongType,
+            s"graft catalog '$catalogName': days($c) needs a BIGINT " +
+              s"epoch-micros column, got ${fieldOf(c).dataType.sql}")
+          s"days($c)"
+        case "bucket" =>
+          val c = singleRef(t)
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.value().isInstanceOf[Int] =>
+              l.value().asInstanceOf[Int]
+          }.getOrElse(throw new IllegalArgumentException(
+            s"graft catalog '$catalogName': bucket transform needs an " +
+              s"INT bucket count, got $t"))
+          require(Set[org.apache.spark.sql.types.DataType](
+              org.apache.spark.sql.types.LongType,
+              org.apache.spark.sql.types.IntegerType,
+              org.apache.spark.sql.types.StringType)(fieldOf(c).dataType),
+            s"graft catalog '$catalogName': bucket($n, $c) needs a " +
+              s"BIGINT/INT/STRING column, got ${fieldOf(c).dataType.sql}")
+          s"bucket($n,$c)"
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog '$catalogName': unsupported partition " +
+            s"transform '$other' — identity columns, days(col), " +
+            "bucket(n, col)")
+      }
     }
-    require(partColSeq.distinct == partColSeq,
+    require(partSpecSeq.distinct == partSpecSeq,
       s"graft catalog '$catalogName': duplicate partition columns " +
-        s"$partColSeq")
+        s"$partSpecSeq")
+    val hasTransform = partSpecSeq.exists(_.contains('('))
+    val partColSeq = if (hasTransform) Nil else partSpecSeq
     val p = tableRoot(ident)
     if (VersionedTable.latestVersion(p).isDefined)
       throw new org.apache.spark.sql.catalyst.analysis
@@ -636,7 +676,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         schema).coalesce(1),
-      carried = partColSeq.map(VersionedTable.partColLine))
+      carried = partColSeq.map(VersionedTable.partColLine) ++
+        (if (hasTransform)
+           Seq(VersionedTable.partSpecLine(1L, partSpecSeq))
+         else Nil))
     load(ident, None)
   }
 

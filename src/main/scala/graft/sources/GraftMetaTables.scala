@@ -30,6 +30,9 @@ import java.nio.file.{Files, Path, Paths}
   *                     lacks it — evolution-aware), files,
   *                     row_count (NULL without ROWS lines).
   *  - `t$refs`       — name, type (tag/branch), version.
+  *  - `t$specs`      — partition-spec generations (r18): generation,
+  *                     spec text (identity/transforms as written, NULL
+  *                     for flat), is_live (the write layout).
   *
   * Time travel composes: `SELECT … FROM g.`t$files` VERSION AS OF 3`
   * inventories version 3's snapshot — the catalog resolves the version
@@ -52,7 +55,7 @@ import java.nio.file.{Files, Path, Paths}
 object GraftMetaTables {
 
   val Kinds: Set[String] =
-    Set("history", "files", "partitions", "refs", "stats")
+    Set("history", "files", "partitions", "refs", "stats", "specs")
 
   def apply(table: Path, kind: String, version: Long): Table =
     new GraftMetaTable(table, kind, version)
@@ -92,6 +95,10 @@ object GraftMetaTables {
       StructField("null_count", LongType, nullable = true),
       StructField("bloom_files", LongType, nullable = false),
       StructField("zonemap_files", LongType, nullable = false)))
+    case "specs" => StructType(Seq(
+      StructField("generation", LongType, nullable = false),
+      StructField("spec", StringType, nullable = true),
+      StructField("is_live", BooleanType, nullable = false)))
     case other => throw new IllegalArgumentException(
       s"graft-table: unknown metadata table '$other' — " +
         s"one of ${Kinds.toSeq.sorted.mkString(", ")}")
@@ -137,6 +144,25 @@ object GraftMetaTables {
             ndv.get(c).map(v => java.lang.Long.valueOf(v._2)).orNull,
             bloomBy.getOrElse(c, 0L), zoneBy.getOrElse(c, 0L))
         }.toArray
+    case "specs" =>
+      // The partition-spec GENERATIONS (r18): identity columns and
+      // transforms as written, highest generation = the live write
+      // layout. Generation 0 = the implicit pre-evolution layout when
+      // the table never evolved. Spec text NULL for a flat generation.
+      val gens = VersionedTable.partitionSpecs(table, version)
+      val rows =
+        if (gens.nonEmpty) gens.map { case (g, cols) =>
+          (g, if (cols.isEmpty) null else cols.mkString(","),
+            g == gens.last._1)
+        }
+        else Seq((0L,
+          VersionedTable.partitionLayout(table, version) match {
+            case Nil => null
+            case cols => cols.mkString(",")
+          }, true))
+      rows.map { case (g, spec, live) =>
+        InternalRow(g, Option(spec).map(utf).orNull, live)
+      }.toArray
     case other => throw new IllegalArgumentException(
       s"graft-table: unknown metadata table '$other'")
   }

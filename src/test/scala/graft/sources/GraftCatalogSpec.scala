@@ -85,6 +85,16 @@ class GraftCatalogSpec extends SparkSpec {
       st("id")._3 == VersionedTable.statsManifest(root.resolve("nums"),
         VersionedTable.latestVersion(root.resolve("nums")).get).size,
       s"stats inventory mismatch: $st")
+    // $specs: generations with the live flag; implicit gen 0 before
+    // any evolution, the evolved generation after.
+    assert(s2.sql("SELECT generation, spec, is_live FROM g.`nums$specs`")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getBoolean(2))).toSeq == Seq((0L, null, true)))
+    val specs2 = s2.sql(
+      "SELECT generation, spec, is_live FROM g.`mix$specs`")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getBoolean(2))).toSeq
+    assert(specs2 == Seq((1L, "h", true)), s"got $specs2")
     // Unknown $kind and $meta on a missing table are unknown tables.
     intercept[Exception] { s2.sql("SELECT * FROM g.`nums$bogus`").collect() }
     intercept[Exception] { s2.sql("SELECT * FROM g.`ghost$files`").collect() }
@@ -751,14 +761,15 @@ class GraftCatalogSpec extends SparkSpec {
         .exists(_.contains("partition-layout"))))
     assert(s2.sql("SELECT count(*) AS n FROM g.m").head().getLong(0) == 1,
       "the refused DELETE must not commit anything")
-    // Refusals: non-string partition column, transform partitioning,
-    // streaming sink into a partitioned table.
+    // Refusals: non-string identity partition column, and an
+    // UNSUPPORTED transform (bucket/days are features since r18 — the
+    // transform-DDL test below — but years() stays a loud refusal).
     intercept[Exception] {
       s2.sql("CREATE TABLE g.bad1 (id BIGINT) PARTITIONED BY (id)")
     }
     intercept[Exception] {
       s2.sql("CREATE TABLE g.bad3 (id BIGINT, a STRING) " +
-        "PARTITIONED BY (bucket(4, a))")
+        "PARTITIONED BY (years(a))")
     }
     assert(VersionedTable.latestVersion(root.resolve("bad1")).isEmpty &&
       VersionedTable.latestVersion(root.resolve("bad3")).isEmpty)
@@ -1057,5 +1068,44 @@ class GraftCatalogSpec extends SparkSpec {
     assert(shuffles(s2.sql("SELECT f.id, f.v, d.w FROM g.bfact f " +
       "JOIN g.bdim16 d ON f.id = d.id")) > 0,
       "bucket(8) vs bucket(16) must fall back to shuffle")
+  }
+
+  test("CREATE TABLE PARTITIONED BY (days(ts)) — transform DDL bootstrap") {
+    val root = staged()
+    val s2 = session(root)
+    s2.sql("""CREATE TABLE g.evd (id BIGINT, ts_us BIGINT)
+              PARTITIONED BY (days(ts_us))""")
+    val t = root.resolve("evd")
+    // The bootstrap carries the PARTSPEC generation — the live write
+    // layout is the transform from version 0 (the only way a
+    // streaming-sink table can be transform-partitioned: the sink owns
+    // every later version).
+    assert(VersionedTable.writePartitionLayout(t, 0L) ==
+      Seq("days(ts_us)"))
+    s2.sql("INSERT INTO g.evd VALUES (1, 1704067200000000), " +
+      "(2, 1704153600000000)") // 2024-01-01, 2024-01-02
+    val added = VersionedTable.addedLines(t, 1L)
+      .filterNot(VersionedTable.isMetaManifestLine)
+      .map(_.split('\t').head)
+    assert(added.forall(_.contains("ts_us_day=2024-01-0")),
+      s"INSERT must land hidden day files: $added")
+    // The derived segment never reaches the schema surface.
+    assert(s2.table("g.evd").columns.sorted.toSeq == Seq("id", "ts_us"))
+    assert(s2.sql("SELECT id FROM g.evd WHERE ts_us >= 1704153600000000")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // Wrong raw type and unknown transforms refuse at declaration.
+    intercept[Exception] {
+      s2.sql("CREATE TABLE g.evbad (id BIGINT, s STRING) " +
+        "PARTITIONED BY (days(s))")
+    }
+    intercept[Exception] {
+      s2.sql("CREATE TABLE g.evbad2 (id BIGINT, ts BIGINT) " +
+        "PARTITIONED BY (years(ts))")
+    }
+    // bucket DDL bootstraps too.
+    s2.sql("""CREATE TABLE g.evb (id BIGINT, v BIGINT)
+              PARTITIONED BY (bucket(4, id))""")
+    assert(VersionedTable.writePartitionLayout(root.resolve("evb"), 0L) ==
+      Seq("bucket(4,id)"))
   }
 }

@@ -406,6 +406,18 @@ class GraftTableSpec extends SparkSpec {
           part.queryExecution.executedPlan)
       assert(part.collect().map(_.getLong(0)).sorted.toSeq ==
         (0L until 30L))
+      // The same clustering serves AGGREGATION: a groupBy on the
+      // partition key needs no exchange either.
+      val agg = read(fact).groupBy($"g").agg(
+        org.apache.spark.sql.functions.sum($"v").as("sv"))
+      assert(shuffles(agg) == 0,
+        s"KGP groupBy must plan no Exchange:\n" +
+          agg.queryExecution.executedPlan)
+      assert(agg.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sorted.toSeq ==
+        Seq.tabulate(60)(i => (s"g${i % 3}", (i * 7).toLong))
+          .groupBy(_._1).map { case (g, xs) => (g, xs.map(_._2).sum) }
+          .toSeq.sorted)
       // Mismatched layouts (flat dim) fall back to the shuffle plan —
       // the fallback is Spark's, never a wrong co-location.
       val flat = fresh()

@@ -275,4 +275,49 @@ class GraftTableWriteSpec extends SparkSpec {
       .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
     assert(msgs.contains("outside this streaming sink"))
   }
+
+  test("streaming sink into a TRANSFORM layout derives hidden day segments") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = fresh()
+    // The transform layout rides the BOOTSTRAP (the DDL PARTITIONED BY
+    // (days(ts_us)) shape): a streaming sink owns every version past
+    // v0, so a post-bootstrap evolve commit would collide with epoch
+    // numbering — declared up front, epoch 0 lands as v1 as always.
+    VersionedTable.commit(spark, t, 0L,
+      Seq.empty[(Long, Long)].toDF("id", "ts_us"),
+      carried = Seq(VersionedTable.partSpecLine(1L, Seq("days(ts_us)"))))
+    val day0 = 19723L // 2024-01-01
+    val us = (d: Long) => d * 86400000000L
+    val cp = Files.createTempDirectory("graft_w_cpt_").toString
+    val ms = MemoryStream[Long]
+    ms.addData(1L, 2L, 3L, 4L)
+    val q = ms.toDF()
+      .selectExpr("value AS id",
+        s"CAST(${us(day0)}L + (value % 2) * 86400000000 AS BIGINT) " +
+          "AS ts_us")
+      .writeStream
+      .format("graft-table").option("checkpointLocation", cp)
+      .start(t.toString)
+    q.processAllAvailable()
+    q.stop()
+    // Epoch files derive their HIDDEN day segment from the raw column.
+    val added = VersionedTable.addedLines(t, 1L).filterNot(_.contains('\t'))
+    assert(added.nonEmpty &&
+      added.forall(_.contains("ts_us_day=2024-01-0")),
+      s"streamed files must land under derived day segments: $added")
+    val scan = spark.read.format("graft-table").load(t.toString)
+    assert(scan.columns.sorted.toSeq == Seq("id", "ts_us"))
+    // A raw-column predicate prunes the streamed files by day.
+    val (lo, hi) = graft.operators.PartTransform
+      .microsRangeOfDay("2024-01-02")
+    val pruned = scan.where($"ts_us" >= lo && $"ts_us" <= hi)
+    val d2 = added.count(_.contains("ts_us_day=2024-01-02"))
+    assert(pruned.rdd.getNumPartitions == d2 + 1, // + flat bootstrap
+      s"expected $d2 day files + bootstrap, got " +
+        pruned.rdd.getNumPartitions)
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+  }
 }
