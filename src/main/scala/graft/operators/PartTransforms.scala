@@ -66,6 +66,9 @@ final case class DaysPart(rawCol: String) extends PartTransform {
   override def segmentValue(v: Any): String =
     PartTransform.dayOfMicros(v match {
       case n: java.lang.Number => n.longValue
+      // Runtime-filter values arrive stringified (the V2 predicate
+      // literal rendering) — a numeric string is the same instant.
+      case s: String => s.toLong
       case other => throw new IllegalArgumentException(
         s"days($rawCol): expected an epoch-micros BIGINT value, got " +
           s"$other")

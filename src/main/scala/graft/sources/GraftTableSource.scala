@@ -732,7 +732,15 @@ private[sources] class GraftScan(path: String, version: Long,
     val names = required.fieldNames.toSet
     val parts = VersionedTable.partitionLayout(table, version)
       .filter(names.contains)
-    ((if (names.contains("_file")) Seq("_file") else Nil) ++ parts)
+    // Hidden partitioning (r18): the RAW column of a transform spec is
+    // runtime-filterable too — join-driven DPP hands a value set on
+    // `ts_us` and the scan prunes files by the DERIVED day/bucket
+    // segments each value maps to (a date-dim join prunes the fact
+    // scan with no layout column in the query).
+    val raws = VersionedTable.liveTransforms(table, version)
+      .map(_.rawCol).filter(names.contains)
+    ((if (names.contains("_file")) Seq("_file") else Nil) ++ parts ++
+      raws).distinct
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
   }
@@ -742,6 +750,8 @@ private[sources] class GraftScan(path: String, version: Long,
         .filter.Predicate]): Unit = {
     val table = java.nio.file.Paths.get(path)
     val partCols = VersionedTable.partitionLayout(table, version).toSet
+    val transformsByRaw = VersionedTable.liveTransforms(table, version)
+      .groupBy(_.rawCol)
     // One manifest resolution for the whole call, not one per
     // predicate (BASE-chain resolution does file IO).
     lazy val allFiles = VersionedTable.statsManifest(table, version)
@@ -757,6 +767,23 @@ private[sources] class GraftScan(path: String, version: Long,
           Some(allFiles
             .filter(f => GraftTableSource.partitionValues(f).toMap
               .get(c).forall(vs.contains)).toSet)
+        // Runtime value set on a transform's RAW column (r18): map
+        // each value through the transform and admit files whose
+        // DERIVED segment is among the mapped values; unparseable
+        // values admit everything (an unpruned scan is still correct).
+        case (c, vs) if transformsByRaw.contains(c) =>
+          try {
+            val admittedByT: Map[String, Set[String]] =
+              transformsByRaw(c).map { t =>
+                t.derivedName -> vs.map(v => t.segmentValue(v))
+              }.toMap
+            Some(allFiles.filter { f =>
+              val segs = GraftTableSource.partitionValues(f).toMap
+              admittedByT.forall { case (seg, admitted) =>
+                segs.get(seg).forall(admitted.contains)
+              }
+            }.toSet)
+          } catch { case scala.util.control.NonFatal(_) => None }
         case _ => None
       }
     }

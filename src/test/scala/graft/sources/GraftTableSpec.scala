@@ -434,4 +434,43 @@ class GraftTableSpec extends SparkSpec {
       spark.conf.unset("spark.graft.planning.preserveDataGrouping")
     }
   }
+
+  test("runtime value sets on a transform's raw column prune by derived segments") {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val t = fresh()
+    val day0 = 19723L // 2024-01-01
+    def us(d: Long, k: Long) = d * 86400000000L + k
+    VersionedTable.commit(spark, t, 0L,
+      Seq.empty[(Long, Long)].toDF("id", "ts_us"),
+      carried = Seq(VersionedTable.partSpecLine(1L, Seq("days(ts_us)"))))
+    Seq.tabulate(12)(i => (i.toLong, us(day0 + i % 3, i.toLong)))
+      .toDF("id", "ts_us")
+      .write.format("graft-table").mode("append").save(t.toString)
+    val table = new GraftTable(t.toString,
+      GraftTableSource.dataSchema(t.toString, 1L), 1L, None)
+    val scan = table.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build().asInstanceOf[GraftScan]
+    // The RAW column is runtime-filterable — join-driven DPP against a
+    // date dimension hands ts_us value sets here.
+    assert(scan.filterAttributes().map(_.fieldNames()(0)).toSeq ==
+      Seq("ts_us"))
+    val total = scan.planInputPartitions().length
+    // Two probe instants on the same day: files prune to that day's
+    // segment (+ the flat zero-row bootstrap, which only the path can
+    // clear and must conservatively survive).
+    scan.filter(Array(new Predicate("IN",
+      Array(Expressions.column("ts_us"),
+        Expressions.literal(us(day0 + 1, 3L)),
+        Expressions.literal(us(day0 + 1, 9L))))))
+    val pruned = scan.planInputPartitions().length
+    val dayFiles = VersionedTable.statsManifest(t, 1L).map(_._1)
+      .count(_.contains("ts_us_day=2024-01-02"))
+    val flat = VersionedTable.statsManifest(t, 1L).map(_._1)
+      .count(!_.contains("ts_us_day="))
+    assert(pruned == dayFiles + flat && pruned < total,
+      s"expected $dayFiles day files + $flat flat of $total, got $pruned")
+  }
 }
