@@ -76,10 +76,16 @@ final case class DaysPart(rawCol: String) extends PartTransform {
   override def column(df: DataFrame): Column =
     // date_from_unix_date renders DateType → 'YYYY-MM-DD' exactly like
     // LocalDate.toString; FLOOR(double) = floorDiv for |us| < 2^53
-    // (~year 287000 — beyond any epoch-micros fixture).
+    // (~year 287000 — beyond any epoch-micros fixture). NULL raw
+    // values refuse LOUDLY — the row writer's rule: silently routing
+    // them to __HIVE_DEFAULT_PARTITION__ would mint a segment the
+    // range-pruning parser can never clear.
     org.apache.spark.sql.functions.expr(
-      s"CAST(date_from_unix_date(CAST(FLOOR(`$rawCol` / 86400000000e0) " +
-        "AS INT)) AS STRING)")
+      s"IF(`$rawCol` IS NULL, " +
+        s"raise_error('days($rawCol): NULL partition value cannot " +
+        "ride a path'), " +
+        s"CAST(date_from_unix_date(CAST(FLOOR(`$rawCol` / 86400000000e0) " +
+        "AS INT)) AS STRING))")
 }
 
 final case class BucketPart(n: Int, rawCol: String) extends PartTransform {

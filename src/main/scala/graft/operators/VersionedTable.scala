@@ -700,7 +700,7 @@ object VersionedTable {
     val layout = partitionLayout(base, bv)
     if (layout.isEmpty) read(s, base, Some(bv))
     else readMultiPartitionedFiles(s, base, layout,
-      statsManifest(base, bv).map(_._1))
+      statsManifest(base, bv).map(_._1), asOf = Some(bv))
   }
 
   /** INCREMENTAL MV REFRESH (r17) — the maintenance loop that makes a
@@ -831,7 +831,8 @@ object VersionedTable {
       else if (layout.isEmpty)
         Some(s.read.parquet(
           deltaFiles.map(f => base.resolve(f).toString): _*))
-      else Some(readMultiPartitionedFiles(s, base, layout, deltaFiles))
+      else Some(readMultiPartitionedFiles(s, base, layout, deltaFiles,
+        asOf = Some(bv)))
     val folded = negatives.foldLeft(
       positive.fold(read(s, mv, Some(mvV)))(d =>
         merge(read(s, mv, Some(mvV)), aggDelta(d))))(merge)
@@ -990,6 +991,26 @@ object VersionedTable {
               "re-evaluate the predicate on partial sums; filter in a " +
               "query over the MV instead")
         case _ => ()
+      }
+      // Each NON-GROUP output must be a BARE aggregate (one
+      // Alias(AggregateExpression)) — a COMPOSITE like sum(x)/count(*)
+      // or sum(x)+1 contains only legal Sum/Count nodes yet does NOT
+      // fold by SUM (old_avg + delta_avg ≠ avg): the expression shape
+      // is the contract, not just the functions inside it.
+      aggNodes.head.aggregateExpressions.foreach {
+        case _: org.apache.spark.sql.catalyst.expressions.Attribute => ()
+        case al: org.apache.spark.sql.catalyst.expressions.Alias
+            if groupCols.contains(al.name) => ()
+        case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+          require(al.child.isInstanceOf[AggregateExpression],
+            s"createMaterializedSql: output '${al.name}' is a " +
+              "COMPOSITE over aggregates — it does not fold by SUM " +
+              "(e.g. sum(x)/count(*) summed across deltas is not the " +
+              "ratio); emit the bare sum/count parts and recombine " +
+              "when reading")
+        case other => throw new IllegalArgumentException(
+          s"createMaterializedSql: unsupported output expression " +
+            s"$other — group columns and bare sum/count aggregates only")
       }
       aggNodes.head.aggregateExpressions.flatMap(_.collect {
         case ae: AggregateExpression => ae
@@ -1276,6 +1297,16 @@ object VersionedTable {
     require(version == 0L || deletionVectors(table, version - 1).isEmpty,
       s"renameCommit: live deletion vectors at $table — compact " +
         "(folding the DVs) first; mappings and DVs cannot coexist")
+    // A transform spec derives its segments from the raw column BY
+    // NAME — renaming it would brick every future INSERT (the writer's
+    // schema lookup), compaction's re-derivation, AND silently retire
+    // raw-predicate pruning. Same dead-end guard as dropColumnCommit
+    // (r18).
+    require(version == 0L ||
+        !liveTransforms(table, version - 1).exists(_.rawCol == from),
+      s"renameCommit: '$from' feeds a partition transform spec " +
+        s"(${liveTransforms(table, version - 1).map(_.spec)
+          .mkString(", ")}) — evolve the layout away from it first")
     publish(table, version,
       deltaLines(table, version, Seq(s"$RenamePrefix$from\t$to"),
         checkpointEvery))
@@ -1921,14 +1952,18 @@ object VersionedTable {
 
   private def readMultiPartitionedFiles(s: SparkSession, table: Path,
                                         partCols: Seq[String],
-                                        files: Seq[String]): DataFrame = {
+                                        files: Seq[String],
+                                        asOf: Option[Long] = None)
+      : DataFrame = {
     // HIDDEN transform segments (r18) also surface through path
     // discovery — drop them: the raw column rides the payload, so the
     // derived segment is redundant AND ragged across generations
     // (a days-spec group would union 4 columns against an identity
-    // group's 3). The latest version's hidden set is a superset of
-    // every older one's (PARTSPEC generations only accumulate).
-    val hidden = latestVersion(table)
+    // group's 3). Hidden names are resolved AT THE VERSION BEING READ
+    // (default latest): a column that was real payload at an older
+    // version and only later became a derived segment name
+    // (drop-then-evolve) must survive that older version's read.
+    val hidden = asOf.orElse(latestVersion(table))
       .map(hiddenSegmentNames(table, _)).getOrElse(Set.empty)
     files
       .groupBy(f => f.split('/').take(2).mkString("/"))
@@ -2575,7 +2610,7 @@ object VersionedTable {
                 s"$partCols — ragged layouts refuse")
         }
         val snap = readMultiPartitionedFiles(s, table, partCols,
-          statsManifest(table, base).map(_._1))
+          statsManifest(table, base).map(_._1), asOf = Some(base))
         // A ZERO-ROW snapshot (a truncated/emptied partitioned table)
         // must not flow through dynamic partitionBy — with no rows it
         // writes NO files at all, and the published manifest would
@@ -2710,7 +2745,8 @@ object VersionedTable {
     if (touched.isEmpty) return (base, 0, all.size)
     val version = base + 1
     val writeCols = writePartitionLayout(table, base)
-    val snap = readMultiPartitionedFiles(s, table, layout, touched)
+    val snap = readMultiPartitionedFiles(s, table, layout, touched,
+      asOf = Some(base))
     val dataDir = newDataDir(table, version)
     val statsColOpt = statsColumns(table, base).headOption
     val hadRows = manifest(table, base).exists(_.startsWith(RowsPrefix))

@@ -201,12 +201,23 @@ object AvroIO {
         val path = new org.apache.hadoop.fs.Path(pathStr)
         val in = new FsSeekableInput(
           path.getFileSystem(conf.value), path)
-        val r = new DataFileReader[GenericRecord](in,
-          new GenericDatumReader[GenericRecord]())
-        // Claim blocks whose sync marker sits in [start, end): the
-        // first block at-or-after start, up to (not past) end — the
-        // standard split ownership rule; record boundaries never tear.
-        r.sync(start)
+        // The reader constructor and the sync can THROW (corrupt or
+        // truncated container, transient FS error) — the opened input
+        // stream must not leak across task retries, so it closes on
+        // that path before the completion listener exists.
+        val r = try {
+          val dr = new DataFileReader[GenericRecord](in,
+            new GenericDatumReader[GenericRecord]())
+          // Claim blocks whose sync marker sits in [start, end): the
+          // first block at-or-after start, up to (not past) end — the
+          // standard split ownership rule; record boundaries never tear.
+          dr.sync(start)
+          dr
+        } catch {
+          case e: Throwable =>
+            try in.close() catch { case _: Throwable => () }
+            throw e
+        }
         def closeAll(): Unit = {
           try r.close() catch { case _: Throwable => () }
           try in.close() catch { case _: Throwable => () }

@@ -662,6 +662,24 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     require(partSpecSeq.distinct == partSpecSeq,
       s"graft catalog '$catalogName': duplicate partition columns " +
         s"$partSpecSeq")
+    // DERIVED-name discipline, the same evolvePartitionLayout enforces
+    // (ADVICE self-review r18): two transforms must not derive the
+    // same segment (bucket(4,x) + bucket(8,x) both derive x_bucket),
+    // and a derived name must not shadow a REAL schema column — a
+    // payload column named ts_day next to days(ts) would be silently
+    // dropped by every mixed-generation read and overwritten by
+    // compaction's re-derivation.
+    locally {
+      val parsed = partSpecSeq.map(graft.operators.PartTransform.parse)
+      val derived = parsed.map(_.derivedName)
+      require(derived.distinct == derived,
+        s"graft catalog '$catalogName': two partition transforms " +
+          s"derive the same segment name (${derived.mkString(", ")})")
+      parsed.filterNot(_.isIdentity).foreach(t =>
+        require(!schema.fields.exists(_.name == t.derivedName),
+          s"graft catalog '$catalogName': derived segment name " +
+            s"'${t.derivedName}' collides with a schema column"))
+    }
     val hasTransform = partSpecSeq.exists(_.contains('('))
     val partColSeq = if (hasTransform) Nil else partSpecSeq
     val p = tableRoot(ident)

@@ -105,17 +105,36 @@ private[sources] class GraftWrite(path: String, schema: StructType,
     * files (the write-side shuffle every partitioned table format
     * requires at scale); unpartitioned writes impose nothing. */
   override def requiredDistribution()
-      : org.apache.spark.sql.connector.distributions.Distribution =
-    if (partSpecs.nonEmpty)
-      // Cluster by the RAW columns — a transform's derivation is a
-      // function of its raw column, so same-segment rows co-locate.
-      org.apache.spark.sql.connector.distributions.Distributions
-        .clustered(partSpecs.map(t =>
-          org.apache.spark.sql.connector.expressions.Expressions
-            .column(t.rawCol): org.apache.spark.sql.connector.expressions
-            .Expression).toArray)
-    else org.apache.spark.sql.connector.distributions.Distributions
-      .unspecified()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.distributions.Distributions
+    import org.apache.spark.sql.connector.expressions.Expressions
+    if (partSpecs.isEmpty) Distributions.unspecified()
+    else if (partSpecs.exists(_.isInstanceOf[graft.operators.DaysPart]))
+      // days(): ORDER by the raw columns — range partitioning puts
+      // each day's rows in contiguous task ranges, so a backfill
+      // writes ~tasks + days files. Hash-clustering by the raw column
+      // would be backwards: micros are near-unique, every task would
+      // see every day, and the batch would mint tasks × days files —
+      // the small-files explosion the distribution exists to prevent
+      // (self-review r18).
+      Distributions.ordered(partSpecs.map(t =>
+        Expressions.sort(Expressions.column(t.rawCol),
+          org.apache.spark.sql.connector.expressions.SortDirection
+            .ASCENDING)).toArray)
+    else
+      // identity/bucket: cluster by the RAW column. For identity the
+      // raw column IS the segment. For bucket it is deliberately NOT
+      // the transform expression: Spark hard-fails a bucket()
+      // distribution on non-catalog writes ("bucket(n, col) is not
+      // currently supported" — probed, not assumed), and raw-column
+      // clustering still bounds each task to at most n open files —
+      // n is a small DECLARED constant, unlike days' unbounded day
+      // count, so the bound is acceptable where days' was not.
+      Distributions.clustered(partSpecs.map(t =>
+        Expressions.column(t.rawCol)
+          : org.apache.spark.sql.connector.expressions.Expression)
+        .toArray)
+  }
 
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =

@@ -1423,6 +1423,13 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { create(
       "SELECT g, count(id) FILTER (WHERE id > 1) AS c " +
         "FROM __BASE__ GROUP BY g") }
+    // COMPOSITES over aggregates refuse too (self-review r18): every
+    // nested function is a legal Sum/Count, but sum(x)/count(*) does
+    // not fold by SUM — the output SHAPE is the contract.
+    intercept[IllegalArgumentException] { create(
+      "SELECT g, sum(id) / count(*) AS a FROM __BASE__ GROUP BY g") }
+    intercept[IllegalArgumentException] { create(
+      "SELECT g, sum(id) + 1 AS s1 FROM __BASE__ GROUP BY g") }
     // The mergeable surface still passes: sum/count, WHERE below the
     // aggregate, arithmetic over the group key.
     create("SELECT g, sum(id) AS s, count(*) AS n FROM __BASE__ " +
@@ -1540,10 +1547,16 @@ class VersionedTableSpec extends SparkSpec {
     val files5 = VersionedTable.statsManifest(t, uv).map(_._1)
     assert(probe2.rdd.getNumPartitions ==
       files5.count(_.contains(s"id_bucket=$b")))
-    // The raw column feeding a live transform cannot be dropped.
+    // The raw column feeding a live transform cannot be dropped OR
+    // renamed — either would brick the writer's schema lookup,
+    // compaction's re-derivation, and raw-predicate pruning.
     intercept[IllegalArgumentException] {
       VersionedTable.dropColumnCommit(spark, t,
         VersionedTable.latestVersion(t).get + 1, "id")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameCommit(t,
+        VersionedTable.latestVersion(t).get + 1, "id", "doc")
     }
   }
 

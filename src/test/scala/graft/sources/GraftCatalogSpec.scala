@@ -1107,5 +1107,16 @@ class GraftCatalogSpec extends SparkSpec {
               PARTITIONED BY (bucket(4, id))""")
     assert(VersionedTable.writePartitionLayout(root.resolve("evb"), 0L) ==
       Seq("bucket(4,id)"))
+    // Derived-name discipline (self-review r18): a schema column
+    // shadowing the derived segment, and two transforms deriving the
+    // same segment, both refuse at declaration.
+    intercept[Exception] {
+      s2.sql("CREATE TABLE g.evshadow (ts BIGINT, ts_day STRING) " +
+        "PARTITIONED BY (days(ts))")
+    }
+    intercept[Exception] {
+      s2.sql("CREATE TABLE g.evdup (x BIGINT) " +
+        "PARTITIONED BY (bucket(4, x), bucket(8, x))")
+    }
   }
 }
