@@ -23,6 +23,11 @@ import org.apache.spark.sql.{Column, DataFrame}
   *                       TsUs convention); segment `col_day=YYYY-MM-DD`
   *                       (UTC, floorDiv — timezone-free by
   *                       construction).
+  *  - `hours(col)`     — same contract at hour grain:
+  *                       `col_hour=YYYY-MM-DD-HH` (Iceberg's hour
+  *                       rendering).
+  *  - `months(col)`    — same contract at month grain:
+  *                       `col_month=YYYY-MM`.
   *  - `bucket(n, col)` — `col` is BIGINT/INT/STRING; segment
   *                       `col_bucket=i`, i = murmur3(canonical string
   *                       rendering) mod n, seed 42. Writer and reader
@@ -36,6 +41,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   * the path only) — every rewrite remains information-complete.
   */
 sealed trait PartTransform extends Serializable {
+  /** True for the TIME-GRAIN transforms (days/hours/months): all
+    * derive from a BIGINT epoch-micros column, all prune range
+    * predicates through [[TimePart.microsRange]], none reports a
+    * storage-partitioned-join key (no exposed V2 date function — a
+    * wrong report is worse than a shuffle), and writes order by the
+    * raw column (contiguous time ranges per task). */
+  def isTime: Boolean = false
   /** The payload column the segment derives from (for identity: the
     * path-borne column itself). */
   def rawCol: String
@@ -60,32 +72,68 @@ final case class IdentityPart(rawCol: String) extends PartTransform {
   override def column(df: DataFrame): Column = df(rawCol)
 }
 
-final case class DaysPart(rawCol: String) extends PartTransform {
+/** The common face of days/hours/months — see [[PartTransform.isTime]]. */
+sealed trait TimePart extends PartTransform {
+  override def isTime: Boolean = true
+  /** The inclusive epoch-micros range the segment value covers — what
+    * the scan feeds the zonemap-admits logic (a time segment IS a
+    * zonemap). */
+  def microsRange(segVal: String): (Long, Long)
+  /** Coerce a raw/runtime value to micros (runtime-filter values
+    * arrive stringified). */
+  protected def micros(v: Any): Long = v match {
+    case n: java.lang.Number => n.longValue
+    case s: String => s.toLong
+    case other => throw new IllegalArgumentException(
+      s"$spec: expected an epoch-micros BIGINT value, got $other")
+  }
+  /** The day-string SQL derivation every grain builds on, with the
+    * loud NULL refusal (silently minting __HIVE_DEFAULT_PARTITION__
+    * would defeat range pruning forever). */
+  protected def guarded(dayExpr: String): Column =
+    org.apache.spark.sql.functions.expr(
+      s"IF(`$rawCol` IS NULL, " +
+        s"raise_error('$spec: NULL partition value cannot ride a " +
+        s"path'), $dayExpr)")
+  protected def dayStringExpr: String =
+    s"CAST(date_from_unix_date(CAST(FLOOR(`$rawCol` / 86400000000e0) " +
+      "AS INT)) AS STRING)"
+}
+
+final case class DaysPart(rawCol: String) extends TimePart {
   override def derivedName: String = rawCol + "_day"
   override def spec: String = s"days($rawCol)"
   override def segmentValue(v: Any): String =
-    PartTransform.dayOfMicros(v match {
-      case n: java.lang.Number => n.longValue
-      // Runtime-filter values arrive stringified (the V2 predicate
-      // literal rendering) — a numeric string is the same instant.
-      case s: String => s.toLong
-      case other => throw new IllegalArgumentException(
-        s"days($rawCol): expected an epoch-micros BIGINT value, got " +
-          s"$other")
-    })
+    PartTransform.dayOfMicros(micros(v))
+  override def microsRange(segVal: String): (Long, Long) =
+    PartTransform.microsRangeOfDay(segVal)
+  // date_from_unix_date renders DateType → 'YYYY-MM-DD' exactly like
+  // LocalDate.toString; FLOOR(double) = floorDiv for |us| < 2^53
+  // (~year 287000 — beyond any epoch-micros fixture).
+  override def column(df: DataFrame): Column = guarded(dayStringExpr)
+}
+
+final case class HoursPart(rawCol: String) extends TimePart {
+  override def derivedName: String = rawCol + "_hour"
+  override def spec: String = s"hours($rawCol)"
+  override def segmentValue(v: Any): String =
+    PartTransform.hourOfMicros(micros(v))
+  override def microsRange(segVal: String): (Long, Long) =
+    PartTransform.microsRangeOfHour(segVal)
+  override def column(df: DataFrame): Column = guarded(
+    s"CONCAT($dayStringExpr, '-', LPAD(CAST(pmod(CAST(FLOOR(" +
+      s"`$rawCol` / 3600000000e0) AS BIGINT), 24) AS STRING), 2, '0'))")
+}
+
+final case class MonthsPart(rawCol: String) extends TimePart {
+  override def derivedName: String = rawCol + "_month"
+  override def spec: String = s"months($rawCol)"
+  override def segmentValue(v: Any): String =
+    PartTransform.monthOfMicros(micros(v))
+  override def microsRange(segVal: String): (Long, Long) =
+    PartTransform.microsRangeOfMonth(segVal)
   override def column(df: DataFrame): Column =
-    // date_from_unix_date renders DateType → 'YYYY-MM-DD' exactly like
-    // LocalDate.toString; FLOOR(double) = floorDiv for |us| < 2^53
-    // (~year 287000 — beyond any epoch-micros fixture). NULL raw
-    // values refuse LOUDLY — the row writer's rule: silently routing
-    // them to __HIVE_DEFAULT_PARTITION__ would mint a segment the
-    // range-pruning parser can never clear.
-    org.apache.spark.sql.functions.expr(
-      s"IF(`$rawCol` IS NULL, " +
-        s"raise_error('days($rawCol): NULL partition value cannot " +
-        "ride a path'), " +
-        s"CAST(date_from_unix_date(CAST(FLOOR(`$rawCol` / 86400000000e0) " +
-        "AS INT)) AS STRING))")
+    guarded(s"SUBSTRING($dayStringExpr, 1, 7)")
 }
 
 final case class BucketPart(n: Int, rawCol: String) extends PartTransform {
@@ -121,6 +169,34 @@ object PartTransform {
     (d * MicrosPerDay, d * MicrosPerDay + MicrosPerDay - 1)
   }
 
+  val MicrosPerHour: Long = 3600000000L
+
+  /** UTC hour of an epoch-micros instant, 'YYYY-MM-DD-HH' (the
+    * Iceberg hour rendering). */
+  def hourOfMicros(us: Long): String = {
+    val h = Math.floorDiv(us, MicrosPerHour)
+    val day = java.time.LocalDate.ofEpochDay(Math.floorDiv(h, 24L))
+    f"$day-${Math.floorMod(h, 24L)}%02d"
+  }
+
+  def microsRangeOfHour(seg: String): (Long, Long) = {
+    val day = java.time.LocalDate.parse(seg.substring(0, 10))
+    val hh = seg.substring(11).toLong
+    val lo = day.toEpochDay * MicrosPerDay + hh * MicrosPerHour
+    (lo, lo + MicrosPerHour - 1)
+  }
+
+  /** UTC month of an epoch-micros instant, 'YYYY-MM'. */
+  def monthOfMicros(us: Long): String =
+    java.time.LocalDate.ofEpochDay(Math.floorDiv(us, MicrosPerDay))
+      .toString.substring(0, 7)
+
+  def microsRangeOfMonth(seg: String): (Long, Long) = {
+    val ym = java.time.YearMonth.parse(seg)
+    (ym.atDay(1).toEpochDay * MicrosPerDay,
+      ym.atEndOfMonth.toEpochDay * MicrosPerDay + MicrosPerDay - 1)
+  }
+
   /** Canonical string rendering shared by writer (JVM row values) and
     * reader (pushed-filter literals): numbers render as their long
     * form, so a probe arriving as Integer matches a value written as
@@ -137,6 +213,8 @@ object PartTransform {
       scala.util.hashing.MurmurHash3.stringHash(canonical, 42), n)
 
   private val Days = """days\(\s*([^()\s,]+)\s*\)""".r
+  private val Hours = """hours\(\s*([^()\s,]+)\s*\)""".r
+  private val Months = """months\(\s*([^()\s,]+)\s*\)""".r
   private val Bucket = """bucket\(\s*(\d+)\s*,\s*([^()\s,]+)\s*\)""".r
 
   /** Parse one spec entry. Unknown transform shapes refuse LOUDLY —
@@ -144,11 +222,13 @@ object PartTransform {
     * "years(ts)". */
   def parse(s: String): PartTransform = s.trim match {
     case Days(c) => DaysPart(c)
+    case Hours(c) => HoursPart(c)
+    case Months(c) => MonthsPart(c)
     case Bucket(n, c) => BucketPart(n.toInt, c)
     case t if t.contains('(') || t.contains(')') =>
       throw new IllegalArgumentException(
         s"unsupported partition transform '$t' — supported: identity " +
-          "column, days(col), bucket(n, col)")
+          "column, days(col), hours(col), months(col), bucket(n, col)")
     case t => IdentityPart(t)
   }
 

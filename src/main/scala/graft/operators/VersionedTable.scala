@@ -639,9 +639,9 @@ object VersionedTable {
             s"evolvePartitionLayout: ${t.spec} — raw column " +
               s"'${t.rawCol}' is not a payload column at version $base"))
         t match {
-          case _: DaysPart =>
+          case _: TimePart =>
             require(f.dataType == org.apache.spark.sql.types.LongType,
-              s"evolvePartitionLayout: days(${t.rawCol}) needs a " +
+              s"evolvePartitionLayout: ${t.spec} needs a " +
                 s"BIGINT epoch-micros column, got ${f.dataType.sql}")
           case _: BucketPart =>
             require(Set[org.apache.spark.sql.types.DataType](

@@ -630,13 +630,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               "be STRING — partition values ride the path and read " +
               "back as strings (or use days()/bucket())")
           c
-        case "days" =>
+        case grain @ ("days" | "hours" | "months") =>
           val c = singleRef(t)
           require(fieldOf(c).dataType ==
               org.apache.spark.sql.types.LongType,
-            s"graft catalog '$catalogName': days($c) needs a BIGINT " +
+            s"graft catalog '$catalogName': $grain($c) needs a BIGINT " +
               s"epoch-micros column, got ${fieldOf(c).dataType.sql}")
-          s"days($c)"
+          s"$grain($c)"
         case "bucket" =>
           val c = singleRef(t)
           val n = t.arguments().collectFirst {
@@ -655,8 +655,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           s"bucket($n,$c)"
         case other => throw new UnsupportedOperationException(
           s"graft catalog '$catalogName': unsupported partition " +
-            s"transform '$other' — identity columns, days(col), " +
-            "bucket(n, col)")
+            s"transform '$other' — identity columns, days/hours/" +
+            "months(col), bucket(n, col)")
       }
     }
     require(partSpecSeq.distinct == partSpecSeq,

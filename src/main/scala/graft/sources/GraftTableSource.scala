@@ -164,7 +164,7 @@ object GraftTableSource {
     * days → the zonemap range shapes; bucket → equality shapes. */
   private[sources] def transformPrunable(
       f: Filter, t: graft.operators.PartTransform): Boolean = t match {
-    case _: graft.operators.DaysPart => prunable(f, t.rawCol)
+    case _: graft.operators.TimePart => prunable(f, t.rawCol)
     case _: graft.operators.BucketPart => partPrunable(f, Set(t.rawCol))
     case _ => false
   }
@@ -178,10 +178,11 @@ object GraftTableSource {
   private[sources] def transformAdmits(f: Filter,
       t: graft.operators.PartTransform, segVal: String): Boolean =
     try t match {
-      case graft.operators.DaysPart(c) =>
-        val (lo, hi) = graft.operators.PartTransform
-          .microsRangeOfDay(segVal)
-        admits(f, c, lo, hi)
+      case tt: graft.operators.TimePart =>
+        // A time segment IS a zonemap: its [lo, hi] micros range feeds
+        // the zonemap admits logic verbatim, whatever the grain.
+        val (lo, hi) = tt.microsRange(segVal)
+        admits(f, tt.rawCol, lo, hi)
       case graft.operators.BucketPart(n, c) =>
         def ok(x: Any): Boolean = graft.operators.PartTransform
           .bucketOf(graft.operators.PartTransform.canonical(x), n)
@@ -402,6 +403,10 @@ private[sources] class GraftTable(path: String, schema0: StructType,
       .map {
         case graft.operators.DaysPart(c) =>
           org.apache.spark.sql.connector.expressions.Expressions.days(c)
+        case graft.operators.HoursPart(c) =>
+          org.apache.spark.sql.connector.expressions.Expressions.hours(c)
+        case graft.operators.MonthsPart(c) =>
+          org.apache.spark.sql.connector.expressions.Expressions.months(c)
         case graft.operators.BucketPart(n, c) =>
           org.apache.spark.sql.connector.expressions.Expressions
             .bucket(n, c)
@@ -843,8 +848,7 @@ private[sources] class GraftScan(path: String, version: Long,
           .map(graft.operators.PartTransform.parse)
       else VersionedTable.partitionLayout(table, version)
         .map(graft.operators.IdentityPart(_))
-    if (specs.isEmpty ||
-        specs.exists(_.isInstanceOf[graft.operators.DaysPart])) return None
+    if (specs.isEmpty || specs.exists(_.isTime)) return None
     val live = livePrunedFiles()
     if (live.isEmpty) return None
     val names = specs.map(_.derivedName)

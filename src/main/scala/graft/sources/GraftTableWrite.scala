@@ -87,7 +87,7 @@ private[sources] class GraftWrite(path: String, schema: StructType,
         require(f.dataType == org.apache.spark.sql.types.StringType,
           s"graft-table: partition column '${t.rawCol}' must be STRING " +
             "(partition values ride the path and read back as strings)")
-      case _: graft.operators.DaysPart =>
+      case _: graft.operators.TimePart =>
         require(f.dataType == org.apache.spark.sql.types.LongType,
           s"graft-table: ${t.spec} needs a BIGINT epoch-micros column, " +
             s"got ${f.dataType.sql}")
@@ -109,8 +109,8 @@ private[sources] class GraftWrite(path: String, schema: StructType,
     import org.apache.spark.sql.connector.distributions.Distributions
     import org.apache.spark.sql.connector.expressions.Expressions
     if (partSpecs.isEmpty) Distributions.unspecified()
-    else if (partSpecs.exists(_.isInstanceOf[graft.operators.DaysPart]))
-      // days(): ORDER by the raw columns — range partitioning puts
+    else if (partSpecs.exists(_.isTime))
+      // time grains (days/hours/months): ORDER by the raw columns — range partitioning puts
       // each day's rows in contiguous task ranges, so a backfill
       // writes ~tasks + days files. Hash-clustering by the raw column
       // would be backwards: micros are near-unique, every task would

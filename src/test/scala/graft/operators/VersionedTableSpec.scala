@@ -1602,4 +1602,55 @@ class VersionedTableSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("count(*)"))
   }
+
+  test("hours()/months() transforms: segments, pruning, grain ranges") {
+    import spark.implicits._
+    val day0 = 19723L // 2024-01-01
+    def us(d: Long, h: Long) = d * 86400000000L + h * 3600000000L
+    // JVM renderings pin the Iceberg segment formats.
+    assert(graft.operators.PartTransform.hourOfMicros(us(day0, 3L) + 7L)
+      == "2024-01-01-03")
+    assert(graft.operators.PartTransform.monthOfMicros(us(day0 + 40L, 0L))
+      == "2024-02")
+    assert(graft.operators.PartTransform.microsRangeOfHour("2024-01-01-03")
+      == (us(day0, 3L), us(day0, 4L) - 1))
+    assert(graft.operators.PartTransform.microsRangeOfMonth("2024-01")
+      == (us(day0, 0L), us(day0 + 31L, 0L) - 1))
+    // End-to-end at hour grain: hidden segments, raw-range pruning.
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L,
+      Seq.empty[(Long, Long)].toDF("id", "ts_us"),
+      carried = Seq(VersionedTable.partSpecLine(1L, Seq("hours(ts_us)"))))
+    Seq.tabulate(12)(i => (i.toLong, us(day0, (i % 4).toLong)))
+      .toDF("id", "ts_us")
+      .write.format("graft-table").mode("append").save(t.toString)
+    val files = VersionedTable.statsManifest(t, 1L).map(_._1)
+    assert(files.exists(_.contains("ts_us_hour=2024-01-01-02")),
+      s"expected hour segments, got $files")
+    val scan = spark.read.format("graft-table").load(t.toString)
+    assert(!scan.columns.contains("ts_us_hour"))
+    val (lo, hi) = graft.operators.PartTransform
+      .microsRangeOfHour("2024-01-01-02")
+    val pruned = scan.where($"ts_us" >= lo && $"ts_us" <= hi)
+    val matching = files.count(_.contains("ts_us_hour=2024-01-01-02"))
+    val flat = files.count(!_.contains("ts_us_hour="))
+    assert(pruned.rdd.getNumPartitions == matching + flat &&
+      matching + flat < files.size,
+      s"hour predicate scanned ${pruned.rdd.getNumPartitions} of " +
+        s"${files.size}, expected $matching + $flat flat")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 12L).filter(_ % 4 == 2))
+    // Month grain through the evolve verb (grammar + type gates share
+    // the TimePart path days already proved).
+    val t2 = freshTable()
+    VersionedTable.commit(spark, t2, 0L,
+      Seq((1L, us(day0, 0L)), (2L, us(day0 + 40L, 0L)))
+        .toDF("id", "ts_us"))
+    VersionedTable.evolvePartitionLayout(spark, t2, Seq("months(ts_us)"))
+    VersionedTable.compactCommit(spark, t2, files = 1)
+    val mFiles = VersionedTable.statsManifest(t2, 2L).map(_._1)
+    assert(mFiles.exists(_.contains("ts_us_month=2024-01")) &&
+      mFiles.exists(_.contains("ts_us_month=2024-02")),
+      s"expected month segments, got $mFiles")
+  }
 }
