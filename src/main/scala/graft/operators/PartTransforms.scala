@@ -94,7 +94,8 @@ sealed trait TimePart extends PartTransform {
     org.apache.spark.sql.functions.expr(
       s"IF(`$rawCol` IS NULL, " +
         s"raise_error('$spec: NULL partition value cannot ride a " +
-        s"path'), $dayExpr)")
+        "path — delete or backfill the NULL rows, or evolve to a " +
+        s"layout that does not derive from $rawCol'), $dayExpr)")
   protected def dayStringExpr: String =
     s"CAST(date_from_unix_date(CAST(FLOOR(`$rawCol` / 86400000000e0) " +
       "AS INT)) AS STRING)"

@@ -488,9 +488,12 @@ object VersionedTable {
     * is theirs). */
   def partSpecLine(gen: Long, specs: Seq[String]): String = {
     require(gen > 0, s"partSpecLine: generation must be positive, got $gen")
-    specs.foreach(PartTransform.parse) // grammar gate (loud on years())
-    s"$PartSpecPrefix$gen\t${specs.map(PartTransform.parse(_).spec)
-      .mkString(",")}"
+    val parsed = specs.map(PartTransform.parse) // grammar gate (years() is loud)
+    val derived = parsed.map(_.derivedName)
+    require(derived.distinct == derived,
+      s"partSpecLine: two specs derive the same segment name " +
+        s"(${derived.mkString(", ")})")
+    s"$PartSpecPrefix$gen\t${parsed.map(_.spec).mkString(",")}"
   }
 
   /** The DECLARED partition columns at a version (DDL `PARTITIONED
@@ -571,6 +574,15 @@ object VersionedTable {
   private def writeUnderSpec(out: DataFrame, writeCols: Seq[String],
                              dataDir: Path): Unit = {
     val specs = writeCols.map(PartTransform.parse)
+    // A REAL payload column named like a derived segment would be
+    // silently overwritten by the derivation and then hidden by every
+    // read — refuse loudly (the DDL/evolve faces refuse at declaration;
+    // this catches specs smuggled in through a raw carried= bootstrap).
+    specs.filterNot(_.isIdentity).foreach(t =>
+      require(!out.columns.contains(t.derivedName),
+        s"writeUnderSpec: payload column '${t.derivedName}' shadows " +
+          s"the derived segment of ${t.spec} — rename it or drop the " +
+          "transform"))
     val derived = specs.foldLeft(out) { (df, t) =>
       if (t.isIdentity) df else df.withColumn(t.derivedName, t.column(df))
     }
@@ -998,7 +1010,18 @@ object VersionedTable {
       // fold by SUM (old_avg + delta_avg ≠ avg): the expression shape
       // is the contract, not just the functions inside it.
       aggNodes.head.aggregateExpressions.foreach {
-        case _: org.apache.spark.sql.catalyst.expressions.Attribute => ()
+        // A bare passthrough column is legal ONLY as a DECLARED group
+        // column: `SELECT g, id, sum(v) … GROUP BY g, id` with
+        // groupCols=[g] would type-check and then SUM `id` across
+        // deltas in the fold (self-review r18).
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute
+            if groupCols.contains(a.name) => ()
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+          throw new IllegalArgumentException(
+            s"createMaterializedSql: output column '${a.name}' is " +
+              "grouped in the statement but not declared in " +
+              s"group_cols ($groupCols) — the refresh fold would SUM " +
+              "it; declare it as a group column")
         case al: org.apache.spark.sql.catalyst.expressions.Alias
             if groupCols.contains(al.name) => ()
         case al: org.apache.spark.sql.catalyst.expressions.Alias =>
@@ -1297,15 +1320,20 @@ object VersionedTable {
     require(version == 0L || deletionVectors(table, version - 1).isEmpty,
       s"renameCommit: live deletion vectors at $table — compact " +
         "(folding the DVs) first; mappings and DVs cannot coexist")
-    // A transform spec derives its segments from the raw column BY
-    // NAME — renaming it would brick every future INSERT (the writer's
-    // schema lookup), compaction's re-derivation, AND silently retire
-    // raw-predicate pruning. Same dead-end guard as dropColumnCommit
-    // (r18).
+    // A transform in the LIVE WRITE SPEC derives its segments from
+    // the raw column BY NAME — renaming it would brick every future
+    // INSERT (the writer's schema lookup) and compaction's
+    // re-derivation. Retired generations don't block (their files'
+    // payloads are complete; only their conservative pruning is
+    // forfeited), so the remedy — evolve the layout away first — is
+    // actually satisfiable. Same dead-end guard as dropColumnCommit.
+    def liveSpecTransforms(v: Long): Seq[PartTransform] =
+      writePartitionLayout(table, v).map(PartTransform.parse)
+        .filterNot(_.isIdentity)
     require(version == 0L ||
-        !liveTransforms(table, version - 1).exists(_.rawCol == from),
-      s"renameCommit: '$from' feeds a partition transform spec " +
-        s"(${liveTransforms(table, version - 1).map(_.spec)
+        !liveSpecTransforms(version - 1).exists(_.rawCol == from),
+      s"renameCommit: '$from' feeds the live partition spec " +
+        s"(${liveSpecTransforms(version - 1).map(_.spec)
           .mkString(", ")}) — evolve the layout away from it first")
     publish(table, version,
       deltaLines(table, version, Seq(s"$RenamePrefix$from\t$to"),
@@ -1424,12 +1452,15 @@ object VersionedTable {
     require(!partitionLayout(table, base).contains(name) &&
         !writePartitionLayout(table, base).contains(name),
       s"dropColumnCommit: '$name' is a partition-layout column")
-    // A transform spec derives its segments from a payload column —
-    // dropping the raw column would brick every future INSERT and the
-    // scan's raw-predicate pruning (r18).
-    require(!liveTransforms(table, base).exists(_.rawCol == name),
-      s"dropColumnCommit: '$name' feeds a partition transform spec " +
-        s"(${liveTransforms(table, base).map(_.spec).mkString(", ")})")
+    // A transform in the LIVE WRITE SPEC derives its segments from a
+    // payload column — dropping the raw column would brick every
+    // future INSERT. Retired generations don't block (evolve-away is
+    // the documented remedy and must actually work), r18.
+    require(!writePartitionLayout(table, base).map(PartTransform.parse)
+        .exists(t => !t.isIdentity && t.rawCol == name),
+      s"dropColumnCommit: '$name' feeds the live partition spec " +
+        s"(${writePartitionLayout(table, base).mkString(", ")}) — " +
+        "evolve the layout away from it first")
     // CHECK references are resolved the way Spark will resolve them:
     // parse the constraint and collect its attribute references,
     // compared case-INSENSITIVELY (Spark's resolution is — a
@@ -1935,8 +1966,8 @@ object VersionedTable {
     val live = byValue.filter { case (value, _) => want.contains(value) }
     require(live.nonEmpty,
       s"readPartitions at version $v: no files match $partCol in $values")
-    (readPartitionedFiles(s, table, partCol, live.map(_._2)),
-      live.size, all.size)
+    (readPartitionedFiles(s, table, partCol, live.map(_._2),
+      asOf = Some(v)), live.size, all.size)
   }
 
   /** Plan a read over partitioned-layout manifest files: one scan per
@@ -1946,9 +1977,9 @@ object VersionedTable {
     * The column is pinned to string so the read schema doesn't depend
     * on what partition inference guesses per dir. */
   private def readPartitionedFiles(s: SparkSession, table: Path,
-                                   partCol: String,
-                                   files: Seq[String]): DataFrame =
-    readMultiPartitionedFiles(s, table, Seq(partCol), files)
+                                   partCol: String, files: Seq[String],
+                                   asOf: Option[Long] = None): DataFrame =
+    readMultiPartitionedFiles(s, table, Seq(partCol), files, asOf)
 
   private def readMultiPartitionedFiles(s: SparkSession, table: Path,
                                         partCols: Seq[String],
@@ -2019,8 +2050,10 @@ object VersionedTable {
     val live = part.filter { case (_, mn, mx) => mx >= lo && mn <= hi }
     val df =
       if (live.isEmpty)
-        readPartitionedFiles(s, table, partCol, Seq(part.head._1)).limit(0)
-      else readPartitionedFiles(s, table, partCol, live.map(_._1))
+        readPartitionedFiles(s, table, partCol, Seq(part.head._1),
+          asOf = Some(v)).limit(0)
+      else readPartitionedFiles(s, table, partCol, live.map(_._1),
+        asOf = Some(v))
     (df.where(col(statsCol) >= lo && col(statsCol) <= hi),
       live.size, part.size, all.size)
   }

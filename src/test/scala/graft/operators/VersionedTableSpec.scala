@@ -1428,6 +1428,10 @@ class VersionedTableSpec extends SparkSpec {
     // not fold by SUM — the output SHAPE is the contract.
     intercept[IllegalArgumentException] { create(
       "SELECT g, sum(id) / count(*) AS a FROM __BASE__ GROUP BY g") }
+    // A grouped passthrough column NOT declared in group_cols refuses:
+    // the fold would SUM it (self-review r18).
+    intercept[IllegalArgumentException] { create(
+      "SELECT g, id, sum(id) AS s FROM __BASE__ GROUP BY g, id") }
     intercept[IllegalArgumentException] { create(
       "SELECT g, sum(id) + 1 AS s1 FROM __BASE__ GROUP BY g") }
     // The mergeable surface still passes: sum/count, WHERE below the
@@ -1558,6 +1562,16 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.renameCommit(t,
         VersionedTable.latestVersion(t).get + 1, "id", "doc")
     }
+    // …and the documented remedy actually works: evolve the layout
+    // away, compact, and the rename is legal (retired generations
+    // forfeit only their conservative pruning, never correctness).
+    VersionedTable.evolvePartitionLayout(spark, t, Nil)
+    VersionedTable.compactCommit(spark, t, files = 1)
+    VersionedTable.renameCommit(t,
+      VersionedTable.latestVersion(t).get + 1, "id", "doc")
+    VersionedTable.compactCommit(spark, t, files = 1)
+    assert(spark.read.format("graft-table").load(t.toString)
+      .columns.contains("doc"))
   }
 
   test("SQL MV refresh subtracts DV deletes; emptied groups vanish") {
