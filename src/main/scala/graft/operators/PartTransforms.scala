@@ -28,6 +28,8 @@ import org.apache.spark.sql.{Column, DataFrame}
   *                       rendering).
   *  - `months(col)`    — same contract at month grain:
   *                       `col_month=YYYY-MM`.
+  *  - `years(col)`     — same contract at year grain:
+  *                       `col_year=YYYY`.
   *  - `bucket(n, col)` — `col` is BIGINT/INT/STRING; segment
   *                       `col_bucket=i`, i = murmur3(canonical string
   *                       rendering) mod n, seed 42. Writer and reader
@@ -41,12 +43,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   * the path only) — every rewrite remains information-complete.
   */
 sealed trait PartTransform extends Serializable {
-  /** True for the TIME-GRAIN transforms (days/hours/months): all
-    * derive from a BIGINT epoch-micros column, all prune range
-    * predicates through [[TimePart.microsRange]], none reports a
-    * storage-partitioned-join key (no exposed V2 date function — a
-    * wrong report is worse than a shuffle), and writes order by the
-    * raw column (contiguous time ranges per task). */
+  /** True for the TIME-GRAIN transforms (years/months/days/hours):
+    * all derive from a BIGINT epoch-micros column, all prune range
+    * predicates through [[TimePart.microsRange]], all report a
+    * storage-partitioned-join key through the catalog's V2 grain
+    * functions (r19 — `graft.sources.GraftTimeGrainFunction`), and
+    * writes order by the raw column (contiguous time ranges per
+    * task). */
   def isTime: Boolean = false
   /** The payload column the segment derives from (for identity: the
     * path-borne column itself). */
@@ -137,6 +140,17 @@ final case class MonthsPart(rawCol: String) extends TimePart {
     guarded(s"SUBSTRING($dayStringExpr, 1, 7)")
 }
 
+final case class YearsPart(rawCol: String) extends TimePart {
+  override def derivedName: String = rawCol + "_year"
+  override def spec: String = s"years($rawCol)"
+  override def segmentValue(v: Any): String =
+    PartTransform.yearOfMicros(micros(v))
+  override def microsRange(segVal: String): (Long, Long) =
+    PartTransform.microsRangeOfYear(segVal)
+  override def column(df: DataFrame): Column =
+    guarded(s"SUBSTRING($dayStringExpr, 1, 4)")
+}
+
 final case class BucketPart(n: Int, rawCol: String) extends PartTransform {
   require(n > 0, s"bucket($n, $rawCol): bucket count must be positive")
   override def derivedName: String = rawCol + "_bucket"
@@ -198,6 +212,19 @@ object PartTransform {
       ym.atEndOfMonth.toEpochDay * MicrosPerDay + MicrosPerDay - 1)
   }
 
+  /** UTC year of an epoch-micros instant, 'YYYY' (zero-padded to four
+    * digits like LocalDate.toString renders it). */
+  def yearOfMicros(us: Long): String =
+    java.time.LocalDate.ofEpochDay(Math.floorDiv(us, MicrosPerDay))
+      .toString.substring(0, 4)
+
+  def microsRangeOfYear(seg: String): (Long, Long) = {
+    val y = seg.toInt
+    (java.time.LocalDate.of(y, 1, 1).toEpochDay * MicrosPerDay,
+      java.time.LocalDate.of(y, 12, 31).toEpochDay * MicrosPerDay +
+        MicrosPerDay - 1)
+  }
+
   /** Canonical string rendering shared by writer (JVM row values) and
     * reader (pushed-filter literals): numbers render as their long
     * form, so a probe arriving as Integer matches a value written as
@@ -216,20 +243,23 @@ object PartTransform {
   private val Days = """days\(\s*([^()\s,]+)\s*\)""".r
   private val Hours = """hours\(\s*([^()\s,]+)\s*\)""".r
   private val Months = """months\(\s*([^()\s,]+)\s*\)""".r
+  private val Years = """years\(\s*([^()\s,]+)\s*\)""".r
   private val Bucket = """bucket\(\s*(\d+)\s*,\s*([^()\s,]+)\s*\)""".r
 
   /** Parse one spec entry. Unknown transform shapes refuse LOUDLY —
-    * `years(ts)` must never be stored as an identity column named
-    * "years(ts)". */
+    * `truncate(10, s)` must never be stored as an identity column
+    * named "truncate(10, s)". */
   def parse(s: String): PartTransform = s.trim match {
     case Days(c) => DaysPart(c)
     case Hours(c) => HoursPart(c)
     case Months(c) => MonthsPart(c)
+    case Years(c) => YearsPart(c)
     case Bucket(n, c) => BucketPart(n.toInt, c)
     case t if t.contains('(') || t.contains(')') =>
       throw new IllegalArgumentException(
         s"unsupported partition transform '$t' — supported: identity " +
-          "column, days(col), hours(col), months(col), bucket(n, col)")
+          "column, years(col), months(col), days(col), hours(col), " +
+          "bucket(n, col)")
     case t => IdentityPart(t)
   }
 

@@ -488,7 +488,7 @@ object VersionedTable {
     * is theirs). */
   def partSpecLine(gen: Long, specs: Seq[String]): String = {
     require(gen > 0, s"partSpecLine: generation must be positive, got $gen")
-    val parsed = specs.map(PartTransform.parse) // grammar gate (years() is loud)
+    val parsed = specs.map(PartTransform.parse) // grammar gate (truncate() is loud)
     val derived = parsed.map(_.derivedName)
     require(derived.distinct == derived,
       s"partSpecLine: two specs derive the same segment name " +
@@ -615,9 +615,10 @@ object VersionedTable {
                             newCols: Seq[String],
                             checkpointEvery: Int = 8): Long = {
     refuseBranched(table, "evolvePartitionLayout")
-    // TRANSFORM specs (r18): each entry is an identity column,
-    // `days(col)` or `bucket(n, col)` — parse refuses unknown shapes
-    // loudly (a `years(ts)` must never be stored as a column name).
+    // TRANSFORM specs (r18): each entry is an identity column, a time
+    // grain (`years/months/days/hours(col)`) or `bucket(n, col)` —
+    // parse refuses unknown shapes loudly (a `truncate(4, s)` must
+    // never be stored as a column name).
     val specs = newCols.map(PartTransform.parse)
     require(specs.map(_.derivedName).distinct.size == specs.size &&
         newCols.distinct == newCols,

@@ -2360,6 +2360,86 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // STORAGE-PARTITIONED JOIN OVER A TIME TRANSFORM (r19) — the
+    // single most common co-location in an event pipeline: two tables
+    // day-partitioned by days(ts_us) (hidden partitioning — no layout
+    // column in any query) joined on the RAW timestamp column. Equal
+    // raw values share a day by construction, so the connector's
+    // KeyGroupedPartitioning(days(ts_us)) — resolved through the
+    // catalog's V2 `days` grain function, the same JVM rendering the
+    // writer laid files out by — lets Spark plan the join with ZERO
+    // Exchange. r18 deliberately bailed here ("no exposed V2 date
+    // function"); r19 exposes the function and retires the bail. Same
+    // three witnesses as pipe_table_spj: (1) zero-Exchange
+    // SortMergeJoin; (2) task grouping is per DAY, not per file (the
+    // fact side holds several files per day); (3) the negative
+    // witness — opt-in off shuffles both sides. Oracle replays the
+    // join at full row fidelity.
+    "pipe_table_spj_days" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vspjd_")
+      try {
+        val ev = Tables.events(s, dir)
+          .selectExpr("event_id", s"${QueryModule.TsUs} AS ts_us")
+        def mk(name: String, rows: org.apache.spark.sql.DataFrame,
+               files: Int): java.nio.file.Path = {
+          val t = tmp.resolve(name)
+          VersionedTable.commit(s, t, 0L, rows)
+          VersionedTable.evolvePartitionLayout(s, t, Seq("days(ts_us)"))
+          VersionedTable.compactCommit(s, t, files = files)
+          t
+        }
+        val factT = mk("fact", ev.where($"event_id" % 3 === 0), 2)
+        mk("dim", ev.groupBy($"ts_us").agg(count(lit(1)).as("n_at_ts")), 1)
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.conf.set("spark.sql.adaptive.enabled", "false")
+        s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s2.conf.set(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        s2.conf.set("spark.graft.planning.preserveDataGrouping", "true")
+        def joined() = s2.sql(
+          "SELECT f.event_id, f.ts_us, d.n_at_ts " +
+            "FROM graftcat.fact f JOIN graftcat.dim d " +
+            "ON f.ts_us = d.ts_us")
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        def shuffles(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.executedPlan.collect {
+            case e: ShuffleExchangeExec => e }.size
+        val out = joined()
+        require(shuffles(out) == 0 &&
+            out.queryExecution.executedPlan.collect {
+              case j: SortMergeJoinExec => j }.nonEmpty,
+          "pipe_table_spj_days: the day-partitioned raw-column join " +
+            "must plan a SortMergeJoin with ZERO exchanges from the " +
+            "reported KeyGroupedPartitioning(days(ts_us))")
+        // Grouping witness: one task per DAY, not per file.
+        val factFiles = VersionedTable.statsManifest(factT, 2L).map(_._1)
+        val nDays = factFiles.flatMap(_.split('/').collectFirst {
+          case seg if seg.startsWith("ts_us_day=") => seg }).distinct.size
+        require(out.rdd.getNumPartitions == nDays &&
+            factFiles.size > nDays,
+          s"pipe_table_spj_days: expected $nDays day-grouped tasks " +
+            s"over ${factFiles.size} fact files, got " +
+            s"${out.rdd.getNumPartitions}")
+        // Negative witness: without the opt-in both sides shuffle.
+        s2.conf.set("spark.graft.planning.preserveDataGrouping", "false")
+        require(shuffles(joined()) == 2,
+          "pipe_table_spj_days: without the preserve-data-grouping " +
+            "opt-in the join must fall back to shuffling both sides")
+        s2.conf.set("spark.graft.planning.preserveDataGrouping", "true")
+        val sorted = out.orderBy($"event_id")
+        val rows = sorted.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*),
+          sorted.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // PER-FILE BLOOM FILTERS IN THE MANIFEST (r13) — the point-lookup
     // skipping index zonemaps cannot be: the table is laid out by
     // doc_id RESIDUE CLASS (mod 8 — a round-robin-like layout with
@@ -3860,8 +3940,8 @@ object DedupQueries extends QueryModule {
     // derived column, (b) prunes a raw ts_us range to the matching
     // day's files plus conservatively-admitted old-spec files, (c)
     // still prunes event_type probes against the OLD generation —
-    // mixed-generation pruning both directions. `years(…)` refuses at
-    // declaration. CALL compact then un-rags the whole snapshot under
+    // mixed-generation pruning both directions. `truncate(…)` refuses
+    // at declaration. CALL compact then un-rags the whole snapshot under
     // the day spec (contents witnessed identical) and the same raw
     // predicate prunes the entire table. Oracle replays the day slice.
     "pipe_partition_hidden" -> ((s, dir) => {
@@ -3880,11 +3960,11 @@ object DedupQueries extends QueryModule {
         s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
         // Unsupported transforms refuse at declaration — never stored.
         val refused = try {
-          s2.sql("CALL graftcat.evolve_layout('ev', 'years(ts_us)')")
+          s2.sql("CALL graftcat.evolve_layout('ev', 'truncate(4,ts_us)')")
             .collect(); false
         } catch { case _: Exception => true }
         require(refused,
-          "pipe_partition_hidden: years(…) must refuse at declaration")
+          "pipe_partition_hidden: truncate(…) must refuse at declaration")
         // The evolution: ONE metadata commit, zero data files.
         s2.sql("CALL graftcat.evolve_layout('ev', 'days(ts_us)')")
         val evolveAdds = VersionedTable.addedLines(table, 1L)
@@ -5388,6 +5468,17 @@ object DedupQueries extends QueryModule {
         |      FROM documents GROUP BY lang) x ON d.lang = x.lang
         |WHERE d.doc_id < 80
         |ORDER BY d.doc_id""".stripMargin,
+
+    // The day-partitioned raw-timestamp join replayed relationally:
+    // every third event joined to the per-instant event count.
+    "pipe_table_spj_days" ->
+      """SELECT f.event_id, epoch_us(f.ts) AS ts_us, x.n_at_ts
+        |FROM events f
+        |JOIN (SELECT epoch_us(ts) AS ts_us,
+        |             CAST(count(*) AS BIGINT) AS n_at_ts
+        |      FROM events GROUP BY 1) x ON epoch_us(f.ts) = x.ts_us
+        |WHERE f.event_id % 3 = 0
+        |ORDER BY f.event_id""".stripMargin,
 
     // The three bloom-pruned point lookups, replayed plainly.
     "pipe_point_skip" ->

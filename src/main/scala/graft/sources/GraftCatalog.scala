@@ -50,18 +50,23 @@ import graft.operators.VersionedTable
 class GraftCatalog extends TableCatalog with ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
-  /** V2 FUNCTIONS (r18): `bucket` — resolved by Spark's SPJ machinery
-    * when a scan reports a bucket-transform KeyGroupedPartitioning
-    * (see [[GraftBucketFunction]]). */
+  /** V2 FUNCTIONS (r18; time grains r19): `bucket` and
+    * `years`/`months`/`days`/`hours` — resolved by Spark's SPJ
+    * machinery when a scan reports a transform KeyGroupedPartitioning
+    * (see [[GraftBucketFunction]] / [[GraftTimeGrainFunction]]). */
   override def listFunctions(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array(Identifier.of(Array.empty, "bucket"))
+    ("bucket" +: GraftTimeGrainFunction.all.keys.toArray.sorted)
+      .map(Identifier.of(Array.empty, _)).toArray
   }
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
     if (ident.namespace.isEmpty && ident.name == "bucket")
       GraftBucketFunction
+    else if (ident.namespace.isEmpty &&
+        GraftTimeGrainFunction.all.contains(ident.name))
+      GraftTimeGrainFunction.all(ident.name)
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
   }
@@ -630,7 +635,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               "be STRING — partition values ride the path and read " +
               "back as strings (or use days()/bucket())")
           c
-        case grain @ ("days" | "hours" | "months") =>
+        case grain @ ("years" | "months" | "days" | "hours") =>
           val c = singleRef(t)
           require(fieldOf(c).dataType ==
               org.apache.spark.sql.types.LongType,
@@ -655,8 +660,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           s"bucket($n,$c)"
         case other => throw new UnsupportedOperationException(
           s"graft catalog '$catalogName': unsupported partition " +
-            s"transform '$other' — identity columns, days/hours/" +
-            "months(col), bucket(n, col)")
+            s"transform '$other' — identity columns, years/months/" +
+            "days/hours(col), bucket(n, col)")
       }
     }
     require(partSpecSeq.distinct == partSpecSeq,

@@ -22,6 +22,56 @@ import org.apache.spark.sql.types._
   * and bucketing its STRING rendering hash identically here, but two
   * differently-typed layouts must still never claim compatibility.
   */
+/** The TIME-GRAIN V2 functions (r19) — `years`/`months`/`days`/`hours`
+  * over a BIGINT epoch-micros column, each returning the STRING
+  * segment rendering the writer lays files out by
+  * ([[graft.operators.PartTransform.dayOfMicros]] and siblings — one
+  * JVM function for writer, pruning, and planner, the bucket
+  * discipline). Registered so Spark's SPJ machinery can resolve a
+  * scan-reported `KeyGroupedPartitioning(days(ts))`: two
+  * day-partitioned facts joined on the raw column then plan with ZERO
+  * Exchange (equal raw values share a day by construction), and with
+  * `v2.bucketing.shuffle.enabled` Spark can evaluate the grain to
+  * shuffle ONE non-partitioned side to match. This is the single most
+  * common co-location in an event pipeline — the r18 conservative
+  * bail ("no exposed V2 date function") is retired by exposing one. */
+final class GraftTimeGrainFunction(grain: String,
+    render: Long => String) extends UnboundFunction {
+
+  override def name(): String = grain
+
+  override def description(): String =
+    s"$grain(col): UTC $grain segment of a BIGINT epoch-micros column " +
+      "— the graft-table hidden-partitioning grain (storage-" +
+      "partitioned joins)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 &&
+        inputType.fields(0).dataType == LongType,
+      s"$grain: expected one BIGINT epoch-micros column, got $inputType")
+    new ScalarFunction[org.apache.spark.unsafe.types.UTF8String] {
+      override def inputTypes(): Array[DataType] = Array(LongType)
+      override def resultType(): DataType = StringType
+      override def name(): String = grain
+      override def canonicalName(): String = s"graft.$grain"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow)
+          : org.apache.spark.unsafe.types.UTF8String =
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(render(input.getLong(0)))
+    }
+  }
+}
+
+object GraftTimeGrainFunction {
+  import graft.operators.PartTransform
+  val all: Map[String, GraftTimeGrainFunction] = Map(
+    "years" -> new GraftTimeGrainFunction("years", PartTransform.yearOfMicros),
+    "months" -> new GraftTimeGrainFunction("months", PartTransform.monthOfMicros),
+    "days" -> new GraftTimeGrainFunction("days", PartTransform.dayOfMicros),
+    "hours" -> new GraftTimeGrainFunction("hours", PartTransform.hourOfMicros))
+}
+
 object GraftBucketFunction extends UnboundFunction {
 
   override def name(): String = "bucket"

@@ -837,18 +837,19 @@ private[sources] class GraftScan(path: String, version: Long,
     if (!optIn) return None
     val table = java.nio.file.Paths.get(path)
     // The key set is the physical clustering every live file exhibits:
-    // the live WRITE spec on an evolved table (identity and/or bucket
-    // transforms — bucket keys resolve through the catalog's V2
-    // `bucket` function, r18), the identity layout otherwise. Day
-    // transforms report nothing: their key is a derived date with no
-    // exposed V2 function, and a wrong report is worse than a shuffle.
+    // the live WRITE spec on an evolved table (identity, bucket and —
+    // r19 — time-grain transforms; transform keys resolve through the
+    // catalog's V2 functions), the identity layout otherwise. Time
+    // grains report `days(ts_us)` etc. exactly like Iceberg's
+    // day-partitioned layouts: rows equal on the raw column share a
+    // segment by construction, so a raw-column equi-join co-locates.
     val specs: Seq[graft.operators.PartTransform] =
       if (VersionedTable.partitionSpecs(table, version).nonEmpty)
         VersionedTable.writePartitionLayout(table, version)
           .map(graft.operators.PartTransform.parse)
       else VersionedTable.partitionLayout(table, version)
         .map(graft.operators.IdentityPart(_))
-    if (specs.isEmpty || specs.exists(_.isTime)) return None
+    if (specs.isEmpty) return None
     val live = livePrunedFiles()
     if (live.isEmpty) return None
     val names = specs.map(_.derivedName)
@@ -873,6 +874,18 @@ private[sources] class GraftScan(path: String, version: Long,
           case graft.operators.BucketPart(n, c) =>
             org.apache.spark.sql.connector.expressions.Expressions
               .bucket(n, c): Expression
+          case graft.operators.YearsPart(c) =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .years(c): Expression
+          case graft.operators.MonthsPart(c) =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .months(c): Expression
+          case graft.operators.DaysPart(c) =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .days(c): Expression
+          case graft.operators.HoursPart(c) =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .hours(c): Expression
           case t =>
             org.apache.spark.sql.connector.expressions.Expressions
               .identity(t.rawCol): Expression

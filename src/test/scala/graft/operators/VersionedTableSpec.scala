@@ -1482,7 +1482,8 @@ class VersionedTableSpec extends SparkSpec {
     // Declaration-time refusals: unknown transforms, wrong raw types,
     // zero buckets — never stored, always loud.
     intercept[IllegalArgumentException] {
-      VersionedTable.evolvePartitionLayout(spark, t, Seq("years(ts_us)"))
+      VersionedTable.evolvePartitionLayout(spark, t,
+        Seq("truncate(4,ts_us)"))
     }
     intercept[IllegalArgumentException] {
       VersionedTable.evolvePartitionLayout(spark, t, Seq("days(kind)"))
@@ -1617,7 +1618,7 @@ class VersionedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("count(*)"))
   }
 
-  test("hours()/months() transforms: segments, pruning, grain ranges") {
+  test("hours()/months()/years() transforms: segments, pruning, grain ranges") {
     import spark.implicits._
     val day0 = 19723L // 2024-01-01
     def us(d: Long, h: Long) = d * 86400000000L + h * 3600000000L
@@ -1666,5 +1667,26 @@ class VersionedTableSpec extends SparkSpec {
     assert(mFiles.exists(_.contains("ts_us_month=2024-01")) &&
       mFiles.exists(_.contains("ts_us_month=2024-02")),
       s"expected month segments, got $mFiles")
+    // Year grain (r19): rendering + range pin the leap-year end, then
+    // the same evolve route lands ts_us_year segments and a raw-range
+    // predicate prunes whole years.
+    assert(graft.operators.PartTransform.yearOfMicros(us(day0 + 40L, 5L))
+      == "2024")
+    assert(graft.operators.PartTransform.microsRangeOfYear("2024")
+      == (us(day0, 0L), us(day0 + 366L, 0L) - 1)) // 2024 is a leap year
+    val t3 = freshTable()
+    VersionedTable.commit(spark, t3, 0L,
+      Seq((1L, us(day0, 0L)), (2L, us(day0 + 400L, 0L)))
+        .toDF("id", "ts_us"))
+    VersionedTable.evolvePartitionLayout(spark, t3, Seq("years(ts_us)"))
+    VersionedTable.compactCommit(spark, t3, files = 1)
+    val yFiles = VersionedTable.statsManifest(t3, 2L).map(_._1)
+    assert(yFiles.exists(_.contains("ts_us_year=2024")) &&
+      yFiles.exists(_.contains("ts_us_year=2025")),
+      s"expected year segments, got $yFiles")
+    val yScan = spark.read.format("graft-table").load(t3.toString)
+    val yPruned = yScan.where($"ts_us" >= us(day0 + 370L, 0L))
+    assert(yPruned.rdd.getNumPartitions == 1 &&
+      yPruned.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 }

@@ -761,9 +761,9 @@ class GraftCatalogSpec extends SparkSpec {
         .exists(_.contains("partition-layout"))))
     assert(s2.sql("SELECT count(*) AS n FROM g.m").head().getLong(0) == 1,
       "the refused DELETE must not commit anything")
-    // Refusals: non-string identity partition column, and an
-    // UNSUPPORTED transform (bucket/days are features since r18 — the
-    // transform-DDL test below — but years() stays a loud refusal).
+    // Refusals: non-string identity partition column, and a TIME
+    // transform on a non-BIGINT raw column (bucket/days are features
+    // since r18, years since r19 — but only over epoch-micros BIGINTs).
     intercept[Exception] {
       s2.sql("CREATE TABLE g.bad1 (id BIGINT) PARTITIONED BY (id)")
     }
@@ -1070,6 +1070,111 @@ class GraftCatalogSpec extends SparkSpec {
       "bucket(8) vs bucket(16) must fall back to shuffle")
   }
 
+  test("days-transform storage-partitioned join: zero shuffles via V2 grain function") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val root = staged()
+    val s2 = session(root)
+    val day0Us = 1704067200000000L // 2024-01-01T00:00Z in epoch micros
+    def us(d: Long) = day0Us + d * 86400000000L
+    def mk(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      val t = root.resolve(name)
+      VersionedTable.commit(spark, t, 0L, rows)
+      VersionedTable.evolvePartitionLayout(spark, t, Seq("days(ts_us)"))
+      VersionedTable.compactCommit(spark, t, files = 2)
+    }
+    // Equal ts_us values share a day by construction — the raw-column
+    // equi-join is co-located under days(ts_us) on both sides.
+    mk("dfact", (0L until 120L).map(i => (us(i % 4) + i % 3, i))
+      .toDF("ts_us", "v"))
+    mk("ddim", (0L until 4L).flatMap(d => (0L until 3L).map(k =>
+      (us(d) + k, d * 10 + k))).toDF("ts_us", "w"))
+    def shuffles(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }.size
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    def joined() = s2.sql(
+      "SELECT f.ts_us, f.v, d.w FROM g.dfact f JOIN g.ddim d " +
+        "ON f.ts_us = d.ts_us")
+    // Without the opt-in: both sides shuffle (the r18 behavior).
+    assert(shuffles(joined()) == 2)
+    // With it: days(ts_us) resolves through the catalog's V2 `days`
+    // grain function and the join plans with ZERO exchanges.
+    s2.conf.set("spark.graft.planning.preserveDataGrouping", "true")
+    val spj = joined()
+    assert(shuffles(spj) == 0,
+      s"days SPJ must plan no Exchange:\n${spj.queryExecution.executedPlan}")
+    val expected = (0L until 120L).map(i => (us(i % 4) + i % 3, i))
+      .flatMap { case (ts, v) =>
+        val d = (ts - day0Us) / 86400000000L
+        val k = ts % 3
+        Seq((ts, v, d * 10 + k))
+      }.sorted
+    assert(spj.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).sorted.toSeq == expected)
+    // Task grouping is per DAY, not per file.
+    assert(spj.rdd.getNumPartitions == 4,
+      s"expected 4 day-grouped tasks, got ${spj.rdd.getNumPartitions}")
+    // A MIXED-grain pair (days vs months) must never claim
+    // compatibility — canonical names differ, Spark falls back.
+    val t3 = root.resolve("ddim_m")
+    VersionedTable.commit(spark, t3, 0L,
+      (0L until 4L).flatMap(d => (0L until 3L).map(k =>
+        (us(d) + k, d * 10 + k))).toDF("ts_us", "w"))
+    VersionedTable.evolvePartitionLayout(spark, t3, Seq("months(ts_us)"))
+    VersionedTable.compactCommit(spark, t3, files = 2)
+    assert(shuffles(s2.sql("SELECT f.ts_us, f.v, d.w FROM g.dfact f " +
+      "JOIN g.ddim_m d ON f.ts_us = d.ts_us")) > 0,
+      "days vs months grains must fall back to shuffle")
+  }
+
+  test("one-side-shuffle SPJ: a plain frame hashes through the V2 bucket function") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val root = staged()
+    val s2 = session(root)
+    val t = root.resolve("sfact")
+    VersionedTable.commit(spark, t, 0L,
+      (0L until 200L).map(i => (i, i * 3)).toDF("id", "v"))
+    VersionedTable.evolvePartitionLayout(spark, t, Seq("bucket(8,id)"))
+    VersionedTable.compactCommit(spark, t, files = 2)
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.graft.planning.preserveDataGrouping", "true")
+    // The other side is a PLAIN in-memory frame — no storage layout.
+    // (Temp views are session-scoped: register on s2, not spark.)
+    s2.createDataFrame((0L until 200L by 2).map(i => (i, i * 7)))
+      .toDF("id", "w").createOrReplaceTempView("plain_dim")
+    def joined() = s2.sql(
+      "SELECT f.id, f.v, d.w FROM g.sfact f JOIN plain_dim d " +
+        "ON f.id = d.id")
+    def shuffles(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }.size
+    // Without shuffle-one-side: the KGP side cannot be matched, both
+    // sides shuffle (2 exchanges).
+    s2.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "false")
+    assert(shuffles(joined()) == 2)
+    // With it: Spark keeps the graft side in place and hashes ONLY the
+    // plain side through the catalog's V2 bucket function — exactly
+    // one exchange, and `GraftBucketFunction.produceResult` is the
+    // hash that routes every probe row (the planner evaluates the
+    // grouping function, proving the registered function actually
+    // plans, not just documents).
+    s2.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    val oneSide = joined()
+    assert(shuffles(oneSide) == 1,
+      s"one-side-shuffle SPJ must plan exactly one Exchange:\n" +
+        s"${oneSide.queryExecution.executedPlan}")
+    assert(oneSide.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).sorted.toSeq ==
+      (0L until 200L by 2).map(i => (i, i * 3, i * 7)),
+      "one-side-shuffle SPJ must produce the exact join result — the " +
+        "plain side's rows must hash to the same buckets the writer " +
+        "laid files out by")
+  }
+
   test("CREATE TABLE PARTITIONED BY (days(ts)) — transform DDL bootstrap") {
     val root = staged()
     val s2 = session(root)
@@ -1099,8 +1204,8 @@ class GraftCatalogSpec extends SparkSpec {
         "PARTITIONED BY (days(s))")
     }
     intercept[Exception] {
-      s2.sql("CREATE TABLE g.evbad2 (id BIGINT, ts BIGINT) " +
-        "PARTITIONED BY (years(ts))")
+      s2.sql("CREATE TABLE g.evbad2 (id BIGINT, s STRING) " +
+        "PARTITIONED BY (truncate(4, s))")
     }
     // bucket DDL bootstraps too.
     s2.sql("""CREATE TABLE g.evb (id BIGINT, v BIGINT)
