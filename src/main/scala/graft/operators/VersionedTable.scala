@@ -405,6 +405,17 @@ object VersionedTable {
     * count). Declared once at CREATE, carried like CHECK lines. */
   private val MvSqlPrefix = "MVSQL\t"
 
+  /** `MVAVG\t<served name>\t<sum col>\t<count col>` (r19): one line
+    * per `avg(expr) AS name` the MV's CREATE statement declared. The
+    * declaration REWRITES the avg into maintained sum+count partial
+    * columns (avg itself does not fold across deltas — old_avg +
+    * delta_avg is not the ratio; the partials fold by the ordinary
+    * SUM merge), and this line records how [[readMaterializedSql]]
+    * recombines them at serve time: `name = CAST(sum AS
+    * DOUBLE)/count`, NULL where the count is 0. Carried by every
+    * refresh like the MVSQL definition. */
+  private val MvAvgPrefix = "MVAVG\t"
+
   /** `KIND\t<verb>` (r14): a PER-COMMIT annotation naming the commit's
     * intent — `update` (a stats-pruned copy-on-write rewrite) or
     * `compact` (a content-preserving reorganization, the Delta
@@ -433,7 +444,8 @@ object VersionedTable {
       line.startsWith(RowsPrefix) || line.startsWith(CheckPrefix) ||
       line.startsWith(KindPrefix) || line.startsWith(PartColPrefix) ||
       line.startsWith(PartSpecPrefix) || line.startsWith(MvOfPrefix) ||
-      line.startsWith(MvSqlPrefix) || line.startsWith(NdvPrefix)
+      line.startsWith(MvSqlPrefix) || line.startsWith(NdvPrefix) ||
+      line.startsWith(MvAvgPrefix)
 
   /** Is `line` a metadata line (never a data-file line)? The change
     * feed's skip set: meta lines carry no rows to serve. */
@@ -857,7 +869,8 @@ object VersionedTable {
     // (if declared) restates like every table-wide contract: a refresh
     // must not be the commit that forgets what the MV computes.
     commit(s, mv, mvV + 1, merged,
-      carried = manifest(mv, mvV).filter(_.startsWith(MvSqlPrefix)) ++
+      carried = manifest(mv, mvV).filter(l =>
+        l.startsWith(MvSqlPrefix) || l.startsWith(MvAvgPrefix)) ++
         Seq(s"$MvOfPrefix$bv", s"${KindPrefix}update"))
     (mvV + 1, deltaFiles.size, baseTotal)
   }
@@ -963,10 +976,41 @@ object VersionedTable {
     val bv = latestVersion(base).getOrElse(
       throw new IllegalArgumentException(
         s"createMaterializedSql: no committed version at $base"))
-    val out = runMvSql(s, sql, snapshotWithPartitions(s, base, bv))
-    groupCols.foreach(c => require(out.columns.contains(c),
+    val out0 = runMvSql(s, sql, snapshotWithPartitions(s, base, bv))
+    groupCols.foreach(c => require(out0.columns.contains(c),
       s"createMaterializedSql: group column '$c' is not an output " +
-        s"column of the statement (${out.columns.mkString(", ")})"))
+        s"column of the statement (${out0.columns.mkString(", ")})"))
+    // AVG REWRITE (r19): avg(x) is mechanically derivable — the
+    // DECLARATION rewrites each bare `avg(expr) AS name` into
+    // maintained `sum(expr)/count(expr)` partial columns (which fold
+    // by the ordinary SUM merge across appends AND DV-delete
+    // negation), records the recombination as an MVAVG line, and
+    // [[readMaterializedSql]] folds the ratio at serve time. DISTINCT
+    // and FILTER'd avgs stay un-rewritten and fall through to the
+    // mergeability gate's refusal below.
+    val avgNames: Seq[String] = locally {
+      import org.apache.spark.sql.catalyst.expressions.Alias
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average}
+      out0.queryExecution.analyzed.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.flatMap(_.aggregateExpressions.collect {
+        case al @ Alias(ae: AggregateExpression, _)
+            if ae.aggregateFunction.isInstanceOf[Average] &&
+              !ae.isDistinct && ae.filter.isEmpty => al.name
+      })
+    }
+    val (storedSql, avgFolds) =
+      if (avgNames.isEmpty) (sql, Nil)
+      else rewriteAvgSql(sql, avgNames.distinct)
+    avgFolds.foreach { case (n, sc, cc) =>
+      Seq(sc, cc).foreach(p => require(!out0.columns.contains(p),
+        s"createMaterializedSql: avg rewrite partial column '$p' " +
+          s"(for avg output '$n') collides with an existing output " +
+          "column — rename one"))
+    }
+    val out =
+      if (avgNames.isEmpty) out0
+      else runMvSql(s, storedSql, snapshotWithPartitions(s, base, bv))
     require(out.columns.length > groupCols.length,
       "createMaterializedSql: the statement must produce at least one " +
         "aggregate column beyond the group columns")
@@ -1057,8 +1101,125 @@ object VersionedTable {
       }
     }
     commit(s, mv, 0L, out, carried = Seq(s"$MvOfPrefix$bv",
-      s"$MvSqlPrefix${groupCols.mkString(",")}\t$sql"))
+      s"$MvSqlPrefix${groupCols.mkString(",")}\t$storedSql") ++
+      avgFolds.map { case (n, sc, cc) => s"$MvAvgPrefix$n\t$sc\t$cc" })
     0L
+  }
+
+  /** Textual select-list rewrite backing the avg declaration: each
+    * `avg(expr) AS name` item (for `names`, located in the statement's
+    * TOP-LEVEL select list, paren- and quote-aware) becomes
+    * `sum(expr) AS name__asum, count(expr) AS name__acnt`. An avg the
+    * ANALYZER saw but this parse cannot locate refuses loudly — the
+    * rewrite must be exact, never a guess. Returns the rewritten
+    * statement and the (name, sumCol, countCol) fold triples. */
+  private def rewriteAvgSql(sql: String, names: Seq[String])
+      : (String, Seq[(String, String, String)]) = {
+    val lower = sql.toLowerCase(java.util.Locale.ROOT)
+    def isWordAt(i: Int, w: String): Boolean =
+      lower.startsWith(w, i) &&
+        (i == 0 || { val p = lower.charAt(i - 1)
+          !p.isLetterOrDigit && p != '_' }) &&
+        (i + w.length >= sql.length || { val n = lower.charAt(i + w.length)
+          !n.isLetterOrDigit && n != '_' })
+    var depth = 0
+    var inStr = false
+    var selEnd = -1 // index just past the top-level SELECT keyword
+    var fromAt = -1 // index of the matching top-level FROM keyword
+    var i = 0
+    while (i < sql.length && fromAt < 0) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 =>
+          if (selEnd < 0 && isWordAt(i, "select")) selEnd = i + 6
+          else if (selEnd >= 0 && isWordAt(i, "from")) fromAt = i
+        case _ => ()
+      }
+      i += 1
+    }
+    require(selEnd >= 0 && fromAt > selEnd,
+      "createMaterializedSql: could not locate the top-level " +
+        "SELECT … FROM span to rewrite avg() — write the sum/count " +
+        "partials explicitly")
+    // Paren- and quote-aware comma split of the select list.
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    locally {
+      val cur = new StringBuilder
+      var d = 0
+      var q = false
+      sql.substring(selEnd, fromAt).foreach {
+        case c if q => cur += c; if (c == '\'') q = false
+        case '\'' => cur += '\''; q = true
+        case '(' => d += 1; cur += '('
+        case ')' => d -= 1; cur += ')'
+        case ',' if d == 0 => items += cur.result(); cur.clear()
+        case c => cur += c
+      }
+      items += cur.result()
+    }
+    val AvgItem =
+      """(?is)^\s*avg\s*\((.+)\)\s+as\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\s*$""".r
+    def alias(a: String): String =
+      if (a.startsWith("`")) a.substring(1, a.length - 1) else a
+    val rewritten = items.map {
+      case it @ AvgItem(expr, a) if names.contains(alias(a)) =>
+        val n = alias(a)
+        s" sum($expr) AS ${n}__asum, count($expr) AS ${n}__acnt "
+      case it => it
+    }
+    names.foreach { n =>
+      val hits = items.count {
+        case AvgItem(_, a) => alias(a) == n
+        case _ => false
+      }
+      require(hits == 1,
+        s"createMaterializedSql: avg output '$n' must appear exactly " +
+          s"once as a top-level `avg(expr) AS $n` select item (found " +
+          s"$hits) — write the sum/count partials explicitly")
+    }
+    (sql.substring(0, selEnd) + rewritten.mkString(",") +
+      sql.substring(fromAt),
+      names.map(n => (n, s"${n}__asum", s"${n}__acnt")))
+  }
+
+  /** The avg fold triples an MV's declaration recorded: (served name,
+    * sum partial column, count partial column). */
+  def mvAvgFolds(mv: Path, version: Long): Seq[(String, String, String)] =
+    manifest(mv, version).collect {
+      case l if l.startsWith(MvAvgPrefix) =>
+        val Array(n, sc, cc) = l.substring(MvAvgPrefix.length).split('\t')
+        (n, sc, cc)
+    }
+
+  /** Serve a SQL-defined MV in its DECLARED shape: every avg the
+    * CREATE rewrote into sum/count partials recombines here
+    * (`CAST(sum AS DOUBLE)/count`, NULL where the count is 0 — the
+    * all-NULL-input group), the partial columns drop, and every other
+    * column serves as stored. MVs without avg serve identically to
+    * [[read]]. */
+  def readMaterializedSql(s: SparkSession, mv: Path,
+                          asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    val v = asOf.orElse(latestVersion(mv)).getOrElse(
+      throw new IllegalArgumentException(
+        s"readMaterializedSql: no committed version at $mv"))
+    val folds = mvAvgFolds(mv, v)
+    val raw = read(s, mv, Some(v))
+    if (folds.isEmpty) return raw
+    val bySum = folds.map(f => (f._2, f)).toMap
+    val cntCols = folds.map(_._3).toSet
+    raw.select(raw.columns.toIndexedSeq.flatMap {
+      case c if bySum.contains(c) =>
+        val (name, sc, cc) = bySum(c)
+        Some(when(col(cc) > 0, col(sc).cast("double") / col(cc))
+          .as(name))
+      case c if cntCols.contains(c) => None
+      case c => Some(col(c))
+    }: _*)
   }
 
   /** Refresh a SQL-defined MV from its STORED definition — the

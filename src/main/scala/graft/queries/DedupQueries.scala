@@ -4278,18 +4278,26 @@ object DedupQueries extends QueryModule {
                    SELECT doc_id + 1000000, lang, n_chars
                    FROM parquet.`$dir/documents.parquet`
                    WHERE doc_id % 10 = 0""")
-        val partialIds = s2.sql(
-          "SELECT doc_id FROM graftcat.docs WHERE doc_id % 7 = 3")
-          .collect().map(_.getLong(0))
-        require(partialIds.nonEmpty, "pipe_mv_delete: empty partial set")
-        s2.sql("DELETE FROM graftcat.docs WHERE doc_id IN (" +
-          partialIds.mkString(",") + ")")
+        // Distributed-key DV deletes (r19): zero data-sized driver
+        // round-trips — the key frames stay distributed end to end
+        // (the r18 shape collected ~700 ids into a SQL IN-list, a
+        // parse bomb at 100×). The library face is the route because
+        // a DV delete is what an MV can refresh over: a SQL predicate
+        // DELETE (`WHERE doc_id % 7 = 3`) plans as a copy-on-write
+        // REWRITE, which the refresh rightly refuses toward re-create.
+        import graft.operators.{VersionedTable => VT}
+        val docsT = tmp.resolve("docs")
+        require(s2.sql("SELECT count(*) AS n FROM graftcat.docs " +
+            "WHERE doc_id % 7 = 3").head().getLong(0) > 0,
+          "pipe_mv_delete: empty partial set")
+        VT.deleteCommit(s2, docsT, VT.latestVersion(docsT).get + 1,
+          s2.sql("SELECT doc_id FROM graftcat.docs WHERE doc_id % 7 = 3"),
+          "doc_id")
         val deadLang = s2.sql("SELECT min(lang) FROM graftcat.docs")
           .head().getString(0)
-        val deadIds = s2.sql("SELECT doc_id FROM graftcat.docs " +
-          s"WHERE lang = '$deadLang'").collect().map(_.getLong(0))
-        s2.sql("DELETE FROM graftcat.docs WHERE doc_id IN (" +
-          deadIds.mkString(",") + ")")
+        VT.deleteCommit(s2, docsT, VT.latestVersion(docsT).get + 1,
+          s2.sql("SELECT doc_id FROM graftcat.docs " +
+            s"WHERE lang = '$deadLang'"), "doc_id")
         // The refresh must SUCCEED (r17 refused here), with the
         // positive delta still O(appended files).
         val res = s2.sql("CALL graftcat.refresh_mv('mv_del', 'docs')")
@@ -4306,6 +4314,66 @@ object DedupQueries extends QueryModule {
         val rows = out.collect()
         require(!rows.exists(_.getString(0) == deadLang),
           s"pipe_mv_delete: emptied group '$deadLang' must vanish")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // MV WITH AVG (r19) — a production dashboard's first MV has an
+    // avg in it, and avg does NOT fold across deltas (old_avg +
+    // delta_avg is not the ratio). The DECLARATION rewrites each bare
+    // `avg(expr) AS name` into maintained sum+count PARTIAL columns
+    // (which fold by the ordinary SUM merge, through appends AND
+    // DV-delete negation alike), records the recombination as an
+    // MVAVG manifest line, and the serve face folds `CAST(sum AS
+    // DOUBLE)/count` back into the declared name. Witnessed in-path:
+    // the MV's physical schema holds the partials (no avg column to
+    // drift), the refresh stays O(delta), and the served fold is what
+    // the oracle replays — avg over everything-ingested-minus-deleted,
+    // computed with the SAME sum/count formula on both sides so the
+    // comparison is bit-exact.
+    "pipe_mv_avg" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vmvavg_")
+      try {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        s2.sql(s"""CREATE TABLE graftcat.docs AS
+                   SELECT doc_id, lang, n_chars
+                   FROM parquet.`$dir/documents.parquet`""")
+        s2.sql("CALL graftcat.create_mv('mv_avg', 'docs', 'lang', " +
+          "'SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars " +
+          "FROM __BASE__ GROUP BY lang')").collect()
+        val mvT = tmp.resolve("mv_avg")
+        // The rewrite witness: physical partials, never an avg column.
+        val phys = VersionedTable.read(s2, mvT).columns.toSeq
+        require(phys == Seq("lang", "n_docs", "avg_chars__asum",
+            "avg_chars__acnt"),
+          s"pipe_mv_avg: expected rewritten partial columns, got $phys")
+        // Appends and a distributed-key DV delete interleave below the
+        // refresh (the key frame never touches the driver — see
+        // pipe_mv_delete for why the DV route, not a predicate
+        // rewrite, is what an MV refreshes over).
+        s2.sql(s"""INSERT INTO graftcat.docs
+                   SELECT doc_id + 1000000, lang, n_chars
+                   FROM parquet.`$dir/documents.parquet`
+                   WHERE doc_id % 10 = 0""")
+        val docsT = tmp.resolve("docs")
+        graft.operators.VersionedTable.deleteCommit(s2, docsT,
+          graft.operators.VersionedTable.latestVersion(docsT).get + 1,
+          s2.sql("SELECT doc_id FROM graftcat.docs WHERE doc_id % 7 = 3"),
+          "doc_id")
+        val res = s2.sql("CALL graftcat.refresh_mv('mv_avg', 'docs')")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(res("delta_files_read") < res("base_files_total"),
+          s"pipe_mv_avg: refresh was not incremental: $res")
+        val out = VersionedTable.readMaterializedSql(s2, mvT)
+          .orderBy("lang")
+        require(out.columns.toSeq == Seq("lang", "n_docs", "avg_chars"),
+          s"pipe_mv_avg: the serve face must fold partials back into " +
+            s"the declared shape, got ${out.columns.toSeq}")
+        val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
@@ -5839,6 +5907,22 @@ object DedupQueries extends QueryModule {
         |FROM full_set
         |WHERE doc_id % 7 <> 3
         |  AND lang <> (SELECT min(lang) FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The avg MV replayed relationally over ingested-minus-deleted,
+    // with the avg computed as the SAME sum/count fold the serve face
+    // applies (bit-exact double division on both sides).
+    "pipe_mv_avg" ->
+      """WITH full_set AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, n_chars FROM documents
+        |  WHERE doc_id % 10 = 0)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS DOUBLE)
+        |    AS avg_chars
+        |FROM full_set
+        |WHERE doc_id % 7 <> 3
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Partition-scoped compaction is content-preserving maintenance:

@@ -1410,10 +1410,12 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.createMaterializedSql(spark, base, mv, Seq("g"), sql)
     }
     // The BIGINT/DOUBLE type proxy alone admits all of these — the
-    // plan inspection must refuse each (ADVICE r17: avg/min/max/
-    // count(DISTINCT)/HAVING silently break the SUM fold on refresh).
+    // plan inspection must refuse each (ADVICE r17: min/max/
+    // count(DISTINCT)/HAVING silently break the SUM fold on refresh;
+    // bare avg is REWRITTEN into partials since r19, but DISTINCT avg
+    // has no fold and still refuses).
     intercept[IllegalArgumentException] { create(
-      "SELECT g, avg(id) AS a FROM __BASE__ GROUP BY g") }
+      "SELECT g, avg(DISTINCT id) AS a FROM __BASE__ GROUP BY g") }
     intercept[IllegalArgumentException] { create(
       "SELECT g, max(id) AS m FROM __BASE__ GROUP BY g") }
     intercept[IllegalArgumentException] { create(
@@ -1616,6 +1618,55 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.refreshMaterializedSql(spark, base2, mv2)
     }
     assert(e.getMessage.contains("count(*)"))
+  }
+
+  test("MV avg: declaration rewrite to partials, serve-time fold, refresh ≡ recompute") {
+    import spark.implicits._
+    val base = freshTable()
+    val mv = base.resolveSibling("mv_avg")
+    VersionedTable.commit(spark, base, 0L,
+      Seq((1L, "a", 10L), (2L, "a", 30L), (3L, "b", 7L))
+        .toDF("id", "g", "v"))
+    VersionedTable.createMaterializedSql(spark, base, mv, Seq("g"),
+      "SELECT g, count(*) AS n, avg(v) AS avg_v FROM __BASE__ GROUP BY g")
+    // The declaration REWROTE avg into maintained partials: the MV's
+    // physical schema holds sum/count, never an avg column.
+    assert(VersionedTable.read(spark, mv).columns.toSeq ==
+      Seq("g", "n", "avg_v__asum", "avg_v__acnt"))
+    assert(VersionedTable.mvAvgFolds(mv, 0L) ==
+      Seq(("avg_v", "avg_v__asum", "avg_v__acnt")))
+    def served(): Seq[(String, Long, Option[Double])] =
+      VersionedTable.readMaterializedSql(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .sorted.toSeq
+    assert(served() == Seq(("a", 2L, Some(20.0)), ("b", 1L, Some(7.0))))
+    // Appends fold through the ordinary SUM merge.
+    VersionedTable.appendCommit(spark, base,
+      Seq((4L, "a", 50L), (5L, "b", 9L)).toDF("id", "g", "v"))
+    VersionedTable.refreshMaterializedSql(spark, base, mv)
+    assert(served() == Seq(("a", 3L, Some(30.0)), ("b", 2L, Some(8.0))))
+    // DV deletes subtract the partials; the ratio stays exact.
+    VersionedTable.deleteCommit(spark, base,
+      VersionedTable.latestVersion(base).get + 1, Seq(2L).toDF("id"), "id")
+    VersionedTable.refreshMaterializedSql(spark, base, mv)
+    assert(served() == Seq(("a", 2L, Some(30.0)), ("b", 2L, Some(8.0))))
+    // The serve face equals a recompute of the ORIGINAL statement.
+    val recompute = VersionedTable.read(spark, base).groupBy($"g")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.avg($"v").as("avg_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getDouble(2)))).sorted.toSeq
+    assert(served() == recompute)
+    // Refusals hold: a partial-name collision, and an avg the select
+    // list can't locate textually (expression alias mismatch).
+    val mv2 = base.resolveSibling("mv_avg2")
+    intercept[IllegalArgumentException] {
+      VersionedTable.createMaterializedSql(spark, base, mv2, Seq("g"),
+        "SELECT g, sum(v) AS avg_v__asum, avg(v) AS avg_v " +
+          "FROM __BASE__ GROUP BY g")
+    }
   }
 
   test("hours()/months()/years() transforms: segments, pruning, grain ranges") {
