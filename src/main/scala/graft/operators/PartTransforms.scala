@@ -99,9 +99,22 @@ sealed trait TimePart extends PartTransform {
         s"raise_error('$spec: NULL partition value cannot ride a " +
         "path — delete or backfill the NULL rows, or evolve to a " +
         s"layout that does not derive from $rawCol'), $dayExpr)")
-  protected def dayStringExpr: String =
-    s"CAST(date_from_unix_date(CAST(FLOOR(`$rawCol` / 86400000000e0) " +
-      "AS INT)) AS STRING)"
+  /** The raw column as an epoch-micros SQL expression, by its type in
+    * `df` (r19): BIGINT columns ARE micros; TIMESTAMP flavors derive
+    * through unix_micros — the same value InternalRow stores, so the
+    * SQL route and the V2 row writer can never disagree (NTZ is UTC
+    * by the engine's session-timezone contract). */
+  protected def microsSql(df: DataFrame): String =
+    df.schema.fields.find(_.name == rawCol).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) =>
+        s"unix_micros(`$rawCol`)"
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        s"unix_micros(CAST(`$rawCol` AS TIMESTAMP))"
+      case _ => s"`$rawCol`"
+    }
+  protected def dayStringExpr(df: DataFrame): String =
+    s"CAST(date_from_unix_date(CAST(FLOOR(${microsSql(df)} / " +
+      "86400000000e0) AS INT)) AS STRING)"
 }
 
 final case class DaysPart(rawCol: String) extends TimePart {
@@ -114,7 +127,7 @@ final case class DaysPart(rawCol: String) extends TimePart {
   // date_from_unix_date renders DateType → 'YYYY-MM-DD' exactly like
   // LocalDate.toString; FLOOR(double) = floorDiv for |us| < 2^53
   // (~year 287000 — beyond any epoch-micros fixture).
-  override def column(df: DataFrame): Column = guarded(dayStringExpr)
+  override def column(df: DataFrame): Column = guarded(dayStringExpr(df))
 }
 
 final case class HoursPart(rawCol: String) extends TimePart {
@@ -125,8 +138,9 @@ final case class HoursPart(rawCol: String) extends TimePart {
   override def microsRange(segVal: String): (Long, Long) =
     PartTransform.microsRangeOfHour(segVal)
   override def column(df: DataFrame): Column = guarded(
-    s"CONCAT($dayStringExpr, '-', LPAD(CAST(pmod(CAST(FLOOR(" +
-      s"`$rawCol` / 3600000000e0) AS BIGINT), 24) AS STRING), 2, '0'))")
+    s"CONCAT(${dayStringExpr(df)}, '-', LPAD(CAST(pmod(CAST(FLOOR(" +
+      s"${microsSql(df)} / 3600000000e0) AS BIGINT), 24) AS STRING), " +
+      "2, '0'))")
 }
 
 final case class MonthsPart(rawCol: String) extends TimePart {
@@ -137,7 +151,7 @@ final case class MonthsPart(rawCol: String) extends TimePart {
   override def microsRange(segVal: String): (Long, Long) =
     PartTransform.microsRangeOfMonth(segVal)
   override def column(df: DataFrame): Column =
-    guarded(s"SUBSTRING($dayStringExpr, 1, 7)")
+    guarded(s"SUBSTRING(${dayStringExpr(df)}, 1, 7)")
 }
 
 final case class YearsPart(rawCol: String) extends TimePart {
@@ -148,7 +162,7 @@ final case class YearsPart(rawCol: String) extends TimePart {
   override def microsRange(segVal: String): (Long, Long) =
     PartTransform.microsRangeOfYear(segVal)
   override def column(df: DataFrame): Column =
-    guarded(s"SUBSTRING($dayStringExpr, 1, 4)")
+    guarded(s"SUBSTRING(${dayStringExpr(df)}, 1, 4)")
 }
 
 final case class BucketPart(n: Int, rawCol: String) extends PartTransform {
@@ -168,6 +182,15 @@ final case class BucketPart(n: Int, rawCol: String) extends PartTransform {
 }
 
 object PartTransform {
+
+  /** Raw-column types a TIME-GRAIN transform accepts (r19): BIGINT
+    * epoch micros (the original convention), or a true TIMESTAMP /
+    * TIMESTAMP_NTZ column — all three ride InternalRow as the same
+    * epoch-micros long, so every derivation is shared. */
+  val timeSourceTypes: Set[org.apache.spark.sql.types.DataType] = Set(
+    org.apache.spark.sql.types.LongType,
+    org.apache.spark.sql.types.TimestampType,
+    org.apache.spark.sql.types.TimestampNTZType)
 
   val MicrosPerDay: Long = 86400000000L
 

@@ -665,9 +665,9 @@ object VersionedTable {
               s"'${t.rawCol}' is not a payload column at version $base"))
         t match {
           case _: TimePart =>
-            require(f.dataType == org.apache.spark.sql.types.LongType,
-              s"evolvePartitionLayout: ${t.spec} needs a " +
-                s"BIGINT epoch-micros column, got ${f.dataType.sql}")
+            require(PartTransform.timeSourceTypes(f.dataType),
+              s"evolvePartitionLayout: ${t.spec} needs a BIGINT " +
+                s"epoch-micros or TIMESTAMP column, got ${f.dataType.sql}")
           case _: BucketPart =>
             require(Set[org.apache.spark.sql.types.DataType](
                 org.apache.spark.sql.types.LongType,
@@ -1908,11 +1908,26 @@ object VersionedTable {
     * the same aggregation for free. */
   private def fileColStats(s: SparkSession, table: Path, dataDir: Path,
                            statsCol: String): Seq[(String, Long, Long, Long)] = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
-    s.read.parquet(dataDir.toString)
-      .groupBy(input_file_name().as("f"))
-      .agg(min(col(statsCol)).cast("long").as("mn"),
-        max(col(statsCol)).cast("long").as("mx"),
+    import org.apache.spark.sql.functions.{col, count, expr, input_file_name, lit, max, min}
+    val df = s.read.parquet(dataDir.toString)
+    // Zonemap units per column type (r19): TIMESTAMP flavors store
+    // epoch MICROS (a plain CAST(ts AS LONG) would store SECONDS —
+    // a floor'd max wrongly prunes sub-second probes), DATE stores
+    // epoch DAYS, numerics store their long value. The scan's admits
+    // coerces probe values to the same units.
+    val sc = df.schema.fields.find(_.name == statsCol)
+      .map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) =>
+        expr(s"unix_micros(`$statsCol`)")
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        expr(s"unix_micros(CAST(`$statsCol` AS TIMESTAMP))")
+      case Some(org.apache.spark.sql.types.DateType) =>
+        expr(s"unix_date(`$statsCol`)").cast("long")
+      case _ => col(statsCol).cast("long")
+    }
+    df.groupBy(input_file_name().as("f"))
+      .agg(min(sc).as("mn"),
+        max(sc).as("mx"),
         count(lit(1)).as("n"))
       .collect()
       .map { r =>

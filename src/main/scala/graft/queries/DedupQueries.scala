@@ -2440,6 +2440,89 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // TIMESTAMP PAYLOAD COLUMNS (r19) — the table format stores true
+    // TIMESTAMP(MICROS) parquet columns (instant and NTZ flavors) and
+    // DATE, so `days(ts)` declares on the actual timestamp and the
+    // BIGINT `ts_us` contortion retires. Witnessed in-path: (1) the
+    // DDL bootstrap accepts `PARTITIONED BY (days(ts))` on a
+    // TIMESTAMP_NTZ column and the INSERT lands hidden `ts_day=…`
+    // files derived from the timestamp; (2) the served schema carries
+    // the true NTZ type and hides the derived segment; (3) a raw
+    // timestamp-range predicate plans exactly the matching day's
+    // files (the probe value coerces to the epoch-micros units the
+    // segments and zonemaps store — a seconds-floor'd bound would
+    // prune wrongly at sub-second boundaries); (4) after CALL compact
+    // with a ts stats column, the manifest's per-file zonemaps hold
+    // MICROS-unit ranges. Oracle replays the day slice; event times
+    // serve as epoch micros so the compare is integer-exact.
+    "pipe_table_timestamp" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vts_")
+      try {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        s2.sql("""CREATE TABLE graftcat.ev
+                  (event_id BIGINT, ts TIMESTAMP_NTZ, event_type STRING)
+                  PARTITIONED BY (days(ts))""")
+        s2.sql(s"""INSERT INTO graftcat.ev
+                   SELECT event_id, ts, event_type
+                   FROM parquet.`$dir/events.parquet`""")
+        val table = tmp.resolve("ev")
+        // The DDL bootstrap's zero-row schema file is flat; every
+        // INSERTED file must carry a day segment derived from the
+        // timestamp.
+        val files = VersionedTable.statsManifest(table, 1L).map(_._1)
+        val inserted = files.filterNot(
+          VersionedTable.statsManifest(table, 0L).map(_._1).toSet)
+        require(inserted.nonEmpty &&
+            inserted.forall(_.contains("ts_day=")),
+          s"pipe_table_timestamp: INSERT must land day segments " +
+            s"derived from the TIMESTAMP column: $inserted")
+        val scan = s2.table("graftcat.ev")
+        require(scan.schema("ts").dataType ==
+            org.apache.spark.sql.types.TimestampNTZType &&
+            !scan.columns.contains("ts_day"),
+          "pipe_table_timestamp: the schema must serve the true NTZ " +
+            "type and hide the derived segment")
+        // One-day slice on the RAW timestamp: planned files == that
+        // day's segment count (hidden partitioning's whole point).
+        val out = scan.where(
+          $"ts" >= org.apache.spark.sql.functions.expr(
+            "TIMESTAMP_NTZ'2024-01-10 00:00:00'") &&
+          $"ts" < org.apache.spark.sql.functions.expr(
+            "TIMESTAMP_NTZ'2024-01-11 00:00:00'"))
+        // Segment-less files (the flat bootstrap) always admit — only
+        // the path is evidence.
+        val dayFiles = files.count(_.contains("ts_day=2024-01-10")) +
+          files.count(!_.contains("ts_day="))
+        require(out.rdd.getNumPartitions == dayFiles &&
+            dayFiles < files.size,
+          s"pipe_table_timestamp: expected $dayFiles planned files " +
+            s"of ${files.size}, got ${out.rdd.getNumPartitions}")
+        // Micros-unit zonemaps after a stats compaction.
+        s2.sql("CALL graftcat.compact('ev', 'ts', 2)").collect()
+        val v2 = VersionedTable.latestVersion(table).get
+        val stats = VersionedTable.statsManifest(table, v2)
+        require(stats.forall { case (_, mn, mx) =>
+            mn > 1600000000000000L && mx < 1900000000000000L },
+          "pipe_table_timestamp: ts zonemaps must store epoch MICROS")
+        val sliced = s2.table("graftcat.ev").where(
+          $"ts" >= org.apache.spark.sql.functions.expr(
+            "TIMESTAMP_NTZ'2024-01-10 00:00:00'") &&
+          $"ts" < org.apache.spark.sql.functions.expr(
+            "TIMESTAMP_NTZ'2024-01-11 00:00:00'"))
+          .selectExpr("event_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "event_type")
+          .orderBy($"event_id")
+        val rows = sliced.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*),
+          sliced.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // PER-FILE BLOOM FILTERS IN THE MANIFEST (r13) — the point-lookup
     // skipping index zonemaps cannot be: the table is laid out by
     // doc_id RESIDUE CLASS (mod 8 — a round-robin-like layout with
@@ -5547,6 +5630,14 @@ object DedupQueries extends QueryModule {
         |      FROM events GROUP BY 1) x ON epoch_us(f.ts) = x.ts_us
         |WHERE f.event_id % 3 = 0
         |ORDER BY f.event_id""".stripMargin,
+
+    // The timestamp-partitioned day slice replayed relationally.
+    "pipe_table_timestamp" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |ORDER BY event_id""".stripMargin,
 
     // The three bloom-pruned point lookups, replayed plainly.
     "pipe_point_skip" ->

@@ -637,10 +637,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           c
         case grain @ ("years" | "months" | "days" | "hours") =>
           val c = singleRef(t)
-          require(fieldOf(c).dataType ==
-              org.apache.spark.sql.types.LongType,
+          require(graft.operators.PartTransform
+              .timeSourceTypes(fieldOf(c).dataType),
             s"graft catalog '$catalogName': $grain($c) needs a BIGINT " +
-              s"epoch-micros column, got ${fieldOf(c).dataType.sql}")
+              "epoch-micros or TIMESTAMP column, got " +
+              fieldOf(c).dataType.sql)
           s"$grain($c)"
         case "bucket" =>
           val c = singleRef(t)

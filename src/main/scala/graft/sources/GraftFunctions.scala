@@ -46,11 +46,19 @@ final class GraftTimeGrainFunction(grain: String,
       "partitioned joins)"
 
   override def bind(inputType: StructType): BoundFunction = {
+    // BIGINT micros or a TIMESTAMP flavor — all three ride InternalRow
+    // as the same epoch-micros long, and all derive the same segment,
+    // so one canonical name covers them (a days(BIGINT) table and a
+    // days(TIMESTAMP) table ARE join-compatible: equal instants share
+    // a day whichever type carries them).
     require(inputType.fields.length == 1 &&
-        inputType.fields(0).dataType == LongType,
-      s"$grain: expected one BIGINT epoch-micros column, got $inputType")
+        graft.operators.PartTransform.timeSourceTypes(
+          inputType.fields(0).dataType),
+      s"$grain: expected one BIGINT epoch-micros or TIMESTAMP column, " +
+        s"got $inputType")
+    val inType = inputType.fields(0).dataType
     new ScalarFunction[org.apache.spark.unsafe.types.UTF8String] {
-      override def inputTypes(): Array[DataType] = Array(LongType)
+      override def inputTypes(): Array[DataType] = Array(inType)
       override def resultType(): DataType = StringType
       override def name(): String = grain
       override def canonicalName(): String = s"graft.$grain"

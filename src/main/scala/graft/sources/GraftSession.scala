@@ -52,6 +52,11 @@ object GraftSession {
     *    shuffle. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
+    // TIMESTAMP payload columns in graft-table (r19) are INT64
+    // micros by contract: the footer-driven schema inference and the
+    // Group-API readers refuse INT96, so library commits (which write
+    // through spark.write.parquet) must never emit the legacy type.
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 
   /** Silence WindowExec's "No Partition Defined" warning — HARNESS

@@ -216,7 +216,21 @@ object GraftTableSource {
         s"graft-table: unsupported nested column ${f.getName}")
       val p = f.asPrimitiveType()
       val dt = p.getPrimitiveTypeName match {
-        case INT64 => LongType
+        // TIMESTAMP(MICROS)/DATE payload (r19): the logical
+        // annotation decides instant-vs-NTZ; MILLIS/NANOS never occur
+        // (the writer emits MICROS only; foreign files refuse below).
+        case INT64 => p.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            require(t.getUnit ==
+                LogicalTypeAnnotation.TimeUnit.MICROS,
+              s"graft-table: unsupported timestamp unit ${t.getUnit} " +
+                s"for column ${f.getName} — the format stores MICROS")
+            if (t.isAdjustedToUTC) TimestampType else TimestampNTZType
+          case _ => LongType
+        }
+        case INT32
+            if p.getLogicalTypeAnnotation ==
+              LogicalTypeAnnotation.dateType() => DateType
         case INT32 => IntegerType
         case DOUBLE => DoubleType
         case FLOAT => FloatType
@@ -258,11 +272,28 @@ object GraftTableSource {
   }
 
   /** Does a file whose stats-column range is [mn, mx] possibly hold a
-    * row admitted by `f`? Conservative: unrecognized shapes admit. */
+    * row admitted by `f`? Conservative: unrecognized shapes admit.
+    * Datetime probe values coerce to the units the zonemaps store
+    * (r19): epoch MICROS for timestamp columns (NTZ interpreted as
+    * UTC — the engine's session-timezone contract), epoch DAYS for
+    * dates. Anything unrecognized admits. */
   private[sources] def admits(f: Filter, statsCol: String,
                               mn: Long, mx: Long): Boolean = {
     def lv(x: Any): Option[Long] = x match {
       case n: java.lang.Number => Some(n.longValue)
+      case t: java.sql.Timestamp =>
+        val inst = t.toInstant
+        Some(Math.addExact(Math.multiplyExact(inst.getEpochSecond,
+          1000000L), inst.getNano / 1000L))
+      case i: java.time.Instant =>
+        Some(Math.addExact(Math.multiplyExact(i.getEpochSecond,
+          1000000L), i.getNano / 1000L))
+      case l: java.time.LocalDateTime =>
+        val inst = l.toInstant(java.time.ZoneOffset.UTC)
+        Some(Math.addExact(Math.multiplyExact(inst.getEpochSecond,
+          1000000L), inst.getNano / 1000L))
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
       case _ => None
     }
     f match {
@@ -1285,8 +1316,9 @@ private[sources] class GraftTableReaderFactory(schema: StructType,
           val i = cur.getType.getFieldIndex(f.name)
           if (cur.getFieldRepetitionCount(i) == 0) null
           else f.dataType match {
-            case LongType => cur.getLong(i, 0)
-            case IntegerType => cur.getInteger(i, 0)
+            case LongType | TimestampType | TimestampNTZType =>
+              cur.getLong(i, 0)
+            case IntegerType | DateType => cur.getInteger(i, 0)
             case DoubleType => cur.getDouble(i, 0)
             case FloatType => cur.getFloat(i, 0)
             case BooleanType => cur.getBoolean(i, 0)

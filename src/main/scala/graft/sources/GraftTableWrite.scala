@@ -88,9 +88,9 @@ private[sources] class GraftWrite(path: String, schema: StructType,
           s"graft-table: partition column '${t.rawCol}' must be STRING " +
             "(partition values ride the path and read back as strings)")
       case _: graft.operators.TimePart =>
-        require(f.dataType == org.apache.spark.sql.types.LongType,
-          s"graft-table: ${t.spec} needs a BIGINT epoch-micros column, " +
-            s"got ${f.dataType.sql}")
+        require(graft.operators.PartTransform.timeSourceTypes(f.dataType),
+          s"graft-table: ${t.spec} needs a BIGINT epoch-micros or " +
+            s"TIMESTAMP column, got ${f.dataType.sql}")
       case _: graft.operators.BucketPart =>
         require(Set[org.apache.spark.sql.types.DataType](
             org.apache.spark.sql.types.LongType,
@@ -316,6 +316,7 @@ private[sources] object GraftWriterFactory {
   /** StructType → parquet example MessageType (the write-side mirror
     * of the connector's footer mapping). */
   def messageType(schema: StructType): MessageType = {
+    import LogicalTypeAnnotation.TimeUnit
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
       val p = f.dataType match {
@@ -326,6 +327,17 @@ private[sources] object GraftWriterFactory {
         case BooleanType => Types.optional(BOOLEAN)
         case StringType =>
           Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        // TIMESTAMP/DATE payload (r19): parquet TIMESTAMP(MICROS) —
+        // adjusted-to-UTC mirrors Spark's instant/NTZ split — and
+        // DATE(INT32). Spark's internal representation for all three
+        // is already the long/int the physical type stores, so the
+        // Group writers pass values through bit-exact.
+        case TimestampType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS))
+        case TimestampNTZType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS))
+        case DateType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType())
         case other => throw new IllegalArgumentException(
           s"graft-table: unsupported write type $other for ${f.name}")
       }
@@ -409,7 +421,12 @@ private[sources] class GraftWriterFactory(path: String, stagingRel: String,
             s"graft-table: NULL partition value for '${t.rawCol}' — " +
               "partition values ride the path and cannot be NULL")
           val raw: Any = schema.fields(i).dataType match {
-            case LongType => row.getLong(i)
+            // Timestamp flavors ride internally as epoch micros — the
+            // exact value the time-grain derivations take (TZ-free by
+            // construction; NTZ values are UTC by the engine's
+            // session-timezone contract).
+            case LongType | TimestampType | TimestampNTZType =>
+              row.getLong(i)
             case IntegerType => row.getInt(i)
             case StringType => row.getUTF8String(i).toString
             case other => throw new IllegalStateException(
@@ -428,8 +445,9 @@ private[sources] class GraftWriterFactory(path: String, stagingRel: String,
         while (i < payload.fields.length) {
           val src = payloadIdx(i)
           if (!row.isNullAt(src)) payload.fields(i).dataType match {
-            case LongType => g.add(i, row.getLong(src))
-            case IntegerType => g.add(i, row.getInt(src))
+            case LongType | TimestampType | TimestampNTZType =>
+              g.add(i, row.getLong(src))
+            case IntegerType | DateType => g.add(i, row.getInt(src))
             case DoubleType => g.add(i, row.getDouble(src))
             case FloatType => g.add(i, row.getFloat(src))
             case BooleanType => g.add(i, row.getBoolean(src))
@@ -500,8 +518,9 @@ private[sources] class GraftWriterFactory(path: String, stagingRel: String,
         var i = 0
         while (i < schema.fields.length) {
           if (!row.isNullAt(i + off)) schema.fields(i).dataType match {
-            case LongType => g.add(i, row.getLong(i + off))
-            case IntegerType => g.add(i, row.getInt(i + off))
+            case LongType | TimestampType | TimestampNTZType =>
+              g.add(i, row.getLong(i + off))
+            case IntegerType | DateType => g.add(i, row.getInt(i + off))
             case DoubleType => g.add(i, row.getDouble(i + off))
             case FloatType => g.add(i, row.getFloat(i + off))
             case BooleanType => g.add(i, row.getBoolean(i + off))

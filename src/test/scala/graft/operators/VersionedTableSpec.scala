@@ -1669,6 +1669,76 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP/DATE payload: round-trip, micros zonemaps, days() on a true timestamp") {
+    import spark.implicits._
+    val t = freshTable()
+    // 24 hourly rows over 2024-01-01..04 as NTZ timestamps + dates.
+    val rows = spark.range(24).selectExpr("id",
+      "CAST(timestamp_micros(1704067200000000 + id * 14400000000) " +
+        "AS TIMESTAMP_NTZ) AS ts",
+      "DATE'2024-01-01' + CAST(id % 5 AS INT) AS d")
+    VersionedTable.commitWithStats(spark, t, 0L,
+      rows.repartitionByRange(4, $"id"), statsCol = "ts")
+    // The connector serves the true types and exact micros back.
+    val scan = spark.read.format("graft-table").load(t.toString)
+    assert(scan.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(scan.schema("d").dataType ==
+      org.apache.spark.sql.types.DateType)
+    val got = scan.selectExpr(
+      "unix_micros(CAST(ts AS TIMESTAMP)) AS us", "CAST(d AS STRING) s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got.map(_._1) ==
+      (0L until 24L).map(1704067200000000L + _ * 14400000000L))
+    assert(got.head._2 == "2024-01-01" && got.last._2 == "2024-01-04")
+    // Zonemaps store MICROS: a sub-second-precision timestamp
+    // predicate prunes file-exactly (a seconds-floor'd max would
+    // admit or skip wrongly at the boundary).
+    val stats = VersionedTable.statsManifest(t, 0L)
+    val probeUs = 1704067200000000L + 18L * 14400000000L
+    val probe = scan.where(
+      $"ts" >= org.apache.spark.sql.functions
+        .expr(s"CAST(timestamp_micros($probeUs) AS TIMESTAMP_NTZ)"))
+    val admitted = stats.count(_._3 >= probeUs)
+    assert(probe.rdd.getNumPartitions == admitted &&
+      admitted < stats.size,
+      s"ts zonemap must prune: planned ${probe.rdd.getNumPartitions} " +
+        s"of ${stats.size}, admitted $admitted")
+    assert(probe.count() == 6)
+    // days(ts) declares on the TRUE timestamp column — the BIGINT
+    // ts_us contortion retires. Evolve + V2 insert lands hidden day
+    // segments derived from the timestamp.
+    VersionedTable.evolvePartitionLayout(spark, t, Seq("days(ts)"))
+    spark.range(24, 30).selectExpr("id",
+      "CAST(timestamp_micros(1704067200000000 + id * 14400000000) " +
+        "AS TIMESTAMP_NTZ) AS ts",
+      "DATE'2024-01-01' AS d")
+      .write.format("graft-table").mode("append").save(t.toString)
+    val added = VersionedTable.statsManifest(t, 2L).map(_._1)
+      .filterNot(stats.map(_._1).toSet)
+    assert(added.nonEmpty && added.forall(_.contains("ts_day=2024-01-0")),
+      s"INSERT must land day segments from the timestamp: $added")
+    // Raw timestamp-range predicate prunes NEW files by day segment
+    // (old-spec files admit conservatively), and the derived segment
+    // never reaches the schema.
+    assert(!spark.read.format("graft-table").load(t.toString)
+      .columns.contains("ts_day"))
+    // Compaction re-derives day segments through the SQL route
+    // (unix_micros on the timestamp) — whole table under the day spec.
+    VersionedTable.compactCommit(spark, t, files = 1)
+    val all3 = VersionedTable.statsManifest(t, 3L).map(_._1)
+    assert(all3.forall(_.contains("ts_day=")),
+      s"compaction must re-derive day segments: $all3")
+    val day4 = spark.read.format("graft-table").load(t.toString)
+      .where($"ts" >= org.apache.spark.sql.functions.expr(
+        "TIMESTAMP_NTZ'2024-01-04 00:00:00'"))
+    assert(day4.rdd.getNumPartitions ==
+      all3.count(f => f.contains("ts_day=2024-01-04") ||
+        f.contains("ts_day=2024-01-05")))
+    assert(day4.selectExpr("id").collect().map(_.getLong(0)).sorted
+      .toSeq == (18L until 30L))
+  }
+
   test("hours()/months()/years() transforms: segments, pruning, grain ranges") {
     import spark.implicits._
     val day0 = 19723L // 2024-01-01
