@@ -278,7 +278,15 @@ object EmbeddingQueries extends QueryModule {
     * the Lucene segment-append model — base segments are never
     * reopened). */
   private[graft] def hnswBuildSegments(vectors: DataFrame,
-      idx: java.nio.file.Path, efC: Int, m: Int, maxDeg: Int): Unit = {
+      idx: java.nio.file.Path, efC: Int, m: Int, maxDeg: Int): Unit =
+    hnswGraphRows(vectors, efC, m, maxDeg)
+      .write.mode("append").partitionBy("seg").parquet(idx.toString)
+
+  /** The per-segment graph construction hnswBuildSegments persists —
+    * factored out (r19) so the VERSIONED index lifecycle commits the
+    * same rows through the table protocol. */
+  private def hnswGraphRows(vectors: DataFrame, efC: Int, m: Int,
+      maxDeg: Int): DataFrame = {
     val s = vectors.sparkSession
     import s.implicits._
     // Resolved on the DRIVER and captured: executor sysprops are not
@@ -297,7 +305,102 @@ object EmbeddingQueries extends QueryModule {
         }
       }
       .toDF("vec_id", "e", "nbrs", "seg")
-      .write.mode("append").partitionBy("seg").parquet(idx.toString)
+  }
+
+  /** VERSIONED INDEX LIFECYCLE (r19) — the HNSW segments as a GRAFT
+    * TABLE, the structural unlock array payloads buy: every build
+    * batch is an APPEND COMMIT (O(batch) delta manifest, seg zonemaps
+    * riding the data lines so an equality probe on `seg` prunes files
+    * exactly like the `seg=` directories of the plain-parquet layout),
+    * a segment MERGE is ONE atomic rewrite commit (crash-safe by the
+    * putIfAbsent publish — a reader sees the pre-merge index or the
+    * post-merge index, never a hole or a superset), time travel serves
+    * any historical index version, and expire() vacuums retired
+    * segment files on the operator's schedule. Segment rows cluster
+    * one-seg-per-file (repartitionByRange on the distinct seg count)
+    * so a merge can retire exactly the named segments' files; a
+    * misaligned file refuses the merge loudly rather than dropping
+    * innocent rows. */
+  private[graft] def hnswCommitSegments(vectors: DataFrame,
+      idx: java.nio.file.Path, efC: Int, m: Int, maxDeg: Int): Long = {
+    import graft.operators.VersionedTable
+    val s = vectors.sparkSession
+    val nSeg = math.max(vectors.select("seg").distinct().count().toInt, 1)
+    val graph = hnswGraphRows(vectors, efC, m, maxDeg)
+      .repartitionByRange(nSeg, col("seg"))
+    VersionedTable.latestVersion(idx) match {
+      case None =>
+        VersionedTable.commitWithStats(s, idx, 0L, graph,
+          statsCol = "seg", rowCounts = true)
+        0L
+      // Index continuity recomputes the new files' seg zonemaps in
+      // the appendCommit itself — the batch joins the skipping index.
+      case Some(_) => VersionedTable.appendCommit(s, idx, graph).version
+    }
+  }
+
+  /** Merge the named segments of a VERSIONED index into `target` as
+    * ONE rewrite commit: reads the stored vectors (never the source
+    * corpus) at the latest version, rebuilds with the deterministic
+    * vec_id-ordered insertion build, stages the new segment, and
+    * atomically swaps the merged segments' files for it. Untouched
+    * segments' manifest lines carry byte-verbatim; the pre-merge index
+    * stays time-travelable until expire(). */
+  private[graft] def hnswMergeCommit(s: SparkSession,
+      idx: java.nio.file.Path, merge: Seq[Int], target: Int,
+      efC: Int = HnswEfC, m: Int = HnswM, maxDeg: Int = HnswMaxDeg): Long = {
+    import graft.operators.VersionedTable
+    val base = VersionedTable.latestVersion(idx).getOrElse(
+      throw new IllegalArgumentException(
+        s"hnswMergeCommit: no committed index at $idx"))
+    val mergeSet = merge.toSet
+    require(merge.nonEmpty && !mergeSet.contains(target),
+      s"hnswMergeCommit: target seg=$target must be a NEW segment " +
+        s"(merging $merge)")
+    val stats = VersionedTable.statsManifest(idx, base)
+    require(!stats.exists { case (_, mn, mx) => mn <= target && target <= mx },
+      s"hnswMergeCommit: seg=$target already holds rows at version $base")
+    merge.foreach(sg => require(
+      stats.exists { case (_, mn, mx) => mn <= sg && sg <= mx },
+      s"hnswMergeCommit: seg=$sg holds no rows at version $base"))
+    val touched = stats.filter { case (_, mn, mx) =>
+      merge.exists(sg => mn <= sg && sg <= mx) }
+    touched.foreach { case (f, mn, mx) =>
+      require(mx - mn <= 1024 && (mn to mx).forall(v => mergeSet(v.toInt)),
+        s"hnswMergeCommit: file $f spans segments [$mn, $mx] outside " +
+          s"the merge set $merge — seg-misaligned files cannot retire " +
+          "atomically; re-commit the index one segment per file")
+    }
+    val vecs = s.read.format("graft-table")
+      .option("version", base.toString).load(idx.toString)
+      .where(col("seg").isin(merge.map(Int.box): _*))
+      .selectExpr("vec_id", "e", s"CAST($target AS INT) AS seg")
+    val dataDir = idx.resolve("data").resolve(
+      "merge-" + java.util.UUID.randomUUID().toString.take(8))
+    hnswGraphRows(vecs, efC, m, maxDeg).coalesce(1)
+      .write.parquet(dataDir.toString)
+    val staged = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dataDir)
+      try walk.iterator().asScala.filter(p =>
+          java.nio.file.Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet"))
+        .map(p => idx.relativize(p).toString).toSeq.sorted
+      finally walk.close()
+    }
+    VersionedTable.replaceFilesCommit(s, idx, base, touched.map(_._1),
+      staged, "hnswMergeCommit")
+  }
+
+  /** Serve the standard probes from a VERSIONED index — optionally at
+    * a historical version (time travel over index state). */
+  private[graft] def hnswServeVersioned(s: SparkSession,
+      idx: java.nio.file.Path, efServe: Int, segments: Int,
+      asOf: Option[Long] = None): HnswRun = {
+    val r = s.read.format("graft-table")
+    val g = asOf.fold(r)(v => r.option("version", v.toString))
+      .load(idx.toString)
+    hnswServeFrame(s, g, efServe, segments)
   }
 
   /** SEGMENT MERGE (r17) — the maintenance verb that keeps the
@@ -433,9 +536,14 @@ object EmbeddingQueries extends QueryModule {
     * `idx` — greedy per-segment search merged across segments; no
     * corpus reference. */
   private[graft] def hnswServe(s: SparkSession, idx: java.nio.file.Path,
+      efServe: Int, segments: Int): HnswRun =
+    hnswServeFrame(s, s.read.parquet(idx.toString), efServe, segments)
+
+  /** [[hnswServe]] over an explicit segment frame (r19) — the
+    * versioned-index read path serves through here too. */
+  private[graft] def hnswServeFrame(s: SparkSession, g: DataFrame,
       efServe: Int, segments: Int): HnswRun = {
     import s.implicits._
-    val g = s.read.parquet(idx.toString)
     val probes = g.where($"vec_id" < 10)
       .select($"vec_id", $"e").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -1414,6 +1522,122 @@ object EmbeddingQueries extends QueryModule {
           require(overlap * 10 >= exact.size * 9,
             s"emb_hnsw_merge recall gate: $overlap/${exact.size} " +
               "exact pairs recovered — below the 9/10 floor")
+        }
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // VERSIONED INDEX LIFECYCLE (r19) — the ANN artifact UNDER the
+    // commit protocol, the structural unlock ARRAY payload columns
+    // buy (r17 #7 closed: index maintenance previously lived outside
+    // versioning because the table format was primitives-only). The
+    // HNSW segments are a graft table: the base build is v0 with seg
+    // zonemaps on the data lines (an equality probe on `seg` prunes
+    // files exactly like the plain layout's seg= directories), an
+    // ingest batch is an O(batch) APPEND COMMIT whose delta adds only
+    // the new segment's files, a segment merge is ONE atomic rewrite
+    // commit (a reader sees the pre- or post-merge index, never a
+    // hole — the crash-safety the plain layout only approximates with
+    // write-then-delete ordering), TIME TRAVEL serves the pre-merge
+    // index from its version number, and expire() vacuums retired
+    // segment files on the operator's schedule. Gates: append delta
+    // is data-lines-only; merge carries untouched files byte-verbatim
+    // and preserves the served top-k; the version-1 read equals the
+    // pre-merge serve row-for-row; seg-probe pruning is real; recall
+    // holds the 9/10 floor; post-expire the current index still
+    // serves identically while the historical version is gone.
+    "emb_hnsw_versioned" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_hnswver_")
+      try {
+        val idx = tmp.resolve("graphv")
+        val S = 4
+        hnswCommitSegments(Tables.embeddings(s, dir)
+          .where("vec_id % 9 != 5 OR vec_id < 10")
+          .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e",
+            s"CAST(vec_id % $S AS INT) AS seg"),
+          idx, HnswEfC, HnswM, HnswMaxDeg)
+        val batch = Tables.embeddings(s, dir)
+          .where("vec_id % 9 = 5 AND vec_id >= 10")
+          .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e",
+            s"CAST($S AS INT) AS seg")
+        val batchN = batch.count()
+        val v1 = hnswCommitSegments(batch, idx, HnswEfC, HnswM,
+          HnswMaxDeg)
+        require(v1 == 1L, s"emb_hnsw_versioned: append committed v$v1")
+        // O(batch) witness: the append delta is data lines only, and
+        // every added file's seg zonemap is exactly the new segment.
+        val added = VersionedTable.addedLines(idx, 1L)
+          .filterNot(VersionedTable.isMetaManifestLine)
+        val stats1 = VersionedTable.statsManifest(idx, 1L)
+        val addedFiles = added.map(_.split('\t').head).toSet
+        require(added.nonEmpty && stats1.filter(t => addedFiles(t._1))
+            .forall { case (_, mn, mx) => mn == S && mx == S },
+          s"emb_hnsw_versioned: append delta must add only seg=$S " +
+            s"files: $added")
+        require(s.read.format("graft-table").load(idx.toString)
+            .where($"seg" === S).count() == batchN,
+          "emb_hnsw_versioned: appended segment row count mismatch")
+        val pre = hnswServeVersioned(s, idx, HnswEfServe, S + 1)
+        val preRows = pre.out.collect()
+        // MERGE segments 0,1 → S+1: one atomic rewrite commit.
+        val v2 = hnswMergeCommit(s, idx, Seq(0, 1), S + 1)
+        require(v2 == 2L, s"emb_hnsw_versioned: merge committed v$v2")
+        // Untouched segments' manifest entries carry byte-verbatim.
+        val stats2 = VersionedTable.statsManifest(idx, 2L)
+        val untouched = stats1.filter(_._2 >= 2)
+        require(untouched.nonEmpty &&
+            untouched.forall(stats2.contains) &&
+            !stats2.exists { case (_, mn, mx) => mx <= 1 },
+          "emb_hnsw_versioned: the merge must carry untouched segment " +
+            "lines verbatim and retire every merged-segment file")
+        // Seg-probe pruning through the zonemaps (the seg= dir
+        // equivalent): one segment's probe plans a strict file subset.
+        val g2 = s.read.format("graft-table")
+          .option("statsCol", "seg").load(idx.toString)
+        require(g2.where($"seg" === 2).rdd.getNumPartitions <
+            stats2.size,
+          "emb_hnsw_versioned: a seg probe must prune files via the " +
+            "seg zonemaps")
+        // TIME TRAVEL: the pre-merge index serves from version 1,
+        // row-for-row identical to the pre-merge serve.
+        val tt = hnswServeVersioned(s, idx, HnswEfServe, S + 1,
+          asOf = Some(1L))
+        require(tt.out.collect().map(_.toString).toSeq ==
+            preRows.map(_.toString).toSeq,
+          "emb_hnsw_versioned: time travel to the pre-merge version " +
+            "must serve the pre-merge index")
+        val h = hnswServeVersioned(s, idx, HnswEfServe, S)
+        QueryModule.gated("emb_hnsw_versioned", h.out) { rows =>
+          val planStr = QueryModule.gatedPlans.get("emb_hnsw_versioned")
+            .queryExecution.executedPlan.toString
+          require(!planStr.contains("embeddings.parquet"),
+            "emb_hnsw_versioned: the serve plan scans the source corpus")
+          require(rows.map(_.toString).toSeq ==
+              preRows.map(_.toString).toSeq,
+            "emb_hnsw_versioned: the merge changed the served top-k")
+          require(h.visitedTotal() < h.nVec * h.nProbes,
+            "emb_hnsw_versioned: the search is not cheaper than a " +
+              "brute-force scan")
+          val exact = exactTop3(s, dir)
+          val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+          val overlap = exact.count(got)
+          require(overlap * 10 >= exact.size * 9,
+            s"emb_hnsw_versioned recall gate: $overlap/${exact.size} " +
+              "exact pairs recovered — below the 9/10 floor")
+          // EXPIRE: the lifecycle's last verb — the merged-away
+          // segment files vacuum (manifest ANCHORS may stay pinned as
+          // v2's BASE chain — pinning never retains data), and the
+          // current index serves identically after.
+          val (deleted, _) = VersionedTable.expire(idx, 2L)
+          require(deleted >= 2,
+            s"emb_hnsw_versioned: expire removed $deleted files — " +
+              "both retired segment files must vacuum")
+          val post = hnswServeVersioned(s, idx, HnswEfServe, S)
+            .out.collect()
+          require(post.map(_.toString).toSeq ==
+              rows.map(_.toString).toSeq,
+            "emb_hnsw_versioned: expire changed the served index")
         }
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),

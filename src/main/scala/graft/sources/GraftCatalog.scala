@@ -257,8 +257,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           "land under the new spec; existing files keep their paths " +
           "and prune under the spec each path exhibits; CALL compact " +
           "later to un-rag the whole table under the live spec. " +
-          "Transforms (r18): days(col) / bucket(n, col) — hidden " +
-          "partitioning; predicates on the RAW column prune. " +
+          "Transforms (r18, grains completed r19): years/months/days/" +
+          "hours(col) over BIGINT micros or TIMESTAMP columns, and " +
+          "bucket(n, col) — hidden partitioning; predicates on the " +
+          "RAW column prune. " +
           "evolve_layout(table, cols); cols comma-separated, '' = flat.",
         Seq(ProcedureParameter.in("table", DataTypes.StringType).build(),
           ProcedureParameter.in("cols", DataTypes.StringType).build()),
@@ -277,15 +279,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "hnsw_merge" => proc("hnsw_merge",
         "Graph-ANN SEGMENT MERGE as schedulable maintenance (r18, the " +
           "compact_partitions of the vector index): rebuild the named " +
-          "small segments of an HNSW index directory under the catalog " +
-          "root into ONE new segment — reading their stored vectors, " +
-          "never the source corpus; untouched segments are never " +
-          "reopened; inputs retire only after the replacement is fully " +
-          "written (a crash leaves a searchable superset). Index " +
-          "artifacts carry array columns, which the primitive-only " +
-          "graft-table format cannot host — they live as plain " +
-          "partitioned parquet named under the root, so the CALL names " +
-          "them like tables without them being ones. " +
+          "small segments of an HNSW index under the catalog root into " +
+          "ONE new segment — reading their stored vectors, never the " +
+          "source corpus; untouched segments are never reopened. Since " +
+          "r19 (array payload columns) an index can BE a graft table: " +
+          "there the merge is ONE atomic rewrite commit (pre-merge " +
+          "index stays time-travelable until expire). Legacy " +
+          "plain-parquet seg= layouts keep the write-then-retire " +
+          "ordering (a crash leaves a searchable superset). " +
           "hnsw_merge(index, segs, target); segs comma-separated.",
         Seq(ProcedureParameter.in("index", DataTypes.StringType).build(),
           ProcedureParameter.in("segs", DataTypes.StringType).build(),
@@ -294,20 +295,35 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           val idx = validName(in.getUTF8String(0).toString)
           require(Files.isDirectory(idx),
             s"graft catalog '$catalogName': no index directory at $idx")
-          def segs() = {
-            val st = Files.list(idx)
-            try st.iterator().asScala.map(_.getFileName.toString)
-              .filter(_.startsWith("seg=")).size.toLong
-            finally st.close()
-          }
-          val before = segs()
+          val spark = org.apache.spark.sql.SparkSession.active
           val merge = in.getUTF8String(1).toString.split(',')
             .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
-          graft.queries.EmbeddingQueries.hnswMergeSegments(
-            org.apache.spark.sql.SparkSession.active, idx, merge,
-            in.getInt(2))
-          Seq("segments_before" -> before, "segments_after" -> segs(),
-            "target" -> in.getInt(2).toLong)
+          VersionedTable.latestVersion(idx) match {
+            case Some(v) =>
+              def segs(at: Long) = VersionedTable.statsManifest(idx, at)
+                .flatMap { case (_, mn, mx) =>
+                  if (mx - mn <= 1024) mn to mx else Seq(mn) }
+                .distinct.size.toLong
+              val before = segs(v)
+              val v2 = graft.queries.EmbeddingQueries.hnswMergeCommit(
+                spark, idx, merge, in.getInt(2))
+              Seq("segments_before" -> before,
+                "segments_after" -> segs(v2),
+                "target" -> in.getInt(2).toLong)
+            case None =>
+              def segs() = {
+                val st = Files.list(idx)
+                try st.iterator().asScala.map(_.getFileName.toString)
+                  .filter(_.startsWith("seg=")).size.toLong
+                finally st.close()
+              }
+              val before = segs()
+              graft.queries.EmbeddingQueries.hnswMergeSegments(
+                spark, idx, merge, in.getInt(2))
+              Seq("segments_before" -> before,
+                "segments_after" -> segs(),
+                "target" -> in.getInt(2).toLong)
+          }
         })
       case "expire" => proc("expire",
         "Expire versions below keep_from and vacuum unreferenced files " +

@@ -197,6 +197,51 @@ object GraftTableSource {
       case _ => true
     } catch { case scala.util.control.NonFatal(_) => true }
 
+  /** The Spark type a footer field serves (r19): scalar primitives
+    * (with TIMESTAMP(MICROS)/DATE logical annotations deciding the
+    * datetime flavors — MILLIS/NANOS and INT96 refuse loudly), plus
+    * the ONE nested shape the format stores — the writer's standard
+    * 3-level list over a primitive element (ARRAY payload). */
+  private[sources] def sparkTypeOf(
+      f: org.apache.parquet.schema.Type): DataType = {
+    def primitive(p: org.apache.parquet.schema.PrimitiveType): DataType =
+      p.getPrimitiveTypeName match {
+        case INT64 => p.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            require(t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS,
+              s"graft-table: unsupported timestamp unit ${t.getUnit} " +
+                s"for column ${p.getName} — the format stores MICROS")
+            if (t.isAdjustedToUTC) TimestampType else TimestampNTZType
+          case _ => LongType
+        }
+        case INT32
+            if p.getLogicalTypeAnnotation ==
+              LogicalTypeAnnotation.dateType() => DateType
+        case INT32 => IntegerType
+        case DOUBLE => DoubleType
+        case FLOAT => FloatType
+        case BOOLEAN => BooleanType
+        case BINARY
+            if p.getLogicalTypeAnnotation ==
+              LogicalTypeAnnotation.stringType() => StringType
+        case other => throw new IllegalArgumentException(
+          s"graft-table: unsupported parquet type $other " +
+            s"for column ${p.getName}")
+      }
+    if (f.isPrimitive) primitive(f.asPrimitiveType())
+    else {
+      val g = f.asGroupType()
+      require(g.getLogicalTypeAnnotation ==
+          LogicalTypeAnnotation.listType() &&
+          g.getFieldCount == 1 && !g.getType(0).isPrimitive &&
+          g.getType(0).asGroupType().getFieldCount == 1 &&
+          g.getType(0).asGroupType().getType(0).isPrimitive,
+        s"graft-table: unsupported nested column ${f.getName}")
+      ArrayType(primitive(
+        g.getType(0).asGroupType().getType(0).asPrimitiveType()))
+    }
+  }
+
   /** Data schema from the version's first manifest file's parquet
     * footer — one footer read; schema inference must not scan data.
     * Partition columns ride the manifest PATHS, not the payload
@@ -212,38 +257,8 @@ object GraftTableSource {
       new Configuration()))
     val msg = try reader.getFileMetaData.getSchema finally reader.close()
     StructType(msg.getFields.asScala.map { f =>
-      require(f.isPrimitive,
-        s"graft-table: unsupported nested column ${f.getName}")
-      val p = f.asPrimitiveType()
-      val dt = p.getPrimitiveTypeName match {
-        // TIMESTAMP(MICROS)/DATE payload (r19): the logical
-        // annotation decides instant-vs-NTZ; MILLIS/NANOS never occur
-        // (the writer emits MICROS only; foreign files refuse below).
-        case INT64 => p.getLogicalTypeAnnotation match {
-          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-            require(t.getUnit ==
-                LogicalTypeAnnotation.TimeUnit.MICROS,
-              s"graft-table: unsupported timestamp unit ${t.getUnit} " +
-                s"for column ${f.getName} — the format stores MICROS")
-            if (t.isAdjustedToUTC) TimestampType else TimestampNTZType
-          case _ => LongType
-        }
-        case INT32
-            if p.getLogicalTypeAnnotation ==
-              LogicalTypeAnnotation.dateType() => DateType
-        case INT32 => IntegerType
-        case DOUBLE => DoubleType
-        case FLOAT => FloatType
-        case BOOLEAN => BooleanType
-        case BINARY
-            if p.getLogicalTypeAnnotation ==
-              LogicalTypeAnnotation.stringType() => StringType
-        case other =>
-          throw new IllegalArgumentException(
-            s"graft-table: unsupported parquet type $other " +
-              s"for column ${f.getName}")
-      }
-      StructField(f.getName, dt, nullable = true)
+      StructField(f.getName, GraftTableSource.sparkTypeOf(f),
+        nullable = true)
     }.toSeq match {
       case dataFields =>
         val names = dataFields.map(_.name).toSet
@@ -1324,6 +1339,32 @@ private[sources] class GraftTableReaderFactory(schema: StructType,
             case BooleanType => cur.getBoolean(i, 0)
             case StringType =>
               UTF8String.fromBytes(cur.getBinary(i, 0).getBytes)
+            // ARRAY payload (r19): unwrap the standard 3-level list
+            // the writer emits (LIST group → repeated list → element).
+            case ArrayType(elem, _) =>
+              val lg = cur.getGroup(i, 0)
+              val n = lg.getFieldRepetitionCount(0)
+              val vals = new Array[Any](n)
+              var j = 0
+              while (j < n) {
+                val el = lg.getGroup(0, j)
+                vals(j) =
+                  if (el.getFieldRepetitionCount(0) == 0) null
+                  else elem match {
+                    case LongType | TimestampType | TimestampNTZType =>
+                      el.getLong(0, 0)
+                    case IntegerType | DateType => el.getInteger(0, 0)
+                    case DoubleType => el.getDouble(0, 0)
+                    case FloatType => el.getFloat(0, 0)
+                    case BooleanType => el.getBoolean(0, 0)
+                    case StringType =>
+                      UTF8String.fromBytes(el.getBinary(0, 0).getBytes)
+                    case other => throw new IllegalStateException(
+                      s"graft-table: unsupported array element $other")
+                  }
+                j += 1
+              }
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
             case other => throw new IllegalStateException(
               s"graft-table: unsupported read type $other")
           }

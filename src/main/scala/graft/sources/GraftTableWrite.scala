@@ -315,33 +315,94 @@ private[sources] object GraftWriterFactory {
 
   /** StructType → parquet example MessageType (the write-side mirror
     * of the connector's footer mapping). */
-  def messageType(schema: StructType): MessageType = {
+  /** The parquet primitive for a scalar Spark type, or None for
+    * non-scalar/unsupported types. Shared by top-level fields and
+    * array elements so the two surfaces can never drift. */
+  private def primitiveFor(dt: DataType, name: String)
+      : Option[org.apache.parquet.schema.Types.PrimitiveBuilder[
+        org.apache.parquet.schema.PrimitiveType]] = {
     import LogicalTypeAnnotation.TimeUnit
+    dt match {
+      case LongType => Some(Types.optional(INT64))
+      case IntegerType => Some(Types.optional(INT32))
+      case DoubleType => Some(Types.optional(DOUBLE))
+      case FloatType => Some(Types.optional(FLOAT))
+      case BooleanType => Some(Types.optional(BOOLEAN))
+      case StringType =>
+        Some(Types.optional(BINARY).as(LogicalTypeAnnotation.stringType()))
+      // TIMESTAMP/DATE payload (r19): parquet TIMESTAMP(MICROS) —
+      // adjusted-to-UTC mirrors Spark's instant/NTZ split — and
+      // DATE(INT32). Spark's internal representation for all three
+      // is already the long/int the physical type stores, so the
+      // Group writers pass values through bit-exact.
+      case TimestampType => Some(Types.optional(INT64)
+        .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS)))
+      case TimestampNTZType => Some(Types.optional(INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS)))
+      case DateType => Some(Types.optional(INT32)
+        .as(LogicalTypeAnnotation.dateType()))
+      case _ => None
+    }
+  }
+
+  /** Append one Spark array value as a standard 3-level parquet list
+    * repetition — shared by both row writers. Element NULLs refuse:
+    * a vector with holes is corrupt, and a silent position shift
+    * would be worse. */
+  private[sources] def addArray(g: org.apache.parquet.example.data.Group,
+      field: Int, at: ArrayType,
+      arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      colName: String): Unit = {
+    val lg = g.addGroup(field)
+    var j = 0
+    while (j < arr.numElements()) {
+      require(!arr.isNullAt(j),
+        s"graft-table: NULL element at position $j of array column " +
+          s"'$colName' — the format stores dense arrays only")
+      val el = lg.addGroup(0)
+      at.elementType match {
+        case LongType | TimestampType | TimestampNTZType =>
+          el.add(0, arr.getLong(j))
+        case IntegerType | DateType => el.add(0, arr.getInt(j))
+        case DoubleType => el.add(0, arr.getDouble(j))
+        case FloatType => el.add(0, arr.getFloat(j))
+        case BooleanType => el.add(0, arr.getBoolean(j))
+        case StringType =>
+          el.add(0, Binary.fromString(arr.getUTF8String(j).toString))
+        case other => throw new IllegalStateException(
+          s"graft-table: unsupported array element type $other")
+      }
+      j += 1
+    }
+  }
+
+  def messageType(schema: StructType): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
-      val p = f.dataType match {
-        case LongType => Types.optional(INT64)
-        case IntegerType => Types.optional(INT32)
-        case DoubleType => Types.optional(DOUBLE)
-        case FloatType => Types.optional(FLOAT)
-        case BooleanType => Types.optional(BOOLEAN)
-        case StringType =>
-          Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
-        // TIMESTAMP/DATE payload (r19): parquet TIMESTAMP(MICROS) —
-        // adjusted-to-UTC mirrors Spark's instant/NTZ split — and
-        // DATE(INT32). Spark's internal representation for all three
-        // is already the long/int the physical type stores, so the
-        // Group writers pass values through bit-exact.
-        case TimestampType => Types.optional(INT64)
-          .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS))
-        case TimestampNTZType => Types.optional(INT64)
-          .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS))
-        case DateType => Types.optional(INT32)
-          .as(LogicalTypeAnnotation.dateType())
-        case other => throw new IllegalArgumentException(
-          s"graft-table: unsupported write type $other for ${f.name}")
+      val p: org.apache.parquet.schema.Type = f.dataType match {
+        // ARRAY payload (r19): the standard parquet 3-level list
+        // (optional group (LIST) { repeated group list { optional
+        // element } }) over primitive elements — what embedding
+        // vectors and ANN adjacency lists need to ride the commit
+        // protocol. Element NULLs refuse at write (a vector with
+        // holes is corrupt, and a silent position shift would be
+        // worse); the list itself may be NULL like any column.
+        case ArrayType(elem, _) =>
+          val e = primitiveFor(elem, f.name).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-table: unsupported array element type $elem " +
+                s"for ${f.name}"))
+          Types.optionalGroup()
+            .as(LogicalTypeAnnotation.listType())
+            .addField(Types.repeatedGroup()
+              .addField(e.named("element")).named("list"))
+            .named(f.name)
+        case dt => primitiveFor(dt, f.name).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-table: unsupported write type $dt for ${f.name}"))
+          .named(f.name)
       }
-      b.addField(p.named(f.name))
+      b.addField(p)
     }
     b.named("graft")
   }
@@ -453,6 +514,8 @@ private[sources] class GraftWriterFactory(path: String, stagingRel: String,
             case BooleanType => g.add(i, row.getBoolean(src))
             case StringType =>
               g.add(i, Binary.fromString(row.getUTF8String(src).toString))
+            case at: ArrayType => GraftWriterFactory.addArray(
+              g, i, at, row.getArray(src), payload.fields(i).name)
             case other => throw new IllegalStateException(
               s"graft-table: unsupported write type $other")
           }
@@ -527,6 +590,8 @@ private[sources] class GraftWriterFactory(path: String, stagingRel: String,
             case StringType =>
               g.add(i, Binary.fromString(
                 row.getUTF8String(i + off).toString))
+            case at: ArrayType => GraftWriterFactory.addArray(
+              g, i, at, row.getArray(i + off), schema.fields(i).name)
             case other => throw new IllegalStateException(
               s"graft-table: unsupported write type $other")
           }

@@ -1739,6 +1739,45 @@ class VersionedTableSpec extends SparkSpec {
       .toSeq == (18L until 30L))
   }
 
+  test("ARRAY payload: library and V2 writes round-trip through the connector") {
+    import spark.implicits._
+    val t = freshTable()
+    // Library commit (spark.write.parquet — standard 3-level lists).
+    val rows = Seq(
+      (1L, Seq(0.5, 1.5, 2.5), Seq(2L, 3L), "a"),
+      (2L, Seq(-1.0, 0.0, 9.25), Seq(1L), "b"))
+      .toDF("vec_id", "e", "nbrs", "tag")
+    VersionedTable.commit(spark, t, 0L, rows.coalesce(1))
+    val scan = spark.read.format("graft-table").load(t.toString)
+    assert(scan.schema("e").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    def slurp(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"e", $"nbrs", $"tag").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toList,
+          r.getSeq[Long](2).toList, r.getString(3))).sortBy(_._1).toList
+    val expected = List(
+      (1L, List(0.5, 1.5, 2.5), List(2L, 3L), "a"),
+      (2L, List(-1.0, 0.0, 9.25), List(1L), "b"))
+    assert(slurp(scan) == expected)
+    // V2 append (the Group writer's list emission) reads back equal —
+    // through the connector AND through Spark's own parquet reader
+    // (the files must stay standard, never a private shape).
+    rows.selectExpr("vec_id + 10 AS vec_id", "e", "nbrs", "tag")
+      .write.format("graft-table").mode("append").save(t.toString)
+    val both = spark.read.format("graft-table").load(t.toString)
+    assert(slurp(both) == expected ++ expected.map(r =>
+      r.copy(_1 = r._1 + 10)))
+    assert(slurp(VersionedTable.read(spark, t)) ==
+      expected ++ expected.map(r => r.copy(_1 = r._1 + 10)))
+    // SQL over the array column through the catalog face.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gva", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gva.root", t.getParent.toString)
+    assert(s2.sql(s"SELECT sum(aggregate(e, 0D, (acc, x) -> acc + x)) " +
+      s"AS s FROM gva.${t.getFileName}").head().getDouble(0) == 2 * 12.75)
+  }
+
   test("hours()/months()/years() transforms: segments, pruning, grain ranges") {
     import spark.implicits._
     val day0 = 19723L // 2024-01-01

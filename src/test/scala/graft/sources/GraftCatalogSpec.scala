@@ -1025,6 +1025,41 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL hnsw_merge on a VERSIONED index: one atomic rewrite commit") {
+    import spark.implicits._
+    val root = staged()
+    val s2 = session(root)
+    val idx = root.resolve("docs_idxv")
+    def batch(seg: Int, lo: Long) =
+      (lo until lo + 12L).map(i =>
+        (i, Seq.tabulate(8)(d => ((i * 31 + d * 7) % 13).toDouble), seg))
+        .toDF("vec_id", "e", "seg")
+    Seq(0, 1, 2).foreach(sg =>
+      graft.queries.EmbeddingQueries.hnswCommitSegments(
+        batch(sg, sg * 12L), idx, efC = 8, m = 4, maxDeg = 8))
+    assert(VersionedTable.latestVersion(idx).contains(2L))
+    val before = spark.read.format("graft-table").load(idx.toString)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val res = s2.sql("CALL g.hnsw_merge('docs_idxv', '0,1', 7)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res("segments_before") == 3L && res("segments_after") == 2L)
+    // One commit, every vector survives, the untouched segment rides
+    // verbatim, and TIME TRAVEL still serves the pre-merge index.
+    assert(VersionedTable.latestVersion(idx).contains(3L))
+    val after = spark.read.format("graft-table").load(idx.toString)
+    assert(after.select("vec_id").collect().map(_.getLong(0)).sorted
+      .toSeq == before)
+    assert(after.select("seg").distinct().collect().map(_.getInt(0))
+      .sorted.toSeq == Seq(2, 7))
+    assert(spark.read.format("graft-table").option("version", "2")
+      .load(idx.toString).select("seg").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2))
+    // Refusal: merging into an existing segment.
+    intercept[Exception] {
+      s2.sql("CALL g.hnsw_merge('docs_idxv', '2', 7)").collect()
+    }
+  }
+
   test("bucket-transform storage-partitioned join: zero shuffles via V2 function") {
     import spark.implicits._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
