@@ -523,7 +523,13 @@ object RelationalQueries extends QueryModule {
         s.table("orders").where($"o_orderpriority" === "1-URGENT").count(), 1L)
       val numBits = math.max(nUrgent * 8L, 64L)
       s.sql(
-        s"""SELECT date_trunc('month', o_orderdate) AS month,
+        // NTZ cast: date_trunc yields an INSTANT, and since the r19
+        // TIMESTAMP_MICROS output pin an instant writes
+        // isAdjustedToUTC=true — which DuckDB reads as TIMESTAMPTZ and
+        // the driver's type compare flags. The UTC session makes the
+        // cast value-exact.
+        s"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP_NTZ)
+           |    AS month,
            |  count(*) AS n, ${QueryModule.DuckRevenue} AS revenue
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |WHERE o_orderpriority = '1-URGENT'
@@ -539,7 +545,10 @@ object RelationalQueries extends QueryModule {
     "rel_month_agg" -> ((s, dir) => {
       import s.implicits._
       Tables.orders(s, dir)
-        .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+        // NTZ cast — same reason as rel_bloom_prefilter's (the r19
+        // TIMESTAMP_MICROS pin makes the instant annotation explicit).
+        .groupBy(date_trunc("month", $"o_orderdate")
+          .cast(org.apache.spark.sql.types.TimestampNTZType).as("month"))
         .agg(count(lit(1)).as("n"), sum(dec($"o_totalprice")).cast("double").as("revenue"))
         .orderBy("month")
     }),

@@ -1162,6 +1162,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(shuffles(s2.sql("SELECT f.ts_us, f.v, d.w FROM g.dfact f " +
       "JOIN g.ddim_m d ON f.ts_us = d.ts_us")) > 0,
       "days vs months grains must fall back to shuffle")
+    // TRUE-TIMESTAMP grain SPJ (r19): days(ts) on TIMESTAMP_NTZ
+    // columns reports the same grain function (micros view shared),
+    // and two such tables join exchange-free too.
+    def mkTs(name: String): Unit = {
+      val t = root.resolve(name)
+      VersionedTable.commit(spark, t, 0L,
+        (0L until 40L).map(i => (us(i % 3) + i % 2, i)).toDF("us", "v")
+          .selectExpr("CAST(timestamp_micros(us) AS TIMESTAMP_NTZ) " +
+            "AS ts", "v"))
+      VersionedTable.evolvePartitionLayout(spark, t, Seq("days(ts)"))
+      VersionedTable.compactCommit(spark, t, files = 2)
+    }
+    mkTs("tfact")
+    mkTs("tdim")
+    val tsSpj = s2.sql("SELECT f.ts, f.v, d.v AS w FROM g.tfact f " +
+      "JOIN g.tdim d ON f.ts = d.ts")
+    assert(shuffles(tsSpj) == 0,
+      s"timestamp-grain SPJ must plan no Exchange:\n" +
+        s"${tsSpj.queryExecution.executedPlan}")
+    assert(tsSpj.count() > 0)
   }
 
   test("one-side-shuffle SPJ: a plain frame hashes through the V2 bucket function") {
