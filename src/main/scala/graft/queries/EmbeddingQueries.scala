@@ -325,18 +325,31 @@ object EmbeddingQueries extends QueryModule {
       idx: java.nio.file.Path, efC: Int, m: Int, maxDeg: Int): Long = {
     import graft.operators.VersionedTable
     val s = vectors.sparkSession
-    val nSeg = math.max(vectors.select("seg").distinct().count().toInt, 1)
-    val graph = hnswGraphRows(vectors, efC, m, maxDeg)
-      .repartitionByRange(nSeg, col("seg"))
-    VersionedTable.latestVersion(idx) match {
-      case None =>
-        VersionedTable.commitWithStats(s, idx, 0L, graph,
-          statsCol = "seg", rowCounts = true)
-        0L
-      // Index continuity recomputes the new files' seg zonemaps in
-      // the appendCommit itself — the batch joins the skipping index.
-      case Some(_) => VersionedTable.appendCommit(s, idx, graph).version
+    // ONE COMMIT PER SEGMENT, one file per segment — the Lucene
+    // one-batch-one-segment model made literal: alignment (a merge
+    // retires whole files, never innocent rows) holds by CONSTRUCTION
+    // instead of by a range-partitioner's sampling luck, and each
+    // segment's zonemap is exactly [seg, seg]. A graph build is
+    // inherently one task per segment anyway (the whole segment's
+    // adjacency builds in memory), so the coalesce costs nothing.
+    val segs = vectors.select("seg").distinct().collect()
+      .map(_.getInt(0)).sorted
+    require(segs.nonEmpty, s"hnswCommitSegments: no segments in input")
+    var last = -1L
+    segs.foreach { sg =>
+      val graph = hnswGraphRows(vectors.where(col("seg") === sg),
+        efC, m, maxDeg).coalesce(1)
+      last = VersionedTable.latestVersion(idx) match {
+        case None =>
+          VersionedTable.commitWithStats(s, idx, 0L, graph,
+            statsCol = "seg", rowCounts = true)
+          0L
+        // Index continuity recomputes the new files' seg zonemaps in
+        // the appendCommit itself — the batch joins the skipping index.
+        case Some(_) => VersionedTable.appendCommit(s, idx, graph).version
+      }
     }
+    last
   }
 
   /** Merge the named segments of a VERSIONED index into `target` as
@@ -1564,12 +1577,14 @@ object EmbeddingQueries extends QueryModule {
         val batchN = batch.count()
         val v1 = hnswCommitSegments(batch, idx, HnswEfC, HnswM,
           HnswMaxDeg)
-        require(v1 == 1L, s"emb_hnsw_versioned: append committed v$v1")
+        // Base = one commit per segment (v0..v{S-1}); the batch is v S.
+        require(v1 == S.toLong,
+          s"emb_hnsw_versioned: append committed v$v1, expected v$S")
         // O(batch) witness: the append delta is data lines only, and
         // every added file's seg zonemap is exactly the new segment.
-        val added = VersionedTable.addedLines(idx, 1L)
+        val added = VersionedTable.addedLines(idx, v1)
           .filterNot(VersionedTable.isMetaManifestLine)
-        val stats1 = VersionedTable.statsManifest(idx, 1L)
+        val stats1 = VersionedTable.statsManifest(idx, v1)
         val addedFiles = added.map(_.split('\t').head).toSet
         require(added.nonEmpty && stats1.filter(t => addedFiles(t._1))
             .forall { case (_, mn, mx) => mn == S && mx == S },
@@ -1582,9 +1597,11 @@ object EmbeddingQueries extends QueryModule {
         val preRows = pre.out.collect()
         // MERGE segments 0,1 → S+1: one atomic rewrite commit.
         val v2 = hnswMergeCommit(s, idx, Seq(0, 1), S + 1)
-        require(v2 == 2L, s"emb_hnsw_versioned: merge committed v$v2")
+        require(v2 == v1 + 1,
+          s"emb_hnsw_versioned: merge committed v$v2 — exactly ONE " +
+            "atomic commit")
         // Untouched segments' manifest entries carry byte-verbatim.
-        val stats2 = VersionedTable.statsManifest(idx, 2L)
+        val stats2 = VersionedTable.statsManifest(idx, v2)
         val untouched = stats1.filter(_._2 >= 2)
         require(untouched.nonEmpty &&
             untouched.forall(stats2.contains) &&
@@ -1602,7 +1619,7 @@ object EmbeddingQueries extends QueryModule {
         // TIME TRAVEL: the pre-merge index serves from version 1,
         // row-for-row identical to the pre-merge serve.
         val tt = hnswServeVersioned(s, idx, HnswEfServe, S + 1,
-          asOf = Some(1L))
+          asOf = Some(v1))
         require(tt.out.collect().map(_.toString).toSeq ==
             preRows.map(_.toString).toSeq,
           "emb_hnsw_versioned: time travel to the pre-merge version " +
@@ -1625,14 +1642,18 @@ object EmbeddingQueries extends QueryModule {
           require(overlap * 10 >= exact.size * 9,
             s"emb_hnsw_versioned recall gate: $overlap/${exact.size} " +
               "exact pairs recovered — below the 9/10 floor")
-          // EXPIRE: the lifecycle's last verb — the merged-away
-          // segment files vacuum (manifest ANCHORS may stay pinned as
-          // v2's BASE chain — pinning never retains data), and the
-          // current index serves identically after.
-          val (deleted, _) = VersionedTable.expire(idx, 2L)
-          require(deleted >= 2,
-            s"emb_hnsw_versioned: expire removed $deleted files — " +
-              "both retired segment files must vacuum")
+          // EXPIRE: the lifecycle's last verb — every file the merge
+          // retired vacuums (manifest ANCHORS may stay pinned as v2's
+          // BASE chain — pinning never retains data), and the current
+          // index serves identically after. The retired count is
+          // computed, not assumed: range-repartition may land the two
+          // merged segments in one file or two.
+          val retiredN = stats1.count { case (f, _, mx) =>
+            mx <= 1 && !stats2.exists(_._1 == f) }
+          val (deleted, _) = VersionedTable.expire(idx, v2)
+          require(retiredN >= 1 && deleted >= retiredN,
+            s"emb_hnsw_versioned: expire removed $deleted files — all " +
+              s"$retiredN merge-retired segment files must vacuum")
           val post = hnswServeVersioned(s, idx, HnswEfServe, S)
             .out.collect()
           require(post.map(_.toString).toSeq ==
