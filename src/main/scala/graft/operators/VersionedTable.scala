@@ -416,6 +416,17 @@ object VersionedTable {
     * refresh like the MVSQL definition. */
   private val MvAvgPrefix = "MVAVG\t"
 
+  /** `MVFOLD\t<col>\t<min|max>` (r19): the per-column merge operator
+    * of an MV output that is NOT sum-folded — bare min/max aggregates
+    * are incrementally maintainable for APPEND-ONLY deltas (new_min =
+    * min(old_min, delta_min)), so the declaration admits them and
+    * records the fold here; columns without a line fold by SUM as
+    * always. A DV-delete refresh REFUSES while any MVFOLD line lives:
+    * a deletion may have removed the extremum, and min is not
+    * subtractable — re-create is the only honest answer. Carried by
+    * every refresh like MVSQL/MVAVG. */
+  private val MvFoldPrefix = "MVFOLD\t"
+
   /** `KIND\t<verb>` (r14): a PER-COMMIT annotation naming the commit's
     * intent — `update` (a stats-pruned copy-on-write rewrite) or
     * `compact` (a content-preserving reorganization, the Delta
@@ -445,7 +456,7 @@ object VersionedTable {
       line.startsWith(KindPrefix) || line.startsWith(PartColPrefix) ||
       line.startsWith(PartSpecPrefix) || line.startsWith(MvOfPrefix) ||
       line.startsWith(MvSqlPrefix) || line.startsWith(NdvPrefix) ||
-      line.startsWith(MvAvgPrefix)
+      line.startsWith(MvAvgPrefix) || line.startsWith(MvFoldPrefix)
 
   /** Is `line` a metadata line (never a data-file line)? The change
     * feed's skip set: meta lines carry no rows to serve. */
@@ -870,7 +881,8 @@ object VersionedTable {
     // must not be the commit that forgets what the MV computes.
     commit(s, mv, mvV + 1, merged,
       carried = manifest(mv, mvV).filter(l =>
-        l.startsWith(MvSqlPrefix) || l.startsWith(MvAvgPrefix)) ++
+        l.startsWith(MvSqlPrefix) || l.startsWith(MvAvgPrefix) ||
+        l.startsWith(MvFoldPrefix)) ++
         Seq(s"$MvOfPrefix$bv", s"${KindPrefix}update"))
     (mvV + 1, deltaFiles.size, baseTotal)
   }
@@ -943,16 +955,22 @@ object VersionedTable {
   }
 
   /** The generic partial-fold for a stored-SQL MV: union the standing
-    * rows with the delta aggregate and SUM every non-group column —
-    * correct exactly for the sum/count-mergeable aggregates the
-    * CREATE validated. Column order pinned to the MV's. */
+    * rows with the delta aggregate and fold every non-group column by
+    * its declared operator — SUM by default (the sum/count/avg-partial
+    * surface), MIN/MAX for the append-only extremum columns the
+    * declaration recorded as MVFOLD lines (r19). Column order pinned
+    * to the MV's. */
   private def mvMerge(groupCols: Seq[String], old: DataFrame,
-                      delta: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, sum}
+                      delta: DataFrame,
+                      foldOps: Map[String, String] = Map.empty)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.col
     val aggCols = old.columns.filterNot(groupCols.contains)
+    def op(c: String) = foldOps.getOrElse(c, "sum")
     old.unionByName(delta)
       .groupBy(groupCols.map(col): _*)
-      .agg(aggCols.head -> "sum", aggCols.tail.map(_ -> "sum"): _*)
+      .agg(aggCols.head -> op(aggCols.head),
+        aggCols.tail.map(c => c -> op(c)): _*)
       .toDF(groupCols ++ aggCols: _*)
       .select(old.columns.map(col): _*)
   }
@@ -1030,8 +1048,8 @@ object VersionedTable {
     // aggregate function sum/count, no DISTINCT, no FILTER clause, no
     // Filter ABOVE the aggregate (HAVING re-evaluates a predicate on
     // PARTIALS at refresh time — groups could wrongly appear/vanish).
-    locally {
-      import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+    val foldOps: Seq[(String, String)] = locally {
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
       import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
       val analyzed = out.queryExecution.analyzed
       val aggNodes = analyzed.collect { case a: Aggregate => a }
@@ -1093,18 +1111,47 @@ object VersionedTable {
             "to the statement's WHERE clause")
         ae.aggregateFunction match {
           case _: Sum | _: Count => ()
+          // min/max (r19): incrementally maintainable for APPEND-ONLY
+          // deltas (new_min = min(old_min, delta_min)) — admitted and
+          // recorded as MVFOLD lines below; the DV-delete refresh
+          // refuses while they live (an extremum is not subtractable).
+          case _: Min | _: Max => ()
           case other => throw new IllegalArgumentException(
             s"createMaterializedSql: aggregate '${other.prettyName}' " +
-              "does not fold by SUM — only sum/count are incrementally " +
-              "refreshable (avg = sum + count, recombine when reading)")
+              "does not fold across deltas — sum/count (and avg via " +
+              "the sum+count rewrite) fold by SUM, min/max fold for " +
+              s"append-only bases; '${other.prettyName}' has no fold")
         }
       }
+      // The non-SUM fold map this MV's merge applies per column.
+      aggNodes.head.aggregateExpressions.collect {
+        case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+          al.child match {
+            case ae: AggregateExpression =>
+              ae.aggregateFunction match {
+                case _: Min => Some(al.name -> "min")
+                case _: Max => Some(al.name -> "max")
+                case _ => None
+              }
+            case _ => None
+          }
+      }.flatten
     }
     commit(s, mv, 0L, out, carried = Seq(s"$MvOfPrefix$bv",
       s"$MvSqlPrefix${groupCols.mkString(",")}\t$storedSql") ++
-      avgFolds.map { case (n, sc, cc) => s"$MvAvgPrefix$n\t$sc\t$cc" })
+      avgFolds.map { case (n, sc, cc) => s"$MvAvgPrefix$n\t$sc\t$cc" } ++
+      foldOps.map { case (c, op) => s"$MvFoldPrefix$c\t$op" })
     0L
   }
+
+  /** The non-SUM per-column merge operators an MV's declaration
+    * recorded: column → "min" | "max". Empty for pure sum/count MVs. */
+  def mvFoldOps(mv: Path, version: Long): Map[String, String] =
+    manifest(mv, version).collect {
+      case l if l.startsWith(MvFoldPrefix) =>
+        val Array(c, op) = l.substring(MvFoldPrefix.length).split('\t')
+        c -> op
+    }.toMap
 
   /** Textual select-list rewrite backing the avg declaration: each
     * `avg(expr) AS name` item (for `names`, located in the statement's
@@ -1257,14 +1304,20 @@ object VersionedTable {
           }
       }.flatten
     }
+    val foldOps = mvFoldOps(mv, mvV)
     refreshMaterialized(s, base, mv,
       aggDelta = df => runMvSql(s, sql, df),
-      merge = (old, delta) => mvMerge(groupCols, old, delta),
+      merge = (old, delta) => mvMerge(groupCols, old, delta, foldOps),
       // DV-delete subtraction: aggregate the killed rows with the
       // stored statement, then NEGATE every aggregate column — the
       // ordinary merge folds it in (sum-mergeability is exactly what
       // createMaterializedSql validated).
       negateDelta = Some { killed =>
+        require(foldOps.isEmpty,
+          "refreshMaterializedSql: this MV maintains min/max columns " +
+            s"(${foldOps.keys.toSeq.sorted.mkString(", ")}) — a delete " +
+            "may have removed the extremum, and min/max are not " +
+            "subtractable; re-create the MV from the current snapshot")
         require(countStarCol.isDefined,
           "refreshMaterializedSql: a DV-delete refresh needs a " +
             "count(*) aggregate column in the MV definition to detect " +

@@ -4461,6 +4461,73 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // MV WITH MIN/MAX (r19) — the extremum dashboard columns: bare
+    // min/max fold for APPEND-ONLY deltas (new_min = min(old_min,
+    // delta_min) — the declaration records an MVFOLD merge operator
+    // per column, the refresh merge applies it instead of SUM), and a
+    // DV delete REFUSES toward re-create (a deletion may have removed
+    // the extremum; min is not subtractable) — refusal witnessed
+    // in-path. Oracle replays the post-append extrema exactly.
+    "pipe_mv_minmax" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vmvmm_")
+      try {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        s2.sql(s"""CREATE TABLE graftcat.docs AS
+                   SELECT doc_id, lang, n_chars
+                   FROM parquet.`$dir/documents.parquet`""")
+        s2.sql("CALL graftcat.create_mv('mv_mm', 'docs', 'lang', " +
+          "'SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars, " +
+          "max(n_chars) AS max_chars FROM __BASE__ GROUP BY lang')")
+          .collect()
+        val mvT = tmp.resolve("mv_mm")
+        require(VersionedTable.mvFoldOps(mvT, 0L) ==
+            Map("min_chars" -> "min", "max_chars" -> "max"),
+          "pipe_mv_minmax: the declaration must record the MVFOLD " +
+            "merge operators")
+        // The append DOUBLES one clone's n_chars (moves maxima) and
+        // floors another at 1 (moves minima) — the fold must track
+        // real extremum movement, not ride unchanged groups.
+        s2.sql(s"""INSERT INTO graftcat.docs
+                   SELECT doc_id + 1000000, lang,
+                     CASE WHEN doc_id % 20 = 0 THEN n_chars * 2
+                          ELSE 1 END AS n_chars
+                   FROM parquet.`$dir/documents.parquet`
+                   WHERE doc_id % 10 = 0""")
+        val res = s2.sql("CALL graftcat.refresh_mv('mv_mm', 'docs')")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(res("delta_files_read") < res("base_files_total"),
+          s"pipe_mv_minmax: refresh was not incremental: $res")
+        val out = s2.sql(
+          "SELECT lang, n_docs, min_chars, max_chars FROM graftcat.mv_mm")
+          .orderBy("lang")
+        val rows = out.collect()
+        // The DV-delete refusal, witnessed in-path AFTER the output
+        // snapshot: deletes may kill an extremum, so the refresh must
+        // refuse toward re-create rather than serve a wrong min/max.
+        val docsT = tmp.resolve("docs")
+        VersionedTable.deleteCommit(s2, docsT,
+          VersionedTable.latestVersion(docsT).get + 1,
+          s2.sql("SELECT doc_id FROM graftcat.docs WHERE doc_id % 20 = 0"),
+          "doc_id")
+        val refused = try {
+          s2.sql("CALL graftcat.refresh_mv('mv_mm', 'docs')").collect()
+          false
+        } catch { case e: Exception =>
+          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .exists(c => Option(c.getMessage)
+              .exists(_.contains("not subtractable")))
+        }
+        require(refused,
+          "pipe_mv_minmax: a DV delete below a min/max MV must refuse " +
+            "the refresh toward re-create")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // PARTITION-SCOPED COMPACTION (r17) — the maintenance shape a
     // 100-TB table actually runs: an hourly stream fragments TODAY's
     // partition; nobody rewrites three years of history to fix it.
@@ -6014,6 +6081,21 @@ object DedupQueries extends QueryModule {
         |    AS avg_chars
         |FROM full_set
         |WHERE doc_id % 7 <> 3
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The min/max MV replayed relationally over base + clones.
+    "pipe_mv_minmax" ->
+      """WITH full_set AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang,
+        |    CASE WHEN doc_id % 20 = 0 THEN n_chars * 2 ELSE 1 END
+        |      AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM full_set
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Partition-scoped compaction is content-preserving maintenance:

@@ -1416,8 +1416,10 @@ class VersionedTableSpec extends SparkSpec {
     // has no fold and still refuses).
     intercept[IllegalArgumentException] { create(
       "SELECT g, avg(DISTINCT id) AS a FROM __BASE__ GROUP BY g") }
+    // (max is admitted since r19 — it folds for append-only deltas;
+    // stddev has no fold of any kind and still refuses.)
     intercept[IllegalArgumentException] { create(
-      "SELECT g, max(id) AS m FROM __BASE__ GROUP BY g") }
+      "SELECT g, stddev(id) AS sd FROM __BASE__ GROUP BY g") }
     intercept[IllegalArgumentException] { create(
       "SELECT g, count(DISTINCT id) AS d FROM __BASE__ GROUP BY g") }
     intercept[IllegalArgumentException] { create(
@@ -1737,6 +1739,40 @@ class VersionedTableSpec extends SparkSpec {
         f.contains("ts_day=2024-01-05")))
     assert(day4.selectExpr("id").collect().map(_.getLong(0)).sorted
       .toSeq == (18L until 30L))
+  }
+
+  test("MV min/max: append-only incremental fold; DV deletes refuse toward re-create") {
+    import spark.implicits._
+    val base = freshTable()
+    val mv = base.resolveSibling("mv_mm")
+    VersionedTable.commit(spark, base, 0L,
+      Seq((1L, "a", 10L), (2L, "a", 30L), (3L, "b", 7L))
+        .toDF("id", "g", "v"))
+    VersionedTable.createMaterializedSql(spark, base, mv, Seq("g"),
+      "SELECT g, count(*) AS n, min(v) AS mn, max(v) AS mx " +
+        "FROM __BASE__ GROUP BY g")
+    assert(VersionedTable.mvFoldOps(mv, 0L) ==
+      Map("mn" -> "min", "mx" -> "max"))
+    def served(): Seq[(String, Long, Long, Long)] =
+      VersionedTable.read(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sorted.toSeq
+    assert(served() == Seq(("a", 2L, 10L, 30L), ("b", 1L, 7L, 7L)))
+    // Appends move one group's max and another's min; the fold tracks
+    // exactly (new_min = min(old, delta) per MVFOLD line).
+    VersionedTable.appendCommit(spark, base,
+      Seq((4L, "a", 50L), (5L, "b", 2L), (6L, "b", 5L))
+        .toDF("id", "g", "v"))
+    VersionedTable.refreshMaterializedSql(spark, base, mv)
+    assert(served() == Seq(("a", 3L, 10L, 50L), ("b", 3L, 2L, 7L)))
+    // A DV delete may have removed an extremum — min/max are not
+    // subtractable, so the refresh refuses toward re-create.
+    VersionedTable.deleteCommit(spark, base,
+      VersionedTable.latestVersion(base).get + 1, Seq(4L).toDF("id"), "id")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.refreshMaterializedSql(spark, base, mv)
+    }
+    assert(e.getMessage.contains("not subtractable"))
   }
 
   test("ARRAY payload: library and V2 writes round-trip through the connector") {
