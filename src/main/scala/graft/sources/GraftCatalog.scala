@@ -193,8 +193,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           "(reference the base as __BASE__) over the base snapshot and " +
           "commit it as an ordinary graft table carrying the MVOF " +
           "refresh cursor and the MVSQL definition. Aggregate columns " +
-          "must fold by SUM (BIGINT/DOUBLE; avg = sum + count). " +
-          "create_mv(mv, base, group_cols, sql)",
+          "must fold across deltas (BIGINT/DOUBLE): sum/count fold by " +
+          "SUM, bare avg is rewritten into sum+count partials (r19, " +
+          "recombined by readMaterializedSql), min/max fold for " +
+          "append-only bases (DV deletes then refuse toward " +
+          "re-create). create_mv(mv, base, group_cols, sql)",
         Seq(ProcedureParameter.in("mv", DataTypes.StringType).build(),
           ProcedureParameter.in("base", DataTypes.StringType).build(),
           ProcedureParameter.in("group_cols", DataTypes.StringType)
