@@ -325,31 +325,48 @@ object EmbeddingQueries extends QueryModule {
       idx: java.nio.file.Path, efC: Int, m: Int, maxDeg: Int): Long = {
     import graft.operators.VersionedTable
     val s = vectors.sparkSession
-    // ONE COMMIT PER SEGMENT, one file per segment — the Lucene
-    // one-batch-one-segment model made literal: alignment (a merge
-    // retires whole files, never innocent rows) holds by CONSTRUCTION
-    // instead of by a range-partitioner's sampling luck, and each
-    // segment's zonemap is exactly [seg, seg]. A graph build is
-    // inherently one task per segment anyway (the whole segment's
-    // adjacency builds in memory), so the coalesce costs nothing.
+    import s.implicits._
+    // ONE FILE PER SEGMENT BY CONSTRUCTION, one parallel job: an
+    // EXACT partitioner routes each segment to its own task (never a
+    // range-partitioner's sampling luck, never hash collisions), so a
+    // merge can retire whole files without touching innocent rows and
+    // each file's seg zonemap is exactly [seg, seg] — while a
+    // multi-segment base build still constructs every graph in
+    // parallel. The write introduces no shuffle after the build, so
+    // task partitions become files one-to-one.
     val segs = vectors.select("seg").distinct().collect()
       .map(_.getInt(0)).sorted
     require(segs.nonEmpty, s"hnswCommitSegments: no segments in input")
-    var last = -1L
-    segs.foreach { sg =>
-      val graph = hnswGraphRows(vectors.where(col("seg") === sg),
-        efC, m, maxDeg).coalesce(1)
-      last = VersionedTable.latestVersion(idx) match {
-        case None =>
-          VersionedTable.commitWithStats(s, idx, 0L, graph,
-            statsCol = "seg", rowCounts = true)
-          0L
-        // Index continuity recomputes the new files' seg zonemaps in
-        // the appendCommit itself — the batch joins the skipping index.
-        case Some(_) => VersionedTable.appendCommit(s, idx, graph).version
-      }
+    val segIdx = segs.zipWithIndex.toMap
+    val taskBound = hnswMaxTaskRows
+    val part = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = segs.length
+      override def getPartition(key: Any): Int =
+        segIdx(key.asInstanceOf[Int])
     }
-    last
+    val built = vectors.as[(Long, Seq[Double], Int)].rdd
+      .map(t => (t._3, t))
+      .partitionBy(part)
+      .values
+      .mapPartitions { it =>
+        val rows = boundedTaskRows(it, taskBound, "hnswBuild")
+        rows.groupBy(_._3).iterator.flatMap { case (sg, rs) =>
+          val vec = rs.map(t => (t._1, t._2.toArray)).sortBy(_._1)
+          val adj = nswBuild(vec, m = m, efC = efC, maxDeg = maxDeg)
+          vec.iterator.map { case (id, e) =>
+            (id, e.toSeq, adj(id).toSeq, sg) }
+        }
+      }
+    val graph = s.createDataset(built).toDF("vec_id", "e", "nbrs", "seg")
+    VersionedTable.latestVersion(idx) match {
+      case None =>
+        VersionedTable.commitWithStats(s, idx, 0L, graph,
+          statsCol = "seg", rowCounts = true)
+        0L
+      // Index continuity recomputes the new files' seg zonemaps in
+      // the appendCommit itself — the batch joins the skipping index.
+      case Some(_) => VersionedTable.appendCommit(s, idx, graph).version
+    }
   }
 
   /** Merge the named segments of a VERSIONED index into `target` as
@@ -1577,9 +1594,9 @@ object EmbeddingQueries extends QueryModule {
         val batchN = batch.count()
         val v1 = hnswCommitSegments(batch, idx, HnswEfC, HnswM,
           HnswMaxDeg)
-        // Base = one commit per segment (v0..v{S-1}); the batch is v S.
-        require(v1 == S.toLong,
-          s"emb_hnsw_versioned: append committed v$v1, expected v$S")
+        // Base = one commit (v0, one file per segment); the batch = v1.
+        require(v1 == 1L,
+          s"emb_hnsw_versioned: append committed v$v1, expected v1")
         // O(batch) witness: the append delta is data lines only, and
         // every added file's seg zonemap is exactly the new segment.
         val added = VersionedTable.addedLines(idx, v1)
