@@ -161,8 +161,17 @@ final case class YearsPart(rawCol: String) extends TimePart {
     PartTransform.yearOfMicros(micros(v))
   override def microsRange(segVal: String): (Long, Long) =
     PartTransform.microsRangeOfYear(segVal)
-  override def column(df: DataFrame): Column =
-    guarded(s"SUBSTRING(${dayStringExpr(df)}, 1, 4)")
+  // year() + LPAD with the [1, 9999] domain guard — byte-agreement
+  // with yearOfMicros (a SUBSTRING of the date rendering would
+  // truncate signed/5-digit years into a DIFFERENT year's segment).
+  override def column(df: DataFrame): Column = {
+    val d = s"date_from_unix_date(CAST(FLOOR(${microsSql(df)} / " +
+      "86400000000e0) AS INT))"
+    guarded(s"IF(year($d) BETWEEN 1 AND 9999, " +
+      s"LPAD(CAST(year($d) AS STRING), 4, '0'), " +
+      s"raise_error('years($rawCol): year outside the YYYY segment " +
+      "domain [1, 9999] — is the column really epoch MICROS?'))")
+  }
 }
 
 final case class BucketPart(n: Int, rawCol: String) extends PartTransform {
@@ -235,13 +244,28 @@ object PartTransform {
       ym.atEndOfMonth.toEpochDay * MicrosPerDay + MicrosPerDay - 1)
   }
 
-  /** UTC year of an epoch-micros instant, 'YYYY' (zero-padded to four
-    * digits like LocalDate.toString renders it). */
-  def yearOfMicros(us: Long): String =
-    java.time.LocalDate.ofEpochDay(Math.floorDiv(us, MicrosPerDay))
-      .toString.substring(0, 4)
+  /** UTC year of an epoch-micros instant, 'YYYY' — zero-padded four
+    * digits, domain-guarded to years [1, 9999]: outside it
+    * LocalDate's rendering grows a sign/extra digits, a truncated
+    * segment would parse back as a DIFFERENT year, and the wrong
+    * range would silently prune live rows. Refusing loudly keeps
+    * garbage micros (e.g. nanos written where micros belong) from
+    * minting lying segments. */
+  def yearOfMicros(us: Long): String = {
+    val y = java.time.LocalDate.ofEpochDay(Math.floorDiv(us, MicrosPerDay))
+      .getYear
+    require(y >= 1 && y <= 9999,
+      s"yearOfMicros: year $y outside the YYYY segment domain " +
+        "[1, 9999] — is the column really epoch MICROS?")
+    f"$y%04d"
+  }
 
   def microsRangeOfYear(seg: String): (Long, Long) = {
+    // Strict: anything but a four-digit segment (a foreign or legacy
+    // path) must throw — the caller's conservative catch then ADMITS
+    // the file instead of pruning on a misparsed year.
+    require(seg.length == 4 && seg.forall(_.isDigit),
+      s"microsRangeOfYear: not a YYYY segment: '$seg'")
     val y = seg.toInt
     (java.time.LocalDate.of(y, 1, 1).toEpochDay * MicrosPerDay,
       java.time.LocalDate.of(y, 12, 31).toEpochDay * MicrosPerDay +

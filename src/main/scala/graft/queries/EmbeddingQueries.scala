@@ -282,6 +282,23 @@ object EmbeddingQueries extends QueryModule {
     hnswGraphRows(vectors, efC, m, maxDeg)
       .write.mode("append").partitionBy("seg").parquet(idx.toString)
 
+  /** The ONE per-task graph-build body both persistence routes run
+    * (r19): materialize the task's rows bounded, build one NSW graph
+    * per segment present, emit (vec_id, e, nbrs, seg). Shared so the
+    * versioned index's graphs can never desynchronize from the plain
+    * layout's. */
+  private def buildGraphPartition(it: Iterator[(Long, Seq[Double], Int)],
+      efC: Int, m: Int, maxDeg: Int, taskBound: Long)
+      : Iterator[(Long, Seq[Double], Seq[Long], Int)] = {
+    val rows = boundedTaskRows(it, taskBound, "hnswBuild")
+    rows.groupBy(_._3).iterator.flatMap { case (sg, rs) =>
+      val vec = rs.map(t => (t._1, t._2.toArray)).sortBy(_._1)
+      val adj = nswBuild(vec, m = m, efC = efC, maxDeg = maxDeg)
+      vec.iterator.map { case (id, e) =>
+        (id, e.toSeq, adj(id).toSeq, sg) }
+    }
+  }
+
   /** The per-segment graph construction hnswBuildSegments persists —
     * factored out (r19) so the VERSIONED index lifecycle commits the
     * same rows through the table protocol. */
@@ -295,15 +312,8 @@ object EmbeddingQueries extends QueryModule {
     vectors
       .repartition(col("seg"))
       .as[(Long, Seq[Double], Int)]
-      .mapPartitions { it =>
-        val rows = boundedTaskRows(it, taskBound, "hnswBuild")
-        rows.groupBy(_._3).iterator.flatMap { case (sg, rs) =>
-          val vec = rs.map(t => (t._1, t._2.toArray)).sortBy(_._1)
-          val adj = nswBuild(vec, m = m, efC = efC, maxDeg = maxDeg)
-          vec.iterator.map { case (id, e) =>
-            (id, e.toSeq, adj(id).toSeq, sg) }
-        }
-      }
+      .mapPartitions(it =>
+        buildGraphPartition(it, efC, m, maxDeg, taskBound))
       .toDF("vec_id", "e", "nbrs", "seg")
   }
 
@@ -317,10 +327,10 @@ object EmbeddingQueries extends QueryModule {
     * post-merge index, never a hole or a superset), time travel serves
     * any historical index version, and expire() vacuums retired
     * segment files on the operator's schedule. Segment rows cluster
-    * one-seg-per-file (repartitionByRange on the distinct seg count)
-    * so a merge can retire exactly the named segments' files; a
-    * misaligned file refuses the merge loudly rather than dropping
-    * innocent rows. */
+    * one-seg-per-file by an EXACT partitioner (see the body) so a
+    * merge can retire exactly the named segments' files; a misaligned
+    * file (a foreign commit) refuses the merge loudly rather than
+    * dropping innocent rows. */
   private[graft] def hnswCommitSegments(vectors: DataFrame,
       idx: java.nio.file.Path, efC: Int, m: Int, maxDeg: Int): Long = {
     import graft.operators.VersionedTable
@@ -348,15 +358,8 @@ object EmbeddingQueries extends QueryModule {
       .map(t => (t._3, t))
       .partitionBy(part)
       .values
-      .mapPartitions { it =>
-        val rows = boundedTaskRows(it, taskBound, "hnswBuild")
-        rows.groupBy(_._3).iterator.flatMap { case (sg, rs) =>
-          val vec = rs.map(t => (t._1, t._2.toArray)).sortBy(_._1)
-          val adj = nswBuild(vec, m = m, efC = efC, maxDeg = maxDeg)
-          vec.iterator.map { case (id, e) =>
-            (id, e.toSeq, adj(id).toSeq, sg) }
-        }
-      }
+      .mapPartitions(it =>
+        buildGraphPartition(it, efC, m, maxDeg, taskBound))
     val graph = s.createDataset(built).toDF("vec_id", "e", "nbrs", "seg")
     VersionedTable.latestVersion(idx) match {
       case None =>
@@ -396,7 +399,11 @@ object EmbeddingQueries extends QueryModule {
     val touched = stats.filter { case (_, mn, mx) =>
       merge.exists(sg => mn <= sg && sg <= mx) }
     touched.foreach { case (f, mn, mx) =>
-      require(mx - mn <= 1024 && (mn to mx).forall(v => mergeSet(v.toInt)),
+      // Overflow-safe: a near-full-Long span would make mx - mn
+      // negative and the range enumeration must never run.
+      val span = mx - mn
+      require(mx >= mn && span >= 0 && span <= 1024 &&
+          (mn to mx).forall(v => mergeSet(v.toInt)),
         s"hnswMergeCommit: file $f spans segments [$mn, $mx] outside " +
           s"the merge set $merge — seg-misaligned files cannot retire " +
           "atomically; re-commit the index one segment per file")
@@ -1663,8 +1670,7 @@ object EmbeddingQueries extends QueryModule {
           // retired vacuums (manifest ANCHORS may stay pinned as v2's
           // BASE chain — pinning never retains data), and the current
           // index serves identically after. The retired count is
-          // computed, not assumed: range-repartition may land the two
-          // merged segments in one file or two.
+          // COMPUTED from the manifests, not assumed from the layout.
           val retiredN = stats1.count { case (f, _, mx) =>
             mx <= 1 && !stats2.exists(_._1 == f) }
           val (deleted, _) = VersionedTable.expire(idx, v2)

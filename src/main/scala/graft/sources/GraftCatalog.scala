@@ -303,9 +303,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
           VersionedTable.latestVersion(idx) match {
             case Some(v) =>
+              // Overflow-safe span check: a stats-less manifest line
+              // carries (Long.MinValue, Long.MaxValue) and mx - mn
+              // overflows NEGATIVE — it must count as one opaque
+              // entry, never enumerate.
               def segs(at: Long) = VersionedTable.statsManifest(idx, at)
                 .flatMap { case (_, mn, mx) =>
-                  if (mx - mn <= 1024) mn to mx else Seq(mn) }
+                  val span = mx - mn
+                  if (mx >= mn && span >= 0 && span <= 1024) mn to mx
+                  else Seq(mn) }
                 .distinct.size.toLong
               val before = segs(v)
               val v2 = graft.queries.EmbeddingQueries.hnswMergeCommit(

@@ -1870,6 +1870,16 @@ class VersionedTableSpec extends SparkSpec {
       == "2024")
     assert(graft.operators.PartTransform.microsRangeOfYear("2024")
       == (us(day0, 0L), us(day0 + 366L, 0L) - 1)) // 2024 is a leap year
+    // Domain guards (review r19): out-of-[1,9999] years refuse at
+    // derivation (a truncated '+55000' rendering would parse back as
+    // year 550 and silently prune live rows), and a non-YYYY segment
+    // refuses at parse so the scan's catch ADMITS instead of lying.
+    intercept[IllegalArgumentException] {
+      graft.operators.PartTransform.yearOfMicros(Long.MaxValue / 2)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.PartTransform.microsRangeOfYear("+550")
+    }
     val t3 = freshTable()
     VersionedTable.commit(spark, t3, 0L,
       Seq((1L, us(day0, 0L)), (2L, us(day0 + 400L, 0L)))
