@@ -221,6 +221,21 @@ object Bench {
     }.sortBy(-_._2)
     val floorDeltaJson = floorDelta
       .map { case (k, r) => "\"" + k + "\":" + fmt(r) }.mkString("{", ",", "}")
+    // ELEVATION INDEX (r20, VERDICT r19 #8): the window's host-noise
+    // normalizer — the MEDIAN of (this round's min / committed floor)
+    // over every query that already had a floor and cleared the 75 ms
+    // jitter bar. A quiet window reads ~1.0–1.3; a contended one reads
+    // 2–3× uniformly. The median is robust to the handful of genuine
+    // regressions a round can contain, so floor ratchets and judge
+    // adjudication can normalize against it instead of re-litigating
+    // host noise from per-query narratives each round. -1 = no floors.
+    val elevation = {
+      val ratios = results.collect {
+        case (name, v) if v >= 0.075 &&
+            prevFloor.get(name).exists(_ > 0) => v / prevFloor(name)
+      }.sorted
+      if (ratios.isEmpty) -1.0 else ratios(ratios.size / 2)
+    }
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val tiebreakJson = divergent.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Streaming subtotal, reported separately: each ev_stream_* drain
@@ -267,7 +282,7 @@ object Bench {
           val fsum = folded.map(_._2).sum // all ≥ 0: failures sort last, never fold
           s""""fast_other":{"n":${folded.size},"sum":${fmt(fsum)}},"""
         }
-      s"""{${foldJson}"queries":$keptJson,"sf":"$sfDir","passes":${if (divergent.nonEmpty) 3 else 2},"tiebreak":$tiebreakJson,"flaky":$flakyJson,"floor_delta":$floorDeltaJson,"scratch_root":"$scratchRoot","drain_rocksdb":$rocksJson,"noise":$noiseJson,"errors":$errors,"streaming":$streamingJson,"metric":"total","unit":"sec","value":${fmt(total)}}"""
+      s"""{${foldJson}"queries":$keptJson,"sf":"$sfDir","passes":${if (divergent.nonEmpty) 3 else 2},"tiebreak":$tiebreakJson,"flaky":$flakyJson,"floor_delta":$floorDeltaJson,"elevation":${fmt(elevation)},"scratch_root":"$scratchRoot","drain_rocksdb":$rocksJson,"noise":$noiseJson,"errors":$errors,"streaming":$streamingJson,"metric":"total","unit":"sec","value":${fmt(total)}}"""
     }
     // If the line would overflow the ~2000-char tail window anyway,
     // fold just enough of the CHEAPEST queries into one "fast_other"
@@ -282,7 +297,7 @@ object Bench {
     // stdout only carries the one-line summary above.
     try {
       val full = new StringBuilder
-      full ++= s"""{"sf":"$sfDir","total":$total,"errors":$errors,"flaky":$flakyJson,"scratch_root":"$scratchRoot","drain_rocksdb":$rocksJson,"noise":$noiseJson,"""
+      full ++= s"""{"sf":"$sfDir","total":$total,"errors":$errors,"elevation":${fmt(elevation)},"flaky":$flakyJson,"scratch_root":"$scratchRoot","drain_rocksdb":$rocksJson,"noise":$noiseJson,"""
       def sweepJson(p: Seq[(String, Double)]): String =
         p.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       full ++= s""""min":${sweepJson(results)},"floor":${sweepJson(floor.toSeq.sortBy(_._1))},"floor_delta":$floorDeltaJson,"sweep1":${sweepJson(p1)},"sweep2":${sweepJson(p2)},"sweep3":${sweepJson(p3.toSeq.sortBy(_._1))}}"""

@@ -109,7 +109,7 @@ sealed trait TimePart extends PartTransform {
       case Some(org.apache.spark.sql.types.TimestampType) =>
         s"unix_micros(`$rawCol`)"
       case Some(org.apache.spark.sql.types.TimestampNTZType) =>
-        s"unix_micros(CAST(`$rawCol` AS TIMESTAMP))"
+        PartTransform.ntzMicrosSql(rawCol)
       case _ => s"`$rawCol`"
     }
   protected def dayStringExpr(df: DataFrame): String =
@@ -174,6 +174,57 @@ final case class YearsPart(rawCol: String) extends TimePart {
   }
 }
 
+/** `truncate(n, col)` (r20) — the width transform completing the
+  * Iceberg family: STRING columns segment by their first `n`
+  * characters (the id-prefix clustering common for document corpora);
+  * BIGINT/INT columns floor to a multiple of `n` (floorMod — negatives
+  * floor DOWN, so every segment covers exactly the value range
+  * [seg, seg + n - 1] and prunes like a zonemap). One derivation for
+  * writer, pruning, and the planner's V2 `truncate` function, the
+  * bucket discipline. */
+final case class TruncatePart(n: Int, rawCol: String)
+    extends PartTransform {
+  require(n > 0, s"truncate($n, $rawCol): width must be positive")
+  override def derivedName: String = rawCol + "_trunc"
+  override def spec: String = s"truncate($n,$rawCol)"
+  override def segmentValue(v: Any): String = v match {
+    case s: String => s.substring(0, math.min(n, s.length))
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      segmentValue(u.toString)
+    case num: java.lang.Number =>
+      val l = num.longValue
+      (l - Math.floorMod(l, n.toLong)).toString
+    case other => throw new IllegalArgumentException(
+      s"$spec: cannot derive a segment from probe value $other")
+  }
+  /** The integral segment's covered value range — a zonemap. Throws
+    * on a non-integral (string) segment; callers catch conservative. */
+  def longRange(segVal: String): (Long, Long) = {
+    val lo = segVal.toLong
+    require(Math.floorMod(lo, n.toLong) == 0L,
+      s"$spec: '$segVal' is not a width-$n segment")
+    (lo, lo + (n - 1).toLong)
+  }
+  private def nullGuard(e: String): Column =
+    org.apache.spark.sql.functions.expr(
+      s"IF(`$rawCol` IS NULL, raise_error('$spec: NULL partition " +
+        "value cannot ride a path — delete or backfill the NULL " +
+        s"rows, or evolve to a layout that does not derive from " +
+        s"$rawCol'), $e)")
+  override def column(df: DataFrame): Column =
+    df.schema.fields.find(_.name == rawCol).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.StringType) =>
+        nullGuard(s"SUBSTRING(`$rawCol`, 1, $n)")
+      case Some(org.apache.spark.sql.types.LongType) |
+           Some(org.apache.spark.sql.types.IntegerType) =>
+        nullGuard(s"CAST(CAST(`$rawCol` AS BIGINT) - " +
+          s"pmod(CAST(`$rawCol` AS BIGINT), ${n}L) AS STRING)")
+      case other => throw new IllegalArgumentException(
+        s"$spec: needs a STRING or BIGINT/INT column, got " +
+          other.fold("no such column")(_.sql))
+    }
+}
+
 final case class BucketPart(n: Int, rawCol: String) extends PartTransform {
   require(n > 0, s"bucket($n, $rawCol): bucket count must be positive")
   override def derivedName: String = rawCol + "_bucket"
@@ -202,6 +253,22 @@ object PartTransform {
     org.apache.spark.sql.types.TimestampNTZType)
 
   val MicrosPerDay: Long = 86400000000L
+
+  /** TZ-INDEPENDENT epoch-micros SQL for a TIMESTAMP_NTZ column (r20).
+    * `unix_micros(CAST(ntz AS TIMESTAMP))` reads the wall clock in the
+    * SESSION zone — a catalog attached to a non-UTC session would
+    * write skewed segments/zonemaps that read-time pruning (which
+    * probes NTZ values as-if-UTC) silently drops live rows against.
+    * This expression instead reproduces NTZ's InternalRow long (the
+    * wall clock as-if-UTC) from TZ-independent parts, byte-identical
+    * to the V2 row writer in ANY session zone: date, hour, minute are
+    * wall-clock extractions on NTZ, and extract(SECOND) carries the
+    * micros fraction as DECIMAL(8,6). */
+  def ntzMicrosSql(col: String): String =
+    s"(CAST(unix_date(CAST(`$col` AS DATE)) AS BIGINT) * 86400000000 + " +
+      s"CAST(hour(`$col`) AS BIGINT) * 3600000000 + " +
+      s"CAST(minute(`$col`) AS BIGINT) * 60000000 + " + // INT*INT overflows
+      s"CAST(extract(SECOND FROM `$col`) * 1000000 AS BIGINT))"
 
   /** UTC day of an epoch-micros instant, 'YYYY-MM-DD'. */
   def dayOfMicros(us: Long): String =
@@ -260,6 +327,20 @@ object PartTransform {
     f"$y%04d"
   }
 
+  /** TOTAL year rendering for the V2 SHUFFLE function (r20): inside
+    * the segment domain it is byte-identical to [[yearOfMicros]];
+    * outside it the raw year renders unpadded (1–2 or 5+ chars, or
+    * signed — never colliding with a valid 4-digit segment). A probe
+    * side being shuffled to meet a years() layout may carry garbage
+    * instants; they can never match a STORED segment (the writer
+    * refuses the domain), so degrading deterministically beats
+    * throwing mid-query on rows the join would drop anyway. */
+  def yearOfMicrosTotal(us: Long): String = {
+    val y = java.time.LocalDate.ofEpochDay(Math.floorDiv(us, MicrosPerDay))
+      .getYear
+    if (y >= 1 && y <= 9999) f"$y%04d" else y.toString
+  }
+
   def microsRangeOfYear(seg: String): (Long, Long) = {
     // Strict: anything but a four-digit segment (a foreign or legacy
     // path) must throw — the caller's conservative catch then ADMITS
@@ -292,21 +373,23 @@ object PartTransform {
   private val Months = """months\(\s*([^()\s,]+)\s*\)""".r
   private val Years = """years\(\s*([^()\s,]+)\s*\)""".r
   private val Bucket = """bucket\(\s*(\d+)\s*,\s*([^()\s,]+)\s*\)""".r
+  private val Truncate = """truncate\(\s*(\d+)\s*,\s*([^()\s,]+)\s*\)""".r
 
   /** Parse one spec entry. Unknown transform shapes refuse LOUDLY —
-    * `truncate(10, s)` must never be stored as an identity column
-    * named "truncate(10, s)". */
+    * `void(s)` must never be stored as an identity column named
+    * "void(s)". */
   def parse(s: String): PartTransform = s.trim match {
     case Days(c) => DaysPart(c)
     case Hours(c) => HoursPart(c)
     case Months(c) => MonthsPart(c)
     case Years(c) => YearsPart(c)
     case Bucket(n, c) => BucketPart(n.toInt, c)
+    case Truncate(n, c) => TruncatePart(n.toInt, c)
     case t if t.contains('(') || t.contains(')') =>
       throw new IllegalArgumentException(
         s"unsupported partition transform '$t' — supported: identity " +
           "column, years(col), months(col), days(col), hours(col), " +
-          "bucket(n, col)")
+          "bucket(n, col), truncate(n, col)")
     case t => IdentityPart(t)
   }
 

@@ -93,11 +93,50 @@ object VersionedTable {
     * ANOTHER branch — enforcing (and injecting) a foreign line of
     * history's contract. Write through [[branchCommit]] instead; the
     * ref-free escape hatch is raw [[publish]] of hand-built lines. */
+  /** Commit-time INT96 refusal (r20): the graft footer reader refuses
+    * INT96 timestamps, but a session NOT built through
+    * `GraftSession.configure` keeps Spark's INT96 parquet default — a
+    * library commit from it would successfully publish a version that
+    * every subsequent graft-table read then refuses. Validate BEFORE
+    * the version's bytes hit disk, so the refusal lands before the
+    * publish instead of after it. (No per-write parquet option exists
+    * for outputTimestampType — session conf is the only lever, so the
+    * honest move is to refuse, not to silently mutate the caller's
+    * session mid-commit.) */
+  private def ensureMicrosTimestamps(df: DataFrame): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType,
+      StructType, TimestampType}
+    def hasTs(dt: DataType): Boolean = dt match {
+      case TimestampType => true
+      case st: StructType => st.fields.exists(f => hasTs(f.dataType))
+      case a: ArrayType => hasTs(a.elementType)
+      case m: MapType => hasTs(m.keyType) || hasTs(m.valueType)
+      case _ => false
+    }
+    if (df.schema.fields.exists(f => hasTs(f.dataType)) &&
+        df.sparkSession.conf
+          .get("spark.sql.parquet.outputTimestampType") == "INT96")
+      throw new IllegalStateException(
+        "graft commit: spark.sql.parquet.outputTimestampType=INT96 " +
+          "would publish TIMESTAMP data files the graft footer reader " +
+          "refuses — set TIMESTAMP_MICROS (GraftSession.configure " +
+          "does) before committing timestamp columns")
+  }
+
+  /** Every commit's data/DV parquet write funnels here so the INT96
+    * refusal cannot be bypassed by a new commit variant. */
+  private def writeData(df: DataFrame, dir: Path,
+                        partCols: Seq[String] = Nil): Unit = {
+    ensureMicrosTimestamps(df)
+    if (partCols.isEmpty) df.write.parquet(dir.toString)
+    else df.write.partitionBy(partCols: _*).parquet(dir.toString)
+  }
+
   def commit(s: SparkSession, table: Path, version: Long,
              df: DataFrame, carried: Seq[String] = Nil): Seq[String] = {
     refuseBranched(table, "commit")
     val dataDir = newDataDir(table, version)
-    df.write.parquet(dataDir.toString)
+    writeData(df, dataDir)
     val files = carried ++ partFiles(table, dataDir)
     publish(table, version,
       files ++ carryChecks(s, table, version, dataDir, carried, "commit"))
@@ -242,7 +281,7 @@ object VersionedTable {
   def failedCommit(s: SparkSession, table: Path, version: Long,
                    df: DataFrame): Unit = {
     val dataDir = newDataDir(table, version)
-    df.write.parquet(dataDir.toString)
+    writeData(df, dataDir)
     val dir = Files.createDirectories(commitsDir(table))
     val tmp = Files.createTempFile(dir, ".tmp-", ".manifest")
     Files.write(tmp,
@@ -267,7 +306,7 @@ object VersionedTable {
                       rowCounts: Boolean = false): Seq[String] = {
     refuseBranched(table, "commitWithStats")
     val dataDir = newDataDir(table, version)
-    df.write.parquet(dataDir.toString)
+    writeData(df, dataDir)
     val stats = fileColStats(s, table, dataDir, statsCol)
     val lines = stats.map { case (f, mn, mx, _) => s"$f\t$mn\t$mx" }
     // ROWS lines ride the same single stats pass — metadata-only
@@ -609,8 +648,7 @@ object VersionedTable {
     val derived = specs.foldLeft(out) { (df, t) =>
       if (t.isIdentity) df else df.withColumn(t.derivedName, t.column(df))
     }
-    derived.write.partitionBy(specs.map(_.derivedName): _*)
-      .parquet(dataDir.toString)
+    writeData(derived, dataDir, specs.map(_.derivedName))
   }
 
   /** PARTITION-SPEC EVOLUTION (r17) — change the table's write layout
@@ -686,6 +724,13 @@ object VersionedTable {
                 org.apache.spark.sql.types.StringType)(f.dataType),
               s"evolvePartitionLayout: ${t.spec} needs a BIGINT/INT/" +
                 s"STRING column, got ${f.dataType.sql}")
+          case _: TruncatePart =>
+            require(Set[org.apache.spark.sql.types.DataType](
+                org.apache.spark.sql.types.LongType,
+                org.apache.spark.sql.types.IntegerType,
+                org.apache.spark.sql.types.StringType)(f.dataType),
+              s"evolvePartitionLayout: ${t.spec} needs a STRING/" +
+                s"BIGINT/INT column, got ${f.dataType.sql}")
           case _ => ()
         }
         require(!payload.fields.exists(_.name == t.derivedName) &&
@@ -962,17 +1007,26 @@ object VersionedTable {
     * to the MV's. */
   private def mvMerge(groupCols: Seq[String], old: DataFrame,
                       delta: DataFrame,
-                      foldOps: Map[String, String] = Map.empty)
+                      foldOps: Map[String, String] = Map.empty,
+                      avgFolds: Seq[(String, String, String)] = Nil)
       : DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val aggCols = old.columns.filterNot(groupCols.contains)
+    import org.apache.spark.sql.functions.{col, when}
+    // Served avg ratios (r20) do NOT fold — drop them from both sides,
+    // fold their sum/count partials by the ordinary SUM merge, then
+    // recompute each ratio over the MERGED partials.
+    val served = avgFolds.map(_._1).toSet
+    val foldCols = old.columns.filterNot(served.contains)
+    val aggCols = foldCols.filterNot(groupCols.contains)
     def op(c: String) = foldOps.getOrElse(c, "sum")
-    old.unionByName(delta)
+    val merged = old.select(foldCols.map(col).toIndexedSeq: _*)
+      .unionByName(delta.select(foldCols.map(col).toIndexedSeq: _*))
       .groupBy(groupCols.map(col): _*)
       .agg(aggCols.head -> op(aggCols.head),
         aggCols.tail.map(c => c -> op(c)): _*)
       .toDF(groupCols ++ aggCols: _*)
-      .select(old.columns.map(col): _*)
+    avgFolds.foldLeft(merged) { case (df, (n, sc, cc)) =>
+      df.withColumn(n, when(col(cc) > 0, col(sc).cast("double") / col(cc)))
+    }.select(old.columns.map(col).toIndexedSeq: _*)
   }
 
   /** SQL-defined MATERIALIZED VIEW bootstrap (r17) — the CALL-surface
@@ -1087,6 +1141,13 @@ object VersionedTable {
               "it; declare it as a group column")
         case al: org.apache.spark.sql.catalyst.expressions.Alias
             if groupCols.contains(al.name) => ()
+        // The avg rewrite's OWN served-ratio composite (r20): it does
+        // not fold by SUM — the merge drops it and recomputes it from
+        // the merged partials, so the shape is safe BY CONSTRUCTION
+        // (the MVAVG line is the witness). User composites still
+        // refuse below.
+        case al: org.apache.spark.sql.catalyst.expressions.Alias
+            if avgFolds.exists(_._1 == al.name) => ()
         case al: org.apache.spark.sql.catalyst.expressions.Alias =>
           require(al.child.isInstanceOf[AggregateExpression],
             s"createMaterializedSql: output '${al.name}' is a " +
@@ -1155,11 +1216,17 @@ object VersionedTable {
 
   /** Textual select-list rewrite backing the avg declaration: each
     * `avg(expr) AS name` item (for `names`, located in the statement's
-    * TOP-LEVEL select list, paren- and quote-aware) becomes
-    * `sum(expr) AS name__asum, count(expr) AS name__acnt`. An avg the
-    * ANALYZER saw but this parse cannot locate refuses loudly — the
-    * rewrite must be exact, never a guess. Returns the rewritten
-    * statement and the (name, sumCol, countCol) fold triples. */
+    * TOP-LEVEL select list, paren- and quote-aware) becomes the SERVED
+    * ratio in place — `CASE WHEN count(expr) > 0 THEN CAST(sum(expr)
+    * AS DOUBLE) / count(expr) END AS name` — with the maintained
+    * `sum(expr) AS name__asum, count(expr) AS name__acnt` partials
+    * appended at the END of the select list (r20: the ratio is
+    * PHYSICALLY stored so every SQL surface serves the declared shape;
+    * the partials are what the refresh folds, and the connector hides
+    * them). An avg the ANALYZER saw but this parse cannot locate
+    * refuses loudly — the rewrite must be exact, never a guess.
+    * Returns the rewritten statement and the (name, sumCol, countCol)
+    * fold triples. */
   private def rewriteAvgSql(sql: String, names: Seq[String])
       : (String, Seq[(String, String, String)]) = {
     val lower = sql.toLowerCase(java.util.Locale.ROOT)
@@ -1212,10 +1279,14 @@ object VersionedTable {
       """(?is)^\s*avg\s*\((.+)\)\s+as\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\s*$""".r
     def alias(a: String): String =
       if (a.startsWith("`")) a.substring(1, a.length - 1) else a
+    val exprByName =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
     val rewritten = items.map {
-      case it @ AvgItem(expr, a) if names.contains(alias(a)) =>
+      case AvgItem(expr, a) if names.contains(alias(a)) =>
         val n = alias(a)
-        s" sum($expr) AS ${n}__asum, count($expr) AS ${n}__acnt "
+        exprByName(n) = expr
+        s" (CASE WHEN count($expr) > 0 THEN CAST(sum($expr) AS " +
+          s"DOUBLE) / count($expr) END) AS $n "
       case it => it
     }
     names.foreach { n =>
@@ -1228,7 +1299,11 @@ object VersionedTable {
           s"once as a top-level `avg(expr) AS $n` select item (found " +
           s"$hits) — write the sum/count partials explicitly")
     }
-    (sql.substring(0, selEnd) + rewritten.mkString(",") +
+    val partials = names.map { n =>
+      val e = exprByName(n)
+      s" sum($e) AS ${n}__asum, count($e) AS ${n}__acnt "
+    }
+    (sql.substring(0, selEnd) + (rewritten ++ partials).mkString(",") +
       sql.substring(fromAt),
       names.map(n => (n, s"${n}__asum", s"${n}__acnt")))
   }
@@ -1257,6 +1332,14 @@ object VersionedTable {
     val folds = mvAvgFolds(mv, v)
     val raw = read(s, mv, Some(v))
     if (folds.isEmpty) return raw
+    if (folds.forall(f => raw.columns.contains(f._1))) {
+      // r20 MV: the served ratio is physically stored (create/refresh
+      // recompute it from the merged partials) — just hide the
+      // maintenance partials, like the connector schema does.
+      val partials = folds.flatMap(f => Seq(f._2, f._3)).toSet
+      return raw.select(raw.columns.filterNot(partials.contains)
+        .map(col).toIndexedSeq: _*)
+    }
     val bySum = folds.map(f => (f._2, f)).toMap
     val cntCols = folds.map(_._3).toSet
     raw.select(raw.columns.toIndexedSeq.flatMap {
@@ -1305,9 +1388,11 @@ object VersionedTable {
       }.flatten
     }
     val foldOps = mvFoldOps(mv, mvV)
+    val avgFolds = mvAvgFolds(mv, mvV)
     refreshMaterialized(s, base, mv,
       aggDelta = df => runMvSql(s, sql, df),
-      merge = (old, delta) => mvMerge(groupCols, old, delta, foldOps),
+      merge = (old, delta) =>
+        mvMerge(groupCols, old, delta, foldOps, avgFolds),
       // DV-delete subtraction: aggregate the killed rows with the
       // stored statement, then NEGATE every aggregate column — the
       // ordinary merge folds it in (sum-mergeability is exactly what
@@ -1772,7 +1857,7 @@ object VersionedTable {
         "a rewrite commit instead")
     val dvDir = table.resolve("dv").resolve(
       f"v$version%06d-" + java.util.UUID.randomUUID().toString.take(8))
-    keys.select(keyCol).write.parquet(dvDir.toString)
+    writeData(keys.select(keyCol), dvDir)
     val dvLines = partFiles(table, dvDir)
       .map(p => s"$DvPrefix$p\t$keyCol\t$version")
     // A delete is additive metadata (data lines are never removed, a
@@ -1810,11 +1895,11 @@ object VersionedTable {
     val version = base + 1
     val dvDir = table.resolve("dv").resolve(
       f"v$version%06d-merge-" + java.util.UUID.randomUUID().toString.take(8))
-    updates.select(keyCol).distinct().write.parquet(dvDir.toString)
+    writeData(updates.select(keyCol).distinct(), dvDir)
     val dvLines = partFiles(table, dvDir)
       .map(p => s"$DvPrefix$p\t$keyCol\t$base")
     val dataDir = newDataDir(table, version)
-    updates.write.parquet(dataDir.toString)
+    writeData(updates, dataDir)
     // The upsert's new rows honor CHECK constraints (deletes cannot
     // introduce a violation).
     enforceConstraints(s, table, dataDir, Some(base), "mergeCommit")
@@ -1838,7 +1923,7 @@ object VersionedTable {
     // the same interleave hazard as any version-unaware writer.
     refuseBranched(table, "commitAppend")
     val dataDir = newDataDir(table, version)
-    df.write.parquet(dataDir.toString)
+    writeData(df, dataDir)
     // The streaming-sink path honors CHECK constraints too: a poisoned
     // micro-batch fails its epoch before the commit point.
     enforceConstraints(s, table, dataDir, latestVersion(table),
@@ -1908,7 +1993,7 @@ object VersionedTable {
     require(partCols.nonEmpty && partCols.distinct == partCols,
       s"commitPartitioned: invalid partition columns $partCols")
     val dataDir = newDataDir(table, version)
-    df.write.partitionBy(partCols: _*).parquet(dataDir.toString)
+    writeData(df, dataDir, partCols)
     val files = statsCol match {
       // Partition value in the path AND per-file min/max on the line:
       // the two orthogonal skipping mechanisms compose on one manifest
@@ -1973,7 +2058,10 @@ object VersionedTable {
       case Some(org.apache.spark.sql.types.TimestampType) =>
         expr(s"unix_micros(`$statsCol`)")
       case Some(org.apache.spark.sql.types.TimestampNTZType) =>
-        expr(s"unix_micros(CAST(`$statsCol` AS TIMESTAMP))")
+        // TZ-independent (r20) — see PartTransform.ntzMicrosSql: the
+        // session-zone CAST route would skew zonemaps written from a
+        // non-UTC session against the scan's as-if-UTC probes.
+        expr(graft.operators.PartTransform.ntzMicrosSql(statsCol))
       case Some(org.apache.spark.sql.types.DateType) =>
         expr(s"unix_date(`$statsCol`)").cast("long")
       case _ => col(statsCol).cast("long")
@@ -2023,7 +2111,7 @@ object VersionedTable {
     refuseBranched(table, "commitMultiStats")
     require(cols.nonEmpty, "commitMultiStats: at least one stats column")
     val dataDir = newDataDir(table, version)
-    df.write.parquet(dataDir.toString)
+    writeData(df, dataDir)
     val primary = fileStatsLines(s, table, dataDir, cols.head)
     val secondary = cols.tail.flatMap(c =>
       fileColStats(s, table, dataDir, c).map { case (f, mn, mx, _) =>
@@ -2119,7 +2207,7 @@ object VersionedTable {
                     carried: Seq[String] = Nil): Seq[String] = {
     refuseBranched(table, "commitIndexed")
     val dataDir = newDataDir(table, version)
-    df.write.parquet(dataDir.toString)
+    writeData(df, dataDir)
     val lines = fileStatsLines(s, table, dataDir, statsCol) ++
       fileBloomLines(s, table, dataDir, bloomCol) :+
       s"$StatsColPrefix$statsCol"
@@ -2377,7 +2465,7 @@ object VersionedTable {
     refuseBranched(table, "appendCommit")
     val dataDir = table.resolve("data").resolve(
       "append-" + java.util.UUID.randomUUID().toString.take(8))
-    df.write.parquet(dataDir.toString)
+    writeData(df, dataDir)
     // CHECK constraints gate the batch BEFORE any publish attempt — a
     // violating batch leaves only invisible orphans. Validated against
     // the latest snapshot's declarations at call time (a concurrently
@@ -2470,7 +2558,7 @@ object VersionedTable {
           s"transact: no committed version at $table"))
       val out = op(read(s, table, Some(base)))
       val dataDir = newDataDir(table, base + 1)
-      out.write.parquet(dataDir.toString)
+      writeData(out, dataDir)
       // A transaction's full rewrite carries the table's CHECK
       // contract forward AND honors it (r14, was silent amnesia):
       // `op` must not be the path that smuggles a violation in, and a
@@ -2576,7 +2664,7 @@ object VersionedTable {
     // either way.
     val writeCols = writePartitionLayout(table, base)
     if (writeCols.nonEmpty) writeUnderSpec(updated, writeCols, dataDir)
-    else updated.write.parquet(dataDir.toString)
+    else writeData(updated, dataDir)
     // The rewritten rows honor CHECK constraints — an UPDATE must not
     // be the path that smuggles a violation in.
     enforceConstraints(s, table, dataDir, Some(base), "updateWhere")
@@ -2882,7 +2970,7 @@ object VersionedTable {
         // file, partition columns riding the payload, declared layout
         // restated below.
         if (snap.isEmpty)
-          snap.coalesce(1).write.parquet(dataDir.toString)
+          writeData(snap.coalesce(1), dataDir)
         else {
           val out = statsCol match {
             case Some(c) => snap.repartitionByRange(files, col(c))
@@ -2891,7 +2979,7 @@ object VersionedTable {
           if (writeCols.nonEmpty)
             writeUnderSpec(out, writeCols, dataDir)
           else // evolved back to flat: path columns fold into the payload
-            out.write.parquet(dataDir.toString)
+            writeData(out, dataDir)
         }
         statsCol match {
           case Some(c) =>
@@ -2919,7 +3007,7 @@ object VersionedTable {
         if (writeCols.nonEmpty && !snap.isEmpty)
           writeUnderSpec(out, writeCols, dataDir)
         else
-          out.write.parquet(dataDir.toString)
+          writeData(out, dataDir)
         statsCol match {
           case Some(c) =>
             val stats = fileColStatsAll(s, table, dataDir, c)
@@ -3020,7 +3108,7 @@ object VersionedTable {
       }
       if (writeCols.nonEmpty)
         writeUnderSpec(out, writeCols, dataDir)
-      else out.write.parquet(dataDir.toString)
+      else writeData(out, dataDir)
     }
     val staged =
       if (snap.isEmpty) Nil
@@ -3140,7 +3228,7 @@ object VersionedTable {
           .sortWithinPartitions(col("__z"))
           .drop("__z")
     }
-    clustered.write.parquet(dataDir.toString)
+    writeData(clustered, dataDir)
     val hadRows = manifest(table, base).exists(_.startsWith(RowsPrefix))
     val stats = fileColStatsAll(s, table, dataDir, cols.head)
     val lines = stats.map { case (f, mn, mx, _) => s"$f\t$mn\t$mx" } ++
@@ -3499,7 +3587,7 @@ object VersionedTable {
     require(kind0 == "branch", s"ref '$name' is a $kind0 — tags are immutable")
     val dataDir = table.resolve("data").resolve(
       s"branch-$name-" + java.util.UUID.randomUUID().toString.take(8))
-    df.write.parquet(dataDir.toString)
+    writeData(df, dataDir)
     // Constraints are per-LINE-OF-HISTORY: validate against the branch
     // head's declarations, not the global latest snapshot.
     enforceConstraints(s, table, dataDir,

@@ -3645,6 +3645,65 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
+    // SQL MERGE … WHEN NOT MATCHED BY SOURCE (r20) — the
+    // SNAPSHOT-SYNC statement (the clause matrix's last member,
+    // VERDICT r19 #3): rows absent from the source DELETE, so one
+    // MERGE makes the target an exact mirror of an upstream snapshot —
+    // the shape every replication/sync pipeline runs. Correctness trap
+    // at scale, witnessed in-path: runtime group filtering must NOT
+    // prune the rewrite to matched files here (a file with no matched
+    // key may still hold rows the source no longer has — pruning it
+    // would silently keep them; Spark plans the filter only for
+    // merges WITHOUT the clause), so the sync rewrites every group and
+    // the post-merge table equals the source EXACTLY. Lands as one
+    // atomic KIND=update commit like every rewrite.
+    "pipe_sql_merge_sync" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vsqlsync_")
+      try {
+        val table = tmp.resolve("docs")
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+        VersionedTable.commit(s, table, 0L, docs)
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        // The source snapshot: every doc_id%3==0 row with bumped
+        // n_chars (matched → update), plus shifted clones (absent from
+        // the target → insert); everything else is ABSENT from the
+        // source (→ delete). Post-merge, the table IS this snapshot.
+        s2.read.parquet(s"$dir/documents.parquet")
+          .where($"doc_id" % 3 === 0)
+          .selectExpr("doc_id", "lang", "n_chars + 1000L AS n_chars")
+          .unionAll(s2.read.parquet(s"$dir/documents.parquet")
+            .where($"doc_id" % 11 === 5)
+            .selectExpr("doc_id + 2199023255552L AS doc_id", "lang",
+              "n_chars"))
+          .createOrReplaceTempView("snapshot")
+        s2.sql(
+          """MERGE INTO graftcat.docs t USING snapshot u
+            |ON t.doc_id = u.doc_id
+            |WHEN MATCHED THEN UPDATE SET n_chars = u.n_chars
+            |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+            |  VALUES (u.doc_id, u.lang, u.n_chars)
+            |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+        require(VersionedTable.latestVersion(table).contains(1L) &&
+            VersionedTable.commitKind(table, 1L).contains("update"),
+          "pipe_sql_merge_sync: the sync must land as one v1 " +
+            "KIND=update commit")
+        val srcN = s2.table("snapshot").count()
+        val out = s2.sql(
+          "SELECT doc_id, lang, n_chars FROM graftcat.docs ORDER BY doc_id")
+        val rows = out.collect()
+        require(rows.length.toLong == srcN,
+          s"pipe_sql_merge_sync: post-sync row count ${rows.length} " +
+            s"!= source snapshot $srcN — source-absent rows survived")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
     // SQL DDL THROUGH THE CATALOG (r15) — the table LIFECYCLE as plain
     // statements, every one a protocol commit: `CREATE TABLE … AS
     // SELECT` bootstraps v0 as a schema-pinning zero-row commit and
@@ -4023,8 +4082,9 @@ object DedupQueries extends QueryModule {
     // derived column, (b) prunes a raw ts_us range to the matching
     // day's files plus conservatively-admitted old-spec files, (c)
     // still prunes event_type probes against the OLD generation —
-    // mixed-generation pruning both directions. `truncate(…)` refuses
-    // at declaration. CALL compact then un-rags the whole snapshot under
+    // mixed-generation pruning both directions. Unknown transforms
+    // (`void(…)`) refuse at declaration — never stored as lying
+    // identity columns. CALL compact then un-rags the whole snapshot under
     // the day spec (contents witnessed identical) and the same raw
     // predicate prunes the entire table. Oracle replays the day slice.
     "pipe_partition_hidden" -> ((s, dir) => {
@@ -4041,13 +4101,15 @@ object DedupQueries extends QueryModule {
         s2.conf.set("spark.sql.catalog.graftcat",
           "graft.sources.GraftCatalog")
         s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
-        // Unsupported transforms refuse at declaration — never stored.
+        // Unsupported transforms refuse at declaration — never stored
+        // (truncate graduated to a supported transform in r20; the
+        // refusal witness keeps a genuinely-unknown shape).
         val refused = try {
-          s2.sql("CALL graftcat.evolve_layout('ev', 'truncate(4,ts_us)')")
+          s2.sql("CALL graftcat.evolve_layout('ev', 'void(ts_us)')")
             .collect(); false
         } catch { case _: Exception => true }
         require(refused,
-          "pipe_partition_hidden: truncate(…) must refuse at declaration")
+          "pipe_partition_hidden: void(…) must refuse at declaration")
         // The evolution: ONE metadata commit, zero data files.
         s2.sql("CALL graftcat.evolve_layout('ev', 'days(ts_us)')")
         val evolveAdds = VersionedTable.addedLines(table, 1L)
@@ -4117,6 +4179,111 @@ object DedupQueries extends QueryModule {
             matchAfter < files.size,
           "pipe_partition_hidden: post-compact raw predicate must " +
             "prune the whole table")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // TRUNCATE(n, col) HIDDEN PARTITIONING (r20) — the width
+    // transform completing the Iceberg family (VERDICT r19 #4):
+    // STRING columns segment by their first n characters (the
+    // id-prefix clustering common for document corpora), BIGINT/INT
+    // columns floor to a multiple of n — and an INTEGRAL segment
+    // covers exactly [seg, seg+n-1], so a plain range predicate on
+    // the RAW column prunes whole files like a zonemap, from path
+    // segments alone. Staged: DDL declares truncate(100, doc_id)
+    // (position-blind width like bucket), the INSERT lands hidden
+    // doc_id_trunc files, a BETWEEN probe plans exactly the matching
+    // segment's files, the layout EVOLVES to truncate(1, lang) in one
+    // metadata commit, the next INSERT lands letter segments, and
+    // equality + LIKE-prefix probes prune the new generation while
+    // old-generation files admit conservatively — mixed-generation
+    // discipline identical to days()/bucket(). SPJ over truncate
+    // (zero-Exchange co-located join via the V2 `truncate` function)
+    // is witnessed in GraftTableSpec. Oracle replays the range slice.
+    "pipe_partition_truncate" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_vtrunc_")
+      try {
+        val table = tmp.resolve("docs")
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.graftcat.root", tmp.toString)
+        s2.sql("""CREATE TABLE graftcat.docs
+                  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                  PARTITIONED BY (truncate(100, doc_id))""")
+        s2.sql(s"""INSERT INTO graftcat.docs
+                   SELECT doc_id, lang, n_chars
+                   FROM parquet.`$dir/documents.parquet`
+                   WHERE doc_id % 2 = 0""")
+        // The DDL bootstrap's zero-row file carries no segment and is
+        // admitted conservatively by every probe — count it.
+        val boot = VersionedTable.statsManifest(table, 0L).size
+        val gen1 = VersionedTable.addedLines(table, 1L)
+          .filterNot(VersionedTable.isMetaManifestLine)
+          .map(_.split('\t').head)
+        require(gen1.nonEmpty && gen1.forall(_.contains("doc_id_trunc=")),
+          s"pipe_partition_truncate: batch 1 must land hidden width " +
+            s"segments, got $gen1")
+        // HIDDEN: the derived segment is never a schema column.
+        val cols = s2.table("graftcat.docs").columns.toSeq
+        require(cols.sorted == Seq("doc_id", "lang", "n_chars"),
+          s"pipe_partition_truncate: doc_id_trunc leaked: $cols")
+        // An integral segment IS a zonemap: the raw BETWEEN probe
+        // plans exactly the matching segment's files.
+        val matching1 = gen1.count(_.contains("doc_id_trunc=100"))
+        def slice = s2.sql("SELECT doc_id, lang, n_chars " +
+          "FROM graftcat.docs WHERE doc_id BETWEEN 100 AND 199")
+        require(matching1 > 0 &&
+            slice.rdd.getNumPartitions == matching1 + boot &&
+            matching1 < gen1.size,
+          s"pipe_partition_truncate: range probe planned " +
+            s"${slice.rdd.getNumPartitions} files, expected $matching1 " +
+            s"of ${gen1.size}")
+        // …and an equality probe pins one segment the same way.
+        require(s2.sql("SELECT * FROM graftcat.docs WHERE doc_id = 250")
+            .rdd.getNumPartitions ==
+          gen1.count(_.contains("doc_id_trunc=200")) + boot,
+          "pipe_partition_truncate: equality probe must pin the one " +
+            "covering segment")
+        // EVOLVE to the string-prefix layout: one metadata commit.
+        s2.sql("CALL graftcat.evolve_layout('docs', 'truncate(1,lang)')")
+        val evolveAdds = VersionedTable.addedLines(table, 2L)
+        require(evolveAdds.size == 1 &&
+            evolveAdds.head.startsWith("PARTSPEC\t") &&
+            evolveAdds.head.endsWith("truncate(1,lang)"),
+          s"pipe_partition_truncate: expected one PARTSPEC line, got " +
+            s"$evolveAdds")
+        s2.sql(s"""INSERT INTO graftcat.docs
+                   SELECT doc_id, lang, n_chars
+                   FROM parquet.`$dir/documents.parquet`
+                   WHERE doc_id % 2 = 1""")
+        val gen2 = VersionedTable.addedLines(table, 3L)
+          .filterNot(VersionedTable.isMetaManifestLine)
+          .map(_.split('\t').head)
+        require(gen2.nonEmpty && gen2.forall(f =>
+            f.contains("lang_trunc=") && !f.contains("doc_id_trunc=")),
+          s"pipe_partition_truncate: batch 2 must land letter " +
+            s"segments, got $gen2")
+        // Equality and LIKE-prefix probes prune the NEW generation;
+        // old-generation files admit conservatively (no lang segment).
+        val oneLang = s2.sql(
+          "SELECT lang FROM graftcat.docs ORDER BY lang").head().getString(0)
+        val letter = oneLang.substring(0, 1)
+        val matching2 = gen2.count(_.contains(s"lang_trunc=$letter"))
+        val eqScan = s2.sql("SELECT * FROM graftcat.docs " +
+          s"WHERE lang = '$oneLang'").rdd.getNumPartitions
+        require(matching2 > 0 && matching2 < gen2.size &&
+            eqScan == matching2 + gen1.size + boot,
+          s"pipe_partition_truncate: lang probe scanned $eqScan, " +
+            s"expected $matching2 new + ${gen1.size}+$boot admits")
+        val likeScan = s2.sql("SELECT * FROM graftcat.docs " +
+          s"WHERE lang LIKE '$letter%'").rdd.getNumPartitions
+        require(likeScan == matching2 + gen1.size + boot,
+          s"pipe_partition_truncate: prefix probe scanned $likeScan, " +
+            s"expected $matching2 new + ${gen1.size} old-spec admits")
+        val out = slice.orderBy("doc_id")
+        val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
@@ -4401,19 +4568,23 @@ object DedupQueries extends QueryModule {
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
 
-    // MV WITH AVG (r19) — a production dashboard's first MV has an
-    // avg in it, and avg does NOT fold across deltas (old_avg +
-    // delta_avg is not the ratio). The DECLARATION rewrites each bare
-    // `avg(expr) AS name` into maintained sum+count PARTIAL columns
-    // (which fold by the ordinary SUM merge, through appends AND
-    // DV-delete negation alike), records the recombination as an
-    // MVAVG manifest line, and the serve face folds `CAST(sum AS
-    // DOUBLE)/count` back into the declared name. Witnessed in-path:
-    // the MV's physical schema holds the partials (no avg column to
-    // drift), the refresh stays O(delta), and the served fold is what
-    // the oracle replays — avg over everything-ingested-minus-deleted,
-    // computed with the SAME sum/count formula on both sides so the
-    // comparison is bit-exact.
+    // MV WITH AVG (r19, served shape r20) — a production dashboard's
+    // first MV has an avg in it, and avg does NOT fold across deltas
+    // (old_avg + delta_avg is not the ratio). The DECLARATION rewrites
+    // each bare `avg(expr) AS name` into maintained sum+count PARTIAL
+    // columns (which fold by the ordinary SUM merge, through appends
+    // AND DV-delete negation alike) PLUS the physically-stored served
+    // ratio recomputed from the merged partials at every refresh,
+    // records the fold as an MVAVG manifest line, and the connector
+    // HIDES the partials — so `SELECT * FROM cat.mv`, the very surface
+    // CALL create_mv declared the MV on, serves exactly the declared
+    // shape (ADVICE r19: the declared and served schemas must never
+    // disagree). Witnessed in-path: the physical schema holds ratio +
+    // partials, the catalog SQL read serves the declared three-column
+    // shape with the correct post-refresh avg, the refresh stays
+    // O(delta), and the oracle replays avg over everything-ingested-
+    // minus-deleted with the SAME sum/count formula on both sides so
+    // the comparison is bit-exact.
     "pipe_mv_avg" -> ((s, dir) => {
       import graft.operators.VersionedTable
       val tmp = graft.sources.GraftSession.stagingDir("graft_vmvavg_")
@@ -4429,11 +4600,11 @@ object DedupQueries extends QueryModule {
           "'SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars " +
           "FROM __BASE__ GROUP BY lang')").collect()
         val mvT = tmp.resolve("mv_avg")
-        // The rewrite witness: physical partials, never an avg column.
+        // The rewrite witness: stored ratio + maintained partials.
         val phys = VersionedTable.read(s2, mvT).columns.toSeq
-        require(phys == Seq("lang", "n_docs", "avg_chars__asum",
-            "avg_chars__acnt"),
-          s"pipe_mv_avg: expected rewritten partial columns, got $phys")
+        require(phys == Seq("lang", "n_docs", "avg_chars",
+            "avg_chars__asum", "avg_chars__acnt"),
+          s"pipe_mv_avg: expected ratio + partial columns, got $phys")
         // Appends and a distributed-key DV delete interleave below the
         // refresh (the key frame never touches the driver — see
         // pipe_mv_delete for why the DV route, not a predicate
@@ -4451,12 +4622,25 @@ object DedupQueries extends QueryModule {
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         require(res("delta_files_read") < res("base_files_total"),
           s"pipe_mv_avg: refresh was not incremental: $res")
+        // THE SQL SURFACE WITNESS (r20, ADVICE): the same catalog
+        // identifier create_mv declared the MV on serves the DECLARED
+        // schema — partials hidden, ratio present and post-refresh.
+        val sqlFace = s2.sql("SELECT * FROM graftcat.mv_avg")
+        require(sqlFace.columns.toSeq ==
+            Seq("lang", "n_docs", "avg_chars"),
+          "pipe_mv_avg: SELECT * through the catalog must serve the " +
+            s"declared shape, got ${sqlFace.columns.toSeq}")
         val out = VersionedTable.readMaterializedSql(s2, mvT)
           .orderBy("lang")
         require(out.columns.toSeq == Seq("lang", "n_docs", "avg_chars"),
           s"pipe_mv_avg: the serve face must fold partials back into " +
             s"the declared shape, got ${out.columns.toSeq}")
         val rows = out.collect()
+        // Library face and SQL face agree row-for-row.
+        val sqlRows = sqlFace.orderBy("lang").collect()
+        require(sqlRows.sameElements(rows),
+          "pipe_mv_avg: catalog SQL rows disagree with the library " +
+            "serve face")
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
@@ -5677,6 +5861,13 @@ object DedupQueries extends QueryModule {
         |  BETWEEN 1704844800000000 AND 1704931199999999
         |ORDER BY event_id""".stripMargin,
 
+    // The truncate(100, doc_id) range slice replayed relationally.
+    "pipe_partition_truncate" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id BETWEEN 100 AND 199
+        |ORDER BY doc_id""".stripMargin,
+
     // The storage-partitioned join replayed relationally: fact rows
     // under 80 joined to the per-lang dimension.
     "pipe_table_spj" ->
@@ -6158,6 +6349,19 @@ object DedupQueries extends QueryModule {
         |  WHERE doc_id % 6 <> 2
         |  UNION ALL
         |  SELECT doc_id, lang, n_chars FROM u1)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The snapshot-sync MERGE replayed relationally: the post-merge
+    // table IS the source snapshot (matched updates + inserts, with
+    // every source-absent row deleted).
+    "pipe_sql_merge_sync" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(n_chars + 1000 AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT CAST(doc_id + 2199023255552 AS BIGINT), lang,
+        |  CAST(n_chars AS BIGINT)
+        |FROM documents WHERE doc_id % 11 = 5
         |ORDER BY doc_id""".stripMargin
   )
 }

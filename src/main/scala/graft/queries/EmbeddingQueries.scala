@@ -25,9 +25,12 @@ object EmbeddingQueries extends QueryModule {
     * recall gates of the three ANN routes (k=3 ground truth). ONE
     * definition so the ground truth can never drift from the query the
     * driver hash-checks. */
-  private def knnPlan(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private def knnPlan(s: SparkSession, dir: String, k: Int,
+      corpusWhere: Option[String] = None): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val emb = corpusWhere.foldLeft(
+      Tables.embeddings(s, dir).select($"vec_id", $"embedding"))(
+      (df, p) => df.where(p))
     val probes = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
@@ -46,8 +49,10 @@ object EmbeddingQueries extends QueryModule {
     * recall is ALWAYS measured by brute-forcing a small fixed probe
     * set, so the gate is exactly the sampled audit a 100 TB deployment
     * runs beside its index build. Output is bounded at 3×|probes|. */
-  private def exactTop3(s: SparkSession, dir: String): Set[(Long, Long)] =
-    knnPlan(s, dir, 3).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+  private def exactTop3(s: SparkSession, dir: String,
+      corpusWhere: Option[String] = None): Set[(Long, Long)] =
+    knnPlan(s, dir, 3, corpusWhere).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
 
   /** The in-memory IVF route (emb_ivf_topk's body), factored so the
     * persisted-index variant can gate EXACT row equality against it:
@@ -176,7 +181,14 @@ object EmbeddingQueries extends QueryModule {
         res.insert(if (at < 0) res.size else at, (cid, csim))
         if (res.size > ef) res.remove(res.size - 1)
         adj(cid).foreach { nb =>
-          if (visited.add(nb)) cand.enqueue((nb, cosineLocal(q, vecs(nb))))
+          // TOMBSTONE-AWARE (r20): a DV-deleted neighbor has no stored
+          // row — its vector is gone, so it can be neither waypoint
+          // nor result (the Lucene live-docs serve model). Skip the
+          // dangling edge; a merge rebuild reclaims it. During build
+          // `vecs` holds every segment row, so this guard only ever
+          // fires on a post-delete serve.
+          if (vecs.contains(nb) && visited.add(nb))
+            cand.enqueue((nb, cosineLocal(q, vecs(nb))))
         }
       }
     }
@@ -1682,6 +1694,119 @@ object EmbeddingQueries extends QueryModule {
           require(post.map(_.toString).toSeq ==
               rows.map(_.toString).toSeq,
             "emb_hnsw_versioned: expire changed the served index")
+        }
+      } finally graft.streaming.EventStreams.deleteTree(tmp)
+    }),
+
+    // DV DELETES ON THE VERSIONED ANN INDEX (r20) — the lifecycle's
+    // last missing verb (ADVICE/VERDICT r19), and the GDPR shape every
+    // real vector store must serve: `deleteCommit` over vec_id
+    // publishes ONE O(kill-set) deletion-vector delta (no graph file
+    // rewritten, no corpus read), the scan hides the killed rows, and
+    // the greedy search is TOMBSTONE-AWARE — surviving rows' adjacency
+    // still names killed vec_ids, and those dangling edges are skipped
+    // (the Lucene live-docs model), never crashed on and never served.
+    // Gates, all in-path: (1) the delete delta is DV lines only —
+    // O(batch), zero data lines touched; (2) a post-delete serve never
+    // returns a killed vec_id — including one deliberately chosen
+    // BECAUSE it was a pre-delete top-3 result, so the gate can never
+    // pass vacuously; (3) TIME TRAVEL to the pre-delete version still
+    // serves the killed ids (the delete is a version, not a rewrite);
+    // (4) recall vs the exact top-3 over the SURVIVING corpus holds
+    // the 9/10 floor through the dangling edges; (5) a segment MERGE
+    // after the delete rebuilds from the DV-filtered read — the merged
+    // graph carries neither killed rows NOR dangling adjacency (the
+    // tombstone-reclaim compaction), and still serves killed-free.
+    "emb_hnsw_delete" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val tmp = graft.sources.GraftSession.stagingDir("graft_hnswdel_")
+      try {
+        val idx = tmp.resolve("graphd")
+        val S = 4
+        hnswCommitSegments(Tables.embeddings(s, dir)
+          .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e",
+            s"CAST(vec_id % $S AS INT) AS seg"),
+          idx, HnswEfC, HnswM, HnswMaxDeg)
+        val pre = hnswServeVersioned(s, idx, HnswEfServe, S)
+        val preRows = pre.out.collect()
+        // Kill set: a spread predicate PLUS two pre-delete top-3
+        // neighbors (non-vacuity by construction). Probes 0..9 live.
+        val servedKill = preRows.map(_.getLong(2))
+          .filter(_ >= 10).distinct.take(2)
+        require(servedKill.nonEmpty,
+          "emb_hnsw_delete: no pre-delete neighbor eligible to kill")
+        val killPred = s"(vec_id % 7 = 3 AND vec_id >= 10)"
+        val keys = Tables.embeddings(s, dir)
+          .where(killPred).select($"vec_id")
+          .union(servedKill.toSeq.toDF("vec_id")).distinct()
+        val v0 = VersionedTable.latestVersion(idx).get
+        VersionedTable.deleteCommit(s, idx, v0 + 1, keys, "vec_id")
+        val vDel = v0 + 1
+        // (1) O(kill-set): the delete delta adds DV lines ONLY and
+        // removes nothing — no graph file was rewritten.
+        val added = VersionedTable.addedLines(idx, vDel)
+        require(added.nonEmpty && added.forall(_.startsWith("DV\t")) &&
+            VersionedTable.removedLines(idx, vDel).isEmpty,
+          s"emb_hnsw_delete: the delete must publish a pure DV delta, " +
+            s"got $added")
+        val killed = keys.collect().map(_.getLong(0)).toSet
+        val killedInPre = preRows.count(r => killed(r.getLong(2)))
+        require(killedInPre >= 2,
+          "emb_hnsw_delete: the kill set must cover pre-delete results")
+        // (3) Time travel: the pre-delete version still serves them.
+        val tt = hnswServeVersioned(s, idx, HnswEfServe, S,
+          asOf = Some(v0))
+        require(tt.out.collect().map(_.toString).toSeq ==
+            preRows.map(_.toString).toSeq,
+          "emb_hnsw_delete: time travel must serve the pre-delete index")
+        // (2)+(4): post-delete serve over the tombstoned graph.
+        val h = hnswServeVersioned(s, idx, HnswEfServe, S)
+        val killedB = s.sparkContext.broadcast(killed)
+        QueryModule.gated("emb_hnsw_delete", h.out) { rows =>
+          val planStr = QueryModule.gatedPlans.get("emb_hnsw_delete")
+            .queryExecution.executedPlan.toString
+          require(!planStr.contains("embeddings.parquet"),
+            "emb_hnsw_delete: the serve plan scans the source corpus")
+          require(!rows.exists(r => killedB.value(r.getLong(2))),
+            "emb_hnsw_delete: a serve at the post-delete version " +
+              "returned a deleted vec_id")
+          require(h.visitedTotal() < h.nVec * h.nProbes,
+            "emb_hnsw_delete: the search is not cheaper than a " +
+              "brute-force scan")
+          val exact = exactTop3(s, dir, Some(
+            s"NOT ($killPred) AND vec_id NOT IN " +
+              servedKill.mkString("(", ",", ")")))
+          val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+          val overlap = exact.count(got)
+          require(overlap * 10 >= exact.size * 9,
+            s"emb_hnsw_delete recall gate: $overlap/${exact.size} " +
+              "exact surviving pairs recovered — below the 9/10 floor")
+          // (5) Tombstone reclaim: merge two segments — the rebuild
+          // reads the DV-filtered live rows, so the merged segment
+          // holds no killed row and no dangling edge.
+          val vM = hnswMergeCommit(s, idx, Seq(0, 1), S)
+          val merged = s.read.format("graft-table").load(idx.toString)
+            .where($"seg" === S)
+            .selectExpr("vec_id", "explode_outer(nbrs) AS nb").collect()
+          require(merged.nonEmpty &&
+              !merged.exists(r => killedB.value(r.getLong(0))) &&
+              !merged.exists(r => !r.isNullAt(1) &&
+                killedB.value(r.getLong(1))),
+            "emb_hnsw_delete: the merge rebuild must reclaim every " +
+              "killed row and dangling edge")
+          val post = hnswServeVersioned(s, idx, HnswEfServe, S)
+            .out.collect()
+          require(!post.exists(r => killedB.value(r.getLong(2))),
+            "emb_hnsw_delete: the post-merge serve returned a deleted " +
+              "vec_id")
+          val postGot = post.map(r => (r.getLong(0), r.getLong(2))).toSet
+          val postOverlap = exact.count(postGot)
+          require(postOverlap * 10 >= exact.size * 9,
+            s"emb_hnsw_delete post-merge recall: $postOverlap/" +
+              s"${exact.size} — below the 9/10 floor")
+          require(vM == vDel + 1,
+            "emb_hnsw_delete: the merge must be one atomic commit")
         }
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),

@@ -767,7 +767,14 @@ object EventsQueries extends QueryModule {
       // default heap-backed store first at 100 TB — so it runs on the
       // at-scale provider (off-heap RocksDB state, changelog-style
       // commits) and the driver's oracle proves the provider swap is
-      // semantics-preserving.
+      // semantics-preserving. Since r20 every RocksDB drain also runs
+      // CHANGELOG CHECKPOINTING (withStateProvider sets it): each
+      // batch commits its O(batch) changelog instead of a full
+      // O(state) snapshot — the dominant per-batch term for this
+      // drain. DrainProfile r20 (sf0.1, 3 reps interleaved):
+      // dedup rocksdb 3.55/3.57/4.45 s vs heap 3.17/3.24/3.76 s —
+      // the provider gap is down to the per-row JNI write cost, with
+      // the snapshot upload off the commit path.
       graft.streaming.EventStreams.withSplitEvents(s, dir, 3,
           redeliver = true) { (src, nf) =>
         graft.streaming.EventStreams.drainAppend(

@@ -50,13 +50,17 @@ import graft.operators.VersionedTable
 class GraftCatalog extends TableCatalog with ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
-  /** V2 FUNCTIONS (r18; time grains r19): `bucket` and
-    * `years`/`months`/`days`/`hours` — resolved by Spark's SPJ
-    * machinery when a scan reports a transform KeyGroupedPartitioning
-    * (see [[GraftBucketFunction]] / [[GraftTimeGrainFunction]]). */
+  /** V2 FUNCTIONS (r18; time grains r19; truncate r20): `bucket`,
+    * `truncate` and `years`/`months`/`days`/`hours` — resolved by
+    * Spark's SPJ machinery when a scan reports a transform
+    * KeyGroupedPartitioning (see [[GraftBucketFunction]] /
+    * [[GraftTruncateFunction]] / [[GraftTimeGrainFunction]]). */
   override def listFunctions(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    ("bucket" +: GraftTimeGrainFunction.all.keys.toArray.sorted)
+    // truncate_<n> resolves for ANY width via loadFunction's pattern
+    // face; the listing names one representative width.
+    (Array("bucket", "truncate_4") ++
+        GraftTimeGrainFunction.all.keys.toArray.sorted)
       .map(Identifier.of(Array.empty, _)).toArray
   }
 
@@ -64,6 +68,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
     if (ident.namespace.isEmpty && ident.name == "bucket")
       GraftBucketFunction
+    else if (ident.namespace.isEmpty &&
+        GraftTruncateFunction.forName(ident.name).isDefined)
+      GraftTruncateFunction.forName(ident.name).get
     else if (ident.namespace.isEmpty &&
         GraftTimeGrainFunction.all.contains(ident.name))
       GraftTimeGrainFunction.all(ident.name)
@@ -194,8 +201,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           "commit it as an ordinary graft table carrying the MVOF " +
           "refresh cursor and the MVSQL definition. Aggregate columns " +
           "must fold across deltas (BIGINT/DOUBLE): sum/count fold by " +
-          "SUM, bare avg is rewritten into sum+count partials (r19, " +
-          "recombined by readMaterializedSql), min/max fold for " +
+          "SUM, bare avg is rewritten into sum+count partials plus " +
+          "the stored served ratio (r20 — SELECT * serves the " +
+          "declared shape; the connector hides the partials), " +
+          "min/max fold for " +
           "append-only bases (DV deletes then refuse toward " +
           "re-create). create_mv(mv, base, group_cols, sql)",
         Seq(ProcedureParameter.in("mv", DataTypes.StringType).build(),
@@ -303,16 +312,26 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
           VersionedTable.latestVersion(idx) match {
             case Some(v) =>
-              // Overflow-safe span check: a stats-less manifest line
-              // carries (Long.MinValue, Long.MaxValue) and mx - mn
-              // overflows NEGATIVE — it must count as one opaque
-              // entry, never enumerate.
-              def segs(at: Long) = VersionedTable.statsManifest(idx, at)
-                .flatMap { case (_, mn, mx) =>
-                  val span = mx - mn
-                  if (mx >= mn && span >= 0 && span <= 1024) mn to mx
-                  else Seq(mn) }
-                .distinct.size.toLong
+              // EXACT segment count (r20): single-seg files (mn==mx,
+              // the normal per-segment commit shape) count from the
+              // manifest alone; the rare span file (a multi-seg
+              // commit, or a stats-less line) gets its seg column
+              // scanned — NEVER the old zonemap-range enumeration,
+              // which counted phantom ids the span covers but the
+              // file does not contain. Manifest-only cost in the
+              // common case, span-files-only scan otherwise.
+              def segs(at: Long) = {
+                val m = VersionedTable.statsManifest(idx, at)
+                val exact = m.collect {
+                  case (_, mn, mx) if mn == mx => mn }.toSet
+                val spanFiles = m.collect {
+                  case (f, mn, mx) if mn != mx => idx.resolve(f).toString }
+                val scanned = if (spanFiles.isEmpty) Set.empty[Long]
+                  else spark.read.parquet(spanFiles: _*)
+                    .selectExpr("CAST(seg AS BIGINT) AS seg").distinct()
+                    .collect().map(_.getLong(0)).toSet
+                (exact ++ scanned).size.toLong
+              }
               val before = segs(v)
               val v2 = graft.queries.EmbeddingQueries.hnswMergeCommit(
                 spark, idx, merge, in.getInt(2))
@@ -684,10 +703,28 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             s"graft catalog '$catalogName': bucket($n, $c) needs a " +
               s"BIGINT/INT/STRING column, got ${fieldOf(c).dataType.sql}")
           s"bucket($n,$c)"
+        case "truncate" =>
+          val c = singleRef(t)
+          // Width and column accepted in either order (the Iceberg
+          // Spark DDL ambiguity) — collectFirst is position-blind.
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.value().isInstanceOf[Int] =>
+              l.value().asInstanceOf[Int]
+          }.getOrElse(throw new IllegalArgumentException(
+            s"graft catalog '$catalogName': truncate transform needs " +
+              s"an INT width, got $t"))
+          require(Set[org.apache.spark.sql.types.DataType](
+              org.apache.spark.sql.types.LongType,
+              org.apache.spark.sql.types.IntegerType,
+              org.apache.spark.sql.types.StringType)(fieldOf(c).dataType),
+            s"graft catalog '$catalogName': truncate($n, $c) needs a " +
+              s"STRING/BIGINT/INT column, got ${fieldOf(c).dataType.sql}")
+          s"truncate($n,$c)"
         case other => throw new UnsupportedOperationException(
           s"graft catalog '$catalogName': unsupported partition " +
             s"transform '$other' — identity columns, years/months/" +
-            "days/hours(col), bucket(n, col)")
+            "days/hours(col), bucket(n, col), truncate(n, col)")
       }
     }
     require(partSpecSeq.distinct == partSpecSeq,

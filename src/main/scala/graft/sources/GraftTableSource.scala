@@ -160,12 +160,39 @@ object GraftTableSource {
       .filterNot(hidden)
   }
 
+  /** The connector Transform for `truncate(n, col)`: the
+    * width-parameterized named form `truncate_<n>(<col>)`, resolvable
+    * through the catalog's V2 function family for SPJ. The width must
+    * NOT ride as a literal argument — a literal leaf in the transform
+    * expression can never satisfy a join distribution
+    * (KeyGroupedPartitioning.satisfies0 matches every leaf against
+    * the clustering keys; Spark special-cases `bucket` for exactly
+    * this reason), so `truncate(50, col)` would silently plan
+    * shuffles forever. */
+  private[sources] def truncateTransform(n: Int, c: String)
+      : org.apache.spark.sql.connector.expressions.Transform =
+    org.apache.spark.sql.connector.expressions.Expressions.apply(
+      s"truncate_$n",
+      org.apache.spark.sql.connector.expressions.Expressions.column(c))
+
   /** Is `f` a shape a TRANSFORM spec can prune on its raw column?
     * days → the zonemap range shapes; bucket → equality shapes. */
   private[sources] def transformPrunable(
       f: Filter, t: graft.operators.PartTransform): Boolean = t match {
     case _: graft.operators.TimePart => prunable(f, t.rawCol)
     case _: graft.operators.BucketPart => partPrunable(f, Set(t.rawCol))
+    // truncate (r20): equality shapes always; an INTEGRAL layout's
+    // segment is a value range, so zonemap range shapes prune too
+    // (admits parses the segment — string segments stay conservative);
+    // a LIKE 'prefix%' probe whose prefix covers the width pins a
+    // STRING segment exactly.
+    case tp: graft.operators.TruncatePart =>
+      partPrunable(f, Set(t.rawCol)) || prunable(f, t.rawCol) ||
+        (f match {
+          case org.apache.spark.sql.sources.StringStartsWith(c, p) =>
+            c == t.rawCol && p.length >= tp.n
+          case _ => false
+        })
     case _ => false
   }
 
@@ -193,6 +220,28 @@ object GraftTableSource {
           case org.apache.spark.sql.sources.And(l, r) =>
             transformAdmits(l, t, segVal) && transformAdmits(r, t, segVal)
           case _ => true
+        }
+      case tp @ graft.operators.TruncatePart(_, c) =>
+        // Equality shapes map the probe through segmentValue — correct
+        // for STRING and INTEGRAL layouts alike (the probe's own type
+        // picks the derivation). Range shapes prune only INTEGRAL
+        // segments, whose covered range [seg, seg + n - 1] is exactly
+        // a zonemap; a string segment (longRange throws) stays
+        // conservative there.
+        def ok(x: Any): Boolean = tp.segmentValue(x) == segVal
+        f match {
+          case EqualTo(`c`, x) => ok(x)
+          case In(`c`, vs) => vs.isEmpty || vs.exists(ok)
+          case org.apache.spark.sql.sources.StringStartsWith(`c`, p)
+              if p.length >= tp.n =>
+            // A probe prefix at least as long as the width pins the
+            // segment exactly.
+            p.substring(0, tp.n) == segVal
+          case org.apache.spark.sql.sources.And(l, r) =>
+            transformAdmits(l, t, segVal) && transformAdmits(r, t, segVal)
+          case _ =>
+            val (lo, hi) = tp.longRange(segVal)
+            admits(f, c, lo, hi)
         }
       case _ => true
     } catch { case scala.util.control.NonFatal(_) => true }
@@ -282,7 +331,20 @@ object GraftTableSource {
             case (fields, ("dropcol", c, _)) =>
               fields.filterNot(_.name == c)
             case (fields, _) => fields
-          }
+          } match {
+          case mapped =>
+            // MV avg partials (r20): an MV declared with `avg(x) AS n`
+            // physically stores the served ratio `n` PLUS maintained
+            // `n__asum`/`n__acnt` partials (what the refresh folds).
+            // The partials are maintenance state, not declared shape —
+            // hide them, so SELECT * through the catalog serves
+            // exactly what CALL create_mv declared (ADVICE r19).
+            val partials = VersionedTable.mvAvgFolds(table, version)
+              .filter(f => mapped.exists(_.name == f._1)) // ratio stored
+              .flatMap(f => Seq(f._2, f._3)).toSet
+            if (partials.isEmpty) mapped
+            else mapped.filterNot(f => partials.contains(f.name))
+        }
     })
   }
 
@@ -453,9 +515,13 @@ private[sources] class GraftTable(path: String, schema0: StructType,
           org.apache.spark.sql.connector.expressions.Expressions.hours(c)
         case graft.operators.MonthsPart(c) =>
           org.apache.spark.sql.connector.expressions.Expressions.months(c)
+        case graft.operators.YearsPart(c) =>
+          org.apache.spark.sql.connector.expressions.Expressions.years(c)
         case graft.operators.BucketPart(n, c) =>
           org.apache.spark.sql.connector.expressions.Expressions
             .bucket(n, c)
+        case graft.operators.TruncatePart(n, c) =>
+          GraftTableSource.truncateTransform(n, c)
         case t => org.apache.spark.sql.connector.expressions.Expressions
           .identity(t.rawCol)
       }.toArray
@@ -932,6 +998,8 @@ private[sources] class GraftScan(path: String, version: Long,
           case graft.operators.HoursPart(c) =>
             org.apache.spark.sql.connector.expressions.Expressions
               .hours(c): Expression
+          case graft.operators.TruncatePart(n, c) =>
+            GraftTableSource.truncateTransform(n, c): Expression
           case t =>
             org.apache.spark.sql.connector.expressions.Expressions
               .identity(t.rawCol): Expression

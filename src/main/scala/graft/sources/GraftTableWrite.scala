@@ -98,6 +98,13 @@ private[sources] class GraftWrite(path: String, schema: StructType,
             org.apache.spark.sql.types.StringType)(f.dataType),
           s"graft-table: ${t.spec} needs a BIGINT/INT/STRING column, " +
             s"got ${f.dataType.sql}")
+      case _: graft.operators.TruncatePart =>
+        require(Set[org.apache.spark.sql.types.DataType](
+            org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.StringType)(f.dataType),
+          s"graft-table: ${t.spec} needs a STRING/BIGINT/INT column, " +
+            s"got ${f.dataType.sql}")
     }
   }
 

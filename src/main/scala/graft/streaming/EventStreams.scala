@@ -1366,13 +1366,31 @@ object EventStreams {
     if (!rocksdb) body
     else {
       val key = "spark.sql.streaming.stateStore.providerClass"
+      // CHANGELOG CHECKPOINTING (r20, VERDICT r19 #6): commit each
+      // micro-batch's state CHANGELOG instead of a full RocksDB
+      // snapshot — for data-sized state (the dedup key set) the
+      // full-snapshot upload is the dominant per-batch cost, and the
+      // changelog is O(batch) where the snapshot is O(state).
+      // Snapshots still happen, just asynchronously every N commits
+      // (Spark's maintenance interval). Pure durability-strategy knob:
+      // same state semantics, same oracle.
+      val clKey = "spark.sql.streaming.stateStore.rocksdb" +
+        ".changelogCheckpointing.enabled"
       val prev = spark.conf.getOption(key)
+      val prevCl = spark.conf.getOption(clKey)
       spark.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(clKey, "true")
       try body
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
+      finally {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+        prevCl match {
+          case Some(v) => spark.conf.set(clKey, v)
+          case None    => spark.conf.unset(clKey)
+        }
       }
     }
 

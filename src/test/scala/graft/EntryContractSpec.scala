@@ -16,7 +16,7 @@ class EntryContractSpec extends AnyFunSuite {
     "emb_ann_topk", "emb_ivf_topk", "emb_ivf_persisted", "emb_ivf_append",
     "emb_ivfpq_persisted",
     "emb_hnsw_topk", "emb_hnsw_append", "emb_hnsw_merge",
-    "emb_hnsw_routed", "emb_hnsw_versioned",
+    "emb_hnsw_routed", "emb_hnsw_versioned", "emb_hnsw_delete",
     "emb_pq_persisted",
     "emb_pq_topk",
     "emb_kmeans",

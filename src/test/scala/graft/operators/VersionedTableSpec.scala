@@ -1487,7 +1487,7 @@ class VersionedTableSpec extends SparkSpec {
     // zero buckets — never stored, always loud.
     intercept[IllegalArgumentException] {
       VersionedTable.evolvePartitionLayout(spark, t,
-        Seq("truncate(4,ts_us)"))
+        Seq("void(ts_us)")) // truncate graduated in r20; void is unknown
     }
     intercept[IllegalArgumentException] {
       VersionedTable.evolvePartitionLayout(spark, t, Seq("days(kind)"))
@@ -1631,10 +1631,12 @@ class VersionedTableSpec extends SparkSpec {
         .toDF("id", "g", "v"))
     VersionedTable.createMaterializedSql(spark, base, mv, Seq("g"),
       "SELECT g, count(*) AS n, avg(v) AS avg_v FROM __BASE__ GROUP BY g")
-    // The declaration REWROTE avg into maintained partials: the MV's
-    // physical schema holds sum/count, never an avg column.
+    // The declaration REWROTE avg into the stored served ratio PLUS
+    // maintained partials (r20: the ratio is physical so every SQL
+    // surface serves the declared shape; the partials are what the
+    // refresh folds and the connector hides).
     assert(VersionedTable.read(spark, mv).columns.toSeq ==
-      Seq("g", "n", "avg_v__asum", "avg_v__acnt"))
+      Seq("g", "n", "avg_v", "avg_v__asum", "avg_v__acnt"))
     assert(VersionedTable.mvAvgFolds(mv, 0L) ==
       Seq(("avg_v", "avg_v__asum", "avg_v__acnt")))
     def served(): Seq[(String, Long, Option[Double])] =

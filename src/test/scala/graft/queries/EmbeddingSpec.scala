@@ -110,6 +110,49 @@ class EmbeddingSpec extends SparkSpec {
     } finally sys.props -= "spark.graft.hnsw.maxTaskRows"
   }
 
+  test("versioned index DV delete: tombstone-aware serve never returns a killed vec_id") {
+    import spark.implicits._
+    import graft.operators.VersionedTable
+    val tmp = graft.sources.GraftSession.stagingDir("graft_hnswdel_spec_")
+    try {
+      val idx = tmp.resolve("g")
+      // 36 deterministic 8-dim vectors over 3 segments.
+      def vec(i: Long): Seq[Double] =
+        Seq.tabulate(8)(d => ((i * 31 + d * 7) % 13).toDouble + 1.0)
+      val base = (0L until 36L).map(i => (i, vec(i), (i % 3).toInt))
+        .toDF("vec_id", "e", "seg")
+      EmbeddingQueries.hnswCommitSegments(base, idx, efC = 8, m = 4,
+        maxDeg = 8)
+      val pre = EmbeddingQueries.hnswServeVersioned(spark, idx,
+        efServe = 16, segments = 3)
+      val preRows = pre.out.collect()
+      // Kill a vec_id the pre-delete serve RETURNED (non-vacuous) plus
+      // a spread of others; probes (vec_id < 10) stay alive.
+      val killFromServe = preRows.map(_.getLong(2)).filter(_ >= 10).head
+      val killed = Set(killFromServe, 11L, 23L, 35L)
+      VersionedTable.deleteCommit(spark, idx,
+        VersionedTable.latestVersion(idx).get + 1,
+        killed.toSeq.toDF("vec_id"), "vec_id")
+      // The stored graph still carries dangling edges (the DV hides
+      // rows, it rewrites nothing) — the serve must walk THROUGH that.
+      val dangling = spark.read.format("graft-table")
+        .option("version", "0").load(idx.toString)
+        .selectExpr("explode(nbrs) AS nb")
+        .where($"nb".isin(killed.toSeq.map(Long.box): _*)).count()
+      assert(dangling > 0, "expected dangling adjacency after the DV")
+      val post = EmbeddingQueries.hnswServeVersioned(spark, idx,
+        efServe = 16, segments = 3).out.collect()
+      assert(post.nonEmpty)
+      assert(!post.exists(r => killed(r.getLong(2))),
+        "a post-delete serve returned a deleted vec_id")
+      // Time travel: version 0 still serves the killed neighbor.
+      val tt = EmbeddingQueries.hnswServeVersioned(spark, idx,
+        efServe = 16, segments = 3, asOf = Some(0L)).out.collect()
+      assert(tt.map(_.toString).toSeq == preRows.map(_.toString).toSeq)
+      assert(tt.exists(r => killed(r.getLong(2))))
+    } finally graft.streaming.EventStreams.deleteTree(tmp)
+  }
+
   test("emb_cosine_pairs refuses to build above the O(n²) yardstick ceiling") {
     import spark.implicits._
     // 10001 vectors: one past the cap. The guard's count() runs before

@@ -438,6 +438,52 @@ class GraftCatalogSpec extends SparkSpec {
     assert(VersionedTable.commitKind(t, 1L).contains("update"))
   }
 
+  test("MERGE … NOT MATCHED BY SOURCE: the sync clauses, no wrongful group pruning") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cat_nmbs_")
+    val t = root.resolve("nums")
+    // 4 stats-less files; the source matches keys in ONE of them. The
+    // correctness trap (r20): runtime group filtering must NOT prune
+    // the rewrite to the matching file — source-ABSENT rows live in
+    // the other three, and the NOT MATCHED BY SOURCE clause must reach
+    // them. Spark plans the runtime filter only for merges without
+    // the clause; this case would silently keep dead rows if that
+    // ever regressed.
+    VersionedTable.commit(spark, t, 0L,
+      spark.range(0, 100).selectExpr("id", "id AS v")
+        .repartitionByRange(4, $"id"))
+    val s2 = session(root)
+    // Source: ids 10..19 bumped (all in file 0's range), 200..204 new.
+    s2.range(10, 20).selectExpr("id", "CAST(-5 AS BIGINT) AS v")
+      .union(s2.range(200, 205).selectExpr("id", "CAST(-6 AS BIGINT) AS v"))
+      .createOrReplaceTempView("snap")
+    s2.sql("""MERGE INTO g.nums t USING snap u ON t.id = u.id
+              WHEN MATCHED THEN UPDATE SET v = u.v
+              WHEN NOT MATCHED THEN INSERT (id, v) VALUES (u.id, u.v)
+              WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val got = s2.sql("SELECT id, v FROM g.nums ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == ((10L until 20L).map((_, -5L)) ++
+      (200L until 205L).map((_, -6L))),
+      s"sync result wrong: $got")
+    assert(VersionedTable.commitKind(t, 1L).contains("update"))
+    // The UPDATE variant of the clause: source-absent rows take a
+    // sentinel instead of dying.
+    val t2 = root.resolve("nums2")
+    VersionedTable.commit(spark, t2, 0L,
+      spark.range(0, 20).selectExpr("id", "id AS v")
+        .repartitionByRange(2, $"id"))
+    s2.range(0, 5).selectExpr("id", "CAST(-7 AS BIGINT) AS v")
+      .createOrReplaceTempView("snap2")
+    s2.sql("""MERGE INTO g.nums2 t USING snap2 u ON t.id = u.id
+              WHEN MATCHED THEN UPDATE SET v = u.v
+              WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -9""")
+    val got2 = s2.sql("SELECT id, v FROM g.nums2 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == (0L until 20L).map(i => (i, if (i < 5) -7L else -9L)),
+      s"NMBS UPDATE result wrong: $got2")
+  }
+
   test("CALL procedures run the maintenance verbs from plain SQL") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_cat_spec_")
@@ -1184,6 +1230,122 @@ class GraftCatalogSpec extends SparkSpec {
     assert(tsSpj.count() > 0)
   }
 
+  test("years-transform SPJ: zero shuffles via the V2 years function") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val root = staged()
+    val s2 = session(root)
+    // 4 distinct years of epoch micros; equal instants share a year.
+    def yUs(y: Long) = java.time.LocalDate.of(2020 + y.toInt, 1, 1)
+      .toEpochDay * 86400000000L
+    def mk(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      val t = root.resolve(name)
+      VersionedTable.commit(spark, t, 0L, rows)
+      VersionedTable.evolvePartitionLayout(spark, t, Seq("years(ts_us)"))
+      VersionedTable.compactCommit(spark, t, files = 2)
+    }
+    mk("yfact", (0L until 120L).map(i => (yUs(i % 4) + i % 3, i))
+      .toDF("ts_us", "v"))
+    mk("ydim", (0L until 4L).flatMap(y => (0L until 3L).map(k =>
+      (yUs(y) + k, y * 10 + k))).toDF("ts_us", "w"))
+    def shuffles(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }.size
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    def joined() = s2.sql(
+      "SELECT f.ts_us, f.v, d.w FROM g.yfact f JOIN g.ydim d " +
+        "ON f.ts_us = d.ts_us")
+    assert(shuffles(joined()) == 2)
+    s2.conf.set("spark.graft.planning.preserveDataGrouping", "true")
+    val spj = joined()
+    assert(shuffles(spj) == 0,
+      s"years SPJ must plan no Exchange:\n${spj.queryExecution.executedPlan}")
+    val expected = (0L until 120L).map(i => (yUs(i % 4) + i % 3, i))
+      .map { case (ts, v) =>
+        val y = (0L until 4L).find(d => ts >= yUs(d) && ts < yUs(d + 1)).get
+        (ts, v, y * 10 + ts % 3)
+      }.sorted
+    assert(spj.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).sorted.toSeq == expected)
+    assert(spj.rdd.getNumPartitions == 4,
+      s"expected 4 year-grouped tasks, got ${spj.rdd.getNumPartitions}")
+  }
+
+  test("truncate-transform SPJ: zero shuffles via the V2 truncate function") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val root = staged()
+    val s2 = session(root)
+    def mk(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      val t = root.resolve(name)
+      VersionedTable.commit(spark, t, 0L, rows)
+      VersionedTable.evolvePartitionLayout(spark, t,
+        Seq("truncate(50,id)"))
+      VersionedTable.compactCommit(spark, t, files = 2)
+    }
+    mk("trfact", (0L until 200L).map(i => (i, i * 3)).toDF("id", "v"))
+    mk("trdim", (0L until 200L by 2).map(i => (i, i * 7)).toDF("id", "w"))
+    def shuffles(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }.size
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    def joined() = s2.sql(
+      "SELECT f.id, f.v, d.w FROM g.trfact f JOIN g.trdim d ON f.id = d.id")
+    assert(shuffles(joined()) == 2)
+    // truncate(50, id) resolves through the catalog's V2 `truncate`
+    // function — equal ids share a width segment by construction.
+    s2.conf.set("spark.graft.planning.preserveDataGrouping", "true")
+    val spj = joined()
+    assert(shuffles(spj) == 0,
+      s"truncate SPJ must plan no Exchange:\n" +
+        s"${spj.queryExecution.executedPlan}")
+    assert(spj.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).sorted.toSeq ==
+      (0L until 200L by 2).map(i => (i, i * 3, i * 7)))
+    // Mismatched widths must never claim compatibility.
+    val t3 = root.resolve("trdim25")
+    VersionedTable.commit(spark, t3, 0L,
+      (0L until 200L by 2).map(i => (i, i * 7)).toDF("id", "w"))
+    VersionedTable.evolvePartitionLayout(spark, t3,
+      Seq("truncate(25,id)"))
+    VersionedTable.compactCommit(spark, t3, files = 2)
+    assert(shuffles(s2.sql("SELECT f.id, f.v, d.w FROM g.trfact f " +
+      "JOIN g.trdim25 d ON f.id = d.id")) > 0,
+      "truncate(50) vs truncate(25) must fall back to shuffle")
+  }
+
+  test("Table.partitioning() round-trips every declared transform") {
+    import spark.implicits._
+    val root = staged()
+    val s2 = session(root)
+    // One table per transform family; partitioning() must report the
+    // DECLARED layout, never identity (the r19 years() fallthrough).
+    val declared = Seq(
+      "years(ts_us)" -> "years(ts_us)",
+      "months(ts_us)" -> "months(ts_us)",
+      "days(ts_us)" -> "days(ts_us)",
+      "hours(ts_us)" -> "hours(ts_us)",
+      "bucket(8,id)" -> "bucket(8, id)",
+      // The width rides the NAME (truncate_100), never a literal
+      // argument — a literal leaf can never satisfy a join
+      // distribution (see GraftTruncateFunction's doc).
+      "truncate(100,id)" -> "truncate_100(id)")
+    declared.zipWithIndex.foreach { case ((spec, rendered), i) =>
+      val t = root.resolve(s"rt$i")
+      VersionedTable.commit(spark, t, 0L,
+        Seq((1704067200000000L, 1L, "x")).toDF("ts_us", "id", "s"))
+      VersionedTable.evolvePartitionLayout(spark, t, Seq(spec))
+      val table = new GraftTableSource().getTable(null, Array.empty,
+        new java.util.HashMap[String, String]() {
+          put("path", t.toString) })
+      val got = table.partitioning().map(_.describe()).toSeq
+      assert(got == Seq(rendered),
+        s"$spec round-tripped as $got")
+    }
+  }
+
   test("one-side-shuffle SPJ: a plain frame hashes through the V2 bucket function") {
     import spark.implicits._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -1259,8 +1421,10 @@ class GraftCatalogSpec extends SparkSpec {
         "PARTITIONED BY (days(s))")
     }
     intercept[Exception] {
+      // truncate graduated in r20 (STRING s is now legal); an unknown
+      // transform still refuses.
       s2.sql("CREATE TABLE g.evbad2 (id BIGINT, s STRING) " +
-        "PARTITIONED BY (truncate(4, s))")
+        "PARTITIONED BY (void(s))")
     }
     // bucket DDL bootstraps too.
     s2.sql("""CREATE TABLE g.evb (id BIGINT, v BIGINT)
