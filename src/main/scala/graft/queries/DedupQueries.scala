@@ -4231,7 +4231,7 @@ object DedupQueries extends QueryModule {
           s"pipe_partition_truncate: doc_id_trunc leaked: $cols")
         // An integral segment IS a zonemap: the raw BETWEEN probe
         // plans exactly the matching segment's files.
-        val matching1 = gen1.count(_.contains("doc_id_trunc=100"))
+        val matching1 = gen1.count(_.contains("doc_id_trunc=100/"))
         def slice = s2.sql("SELECT doc_id, lang, n_chars " +
           "FROM graftcat.docs WHERE doc_id BETWEEN 100 AND 199")
         require(matching1 > 0 &&
@@ -4243,7 +4243,7 @@ object DedupQueries extends QueryModule {
         // …and an equality probe pins one segment the same way.
         require(s2.sql("SELECT * FROM graftcat.docs WHERE doc_id = 250")
             .rdd.getNumPartitions ==
-          gen1.count(_.contains("doc_id_trunc=200")) + boot,
+          gen1.count(_.contains("doc_id_trunc=200/")) + boot,
           "pipe_partition_truncate: equality probe must pin the one " +
             "covering segment")
         // EVOLVE to the string-prefix layout: one metadata commit.
@@ -4270,7 +4270,7 @@ object DedupQueries extends QueryModule {
         val oneLang = s2.sql(
           "SELECT lang FROM graftcat.docs ORDER BY lang").head().getString(0)
         val letter = oneLang.substring(0, 1)
-        val matching2 = gen2.count(_.contains(s"lang_trunc=$letter"))
+        val matching2 = gen2.count(_.contains(s"lang_trunc=$letter/"))
         val eqScan = s2.sql("SELECT * FROM graftcat.docs " +
           s"WHERE lang = '$oneLang'").rdd.getNumPartitions
         require(matching2 > 0 && matching2 < gen2.size &&
