@@ -186,9 +186,12 @@ object EmbeddingQueries extends QueryModule {
           // nor result (the Lucene live-docs serve model). Skip the
           // dangling edge; a merge rebuild reclaims it. During build
           // `vecs` holds every segment row, so this guard only ever
-          // fires on a post-delete serve.
-          if (vecs.contains(nb) && visited.add(nb))
-            cand.enqueue((nb, cosineLocal(q, vecs(nb))))
+          // fires on a post-delete serve. ONE map lookup (this loop is
+          // the build/serve hot path — a contains+apply pair measurably
+          // taxes every insertion).
+          val v = vecs.getOrElse(nb, null)
+          if ((v ne null) && visited.add(nb))
+            cand.enqueue((nb, cosineLocal(q, v)))
         }
       }
     }
