@@ -823,7 +823,8 @@ object VersionedTable {
       aggDelta: DataFrame => DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame,
       negateDelta: Option[DataFrame => DataFrame] = None,
-      dropDeadGroups: DataFrame => DataFrame = identity)
+      dropDeadGroups: DataFrame => DataFrame = identity,
+      repair: DataFrame => DataFrame = identity)
       : (Long, Int, Int) = {
     val mvV = latestVersion(mv).getOrElse(
       throw new IllegalArgumentException(
@@ -917,8 +918,12 @@ object VersionedTable {
     val folded = negatives.foldLeft(
       positive.fold(read(s, mv, Some(mvV)))(d =>
         merge(read(s, mv, Some(mvV)), aggDelta(d))))(merge)
+    // `repair` (r20): the caller's post-merge fix-up pass — the
+    // extremum-ledger hook (groups whose deleted rows TIED a standing
+    // min/max recompute from the base; everything else rides the
+    // incremental fold). Identity when no deletes ran.
     val merged =
-      if (negatives.isEmpty) folded else dropDeadGroups(folded)
+      if (negatives.isEmpty) folded else repair(dropDeadGroups(folded))
     // KIND=update: the refresh is a copy-on-write rewrite of the MV —
     // a change feed on the MV replays it as preimage/postimage pairs
     // instead of refusing an unannotated rewrite. The MVSQL definition
@@ -1389,33 +1394,78 @@ object VersionedTable {
     }
     val foldOps = mvFoldOps(mv, mvV)
     val avgFolds = mvAvgFolds(mv, mvV)
+    // Killed-row frames captured per DV for the extremum repair pass
+    // below — the negation closure runs once per DV inside the walk.
+    val killedFrames = scala.collection.mutable.ArrayBuffer
+      .empty[DataFrame]
     refreshMaterialized(s, base, mv,
       aggDelta = df => runMvSql(s, sql, df),
       merge = (old, delta) =>
         mvMerge(groupCols, old, delta, foldOps, avgFolds),
       // DV-delete subtraction: aggregate the killed rows with the
-      // stored statement, then NEGATE every aggregate column — the
+      // stored statement, then NEGATE every sum-foldable column — the
       // ordinary merge folds it in (sum-mergeability is exactly what
-      // createMaterializedSql validated).
+      // createMaterializedSql validated). EXTREMUM columns (r20) are
+      // not subtractable, so their negation emits NULL (which the
+      // min/max merge folds away); whether a deletion actually REMOVED
+      // an extremum is decided by the repair pass below, per group.
       negateDelta = Some { killed =>
-        require(foldOps.isEmpty,
-          "refreshMaterializedSql: this MV maintains min/max columns " +
-            s"(${foldOps.keys.toSeq.sorted.mkString(", ")}) — a delete " +
-            "may have removed the extremum, and min/max are not " +
-            "subtractable; re-create the MV from the current snapshot")
         require(countStarCol.isDefined,
           "refreshMaterializedSql: a DV-delete refresh needs a " +
             "count(*) aggregate column in the MV definition to detect " +
             "emptied groups — re-create the MV (or declare it with " +
             "count(*))")
+        if (foldOps.nonEmpty) killedFrames += killed
         val agg = runMvSql(s, sql, killed)
         agg.select(agg.columns.map(c =>
           if (groupCols.contains(c)) col(c)
+          else if (foldOps.contains(c))
+            org.apache.spark.sql.functions.lit(null)
+              .cast(agg.schema(c).dataType).as(c)
           else (org.apache.spark.sql.functions.lit(0) - col(c)).as(c))
           .toIndexedSeq: _*)
       },
       dropDeadGroups = df =>
-        countStarCol.fold(df)(c => df.where(col(c) > 0)))
+        countStarCol.fold(df)(c => df.where(col(c) > 0)),
+      // EXTREMUM REPAIR (r20, the r19 verdict's last missing verb):
+      // min/max fold incrementally through a DV delete UNLESS the
+      // deleted rows' per-group extremum TIES the merged one — the
+      // pre-repair merged extremum folds over every row ever appended
+      // (deletes only NULL out), so killed_min >= merged_min always,
+      // and equality is exactly "the standing extremum may be among
+      // the dead". Only TIED groups recompute, from the CURRENT base
+      // snapshot restricted to those groups (broadcast semi-join on
+      // the group keys — layout pruning on group columns applies);
+      // the common delete-misses-the-extremum case stays O(delta),
+      // and the rare tie costs the affected groups' rows, never a
+      // whole-MV re-create. A fully-emptied group always ties, lands
+      // in the affected set, and recomputes to zero rows — vanishing
+      // exactly like the count(*)-detected death.
+      repair = { merged =>
+        if (foldOps.isEmpty || killedFrames.isEmpty) merged
+        else {
+          import org.apache.spark.sql.functions.broadcast
+          val killedAgg = runMvSql(s, sql,
+            killedFrames.reduce(_ unionByName _))
+          val m = merged.alias("m")
+          val k = killedAgg.alias("k")
+          val on = groupCols.map(c =>
+            col(s"m.$c") <=> col(s"k.$c")).reduce(_ && _)
+          val tie = foldOps.toSeq.map { case (c, op) =>
+            if (op == "min") col(s"k.$c") <= col(s"m.$c")
+            else col(s"k.$c") >= col(s"m.$c")
+          }.reduce(_ || _)
+          val affected = m.join(k, on).where(tie)
+            .select(groupCols.map(c => col(s"m.$c")): _*).distinct()
+          val bv = latestVersion(base).get
+          val recomputed = runMvSql(s, sql,
+            snapshotWithPartitions(s, base, bv)
+              .join(broadcast(affected), groupCols, "left_semi"))
+          merged.join(broadcast(affected), groupCols, "left_anti")
+            .unionByName(recomputed)
+            .select(merged.columns.map(col).toIndexedSeq: _*)
+        }
+      })
   }
 
   /** The CHECK constraints live at a version, in declaration order.

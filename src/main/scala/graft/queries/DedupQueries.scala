@@ -4685,29 +4685,26 @@ object DedupQueries extends QueryModule {
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         require(res("delta_files_read") < res("base_files_total"),
           s"pipe_mv_minmax: refresh was not incremental: $res")
+        // DV DELETES (r20, the r19 refusal closed): min/max are not
+        // subtractable, but whether a deletion REMOVED an extremum is
+        // decidable per group — the refresh folds sum columns by
+        // negation, and recomputes ONLY groups whose killed extremum
+        // TIED the standing one (VersionedTableSpec witnesses the
+        // incremental/repair split deterministically). The deleted
+        // set below includes the doubled clones (every lang's standing
+        // max where present) AND plain interior rows, so both paths
+        // run; the oracle replays min/max over ingested-minus-deleted.
+        val docsT = tmp.resolve("docs")
+        VersionedTable.deleteCommit(s2, docsT,
+          VersionedTable.latestVersion(docsT).get + 1,
+          s2.sql("SELECT doc_id FROM graftcat.docs " +
+            "WHERE doc_id % 20 = 0 OR doc_id % 13 = 4"),
+          "doc_id")
+        s2.sql("CALL graftcat.refresh_mv('mv_mm', 'docs')").collect()
         val out = s2.sql(
           "SELECT lang, n_docs, min_chars, max_chars FROM graftcat.mv_mm")
           .orderBy("lang")
         val rows = out.collect()
-        // The DV-delete refusal, witnessed in-path AFTER the output
-        // snapshot: deletes may kill an extremum, so the refresh must
-        // refuse toward re-create rather than serve a wrong min/max.
-        val docsT = tmp.resolve("docs")
-        VersionedTable.deleteCommit(s2, docsT,
-          VersionedTable.latestVersion(docsT).get + 1,
-          s2.sql("SELECT doc_id FROM graftcat.docs WHERE doc_id % 20 = 0"),
-          "doc_id")
-        val refused = try {
-          s2.sql("CALL graftcat.refresh_mv('mv_mm', 'docs')").collect()
-          false
-        } catch { case e: Exception =>
-          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-            .exists(c => Option(c.getMessage)
-              .exists(_.contains("not subtractable")))
-        }
-        require(refused,
-          "pipe_mv_minmax: a DV delete below a min/max MV must refuse " +
-            "the refresh toward re-create")
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally graft.streaming.EventStreams.deleteTree(tmp)
     }),
@@ -6275,6 +6272,9 @@ object DedupQueries extends QueryModule {
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // The min/max MV replayed relationally over base + clones.
+    // Ingested-minus-deleted (r20): the DV delete below the min/max MV
+    // folds/repairs instead of refusing, so the oracle replays the
+    // extrema over the surviving rows.
     "pipe_mv_minmax" ->
       """WITH full_set AS (
         |  SELECT doc_id, lang, n_chars FROM documents
@@ -6287,6 +6287,7 @@ object DedupQueries extends QueryModule {
         |  CAST(min(n_chars) AS BIGINT) AS min_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM full_set
+        |WHERE NOT (doc_id % 20 = 0 OR doc_id % 13 = 4)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Partition-scoped compaction is content-preserving maintenance:

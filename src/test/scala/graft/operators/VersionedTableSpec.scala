@@ -1743,7 +1743,7 @@ class VersionedTableSpec extends SparkSpec {
       .toSeq == (18L until 30L))
   }
 
-  test("MV min/max: append-only incremental fold; DV deletes refuse toward re-create") {
+  test("MV min/max: incremental folds; DV deletes repair only extremum-tied groups") {
     import spark.implicits._
     val base = freshTable()
     val mv = base.resolveSibling("mv_mm")
@@ -1767,14 +1767,39 @@ class VersionedTableSpec extends SparkSpec {
         .toDF("id", "g", "v"))
     VersionedTable.refreshMaterializedSql(spark, base, mv)
     assert(served() == Seq(("a", 3L, 10L, 50L), ("b", 3L, 2L, 7L)))
-    // A DV delete may have removed an extremum — min/max are not
-    // subtractable, so the refresh refuses toward re-create.
+    // DV deletes (r20): min/max are not subtractable, but whether a
+    // deletion REMOVED an extremum is decidable per group — the
+    // killed rows' extremum TIES the standing one exactly when the
+    // extremum row may be dead. A delete that MISSES every extremum
+    // folds incrementally (no base recompute); one that HITS an
+    // extremum recomputes ONLY the affected group.
+    // id=6 (b, v=5): strictly inside b's [2, 7] — extrema untouched.
+    VersionedTable.deleteCommit(spark, base,
+      VersionedTable.latestVersion(base).get + 1, Seq(6L).toDF("id"), "id")
+    VersionedTable.refreshMaterializedSql(spark, base, mv)
+    assert(served() == Seq(("a", 3L, 10L, 50L), ("b", 2L, 2L, 7L)))
+    // id=4 (a, v=50): a's standing max — the affected-group repair
+    // recomputes a from the base; b rides the incremental fold.
     VersionedTable.deleteCommit(spark, base,
       VersionedTable.latestVersion(base).get + 1, Seq(4L).toDF("id"), "id")
-    val e = intercept[IllegalArgumentException] {
-      VersionedTable.refreshMaterializedSql(spark, base, mv)
-    }
-    assert(e.getMessage.contains("not subtractable"))
+    VersionedTable.refreshMaterializedSql(spark, base, mv)
+    assert(served() == Seq(("a", 2L, 10L, 30L), ("b", 2L, 2L, 7L)))
+    // A whole group dying always ties its own extremum — the repair
+    // recomputes it to zero rows and the group vanishes.
+    VersionedTable.deleteCommit(spark, base,
+      VersionedTable.latestVersion(base).get + 1,
+      Seq(3L, 5L).toDF("id"), "id")
+    VersionedTable.refreshMaterializedSql(spark, base, mv)
+    assert(served() == Seq(("a", 2L, 10L, 30L)))
+    // The refreshed MV still equals a from-scratch recompute.
+    val exact = VersionedTable.read(spark, base).groupBy($"g")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min($"v").as("mn"),
+        org.apache.spark.sql.functions.max($"v").as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    assert(served() == exact)
   }
 
   test("ARRAY payload: library and V2 writes round-trip through the connector") {
