@@ -203,7 +203,10 @@ final case class TruncatePart(n: Int, rawCol: String)
     val lo = segVal.toLong
     require(Math.floorMod(lo, n.toLong) == 0L,
       s"$spec: '$segVal' is not a width-$n segment")
-    (lo, lo + (n - 1).toLong)
+    // addExact: a segment near Long.MaxValue would wrap hi negative
+    // and range probes would silently PRUNE live rows; the throw
+    // lands in the caller's conservative catch (admit).
+    (lo, Math.addExact(lo, (n - 1).toLong))
   }
   private def nullGuard(e: String): Column =
     org.apache.spark.sql.functions.expr(
@@ -251,6 +254,14 @@ object PartTransform {
     org.apache.spark.sql.types.LongType,
     org.apache.spark.sql.types.TimestampType,
     org.apache.spark.sql.types.TimestampNTZType)
+
+  /** Raw-column types the VALUE transforms (bucket, truncate) accept
+    * (r20, deduped): one definition for declaration, evolution, and
+    * the V2 write gate — the next admitted type lands everywhere. */
+  val hashableTypes: Set[org.apache.spark.sql.types.DataType] = Set(
+    org.apache.spark.sql.types.LongType,
+    org.apache.spark.sql.types.IntegerType,
+    org.apache.spark.sql.types.StringType)
 
   val MicrosPerDay: Long = 86400000000L
 

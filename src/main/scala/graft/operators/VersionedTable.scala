@@ -103,7 +103,7 @@ object VersionedTable {
     * for outputTimestampType — session conf is the only lever, so the
     * honest move is to refuse, not to silently mutate the caller's
     * session mid-commit.) */
-  private def ensureMicrosTimestamps(df: DataFrame): Unit = {
+  private[graft] def ensureMicrosTimestamps(df: DataFrame): Unit = {
     import org.apache.spark.sql.types.{ArrayType, DataType, MapType,
       StructType, TimestampType}
     def hasTs(dt: DataType): Boolean = dt match {
@@ -717,20 +717,10 @@ object VersionedTable {
             require(PartTransform.timeSourceTypes(f.dataType),
               s"evolvePartitionLayout: ${t.spec} needs a BIGINT " +
                 s"epoch-micros or TIMESTAMP column, got ${f.dataType.sql}")
-          case _: BucketPart =>
-            require(Set[org.apache.spark.sql.types.DataType](
-                org.apache.spark.sql.types.LongType,
-                org.apache.spark.sql.types.IntegerType,
-                org.apache.spark.sql.types.StringType)(f.dataType),
+          case _: BucketPart | _: TruncatePart =>
+            require(PartTransform.hashableTypes(f.dataType),
               s"evolvePartitionLayout: ${t.spec} needs a BIGINT/INT/" +
                 s"STRING column, got ${f.dataType.sql}")
-          case _: TruncatePart =>
-            require(Set[org.apache.spark.sql.types.DataType](
-                org.apache.spark.sql.types.LongType,
-                org.apache.spark.sql.types.IntegerType,
-                org.apache.spark.sql.types.StringType)(f.dataType),
-              s"evolvePartitionLayout: ${t.spec} needs a STRING/" +
-                s"BIGINT/INT column, got ${f.dataType.sql}")
           case _ => ()
         }
         require(!payload.fields.exists(_.name == t.derivedName) &&
@@ -1394,10 +1384,42 @@ object VersionedTable {
     }
     val foldOps = mvFoldOps(mv, mvV)
     val avgFolds = mvAvgFolds(mv, mvV)
-    // Killed-row frames captured per DV for the extremum repair pass
-    // below — the negation closure runs once per DV inside the walk.
-    val killedFrames = scala.collection.mutable.ArrayBuffer
+    // Per-DV KILLED-ROW AGGREGATES captured for the extremum repair —
+    // the negation closure already runs the statement over each DV's
+    // killed rows, so the repair folds those aggregates instead of
+    // re-scanning the killed rows a second time.
+    val killedAggs = scala.collection.mutable.ArrayBuffer
       .empty[DataFrame]
+    // Group outputs resolved to their BASE-side columns (zero-row
+    // analyzed probe, the countStarCol pattern): Some(map) when every
+    // grouping output is a bare base attribute or a direct alias of
+    // one — the repair can then PRE-FILTER the base scan to affected
+    // groups (layout pruning on the base columns applies). An aliased-
+    // to-an-expression group (legal at declaration) yields None: the
+    // repair aggregates the full snapshot and filters the RESULT —
+    // costlier but never resolves an MV output name against the wrong
+    // base column.
+    lazy val groupBaseCols: Option[Map[String, String]] = {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+      val bv = latestVersion(base).get
+      val probe = runMvSql(s, sql,
+        snapshotWithPartitions(s, base, bv).limit(0))
+      probe.queryExecution.analyzed.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          val m = groupCols.flatMap { g =>
+            a.aggregateExpressions.collectFirst {
+              case attr: AttributeReference if attr.name == g =>
+                g -> attr.name
+              case al @ Alias(src: AttributeReference, _)
+                  if al.name == g => g -> src.name
+            }
+          }.toMap
+          // Two outputs aliasing the same base column would collide in
+          // the pre-filter key frame — fall back to the result filter.
+          if (m.keySet == groupCols.toSet &&
+              m.values.toSeq.distinct.size == m.size) Some(m) else None
+      }.flatten
+    }
     refreshMaterialized(s, base, mv,
       aggDelta = df => runMvSql(s, sql, df),
       merge = (old, delta) =>
@@ -1415,8 +1437,8 @@ object VersionedTable {
             "count(*) aggregate column in the MV definition to detect " +
             "emptied groups — re-create the MV (or declare it with " +
             "count(*))")
-        if (foldOps.nonEmpty) killedFrames += killed
         val agg = runMvSql(s, sql, killed)
+        if (foldOps.nonEmpty) killedAggs += agg
         agg.select(agg.columns.map(c =>
           if (groupCols.contains(c)) col(c)
           else if (foldOps.contains(c))
@@ -1442,27 +1464,66 @@ object VersionedTable {
       // in the affected set, and recomputes to zero rows — vanishing
       // exactly like the count(*)-detected death.
       repair = { merged =>
-        if (foldOps.isEmpty || killedFrames.isEmpty) merged
+        if (foldOps.isEmpty || killedAggs.isEmpty) merged
         else {
           import org.apache.spark.sql.functions.broadcast
-          val killedAgg = runMvSql(s, sql,
-            killedFrames.reduce(_ unionByName _))
-          val m = merged.alias("m")
-          val k = killedAgg.alias("k")
-          val on = groupCols.map(c =>
-            col(s"m.$c") <=> col(s"k.$c")).reduce(_ && _)
-          val tie = foldOps.toSeq.map { case (c, op) =>
-            if (op == "min") col(s"k.$c") <= col(s"m.$c")
-            else col(s"k.$c") >= col(s"m.$c")
+          val foldCols = foldOps.keys.toSeq.sorted
+          // Fold the per-DV killed aggregates to one extremum row per
+          // group (min of mins / max of maxes — each frame is already
+          // aggregated, so this is an O(groups) fold, no row re-scan).
+          val killedAgg = killedAggs
+            .map(df => df.select((groupCols ++ foldCols)
+              .map(col).toIndexedSeq: _*))
+            .reduce(_ unionByName _)
+            .groupBy(groupCols.map(col): _*)
+            .agg(foldCols.head -> foldOps(foldCols.head),
+              foldCols.tail.map(c => c -> foldOps(c)): _*)
+            .toDF(groupCols ++ foldCols: _*)
+          // NULL-SAFE keys everywhere below: a NULL group key is an
+          // ordinary group (groupBy keeps it), and a plain equi-join
+          // would skip exactly that group's repair — serving the
+          // deleted extremum forever. Prefixed projections also give
+          // each side fresh exprIds, so the self-lineage joins
+          // (affected derives from merged) resolve unambiguously.
+          def renamed(df: DataFrame, p: String): DataFrame =
+            df.toDF(df.columns.map(p + _).toIndexedSeq: _*)
+          val k = renamed(killedAgg, "__k_")
+          val tie = foldOps.toSeq.sortBy(_._1).map { case (c, op) =>
+            if (op == "min") k(s"__k_$c") <= merged(c)
+            else k(s"__k_$c") >= merged(c)
           }.reduce(_ || _)
-          val affected = m.join(k, on).where(tie)
-            .select(groupCols.map(c => col(s"m.$c")): _*).distinct()
+          val affected = merged.join(k,
+              groupCols.map(g => merged(g) <=> k(s"__k_$g"))
+                .reduce(_ && _))
+            .where(tie)
+            .select(groupCols.map(g => merged(g)): _*).distinct()
+          val aff = renamed(affected, "__a_")
           val bv = latestVersion(base).get
-          val recomputed = runMvSql(s, sql,
-            snapshotWithPartitions(s, base, bv)
-              .join(broadcast(affected), groupCols, "left_semi"))
-          merged.join(broadcast(affected), groupCols, "left_anti")
-            .unionByName(recomputed)
+          val snap = snapshotWithPartitions(s, base, bv)
+          val scoped = groupBaseCols match {
+            case Some(m) =>
+              // Pre-filter the base scan to the affected groups — a
+              // pure optimization (the result-side filter below is
+              // what's load-bearing), valid only when every group
+              // output names a real base column.
+              val keys = affected.select(groupCols.map(g =>
+                col(g).as("__b_" + m(g))): _*)
+              snap.join(broadcast(keys),
+                m.values.toSeq.map(bc =>
+                  snap(bc) <=> keys(s"__b_$bc")).reduce(_ && _),
+                "left_semi")
+            case None => snap
+          }
+          val recomputed = runMvSql(s, sql, scoped)
+          val fixed = recomputed.join(broadcast(aff),
+            groupCols.map(g => recomputed(g) <=> aff(s"__a_$g"))
+              .reduce(_ && _),
+            "left_semi")
+          merged.join(broadcast(aff),
+              groupCols.map(g => merged(g) <=> aff(s"__a_$g"))
+                .reduce(_ && _),
+              "left_anti")
+            .unionByName(fixed)
             .select(merged.columns.map(col).toIndexedSeq: _*)
         }
       })

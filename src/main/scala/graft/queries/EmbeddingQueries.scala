@@ -429,8 +429,11 @@ object EmbeddingQueries extends QueryModule {
       .selectExpr("vec_id", "e", s"CAST($target AS INT) AS seg")
     val dataDir = idx.resolve("data").resolve(
       "merge-" + java.util.UUID.randomUUID().toString.take(8))
-    hnswGraphRows(vecs, efC, m, maxDeg).coalesce(1)
-      .write.parquet(dataDir.toString)
+    locally {
+      val g = hnswGraphRows(vecs, efC, m, maxDeg).coalesce(1)
+      graft.operators.VersionedTable.ensureMicrosTimestamps(g)
+      g.write.parquet(dataDir.toString)
+    }
     val staged = {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(dataDir)

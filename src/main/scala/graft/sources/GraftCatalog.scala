@@ -69,11 +69,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     if (ident.namespace.isEmpty && ident.name == "bucket")
       GraftBucketFunction
     else if (ident.namespace.isEmpty &&
-        GraftTruncateFunction.forName(ident.name).isDefined)
-      GraftTruncateFunction.forName(ident.name).get
-    else if (ident.namespace.isEmpty &&
         GraftTimeGrainFunction.all.contains(ident.name))
       GraftTimeGrainFunction.all(ident.name)
+    else if (ident.namespace.isEmpty)
+      GraftTruncateFunction.forName(ident.name).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchFunctionException(ident))
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
   }
@@ -205,8 +206,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           "the stored served ratio (r20 — SELECT * serves the " +
           "declared shape; the connector hides the partials), " +
           "min/max fold for " +
-          "append-only bases (DV deletes then refuse toward " +
-          "re-create). create_mv(mv, base, group_cols, sql)",
+          "append-only deltas, and DV deletes repair per group (r20: " +
+          "only groups whose killed extremum ties the standing one " +
+          "recompute). create_mv(mv, base, group_cols, sql)",
         Seq(ProcedureParameter.in("mv", DataTypes.StringType).build(),
           ProcedureParameter.in("base", DataTypes.StringType).build(),
           ProcedureParameter.in("group_cols", DataTypes.StringType)
@@ -696,10 +698,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           }.getOrElse(throw new IllegalArgumentException(
             s"graft catalog '$catalogName': bucket transform needs an " +
               s"INT bucket count, got $t"))
-          require(Set[org.apache.spark.sql.types.DataType](
-              org.apache.spark.sql.types.LongType,
-              org.apache.spark.sql.types.IntegerType,
-              org.apache.spark.sql.types.StringType)(fieldOf(c).dataType),
+          require(graft.operators.PartTransform
+              .hashableTypes(fieldOf(c).dataType),
             s"graft catalog '$catalogName': bucket($n, $c) needs a " +
               s"BIGINT/INT/STRING column, got ${fieldOf(c).dataType.sql}")
           s"bucket($n,$c)"
@@ -714,10 +714,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           }.getOrElse(throw new IllegalArgumentException(
             s"graft catalog '$catalogName': truncate transform needs " +
               s"an INT width, got $t"))
-          require(Set[org.apache.spark.sql.types.DataType](
-              org.apache.spark.sql.types.LongType,
-              org.apache.spark.sql.types.IntegerType,
-              org.apache.spark.sql.types.StringType)(fieldOf(c).dataType),
+          require(graft.operators.PartTransform
+              .hashableTypes(fieldOf(c).dataType),
             s"graft catalog '$catalogName': truncate($n, $c) needs a " +
               s"STRING/BIGINT/INT column, got ${fieldOf(c).dataType.sql}")
           s"truncate($n,$c)"

@@ -602,9 +602,14 @@ private[sources] class GraftTable(path: String, schema0: StructType,
     val table = java.nio.file.Paths.get(path)
     val dd = table.resolve("data").resolve(
       "trunc-" + java.util.UUID.randomUUID().toString.take(8))
-    spark.createDataFrame(
+    val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      schema0).coalesce(1).write.parquet(dd.toString)
+      schema0)
+    // Zero rows still write a FOOTER: an INT96-defaulting session
+    // would stage a schema every subsequent read refuses — the same
+    // commit-time gate as every library write (r20 review).
+    VersionedTable.ensureMicrosTimestamps(empty)
+    empty.coalesce(1).write.parquet(dd.toString)
     val staged = {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(dd)

@@ -91,19 +91,10 @@ private[sources] class GraftWrite(path: String, schema: StructType,
         require(graft.operators.PartTransform.timeSourceTypes(f.dataType),
           s"graft-table: ${t.spec} needs a BIGINT epoch-micros or " +
             s"TIMESTAMP column, got ${f.dataType.sql}")
-      case _: graft.operators.BucketPart =>
-        require(Set[org.apache.spark.sql.types.DataType](
-            org.apache.spark.sql.types.LongType,
-            org.apache.spark.sql.types.IntegerType,
-            org.apache.spark.sql.types.StringType)(f.dataType),
+      case _: graft.operators.BucketPart |
+           _: graft.operators.TruncatePart =>
+        require(graft.operators.PartTransform.hashableTypes(f.dataType),
           s"graft-table: ${t.spec} needs a BIGINT/INT/STRING column, " +
-            s"got ${f.dataType.sql}")
-      case _: graft.operators.TruncatePart =>
-        require(Set[org.apache.spark.sql.types.DataType](
-            org.apache.spark.sql.types.LongType,
-            org.apache.spark.sql.types.IntegerType,
-            org.apache.spark.sql.types.StringType)(f.dataType),
-          s"graft-table: ${t.spec} needs a STRING/BIGINT/INT column, " +
             s"got ${f.dataType.sql}")
     }
   }

@@ -1802,6 +1802,45 @@ class VersionedTableSpec extends SparkSpec {
     assert(served() == exact)
   }
 
+  test("MV min/max repair: NULL group keys and aliased group outputs (r20 review)") {
+    import spark.implicits._
+    // (1) A NULL group key is an ordinary group — the repair's joins
+    // are null-safe, so killing the NULL group's extremum repairs it
+    // (a plain equi-join would silently serve the deleted value).
+    val base = freshTable()
+    val mv = base.resolveSibling("mv_nullg")
+    VersionedTable.commit(spark, base, 0L,
+      Seq((1L, Option("a"), 10L), (2L, None, 5L), (3L, None, 9L))
+        .toDF("id", "g", "v"))
+    VersionedTable.createMaterializedSql(spark, base, mv, Seq("g"),
+      "SELECT g, count(*) AS n, min(v) AS mn FROM __BASE__ GROUP BY g")
+    VersionedTable.deleteCommit(spark, base, 1L, Seq(2L).toDF("id"), "id")
+    VersionedTable.refreshMaterializedSql(spark, base, mv)
+    val rows = VersionedTable.read(spark, mv).collect()
+      .map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0),
+        r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rows == Seq(("<null>", 1L, 9L), ("a", 1L, 10L)), s"got $rows")
+    // (2) A group output ALIASED from a different base column — on a
+    // base that ALSO has a column by the output's name (the wrong-
+    // resolution trap): the repair must recompute via the RESULT-side
+    // filter, never the misnamed base column.
+    val base2 = freshTable()
+    val mv2 = base2.resolveSibling("mv_alias")
+    VersionedTable.commit(spark, base2, 0L,
+      Seq((1L, "r1", "zzz", 10L), (2L, "r1", "zzz", 30L),
+        (3L, "r2", "zzz", 7L)).toDF("id", "region", "g", "v"))
+    VersionedTable.createMaterializedSql(spark, base2, mv2, Seq("g"),
+      "SELECT region AS g, count(*) AS n, max(v) AS mx " +
+        "FROM __BASE__ GROUP BY region")
+    // Kill r1's max (id=2, v=30) — the repair recomputes group r1.
+    VersionedTable.deleteCommit(spark, base2, 1L, Seq(2L).toDF("id"), "id")
+    VersionedTable.refreshMaterializedSql(spark, base2, mv2)
+    val rows2 = VersionedTable.read(spark, mv2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(rows2 == Seq(("r1", 1L, 10L), ("r2", 1L, 7L)), s"got $rows2")
+  }
+
   test("ARRAY payload: library and V2 writes round-trip through the connector") {
     import spark.implicits._
     val t = freshTable()
