@@ -2497,8 +2497,22 @@ object VersionedTable {
     * orphans referenced by nothing — are removed. Expired manifests
     * are deleted LAST: a crash mid-vacuum leaves extra files (safe,
     * invisible), never a manifest pointing at deleted data. Returns
-    * (filesDeleted, versionsExpired). */
-  def expire(table: Path, keepFrom: Long): (Int, Int) = {
+    * (filesDeleted, versionsExpired).
+    *
+    * `orphanGraceMs` (r20, the Iceberg remove-orphan-files guard): a
+    * file referenced by SOME manifest — even an expired one — was
+    * PUBLISHED, so deleting it once no retained version lists it is
+    * always safe. A file referenced by NO manifest at all may instead
+    * be an IN-FLIGHT writer's staging (executors stage data files
+    * BEFORE the driver's publish link) — vacuuming it would break the
+    * commit about to reference it. With a positive grace, such
+    * never-referenced orphans only delete once their mtime is older
+    * than the grace window; 0 (the programmatic default) keeps the
+    * immediate sweep for single-writer callers. The SQL CALL face
+    * defaults to one hour — scheduled maintenance must assume
+    * concurrent writers. */
+  def expire(table: Path, keepFrom: Long,
+             orphanGraceMs: Long = 0L): (Int, Int) = {
     val all = versions(table)
     val (dead, live) = all.partition(_ < keepFrom)
     require(live.nonEmpty,
@@ -2527,6 +2541,12 @@ object VersionedTable {
     val referenced = anchors.flatMap(v =>
       statsManifest(table, v).map(_._1) ++
         deletionVectors(table, v).map(_._1)).toSet
+    // Published-somewhere set for the orphan-grace split — resolved
+    // only when a grace is in force (it reads every dead manifest).
+    lazy val everReferenced: Set[String] = all.flatMap(v =>
+      statsManifest(table, v).map(_._1) ++
+        deletionVectors(table, v).map(_._1)).toSet
+    val now = System.currentTimeMillis()
     var deleted = 0
     for (root <- Seq(table.resolve("data"), table.resolve("dv"))
          if Files.isDirectory(root)) {
@@ -2535,9 +2555,14 @@ object VersionedTable {
       // *.parquet, so an unrestricted sweep would delete _SUCCESS/.crc
       // write-sidecars inside LIVE versions' data dirs.
       try walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
+        .filter { p =>
+          Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".parquet") &&
-          !referenced.contains(table.relativize(p).toString))
+          !referenced.contains(table.relativize(p).toString) &&
+          (orphanGraceMs <= 0L ||
+            everReferenced.contains(table.relativize(p).toString) ||
+            now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs)
+        }
         .foreach { p => Files.delete(p); deleted += 1 }
       finally walk.close()
     }

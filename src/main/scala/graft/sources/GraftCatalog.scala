@@ -358,12 +358,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "expire" => proc("expire",
         "Expire versions below keep_from and vacuum unreferenced files " +
           "(ref heads, BASE chains and DV origins stay pinned). " +
-          "expire(table, keep_from)",
+          "Never-PUBLISHED orphans (a crashed or in-flight writer's " +
+          "staging) vacuum only when older than orphan_grace_ms — " +
+          "scheduled maintenance must assume concurrent writers, so " +
+          "the default is one hour; published-then-expired files " +
+          "always delete. expire(table, keep_from, " +
+          "orphan_grace_ms => 3600000)",
         Seq(ProcedureParameter.in("table", DataTypes.StringType).build(),
-          ProcedureParameter.in("keep_from", DataTypes.LongType).build()),
+          ProcedureParameter.in("keep_from", DataTypes.LongType).build(),
+          ProcedureParameter.in("orphan_grace_ms", DataTypes.LongType)
+            .defaultValue("3600000").build()),
         { in =>
           val (deleted, expired) = VersionedTable.expire(
-            tableAt(in.getUTF8String(0).toString), in.getLong(1))
+            tableAt(in.getUTF8String(0).toString), in.getLong(1),
+            in.getLong(2))
           Seq("files_deleted" -> deleted.toLong,
             "versions_expired" -> expired.toLong)
         })

@@ -89,6 +89,41 @@ class VersionedTableSpec extends SparkSpec {
     assert(deleted0 >= 1)
   }
 
+  test("expire orphan grace: fresh never-published staging survives; expired files don't") {
+    val t = freshTable()
+    VersionedTable.commit(spark, t, 0L, df(1, 2, 3))
+    VersionedTable.commit(spark, t, 1L, df(7, 8)) // full rewrite: v0 reclaimable
+    // A crashed/in-flight writer's staging: data files published by NO
+    // manifest. With a grace window they must SURVIVE (an in-flight
+    // commit may be about to reference them); the published-then-
+    // expired v0 files still delete immediately.
+    VersionedTable.failedCommit(spark, t, 2L, df(99))
+    val orphanCount = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(t.resolve("data"))
+      try w.iterator().asScala.count(p =>
+        java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet"))
+      finally w.close()
+    }
+    val (deletedGraced, _) = VersionedTable.expire(t, keepFrom = 1L,
+      orphanGraceMs = 3600000L)
+    assert(deletedGraced >= 1, "expired v0 files must vacuum")
+    val afterGraced = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(t.resolve("data"))
+      try w.iterator().asScala.count(p =>
+        java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet"))
+      finally w.close()
+    }
+    assert(afterGraced < orphanCount, "the sweep must have deleted v0")
+    assert(VersionedTable.read(spark, t).count() == 2)
+    // A second pass with grace 0 reclaims the now-known-dead orphan.
+    val (deletedNow, _) = VersionedTable.expire(t, keepFrom = 1L)
+    assert(deletedNow >= 1, "grace 0 must reclaim the orphan staging")
+  }
+
   test("appendCommit rebases onto a racing winner without rewriting data") {
     val t = freshTable()
     VersionedTable.commit(spark, t, 0L, df(1, 2))
